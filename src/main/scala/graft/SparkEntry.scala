@@ -1,13 +1,792 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.catalog._
+import graft.derived.{DerivedVariable, DerivedVariableRegistry}
+import graft.harness.PipelineDemo
+import graft.operators.{Dedup, MinimalExploder, Multimodal, Similarity, TextAnalysis}
+import graft.search.QueryCompiler
+
+/** Driver contract — one query per implemented operator from SURVEY.md §2
+  * plus the LLM-pipeline extension operators. Every query is deterministic
+  * (explicit ORDER BY + exact decimal aggregation) so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ------------------------------------------------------------- helpers
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    CatalogReader.readAssetTable(s, s"$dir/$name.parquet")
+
+  /** Exact decimal sum rendered as double — identical in Spark and DuckDB
+    * regardless of accumulation order. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  private val dsumSql = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  private def tmpToken(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The unique row key of the synthetic lineitem table (the
+    * (orderkey, linenumber) pair alone is NOT unique in this testdata). */
+  private val lineKey = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** events.parquet uses TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as raw nanos (LongType) and derive microseconds —
+    * exact integer math, matching DuckDB's epoch_us(). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events").withColumn("us", expr("ts div 1000"))
+  }
+
+  /** Ad-hoc catalog wrapper over a plain DataFrame (no asset files). */
+  private def adhocCatalog(
+      s: SparkSession, df: DataFrame,
+      groupby: List[String], variableCol: Option[String] = None,
+      iterables: Set[String] = Set.empty,
+  ): EsmCatalog = {
+    val model = EsmCatalogModel(
+      esmcatVersion = "0.2.0", id = Some("adhoc"),
+      assets = Assets(columnName = "path", format = Some("parquet")),
+      aggregationControl = Some(AggregationControl(variableCol.getOrElse(""), groupby, Nil)),
+      catalogDict = Some(Nil),
+    )
+    new EsmCatalog(s, model, df, iterables,
+      iterables.map(_ -> CatalogReader.ContainerType.TupleT).toMap)
+  }
+
+  // ------------------------------------------------------------- flagship
+
+  /** Flagship: the full descriptor → scan → search → group → materialize
+    * pipeline on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    PipelineDemo.datasetDictAsFrame(spark, "/root/testdata/sf0.001")
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ===== headline relational queries (bench anchors) =====
+
+    "q1_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q_star_join" -> ((s, dir) => {
+      val r = broadcast(T(s, dir, "region"))
+      val n = broadcast(T(s, dir, "nation"))
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("r_name")
+    }),
+
+    // ===== catalog scans & decode (SURVEY §2 #1-4) =====
+
+    "scan_catalog_parquet" -> ((s, dir) => {
+      CatalogReader.readAssetTable(s, s"$dir/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
+    "scan_catalog_csv" -> ((s, dir) => {
+      val out    = s"/tmp/graft_csv_${tmpToken(dir)}"
+      val marker = Paths.get(out, "_READY")
+      this.synchronized {
+        if (!Files.exists(marker)) {
+          T(s, dir, "region").coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+          Files.createFile(marker)
+        }
+      }
+      CatalogReader.readAssetTable(s, out) // header csv, strings (infer_schema=false)
+        .select("r_regionkey", "r_name")
+        .orderBy(col("r_regionkey").cast(IntegerType))
+    }),
+
+    "scan_catalog_dict" -> ((s, _) => {
+      CatalogReader.fromDict(s, Seq(
+        Map("component" -> "ocn", "experiment" -> "20C", "variable" -> "SHF", "scode" -> 482L),
+        Map("component" -> "ocn", "experiment" -> "CTRL", "variable" -> "REGION_MASK", "scode" -> 483L),
+        Map("component" -> "atm", "experiment" -> "RCP85", "variable" -> "FLNS", "scode" -> 484L),
+        Map("component" -> "atm", "experiment" -> "20C", "variable" -> "FLNSC", "scode" -> null),
+      )).orderBy("component", "experiment", "variable")
+    }),
+
+    "decode_iterable_cols" -> ((s, dir) => {
+      val docs    = T(s, dir, "documents")
+      val literal = concat(lit("('"), col("lang"), lit("', '"), col("source"), lit("',)"))
+      docs.select(col("doc_id"), CatalogReader.decodeIterable(literal).as("arr"))
+        .select(col("doc_id"),
+          element_at(col("arr"), 1).as("elem1"),
+          element_at(col("arr"), 2).as("elem2"),
+          size(col("arr")).as("n"))
+        .orderBy("doc_id")
+    }),
+
+    // ===== catalog sink (#5) =====
+
+    "save_catalog" -> ((s, dir) => {
+      val df = T(s, dir, "documents").select("lang", "source").distinct()
+        .withColumn("variable", array(col("lang"), col("source")))
+      val cat = new EsmCatalog(s,
+        EsmCatalogModel(esmcatVersion = "0.2.0", id = Some("rt"),
+          assets = Assets(columnName = "path", format = Some("parquet")), catalogDict = Some(Nil)),
+        df, Set("variable"), Map("variable" -> CatalogReader.ContainerType.TupleT))
+      val outDir   = s"/tmp/graft_save_${tmpToken(dir)}"
+      val jsonPath = this.synchronized { CatalogWriter.save(cat, "rt", outDir, "file") }
+      val (_, table) = CatalogReader.load(s, jsonPath)
+      table.df.select(col("lang"), col("source"), array_join(col("variable"), ",").as("variable_joined"))
+        .orderBy("lang", "source")
+    }),
+
+    // ===== the search algebra (#6-12, #33) =====
+
+    "search_exact" -> ((s, dir) => {
+      QueryCompiler.searchWithRequireAllOn(T(s, dir, "part"),
+        Map("p_brand" -> Seq("Brand#13", "Brand#42"), "p_size" -> Seq(13, 18, 35)), None)
+        .select("p_partkey", "p_brand", "p_size", "p_type").orderBy("p_partkey")
+    }),
+
+    "search_regex" -> ((s, dir) => {
+      QueryCompiler.searchWithRequireAllOn(T(s, dir, "part"),
+        Map("p_type" -> Seq("^ECO.*", ".*DARD$")), None)
+        .select("p_partkey", "p_type").orderBy("p_partkey")
+    }),
+
+    "search_null" -> ((s, dir) => {
+      val o = T(s, dir, "orders").withColumn("o_pri_null",
+        when(col("o_orderpriority") === "1-URGENT", lit(null).cast(StringType))
+          .otherwise(col("o_orderpriority")))
+      QueryCompiler.search(o, Map("o_pri_null" -> Seq(null)))
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+
+    "search_iterable_membership" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("tags", array(col("lang"), col("source")))
+      QueryCompiler.search(docs, Map("tags" -> Seq("en")), columnsWithIterables = Set("tags"))
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
+    "search_empty_query" -> ((s, dir) => {
+      QueryCompiler.search(T(s, dir, "part"), Map.empty)
+        .select("p_partkey", "p_brand").orderBy("p_partkey")
+    }),
+
+    "search_require_all_on" -> ((s, dir) => {
+      QueryCompiler.searchWithRequireAllOn(T(s, dir, "lineitem"),
+        Map("l_returnflag" -> Seq("R", "A")), Some(Seq("l_suppkey")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    "search_derived_union" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select("doc_id", "lang", "source")
+      val reg = new DerivedVariableRegistry()
+        .register(DerivedVariable("synthetic",
+          Map("source" -> Seq("src7"), "lang" -> Seq("en")), identity))
+      val cat = new EsmCatalog(s,
+        EsmCatalogModel(esmcatVersion = "0.2.0", id = Some("docs"),
+          assets = Assets(columnName = "source", format = Some("parquet")),
+          aggregationControl = Some(AggregationControl("source", List("lang"), Nil)),
+          catalogDict = Some(Nil)),
+        docs, Set.empty, Map.empty, reg)
+      cat.search(Map("source" -> Seq("src3", "synthetic")))
+        .df.select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
+
+    "validate_query" -> ((s, dir) => {
+      val (norm, _) = QueryCompiler.normalize(
+        Map("p_brand" -> "Brand#13", "p_size" -> Seq(1, 2)), T(s, dir, "part").columns.toSeq)
+      import s.implicits._
+      norm.toSeq.flatMap { case (k, vs) => vs.map(v => (k, v.toString)) }
+        .toDF("col_name", "value").orderBy("col_name", "value")
+    }),
+
+    // ===== grouping, keys, stats (#13-16, #34) =====
+
+    "group_keys" -> ((s, dir) => {
+      adhocCatalog(s, T(s, dir, "lineitem"), List("l_returnflag", "l_linestatus"))
+        .keysInfo.orderBy("key")
+    }),
+
+    "keys_info" -> ((s, dir) => {
+      // all-null groupby attr is pruned (cat.py:26-45); mixed-null would raise
+      val li = T(s, dir, "lineitem").withColumn("dcpp_init_year", lit(null).cast(StringType))
+      adhocCatalog(s, li, List("l_returnflag", "dcpp_init_year", "l_linestatus"))
+        .keysInfo.orderBy("key")
+    }),
+
+    "unique" -> ((s, dir) => {
+      val cat = adhocCatalog(s, T(s, dir, "documents").select("lang", "source"), List("lang"))
+      import s.implicits._
+      cat.uniqueValues.toSeq.flatMap { case (c, vs) => vs.map(v => (c, v)) }
+        .toDF("col_name", "value").orderBy("col_name", "value")
+    }),
+
+    "nunique" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select("lang", "source")
+        .withColumn("tags", array(col("lang"), col("source")))
+      adhocCatalog(s, docs, List("lang"), iterables = Set("tags"))
+        .nunique.orderBy("col_name")
+    }),
+
+    "repr_stats" -> ((s, dir) => {
+      val cat = adhocCatalog(s, T(s, dir, "documents").select("lang", "source"), List("lang", "source"))
+      import s.implicits._
+      Seq(("n_assets", cat.df.count()), ("n_datasets", cat.length))
+        .toDF("stat", "value").orderBy("stat")
+    }),
+
+    // ===== explode machinery (#17, #18) =====
+
+    "minimal_explode" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(
+        col("doc_id"),
+        array(col("lang"), col("source")).as("a"),
+        array(col("source"), col("lang")).as("b"),
+        array(col("lang")).as("c"))
+      MinimalExploder(docs).orderBy("doc_id", "a")
+    }),
+
+    "unpack_iterable_column" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), array(col("lang"), col("source")).as("tag"))
+      QueryCompiler.unpackIterableColumn(docs, "tag").orderBy("doc_id", "tag")
+    }),
+
+    // ===== entry lookup & asset open (#19-24) =====
+
+    "getitem_entry" -> ((s, dir) => {
+      val cat   = adhocCatalog(s, T(s, dir, "lineitem"), List("l_returnflag", "l_linestatus"))
+      val attrs = Seq("l_returnflag", "l_linestatus")
+      cat.df.filter(cat.keyColumn(attrs) === lit("R.F"))
+        .agg(count(lit(1)).as("n_assets"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    "load_asset" -> ((s, dir) => {
+      val src = EsmDataSource("k", Nil, "path", None, Nil)
+      src.openAsset(s, s"$dir/supplier.parquet", "parquet")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").orderBy("s_suppkey")
+    }),
+
+    "project_requested_vars" -> ((s, dir) => {
+      val src = EsmDataSource("k", Nil, "path", None, Nil,
+        requestedVariables = Seq("l_quantity", "bogus_var"))
+      src.projectRequested(T(s, dir, "lineitem"), coords = lineKey)
+        .orderBy(lineKey.map(col): _*)
+    }),
+
+    "preprocess_hook" -> ((s, dir) => {
+      val hook: DataFrame => DataFrame =
+        df => df.withColumn("revenue", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val src = EsmDataSource("k", Nil, "path", None, Nil, preprocess = Some(hook))
+      src.loadAsset(s, Map("path" -> s"$dir/lineitem.parquet"), "parquet", Nil)
+        .select(lineKey.map(col) :+ col("revenue"): _*).orderBy(lineKey.map(col): _*)
+    }),
+
+    "expand_dims" -> ((s, dir) => {
+      val src = EsmDataSource("k", Nil, "path", None,
+        Seq(Aggregation(AggregationType.JoinNew, "experiment")))
+      src.loadAsset(s, Map("path" -> s"$dir/nation.parquet", "experiment" -> "CTRL"), "parquet", Nil)
+        .select("n_nationkey", "n_name", "experiment").orderBy("n_nationkey")
+    }),
+
+    "update_attrs" -> ((s, _) => {
+      val src = EsmDataSource("ocn.20C", Nil, "path", None, Nil)
+      import s.implicits._
+      src.attrsFor(Map("experiment" -> "20C", "member" -> 5L)).toSeq
+        .toDF("attr_key", "attr_value").orderBy("attr_key")
+    }),
+
+    // ===== aggregation composition (#25-28) =====
+
+    "agg_join_new" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val frames = Seq("O", "F").map(st =>
+        o.filter(col("o_orderstatus") === st)
+          .select(col("o_orderkey"), lit(st).as("member_id"), col("o_totalprice").as("totalprice")))
+      EsmDataSource("k", Nil, "path", None, Nil)
+        .combineByCoords(frames, coords = Seq("o_orderkey", "member_id"))
+    }),
+
+    "agg_join_existing" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val frames = Seq(
+        l.filter(year(col("l_shipdate")) <= 1997),
+        l.filter(year(col("l_shipdate")) > 1997),
+      ).map(_.select(lineKey.map(col) :+ col("l_quantity").as("quantity"): _*))
+      EsmDataSource("k", Nil, "path", None, Nil).combineByCoords(frames, coords = lineKey)
+    }),
+
+    "agg_union" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem")
+      val frames = Seq(
+        l.select(lineKey.map(col) :+ col("l_quantity").as("quantity"): _*),
+        l.select(lineKey.map(col) :+ col("l_extendedprice").as("extendedprice"): _*),
+      )
+      EsmDataSource("k", Nil, "path", None, Nil).combineByCoords(frames, coords = lineKey)
+    }),
+
+    "combine_by_coords" -> ((s, dir) => {
+      val l = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val frames = for {
+        (v, e)   <- Seq("quantity" -> col("l_quantity"), "extendedprice" -> col("l_extendedprice"))
+        yearPred <- Seq(year(col("l_shipdate")) <= 1997, year(col("l_shipdate")) > 1997)
+      } yield l.filter(yearPred).select(lineKey.map(col) :+ e.as(v): _*)
+      EsmDataSource("k", Nil, "path", None, Nil).combineByCoords(frames, coords = lineKey)
+    }),
+
+    // ===== materialization (#29-31) — real file-backed ESM pipeline =====
+
+    "to_dataset_dict" -> ((s, dir) => PipelineDemo.datasetDictAsFrame(s, dir)),
+
+    "to_datatree" -> ((s, dir) => {
+      val cat  = PipelineDemo.open(s, dir)
+      val tree = cat.toDatatree(PipelineDemo.coords, levels = Some(Seq("status")))
+      import s.implicits._
+      tree.toSeq.sortBy(_._1).map { case (p, d) => (p, d.count()) }
+        .toDF("path", "n_rows").orderBy("path")
+    }),
+
+    "to_dask" -> ((s, dir) => {
+      PipelineDemo.open(s, dir).search(Map("status" -> Seq("P")))
+        .toDask(PipelineDemo.coords)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("totalprice")).as("sum_totalprice"))
+    }),
+
+    // ===== derived variables (#32) =====
+
+    "derived_registry" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select("doc_id", "n_chars")
+      val reg = new DerivedVariableRegistry().register(DerivedVariable(
+        "n_tokens_est", Map("variable" -> Seq("n_chars")),
+        df => df.withColumn("n_tokens_est", floor(col("n_chars") / 5))))
+      reg.updateDatasets(Map("d" -> docs), "variable")("d").orderBy("doc_id")
+    }),
+
+    // ===== tutorial registry (#35) =====
+
+    "tutorial_urls" -> ((s, _) => {
+      import s.implicits._
+      // reference: intake_esm/tutorial.py:9-13
+      Seq(
+        ("aws_cesm2_le", "https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/AWS-CESM2-LENS.json"),
+        ("aws_cmip6", "https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/AWS-CMIP6.json"),
+        ("google_cmip6", "https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/GOOGLE-CMIP6.json"),
+      ).toDF("name", "url").orderBy("name")
+    }),
+
+    // ===== extensions: dedup =====
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(T(s, dir, "documents"), Seq("text"), "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")
+    }),
+
+    "dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("content_hash"), col("n_dups"),
+          concat_ws(",", transform(col("ids"), _.cast(StringType))).as("ids"))
+        .orderBy("content_hash")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(T(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(T(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ===== extensions: similarity search =====
+
+    "embed_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q   = emb.filter(col("vec_id") < 3)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q   = emb.filter(col("vec_id") < 3)
+      Similarity.lshTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ===== extensions: text analysis =====
+
+    "text_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("guess"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(T(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_alpha", "n_space", "alpha_ratio", "mean_token_len")
+        .orderBy("doc_id")
+    }),
+
+    "text_token_count" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ===== extensions: multimodal =====
+
+    "multimodal_meta" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), lit("text/plain").as("mime"),
+          octet_length(col("text")).cast(LongType).as("n_bytes"), md5(col("text")).as("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), (col("n_chars") * 10).as("duration_ms"))
+      Multimodal.sampleFrames(d, "doc_id", "duration_ms", everyMs = 500L)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    "multimodal_decode_stub" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.decodeFeaturesBatched(d, "doc_id", "payload")
+        .select(col("id"), round(element_at(col("features"), 1), 6).as("f0"))
+        .orderBy("id")
+    }),
+
+    // ===== extensions: event-stream analytics (batch shape) =====
+
+    "events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy((col("us") - col("us") % lit(3600000000L)).as("hour_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour_us", "event_type")
+    }),
+
+    "events_sessionize" -> ((s, dir) => {
+      val e  = events(s, dir).select("user_id", "event_id", "us")
+      val w  = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gap = col("us") - lag(col("us"), 1).over(w)
+      e.withColumn("is_new", when(gap.isNull || gap > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+        .orderBy("user_id", "session_id")
+    }),
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
+         | ${dsumSql("l_extendedprice")} AS sum_base_price,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         | COUNT(*) AS count_order
+         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | WHERE c_mktsegment = 'BUILDING'
+        | GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q_star_join" ->
+      s"""SELECT r_name, ${dsumSql("o_totalprice")} AS revenue, COUNT(*) AS n_orders
+         | FROM orders JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "scan_catalog_parquet" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",
+
+    "scan_catalog_csv" ->
+      "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region ORDER BY CAST(r_regionkey AS INT)",
+
+    "scan_catalog_dict" ->
+      """SELECT * FROM (VALUES
+        | ('ocn','20C','SHF', CAST(482 AS BIGINT)),
+        | ('ocn','CTRL','REGION_MASK', CAST(483 AS BIGINT)),
+        | ('atm','RCP85','FLNS', CAST(484 AS BIGINT)),
+        | ('atm','20C','FLNSC', CAST(NULL AS BIGINT))
+        |) AS t(component, experiment, variable, scode)
+        |ORDER BY component, experiment, variable""".stripMargin,
+
+    "decode_iterable_cols" ->
+      "SELECT doc_id, lang AS elem1, source AS elem2, CAST(2 AS INT) AS n FROM documents ORDER BY doc_id",
+
+    "save_catalog" ->
+      """SELECT lang, source, lang || ',' || source AS variable_joined
+        | FROM (SELECT DISTINCT lang, source FROM documents) ORDER BY lang, source""".stripMargin,
+
+    "search_exact" ->
+      """SELECT p_partkey, p_brand, p_size, p_type FROM part
+        | WHERE p_brand IN ('Brand#13','Brand#42') AND p_size IN (13, 18, 35) ORDER BY p_partkey""".stripMargin,
+
+    "search_regex" ->
+      """SELECT p_partkey, p_type FROM part
+        | WHERE regexp_matches(p_type, '^ECO.*') OR regexp_matches(p_type, '.*DARD$')
+        | ORDER BY p_partkey""".stripMargin,
+
+    "search_null" ->
+      "SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey",
+
+    "search_iterable_membership" ->
+      "SELECT doc_id, lang, source FROM documents WHERE list_contains([lang, source], 'en') ORDER BY doc_id",
+
+    "search_empty_query" ->
+      "SELECT p_partkey, p_brand FROM part WHERE 1 = 0 ORDER BY p_partkey",
+
+    "search_require_all_on" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag FROM lineitem
+        | WHERE l_returnflag IN ('R','A') AND l_suppkey IN (
+        |   SELECT l_suppkey FROM lineitem WHERE l_returnflag IN ('R','A')
+        |   GROUP BY l_suppkey HAVING COUNT(DISTINCT l_returnflag) = 2)
+        | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "search_derived_union" ->
+      """SELECT doc_id, lang, source FROM documents WHERE source = 'src3'
+        | UNION
+        | SELECT doc_id, lang, source FROM documents WHERE source = 'src7' AND lang = 'en'
+        | ORDER BY doc_id""".stripMargin,
+
+    "validate_query" ->
+      """SELECT * FROM (VALUES ('p_brand','Brand#13'), ('p_size','1'), ('p_size','2'))
+        | AS t(col_name, value) ORDER BY col_name, value""".stripMargin,
+
+    "group_keys" ->
+      """SELECT DISTINCT l_returnflag || '.' || l_linestatus AS key, l_returnflag, l_linestatus
+        | FROM lineitem ORDER BY key""".stripMargin,
+
+    "keys_info" ->
+      """SELECT DISTINCT l_returnflag || '.' || l_linestatus AS key, l_returnflag, l_linestatus
+        | FROM lineitem ORDER BY key""".stripMargin,
+
+    "unique" ->
+      """SELECT 'lang' AS col_name, lang AS value FROM (SELECT DISTINCT lang FROM documents)
+        | UNION ALL
+        | SELECT 'source', source FROM (SELECT DISTINCT source FROM documents)
+        | ORDER BY col_name, value""".stripMargin,
+
+    "nunique" ->
+      """SELECT * FROM (
+        | SELECT 'lang' AS col_name, COUNT(DISTINCT lang) AS n_unique FROM documents
+        | UNION ALL SELECT 'source', COUNT(DISTINCT source) FROM documents
+        | UNION ALL SELECT 'tags', COUNT(*) FROM
+        |   (SELECT DISTINCT lang FROM documents UNION SELECT DISTINCT source FROM documents)
+        |) ORDER BY col_name""".stripMargin,
+
+    "repr_stats" ->
+      """SELECT 'n_assets' AS stat, COUNT(*) AS value FROM documents
+        | UNION ALL
+        | SELECT 'n_datasets', COUNT(*) FROM (SELECT DISTINCT lang, source FROM documents)
+        | ORDER BY stat""".stripMargin,
+
+    "minimal_explode" ->
+      """SELECT doc_id, lang AS a, source AS b, lang AS c FROM documents
+        | UNION ALL SELECT doc_id, source, lang, lang FROM documents
+        | ORDER BY doc_id, a""".stripMargin,
+
+    "unpack_iterable_column" ->
+      """SELECT doc_id, lang AS tag FROM documents
+        | UNION ALL SELECT doc_id, source FROM documents
+        | ORDER BY doc_id, tag""".stripMargin,
+
+    "getitem_entry" ->
+      s"""SELECT COUNT(*) AS n_assets, ${dsumSql("l_quantity")} AS sum_qty
+         | FROM lineitem WHERE l_returnflag || '.' || l_linestatus = 'R.F'""".stripMargin,
+
+    "load_asset" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier ORDER BY s_suppkey",
+
+    "project_requested_vars" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem
+        | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "preprocess_hook" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_extendedprice * (1 - l_discount) AS revenue
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "expand_dims" ->
+      "SELECT n_nationkey, n_name, 'CTRL' AS experiment FROM nation ORDER BY n_nationkey",
+
+    "update_attrs" ->
+      """SELECT * FROM (VALUES
+        | ('intake_esm_attrs:experiment','20C'),
+        | ('intake_esm_attrs:member','5'),
+        | ('intake_esm_dataset_key','ocn.20C')
+        |) AS t(attr_key, attr_value) ORDER BY attr_key""".stripMargin,
+
+    "agg_join_new" ->
+      """SELECT o_orderkey, o_orderstatus AS member_id, o_totalprice AS totalprice FROM orders
+        | WHERE o_orderstatus IN ('O','F') ORDER BY o_orderkey, member_id""".stripMargin,
+
+    "agg_join_existing" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity AS quantity
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "agg_union" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity AS quantity, l_extendedprice AS extendedprice
+        | FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "combine_by_coords" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        | l_quantity AS quantity, l_extendedprice AS extendedprice
+        | FROM lineitem WHERE l_returnflag = 'R'
+        | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+
+    "to_dataset_dict" ->
+      """SELECT o_orderstatus AS key, o_orderkey, CAST(year(o_orderdate) AS INT) AS year,
+        | o_orderpriority AS member, o_totalprice AS totalprice, o_custkey AS custkey
+        | FROM orders WHERE o_orderstatus IN ('O','F')
+        |  AND o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  AND year(o_orderdate) BETWEEN 1995 AND 1996
+        | ORDER BY key, o_orderkey""".stripMargin,
+
+    "to_datatree" ->
+      """SELECT '/' || o_orderstatus AS path, COUNT(*) AS n_rows FROM orders
+        | WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND year(o_orderdate) BETWEEN 1995 AND 1996
+        | GROUP BY o_orderstatus ORDER BY path""".stripMargin,
+
+    "to_dask" ->
+      s"""SELECT COUNT(*) AS n_rows, ${dsumSql("o_totalprice")} AS sum_totalprice FROM orders
+         | WHERE o_orderstatus = 'P' AND o_orderpriority IN ('1-URGENT','2-HIGH')
+         |  AND year(o_orderdate) BETWEEN 1995 AND 1996""".stripMargin,
+
+    "derived_registry" ->
+      """SELECT doc_id, n_chars, CAST(floor(n_chars / 5) AS BIGINT) AS n_tokens_est
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tutorial_urls" ->
+      """SELECT * FROM (VALUES
+        | ('aws_cesm2_le','https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/AWS-CESM2-LENS.json'),
+        | ('aws_cmip6','https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/AWS-CMIP6.json'),
+        | ('google_cmip6','https://raw.githubusercontent.com/intake/intake-esm/main/tutorial-catalogs/GOOGLE-CMIP6.json')
+        |) AS t(name, url) ORDER BY name""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT source, COUNT(*) AS n FROM (
+        | SELECT * FROM documents QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |) GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,
+        | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids
+        | FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY content_hash""".stripMargin,
+
+    "text_token_count" ->
+      """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_alpha,
+        | CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS INT) AS n_space,
+        | CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        | CAST(length(text) - (length(text) - length(regexp_replace(text, ' ', '', 'g'))) AS DOUBLE)
+        |   / CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS DOUBLE) AS mean_token_len
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS mime, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | md5(text) AS checksum FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """SELECT doc_id, CAST(off // 500 AS INT) AS frame_idx, off AS offset_ms
+        | FROM (SELECT doc_id, unnest(range(0, greatest(n_chars * 10, 1), 500)) AS off FROM documents)
+        | ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "events_hourly" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         | COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+         | FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |    OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        |   THEN 1 ELSE 0 END AS is_new
+        | FROM events),
+        |s AS (SELECT user_id, event_id, us,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        | FROM e)
+        |SELECT user_id, session_id, COUNT(*) AS n_events, MIN(us) AS first_us, MAX(us) AS last_us
+        | FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "embed_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)
+        |   / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b))
+        |      * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        | FROM embeddings e, q)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        | FROM scored) WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+  )
 }

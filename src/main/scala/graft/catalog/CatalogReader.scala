@@ -1,0 +1,159 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loads the catalog asset table described by an [[EsmCatalogModel]].
+  *
+  * Spark-first re-expression of the reference's CatalogFileDataReader
+  * (intake_esm/cat.py:582-711): the JSON descriptor is parsed on the driver,
+  * the asset table is a *lazy* `DataFrame` plan (`spark.read.csv/parquet`),
+  * all columns read as strings (`infer_schema=False`, cat.py:641,648), and
+  * python-literal iterable cells are decoded into `ArrayType(StringType)`
+  * columns (cat.py:652-682).
+  *
+  * Scale posture: the table itself may be huge (100 TB of catalog rows is
+  * just a big parquet scan) — nothing here collects it. The only driver-side
+  * materialization is a single `limit(1)` schema probe, mirroring the
+  * reference's `lf.head(1)` (cat.py:562).
+  */
+object CatalogReader {
+
+  /** Container dtype of an iterable column — remembered so `save` can restore
+    * the original python literal shape (cat.py:124, 215-216). */
+  object ContainerType extends Enumeration { val ListT, TupleT, SetT = Value }
+
+  final case class LoadedTable(
+      df: DataFrame,
+      columnsWithIterables: Set[String],
+      iterableDtypes: Map[String, ContainerType.Value],
+  )
+
+  /** Extension → reader dispatch (reference: cat.py:599-612). */
+  def readAssetTable(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet") || lower.endsWith(".parq"))
+      spark.read.parquet(path)
+    else if (lower.endsWith(".json"))
+      spark.read.json(path)
+    else
+      // csv / csv.gz / csv.bz2 — Spark handles the compression codecs natively.
+      spark.read
+        .option("header", "true")
+        .option("inferSchema", "false") // strings, like the reference (cat.py:641)
+        .csv(path)
+  }
+
+  /** Resolve a possibly-relative catalog_file against the descriptor's
+    * directory (reference: cat.py:318-322). */
+  def resolveCatalogFile(jsonPath: String, catalogFile: String): String = {
+    val p = Paths.get(catalogFile)
+    if (p.isAbsolute || catalogFile.contains("://")) catalogFile
+    else Paths.get(jsonPath).toAbsolutePath.getParent.resolve(catalogFile).normalize.toString
+  }
+
+  private val iterableProbe = "^\\s*[\\[\\(\\{].*[\\]\\)\\}]\\s*$".r
+
+  /** Detect iterable (python-literal list/tuple/set) columns by probing the
+    * first row — mirrors the reference's `lf.head(1)` dtype probe
+    * (cat.py:562, 652-669). Returns column → container type.
+    */
+  def probeIterableColumns(df: DataFrame): Map[String, ContainerType.Value] = {
+    val stringCols = df.schema.fields.collect { case f if f.dataType == StringType => f.name }
+    if (stringCols.isEmpty) return Map.empty
+    val head = df.select(stringCols.map(col): _*).limit(1).collect()
+    if (head.isEmpty) return Map.empty
+    val row = head(0)
+    stringCols.zipWithIndex.flatMap { case (c, i) =>
+      Option(row.getString(i)).map(_.trim).collect {
+        case s if iterableProbe.matches(s) =>
+          val ct = s.head match {
+            case '(' => ContainerType.TupleT
+            case '{' => ContainerType.SetT
+            case _   => ContainerType.ListT
+          }
+          c -> ct
+      }
+    }.toMap
+  }
+
+  /** Python-literal → JSON → array decode, as a codegen'd expression chain.
+    *
+    * Normalization mirrors cat.py:671-681 exactly: first char → `[`, last
+    * char → `]`, `,]` → `]` (trailing commas), `'` → `"`, then JSON decode.
+    */
+  def decodeIterable(c: Column): Column = {
+    val open  = regexp_replace(trim(c), "^.", "[")
+    val close = regexp_replace(open, ".$", "]")
+    val noTrail = regexp_replace(close, ",\\s*\\]", "]")
+    val quoted  = regexp_replace(noTrail, "'", "\"")
+    from_json(quoted, ArrayType(StringType))
+  }
+
+  /** Decode all detected iterable columns of `df` in place. */
+  def decodeIterableColumns(df: DataFrame, cols: Set[String]): DataFrame =
+    if (cols.isEmpty) df
+    else df.withColumns(cols.map(c => c -> decodeIterable(col(c))).toMap)
+
+  /** Build a DataFrame from inline `catalog_dict` records
+    * (reference: cat.py:273-278). Non-string scalars (ints in
+    * noaa-pathfinder-opendap.json) keep their types; the unified schema is
+    * the union of keys across records, missing keys → null.
+    */
+  def fromDict(spark: SparkSession, records: Seq[Map[String, Any]]): DataFrame = {
+    val colsInOrder = records.foldLeft(Vector.empty[String]) { (acc, r) =>
+      acc ++ r.keys.filterNot(acc.contains)
+    }
+    def typeOf(v: Any): DataType = v match {
+      case _: Int | _: Long   => LongType
+      case _: Double          => DoubleType
+      case _: Boolean         => BooleanType
+      case _: Seq[_]          => ArrayType(StringType)
+      case _                  => StringType
+    }
+    val fieldTypes: Seq[DataType] = colsInOrder.map { c =>
+      records.iterator.flatMap(_.get(c)).collectFirst { case v if v != null => typeOf(v) }
+        .getOrElse(StringType)
+    }
+    val schema = StructType(colsInOrder.zip(fieldTypes).map { case (c, t) => StructField(c, t, nullable = true) })
+    val rows = records.map { r =>
+      Row.fromSeq(colsInOrder.zip(fieldTypes).map { case (c, t) =>
+        (r.getOrElse(c, null), t) match {
+          case (null, _)                 => null
+          case (v: Int, LongType)        => v.toLong
+          case (v: Seq[_], _)            => v.map(x => if (x == null) null else x.toString)
+          case (v, StringType)           => v.toString
+          case (v, _)                    => v
+        }
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toList, 1), schema)
+  }
+
+  /** Full load: JSON descriptor path → (model, decoded asset table).
+    * Mirrors ESMCatalogModel.load (cat.py:238-280) + _df_from_file
+    * (cat.py:282-326).
+    */
+  def load(spark: SparkSession, jsonPath: String): (EsmCatalogModel, LoadedTable) = {
+    val model = EsmCatalogModel.fromJson(new String(Files.readAllBytes(Paths.get(jsonPath)), "UTF-8"))
+    val table = loadTable(spark, model, Some(jsonPath))
+    (model, table)
+  }
+
+  def loadTable(spark: SparkSession, model: EsmCatalogModel, jsonPath: Option[String]): LoadedTable =
+    model.catalogDict match {
+      case Some(records) =>
+        val df = fromDict(spark, records)
+        LoadedTable(df, Set.empty, Map.empty)
+      case None =>
+        val file = model.catalogFile.getOrElse(
+          throw new IllegalArgumentException("catalog needs catalog_file or catalog_dict"))
+        val resolved = jsonPath.map(resolveCatalogFile(_, file)).getOrElse(file)
+        val raw = readAssetTable(spark, resolved)
+        val dtypes = probeIterableColumns(raw)
+        LoadedTable(decodeIterableColumns(raw, dtypes.keySet), dtypes.keySet, dtypes)
+    }
+}

@@ -1,0 +1,313 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.derived.DerivedVariableRegistry
+import graft.search.QueryCompiler
+
+/** The user-facing datastore — Spark-native equivalent of the reference's
+  * `esm_datastore` (intake_esm/core.py:60-922).
+  *
+  * Holds the descriptor + a single *lazy* DataFrame plan of the asset table
+  * (subsuming the reference's pandas/polars/LazyFrame triple-cache,
+  * cat.py:492-579 — one Catalyst plan is all three). Nothing collects the
+  * table except explicitly-bounded group materialization.
+  */
+final class EsmCatalog(
+    val spark: SparkSession,
+    val model: EsmCatalogModel,
+    val df: DataFrame,
+    val columnsWithIterables: Set[String],
+    val iterableDtypes: Map[String, CatalogReader.ContainerType.Value],
+    val derivedRegistry: DerivedVariableRegistry = new DerivedVariableRegistry,
+    val requestedVariables: Seq[String] = Nil,
+    val sep: String = ".",
+) {
+  import CatalogReader.ContainerType
+
+  private def copyWith(
+      df: DataFrame = df,
+      derivedRegistry: DerivedVariableRegistry = derivedRegistry,
+      requestedVariables: Seq[String] = requestedVariables,
+  ): EsmCatalog =
+    new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes, derivedRegistry, requestedVariables, sep)
+
+  // ---------------------------------------------------------------- search
+
+  /** Catalog search with derived-variable union (core.py:400-510).
+    *
+    * Base search runs the compiled predicate; each *requested derived
+    * variable* triggers a re-search with its dependency query merged in;
+    * results union and dedupe by stringified-row equality (core.py:490-493).
+    */
+  def search(query: Map[String, Any], requireAllOn: Option[Seq[String]] = None): EsmCatalog = {
+    val (norm, rao) = QueryCompiler.normalize(query, df.columns.toSeq, requireAllOn)
+    val varCol      = model.variableColumnName
+
+    val base = runSearch(norm, rao)
+
+    val requestedVars: Seq[Any] = varCol.flatMap(norm.get).getOrElse(Nil)
+    val derivedHits = requestedVars.flatMap {
+      case s: String => derivedRegistry.get(s)
+      case _         => None
+    }
+    val result =
+      if (derivedHits.isEmpty) base
+      else {
+        val queryMinusVar = norm - varCol.get
+        val derivedFrames = derivedHits.map { dv =>
+          val (dvNorm, _) = QueryCompiler.normalize(dv.query, df.columns.toSeq, None)
+          runSearch(dvNorm ++ queryMinusVar, rao) // user query keys win (core.py:480)
+        }
+        dedupeStringified((base +: derivedFrames).reduce(_ unionByName _))
+      }
+
+    val dependents = derivedHits.flatMap(dv => varCol.map(dv.dependentVariables).getOrElse(Nil))
+    val newRequested =
+      if (hasMultipleVariableAssets)
+        (requestedVars.collect { case s: String => s } ++ dependents).distinct
+      else Nil
+    // subset the derived registry iff variables were looked up (core.py:505-509)
+    val newRegistry =
+      if (varCol.exists(norm.contains))
+        derivedRegistry.search(requestedVars.collect { case s: String => s })
+      else derivedRegistry
+    copyWith(df = result, derivedRegistry = newRegistry, requestedVariables = newRequested)
+  }
+
+  private def runSearch(norm: QueryCompiler.Query, rao: Option[Seq[String]]): DataFrame = {
+    val base = QueryCompiler.search(df, norm, columnsWithIterables)
+    rao match {
+      case Some(cols) if cols.nonEmpty =>
+        QueryCompiler.applyRequireAllOn(base, norm, cols, columnsWithIterables)
+      case _ => base
+    }
+  }
+
+  /** Row-equality after casting every column to string (core.py:493 parity). */
+  private def dedupeStringified(d: DataFrame): DataFrame = {
+    val strCols = d.columns.map(c => s"__graft_s_$c")
+    d.columns.zip(strCols).foldLeft(d) { case (acc, (c, s)) => acc.withColumn(s, col(c).cast(StringType)) }
+      .dropDuplicates(strCols.toIndexedSeq)
+      .drop(strCols.toIndexedSeq: _*)
+  }
+
+  /** `variable` column holds arrays → one asset provides many variables. */
+  def hasMultipleVariableAssets: Boolean =
+    model.variableColumnName.exists(columnsWithIterables.contains)
+
+  // ------------------------------------------------------------- grouping
+
+  /** Tri-state null check per column (reference `_allnan_or_nonan`,
+    * cat.py:26-45): all-null → drop the attr; mixed → error; else keep.
+    * One aggregate pass over all candidate columns — no collect.
+    */
+  private def pruneAllNull(cols: Seq[String]): Seq[String] = {
+    if (cols.isEmpty) return cols
+    val aggs  = cols.flatMap(c => Seq(count(col(c)).as(s"__nn_$c"))) :+ count(lit(1)).as("__total")
+    val row   = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val total = row.getAs[Long]("__total")
+    cols.filter { c =>
+      val nonNull = row.getAs[Long](s"__nn_$c")
+      if (nonNull == 0L) false
+      else if (nonNull < total)
+        throw new IllegalArgumentException(
+          s"The data in the $c column should either be all NaN or there should be no NaNs")
+      else true
+    }
+  }
+
+  /** Effective groupby attributes (cat.py:355-376): pruned of all-null
+    * columns; fall back to *all* non-null columns when empty or equal to the
+    * full column set. */
+  def effectiveGroupbyAttrs: Seq[String] = {
+    val attrs = pruneAllNull(model.groupbyAttrs.filter(df.columns.contains))
+    if (attrs.nonEmpty && attrs.toSet != df.columns.toSet) attrs
+    else pruneAllNull(df.columns.toSeq)
+  }
+
+  /** The group key expression: sep-joined stringified attr values
+    * (cat.py:378-385). */
+  def keyColumn(attrs: Seq[String]): Column =
+    concat_ws(sep, attrs.map(a => col(a).cast(StringType)): _*)
+
+  /** keys_info (core.py:183-215): one row per group key + its attr values.
+    * Pure `distinct` — scales via shuffle, never collected here. */
+  def keysInfo: DataFrame = {
+    val attrs = effectiveGroupbyAttrs
+    df.select(keyColumn(attrs).as("key") +: attrs.map(col): _*).distinct()
+  }
+
+  def keys: Seq[String] =
+    keysInfo.select("key").orderBy("key").collect().map(_.getString(0)).toSeq
+
+  def length: Long = keysInfo.count()
+
+  /** `<id> catalog with N dataset(s) from M asset(s)` (core.py:358-378). */
+  def reprStats: String = {
+    val nAssets = df.count()
+    val id      = model.id.getOrElse("catalog")
+    s"<$id catalog with $length dataset(s) from $nAssets asset(s)>"
+  }
+
+  // ------------------------------------------------------- unique / nunique
+
+  /** Distinct non-null values per column; iterable columns flattened first
+    * (cat.py:387-402). Derived variables appended under
+    * `derived_<variable_column>` (core.py:595-604). */
+  def uniqueValues: Map[String, Seq[String]] = {
+    val scalarCols = df.columns.filterNot(columnsWithIterables.contains)
+    val aggs = scalarCols.map(c => sort_array(collect_set(col(c).cast(StringType))).as(c))
+    val base: Map[String, Seq[String]] =
+      if (aggs.isEmpty) Map.empty
+      else {
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        scalarCols.map(c => c -> row.getAs[scala.collection.Seq[String]](c).toSeq).toMap
+      }
+    val arrays = columnsWithIterables.filter(df.columns.contains).map { c =>
+      c -> df.select(explode(col(c)).as(c)).agg(sort_array(collect_set(col(c)))).collect()(0)
+        .getAs[scala.collection.Seq[String]](0).toSeq
+    }.toMap
+    val derived = model.variableColumnName
+      .map(v => Map(s"derived_$v" -> derivedRegistry.keys))
+      .getOrElse(Map.empty)
+    base ++ arrays ++ derived
+  }
+
+  /** Distinct counts per column as a small DataFrame (cat.py:570-579). */
+  def nunique: DataFrame = {
+    val scalarCols = df.columns.filterNot(columnsWithIterables.contains)
+    val scalarAggs = scalarCols.map(c => countDistinct(col(c)).as(c))
+    val scalarRow =
+      if (scalarAggs.isEmpty) Map.empty[String, Long]
+      else {
+        val row = df.agg(scalarAggs.head, scalarAggs.tail: _*).collect()(0)
+        scalarCols.map(c => c -> row.getAs[Long](c)).toMap
+      }
+    val arrayCounts = columnsWithIterables.filter(df.columns.contains).map { c =>
+      c -> df.select(explode(col(c)).as(c)).agg(countDistinct(col(c))).collect()(0).getLong(0)
+    }.toMap
+    val all = (scalarRow ++ arrayCounts).toSeq.sortBy { case (c, _) => df.columns.indexOf(c) }
+    import spark.implicits._
+    all.toDF("col_name", "n_unique")
+  }
+
+  // -------------------------------------------------------- materialization
+
+  /** Key → ESMDataSource lookup (core.py:280-345). The group's records are
+    * collected — bounded by the group size (a handful of assets). */
+  def getEntry(key: String): EsmDataSource = {
+    val attrs = effectiveGroupbyAttrs
+    val rows  = df.filter(keyColumn(attrs) === lit(key)).collect()
+    require(rows.nonEmpty, s"key='$key' not found in catalog")
+    buildSource(key, rows.map(rowToMap).toSeq)
+  }
+
+  def containsKey(key: String): Boolean = {
+    val attrs = effectiveGroupbyAttrs
+    !df.filter(keyColumn(attrs) === lit(key)).isEmpty
+  }
+
+  private def rowToMap(row: org.apache.spark.sql.Row): Map[String, Any] =
+    row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      n -> (row.get(i) match {
+        case s: scala.collection.Seq[_] => s.toSeq
+        case other                      => other
+      })
+    }.toMap
+
+  private def buildSource(key: String, records: Seq[Map[String, Any]]): EsmDataSource = {
+    val fmt = model.assets.format.getOrElse("")
+    EsmDataSource(
+      key = key,
+      records = records,
+      pathColumn = model.assets.columnName,
+      variableColumn = model.variableColumnName,
+      aggregations = model.aggregationControl.map(_.aggregations).getOrElse(Nil),
+      requestedVariables = requestedVariables,
+    ).copy(records = records.map(r => r + ("_data_format_" -> resolveFormat(r, fmt))))
+  }
+
+  private def resolveFormat(record: Map[String, Any], default: String): String =
+    model.assets.formatColumnName
+      .flatMap(fc => record.get(fc).map(_.toString))
+      .getOrElse(default)
+
+  /** Materialize one group as a tidy DataFrame. */
+  def loadGroup(source: EsmDataSource, coords: Seq[String]): DataFrame = {
+    val frames = source.records.map { r =>
+      source.loadAsset(spark, r, r.getOrElse("_data_format_", "parquet").toString, coords)
+    }
+    source.combineByCoords(frames, coords)
+  }
+
+  /** to_dataset_dict (core.py:606-762): key → tidy DataFrame for every group.
+    * `aggregate = false` groups by all columns — one asset per dataset
+    * (core.py:733-735). The per-group thread pools of the reference are
+    * unnecessary: each returned DataFrame is a lazy plan and Spark's
+    * scheduler parallelizes the actual loads.
+    */
+  def toDatasetDict(coords: Seq[String] = Nil, aggregate: Boolean = true,
+                    skipOnError: Boolean = false): Map[String, DataFrame] = {
+    if (df.isEmpty) return Map.empty // early exit (core.py:684-691)
+    val attrs =
+      if (aggregate) effectiveGroupbyAttrs
+      else pruneAllNull(df.columns.toSeq)
+    // One pass: group records collected per key (bounded: catalog metadata)
+    val grouped = df
+      .groupBy(keyColumn(attrs).as("__graft_key"))
+      .agg(collect_list(struct(df.columns.map(col): _*)).as("__graft_records"))
+      .collect()
+    val dsets = grouped.map { row =>
+      val key     = row.getString(0)
+      val records = row.getSeq[org.apache.spark.sql.Row](1).map(rowToMap)
+      val source  = buildSource(key, records.toSeq)
+      try key -> Some(loadGroup(source, coords))
+      catch { case e: Exception => if (skipOnError) key -> None else throw e }
+    }.collect { case (k, Some(d)) => k -> d }.toMap
+    // post-pass: apply derived variables (core.py:896-903)
+    model.variableColumnName match {
+      case Some(varCol) => derivedRegistry.updateDatasets(dsets, varCol, skipOnError)
+      case None         => dsets
+    }
+  }
+
+  /** to_datatree (core.py:764-867): keys joined with '/'. */
+  def toDatatree(coords: Seq[String] = Nil, levels: Option[Seq[String]] = None): Map[String, DataFrame] = {
+    val cat = levels match {
+      case Some(ls) =>
+        val ac = model.aggregationControl.map(_.copy(groupbyAttrs = ls.toList))
+        new EsmCatalog(spark, model.copy(aggregationControl = ac), df, columnsWithIterables,
+          iterableDtypes, derivedRegistry, requestedVariables, sep = "/")
+      case None =>
+        new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes,
+          derivedRegistry, requestedVariables, sep = "/")
+    }
+    cat.toDatasetDict().map { case (k, v) => s"/${k.replace(cat.sep, "/")}" -> v }
+  }
+
+  /** to_dask (core.py:869-894): exactly-one-group guard, return the single frame. */
+  def toDask(coords: Seq[String] = Nil): DataFrame = {
+    val ks = keys
+    require(ks.size == 1,
+      s"expected exactly one dataset, got ${ks.size}; refine the search (core.py:869-894)")
+    toDatasetDict(coords)(ks.head)
+  }
+}
+
+object EsmCatalog {
+  /** Open a datastore from a JSON descriptor path (core.py:89-153). */
+  def open(spark: SparkSession, jsonPath: String,
+           registry: DerivedVariableRegistry = new DerivedVariableRegistry): EsmCatalog = {
+    val (model, table) = CatalogReader.load(spark, jsonPath)
+    new EsmCatalog(spark, model, table.df, table.columnsWithIterables, table.iterableDtypes, registry)
+  }
+
+  /** Open from an in-memory descriptor + pre-built table (search results,
+    * tests). */
+  def fromTable(spark: SparkSession, model: EsmCatalogModel, table: CatalogReader.LoadedTable,
+                registry: DerivedVariableRegistry = new DerivedVariableRegistry): EsmCatalog =
+    new EsmCatalog(spark, model, table.df, table.columnsWithIterables, table.iterableDtypes, registry)
+}

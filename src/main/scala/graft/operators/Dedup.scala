@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Large-scale deduplication operators for training-data pipelines.
+  *
+  * All operators are shuffle-aware: candidate generation is always a
+  * *bucketed equality join* (shuffle on small keys), never a cross join —
+  * the shape that survives 100 TB. Hashing runs through Spark's codegen'd
+  * `hash`/`xxhash64`/`md5` expressions; no Scala UDFs in the hot path except
+  * where a per-row loop is genuinely needed (minhash), and that one is a
+  * single typed map over already-shingled arrays.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** Exact dedup on the given columns (hash-groupBy). Keeps the row with the
+    * smallest tie-break key so results are deterministic — `dropDuplicates`
+    * alone is order-dependent, which breaks re-runs and the oracle.
+    * One shuffle on the dedup key; map-side partial aggregation applies.
+    */
+  def exact(df: DataFrame, cols: Seq[String], tieBreak: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(cols.map(col): _*)
+      .orderBy(col(tieBreak))
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
+  /** Exact-duplicate *groups*: content hash → count + member ids. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_dups") > 1)
+
+  // -------------------------------------------------------------- shingling
+
+  /** Character n-gram shingles of a text column, as a distinct array.
+    * Codegen'd: transform over a sequence of substring offsets.
+    */
+  def shingles(c: Column, n: Int = 5): Column = {
+    val cleaned = lower(c)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(length(cleaned) - n, lit(0))),
+          i => cleaned.substr(i + lit(1), lit(n))),
+        x => length(x) === n,
+      )
+    )
+  }
+
+  /** Word n-gram shingles (n consecutive tokens joined by space). */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")),
+        s => size(split(s, " ")) === n,
+      )
+    )
+  }
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  // ---------------------------------------------------------------- minhash
+
+  /** MinHash signature of a token/shingle array: for each of `k` hash
+    * functions h_i(x) = xxhash64(x, seed=i), take the min over the set.
+    * Pure codegen'd expressions — `transform` + `array_min` per permutation,
+    * no UDF, no shuffle.
+    */
+  def minhashSignature(setCol: Column, k: Int = 64): Column =
+    array((0 until k).map { i =>
+      array_min(transform(setCol, x => xxhash64(x, lit(i))))
+    }: _*)
+
+  /** LSH band keys from a minhash signature: `b` bands of `r` rows each;
+    * band key = hash of the band's slice. Docs sharing any band key are
+    * candidates. */
+  def bandKeys(sigCol: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(sigCol, b * rows + 1, rows)).as("bucket"))
+    }: _*)
+
+  /** Near-duplicate candidate pairs via MinHash + LSH banding.
+    *
+    * shingle → minhash(k = bands*rows) → explode band keys → self-equality
+    * join on (band, bucket) → distinct pairs → exact-Jaccard estimate from
+    * the full signatures. The join is on band buckets (an equality shuffle),
+    * NOT a cross join; with b·r tuned the candidate set stays near-linear at
+    * 100 TB. Skewed buckets (boilerplate text) are handled by AQE skew-join
+    * splitting. Default 32 bands × 4 rows: detection probability at
+    * jaccard 0.5 is 1-(1-0.5^4)^32 ≈ 87%, at 0.7 ≈ 99.97%.
+    *
+    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      shingleWords: Int = 3,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+  ): DataFrame = {
+    val k = bands * rowsPerBand
+    val sigs = df
+      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleWords).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), k).as("sig"))
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bucket"))
+
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / lit(bands * rowsPerBand)).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash of a token array, as pure expressions: bit i of the
+    * fingerprint is set iff a majority of token hashes have bit i set.
+    * The bit loop is unrolled at plan-build time (shift amounts are Scala
+    * literals), so everything stays codegen'd.
+    */
+  def simhash64(tokensCol: Column): Column = {
+    val hashes = transform(tokensCol, t => xxhash64(t))
+    val n      = size(tokensCol).cast(LongType)
+    val bits: Seq[Column] = (0 until 64).map { i =>
+      val ones = aggregate(hashes, lit(0L), (acc, h) => acc + shiftright(h, i).bitwiseAND(lit(1L)))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidate pairs within a Hamming radius.
+    *
+    * Block-permutation banding: split the 64-bit fingerprint into `blocks`
+    * 16-bit chunks; by pigeonhole, any pair within distance `blocks - 1`
+    * shares at least one exact chunk → equality join on (block_idx, chunk).
+    * Again an equality shuffle, no cross join.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      blocks: Int = 4,
+  ): DataFrame = {
+    val fp        = df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("fp"))
+    val chunkBits = 64 / blocks
+    val mask      = (1L << chunkBits) - 1
+    val chunks    = array((0 until blocks).map(i =>
+      shiftright(col("fp"), i * chunkBits).bitwiseAND(lit(mask))): _*)
+    val chunked = fp.select(col("id"), col("fp"), posexplode(chunks))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "chunk")
+    val a = chunked.select(col("block"), col("chunk"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val b = chunked.select(col("block"), col("chunk"), col("id").as("id_b"), col("fp").as("fp_b"))
+    a.join(b, Seq("block", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------- exact n-gram jaccard
+
+  /** Exact Jaccard similarity between candidate pairs' word-n-gram sets.
+    * Candidates come from LSH (near-linear); the exact verify is a join back
+    * to the shingle arrays + a codegen'd intersection/union size ratio.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 32,
+      rowsPerBand: Int = 4,
+  ): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val candidates = minhashLsh(df, textCol, idCol, n, bands, rowsPerBand, threshold = 0.0)
+      .select("id_a", "id_b")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

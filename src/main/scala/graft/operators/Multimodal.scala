@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
+  * columns + a typed metadata struct.
+  *
+  * The decode/feature-extract kernels themselves need native codec libraries
+  * that do not ship in this container — they are STUBBED behind
+  * deterministic fakes (clearly marked below). Everything Spark-side is
+  * real: schema, batching shape, partition sizing, and the mapInPandas-
+  * equivalent `mapPartitions` batch loop, so swapping a real decoder in is a
+  * one-function change.
+  */
+object Multimodal {
+
+  /** Canonical metadata struct carried next to every binary payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("checksum", StringType),
+  ))
+
+  /** Wrap a binary payload column with its metadata struct. Width/height/
+    * duration are decoder outputs — here derived deterministically from the
+    * payload bytes (STUB: a real image decoder replaces the fake dims). */
+  def withMediaMeta(df: DataFrame, binCol: String, mime: Column): DataFrame = {
+    val b = col(binCol)
+    // STUB dims: deterministic pseudo-dimensions from the content hash, so
+    // tests are stable. Real decoders read the container header instead.
+    val h = abs(xxhash64(b))
+    df.withColumn("media_meta", struct(
+      mime.as("mime"),
+      octet_length(b).cast(LongType).as("n_bytes"),
+      (h % 1920 + 1).cast(IntegerType).as("width"),
+      (h % 1080 + 1).cast(IntegerType).as("height"),
+      (h % 600000).cast(LongType).as("duration_ms"),
+      md5(b).as("checksum"),
+    ))
+  }
+
+  /** Batched "decode + featurize" over binary payloads — the Spark-side
+    * shape of a Pandas-UDF/mapInPandas pipeline: iterate partitions, process
+    * rows in fixed-size batches, emit a feature vector per row.
+    *
+    * STUB kernel: emits a deterministic 8-dim byte-histogram-style feature
+    * from the payload. A real implementation swaps `fakeDecodeFeatures` for
+    * a JNI/codec call; the partitioning, batch shape, and output schema stay.
+    */
+  def decodeFeaturesBatched(df: DataFrame, idCol: String, binCol: String,
+                            batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("features", ArrayType(DoubleType)),
+    ))
+    val rdd = df.select(col(idCol).cast(LongType), col(binCol)).rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // one "vectorized" kernel call per batch, like mapInPandas
+        batch.iterator.map { row =>
+          val id    = row.getLong(0)
+          val bytes = if (row.isNullAt(1)) Array.emptyByteArray else row.getAs[Array[Byte]](1)
+          org.apache.spark.sql.Row(id, fakeDecodeFeatures(bytes))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** STUB decoder: 8-bucket normalized byte histogram. Deterministic. */
+  private def fakeDecodeFeatures(bytes: Array[Byte]): Seq[Double] = {
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1.0; i += 1 }
+    val n = math.max(1.0, bytes.length.toDouble)
+    hist.map(_ / n).toSeq
+  }
+
+  /** Frame-sampling plan for video-like payloads: given a duration and a
+    * target fps, emit (id, frame_idx, offset_ms) rows — the generator shape
+    * of a frame extractor, as a pure explode (scales linearly, no driver
+    * loop). The actual pixel decode is the stubbed kernel above. */
+  def sampleFrames(df: DataFrame, idCol: String, durationMsCol: String, everyMs: Long): DataFrame =
+    df.select(
+      col(idCol),
+      posexplode(sequence(lit(0L), greatest(col(durationMsCol) - 1, lit(0L)), lit(everyMs))))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "offset_ms")
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`).
+  *
+  * Two paths:
+  *  - `bruteForceTopK`: exact cosine top-k. The query side is broadcast (a
+  *    handful of vectors); the corpus side is scanned once; per-partition
+  *    top-k via window rank. This is the correctness baseline — a broadcast
+  *    nested loop over a single scan, no shuffle of the corpus.
+  *  - `lshTopK`: random-hyperplane LSH (signed projections) bucketing — the
+  *    100 TB path: candidates come from an equality join on bucket
+  *    signatures, then exact re-rank inside buckets.
+  *
+  * All vector math is codegen'd (`zip_with`/`aggregate` fold over doubles);
+  * no UDFs. Dot products fold left-to-right, so results are deterministic.
+  */
+object Similarity {
+
+  /** Deterministic dot product of two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k of each query vector against the corpus.
+    *
+    * `queries` must be small (it is broadcast). One corpus scan; ranking is
+    * a window partitioned by query id — the only shuffle is on query ids,
+    * i.e. tiny.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10,
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val scored = corpus
+      .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane signature: `nBits` fixed pseudo-random hyperplanes
+    * (deterministic per (bit, dim) via a hash-based generator), signature bit
+    * = sign of the projection. Vectors with equal signatures are near in
+    * angle with high probability.
+    */
+  def hyperplaneSignature(vec: Column, nBits: Int = 16, seed: Int = 42): Column = {
+    // pseudo-random weight for (bit, dim): xxhash64 → uniform in [-1, 1)
+    def w(bit: Int, dimIdx: Column): Column =
+      (xxhash64(lit(seed), lit(bit), dimIdx).cast(DoubleType) / lit(Long.MaxValue.toDouble))
+    val bits: Seq[Column] = (0 until nBits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast(DoubleType) * w(b, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN top-k: multi-probe via `tables` independent
+    * signatures. Equality join on (table, signature) generates candidates;
+    * exact cosine re-ranks. Recall < 1 by construction — the scale path; the
+    * brute-force op above is the oracle to measure recall against.
+    */
+  def lshTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nBits: Int = 12, tables: Int = 4,
+  ): DataFrame = {
+    def signatures(df: DataFrame, vec: String): DataFrame = {
+      val sigs = array((0 until tables).map(t =>
+        struct(lit(t).as("table"), hyperplaneSignature(col(vec), nBits, seed = 42 + t).as("sig"))): _*)
+      df.withColumn("__sig", explode(sigs))
+        .select(df.columns.map(col) :+ col("__sig.table") :+ col("__sig.sig"): _*)
+    }
+    val c = signatures(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv")
+    val q = signatures(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv")
+    val candidates = c.join(q, Seq("table", "sig"))
+      .select("query_id", "neighbor_id", "__cv", "__qv").distinct()
+      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** IVF-style coarse quantization: assign each vector to the nearest of
+    * `centroids` (broadcast), search only matching cells. Centroid seeds are
+    * taken deterministically from the corpus itself (first `nCells` by id) —
+    * a k-means refinement would slot in here without changing the plan shape.
+    */
+  def ivfAssign(df: DataFrame, vecCol: String, centroids: DataFrame, centroidVec: String,
+                centroidId: String): DataFrame = {
+    val cents = broadcast(centroids.select(col(centroidId).as("__cell"), col(centroidVec).as("__cent")))
+    val joined = df.crossJoin(cents)
+      .withColumn("__sim", cosine(col(vecCol), col("__cent")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(df.columns.map(col): _*)
+      .orderBy(col("__sim").desc, col("__cell").asc)
+    joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .drop("__cent", "__sim", "__rk")
+      .withColumnRenamed("__cell", "cell")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure codegen'd
+  * expressions — they run inside whole-stage codegen over the parquet scan,
+  * so at 100 TB the cost is the scan itself.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties removed. */
+  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Token count: whitespace segmentation (spaces + newlines/tabs). */
+  def tokenCount(c: Column): Column = size(filter(split(c, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count estimate: word-piece regex segmentation —
+    * alternating letter-runs / digit-runs / single punctuation, the classic
+    * GPT-2 pre-tokenizer shape. */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(trim(t)) > 0))
+
+  // ------------------------------------------------------------- language ID
+
+  /** Tiny stopword inventories for the n-gram/stopword-ratio heuristic. */
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "una", "para", "en", "que"),
+  )
+
+  /** Per-language stopword hit count over the token array. */
+  def stopwordHits(toksCol: Column, lang: String): Column =
+    size(array_intersect(toksCol, array(stopwords(lang).map(lit): _*)))
+
+  /** Heuristic language ID: the language whose stopword inventory hits the
+    * token set most; ties and zero-hit rows → "und" (undetermined). */
+  def langId(textCol: Column): Column = {
+    val toks = transform(tokens(lower(textCol)), t => regexp_replace(t, "[^\\p{L}]", ""))
+    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+      struct(stopwordHits(toks, lang).as("hits"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  // ---------------------------------------------------------- quality scores
+
+  /** Structural quality features: lengths, ratios. All exact integer/double
+    * arithmetic so a SQL oracle can reproduce them bit-for-bit. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val c = col(textCol)
+    df.withColumn("n_chars_m", length(c))
+      .withColumn("n_tokens", tokenCount(c))
+      .withColumn("n_alpha", length(regexp_replace(c, "[^A-Za-z]", "")))
+      .withColumn("n_digit", length(regexp_replace(c, "[^0-9]", "")))
+      .withColumn("n_punct", length(regexp_replace(c, "[^.,;:!?]", "")))
+      .withColumn("n_space", length(c) - length(regexp_replace(c, " ", "")))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          (length(c) - col("n_space")).cast(DoubleType) / col("n_tokens").cast(DoubleType)))
+      .withColumn("alpha_ratio",
+        when(length(c) > 0, col("n_alpha").cast(DoubleType) / length(c).cast(DoubleType)))
+      .withColumn("punct_ratio",
+        when(length(c) > 0, col("n_punct").cast(DoubleType) / length(c).cast(DoubleType)))
+  }
+
+  /** Composite quality score in [0,1]: weighted mix of alpha ratio, token
+    * length sanity, and punctuation moderation — C4/Gopher-style gates
+    * reduced to an arithmetic expression. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol)
+      .withColumn("quality_score",
+        round(
+          greatest(lit(0.0), least(lit(1.0),
+            col("alpha_ratio") * 0.6
+              + when(col("mean_token_len").between(3.0, 12.0), 0.3).otherwise(0.0)
+              + when(col("punct_ratio") <= 0.1, 0.1).otherwise(0.0))),
+          4))
+
+  // ----------------------------------------------------------- fingerprints
+
+  /** Stable document fingerprint (md5 of normalized text). */
+  def fingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Chained rolling hash over tokens: acc ← xxhash64(acc, token). Order-
+    * sensitive, whitespace-normalizing, and overflow-free under ANSI mode
+    * (a Horner fold would overflow LongType); pure codegen'd aggregate. */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(lower(c)), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** Winnowing-style k-gram min-sample: the smallest `keep` hashes of the
+    * word k-grams — a robust near-dup sketch. */
+  def minSampleSketch(c: Column, k: Int = 3, keep: Int = 8): Column =
+    slice(sort_array(transform(Dedup.wordShingles(c, k), g => xxhash64(g))), 1, keep)
+}

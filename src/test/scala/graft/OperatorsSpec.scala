@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+class MinimalExploderSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("same-pattern columns explode together (zip), different patterns cartesian") {
+    // a,b share per-row lengths (2,1); c differs (1,2) → groups {a,b}, {c}
+    val df = Seq(
+      (1, Seq("a1", "a2"), Seq("b1", "b2"), Seq("c1")),
+      (2, Seq("a3"), Seq("b3"), Seq("c2", "c3")),
+    ).toDF("id", "a", "b", "c")
+    assert(MinimalExploder.explodableGroups(df) == Seq(Seq("a", "b"), Seq("c")))
+    val out = MinimalExploder(df).orderBy("id", "a", "c").collect().map(_.toSeq)
+    assert(out.toSeq == Seq(
+      Seq(1, "a1", "b1", "c1"),
+      Seq(1, "a2", "b2", "c1"),
+      Seq(2, "a3", "b3", "c2"),
+      Seq(2, "a3", "b3", "c3"),
+    ))
+  }
+
+  test("no list columns → unchanged") {
+    val df = Seq((1, "x")).toDF("id", "v")
+    assert(MinimalExploder(df).collect().toSeq == df.collect().toSeq)
+  }
+
+  test("empty arrays produce null rows (polars/pandas explode parity)") {
+    val df = Seq((1, Seq.empty[String]), (2, Seq("x"))).toDF("id", "v")
+    val out = MinimalExploder(df).orderBy("id").collect()
+    assert(out(0).isNullAt(1) && out(1).getString(1) == "x")
+  }
+
+  test("summary counts groups") {
+    val df = Seq((1, Seq("x"), Seq("y"))).toDF("id", "a", "b")
+    val s  = MinimalExploder.summary(df)
+    assert(s("list_columns") == 2 && s("explodable_groups") == 1)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again", "b"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again", "a"), // near dup of 1
+    (4L, "completely different text about spark catalyst optimizer internals", "c"),
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup keeps smallest tie-break id") {
+    val out = Dedup.exact(docs, Seq("text"), "doc_id").select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L))
+  }
+
+  test("exact groups finds duplicate clusters") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_dups") == 2L)
+    assert(g(0).getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash-lsh finds exact and near duplicates, skips unrelated") {
+    // jaccard(1,3) = 7/13 ≈ 0.54; threshold below it to absorb estimator noise
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("identical docs have identical minhash signatures (est_jaccard = 1)") {
+    val j = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("est_jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.get((1L, 3L)).forall(_ <= 16L))
+    assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) > 10L)
+  }
+
+  test("ngram jaccard exact verify") {
+    val j = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val emb = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.0f, 1.0f, 0.1f)),
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k: self first, then nearest by cosine") {
+    val q = emb.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(0L, 1L))
+  }
+
+  test("lsh top-k includes the exact self match") {
+    val q = emb.filter(col("vec_id") === 0)
+    val top = Similarity.lshTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 4, nBits = 4, tables = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top.contains(0L))
+  }
+
+  test("lsh recall vs brute force on real embeddings is usable") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, nBits = 4, tables = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ann).size.toDouble / bf.size
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("language id on obvious sentences") {
+    val df = Seq(
+      (1, "the cat and the dog is in the house for the winter"),
+      (2, "der Hund ist nicht mit der Katze und das ist gut"),
+      (3, "le chat est dans la maison et il est pour les vacances"),
+      (4, "xyzzy plugh zork"),
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("g"))
+      .as[(Int, String)].collect().toMap
+    assert(out(1) == "en")
+    assert(out(2) == "de")
+    assert(out(3) == "fr")
+    assert(out(4) == "und")
+  }
+
+  test("token counts") {
+    val df = Seq(("  hello   world\tfoo\nbar  ")).toDF("text")
+    val n = df.select(TextAnalysis.tokenCount(col("text"))).as[Int].head()
+    assert(n == 4)
+  }
+
+  test("quality features arithmetic") {
+    val df  = Seq(("ab cd!")).toDF("text") // 6 chars, 1 space, 4 alpha, 1 punct
+    val row = TextAnalysis.qualityFeatures(df, "text").collect()(0)
+    assert(row.getAs[Int]("n_tokens") == 2)
+    assert(row.getAs[Int]("n_alpha") == 4)
+    assert(row.getAs[Int]("n_space") == 1)
+    assert(math.abs(row.getAs[Double]("alpha_ratio") - 4.0 / 6.0) < 1e-12)
+    assert(row.getAs[Double]("mean_token_len") == 2.5)
+  }
+
+  test("fingerprints are stable under whitespace normalization") {
+    val df = Seq(("Hello  World"), ("hello world")).toDF("text")
+    val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+    val rh = Seq(("a b c"), ("a  b\tc")).toDF("text")
+      .select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
+    assert(rh(0) == rh(1))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("media meta struct carries byte length + checksum") {
+    val df = Seq((1L, "hello")).toDF("id", "payload")
+      .withColumn("payload", encode(col("payload"), "UTF-8"))
+    val row = Multimodal.withMediaMeta(df, "payload", lit("text/plain")).select("media_meta").collect()(0)
+    val m   = row.getStruct(0)
+    assert(m.getAs[String]("mime") == "text/plain")
+    assert(m.getAs[Long]("n_bytes") == 5L)
+    assert(m.getAs[String]("checksum").length == 32)
+  }
+
+  test("batched decode stub emits normalized 8-dim features") {
+    val df = Seq((1L, "hello"), (2L, "")).toDF("id", "payload")
+      .withColumn("payload", encode(col("payload"), "UTF-8"))
+    val out = Multimodal.decodeFeaturesBatched(df, "id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L).size == 8 && math.abs(out(1L).sum - 1.0) < 1e-12)
+    assert(out(2L).sum == 0.0)
+  }
+
+  test("frame sampling emits one row per interval") {
+    val df  = Seq((1L, 1200L), (2L, 499L)).toDF("id", "duration_ms")
+    val out = Multimodal.sampleFrames(df, "id", "duration_ms", everyMs = 500L)
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(out(1L) == 3L) // offsets 0, 500, 1000
+    assert(out(2L) == 1L) // offset 0
+  }
+}

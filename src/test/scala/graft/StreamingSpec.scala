@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming hourly aggregate over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.hourlyAggregates(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hourly_test").outputMode("complete").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0),
+    )
+    q.processAllAvailable()
+    val out = spark.table("hourly_test")
+      .select("hour", "event_type", "n", "sum_value").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    q.stop()
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00.0", "view", 1L, 5.0),
+    ))
+  }
+
+  test("stateful sessionization closes sessions after the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    // user 1: two events 10 min apart (one session), then one 2h later →
+    // first session closes when the later event arrives
+    input.addData(
+      Event(1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      Event(1L, 2L, Timestamp.valueOf("2024-01-01 10:10:00"), 1.0),
+    )
+    q.processAllAvailable()
+    input.addData(Event(1L, 3L, Timestamp.valueOf("2024-01-01 12:30:00"), 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sess_test").as[StreamingOps.SessionOut].collect()
+    q.stop()
+    assert(out.length == 1)
+    assert(out(0).session_id == 1L && out(0).n_events == 2L)
+  }
+}
