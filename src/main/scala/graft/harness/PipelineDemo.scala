@@ -49,11 +49,14 @@ object PipelineDemo {
         col("o_custkey").as("custkey"),
       )
 
-    // one distributed write per variable; leaf dirs are the assets
+    // one distributed write per variable; leaf dirs are the assets.
+    // repartition on the partition columns → one file per leaf dir instead
+    // of one per (task × dir) — small-file hygiene.
     vars.foreach { v =>
       orders
         .select(col("o_orderkey"), col("year"), col("status"), col("member"), col(v))
         .withColumn("yr", col("year"))
+        .repartition(col("status"), col("member"), col("yr"))
         .write.mode("overwrite")
         .partitionBy("status", "member", "yr")
         .parquet(s"$base/assets/var=$v")

@@ -74,31 +74,56 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Exploded/codegen'd random-hyperplane signatures: (id, table, sig) rows.
+    * Same hash-derived hyperplanes as [[hyperplaneSignature]], but computed
+    * as flat `sum(x * w)` aggregates over exploded dimensions — higher-order
+    * functions are interpreted in Spark, this path stays in whole-stage
+    * codegen. One shuffle on id.
+    */
+  def hyperplaneSignaturesFlat(df: DataFrame, idCol: String, vecCol: String,
+                               nBits: Int, tables: Int, seed: Int = 42): DataFrame = {
+    val rows = df
+      .select(col(idCol).as("id"), posexplode(col(vecCol)))
+      .select(col("id"), col("pos"), col("col").cast(DoubleType).as("x"))
+    val projAggs = for { t <- 0 until tables; b <- 0 until nBits } yield
+      sum(col("x") * (xxhash64(lit(seed + t), lit(b), col("pos")).cast(DoubleType)
+        / lit(Long.MaxValue.toDouble))).as(s"p_${t}_$b")
+    val agged = rows.groupBy("id").agg(projAggs.head, projAggs.tail: _*)
+    val sigs = (0 until tables).map { t =>
+      struct(lit(t).as("table"),
+        (0 until nBits)
+          .map(b => when(col(s"p_${t}_$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
+    }
+    agged.select(col("id"), explode(array(sigs: _*)).as("s"))
+      .select(col("id"), col("s.table").as("table"), col("s.sig").as("sig"))
+  }
+
   /** LSH-bucketed ANN top-k: multi-probe via `tables` independent
-    * signatures. Equality join on (table, signature) generates candidates;
-    * exact cosine re-ranks. Recall < 1 by construction — the scale path; the
-    * brute-force op above is the oracle to measure recall against.
+    * signatures. Equality join on (table, signature) generates candidates —
+    * ids only, vectors rejoin afterwards — then exact cosine re-ranks.
+    * Recall < 1 by construction — the scale path; the brute-force op above
+    * is the oracle to measure recall against.
     */
   def lshTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nBits: Int = 12, tables: Int = 4,
   ): DataFrame = {
-    def signatures(df: DataFrame, vec: String): DataFrame = {
-      val sigs = array((0 until tables).map(t =>
-        struct(lit(t).as("table"), hyperplaneSignature(col(vec), nBits, seed = 42 + t).as("sig"))): _*)
-      df.withColumn("__sig", explode(sigs))
-        .select(df.columns.map(col) :+ col("__sig.table") :+ col("__sig.sig"): _*)
-    }
-    val c = signatures(corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")), "__cv")
-    val q = signatures(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), "__qv")
-    val candidates = c.join(q, Seq("table", "sig"))
-      .select("query_id", "neighbor_id", "__cv", "__qv").distinct()
+    val cSig = hyperplaneSignaturesFlat(corpus, corpusId, corpusVec, nBits, tables)
+      .withColumnRenamed("id", "neighbor_id")
+    val qSig = hyperplaneSignaturesFlat(queries, queryId, queryVec, nBits, tables)
+      .withColumnRenamed("id", "query_id")
+    val candidates = cSig.join(qSig, Seq("table", "sig"))
+      .select("query_id", "neighbor_id").distinct()
+    val cVec = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val qVec = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val scored = candidates.join(cVec, "neighbor_id").join(qVec, "query_id")
       .withColumn("cosine", cosine(col("__cv"), col("__qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    candidates
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
