@@ -139,6 +139,14 @@ object SparkEntry {
         .orderBy(col("r_regionkey").cast(IntegerType))
     }),
 
+    "scan_catalog_esmcat" -> ((s, dir) => {
+      // DataSourceV2: descriptor + asset index as one relation
+      val json = PipelineDemo.ensureCatalog(s, dir)
+      s.read.format("esmcat").load(json)
+        .select("status", "member", "year", "variable")
+        .orderBy("status", "member", "year", "variable")
+    }),
+
     "scan_catalog_dict" -> ((s, _) => {
       CatalogReader.fromDict(s, Seq(
         Map("component" -> "ocn", "experiment" -> "20C", "variable" -> "SHF", "scode" -> 482L),
@@ -558,6 +566,16 @@ object SparkEntry {
 
     "scan_catalog_csv" ->
       "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region ORDER BY CAST(r_regionkey AS INT)",
+
+    "scan_catalog_esmcat" ->
+      """SELECT o_orderstatus AS status, o_orderpriority AS member,
+        | CAST(year(o_orderdate) AS VARCHAR) AS year, v.variable
+        | FROM (SELECT DISTINCT o_orderstatus, o_orderpriority, o_orderdate FROM orders
+        |       WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |         AND year(o_orderdate) BETWEEN 1995 AND 1996) o
+        | CROSS JOIN (VALUES ('totalprice'), ('custkey')) AS v(variable)
+        | GROUP BY 1, 2, 3, 4
+        | ORDER BY status, member, year, variable""".stripMargin,
 
     "scan_catalog_dict" ->
       """SELECT * FROM (VALUES

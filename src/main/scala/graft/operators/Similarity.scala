@@ -46,7 +46,8 @@ object Similarity {
     val scored = corpus
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
       .crossJoin(q)
-      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
@@ -119,7 +120,8 @@ object Similarity {
     val cVec = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val qVec = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
     val scored = candidates.join(cVec, "neighbor_id").join(qVec, "query_id")
-      .withColumn("cosine", cosine(col("__cv"), col("__qv")))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

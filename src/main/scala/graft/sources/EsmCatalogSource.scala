@@ -1,0 +1,196 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPInputStream
+
+import scala.jdk.CollectionConverters._
+
+import com.univocity.parsers.csv.{CsvParser, CsvParserSettings}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.{CatalogReader, EsmCatalogModel}
+
+/** DataSourceV2 reader for ESM catalog descriptors:
+  *
+  * {{{ spark.read.format("esmcat").load("/path/to/catalog.json") }}}
+  *
+  * presents the JSON descriptor + its asset index (csv/csv.gz or inline
+  * catalog_dict) as ONE relation, with python-literal iterable columns
+  * already decoded to `array<string>` — the "DataFrame reader + custom
+  * source" surface (reference entry point: intake.open_esm_datastore,
+  * core.py:89-153).
+  *
+  * Scope: the *file-pair* catalog shape (small/medium catalogs; single CSV).
+  * Parquet-indexed catalogs should go through `spark.read.parquet` — at
+  * 100 TB the native parquet scan (pushdown, row-group pruning, splits)
+  * strictly dominates anything a custom reader would do, so EsmCatalog.load
+  * routes them there and this source intentionally does not reimplement it.
+  */
+final class EsmCatalogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "esmcat"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def jsonPath(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    p.getOrElse(throw new IllegalArgumentException("esmcat: .load(<descriptor.json>) path required"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EsmCatalogSource.describe(jsonPath(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("esmcat: path property missing"))
+    new EsmCatalogTable(path, schema)
+  }
+}
+
+object EsmCatalogSource {
+
+  final case class Described(
+      model: EsmCatalogModel,
+      schema: StructType,
+      csvPath: Option[String],
+      iterableCols: Set[String],
+  )
+
+  /** Driver-side probe: parse the descriptor, read the CSV header + first
+    * data row to detect iterable columns (mirrors CatalogReader's
+    * `limit(1)` probe, reference cat.py:562). */
+  def describe(descriptorPath: String): Described = {
+    val model = EsmCatalogModel.fromJson(
+      new String(Files.readAllBytes(Paths.get(descriptorPath)), "UTF-8"))
+    model.catalogDict match {
+      case Some(records) =>
+        val cols = records.foldLeft(Vector.empty[String]) { (acc, r) =>
+          acc ++ r.keys.filterNot(acc.contains)
+        }
+        def typeFor(c: String): DataType =
+          records.iterator.flatMap(_.get(c)).collectFirst {
+            case _: Int | _: Long => LongType
+            case _: Double        => DoubleType
+            case _: Boolean       => BooleanType
+            case _: Seq[_]        => ArrayType(StringType)
+          }.getOrElse(StringType)
+        Described(model,
+          StructType(cols.map(c => StructField(c, typeFor(c), nullable = true))),
+          None, Set.empty)
+      case None =>
+        val file = model.catalogFile.getOrElse(
+          throw new IllegalArgumentException("catalog needs catalog_file or catalog_dict"))
+        val resolved = CatalogReader.resolveCatalogFile(descriptorPath, file)
+        val rows     = readCsvRows(resolved, limit = 2)
+        val header   = rows.headOption.getOrElse(
+          throw new IllegalArgumentException(s"empty catalog csv: $resolved"))
+        val probe = rows.lift(1)
+        val iterables = probe match {
+          case Some(first) =>
+            header.indices.collect {
+              case i if first.lift(i).flatMap(Option(_)).exists(v =>
+                v.trim.matches("^[\\[\\(\\{].*[\\]\\)\\}]$")) => header(i)
+            }.toSet
+          case None => Set.empty[String]
+        }
+        val schema = StructType(header.map { c =>
+          StructField(c, if (iterables.contains(c)) ArrayType(StringType) else StringType,
+            nullable = true)
+        })
+        Described(model, schema, Some(resolved), iterables)
+    }
+  }
+
+  def readCsvRows(path: String, limit: Int = -1): Vector[Array[String]] = {
+    val raw: java.io.InputStream = Files.newInputStream(Paths.get(path))
+    val in  = if (path.toLowerCase.endsWith(".gz")) new GZIPInputStream(raw) else raw
+    try {
+      val settings = new CsvParserSettings
+      settings.setMaxCharsPerColumn(1 << 20)
+      if (limit > 0) settings.setNumberOfRecordsToRead(limit.toLong)
+      val parser = new CsvParser(settings)
+      parser.parseAll(new java.io.InputStreamReader(in, "UTF-8")).asScala.toVector
+    } finally in.close()
+  }
+
+  /** Python-literal container → element list, matching the normalization of
+    * CatalogReader.decodeIterable (reference cat.py:671-681). */
+  private val elemRe = "'([^']*)'".r
+  def parseLiteral(cell: String): Seq[String] =
+    elemRe.findAllMatchIn(cell).map(_.group(1)).toSeq
+}
+
+final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String            = s"esmcat(`$descriptorPath`)"
+  override def schema(): StructType      = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan             = this
+      override def readSchema(): StructType  = schema0
+      override def toBatch: Batch            = this
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(EsmCatalogPartition(descriptorPath))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new EsmCatalogReaderFactory(schema0)
+    }
+}
+
+final case class EsmCatalogPartition(descriptorPath: String) extends InputPartition
+
+final class EsmCatalogReaderFactory(schema: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val desc = EsmCatalogSource.describe(
+      partition.asInstanceOf[EsmCatalogPartition].descriptorPath)
+
+    def toInternal(value: Any, dt: DataType): Any = (value, dt) match {
+      case (null, _)                       => null
+      case (v, StringType)                 => UTF8String.fromString(v.toString)
+      case (v: String, ArrayType(StringType, _)) =>
+        new GenericArrayData(EsmCatalogSource.parseLiteral(v).map(UTF8String.fromString).toArray[Any])
+      case (v: Seq[_], ArrayType(StringType, _)) =>
+        new GenericArrayData(v.map(x => UTF8String.fromString(String.valueOf(x))).toArray[Any])
+      case (v: Int, LongType)              => v.toLong
+      case (v, LongType)                   => v.asInstanceOf[Long]
+      case (v, DoubleType)                 => v.asInstanceOf[Double]
+      case (v, BooleanType)                => v.asInstanceOf[Boolean]
+      case (v, _)                          => UTF8String.fromString(v.toString)
+    }
+
+    val rows: Iterator[InternalRow] = desc.csvPath match {
+      case Some(csv) =>
+        val all    = EsmCatalogSource.readCsvRows(csv)
+        val header = all.head
+        val idx    = schema.fields.map(f => header.indexOf(f.name))
+        all.iterator.drop(1).map { cells =>
+          InternalRow.fromSeq(schema.fields.zip(idx).map { case (f, i) =>
+            toInternal(if (i >= 0 && i < cells.length) cells(i) else null, f.dataType)
+          }.toIndexedSeq)
+        }
+      case None =>
+        desc.model.catalogDict.get.iterator.map { rec =>
+          InternalRow.fromSeq(schema.fields.map(f =>
+            toInternal(rec.getOrElse(f.name, null), f.dataType)).toIndexedSeq)
+        }
+    }
+
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.derived.{DerivedVariable, DerivedVariableRegistry}
+
+/** Reference: tests/test_derived.py (registry, apply conditions,
+  * prefer_derived :88-147, error paths). */
+class DerivedRegistrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val ds = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "FLNS")
+
+  test("applies when dependencies present and target absent") {
+    val reg = new DerivedVariableRegistry().register(DerivedVariable(
+      "FLNS2x", Map("variable" -> Seq("FLNS")),
+      df => df.withColumn("FLNS2x", col("FLNS") * 2)))
+    val out = reg.updateDatasets(Map("k" -> ds), "variable")("k")
+    assert(out.columns.contains("FLNS2x"))
+    assert(out.orderBy("id").select("FLNS2x").as[Double].collect().toSeq == Seq(20.0, 40.0))
+  }
+
+  test("skips when a dependency is missing") {
+    val reg = new DerivedVariableRegistry().register(DerivedVariable(
+      "X", Map("variable" -> Seq("NOPE")), df => df.withColumn("X", lit(1))))
+    assert(!reg.updateDatasets(Map("k" -> ds), "variable")("k").columns.contains("X"))
+  }
+
+  test("present target not overwritten unless prefer_derived") {
+    val withTarget = ds.withColumn("FLNS2x", lit(-1.0))
+    def reg(prefer: Boolean) = new DerivedVariableRegistry().register(DerivedVariable(
+      "FLNS2x", Map("variable" -> Seq("FLNS")),
+      df => df.withColumn("FLNS2x", col("FLNS") * 2), preferDerived = prefer))
+    val kept = reg(false).updateDatasets(Map("k" -> withTarget), "variable")("k")
+    assert(kept.select("FLNS2x").as[Double].collect().toSet == Set(-1.0))
+    val replaced = reg(true).updateDatasets(Map("k" -> withTarget), "variable")("k")
+    assert(replaced.orderBy("id").select("FLNS2x").as[Double].collect().toSeq == Seq(20.0, 40.0))
+  }
+
+  test("skip_on_error suppresses derivation failures") {
+    val reg = new DerivedVariableRegistry().register(DerivedVariable(
+      "boom", Map("variable" -> Seq("FLNS")),
+      _ => throw new RuntimeException("kaboom")))
+    intercept[RuntimeException](reg.updateDatasets(Map("k" -> ds), "variable"))
+    val out = reg.updateDatasets(Map("k" -> ds), "variable", skipOnError = true)("k")
+    assert(out.columns.toSeq == Seq("id", "FLNS"))
+  }
+
+  test("search subsets the registry") {
+    val reg = new DerivedVariableRegistry()
+      .register(DerivedVariable("a", Map.empty, identity))
+      .register(DerivedVariable("b", Map.empty, identity))
+    assert(reg.search(Seq("b", "c")).keys == Seq("b"))
+  }
+}
