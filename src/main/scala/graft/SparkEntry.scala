@@ -118,6 +118,44 @@ object SparkEntry {
         .orderBy("r_name")
     }),
 
+    "q_cube_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rank")
+    }),
+
+    "q_salted_join" -> ((s, dir) => {
+      // salted skew join must be row-identical to the plain join
+      val o = T(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+      graft.operators.SkewJoin
+        .saltedJoin(T(s, dir, "lineitem"), o, keys = Seq("l_orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "events_asof_join" -> ((s, dir) => {
+      val e = events(s, dir).select("user_id", "event_id", "us", "event_type")
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "us").agg(max(col("event_id")).as("view_event"))
+      graft.operators.AsofJoin.asofJoin(
+        purchases, views, keys = Seq("user_id"), leftTime = "us", rightTime = "us",
+        rightValues = Seq("us" -> "view_us", "view_event" -> "view_event"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // ===== catalog scans & decode (SURVEY §2 #1-4) =====
 
     "scan_catalog_parquet" -> ((s, dir) => {
@@ -560,6 +598,32 @@ object SparkEntry {
          | JOIN nation ON c_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          | GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_cube_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         | FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         | ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rnk AS INT) AS rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+
+    "q_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "events_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, us, MAX(event_id) AS view_event FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id, us)
+        |SELECT p.user_id, p.event_id, p.us, v.us AS view_us, v.view_event
+        | FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us
+        | ORDER BY p.user_id, p.us, p.event_id""".stripMargin,
 
     "scan_catalog_parquet" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id",

@@ -22,6 +22,13 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: watermark bounds the seen-keys state, then
+    * `dropDuplicates` on the id columns — the streaming twin of
+    * Dedup.exact for unbounded ingest. */
+  def dedupStream(events: DataFrame, tsCol: String, idCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
+
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, firstUs: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, first_us: Long, last_us: Long)
