@@ -503,6 +503,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q   = emb.filter(col("vec_id") < 3)
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ===== extensions: text analysis =====
 
     "text_lang_id" -> ((s, dir) => {
@@ -552,6 +560,23 @@ object SparkEntry {
     }),
 
     // ===== extensions: event-stream analytics (batch shape) =====
+
+    "q_set_ops" -> ((s, dir) => {
+      // languages seen in web-ish sources vs wiki-ish sources: INTERSECT / EXCEPT
+      val docs = T(s, dir, "documents")
+      val a = docs.filter(col("source").isin("src0", "src1", "src2")).select("lang")
+      val b = docs.filter(col("source").isin("src3", "src4")).select("lang")
+      a.intersect(b).withColumn("op", lit("both"))
+        .unionByName(a.except(b).withColumn("op", lit("only_a")))
+        .orderBy("op", "lang")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
 
     "events_hourly" -> ((s, dir) => {
       events(s, dir)
@@ -840,6 +865,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(off // 500 AS INT) AS frame_idx, off AS offset_ms
         | FROM (SELECT doc_id, unnest(range(0, greatest(n_chars * 10, 1), 500)) AS off FROM documents)
         | ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT lang, 'both' AS op FROM (
+        |  SELECT lang FROM documents WHERE source IN ('src0','src1','src2')
+        |  INTERSECT
+        |  SELECT lang FROM documents WHERE source IN ('src3','src4'))
+        |UNION ALL
+        |SELECT lang, 'only_a' FROM (
+        |  SELECT lang FROM documents WHERE source IN ('src0','src1','src2')
+        |  EXCEPT
+        |  SELECT lang FROM documents WHERE source IN ('src3','src4'))
+        |ORDER BY op, lang""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "events_hourly" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,

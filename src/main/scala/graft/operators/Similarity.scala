@@ -131,21 +131,53 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** IVF-style coarse quantization: assign each vector to the nearest of
-    * `centroids` (broadcast), search only matching cells. Centroid seeds are
-    * taken deterministically from the corpus itself (first `nCells` by id) —
-    * a k-means refinement would slot in here without changing the plan shape.
+  /** IVF-style cell assignment: nearest of the broadcast `centroids` per
+    * vector, `nProbe` cells per row (queries probe several cells to recover
+    * recall at cell boundaries). Output: input columns + `cell`.
     */
-  def ivfAssign(df: DataFrame, vecCol: String, centroids: DataFrame, centroidVec: String,
-                centroidId: String): DataFrame = {
-    val cents = broadcast(centroids.select(col(centroidId).as("__cell"), col(centroidVec).as("__cent")))
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, centroidId: String, centroidVec: String,
+                nProbe: Int = 1): DataFrame = {
+    val cents = broadcast(centroids.select(col(centroidId).as("cell"), col(centroidVec).as("__cent")))
     val joined = df.crossJoin(cents)
-      .withColumn("__sim", cosine(col(vecCol), col("__cent")))
+      .withColumn("__sim", graft.functions.VectorFunctions.vec_cosine(col(vecCol), col("__cent")))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(df.columns.map(col): _*)
-      .orderBy(col("__sim").desc, col("__cell").asc)
-    joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col("cell").asc)
+    joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= nProbe)
       .drop("__cent", "__sim", "__rk")
-      .withColumnRenamed("__cell", "cell")
+  }
+
+  /** IVF ANN top-k — the second scale path next to [[lshTopK]]:
+    * coarse-quantize the corpus into `nCells` cells (centroids seeded
+    * deterministically from the corpus; a k-means refinement would slot in
+    * without changing the plan), probe the query's `nProbe` nearest cells,
+    * exact re-rank inside them. Candidate generation is an equality join on
+    * `cell`; the corpus is scanned once for assignment and once for
+    * re-rank-by-candidate.
+    */
+  def ivfTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+  ): DataFrame = {
+    val centroids = corpus
+      .select(col(corpusId).as("cent_id"), col(corpusVec).as("cent_vec"))
+      .orderBy("cent_id").limit(nCells)
+    val corpusCells = ivfAssign(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+      "neighbor_id", "__cv", centroids, "cent_id", "cent_vec", nProbe = 1)
+    val queryCells = ivfAssign(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")),
+      "query_id", "__qv", centroids, "cent_id", "cent_vec", nProbe = nProbe)
+    val scored = queryCells.join(corpusCells, "cell")
+      .withColumn("cosine", graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

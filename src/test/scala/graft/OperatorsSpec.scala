@@ -124,6 +124,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.contains(0L))
   }
 
+  test("ivf top-k includes the self match and has usable recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    (0L until 5L).foreach(i => assert(ivf.contains((i, i)), s"self match missing for $i"))
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("lsh recall vs brute force on real embeddings is usable") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, SkewJoin}
+import graft.search.QueryCompiler
+
+/** Property-style laws over driver-side logic and small Spark plans,
+  * using scalacheck generators with fixed seeds (no scalatestplus bridge
+  * in the dependency set — sampling is explicit and deterministic).
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("isPattern: escaping every wildcard makes any string a non-pattern") {
+    samples(Gen.asciiPrintableStr, 200).foreach { s =>
+      val escaped = s.flatMap {
+        case c @ ('*' | '?' | '$' | '^') => "\\" + c
+        case c                           => c.toString
+      }
+      assert(!QueryCompiler.isPattern(escaped), s"escaped of ${s.take(30)}")
+    }
+  }
+
+  test("isPattern: appending an unescaped wildcard always makes a pattern") {
+    // (a trailing backslash would escape the appended wildcard — same in the
+    // reference's is_pattern, _search.py:19-29)
+    val gen = Gen.zip(Gen.asciiPrintableStr.suchThat(s => s.isEmpty || s.last != '\\'),
+      Gen.oneOf('*', '?', '$', '^'))
+    samples(gen, 200).foreach { case (s, w) =>
+      assert(QueryCompiler.isPattern(s + w), s"'$s' + '$w'")
+    }
+  }
+
+  test("query normalization wraps scalars and preserves lists") {
+    val gen = Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.listOf(Gen.alphaNumStr))
+    samples(gen, 100).foreach { case (scalar, list) =>
+      val (norm, _) = QueryCompiler.normalize(Map("a" -> scalar, "b" -> list), Seq("a", "b"), None)
+      assert(norm("a") == Seq(scalar))
+      assert(norm("b") == list)
+    }
+  }
+
+  test("salted join equals plain join on random small tables") {
+    val gen = for {
+      l <- Gen.listOfN(30, Gen.zip(Gen.choose(0, 5), Gen.alphaStr.map(_.take(3))))
+      r <- Gen.listOfN(20, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 100)))
+      f <- Gen.choose(1, 6)
+    } yield (l, r, f)
+    samples(gen, 5).foreach { case (l, r, f) =>
+      val left  = l.toDF("k", "lv")
+      val right = r.toDF("k", "rv")
+      val plain = left.join(right, Seq("k")).groupBy("k").count()
+        .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      val salted = SkewJoin.saltedJoin(left, right, Seq("k"), f).groupBy("k").count()
+        .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+      assert(salted == plain, s"saltFactor=$f")
+    }
+  }
+
+  test("minhash signature is distinct-invariant (multiset == set)") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c d e f"),
+      (2L, "a b c d e f"),
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", "doc_id", shingleWords = 1, k = 32)
+      .orderBy("id").drop("id").collect()
+    assert(sigs(0).toSeq == sigs(1).toSeq)
+  }
+}
