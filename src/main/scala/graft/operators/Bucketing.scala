@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table helpers for co-located joins.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is the shuffle. Writing
+  * both sides bucketed (+ sorted) on the join key lets Spark plan a
+  * sort-merge join with NO Exchange on either side — each task reads
+  * matching bucket files directly. This is the standing-layout answer to a
+  * recurring join key (the reference has no equivalent; its data always fit
+  * one process).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted managed table. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket keys. With matching bucket
+    * counts the physical plan has no shuffle — assert via
+    * [[hasShuffle]] in tests/audits. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+
+  /** Does the executed plan contain a shuffle exchange? */
+  def hasShuffle(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}
