@@ -47,12 +47,20 @@ object CatalogReader {
         .csv(path)
   }
 
-  /** Resolve a possibly-relative catalog_file against the descriptor's
-    * directory (reference: cat.py:318-322). */
+  /** Resolve a possibly-relative catalog_file: used as-is if it exists
+    * (cwd-relative), else against the descriptor's directory — the
+    * reference's fallback order (cat.py:318-322). */
   def resolveCatalogFile(jsonPath: String, catalogFile: String): String = {
     val p = Paths.get(catalogFile)
-    if (p.isAbsolute || catalogFile.contains("://")) catalogFile
-    else Paths.get(jsonPath).toAbsolutePath.getParent.resolve(catalogFile).normalize.toString
+    if (p.isAbsolute || catalogFile.contains("://") || Files.exists(p)) return catalogFile
+    val jsonDir  = Paths.get(jsonPath).toAbsolutePath.getParent
+    val relative = jsonDir.resolve(catalogFile).normalize
+    if (Files.exists(relative)) return relative.toString
+    // extra fallback beyond the reference: catalogs written with paths
+    // relative to some original working directory (e.g. "./tests/…") still
+    // load if the file sits next to the descriptor
+    val sibling = jsonDir.resolve(p.getFileName.toString)
+    if (Files.exists(sibling)) sibling.toString else relative.toString
   }
 
   private val iterableProbe = "^\\s*[\\[\\(\\{].*[\\]\\)\\}]\\s*$".r
