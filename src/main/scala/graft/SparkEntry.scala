@@ -561,6 +561,32 @@ object SparkEntry {
 
     // ===== extensions: event-stream analytics (batch shape) =====
 
+    "q_anti_join" -> ((s, dir) => {
+      // customers that never placed an urgent order (left_anti = NOT EXISTS)
+      val c = T(s, dir, "customer")
+      val urgent = T(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(urgent, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // binned interval join: 7-day windows after sampled orders vs all order dates
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+      val o = T(s, dir, "orders")
+        .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      val day = 86400L * 1000000L
+      val intervals = o.filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("window_key"), col("od_us").as("win_start"),
+          (col("od_us") + lit(7L * day)).as("win_end"))
+      val points = o.select(col("o_orderkey").as("point_key"), col("od_us"))
+      graft.operators.RangeJoin
+        .binnedIntervalJoin(intervals, points, "win_start", "win_end", "od_us", binWidth = 7L * day)
+        .groupBy("window_key").agg(count(lit(1)).as("n_orders_in_window"))
+        .orderBy("window_key")
+    }),
+
     "q_set_ops" -> ((s, dir) => {
       // languages seen in web-ish sources vs wiki-ish sources: INTERSECT / EXCEPT
       val docs = T(s, dir, "documents")
@@ -865,6 +891,20 @@ object SparkEntry {
       """SELECT doc_id, CAST(off // 500 AS INT) AS frame_idx, off AS offset_ms
         | FROM (SELECT doc_id, unnest(range(0, greatest(n_chars * 10, 1), 500)) AS off FROM documents)
         | ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders
+        |   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        | ORDER BY c_custkey""".stripMargin,
+
+    "q_range_join" ->
+      """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS od_us FROM orders),
+        |i AS (SELECT o_orderkey AS window_key, od_us AS win_start,
+        |        od_us + CAST(604800000000 AS BIGINT) AS win_end FROM o WHERE o_orderkey % 997 = 0)
+        |SELECT i.window_key, COUNT(*) AS n_orders_in_window
+        | FROM i JOIN o ON o.od_us >= i.win_start AND o.od_us < i.win_end
+        | GROUP BY i.window_key ORDER BY i.window_key""".stripMargin,
 
     "q_set_ops" ->
       """SELECT lang, 'both' AS op FROM (
