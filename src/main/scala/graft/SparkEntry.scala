@@ -487,6 +487,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val r = graft.operators.CorpusPipeline.clean(
+        T(s, dir, "documents"), minTokens = 10, minAlphaRatio = 0.5,
+        allowedLangs = Nil, nearDupThreshold = 0.8)
+      r.stats.toDF("stage", "n_rows")
+    }),
+
     // ===== extensions: similarity search =====
 
     "embed_cosine_topk" -> ((s, dir) => {

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusPipeline
+
+class CorpusPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dup clusters: chain a-b-c collapses to one label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = CorpusPipeline.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("full clean keeps one survivor per dup cluster and drops junk") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),                             // survivor
+      (2L, base),                             // exact dup of 1
+      (3L, base.replace("dog", "cat")),       // near dup of 1
+      (4L, "!!!! ???? 1234 5678 @@@@ #### $$$$ %%%% ^^^^ &&&&"), // fails alpha gate
+      (5L, "short text"),                     // fails min tokens
+      (6L, "completely different words about catalyst optimizer physical plans and shuffles"),
+    ).toDF("doc_id", "text")
+    val r = CorpusPipeline.clean(docs, minTokens = 5, minAlphaRatio = 0.5,
+      nearDupThreshold = 0.5)
+    val kept = r.cleaned.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L), s"kept=$kept stats=${r.stats}")
+    assert(r.stats.toMap.apply("input") == 6L)
+    assert(r.stats.toMap.apply("quality") == 4L)     // 4 and 5 gated out
+    assert(r.stats.toMap.apply("exact_dedup") == 3L) // 2 collapses into 1
+    assert(r.stats.toMap.apply("near_dedup") == 2L)  // 3 collapses into 1
+
+  }
+}
