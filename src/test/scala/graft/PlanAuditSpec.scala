@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the optimizations the engine is designed
+  * around must stay visible in the physical plan. A passing correctness
+  * suite with a degraded plan is exactly the regression these catch.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("search predicates push into the parquet scan") {
+    val p = plan("search_exact")
+    assert(p.contains("PushedFilters: [Or(EqualTo(p_brand,Brand#13),EqualTo(p_brand,Brand#42))"),
+      p.take(1500))
+  }
+
+  test("projection prunes the read schema") {
+    val p = plan("project_requested_vars")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double>"),
+      p.take(1500))
+  }
+
+  test("star join broadcasts every dimension") {
+    val p = plan("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("require_all_on semi join broadcasts the qualifying-group set") {
+    val p = plan("search_require_all_on")
+    assert(p.contains("LeftSemi"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("variable-union outer join is a hash/merge join, never nested-loop") {
+    val p = plan("agg_union")
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("range join is an equality join on bins, not a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("lsh candidate generation never plans a cartesian product") {
+    Seq("dedup_minhash_lsh", "dedup_simhash", "ann_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+    }
+  }
+
+  test("native vec_cosine appears in the similarity plan (no lambda eval)") {
+    val p = plan("embed_cosine_topk")
+    assert(p.contains("floatveccosine") || p.contains("FloatVecCosine"), p.take(1500))
+    assert(!p.toLowerCase.contains("lambdafunction"), p.take(1500))
+  }
+}
