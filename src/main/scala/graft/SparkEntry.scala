@@ -569,6 +569,34 @@ object SparkEntry {
 
     // ===== extensions: event-stream analytics (batch shape) =====
 
+    "q_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           | FROM orders_v
+           | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+           | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    }),
+
+    "q_scalar_functions" -> ((s, dir) => {
+      T(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_type")).as("u"),
+          lower(col("p_brand")).as("l"),
+          substring(col("p_name"), 1, 5).as("pre"),
+          length(col("p_name")).as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+          abs(col("p_size") - 25).as("absz"),
+          pmod(col("p_partkey"), lit(7)).as("m7"),
+          floor(col("p_retailprice")).cast(LongType).as("flr"),
+          ceil(col("p_retailprice")).cast(LongType).as("cl"),
+          coalesce(nullif(col("p_brand"), lit("Brand#13")), lit("thirteen")).as("co"),
+          trim(lit("  x  ")).as("tr"))
+        .orderBy("p_partkey")
+    }),
+
     "q_anti_join" -> ((s, dir) => {
       // customers that never placed an urgent order (left_anti = NOT EXISTS)
       val c = T(s, dir, "customer")
@@ -899,6 +927,21 @@ object SparkEntry {
       """SELECT doc_id, CAST(off // 500 AS INT) AS frame_idx, off AS offset_ms
         | FROM (SELECT doc_id, unnest(range(0, greatest(n_chars * 10, 1), 500)) AS off FROM documents)
         | ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+         | FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_scalar_functions" ->
+      """SELECT p_partkey, upper(p_type) AS u, lower(p_brand) AS l,
+        | substr(p_name, 1, 5) AS pre, CAST(length(p_name) AS INT) AS len,
+        | p_brand || '|' || p_type AS cat, abs(p_size - 25) AS absz,
+        | CAST(p_partkey % 7 AS BIGINT) AS m7,
+        | CAST(floor(p_retailprice) AS BIGINT) AS flr, CAST(ceil(p_retailprice) AS BIGINT) AS cl,
+        | coalesce(nullif(p_brand, 'Brand#13'), 'thirteen') AS co,
+        | trim('  x  ') AS tr
+        | FROM part ORDER BY p_partkey""".stripMargin,
 
     "q_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
