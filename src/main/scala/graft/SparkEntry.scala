@@ -487,6 +487,36 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      T(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .withColumn("running_spend",
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_quantiles" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "pipeline_train_val_split" -> ((s, dir) => {
+      // deterministic hash split; report per-(lang, split) counts — the
+      // assignment itself is layout/seed-stable, counts are reproducible
+      graft.operators.DatasetSplit
+        .assignStratifiedSplits(T(s, dir, "documents"), "doc_id", "lang")
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    }),
+
     "pipeline_clean_corpus" -> ((s, dir) => {
       import s.implicits._
       val r = graft.operators.CorpusPipeline.clean(
@@ -973,6 +1003,19 @@ object SparkEntry {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
          | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        | FROM orders WHERE o_custkey % 100 = 0
+        | ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, 0.9) AS p90_qty, COUNT(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "events_hourly" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines.
+  *
+  * `randomSplit` is seed-dependent AND partitioning-dependent — rerun the
+  * pipeline with different file splits and rows change splits. Hash-based
+  * assignment is a pure function of the row key: stable across reruns,
+  * cluster sizes, and data layout, and needs no shuffle at all (the split
+  * column is computed inside the scan's codegen stage).
+  */
+object DatasetSplit {
+
+  /** Split bucket in [0, 100) from a stable key column. */
+  def splitBucket(key: Column, seed: Int = 42): Column =
+    pmod(xxhash64(key, lit(seed)), lit(100L))
+
+  /** Add a `split` column: train/val/test by hash-percent thresholds. */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   trainPct: Int = 90, valPct: Int = 5, seed: Int = 42): DataFrame = {
+    val b = splitBucket(col(keyCol), seed)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Stratified variant: hash within (stratum, key) so each stratum gets
+    * its own ~pct split regardless of stratum skew. */
+  def assignStratifiedSplits(df: DataFrame, keyCol: String, stratumCol: String,
+                             trainPct: Int = 90, valPct: Int = 5, seed: Int = 42): DataFrame = {
+    val b = pmod(xxhash64(col(stratumCol), col(keyCol), lit(seed)), lit(100L))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

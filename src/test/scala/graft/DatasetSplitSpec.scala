@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DatasetSplit
+
+class DatasetSplitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("split proportions land near the requested percentages") {
+    val counts = DatasetSplit.assignSplits(docs, "doc_id", trainPct = 80, valPct = 10)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum.toDouble
+    assert(math.abs(counts("train") / total - 0.80) < 0.06, counts.toString)
+    assert(math.abs(counts("val") / total - 0.10) < 0.06, counts.toString)
+    assert(math.abs(counts("test") / total - 0.10) < 0.06, counts.toString)
+  }
+
+  test("assignment is stable across repartitionings (not layout-dependent)") {
+    val a = DatasetSplit.assignSplits(docs, "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    val b = DatasetSplit.assignSplits(docs.repartition(17), "doc_id").select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("stratified split covers every stratum with train rows") {
+    val perStratum = DatasetSplit.assignStratifiedSplits(docs, "doc_id", "lang")
+      .groupBy("lang", "split").count()
+      .filter(col("split") === "train")
+      .select("lang").as[String].collect().toSet
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(perStratum == langs)
+  }
+}
