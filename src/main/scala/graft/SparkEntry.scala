@@ -509,10 +509,11 @@ object SparkEntry {
     }),
 
     "pipeline_train_val_split" -> ((s, dir) => {
-      // deterministic hash split; report per-(lang, split) counts — the
-      // assignment itself is layout/seed-stable, counts are reproducible
+      // deterministic engine-portable md5 split; report per-(lang, split)
+      // counts — assignment is a pure function of (lang, doc_id, seed), so
+      // it is stable across reruns, layouts, and engines (DuckDB-checkable)
       graft.operators.DatasetSplit
-        .assignStratifiedSplits(T(s, dir, "documents"), "doc_id", "lang")
+        .portableStratifiedSplits(T(s, dir, "documents"), "doc_id", "lang")
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
     }),
@@ -522,7 +523,7 @@ object SparkEntry {
       val r = graft.operators.CorpusPipeline.clean(
         T(s, dir, "documents"), minTokens = 10, minAlphaRatio = 0.5,
         allowedLangs = Nil, nearDupThreshold = 0.8)
-      r.stats.toDF("stage", "n_rows")
+      r.stats.toDF("stage", "n_rows").orderBy("stage")
     }),
 
     // ===== extensions: similarity search =====
@@ -593,7 +594,7 @@ object SparkEntry {
     "multimodal_decode_stub" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.decodeFeaturesBatched(d, "doc_id", "payload")
-        .select(col("id"), round(element_at(col("features"), 1), 6).as("f0"))
+        .select(col("id"), element_at(col("features"), 1).as("f0"))
         .orderBy("id")
     }),
 
@@ -1046,5 +1047,112 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         | FROM scored) WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Exact word-3-gram jaccard ≥ 0.3 over all pairs, brute force by shingle
+    // equality join — the LSH candidate step on the Spark side is exhaustive
+    // at this similarity level, so the sets agree.
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) AS jaccard
+        |FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
+        |WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+        |                   x -> regexp_replace(x, '[^\p{L}]', '', 'g')) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(['the','and','of','to','in','is','that','it','for','with'], w -> list_contains(t, w))) AS h_en,
+        |    len(list_filter(['der','die','das','und','ist','nicht','ein','mit','für','auf'], w -> list_contains(t, w))) AS h_de,
+        |    len(list_filter(['le','la','les','et','est','pas','une','pour','dans','que'], w -> list_contains(t, w))) AS h_fr,
+        |    len(list_filter(['el','la','los','y','es','no','una','para','en','que'], w -> list_contains(t, w))) AS h_es
+        |  FROM tk)
+        |SELECT doc_id, lang,
+        |  CASE WHEN m > 0 AND (CAST(h_en = m AS INT) + CAST(h_de = m AS INT) + CAST(h_fr = m AS INT) + CAST(h_es = m AS INT)) = 1
+        |       THEN CASE WHEN h_en = m THEN 'en' WHEN h_de = m THEN 'de' WHEN h_fr = m THEN 'fr' ELSE 'es' END
+        |       ELSE 'und' END AS guess
+        |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS m FROM h)
+        |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_train_val_split" ->
+      """WITH b AS (
+        |  SELECT lang, md5(lang || '|' || CAST(doc_id AS VARCHAR) || '|42') AS h FROM documents),
+        |v AS (
+        |  SELECT lang,
+        |   ((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) % 100 AS bucket
+        |  FROM b)
+        |SELECT lang,
+        |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n
+        |FROM v GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // f0 = fraction of payload bytes in [0, 32) (bucket 0 of the 8-bucket
+    // byte histogram). In UTF-8 those bytes are exactly the control chars.
+    "multimodal_decode_stub" ->
+      """SELECT doc_id AS id,
+        |  CAST(length(regexp_replace(text, '[^\x00-\x1f]', '', 'g')) AS DOUBLE)
+        |   / greatest(1.0, CAST(octet_length(encode(text)) AS DOUBLE)) AS f0
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // Full 5-stage corpus-clean audit: quality gate, (no-op) lang gate,
+    // exact dedup, then near-dedup = exact-jaccard pairs ≥ 0.8 → connected
+    // components via a recursive transitive closure → keep cluster minima.
+    "pipeline_clean_corpus" ->
+      """WITH RECURSIVE q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 10
+        |    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |         / CAST(length(text) AS DOUBLE) >= 0.5),
+        |ex AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
+        |  WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t FROM ex),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
+        |  WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |labels AS (SELECT a AS id, least(a, MIN(b)) AS label FROM reach GROUP BY a),
+        |losers AS (SELECT id FROM labels WHERE label < id),
+        |nd AS (SELECT doc_id FROM ex WHERE doc_id NOT IN (SELECT id FROM losers))
+        |SELECT stage, n_rows FROM (
+        |  SELECT 'input' AS stage, (SELECT COUNT(*) FROM documents) AS n_rows
+        |  UNION ALL SELECT 'quality', (SELECT COUNT(*) FROM q)
+        |  UNION ALL SELECT 'lang', (SELECT COUNT(*) FROM q)
+        |  UNION ALL SELECT 'exact_dedup', (SELECT COUNT(*) FROM ex)
+        |  UNION ALL SELECT 'near_dedup', (SELECT COUNT(*) FROM nd))
+        |ORDER BY stage""".stripMargin,
   )
 }

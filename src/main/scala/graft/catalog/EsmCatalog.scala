@@ -53,26 +53,33 @@ final class EsmCatalog(
       case s: String => derivedRegistry.get(s)
       case _         => None
     }
-    val result =
-      if (derivedHits.isEmpty) base
+    // Per core.py:480-493: a derived variable contributes its frame, its
+    // dependents, and its registry entry ONLY when the dependency search
+    // returned rows (`if not res.empty`).
+    val nonEmptyHits: Seq[(graft.derived.DerivedVariable, DataFrame)] =
+      if (derivedHits.isEmpty) Nil
       else {
         val queryMinusVar = norm - varCol.get
-        val derivedFrames = derivedHits.map { dv =>
+        derivedHits.flatMap { dv =>
           val (dvNorm, _) = QueryCompiler.normalize(dv.query, df.columns.toSeq, None)
-          runSearch(dvNorm ++ queryMinusVar, rao) // user query keys win (core.py:480)
+          val frame = runSearch(dvNorm ++ queryMinusVar, rao) // user query keys win (core.py:480)
+          if (frame.isEmpty) None else Some(dv -> frame)
         }
-        dedupeStringified((base +: derivedFrames).reduce(_ unionByName _))
       }
+    val result =
+      if (nonEmptyHits.isEmpty) base
+      else dedupeStringified((base +: nonEmptyHits.map(_._2)).reduce(_ unionByName _))
 
-    val dependents = derivedHits.flatMap(dv => varCol.map(dv.dependentVariables).getOrElse(Nil))
+    val dependents = nonEmptyHits.flatMap { case (dv, _) => varCol.map(dv.dependentVariables).getOrElse(Nil) }
     val newRequested =
       if (hasMultipleVariableAssets)
         (requestedVars.collect { case s: String => s } ++ dependents).distinct
       else Nil
-    // subset the derived registry iff variables were looked up (core.py:505-509)
+    // subset the derived registry iff variables were looked up, keeping only
+    // derived variables whose dependency search hit (core.py:503-509)
     val newRegistry =
       if (varCol.exists(norm.contains))
-        derivedRegistry.search(requestedVars.collect { case s: String => s })
+        derivedRegistry.search(nonEmptyHits.map(_._1.variable))
       else derivedRegistry
     copyWith(df = result, derivedRegistry = newRegistry, requestedVariables = newRequested)
   }

@@ -73,6 +73,9 @@ object AsofJoin {
   */
 object SkewJoin {
 
+  private val saltableJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -80,6 +83,12 @@ object SkewJoin {
       saltFactor: Int = 8,
       joinType: String = "inner",
   ): DataFrame = {
+    // Right/full outer would emit each unmatched right row once per salt
+    // (the right side is replicated saltFactor times); only join types whose
+    // output rows are driven by the left side preserve plain-join semantics.
+    require(saltableJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types only, got '$joinType' " +
+        "(right/full outer would duplicate unmatched right rows per salt)")
     val saltedLeft = left.withColumn("__salt",
       pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
     val saltedRight = right.withColumn("__salt",

@@ -78,8 +78,11 @@ object CorpusPipeline {
     val exact = Dedup.exact(langed, Seq(textCol), idCol).localCheckpoint(true)
     val n3 = exact.count()
 
-    // 4. near dedup: LSH pairs → components → keep each cluster's min id
-    val pairs = Dedup.minhashLsh(exact, textCol, idCol, threshold = nearDupThreshold)
+    // 4. near dedup: LSH candidates verified by EXACT n-gram jaccard →
+    // components → keep each cluster's min id. The exact verify makes the
+    // stage independent of the minhash estimator (and oracle-checkable);
+    // candidate generation is still the near-linear LSH equality join.
+    val pairs = Dedup.ngramJaccard(exact, textCol, idCol, threshold = nearDupThreshold)
     val clusters = dupClusters(pairs)
     val losers = clusters.filter(col("id") =!= col("label")).select(col("id").as(idCol))
     val cleaned = exact.join(losers, Seq(idCol), "left_anti")

@@ -37,4 +37,24 @@ object DatasetSplit {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Engine-portable split bucket: md5 of a canonical `a|b|seed` string, first
+    * 4 hex digits mod 100. Slower than the xxhash64 path but reproducible in
+    * ANY engine with md5 (DuckDB, Trino, Postgres…) — the property that
+    * matters when train/val membership must survive an engine migration.
+    * Still a pure per-row expression: no shuffle, computed inside the scan. */
+  def portableBucket(parts: Seq[Column], seed: Int = 42): Column = {
+    val h = md5(concat_ws("|", parts.map(_.cast(org.apache.spark.sql.types.StringType)) :+ lit(seed.toString): _*))
+    pmod(conv(substring(h, 1, 4), 16, 10).cast(org.apache.spark.sql.types.LongType), lit(100L))
+  }
+
+  /** Stratified split on the portable md5 bucket (see [[portableBucket]]). */
+  def portableStratifiedSplits(df: DataFrame, keyCol: String, stratumCol: String,
+                               trainPct: Int = 90, valPct: Int = 5, seed: Int = 42): DataFrame = {
+    val b = portableBucket(Seq(col(stratumCol), col(keyCol)), seed)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

@@ -38,14 +38,19 @@ object TextAnalysis {
     size(array_intersect(toksCol, array(stopwords(lang).map(lit): _*)))
 
   /** Heuristic language ID: the language whose stopword inventory hits the
-    * token set most; ties and zero-hit rows → "und" (undetermined). */
+    * token set most; ties and zero-hit rows → "und" (undetermined). A tie is
+    * detected by ranking the per-language (hits, lang) structs and comparing
+    * the top two hit counts. */
   def langId(textCol: Column): Column = {
     val toks = transform(tokens(lower(textCol)), t => regexp_replace(t, "[^\\p{L}]", ""))
-    val scored = stopwords.keys.toSeq.sorted.map { lang =>
+    val scored = array(stopwords.keys.toSeq.sorted.map { lang =>
       struct(stopwordHits(toks, lang).as("hits"), lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+    }: _*)
+    val ranked = sort_array(scored, asc = false)
+    val best   = ranked.getItem(0)
+    val second = ranked.getItem(1)
+    when(best.getField("hits") > 0 && best.getField("hits") > second.getField("hits"),
+      best.getField("lang")).otherwise(lit("und"))
   }
 
   // ---------------------------------------------------------- quality scores

@@ -122,10 +122,39 @@ object EsmCatalogSource {
   }
 
   /** Python-literal container → element list, matching the normalization of
-    * CatalogReader.decodeIterable (reference cat.py:671-681). */
-  private val elemRe = "'([^']*)'".r
-  def parseLiteral(cell: String): Seq[String] =
-    elemRe.findAllMatchIn(cell).map(_.group(1)).toSeq
+    * CatalogReader.decodeIterable (reference cat.py:671-681): first char →
+    * `[`, last char → `]`, trailing commas dropped, `'` → `"`, JSON decode.
+    * Handles single-quoted, double-quoted, and unquoted (e.g. numeric)
+    * elements alike; falls back to a comma split if the JSON parse fails. */
+  def parseLiteral(cell: String): Seq[String] = {
+    val t = cell.trim
+    if (t.isEmpty) return Seq.empty
+    val bracketed = "[" + (if (t.length >= 2) t.substring(1, t.length - 1) else "") + "]"
+    val json = bracketed.replaceAll(",\\s*\\]", "]").replace('\'', '"')
+    try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(json) match {
+        case JArray(vs) => vs.map {
+          case JString(s)  => s
+          case JInt(i)     => i.toString
+          case JLong(l)    => l.toString
+          case JDouble(d)  => d.toString
+          case JDecimal(d) => d.toString
+          case JBool(b)    => b.toString
+          case JNull       => null
+          case other       => org.json4s.jackson.JsonMethods.compact(other)
+        }
+        case _ => Seq.empty
+      }
+    } catch {
+      case _: Throwable =>
+        // Not valid JSON after normalization (e.g. unquoted words):
+        // split on commas, strip residual quotes/space.
+        bracketed.stripPrefix("[").stripSuffix("]")
+          .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty)
+    }
+  }
 }
 
 final class EsmCatalogTable(descriptorPath: String, schema0: StructType)

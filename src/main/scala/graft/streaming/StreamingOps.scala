@@ -34,31 +34,53 @@ object StreamingOps {
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, first_us: Long, last_us: Long)
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
-    * after `gapMinutes` of inactivity (processing-time timeout evicts idle
-    * users' state). Streaming twin of the `events_sessionize` batch query. */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    * after `gapMinutes` of event-time inactivity. An event-time timeout at
+    * `last_event + gap` (relative to the `watermark`-delayed watermark)
+    * evicts idle users' state AND emits their final open session, so state
+    * stays bounded and no session is lost in Append mode — and unlike a
+    * processing-time timeout the behavior is identical on live ingest and
+    * historical reprocessing. Streaming twin of the `events_sessionize`
+    * batch query. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMs = gapMinutes.toLong * 60L * 1000L
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val us = e.ts.getTime * 1000L
-            if (st.lastUs == Long.MinValue) {
-              st = SessionState(1L, us, 1L, us)
-            } else if (us - st.lastUs > gapUs) {
-              closed += SessionOut(userId, st.sessionId, st.nEvents, st.firstUs, st.lastUs)
-              st = SessionState(st.sessionId + 1, us, 1L, us)
-            } else {
-              st = st.copy(lastUs = us, nEvents = st.nEvents + 1)
+          if (state.hasTimedOut) {
+            // Watermark passed last_event + gap: close and emit the open
+            // session, drop the user's state.
+            val out = state.getOption.toSeq.filter(_.lastUs != Long.MinValue).map(st =>
+              SessionOut(userId, st.sessionId, st.nEvents, st.firstUs, st.lastUs))
+            state.remove()
+            out.iterator
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val us = e.ts.getTime * 1000L
+              if (st.lastUs == Long.MinValue) {
+                st = SessionState(1L, us, 1L, us)
+              } else if (us - st.lastUs > gapUs) {
+                closed += SessionOut(userId, st.sessionId, st.nEvents, st.firstUs, st.lastUs)
+                st = SessionState(st.sessionId + 1, us, 1L, us)
+              } else {
+                st = st.copy(lastUs = us, nEvents = st.nEvents + 1)
+              }
             }
+            state.update(st)
+            // Timeout when the watermark passes the gap after the session's
+            // last event; clamp above the current watermark (late data could
+            // otherwise compute a timestamp Spark rejects as already-passed).
+            state.setTimeoutTimestamp(
+              math.max(st.lastUs / 1000L + gapMs, state.getCurrentWatermarkMs() + 1L))
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 }

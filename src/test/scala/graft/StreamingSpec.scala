@@ -51,8 +51,16 @@ class StreamingSpec extends AnyFunSuite {
     input.addData(Event(1L, 3L, Timestamp.valueOf("2024-01-01 12:30:00"), 1.0))
     q.processAllAvailable()
     val out = spark.table("sess_test").as[StreamingOps.SessionOut].collect()
-    q.stop()
     assert(out.length == 1)
     assert(out(0).session_id == 1L && out(0).n_events == 2L)
+    // advance the watermark far past user 1's open session + gap: the
+    // event-time timeout must close and emit session 2 and evict the state
+    input.addData(Event(2L, 4L, Timestamp.valueOf("2024-01-01 15:00:00"), 1.0))
+    q.processAllAvailable()
+    val out2 = spark.table("sess_test").as[StreamingOps.SessionOut].collect()
+    q.stop()
+    val u1 = out2.filter(_.user_id == 1L).sortBy(_.session_id)
+    assert(u1.length == 2)
+    assert(u1(1).session_id == 2L && u1(1).n_events == 1L)
   }
 }
