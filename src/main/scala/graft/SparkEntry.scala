@@ -487,6 +487,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_embedding" -> ((s, dir) => {
+      // exact cosine pairs inside a blocking key (label): Σ|block|² shape,
+      // never a cross join — the oracle-checkable semantic-dedup baseline.
+      // The LSH-candidate variant (Dedup.embeddingNearDup) is the unblocked
+      // scale path, cross-validated against brute force in OperatorsSpec.
+      Dedup.embeddingBlockedPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+          blockCol = "label", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -669,6 +679,30 @@ object SparkEntry {
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      // PIVOT with explicit values — listing them keeps the plan a single
+      // groupBy (no extra distinct-values job at scale)
+      T(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))))
+        .select(col("o_orderpriority"),
+          col("F").cast(DoubleType).as("f_price"),
+          col("O").cast(DoubleType).as("o_price"),
+          col("P").cast(DoubleType).as("p_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_unpivot" -> ((s, dir) => {
+      // UNPIVOT/melt: wide per-status metrics back to tall (status, metric, value)
+      T(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).cast(DoubleType).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .unpivot(Array(col("o_orderstatus")), Array(col("n_orders"), col("sum_price")),
+          "metric", "value")
+        .orderBy("o_orderstatus", "metric")
     }),
 
     "events_hourly" -> ((s, dir) => {
@@ -1005,6 +1039,22 @@ object SparkEntry {
          | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    "q_pivot" ->
+      s"""SELECT o_orderpriority,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS f_price,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS o_price,
+         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS p_price
+         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH w AS (
+         | SELECT o_orderstatus, CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price
+         | FROM orders GROUP BY o_orderstatus)
+         |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
+         |UNION ALL SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
+         |ORDER BY o_orderstatus, metric""".stripMargin,
+
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -1067,6 +1117,21 @@ object SparkEntry {
         |  CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) AS jaccard
         |FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
         |WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same list_reduce cosine formula as embed_cosine_topk (bit-exact vs the
+    // native FloatVecCosine expression); blocking key keeps it an equality
+    // join on both sides.
+    "dedup_embedding" ->
+      """WITH v AS (SELECT label, vec_id, embedding FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |      * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cosine
+        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |      * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
     "text_lang_id" ->

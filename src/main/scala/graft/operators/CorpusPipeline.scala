@@ -38,14 +38,24 @@ object CorpusPipeline {
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    for (_ <- 0 until maxRounds) {
+    var round   = 0
+    var changed = 1L
+    // Early-exit on convergence: near-dup clusters are usually diameter ≤ 2,
+    // so most corpora stop after round 2 instead of paying all maxRounds
+    // shuffles. The per-round changed-count is a cheap count on the already
+    // materialized label table.
+    while (round < maxRounds && changed > 0L) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
-      labels = labels.join(neighborMin, Seq("id"), "left")
-        .withColumn("label", least(col("label"), coalesce(col("nmin"), col("label"))))
-        .select("id", "label")
+      val next = labels.withColumnRenamed("label", "__old")
+        .join(neighborMin, Seq("id"), "left")
+        .withColumn("label", least(col("__old"), coalesce(col("nmin"), col("__old"))))
+        .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg"))
         .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      labels = next.select("id", "label")
+      round += 1
     }
     labels
   }

@@ -234,6 +234,65 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------------ embedding-cosine near-dup
+
+  /** Embedding-cosine near-duplicate pairs — the semantic-dedup scale path.
+    *
+    * Candidates come from multi-table random-hyperplane LSH (equality join
+    * on (table, signature) — reuses [[Similarity.hyperplaneSignaturesFlat]],
+    * fully codegen'd, no cross join); the verify step rejoins the vectors
+    * and keeps pairs with EXACT cosine ≥ threshold. With `tables` × `nBits`
+    * tuned for the threshold (e.g. 12 × 6 at cosine ≥ 0.9: per-table
+    * collision ≈ 0.9^… ≈ p_bit^6 with p_bit = 1 - θ/π ≈ 0.897 → miss
+    * probability < 1e-3), candidate volume stays near-linear at 100 TB.
+    * Returns (id_a, id_b, cosine) with id_a < id_b.
+    */
+  def embeddingNearDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      nBits: Int = 6,
+      tables: Int = 12,
+      seed: Int = 42,
+  ): DataFrame = {
+    val sigs = Similarity.hyperplaneSignaturesFlat(df, idCol, vecCol, nBits, tables, seed)
+    val candidates = sigs.select(col("table"), col("sig"), col("id").as("id_a"))
+      .join(sigs.select(col("table"), col("sig"), col("id").as("id_b")), Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.vec_cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact embedding-cosine pairs within a blocking key — the verification
+    * baseline for [[embeddingNearDup]] and the shape to use when a natural
+    * coarse key (cluster id, language, shard) already exists: a self
+    * equality join on the block column (shuffle on the key, never a cross
+    * join), exact cosine inside each block. Block sizes bound the quadratic
+    * term, so this scales as Σ|block|² not n².
+    */
+  def embeddingBlockedPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val side = df.select(col(blockCol).as("__blk"), col(idCol).as("id"), col(vecCol).as("__v"))
+    side.select(col("__blk"), col("id").as("id_a"), col("__v").as("__va"))
+      .join(side.select(col("__blk"), col("id").as("id_b"), col("__v").as("__vb")), Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorFunctions.vec_cosine(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // ---------------------------------------------------- exact n-gram jaccard
 
   /** Exact Jaccard similarity between candidate pairs' word-n-gram sets.

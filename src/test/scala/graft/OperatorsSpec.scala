@@ -96,6 +96,37 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 2L)) == 1.0)
     assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
   }
+
+  test("embedding near-dup: LSH candidates find every planted pair (vs brute force)") {
+    // 25 random unit-ish base vectors; each gets a perturbed twin at
+    // cosine > 0.99 — the LSH path must recover exactly the planted pairs.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 25).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val twin = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, twin.toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val lsh = Dedup.embeddingNearDup(df, "vec_id", "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.embeddingBlockedPairs(
+        df.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 25).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(exact == planted)
+    assert(lsh == planted)
+  }
+
+  test("blocked embedding pairs never cross blocks") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingBlockedPairs(df, "vec_id", "embedding", "label", threshold = -1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.length == 2 * (10 * 9) / 2) // all intra-block pairs, both blocks
+    assert(out.forall { case (a, b) => a % 2 == b % 2 })
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
