@@ -26,14 +26,40 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // TypedImperativeAggregate (minhash/simhash) groups far exceed the
+      // 128-group default before the sort-based fallback kicks in
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen/parquet-reader paths once before timing: session
-    // init and first-query JIT are not query cost.
-    spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
+    // init and first-execution JIT/Janino compilation of the physical
+    // operator shapes (scan, joins, window, explode, object hash agg) are
+    // per-process costs, not per-query costs — a long-running cluster pays
+    // them once. Synthetic inputs only; no bench table data is touched
+    // beyond one small parquet scan.
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      val a = spark.range(100000L)
+        .select(col("id"), (col("id") % 97).as("k"), concat_ws(" ",
+          col("id").cast("string"), (col("id") % 7).cast("string"),
+          (col("id") % 13).cast("string"), (col("id") % 3).cast("string")).as("text"))
+      val b = spark.range(97L).select(col("id").as("k"), col("id").as("v"))
+      a.join(b, Seq("k")).count()                                   // shuffle join
+      a.join(broadcast(b), Seq("k")).count()                        // broadcast join
+      a.groupBy("k").agg(sum("id"), count(lit(1))).count()          // hash agg
+      a.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy("id")))
+        .filter(col("rn") === 1).count()                            // window
+      a.select(col("id"), explode(split(col("text"), " "))).count() // explode
+      graft.operators.Dedup
+        .minhashLsh(a.limit(2000).withColumnRenamed("id", "doc_id"), "text", "doc_id")
+        .count()                                                    // sketch aggs + LSH shapes
+    }
     val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val names =
       if (all) SparkEntry.queries.keys.toSeq

@@ -10,6 +10,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // TypedImperativeAggregate (minhash/simhash) groups far exceed the
+      // 128-group default before the sort-based fallback kicks in
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,226 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native sketch aggregates for the dedup pipeline.
+  *
+  * The declarative formulation (`k` separate `min(xxhash64(sh, i))`
+  * aggregates, 64 separate bit-count sums) is correct but generates a plan
+  * whose whole-stage code is huge — Janino pays seconds compiling it, and
+  * every row evaluates `k` independent full hashes. These
+  * `TypedImperativeAggregate`s replace that with ONE expression each:
+  *
+  *  - [[MinHashAgg]]: an `Array[Long](k)` buffer; per input string two
+  *    xxhash64 evaluations (h1, h2) extended to k hash functions via the
+  *    Kirsch–Mitzenmacher construction g_i = h1 + i·h2 (standard for
+  *    LSH/Bloom families; preserves the minhash collision property). ~64×
+  *    less hashing per row and a constant-size generated plan.
+  *  - [[SimHashAgg]]: a 65-slot count buffer (64 bit-counts + n), one
+  *    xxhash64 per token, majority vote at eval.
+  *
+  * Both run under ObjectHashAggregateExec with partial aggregation
+  * (map-side combine), so the shuffle carries one small buffer per
+  * (partition, id) — the same scale shape as the flat-aggregate plan.
+  */
+case class MinHashAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s  = v.asInstanceOf[UTF8String]
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
+      var i = 0
+      var g = h1
+      while (i < k) {
+        if (g < buf(i)) buf(i) = g
+        g += h2
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (other(i) < buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * k)
+    var i = 0
+    while (i < k) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](k)
+    var i = 0
+    while (i < k) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** 64-bit SimHash: bit i of the result is set iff a majority of the group's
+  * token hashes have bit i set. Buffer = 64 bit-counts + token count.
+  */
+case class SimHashAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = child :: Nil
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](65)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String]
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var i = 0
+      while (i < 64) { buf(i) += (h >>> i) & 1L; i += 1 }
+      buf(64) += 1L
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < 65) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val n  = buf(64)
+    var fp = 0L
+    var i  = 0
+    while (i < 64) { if (buf(i) * 2 > n) fp |= (1L << i); i += 1 }
+    fp
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * 65)
+    var i = 0
+    while (i < 65) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](65)
+    var i = 0
+    while (i < 65) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** LSH band keys from a minhash signature in one expression: band b's key is
+  * an xxhash64 chain over the band's `rowsPerBand` signature slots. Replaces
+  * a `bands`-wide `hash(slice(sig, …))` projection whose generated code grew
+  * with the band count (and cost Janino a visible compile) with a tiny
+  * constant-size loop, both interpreted and codegen'd.
+  */
+case class BandHashes(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                      bands: Int, rowsPerBand: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < rowsPerBand) { h = XXH64.hashLong(sig.getLong(b * rowsPerBand + r), h); r += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, sig => {
+      val out = ctx.freshName("out")
+      val b   = ctx.freshName("b")
+      val r   = ctx.freshName("r")
+      val h   = ctx.freshName("h")
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = 42L;
+         |  for (int $r = 0; $r < $rowsPerBand; $r++) {
+         |    $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+         |      $sig.getLong($b * $rowsPerBand + $r), $h);
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): Expression =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** MinHash signature aggregate: `array<long>` of length k per group. */
+  def minhash_agg(c: Column, k: Int): Column =
+    column(MinHashAgg(expression(c), k).toAggregateExpression())
+
+  /** 64-bit SimHash fingerprint aggregate over the group's tokens. */
+  def simhash_agg(c: Column): Column =
+    column(SimHashAgg(expression(c)).toAggregateExpression())
+
+  /** Per-band LSH bucket keys of a minhash signature (array of length bands). */
+  def band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    column(BandHashes(expression(sig), bands, rowsPerBand))
+}

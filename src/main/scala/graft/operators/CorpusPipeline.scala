@@ -69,19 +69,22 @@ object CorpusPipeline {
       allowedLangs: Seq[String] = Nil,
       nearDupThreshold: Double = 0.8,
   ): CleanResult = {
-    val n0 = docs.count()
-
-    // 1. structural quality gate
+    // 1. structural quality gate; input + surviving counts in ONE pass
+    val qualityCond = col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio
+    val counts = TextAnalysis.qualityFeatures(docs, textCol)
+      .agg(count(lit(1)).as("n0"),
+        sum(when(qualityCond, 1L).otherwise(0L)).as("n1")).head()
+    val n0 = counts.getLong(0)
+    val n1 = counts.getLong(1)
     val quality = TextAnalysis.qualityFeatures(docs, textCol)
-      .filter(col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio)
+      .filter(qualityCond)
       .select(docs.columns.map(col): _*)
-    val n1 = quality.count()
 
-    // 2. language gate
+    // 2. language gate (count only paid when the gate is active)
     val langed =
       if (allowedLangs.isEmpty) quality
       else quality.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
-    val n2 = langed.count()
+    val n2 = if (allowedLangs.isEmpty) n1 else langed.count()
 
     // 3. exact dedup (deterministic survivor = min id); materialized once —
     // it feeds the count, the LSH pass, and the final anti-join

@@ -100,17 +100,18 @@ object Dedup {
       .select(col("id"), concat_ws(" ", (col("col") +: leadCols): _*).as("sh"))
   }
 
-  /** MinHash signatures via k codegen'd `min(xxhash64(sh, i))` aggregates
-    * over the exploded shingle rows — one shuffle on id, no interpreted
-    * lambdas. Output: (id, m0..m{k-1}) plus the assembled `sig` array.
+  /** MinHash signatures via the native [[graft.functions.MinHashAgg]]
+    * aggregate over the exploded shingle rows — one shuffle on id carrying a
+    * single k-long buffer per (partition, id) (map-side partial agg). One
+    * small expression instead of k flat aggregates: constant-size generated
+    * code (no multi-second Janino compile of a 128-agg plan) and two hash
+    * evaluations per shingle instead of k. Output: (id, sig: array<long>).
     */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
-                        shingleWords: Int, k: Int): DataFrame = {
-    val mins = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"m$i"))
+                        shingleWords: Int, k: Int): DataFrame =
     shingleRows(df, textCol, idCol, shingleWords)
       .groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-  }
+      .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
 
   /** LSH band keys from a minhash signature: `b` bands of `r` rows each;
     * band key = hash of the band's slice. Docs sharing any band key are
@@ -140,26 +141,37 @@ object Dedup {
       bands: Int = 32,
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
+  ): DataFrame =
+    minhashLshFromShingleRows(
+      shingleRows(df, textCol, idCol, shingleWords), bands, rowsPerBand, threshold)
+
+  /** Core of [[minhashLsh]] over pre-computed (id, sh) shingle rows — callers
+    * that need the shingles for other purposes too (e.g. [[ngramJaccard]]'s
+    * exact verify) share ONE shingling pass instead of re-scanning the
+    * corpus. */
+  def minhashLshFromShingleRows(
+      shRows: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
   ): DataFrame = {
     val k    = bands * rowsPerBand
-    val sigs = minhashSignatures(df, textCol, idCol, shingleWords, k).cache()
-    // band bucket = hash of the band's signature slice, from the flat
-    // min-columns (codegen'd variadic hash — no array slicing)
-    val buckets = array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"m$i")): _*).as("bucket"))
-    }: _*)
+    val sigs = shRows.groupBy("id")
+      .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
+      .cache()
+    // band bucket = native per-band hash of the signature (one tiny loop
+    // expression instead of a bands-wide hash(slice(…)) projection);
     // carry ONLY ids through the exploded self-join; signatures rejoin later
-    val banded = sigs.select(col("id"), explode(buckets).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val banded = sigs.select(col("id"),
+        posexplode(graft.functions.SketchFunctions.band_hashes(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sigArr = sigs.select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     candidates
-      .join(sigArr.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sigArr.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast(DoubleType) / lit(k)).as("est_jaccard"))
@@ -194,21 +206,15 @@ object Dedup {
     * shares at least one exact chunk → equality join on (block_idx, chunk).
     * Again an equality shuffle, no cross join.
     */
-  /** SimHash fingerprints the codegen way: explode tokens → one shuffle on
-    * id → 64 `sum((h >> i) & 1)` aggregates → flat majority-vote assembly.
-    * Same fingerprint as [[simhash64]], ~10× faster in bulk. */
-  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val rows = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val aggs = count(lit(1)).as("n") +:
-      (0 until 64).map(i => sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
-    val counted = rows.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val fp = (0 until 64)
-      .map(i => when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    counted.select(col("id"), fp.as("fp"))
-  }
+  /** SimHash fingerprints via the native [[graft.functions.SimHashAgg]]
+    * aggregate: explode tokens → one shuffle on id carrying a 65-long count
+    * buffer (map-side partial agg) → majority-vote assembly at eval. One
+    * small expression instead of 64 flat sum-aggregates — constant-size
+    * generated code, one hash per token. */
+  def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("id")
+      .agg(graft.functions.SketchFunctions.simhash_agg(col("t")).as("fp"))
 
   def simhashPairs(
       df: DataFrame,
@@ -308,9 +314,10 @@ object Dedup {
       bands: Int = 32,
       rowsPerBand: Int = 4,
   ): DataFrame = {
-    val sh = shingleRows(df, textCol, idCol, n)
-      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
-    val candidates = minhashLsh(df, textCol, idCol, n, bands, rowsPerBand, threshold = 0.0)
+    // one shingling pass feeds both the minhash candidates and the exact sets
+    val shRows = shingleRows(df, textCol, idCol, n).cache()
+    val sh = shRows.groupBy("id").agg(collect_set(col("sh")).as("sh"))
+    val candidates = minhashLshFromShingleRows(shRows, bands, rowsPerBand, threshold = 0.0)
       .select("id_a", "id_b")
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")

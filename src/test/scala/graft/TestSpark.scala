@@ -9,6 +9,7 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
