@@ -556,7 +556,7 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val q   = emb.filter(col("vec_id") < 3)
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
-        k = 10, nCells = 16, nProbe = 4)
+        k = 10, nCells = 16, nProbe = 4, kmeansIters = 2)
         .orderBy("query_id", "rank")
     }),
 
@@ -703,6 +703,21 @@ object SparkEntry {
         .unpivot(Array(col("o_orderstatus")), Array(col("n_orders"), col("sum_price")),
           "metric", "value")
         .orderBy("o_orderstatus", "metric")
+    }),
+
+    "q_json_functions" -> ((s, dir) => {
+      // JSON path extraction + schema-driven parse over a JSON column (the
+      // document-metadata sidecar shape of a training pipeline)
+      val js = concat(lit("{\"lang\":\""), col("lang"), lit("\",\"n\":"), col("n_chars"),
+        lit(",\"src\":\""), col("source"), lit("\"}"))
+      val schema = "lang STRING, n BIGINT, src STRING"
+      T(s, dir, "documents")
+        .select(col("doc_id"), js.as("js"))
+        .select(col("doc_id"),
+          get_json_object(col("js"), "$.lang").as("j_lang"),
+          get_json_object(col("js"), "$.n").cast(LongType).as("j_n"),
+          from_json(col("js"), schema, Map.empty[String, String]).getField("src").as("j_src"))
+        .orderBy("doc_id")
     }),
 
     "events_hourly" -> ((s, dir) => {
@@ -1038,6 +1053,17 @@ object SparkEntry {
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
          | FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          | ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_json_functions" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |   '{"lang":"' || lang || '","n":' || n_chars || ',"src":"' || source || '"}' AS js
+        |  FROM documents)
+        |SELECT doc_id,
+        |  json_extract_string(js, '$.lang') AS j_lang,
+        |  CAST(json_extract(js, '$.n') AS BIGINT) AS j_n,
+        |  json_extract_string(js, '$.src') AS j_src
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "q_pivot" ->
       s"""SELECT o_orderpriority,

@@ -148,10 +148,37 @@ object Similarity {
       .drop("__cent", "__sim", "__rk")
   }
 
+  /** Lloyd-refined coarse centroids: seed with the first `nCells` corpus
+    * vectors (deterministic), then `iters` rounds of assign → element-wise
+    * member mean. Each round is one broadcast-assign pass over the corpus
+    * plus a (cell, dim)-grouped mean — two narrow shuffles of nCells×dim
+    * rows; the tiny centroid table is localCheckpoint'ed per round so plan
+    * lineage stays flat (iterative-loop rule). Cells that lose all members
+    * drop out (k may shrink).
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, iters: Int = 2): DataFrame = {
+    val vecs = df.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
+    var cents = vecs.orderBy("__kid").limit(nCells)
+      .select(col("__kid").as("cent_id"), col("__kv").as("cent_vec"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(vecs, "__kid", "__kv", cents, "cent_id", "cent_vec", nProbe = 1)
+      cents = assigned
+        .select(col("cell").as("cent_id"), posexplode(col("__kv")))
+        .groupBy("cent_id", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast(FloatType)).as("cent_vec"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   /** IVF ANN top-k — the second scale path next to [[lshTopK]]:
     * coarse-quantize the corpus into `nCells` cells (centroids seeded
-    * deterministically from the corpus; a k-means refinement would slot in
-    * without changing the plan), probe the query's `nProbe` nearest cells,
+    * deterministically from the corpus, optionally Lloyd-refined with
+    * `kmeansIters` rounds), probe the query's `nProbe` nearest cells,
     * exact re-rank inside them. Candidate generation is an equality join on
     * `cell`; the corpus is scanned once for assignment and once for
     * re-rank-by-candidate.
@@ -159,11 +186,13 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
-      k: Int = 10, nCells: Int = 16, nProbe: Int = 4,
+      k: Int = 10, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0,
   ): DataFrame = {
-    val centroids = corpus
-      .select(col(corpusId).as("cent_id"), col(corpusVec).as("cent_vec"))
-      .orderBy("cent_id").limit(nCells)
+    val centroids =
+      if (kmeansIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, nCells, kmeansIters)
+      else corpus
+        .select(col(corpusId).as("cent_id"), col(corpusVec).as("cent_vec"))
+        .orderBy("cent_id").limit(nCells)
     val corpusCells = ivfAssign(
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
       "neighbor_id", "__cv", centroids, "cent_id", "cent_vec", nProbe = 1)

@@ -29,6 +29,36 @@ object StreamingOps {
                   watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
 
+  /** Sliding-window rates: overlapping windows of `windowLen` advancing by
+    * `slide` — each event lands in windowLen/slide windows. Watermarked, so
+    * window state is evicted once the watermark passes the window end. */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+                    slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"), col("event_type"), col("n"))
+
+  /** Stream–stream interval join: each left event pairs with right events for
+    * the same user whose timestamps lie within [left.ts, left.ts + maxLag].
+    * Both sides are watermarked and the join condition bounds event time on
+    * both, so Spark can discard buffered rows once the watermark passes —
+    * state stays bounded on unbounded inputs (the streaming twin of the
+    * `events_asof_join` batch shape, relaxed to an interval). */
+  def intervalJoin(left: DataFrame, right: DataFrame, maxLag: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_event_id"), col("ts").as("l_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxLag"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, firstUs: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, first_us: Long, last_us: Long)

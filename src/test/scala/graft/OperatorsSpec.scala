@@ -168,6 +168,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("kmeans-refined IVF: centroids converge and recall holds") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", nCells = 8, iters = 2)
+    val n = cents.count()
+    assert(n > 0 && n <= 8)
+    // refined centroids are means: dim preserved
+    assert(cents.select(size(col("cent_vec"))).as[Int].head() == 64)
+    val q = e.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 5, nCells = 8, nProbe = 4, kmeansIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(recall >= 0.4, s"k-means IVF recall too low: $recall")
+  }
+
   test("lsh recall vs brute force on real embeddings is usable") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)

@@ -63,4 +63,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1.length == 2)
     assert(u1(1).session_id == 2L && u1(1).n_events == 1L)
   }
+
+  test("sliding windows: event lands in every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.slidingCounts(df, "1 hour", "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("slide_test").outputMode("complete").start()
+    input.addData((Timestamp.valueOf("2024-01-01 10:40:00"), "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("slide_test")
+      .select("w_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    q.stop()
+    // 10:40 falls in [10:00,11:00) and [10:30,11:30)
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "click", 1L),
+      ("2024-01-01 10:30:00.0", "click", 1L),
+    ))
+  }
+
+  test("stream-stream interval join pairs events within the lag, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val l = MemoryStream[StreamingOps.Event]
+    val r = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.intervalJoin(l.toDF(), r.toDF(), maxLag = "30 minutes")
+      .writeStream.format("memory").queryName("ij_test").outputMode("append").start()
+    l.addData(Event(1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00"), 0.0))
+    r.addData(
+      Event(1L, 20L, Timestamp.valueOf("2024-01-01 10:10:00"), 0.0), // within lag
+      Event(1L, 21L, Timestamp.valueOf("2024-01-01 11:10:00"), 0.0), // beyond lag
+      Event(2L, 22L, Timestamp.valueOf("2024-01-01 10:05:00"), 0.0), // other user
+    )
+    q.processAllAvailable()
+    // advance both watermarks so matched rows are emitted deterministically
+    l.addData(Event(9L, 90L, Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    r.addData(Event(9L, 91L, Timestamp.valueOf("2024-01-01 13:00:00"), 0.0))
+    q.processAllAvailable()
+    val out = spark.table("ij_test")
+      .select("l_event_id", "r_event_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    q.stop()
+    assert(out.contains((10L, 20L)))
+    assert(!out.exists(_._2 == 21L))
+    assert(!out.exists(_._2 == 22L))
+  }
+
+  test("watermark drops late data in tumbling aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    // append mode: a window only emits once the watermark passes its end,
+    // and rows later than the watermark are dropped
+    val q = StreamingOps.hourlyAggregates(df, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_test").outputMode("append").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2024-01-01 10:50:00"), "click", 2.0),
+    )
+    q.processAllAvailable()
+    // watermark -> 10:40; this row is 70 min late (ts 09:30 < watermark): dropped
+    input.addData((Timestamp.valueOf("2024-01-01 09:30:00"), "click", 100.0))
+    q.processAllAvailable()
+    // advance watermark past 11:00 so the 10:00 window finalizes
+    input.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("late_test")
+      .select("hour", "event_type", "n", "sum_value").collect()
+      .map(x => (x.getTimestamp(0).toString, x.getString(1), x.getLong(2), x.getDouble(3))).toSet
+    q.stop()
+    // the late 09:30 row must NOT appear (no 09:00 window, sum stays 3.0)
+    assert(out == Set(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+  }
 }
