@@ -61,4 +61,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("floatveccosine") || p.contains("FloatVecCosine"), p.take(1500))
     assert(!p.toLowerCase.contains("lambdafunction"), p.take(1500))
   }
+
+  test("minhash runs as ONE object hash aggregate, not a wide flat-agg plan") {
+    val p = graft.operators.Dedup
+      .minhashSignatures(spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", 3, 128)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), p.take(1500))
+    assert(p.contains("minhashagg") || p.contains("MinHashAgg"), p.take(1500))
+  }
+
+  test("embedding blocked pairs is an equality join on the block key") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("embedding LSH near-dup candidates come from an equality join") {
+    val p = graft.operators.Dedup
+      .embeddingNearDup(spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("pivot compiles to a single aggregate pass (no per-value scans)") {
+    val p = plan("q_pivot")
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(2000))
+  }
 }
