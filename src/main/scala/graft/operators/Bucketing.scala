@@ -32,4 +32,17 @@ object Bucketing {
   /** Does the executed plan contain a shuffle exchange? */
   def hasShuffle(df: DataFrame): Boolean =
     df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  /** Write `df` hive-partitioned on `partitionCols` — the standing layout
+    * for predicates that always filter on those columns (date, status,
+    * shard): the scan prunes whole directories instead of reading and
+    * filtering. `repartition` on the partition columns first so each leaf
+    * directory gets one file, not one per task (small-file hygiene — at
+    * 100 TB a task-crossed partitionBy writes task×partition tiny files).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -38,4 +38,27 @@ class BucketingSpec extends AnyFunSuite {
 
     dropTable("graft_bl"); dropTable("graft_br")
   }
+
+  test("partitioned layout: filter prunes partitions at the scan, one file per leaf") {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_part_test"
+    val df = (1 to 3000).map(i => (i.toLong, s"s${i % 3}", i % 10)).toDF("id", "status", "v")
+    Bucketing.writePartitioned(df, path, Seq("status"))
+
+    // one data file per leaf dir (repartition-by-partition-cols hygiene)
+    val leaf = java.nio.file.Paths.get(path, "status=s1")
+    val files = java.nio.file.Files.list(leaf).toArray.map(_.toString)
+      .filter(f => f.endsWith(".parquet"))
+    assert(files.length == 1, files.mkString(","))
+
+    val read = spark.read.parquet(path).filter(col("status") === "s1")
+    val plan = read.queryExecution.executedPlan.toString
+    // partition filter reaches the scan: only the matching directory is read
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan.take(1500))
+    assert(read.count() == 1000)
+
+    java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 }

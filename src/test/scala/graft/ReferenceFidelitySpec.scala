@@ -77,4 +77,61 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(Set("SHF", "REGION_MASK", "NO2", "O2").subsetOf(u))
     assert(cat.length == 1L && cat.df.count() == 5L)
   }
+
+  test("set-container catalog decodes as SetT (access-columns-with-sets)") {
+    val cat = EsmCatalog.open(spark, s"$base/access-columns-with-sets.json")
+    assert(cat.iterableDtypes.get("variable").contains(CatalogReader.ContainerType.SetT))
+    assert(cat.search(Map("variable" -> Seq("aice_m"))).length == 1L)
+  }
+
+  test("parquet catalog file loads identically to its csv twin (cmip5-netcdf-parquet)") {
+    val pq  = EsmCatalog.open(spark, s"$base/cmip5-netcdf-parquet.json")
+    val csv = EsmCatalog.open(spark, s"$base/cmip5-netcdf.json")
+    assert(pq.df.count() == csv.df.count())
+    assert(pq.df.columns.sorted.toSeq == csv.df.columns.sorted.toSeq)
+    assert(pq.length == csv.length)
+  }
+
+  test("no aggregation_control: groupby falls back, unique has no derived entry (test_catalog_unique)") {
+    val cat = EsmCatalog.open(spark, s"$base/cmip6-netcdf-noagg.json")
+    // reference: len(uniques) == len(cat.df.columns) + 0 for the noagg catalog
+    assert(cat.uniqueValues.size == cat.df.columns.length)
+    assert(cat.length > 0)
+    // keys_info has one row per key (test_catalog_keys_info)
+    assert(cat.keysInfo.count() == cat.length)
+  }
+
+  test("per-row format column drives asset dispatch (cmip6-bcc-mixed-formats)") {
+    val cat = EsmCatalog.open(spark, s"$base/cmip6-bcc-mixed-formats.json")
+    assert(cat.model.assets.formatColumnName.contains("format"))
+    val formats = cat.df.select("format").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(formats == Set("netcdf", "zarr"))
+    // materialization must fail on the connector boundary, not before it
+    val e = intercept[Exception](cat.toDatasetDict(Nil))
+    assert(e.isInstanceOf[UnsupportedOperationException] ||
+      e.getCause.isInstanceOf[UnsupportedOperationException])
+  }
+
+  test("bad catalog: dangling './tests/…' catalog_file recovers via the sibling fallback") {
+    // the reference fails on this fixture (cat.py:318-322 resolves only
+    // against the descriptor dir); the engine's documented extra fallback
+    // (CatalogReader.resolveCatalogFile) finds the csv next to the json
+    val cat = EsmCatalog.open(spark, s"$base/bad.json")
+    assert(cat.df.count() > 0)
+  }
+
+  test("truly missing catalog_file fails with a load error, not an NPE") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft_badcat")
+    val json = dir.resolve("gone.json")
+    java.nio.file.Files.write(json,
+      """{"esmcat_version":"0.1.0","id":"gone","description":"x",
+        |"catalog_file":"./no-such-file.csv",
+        |"attributes":[{"column_name":"a","vocabulary":""}],
+        |"assets":{"column_name":"path","format":"zarr"}}""".stripMargin.getBytes("UTF-8"))
+    val e = intercept[Exception](EsmCatalog.open(spark, json.toString).df.count())
+    assert(!e.isInstanceOf[NullPointerException])
+    java.nio.file.Files.deleteIfExists(json)
+    java.nio.file.Files.deleteIfExists(dir)
+  }
 }
