@@ -518,6 +518,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q_sketch_stats" -> ((s, dir) => {
+      // the 100 TB statistics path: HLL++ distinct counts and quantile
+      // sketches instead of exact shuffles. Property-style oracle: the
+      // exact values travel alongside booleans asserting the sketches land
+      // within their error bounds (DuckDB emits the exact values + TRUE).
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_nd"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("hll_nd"),
+          percentile(col("l_quantity"), lit(0.5)).as("exact_median"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("apx_median"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("hll_nd") - col("exact_nd")).cast(DoubleType) / col("exact_nd") <= 0.05)
+            .as("hll_ok"),
+          col("exact_median"),
+          (abs(col("apx_median") - col("exact_median")) <= lit(1.0)).as("median_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     "pipeline_train_val_split" -> ((s, dir) => {
       // deterministic engine-portable md5 split; report per-(lang, split)
       // counts — assignment is a pure function of (lang, doc_id, seed), so
@@ -1092,6 +1112,16 @@ object SparkEntry {
     "q_quantiles" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         | quantile_cont(l_quantity, 0.9) AS p90_qty, COUNT(*) AS n
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact values + expected-true accuracy flags: if a Spark sketch drifts
+    // outside its bound, the boolean flips and the hash compare fails
+    "q_sketch_stats" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_orderkey) AS exact_nd,
+        | TRUE AS hll_ok,
+        | quantile_cont(l_quantity, 0.5) AS exact_median,
+        | TRUE AS median_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "events_hourly" ->
