@@ -59,6 +59,10 @@ object Bench {
       graft.operators.Dedup
         .minhashLsh(a.limit(2000).withColumnRenamed("id", "doc_id"), "text", "doc_id")
         .count()                                                    // sketch aggs + LSH shapes
+      // input fixtures (one-time per sf dir, _READY-marker cached) are
+      // setup, not query work — build them outside the timed region
+      graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)
+      SparkEntry.ensureCsvFixture(spark, sfDir)
     }
     val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val names =
