@@ -555,6 +555,26 @@ object SparkEntry {
         .orderBy("lang", "split")
     }),
 
+    "pipeline_chunk_docs" -> ((s, dir) => {
+      // context-length chunking: overlapping 64-token windows, stride 48 —
+      // pure per-row expressions, no shuffle (runs inside the scan)
+      graft.operators.Chunking
+        .chunkDocuments(T(s, dir, "documents"), "doc_id", "text", chunkTokens = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("chunk_text"), col("chunk_tokens").cast(LongType).as("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      // sequence packing into 512-token bins, per language stratum (packing
+      // is sequential; stratum windows keep it shuffle-local, no global sort)
+      graft.operators.Chunking
+        .packSequences(T(s, dir, "documents"), "doc_id", "text", "lang", budget = 512)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    }),
+
     "pipeline_clean_corpus" -> ((s, dir) => {
       import s.implicits._
       val r = graft.operators.CorpusPipeline.clean(
@@ -1216,6 +1236,33 @@ object SparkEntry {
         |       ELSE 'und' END AS guess
         |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS m FROM h)
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_chunk_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, t,
+        |    greatest(CAST(ceil(len(t) / 48.0) AS BIGINT), 1) AS nc
+        |  FROM toks),
+        |e AS (SELECT doc_id, t, i AS chunk_idx FROM c, UNNEST(range(0, nc)) AS r(i))
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(t[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text,
+        |  CAST(len(t[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT) AS chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT lang, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 
     "pipeline_train_val_split" ->
       """WITH b AS (

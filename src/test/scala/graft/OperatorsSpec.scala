@@ -129,6 +129,42 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class ChunkingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Chunking
+
+  test("chunking: overlapping windows cover all tokens; short docs give one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, chunk=4 stride=2 -> 5 chunks
+      (2L, "a b"),                                    // short: one chunk
+      (3L, ""),                                       // empty: one empty chunk
+    ).toDF("doc_id", "text")
+    val out = Chunking.chunkDocuments(docs, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 5)
+    assert(d1(0)._3 == "t1 t2 t3 t4")
+    assert(d1(1)._3 == "t3 t4 t5 t6") // stride 2, overlap 2
+    assert(d1(4)._3 == "t9 t10")      // tail chunk clamps
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2)))
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0)))
+  }
+
+  test("packing: bins respect the budget boundary per stratum, in id order") {
+    val docs = Seq(
+      (1L, (1 to 6).map(_ => "w").mkString(" "), "en"),  // 6 tokens, cum 6  -> bin 0
+      (2L, (1 to 5).map(_ => "w").mkString(" "), "en"),  // cum 11 -> starts at 6 -> bin 0
+      (3L, (1 to 4).map(_ => "w").mkString(" "), "en"),  // starts at 11 -> bin 1
+      (4L, (1 to 9).map(_ => "w").mkString(" "), "de"),  // other stratum packs independently
+    ).toDF("doc_id", "text", "lang")
+    val out = Chunking.packSequences(docs, "doc_id", "text", "lang", budget = 10)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1L)
+    assert(out(4L) == 0L)
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
