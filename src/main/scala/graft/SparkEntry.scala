@@ -767,6 +767,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_funnel" -> ((s, dir) => {
+      // ordered funnel: first view, first click AFTER that view, first
+      // purchase AFTER that click — three chained per-user window minima
+      // (one shuffle on user_id, reused by all three), then one count row
+      val w  = Window.partitionBy("user_id")
+      val e  = events(s, dir).select("user_id", "event_type", "us")
+      val s3 = e
+        .withColumn("v_us", min(when(col("event_type") === "view", col("us"))).over(w))
+        .withColumn("c_us", min(when(col("event_type") === "click" && col("us") > col("v_us"), col("us"))).over(w))
+        .withColumn("p_us", min(when(col("event_type") === "purchase" && col("us") > col("c_us"), col("us"))).over(w))
+      s3.groupBy("user_id")
+        .agg(max(col("v_us")).as("v"), max(col("c_us")).as("c"), max(col("p_us")).as("p"))
+        .agg(
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("n_click_after_view"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_purchase_full_funnel"))
+    }),
+
     "events_hourly" -> ((s, dir) => {
       events(s, dir)
         .groupBy((col("us") - col("us") % lit(3600000000L)).as("hour_us"), col("event_type"))
@@ -1150,6 +1168,21 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.5) AS exact_median,
         | TRUE AS median_ok
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+        |         OVER (PARTITION BY user_id) AS v_us FROM e),
+        |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND us > v_us THEN us END)
+        |         OVER (PARTITION BY user_id) AS c_us FROM s1),
+        |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > c_us THEN us END)
+        |         OVER (PARTITION BY user_id) AS p_us FROM s2),
+        |per AS (SELECT user_id, MAX(v_us) AS v, MAX(c_us) AS c, MAX(p_us) AS p
+        |        FROM s3 GROUP BY user_id)
+        |SELECT CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+        |  CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_full_funnel
+        |FROM per""".stripMargin,
 
     "events_hourly" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
