@@ -18,7 +18,8 @@ object Bench {
     "combine_by_coords", "agg_union", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "embed_cosine_topk",
     "ann_ivf_topk", "text_quality", "events_sessionize", "events_asof_join",
-    "multimodal_frames", "pipeline_clean_corpus")
+    "multimodal_frames", "pipeline_clean_corpus", "dedup_embedding",
+    "pipeline_chunk_docs", "events_funnel", "q_sketch_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
