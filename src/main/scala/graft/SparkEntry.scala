@@ -504,6 +504,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "q_exists_subquery" -> ((s, dir) => {
+      // correlated EXISTS — Catalyst rewrites it to a left-semi hash join
+      T(s, dir, "orders").createOrReplaceTempView("ord_v")
+      T(s, dir, "lineitem").createOrReplaceTempView("li_v")
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus
+          | FROM ord_v o
+          | WHERE EXISTS (SELECT 1 FROM li_v l
+          |               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          |   AND o_custkey % 500 = 0
+          | ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    "q_window_range" -> ((s, dir) => {
+      // RANGE frame over event time: trailing-90-day spend per customer —
+      // value-based frames are the time-series shape rows-frames can't express
+      val day = 86400000000L
+      val w = Window.partitionBy("o_custkey").orderBy("od_us")
+        .rangeBetween(-90L * day, 0)
+      T(s, dir, "orders")
+        .filter(col("o_custkey") % 200 === 0)
+        .withColumn("od_us", unix_micros(col("o_orderdate").cast("timestamp")))
+        .withColumn("trailing_90d_spend", sum(dec(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select("o_custkey", "o_orderkey", "od_us", "trailing_90d_spend")
+        .orderBy("o_custkey", "od_us", "o_orderkey")
+    }),
+
     "q_window_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, 0)
@@ -1145,6 +1172,25 @@ object SparkEntry {
          |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
          |UNION ALL SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
          |ORDER BY o_orderstatus, metric""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT o_orderkey, o_orderstatus
+        | FROM orders o
+        | WHERE EXISTS (SELECT 1 FROM lineitem l
+        |               WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        |   AND o_custkey % 500 = 0
+        | ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_range" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, o_totalprice
+        | FROM orders WHERE o_custkey % 200 = 0)
+        |SELECT o_custkey, o_orderkey, od_us,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   OVER (PARTITION BY o_custkey ORDER BY od_us
+        |         RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  AS trailing_90d_spend
+        |FROM o ORDER BY o_custkey, od_us, o_orderkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,

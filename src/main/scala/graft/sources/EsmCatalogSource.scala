@@ -165,14 +165,21 @@ final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      // column pruning: a projection over the catalog reaches the reader, so
+      // only the requested columns are decoded (visible as a narrowed
+      // ReadSchema in explain — same contract as the parquet scan)
+      private var pruned: StructType = schema0
+      override def pruneColumns(required: StructType): Unit =
+        pruned = StructType(schema0.fields.filter(f => required.fieldNames.contains(f.name)))
       override def build(): Scan             = this
-      override def readSchema(): StructType  = schema0
+      override def readSchema(): StructType  = pruned
       override def toBatch: Batch            = this
       override def planInputPartitions(): Array[InputPartition] =
         Array(EsmCatalogPartition(descriptorPath))
       override def createReaderFactory(): PartitionReaderFactory =
-        new EsmCatalogReaderFactory(schema0)
+        new EsmCatalogReaderFactory(pruned)
     }
 }
 

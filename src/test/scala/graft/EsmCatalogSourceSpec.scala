@@ -37,4 +37,14 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n > 0)
   }
+
+  test("format(esmcat) prunes unprojected columns at the scan") {
+    val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
+    val df   = spark.read.format("esmcat").load(json).select("status", "member")
+    // DSv2 BatchScan prints its (pruned) output attribute list
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val cols = scan.output.map(_.name).toSet
+    assert(cols == Set("status", "member"), scan.toString.take(800))
+    assert(df.distinct().count() > 0)
+  }
 }
