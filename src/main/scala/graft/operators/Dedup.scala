@@ -65,9 +65,12 @@ object Dedup {
     )
   }
 
-  /** Whitespace tokens, empties removed. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace tokens, empties removed — trim-then-split stays
+    * codegen'd (see TextAnalysis.tokens). */
+  def tokens(c: Column): Column = {
+    val t = trim(lower(c))
+    when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   // ---------------------------------------------------------------- minhash
 

@@ -12,10 +12,17 @@ import org.apache.spark.sql.types._
 object TextAnalysis {
 
   /** Whitespace tokens with empties removed. */
-  def tokens(c: Column): Column = filter(split(c, "\\s+"), t => length(t) > 0)
+  /** Whitespace tokens, empties removed. trim-then-split keeps the whole
+    * expression in codegen (a `filter(split(…))` higher-order function is
+    * interpreted) — `\s+` splitting of a trimmed string can only produce
+    * empties for the empty string, special-cased to an empty array. */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   /** Token count: whitespace segmentation (spaces + newlines/tabs). */
-  def tokenCount(c: Column): Column = size(filter(split(c, "\\s+"), t => length(t) > 0))
+  def tokenCount(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword count estimate: word-piece regex segmentation —
     * alternating letter-runs / digit-runs / single punctuation, the classic
