@@ -712,6 +712,33 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    "q_datetime_functions" -> ((s, dir) => {
+      // date/time function breadth over the order timeline
+      val od = col("o_orderdate").cast("timestamp")
+      T(s, dir, "orders")
+        .filter(col("o_custkey") % 1000 === 0)
+        .select(
+          col("o_orderkey"),
+          year(od).as("yr"), month(od).as("mo"), dayofmonth(od).as("dy"),
+          (dayofweek(od) - 1).as("dow0"), dayofyear(od).as("doy"), quarter(od).as("qtr"),
+          unix_micros(date_trunc("week", od)).as("week_start_us"),
+          unix_micros(last_day(od.cast("date")).cast("timestamp")).as("month_end_us"),
+          unix_micros(date_add(od.cast("date"), 30).cast("timestamp")).as("plus30_us"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_map_functions" -> ((s, dir) => {
+      // map-typed column round trip: build, probe, enumerate
+      val m = map(lit("lang"), col("lang"), lit("src"), col("source"))
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(m, "lang").as("m_lang"),
+          element_at(m, "src").as("m_src"),
+          size(m).as("n_keys"),
+          array_join(map_keys(m), ",").as("keys"))
+        .orderBy("doc_id")
+    }),
+
     "q_anti_join" -> ((s, dir) => {
       // customers that never placed an urgent order (left_anti = NOT EXISTS)
       val c = T(s, dir, "customer")
@@ -1172,6 +1199,21 @@ object SparkEntry {
          |SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM w
          |UNION ALL SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
          |ORDER BY o_orderstatus, metric""".stripMargin,
+
+    "q_datetime_functions" ->
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        | CAST(day(o_orderdate) AS INT) AS dy, CAST(dayofweek(o_orderdate) AS INT) AS dow0,
+        | CAST(dayofyear(o_orderdate) AS INT) AS doy, CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | epoch_us(date_trunc('week', o_orderdate)) AS week_start_us,
+        | epoch_us(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS month_end_us,
+        | epoch_us(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)) AS plus30_us
+        | FROM orders WHERE o_custkey % 1000 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q_map_functions" ->
+      """SELECT doc_id, lang AS m_lang, source AS m_src,
+        | CAST(2 AS INT) AS n_keys, 'lang,src' AS keys
+        | FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_exists_subquery" ->
       """SELECT o_orderkey, o_orderstatus
