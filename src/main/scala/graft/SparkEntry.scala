@@ -43,7 +43,7 @@ object SparkEntry {
   /** events.parquet uses TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; read it as raw nanos (LongType) and derive microseconds —
     * exact integer math, matching DuckDB's epoch_us(). */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     T(s, dir, "events").withColumn("us", expr("ts div 1000"))
   }
@@ -673,6 +673,15 @@ object SparkEntry {
       val d = T(s, dir, "documents").select(col("doc_id"), (col("n_chars") * 10).as("duration_ms"))
       Multimodal.sampleFrames(d, "doc_id", "duration_ms", everyMs = 500L)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    "multimodal_resize" -> ((s, dir) => {
+      // aspect-fit resize planning (integer math, engine-portable); synthetic
+      // source dims derived deterministically from n_chars on both sides
+      val d = T(s, dir, "documents").select(col("doc_id"),
+        (col("n_chars") % 1920 + 1).as("w"), ((col("n_chars") * 7) % 1080 + 1).as("h"))
+      Multimodal.resizePlan(d, "doc_id", "w", "h", target = 224)
+        .orderBy("doc_id")
     }),
 
     "multimodal_decode_stub" -> ((s, dir) => {
@@ -1399,6 +1408,17 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM v GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars % 1920 + 1 AS w, (n_chars * 7) % 1080 + 1 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((w * 224) // greatest(w, h) AS INT) AS out_w,
+        |  CAST((h * 224) // greatest(w, h) AS INT) AS out_h,
+        |  CAST(224 AS INT) AS scale_num,
+        |  CAST(greatest(w, h) AS BIGINT) AS scale_den
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // f0 = fraction of payload bytes in [0, 32) (bucket 0 of the 8-bucket
     // byte histogram). In UTF-8 those bytes are exactly the control chars.

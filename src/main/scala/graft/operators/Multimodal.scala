@@ -81,6 +81,25 @@ object Multimodal {
     hist.map(_ / n).toSeq
   }
 
+  /** Aspect-fit resize plan: compute the output dimensions that fit
+    * (width, height) inside a `target`×`target` box preserving aspect ratio
+    * — this arithmetic is the REAL part of an image-resize stage (it drives
+    * batch shapes and memory budgets); the pixel kernel itself is the
+    * stubbed decoder above. Integer math only, so any engine reproduces it
+    * bit-for-bit. Output: id, out_w, out_h, scale_num/scale_den (the exact
+    * rational scale applied). */
+  def resizePlan(df: DataFrame, idCol: String, widthCol: String, heightCol: String,
+                 target: Int = 224): DataFrame = {
+    val w = col(widthCol).cast(LongType)
+    val h = col(heightCol).cast(LongType)
+    // scale = target / max(w, h) as an exact rational; floor the scaled dims
+    val den = greatest(w, h)
+    df.select(col(idCol),
+      (w * target / den).cast(IntegerType).as("out_w"),
+      (h * target / den).cast(IntegerType).as("out_h"),
+      lit(target).as("scale_num"), den.cast(LongType).as("scale_den"))
+  }
+
   /** Frame-sampling plan for video-like payloads: given a duration and a
     * target fps, emit (id, frame_idx, offset_ms) rows — the generator shape
     * of a frame extractor, as a pure explode (scales linearly, no driver

@@ -111,6 +111,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == 22L))
   }
 
+  test("streaming sessionize equals the batch sessionize on real events (sf0.001)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: the events_sessionize query (oracle-checked against DuckDB)
+    val batch = SparkEntry.queries("events_sessionize")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "n_events", "first_us", "last_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // same events through the incremental path. Timestamp only holds ms, so
+    // feed the µs VALUE as ms (1000× stretch) and stretch the gap the same
+    // way (30 min -> 30000 "minutes"): identical session structure, and the
+    // streamed first/last divide back to exact µs — no precision loss.
+    val rows = SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "us")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+      .map { case (u, e, us) => Event(u, e, new Timestamp(us), 0.0) }
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30000, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_parity").outputMode("append").start()
+    input.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    // sentinel far past every session + gap: watermark passes, timeouts
+    // flush every user's final open session
+    val maxMs = rows.map(_.ts.getTime).max
+    input.addData(Event(-1L, Long.MaxValue, new Timestamp(maxMs + 86400000L * 365), 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_parity").as[StreamingOps.SessionOut].collect()
+      .filter(_.user_id >= 0)
+      .map(s => (s.user_id, s.n_events, s.first_us / 1000L, s.last_us / 1000L)).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"streaming=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
+  }
+
   test("watermark drops late data in tumbling aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
