@@ -626,6 +626,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_recall_check" -> ((s, dir) => {
+      // property-style oracle for the approximate paths: recall of LSH and
+      // IVF top-10 vs the exact brute force, asserted above a floor the
+      // oracle pins as TRUE (a recall regression flips the flag)
+      import s.implicits._
+      val emb = T(s, dir, "embeddings")
+      val q   = emb.filter(col("vec_id") < 3)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id"), col("neighbor_id"))
+      val bf = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 10))
+      def recall(ann: org.apache.spark.sql.DataFrame): Column =
+        (lit(ann.join(bf, Seq("query_id", "neighbor_id"), "left_semi").count())
+          / lit(math.max(1L, bf.count()))).cast(DoubleType)
+      val lshR = Similarity.lshTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nBits = 4, tables = 16)
+      val ivfR = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 8, kmeansIters = 2)
+      Seq(("ivf", 0.4), ("lsh", 0.4)).toDF("method", "floor")
+        .withColumn("recall_ok",
+          when(col("method") === "lsh", recall(pairs(lshR)) >= col("floor"))
+            .otherwise(recall(pairs(ivfR)) >= col("floor")))
+        .select("method", "recall_ok")
+        .orderBy("method")
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q   = emb.filter(col("vec_id") < 3)
@@ -1310,6 +1335,11 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         | FROM scored) WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // property-style: the oracle pins the recall floors as met
+    "ann_recall_check" ->
+      """SELECT * FROM (VALUES ('ivf', TRUE), ('lsh', TRUE)) AS t(method, recall_ok)
+        |ORDER BY method""".stripMargin,
 
     // Exact word-3-gram jaccard ≥ 0.3 over all pairs, brute force by shingle
     // equality join — the LSH candidate step on the Spark side is exhaustive

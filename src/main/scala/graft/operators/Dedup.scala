@@ -68,7 +68,7 @@ object Dedup {
   /** Lowercased whitespace tokens, empties removed — trim-then-split stays
     * codegen'd (see TextAnalysis.tokens). */
   def tokens(c: Column): Column = {
-    val t = trim(lower(c))
+    val t = regexp_replace(lower(c), "^\\s+|\\s+$", "") // trim() strips spaces ONLY
     when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
   }
 

@@ -17,7 +17,7 @@ object TextAnalysis {
     * interpreted) — `\s+` splitting of a trimmed string can only produce
     * empties for the empty string, special-cased to an empty array. */
   def tokens(c: Column): Column = {
-    val t = trim(c)
+    val t = regexp_replace(c, "^\\s+|\\s+$", "") // trim() strips spaces ONLY, not \t\n
     when(length(t) === 0, array().cast("array<string>")).otherwise(split(t, "\\s+"))
   }
 

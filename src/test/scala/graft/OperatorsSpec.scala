@@ -129,6 +129,44 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class RobustnessSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators._
+
+  // null / empty / whitespace-only text must flow through every text-family
+  // operator without exceptions (a 100 TB corpus always contains them)
+  val dirty = Seq(
+    (1L, null.asInstanceOf[String], "en"),
+    (2L, "", "en"),
+    (3L, "   \t  ", "de"),
+    (4L, "a normal document with several words", "en"),
+  ).toDF("doc_id", "text", "lang")
+
+  test("text family is null/empty safe") {
+    val q = TextAnalysis.qualityFeatures(dirty, "text").collect()
+    assert(q.length == 4)
+    val counts = dirty.select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(counts(2L) == 0 && counts(3L) == 0 && counts(4L) == 6)
+    val langs = dirty.select(TextAnalysis.langId(col("text"))).collect()
+    assert(langs.length == 4)
+  }
+
+  test("dedup family drops null/empty docs instead of crashing") {
+    assert(Dedup.minhashLsh(dirty, "text", "doc_id", threshold = 0.0).count() == 0)
+    assert(Dedup.simhashPairs(dirty, "text", "doc_id", maxHamming = 64).count() <= 1)
+    assert(Dedup.exact(dirty.filter(col("text").isNotNull), Seq("text"), "doc_id").count() == 3)
+  }
+
+  test("chunking/packing handle null and blank text") {
+    val chunks = Chunking.chunkDocuments(dirty, "doc_id", "text", 4, 1).collect()
+    assert(chunks.count(_.getLong(0) == 4L) == 2) // 6 tokens, stride 3 -> 2 chunks
+    val packed = Chunking.packSequences(dirty, "doc_id", "text", "lang", 10).collect()
+    assert(packed.length == 4)
+  }
+}
+
 class ChunkingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
