@@ -32,12 +32,14 @@ object CorpusPipeline {
     // Iterated joins double the lineage every round — without truncation the
     // upstream (minhash) would recompute 2^rounds times. localCheckpoint
     // materializes each round's small label table and cuts the plan.
+    // lazy checkpoints: the immediately-following action materializes them,
+    // so no separate eager job; lineage is still truncated from then on
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var round   = 0
     var changed = 1L
     // Early-exit on convergence: near-dup clusters are usually diameter ≤ 2,
@@ -52,7 +54,7 @@ object CorpusPipeline {
         .join(neighborMin, Seq("id"), "left")
         .withColumn("label", least(col("__old"), coalesce(col("nmin"), col("__old"))))
         .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("__chg")).count()
       labels = next.select("id", "label")
       round += 1
@@ -88,7 +90,7 @@ object CorpusPipeline {
 
     // 3. exact dedup (deterministic survivor = min id); materialized once —
     // it feeds the count, the LSH pass, and the final anti-join
-    val exact = Dedup.exact(langed, Seq(textCol), idCol).localCheckpoint(true)
+    val exact = Dedup.exact(langed, Seq(textCol), idCol).localCheckpoint(false)
     val n3 = exact.count()
 
     // 4. near dedup: LSH candidates verified by EXACT n-gram jaccard →
