@@ -572,6 +572,24 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "pipeline_sample_hash" -> ((s, dir) => {
+      // reproducible ~10% sample: md5-bucket < 10 of 100 — unlike rand()/
+      // TABLESAMPLE this survives reruns, repartitions, and engine changes
+      val b = graft.operators.DatasetSplit.portableBucket(Seq(col("doc_id")), seed = 7)
+      T(s, dir, "documents")
+        .filter(b < 10)
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+        .orderBy("lang")
+    }),
+
+    "text_top_ngrams" -> ((s, dir) => {
+      // corpus-level bigram frequencies: explode word shingles -> count -> top 20
+      graft.operators.Dedup.shingleRows(T(s, dir, "documents"), "text", "doc_id", n = 2)
+        .groupBy("sh").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("sh"))
+        .limit(20)
+    }),
+
     "pipeline_train_val_split" -> ((s, dir) => {
       // deterministic engine-portable md5 split; report per-(lang, split)
       // counts — assignment is a pure function of (lang, doc_id, seed), so
@@ -1423,6 +1441,28 @@ object SparkEntry {
         |SELECT lang, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "pipeline_sample_hash" ->
+      """WITH b AS (
+        |  SELECT lang, md5(CAST(doc_id AS VARCHAR) || '|7') AS h FROM documents),
+        |v AS (
+        |  SELECT lang,
+        |   ((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) % 100 AS bucket
+        |  FROM b)
+        |SELECT lang, COUNT(*) AS n_sampled FROM v WHERE bucket < 10
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "text_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(t))) AS r(i))
+        |SELECT sh, COUNT(*) AS n FROM sh GROUP BY sh ORDER BY n DESC, sh LIMIT 20""".stripMargin,
 
     "pipeline_train_val_split" ->
       """WITH b AS (
