@@ -494,6 +494,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingest shape: docs 250+ are the new batch, docs <250 the
+      // standing corpus; bloom pre-filter + exact anti-join confirm
+      val docs   = T(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+      val batch  = docs.filter(col("doc_id") >= 250)
+      Dedup.incrementalExact(batch, corpus, "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       // exact cosine pairs inside a blocking key (label): Σ|block|² shape,
       // never a cross join — the oracle-checkable semantic-dedup baseline.
@@ -1379,6 +1389,13 @@ object SparkEntry {
         |FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
         |WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_incremental" ->
+      """SELECT b.doc_id FROM documents b
+        |WHERE b.doc_id >= 250
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id < 250 AND c.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // Same list_reduce cosine formula as embed_cosine_topk (bit-exact vs the
     // native FloatVecCosine expression); blocking key keeps it an equality

@@ -243,6 +243,39 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------------------- incremental dedup
+
+  /** Incremental exact dedup: rows of `batch` whose `textCol` does NOT
+    * already appear in `corpus` — the daily-ingest shape (new crawl vs a
+    * standing corpus). A Bloom filter over the corpus content hashes ships
+    * to executors as a foldable literal inside Spark's native
+    * `BloomFilterMightContain` (the same expression AQE runtime filters
+    * use — codegen'd, no UDF): definite-negatives (the vast majority of a
+    * mostly-new batch) skip the join entirely; only bloom-positives pay the
+    * exact anti-join that removes false positives. Result is EXACT.
+    * At real scale, size `fpp` against the corpus cardinality — the filter
+    * is ~1.2 GB per 10⁹ keys at 1% — or feed per-shard filters.
+    */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame, textCol: String,
+                       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val hashes = corpus.select(xxhash64(col(textCol)).as("h"))
+    val n      = math.max(1L, hashes.count())
+    val bloom  = hashes.stat.bloomFilter("h", n, fpp)
+    val bos    = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightContain = GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftColumnBridge.expression(lit(bos.toByteArray)),
+        GraftColumnBridge.expression(xxhash64(col(textCol)))))
+    val flagged = batch.withColumn("__maybe", mightContain)
+    val fresh   = flagged.filter(!coalesce(col("__maybe"), lit(false))).drop("__maybe")
+    val confirmed = flagged.filter(coalesce(col("__maybe"), lit(false)))
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .drop("__maybe")
+    fresh.unionByName(confirmed)
+  }
+
   // ------------------------------------------------ embedding-cosine near-dup
 
   /** Embedding-cosine near-duplicate pairs — the semantic-dedup scale path.

@@ -97,6 +97,20 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
   }
 
+  test("incremental dedup: bloom+confirm equals plain anti-join") {
+    val corpus = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha text"),   // exact dup of corpus -> dropped
+      (11L, "delta text"),   // new -> kept
+      (12L, "beta text"),    // dup -> dropped
+      (13L, null.asInstanceOf[String]), // null text -> kept (nothing to match)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch, corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L))
+  }
+
   test("embedding near-dup: LSH candidates find every planted pair (vs brute force)") {
     // 25 random unit-ish base vectors; each gets a perturbed twin at
     // cosine > 0.99 — the LSH path must recover exactly the planted pairs.
