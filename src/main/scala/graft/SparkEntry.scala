@@ -664,9 +664,11 @@ object SparkEntry {
       def pairs(df: org.apache.spark.sql.DataFrame) =
         df.select(col("query_id"), col("neighbor_id"))
       val bf = pairs(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 10))
+        .cache()
+      val bfN = math.max(1L, bf.count())
       def recall(ann: org.apache.spark.sql.DataFrame): Column =
         (lit(ann.join(bf, Seq("query_id", "neighbor_id"), "left_semi").count())
-          / lit(math.max(1L, bf.count()))).cast(DoubleType)
+          / lit(bfN)).cast(DoubleType)
       val lshR = Similarity.lshTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
         k = 10, nBits = 4, tables = 16)
       val ivfR = Similarity.ivfTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
