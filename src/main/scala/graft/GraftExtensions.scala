@@ -4,24 +4,44 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecCosine, FloatVecDot}
+import graft.functions.{BandHashes, FloatVecCosine, FloatVecDot, MinHashAgg, SimHashAgg}
 
-/** Session-extensions hook: enable with
-  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
-  * `.withExtensions(new GraftExtensions)`) to get the native vector
-  * functions in every session's SQL without per-session registration.
+/** Session-extension installer for the engine's native expressions — the
+  * idiomatic way to ship custom Catalyst functions with a library:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions()(_))
+  * }}}
+  *
+  * After installation the functions are plain SQL surface:
+  * `SELECT vec_cosine(a, b)`, `SELECT minhash_agg(sh, 128) … GROUP BY id`.
+  * (`VectorFunctions.register` remains for per-session temp registration.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("vec_cosine"),
-      new ExpressionInfo(classOf[FloatVecCosine].getName, "vec_cosine"),
-      (children: Seq[Expression]) => FloatVecCosine(children(0), children(1)),
-    ))
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1)),
-    ))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => FloatVecCosine(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
+      (args: Seq[Expression]) => FloatVecDot(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_agg"),
+      info("minhash_agg", "minhash_agg(str, k) - k-long MinHash signature aggregate"),
+      (args: Seq[Expression]) => MinHashAgg(args(0),
+        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(str) - 64-bit SimHash fingerprint aggregate"),
+      (args: Seq[Expression]) => SimHashAgg(args(0)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("band_hashes"),
+      info("band_hashes", "band_hashes(sig, bands, rows) - LSH band bucket keys"),
+      (args: Seq[Expression]) => BandHashes(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The library installs into a vanilla session via spark.sql.extensions —
+  * after that the native functions are plain SQL surface. */
+class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  // `spark.sql.extensions` is a STATIC conf — it only takes effect on the
+  // SparkContext that boots with it (spark-submit --conf), not on a reused
+  // test context. The programmatic twin withExtensions() exercises the same
+  // GraftExtensions installer here; clear the shared default session so a
+  // fresh SparkSession is actually constructed.
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  override def afterAll(): Unit = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    super.afterAll()
+  }
+
+  test("vec_cosine / vec_dot usable from SQL after extension install") {
+    val r = spark.sql(
+      """SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c,
+        |       vec_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d""".stripMargin)
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 6.0)
+  }
+
+  test("minhash_agg / simhash_agg / band_hashes usable from SQL") {
+    spark.sql("SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'a') AS t(id, sh)")
+      .createOrReplaceTempView("sh_rows")
+    val sigs = spark.sql(
+      "SELECT id, minhash_agg(sh, 8) AS sig, simhash_agg(sh) AS fp FROM sh_rows GROUP BY id")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1).length == 8 && sigs(2).length == 8)
+    // group 2's single-element minima are >= group 1's (min over a superset)
+    assert(sigs(1).zip(sigs(2)).forall { case (a, b) => a <= b })
+    val bands = spark.sql(
+      "SELECT band_hashes(minhash_agg(sh, 8), 2, 4) AS b FROM sh_rows GROUP BY id")
+      .collect().map(_.getSeq[Long](0))
+    assert(bands.forall(_.length == 2))
+  }
+}
