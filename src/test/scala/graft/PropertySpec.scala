@@ -65,6 +65,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking reconstructs the document: strides partition tokens, overlaps agree") {
+    val gen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.identifier.map(_.take(5))))
+    val docs = samples(gen, 30).zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val chunkTokens = 7; val overlap = 3; val stride = chunkTokens - overlap
+    val chunks = graft.operators.Chunking
+      .chunkDocuments(df, "doc_id", "text", chunkTokens, overlap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    docs.foreach { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val got  = chunks(id)
+      // taking the first `stride` tokens of each chunk + the tail of the last
+      // chunk reconstructs the document exactly
+      val rebuilt = (got.init.flatMap(_.split(" ").filter(_.nonEmpty).take(stride)) ++
+        got.last.split(" ").filter(_.nonEmpty)).toSeq
+      assert(rebuilt == toks, s"doc $id")
+    }
+  }
+
   test("minhash signature is distinct-invariant (multiset == set)") {
     val docs = Seq(
       (1L, "a b c a b c a b c d e f"),

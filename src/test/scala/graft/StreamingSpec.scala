@@ -144,6 +144,27 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "event_id", "payload")
+    val q = StreamingOps.dedupStream(df, "ts", Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a-dup"),
+      (Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "b"),
+    )
+    q.processAllAvailable()
+    // same id again in a later batch, still inside the watermark: dropped
+    input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a-again"))
+    q.processAllAvailable()
+    val out = spark.table("dedup_test").select("event_id").as[Long].collect().toSeq.sorted
+    q.stop()
+    assert(out == Seq(1L, 2L))
+  }
+
   test("watermark drops late data in tumbling aggregate") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
