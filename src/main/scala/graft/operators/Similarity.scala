@@ -31,11 +31,37 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Exact top-k per query in two stages. A single `Window.partitionBy
+    * (query_id)` would shuffle EVERY scored row into #queries reducers — the
+    * key is tiny but the shuffled volume is the whole corpus, and at low
+    * query cardinality that is a handful of reducers doing all the work.
+    * Stage 1 prunes to k per (query, input-partition) — the shuffle spreads
+    * over #queries × #partitions keys, no skew; stage 2 ranks the ≤ k×P
+    * survivors per query, a trivially small shuffle. Both stages share the
+    * deterministic (cosine desc, neighbor asc) order, and the local prune
+    * keeps a superset of the global top-k, so the result is bit-identical to
+    * the single-stage form.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val ord = Seq(col("cosine").desc, col("neighbor_id").asc)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("__pid")).orderBy(ord: _*)
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Exact cosine top-k of each query vector against the corpus.
     *
-    * `queries` must be small (it is broadcast). One corpus scan; ranking is
-    * a window partitioned by query id — the only shuffle is on query ids,
-    * i.e. tiny.
+    * `queries` must be small (it is broadcast). One corpus scan, one
+    * corpus-volume shuffle spread over (query × partition) keys by the
+    * two-stage [[topKPerQuery]] prune, then a tiny survivors-only shuffle.
     */
   def bruteForceTopK(
       corpus: DataFrame, corpusId: String, corpusVec: String,
@@ -48,13 +74,7 @@ object Similarity {
       .crossJoin(q)
       .withColumn("cosine",
         graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane signature: `nBits` fixed pseudo-random hyperplanes
@@ -122,37 +142,47 @@ object Similarity {
     val scored = candidates.join(cVec, "neighbor_id").join(qVec, "query_id")
       .withColumn("cosine",
         graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    topKPerQuery(scored, k)
   }
 
-  /** IVF-style cell assignment: nearest of the broadcast `centroids` per
-    * vector, `nProbe` cells per row (queries probe several cells to recover
-    * recall at cell boundaries). Output: input columns + `cell`.
+  /** IVF-style cell assignment: nearest of the `centroids` per vector,
+    * `nProbe` cells per row (queries probe several cells to recover recall
+    * at cell boundaries). Output: input columns + `cell`.
+    *
+    * Shuffle-free: the centroid table is TINY by construction (≤ a few
+    * thousand rows), so it is collected once and baked into a native
+    * [[graft.functions.NearestCells]] argmax expression evaluated per row
+    * inside the scan — no crossJoin row multiplication (the old shape paid
+    * an nCells× multiplicative shuffle of the corpus plus a corpus-wide
+    * window), no shuffle at all. Rows with a null vector are dropped (they
+    * belong to no cell). Tie-break matches the join form it replaced:
+    * cosine desc, then cell id asc.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centroidId: String, centroidVec: String,
                 nProbe: Int = 1): DataFrame = {
-    val cents = broadcast(centroids.select(col(centroidId).as("cell"), col(centroidVec).as("__cent")))
-    val joined = df.crossJoin(cents)
-      .withColumn("__sim", graft.functions.VectorFunctions.vec_cosine(col(vecCol), col("__cent")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col("cell").asc)
-    joined.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= nProbe)
-      .drop("__cent", "__sim", "__rk")
+    // ascending id order makes NearestCells' index-asc tie-break == cell asc
+    val rows = centroids
+      .select(col(centroidId).as("cell"), col(centroidVec).as("__cent"))
+      .orderBy(col("cell")).collect()
+    require(rows.nonEmpty, "ivfAssign: empty centroid table")
+    require(rows.length <= 65536,
+      s"ivfAssign: ${rows.length} centroids — the collected-argmax path is for coarse " +
+        "quantizers (<= 65536 cells); shard the index for more")
+    val cents   = rows.map(_.getAs[scala.collection.Seq[Float]]("__cent").toArray)
+    val cellIds = array(rows.map(r => lit(r.get(0))).toIndexedSeq: _*)
+    df.withColumn("__cidx",
+        explode(graft.functions.VectorFunctions.nearest_cells(col(vecCol), cents, nProbe)))
+      .withColumn("cell", element_at(cellIds, col("__cidx") + 1))
+      .drop("__cidx")
   }
 
   /** Lloyd-refined coarse centroids: seed with the first `nCells` corpus
     * vectors (deterministic), then `iters` rounds of assign → element-wise
-    * member mean. Each round is one broadcast-assign pass over the corpus
-    * plus a (cell, dim)-grouped mean — two narrow shuffles of nCells×dim
-    * rows; the tiny centroid table is localCheckpoint'ed per round so plan
+    * member mean. Assignment is the shuffle-free [[ivfAssign]] argmax inside
+    * the scan; the member mean is one map-side-combined groupBy whose
+    * shuffle volume is partitions × nCells × dim partial sums, not corpus
+    * rows. The tiny centroid table is localCheckpoint'ed per round so plan
     * lineage stays flat (iterative-loop rule). Cells that lose all members
     * drop out (k may shrink).
     */
@@ -201,12 +231,8 @@ object Similarity {
       "query_id", "__qv", centroids, "cent_id", "cent_vec", nProbe = nProbe)
     val scored = queryCells.join(corpusCells, "cell")
       .withColumn("cosine", graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    // (query, neighbor) pairs are unique here: the corpus side is assigned
+    // with nProbe = 1, so a neighbor lives in exactly one probed cell
+    topKPerQuery(scored, k)
   }
 }

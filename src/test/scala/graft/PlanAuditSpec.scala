@@ -83,6 +83,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("ivf assignment is shuffle-free: no join, no window, no row multiplication") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.orderBy("vec_id").limit(16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val p = graft.operators.Similarity
+      .ivfAssign(emb, "vec_id", "embedding", cents, "cent_id", "cent_vec", nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("nearestcells") || p.contains("NearestCells"), p.take(2000))
+  }
+
+  test("similarity top-k pre-prunes per input partition before the per-query window") {
+    Seq("embed_cosine_topk", "ann_ivf_topk").foreach { q =>
+      val p = plan(q)
+      // two window stages: the (query, partition)-local prune, then the
+      // tiny survivors-only global rank
+      assert("Window".r.findAllIn(p).size >= 2, s"$q:\n${p.take(2000)}")
+      assert(p.contains("__pid") && p.contains("SPARK_PARTITION_ID"), s"$q:\n${p.take(2000)}")
+    }
+  }
+
   test("pivot compiles to a single aggregate pass (no per-value scans)") {
     val p = plan("q_pivot")
     assert("FileScan".r.findAllIn(p).size == 1, p.take(2000))
