@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** End-to-end training-corpus cleaning: the composition a 100 TB pretraining
   * pipeline runs, built entirely from the engine's operators.
@@ -27,39 +28,98 @@ object CorpusPipeline {
     * every doc starts as its own label; each round adopts the smallest label
     * among itself and its neighbors. Converges in O(cluster diameter)
     * rounds — near-dup clusters are shallow, so `maxRounds` = 5 default.
+    *
+    * Round shape: self-loop edges fold each node's OWN label into the same
+    * min-aggregate that scans its neighbors, so a round is ONE equality join
+    * + one map-side-combined min — not a neighbor join plus a second
+    * merge-with-own-label join. Convergence is detected from a bit_xor over
+    * per-row (id, label) hashes computed in the round's single action — any
+    * label move flips that row's term; a 2⁻⁶⁴ hash-collision
+    * false-stop is the price of not paying a second join per round, and
+    * `maxRounds` bounds the loop either way.
     */
-  def dupClusters(pairs: DataFrame, maxRounds: Int = 5): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 5,
+                  maxDriverPairs: Long = 1L << 20): DataFrame = {
     // Iterated joins double the lineage every round — without truncation the
     // upstream (minhash) would recompute 2^rounds times. localCheckpoint
     // materializes each round's small label table and cuts the plan.
     // lazy checkpoints: the immediately-following action materializes them,
     // so no separate eager job; lineage is still truncated from then on
-    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
-      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+    // checkpoint the pair table FIRST: it heads an expensive plan (the whole
+    // LSH/verify pipeline) and union branches do NOT share subplan results —
+    // every downstream branch would re-run it
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(false)
+    // Adaptive execution, same idea as Spark's broadcast-join threshold: the
+    // pair table is already materialized, so its size is known for free.
+    // Below maxDriverPairs (~16 MB of ids) exact driver-side union-find
+    // replaces 3-5 distributed propagation rounds of pure job overhead;
+    // above it, the distributed loop is the only shape that survives.
+    if (p.count() <= maxDriverPairs) return driverUnionFind(p)
+    val undirected = p.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
+    // edges/labels read the tiny checkpointed pair table — no further
+    // checkpoints needed, their plans are shallow and constant across rounds
+    val edges = undirected
+      .unionByName(undirected.select(col("a")).distinct().withColumn("b", col("a")))
+    def labelSig(df: DataFrame): Long = {
+      val r = df.agg(expr("bit_xor(xxhash64(id, label))")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // round 1 fused into initialization: with identity labels the
+    // min-over-neighborhood is just min over the (self-looped) edge list —
+    // no label join needed
+    var labels = edges.groupBy(col("a")).agg(min(col("b")).as("label"))
+      .select(col("a").as("id"), col("label"))
       .localCheckpoint(false)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(false)
-    var round   = 0
-    var changed = 1L
-    // Early-exit on convergence: near-dup clusters are usually diameter ≤ 2,
-    // so most corpora stop after round 2 instead of paying all maxRounds
-    // shuffles. The per-round changed-count is a cheap count on the already
-    // materialized label table.
-    while (round < maxRounds && changed > 0L) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
-      val next = labels.withColumnRenamed("label", "__old")
-        .join(neighborMin, Seq("id"), "left")
-        .withColumn("label", least(col("__old"), coalesce(col("nmin"), col("__old"))))
-        .select(col("id"), col("label"), (col("label") < col("__old")).as("__chg"))
+    var round   = 1
+    var changed = true
+    var prevSig = labelSig(labels)
+    while (round < maxRounds && changed) {
+      val next = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a")).agg(min(col("nl")).as("label"))
+        .select(col("a").as("id"), col("label"))
         .localCheckpoint(false)
-      changed = next.filter(col("__chg")).count()
-      labels = next.select("id", "label")
+      val s = labelSig(next)
+      changed = s != prevSig
+      prevSig = s
+      labels = next
       round += 1
     }
     labels
+  }
+
+  /** Exact connected components on the driver for collectable pair sets:
+    * path-halving union-find, then each component labeled with its minimum
+    * id — the same (id, label) contract the distributed rounds produce,
+    * minus their per-round job overhead and round bound. */
+  private def driverUnionFind(p: DataFrame): DataFrame = {
+    val rows = p.collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x, y)                 => String.valueOf(x) < String.valueOf(y)
+    }
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are already component minima: unions always keep the smaller id
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+    parent.keys.foreach(id => out.add(org.apache.spark.sql.Row(id, find(id))))
+    val idType = p.schema.fields(0).dataType
+    p.sparkSession.createDataFrame(out,
+      StructType(Seq(StructField("id", idType), StructField("label", idType))))
   }
 
   def clean(
@@ -70,16 +130,24 @@ object CorpusPipeline {
       minAlphaRatio: Double = 0.5,
       allowedLangs: Seq[String] = Nil,
       nearDupThreshold: Double = 0.8,
+      featureStorage: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
   ): CleanResult = {
-    // 1. structural quality gate; input + surviving counts in ONE pass
+    // 1. structural quality gate. The featurized frame is persisted once and
+    // feeds the audit counts, the gate filter, and (via the checkpointed
+    // exact-dedup below) everything downstream — ONE corpus scan for the
+    // whole clean, not one per consumer. Unpersisted before returning (all
+    // downstream plans are checkpoint-cut by then).
     val qualityCond = col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio
-    val counts = TextAnalysis.qualityFeatures(docs, textCol)
+    val feats = TextAnalysis.qualityFeatures(docs, textCol)
+      .withColumn("__pass", qualityCond)
+      .persist(featureStorage)
+    val counts = feats
       .agg(count(lit(1)).as("n0"),
-        sum(when(qualityCond, 1L).otherwise(0L)).as("n1")).head()
+        sum(when(col("__pass"), 1L).otherwise(0L)).as("n1")).head()
     val n0 = counts.getLong(0)
     val n1 = counts.getLong(1)
-    val quality = TextAnalysis.qualityFeatures(docs, textCol)
-      .filter(qualityCond)
+    val quality = feats.filter(col("__pass"))
       .select(docs.columns.map(col): _*)
 
     // 2. language gate (count only paid when the gate is active)
@@ -102,6 +170,7 @@ object CorpusPipeline {
     val losers = clusters.filter(col("id") =!= col("label")).select(col("id").as(idCol))
     val cleaned = exact.join(losers, Seq(idCol), "left_anti")
     val n4 = cleaned.count()
+    feats.unpersist(false)
 
     CleanResult(cleaned, Seq(
       "input" -> n0, "quality" -> n1, "lang" -> n2, "exact_dedup" -> n3, "near_dedup" -> n4))

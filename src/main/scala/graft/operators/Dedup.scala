@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Large-scale deduplication operators for training-data pipelines.
   *
@@ -116,6 +117,34 @@ object Dedup {
       .groupBy("id")
       .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
 
+  /** Probability that a pair with true Jaccard `j` collides in at least one
+    * LSH band: `1 - (1 - j^r)^b`. This IS the recall bound of every
+    * banding-based candidate generator in this file — pairs missed here are
+    * missed forever, no exact-verify step can recover them.
+    */
+  def lshDetectProb(j: Double, bands: Int, rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, rowsPerBand), bands)
+
+  /** (bands, rowsPerBand) sized for a similarity threshold: the most
+    * selective rows-per-band (fewest spurious candidates) whose band count
+    * for `minDetect` detection at `threshold` keeps the signature length
+    * `bands * rowsPerBand <= kMax`. The default 32×4 banding detects ≥ 98%
+    * only above j ≈ 0.58 — at a requested threshold of 0.3 it finds ~23% of
+    * threshold-grazing pairs, so low-threshold callers must re-size.
+    */
+  def lshAutoParams(threshold: Double, kMax: Int = 192, minDetect: Double = 0.98): (Int, Int) = {
+    val t = math.min(math.max(threshold, 0.05), 0.95)
+    (12 to 1 by -1).iterator.map { r =>
+      val pBand = math.pow(t, r)
+      // keep the band count in Long: for tiny pBand the ceil saturates past
+      // Int range and Int b*r would wrap negative, dodging the kMax guard
+      val b = math.max(1L, math.ceil(math.log(1.0 - minDetect) / math.log(1.0 - pBand)).toLong)
+      (b, r)
+    }.find { case (b, r) => b * r <= kMax }
+      .map { case (b, r) => (b.toInt, r) }
+      .getOrElse((kMax, 1))
+  }
+
   /** LSH band keys from a minhash signature: `b` bands of `r` rows each;
     * band key = hash of the band's slice. Docs sharing any band key are
     * candidates. */
@@ -131,8 +160,11 @@ object Dedup {
     * the full signatures. The join is on band buckets (an equality shuffle),
     * NOT a cross join; with b·r tuned the candidate set stays near-linear at
     * 100 TB. Skewed buckets (boilerplate text) are handled by AQE skew-join
-    * splitting. Default 32 bands × 4 rows: detection probability at
-    * jaccard 0.5 is 1-(1-0.5^4)^32 ≈ 87%, at 0.7 ≈ 99.97%.
+    * splitting. Default 32 bands × 4 rows: detection probability
+    * ([[lshDetectProb]]) at jaccard 0.5 is 1-(1-0.5^4)^32 ≈ 87%, at
+    * 0.7 ≈ 99.97% — for thresholds below ~0.58 size the banding with
+    * [[lshAutoParams]] instead of the defaults, or near-threshold pairs are
+    * silently missed.
     *
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     */
@@ -151,17 +183,28 @@ object Dedup {
   /** Core of [[minhashLsh]] over pre-computed (id, sh) shingle rows — callers
     * that need the shingles for other purposes too (e.g. [[ngramJaccard]]'s
     * exact verify) share ONE shingling pass instead of re-scanning the
-    * corpus. */
+    * corpus.
+    *
+    * The signature table (one k-long array per doc) is consumed three times
+    * (banding + two pair rejoins), so it persists at `sigStorage`; pass
+    * `StorageLevel.NONE` to recompute instead. The persisted table lives
+    * until the session ends or the caller clears it — library operators
+    * can't unpersist what the returned lazy plan still references, so in a
+    * long-lived session the CALLER owns the cache lifecycle
+    * (`spark.catalog.clearCache()` or an explicit unpersist after the final
+    * action).
+    */
   def minhashLshFromShingleRows(
       shRows: DataFrame,
       bands: Int,
       rowsPerBand: Int,
       threshold: Double,
+      sigStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
   ): DataFrame = {
     val k    = bands * rowsPerBand
-    val sigs = shRows.groupBy("id")
+    val sigs0 = shRows.groupBy("id")
       .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
-      .cache()
+    val sigs = if (sigStorage == StorageLevel.NONE) sigs0 else sigs0.persist(sigStorage)
     // band bucket = native per-band hash of the signature (one tiny loop
     // expression instead of a bands-wide hash(slice(…)) projection);
     // carry ONLY ids through the exploded self-join; signatures rejoin later
@@ -340,6 +383,23 @@ object Dedup {
   /** Exact Jaccard similarity between candidate pairs' word-n-gram sets.
     * Candidates come from LSH (near-linear); the exact verify is a join back
     * to the shingle arrays + a codegen'd intersection/union size ratio.
+    *
+    * The result is exact *given the candidate set*: overall recall is the
+    * LSH detection probability [[lshDetectProb]]. With `bands = 0` (the
+    * default) the banding is sized by [[lshAutoParams]] whenever the stock
+    * 32×4 layout would detect < 98% of threshold-grazing pairs — the stock
+    * layout finds only ~23% of pairs near j = 0.3, a silent-miss regime the
+    * fixture's high-similarity duplicates never exercised.
+    *
+    * Candidates are pre-pruned by the minhash ESTIMATE at
+    * `threshold - 0.2` (~4σ below the mean for k ≥ 84 hashes — pruning a
+    * true pair is a ~1e-4 event) so the exact array-intersect join touches a near-final pair
+    * set instead of every band collision.
+    *
+    * The exploded shingle rows are corpus × words of storage; they persist
+    * at `shingleStorage` (DISK_ONLY by default — memory-caching them is an
+    * executor-memory cliff at 100 TB). Caller owns the cache lifecycle, as
+    * with [[minhashLshFromShingleRows]].
     */
   def ngramJaccard(
       df: DataFrame,
@@ -347,14 +407,31 @@ object Dedup {
       idCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      bands: Int = 32,
-      rowsPerBand: Int = 4,
+      bands: Int = 0,
+      rowsPerBand: Int = 0,
+      shingleStorage: StorageLevel = StorageLevel.DISK_ONLY,
   ): DataFrame = {
+    val (b, r) =
+      if (bands > 0 && rowsPerBand > 0) (bands, rowsPerBand)
+      else if (lshDetectProb(threshold, 32, 4) >= 0.98) (32, 4)
+      else lshAutoParams(threshold)
     // one shingling pass feeds both the minhash candidates and the exact sets
-    val shRows = shingleRows(df, textCol, idCol, n).cache()
-    val sh = shRows.groupBy("id").agg(collect_set(col("sh")).as("sh"))
-    val candidates = minhashLshFromShingleRows(shRows, bands, rowsPerBand, threshold = 0.0)
+    val shRows0 = shingleRows(df, textCol, idCol, n)
+    val shRows = if (shingleStorage == StorageLevel.NONE) shRows0 else shRows0.persist(shingleStorage)
+    val candidates = minhashLshFromShingleRows(shRows, b, r,
+        threshold = math.max(0.0, threshold - 0.2))
       .select("id_a", "id_b")
+      // checkpointed because TWO branches consume it (the id semi-join below
+      // and the final pair join) and union/join branches re-run, not share,
+      // a common subplan
+      .localCheckpoint(false)
+    // exact sets only for docs that appear in some candidate pair — the
+    // collect_set shuffle carries candidate-touched docs (near the pair
+    // count), not the whole corpus
+    val candIds = candidates.select(col("id_a").as("id"))
+      .unionByName(candidates.select(col("id_b").as("id"))).distinct()
+    val sh = shRows.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -161,7 +161,14 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, centroidId: String, centroidVec: String,
                 nProbe: Int = 1): DataFrame = {
-    // ascending id order makes NearestCells' index-asc tie-break == cell asc
+    val (ids, cents) = collectCentroids(centroids, centroidId, centroidVec)
+    ivfAssignCollected(df, vecCol, ids, cents, nProbe)
+  }
+
+  /** Collect a (tiny by construction) centroid table to the driver, id
+    * ascending — so NearestCells' index-asc tie-break == cell-id asc. */
+  private def collectCentroids(centroids: DataFrame, centroidId: String,
+                               centroidVec: String): (Array[Any], Array[Array[Float]]) = {
     val rows = centroids
       .select(col(centroidId).as("cell"), col(centroidVec).as("__cent"))
       .orderBy(col("cell")).collect()
@@ -169,40 +176,70 @@ object Similarity {
     require(rows.length <= 65536,
       s"ivfAssign: ${rows.length} centroids — the collected-argmax path is for coarse " +
         "quantizers (<= 65536 cells); shard the index for more")
-    val cents   = rows.map(_.getAs[scala.collection.Seq[Float]]("__cent").toArray)
-    val cellIds = array(rows.map(r => lit(r.get(0))).toIndexedSeq: _*)
+    (rows.map(_.get(0)),
+      rows.map(_.getAs[scala.collection.Seq[Float]]("__cent").toArray))
+  }
+
+  /** [[ivfAssign]] with the centroids already on the driver — the zero-job
+    * form the IVF internals compose. */
+  private def ivfAssignCollected(df: DataFrame, vecCol: String, cellIds: Array[Any],
+                                 cents: Array[Array[Float]], nProbe: Int): DataFrame = {
+    val idArr = array(cellIds.map(lit).toIndexedSeq: _*)
     df.withColumn("__cidx",
         explode(graft.functions.VectorFunctions.nearest_cells(col(vecCol), cents, nProbe)))
-      .withColumn("cell", element_at(cellIds, col("__cidx") + 1))
+      .withColumn("cell", element_at(idArr, col("__cidx") + 1))
       .drop("__cidx")
   }
 
-  /** Lloyd-refined coarse centroids: seed with the first `nCells` corpus
-    * vectors (deterministic), then `iters` rounds of assign → element-wise
-    * member mean. Assignment is the shuffle-free [[ivfAssign]] argmax inside
-    * the scan; the member mean is one map-side-combined groupBy whose
-    * shuffle volume is partitions × nCells × dim partial sums, not corpus
-    * rows. The tiny centroid table is localCheckpoint'ed per round so plan
-    * lineage stays flat (iterative-loop rule). Cells that lose all members
-    * drop out (k may shrink).
+  /** Lloyd-refined coarse centroids, driver-resident: seed with the first
+    * `nCells` corpus vectors (deterministic), then `iters` rounds of
+    * assign → element-wise member mean. The centroid table is nCells × dim
+    * floats — driver-array-sized by definition — so each round is exactly
+    * ONE distributed job: an in-scan [[graft.functions.NearestCells]]
+    * assignment feeding a map-side-combined (cell, dim) mean whose shuffle
+    * volume is partitions × nCells × dim partial sums, collected back to
+    * nCells×dim rows. No per-round checkpoints, no lineage growth, no
+    * re-collect per consumer. Cells that lose all members drop out (k may
+    * shrink). Returns (cell ids, centroid matrix), id-ascending.
     */
+  def kmeansCentroidArrays(df: DataFrame, idCol: String, vecCol: String,
+                           nCells: Int, iters: Int = 2): (Array[Any], Array[Array[Float]]) = {
+    val seed = df.select(col(idCol).as("cell"), col(vecCol).as("__cent"))
+      .filter(col("__cent").isNotNull)
+      .orderBy("cell").limit(nCells).collect()
+    require(seed.nonEmpty, "kmeansCentroidArrays: no seed vectors")
+    var ids: Array[Any] = seed.map(_.get(0))
+    var cents = seed.map(_.getAs[scala.collection.Seq[Float]]("__cent").toArray)
+    for (_ <- 0 until iters) {
+      val means = df
+        .withColumn("__cidx", element_at(
+          graft.functions.VectorFunctions.nearest_cells(col(vecCol), cents, 1), 1))
+        .filter(col("__cidx").isNotNull)
+        .select(col("__cidx"), posexplode(col(vecCol)))
+        .groupBy("__cidx", "pos").agg(avg(col("col")).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      val kept   = byCell.keySet.toArray.sorted // index order == id order, preserved
+      ids   = kept.map(ids)
+      cents = kept.map(c => byCell(c).sortBy(_.getInt(1)).map(_.getDouble(2).toFloat))
+    }
+    (ids, cents)
+  }
+
+  /** DataFrame view of [[kmeansCentroidArrays]] — (cent_id, cent_vec) rows,
+    * for callers composing with the DataFrame-based [[ivfAssign]]. */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, iters: Int = 2): DataFrame = {
-    val vecs = df.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
-    var cents = vecs.orderBy("__kid").limit(nCells)
-      .select(col("__kid").as("cent_id"), col("__kv").as("cent_vec"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val assigned = ivfAssign(vecs, "__kid", "__kv", cents, "cent_id", "cent_vec", nProbe = 1)
-      cents = assigned
-        .select(col("cell").as("cent_id"), posexplode(col("__kv")))
-        .groupBy("cent_id", "pos").agg(avg(col("col")).as("m"))
-        .groupBy("cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast(FloatType)).as("cent_vec"))
-        .localCheckpoint(true)
+    val (ids, cents) = kmeansCentroidArrays(df, idCol, vecCol, nCells, iters)
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("cent_id", df.schema(idCol).dataType),
+      StructField("cent_vec", ArrayType(FloatType))))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ids.length)
+    ids.zip(cents).foreach { case (i, v) =>
+      rows.add(org.apache.spark.sql.Row(i, v.toIndexedSeq))
     }
-    cents
+    spark.createDataFrame(rows, schema)
   }
 
   /** IVF ANN top-k — the second scale path next to [[lshTopK]]:
@@ -218,17 +255,18 @@ object Similarity {
       queries: DataFrame, queryId: String, queryVec: String,
       k: Int = 10, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 0,
   ): DataFrame = {
-    val centroids =
-      if (kmeansIters > 0) kmeansCentroids(corpus, corpusId, corpusVec, nCells, kmeansIters)
-      else corpus
-        .select(col(corpusId).as("cent_id"), col(corpusVec).as("cent_vec"))
-        .orderBy("cent_id").limit(nCells)
-    val corpusCells = ivfAssign(
+    val (ids, cents) =
+      if (kmeansIters > 0) kmeansCentroidArrays(corpus, corpusId, corpusVec, nCells, kmeansIters)
+      else collectCentroids(
+        corpus.select(col(corpusId).as("cent_id"), col(corpusVec).as("cent_vec"))
+          .orderBy("cent_id").limit(nCells),
+        "cent_id", "cent_vec")
+    val corpusCells = ivfAssignCollected(
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
-      "neighbor_id", "__cv", centroids, "cent_id", "cent_vec", nProbe = 1)
-    val queryCells = ivfAssign(
+      "__cv", ids, cents, nProbe = 1)
+    val queryCells = ivfAssignCollected(
       queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")),
-      "query_id", "__qv", centroids, "cent_id", "cent_vec", nProbe = nProbe)
+      "__qv", ids, cents, nProbe = nProbe)
     val scored = queryCells.join(corpusCells, "cell")
       .withColumn("cosine", graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
     // (query, neighbor) pairs are unique here: the corpus side is assigned

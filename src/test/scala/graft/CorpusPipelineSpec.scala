@@ -16,6 +16,17 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
+  test("dup clusters: distributed propagation path matches driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (12L, 11L))
+      .toDF("id_a", "id_b")
+    val driver = CorpusPipeline.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = CorpusPipeline.dupClusters(pairs, maxRounds = 10, maxDriverPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver == dist)
+    assert(driver(5L) == 1L && driver(12L) == 10L)
+  }
+
   test("full clean keeps one survivor per dup cluster and drops junk") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(

@@ -131,6 +131,23 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == planted)
   }
 
+  test("lsh auto params: sized to the threshold, detection floor holds, no overflow") {
+    // stock layout kept where it already detects >= 98%
+    Seq(0.7, 0.8, 0.9).foreach { t =>
+      assert(Dedup.lshDetectProb(t, 32, 4) >= 0.98)
+    }
+    // low thresholds re-size instead of silently missing pairs
+    Seq(0.1, 0.2, 0.3, 0.5).foreach { t =>
+      val (b, r) = Dedup.lshAutoParams(t)
+      assert(b > 0 && r > 0, s"t=$t gave ($b, $r)")
+      assert(b.toLong * r <= 192, s"t=$t signature too long: ($b, $r)")
+      assert(Dedup.lshDetectProb(t, b, r) >= 0.98, s"t=$t detection below floor with ($b, $r)")
+    }
+    // tiny pBand at high r used to wrap b*r negative and dodge the cap
+    val (b, r) = Dedup.lshAutoParams(0.05)
+    assert(b > 0 && r > 0 && b.toLong * r <= 192)
+  }
+
   test("blocked embedding pairs never cross blocks") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 20).map { i =>
