@@ -24,6 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  /** Resolve a function argument that MUST be an integer literal (signature
+    * geometry is baked into the generated code). A non-foldable or
+    * non-integral argument used to surface as an opaque ClassCastException /
+    * NPE from `eval()` at resolution; now it's the same analysis error Spark
+    * raises for its own foldable-parameter functions. */
+  private def literalInt(funcName: String, paramName: String, args: Seq[Expression], i: Int): Int = {
+    def fail() = throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$funcName`", "paramName" -> s"`$paramName`", "paramType" -> "\"INT\""))
+    val e = args(i)
+    if (!e.foldable) fail()
+    e.eval() match {
+      case n: java.lang.Number => n.intValue()
+      case _                   => fail()
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
@@ -34,14 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_agg"),
       info("minhash_agg", "minhash_agg(str, k) - k-long MinHash signature aggregate"),
       (args: Seq[Expression]) => MinHashAgg(args(0),
-        args(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+        literalInt("minhash_agg", "k", args, 1)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(str) - 64-bit SimHash fingerprint aggregate"),
       (args: Seq[Expression]) => SimHashAgg(args(0)).toAggregateExpression()))
     ext.injectFunction((FunctionIdentifier("band_hashes"),
       info("band_hashes", "band_hashes(sig, bands, rows) - LSH band bucket keys"),
       (args: Seq[Expression]) => BandHashes(args(0),
-        args(1).eval().asInstanceOf[Number].intValue(),
-        args(2).eval().asInstanceOf[Number].intValue())))
+        literalInt("band_hashes", "bands", args, 1),
+        literalInt("band_hashes", "rows", args, 2))))
   }
 }

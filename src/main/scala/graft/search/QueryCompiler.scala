@@ -29,6 +29,30 @@ object QueryCompiler {
     wildcardChars.exists(v.contains(_))
   }
 
+  /** A pre-compiled pattern is ALWAYS a pattern, carrying its own flags —
+    * the reference accepts `re.compile('hist.*', re.IGNORECASE)` as a query
+    * value (_search.py:19-21, tests/test_search.py:23,110-119). The JVM
+    * equivalents are `java.util.regex.Pattern` / `scala.util.matching.Regex`.
+    */
+  def isPattern(value: Any): Boolean = value match {
+    case _: java.util.regex.Pattern      => true
+    case _: scala.util.matching.Regex    => true
+    case s: String                       => isPattern(s)
+    case _                               => false
+  }
+
+  /** Embed a compiled pattern's flags as an inline `(?imsux)` group so the
+    * semantics survive the trip through Spark's `rlike` (which takes only a
+    * pattern string). Covers the flags `re` and `java.util.regex` share. */
+  private def embedFlags(p: java.util.regex.Pattern): String = {
+    import java.util.regex.Pattern._
+    val flags = Seq(
+      CASE_INSENSITIVE -> "i", MULTILINE -> "m", DOTALL -> "s",
+      COMMENTS -> "x", UNICODE_CASE -> "u",
+    ).collect { case (bit, ch) if (p.flags() & bit) != 0 => ch }.mkString
+    if (flags.isEmpty) p.pattern else s"(?$flags)${p.pattern}"
+  }
+
   /** Validate + normalize a raw query (reference QueryModel, cat.py:456-489):
     * unknown columns error; scalar values wrap to 1-element lists;
     * `require_all_on` normalizes to a list and is validated.
@@ -62,6 +86,12 @@ object QueryCompiler {
       c.isNull // null query value matches null cells (_search.py:51-52)
     } else
       value match {
+        case p: java.util.regex.Pattern if colIsString =>
+          c.rlike(embedFlags(p)) // compiled pattern: its flags ride along
+        case r: scala.util.matching.Regex if colIsString =>
+          c.rlike(embedFlags(r.pattern))
+        case (_: java.util.regex.Pattern) | (_: scala.util.matching.Regex) =>
+          lit(false) // reference: non-string column == pattern is all-False
         case s: String if colIsString && isPattern(s) =>
           c.rlike(s) // unanchored, case-sensitive find (_search.py:49-50)
         case v =>

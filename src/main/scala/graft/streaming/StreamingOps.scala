@@ -66,11 +66,17 @@ object StreamingOps {
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
     * after `gapMinutes` of event-time inactivity. An event-time timeout at
     * `last_event + gap` (relative to the `watermark`-delayed watermark)
-    * evicts idle users' state AND emits their final open session, so state
-    * stays bounded and no session is lost in Append mode — and unlike a
-    * processing-time timeout the behavior is identical on live ingest and
-    * historical reprocessing. Streaming twin of the `events_sessionize`
-    * batch query. */
+    * evicts idle users' session state AND emits their final open session,
+    * so no session is lost in Append mode — and unlike a processing-time
+    * timeout the behavior is identical on live ingest and historical
+    * reprocessing. Streaming twin of the `events_sessionize` batch query.
+    *
+    * Timeout leaves a minimal TOMBSTONE (next session id, no events) so
+    * `(user_id, session_id)` stays unique across a user's whole lifetime —
+    * without it a returning user would restart at session 1 and collide
+    * with their earlier keys. Session-event buffering is still evicted on
+    * timeout; what persists is one counter per ever-seen user, the same
+    * cardinality any per-user numbering scheme needs. */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -84,18 +90,23 @@ object StreamingOps {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // Watermark passed last_event + gap: close and emit the open
-            // session, drop the user's state.
+            // session; keep a tombstone carrying the NEXT session id.
+            // No new timeout is set — a tombstone has nothing left to emit,
+            // so it simply waits for the user's next event.
             val out = state.getOption.toSeq.filter(_.lastUs != Long.MinValue).map(st =>
               SessionOut(userId, st.sessionId, st.nEvents, st.firstUs, st.lastUs))
-            state.remove()
+            val nextId = state.getOption.map(_.sessionId + 1).getOrElse(1L)
+            state.update(SessionState(nextId, Long.MinValue, 0L, 0L))
             out.iterator
           } else {
-            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0L))
+            // fresh users and tombstones both carry the id the next session
+            // should use in sessionId, with lastUs == MinValue
+            var st = state.getOption.getOrElse(SessionState(1L, Long.MinValue, 0L, 0L))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val us = e.ts.getTime * 1000L
               if (st.lastUs == Long.MinValue) {
-                st = SessionState(1L, us, 1L, us)
+                st = SessionState(st.sessionId, us, 1L, us)
               } else if (us - st.lastUs > gapUs) {
                 closed += SessionOut(userId, st.sessionId, st.nEvents, st.firstUs, st.lastUs)
                 st = SessionState(st.sessionId + 1, us, 1L, us)

@@ -30,6 +30,22 @@ class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     super.afterAll()
   }
 
+  test("non-literal sketch-geometry args raise a clear analysis error") {
+    spark.range(3).selectExpr("CAST(id AS STRING) AS s", "CAST(id AS INT) AS k")
+      .createOrReplaceTempView("ext_args_v")
+    // non-foldable k
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_agg(s, k) FROM ext_args_v").collect()
+    }
+    assert(e1.getMessage.contains("minhash_agg") && e1.getMessage.contains("foldable"),
+      e1.getMessage)
+    // non-integral literal
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT band_hashes(array(1L, 2L), 'x', 4)").collect()
+    }
+    assert(e2.getMessage.contains("band_hashes"), e2.getMessage)
+  }
+
   test("vec_cosine / vec_dot usable from SQL after extension install") {
     val r = spark.sql(
       """SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),

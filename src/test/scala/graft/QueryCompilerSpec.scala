@@ -106,6 +106,29 @@ class QueryCompilerSpec extends AnyFunSuite {
     ))
   }
 
+  test("compiled patterns carry their flags (test_search.py:110-119)") {
+    // {'C': [re.compile('hist.*', re.IGNORECASE)], 'D': [re.compile('TA.*', re.IGNORECASE)]}
+    import java.util.regex.Pattern
+    val got = run(Map(
+      "C" -> Seq(Pattern.compile("hist.*", Pattern.CASE_INSENSITIVE)),
+      "D" -> Seq(Pattern.compile("TA.*", Pattern.CASE_INSENSITIVE))), None)
+    assert(got == rows(("NCAR", "WACM", "hist", "TA"), ("NASA", "foo", "HiSt", "tAs")))
+    // scala.util.matching.Regex with inline flags behaves identically
+    val got2 = run(Map(
+      "C" -> Seq("(?i)hist.*".r), "D" -> Seq("(?i)TA.*".r)), None)
+    assert(got2 == got)
+    // flagless compiled pattern == the plain string-pattern path
+    val got3 = run(Map("C" -> Seq(Pattern.compile("^hist$"))), None)
+    assert(got3 == run(Map("C" -> Seq("^hist$")), None))
+  }
+
+  test("is_pattern: compiled patterns are always patterns (test_search.py:23)") {
+    assert(QueryCompiler.isPattern(java.util.regex.Pattern.compile("hist.*"): Any))
+    assert(QueryCompiler.isPattern("hist.*".r: Any))
+    assert(!QueryCompiler.isPattern(2: Any))
+    assert(!QueryCompiler.isPattern("foo": Any))
+  }
+
   test("null query value matches null cells") {
     assert(run(Map("A" -> Seq(null)), None) == rows((null, null, "exp", "UA")))
   }

@@ -64,6 +64,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(u1(1).session_id == 2L && u1(1).n_events == 1L)
   }
 
+  test("session ids stay unique across event-time timeouts (tombstone state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_tomb").outputMode("append").start()
+    input.addData(Event(1L, 1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+    q.processAllAvailable()
+    // another user's much later event pushes the watermark past user 1's
+    // gap: the timeout closes session 1 and leaves a tombstone
+    input.addData(Event(2L, 2L, Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    // user 1 returns after the timeout: must get session 2, not restart at 1
+    input.addData(Event(1L, 3L, Timestamp.valueOf("2024-01-01 13:00:00"), 1.0))
+    q.processAllAvailable()
+    input.addData(Event(3L, 4L, Timestamp.valueOf("2024-01-02 00:00:00"), 1.0))
+    q.processAllAvailable()
+    val u1 = spark.table("sess_tomb").as[StreamingOps.SessionOut].collect()
+      .filter(_.user_id == 1L).sortBy(_.first_us)
+    q.stop()
+    assert(u1.length == 2, u1.mkString(", "))
+    assert(u1.map(_.session_id).toSeq == Seq(1L, 2L), u1.mkString(", "))
+  }
+
   test("sliding windows: event lands in every overlapping window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -116,8 +140,8 @@ class StreamingSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     // batch truth: the events_sessionize query (oracle-checked against DuckDB)
     val batch = SparkEntry.queries("events_sessionize")(spark, "/root/testdata/sf0.001")
-      .select("user_id", "n_events", "first_us", "last_us")
-      .as[(Long, Long, Long, Long)].collect().toSet
+      .select("user_id", "session_id", "n_events", "first_us", "last_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
     // same events through the incremental path. Timestamp only holds ms, so
     // feed the µs VALUE as ms (1000× stretch) and stretch the gap the same
     // way (30 min -> 30000 "minutes"): identical session structure, and the
@@ -136,9 +160,11 @@ class StreamingSpec extends AnyFunSuite {
     val maxMs = rows.map(_.ts.getTime).max
     input.addData(Event(-1L, Long.MaxValue, new Timestamp(maxMs + 86400000L * 365), 0.0))
     q.processAllAvailable()
+    // session_id INCLUDED: tombstone state keeps per-user numbering
+    // continuous, so the streaming ids match the batch cumulative-count ids
     val streamed = spark.table("sess_parity").as[StreamingOps.SessionOut].collect()
       .filter(_.user_id >= 0)
-      .map(s => (s.user_id, s.n_events, s.first_us / 1000L, s.last_us / 1000L)).toSet
+      .map(s => (s.user_id, s.session_id, s.n_events, s.first_us / 1000L, s.last_us / 1000L)).toSet
     q.stop()
     assert(streamed == batch,
       s"streaming=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
