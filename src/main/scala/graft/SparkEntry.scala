@@ -192,6 +192,18 @@ object SparkEntry {
         .orderBy("status", "member", "year", "variable")
     }),
 
+    "scan_kerchunk_reference" -> ((s, _) => {
+      // kerchunk reference:// catalog plane: the index the reference feeds
+      // xarray's zarr engine (source.py:82-86), shredded to a chunk map via
+      // VariantType. Byte-range DECODE stays behind the connector boundary;
+      // enumeration/location is fully oracle-checkable (DuckDB walks the
+      // same JSON).
+      graft.sources.KerchunkIndex
+        .read(s, "/root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json")
+        .select("key", "variable", "kind", "url", "offset", "length")
+        .orderBy("key")
+    }),
+
     "scan_catalog_dict" -> ((s, _) => {
       CatalogReader.fromDict(s, Seq(
         Map("component" -> "ocn", "experiment" -> "20C", "variable" -> "SHF", "scode" -> 482L),
@@ -1061,6 +1073,19 @@ object SparkEntry {
 
     "scan_catalog_csv" ->
       "SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region ORDER BY CAST(r_regionkey AS INT)",
+
+    "scan_kerchunk_reference" ->
+      """WITH t AS (SELECT content FROM read_text('/root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json')),
+        |k AS (SELECT unnest(json_keys(content, '$.refs')) AS key, content FROM t),
+        |e AS (SELECT key, json_extract(content, '$.refs."' || key || '"') AS value FROM k)
+        |SELECT key,
+        | CASE WHEN strpos(key, '/') > 0 THEN regexp_replace(key, '/[^/]*$', '') ELSE '' END AS variable,
+        | CASE WHEN regexp_extract(key, '[^/]*$') LIKE '.%' THEN 'meta'
+        |      WHEN json_type(value) = 'ARRAY' THEN 'ref' ELSE 'inline' END AS kind,
+        | CASE WHEN json_type(value) = 'ARRAY' THEN value->>0 END AS url,
+        | CASE WHEN json_type(value) = 'ARRAY' THEN TRY_CAST(value->>1 AS BIGINT) END AS "offset",
+        | CASE WHEN json_type(value) = 'ARRAY' THEN TRY_CAST(value->>2 AS BIGINT) END AS length
+        |FROM e ORDER BY key""".stripMargin,
 
     "scan_catalog_esmcat" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS member,

@@ -41,14 +41,20 @@ final case class EsmDataSource(
     aggregations.filter(_.aggType == AggregationType.JoinNew).map(_.attributeName)
 
   /** Format dispatch (source.py:70-137). The harness's assets are parquet;
-    * netcdf/zarr/opendap/kerchunk need external connectors that don't ship in
-    * this environment — the dispatch table is where they'd plug in.
+    * netcdf/zarr/opendap need external connectors that don't ship in this
+    * environment — the dispatch table is where they'd plug in. Kerchunk
+    * `reference` assets are supported at the CATALOG plane: the JSON index
+    * shreds to a chunk-map frame (variable / chunk / url / byte range —
+    * exactly what the reference's zarr engine sees before decoding,
+    * source.py:82-86); decoding the referenced byte ranges stays behind the
+    * same connector boundary as the other binary formats.
     */
   def openAsset(spark: SparkSession, path: String, format: String): DataFrame =
     format match {
       case "parquet" | "" | null => spark.read.parquet(path)
       case "csv"                 => spark.read.option("header", "true").csv(path)
       case "json"                => spark.read.json(path)
+      case "reference"           => graft.sources.KerchunkIndex.read(spark, path)
       case other =>
         throw new UnsupportedOperationException(
           s"data format '$other' needs an external Spark connector (netcdf/zarr/opendap per source.py:70-137)")

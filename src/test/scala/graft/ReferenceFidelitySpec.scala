@@ -121,6 +121,38 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(cat.df.count() > 0)
   }
 
+  test("kerchunk reference index: chunk map matches the sample the reference opens") {
+    // tests/sample_data/kerchunk-files + test_source.py:93-108: the same
+    // noaa-nwm index the reference feeds xarray's zarr engine
+    import org.apache.spark.sql.functions.col
+    val path = "/root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json"
+    val idx = graft.sources.KerchunkIndex.read(spark, path)
+    assert(idx.count() == 345) // every entry of the refs map is enumerated
+    // remote byte-range chunk: [url, offset, length]
+    val sf = idx.filter(col("key") === "streamflow/9.2").head()
+    assert(sf.getAs[String]("kind") == "ref")
+    assert(sf.getAs[String]("url") ==
+      "s3://noaa-nwm-retro-v2.0-pds/full_physics/2017/201704010900.CHRTOUT_DOMAIN1.comp")
+    assert(sf.getAs[Long]("offset") == 41248902L && sf.getAs[Long]("length") == 1008392L)
+    assert(sf.getAs[String]("variable") == "streamflow")
+    // inline base64 chunk survives verbatim
+    val t0 = idx.filter(col("key") === "time/0").head()
+    assert(t0.getAs[String]("kind") == "inline")
+    assert(t0.getAs[String]("inline_value").startsWith("base64:"))
+    // zarr metadata plane
+    val meta = graft.sources.KerchunkIndex.arrayMeta(idx)
+      .collect().map(r => r.getAs[String]("variable") -> r).toMap
+    assert(meta("streamflow").getAs[String]("dtype") == "<i4")
+    assert(meta("streamflow").getAs[String]("compressor") == "zlib")
+    assert(meta("elevation").getAs[String]("dtype") == "<f4")
+    assert(meta("time").getAs[String]("dtype") == "<i4")
+    assert(meta("time").getAs[String]("compressor") == null) // compressor: null
+    // the dispatch opens it as an asset format (catalog plane, no decode)
+    val viaDispatch = graft.catalog.EsmDataSource("k", Nil, "path", None, Nil)
+      .openAsset(spark, path, "reference")
+    assert(viaDispatch.count() == 345)
+  }
+
   test("truly missing catalog_file fails with a load error, not an NPE") {
     val dir  = java.nio.file.Files.createTempDirectory("graft_badcat")
     val json = dir.resolve("gone.json")
