@@ -32,18 +32,27 @@ object CatalogReader {
       iterableDtypes: Map[String, ContainerType.Value],
   )
 
-  /** Extension → reader dispatch (reference: cat.py:599-612). */
-  def readAssetTable(spark: SparkSession, path: String): DataFrame = {
+  /** Extension → reader dispatch (reference: cat.py:599-612).
+    *
+    * `storageOptions` is the per-call analog of the reference's fsspec
+    * storage_options (cat.py:238-280): the map is applied as reader options,
+    * and Spark merges reader options into the RELATION's Hadoop
+    * configuration (`sessionState.newHadoopConfWithOptions`), so
+    * filesystem keys like `fs.s3a.endpoint` / credentials reach the store
+    * for this read only — no global SparkContext conf mutation. */
+  def readAssetTable(spark: SparkSession, path: String,
+                     storageOptions: Map[String, String] = Map.empty): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet") || lower.endsWith(".parq"))
-      spark.read.parquet(path)
+      spark.read.options(storageOptions).parquet(path)
     else if (lower.endsWith(".json"))
-      spark.read.json(path)
+      spark.read.options(storageOptions).json(path)
     else
       // csv / csv.gz / csv.bz2 — Spark handles the compression codecs natively.
       spark.read
         .option("header", "true")
         .option("inferSchema", "false") // strings, like the reference (cat.py:641)
+        .options(storageOptions)
         .csv(path)
   }
 
@@ -145,13 +154,15 @@ object CatalogReader {
     * Mirrors ESMCatalogModel.load (cat.py:238-280) + _df_from_file
     * (cat.py:282-326).
     */
-  def load(spark: SparkSession, jsonPath: String): (EsmCatalogModel, LoadedTable) = {
+  def load(spark: SparkSession, jsonPath: String,
+           storageOptions: Map[String, String] = Map.empty): (EsmCatalogModel, LoadedTable) = {
     val model = EsmCatalogModel.fromJson(new String(Files.readAllBytes(Paths.get(jsonPath)), "UTF-8"))
-    val table = loadTable(spark, model, Some(jsonPath))
+    val table = loadTable(spark, model, Some(jsonPath), storageOptions)
     (model, table)
   }
 
-  def loadTable(spark: SparkSession, model: EsmCatalogModel, jsonPath: Option[String]): LoadedTable =
+  def loadTable(spark: SparkSession, model: EsmCatalogModel, jsonPath: Option[String],
+                storageOptions: Map[String, String] = Map.empty): LoadedTable =
     model.catalogDict match {
       case Some(records) =>
         val df = fromDict(spark, records)
@@ -160,7 +171,7 @@ object CatalogReader {
         val file = model.catalogFile.getOrElse(
           throw new IllegalArgumentException("catalog needs catalog_file or catalog_dict"))
         val resolved = jsonPath.map(resolveCatalogFile(_, file)).getOrElse(file)
-        val raw = readAssetTable(spark, resolved)
+        val raw = readAssetTable(spark, resolved, storageOptions)
         val dtypes = probeIterableColumns(raw)
         LoadedTable(decodeIterableColumns(raw, dtypes.keySet), dtypes.keySet, dtypes)
     }

@@ -24,6 +24,7 @@ final class EsmCatalog(
     val derivedRegistry: DerivedVariableRegistry = new DerivedVariableRegistry,
     val requestedVariables: Seq[String] = Nil,
     val sep: String = ".",
+    val storageOptions: Map[String, String] = Map.empty,
 ) {
   import CatalogReader.ContainerType
 
@@ -234,6 +235,7 @@ final class EsmCatalog(
       variableColumn = model.variableColumnName,
       aggregations = model.aggregationControl.map(_.aggregations).getOrElse(Nil),
       requestedVariables = requestedVariables,
+      storageOptions = storageOptions,
     ).copy(records = records.map(r => r + ("_data_format_" -> resolveFormat(r, fmt))))
   }
 
@@ -305,11 +307,17 @@ final class EsmCatalog(
 }
 
 object EsmCatalog {
-  /** Open a datastore from a JSON descriptor path (core.py:89-153). */
+  /** Open a datastore from a JSON descriptor path (core.py:89-153).
+    * `storageOptions` is the per-call twin of the reference's fsspec
+    * storage_options (cat.py:238-280): applied to the asset-table read and
+    * every asset open, reaching the relation-scoped Hadoop configuration
+    * (credentials, endpoints) without touching global conf. */
   def open(spark: SparkSession, jsonPath: String,
-           registry: DerivedVariableRegistry = new DerivedVariableRegistry): EsmCatalog = {
-    val (model, table) = CatalogReader.load(spark, jsonPath)
-    new EsmCatalog(spark, model, table.df, table.columnsWithIterables, table.iterableDtypes, registry)
+           registry: DerivedVariableRegistry = new DerivedVariableRegistry,
+           storageOptions: Map[String, String] = Map.empty): EsmCatalog = {
+    val (model, table) = CatalogReader.load(spark, jsonPath, storageOptions)
+    new EsmCatalog(spark, model, table.df, table.columnsWithIterables, table.iterableDtypes,
+      registry, storageOptions = storageOptions)
   }
 
   /** Open from an in-memory descriptor + pre-built table (search results,

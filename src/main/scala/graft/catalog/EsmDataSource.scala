@@ -35,6 +35,7 @@ final case class EsmDataSource(
     aggregations: Seq[Aggregation],
     requestedVariables: Seq[String] = Nil,
     preprocess: Option[DataFrame => DataFrame] = None,
+    storageOptions: Map[String, String] = Map.empty, // per-call fs conf/credentials (cat.py:238-280)
 ) {
 
   private def joinNewAttrs: Seq[String] =
@@ -51,10 +52,10 @@ final case class EsmDataSource(
     */
   def openAsset(spark: SparkSession, path: String, format: String): DataFrame =
     format match {
-      case "parquet" | "" | null => spark.read.parquet(path)
-      case "csv"                 => spark.read.option("header", "true").csv(path)
-      case "json"                => spark.read.json(path)
-      case "reference"           => graft.sources.KerchunkIndex.read(spark, path)
+      case "parquet" | "" | null => spark.read.options(storageOptions).parquet(path)
+      case "csv"                 => spark.read.option("header", "true").options(storageOptions).csv(path)
+      case "json"                => spark.read.options(storageOptions).json(path)
+      case "reference"           => graft.sources.KerchunkIndex.read(spark, path, storageOptions)
       case other =>
         throw new UnsupportedOperationException(
           s"data format '$other' needs an external Spark connector (netcdf/zarr/opendap per source.py:70-137)")

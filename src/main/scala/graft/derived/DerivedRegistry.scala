@@ -24,6 +24,56 @@ final case class DerivedVariable(
     }
 }
 
+/** Implement to publish a registry for [[DerivedVariableRegistry.load]] /
+  * ServiceLoader discovery — the JVM's module-import seam. */
+trait DerivedRegistryProvider { def registry: DerivedVariableRegistry }
+
+object DerivedVariableRegistry {
+
+  /** Load a registry from a fully-qualified class or Scala object name —
+    * the JVM twin of `DerivedVariableRegistry.load(module)`
+    * (derived.py:52-88, which imports a module and takes its first
+    * `DerivedVariableRegistry` member via `inspect.getmembers`). The named
+    * type either implements [[DerivedRegistryProvider]] or exposes a no-arg
+    * public method/field of type [[DerivedVariableRegistry]].
+    */
+  def load(name: String): DerivedVariableRegistry = {
+    // a Scala `object Foo` compiles to Foo$ (singleton) plus a Foo mirror
+    // class with no usable constructor — prefer the singleton form
+    val moduleCls =
+      try Some(Class.forName(if (name.endsWith("$")) name else name + "$"))
+      catch { case _: ClassNotFoundException => None }
+    val instance: Any = moduleCls match {
+      case Some(m) => m.getField("MODULE$").get(null)
+      case None    => Class.forName(name).getDeclaredConstructor().newInstance()
+    }
+    instance match {
+      case p: DerivedRegistryProvider => p.registry
+      case other =>
+        other.getClass.getMethods
+          .find(m => m.getParameterCount == 0 &&
+            classOf[DerivedVariableRegistry].isAssignableFrom(m.getReturnType))
+          .map(_.invoke(other).asInstanceOf[DerivedVariableRegistry])
+          .getOrElse(throw new IllegalArgumentException(
+            s"No DerivedVariableRegistry found in $name (derived.py:84-88 equivalent)"))
+    }
+  }
+
+  /** Merge every [[DerivedRegistryProvider]] on the classpath
+    * (`META-INF/services`) — ServiceLoader is the idiomatic JVM analog of
+    * dropping a registry module on `$PYTHONPATH`. */
+  def loadServices(
+      loader: ClassLoader = Thread.currentThread().getContextClassLoader,
+  ): DerivedVariableRegistry = {
+    import scala.jdk.CollectionConverters._
+    val r = new DerivedVariableRegistry
+    java.util.ServiceLoader.load(classOf[DerivedRegistryProvider], loader)
+      .iterator().asScala
+      .foreach(p => p.registry.items.foreach { case (_, dv) => r.register(dv) })
+    r
+  }
+}
+
 final class DerivedVariableRegistry {
   private val registry = scala.collection.mutable.LinkedHashMap.empty[String, DerivedVariable]
 

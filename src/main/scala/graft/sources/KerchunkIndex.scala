@@ -29,8 +29,9 @@ object KerchunkIndex {
     * inline_value). `variable` is "" for root-level keys; inline values keep
     * their `base64:` prefix when binary.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("wholetext", "true").text(path)
+  def read(spark: SparkSession, path: String,
+           storageOptions: Map[String, String] = Map.empty): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").options(storageOptions).text(path)
     // variant_explode is a table-valued function — LATERAL over a scoped
     // temp view; the view entry can drop once the plan is analyzed
     val view = "graft_kerchunk_" + java.util.UUID.randomUUID().toString.replace("-", "")

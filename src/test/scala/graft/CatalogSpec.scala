@@ -166,4 +166,33 @@ class CatalogSpec extends AnyFunSuite {
     val n = cat.nunique.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(n == Map("component" -> 2L, "variable" -> 3L))
   }
+
+  test("storage_options reach the relation's filesystem configuration (cat.py:238-280)") {
+    // Spark merges reader options into the relation-scoped Hadoop conf
+    // (newHadoopConfWithOptions). Prove the plumb-through reaches the FS
+    // layer: a bogus fs.file.impl must break the read of a local csv asset
+    // table, and only for the call that passed it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sopts")
+    val csv = dir.resolve("cat.csv")
+    java.nio.file.Files.write(csv, "a,b\n1,x\n".getBytes("UTF-8"))
+    val ok = graft.catalog.CatalogReader.readAssetTable(spark, csv.toString)
+    assert(ok.count() == 1)
+    val e = intercept[Throwable] {
+      graft.catalog.CatalogReader
+        .readAssetTable(spark, csv.toString,
+          storageOptions = Map(
+            "fs.file.impl" -> "no.such.FileSystemImpl",
+            // the FileSystem cache is keyed by scheme, not conf — bypass it
+            // so the bogus impl is actually instantiated for this call
+            "fs.file.impl.disable.cache" -> "true"))
+        .count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).toSeq
+    assert(chain(e).exists(_.contains("no.such.FileSystemImpl")), chain(e).mkString(" | "))
+    // clean read again: the bogus conf was call-scoped, nothing global leaked
+    assert(graft.catalog.CatalogReader.readAssetTable(spark, csv.toString).count() == 1)
+    java.nio.file.Files.deleteIfExists(csv)
+    java.nio.file.Files.deleteIfExists(dir)
+  }
 }

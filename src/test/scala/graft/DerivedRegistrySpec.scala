@@ -54,4 +54,37 @@ class DerivedRegistrySpec extends AnyFunSuite {
       .register(DerivedVariable("b", Map.empty, identity))
     assert(reg.search(Seq("b", "c")).keys == Seq("b"))
   }
+
+  test("load by name: object member, provider class, and the no-registry error (derived.py:52-88)") {
+    // Scala object exposing a registry member (module-with-member shape)
+    val fromObject = DerivedVariableRegistry.load("graft.TestDerivedModule")
+    assert(fromObject.keys == Seq("tas_squared"))
+    // plain class implementing the provider trait
+    val fromClass = DerivedVariableRegistry.load(classOf[TestDerivedProvider].getName)
+    assert(fromClass.keys == Seq("tas_squared"))
+    // module without a registry member errors, mirroring the reference
+    val e = intercept[IllegalArgumentException](
+      DerivedVariableRegistry.load("graft.TestEmptyModule"))
+    assert(e.getMessage.contains("No DerivedVariableRegistry"))
+  }
+
+  test("ServiceLoader discovery merges classpath providers") {
+    val reg = DerivedVariableRegistry.loadServices()
+    assert(reg.contains("tas_squared"))
+  }
 }
+
+/** Fixture "module": an object whose member registry `load` must discover. */
+object TestDerivedModule {
+  val registry: DerivedVariableRegistry = new DerivedVariableRegistry()
+    .register(DerivedVariable("tas_squared", Map("variable" -> Seq("tas")),
+      df => df.withColumn("tas_squared",
+        org.apache.spark.sql.functions.col("tas") * org.apache.spark.sql.functions.col("tas"))))
+}
+
+/** Fixture provider for the class + ServiceLoader paths. */
+final class TestDerivedProvider extends graft.derived.DerivedRegistryProvider {
+  def registry: DerivedVariableRegistry = TestDerivedModule.registry
+}
+
+object TestEmptyModule { val notARegistry: String = "nope" }
