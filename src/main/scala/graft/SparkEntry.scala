@@ -693,6 +693,25 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition gates: top-token fraction + duplicate-bigram
+      // fraction, exploded-token groupBys (partial counts shuffle, not text)
+      TextAnalysis.repetitionSignals(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "text_pii_scrub" -> ((s, dir) => {
+      // The corpus is synthetic and clean, so the query plants one of each
+      // PII shape per doc and scrubs it — the oracle runs the SAME
+      // RE2-compatible regexes, verifying the patterns end-to-end
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.piiScrub(concat(col("text"),
+            lit(" contact u"), col("doc_id"), lit("@example.com ip 10.0.0."),
+            col("doc_id") % 256, lit(" tel 555-123-4567"))).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_train_val_split" -> ((s, dir) => {
       // deterministic engine-portable md5 split; report per-(lang, split)
       // counts — assignment is a pure function of (lang, doc_id, seed), so
@@ -1601,6 +1620,29 @@ object SparkEntry {
         |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS sh
         |  FROM toks, UNNEST(range(1, len(t))) AS r(i))
         |SELECT sh, COUNT(*) AS n FROM sh GROUP BY sh ORDER BY n DESC, sh LIMIT 20""".stripMargin,
+
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split_regex(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') AS l FROM documents),
+        |toks AS (SELECT doc_id, unnest(l) AS t FROM base),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tok AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac
+        |        FROM tc GROUP BY 1 HAVING sum(c) >= 2),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS sh FROM base),
+        |bgf AS (SELECT doc_id, 1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*) AS dup_bigram_frac FROM bg GROUP BY 1)
+        |SELECT tok.doc_id AS doc_id, top_token_frac, dup_bigram_frac
+        |FROM tok JOIN bgf ON tok.doc_id = bgf.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the oracle runs the SAME RE2-compatible patterns (with DuckDB's 'g'
+    // flag matching Spark's replace-all default)
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(text || ' contact u' || doc_id || '@example.com ip 10.0.0.' || (doc_id % 256) || ' tel 555-123-4567',
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |   '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "pipeline_train_val_split" ->
       """WITH b AS (

@@ -110,4 +110,49 @@ object TextAnalysis {
     * word k-grams — a robust near-dup sketch. */
   def minSampleSketch(c: Column, k: Int = 3, keep: Int = 8): Column =
     slice(sort_array(transform(Dedup.wordShingles(c, k), g => xxhash64(g))), 1, keep)
+
+  // ---------------------------------------------------- repetition signals
+
+  /** Gopher-style repetition signals per document:
+    *  - `top_token_frac`: occurrences of the most frequent token / all
+    *    tokens (boilerplate and keyword-stuffed docs score high),
+    *  - `dup_bigram_frac`: fraction of word-bigram OCCURRENCES that repeat
+    *    an already-seen bigram (1 − distinct/total — near 0 for natural
+    *    prose, → 1 for looped text).
+    * Docs with < 2 tokens are dropped (no bigram exists — same convention
+    * the brute-force SQL oracle lands on). Shapes: explode → two
+    * map-side-combined groupBys; the shuffles carry (doc, token) partial
+    * counts, not text.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))
+    val topTok = toks.groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg((max(col("c")).cast(DoubleType) / sum(col("c"))).as("top_token_frac"),
+        sum(col("c")).as("__n"))
+      .filter(col("__n") >= 2).drop("__n")
+    val bigrams = Dedup.shingleRows(df, textCol, idCol, 2)
+    val dupBg = bigrams.groupBy("id").agg(
+      (lit(1.0) - countDistinct(col("sh")).cast(DoubleType) / count(lit(1))).as("dup_bigram_frac"))
+    topTok.join(dupBg, "id").withColumnRenamed("id", idCol)
+  }
+
+  // ----------------------------------------------------------- PII scrubbing
+
+  /** Regex PII scrub: emails, North-American phone shapes, IPv4 literals →
+    * typed placeholder tokens. Patterns are RE2-compatible (no lookaround),
+    * so the exact same expressions run in other engines — the DuckDB oracle
+    * executes them verbatim. Pure codegen'd `regexp_replace` chain in the
+    * scan. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe = "\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b"
+  val piiIpv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, piiEmailRe, "<EMAIL>"),
+        piiIpv4Re, "<IP>"),
+      piiPhoneRe, "<PHONE>")
 }

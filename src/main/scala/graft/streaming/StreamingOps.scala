@@ -59,6 +59,23 @@ object StreamingOps {
       .select(col("user_id"), col("l_event_id"), col("r_event_id"), col("l_ts"), col("r_ts"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` aggregate — the
+    * declarative twin of [[sessionize]]: the planner owns window merging and
+    * watermark-driven state eviction, no custom state function. Events with
+    * gap < `gap` merge into one session window. Prefer this when per-user
+    * session NUMBERING isn't needed (the window start identifies the
+    * session); use [[sessionize]] when stable per-user ids are required.
+    */
+  def sessionizeWindows(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("n_events"), col("first_ts"), col("last_ts"))
+
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, firstUs: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, first_us: Long, last_us: Long)

@@ -170,6 +170,38 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
   }
 
+  test("native session_window sessionize equals batch sessions on real events (sf0.001)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("events_sessionize")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "n_events", "first_us", "last_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // µs values fed as ms (1000x stretch, as in the stateful parity test).
+    // Batch rule: diff > G starts a new session; session_window merges when
+    // diff < gap — gap = G+1 makes the boundary semantics identical.
+    val rows = SparkEntry.events(spark, "/root/testdata/sf0.001")
+      .select("user_id", "event_id", "us")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._3, r._2))
+      .map { case (u, e, us) => StreamingOps.Event(u, e, new Timestamp(us), 0.0) }
+    val input = MemoryStream[StreamingOps.Event]
+    val q = StreamingOps.sessionizeWindows(input.toDF(), gap = "1800000001 milliseconds",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_win").outputMode("append").start()
+    input.addData(rows.toIndexedSeq)
+    q.processAllAvailable()
+    val maxMs = rows.map(_.ts.getTime).max
+    input.addData(StreamingOps.Event(-1L, Long.MaxValue, new Timestamp(maxMs * 3), 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_win")
+      .select("user_id", "n_events", "first_ts", "last_ts")
+      .as[(Long, Long, Timestamp, Timestamp)].collect()
+      .filter(_._1 >= 0)
+      .map(r => (r._1, r._2, r._3.getTime, r._4.getTime)).toSet
+    q.stop()
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
