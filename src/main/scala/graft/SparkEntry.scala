@@ -583,7 +583,11 @@ object SparkEntry {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
+      // checkpoint before the orderBy: range-partition sampling would
+      // otherwise re-run the whole LSH+verify pipeline a second time just
+      // to pick sort bounds for a few hundred rows
       Dedup.ngramJaccard(T(s, dir, "documents"), "text", "doc_id", n = 3, threshold = 0.3)
+        .localCheckpoint(false)
         .orderBy("id_a", "id_b")
     }),
 
