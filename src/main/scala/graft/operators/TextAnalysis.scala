@@ -121,8 +121,8 @@ object TextAnalysis {
     *    prose, → 1 for looped text).
     * Docs with < 2 tokens are dropped (no bigram exists — same convention
     * the brute-force SQL oracle lands on). Shapes: explode → two
-    * map-side-combined groupBys; the shuffles carry (doc, token) partial
-    * counts, not text.
+    * map-side-combined groupBys; the shuffles carry (doc, token/bigram)
+    * partial counts — short keys, never whole documents.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df

@@ -196,6 +196,40 @@ class RobustnessSpec extends AnyFunSuite {
     val packed = Chunking.packSequences(dirty, "doc_id", "text", "lang", 10).collect()
     assert(packed.length == 4)
   }
+
+  test("repetition signals: degenerate docs drop, repeated text scores high") {
+    val rep = TextAnalysis.repetitionSignals(dirty, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rep.keySet == Set(4L)) // null/empty/whitespace and <2-token docs drop
+    assert(rep(4L)._1 == 1.0 / 6 && rep(4L)._2 == 0.0)
+    val loop = Seq((1L, "spam spam spam spam")).toDF("doc_id", "text")
+    val l = TextAnalysis.repetitionSignals(loop, "text", "doc_id").head()
+    assert(l.getDouble(1) == 1.0)       // one token dominates completely
+    assert(l.getDouble(2) == 1.0 - 1.0 / 3) // 3 bigram occurrences, 1 distinct
+  }
+
+  test("pii scrub: replaces all occurrences and leaves clean text alone") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567 or 555 123 4567, host 10.0.0.1"),
+      (2L, "nothing sensitive here 3.14 v1.2.3"),
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.piiScrub(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> and <EMAIL>, call <PHONE> or <PHONE>, host <IP>")
+    assert(out(2L) == "nothing sensitive here 3.14 v1.2.3")
+    assert(out(3L) == null)
+  }
+
+  test("kerchunk reader: index without refs fails with a parse-shaped error, not rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kc")
+    val f = dir.resolve("bad.json")
+    java.nio.file.Files.write(f, """{"version": 1}""".getBytes("UTF-8"))
+    // variant_get of a missing $.refs yields null -> zero entries, no crash
+    assert(graft.sources.KerchunkIndex.read(spark, f.toString).count() == 0)
+    java.nio.file.Files.deleteIfExists(f)
+    java.nio.file.Files.deleteIfExists(dir)
+  }
 }
 
 class ChunkingSpec extends AnyFunSuite {
