@@ -50,14 +50,30 @@ object Chunking {
     * budget) — i.e. each doc packs into the bin its cumulative start falls
     * in (docs longer than the budget own consecutive bins' worth of
     * tokens; they are not split). Output: input cols + n_tokens, bin.
+    *
+    * Parallelism: packing is sequential WITHIN a window, so with a handful
+    * of strata (e.g. 4 languages) the window collapses onto that many
+    * reducers no matter the cluster size. `subShards > 1` salts every
+    * stratum into that many deterministic hash sub-streams, each packed
+    * independently (bins are namespaced by sub-shard, so ids stay unique).
+    * Packing density is unchanged in expectation — only cross-sub-shard
+    * "last partial bin" fragmentation is added, ≤ subShards·budget wasted
+    * tokens per stratum — and parallelism multiplies by `subShards`. Default
+    * 1 keeps the exact legacy assignment (and the SQL oracle's).
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    stratumCol: String, budget: Int = 512): DataFrame = {
-    val w = Window.partitionBy(stratumCol).orderBy(idCol)
+                    stratumCol: String, budget: Int = 512,
+                    subShards: Int = 1): DataFrame = {
+    require(subShards >= 1, s"subShards must be >= 1, got $subShards")
+    val shard = if (subShards == 1) lit(0L) else pmod(xxhash64(col(idCol)), lit(subShards.toLong))
+    val w = Window.partitionBy(col(stratumCol), shard).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast(LongType))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
-      .withColumn("bin", floor((col("__cum") - col("n_tokens")) / lit(budget.toDouble)).cast(LongType))
-      .drop("__cum")
+      .withColumn("__localbin",
+        floor((col("__cum") - col("n_tokens")) / lit(budget.toDouble)).cast(LongType))
+      // namespace bins by sub-shard so (stratum, bin) stays a unique key
+      .withColumn("bin", col("__localbin") * subShards + shard)
+      .drop("__cum", "__localbin")
   }
 }

@@ -266,6 +266,29 @@ class ChunkingSpec extends AnyFunSuite {
     assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 1L)
     assert(out(4L) == 0L)
   }
+
+  test("packing sub-shards: every doc assigned, bins unique per shard, budget respected") {
+    val docs = (1L to 200L).map(i => (i, Seq.fill(7)("w").mkString(" "), s"l${i % 2}"))
+      .toDF("doc_id", "text", "lang")
+    val out = Chunking.packSequences(docs, "doc_id", "text", "lang", budget = 50, subShards = 4)
+      .select("doc_id", "lang", "bin", "n_tokens")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out.length == 200)
+    // a doc is never split, so a boundary-straddling doc may overflow its
+    // bin by at most its own length - 1 (same rule as single-stream packing)
+    out.groupBy(t => (t._2, t._3)).foreach { case (k, docs) =>
+      assert(docs.map(_._4).sum <= 50 + 7 - 1, s"bin $k overflows: ${docs.map(_._4).sum}")
+    }
+    // with 4 sub-shards, each stratum uses bins from several shard classes
+    val shardClasses = out.filter(_._2 == "l0").map(_._3 % 4).distinct
+    assert(shardClasses.length > 1, s"sub-sharding inactive: $shardClasses")
+    // subShards = 1 reproduces the legacy single-stream assignment
+    val legacy = Chunking.packSequences(docs, "doc_id", "text", "lang", budget = 50)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val explicit1 = Chunking.packSequences(docs, "doc_id", "text", "lang", budget = 50, subShards = 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(legacy == explicit1)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
