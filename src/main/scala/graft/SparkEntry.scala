@@ -140,10 +140,18 @@ object SparkEntry {
     }),
 
     "q_topk_per_group" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      // two-stage top-k: o_orderpriority has FIVE values, so a single
+      // global window would collapse the whole fact table onto 5 reducers.
+      // Local prune to k per (group, input partition) first — the global
+      // window then ranks <= k * #partitions survivors. Same rows, exact.
+      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wLocal = Window.partitionBy(col("o_orderpriority"), col("__pid")).orderBy(ord: _*)
+      val wGlobal = Window.partitionBy(col("o_orderpriority")).orderBy(ord: _*)
       T(s, dir, "orders")
-        .withColumn("rank", row_number().over(w))
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__lr", row_number().over(wLocal))
+        .filter(col("__lr") <= 3)
+        .withColumn("rank", row_number().over(wGlobal))
         .filter(col("rank") <= 3)
         .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rank")

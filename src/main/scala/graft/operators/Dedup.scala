@@ -32,7 +32,11 @@ object Dedup {
       .drop("__graft_rn")
   }
 
-  /** Exact-duplicate *groups*: content hash → count + member ids. */
+  /** Exact-duplicate *groups*: content hash → count + member ids.
+    * The member list is `collect_list` per hash: at 100 TB a degenerate key
+    * (empty doc, boilerplate page) can hold millions of members — cap with
+    * `slice(ids, 1, k)` downstream, or use [[exact]] when only survivors
+    * matter. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col(idCol))).as("ids"))
