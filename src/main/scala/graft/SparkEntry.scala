@@ -527,13 +527,12 @@ object SparkEntry {
         .localCheckpoint(false) // consumed twice (sh_a / sh_b branches)
       // estimator accuracy: 128 hashes put |est - exact| <= 0.15 at ~4 sigma
       // (measured max 0.08 on this corpus)
-      val estDev = pairs
+      val estDevDf = pairs
         .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
         .withColumn("exact", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
           / size(array_union(col("sh_a"), col("sh_b"))))
-        .agg(max(abs(col("est_jaccard") - col("exact")))).head()
-      val estOk = found && !estDev.isNullAt(0) && estDev.getDouble(0) <= 0.15
+        .agg(max(abs(col("est_jaccard") - col("exact"))).as("max_dev"))
       // recall: every probe pair with exact jaccard >= 0.7 (banding detection
       // 1-(1-0.7^4)^32 ~ 99.97% per pair) must be in the LSH pair set
       val sizes = shD.groupBy("id").agg(count(lit(1)).as("sz"))
@@ -551,7 +550,13 @@ object SparkEntry {
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
         .distinct()
-      val recallOk = exactProbePairs.join(pairs, Seq("id_a", "id_b"), "left_anti").count() == 0
+      // one action for both checks: 1-row est-deviation agg × 1-row
+      // missed-pair count
+      val missedDf = exactProbePairs.join(pairs, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val checks = estDevDf.crossJoin(missedDf).head()
+      val estOk = found && !checks.isNullAt(0) && checks.getDouble(0) <= 0.15
+      val recallOk = checks.getLong(1) == 0L
       shD.unpersist(false)
       Seq(("est_within_margin", estOk), ("found_pairs", found),
         ("recall_high_sim_probes", recallOk))
@@ -580,11 +585,18 @@ object SparkEntry {
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
         .distinct().localCheckpoint(false)
-      val bfLe3     = bf.filter(col("hamming") <= 3).select("id_a", "id_b")
-      val pigeonOk  = bfLe3.join(pairs, Seq("id_a", "id_b"), "left_anti").count() == 0
-      val bfN       = bf.count()
-      val missed10  = bf.select("id_a", "id_b").join(pairs, Seq("id_a", "id_b"), "left_anti").count()
-      val recall10  = if (bfN == 0) 1.0 else (bfN - missed10).toDouble / bfN
+      // all three brute-force comparisons in ONE action: outer-join the
+      // ground truth against the blocked result and aggregate the flags
+      val stats = bf
+        .join(pairs.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_found"),
+          sum(when(col("hamming") <= 3 && col("__hit").isNull, 1L).otherwise(0L))
+            .as("le3_missed"))
+        .head()
+      val bfN      = stats.getLong(0)
+      val pigeonOk = stats.getLong(2) == 0L
+      val recall10 = if (bfN == 0) 1.0 else stats.getLong(1).toDouble / bfN
       Seq(("found_pairs", found), ("pigeonhole_exact_le3", pigeonOk),
         ("recall_le10_probes", recall10 >= 0.15))
         .toDF("prop", "ok").orderBy("prop")
