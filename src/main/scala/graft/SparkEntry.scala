@@ -540,10 +540,11 @@ object SparkEntry {
         .join(shD.filter(col("id") < 500).select(col("id").as("id_a"), col("sh")), "sh")
         .filter(col("id_a") =!= col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        // sizes is one row per doc — broadcast so the (potentially large)
-        // co-occurrence table never shuffles for these lookups
-        .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sza"))), "id_a")
-        .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("szb"))), "id_b")
+        // no broadcast hint: sizes is one row per CORPUS doc, so forcing it
+        // to the driver is exactly the kind of cardinality bet that breaks
+        // at scale — AQE broadcasts it when (and only when) it is small
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), "id_b")
         .withColumn("j", col("inter").cast(DoubleType)
           / (col("sza") + col("szb") - col("inter")))
         .filter(col("j") >= 0.7)
@@ -594,8 +595,9 @@ object SparkEntry {
           sum(when(col("hamming") <= 3 && col("__hit").isNull, 1L).otherwise(0L))
             .as("le3_missed"))
         .head()
+      // empty ground truth → the sums are NULL, not 0 — guard before getLong
       val bfN      = stats.getLong(0)
-      val pigeonOk = stats.getLong(2) == 0L
+      val pigeonOk = bfN == 0 || stats.getLong(2) == 0L
       val recall10 = if (bfN == 0) 1.0 else stats.getLong(1).toDouble / bfN
       Seq(("found_pairs", found), ("pigeonhole_exact_le3", pigeonOk),
         ("recall_le10_probes", recall10 >= 0.15))

@@ -33,7 +33,10 @@ final class EsmCatalog(
       derivedRegistry: DerivedVariableRegistry = derivedRegistry,
       requestedVariables: Seq[String] = requestedVariables,
   ): EsmCatalog =
-    new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes, derivedRegistry, requestedVariables, sep)
+    // carries EVERY session-scoped field — notably storageOptions, or a
+    // search() result would silently drop the credentials open() was given
+    new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes, derivedRegistry,
+      requestedVariables, sep, storageOptions)
 
   // ---------------------------------------------------------------- search
 
@@ -289,10 +292,10 @@ final class EsmCatalog(
       case Some(ls) =>
         val ac = model.aggregationControl.map(_.copy(groupbyAttrs = ls.toList))
         new EsmCatalog(spark, model.copy(aggregationControl = ac), df, columnsWithIterables,
-          iterableDtypes, derivedRegistry, requestedVariables, sep = "/")
+          iterableDtypes, derivedRegistry, requestedVariables, sep = "/", storageOptions)
       case None =>
         new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes,
-          derivedRegistry, requestedVariables, sep = "/")
+          derivedRegistry, requestedVariables, sep = "/", storageOptions)
     }
     cat.toDatasetDict().map { case (k, v) => s"/${k.replace(cat.sep, "/")}" -> v }
   }

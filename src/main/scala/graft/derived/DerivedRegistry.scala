@@ -38,25 +38,29 @@ object DerivedVariableRegistry {
     * public method/field of type [[DerivedVariableRegistry]].
     */
   def load(name: String): DerivedVariableRegistry = {
-    // a Scala `object Foo` compiles to Foo$ (singleton) plus a Foo mirror
-    // class with no usable constructor — prefer the singleton form
-    val moduleCls =
-      try Some(Class.forName(if (name.endsWith("$")) name else name + "$"))
-      catch { case _: ClassNotFoundException => None }
-    val instance: Any = moduleCls match {
-      case Some(m) => m.getField("MODULE$").get(null)
-      case None    => Class.forName(name).getDeclaredConstructor().newInstance()
-    }
-    instance match {
-      case p: DerivedRegistryProvider => p.registry
+    def extract(instance: Any): Option[DerivedVariableRegistry] = instance match {
+      case p: DerivedRegistryProvider => Some(p.registry)
       case other =>
         other.getClass.getMethods
           .find(m => m.getParameterCount == 0 &&
             classOf[DerivedVariableRegistry].isAssignableFrom(m.getReturnType))
           .map(_.invoke(other).asInstanceOf[DerivedVariableRegistry])
-          .getOrElse(throw new IllegalArgumentException(
-            s"No DerivedVariableRegistry found in $name (derived.py:84-88 equivalent)"))
     }
+    // a Scala `object Foo` compiles to Foo$ (singleton) plus a Foo mirror
+    // class with no usable constructor — try the singleton form first, but
+    // FALL THROUGH to instantiating the class when the module yields no
+    // registry (a provider class may have an unrelated companion object)
+    val fromModule =
+      try Some(Class.forName(if (name.endsWith("$")) name else name + "$")
+        .getField("MODULE$").get(null))
+      catch { case _: ClassNotFoundException | _: NoSuchFieldException => None }
+    val fromClass = () =>
+      try Some(Class.forName(name).getDeclaredConstructor().newInstance(): Any)
+      catch { case _: ReflectiveOperationException => None }
+    fromModule.flatMap(extract)
+      .orElse(fromClass().flatMap(extract))
+      .getOrElse(throw new IllegalArgumentException(
+        s"No DerivedVariableRegistry found in $name (derived.py:84-88 equivalent)"))
   }
 
   /** Merge every [[DerivedRegistryProvider]] on the classpath

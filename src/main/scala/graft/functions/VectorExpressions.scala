@@ -109,9 +109,12 @@ case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpres
   * object (the task-binary broadcast every literal uses), so assignment is a
   * per-row argmax *inside the scan*: no crossJoin row multiplication, no
   * corpus-wide window shuffle. Cosines are computed with exactly the
-  * [[FloatVecCosine]] accumulation order, so assignments are bit-identical
-  * to the join-based formulation they replace; NaN ordering matches Spark's
-  * sort (NaN greatest) via `Double.compare`.
+  * [[FloatVecCosine]] accumulation order, so for non-null vectors the
+  * assignments are bit-identical to the join-based formulation this
+  * replaces; NaN ordering matches Spark's sort (NaN greatest) via
+  * `Double.compare`. Null-vector rows yield a null result (callers drop
+  * them — the old join form assigned such rows an arbitrary first cell,
+  * which was noise, not signal).
   *
   * Callers sort centroids before constructing this, so "index ascending"
   * reproduces the previous `ORDER BY sim DESC, cell ASC` tie-break.

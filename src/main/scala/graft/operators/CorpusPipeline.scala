@@ -165,11 +165,19 @@ object CorpusPipeline {
     // components → keep each cluster's min id. The exact verify makes the
     // stage independent of the minhash estimator (and oracle-checkable);
     // candidate generation is still the near-linear LSH equality join.
-    val pairs = Dedup.ngramJaccard(exact, textCol, idCol, threshold = nearDupThreshold)
+    // The scope collects the dedup internals' persisted tables (shingle
+    // rows, signatures) so repeated clean() calls in a long-lived session
+    // don't accumulate executor storage.
+    val scope = new CacheScope
+    val pairs = Dedup.ngramJaccard(exact, textCol, idCol, threshold = nearDupThreshold,
+      scope = scope)
     val clusters = dupClusters(pairs)
     val losers = clusters.filter(col("id") =!= col("label")).select(col("id").as(idCol))
     val cleaned = exact.join(losers, Seq(idCol), "left_anti")
     val n4 = cleaned.count()
+    // everything downstream is checkpoint-cut by now (dupClusters
+    // checkpoints the pair table; exact is checkpointed above)
+    scope.release()
     feats.unpersist(false)
 
     CleanResult(cleaned, Seq(

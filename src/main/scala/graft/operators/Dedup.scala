@@ -204,11 +204,13 @@ object Dedup {
       rowsPerBand: Int,
       threshold: Double,
       sigStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      scope: CacheScope = CacheScope.untracked,
   ): DataFrame = {
     val k    = bands * rowsPerBand
-    val sigs0 = shRows.groupBy("id")
-      .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
-    val sigs = if (sigStorage == StorageLevel.NONE) sigs0 else sigs0.persist(sigStorage)
+    val sigs = scope.persisted(
+      shRows.groupBy("id")
+        .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig")),
+      sigStorage)
     // band bucket = native per-band hash of the signature (one tiny loop
     // expression instead of a bands-wide hash(slice(…)) projection);
     // carry ONLY ids through the exploded self-join; signatures rejoin later
@@ -414,16 +416,16 @@ object Dedup {
       bands: Int = 0,
       rowsPerBand: Int = 0,
       shingleStorage: StorageLevel = StorageLevel.DISK_ONLY,
+      scope: CacheScope = CacheScope.untracked,
   ): DataFrame = {
     val (b, r) =
       if (bands > 0 && rowsPerBand > 0) (bands, rowsPerBand)
       else if (lshDetectProb(threshold, 32, 4) >= 0.98) (32, 4)
       else lshAutoParams(threshold)
     // one shingling pass feeds both the minhash candidates and the exact sets
-    val shRows0 = shingleRows(df, textCol, idCol, n)
-    val shRows = if (shingleStorage == StorageLevel.NONE) shRows0 else shRows0.persist(shingleStorage)
+    val shRows = scope.persisted(shingleRows(df, textCol, idCol, n), shingleStorage)
     val candidates = minhashLshFromShingleRows(shRows, b, r,
-        threshold = math.max(0.0, threshold - 0.2))
+        threshold = math.max(0.0, threshold - 0.2), scope = scope)
       .select("id_a", "id_b")
       // checkpointed because TWO branches consume it (the id semi-join below
       // and the final pair join) and union/join branches re-run, not share,

@@ -195,4 +195,16 @@ class CatalogSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(csv)
     java.nio.file.Files.deleteIfExists(dir)
   }
+
+  test("search() carries storageOptions into the derived catalog") {
+    val m = EsmCatalogModel.fromJson(descriptor)
+    val table = CatalogReader.loadTable(spark, m, None)
+    val opts = Map("fs.s3a.endpoint" -> "http://example:9000")
+    val withOpts = new graft.catalog.EsmCatalog(spark, m, table.df,
+      table.columnsWithIterables, table.iterableDtypes,
+      storageOptions = opts)
+    val searched = withOpts.search(Map("component" -> "ocn"))
+    assert(searched.df.count() == 2)
+    assert(searched.storageOptions == opts) // credentials survive open -> search -> load
+  }
 }

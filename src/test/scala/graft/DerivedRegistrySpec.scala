@@ -72,7 +72,19 @@ class DerivedRegistrySpec extends AnyFunSuite {
     val reg = DerivedVariableRegistry.loadServices()
     assert(reg.contains("tas_squared"))
   }
+
+  test("load falls through to the class when a registry-less companion object shadows it") {
+    val reg = DerivedVariableRegistry.load(classOf[TestProviderWithCompanion].getName)
+    assert(reg.keys == Seq("tas_squared"))
+  }
 }
+
+/** Provider class with an unrelated companion object — load() must not stop
+  * at the object. */
+final class TestProviderWithCompanion extends graft.derived.DerivedRegistryProvider {
+  def registry: DerivedVariableRegistry = TestDerivedModule.registry
+}
+object TestProviderWithCompanion { val unrelated: Int = 7 }
 
 /** Fixture "module": an object whose member registry `load` must discover. */
 object TestDerivedModule {
