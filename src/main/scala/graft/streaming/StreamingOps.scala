@@ -76,6 +76,75 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("n_events"), col("first_ts"), col("last_ts"))
 
+  final case class BandRow(band: Int, bucket: Long, doc_id: Long, ts: java.sql.Timestamp)
+  final case class BucketState(firstId: Long, lastMs: Long)
+  final case class Collision(doc_id: Long, dup_of: Long, band: Int, bucket: Long,
+                             ts: java.sql.Timestamp)
+
+  /** Streaming near-duplicate detection — the incremental twin of
+    * [[graft.operators.Dedup.minhashLsh]] for an unbounded ingest:
+    *
+    *  1. per-document minhash signature computed ROW-LOCALLY (expression
+    *     form — no stateful aggregation, so Append mode composes),
+    *  2. LSH band keys exploded to (band, bucket) rows,
+    *  3. per-bucket state remembers the first document that claimed the
+    *     bucket; later arrivals emit a [[Collision]] against it.
+    *
+    * State is one (band, bucket) → (first id, last-seen ms) entry, evicted
+    * by an event-time timeout `ttlMinutes` after the bucket's last hit — on
+    * an endless crawl the state holds only the trailing TTL window's
+    * buckets, which is the explicit recall/memory trade of streaming LSH
+    * (a duplicate of a document older than the TTL is not caught; re-runs
+    * of the batch operator own the long tail). Emitted collisions are
+    * CANDIDATES, exactly like the batch banding stage — pipe into an exact
+    * verify or a `dropDuplicates`-style suppressor downstream.
+    */
+  def nearDupCollisions(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
+                        shingleWords: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+                        watermark: String = "10 minutes",
+                        ttlMinutes: Int = 60): Dataset[Collision] = {
+    import docs.sparkSession.implicits._
+    import graft.operators.Dedup
+    val ttlMs = ttlMinutes.toLong * 60L * 1000L
+    val sig = Dedup.minhashSignature(
+      Dedup.wordShingles(col(textCol), shingleWords), bands * rowsPerBand)
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+        posexplode(Dedup.bandKeys(sig, bands, rowsPerBand)))
+      .select(col("col.band").as("band"), col("col.bucket").cast("long").as("bucket"),
+        col("doc_id"), col("ts"))
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.bucket))
+      .flatMapGroupsWithState[BucketState, Collision](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // TTL passed with no new hits: forget the bucket entirely
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            var st  = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Collision]
+            sorted.foreach { r =>
+              st match {
+                case Some(s) =>
+                  if (s.firstId != r.doc_id)
+                    out += Collision(r.doc_id, s.firstId, r.band, r.bucket, r.ts)
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
+                case None =>
+                  st = Some(BucketState(r.doc_id, r.ts.getTime))
+              }
+            }
+            state.update(st.get)
+            state.setTimeoutTimestamp(
+              math.max(st.get.lastMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, firstUs: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, first_us: Long, last_us: Long)

@@ -202,6 +202,42 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
   }
 
+  test("streaming near-dup: duplicates collide in-bucket, TTL forgets old buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val other = "completely different words about spark shuffles and columnar scans here"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.nearDupCollisions(docs, "text", "doc_id", "ts",
+        watermark = "0 seconds", ttlMinutes = 60)
+      .writeStream.format("memory").queryName("neardup_stream").outputMode("append").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, base),
+      (Timestamp.valueOf("2024-01-01 10:00:30"), 2L, other))
+    q.processAllAvailable()
+    // an exact duplicate of doc 1 inside the TTL: every band collides
+    input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 3L, base))
+    q.processAllAvailable()
+    def dupsOf = spark.table("neardup_stream")
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(dupsOf == Set((3L, 1L)), dupsOf)
+    // push the watermark far past the TTL: bucket state evicts
+    input.addData((Timestamp.valueOf("2024-01-03 00:00:00"), 99L,
+      "unrelated sentinel text mentioning parquet footers and window frames only"))
+    q.processAllAvailable()
+    // the same text again: no collision against the forgotten doc 1...
+    input.addData((Timestamp.valueOf("2024-01-03 00:01:00"), 4L, base))
+    q.processAllAvailable()
+    assert(dupsOf == Set((3L, 1L)), dupsOf)
+    // ...but doc 4 now owns the buckets, so the next twin collides with IT
+    input.addData((Timestamp.valueOf("2024-01-03 00:02:00"), 5L, base))
+    q.processAllAvailable()
+    q.stop()
+    assert(dupsOf == Set((3L, 1L), (5L, 4L)), dupsOf)
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
