@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
 import graft.catalog._
 import graft.derived.{DerivedVariable, DerivedVariableRegistry}
 import graft.harness.PipelineDemo
-import graft.operators.{Dedup, MinimalExploder, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DedupChecks, MinimalExploder, Multimodal, Similarity, TextAnalysis}
 import graft.search.QueryCompiler
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
@@ -500,108 +500,18 @@ object SparkEntry {
     }),
 
     "dedup_minhash_lsh" -> ((s, dir) => {
-      // Property-style oracle (the ann_recall_check pattern): the pair set
-      // of an LSH sketch is seed-deterministic but not SQL-reproducible, so
-      // the query cross-validates it against EXACT shingle-set jaccard in
-      // the same plan and emits pinned booleans the DuckDB oracle asserts
-      // TRUE. Ground truth comes from an inverted-index join (shingle →
-      // co-occurrence counts), never a cross join; probes are docs with
-      // id < 500 — the FULL corpus at the sf0.01 gate, a 10% probe at
-      // larger sf.
-      import s.implicits._
-      val docs = T(s, dir, "documents")
-      // ONE distinct-shingle pass serves both the sketch and its ground
-      // truth: minhash is distinct-invariant, so the LSH pipeline and the
-      // inverted-index exact check read the same persisted table
-      val shD = Dedup.shingleRows(docs, "text", "doc_id", 3).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.minhashLshFromShingleRows(shD, bands = 32, rowsPerBand = 4,
-          threshold = 0.5)
-        .localCheckpoint(false)
-      val found = pairs.count() > 0
-      // exact jaccard for the returned pairs: sets restricted to pair ids
-      val pairIds = pairs.select(col("id_a").as("id"))
-        .unionByName(pairs.select(col("id_b").as("id"))).distinct()
-      val shSets = shD.join(pairIds, Seq("id"), "left_semi")
-        .groupBy("id").agg(collect_set(col("sh")).as("sh"))
-        .localCheckpoint(false) // consumed twice (sh_a / sh_b branches)
-      // estimator accuracy: 128 hashes put |est - exact| <= 0.15 at ~4 sigma
-      // (measured max 0.08 on this corpus)
-      val estDevDf = pairs
-        .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .withColumn("exact", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType)
-          / size(array_union(col("sh_a"), col("sh_b"))))
-        .agg(max(abs(col("est_jaccard") - col("exact"))).as("max_dev"))
-      // recall: every probe pair with exact jaccard >= 0.7 (banding detection
-      // 1-(1-0.7^4)^32 ~ 99.97% per pair) must be in the LSH pair set
-      val sizes = shD.groupBy("id").agg(count(lit(1)).as("sz"))
-      val exactProbePairs = shD.select(col("id").as("id_b"), col("sh"))
-        .join(shD.filter(col("id") < 500).select(col("id").as("id_a"), col("sh")), "sh")
-        .filter(col("id_a") =!= col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-        // no broadcast hint: sizes is one row per CORPUS doc, so forcing it
-        // to the driver is exactly the kind of cardinality bet that breaks
-        // at scale — AQE broadcasts it when (and only when) it is small
-        .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), "id_a")
-        .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), "id_b")
-        .withColumn("j", col("inter").cast(DoubleType)
-          / (col("sza") + col("szb") - col("inter")))
-        .filter(col("j") >= 0.7)
-        .select(least(col("id_a"), col("id_b")).as("id_a"),
-          greatest(col("id_a"), col("id_b")).as("id_b"))
-        .distinct()
-      // one action for both checks: 1-row est-deviation agg × 1-row
-      // missed-pair count
-      val missedDf = exactProbePairs.join(pairs, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).as("n_missed"))
-      val checks = estDevDf.crossJoin(missedDf).head()
-      val estOk = found && !checks.isNullAt(0) && checks.getDouble(0) <= 0.15
-      val recallOk = checks.getLong(1) == 0L
-      shD.unpersist(false)
-      Seq(("est_within_margin", estOk), ("found_pairs", found),
-        ("recall_high_sim_probes", recallOk))
-        .toDF("prop", "ok").orderBy("prop")
+      // Property-style oracle (the ann_recall_check pattern): see
+      // operators.DedupChecks.minhashProperties. probeMax = 500 is the FULL
+      // corpus at the sf0.01 gate; at larger sf the ground-truth cost stays
+      // O(probe²·overlap) instead of growing with the corpus.
+      DedupChecks.minhashProperties(T(s, dir, "documents"))
     }),
 
     "dedup_simhash" -> ((s, dir) => {
-      // Property-style oracle for the simhash blocking: completeness at
-      // hamming <= blocks-1 = 3 is a pigeonhole THEOREM (some 16-bit chunk
-      // must be untouched), so brute-forced probe pairs at <= 3 must ALL be
-      // found; beyond the guarantee the 4-block layout finds ~23% of
-      // radius-10 pairs (floor pinned at 0.15) — the documented price of
-      // equality-join blocking at radius > blocks-1.
-      import s.implicits._
-      val docs  = T(s, dir, "documents")
-      val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 10)
-        .select("id_a", "id_b").localCheckpoint(false)
-      val found = pairs.count() > 0
-      val fps = Dedup.simhashFingerprints(docs, "text", "doc_id").localCheckpoint(false)
-      val bf = fps.select(col("id").as("id_b"), col("fp").as("fp_b"))
-        .join(broadcast(fps.filter(col("id") < 500)
-          .select(col("id").as("id_a"), col("fp").as("fp_a"))),
-          col("id_a") =!= col("id_b"))
-        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-        .filter(col("hamming") <= 10)
-        .select(least(col("id_a"), col("id_b")).as("id_a"),
-          greatest(col("id_a"), col("id_b")).as("id_b"), col("hamming"))
-        .distinct().localCheckpoint(false)
-      // all three brute-force comparisons in ONE action: outer-join the
-      // ground truth against the blocked result and aggregate the flags
-      val stats = bf
-        .join(pairs.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left_outer")
-        .agg(count(lit(1)).as("n"),
-          sum(coalesce(col("__hit"), lit(0))).as("n_found"),
-          sum(when(col("hamming") <= 3 && col("__hit").isNull, 1L).otherwise(0L))
-            .as("le3_missed"))
-        .head()
-      // empty ground truth → the sums are NULL, not 0 — guard before getLong
-      val bfN      = stats.getLong(0)
-      val pigeonOk = bfN == 0 || stats.getLong(2) == 0L
-      val recall10 = if (bfN == 0) 1.0 else stats.getLong(1).toDouble / bfN
-      Seq(("found_pairs", found), ("pigeonhole_exact_le3", pigeonOk),
-        ("recall_le10_probes", recall10 >= 0.15))
-        .toDF("prop", "ok").orderBy("prop")
+      // Property-style oracle for the simhash blocking: see
+      // operators.DedupChecks.simhashProperties (pigeonhole completeness at
+      // hamming <= 3, pinned recall floor at radius 10).
+      DedupChecks.simhashProperties(T(s, dir, "documents"))
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
