@@ -78,9 +78,16 @@ object Bench {
       // per-process cost, paid here on a synthetic corpus of exact-dup
       // groups so every stage sees non-empty input (AQE would skip, and so
       // not compile, stages behind an empty relation)
-      val syndocs = spark.range(600L).select(col("id").as("doc_id"),
+      // parquet-backed so the scan-fused first stages compile the same
+      // generated classes the real document queries use (a range-backed
+      // frame warms every post-shuffle stage but not the scan fusions)
+      val synPath = java.nio.file.Files
+        .createTempDirectory("graft_warm").resolve("docs.parquet").toString
+      spark.range(600L).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
           concat(lit("w"), ((col("id") % 40) * 20 + j).cast("string"))): _*).as("text"))
+        .write.mode("overwrite").parquet(synPath)
+      val syndocs = spark.read.parquet(synPath)
       graft.operators.DedupChecks.minhashProperties(syndocs).collect()
       graft.operators.DedupChecks.simhashProperties(syndocs).collect()
       graft.operators.CorpusPipeline.clean(syndocs).cleaned.count()
