@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for crawl dedup — the first gate of a web-scale
+  * training-data pipeline: the same page is fetched under dozens of surface
+  * forms (tracking params, shuffled query order, case-variant hosts,
+  * trailing slashes, fragments), and canonicalizing before content dedup
+  * collapses them with a pure per-row projection instead of a pairwise
+  * similarity pass.
+  *
+  * Canonical form (documented spec, engine-portable — every rule is plain
+  * regex/array SQL so an external oracle reproduces it bit-for-bit):
+  *
+  *  1. drop the `#fragment`;
+  *  2. lowercase the scheme and host (the path keeps its case — it is
+  *     case-significant on most servers);
+  *  3. drop an explicit `:80`/`:443` default port;
+  *  4. drop tracking params (`utm_*`, `fbclid`, `gclid`, `ref`);
+  *  5. byte-sort the surviving query params;
+  *  6. strip trailing `/` from the path.
+  *
+  * Assumes absolute `scheme://host[...]` URLs (a crawl frontier emits
+  * those); rows that do not match the scheme-host shape keep their
+  * path/query normalization but get an empty host prefix.
+  *
+  * Everything is `org.apache.spark.sql.functions` — per-row, no shuffle; the
+  * only shuffle in [[dedupByCanonicalUrl]] is the final groupBy on the
+  * canonical key, with map-side partial aggregation.
+  */
+object UrlCanon {
+
+  /** Query params dropped during canonicalization (anchored key match). */
+  val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  private val schemeHostPattern = "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)"
+
+  /** Canonical form of an absolute URL column (spec above). */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val base   = split_part(noFrag, lit("?"), lit(1))
+    val query  = split_part(noFrag, lit("?"), lit(2))
+    val schemeHost = regexp_extract(base, schemeHostPattern, 1)
+    val hostNorm   = regexp_replace(lower(schemeHost), ":(80|443)$", "")
+    val path       = base.substr(length(schemeHost) + lit(1), length(base))
+    val pathNorm   = regexp_replace(path, "/+$", "")
+    val params = filter(split(query, "&"),
+      x => x =!= "" && !x.rlike(trackingParamPattern))
+    val joined = array_join(array_sort(params), "&")
+    concat(hostNorm, pathNorm,
+      when(size(params) > 0, concat(lit("?"), joined)).otherwise(lit("")))
+  }
+
+  /** Collapse rows sharing a canonical URL: one group row per canonical
+    * form with the minimum id as the deterministic survivor. One shuffle
+    * (the groupBy on the canonical key) with map-side combine. */
+  def dedupByCanonicalUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
+      .groupBy("canonical_url")
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
+}
