@@ -81,8 +81,8 @@ object Bench {
       // parquet-backed so the scan-fused first stages compile the same
       // generated classes the real document queries use (a range-backed
       // frame warms every post-shuffle stage but not the scan fusions)
-      val synPath = java.nio.file.Files
-        .createTempDirectory("graft_warm").resolve("docs.parquet").toString
+      val synDir = java.nio.file.Files.createTempDirectory("graft_warm")
+      val synPath = synDir.resolve("docs.parquet").toString
       spark.range(600L).select(col("id").as("doc_id"),
         concat_ws(" ", (0 until 12).map(j =>
           concat(lit("w"), ((col("id") % 40) * 20 + j).cast("string"))): _*).as("text"))
@@ -92,6 +92,11 @@ object Bench {
       graft.operators.DedupChecks.simhashProperties(syndocs).collect()
       graft.operators.CorpusPipeline.clean(syndocs).cleaned.count()
       spark.sharedState.cacheManager.clearCache()                   // drop warmup-persisted state
+      // warmup data is dead after the collects above — don't leak a temp
+      // directory per bench invocation
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(synDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
       // input fixtures (one-time per sf dir, _READY-marker cached) are
       // setup, not query work — build them outside the timed region
       graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)

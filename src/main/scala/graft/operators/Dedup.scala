@@ -274,8 +274,18 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       blocks: Int = 4,
+  ): DataFrame =
+    simhashPairsFromFingerprints(simhashFingerprints(df, textCol, idCol), maxHamming, blocks)
+
+  /** Core of [[simhashPairs]] over a pre-computed (id, fp) fingerprint
+    * table — callers that need the fingerprints for other purposes too
+    * (e.g. [[DedupChecks.simhashProperties]]'s brute-force ground truth)
+    * share ONE tokenize+simhash pass instead of re-scanning the corpus. */
+  def simhashPairsFromFingerprints(
+      fp: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 4,
   ): DataFrame = {
-    val fp        = simhashFingerprints(df, textCol, idCol)
     val chunkBits = 64 / blocks
     val mask      = (1L << chunkBits) - 1
     val chunks    = array((0 until blocks).map(i =>

@@ -39,10 +39,18 @@ object UrlCanon {
   /** Canonical form of an absolute URL column (spec above). */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
-    val base   = split_part(noFrag, lit("?"), lit(1))
-    val query  = split_part(noFrag, lit("?"), lit(2))
+    // split on the FIRST '?' only — '?' is legal INSIDE a query (RFC 3986),
+    // so later '?' characters belong to the query, not a second separator
+    val base  = substring_index(noFrag, "?", 1)
+    val query = when(length(noFrag) > length(base),
+      noFrag.substr(length(base) + lit(2), length(noFrag))).otherwise(lit(""))
     val schemeHost = regexp_extract(base, schemeHostPattern, 1)
-    val hostNorm   = regexp_replace(lower(schemeHost), ":(80|443)$", "")
+    // default-port strip is scheme-conditional: :80 is only a default for
+    // http, :443 only for https — stripping cross-scheme would alias
+    // DISTINCT resources (http://h:443/x vs http://h/x) to one key
+    val hostNorm = regexp_replace(
+      regexp_replace(lower(schemeHost), "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
     val path       = base.substr(length(schemeHost) + lit(1), length(base))
     val pathNorm   = regexp_replace(path, "/+$", "")
     val params = filter(split(query, "&"),
@@ -54,9 +62,16 @@ object UrlCanon {
 
   /** Collapse rows sharing a canonical URL: one group row per canonical
     * form with the minimum id as the deterministic survivor. One shuffle
-    * (the groupBy on the canonical key) with map-side combine. */
+    * (the groupBy on the canonical key) with map-side combine.
+    *
+    * Rows whose URL canonicalizes to NULL (missing/unparseable input) are
+    * NOT collapsed together — each passes through as its own singleton
+    * survivor (grouped by its own id), because a shared null key would
+    * silently drop every missing-URL document but one. */
   def dedupByCanonicalUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
     df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
-      .groupBy("canonical_url")
+      .groupBy(col("canonical_url"),
+        when(col("canonical_url").isNull, col(idCol)).as("__null_singleton"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
+      .drop("__null_singleton")
 }
