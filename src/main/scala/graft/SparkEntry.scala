@@ -543,6 +543,29 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_url_canon" -> ((s, dir) => {
+      // crawl-frontier dedup: a deterministic url column derived from doc_id
+      // (the documents fixture has none) exercising every canonicalization
+      // rule — tracking params + shuffled order + fragment + trailing slash
+      // + case (branches 0/1 merge), default-port strip (2/3 merge), the
+      // NON-stripped cross-scheme port http://h:443 (4 stays distinct), a
+      // literal '?' inside the query (5), and null/empty passthrough (6/7).
+      val urls = T(s, dir, "documents").select(col("doc_id"), expr(
+        """CASE CAST(doc_id % 8 AS INT)
+          |  WHEN 0 THEN 'http://Example.COM/page' || CAST(doc_id div 8 AS STRING) || '/?b=2&a=1&utm_source=x#frag'
+          |  WHEN 1 THEN 'http://example.com:80/page' || CAST(doc_id div 8 AS STRING) || '?a=1&b=2'
+          |  WHEN 2 THEN 'https://example.com:443/page' || CAST(doc_id div 8 AS STRING)
+          |  WHEN 3 THEN 'https://example.com/page' || CAST(doc_id div 8 AS STRING) || '/'
+          |  WHEN 4 THEN 'http://example.com:443/page' || CAST(doc_id div 8 AS STRING)
+          |  WHEN 5 THEN 'http://example.com/q' || CAST(doc_id div 8 AS STRING) || '?a=1?x&b=2&gclid=z'
+          |  WHEN 6 THEN NULL
+          |  ELSE ''
+          |END""".stripMargin).as("url"))
+      graft.operators.UrlCanon.dedupByCanonicalUrl(urls, "url", "doc_id")
+        .select("canonical_url", "survivor_id", "n_dups")
+        .orderBy("survivor_id")
+    }),
+
     "q_exists_subquery" -> ((s, dir) => {
       // correlated EXISTS — Catalyst rewrites it to a left-semi hash join
       T(s, dir, "orders").createOrReplaceTempView("ord_v")
@@ -1487,6 +1510,47 @@ object SparkEntry {
         |   / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
         |      * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Full re-derivation of UrlCanon.canonicalizeUrl in DuckDB list/regex SQL
+    // (same spec, independent implementation): fragment strip, FIRST-'?'-only
+    // split, scheme-conditional :80/:443 strip, tracking-param filter,
+    // byte-sorted params, trailing-slash strip, null/empty singletons.
+    "dedup_url_canon" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 8 AS INT)
+        |      WHEN 0 THEN 'http://Example.COM/page' || CAST(doc_id // 8 AS VARCHAR) || '/?b=2&a=1&utm_source=x#frag'
+        |      WHEN 1 THEN 'http://example.com:80/page' || CAST(doc_id // 8 AS VARCHAR) || '?a=1&b=2'
+        |      WHEN 2 THEN 'https://example.com:443/page' || CAST(doc_id // 8 AS VARCHAR)
+        |      WHEN 3 THEN 'https://example.com/page' || CAST(doc_id // 8 AS VARCHAR) || '/'
+        |      WHEN 4 THEN 'http://example.com:443/page' || CAST(doc_id // 8 AS VARCHAR)
+        |      WHEN 5 THEN 'http://example.com/q' || CAST(doc_id // 8 AS VARCHAR) || '?a=1?x&b=2&gclid=z'
+        |      WHEN 6 THEN NULL
+        |      ELSE ''
+        |    END AS url
+        |  FROM documents),
+        |split AS (
+        |  SELECT doc_id, nofrag,
+        |    CASE WHEN strpos(nofrag, '?') > 0 THEN substr(nofrag, 1, strpos(nofrag, '?') - 1) ELSE nofrag END AS base,
+        |    CASE WHEN strpos(nofrag, '?') > 0 THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS query
+        |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM urls)),
+        |p2 AS (
+        |  SELECT doc_id, nofrag, base,
+        |    list_filter(string_split(query, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)=')) AS params,
+        |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1) AS schemehost
+        |  FROM split),
+        |canon AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nofrag IS NULL THEN NULL ELSE
+        |      regexp_replace(regexp_replace(lower(schemehost), '^(http://.*):80$', '\1'), '^(https://.*):443$', '\1')
+        |      || regexp_replace(substr(base, length(schemehost) + 1), '/+$', '')
+        |      || CASE WHEN len(params) > 0 THEN '?' || array_to_string(list_sort(params), '&') ELSE '' END
+        |    END AS canonical_url
+        |  FROM p2)
+        |SELECT canonical_url, MIN(doc_id) AS survivor_id, COUNT(*) AS n_dups
+        |FROM canon
+        |GROUP BY canonical_url, CASE WHEN canonical_url IS NULL OR canonical_url = '' THEN doc_id END
+        |ORDER BY survivor_id""".stripMargin,
 
     "text_lang_id" ->
       """WITH tk AS (

@@ -64,14 +64,16 @@ object UrlCanon {
     * form with the minimum id as the deterministic survivor. One shuffle
     * (the groupBy on the canonical key) with map-side combine.
     *
-    * Rows whose URL canonicalizes to NULL (missing/unparseable input) are
-    * NOT collapsed together — each passes through as its own singleton
-    * survivor (grouped by its own id), because a shared null key would
-    * silently drop every missing-URL document but one. */
+    * Rows whose URL canonicalizes to NULL (missing input) OR to the empty
+    * string (empty-string URLs — another 'missing' spelling, common at crawl
+    * scale) are NOT collapsed together — each passes through as its own
+    * singleton survivor (grouped by its own id), because a shared null/empty
+    * key would silently drop every missing-URL document but one. */
   def dedupByCanonicalUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
     df.withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
       .groupBy(col("canonical_url"),
-        when(col("canonical_url").isNull, col(idCol)).as("__null_singleton"))
+        when(col("canonical_url").isNull || col("canonical_url") === "",
+          col(idCol)).as("__singleton"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
-      .drop("__null_singleton")
+      .drop("__singleton")
 }
