@@ -166,26 +166,88 @@ final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
-      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       // column pruning: a projection over the catalog reaches the reader, so
       // only the requested columns are decoded (visible as a narrowed
       // ReadSchema in explain — same contract as the parquet scan)
       private var pruned: StructType = schema0
       override def pruneColumns(required: StructType): Unit =
         pruned = StructType(schema0.fields.filter(f => required.fieldNames.contains(f.name)))
+      // predicate pushdown (mirrors the reference's polars lazy-scan predicate
+      // pushdown, cat.py:630-691): the search predicate is evaluated inside
+      // the reader so unmatched catalog rows never surface. Defense-in-depth
+      // contract — same as the built-in parquet source — ALL filters are also
+      // returned as residual, so Spark re-checks them and correctness never
+      // rests on the reader's evaluator; the pushdown is the row-skip fast
+      // path, visible in explain via description().
+      private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+      override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        pushed = filters.filter(EsmCatalogFilters.supported(schema0, _))
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       override def build(): Scan             = this
       override def readSchema(): StructType  = pruned
       override def toBatch: Batch            = this
+      override def description(): String =
+        s"esmcat PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${pruned.simpleString}"
       override def planInputPartitions(): Array[InputPartition] =
         Array(EsmCatalogPartition(descriptorPath))
       override def createReaderFactory(): PartitionReaderFactory =
-        new EsmCatalogReaderFactory(pruned)
+        new EsmCatalogReaderFactory(pruned, pushed)
     }
+}
+
+/** Row-level evaluator for the V1 `Filter` subset the esmcat reader pushes.
+  *
+  * Supported: null tests, equality, In, string prefix/suffix/contains, and
+  * And/Or/Not compositions — over scalar (non-array) catalog columns only.
+  * Anything else is declined in [[supported]] and left to Spark's residual
+  * Filter node (which always runs anyway under the defense-in-depth
+  * contract), so declining is a perf choice, never a correctness one.
+  */
+object EsmCatalogFilters {
+  import org.apache.spark.sql.sources._
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case Or(l, r)  => supported(schema, l) && supported(schema, r)
+    case Not(c)    => supported(schema, c)
+    case _ =>
+      val scalarRefs = f.references.forall { r =>
+        schema.fields.find(_.name == r).exists(!_.dataType.isInstanceOf[ArrayType])
+      }
+      scalarRefs && (f match {
+        case _: EqualTo | _: EqualNullSafe | _: In | _: IsNull | _: IsNotNull |
+             _: StringStartsWith | _: StringEndsWith | _: StringContains => true
+        case _ => false
+      })
+  }
+
+  /** Evaluate a pushed filter against a full-schema row accessor (column
+    * name → decoded value or null). Only called for [[supported]] shapes. */
+  def eval(f: Filter, row: String => Any): Boolean = f match {
+    case And(l, r)             => eval(l, row) && eval(r, row)
+    case Or(l, r)              => eval(l, row) || eval(r, row)
+    case Not(c)                => !eval(c, row)
+    case EqualTo(a, v)         => { val x = row(a); x != null && x == v }
+    case EqualNullSafe(a, v)   => row(a) == v
+    case In(a, vs)             => { val x = row(a); x != null && vs.contains(x) }
+    case IsNull(a)             => row(a) == null
+    case IsNotNull(a)          => row(a) != null
+    case StringStartsWith(a, v) => row(a) match { case s: String => s.startsWith(v); case _ => false }
+    case StringEndsWith(a, v)   => row(a) match { case s: String => s.endsWith(v);   case _ => false }
+    case StringContains(a, v)   => row(a) match { case s: String => s.contains(v);   case _ => false }
+    case _                      => true // unreachable for supported() shapes; keep the row
+  }
 }
 
 final case class EsmCatalogPartition(descriptorPath: String) extends InputPartition
 
-final class EsmCatalogReaderFactory(schema: StructType)
+final class EsmCatalogReaderFactory(schema: StructType,
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val desc = EsmCatalogSource.describe(
@@ -205,18 +267,45 @@ final class EsmCatalogReaderFactory(schema: StructType)
       case (v, _)                          => UTF8String.fromString(v.toString)
     }
 
+    // pushed-filter evaluation values: plain Scala/Java literals (String,
+    // Long, Double, Boolean — matching the types Catalyst puts in V1 Filter
+    // values), looked up by name over the FULL catalog schema: a pushed
+    // predicate may reference a column the projection pruned away.
+    def toFilterVal(value: Any, dt: DataType): Any = (value, dt) match {
+      case (null, _)          => null
+      case (v: Int, LongType) => v.toLong
+      case (v, StringType)    => v.toString
+      case (v, _)             => v
+    }
+    val filterRefs: Array[String] =
+      if (filters.isEmpty) Array.empty else filters.flatMap(_.references).distinct
+    def keep(lookup: String => Any): Boolean =
+      filters.forall(f => EsmCatalogFilters.eval(f, lookup))
+
     val rows: Iterator[InternalRow] = desc.csvPath match {
       case Some(csv) =>
         val all    = EsmCatalogSource.readCsvRows(csv)
         val header = all.head
         val idx    = schema.fields.map(f => header.indexOf(f.name))
-        all.iterator.drop(1).map { cells =>
+        val fullType = desc.schema.fields.map(f => f.name -> f.dataType).toMap
+        val refIdx   = filterRefs.map(r => r -> header.indexOf(r)).toMap
+        all.iterator.drop(1).filter { cells =>
+          filters.isEmpty || keep { name =>
+            val i = refIdx.getOrElse(name, -1)
+            toFilterVal(if (i >= 0 && i < cells.length) cells(i) else null,
+              fullType.getOrElse(name, StringType))
+          }
+        }.map { cells =>
           InternalRow.fromSeq(schema.fields.zip(idx).map { case (f, i) =>
             toInternal(if (i >= 0 && i < cells.length) cells(i) else null, f.dataType)
           }.toIndexedSeq)
         }
       case None =>
-        desc.model.catalogDict.get.iterator.map { rec =>
+        val fullType = desc.schema.fields.map(f => f.name -> f.dataType).toMap
+        desc.model.catalogDict.get.iterator.filter { rec =>
+          filters.isEmpty || keep(name =>
+            toFilterVal(rec.getOrElse(name, null), fullType.getOrElse(name, StringType)))
+        }.map { rec =>
           InternalRow.fromSeq(schema.fields.map(f =>
             toInternal(rec.getOrElse(f.name, null), f.dataType)).toIndexedSeq)
         }

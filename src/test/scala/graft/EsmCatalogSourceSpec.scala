@@ -38,6 +38,36 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("format(esmcat) pushes scalar predicates into the reader, same answer as post-filter") {
+    val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
+    val df = spark.read.format("esmcat").load(json)
+      .filter(col("status") === "O" && col("member").isNotNull)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("esmcat PushedFilters: [") && scan.contains("EqualTo(status,O)"),
+      scan.take(1500))
+    // defense-in-depth: pushed rows are also re-checked by Spark's residual
+    // Filter, so the answer must equal the unpushed (post-materialize) filter
+    val unpushed = spark.read.format("esmcat").load(json).cache()
+    try {
+      val expected = unpushed.filter(col("status") === "O" && col("member").isNotNull)
+      assert(df.count() == expected.count() && df.count() > 0)
+      assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
+    } finally { unpushed.unpersist(); () }
+  }
+
+  test("format(esmcat) declines array-column predicates (residual-only, still correct)") {
+    val df = spark.read.format("esmcat")
+      .load("/root/reference/tests/sample-catalogs/multi-variable-catalog.json")
+      .filter(array_contains(col("variable"), "SHF"))
+    val plan = df.queryExecution.executedPlan.toString
+    val pushedList = "esmcat PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1))
+    // the array predicate (and its derived IsNotNull) must NOT be pushed —
+    // supported() declines array-column references
+    assert(pushedList.exists(!_.contains("variable")), plan.take(1200))
+    assert(df.count() > 0)
+  }
+
   test("format(esmcat) prunes unprojected columns at the scan") {
     val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
     val df   = spark.read.format("esmcat").load(json).select("status", "member")
