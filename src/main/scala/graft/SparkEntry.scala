@@ -78,6 +78,36 @@ object SparkEntry {
     out
   }
 
+  /** One-time local kerchunk index fixture for `load_kerchunk_chunks`: ref
+    * entries pointing at byte ranges of a STABLE read-only local file (the
+    * reference's noaa-nwm sample index, 54207 bytes) plus inline, base64 and
+    * zarr-meta entries. Content is fixed — the DuckDB oracle re-reads the
+    * same ranges via read_blob + hex. */
+  def ensureKerchunkFixture(): String = {
+    val out  = Paths.get("/tmp/graft_kerchunk_fixture")
+    val json = out.resolve("local-index.json")
+    this.synchronized {
+      if (!Files.exists(json)) {
+        Files.createDirectories(out)
+        val target = "file:///root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json"
+        val content =
+          s"""{"version": 1, "refs": {
+             |  ".zgroup": "{\\"zarr_format\\": 2}",
+             |  "blob/.zarray": "{\\"dtype\\": \\"|u1\\", \\"shape\\": [224], \\"chunks\\": [64], \\"compressor\\": null}",
+             |  "blob/.zattrs": "{\\"units\\": \\"bytes\\"}",
+             |  "blob/0": ["$target", 0, 64],
+             |  "blob/1": ["$target", 64, 64],
+             |  "blob/2": ["$target", 4096, 64],
+             |  "blob/3": ["$target", 54000, 32],
+             |  "note/0": "inline-text-chunk",
+             |  "note/1": "base64:AAECAwQF"
+             |}}""".stripMargin
+        Files.writeString(json, content)
+      }
+    }
+    json.toString
+  }
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship: the full descriptor → scan → search → group → materialize
@@ -209,6 +239,19 @@ object SparkEntry {
       graft.sources.KerchunkIndex
         .read(s, "/root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json")
         .select("key", "variable", "kind", "url", "offset", "length")
+        .orderBy("key")
+    }),
+
+    "load_kerchunk_chunks" -> ((s, _) => {
+      // one level past the chunk map (source.py:82-86): materialize each
+      // entry's bytes — positioned (offset, length) reads for local refs,
+      // inline/base64 decode for inline entries. hex() so the DuckDB oracle
+      // (read_blob + substring on the same ranges) compares byte-for-byte.
+      val idx = ensureKerchunkFixture()
+      val entries = graft.sources.KerchunkIndex.read(s, idx)
+      graft.sources.KerchunkIndex.materializeChunks(entries)
+        .select(col("key"), col("kind"), col("offset"), col("length"),
+          hex(col("data")).as("chunk_hex"))
         .orderBy("key")
     }),
 
@@ -1064,6 +1107,29 @@ object SparkEntry {
         | CASE WHEN json_type(value) = 'ARRAY' THEN TRY_CAST(value->>1 AS BIGINT) END AS "offset",
         | CASE WHEN json_type(value) = 'ARRAY' THEN TRY_CAST(value->>2 AS BIGINT) END AS length
         |FROM e ORDER BY key""".stripMargin,
+
+    // Same byte ranges read independently: read_blob on the target file,
+    // hex, then 1-based substring at (offset*2+1, length*2); inline entries
+    // re-derived with encode/from_base64. VALUES mirrors the fixture index
+    // (ensureKerchunkFixture — fixed content).
+    "load_kerchunk_chunks" ->
+      """WITH blob AS (SELECT hex(content) AS h
+        |  FROM read_blob('/root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json')),
+        |refs(key, kind, o, l, inline) AS (VALUES
+        |  ('.zgroup', 'meta', NULL, NULL, '{"zarr_format": 2}'),
+        |  ('blob/.zarray', 'meta', NULL, NULL, '{"dtype": "|u1", "shape": [224], "chunks": [64], "compressor": null}'),
+        |  ('blob/.zattrs', 'meta', NULL, NULL, '{"units": "bytes"}'),
+        |  ('blob/0', 'ref', 0, 64, NULL),
+        |  ('blob/1', 'ref', 64, 64, NULL),
+        |  ('blob/2', 'ref', 4096, 64, NULL),
+        |  ('blob/3', 'ref', 54000, 32, NULL),
+        |  ('note/0', 'inline', NULL, NULL, 'inline-text-chunk'),
+        |  ('note/1', 'inline', NULL, NULL, 'base64:AAECAwQF'))
+        |SELECT key, kind, CAST(o AS BIGINT) AS "offset", CAST(l AS BIGINT) AS "length",
+        |  CASE WHEN kind = 'ref' THEN (SELECT substring(h, o*2 + 1, l*2) FROM blob)
+        |       WHEN inline LIKE 'base64:%' THEN hex(from_base64(substring(inline, 8)))
+        |       ELSE hex(encode(inline)) END AS chunk_hex
+        |FROM refs ORDER BY key""".stripMargin,
 
     "scan_catalog_esmcat" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS member,

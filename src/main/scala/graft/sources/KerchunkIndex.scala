@@ -60,6 +60,90 @@ object KerchunkIndex {
     )
   }
 
+  /** Materialize the BYTES each reference entry points at — one level deeper
+    * than the chunk map, matching the reference's zarr open of the same
+    * index (source.py:82-86) for the storage schemes available here:
+    *
+    *  - `inline`/`meta` entries: the value itself is the chunk — UTF-8
+    *    bytes, or base64-decoded when `base64:`-prefixed (kerchunk v1 spec);
+    *  - `ref` entries with a local url (`file://...` or a bare path): a
+    *    POSITIONED read of exactly (offset, length) — never the whole file.
+    *    Rows are repartitioned by url and range-sorted inside each
+    *    partition, so each task opens a file once and reads its ranges in
+    *    ascending order (sequential-friendly at 100 TB, where one store
+    *    file carries thousands of chunks);
+    *  - `ref` entries with a remote scheme (s3://, https://, ...): raise
+    *    `UnsupportedOperationException` — remote object stores are behind
+    *    the engine's connector boundary (same posture as
+    *    EsmDataSource.openAsset).
+    *
+    * Output: (key, variable, member, kind, url, offset, length, data:binary).
+    *
+    * `maxChunkBytes` bounds a single positioned read (default 256 MiB): a
+    * corrupt index with a pathological length must fail loudly, not OOM an
+    * executor.
+    */
+  def materializeChunks(entries: DataFrame,
+                        maxChunkBytes: Long = 256L << 20): DataFrame = {
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val cols = Seq("key", "variable", "member", "kind", "url", "offset", "length", "data")
+
+    val inline = entries
+      .filter(col("kind").isin("inline", "meta") && col("inline_value").isNotNull)
+      .withColumn("data",
+        when(col("inline_value").startsWith("base64:"),
+          unbase64(expr("substring(inline_value, 8)")))
+          .otherwise(col("inline_value").cast(org.apache.spark.sql.types.BinaryType)))
+      .select(cols.map(col): _*)
+
+    val refs = entries.filter(col("kind") === "ref")
+      .select($"key", $"variable", $"member", $"url", $"offset", $"length")
+      .repartition(col("url"))
+      .sortWithinPartitions("url", "offset")
+      .as[(String, String, String, String, Option[Long], Option[Long])]
+      .mapPartitions { it =>
+        var openUrl: String = null
+        var ch: java.nio.channels.FileChannel = null
+        def localPath(url: String): java.nio.file.Path = {
+          if (url.startsWith("file://")) java.nio.file.Paths.get(url.stripPrefix("file://"))
+          else if (!url.contains("://")) java.nio.file.Paths.get(url)
+          else throw new UnsupportedOperationException(
+            s"kerchunk chunk decode for '${url.takeWhile(_ != ':')}://' urls is behind the " +
+              "connector boundary: only local files (file:// or bare paths) materialize here")
+        }
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (ch != null) ch.close()))
+        it.map { case (key, variable, member, url, offsetOpt, lengthOpt) =>
+          if (url != openUrl) {
+            if (ch != null) ch.close()
+            ch = java.nio.channels.FileChannel.open(localPath(url),
+              java.nio.file.StandardOpenOption.READ)
+            openUrl = url
+          }
+          // a bare `[url]` ref (no offset/length) is the whole file per the
+          // kerchunk v1 spec
+          val offset = offsetOpt.getOrElse(0L)
+          val length = lengthOpt.getOrElse(ch.size() - offset)
+          require(length >= 0 && length <= maxChunkBytes,
+            s"kerchunk chunk $key: length $length outside [0, $maxChunkBytes]")
+          val buf = java.nio.ByteBuffer.allocate(length.toInt)
+          var pos = 0L
+          while (buf.hasRemaining) {
+            val n = ch.read(buf, offset + pos)
+            require(n >= 0, s"kerchunk chunk $key: EOF at ${offset + pos} " +
+              s"reading [$offset, ${offset + length}) of $url")
+            pos += n
+          }
+          (key, variable, member, "ref", url, offset, length, buf.array())
+        }
+      }
+      .toDF("key", "variable", "member", "kind", "url", "offset", "length", "data")
+      .select(cols.map(col): _*)
+
+    inline.unionByName(refs)
+  }
+
   /** Zarr array metadata per variable, parsed from the `.zarray` entries:
     * (variable, dtype, shape, chunks, compressor). These sub-documents have
     * a fixed schema, so plain JSON functions suffice. */

@@ -153,6 +153,38 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(viaDispatch.count() == 345)
   }
 
+  test("kerchunk chunk materialization: local ranges byte-exact, remote refused, inline decoded") {
+    import org.apache.spark.sql.functions.col
+    val noaa = "/root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json"
+    // inline base64 chunks of the noaa sample decode to the json's own bytes
+    val idx = graft.sources.KerchunkIndex.read(spark, noaa)
+    val inline = graft.sources.KerchunkIndex
+      .materializeChunks(idx.filter(col("kind") =!= "ref"))
+    val t0 = inline.filter(col("key") === "time/0").head()
+    val expected64 = {
+      val raw = idx.filter(col("key") === "time/0").head().getAs[String]("inline_value")
+      java.util.Base64.getDecoder.decode(raw.stripPrefix("base64:"))
+    }
+    assert(java.util.Arrays.equals(t0.getAs[Array[Byte]]("data"), expected64))
+    // remote (s3://) refs refuse with the connector-boundary message, not NPE
+    val remote = intercept[org.apache.spark.SparkException] {
+      graft.sources.KerchunkIndex.materializeChunks(idx).count()
+    }
+    assert(remote.getMessage.contains("connector boundary")
+      || Option(remote.getCause).exists(_.getMessage.contains("connector boundary")))
+    // local file:// ranges come back byte-exact vs a direct read of the file
+    val fixture = SparkEntry.ensureKerchunkFixture()
+    val chunks = graft.sources.KerchunkIndex
+      .materializeChunks(graft.sources.KerchunkIndex.read(spark, fixture))
+    val b2 = chunks.filter(col("key") === "blob/2").head().getAs[Array[Byte]]("data")
+    val direct = {
+      val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(noaa))
+      java.util.Arrays.copyOfRange(all, 4096, 4096 + 64)
+    }
+    assert(java.util.Arrays.equals(b2, direct))
+    assert(chunks.count() == 9)
+  }
+
   test("truly missing catalog_file fails with a load error, not an NPE") {
     val dir  = java.nio.file.Files.createTempDirectory("graft_badcat")
     val json = dir.resolve("gone.json")
