@@ -64,6 +64,30 @@ object SparkEntry {
       iterables.map(_ -> CatalogReader.ContainerType.TupleT).toMap)
   }
 
+  /** One-time bucketed-table fixture for `q_bucketed_join`: lineitem and
+    * orders written bucketed+sorted on their order key (the standing layout
+    * a recurring fact-fact join key earns at 100 TB). Managed tables live in
+    * the session's in-memory catalog, so existence is checked per session,
+    * not via an on-disk marker; `Overwrite` handles stale warehouse dirs
+    * left by earlier sessions. Only the joined/aggregated columns are kept —
+    * a standing layout should not carry the full fact width. */
+  private[graft] def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
+    // dots would parse as a db.table separator in a table identifier
+    val tok = tmpToken(dir).replace(".", "_")
+    val (lt, ot) = (s"graft_bkt_lineitem_$tok", s"graft_bkt_orders_$tok")
+    this.synchronized {
+      if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot)) {
+        graft.operators.Bucketing.writeBucketed(
+          T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+          lt, buckets = 8, keys = Seq("l_orderkey"))
+        graft.operators.Bucketing.writeBucketed(
+          T(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          ot, buckets = 8, keys = Seq("o_orderkey"))
+      }
+    }
+    (lt, ot)
+  }
+
   /** One-time csv catalog fixture for `scan_catalog_csv` (cached per sf dir
     * via a _READY marker) — input setup, shared with the Bench warmup. */
   def ensureCsvFixture(s: SparkSession, dir: String): String = {
@@ -194,6 +218,17 @@ object SparkEntry {
         .saltedJoin(T(s, dir, "lineitem"), o, keys = Seq("l_orderkey"), saltFactor = 8)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_bucketed_join" -> ((s, dir) => {
+      // standing-layout join: both sides written bucketed+sorted on the join
+      // key, so the fact-fact join itself plans WITHOUT an Exchange (asserted
+      // in PlanAuditSpec) — the only shuffle left is the tiny post-join agg
+      val (lt, ot) = ensureBucketedTables(s, dir)
+      s.table(lt).join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
 
@@ -1077,6 +1112,13 @@ object SparkEntry {
 
     "q_salted_join" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // bucketing is a physical layout, not a semantics change: the oracle is
+    // the same join/agg over the un-bucketed parquet
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${dsumSql("l_extendedprice")} AS sum_price
          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 

@@ -57,7 +57,7 @@ object CatalogWriter {
 
     if (catalogType == "dict") {
       val restored = restoreIterableColumns(cat.df, cat.iterableDtypes)
-      val rows = restored.collect().map { row =>
+      val rows = DriverGuard.boundedCollect(restored, s"save(catalogType=dict, name='$name')").map { row =>
         row.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
       }.toList
       val model = cat.model.copy(id = Some(name), lastUpdated = Some(today),

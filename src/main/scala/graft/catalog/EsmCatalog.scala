@@ -163,6 +163,41 @@ final class EsmCatalog(
     s"<$id catalog with $length dataset(s) from $nAssets asset(s)>"
   }
 
+  private def htmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** Notebook HTML repr (core.py:362-369): the [[reprStats]] header plus the
+    * per-column distinct-count table. Driver cost is [[nunique]]'s one-row-
+    * per-column result — the heavy lifting stays distributed. */
+  def reprHtml: String = {
+    val rows = nunique.collect().map(r => (r.getString(0), r.getLong(1)))
+    val body = rows.map { case (c, n) =>
+      s"<tr><th>${htmlEscape(c)}</th><td>$n</td></tr>"
+    }.mkString
+    s"<p><strong>${htmlEscape(model.id.getOrElse(""))} catalog with $length dataset(s) " +
+      s"from ${df.count()} asset(s)</strong>:</p>" +
+      s"""<table border="1"><thead><tr><th></th><th>unique</th></tr></thead><tbody>$body</tbody></table>"""
+  }
+
+  /** Static HTML table of the minimally-exploded catalog rows — the data
+    * substance of the reference's itables `interactive` view
+    * (core.py:240-267) without the JS widget (a front-end owns the
+    * interactivity). Same explode-first rule for the same reason: iterable
+    * cells become real rows instead of stringified ellipses. Bounded by
+    * `maxRows` before the collect. */
+  def interactiveHtml(maxRows: Int = 1000): String = {
+    val exploded = graft.operators.MinimalExploder(df)
+    val cols     = exploded.columns
+    val head = cols.map(c => s"<th>${htmlEscape(c)}</th>").mkString
+    val body = exploded.limit(maxRows).collect().map { r =>
+      cols.indices.map { i =>
+        val v = r.get(i)
+        s"<td>${htmlEscape(if (v == null) "" else v.toString)}</td>"
+      }.mkString("<tr>", "", "</tr>")
+    }.mkString
+    s"""<table border="1"><thead><tr>$head</tr></thead><tbody>$body</tbody></table>"""
+  }
+
   // ------------------------------------------------------- unique / nunique
 
   /** Distinct non-null values per column; iterable columns flattened first
@@ -211,7 +246,8 @@ final class EsmCatalog(
     * collected — bounded by the group size (a handful of assets). */
   def getEntry(key: String): EsmDataSource = {
     val attrs = effectiveGroupbyAttrs
-    val rows  = df.filter(keyColumn(attrs) === lit(key)).collect()
+    val rows  = DriverGuard.boundedCollect(
+      df.filter(keyColumn(attrs) === lit(key)), s"getEntry(key='$key')")
     require(rows.nonEmpty, s"key='$key' not found in catalog")
     buildSource(key, rows.map(rowToMap).toSeq)
   }

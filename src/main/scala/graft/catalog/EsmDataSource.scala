@@ -96,8 +96,18 @@ final case class EsmDataSource(
     df
   }
 
-  /** Combine the group's per-asset frames by coordinates (source.py:264-332). */
-  def combineByCoords(frames: Seq[DataFrame], coords: Seq[String]): DataFrame = {
+  /** Combine the group's per-asset frames by coordinates (source.py:264-332).
+    *
+    * `globalSort = true` (default) reproduces the reference's deterministic
+    * total coordinate order with a final `orderBy` — a full-dataset range
+    * shuffle, fine at catalog scale, the bottleneck at 100 TB. At scale pass
+    * `globalSort = false`: rows are sorted WITHIN each partition instead
+    * (no extra exchange — `sortWithinPartitions` is a partition-local sort),
+    * which is what per-partition consumers (window functions keyed on the
+    * coords, file writers, iterators) actually need; a caller that truly
+    * wants one totally-ordered stream re-adds `.orderBy` itself. */
+  def combineByCoords(
+      frames: Seq[DataFrame], coords: Seq[String], globalSort: Boolean = true): DataFrame = {
     require(frames.nonEmpty, s"no assets for key '$key'")
     if (frames.size == 1) return frames.head
     // union frames with identical column sets (join_new / join_existing stacking)
@@ -114,6 +124,8 @@ final case class EsmDataSource(
           a.join(b, joinCols, "full_outer")
         }
     val orderCols = coords.filter(merged.columns.contains)
-    if (orderCols.isEmpty) merged else merged.orderBy(orderCols.map(col): _*)
+    if (orderCols.isEmpty) merged
+    else if (globalSort) merged.orderBy(orderCols.map(col): _*)
+    else merged.sortWithinPartitions(orderCols.map(col): _*)
   }
 }

@@ -59,9 +59,13 @@ object DedupChecks {
     // rows stay a MULTISET: minhash is distinct-invariant, the estimator
     // check collect_set()s, and only the (bounded) probe slice needs true
     // sets — a corpus-wide distinct here would add a full (id, sh) shuffle
-    // just to dedup rows every consumer dedups anyway.
+    // just to dedup rows every consumer dedups anyway. DISK_ONLY (matching
+    // ngramJaccard's exploded-shingle rationale): the multiset is |doc|-
+    // proportional — boilerplate-heavy corpora repeat the same shingle many
+    // times — so caching it in executor memory squeezes the aggregates that
+    // actually need the heap.
     val shRows = Dedup.shingleRows(docs, textCol, idCol, shingleWords)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val pairs = Dedup.minhashLshFromShingleRows(shRows, bands, rowsPerBand, threshold)
       .localCheckpoint(false)
     // materialize the checkpoint behind ONE action before three branches

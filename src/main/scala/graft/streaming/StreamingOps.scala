@@ -106,12 +106,20 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
     val ttlMs = ttlMinutes.toLong * 60L * 1000L
-    val sig = Dedup.minhashSignature(
-      Dedup.wordShingles(col(textCol), shingleWords), bands * rowsPerBand)
+    // STAGED projections, one per layer: shingles → signature → band keys.
+    // Inlining one `sig` expression into bandKeys would copy it into every
+    // band struct — k×bands re-evaluations of the whole shingle pipeline per
+    // row (hours, not seconds, on real documents). As separate selects each
+    // layer computes ONCE per row: CollapseProject leaves multi-referenced
+    // non-cheap expressions in their own ProjectExec.
     docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
-        posexplode(Dedup.bandKeys(sig, bands, rowsPerBand)))
+        Dedup.wordShingles(col(textCol), shingleWords).as("__sh"))
+      .select(col("doc_id"), col("ts"),
+        Dedup.minhashSignature(col("__sh"), bands * rowsPerBand).as("__sig"))
+      .select(col("doc_id"), col("ts"),
+        posexplode(Dedup.bandKeys(col("__sig"), bands, rowsPerBand)))
       .select(col("col.band").as("band"), col("col.bucket").cast("long").as("bucket"),
         col("doc_id"), col("ts"))
       .as[BandRow]

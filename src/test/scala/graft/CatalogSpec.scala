@@ -167,6 +167,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(n == Map("component" -> 2L, "variable" -> 3L))
   }
 
+  test("reprHtml / interactiveHtml render the stats table and exploded rows (core.py:240-267,362-369)") {
+    val df = Seq(
+      ("ocn", Seq("SHF", "SST")),
+      ("atm", Seq("SHF", "FLNS")),
+    ).toDF("component", "variable")
+    val model = EsmCatalogModel(esmcatVersion = "0.1.0", id = Some("<my&cat>"),
+      assets = Assets("path", Some("parquet")),
+      aggregationControl = Some(AggregationControl("variable", List("component"), Nil)),
+      catalogDict = Some(Nil))
+    val cat = new EsmCatalog(spark, df = df, model = model,
+      columnsWithIterables = Set("variable"),
+      iterableDtypes = Map("variable" -> CatalogReader.ContainerType.ListT))
+    val html = cat.reprHtml
+    // header mirrors reprStats counts; id is escaped, not injected
+    assert(html.contains("&lt;my&amp;cat&gt; catalog with 2 dataset(s) from 2 asset(s)"), html)
+    assert(html.contains("<tr><th>component</th><td>2</td></tr>"), html)
+    assert(html.contains("<tr><th>variable</th><td>3</td></tr>"), html)
+    // interactive view explodes iterable cells into real rows (4, not 2)
+    val table = cat.interactiveHtml()
+    assert("<tr><td>".r.findAllIn(table).size == 4, table)
+    assert(table.contains("<td>FLNS</td>"), table)
+    // maxRows bounds the driver materialization
+    assert("<tr><td>".r.findAllIn(cat.interactiveHtml(maxRows = 1)).size == 1)
+  }
+
   test("storage_options reach the relation's filesystem configuration (cat.py:238-280)") {
     // Spark merges reader options into the relation-scoped Hadoop conf
     // (newHadoopConfWithOptions). Prove the plumb-through reaches the FS

@@ -117,6 +117,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("combineByCoords scale mode drops the global range sort") {
+    import org.apache.spark.sql.functions.col
+    val l = spark.read.parquet(s"$dir/lineitem.parquet").filter(col("l_returnflag") === "R")
+    val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val frames = Seq(
+      l.select((key.map(col) :+ col("l_quantity").as("quantity")): _*),
+      l.select((key.map(col) :+ col("l_extendedprice").as("extendedprice")): _*))
+    val src = graft.catalog.EsmDataSource("k", Nil, "path", None, Nil)
+    val pGlobal = src.combineByCoords(frames, key)
+      .queryExecution.executedPlan.toString
+    val pScale = src.combineByCoords(frames, key, globalSort = false)
+      .queryExecution.executedPlan.toString
+    // default keeps the reference's total-order contract (range exchange)...
+    assert(pGlobal.contains("Exchange rangepartitioning"), pGlobal.take(2000))
+    // ...scale mode sorts within partitions only — no extra exchange beyond
+    // the variable-merge join's own hash shuffle
+    assert(!pScale.contains("Exchange rangepartitioning"), pScale.take(2000))
+    assert(pScale.contains("Sort"), pScale.take(2000))
+  }
+
+  test("bucketed fact-fact join plans without an exchange on either side") {
+    import org.apache.spark.sql.functions.col
+    val (lt, ot) = SparkEntry.ensureBucketedTables(spark, dir)
+    val joined = spark.table(lt).join(spark.table(ot),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(!graft.operators.Bucketing.hasShuffle(joined),
+      joined.queryExecution.executedPlan.toString.take(2000))
+    // and the registered query's only exchange is the post-join aggregation
+    val p = plan("q_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"), p.take(2000))
+  }
+
   test("pivot compiles to a single aggregate pass (no per-value scans)") {
     val p = plan("q_pivot")
     assert("FileScan".r.findAllIn(p).size == 1, p.take(2000))

@@ -238,6 +238,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupsOf == Set((3L, 1L), (5L, 4L)), dupsOf)
   }
 
+  test("streaming near-dup collisions match batch banding on real documents (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (bands, rows) = (16, 4)
+    // real docs + deterministic exact twins (doc_id + 100000) so the parity
+    // set is non-vacuous even if the fixture has no natural near-dups
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val all = docs.unionByName(docs.filter(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+    // deterministic timestamps, one second apart in doc_id order — the whole
+    // corpus fits inside one TTL window, so nothing evicts mid-test
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val timed = all.orderBy("doc_id").as[(Long, String)].collect().zipWithIndex
+      .map { case ((id, text), i) => (new Timestamp(base + i * 1000L), id, text) }
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.nearDupCollisions(stream, "text", "doc_id", "ts",
+        shingleWords = 3, bands = bands, rowsPerBand = rows,
+        watermark = "0 seconds", ttlMinutes = 60)
+      .writeStream.format("memory").queryName("neardup_parity").outputMode("append").start()
+    input.addData(timed.toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("neardup_parity")
+      .select("doc_id", "dup_of", "band", "bucket")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    q.stop()
+
+    // batch twin of the streaming semantics, from the SAME banding
+    // expressions: per (band, bucket), every doc after the first (by ts,
+    // doc_id) collides with that first doc. Staged like the operator —
+    // shingles, then signature, then band keys — each computed once per row
+    // (localCheckpoint cuts the plan so no optimizer rule can re-inline)
+    val timedDf = timed.toSeq.toDF("ts", "doc_id", "text")
+    val sigDf = timedDf
+      .withColumn("__sh", Dedup.wordShingles(col("text"), 3))
+      .select(col("doc_id"), col("ts"),
+        Dedup.minhashSignature(col("__sh"), bands * rows).as("__sig"))
+      .localCheckpoint()
+    val banded = sigDf
+      .select(col("doc_id"), col("ts"), posexplode(Dedup.bandKeys(col("__sig"), bands, rows)))
+      .select(col("col.band").as("band"), col("col.bucket").cast("long").as("bucket"),
+        col("doc_id"), col("ts"))
+    val w = Window.partitionBy("band", "bucket").orderBy(col("ts"), col("doc_id"))
+    val expected = banded
+      .withColumn("first_id", first(col("doc_id")).over(w))
+      .filter(col("doc_id") =!= col("first_id"))
+      .select("doc_id", "first_id", "band", "bucket")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(streamed == expected,
+      s"streamed=${streamed.size} batch=${expected.size} " +
+        s"diff=${(streamed diff expected).take(3)} ${(expected diff streamed).take(3)}")
+
+    // recall vs the VERIFIED batch pairs: every minhashLsh pair (threshold
+    // est-jaccard, same banding) must land in one streaming collision
+    // component — collisions only link to the bucket's first doc, so the
+    // pair connects through it rather than directly
+    val verified = Dedup.minhashLsh(timedDf, "text", "doc_id",
+        shingleWords = 3, bands = bands, rowsPerBand = rows, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(verified.nonEmpty, "parity fixture produced no verified pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    streamed.foreach { case (a, b, _, _) => parent(find(a)) = find(b) }
+    val missed = verified.filterNot { case (a, b) => find(a) == find(b) }
+    assert(missed.isEmpty, s"verified pairs not covered by streaming collisions: ${missed.take(5).toSeq}")
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
