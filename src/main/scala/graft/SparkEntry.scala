@@ -68,15 +68,31 @@ object SparkEntry {
     * orders written bucketed+sorted on their order key (the standing layout
     * a recurring fact-fact join key earns at 100 TB). Managed tables live in
     * the session's in-memory catalog, so existence is checked per session,
-    * not via an on-disk marker; `Overwrite` handles stale warehouse dirs
-    * left by earlier sessions. Only the joined/aggregated columns are kept —
-    * a standing layout should not carry the full fact width. */
+    * not via an on-disk marker, and stale warehouse directories from earlier
+    * sessions are cleared before the write. Only the joined/aggregated
+    * columns are kept — a standing layout should not carry the full fact
+    * width. */
   private[graft] def ensureBucketedTables(s: SparkSession, dir: String): (String, String) = {
     // dots would parse as a db.table separator in a table identifier
     val tok = tmpToken(dir).replace(".", "_")
     val (lt, ot) = (s"graft_bkt_lineitem_$tok", s"graft_bkt_orders_$tok")
+    // a FRESH session has no catalog entry for the table, so saveAsTable
+    // degrades Overwrite → CREATE and refuses the non-empty warehouse dir a
+    // previous session left behind — drop + clear the stale location first
+    def clearStale(table: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = Paths.get(s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), table)
+      if (Files.exists(loc)) {
+        val walk = Files.walk(loc)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
     this.synchronized {
       if (!s.catalog.tableExists(lt) || !s.catalog.tableExists(ot)) {
+        clearStale(lt); clearStale(ot)
         graft.operators.Bucketing.writeBucketed(
           T(s, dir, "lineitem").select("l_orderkey", "l_extendedprice"),
           lt, buckets = 8, keys = Seq("l_orderkey"))
@@ -125,6 +141,79 @@ object SparkEntry {
              |  "blob/3": ["$target", 54000, 32],
              |  "note/0": "inline-text-chunk",
              |  "note/1": "base64:AAECAwQF"
+             |}}""".stripMargin
+        Files.writeString(json, content)
+      }
+    }
+    json.toString
+  }
+
+  /** One-time local zarr-over-kerchunk fixture for `load_kerchunk_typed`: a
+    * binary store holding FORMULA-GENERATED chunks (zlib f4, raw i4, gzip
+    * f8, raw u1, plus a non-numeric |S3 decoy) and a kerchunk index mapping
+    * byte ranges into it. The DuckDB oracle re-derives the VALUES from the
+    * same formulas — an end-to-end check of write → positioned read →
+    * inflate → element decode, with no shared decode code. Formulas use
+    * only 0.25/0.5 steps, exact in f4/f8, so the double widening is
+    * bit-identical on both sides. */
+  def ensureZarrFixture(): String = {
+    val out  = Paths.get("/tmp/graft_zarr_fixture")
+    val json = out.resolve("zarr-index.json")
+    this.synchronized {
+      if (!Files.exists(json)) {
+        Files.createDirectories(out)
+        val bos = new java.io.ByteArrayOutputStream()
+        def le(n: Int)(put: java.nio.ByteBuffer => Unit): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          put(b); b.array()
+        }
+        def zlib(b: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater(2)
+          d.setInput(b); d.finish()
+          val o = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+          while (!d.finished()) { val n = d.deflate(buf); o.write(buf, 0, n) }
+          d.end(); o.toByteArray
+        }
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val o = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(o); g.write(b); g.close()
+          o.toByteArray
+        }
+        def slice(bytes: Array[Byte]): String = {
+          val off = bos.size(); bos.write(bytes)
+          s"""["file://$out/store.bin", $off, ${bytes.length}]"""
+        }
+        val temp = (0 until 3).map(c => slice(zlib(le(32)(bb =>
+          (0 until 8).foreach(j => bb.putFloat((8 * c + j) * 0.5f - 3.0f))))))
+        val cnt = (0 until 2).map(c => slice(le(20)(bb =>
+          (0 until 5).foreach(j => { val i = 5 * c + j; bb.putInt(i * i - 17) }))))
+        val big  = slice(gz(le(32)(bb => (0 until 4).foreach(j => bb.putDouble(1e9 + 0.25 * j)))))
+        val mask = slice((0 until 6).map(i => ((i * 7 + 3) % 256).toByte).toArray)
+        val tag  = slice("abcdef".getBytes("US-ASCII"))
+        Files.write(out.resolve("store.bin"), bos.toByteArray)
+        // a .zarray entry is a JSON STRING whose content is itself JSON —
+        // build the inner document plainly, then JSON-escape it once
+        def jstr(s: String): String =
+          "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+        def zarray(dtype: String, shape: Int, chunks: Int, comp: String): String =
+          jstr(s"""{"dtype": "$dtype", "shape": [$shape], "chunks": [$chunks], """ +
+            s""""compressor": $comp, "filters": null, "order": "C", "zarr_format": 2}""")
+        val content =
+          s"""{"version": 1, "refs": {
+             |  ".zgroup": ${jstr("""{"zarr_format": 2}""")},
+             |  "temp/.zarray": ${zarray("<f4", 24, 8, """{"id": "zlib", "level": 2}""")},
+             |  "temp/0": ${temp(0)},
+             |  "temp/1": ${temp(1)},
+             |  "temp/2": ${temp(2)},
+             |  "count/.zarray": ${zarray("<i4", 10, 5, "null")},
+             |  "count/0": ${cnt(0)},
+             |  "count/1": ${cnt(1)},
+             |  "big/.zarray": ${zarray("<f8", 4, 4, """{"id": "gzip"}""")},
+             |  "big/0": $big,
+             |  "mask/.zarray": ${zarray("|u1", 6, 6, "null")},
+             |  "mask/0": $mask,
+             |  "tag/.zarray": ${zarray("|S3", 2, 2, "null")},
+             |  "tag/0": $tag
              |}}""".stripMargin
         Files.writeString(json, content)
       }
@@ -288,6 +377,19 @@ object SparkEntry {
         .select(col("key"), col("kind"), col("offset"), col("length"),
           hex(col("data")).as("chunk_hex"))
         .orderBy("key")
+    }),
+
+    "load_kerchunk_typed" -> ((s, _) => {
+      // the full depth of the reference's zarr open for JDK-decodable
+      // codecs: positioned byte-range read → zlib/gzip/raw decompress →
+      // little-endian element decode → typed rows. The non-numeric |S3
+      // variable ('tag') must be absent from the output.
+      val idx     = ensureZarrFixture()
+      val entries = graft.sources.KerchunkIndex.read(s, idx)
+      graft.sources.KerchunkIndex.decodeTyped(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries))
+        .orderBy("variable", "chunk", "idx")
     }),
 
     "scan_catalog_dict" -> ((s, _) => {
@@ -1172,6 +1274,24 @@ object SparkEntry {
         |       WHEN inline LIKE 'base64:%' THEN hex(from_base64(substring(inline, 8)))
         |       ELSE hex(encode(inline)) END AS chunk_hex
         |FROM refs ORDER BY key""".stripMargin,
+
+    // formula re-derivation (ensureZarrFixture writes chunks FROM these
+    // formulas): decode correctness = the values round-tripping through
+    // zlib/gzip bytes back to the exact same doubles. All steps are 0.25/0.5
+    // multiples — exact in f4/f8, so no float fuzz.
+    "load_kerchunk_typed" ->
+      """WITH vals AS (
+        |  SELECT 'temp' AS variable, CAST(i // 8 AS VARCHAR) AS chunk, CAST(i % 8 AS INT) AS idx,
+        |         CAST(i AS DOUBLE) * 0.5 - 3.0 AS value FROM range(24) t(i)
+        |  UNION ALL
+        |  SELECT 'count', CAST(i // 5 AS VARCHAR), CAST(i % 5 AS INT),
+        |         CAST(i * i - 17 AS DOUBLE) FROM range(10) t(i)
+        |  UNION ALL
+        |  SELECT 'big', '0', CAST(i AS INT), 1000000000.0 + 0.25 * CAST(i AS DOUBLE) FROM range(4) t(i)
+        |  UNION ALL
+        |  SELECT 'mask', '0', CAST(i AS INT), CAST((i * 7 + 3) % 256 AS DOUBLE) FROM range(6) t(i))
+        |SELECT variable, chunk, idx, value FROM vals
+        |ORDER BY variable, chunk, idx""".stripMargin,
 
     "scan_catalog_esmcat" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS member,

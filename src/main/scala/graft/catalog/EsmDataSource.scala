@@ -55,7 +55,17 @@ final case class EsmDataSource(
       case "parquet" | "" | null => spark.read.options(storageOptions).parquet(path)
       case "csv"                 => spark.read.option("header", "true").options(storageOptions).csv(path)
       case "json"                => spark.read.options(storageOptions).json(path)
-      case "reference"           => graft.sources.KerchunkIndex.read(spark, path, storageOptions)
+      case "reference" =>
+        // chunk-map plane by default; `graft.kerchunk.decode=typed` descends
+        // to typed values for JDK-decodable codecs (raw/zlib/gzip, local or
+        // inline refs — sources.ZarrCodec), the depth the reference reaches
+        // through xarray's zarr engine (source.py:82-96)
+        val entries = graft.sources.KerchunkIndex.read(spark, path, storageOptions)
+        if (storageOptions.get("graft.kerchunk.decode").contains("typed"))
+          graft.sources.KerchunkIndex.decodeTyped(
+            graft.sources.KerchunkIndex.materializeChunks(entries),
+            graft.sources.KerchunkIndex.arrayMeta(entries))
+        else entries
       case other =>
         throw new UnsupportedOperationException(
           s"data format '$other' needs an external Spark connector (netcdf/zarr/opendap per source.py:70-137)")

@@ -84,6 +84,13 @@ object Dedup {
     * Expression form for ad-hoc use; the bulk pipeline below uses the
     * exploded/codegen'd variant instead (higher-order functions are
     * interpreted, not codegen'd — too slow for the hot path).
+    *
+    * STAGE IT: alias the result into its own column in its own `select`
+    * before any expression references it more than once ([[bandKeys]] reads
+    * it `bands` times). Inlined, each reference re-evaluates the whole
+    * input expression — k×bands shingle-pipeline evaluations per row turned
+    * a 30 s streaming test into a half-hour hang before StreamingOps staged
+    * its projections.
     */
   def minhashSignature(setCol: Column, k: Int = 64): Column =
     array((0 until k).map { i =>
@@ -236,6 +243,12 @@ object Dedup {
     * fingerprint is set iff a majority of token hashes have bit i set.
     * The bit loop is unrolled at plan-build time (shift amounts are Scala
     * literals), so everything stays codegen'd.
+    *
+    * CAUTION: the 64 bit terms each reference the token-hash transform —
+    * pass a MATERIALIZED tokens column (its own aliased select), never an
+    * inline tokenization expression, or the tokenizer runs 64× per row.
+    * The bulk path ([[simhashFingerprints]]) uses the native SimHashAgg
+    * aggregate and does not have this hazard.
     */
   def simhash64(tokensCol: Column): Column = {
     val hashes = transform(tokensCol, t => xxhash64(t))

@@ -145,8 +145,8 @@ object KerchunkIndex {
   }
 
   /** Zarr array metadata per variable, parsed from the `.zarray` entries:
-    * (variable, dtype, shape, chunks, compressor). These sub-documents have
-    * a fixed schema, so plain JSON functions suffice. */
+    * (variable, dtype, shape, chunks, compressor, filters). These
+    * sub-documents have a fixed schema, so plain JSON functions suffice. */
   def arrayMeta(entries: DataFrame): DataFrame =
     entries.filter(col("member") === ".zarray")
       .select(
@@ -155,5 +155,37 @@ object KerchunkIndex {
         from_json(get_json_object(col("inline_value"), "$.shape"), ArrayType(LongType)).as("shape"),
         from_json(get_json_object(col("inline_value"), "$.chunks"), ArrayType(LongType)).as("chunks"),
         get_json_object(col("inline_value"), "$.compressor.id").as("compressor"),
+        get_json_object(col("inline_value"), "$.filters").as("filters"),
       )
+
+  /** Decode materialized DATA chunks into typed values — the full depth of
+    * the reference's zarr open (source.py:82-96) for the codecs the JDK
+    * carries (raw/zlib/gzip; see [[ZarrCodec]]).
+    *
+    * Each chunk row joins its variable's `.zarray` metadata — a broadcast
+    * (one tiny row per variable) — then decompresses, splits elements and
+    * widens to double inside ONE generated stage, exploding to
+    * (variable, chunk, idx, value) rows. `idx` is the element's flat
+    * position in the chunk's stored order (C-order row-major for every
+    * writer that matters). At 100 TB the work is embarrassingly parallel:
+    * per-chunk decode, no shuffle until whatever aggregation follows.
+    *
+    * Rows whose dtype is non-numeric are dropped (the codec returns null);
+    * rows whose `.zarray` declares v2 filters raise — silently wrong values
+    * would be worse than a loud connector-boundary error.
+    */
+  def decodeTyped(chunks: DataFrame, meta: DataFrame): DataFrame = {
+    val dataChunk = chunks.filter(col("member").rlike("^[0-9]+([.][0-9]+)*$"))
+      .join(broadcast(meta), Seq("variable"))
+      // assert_true returns NULL on pass (coalesce → keep row) and raises on
+      // a declared filter list — evaluated per row, inside the scan stage
+      .filter(coalesce(assert_true(col("filters").isNull || col("filters") === "null",
+        concat(lit("zarr v2 filters unsupported (variable '"), col("variable"), lit("')"))),
+        lit(true)))
+    dataChunk
+      .select(col("variable"), col("member").as("chunk"),
+        posexplode(ZarrCodec.zarr_decode(col("data"), col("dtype"),
+          coalesce(col("compressor"), lit("")))))
+      .select(col("variable"), col("chunk"), col("pos").as("idx"), col("col").as("value"))
+  }
 }

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Zarr v2 chunk decoding: raw chunk bytes → typed numeric values.
+  *
+  * The reference opens kerchunk indexes through xarray's zarr engine, which
+  * decompresses each chunk and reinterprets the bytes per the `.zarray`
+  * dtype (intake_esm/source.py:82-96). [[KerchunkIndex.materializeChunks]]
+  * recovers the bytes; this codec takes the next step for the codecs that
+  * need no external library:
+  *
+  *  - compressors `null` (raw), `zlib`, `gzip` — `java.util.zip` is part of
+  *    the JDK. blosc/zstd/lz4 stay behind the connector boundary and raise.
+  *  - numpy dtype strings `<i1..i8`, `<u1..u8`, `<f4/f8` (and their `>`
+  *    big-endian / `|` single-byte forms), widened to DOUBLE — one numeric
+  *    output type keeps the relational surface simple, and every listed
+  *    dtype except u8/i8 above 2^53 widens exactly. Non-numeric dtypes
+  *    (`|S*`, `|U*`, `|O`) return null; callers filter or route them to a
+  *    bytes-level path.
+  *
+  * Zarr v2 chunks are whole-chunk codecs over a C/F-order flattening — the
+  * decoded element order IS the stored order, so the flat index is exact;
+  * multi-dim coordinates derive from it with the chunk shape when needed.
+  * Filters (shuffle etc.) are NOT handled — [[KerchunkIndex.decodeTyped]]
+  * refuses rows whose `.zarray` declares any.
+  */
+object ZarrCodec {
+
+  /** Inflate per the zarr compressor id ("" or null = stored raw). */
+  def decompress(data: Array[Byte], compressor: String): Array[Byte] =
+    compressor match {
+      case null | "" => data
+      case "zlib" =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput())
+              throw new java.util.zip.DataFormatException("truncated zlib stream")
+            out.write(buf, 0, n)
+          }
+        } finally inf.end()
+        out.toByteArray
+      case "gzip" =>
+        val in  = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(data))
+        val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+        val buf = new Array[Byte](8192)
+        var n   = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      case other =>
+        throw new UnsupportedOperationException(
+          s"zarr compressor '$other' needs an external codec library — " +
+            "behind the connector boundary (only raw/zlib/gzip decode here)")
+    }
+
+  /** Decoded chunk as doubles, or null for non-numeric dtypes. Called from
+    * both interpreted eval and generated code. */
+  def decode(data: Array[Byte], dtype: UTF8String, compressor: UTF8String): GenericArrayData = {
+    val dt  = dtype.toString
+    require(dt.length >= 2, s"malformed numpy dtype '$dt'")
+    val kind  = dt.charAt(1)
+    if (kind != 'i' && kind != 'u' && kind != 'f') return null
+    val width = dt.substring(2).toInt
+    val raw   = decompress(data, if (compressor == null) "" else compressor.toString)
+    require(raw.length % width == 0,
+      s"chunk of ${raw.length} bytes is not a multiple of $dtype width $width")
+    val order = dt.charAt(0) match {
+      case '<' | '|' => ByteOrder.LITTLE_ENDIAN // '|' = single-byte, order moot
+      case '>'       => ByteOrder.BIG_ENDIAN
+      case c         => throw new IllegalArgumentException(s"unknown byte order '$c' in dtype '$dt'")
+    }
+    val buf = ByteBuffer.wrap(raw).order(order)
+    val n   = raw.length / width
+    val out = new Array[Double](n)
+    var i   = 0
+    while (i < n) {
+      out(i) = (kind, width) match {
+        case ('f', 4) => buf.getFloat(i * 4).toDouble
+        case ('f', 8) => buf.getDouble(i * 8)
+        case ('i', 1) => buf.get(i).toDouble
+        case ('i', 2) => buf.getShort(i * 2).toDouble
+        case ('i', 4) => buf.getInt(i * 4).toDouble
+        case ('i', 8) => buf.getLong(i * 8).toDouble
+        case ('u', 1) => (buf.get(i) & 0xff).toDouble
+        case ('u', 2) => (buf.getShort(i * 2) & 0xffff).toDouble
+        case ('u', 4) => (buf.getInt(i * 4) & 0xffffffffL).toDouble
+        case ('u', 8) =>
+          val v = buf.getLong(i * 8)
+          if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552e19 // + 2^64
+        case _ => throw new IllegalArgumentException(s"unsupported numeric dtype '$dt'")
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** `zarr_decode(data, dtype, compressor)` → array<double> (null for
+    * non-numeric dtypes). Pass `coalesce(compressor, '')` — a SQL NULL
+    * compressor would null the whole row under null-safe eval. */
+  def zarr_decode(data: Column, dtype: Column, compressor: Column): Column =
+    column(ZarrChunkDecode(expression(data), expression(dtype), expression(compressor)))
+}
+
+/** Native expression form of [[ZarrCodec.decode]]: the decode loop runs as
+  * one static call inside whole-stage codegen, so a scan → decode → explode
+  * pipeline stays a single generated stage. */
+case class ZarrChunkDecode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean  = true // non-numeric dtype → null
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (BinaryType, StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"zarr_decode expects (binary, string, string), got $other")
+    }
+
+  override def nullSafeEval(data: Any, dtype: Any, compressor: Any): Any =
+    ZarrCodec.decode(data.asInstanceOf[Array[Byte]],
+      dtype.asInstanceOf[UTF8String], compressor.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, t, c) => {
+      s"""
+         |${ev.value} = graft.sources.ZarrCodec.decode($d, $t, $c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
