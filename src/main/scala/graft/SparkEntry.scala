@@ -321,6 +321,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    "q_zorder_curve" -> ((s, dir) => {
+      // the Morton key a z-order layout clusters on, with FIXED bounds so
+      // the oracle reproduces the exact integer math engine-independently
+      // (cell = x*256 div 262144; interleave bit b of col i to bit 2b+i)
+      val l = T(s, dir, "lineitem")
+      l.select((lineKey.map(col) :+
+          graft.operators.ZOrder.gridCell(col("l_partkey"), 0L, 262143L, 8).as("cp") :+
+          graft.operators.ZOrder.gridCell(col("l_suppkey"), 0L, 262143L, 8).as("cs")): _*)
+        .select((lineKey.map(col) :+
+          graft.operators.ZOrder.interleaveBits(Seq(col("cp"), col("cs")), 8).as("zval")): _*)
+        .orderBy(lineKey.map(col): _*)
+    }),
+
     "events_asof_join" -> ((s, dir) => {
       val e = events(s, dir).select("user_id", "event_id", "us", "event_type")
       val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
@@ -1216,6 +1229,19 @@ object SparkEntry {
       s"""SELECT o_orderpriority, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // same grid + unrolled bit-interleave arithmetic, independently spelled
+    // in DuckDB's integer/bit operators
+    "q_zorder_curve" -> {
+      val terms = (for { (c, i) <- Seq("cp", "cs").zipWithIndex; b <- 0 until 8 }
+        yield s"((($c >> $b) & 1) << ${b * 2 + i})").mkString(" | ")
+      s"""WITH g AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  least(255, greatest(0, (l_partkey * 256) // 262144)) AS cp,
+         |  least(255, greatest(0, (l_suppkey * 256) // 262144)) AS cs
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, ($terms) AS zval
+         |FROM g ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
+    },
 
     // bucketing is a physical layout, not a semantics change: the oracle is
     // the same join/agg over the un-bucketed parquet

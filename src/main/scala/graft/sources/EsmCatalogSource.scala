@@ -167,7 +167,8 @@ final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       // column pruning: a projection over the catalog reaches the reader, so
       // only the requested columns are decoded (visible as a narrowed
       // ReadSchema in explain — same contract as the parquet scan)
@@ -188,15 +189,37 @@ final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
         filters
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+      // aggregate pushdown (the last pushdown dimension, mirroring the
+      // reference's polars lazy aggregation): GLOBAL count/count-distinct/
+      // min/max over scalar columns compute COMPLETELY inside the reader —
+      // one partition, so complete pushdown is exact by construction. Note
+      // Spark only offers aggregates when no residual filters remain, and
+      // this source re-checks every filter as a residual — so aggregate
+      // pushdown fires exactly on filterless scans, where it is safe.
+      private var aggSpecs: Seq[EsmCatalogAggs.AggSpec] = Nil
+      private var aggSchema: StructType                 = null
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        EsmCatalogAggs.supported(schema0, agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        EsmCatalogAggs.supported(schema0, agg) match {
+          case Some(specs) =>
+            aggSpecs = specs
+            aggSchema = EsmCatalogAggs.outputSchema(schema0, specs)
+            true
+          case None => false
+        }
       override def build(): Scan             = this
-      override def readSchema(): StructType  = pruned
+      override def readSchema(): StructType  = if (aggSchema != null) aggSchema else pruned
       override def toBatch: Batch            = this
       override def description(): String =
-        s"esmcat PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${pruned.simpleString}"
+        s"esmcat PushedFilters: [${pushed.mkString(", ")}], " +
+          s"PushedAggregates: [${aggSpecs.mkString(", ")}], ReadSchema: ${readSchema().simpleString}"
       override def planInputPartitions(): Array[InputPartition] =
         Array(EsmCatalogPartition(descriptorPath))
       override def createReaderFactory(): PartitionReaderFactory =
-        new EsmCatalogReaderFactory(pruned, pushed)
+        new EsmCatalogReaderFactory(readSchema(), pushed, aggSpecs)
     }
 }
 
@@ -244,10 +267,124 @@ object EsmCatalogFilters {
   }
 }
 
+/** The V2 `Aggregation` subset the esmcat reader computes completely:
+  * GLOBAL (no grouping) CountStar, Count(col) (incl. distinct), Min(col),
+  * Max(col) over scalar columns. Anything else is declined and Spark
+  * aggregates the raw rows itself — declining is a perf choice, never a
+  * correctness one. String min/max compares `UTF8String`s, i.e. Spark's own
+  * binary collation, not Java's UTF-16 order. */
+object EsmCatalogAggs {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+
+  /** op ∈ count_star | count | min | max; serializable for the reader. */
+  final case class AggSpec(op: String, col: String, distinct: Boolean) {
+    override def toString: String = op match {
+      case "count_star" => "COUNT(*)"
+      case "count"      => s"COUNT(${if (distinct) "DISTINCT " else ""}$col)"
+      case other        => s"${other.toUpperCase}($col)"
+    }
+  }
+
+  private def scalarCol(schema: StructType, e: Any): Option[String] = e match {
+    case fr: NamedReference if fr.fieldNames.length == 1 =>
+      val n = fr.fieldNames()(0)
+      schema.fields.find(_.name == n)
+        .filterNot(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+    case _ => None
+  }
+
+  def supported(schema: StructType, agg: Aggregation): Option[Seq[AggSpec]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val specs = agg.aggregateExpressions.map {
+      case _: CountStar => AggSpec("count_star", "", distinct = false)
+      case c: Count =>
+        scalarCol(schema, c.column) match {
+          case Some(n) => AggSpec("count", n, c.isDistinct)
+          case None    => return None
+        }
+      case m: Min =>
+        scalarCol(schema, m.column) match {
+          case Some(n) => AggSpec("min", n, distinct = false)
+          case None    => return None
+        }
+      case m: Max =>
+        scalarCol(schema, m.column) match {
+          case Some(n) => AggSpec("max", n, distinct = false)
+          case None    => return None
+        }
+      case _ => return None
+    }
+    if (specs.isEmpty) None else Some(specs.toIndexedSeq)
+  }
+
+  def outputSchema(schema: StructType, specs: Seq[AggSpec]): StructType =
+    StructType(specs.zipWithIndex.map { case (s, i) =>
+      s.op match {
+        case "count_star" | "count" => StructField(s"agg_$i", LongType, nullable = false)
+        case _ =>
+          StructField(s"agg_$i", schema.fields.find(_.name == s.col).get.dataType, nullable = true)
+      }
+    })
+
+  /** Fold the decoded row lookups into ONE aggregated InternalRow. Values
+    * arrive as plain literals (String/Long/Double/Boolean); comparison for
+    * strings goes through UTF8String (Spark's binary order). */
+  def aggregate(specs: Seq[AggSpec], schema: StructType,
+                rows: Iterator[String => Any]): InternalRow = {
+    val nSpecs    = specs.length
+    val counts    = new Array[Long](nSpecs)
+    val distincts = Array.fill(nSpecs)(scala.collection.mutable.HashSet.empty[Any])
+    val minmax    = new Array[Any](nSpecs)
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String)   => UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+      case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+      case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+      case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+      case (x, y)                   => x.toString.compareTo(y.toString)
+    }
+    rows.foreach { row =>
+      var i = 0
+      while (i < nSpecs) {
+        val s = specs(i)
+        s.op match {
+          case "count_star" => counts(i) += 1
+          case "count" =>
+            val v = row(s.col)
+            if (v != null) { if (s.distinct) distincts(i) += v else counts(i) += 1 }
+          case "min" =>
+            val v = row(s.col)
+            if (v != null && (minmax(i) == null || cmp(v, minmax(i)) < 0)) minmax(i) = v
+          case "max" =>
+            val v = row(s.col)
+            if (v != null && (minmax(i) == null || cmp(v, minmax(i)) > 0)) minmax(i) = v
+        }
+        i += 1
+      }
+    }
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    InternalRow.fromSeq(specs.zipWithIndex.map { case (s, i) =>
+      s.op match {
+        case "count_star"             => counts(i)
+        case "count" if s.distinct    => distincts(i).size.toLong
+        case "count"                  => counts(i)
+        case _ =>
+          (minmax(i), fieldType.getOrElse(s.col, StringType)) match {
+            case (null, _)              => null
+            case (v: String, StringType) => UTF8String.fromString(v)
+            case (v: Int, LongType)     => v.toLong
+            case (v, _)                 => v
+          }
+      }
+    }.toIndexedSeq)
+  }
+}
+
 final case class EsmCatalogPartition(descriptorPath: String) extends InputPartition
 
 final class EsmCatalogReaderFactory(schema: StructType,
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    aggSpecs: Seq[EsmCatalogAggs.AggSpec] = Nil)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val desc = EsmCatalogSource.describe(
@@ -281,6 +418,41 @@ final class EsmCatalogReaderFactory(schema: StructType,
       if (filters.isEmpty) Array.empty else filters.flatMap(_.references).distinct
     def keep(lookup: String => Any): Boolean =
       filters.forall(f => EsmCatalogFilters.eval(f, lookup))
+
+    // complete aggregate pushdown: fold the (filtered) decoded rows into ONE
+    // aggregated InternalRow. `schema` is already the aggregate output
+    // schema in this mode (ScanBuilder.readSchema), so the plain-row branch
+    // below never runs.
+    if (aggSpecs.nonEmpty) {
+      val fullType = desc.schema.fields.map(f => f.name -> f.dataType).toMap
+      val lookups: Iterator[String => Any] = desc.csvPath match {
+        case Some(csv) =>
+          val all    = EsmCatalogSource.readCsvRows(csv)
+          val header = all.head
+          val colIdx = header.zipWithIndex.toMap
+          all.iterator.drop(1)
+            .map { cells =>
+              (name: String) =>
+                toFilterVal(colIdx.get(name).filter(_ < cells.length).map(cells(_)).orNull,
+                  fullType.getOrElse(name, StringType))
+            }
+            .filter(lookup => filters.isEmpty || keep(lookup))
+        case None =>
+          desc.model.catalogDict.get.iterator
+            .map { rec =>
+              (name: String) =>
+                toFilterVal(rec.getOrElse(name, null), fullType.getOrElse(name, StringType))
+            }
+            .filter(lookup => filters.isEmpty || keep(lookup))
+      }
+      val out = EsmCatalogAggs.aggregate(aggSpecs, desc.schema, lookups)
+      return new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val h = !emitted; emitted = true; h }
+        override def get(): InternalRow = out
+        override def close(): Unit = ()
+      }
+    }
 
     val rows: Iterator[InternalRow] = desc.csvPath match {
       case Some(csv) =>

@@ -68,6 +68,53 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("format(esmcat) pushes global count/min/max/count-distinct, same answers as raw rows") {
+    val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
+    val agg = spark.read.format("esmcat").load(json)
+      .agg(count(lit(1)).as("n"), min("status").as("lo"), max("status").as("hi"),
+        countDistinct("member").as("nd"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)"), plan.take(1500))
+    assert(plan.contains("MIN(status)") && plan.contains("MAX(status)") &&
+      plan.contains("COUNT(DISTINCT member)"), plan.take(1500))
+    // ground truth from the ordinary (row-returning) API path
+    val raw = graft.catalog.EsmCatalog.open(spark, json).df
+    val expected = raw.agg(count(lit(1)), min("status"), max("status"), countDistinct("member")).head()
+    assert(agg.head() == expected)
+  }
+
+  test("format(esmcat) does not push aggregates past filters or grouping (still correct)") {
+    val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
+    val base = spark.read.format("esmcat").load(json)
+    // with a filter, every pushed filter is also a residual, so Spark keeps
+    // aggregation to itself — PushedAggregates stays empty and the count
+    // matches the raw path
+    val filtered = base.filter(col("status") === "O").agg(count(lit(1)).as("n"))
+    val fPlan = filtered.queryExecution.executedPlan.toString
+    assert(fPlan.contains("PushedAggregates: []"), fPlan.take(1500))
+    val raw = graft.catalog.EsmCatalog.open(spark, json).df
+    assert(filtered.head().getLong(0) == raw.filter(col("status") === "O").count())
+    // grouped aggregation is declined (supported() requires global)
+    val grouped = base.groupBy("status").agg(count(lit(1)).as("n"))
+    val gPlan = grouped.queryExecution.executedPlan.toString
+    assert(gPlan.contains("PushedAggregates: []") || !gPlan.contains("PushedAggregates"),
+      gPlan.take(1500))
+    val got = grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = raw.groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("format(esmcat) aggregate pushdown on a dict catalog incl. non-string scalars") {
+    val agg = spark.read.format("esmcat")
+      .load("/root/reference/tests/sample-catalogs/noaa-pathfinder-opendap.json")
+      .agg(count(lit(1)).as("n"), min("scode").as("lo"), max("scode").as("hi"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*), MIN(scode), MAX(scode)]"), plan.take(1500))
+    val raw = graft.catalog.EsmCatalog.open(spark,
+      "/root/reference/tests/sample-catalogs/noaa-pathfinder-opendap.json").df
+    assert(agg.head() == raw.agg(count(lit(1)), min("scode"), max("scode")).head())
+  }
+
   test("format(esmcat) prunes unprojected columns at the scan") {
     val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
     val df   = spark.read.format("esmcat").load(json).select("status", "member")
