@@ -303,11 +303,12 @@ final class EsmCatalog(
     val attrs =
       if (aggregate) effectiveGroupbyAttrs
       else pruneAllNull(df.columns.toSeq)
-    // One pass: group records collected per key (bounded: catalog metadata)
-    val grouped = df
-      .groupBy(keyColumn(attrs).as("__graft_key"))
-      .agg(collect_list(struct(df.columns.map(col): _*)).as("__graft_records"))
-      .collect()
+    // One pass: group records collected per key (bounded: catalog metadata,
+    // with the DriverGuard tripwire in case the grouping assumption breaks)
+    val grouped = DriverGuard.boundedCollect(
+      df.groupBy(keyColumn(attrs).as("__graft_key"))
+        .agg(collect_list(struct(df.columns.map(col): _*)).as("__graft_records")),
+      "toDatasetDict(group records)")
     val dsets = grouped.map { row =>
       val key     = row.getString(0)
       val records = row.getSeq[org.apache.spark.sql.Row](1).map(rowToMap)
