@@ -60,5 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => BandHashes(args(0),
         literalInt("band_hashes", "bands", args, 1),
         literalInt("band_hashes", "rows", args, 2))))
+    ext.injectFunction((FunctionIdentifier("zarr_decode"),
+      info("zarr_decode",
+        "zarr_decode(data, dtype, compressor) - zarr v2 chunk bytes to array<double>"),
+      (args: Seq[Expression]) => graft.sources.ZarrChunkDecode(args(0), args(1), args(2))))
   }
 }

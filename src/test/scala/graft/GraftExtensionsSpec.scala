@@ -56,6 +56,15 @@ class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     assert(r.getDouble(1) == 6.0)
   }
 
+  test("zarr_decode usable from SQL after extension install") {
+    // 2 little-endian int32s, uncompressed
+    val r = spark.sql(
+      """SELECT zarr_decode(concat(unhex('07000000'), unhex('F9FFFFFF')), '<i4', '') AS v,
+        |       zarr_decode(unhex('00'), '|S1', '') AS s""".stripMargin).collect()(0)
+    assert(r.getSeq[Double](0) == Seq(7.0, -7.0))
+    assert(r.isNullAt(1)) // non-numeric dtype → null
+  }
+
   test("minhash_agg / simhash_agg / band_hashes usable from SQL") {
     spark.sql("SELECT * FROM VALUES (1, 'a'), (1, 'b'), (2, 'a') AS t(id, sh)")
       .createOrReplaceTempView("sh_rows")

@@ -94,4 +94,27 @@ class PropertySpec extends AnyFunSuite {
       .orderBy("id").drop("id").collect()
     assert(sigs(0).toSeq == sigs(1).toSeq)
   }
+
+  test("url canonicalization is idempotent on generated crawl urls") {
+    // canonical output must be a fixed point: canon(canon(u)) == canon(u)
+    val seg   = Gen.identifier.map(_.take(6))
+    val param = for { k <- seg; v <- seg } yield s"$k=$v"
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP")
+      host   <- seg.map(h => s"$h.Example.COM")
+      port   <- Gen.oneOf("", ":80", ":443", ":8080")
+      path   <- Gen.listOfN(2, seg).map(_.mkString("/", "/", ""))
+      slash  <- Gen.oneOf("", "/", "//")
+      ps     <- Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, param))
+      track  <- Gen.oneOf("", "&utm_source=x", "&gclid=1")
+      frag   <- Gen.oneOf("", "#sec", "#a?b=1")
+    } yield s"$scheme://$host$port$path$slash" +
+      (if (ps.nonEmpty || track.nonEmpty) s"?${ps.mkString("&")}$track" else "") + frag
+    val urls = samples(urlGen, 150)
+    val once = urls.toDF("url")
+      .select(graft.operators.UrlCanon.canonicalizeUrl(col("url")).as("c1"))
+      .withColumn("c2", graft.operators.UrlCanon.canonicalizeUrl(col("c1")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    once.foreach { case (c1, c2) => assert(c1 == c2, s"not a fixed point: '$c1' -> '$c2'") }
+  }
 }
