@@ -150,6 +150,20 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("Exchange hashpartitioning(o_orderkey"), p.take(2000))
   }
 
+  test("kerchunk typed decode broadcasts the .zarray metadata join") {
+    val idx     = SparkEntry.ensureZarrFixture()
+    val entries = graft.sources.KerchunkIndex.read(spark, idx)
+    val p = graft.sources.KerchunkIndex.decodeTyped(
+        graft.sources.KerchunkIndex.materializeChunks(entries),
+        graft.sources.KerchunkIndex.arrayMeta(entries))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the decode itself is per-chunk arithmetic — no shuffle beyond the
+    // by-url repartition inside materializeChunks
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+  }
+
   test("pivot compiles to a single aggregate pass (no per-value scans)") {
     val p = plan("q_pivot")
     assert("FileScan".r.findAllIn(p).size == 1, p.take(2000))
