@@ -28,9 +28,13 @@ object SparkEntry {
     CatalogReader.readAssetTable(s, s"$dir/$name.parquet")
 
   /** Exact decimal sum rendered as double — identical in Spark and DuckDB
-    * regardless of accumulation order. */
+    * regardless of accumulation order. The oracle side hops through VARCHAR:
+    * DuckDB's direct decimal→double cast divides `unscaled / 10^scale` in
+    * floating point (1-ulp off for large sums — bit us at sf0.1), while its
+    * string→double parse is correctly rounded, matching Spark's
+    * BigDecimal.doubleValue at every magnitude. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
-  private val dsumSql = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  private val dsumSql = (x: String) => s"CAST(CAST(SUM(CAST($x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)"
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
@@ -1192,14 +1196,14 @@ object SparkEntry {
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
          | ${dsumSql("l_extendedprice")} AS sum_base_price,
-         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+         | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
          | COUNT(*) AS count_order
          | FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          | GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_orders" ->
       """SELECT o_orderkey,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         | CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -1588,9 +1592,9 @@ object SparkEntry {
 
     "q_pivot" ->
       s"""SELECT o_orderpriority,
-         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS f_price,
-         | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS o_price,
-         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS p_price
+         | CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS f_price,
+         | CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS o_price,
+         | CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS VARCHAR) AS DOUBLE) AS p_price
          | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_unpivot" ->
@@ -1630,17 +1634,17 @@ object SparkEntry {
         | SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS od_us, o_totalprice
         | FROM orders WHERE o_custkey % 200 = 0)
         |SELECT o_custkey, o_orderkey, od_us,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
         |   OVER (PARTITION BY o_custkey ORDER BY od_us
-        |         RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |  AS trailing_90d_spend
         |FROM o ORDER BY o_custkey, od_us, o_orderkey""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_spend
         | FROM orders WHERE o_custkey % 100 = 0
         | ORDER BY o_custkey, o_orderkey""".stripMargin,
 
