@@ -156,6 +156,18 @@ final class EsmCatalog(
 
   def length: Long = keysInfo.count()
 
+  /** Template used to build entry keys: the `sep`-joined groupby attrs, or
+    * every column when there is no aggregation control (core.py:217-230). */
+  def keyTemplate: String = {
+    val attrs = model.aggregationControl.map(_.groupbyAttrs).filter(_.nonEmpty)
+    attrs.getOrElse(df.columns.toSeq).mkString(sep)
+  }
+
+  /** Cache of the most recent materialization, like the reference's
+    * `.datasets` attribute (core.py:152, 761): populated by
+    * [[toDatasetDict]], empty until the first call. */
+  @volatile var datasets: Map[String, DataFrame] = Map.empty
+
   /** `<id> catalog with N dataset(s) from M asset(s)` (core.py:358-378). */
   def reprStats: String = {
     val nAssets = df.count()
@@ -317,10 +329,12 @@ final class EsmCatalog(
       catch { case e: Exception => if (skipOnError) key -> None else throw e }
     }.collect { case (k, Some(d)) => k -> d }.toMap
     // post-pass: apply derived variables (core.py:896-903)
-    model.variableColumnName match {
+    val result = model.variableColumnName match {
       case Some(varCol) => derivedRegistry.updateDatasets(dsets, varCol, skipOnError)
       case None         => dsets
     }
+    datasets = result // cache, like the reference's .datasets (core.py:761)
+    result
   }
 
   /** to_datatree (core.py:764-867): keys joined with '/'. */

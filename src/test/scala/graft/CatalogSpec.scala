@@ -192,6 +192,29 @@ class CatalogSpec extends AnyFunSuite {
     assert("<tr><td>".r.findAllIn(cat.interactiveHtml(maxRows = 1)).size == 1)
   }
 
+  test("keyTemplate joins groupby attrs, falls back to all columns (core.py:217-230)") {
+    val df = Seq(("ocn", "20C", "p.parquet")).toDF("component", "experiment", "path")
+    val withAgg = new EsmCatalog(spark,
+      EsmCatalogModel(esmcatVersion = "0.1.0", assets = Assets("path", Some("parquet")),
+        aggregationControl = Some(AggregationControl("v", List("component", "experiment"), Nil)),
+        catalogDict = Some(Nil)),
+      df, Set.empty, Map.empty)
+    assert(withAgg.keyTemplate == "component.experiment")
+    val noAgg = new EsmCatalog(spark,
+      EsmCatalogModel(esmcatVersion = "0.1.0", assets = Assets("path", Some("parquet")),
+        catalogDict = Some(Nil)),
+      df, Set.empty, Map.empty)
+    assert(noAgg.keyTemplate == "component.experiment.path")
+  }
+
+  test("datasets caches the last toDatasetDict result (core.py:152,761)") {
+    val json = graft.harness.PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
+    val cat  = EsmCatalog.open(spark, json)
+    assert(cat.datasets.isEmpty)
+    val dsets = cat.toDatasetDict()
+    assert(dsets.nonEmpty && cat.datasets.keySet == dsets.keySet)
+  }
+
   test("storage_options reach the relation's filesystem configuration (cat.py:238-280)") {
     // Spark merges reader options into the relation-scoped Hadoop conf
     // (newHadoopConfWithOptions). Prove the plumb-through reaches the FS
