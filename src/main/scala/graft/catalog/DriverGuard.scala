@@ -32,4 +32,16 @@ object DriverGuard {
         "does not bound the set as expected; fix the grouping or raise the cap.")
     rows
   }
+
+  /** Assert `df` has at most the capped number of rows WITHOUT collecting
+    * it — for collects whose driver volume hides inside nested structures
+    * (e.g. collect_list'ed group records), where capping the outer row
+    * count alone would let the payload through. `limit(max+1).count()`
+    * early-exits the scan. */
+  def assertBounded(df: DataFrame, what: String): Unit = {
+    val max = df.sparkSession.conf.get(confKey, defaultMaxRows.toString).toInt
+    require(df.limit(max + 1).count() <= max,
+      s"$what exceeds $max rows (cap '$confKey' = $max); " +
+        "fix the catalog bound or raise the cap.")
+  }
 }

@@ -156,10 +156,14 @@ final class EsmCatalog(
 
   def length: Long = keysInfo.count()
 
-  /** Template used to build entry keys: the `sep`-joined groupby attrs, or
-    * every column when there is no aggregation control (core.py:217-230). */
+  /** Template used to build entry keys: the `sep`-joined DECLARED groupby
+    * attrs, or every column when there is no aggregation control
+    * (core.py:217-230). Faithful to the reference, which reports the
+    * declared attrs verbatim — actual keys use [[effectiveGroupbyAttrs]]
+    * (all-null attrs pruned), so the two can differ for a catalog with an
+    * all-null groupby column, exactly as they do in the reference. */
   def keyTemplate: String = {
-    val attrs = model.aggregationControl.map(_.groupbyAttrs).filter(_.nonEmpty)
+    val attrs = Option(model.groupbyAttrs).filter(_.nonEmpty)
     attrs.getOrElse(df.columns.toSeq).mkString(sep)
   }
 
@@ -178,9 +182,11 @@ final class EsmCatalog(
   private def htmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
 
-  /** Notebook HTML repr (core.py:362-369): the [[reprStats]] header plus the
-    * per-column distinct-count table. Driver cost is [[nunique]]'s one-row-
-    * per-column result — the heavy lifting stays distributed. */
+  /** Notebook HTML repr (core.py:362-369): the reference's header line
+    * (`id or ""` — empty fallback, matching `_repr_html_` exactly; note
+    * [[reprStats]] deviates with a "catalog" fallback) plus the per-column
+    * distinct-count table. Driver cost is [[nunique]]'s one-row-per-column
+    * result — the heavy lifting stays distributed. */
   def reprHtml: String = {
     val rows = nunique.collect().map(r => (r.getString(0), r.getLong(1)))
     val body = rows.map { case (c, n) =>
@@ -316,7 +322,11 @@ final class EsmCatalog(
       if (aggregate) effectiveGroupbyAttrs
       else pruneAllNull(df.columns.toSeq)
     // One pass: group records collected per key (bounded: catalog metadata,
-    // with the DriverGuard tripwire in case the grouping assumption breaks)
+    // with the DriverGuard tripwire in case the grouping assumption breaks).
+    // The RECORD count is what actually lands on the driver — every catalog
+    // row rides inside some group's collect_list — so cap it directly; the
+    // outer group-row cap alone would let a few-huge-groups catalog through.
+    DriverGuard.assertBounded(df, "toDatasetDict(catalog records)")
     val grouped = DriverGuard.boundedCollect(
       df.groupBy(keyColumn(attrs).as("__graft_key"))
         .agg(collect_list(struct(df.columns.map(col): _*)).as("__graft_records")),

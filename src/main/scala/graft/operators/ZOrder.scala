@@ -47,6 +47,11 @@ object ZOrder {
     * division), clamped into the grid for out-of-bounds stragglers. */
   def gridCell(c: Column, lo: Long, hi: Long, bits: Int): Column = {
     require(hi > lo, s"bounds [$lo, $hi] must be a non-empty range")
+    // (x - lo) * 2^bits must fit a long or the cells are silent garbage —
+    // refuse loudly; normalizeToGrid pre-shifts wide ranges automatically
+    require(hi - lo > 0 && hi - lo <= (Long.MaxValue >> bits) - 1,
+      s"range [$lo, $hi] x 2^$bits overflows the 64-bit intermediate — " +
+        "shift the inputs down first (normalizeToGrid does this itself)")
     val cells = 1L << bits
     val scaled = call_function("div",
       (c.cast("long") - lit(lo)) * lit(cells), lit(hi - lo + 1))
@@ -62,7 +67,30 @@ object ZOrder {
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 2 longs per col
     val withCells = cols.foldLeft(df) { (d, c) =>
       val lo = row.getAs[Long](s"lo_$c"); val hi = row.getAs[Long](s"hi_$c")
-      d.withColumn(s"__z_$c", if (hi > lo) gridCell(col(c), lo, hi, bits) else lit(0L))
+      if (hi <= lo) d.withColumn(s"__z_$c", lit(0L))
+      else {
+        // wide observed ranges (hashed ids spanning the long domain) would
+        // overflow gridCell's (x-lo)*2^bits multiply — pre-shift so the
+        // span keeps 62-bits headroom; dropping low bits loses nothing the
+        // 2^bits grid would have kept anyway
+        val span = hi - lo // < 0 iff the true span exceeds Long.MaxValue
+        val magBits = if (span < 0) 64 else 64 - java.lang.Long.numberOfLeadingZeros(span)
+        val shift = math.max(0, magBits - (62 - bits))
+        val cell =
+          if (shift == 0) gridCell(col(c).cast("long") - lit(lo), 0L, span, bits)
+          else {
+            // ANSI mode throws on the wrapped `x - lo`, so shift FIRST —
+            // in unsigned-monotone space (XOR the sign bit maps signed
+            // order to unsigned order), where >>> keeps ordering and the
+            // post-shift subtraction cannot overflow
+            val uLo = (lo ^ Long.MinValue) >>> shift
+            val uHi = (hi ^ Long.MinValue) >>> shift
+            val uCol = shiftrightunsigned(
+              col(c).cast("long").bitwiseXOR(lit(Long.MinValue)), shift)
+            gridCell(uCol - lit(uLo), 0L, uHi - uLo, bits)
+          }
+        d.withColumn(s"__z_$c", cell)
+      }
     }
     (withCells, cols.map(c => col(s"__z_$c")))
   }

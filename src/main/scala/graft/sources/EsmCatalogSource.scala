@@ -328,20 +328,40 @@ object EsmCatalogAggs {
     })
 
   /** Fold the decoded row lookups into ONE aggregated InternalRow. Values
-    * arrive as plain literals (String/Long/Double/Boolean); comparison for
-    * strings goes through UTF8String (Spark's binary order). */
+    * arrive as plain literals; min/max COERCES each value to the column's
+    * declared schema type before comparing (a dict catalog can mix JSON
+    * ints and floats in a LongType-inferred column — comparing them
+    * lexically via toString would be silently wrong, and boxing a Double
+    * into a LongType slot would CCE downstream). Unconvertible values fail
+    * loudly. String comparison goes through UTF8String — Spark's binary
+    * order, not Java's UTF-16 order. */
   def aggregate(specs: Seq[AggSpec], schema: StructType,
                 rows: Iterator[String => Any]): InternalRow = {
     val nSpecs    = specs.length
     val counts    = new Array[Long](nSpecs)
     val distincts = Array.fill(nSpecs)(scala.collection.mutable.HashSet.empty[Any])
     val minmax    = new Array[Any](nSpecs)
+    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
+    def coerce(v: Any, dt: DataType, colName: String): Any = (v, dt) match {
+      case (null, _)                         => null
+      // STRICT: only widenings the row path also performs — a Double in a
+      // LongType column must fail here like it fails (CCE) when the rows
+      // surface unpushed, not silently truncate
+      case (n: java.lang.Integer, LongType)  => n.longValue()
+      case (n: java.lang.Long, LongType)     => n
+      case (n: java.lang.Number, DoubleType) => n.doubleValue()
+      case (b: java.lang.Boolean, BooleanType) => b
+      case (x, StringType)                   => x.toString
+      case (x, other) => throw new IllegalArgumentException(
+        s"esmcat aggregate pushdown: value '$x' (${x.getClass.getSimpleName}) " +
+          s"in column '$colName' does not coerce to its declared $other")
+    }
     def cmp(a: Any, b: Any): Int = (a, b) match {
       case (x: String, y: String)   => UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
       case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
       case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
       case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-      case (x, y)                   => x.toString.compareTo(y.toString)
+      case (x, y) => throw new IllegalStateException(s"uncomparable after coercion: $x vs $y")
     }
     rows.foreach { row =>
       var i = 0
@@ -353,27 +373,25 @@ object EsmCatalogAggs {
             val v = row(s.col)
             if (v != null) { if (s.distinct) distincts(i) += v else counts(i) += 1 }
           case "min" =>
-            val v = row(s.col)
+            val v = coerce(row(s.col), fieldType.getOrElse(s.col, StringType), s.col)
             if (v != null && (minmax(i) == null || cmp(v, minmax(i)) < 0)) minmax(i) = v
           case "max" =>
-            val v = row(s.col)
+            val v = coerce(row(s.col), fieldType.getOrElse(s.col, StringType), s.col)
             if (v != null && (minmax(i) == null || cmp(v, minmax(i)) > 0)) minmax(i) = v
         }
         i += 1
       }
     }
-    val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
     InternalRow.fromSeq(specs.zipWithIndex.map { case (s, i) =>
       s.op match {
-        case "count_star"             => counts(i)
-        case "count" if s.distinct    => distincts(i).size.toLong
-        case "count"                  => counts(i)
+        case "count_star"          => counts(i)
+        case "count" if s.distinct => distincts(i).size.toLong
+        case "count"               => counts(i)
         case _ =>
-          (minmax(i), fieldType.getOrElse(s.col, StringType)) match {
-            case (null, _)              => null
-            case (v: String, StringType) => UTF8String.fromString(v)
-            case (v: Int, LongType)     => v.toLong
-            case (v, _)                 => v
+          minmax(i) match {
+            case null      => null
+            case v: String => UTF8String.fromString(v)
+            case v         => v // already coerced to the schema type
           }
       }
     }.toIndexedSeq)
@@ -429,7 +447,10 @@ final class EsmCatalogReaderFactory(schema: StructType,
         case Some(csv) =>
           val all    = EsmCatalogSource.readCsvRows(csv)
           val header = all.head
-          val colIdx = header.zipWithIndex.toMap
+          // FIRST-wins on duplicate header names (plain toMap keeps the
+          // last), matching the row path's header.indexOf resolution — the
+          // same query must not change answers when pushdown fires
+          val colIdx = header.zipWithIndex.reverseIterator.toMap
           all.iterator.drop(1)
             .map { cells =>
               (name: String) =>

@@ -176,11 +176,20 @@ object KerchunkIndex {
     */
   def decodeTyped(chunks: DataFrame, meta: DataFrame): DataFrame = {
     val dataChunk = chunks.filter(col("member").rlike("^[0-9]+([.][0-9]+)*$"))
-      .join(broadcast(meta), Seq("variable"))
+      // LEFT join so a data chunk whose variable has NO .zarray row (or a
+      // .zarray stored as a byte-range ref, which arrayMeta cannot parse —
+      // dtype comes back null either way) is still present to fail the
+      // dtype assertion below; an inner join would silently drop its data
+      .join(broadcast(meta), Seq("variable"), "left")
       // assert_true returns NULL on pass (coalesce → keep row) and raises on
       // a declared filter list — evaluated per row, inside the scan stage
       .filter(coalesce(assert_true(col("filters").isNull || col("filters") === "null",
         concat(lit("zarr v2 filters unsupported (variable '"), col("variable"), lit("')"))),
+        lit(true)))
+      .filter(coalesce(assert_true(col("dtype").isNotNull,
+        concat(lit("zarr variable '"), col("variable"),
+          lit("' has no inline .zarray metadata (missing, or stored as a " +
+            "byte-range ref) — cannot decode its chunks"))),
         lit(true)))
     dataChunk
       .select(col("variable"), col("member").as("chunk"),

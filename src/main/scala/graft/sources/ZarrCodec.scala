@@ -20,8 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   *  - compressors `null` (raw), `zlib`, `gzip` — `java.util.zip` is part of
   *    the JDK. blosc/zstd/lz4 stay behind the connector boundary and raise.
-  *  - numpy dtype strings `<i1..i8`, `<u1..u8`, `<f4/f8` (and their `>`
-  *    big-endian / `|` single-byte forms), widened to DOUBLE — one numeric
+  *  - numpy dtype strings `<i1..i8`, `<u1..u8`, `<f4/f8`, `|b1` bool (and
+  *    their `>` big-endian / `|` single-byte forms), widened to DOUBLE — one numeric
   *    output type keeps the relational surface simple, and every listed
   *    dtype except u8/i8 above 2^53 widens exactly. Non-numeric dtypes
   *    (`|S*`, `|U*`, `|O`) return null; callers filter or route them to a
@@ -47,6 +47,9 @@ object ZarrCodec {
         try {
           while (!inf.finished()) {
             val n = inf.inflate(buf)
+            if (n == 0 && inf.needsDictionary())
+              throw new java.util.zip.DataFormatException(
+                "zlib stream requires a preset dictionary (FDICT) — unsupported")
             if (n == 0 && inf.needsInput())
               throw new java.util.zip.DataFormatException("truncated zlib stream")
             out.write(buf, 0, n)
@@ -54,11 +57,15 @@ object ZarrCodec {
         } finally inf.end()
         out.toByteArray
       case "gzip" =>
+        // close() releases the wrapped Inflater's NATIVE zlib memory now —
+        // per-chunk finalizer-freed leaks add up across millions of chunks
         val in  = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(data))
         val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
-        val buf = new Array[Byte](8192)
-        var n   = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        try {
+          val buf = new Array[Byte](8192)
+          var n   = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
         out.toByteArray
       case other =>
         throw new UnsupportedOperationException(
@@ -72,7 +79,7 @@ object ZarrCodec {
     val dt  = dtype.toString
     require(dt.length >= 2, s"malformed numpy dtype '$dt'")
     val kind  = dt.charAt(1)
-    if (kind != 'i' && kind != 'u' && kind != 'f') return null
+    if (kind != 'i' && kind != 'u' && kind != 'f' && kind != 'b') return null
     val width = dt.substring(2).toInt
     val raw   = decompress(data, if (compressor == null) "" else compressor.toString)
     require(raw.length % width == 0,
@@ -95,6 +102,7 @@ object ZarrCodec {
         case ('i', 4) => buf.getInt(i * 4).toDouble
         case ('i', 8) => buf.getLong(i * 8).toDouble
         case ('u', 1) => (buf.get(i) & 0xff).toDouble
+        case ('b', 1) => if (buf.get(i) != 0) 1.0 else 0.0 // numpy bool |b1
         case ('u', 2) => (buf.getShort(i * 2) & 0xffff).toDouble
         case ('u', 4) => (buf.getInt(i * 4) & 0xffffffffL).toDouble
         case ('u', 8) =>

@@ -35,6 +35,16 @@ class DriverGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("getEntry(key='k')"), e.getMessage)
   }
 
+  test("assertBounded trips on row volume without collecting") {
+    import spark.implicits._
+    val df = (1 to 50).toDF("x")
+    withCap(100)(DriverGuard.assertBounded(df, "ok")) // under cap: no-op
+    val e = intercept[IllegalArgumentException] {
+      withCap(10)(DriverGuard.assertBounded(df, "toDatasetDict(catalog records)"))
+    }
+    assert(e.getMessage.contains("toDatasetDict(catalog records)"), e.getMessage)
+  }
+
   test("dict-save collect goes through the guard") {
     import spark.implicits._
     import graft.catalog._

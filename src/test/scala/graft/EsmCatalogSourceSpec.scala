@@ -115,6 +115,24 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(agg.head() == raw.agg(count(lit(1)), min("scode"), max("scode")).head())
   }
 
+  test("pushed min/max fails loudly on a value that does not fit the declared type") {
+    // dict catalog whose 'v' column infers LongType from its first value
+    // but later holds a float — the unpushed row path CCEs; the pushed
+    // aggregate must refuse just as loudly, never compare lexically
+    val dir  = java.nio.file.Files.createTempDirectory("graft_mixcat")
+    val json = dir.resolve("mix.json")
+    java.nio.file.Files.writeString(json,
+      """{"esmcat_version": "0.2.0", "id": "mix",
+        |"assets": {"column_name": "path", "format": "parquet"},
+        |"catalog_dict": [{"path": "a", "v": 9}, {"path": "b", "v": 10.5}]}""".stripMargin)
+    val agg = spark.read.format("esmcat").load(json.toString).agg(min("v"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates: [MIN(v)]"))
+    val e = intercept[Exception](agg.collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("does not coerce"), msg)
+    java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
+  }
+
   test("format(esmcat) prunes unprojected columns at the scan") {
     val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
     val df   = spark.read.format("esmcat").load(json).select("status", "member")

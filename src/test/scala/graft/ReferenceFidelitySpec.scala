@@ -213,6 +213,28 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(viaDispatch.count() == 44) // 24 temp + 10 count + 4 big + 6 mask
   }
 
+  test("typed decode refuses a data chunk whose variable has no inline .zarray") {
+    import org.apache.spark.sql.functions.col
+    val dir  = java.nio.file.Files.createTempDirectory("graft_badzarr")
+    val json = dir.resolve("idx.json")
+    // 'v' has a data chunk but its .zarray is a byte-range REF — arrayMeta
+    // cannot parse it, and silently dropping v's data would be worse
+    java.nio.file.Files.writeString(json,
+      """{"version": 1, "refs": {
+        |  "v/.zarray": ["file:///nowhere.bin", 0, 100],
+        |  "v/0": "base64:AAAAAA=="
+        |}}""".stripMargin)
+    val idx = graft.sources.KerchunkIndex.read(spark, json.toString)
+    val e = intercept[Exception] {
+      graft.sources.KerchunkIndex.decodeTyped(
+        graft.sources.KerchunkIndex.materializeChunks(idx.filter(col("kind") =!= "ref")),
+        graft.sources.KerchunkIndex.arrayMeta(idx)).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("no inline .zarray"), msg)
+    java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
+  }
+
   test("zarr codec: compressors, dtypes, and refusal boundaries") {
     import graft.sources.ZarrCodec
     import org.apache.spark.unsafe.types.UTF8String
@@ -229,6 +251,9 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       o.toByteArray
     }
     assert(ZarrCodec.decode(deflated, u("<i2"), u("zlib")).toDoubleArray.toSeq == Seq(1.0, 2.0))
+    // numpy bool |b1 decodes to 0/1 (xarray decodes it to booleans)
+    assert(ZarrCodec.decode(Array[Byte](0, 1, 2), u("|b1"), u(""))
+      .toDoubleArray.toSeq == Seq(0.0, 1.0, 1.0))
     // non-numeric dtype → null (caller drops); unknown codec → loud refusal
     assert(ZarrCodec.decode("ab".getBytes, u("|S2"), u("")) == null)
     val e = intercept[UnsupportedOperationException](

@@ -35,6 +35,32 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got == Seq(0L, 0L, 0L, 1L, 255L, 255L))
   }
 
+  test("gridCell refuses overflow-prone fixed bounds; layout pre-shifts wide ranges") {
+    // (hi-lo)*2^bits must fit a long — fixed-bounds callers get a loud error
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.gridCell(col("x"), Long.MinValue, Long.MaxValue - 1, 16)
+    }
+    assert(e.getMessage.contains("overflows"), e.getMessage)
+    // normalizeToGrid handles the same range itself: z-ordering hashed ids
+    // spanning the full long domain must produce in-range cells, not garbage
+    val hashed = (1 to 512).map(i => (i.toLong, s"k$i")).toDF("id", "k")
+      .select(col("id"), xxhash64(col("k")).as("h1"), xxhash64(col("k"), lit(7)).as("h2"))
+    val (withCells, gridCols) = ZOrder.normalizeToGrid(hashed, Seq("h1", "h2"), bits = 8)
+    val cells = withCells.select(gridCols: _*).collect()
+    assert(cells.length == 512)
+    cells.foreach { r =>
+      (0 until 2).foreach { i =>
+        val c = r.getLong(i); assert(c >= 0 && c < 256, s"cell $c out of grid")
+      }
+    }
+    // and cells actually spread across the grid (not collapsed by the shift)
+    val distinct0 = cells.map(_.getLong(0)).distinct.length
+    assert(distinct0 > 100, s"only $distinct0 distinct cells")
+    // full layout over the hashed dims runs end to end
+    assert(ZOrder.layout(hashed, Seq("h1", "h2"), bits = 8, numPartitions = 4)
+      .count() == 512)
+  }
+
   test("layout clusters both dimensions: per-partition spread shrinks, one range shuffle") {
     val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
