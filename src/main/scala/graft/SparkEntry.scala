@@ -1794,7 +1794,7 @@ object SparkEntry {
         |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM urls)),
         |p2 AS (
         |  SELECT doc_id, nofrag, base,
-        |    list_filter(string_split(query, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)=')) AS params,
+        |    list_filter(string_split(query, '&'), x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)')) AS params,
         |    regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)', 1) AS schemehost
         |  FROM split),
         |canon AS (
@@ -1853,7 +1853,7 @@ object SparkEntry {
         |  SELECT lang, doc_id, n_tokens,
         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
-        |SELECT lang, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+        |SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
 

@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param rightValues (rightColumn, outputName) pairs carried onto left rows */
+  /** @param rightValues (rightColumn, outputName) pairs carried onto left rows
+    *
+    * The right payload travels as ONE struct and the running
+    * `last(ignoreNulls)` carries that struct — never the columns
+    * individually. Per-column carries would (a) resurrect an OLDER row's
+    * value wherever the latest right row holds a genuine NULL (ignoreNulls
+    * can't tell a null payload from the left-side filler nulls) and
+    * (b) tear the payload across different right rows. The struct is null
+    * exactly on left rows, so ignoreNulls skips only fillers, and the
+    * carried value is always one intact right row. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -29,18 +38,18 @@ object AsofJoin {
       rightValues: Seq[(String, String)],
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    val payload  = rightValues.map { case (src, out) => (src, s"__rv_$out", out) }
+    val rpay     = struct(rightValues.map { case (src, out) => col(src).as(out) }: _*)
+    val rpayType = right.select(rpay.as("__rpay")).schema("__rpay").dataType
 
     val taggedRight = right.select(
       keys.map(col) ++
-        Seq(col(rightTime).as("__t"), lit(0).as("__tag")) ++
-        payload.map { case (src, tmp, _) => col(src).as(tmp) } ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__tag"), rpay.as("__rpay")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)): _*)
 
     val taggedLeft = left.select(
       keys.map(col) ++
-        Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
-        payload.map { case (_, tmp, _) => lit(null).as(tmp) } ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__tag"),
+          lit(null).cast(rpayType).as("__rpay")) ++
         leftCols.filterNot(keys.contains).map(col): _*)
 
     val w = Window
@@ -48,13 +57,11 @@ object AsofJoin {
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = payload.foldLeft(taggedRight.unionByName(taggedLeft)) {
-      case (df, (_, tmp, out)) => df.withColumn(out, last(col(tmp), ignoreNulls = true).over(w))
-    }
-
-    carried
+    taggedRight.unionByName(taggedLeft)
+      .withColumn("__carried", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map { case (_, _, out) => col(out) }: _*)
+      .select(leftCols.map(col) ++
+        rightValues.map { case (_, out) => col(s"__carried.$out").as(out) }: _*)
   }
 }
 
@@ -89,8 +96,21 @@ object SkewJoin {
     require(saltableJoinTypes.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left join types only, got '$joinType' " +
         "(right/full outer would duplicate unmatched right rows per salt)")
+    // hash() rejects MapType columns — salt from the hashable ones only.
+    // NOTE: byte-identical duplicate left rows necessarily share a salt
+    // (any deterministic function of the row does that; a random salt in a
+    // shuffle key breaks task-retry idempotence) — pre-dedup exact copies
+    // if the hot key's rows are literal duplicates.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltSrc = left.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash((if (saltSrc.nonEmpty) saltSrc else Array(lit(0))).toIndexedSeq: _*),
+        lit(saltFactor)))
     val saltedRight = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     saltedLeft

@@ -29,9 +29,25 @@ object Bucketing {
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
 
-  /** Does the executed plan contain a shuffle exchange? */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** Does the executed plan contain a shuffle exchange? Walks the plan for
+    * ShuffleExchangeLike nodes (string-matching "Exchange hashpartitioning"
+    * would miss range/single-partition exchanges — a plan can shuffle in
+    * ways a hash-only probe green-lights), recursing through the AQE
+    * wrappers (AdaptiveSparkPlanExec / query stages), whose inner plans a
+    * plain `collect` never visits. Broadcast exchanges are not shuffles and
+    * do not count. */
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike   => true
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case other                    => other.children.exists(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   /** Write `df` hive-partitioned on `partitionCols` — the standing layout
     * for predicates that always filter on those columns (date, status,

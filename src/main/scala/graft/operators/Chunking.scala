@@ -70,8 +70,11 @@ object Chunking {
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast(LongType))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
+      // integer div, not double / — epoch-scale cumulative sums lose
+      // precision in double division right at bin boundaries (the same
+      // rule RangeJoin documents); values are non-negative so div == floor
       .withColumn("__localbin",
-        floor((col("__cum") - col("n_tokens")) / lit(budget.toDouble)).cast(LongType))
+        call_function("div", col("__cum") - col("n_tokens"), lit(budget.toLong)))
       // namespace bins by sub-shard so (stratum, bin) stays a unique key
       .withColumn("bin", col("__localbin") * subShards + shard)
       .drop("__cum", "__localbin")

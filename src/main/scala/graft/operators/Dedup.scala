@@ -22,10 +22,16 @@ object Dedup {
     * smallest tie-break key so results are deterministic — `dropDuplicates`
     * alone is order-dependent, which breaks re-runs and the oracle.
     * One shuffle on the dedup key; map-side partial aggregation applies.
+    *
+    * The window partitions by `xxhash64(cols)` FIRST, then the columns:
+    * groups are identical (equal hash AND equal values), but the shuffle
+    * sort compares the 8-byte hash before ever touching the payload — for
+    * document-text dedup the sort would otherwise compare multi-KB strings
+    * at every merge step.
     */
   def exact(df: DataFrame, cols: Seq[String], tieBreak: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(cols.map(col): _*)
+      .partitionBy(xxhash64(cols.map(col): _*) +: cols.map(col): _*)
       .orderBy(col(tieBreak))
     df.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1)
@@ -450,10 +456,11 @@ object Dedup {
     val candidates = minhashLshFromShingleRows(shRows, b, r,
         threshold = math.max(0.0, threshold - 0.2), scope = scope)
       .select("id_a", "id_b")
-      // checkpointed because TWO branches consume it (the id semi-join below
-      // and the final pair join) and union/join branches re-run, not share,
-      // a common subplan
-      .localCheckpoint(false)
+      // checkpointed because THREE branches consume it (twice via the
+      // candIds union below, plus the final pair join); EAGER — a lazy
+      // checkpoint first touched inside a multi-branch plan can race its
+      // own block writes (same invariant DedupChecks documents)
+      .localCheckpoint(true)
     // exact sets only for docs that appear in some candidate pair — the
     // collect_set shuffle carries candidate-touched docs (near the pair
     // count), not the whole corpus

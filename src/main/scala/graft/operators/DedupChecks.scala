@@ -78,7 +78,9 @@ object DedupChecks {
       .unionByName(pairs.select(col("id_b").as("id"))).distinct()
     val shSets = shRows.join(pairIds, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_set(col("sh")).as("sh")) // collect_set dedups
-      .localCheckpoint(false) // consumed twice (sh_a / sh_b branches)
+      // EAGER: its first action would otherwise be the two-branch
+      // (sh_a / sh_b) join below — the lazy-checkpoint block-write race
+      .localCheckpoint(true)
     val estDevDf = pairs
       .join(shSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(shSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

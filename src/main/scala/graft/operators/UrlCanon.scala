@@ -31,8 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object UrlCanon {
 
-  /** Query params dropped during canonicalization (anchored key match). */
-  val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid|ref)="
+  /** Query params dropped during canonicalization (anchored key match).
+    * `(=|$)` also matches the VALUELESS form (`?utm_source` with no `=`) —
+    * common in the wild, and leaving it would keep the alias distinct from
+    * its canonical page. */
+  val trackingParamPattern = "^(utm_[^=]*|fbclid|gclid|ref)(=|$)"
 
   private val schemeHostPattern = "^([A-Za-z][A-Za-z0-9+.-]*://[^/]+)"
 

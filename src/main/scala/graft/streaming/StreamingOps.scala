@@ -22,12 +22,15 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming exact dedup: watermark bounds the seen-keys state, then
-    * `dropDuplicates` on the id columns — the streaming twin of
-    * Dedup.exact for unbounded ingest. */
+  /** Streaming exact dedup on the ID COLUMNS ALONE — the true streaming
+    * twin of Dedup.exact: a re-ingested id with a DIFFERENT event time is
+    * still a duplicate (plain `dropDuplicates(id :+ ts)` would keep it).
+    * `dropDuplicatesWithinWatermark` keys state on the ids only and evicts
+    * each key once the watermark passes its last sighting, so state stays
+    * bounded without the ts column polluting the identity. */
   def dedupStream(events: DataFrame, tsCol: String, idCols: Seq[String],
                   watermark: String = "1 hour"): DataFrame =
-    events.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
+    events.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols)
 
   /** Sliding-window rates: overlapping windows of `windowLen` advancing by
     * `slide` — each event lands in windowLen/slide windows. Watermarked, so
@@ -105,6 +108,15 @@ object StreamingOps {
                         ttlMinutes: Int = 60): Dataset[Collision] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
+    // ids ride the compact long state key; fail at BUILD time for
+    // non-integral id columns instead of a mid-stream encoder crash
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"nearDupCollisions needs an integral id column ('$idCol' is $other) — " +
+          "derive one (e.g. xxhash64 of the string id) before calling")
+    }
     val ttlMs = ttlMinutes.toLong * 60L * 1000L
     // STAGED projections, one per layer: shingles → signature → band keys.
     // Inlining one `sig` expression into bandKeys would copy it into every
@@ -116,6 +128,11 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
         Dedup.wordShingles(col(textCol), shingleWords).as("__sh"))
+      // docs too short to shingle have NO signature — the batch twin
+      // (shingleRows) excludes them too. Without this filter every short
+      // doc shares one all-null signature and floods each band's bucket
+      // with false collisions against the first short doc seen.
+      .filter(size(col("__sh")) > 0)
       .select(col("doc_id"), col("ts"),
         Dedup.minhashSignature(col("__sh"), bands * rowsPerBand).as("__sig"))
       .select(col("doc_id"), col("ts"),

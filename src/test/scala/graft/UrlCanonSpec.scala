@@ -24,6 +24,14 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(canon("http://h/CaseSensitive").head == "http://h/CaseSensitive")
   }
 
+  test("valueless tracking params are stripped too") {
+    // '?utm_source' with no '=' is the same alias as the bare page
+    assert(canon("https://x.com/p?utm_source").head == canon("https://x.com/p").head)
+    assert(canon("https://x.com/p?a=1&ref").head == "https://x.com/p?a=1")
+    // ...but a key merely PREFIXED by a tracking key is a real param
+    assert(canon("https://x.com/p?refresh=1").head == "https://x.com/p?refresh=1")
+  }
+
   test("default-port strip is scheme-conditional") {
     // :80 default for http, :443 for https — those pairs collapse
     assert(canon("http://h:80/x").head == canon("http://h/x").head)
