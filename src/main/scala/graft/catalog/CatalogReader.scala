@@ -131,9 +131,18 @@ object CatalogReader {
       case _: Seq[_]          => ArrayType(StringType)
       case _                  => StringType
     }
+    // unify across ALL values, not just the first non-null: a column mixing
+    // JSON ints and floats widens to double (typing from the first value
+    // alone CCEs at materialization when a later Double hits a Long field);
+    // any other mix degrades to string
+    def unify(a: DataType, b: DataType): DataType = (a, b) match {
+      case (x, y) if x == y                      => x
+      case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+      case _                                     => StringType
+    }
     val fieldTypes: Seq[DataType] = colsInOrder.map { c =>
-      records.iterator.flatMap(_.get(c)).collectFirst { case v if v != null => typeOf(v) }
-        .getOrElse(StringType)
+      records.iterator.flatMap(_.get(c)).filter(_ != null)
+        .map(typeOf).reduceOption(unify).getOrElse(StringType)
     }
     val schema = StructType(colsInOrder.zip(fieldTypes).map { case (c, t) => StructField(c, t, nullable = true) })
     val rows = records.map { r =>
@@ -141,6 +150,8 @@ object CatalogReader {
         (r.getOrElse(c, null), t) match {
           case (null, _)                 => null
           case (v: Int, LongType)        => v.toLong
+          case (v: Int, DoubleType)      => v.toDouble
+          case (v: Long, DoubleType)     => v.toDouble
           case (v: Seq[_], _)            => v.map(x => if (x == null) null else x.toString)
           case (v, StringType)           => v.toString
           case (v, _)                    => v
@@ -166,7 +177,13 @@ object CatalogReader {
     model.catalogDict match {
       case Some(records) =>
         val df = fromDict(spark, records)
-        LoadedTable(df, Set.empty, Map.empty)
+        // array-valued dict columns ARE iterable columns — the reference
+        // derives columns_with_iterables from frame contents for dict
+        // catalogs too (cat.py:558-568); without this, membership search
+        // compiles an equality predicate against an array column
+        val iterables = df.schema.fields
+          .collect { case f if f.dataType.isInstanceOf[ArrayType] => f.name }.toSet
+        LoadedTable(df, iterables, iterables.map(_ -> ContainerType.ListT).toMap)
       case None =>
         val file = model.catalogFile.getOrElse(
           throw new IllegalArgumentException("catalog needs catalog_file or catalog_dict"))

@@ -21,9 +21,13 @@ import org.apache.spark.sql.types._
 object CatalogWriter {
   import CatalogReader.ContainerType
 
-  /** Restore an array column to its python-literal string form. */
+  /** Restore an array column to its python-literal string form. Null
+    * elements render as python `None` (unquoted) — concat would null the
+    * whole quoted term and array_join silently drops nulls, shrinking the
+    * saved container versus the in-memory one. */
   def renderIterable(c: Column, ct: ContainerType.Value): Column = {
-    val quoted = transform(c, x => concat(lit("'"), x, lit("'")))
+    val quoted = transform(c,
+      x => when(x.isNull, lit("None")).otherwise(concat(lit("'"), x, lit("'"))))
     val body   = array_join(quoted, ", ")
     ct match {
       case ContainerType.TupleT =>
@@ -69,17 +73,26 @@ object CatalogWriter {
         catalogFile = Some(csvName), catalogDict = None)
       val restored = restoreIterableColumns(cat.df, cat.iterableDtypes)
       val outDir   = s"$directory/.__graft_csv_$name"
-      restored
-        .coalesce(if (singleFile) 1 else restored.rdd.getNumPartitions)
-        .write.mode("overwrite").option("header", "true").csv(outDir)
+      val writer   = if (singleFile) restored.coalesce(1) else restored
+      writer.write.mode("overwrite").option("header", "true").csv(outDir)
+      val target = Paths.get(s"$directory/$csvName")
       if (singleFile) {
         val part = Files.list(Paths.get(outDir)).toArray.map(_.toString)
           .find(p => p.endsWith(".csv")).getOrElse(
             throw new IllegalStateException(s"no csv part written under $outDir"))
-        Files.move(Paths.get(part), Paths.get(s"$directory/$csvName"), StandardCopyOption.REPLACE_EXISTING)
+        Files.move(Paths.get(part), target, StandardCopyOption.REPLACE_EXISTING)
         // clean the staging dir
         Files.walk(Paths.get(outDir)).sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.deleteIfExists(p))
+      } else {
+        // at-scale mode: the DIRECTORY takes the catalog_file name, so the
+        // descriptor the model points at actually exists (spark.read.csv
+        // reads part-file directories natively) — the staging dir was
+        // previously abandoned, leaving the saved catalog unloadable
+        if (Files.exists(target))
+          Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        Files.move(Paths.get(outDir), target, StandardCopyOption.REPLACE_EXISTING)
       }
       Files.writeString(Paths.get(jsonPath), EsmCatalogModel.toJson(model))
     }

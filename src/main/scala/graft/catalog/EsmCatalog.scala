@@ -132,8 +132,11 @@ final class EsmCatalog(
 
   /** Effective groupby attributes (cat.py:355-376): pruned of all-null
     * columns; fall back to *all* non-null columns when empty or equal to the
-    * full column set. */
-  def effectiveGroupbyAttrs: Seq[String] = {
+    * full column set. LAZY VAL: `df` is immutable per catalog instance and
+    * pruneAllNull is a full-table aggregate — as a def every keys/length/
+    * getEntry/containsKey/toDatasetDict call would re-scan the asset table
+    * (twice on the fallback path). */
+  lazy val effectiveGroupbyAttrs: Seq[String] = {
     val attrs = pruneAllNull(model.groupbyAttrs.filter(df.columns.contains))
     if (attrs.nonEmpty && attrs.toSet != df.columns.toSet) attrs
     else pruneAllNull(df.columns.toSeq)
@@ -358,7 +361,7 @@ final class EsmCatalog(
         new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes,
           derivedRegistry, requestedVariables, sep = "/", storageOptions)
     }
-    cat.toDatasetDict().map { case (k, v) => s"/${k.replace(cat.sep, "/")}" -> v }
+    cat.toDatasetDict(coords).map { case (k, v) => s"/${k.replace(cat.sep, "/")}" -> v }
   }
 
   /** to_dask (core.py:869-894): exactly-one-group guard, return the single frame. */

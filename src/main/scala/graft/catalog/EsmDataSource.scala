@@ -72,11 +72,13 @@ final case class EsmDataSource(
     }
 
   /** Variable projection (source.py:116-133): keep requested ∩ declared;
-    * coordinate columns always survive. */
+    * coordinate columns always survive — filtered against the asset's
+    * actual columns like the variables (an asset missing one coord must
+    * not fail the whole group's projection). */
   def projectRequested(df: DataFrame, coords: Seq[String]): DataFrame =
     if (requestedVariables.isEmpty) df
     else {
-      val keep = coords ++ requestedVariables.filter(df.columns.contains)
+      val keep = (coords ++ requestedVariables).filter(df.columns.contains)
       df.select(keep.distinct.map(col): _*)
     }
 

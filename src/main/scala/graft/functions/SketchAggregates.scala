@@ -167,8 +167,22 @@ case class BandHashes(child: org.apache.spark.sql.catalyst.expressions.Expressio
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // SQL users reach this via band_hashes(...) — a wrong-typed or wrong-
+  // length signature must fail analysis / fail loudly, not read out of
+  // bounds (UnsafeArrayData.getLong past numElements returns garbage, i.e.
+  // silently wrong LSH buckets)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"band_hashes expects array<bigint> (a minhash signature), got $other")
+    }
+
   override def nullSafeEval(v: Any): Any = {
     val sig = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    BandHashes.checkLength(sig.numElements(), bands, rowsPerBand)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -191,6 +205,7 @@ case class BandHashes(child: org.apache.spark.sql.catalyst.expressions.Expressio
       val r   = ctx.freshName("r")
       val h   = ctx.freshName("h")
       s"""
+         |graft.functions.BandHashes.checkLength($sig.numElements(), $bands, $rowsPerBand);
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {
          |  long $h = 42L;
@@ -207,6 +222,14 @@ case class BandHashes(child: org.apache.spark.sql.catalyst.expressions.Expressio
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): Expression =
     copy(child = newChild)
+}
+
+object BandHashes {
+  /** Static guard, callable from generated code. */
+  def checkLength(n: Int, bands: Int, rowsPerBand: Int): Unit =
+    if (n < bands * rowsPerBand)
+      throw new IllegalArgumentException(
+        s"band_hashes: signature has $n slots, needs bands*rowsPerBand = ${bands * rowsPerBand}")
 }
 
 object SketchFunctions {

@@ -75,6 +75,21 @@ case class FloatVecCosine(left: Expression, right: Expression) extends BinaryExp
 case class FloatVecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
 
+  // same contract as FloatVecCosine — without it, array<double> input
+  // passes analysis and getFloat() reinterprets half of each 8-byte slot:
+  // silently garbage dot products
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_dot expects (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

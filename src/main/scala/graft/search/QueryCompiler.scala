@@ -108,7 +108,9 @@ object QueryCompiler {
         query.toSeq.map { case (column, values) =>
           values
             .map(v => valuePredicate(df, column, v, columnsWithIterables.contains(column)))
-            .reduce(_ || _)
+            // empty value list → match nothing (the reference's OR-fold over
+            // no values is an all-False mask), not empty.reduce crash
+            .reduceOption(_ || _).getOrElse(lit(false))
         }.reduce(_ && _)
       )
 

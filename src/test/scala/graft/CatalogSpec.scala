@@ -192,6 +192,49 @@ class CatalogSpec extends AnyFunSuite {
     assert("<tr><td>".r.findAllIn(cat.interactiveHtml(maxRows = 1)).size == 1)
   }
 
+  test("dict catalogs register array columns as iterables; mixed numerics widen") {
+    val records = Seq(
+      Map[String, Any]("variable" -> Seq("SHF", "SST"), "lev" -> 1, "path" -> "a.parquet"),
+      Map[String, Any]("variable" -> Seq("FLNS"), "lev" -> 1.5, "path" -> "b.parquet"))
+    val table = CatalogReader.loadTable(spark,
+      EsmCatalogModel(esmcatVersion = "0.2.0",
+        assets = Assets("path", Some("parquet")), catalogDict = Some(records.toList)),
+      jsonPath = None)
+    // membership search must compile array_contains, not equality
+    assert(table.columnsWithIterables == Set("variable"))
+    val hits = graft.search.QueryCompiler.search(table.df,
+      Map("variable" -> Seq("SST")), table.columnsWithIterables)
+    assert(hits.count() == 1)
+    // lev mixes int and float → widened to double, not a CCE at eval
+    assert(table.df.schema("lev").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(table.df.select("lev").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.0, 1.5))
+  }
+
+  test("save(singleFile = false) writes a loadable partitioned catalog") {
+    val df = Seq(("a", "p1.parquet"), ("b", "p2.parquet")).toDF("variable", "path")
+      .repartition(2)
+    val model = EsmCatalogModel(esmcatVersion = "0.2.0", id = Some("multi"),
+      assets = Assets("path", Some("parquet")), catalogDict = Some(Nil))
+    val cat = new EsmCatalog(spark, model, df, Set.empty, Map.empty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_multisave").toString
+    val json = CatalogWriter.save(cat, "multi", dir, "file", singleFile = false)
+    // the descriptor's catalog_file must actually exist (as a directory of
+    // part files) and reload to the same rows
+    val reloaded = EsmCatalog.open(spark, json)
+    assert(reloaded.df.count() == 2)
+    assert(reloaded.df.select("variable").collect().map(_.getString(0)).sorted.toSeq
+      == Seq("a", "b"))
+  }
+
+  test("search with an empty value list matches nothing (reference OR-fold)") {
+    val df = Seq(("CTRL", "a"), ("20C", "b")).toDF("experiment", "path")
+    assert(graft.search.QueryCompiler.search(df,
+      Map("experiment" -> Seq.empty), Set.empty).count() == 0)
+    // and combined with a non-empty key it still annihilates (AND semantics)
+    assert(graft.search.QueryCompiler.search(df,
+      Map("experiment" -> Seq("CTRL"), "path" -> Seq.empty), Set.empty).count() == 0)
+  }
+
   test("keyTemplate joins groupby attrs, falls back to all columns (core.py:217-230)") {
     val df = Seq(("ocn", "20C", "p.parquet")).toDF("component", "experiment", "path")
     val withAgg = new EsmCatalog(spark,

@@ -56,6 +56,20 @@ class GraftExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterA
     assert(r.getDouble(1) == 6.0)
   }
 
+  test("vec_dot rejects non-float arrays at analysis; band_hashes guards signature length") {
+    // array<double> into vec_dot must FAIL ANALYSIS, not silently reinterpret bytes
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0D), array(2.0D))").collect()
+    }
+    assert(e.getMessage.contains("vec_dot") || e.getMessage.contains("DATATYPE"), e.getMessage)
+    // a signature shorter than bands*rowsPerBand must raise, not read garbage
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT band_hashes(array(1L, 2L), 4, 4)").collect()
+    }
+    val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("needs bands*rowsPerBand"), msg2)
+  }
+
   test("zarr_decode usable from SQL after extension install") {
     // 2 little-endian int32s, uncompressed
     val r = spark.sql(
