@@ -130,6 +130,7 @@ object Bench {
     // poisons at most one sample, so one noisy scheduling window can no
     // longer inflate the round's official artifact (the r4 lesson)
     val samples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(2)
+    require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
     val results = names.map { name =>
       val dts = (1 to samples).map { _ =>
         val t0 = System.nanoTime()
@@ -155,8 +156,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    // escape sfDir like every other string field — a quote/backslash in the
+    // path would break the harness's JSON parse of the bench line
+    val sfJson = "\"" + sfDir.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+    } + "\""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      s""""samples":$samples,"calib_sec":[${fmt(calibBefore)},${fmt(calibAfter)}],"sf":"$sfDir"}"""
+      s""""samples":$samples,"calib_sec":[${fmt(calibBefore)},${fmt(calibAfter)}],"sf":$sfJson}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)

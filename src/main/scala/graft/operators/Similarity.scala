@@ -171,6 +171,9 @@ object Similarity {
                                centroidVec: String): (Array[Any], Array[Array[Float]]) = {
     val rows = centroids
       .select(col(centroidId).as("cell"), col(centroidVec).as("__cent"))
+      // drop null centroid vectors here too (the kmeans seed path filters
+      // them; the kmeansIters=0 first-N path otherwise NPEs on .toArray)
+      .filter(col("__cent").isNotNull)
       .orderBy(col("cell")).collect()
     require(rows.nonEmpty, "ivfAssign: empty centroid table")
     require(rows.length <= 65536,

@@ -75,13 +75,25 @@ object EsmCatalogSource {
         val cols = records.foldLeft(Vector.empty[String]) { (acc, r) =>
           acc ++ r.keys.filterNot(acc.contains)
         }
+        // unify across ALL values (same rule as CatalogReader.fromDict):
+        // first-match typing CCEs at scan time when a later value has a
+        // different JSON type — ints+floats widen to double, other mixes
+        // degrade to string
+        def typeOf(v: Any): DataType = v match {
+          case _: Int | _: Long => LongType
+          case _: Double        => DoubleType
+          case _: Boolean       => BooleanType
+          case _: Seq[_]        => ArrayType(StringType)
+          case _                => StringType
+        }
+        def unify(a: DataType, b: DataType): DataType = (a, b) match {
+          case (x, y) if x == y                                => x
+          case (LongType, DoubleType) | (DoubleType, LongType) => DoubleType
+          case _                                               => StringType
+        }
         def typeFor(c: String): DataType =
-          records.iterator.flatMap(_.get(c)).collectFirst {
-            case _: Int | _: Long => LongType
-            case _: Double        => DoubleType
-            case _: Boolean       => BooleanType
-            case _: Seq[_]        => ArrayType(StringType)
-          }.getOrElse(StringType)
+          records.iterator.flatMap(_.get(c)).filter(_ != null)
+            .map(typeOf).reduceOption(unify).getOrElse(StringType)
         Described(model,
           StructType(cols.map(c => StructField(c, typeFor(c), nullable = true))),
           None, Set.empty)
@@ -125,10 +137,14 @@ object EsmCatalogSource {
     * CatalogReader.decodeIterable (reference cat.py:671-681): first char →
     * `[`, last char → `]`, trailing commas dropped, `'` → `"`, JSON decode.
     * Handles single-quoted, double-quoted, and unquoted (e.g. numeric)
-    * elements alike; falls back to a comma split if the JSON parse fails. */
+    * elements alike; falls back to a comma split if the JSON parse fails.
+    * A cell that is NOT container-shaped returns `null` (the caller emits
+    * SQL NULL, like decodeIterable) — chopping its first/last characters
+    * would fabricate elements from scalar data. */
   def parseLiteral(cell: String): Seq[String] = {
     val t = cell.trim
     if (t.isEmpty) return Seq.empty
+    if (!(t.length >= 2 && "[({".contains(t.head) && "])}".contains(t.last))) return null
     val bracketed = "[" + (if (t.length >= 2) t.substring(1, t.length - 1) else "") + "]"
     val json = bracketed.replaceAll(",\\s*\\]", "]").replace('\'', '"')
     try {
@@ -412,11 +428,17 @@ final class EsmCatalogReaderFactory(schema: StructType,
       case (null, _)                       => null
       case (v, StringType)                 => UTF8String.fromString(v.toString)
       case (v: String, ArrayType(StringType, _)) =>
-        new GenericArrayData(EsmCatalogSource.parseLiteral(v).map(UTF8String.fromString).toArray[Any])
+        // parseLiteral returns null for a non-container cell — surface SQL
+        // NULL (matching CatalogReader.decodeIterable), don't fabricate
+        val parsed = EsmCatalogSource.parseLiteral(v)
+        if (parsed == null) null
+        else new GenericArrayData(parsed.map(x =>
+          if (x == null) null else UTF8String.fromString(x)).toArray[Any])
       case (v: Seq[_], ArrayType(StringType, _)) =>
         new GenericArrayData(v.map(x => UTF8String.fromString(String.valueOf(x))).toArray[Any])
       case (v: Int, LongType)              => v.toLong
       case (v, LongType)                   => v.asInstanceOf[Long]
+      case (v: java.lang.Number, DoubleType) => v.doubleValue() // unified col may mix Int/Long/Double
       case (v, DoubleType)                 => v.asInstanceOf[Double]
       case (v, BooleanType)                => v.asInstanceOf[Boolean]
       case (v, _)                          => UTF8String.fromString(v.toString)

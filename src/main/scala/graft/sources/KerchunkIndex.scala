@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * [url, offset, length], ...}}` where keys are zarr paths
   * (`variable/chunk.coords` or `.../.zarray|.zattrs|.zgroup` metadata).
   * The values are HETEROGENEOUS (string or array), so the shred uses
-  * Spark 4's VariantType — `parse_json` + `variant_explode` — and runs
-  * distributed: a multi-GB index for a peta-scale store shreds in
-  * executors, never on the driver.
+  * Spark 4's VariantType — `parse_json` + `variant_explode` — in an
+  * executor task (not the driver), and everything DOWNSTREAM of the shred
+  * (the per-entry rows) is fully distributed. The parse itself is
+  * single-task: a v1 index is one JSON document (wholetext), bounded by
+  * the JVM's 2 GB string limit — far beyond the reference's sample
+  * indexes, but an index that big should be kerchunk parquet refs, a
+  * different reader.
   */
 object KerchunkIndex {
 
@@ -89,24 +93,31 @@ object KerchunkIndex {
     import spark.implicits._
     val cols = Seq("key", "variable", "member", "kind", "url", "offset", "length", "data")
 
+    // NOTE: `inline_value` is non-null even for ARRAY entries (variant '$'
+    // as string yields the JSON text), so branching must use kind + url:
+    // a metadata entry (.zattrs etc.) stored as a byte-range ref has
+    // kind='meta' but a non-null url — it belongs to the positioned-read
+    // branch, not silently dropped (nor decoded as its own JSON text)
     val inline = entries
-      .filter(col("kind").isin("inline", "meta") && col("inline_value").isNotNull)
+      .filter(col("kind") =!= "ref" && col("url").isNull && col("inline_value").isNotNull)
       .withColumn("data",
         when(col("inline_value").startsWith("base64:"),
           unbase64(expr("substring(inline_value, 8)")))
           .otherwise(col("inline_value").cast(org.apache.spark.sql.types.BinaryType)))
       .select(cols.map(col): _*)
 
-    val refs = entries.filter(col("kind") === "ref")
-      .select($"key", $"variable", $"member", $"url", $"offset", $"length")
+    val refs = entries.filter(col("kind") === "ref" || col("url").isNotNull)
+      .select($"key", $"variable", $"member", $"kind", $"url", $"offset", $"length")
       .repartition(col("url"))
       .sortWithinPartitions("url", "offset")
-      .as[(String, String, String, String, Option[Long], Option[Long])]
+      .as[(String, String, String, String, String, Option[Long], Option[Long])]
       .mapPartitions { it =>
         var openUrl: String = null
         var ch: java.nio.channels.FileChannel = null
-        def localPath(url: String): java.nio.file.Path = {
-          if (url.startsWith("file://")) java.nio.file.Paths.get(url.stripPrefix("file://"))
+        def localPath(key: String, url: String): java.nio.file.Path = {
+          if (url == null) throw new IllegalArgumentException(
+            s"kerchunk entry '$key': malformed ref (empty array — no url)")
+          else if (url.startsWith("file://")) java.nio.file.Paths.get(url.stripPrefix("file://"))
           else if (!url.contains("://")) java.nio.file.Paths.get(url)
           else throw new UnsupportedOperationException(
             s"kerchunk chunk decode for '${url.takeWhile(_ != ':')}://' urls is behind the " +
@@ -114,10 +125,10 @@ object KerchunkIndex {
         }
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => if (ch != null) ch.close()))
-        it.map { case (key, variable, member, url, offsetOpt, lengthOpt) =>
+        it.map { case (key, variable, member, kind, url, offsetOpt, lengthOpt) =>
           if (url != openUrl) {
             if (ch != null) ch.close()
-            ch = java.nio.channels.FileChannel.open(localPath(url),
+            ch = java.nio.channels.FileChannel.open(localPath(key, url),
               java.nio.file.StandardOpenOption.READ)
             openUrl = url
           }
@@ -135,7 +146,7 @@ object KerchunkIndex {
               s"reading [$offset, ${offset + length}) of $url")
             pos += n
           }
-          (key, variable, member, "ref", url, offset, length, buf.array())
+          (key, variable, member, kind, url, offset, length, buf.array())
         }
       }
       .toDF("key", "variable", "member", "kind", "url", "offset", "length", "data")

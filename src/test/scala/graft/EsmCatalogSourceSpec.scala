@@ -115,21 +115,23 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(agg.head() == raw.agg(count(lit(1)), min("scode"), max("scode")).head())
   }
 
-  test("pushed min/max fails loudly on a value that does not fit the declared type") {
-    // dict catalog whose 'v' column infers LongType from its first value
-    // but later holds a float — the unpushed row path CCEs; the pushed
-    // aggregate must refuse just as loudly, never compare lexically
+  test("mixed int/float dict column widens to double; pushed min/max stays correct") {
+    // the schema unifies Long+Double -> DoubleType (same rule as
+    // CatalogReader.fromDict), so both the pushed aggregate and the raw
+    // row path see doubles and agree — no lexical comparison, no CCE
     val dir  = java.nio.file.Files.createTempDirectory("graft_mixcat")
     val json = dir.resolve("mix.json")
     java.nio.file.Files.writeString(json,
       """{"esmcat_version": "0.2.0", "id": "mix",
         |"assets": {"column_name": "path", "format": "parquet"},
         |"catalog_dict": [{"path": "a", "v": 9}, {"path": "b", "v": 10.5}]}""".stripMargin)
-    val agg = spark.read.format("esmcat").load(json.toString).agg(min("v"))
-    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates: [MIN(v)]"))
-    val e = intercept[Exception](agg.collect())
-    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("does not coerce"), msg)
+    val df = spark.read.format("esmcat").load(json.toString)
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    val agg = df.agg(min("v"), max("v"))
+    assert(agg.queryExecution.executedPlan.toString.contains("PushedAggregates: [MIN(v), MAX(v)]"))
+    assert(agg.head() == org.apache.spark.sql.Row(9.0, 10.5))
+    // and the unpushed row path reads the same widened values
+    assert(df.select("v").collect().map(_.getDouble(0)).sorted.toSeq == Seq(9.0, 10.5))
     java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
   }
 
