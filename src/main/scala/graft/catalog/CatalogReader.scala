@@ -115,6 +115,13 @@ object CatalogReader {
     if (cols.isEmpty) df
     else df.withColumns(cols.map(c => c -> decodeIterable(col(c))).toMap)
 
+  /** Render a Seq as a python-literal list string (`['a', 'b']`, nulls as
+    * `None`) — the degrade form when a dict column mixes arrays and scalars
+    * and unifies to StringType; matches CatalogWriter.renderIterable's shape
+    * so the value stays decodeIterable-round-trippable. */
+  def pythonLiteral(v: Seq[_]): String =
+    v.map(x => if (x == null) "None" else s"'$x'").mkString("[", ", ", "]")
+
   /** Build a DataFrame from inline `catalog_dict` records
     * (reference: cat.py:273-278). Non-string scalars (ints in
     * noaa-pathfinder-opendap.json) keep their types; the unified schema is
@@ -152,6 +159,11 @@ object CatalogReader {
           case (v: Int, LongType)        => v.toLong
           case (v: Int, DoubleType)      => v.toDouble
           case (v: Long, DoubleType)     => v.toDouble
+          // a column mixing arrays and scalars unified to StringType — the
+          // Seq must render to its literal string form HERE (before the
+          // generic Seq case), or a Seq lands in a StringType field and CCEs
+          // at materialization
+          case (v: Seq[_], StringType)   => pythonLiteral(v)
           case (v: Seq[_], _)            => v.map(x => if (x == null) null else x.toString)
           case (v, StringType)           => v.toString
           case (v, _)                    => v

@@ -66,7 +66,13 @@ object ZOrder {
       Seq(min(col(c).cast("long")).as(s"lo_$c"), max(col(c).cast("long")).as(s"hi_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0) // 2 longs per col
     val withCells = cols.foldLeft(df) { (d, c) =>
-      val lo = row.getAs[Long](s"lo_$c"); val hi = row.getAs[Long](s"hi_$c")
+      // empty input (or an all-null column after cast) makes min/max NULL;
+      // getAs would silently unbox that to 0L — take the degenerate
+      // single-cell branch explicitly instead
+      val loIdx = row.fieldIndex(s"lo_$c"); val hiIdx = row.fieldIndex(s"hi_$c")
+      if (row.isNullAt(loIdx) || row.isNullAt(hiIdx)) d.withColumn(s"__z_$c", lit(0L))
+      else {
+      val lo = row.getLong(loIdx); val hi = row.getLong(hiIdx)
       if (hi <= lo) d.withColumn(s"__z_$c", lit(0L))
       else {
         // wide observed ranges (hashed ids spanning the long domain) would
@@ -90,6 +96,7 @@ object ZOrder {
             gridCell(uCol - lit(uLo), 0L, uHi - uLo, bits)
           }
         d.withColumn(s"__z_$c", cell)
+      }
       }
     }
     (withCells, cols.map(c => col(s"__z_$c")))

@@ -121,7 +121,31 @@ object EsmCatalogSource {
     }
   }
 
+  /** Read catalog CSV rows (header first). `path` may be a single file OR a
+    * directory of Spark part files — CatalogWriter.save(singleFile=false)
+    * leaves catalog_file as a directory, and each part carries its own
+    * header row (Spark's csv writer emits one per file), so concatenation
+    * keeps the first part's header and drops the rest. */
   def readCsvRows(path: String, limit: Int = -1): Vector[Array[String]] = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val parts = Files.list(p).iterator().asScala.map(_.toString)
+        .filter { f =>
+          val n = Paths.get(f).getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".") &&
+            (n.endsWith(".csv") || n.endsWith(".csv.gz"))
+        }.toVector.sorted
+      if (parts.isEmpty)
+        throw new IllegalArgumentException(s"esmcat: directory $path holds no csv part files")
+      return parts.tail.foldLeft(readCsvFile(parts.head, limit)) { (acc, part) =>
+        if (limit > 0 && acc.length >= limit) acc
+        else acc ++ readCsvFile(part, if (limit > 0) limit - acc.length + 1 else -1).drop(1)
+      }
+    }
+    readCsvFile(path, limit)
+  }
+
+  private def readCsvFile(path: String, limit: Int): Vector[Array[String]] = {
     val raw: java.io.InputStream = Files.newInputStream(Paths.get(path))
     val in  = if (path.toLowerCase.endsWith(".gz")) new GZIPInputStream(raw) else raw
     try {
@@ -367,6 +391,7 @@ object EsmCatalogAggs {
       case (n: java.lang.Long, LongType)     => n
       case (n: java.lang.Number, DoubleType) => n.doubleValue()
       case (b: java.lang.Boolean, BooleanType) => b
+      case (x: Seq[_], StringType)           => CatalogReader.pythonLiteral(x)
       case (x, StringType)                   => x.toString
       case (x, other) => throw new IllegalArgumentException(
         s"esmcat aggregate pushdown: value '$x' (${x.getClass.getSimpleName}) " +
@@ -387,7 +412,14 @@ object EsmCatalogAggs {
           case "count_star" => counts(i) += 1
           case "count" =>
             val v = row(s.col)
-            if (v != null) { if (s.distinct) distincts(i) += v else counts(i) += 1 }
+            // DISTINCT must coerce like min/max: a DoubleType-unified dict
+            // column can carry Integer(9) and Double(9.0) for the same
+            // logical value — raw boxing would count them as two distincts
+            // while the unpushed row path widens both to 9.0 and counts one
+            if (v != null) {
+              if (s.distinct) distincts(i) += coerce(v, fieldType.getOrElse(s.col, StringType), s.col)
+              else counts(i) += 1
+            }
           case "min" =>
             val v = coerce(row(s.col), fieldType.getOrElse(s.col, StringType), s.col)
             if (v != null && (minmax(i) == null || cmp(v, minmax(i)) < 0)) minmax(i) = v
@@ -426,6 +458,11 @@ final class EsmCatalogReaderFactory(schema: StructType,
 
     def toInternal(value: Any, dt: DataType): Any = (value, dt) match {
       case (null, _)                       => null
+      // array-and-scalar mix unified to StringType: render the literal form
+      // (same degrade as CatalogReader.fromDict) instead of Scala's
+      // List(...) toString — MUST precede the generic StringType case
+      case (v: Seq[_], StringType) =>
+        UTF8String.fromString(CatalogReader.pythonLiteral(v))
       case (v, StringType)                 => UTF8String.fromString(v.toString)
       case (v: String, ArrayType(StringType, _)) =>
         // parseLiteral returns null for a non-container cell — surface SQL
@@ -449,10 +486,11 @@ final class EsmCatalogReaderFactory(schema: StructType,
     // values), looked up by name over the FULL catalog schema: a pushed
     // predicate may reference a column the projection pruned away.
     def toFilterVal(value: Any, dt: DataType): Any = (value, dt) match {
-      case (null, _)          => null
-      case (v: Int, LongType) => v.toLong
-      case (v, StringType)    => v.toString
-      case (v, _)             => v
+      case (null, _)               => null
+      case (v: Int, LongType)      => v.toLong
+      case (v: Seq[_], StringType) => CatalogReader.pythonLiteral(v)
+      case (v, StringType)         => v.toString
+      case (v, _)                  => v
     }
     val filterRefs: Array[String] =
       if (filters.isEmpty) Array.empty else filters.flatMap(_.references).distinct

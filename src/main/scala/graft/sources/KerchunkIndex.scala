@@ -194,7 +194,10 @@ object KerchunkIndex {
       .join(broadcast(meta), Seq("variable"), "left")
       // assert_true returns NULL on pass (coalesce → keep row) and raises on
       // a declared filter list — evaluated per row, inside the scan stage
-      .filter(coalesce(assert_true(col("filters").isNull || col("filters") === "null",
+      // `filters: []` (empty list — some zarr writers' spelling of "no
+      // filters") decodes identically to `filters: null`, so both pass
+      .filter(coalesce(assert_true(col("filters").isNull || col("filters") === "null" ||
+        regexp_replace(col("filters"), "\\s+", "") === "[]",
         concat(lit("zarr v2 filters unsupported (variable '"), col("variable"), lit("')"))),
         lit(true)))
       .filter(coalesce(assert_true(col("dtype").isNotNull,

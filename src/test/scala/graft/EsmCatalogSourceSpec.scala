@@ -135,6 +135,55 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
   }
 
+  test("pushed COUNT(DISTINCT) coerces to the widened type: 9 and 9.0 are ONE value") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft_distcat")
+    val json = dir.resolve("dist.json")
+    java.nio.file.Files.writeString(json,
+      """{"esmcat_version": "0.2.0", "id": "dist",
+        |"assets": {"column_name": "path", "format": "parquet"},
+        |"catalog_dict": [{"path": "a", "v": 9}, {"path": "b", "v": 9.0},
+        |                 {"path": "c", "v": 10.5}]}""".stripMargin)
+    val df  = spark.read.format("esmcat").load(json.toString)
+    val agg = df.agg(countDistinct("v").as("nd"))
+    assert(agg.queryExecution.executedPlan.toString.contains("COUNT(DISTINCT v)"))
+    assert(agg.head().getLong(0) == 2L) // {9.0, 10.5}, not {Integer(9), 9.0, 10.5}
+    // the unpushed row path widens identically
+    val raw = graft.catalog.EsmCatalog.open(spark, json.toString).df
+    assert(raw.agg(countDistinct("v")).head().getLong(0) == 2L)
+    java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
+  }
+
+  test("multi-file-saved catalog (directory catalog_file) loads via format(esmcat)") {
+    val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
+    val cat  = graft.catalog.EsmCatalog.open(spark, json)
+    val dir  = java.nio.file.Files.createTempDirectory("graft_dircat").toString
+    val saved = graft.catalog.CatalogWriter.save(cat, "dircat", dir, singleFile = false)
+    // the API path reads the part-file directory natively; the DSv2 path
+    // must concatenate the parts (one header) instead of throwing on the dir
+    val viaApi  = graft.catalog.EsmCatalog.open(spark, saved).df
+    val viaDsv2 = spark.read.format("esmcat").load(saved)
+    assert(viaDsv2.count() == cat.df.count() && viaDsv2.count() == viaApi.count())
+    assert(viaDsv2.columns.sorted.toSeq == viaApi.columns.sorted.toSeq)
+    assert(viaDsv2.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaDsv2).isEmpty)
+  }
+
+  test("dict column mixing arrays and scalars degrades to literal strings, both paths agree") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft_mixarr")
+    val json = dir.resolve("mixarr.json")
+    java.nio.file.Files.writeString(json,
+      """{"esmcat_version": "0.2.0", "id": "mixarr",
+        |"assets": {"column_name": "path", "format": "parquet"},
+        |"catalog_dict": [{"path": "a", "v": ["x", "y"]}, {"path": "b", "v": "z"}]}""".stripMargin)
+    val api = graft.catalog.EsmCatalog.open(spark, json.toString).df
+    assert(api.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    val apiVals = api.select("v").collect().map(_.getString(0)).toSet
+    assert(apiVals == Set("['x', 'y']", "z")) // literal render, no CCE
+    val dsv2 = spark.read.format("esmcat").load(json.toString)
+    assert(dsv2.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    assert(dsv2.select("v").collect().map(_.getString(0)).toSet == apiVals)
+    java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
+  }
+
   test("format(esmcat) prunes unprojected columns at the scan") {
     val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
     val df   = spark.read.format("esmcat").load(json).select("status", "member")

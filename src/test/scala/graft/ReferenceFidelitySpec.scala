@@ -235,6 +235,25 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
   }
 
+  test("zarr v2 'filters: []' (empty list) decodes like filters: null") {
+    import org.apache.spark.sql.functions.col
+    val dir  = java.nio.file.Files.createTempDirectory("graft_emptyfilters")
+    val json = dir.resolve("idx.json")
+    // some zarr writers emit filters: [] instead of null — identical meaning
+    java.nio.file.Files.writeString(json,
+      """{"version": 1, "refs": {
+        |  "v/.zarray": "{\"dtype\": \"<i4\", \"shape\": [2], \"chunks\": [2], \"compressor\": null, \"filters\": []}",
+        |  "v/0": "base64:BwAAAPf///8="
+        |}}""".stripMargin)
+    val idx = graft.sources.KerchunkIndex.read(spark, json.toString)
+    val typed = graft.sources.KerchunkIndex.decodeTyped(
+        graft.sources.KerchunkIndex.materializeChunks(idx.filter(col("kind") =!= "ref")),
+        graft.sources.KerchunkIndex.arrayMeta(idx))
+      .orderBy("idx").collect().map(_.getDouble(3)).toSeq
+    assert(typed == Seq(7.0, -9.0))
+    java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
+  }
+
   test("zarr codec: compressors, dtypes, and refusal boundaries") {
     import graft.sources.ZarrCodec
     import org.apache.spark.unsafe.types.UTF8String

@@ -61,6 +61,17 @@ class ZOrderSpec extends AnyFunSuite {
       .count() == 512)
   }
 
+  test("empty or all-null input takes the degenerate grid branch, no silent 0-unboxing") {
+    // empty: min/max are NULL — must short-circuit, not unbox null to 0L
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ZOrder.layout(empty, Seq("a", "b"), bits = 8).count() == 0)
+    // all-null column alongside a live one: null dims collapse to cell 0,
+    // the row still flows through layout
+    val nulls = spark.sql("SELECT * FROM VALUES (CAST(NULL AS LONG), 1L), (NULL, 5L) AS t(a, b)")
+    val laid = ZOrder.layout(nulls, Seq("a", "b"), bits = 8)
+    assert(laid.count() == 2)
+  }
+
   test("layout clusters both dimensions: per-partition spread shrinks, one range shuffle") {
     val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
