@@ -136,7 +136,17 @@ object Bench {
         val t0 = System.nanoTime()
         // a failing query MUST NOT read as a fast sample — record it so the
         // harness (and the judge) see the regression instead of a better total
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        //
+        // count() is NOT a valid bench action: it wraps the plan in an
+        // Aggregate, whereupon ColumnPruning deletes every unreferenced
+        // projection and EliminateSorts the trailing sort — a
+        // pure-projection query (text_quality, text_token_count, ...)
+        // would time as a bare parquet row-count with none of its md5/
+        // regex/tokenize work executed. Consuming the physical plan's own
+        // rows instead executes the query exactly as written — every
+        // output column evaluated, sorts kept — without paying a
+        // driver-side collect/deserialize that a cluster sink wouldn't.
+        try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
         catch { case e: Throwable =>
           errors += s"$name: ${e.getClass.getSimpleName}"
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
