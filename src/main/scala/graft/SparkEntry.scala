@@ -225,6 +225,70 @@ object SparkEntry {
     json.toString
   }
 
+  /** One-time 2-D zarr-over-kerchunk fixture for `load_kerchunk_coords`:
+    * `grid` is shape [5,7] in [3,4] chunks — a 2×2 chunk grid with UNEVEN
+    * edge chunks (zarr stores them padded to full chunk shape; padding is
+    * written as -1 and must never surface). `vec` is 1-D [10] in [4] chunks
+    * (again a padded edge) with NO `.zattrs`, exercising the `dim0`
+    * fallback. Values are integer formulas (value = y*100+x, value = 3i-5)
+    * the DuckDB oracle re-derives from the coordinates alone. */
+  def ensureZarrGridFixture(): String = {
+    val out  = Paths.get("/tmp/graft_zarr_grid_fixture")
+    val json = out.resolve("grid-index.json")
+    this.synchronized {
+      if (!Files.exists(json)) {
+        Files.createDirectories(out)
+        val bos = new java.io.ByteArrayOutputStream()
+        def le(vals: Seq[Int]): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(b.putInt); b.array()
+        }
+        def zlib(b: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater(2)
+          d.setInput(b); d.finish()
+          val o = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+          while (!d.finished()) { val n = d.deflate(buf); o.write(buf, 0, n) }
+          d.end(); o.toByteArray
+        }
+        def slice(bytes: Array[Byte]): String = {
+          val off = bos.size(); bos.write(bytes)
+          s"""["file://$out/store.bin", $off, ${bytes.length}]"""
+        }
+        val gridChunks = for { cr <- 0 until 2; cc <- 0 until 2 } yield {
+          val vals = for { lr <- 0 until 3; lc <- 0 until 4 } yield {
+            val r = cr * 3 + lr; val c = cc * 4 + lc
+            if (r < 5 && c < 7) r * 100 + c else -1 // -1 = edge padding
+          }
+          s""""grid/$cr.$cc": ${slice(zlib(le(vals)))}"""
+        }
+        val vecChunks = for { ci <- 0 until 3 } yield {
+          val vals = for { j <- 0 until 4 } yield {
+            val i = ci * 4 + j
+            if (i < 10) i * 3 - 5 else -1
+          }
+          s""""vec/$ci": ${slice(le(vals))}"""
+        }
+        Files.write(out.resolve("store.bin"), bos.toByteArray)
+        def jstr(s: String): String =
+          "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+        val content =
+          s"""{"version": 1, "refs": {
+             |  ".zgroup": ${jstr("""{"zarr_format": 2}""")},
+             |  "grid/.zarray": ${jstr("""{"dtype": "<i4", "shape": [5, 7], "chunks": [3, 4], """ +
+                """"compressor": {"id": "zlib", "level": 2}, "filters": null, "order": "C", "zarr_format": 2}""")},
+             |  "grid/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["y", "x"]}""")},
+             |  ${gridChunks.mkString(",\n  ")},
+             |  "vec/.zarray": ${jstr("""{"dtype": "<i4", "shape": [10], "chunks": [4], """ +
+                """"compressor": null, "filters": [], "order": "C", "zarr_format": 2}""")},
+             |  ${vecChunks.mkString(",\n  ")}
+             |}}""".stripMargin
+        Files.writeString(json, content)
+      }
+    }
+    json.toString
+  }
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship: the full descriptor → scan → search → group → materialize
@@ -407,6 +471,25 @@ object SparkEntry {
           graft.sources.KerchunkIndex.materializeChunks(entries),
           graft.sources.KerchunkIndex.arrayMeta(entries))
         .orderBy("variable", "chunk", "idx")
+    }),
+
+    "load_kerchunk_coords" -> ((s, _) => {
+      // one step further than load_kerchunk_typed (source.py:82-96): each
+      // decoded value carries its per-dimension GLOBAL indices, labeled from
+      // .zattrs _ARRAY_DIMENSIONS (grid → y.x) or the dim<i> fallback (vec),
+      // with zarr's padded edge-chunk elements dropped. Arrays are rendered
+      // as '.'-joined strings for the engine-portable compare.
+      val idx     = ensureZarrGridFixture()
+      val entries = graft.sources.KerchunkIndex.read(s, idx)
+      graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "value")
     }),
 
     "scan_catalog_dict" -> ((s, _) => {
@@ -1329,6 +1412,22 @@ object SparkEntry {
         |  SELECT 'mask', '0', CAST(i AS INT), CAST((i * 7 + 3) % 256 AS DOUBLE) FROM range(6) t(i))
         |SELECT variable, chunk, idx, value FROM vals
         |ORDER BY variable, chunk, idx""".stripMargin,
+
+    // coordinate re-derivation: the fixture writes value = y*100+x (grid)
+    // and 3i-5 (vec) AT each coordinate, so the oracle reconstructs the
+    // whole labeled output from range() cross joins alone — agreement means
+    // chunk-grid math, C-order strides, AND edge-padding drop are all right
+    "load_kerchunk_coords" ->
+      """WITH grid AS (
+        |  SELECT 'grid' AS variable, 'y.x' AS dims,
+        |         CAST(r AS VARCHAR) || '.' || CAST(c AS VARCHAR) AS coord_key,
+        |         CAST(r * 100 + c AS DOUBLE) AS value
+        |  FROM range(5) t(r) CROSS JOIN range(7) u(c)
+        |  UNION ALL
+        |  SELECT 'vec', 'dim0', CAST(i AS VARCHAR), CAST(i * 3 - 5 AS DOUBLE)
+        |  FROM range(10) t(i))
+        |SELECT variable, dims, coord_key, value FROM grid
+        |ORDER BY variable, value""".stripMargin,
 
     "scan_catalog_esmcat" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS member,

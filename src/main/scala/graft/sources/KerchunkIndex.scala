@@ -70,25 +70,33 @@ object KerchunkIndex {
     *
     *  - `inline`/`meta` entries: the value itself is the chunk — UTF-8
     *    bytes, or base64-decoded when `base64:`-prefixed (kerchunk v1 spec);
-    *  - `ref` entries with a local url (`file://...` or a bare path): a
-    *    POSITIONED read of exactly (offset, length) — never the whole file.
-    *    Rows are repartitioned by url and range-sorted inside each
-    *    partition, so each task opens a file once and reads its ranges in
-    *    ascending order (sequential-friendly at 100 TB, where one store
-    *    file carries thousands of chunks);
-    *  - `ref` entries with a remote scheme (s3://, https://, ...): raise
-    *    `UnsupportedOperationException` — remote object stores are behind
-    *    the engine's connector boundary (same posture as
-    *    EsmDataSource.openAsset).
+    *  - `ref` entries with a url: a POSITIONED read of exactly
+    *    (offset, length) — never the whole file — through the Hadoop
+    *    `FileSystem` API, so `file://` (and bare paths) and `hdfs://` share
+    *    one code path and object-store schemes need only their connector
+    *    jar (`s3a://` + hadoop-aws, ...), not a code change. Rows are
+    *    repartitioned by (url, offset band) and range-sorted inside each
+    *    partition, so each task reads its ranges in ascending order AND one
+    *    physical file with thousands of chunks (the kerchunk-over-netCDF
+    *    shape) spreads across ~fileBytes/bytesPerTask tasks instead of
+    *    serializing into one;
+    *  - `ref` entries whose scheme has no installed Hadoop FileSystem
+    *    (s3:// without a connector), or an http(s):// url (Hadoop's http FS
+    *    cannot seek, so positioned range reads are impossible): raise
+    *    `UnsupportedOperationException` — the engine's connector boundary
+    *    (same posture as EsmDataSource.openAsset).
     *
     * Output: (key, variable, member, kind, url, offset, length, data:binary).
     *
     * `maxChunkBytes` bounds a single positioned read (default 256 MiB): a
     * corrupt index with a pathological length must fail loudly, not OOM an
-    * executor.
+    * executor. `bytesPerTask` is the offset-band width of the partition key
+    * (default 256 MiB): smaller values spread one file across more tasks.
     */
   def materializeChunks(entries: DataFrame,
-                        maxChunkBytes: Long = 256L << 20): DataFrame = {
+                        maxChunkBytes: Long = 256L << 20,
+                        bytesPerTask: Long = 256L << 20): DataFrame = {
+    require(bytesPerTask > 0, s"bytesPerTask must be positive, got $bytesPerTask")
     val spark = entries.sparkSession
     import spark.implicits._
     val cols = Seq("key", "variable", "member", "kind", "url", "offset", "length", "data")
@@ -106,47 +114,93 @@ object KerchunkIndex {
           .otherwise(col("inline_value").cast(org.apache.spark.sql.types.BinaryType)))
       .select(cols.map(col): _*)
 
-    val refs = entries.filter(col("kind") === "ref" || col("url").isNotNull)
-      .select($"key", $"variable", $"member", $"kind", $"url", $"offset", $"length")
-      .repartition(col("url"))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val withBand = entries.filter(col("kind") === "ref" || col("url").isNotNull)
+      .select($"key", $"variable", $"member", $"kind", $"url", $"offset", $"length",
+        floor(coalesce($"offset", lit(0L)) / lit(bytesPerTask)).as("__band"))
+    // (url, offset band), NOT url alone: all chunks of one physical file on
+    // one key would serialize a 1000-chunk netCDF into a single task —
+    // banding bounds per-task byte volume while the within-partition sort
+    // below keeps each task's reads sequential-ascending per file. The
+    // partition count is pinned to the distinct band count (one tiny
+    // metadata-only job over the index): left to AQE, coalescing would size
+    // on the SHUFFLED bytes — ref metadata, ~100 B/row — underestimating by
+    // orders of magnitude the positioned-read volume each row fans out into.
+    val nTasks = {
+      val bands = withBand.select("url", "__band").distinct().count()
+      math.max(1L, math.min(bands, 1L << 20)).toInt
+    }
+    val refs = withBand
+      .repartition(nTasks, col("url"), col("__band"))
       .sortWithinPartitions("url", "offset")
+      .drop("__band")
       .as[(String, String, String, String, String, Option[Long], Option[Long])]
       .mapPartitions { it =>
+        val conf = hconf.value
         var openUrl: String = null
-        var ch: java.nio.channels.FileChannel = null
-        def localPath(key: String, url: String): java.nio.file.Path = {
+        var openPath: org.apache.hadoop.fs.Path = null
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        var fileLen = -1L // lazy: only stat'd when a ref omits its length
+        def connectorRefusal(url: String, cause: Throwable): Nothing =
+          throw new UnsupportedOperationException(
+            s"kerchunk chunk decode for '${url.takeWhile(_ != ':')}://' urls is behind the " +
+              "connector boundary: no seekable Hadoop FileSystem for the scheme is " +
+              "installed (object stores need their connector jar, e.g. s3a:// + hadoop-aws)",
+            cause)
+        def hadoopPath(key: String, url: String): org.apache.hadoop.fs.Path = {
           if (url == null) throw new IllegalArgumentException(
             s"kerchunk entry '$key': malformed ref (empty array — no url)")
-          else if (url.startsWith("file://")) java.nio.file.Paths.get(url.stripPrefix("file://"))
-          else if (!url.contains("://")) java.nio.file.Paths.get(url)
-          else throw new UnsupportedOperationException(
-            s"kerchunk chunk decode for '${url.takeWhile(_ != ':')}://' urls is behind the " +
-              "connector boundary: only local files (file:// or bare paths) materialize here")
+          val scheme = if (url.contains("://")) url.takeWhile(_ != ':').toLowerCase else ""
+          // Hadoop's http(s) FileSystem cannot seek — positioned range
+          // reads are impossible over it, so refuse rather than stream
+          // whole objects
+          if (scheme == "http" || scheme == "https") connectorRefusal(url, null)
+          // bare paths are LOCAL files (fsspec semantics) — made explicit so
+          // they never resolve against fs.defaultFS (hdfs on a real cluster)
+          new org.apache.hadoop.fs.Path(
+            if (scheme.nonEmpty) url
+            else "file://" + new java.io.File(url).getAbsolutePath)
         }
         Option(org.apache.spark.TaskContext.get()).foreach(
-          _.addTaskCompletionListener[Unit](_ => if (ch != null) ch.close()))
+          _.addTaskCompletionListener[Unit](_ => if (in != null) in.close()))
         it.map { case (key, variable, member, kind, url, offsetOpt, lengthOpt) =>
           if (url != openUrl) {
-            if (ch != null) ch.close()
-            ch = java.nio.channels.FileChannel.open(localPath(key, url),
-              java.nio.file.StandardOpenOption.READ)
+            if (in != null) { in.close(); in = null }
+            openPath = hadoopPath(key, url)
+            try {
+              fs = openPath.getFileSystem(conf)
+              in = fs.open(openPath)
+            } catch {
+              // FileSystem.get raises "No FileSystem for scheme ..." (an
+              // UnsupportedFileSystemException or plain IOException,
+              // version-dependent) for schemes with no installed connector
+              case e: java.io.IOException
+                  if Option(e.getMessage).exists(_.toLowerCase.contains("no filesystem for scheme")) =>
+                connectorRefusal(url, e)
+            }
+            fileLen = -1L
             openUrl = url
           }
           // a bare `[url]` ref (no offset/length) is the whole file per the
           // kerchunk v1 spec
           val offset = offsetOpt.getOrElse(0L)
-          val length = lengthOpt.getOrElse(ch.size() - offset)
+          val length = lengthOpt.getOrElse {
+            if (fileLen < 0) fileLen = fs.getFileStatus(openPath).getLen
+            fileLen - offset
+          }
           require(length >= 0 && length <= maxChunkBytes,
             s"kerchunk chunk $key: length $length outside [0, $maxChunkBytes]")
-          val buf = java.nio.ByteBuffer.allocate(length.toInt)
-          var pos = 0L
-          while (buf.hasRemaining) {
-            val n = ch.read(buf, offset + pos)
-            require(n >= 0, s"kerchunk chunk $key: EOF at ${offset + pos} " +
-              s"reading [$offset, ${offset + length}) of $url")
-            pos += n
+          val buf = new Array[Byte](length.toInt)
+          // PositionedReadable pread: no seek-state churn between the
+          // interleaved ranges of different bands of the same file
+          try in.readFully(offset, buf, 0, length.toInt)
+          catch {
+            case e: java.io.EOFException => throw new IllegalArgumentException(
+              s"kerchunk chunk $key: EOF reading [$offset, ${offset + length}) of $url", e)
           }
-          (key, variable, member, kind, url, offset, length, buf.array())
+          (key, variable, member, kind, url, offset, length, buf)
         }
       }
       .toDF("key", "variable", "member", "kind", "url", "offset", "length", "data")
@@ -168,6 +222,61 @@ object KerchunkIndex {
         get_json_object(col("inline_value"), "$.compressor.id").as("compressor"),
         get_json_object(col("inline_value"), "$.filters").as("filters"),
       )
+
+  /** Dimension names per variable from the `.zattrs` `_ARRAY_DIMENSIONS`
+    * attribute — the zarr v2 / xarray convention the reference's open
+    * consumes (source.py:82-96). Variables without the attribute are absent
+    * (callers left-join and fall back to positional `dim<i>` names). */
+  def attrDims(entries: DataFrame): DataFrame =
+    entries.filter(col("member") === ".zattrs")
+      .select(
+        col("variable"),
+        from_json(get_json_object(col("inline_value"), "$._ARRAY_DIMENSIONS"),
+          ArrayType(org.apache.spark.sql.types.StringType)).as("dims"))
+      .filter(col("dims").isNotNull)
+
+  /** [[decodeTyped]] plus LABELED COORDINATES: each value's flat in-chunk
+    * position is mapped to its per-dimension GLOBAL indices — what an ESM
+    * user actually addresses (time/lat/lon), mirroring the reference's
+    * dimension-labeled xarray open (source.py:82-96) one step further than
+    * the flat `idx`.
+    *
+    * Pure integer math from the `.zarray` geometry: the chunk key "r.c"
+    * gives the chunk's grid position, C-order strides over `chunks` give the
+    * local coords, `global_d = grid_d * chunks_d + local_d`. Zarr v2 stores
+    * EDGE chunks padded to the full chunk shape, so any element whose
+    * global coordinate exceeds `shape` is write-padding, not data — dropped
+    * here (values land exactly once, never duplicated).
+    *
+    * Output: (variable, chunk, idx, value, dims: array&lt;string&gt;,
+    * coords: array&lt;long&gt;) — `dims` from `_ARRAY_DIMENSIONS` when
+    * declared, else `dim0..dimN`. Everything is per-row projection over the
+    * decoded rows plus two broadcast joins of per-variable metadata: no
+    * shuffle, embarrassingly parallel at 100 TB.
+    */
+  def decodeCoords(chunks: DataFrame, meta: DataFrame, dims: DataFrame): DataFrame = {
+    val grid = transform(split(col("chunk"), "[.]"), s => s.cast("long"))
+    // stride_d = prod(chunks[d+1..]) — C-order (row-major), the storage
+    // order of every zarr writer that matters (decodeTyped's contract)
+    val coordsExpr = transform(sequence(lit(0), size(col("chunks")) - 1), d => {
+      val stride = aggregate(
+        slice(col("chunks"), d + lit(2), size(col("chunks"))), lit(1L), (a, x) => a * x)
+      val local = call_function("div", col("idx").cast("long"), stride) % get(col("chunks"), d)
+      get(grid, d) * get(col("chunks"), d) + local
+    })
+    val named = coalesce(col("dims"),
+      transform(sequence(lit(0), size(col("chunks")) - 1), d => concat(lit("dim"), d)))
+    decodeTyped(chunks, meta)
+      .join(broadcast(meta.select(col("variable"), col("shape"), col("chunks"))), Seq("variable"))
+      .join(broadcast(dims), Seq("variable"), "left")
+      // coords staged into its own projection: referenced by the padding
+      // filter AND the output — inlining would re-evaluate the whole
+      // transform per reference
+      .select(col("variable"), col("chunk"), col("idx"), col("value"),
+        col("shape"), named.as("dims"), coordsExpr.as("coords"))
+      .filter(forall(zip_with(col("coords"), col("shape"), (g, s) => g < s), b => b))
+      .drop("shape")
+  }
 
   /** Decode materialized DATA chunks into typed values — the full depth of
     * the reference's zarr open (source.py:82-96) for the codecs the JDK

@@ -185,6 +185,29 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(chunks.count() == 9)
   }
 
+  test("one file's chunks spread across offset-band partitions, bytes stay exact") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    import spark.implicits._
+    // 64 ranges of ONE physical file: under url-only partitioning they all
+    // land in one task; offset banding (bytesPerTask=512 → 8 bands) must
+    // spread them while every band still reads its exact bytes
+    val file = "/root/reference/tests/sample_data/kerchunk-files/noaa-nwm-test-reference.json"
+    val n = 64
+    val entries = (0 until n).map { i =>
+      (s"v/$i", "v", s"$i", "ref", file, Some(i.toLong * 64), Some(32L), None: Option[String])
+    }.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+    val out = graft.sources.KerchunkIndex.materializeChunks(entries, bytesPerTask = 512)
+    val parts = out.select(spark_partition_id().as("p")).distinct().count()
+    assert(parts > 1, s"expected >1 partition for a single-url many-chunk index, got $parts")
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file))
+    val got = out.select("key", "data").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    (0 until n).foreach { i =>
+      assert(java.util.Arrays.equals(got(s"v/$i"),
+        java.util.Arrays.copyOfRange(all, i * 64, i * 64 + 32)), s"chunk $i bytes")
+    }
+  }
+
   test("zarr typed decode reproduces the reference sample's inline chunk values") {
     import org.apache.spark.sql.functions.col
     // ground truth derived independently (python: base64 -> zlib.decompress
@@ -213,6 +236,34 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(viaDispatch.count() == 44) // 24 temp + 10 count + 4 big + 6 mask
   }
 
+  test("decodeCoords labels values with global indices; padded edge elements dropped") {
+    val idx     = SparkEntry.ensureZarrGridFixture()
+    val entries = graft.sources.KerchunkIndex.read(spark, idx)
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    // 5x7 array in 3x4 chunks: 4 stored chunks x 12 padded elements = 48,
+    // of which exactly 35 are real data
+    val grid = rows.filter(_.getAs[String]("variable") == "grid")
+    assert(grid.length == 35)
+    grid.foreach { r =>
+      val co = r.getAs[scala.collection.Seq[Long]]("coords")
+      assert(r.getAs[scala.collection.Seq[String]]("dims") == Seq("y", "x"))
+      // the fixture wrote value = y*100 + x at every coordinate — matching
+      // proves the chunk-grid + C-order-stride math end to end
+      assert(r.getAs[Double]("value") == co(0) * 100 + co(1), s"coords $co")
+    }
+    val vec = rows.filter(_.getAs[String]("variable") == "vec")
+    assert(vec.length == 10) // 3 chunks x 4 padded = 12 stored, 10 real
+    vec.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("dims") == Seq("dim0")) // no .zattrs -> fallback
+      assert(r.getAs[Double]("value") ==
+        r.getAs[scala.collection.Seq[Long]]("coords")(0) * 3 - 5)
+    }
+    assert(!rows.exists(_.getAs[Double]("value") == -1.0)) // padding never surfaces
+  }
+
   test("typed decode refuses a data chunk whose variable has no inline .zarray") {
     import org.apache.spark.sql.functions.col
     val dir  = java.nio.file.Files.createTempDirectory("graft_badzarr")
@@ -226,8 +277,11 @@ class ReferenceFidelitySpec extends AnyFunSuite {
         |}}""".stripMargin)
     val idx = graft.sources.KerchunkIndex.read(spark, json.toString)
     val e = intercept[Exception] {
+      // materialize ONLY the inline data chunk: the .zarray meta-ref row
+      // would race its own does-not-exist read error against the assertion
+      // under test (union branches fail independently; first failure wins)
       graft.sources.KerchunkIndex.decodeTyped(
-        graft.sources.KerchunkIndex.materializeChunks(idx.filter(col("kind") =!= "ref")),
+        graft.sources.KerchunkIndex.materializeChunks(idx.filter(col("kind") === "inline")),
         graft.sources.KerchunkIndex.arrayMeta(idx)).collect()
     }
     val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
