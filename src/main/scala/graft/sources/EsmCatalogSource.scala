@@ -216,26 +216,28 @@ final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
       override def pruneColumns(required: StructType): Unit =
         pruned = StructType(schema0.fields.filter(f => required.fieldNames.contains(f.name)))
       // predicate pushdown (mirrors the reference's polars lazy-scan predicate
-      // pushdown, cat.py:630-691): the search predicate is evaluated inside
-      // the reader so unmatched catalog rows never surface. Defense-in-depth
-      // contract — same as the built-in parquet source — ALL filters are also
-      // returned as residual, so Spark re-checks them and correctness never
-      // rests on the reader's evaluator; the pushdown is the row-skip fast
-      // path, visible in explain via description().
+      // pushdown, cat.py:630-691): supported filters are evaluated EXACTLY
+      // inside the reader (Kleene three-valued logic, EsmCatalogFilters.eval3)
+      // and returned as HANDLED — no residual re-check — so Spark's aggregate
+      // pushdown can fire on filtered scans too. Shapes the evaluator does
+      // not implement are declined in supported() and stay residual: the
+      // defense-in-depth posture narrows to exactly the declined subset.
       private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
       override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
           : Array[org.apache.spark.sql.sources.Filter] = {
-        pushed = filters.filter(EsmCatalogFilters.supported(schema0, _))
-        filters
+        val (sup, unsup) = filters.partition(EsmCatalogFilters.supported(schema0, _))
+        pushed = sup
+        unsup
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       // aggregate pushdown (the last pushdown dimension, mirroring the
       // reference's polars lazy aggregation): GLOBAL count/count-distinct/
       // min/max over scalar columns compute COMPLETELY inside the reader —
-      // one partition, so complete pushdown is exact by construction. Note
-      // Spark only offers aggregates when no residual filters remain, and
-      // this source re-checks every filter as a residual — so aggregate
-      // pushdown fires exactly on filterless scans, where it is safe.
+      // one partition, so complete pushdown is exact by construction. Spark
+      // offers aggregates only when no post-scan filters remain; since
+      // supported filters are now fully handled by the reader, this fires on
+      // filterless AND handled-filter scans (the reader applies the filters
+      // before folding the aggregate).
       private var aggSpecs: Seq[EsmCatalogAggs.AggSpec] = Nil
       private var aggSchema: StructType                 = null
       override def supportCompletePushDown(
@@ -268,11 +270,18 @@ final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
   * Supported: null tests, equality, In, string prefix/suffix/contains, and
   * And/Or/Not compositions — over scalar (non-array) catalog columns only.
   * Anything else is declined in [[supported]] and left to Spark's residual
-  * Filter node (which always runs anyway under the defense-in-depth
-  * contract), so declining is a perf choice, never a correctness one.
+  * Filter node.
+  *
+  * Pushed filters are HANDLED (no residual re-check), so [[eval3]] must
+  * match Catalyst exactly — including SQL's three-valued logic: e.g.
+  * `NOT (a = 'x')` over a NULL `a` is UNKNOWN, and the row is dropped; a
+  * two-valued evaluator would negate false into true and keep it.
   */
 object EsmCatalogFilters {
   import org.apache.spark.sql.sources._
+
+  private val TRUE  = java.lang.Boolean.TRUE
+  private val FALSE = java.lang.Boolean.FALSE
 
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case And(l, r) => supported(schema, l) && supported(schema, r)
@@ -289,21 +298,80 @@ object EsmCatalogFilters {
       })
   }
 
-  /** Evaluate a pushed filter against a full-schema row accessor (column
-    * name → decoded value or null). Only called for [[supported]] shapes. */
-  def eval(f: Filter, row: String => Any): Boolean = f match {
-    case And(l, r)             => eval(l, row) && eval(r, row)
-    case Or(l, r)              => eval(l, row) || eval(r, row)
-    case Not(c)                => !eval(c, row)
-    case EqualTo(a, v)         => { val x = row(a); x != null && x == v }
-    case EqualNullSafe(a, v)   => row(a) == v
-    case In(a, vs)             => { val x = row(a); x != null && vs.contains(x) }
-    case IsNull(a)             => row(a) == null
-    case IsNotNull(a)          => row(a) != null
-    case StringStartsWith(a, v) => row(a) match { case s: String => s.startsWith(v); case _ => false }
-    case StringEndsWith(a, v)   => row(a) match { case s: String => s.endsWith(v);   case _ => false }
-    case StringContains(a, v)   => row(a) match { case s: String => s.contains(v);   case _ => false }
-    case _                      => true // unreachable for supported() shapes; keep the row
+  /** SQL equality on coerced values: double NaN = NaN is TRUE and
+    * 0.0 = -0.0 is TRUE (Spark's comparison semantics), everything else is
+    * value equality. Both sides are already coerced to the column's
+    * declared type, so no cross-type numeric compare arises. */
+  private def sqlEq(x: Any, v: Any): Boolean = (x, v) match {
+    case (a: java.lang.Double, b: java.lang.Double) =>
+      (a.isNaN && b.isNaN) || a.doubleValue() == b.doubleValue()
+    case _ => x == v
+  }
+
+  /** Kleene three-valued evaluation of a pushed filter against a
+    * full-schema row accessor (column name → decoded value or null):
+    * TRUE / FALSE / null (UNKNOWN). A row survives only when every pushed
+    * filter is TRUE — exactly Catalyst's Filter semantics, which is the
+    * contract now that handled filters get no residual re-check. */
+  def eval3(f: Filter, row: String => Any): java.lang.Boolean = f match {
+    case And(l, r) =>
+      val a = eval3(l, row); val b = eval3(r, row)
+      if (a == FALSE || b == FALSE) FALSE
+      else if (a == null || b == null) null
+      else TRUE
+    case Or(l, r) =>
+      val a = eval3(l, row); val b = eval3(r, row)
+      if (a == TRUE || b == TRUE) TRUE
+      else if (a == null || b == null) null
+      else FALSE
+    case Not(c) =>
+      val a = eval3(c, row)
+      if (a == null) null else java.lang.Boolean.valueOf(!a.booleanValue())
+    case EqualTo(a, v) =>
+      val x = row(a)
+      if (x == null || v == null) null else java.lang.Boolean.valueOf(sqlEq(x, v))
+    case EqualNullSafe(a, v) =>
+      val x = row(a)
+      java.lang.Boolean.valueOf(if (x == null || v == null) x == v else sqlEq(x, v))
+    case In(a, vs) =>
+      // SQL IN: match → TRUE; no match but a NULL among the values →
+      // UNKNOWN; NULL probe → UNKNOWN
+      val x = row(a)
+      if (x == null) null
+      else if (vs.exists(v => v != null && sqlEq(x, v))) TRUE
+      else if (vs.contains(null)) null
+      else FALSE
+    case IsNull(a)    => java.lang.Boolean.valueOf(row(a) == null)
+    case IsNotNull(a) => java.lang.Boolean.valueOf(row(a) != null)
+    case StringStartsWith(a, v) => row(a) match {
+      case null      => null
+      case s: String => java.lang.Boolean.valueOf(s.startsWith(v))
+      case _         => FALSE
+    }
+    case StringEndsWith(a, v) => row(a) match {
+      case null      => null
+      case s: String => java.lang.Boolean.valueOf(s.endsWith(v))
+      case _         => FALSE
+    }
+    case StringContains(a, v) => row(a) match {
+      case null      => null
+      case s: String => java.lang.Boolean.valueOf(s.contains(v))
+      case _         => FALSE
+    }
+    case other =>
+      // cannot be reached for supported() shapes, and ONLY those are pushed;
+      // a silent keep (or drop) here would be a wrong answer, so fail loudly
+      throw new IllegalStateException(s"esmcat: unevaluable pushed filter $other")
+  }
+
+  /** A row survives iff every pushed filter evaluates to TRUE. */
+  def keepRow(filters: Array[Filter], row: String => Any): Boolean = {
+    var i = 0
+    while (i < filters.length) {
+      if (eval3(filters(i), row) != TRUE) return false
+      i += 1
+    }
+    true
   }
 }
 
@@ -486,16 +554,20 @@ final class EsmCatalogReaderFactory(schema: StructType,
     // values), looked up by name over the FULL catalog schema: a pushed
     // predicate may reference a column the projection pruned away.
     def toFilterVal(value: Any, dt: DataType): Any = (value, dt) match {
-      case (null, _)               => null
-      case (v: Int, LongType)      => v.toLong
-      case (v: Seq[_], StringType) => CatalogReader.pythonLiteral(v)
-      case (v, StringType)         => v.toString
-      case (v, _)                  => v
+      case (null, _)                         => null
+      case (v: java.lang.Integer, LongType)  => v.longValue()
+      case (v: java.lang.Long, LongType)     => v
+      // a DoubleType-unified dict column can hold raw JSON ints — widen like
+      // the row path, or EqualTo(col, 9.0) would miss Integer(9)
+      case (v: java.lang.Number, DoubleType) => v.doubleValue()
+      case (v: Seq[_], StringType)           => CatalogReader.pythonLiteral(v)
+      case (v, StringType)                   => v.toString
+      case (v, _)                            => v
     }
     val filterRefs: Array[String] =
       if (filters.isEmpty) Array.empty else filters.flatMap(_.references).distinct
     def keep(lookup: String => Any): Boolean =
-      filters.forall(f => EsmCatalogFilters.eval(f, lookup))
+      EsmCatalogFilters.keepRow(filters, lookup)
 
     // complete aggregate pushdown: fold the (filtered) decoded rows into ONE
     // aggregated InternalRow. `schema` is already the aggregate output

@@ -83,15 +83,16 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(agg.head() == expected)
   }
 
-  test("format(esmcat) does not push aggregates past filters or grouping (still correct)") {
+  test("format(esmcat) pushes aggregates past HANDLED filters; grouping still declined") {
     val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
     val base = spark.read.format("esmcat").load(json)
-    // with a filter, every pushed filter is also a residual, so Spark keeps
-    // aggregation to itself — PushedAggregates stays empty and the count
-    // matches the raw path
+    // supported filters are handled (not residual), so the aggregate also
+    // pushes: the reader filters rows, then folds the count — one scan, no
+    // rows surfaced to Spark at all
     val filtered = base.filter(col("status") === "O").agg(count(lit(1)).as("n"))
     val fPlan = filtered.queryExecution.executedPlan.toString
-    assert(fPlan.contains("PushedAggregates: []"), fPlan.take(1500))
+    assert(fPlan.contains("PushedAggregates: [COUNT(*)]"), fPlan.take(1500))
+    assert(fPlan.contains("EqualTo(status,O)"), fPlan.take(1500))
     val raw = graft.catalog.EsmCatalog.open(spark, json).df
     assert(filtered.head().getLong(0) == raw.filter(col("status") === "O").count())
     // grouped aggregation is declined (supported() requires global)
@@ -132,6 +133,31 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(agg.head() == org.apache.spark.sql.Row(9.0, 10.5))
     // and the unpushed row path reads the same widened values
     assert(df.select("v").collect().map(_.getDouble(0)).sorted.toSeq == Seq(9.0, 10.5))
+    java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
+  }
+
+  test("handled filters keep SQL three-valued logic: NOT/IN over NULLs drop rows") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft_nullcat")
+    val json = dir.resolve("nulls.json")
+    java.nio.file.Files.writeString(json,
+      """{"esmcat_version": "0.2.0", "id": "nulls",
+        |"assets": {"column_name": "path", "format": "parquet"},
+        |"catalog_dict": [{"path": "a", "m": "x"}, {"path": "b", "m": null},
+        |                 {"path": "c", "m": "y"}]}""".stripMargin)
+    val df  = spark.read.format("esmcat").load(json.toString)
+    val raw = graft.catalog.EsmCatalog.open(spark, json.toString).df
+    // NOT (m = 'x'): NULL m is UNKNOWN -> dropped; a two-valued evaluator
+    // would keep row b. No residual re-check saves us now — the reader's
+    // evaluator must get this right by itself.
+    def paths(d: org.apache.spark.sql.DataFrame) =
+      d.select("path").collect().map(_.getString(0)).toSet
+    assert(paths(df.filter(!(col("m") === "x"))) == Set("c"))
+    assert(paths(df.filter(!(col("m") === "x"))) == paths(raw.filter(!(col("m") === "x"))))
+    assert(paths(df.filter(col("m").isin("x", "zz"))) == Set("a"))
+    assert(paths(df.filter(col("m").isNull)) == Set("b"))
+    // and the pushed aggregate over the same handled filter agrees with raw
+    val agg = df.filter(!(col("m") === "x")).agg(count(lit(1)).as("n"))
+    assert(agg.head().getLong(0) == 1L)
     java.nio.file.Files.deleteIfExists(json); java.nio.file.Files.deleteIfExists(dir)
   }
 
