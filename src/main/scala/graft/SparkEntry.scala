@@ -154,14 +154,17 @@ object SparkEntry {
 
   /** One-time local zarr-over-kerchunk fixture for `load_kerchunk_typed`: a
     * binary store holding FORMULA-GENERATED chunks (zlib f4, raw i4, gzip
-    * f8, raw u1, plus a non-numeric |S3 decoy) and a kerchunk index mapping
+    * f8, raw u1, blosc-lz4 i4, plus a non-numeric |S3 decoy) and a kerchunk index mapping
     * byte ranges into it. The DuckDB oracle re-derives the VALUES from the
     * same formulas — an end-to-end check of write → positioned read →
     * inflate → element decode, with no shared decode code. Formulas use
     * only 0.25/0.5 steps, exact in f4/f8, so the double widening is
     * bit-identical on both sides. */
   def ensureZarrFixture(): String = {
-    val out  = Paths.get("/tmp/graft_zarr_fixture")
+    // _v2: the fixture gained the blosc-lz4 variable — a content change must
+    // change the cache path, or a stale /tmp survivor from an older session
+    // would silently serve the old store
+    val out  = Paths.get("/tmp/graft_zarr_fixture_v2")
     val json = out.resolve("zarr-index.json")
     this.synchronized {
       if (!Files.exists(json)) {
@@ -194,6 +197,11 @@ object SparkEntry {
         val big  = slice(gz(le(32)(bb => (0 until 4).foreach(j => bb.putDouble(1e9 + 0.25 * j)))))
         val mask = slice((0 until 6).map(i => ((i * 7 + 3) % 256).toByte).toArray)
         val tag  = slice("abcdef".getBytes("US-ASCII"))
+        // blosc-lz4, shuffle=1: i%50 repeats across elements so the
+        // byte-shuffled planes genuinely lz4-compress (real match sequences,
+        // not stored splits)
+        val packed = slice(graft.sources.BloscCodec.compress(
+          le(1024)(bb => (0 until 256).foreach(i => bb.putInt(i % 50))), typesize = 4))
         Files.write(out.resolve("store.bin"), bos.toByteArray)
         // a .zarray entry is a JSON STRING whose content is itself JSON —
         // build the inner document plainly, then JSON-escape it once
@@ -216,6 +224,9 @@ object SparkEntry {
              |  "big/0": $big,
              |  "mask/.zarray": ${zarray("|u1", 6, 6, "null")},
              |  "mask/0": $mask,
+             |  "packed/.zarray": ${zarray("<i4", 256, 256,
+                  """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}""")},
+             |  "packed/0": $packed,
              |  "tag/.zarray": ${zarray("|S3", 2, 2, "null")},
              |  "tag/0": $tag
              |}}""".stripMargin
@@ -1409,7 +1420,9 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'big', '0', CAST(i AS INT), 1000000000.0 + 0.25 * CAST(i AS DOUBLE) FROM range(4) t(i)
         |  UNION ALL
-        |  SELECT 'mask', '0', CAST(i AS INT), CAST((i * 7 + 3) % 256 AS DOUBLE) FROM range(6) t(i))
+        |  SELECT 'mask', '0', CAST(i AS INT), CAST((i * 7 + 3) % 256 AS DOUBLE) FROM range(6) t(i)
+        |  UNION ALL
+        |  SELECT 'packed', '0', CAST(i AS INT), CAST(i % 50 AS DOUBLE) FROM range(256) t(i))
         |SELECT variable, chunk, idx, value FROM vals
         |ORDER BY variable, chunk, idx""".stripMargin,
 

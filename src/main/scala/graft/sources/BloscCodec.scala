@@ -1,0 +1,278 @@
+package graft.sources
+
+/** Pure-JVM blosc1 (the chunk format of c-blosc 1.x) with the LZ4 block
+  * codec — the single most common compressor configuration of real-world
+  * zarr v2 stores (numcodecs' default compressor is blosc). Implemented
+  * from the PUBLIC c-blosc chunk-format and LZ4 block-format
+  * specifications; no native libraries. This closes the deepest remaining
+  * decode gap behind the reference's zarr open (intake_esm/source.py:82-96)
+  * that needs no external connector.
+  *
+  * Chunk layout (c-blosc1):
+  *  - 16-byte header: version, versionlz, flags (bit0 byte-shuffle, bit1
+  *    memcpy/stored, bit2 bit-shuffle, bits5-7 codec id: 0 blosclz, 1 lz4,
+  *    2 snappy, 3 zlib, 4 zstd), typesize byte, then uint32-LE
+  *    nbytes / blocksize / cbytes (cbytes = whole chunk incl. header).
+  *  - memcpy chunks (flags bit1): the raw buffer follows the header.
+  *  - else: one uint32-LE start offset per block, then per block its
+  *    compressed streams, each `[uint32-LE csize][stream bytes]`, where
+  *    csize == neblock marks a stored (incompressible) stream. A block is
+  *    byte-SHUFFLED before being SPLIT into one stream per byte plane;
+  *    nsplits = typesize when `typesize <= 16 && blocksize/typesize >= 128`
+  *    and the block is not the trailing partial block (c-blosc's
+  *    forward-compatible split rule for blosclz/lz4), else 1.
+  *
+  * Scope: lz4 + stored/memcpy decode, and a compliant encoder for fixtures
+  * and round-trip tests. blosclz/snappy/zlib/zstd codec ids and bit-shuffle
+  * refuse loudly with the connector-boundary message — silently wrong
+  * values would be worse.
+  */
+object BloscCodec {
+
+  private val MaxSplits     = 16  // c-blosc MAX_SPLITS
+  private val MinBufferSize = 128 // c-blosc MIN_BUFFERSIZE
+
+  private def le32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
+
+  private def putLe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >>> 8) & 0xff); o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
+  }
+
+  private def nsplitsFor(typesize: Int, blocksize: Int, leftover: Boolean): Int =
+    if (typesize > 1 && typesize <= MaxSplits && blocksize / typesize >= MinBufferSize && !leftover)
+      typesize
+    else 1
+
+  /** Byte-shuffle inverse: shuffled layout is plane-major (byte p of every
+    * element, then byte p+1, ...); any trailing `n % typesize` bytes are
+    * carried unshuffled, like c-blosc. */
+  private def unshuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+    val n        = src.length
+    val elements = n / typesize
+    val out      = new Array[Byte](n)
+    var p = 0
+    while (p < typesize) {
+      var e = 0
+      while (e < elements) {
+        out(e * typesize + p) = src(p * elements + e)
+        e += 1
+      }
+      p += 1
+    }
+    var t = elements * typesize
+    while (t < n) { out(t) = src(t); t += 1 }
+    out
+  }
+
+  private def shuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+    val n        = src.length
+    val elements = n / typesize
+    val out      = new Array[Byte](n)
+    var p = 0
+    while (p < typesize) {
+      var e = 0
+      while (e < elements) {
+        out(p * elements + e) = src(e * typesize + p)
+        e += 1
+      }
+      p += 1
+    }
+    var t = elements * typesize
+    while (t < n) { out(t) = src(t); t += 1 }
+    out
+  }
+
+  // ------------------------------------------------------------------ LZ4
+
+  /** LZ4 BLOCK decompress (not the frame format — blosc carries bare
+    * blocks): token → literals → (offset, matchlen) sequences, with
+    * byte-wise match copy so overlapping matches (offset < len, the RLE
+    * shape) expand correctly. */
+  def lz4Decompress(src: Array[Byte], srcOff: Int, srcLen: Int, destLen: Int): Array[Byte] = {
+    val dest = new Array[Byte](destLen)
+    val end  = srcOff + srcLen
+    var s = srcOff
+    var d = 0
+    while (s < end) {
+      val token = src(s) & 0xff; s += 1
+      var lit = token >>> 4
+      if (lit == 15) {
+        var b = 0
+        do { b = src(s) & 0xff; s += 1; lit += b } while (b == 255)
+      }
+      require(d + lit <= destLen && s + lit <= end, s"lz4: literal run past buffer at $s")
+      System.arraycopy(src, s, dest, d, lit); s += lit; d += lit
+      if (s < end) { // a match follows unless this was the closing literal run
+        val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8); s += 2
+        require(offset > 0 && offset <= d, s"lz4: match offset $offset at output position $d")
+        var mlen = token & 0xf
+        if (mlen == 15) {
+          var b = 0
+          do { b = src(s) & 0xff; s += 1; mlen += b } while (b == 255)
+        }
+        mlen += 4
+        require(d + mlen <= destLen, s"lz4: match run past buffer ($d + $mlen > $destLen)")
+        var m = d - offset
+        var k = 0
+        while (k < mlen) { dest(d) = dest(m); d += 1; m += 1; k += 1 }
+      }
+    }
+    require(d == destLen, s"lz4: decoded $d bytes, expected $destLen")
+    dest
+  }
+
+  /** Greedy single-pass LZ4 block encoder (hash of 4-byte windows), honoring
+    * the spec's end restrictions: the last match starts >= 12 bytes before
+    * the end and the block closes with a literals-only sequence. Used by the
+    * blosc encoder below — compression ratio is irrelevant, validity is not. */
+  def lz4Compress(src: Array[Byte]): Array[Byte] = {
+    val n   = src.length
+    val out = new java.io.ByteArrayOutputStream(n + n / 255 + 16)
+    def writeLen(len: Int): Unit = { // extension bytes for a length >= 15
+      var rest = len - 15
+      while (rest >= 255) { out.write(255); rest -= 255 }
+      out.write(rest)
+    }
+    def emit(litFrom: Int, litLen: Int, offset: Int, matchLen: Int): Unit = {
+      val litTok   = math.min(litLen, 15)
+      val matchTok = if (matchLen < 0) 0 else math.min(matchLen - 4, 15)
+      out.write((litTok << 4) | matchTok)
+      if (litLen >= 15) writeLen(litLen)
+      out.write(src, litFrom, litLen)
+      if (matchLen >= 0) {
+        out.write(offset & 0xff); out.write((offset >>> 8) & 0xff)
+        if (matchLen - 4 >= 15) writeLen(matchLen - 4)
+      }
+    }
+    def read32(p: Int): Int = le32(src, p)
+    val table  = new java.util.HashMap[Integer, Integer]()
+    val mfEnd  = n - 12 // last match must start before here
+    var anchor = 0
+    var i      = 0
+    while (i < mfEnd) {
+      val h    = read32(i)
+      val cand = table.put(h, i)
+      if (cand != null && i - cand <= 0xffff && read32(cand) == h) {
+        var len = 4
+        while (i + len < n - 5 && src(cand + len) == src(i + len)) len += 1
+        emit(anchor, i - anchor, i - cand, len)
+        i += len
+        anchor = i
+      } else i += 1
+    }
+    emit(anchor, n - anchor, 0, -1) // closing literals-only sequence
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- blosc
+
+  private def refuse(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"blosc chunk uses $what — behind the connector boundary " +
+        "(only lz4/stored blosc1 chunks decode here)")
+
+  /** Decompress one blosc1 chunk to its original bytes. */
+  def decompress(data: Array[Byte]): Array[Byte] = {
+    require(data.length >= 16, s"blosc chunk of ${data.length} bytes has no 16-byte header")
+    val flags    = data(2) & 0xff
+    val typesize = data(3) & 0xff
+    val nbytes   = le32(data, 4)
+    val blocksize = le32(data, 8)
+    val cbytes   = le32(data, 12)
+    require(cbytes == data.length,
+      s"blosc header declares $cbytes chunk bytes but ${data.length} arrived")
+    require(nbytes >= 0 && blocksize > 0, s"blosc header nbytes=$nbytes blocksize=$blocksize")
+    if ((flags & 0x4) != 0) refuse("bit-shuffle")
+    val codec = (flags >>> 5) & 0x7
+    val memcpyed = (flags & 0x2) != 0
+    if (memcpyed) {
+      // stored verbatim — no shuffle, no codec
+      require(data.length >= 16 + nbytes, "blosc memcpy chunk shorter than nbytes")
+      return java.util.Arrays.copyOfRange(data, 16, 16 + nbytes)
+    }
+    if (codec != 1) refuse(s"codec id $codec (not lz4)")
+    val out     = new Array[Byte](nbytes)
+    val nblocks = (nbytes + blocksize - 1) / blocksize
+    var j = 0
+    while (j < nblocks) {
+      val bsize    = math.min(blocksize, nbytes - j * blocksize)
+      val leftover = bsize != blocksize
+      val nsplits  = nsplitsFor(typesize, blocksize, leftover)
+      val neblock  = bsize / nsplits
+      val block    = new Array[Byte](bsize)
+      var s = le32(data, 16 + 4 * j)
+      var split = 0
+      while (split < nsplits) {
+        val csize = le32(data, s); s += 4
+        require(csize >= 0 && s + csize <= data.length,
+          s"blosc block $j split $split: stream of $csize bytes overruns the chunk")
+        if (csize == neblock) System.arraycopy(data, s, block, split * neblock, neblock)
+        else System.arraycopy(
+          lz4Decompress(data, s, csize, neblock), 0, block, split * neblock, neblock)
+        s += csize
+        split += 1
+      }
+      val plain = if ((flags & 0x1) != 0) unshuffle(block, math.max(typesize, 1)) else block
+      System.arraycopy(plain, 0, out, j * blocksize, bsize)
+      j += 1
+    }
+    out
+  }
+
+  /** Encode bytes as a blosc1-lz4 chunk (shuffle on when typesize > 1) —
+    * fixture/test infrastructure for the decoder above; falls back to a
+    * memcpy chunk when compression does not pay, like c-blosc. */
+  def compress(src: Array[Byte], typesize: Int): Array[Byte] = {
+    require(typesize >= 1 && typesize <= 255, s"typesize $typesize outside [1, 255]")
+    val nbytes = src.length
+    val blocksize = {
+      // one block up to 64 KiB, kept a multiple of typesize so shuffle
+      // planes stay aligned
+      val cap = math.min(math.max(nbytes, typesize), 64 * 1024)
+      math.max(cap - cap % typesize, typesize)
+    }
+    val doShuffle = typesize > 1
+    val nblocks = math.max(1, (nbytes + blocksize - 1) / blocksize)
+    val streams = new java.io.ByteArrayOutputStream()
+    val bstarts = new Array[Int](nblocks)
+    val headerAndStarts = 16 + 4 * nblocks
+    var j = 0
+    while (j < nblocks) {
+      bstarts(j) = headerAndStarts + streams.size()
+      val bsize    = math.min(blocksize, nbytes - j * blocksize)
+      val leftover = bsize != blocksize
+      val nsplits  = nsplitsFor(typesize, blocksize, leftover)
+      val neblock  = bsize / nsplits
+      val raw      = java.util.Arrays.copyOfRange(src, j * blocksize, j * blocksize + bsize)
+      val block    = if (doShuffle) shuffle(raw, typesize) else raw
+      var split = 0
+      while (split < nsplits) {
+        val plane = java.util.Arrays.copyOfRange(block, split * neblock, (split + 1) * neblock)
+        val packed = lz4Compress(plane)
+        if (packed.length < neblock) { putLe32(streams, packed.length); streams.write(packed, 0, packed.length) }
+        else { putLe32(streams, neblock); streams.write(plane, 0, neblock) } // stored split
+        split += 1
+      }
+      j += 1
+    }
+    val body = streams.toByteArray
+    if (headerAndStarts + body.length >= 16 + nbytes) {
+      // incompressible: memcpy chunk (flags bit1, no shuffle, no bstarts)
+      val o = new java.io.ByteArrayOutputStream(16 + nbytes)
+      o.write(2); o.write(1); o.write(0x2 | (1 << 5)); o.write(typesize)
+      putLe32(o, nbytes); putLe32(o, blocksize); putLe32(o, 16 + nbytes)
+      o.write(src, 0, nbytes)
+      o.toByteArray
+    } else {
+      val o = new java.io.ByteArrayOutputStream(headerAndStarts + body.length)
+      o.write(2); o.write(1)
+      o.write((if (doShuffle) 0x1 else 0x0) | (1 << 5)) // codec lz4
+      o.write(typesize)
+      putLe32(o, nbytes); putLe32(o, blocksize); putLe32(o, headerAndStarts + body.length)
+      bstarts.foreach(putLe32(o, _))
+      o.write(body, 0, body.length)
+      o.toByteArray
+    }
+  }
+}

@@ -233,7 +233,7 @@ class ReferenceFidelitySpec extends AnyFunSuite {
         storageOptions = Map("graft.kerchunk.decode" -> "typed"))
       .openAsset(spark, SparkEntry.ensureZarrFixture(), "reference")
     assert(viaDispatch.columns.toSeq == Seq("variable", "chunk", "idx", "value"))
-    assert(viaDispatch.count() == 44) // 24 temp + 10 count + 4 big + 6 mask
+    assert(viaDispatch.count() == 300) // 24 temp + 10 count + 4 big + 6 mask + 256 packed (blosc)
   }
 
   test("decodeCoords labels values with global indices; padded edge elements dropped") {
@@ -330,10 +330,53 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     // non-numeric dtype → null (caller drops); unknown codec → loud refusal
     assert(ZarrCodec.decode("ab".getBytes, u("|S2"), u("")) == null)
     val e = intercept[UnsupportedOperationException](
-      ZarrCodec.decode(Array[Byte](1), u("<i1"), u("blosc")))
+      ZarrCodec.decode(Array[Byte](1), u("<i1"), u("zstd")))
     assert(e.getMessage.contains("connector boundary"))
+    // blosc-lz4 decodes through the same entry point
+    val bl = graft.sources.BloscCodec.compress(
+      Array.tabulate[Byte](512)(i => (i % 19).toByte), typesize = 2)
+    assert(ZarrCodec.decode(bl, u("<i2"), u("blosc")).numElements() == 256)
     // byte-count mismatch fails loudly, not silently truncated
     intercept[IllegalArgumentException](ZarrCodec.decode(Array[Byte](1, 2, 3), u("<i4"), u("")))
+  }
+
+  test("blosc codec: round-trips, shuffle/split shapes, memcpy fallback, refusals") {
+    import graft.sources.BloscCodec
+    def roundTrip(src: Array[Byte], typesize: Int): Unit = {
+      val packed = BloscCodec.compress(src, typesize)
+      assert(java.util.Arrays.equals(BloscCodec.decompress(packed), src),
+        s"round-trip failed: n=${src.length} typesize=$typesize")
+    }
+    // compressible input with shuffle + 4-way split (typesize 4, one block)
+    roundTrip(Array.tabulate[Byte](4096)(i => ((i / 4) % 50).toByte), 4)
+    // repetitive doubles — 8-way split
+    roundTrip(Array.tabulate[Byte](2048)(i => ((i / 8) % 3 * 41).toByte), 8)
+    // multi-block (> 64 KiB blocksize cap) with a leftover partial block
+    roundTrip(Array.tabulate[Byte](64 * 1024 + 1000)(i => (i % 17).toByte), 4)
+    // typesize 1: no shuffle, single split
+    roundTrip(Array.tabulate[Byte](300)(i => (i % 5).toByte), 1)
+    // blocksize/typesize < 128 forces nsplits=1 even with typesize 4
+    roundTrip(Array.tabulate[Byte](256)(i => (i % 9).toByte), 4)
+    // incompressible bytes take the memcpy path (flags bit 1)
+    val noisy = { val r = new java.util.Random(42); val a = new Array[Byte](500); r.nextBytes(a); a }
+    val packedNoisy = BloscCodec.compress(noisy, 4)
+    assert((packedNoisy(2) & 0x2) != 0, "expected memcpy flag for incompressible input")
+    assert(java.util.Arrays.equals(BloscCodec.decompress(packedNoisy), noisy))
+    // lz4 overlapping match (RLE shape: offset < length) expands correctly
+    val rle = Array.fill[Byte](1024)(7)
+    roundTrip(rle, 1)
+    // refusals: bit-shuffle flag and non-lz4 codec ids fail loudly
+    val bitShuffled = BloscCodec.compress(rle, 1).clone()
+    bitShuffled(2) = (bitShuffled(2) | 0x4).toByte
+    val e1 = intercept[UnsupportedOperationException](BloscCodec.decompress(bitShuffled))
+    assert(e1.getMessage.contains("connector boundary"))
+    val zstdChunk = BloscCodec.compress(Array.tabulate[Byte](600)(i => (i % 4).toByte), 1).clone()
+    zstdChunk(2) = ((zstdChunk(2) & 0x1f) | (4 << 5)).toByte // codec id 4 = zstd
+    val e2 = intercept[UnsupportedOperationException](BloscCodec.decompress(zstdChunk))
+    assert(e2.getMessage.contains("connector boundary"))
+    // header/chunk length mismatch is a loud error, not silent truncation
+    intercept[IllegalArgumentException](
+      BloscCodec.decompress(BloscCodec.compress(rle, 1).dropRight(3)))
   }
 
   test("truly missing catalog_file fails with a load error, not an NPE") {
