@@ -62,7 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         literalInt("band_hashes", "rows", args, 2))))
     ext.injectFunction((FunctionIdentifier("zarr_decode"),
       info("zarr_decode",
-        "zarr_decode(data, dtype, compressor) - zarr v2 chunk bytes to array<double>"),
-      (args: Seq[Expression]) => graft.sources.ZarrChunkDecode(args(0), args(1), args(2))))
+        "zarr_decode(data, dtype, compressor[, filters]) - zarr v2 chunk bytes to array<double>"),
+      (args: Seq[Expression]) => graft.sources.ZarrChunkDecode(args(0), args(1), args(2),
+        args.lift(3).getOrElse(
+          org.apache.spark.sql.catalyst.expressions.Literal("null")))))
   }
 }

@@ -154,17 +154,18 @@ object SparkEntry {
 
   /** One-time local zarr-over-kerchunk fixture for `load_kerchunk_typed`: a
     * binary store holding FORMULA-GENERATED chunks (zlib f4, raw i4, gzip
-    * f8, raw u1, blosc-lz4 i4, plus a non-numeric |S3 decoy) and a kerchunk index mapping
+    * f8, raw u1, blosc-lz4 i4, delta+shuffle-filtered i4, plus a
+    * non-numeric |S3 decoy) and a kerchunk index mapping
     * byte ranges into it. The DuckDB oracle re-derives the VALUES from the
     * same formulas — an end-to-end check of write → positioned read →
     * inflate → element decode, with no shared decode code. Formulas use
     * only 0.25/0.5 steps, exact in f4/f8, so the double widening is
     * bit-identical on both sides. */
   def ensureZarrFixture(): String = {
-    // _v2: the fixture gained the blosc-lz4 variable — a content change must
-    // change the cache path, or a stale /tmp survivor from an older session
-    // would silently serve the old store
-    val out  = Paths.get("/tmp/graft_zarr_fixture_v2")
+    // _v3: the fixture gained the blosc-lz4 and delta+shuffle-filtered
+    // variables — a content change must change the cache path, or a stale
+    // /tmp survivor from an older session would silently serve the old store
+    val out  = Paths.get("/tmp/graft_zarr_fixture_v3")
     val json = out.resolve("zarr-index.json")
     this.synchronized {
       if (!Files.exists(json)) {
@@ -202,6 +203,10 @@ object SparkEntry {
         // not stored splits)
         val packed = slice(graft.sources.BloscCodec.compress(
           le(1024)(bb => (0 until 256).foreach(i => bb.putInt(i % 50))), typesize = 4))
+        // delta + shuffle filter chain (raw, no compressor): stored bytes
+        // are the byte-shuffled DIFFERENCES of v_i = 3*i*(i+1)/2 - 40
+        val drift = slice(graft.sources.BloscCodec.shuffle(
+          le(128)(bb => (0 until 32).foreach(i => bb.putInt(if (i == 0) -40 else 3 * i))), 4))
         Files.write(out.resolve("store.bin"), bos.toByteArray)
         // a .zarray entry is a JSON STRING whose content is itself JSON —
         // build the inner document plainly, then JSON-escape it once
@@ -227,6 +232,10 @@ object SparkEntry {
              |  "packed/.zarray": ${zarray("<i4", 256, 256,
                   """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1}""")},
              |  "packed/0": $packed,
+             |  "drift/.zarray": ${jstr("""{"dtype": "<i4", "shape": [32], "chunks": [32], """ +
+                  """"compressor": null, "filters": [{"id": "delta", "dtype": "<i4"}, """ +
+                  """{"id": "shuffle", "elementsize": 4}], "order": "C", "zarr_format": 2}""")},
+             |  "drift/0": $drift,
              |  "tag/.zarray": ${zarray("|S3", 2, 2, "null")},
              |  "tag/0": $tag
              |}}""".stripMargin
@@ -1422,7 +1431,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'mask', '0', CAST(i AS INT), CAST((i * 7 + 3) % 256 AS DOUBLE) FROM range(6) t(i)
         |  UNION ALL
-        |  SELECT 'packed', '0', CAST(i AS INT), CAST(i % 50 AS DOUBLE) FROM range(256) t(i))
+        |  SELECT 'packed', '0', CAST(i AS INT), CAST(i % 50 AS DOUBLE) FROM range(256) t(i)
+        |  UNION ALL
+        |  SELECT 'drift', '0', CAST(i AS INT), CAST(3 * (i * (i + 1) // 2) - 40 AS DOUBLE)
+        |  FROM range(32) t(i))
         |SELECT variable, chunk, idx, value FROM vals
         |ORDER BY variable, chunk, idx""".stripMargin,
 

@@ -46,8 +46,9 @@ object BloscCodec {
 
   /** Byte-shuffle inverse: shuffled layout is plane-major (byte p of every
     * element, then byte p+1, ...); any trailing `n % typesize` bytes are
-    * carried unshuffled, like c-blosc. */
-  private def unshuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+    * carried unshuffled, like c-blosc. Also the inverse of numcodecs'
+    * standalone `shuffle` FILTER (same transform, used by [[ZarrCodec]]). */
+  def unshuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
     val n        = src.length
     val elements = n / typesize
     val out      = new Array[Byte](n)
@@ -65,7 +66,9 @@ object BloscCodec {
     out
   }
 
-  private def shuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+  /** Byte-shuffle forward transform (encoder side; also numcodecs'
+    * standalone `shuffle` filter — used by fixtures/tests). */
+  def shuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
     val n        = src.length
     val elements = n / typesize
     val out      = new Array[Byte](n)

@@ -290,9 +290,10 @@ object KerchunkIndex {
     * writer that matters). At 100 TB the work is embarrassingly parallel:
     * per-chunk decode, no shuffle until whatever aggregation follows.
     *
-    * Rows whose dtype is non-numeric are dropped (the codec returns null);
-    * rows whose `.zarray` declares v2 filters raise — silently wrong values
-    * would be worse than a loud connector-boundary error.
+    * Rows whose dtype is non-numeric are dropped (the codec returns null).
+    * Declared v2 filters are inverted for shuffle/delta ([[ZarrCodec]]);
+    * any other filter id raises — silently wrong values would be worse
+    * than a loud connector-boundary error.
     */
   def decodeTyped(chunks: DataFrame, meta: DataFrame): DataFrame = {
     val dataChunk = chunks.filter(col("member").rlike("^[0-9]+([.][0-9]+)*$"))
@@ -302,13 +303,7 @@ object KerchunkIndex {
       // dtype assertion below; an inner join would silently drop its data
       .join(broadcast(meta), Seq("variable"), "left")
       // assert_true returns NULL on pass (coalesce → keep row) and raises on
-      // a declared filter list — evaluated per row, inside the scan stage
-      // `filters: []` (empty list — some zarr writers' spelling of "no
-      // filters") decodes identically to `filters: null`, so both pass
-      .filter(coalesce(assert_true(col("filters").isNull || col("filters") === "null" ||
-        regexp_replace(col("filters"), "\\s+", "") === "[]",
-        concat(lit("zarr v2 filters unsupported (variable '"), col("variable"), lit("')"))),
-        lit(true)))
+      // the guarded condition — evaluated per row, inside the scan stage
       .filter(coalesce(assert_true(col("dtype").isNotNull,
         concat(lit("zarr variable '"), col("variable"),
           lit("' has no inline .zarray metadata (missing, or stored as a " +
@@ -317,7 +312,7 @@ object KerchunkIndex {
     dataChunk
       .select(col("variable"), col("member").as("chunk"),
         posexplode(ZarrCodec.zarr_decode(col("data"), col("dtype"),
-          coalesce(col("compressor"), lit("")))))
+          coalesce(col("compressor"), lit("")), coalesce(col("filters"), lit("null")))))
       .select(col("variable"), col("chunk"), col("pos").as("idx"), col("col").as("value"))
   }
 }

@@ -32,10 +32,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * Zarr v2 chunks are whole-chunk codecs over a C/F-order flattening — the
   * decoded element order IS the stored order, so the flat index is exact;
   * multi-dim coordinates derive from it with the chunk shape when needed.
-  * Filters (shuffle etc.) are NOT handled — [[KerchunkIndex.decodeTyped]]
-  * refuses rows whose `.zarray` declares any.
+  *
+  * Zarr v2 FILTERS (numcodecs codecs applied before the compressor on
+  * write, inverted in reverse order on read) are supported for the two
+  * pure-byte/arithmetic ones: `shuffle` (byte transpose, any chain
+  * position) and `delta` (stored first value + differences; must be the
+  * FIRST filter, i.e. the one applied directly to the typed data, which is
+  * the only place numcodecs puts it). Integer delta cumsum wraps at the
+  * storage width exactly like numpy's wraparound add; f4 accumulates in
+  * Float so rounding matches a float32 reader. Any other filter id refuses
+  * loudly.
   */
 object ZarrCodec {
+
+  /** One parsed `.zarray` filter config (numcodecs codec config). */
+  private final case class FilterSpec(id: String, elementSize: Int, astype: Option[String],
+                                      dtype: Option[String])
+
+  /** Parse the `.zarray` `filters` JSON: null / "null" / [] → no filters. */
+  private def parseFilters(filters: UTF8String): List[FilterSpec] = {
+    val s = if (filters == null) "" else filters.toString.trim
+    if (s.isEmpty || s == "null" || s.replaceAll("\\s", "") == "[]") return Nil
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(s) match {
+      case JArray(items) => items.map {
+        case obj: JObject =>
+          val m = obj.obj.toMap
+          def str(k: String): Option[String] = m.get(k).collect { case JString(v) => v }
+          def int(k: String): Option[Int] = m.get(k).collect {
+            case JInt(v) => v.toInt
+            case JLong(v) => v.toInt
+          }
+          FilterSpec(str("id").getOrElse(
+              throw new IllegalArgumentException(s"zarr filter config without an id: $obj")),
+            int("elementsize").getOrElse(4), str("astype"), str("dtype"))
+        case other => throw new IllegalArgumentException(s"malformed zarr filter entry: $other")
+      }
+      case other => throw new IllegalArgumentException(s"malformed zarr filters list: $other")
+    }
+  }
 
   /** Inflate per the zarr compressor id ("" or null = stored raw). */
   def decompress(data: Array[Byte], compressor: String): Array[Byte] =
@@ -77,14 +112,40 @@ object ZarrCodec {
     }
 
   /** Decoded chunk as doubles, or null for non-numeric dtypes. Called from
-    * both interpreted eval and generated code. */
-  def decode(data: Array[Byte], dtype: UTF8String, compressor: UTF8String): GenericArrayData = {
+    * both interpreted eval and generated code. Three-arg form: no filters. */
+  def decode(data: Array[Byte], dtype: UTF8String, compressor: UTF8String): GenericArrayData =
+    decode(data, dtype, compressor, null)
+
+  def decode(data: Array[Byte], dtype: UTF8String, compressor: UTF8String,
+             filters: UTF8String): GenericArrayData = {
     val dt  = dtype.toString
     require(dt.length >= 2, s"malformed numpy dtype '$dt'")
     val kind  = dt.charAt(1)
     if (kind != 'i' && kind != 'u' && kind != 'f' && kind != 'b') return null
     val width = dt.substring(2).toInt
-    val raw   = decompress(data, if (compressor == null) "" else compressor.toString)
+    var raw   = decompress(data, if (compressor == null) "" else compressor.toString)
+    // invert the filter chain in reverse write order: shuffles are byte
+    // transposes applied here; a delta (typed-array level) must sit at
+    // chain position 0 and is applied AFTER element decode below
+    var delta: Option[FilterSpec] = None
+    parseFilters(filters).zipWithIndex.reverse.foreach { case (f, pos) =>
+      f.id match {
+        case "shuffle" =>
+          require(f.elementSize >= 1, s"zarr shuffle filter elementsize ${f.elementSize}")
+          raw = BloscCodec.unshuffle(raw, f.elementSize)
+        case "delta" =>
+          if (pos != 0) throw new UnsupportedOperationException(
+            "zarr delta filter at a non-first chain position — behind the connector boundary")
+          if (f.astype.exists(a => f.dtype.forall(_ != a) || a != dt))
+            throw new UnsupportedOperationException(
+              s"zarr delta filter with astype ${f.astype.get} != dtype $dt — " +
+                "behind the connector boundary")
+          delta = Some(f)
+        case other => throw new UnsupportedOperationException(
+          s"zarr v2 filter '$other' needs an external codec library — behind the " +
+            "connector boundary (only shuffle/delta invert here)")
+      }
+    }
     require(raw.length % width == 0,
       s"chunk of ${raw.length} bytes is not a multiple of $dtype width $width")
     val order = dt.charAt(0) match {
@@ -115,48 +176,96 @@ object ZarrCodec {
       }
       i += 1
     }
+    if (delta.isDefined && n > 0) {
+      if (kind == 'f') {
+        if (width == 4) {
+          // accumulate in Float: a float32 reader (numpy cumsum over an f4
+          // view) rounds each partial sum — double accumulation would drift
+          var acc = buf.getFloat(0)
+          var i = 1
+          while (i < n) { acc = acc + buf.getFloat(i * 4); out(i) = acc.toDouble; i += 1 }
+        } else {
+          var i = 1
+          while (i < n) { out(i) += out(i - 1); i += 1 }
+        }
+      } else {
+        // integer cumsum wraps at the storage width (numpy wraparound add);
+        // accumulate on the RAW stored integers, not the widened doubles
+        def readLong(i: Int): Long = (kind, width) match {
+          case ('i', 1)            => buf.get(i).toLong
+          case ('i', 2)            => buf.getShort(i * 2).toLong
+          case ('i', 4)            => buf.getInt(i * 4).toLong
+          case ('u', 1) | ('b', 1) => (buf.get(i) & 0xff).toLong
+          case ('u', 2)            => (buf.getShort(i * 2) & 0xffff).toLong
+          case ('u', 4)            => buf.getInt(i * 4) & 0xffffffffL
+          case (_, 8)              => buf.getLong(i * 8)
+          case _ => throw new IllegalArgumentException(s"unsupported dtype '$dt' for delta")
+        }
+        def wrap(a: Long): Long = (kind, width) match {
+          case (_, 8)   => a
+          case ('i', w) => (a << (64 - 8 * w)) >> (64 - 8 * w)
+          case (_, w)   => a & ((1L << (8 * w)) - 1)
+        }
+        def widen(a: Long): Double = (kind, width) match {
+          case ('u', 8) => if (a >= 0) a.toDouble else a.toDouble + 1.8446744073709552e19
+          case ('b', _) => if (a != 0) 1.0 else 0.0
+          case _        => a.toDouble
+        }
+        var acc = 0L
+        var i = 0
+        while (i < n) { acc = wrap(acc + readLong(i)); out(i) = widen(acc); i += 1 }
+      }
+    }
     new GenericArrayData(out)
   }
 
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
-  /** `zarr_decode(data, dtype, compressor)` → array<double> (null for
-    * non-numeric dtypes). Pass `coalesce(compressor, '')` — a SQL NULL
-    * compressor would null the whole row under null-safe eval. */
+  /** `zarr_decode(data, dtype, compressor[, filters])` → array<double>
+    * (null for non-numeric dtypes). Pass `coalesce(compressor, '')` /
+    * `coalesce(filters, 'null')` — a SQL NULL argument would null the whole
+    * row under null-safe eval. */
   def zarr_decode(data: Column, dtype: Column, compressor: Column): Column =
-    column(ZarrChunkDecode(expression(data), expression(dtype), expression(compressor)))
+    zarr_decode(data, dtype, compressor, org.apache.spark.sql.functions.lit("null"))
+
+  def zarr_decode(data: Column, dtype: Column, compressor: Column, filters: Column): Column =
+    column(ZarrChunkDecode(expression(data), expression(dtype),
+      expression(compressor), expression(filters)))
 }
 
 /** Native expression form of [[ZarrCodec.decode]]: the decode loop runs as
   * one static call inside whole-stage codegen, so a scan → decode → explode
   * pipeline stays a single generated stage. */
-case class ZarrChunkDecode(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+case class ZarrChunkDecode(first: Expression, second: Expression, third: Expression,
+                           fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean  = true // non-numeric dtype → null
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (first.dataType, second.dataType, third.dataType) match {
-      case (BinaryType, StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType, StringType, StringType, StringType) => TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
-          s"zarr_decode expects (binary, string, string), got $other")
+          s"zarr_decode expects (binary, string, string, string), got $other")
     }
 
-  override def nullSafeEval(data: Any, dtype: Any, compressor: Any): Any =
+  override def nullSafeEval(data: Any, dtype: Any, compressor: Any, filters: Any): Any =
     ZarrCodec.decode(data.asInstanceOf[Array[Byte]],
-      dtype.asInstanceOf[UTF8String], compressor.asInstanceOf[UTF8String])
+      dtype.asInstanceOf[UTF8String], compressor.asInstanceOf[UTF8String],
+      filters.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (d, t, c) => {
+    nullSafeCodeGen(ctx, ev, (d, t, c, f) => {
       s"""
-         |${ev.value} = graft.sources.ZarrCodec.decode($d, $t, $c);
+         |${ev.value} = graft.sources.ZarrCodec.decode($d, $t, $c, $f);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
-    copy(first = newFirst, second = newSecond, third = newThird)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }

@@ -233,7 +233,8 @@ class ReferenceFidelitySpec extends AnyFunSuite {
         storageOptions = Map("graft.kerchunk.decode" -> "typed"))
       .openAsset(spark, SparkEntry.ensureZarrFixture(), "reference")
     assert(viaDispatch.columns.toSeq == Seq("variable", "chunk", "idx", "value"))
-    assert(viaDispatch.count() == 300) // 24 temp + 10 count + 4 big + 6 mask + 256 packed (blosc)
+    // 24 temp + 10 count + 4 big + 6 mask + 256 packed (blosc) + 32 drift (delta+shuffle)
+    assert(viaDispatch.count() == 332)
   }
 
   test("decodeCoords labels values with global indices; padded edge elements dropped") {
@@ -338,6 +339,23 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(ZarrCodec.decode(bl, u("<i2"), u("blosc")).numElements() == 256)
     // byte-count mismatch fails loudly, not silently truncated
     intercept[IllegalArgumentException](ZarrCodec.decode(Array[Byte](1, 2, 3), u("<i4"), u("")))
+    // zarr v2 filters: delta+shuffle chain inverts (stored = shuffled diffs)
+    val diffBytes = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(5).putInt(-2).putInt(7).array()
+    assert(ZarrCodec.decode(graft.sources.BloscCodec.shuffle(diffBytes, 4), u("<i4"), u(""),
+        u("""[{"id": "delta", "dtype": "<i4"}, {"id": "shuffle", "elementsize": 4}]"""))
+      .toDoubleArray.toSeq == Seq(5.0, 3.0, 10.0))
+    // integer delta cumsum wraps at the storage width like numpy
+    assert(ZarrCodec.decode(Array[Byte](127, 1), u("|i1"), u(""),
+        u("""[{"id": "delta", "dtype": "|i1"}]"""))
+      .toDoubleArray.toSeq == Seq(127.0, -128.0))
+    // unknown filter ids and misplaced delta refuse loudly
+    val e3 = intercept[UnsupportedOperationException](
+      ZarrCodec.decode(Array[Byte](0), u("|u1"), u(""), u("""[{"id": "fixedscaleoffset"}]""")))
+    assert(e3.getMessage.contains("connector boundary"))
+    intercept[UnsupportedOperationException](
+      ZarrCodec.decode(Array[Byte](0, 0), u("|u1"), u(""),
+        u("""[{"id": "shuffle", "elementsize": 1}, {"id": "delta", "dtype": "|u1"}]""")))
   }
 
   test("blosc codec: round-trips, shuffle/split shapes, memcpy fallback, refusals") {
