@@ -512,6 +512,27 @@ object SparkEntry {
         .orderBy("variable", "value")
     }),
 
+    "load_netcdf3" -> ((s, _) => {
+      // the reference's `netcdf` format dispatch (source.py:97-109) for a
+      // REAL classic-format CMIP5 file from its own test data: header parse
+      // -> chunk-map entries -> positioned reads -> big-endian decode ->
+      // dimension-labeled coordinates, all through the shared kerchunk
+      // machinery (NetCDF3Index synthesizes the .zarray/.zattrs plane).
+      val nc = "/root/reference/tests/sample_data/cmip/cmip5/output1/NIMR-KMA/HadGEM2-AO/" +
+        "rcp85/mon/atmos/Amon/r1i1p1/v20130815/tasmax/" +
+        "tasmax_Amon_HadGEM2-AO_rcp85_r1i1p1_200511-200512.nc"
+      val entries = graft.sources.NetCDF3Index.read(s, nc)
+      graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "scan_catalog_dict" -> ((s, _) => {
       CatalogReader.fromDict(s, Seq(
         Map("component" -> "ocn", "experiment" -> "20C", "variable" -> "SHF", "scode" -> 482L),
@@ -1453,6 +1474,104 @@ object SparkEntry {
         |  FROM range(10) t(i))
         |SELECT variable, dims, coord_key, value FROM grid
         |ORDER BY variable, value""".stripMargin,
+
+
+    // values pinned from an INDEPENDENT python struct-level parse of the
+    // reference's own CMIP5 classic-netCDF sample (the only CDF-format file
+    // in its test data): header walk + big-endian struct.unpack, no shared
+    // code with the Scala reader. 87 rows = every numeric element of every
+    // variable, with dimension labels and global coordinates.
+    "load_netcdf3" ->
+      """SELECT variable, dims, coord_key, CAST(value AS DOUBLE) AS value FROM (VALUES
+        |('time','time','0','-45.0'),
+        |('time','time','1','-15.0'),
+        |('time_bnds','time.bnds','0.0','-30.0'),
+        |('time_bnds','time.bnds','0.1','-60.0'),
+        |('time_bnds','time.bnds','1.0','-60.0'),
+        |('time_bnds','time.bnds','1.1','-90.0'),
+        |('lat','lat','0','-90.0'),
+        |('lat','lat','1','-88.75'),
+        |('lat','lat','2','-87.5'),
+        |('lat','lat','3','-86.25'),
+        |('lat','lat','4','-85.0'),
+        |('lat_bnds','lat.bnds','0.0','-90.625'),
+        |('lat_bnds','lat.bnds','0.1','-89.375'),
+        |('lat_bnds','lat.bnds','1.0','-89.375'),
+        |('lat_bnds','lat.bnds','1.1','-88.125'),
+        |('lat_bnds','lat.bnds','2.0','-88.125'),
+        |('lat_bnds','lat.bnds','2.1','-86.875'),
+        |('lat_bnds','lat.bnds','3.0','-86.875'),
+        |('lat_bnds','lat.bnds','3.1','-85.625'),
+        |('lat_bnds','lat.bnds','4.0','-85.625'),
+        |('lat_bnds','lat.bnds','4.1','-84.375'),
+        |('lon','lon','0','0.0'),
+        |('lon','lon','1','1.875'),
+        |('lon','lon','2','3.75'),
+        |('lon','lon','3','5.625'),
+        |('lon','lon','4','7.5'),
+        |('lon_bnds','lon.bnds','0.0','-0.9375'),
+        |('lon_bnds','lon.bnds','0.1','0.9375'),
+        |('lon_bnds','lon.bnds','1.0','0.9375'),
+        |('lon_bnds','lon.bnds','1.1','2.8125'),
+        |('lon_bnds','lon.bnds','2.0','2.8125'),
+        |('lon_bnds','lon.bnds','2.1','4.6875'),
+        |('lon_bnds','lon.bnds','3.0','4.6875'),
+        |('lon_bnds','lon.bnds','3.1','6.5625'),
+        |('lon_bnds','lon.bnds','4.0','6.5625'),
+        |('lon_bnds','lon.bnds','4.1','8.4375'),
+        |('height','height','0','2.0'),
+        |('tasmax','time.lat.lon','0.0.0','255.84190368652344'),
+        |('tasmax','time.lat.lon','0.0.1','255.84190368652344'),
+        |('tasmax','time.lat.lon','0.0.2','255.84190368652344'),
+        |('tasmax','time.lat.lon','0.0.3','255.84190368652344'),
+        |('tasmax','time.lat.lon','0.0.4','255.84190368652344'),
+        |('tasmax','time.lat.lon','0.1.0','256.9703063964844'),
+        |('tasmax','time.lat.lon','0.1.1','256.9209899902344'),
+        |('tasmax','time.lat.lon','0.1.2','256.88128662109375'),
+        |('tasmax','time.lat.lon','0.1.3','256.8370056152344'),
+        |('tasmax','time.lat.lon','0.1.4','256.78021240234375'),
+        |('tasmax','time.lat.lon','0.2.0','258.2611999511719'),
+        |('tasmax','time.lat.lon','0.2.1','258.1935119628906'),
+        |('tasmax','time.lat.lon','0.2.2','258.12548828125'),
+        |('tasmax','time.lat.lon','0.2.3','258.02679443359375'),
+        |('tasmax','time.lat.lon','0.2.4','257.927490234375'),
+        |('tasmax','time.lat.lon','0.3.0','258.8851013183594'),
+        |('tasmax','time.lat.lon','0.3.1','258.7810974121094'),
+        |('tasmax','time.lat.lon','0.3.2','258.67608642578125'),
+        |('tasmax','time.lat.lon','0.3.3','258.5372009277344'),
+        |('tasmax','time.lat.lon','0.3.4','258.40301513671875'),
+        |('tasmax','time.lat.lon','0.4.0','259.6064147949219'),
+        |('tasmax','time.lat.lon','0.4.1','259.47601318359375'),
+        |('tasmax','time.lat.lon','0.4.2','259.3445129394531'),
+        |('tasmax','time.lat.lon','0.4.3','259.2398986816406'),
+        |('tasmax','time.lat.lon','0.4.4','259.17669677734375'),
+        |('tasmax','time.lat.lon','1.0.0','243.99850463867188'),
+        |('tasmax','time.lat.lon','1.0.1','243.99850463867188'),
+        |('tasmax','time.lat.lon','1.0.2','243.99850463867188'),
+        |('tasmax','time.lat.lon','1.0.3','243.99850463867188'),
+        |('tasmax','time.lat.lon','1.0.4','243.99850463867188'),
+        |('tasmax','time.lat.lon','1.1.0','245.44830322265625'),
+        |('tasmax','time.lat.lon','1.1.1','245.39979553222656'),
+        |('tasmax','time.lat.lon','1.1.2','245.3415069580078'),
+        |('tasmax','time.lat.lon','1.1.3','245.29530334472656'),
+        |('tasmax','time.lat.lon','1.1.4','245.2532958984375'),
+        |('tasmax','time.lat.lon','1.2.0','245.65130615234375'),
+        |('tasmax','time.lat.lon','1.2.1','245.53460693359375'),
+        |('tasmax','time.lat.lon','1.2.2','245.43780517578125'),
+        |('tasmax','time.lat.lon','1.2.3','245.33889770507812'),
+        |('tasmax','time.lat.lon','1.2.4','245.24209594726562'),
+        |('tasmax','time.lat.lon','1.3.0','245.50169372558594'),
+        |('tasmax','time.lat.lon','1.3.1','245.3677978515625'),
+        |('tasmax','time.lat.lon','1.3.2','245.22950744628906'),
+        |('tasmax','time.lat.lon','1.3.3','245.091796875'),
+        |('tasmax','time.lat.lon','1.3.4','244.94459533691406'),
+        |('tasmax','time.lat.lon','1.4.0','244.9346923828125'),
+        |('tasmax','time.lat.lon','1.4.1','244.65750122070312'),
+        |('tasmax','time.lat.lon','1.4.2','244.4409942626953'),
+        |('tasmax','time.lat.lon','1.4.3','244.19940185546875'),
+        |('tasmax','time.lat.lon','1.4.4','243.98590087890625')
+        |) AS t(variable, dims, coord_key, value)
+        |ORDER BY variable, coord_key""".stripMargin,
 
     "scan_catalog_esmcat" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS member,

@@ -57,18 +57,43 @@ final case class EsmDataSource(
       case "json"                => spark.read.options(storageOptions).json(path)
       case "reference" =>
         // chunk-map plane by default; `graft.kerchunk.decode=typed` descends
-        // to typed values for JDK-decodable codecs (raw/zlib/gzip, local or
-        // inline refs — sources.ZarrCodec), the depth the reference reaches
-        // through xarray's zarr engine (source.py:82-96)
-        val entries = graft.sources.KerchunkIndex.read(spark, path, storageOptions)
-        if (storageOptions.get("graft.kerchunk.decode").contains("typed"))
-          graft.sources.KerchunkIndex.decodeTyped(
-            graft.sources.KerchunkIndex.materializeChunks(entries),
-            graft.sources.KerchunkIndex.arrayMeta(entries))
-        else entries
+        // to typed values for JDK-decodable codecs (raw/zlib/gzip/blosc-lz4,
+        // local or inline refs — sources.ZarrCodec), the depth the reference
+        // reaches through xarray's zarr engine (source.py:82-96);
+        // `=coords` adds the dimension-labeled global indices
+        decodeEntries(graft.sources.KerchunkIndex.read(spark, path, storageOptions))
+      case "netcdf" | "netcdf3" =>
+        // classic CDF containers parse natively (sources.NetCDF3Index
+        // translates the header into the same chunk-map plane as kerchunk);
+        // HDF5-backed netCDF-4 needs an external connector (source.py:97-109)
+        graft.sources.NetCDF3Index.sniff(spark, path) match {
+          case "cdf" => decodeEntries(graft.sources.NetCDF3Index.read(spark, path, storageOptions))
+          case "hdf5" => throw new UnsupportedOperationException(
+            s"netCDF-4 asset '$path' is an HDF5 container — behind the connector " +
+              "boundary (classic CDF-1/2 files decode natively)")
+          case other => throw new IllegalArgumentException(
+            s"asset '$path' declared netcdf but carries no CDF/HDF5 magic")
+        }
       case other =>
         throw new UnsupportedOperationException(
-          s"data format '$other' needs an external Spark connector (netcdf/zarr/opendap per source.py:70-137)")
+          s"data format '$other' needs an external Spark connector (zarr/opendap per source.py:70-137)")
+    }
+
+  /** Chunk-map entries → the depth `graft.kerchunk.decode` asks for:
+    * absent = the entry rows themselves, `typed` = decoded values,
+    * `coords` = decoded values with dimension-labeled global indices. */
+  private def decodeEntries(entries: DataFrame): DataFrame =
+    storageOptions.get("graft.kerchunk.decode") match {
+      case Some("typed") =>
+        graft.sources.KerchunkIndex.decodeTyped(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries))
+      case Some("coords") =>
+        graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries))
+      case _ => entries
     }
 
   /** Variable projection (source.py:116-133): keep requested ∩ declared;

@@ -107,8 +107,13 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     val formats = cat.df.select("format").distinct()
       .collect().map(_.getString(0)).toSet
     assert(formats == Set("netcdf", "zarr"))
-    // materialization must fail on the connector boundary, not before it
-    val e = intercept[Exception](cat.toDatasetDict(Nil))
+    // the remote (gs://) zarr group must fail on the connector boundary,
+    // not before it (the catalog's netcdf rows carry dangling relative
+    // paths, so they are excluded — classic netCDF now parses natively and
+    // would fail on the missing FILE, a different error class)
+    val zarrOnly = cat.search(Map("format" -> "zarr"))
+    assert(zarrOnly.length > 0)
+    val e = intercept[Exception](zarrOnly.toDatasetDict(Nil))
     assert(e.isInstanceOf[UnsupportedOperationException] ||
       e.getCause.isInstanceOf[UnsupportedOperationException])
   }
@@ -356,6 +361,45 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     intercept[UnsupportedOperationException](
       ZarrCodec.decode(Array[Byte](0, 0), u("|u1"), u(""),
         u("""[{"id": "shuffle", "elementsize": 1}, {"id": "delta", "dtype": "|u1"}]""")))
+  }
+
+  test("netcdf classic: the real CMIP5 sample decodes with labeled coordinates") {
+    val nc = "/root/reference/tests/sample_data/cmip/cmip5/output1/NIMR-KMA/HadGEM2-AO/" +
+      "rcp85/mon/atmos/Amon/r1i1p1/v20130815/tasmax/" +
+      "tasmax_Amon_HadGEM2-AO_rcp85_r1i1p1_200511-200512.nc"
+    val entries = graft.sources.NetCDF3Index.read(spark, nc)
+    val meta = graft.sources.KerchunkIndex.arrayMeta(entries).collect()
+      .map(r => r.getAs[String]("variable") -> r).toMap
+    assert(meta("tasmax").getAs[String]("dtype") == ">f4")
+    assert(meta("tasmax").getAs[scala.collection.Seq[Long]]("shape") == Seq(2L, 5L, 5L))
+    assert(meta("time").getAs[String]("dtype") == ">f8")
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    assert(rows.length == 87) // every numeric element of every variable
+    // spot values pinned from an independent python struct-level parse of
+    // the same file (no shared code with the Scala reader)
+    val byKey = rows.map(r => (r.getAs[String]("variable"),
+      r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")) -> r.getAs[Double]("value")).toMap
+    assert(byKey(("lat", "0")) == -90.0 && byKey(("lat", "4")) == -85.0)
+    assert(byKey(("height", "0")) == 2.0)
+    assert(byKey(("time", "1")) == -15.0)
+    assert(byKey(("tasmax", "0.0.0")) == 255.84190368652344)
+    assert(byKey(("lat_bnds", "2.1")) == -86.875)
+    val tas = rows.filter(_.getAs[String]("variable") == "tasmax")
+    assert(tas.head.getAs[scala.collection.Seq[String]]("dims") == Seq("time", "lat", "lon"))
+    // offset/stride errors produce wild float garbage — every tasmax value
+    // must be a plausible Kelvin temperature
+    val temps = tas.map(_.getAs[Double]("value"))
+    assert(temps.length == 50 && temps.forall(t => t > 150 && t < 350))
+    // HDF5-backed netCDF-4 (the CMIP6 samples) refuses at the boundary
+    val h5 = "/root/reference/tests/sample_data/cmip/CMIP6/CMIP/BCC/BCC-ESM1/piControl/" +
+      "r1i1p1f1/Amon/tasmax/gn/v20181214/tasmax/" +
+      "tasmax_Amon_BCC-ESM1_piControl_r1i1p1f1_gn_185001-230012.nc"
+    val e = intercept[UnsupportedOperationException](
+      graft.catalog.EsmDataSource("k", Nil, "path", None, Nil).openAsset(spark, h5, "netcdf"))
+    assert(e.getMessage.contains("connector boundary"))
   }
 
   test("blosc codec: round-trips, shuffle/split shapes, memcpy fallback, refusals") {
