@@ -102,17 +102,23 @@ object BloscCodec {
       var lit = token >>> 4
       if (lit == 15) {
         var b = 0
-        do { b = src(s) & 0xff; s += 1; lit += b } while (b == 255)
+        // bounds INSIDE the extension loop: blosc packs several lz4 streams
+        // back to back in one chunk, so an unchecked overrun reads the NEXT
+        // split's bytes and mis-decodes silently instead of failing loudly
+        do { require(s < end, "lz4: truncated literal-length extension")
+             b = src(s) & 0xff; s += 1; lit += b } while (b == 255)
       }
       require(d + lit <= destLen && s + lit <= end, s"lz4: literal run past buffer at $s")
       System.arraycopy(src, s, dest, d, lit); s += lit; d += lit
       if (s < end) { // a match follows unless this was the closing literal run
+        require(s + 2 <= end, "lz4: truncated match offset")
         val offset = (src(s) & 0xff) | ((src(s + 1) & 0xff) << 8); s += 2
         require(offset > 0 && offset <= d, s"lz4: match offset $offset at output position $d")
         var mlen = token & 0xf
         if (mlen == 15) {
           var b = 0
-          do { b = src(s) & 0xff; s += 1; mlen += b } while (b == 255)
+          do { require(s < end, "lz4: truncated match-length extension")
+               b = src(s) & 0xff; s += 1; mlen += b } while (b == 255)
         }
         mlen += 4
         require(d + mlen <= destLen, s"lz4: match run past buffer ($d + $mlen > $destLen)")
@@ -197,6 +203,8 @@ object BloscCodec {
     if (codec != 1) refuse(s"codec id $codec (not lz4)")
     val out     = new Array[Byte](nbytes)
     val nblocks = (nbytes + blocksize - 1) / blocksize
+    require(data.length >= 16 + 4 * nblocks,
+      s"blosc chunk truncated: ${data.length} bytes cannot hold $nblocks block offsets")
     var j = 0
     while (j < nblocks) {
       val bsize    = math.min(blocksize, nbytes - j * blocksize)

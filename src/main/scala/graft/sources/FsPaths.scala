@@ -1,0 +1,27 @@
+package graft.sources
+
+/** Shared scheme dispatch for the byte-level sources: bare paths are LOCAL
+  * files (fsspec semantics — never resolved against fs.defaultFS, which is
+  * hdfs on a real cluster), and schemes with no installed Hadoop FileSystem
+  * refuse with one consistent connector-boundary error. One implementation
+  * so a Hadoop message change or a bare-path semantics fix lands once. */
+private[sources] object FsPaths {
+
+  def hadoopPath(url: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      if (url.contains("://")) url
+      else "file://" + new java.io.File(url).getAbsolutePath)
+
+  /** FileSystem.get raises "No FileSystem for scheme ..." (an
+    * UnsupportedFileSystemException or plain IOException,
+    * version-dependent) for schemes with no installed connector. */
+  def isNoFilesystem(e: java.io.IOException): Boolean =
+    Option(e.getMessage).exists(_.toLowerCase.contains("no filesystem for scheme"))
+
+  def connectorRefusal(url: String, cause: Throwable): Nothing =
+    throw new UnsupportedOperationException(
+      s"byte-range access for '${url.takeWhile(_ != ':')}://' urls is behind the " +
+        "connector boundary: no seekable Hadoop FileSystem for the scheme is " +
+        "installed (object stores need their connector jar, e.g. s3a:// + hadoop-aws)",
+      cause)
+}

@@ -119,14 +119,21 @@ object KerchunkIndex {
     val withBand = entries.filter(col("kind") === "ref" || col("url").isNotNull)
       .select($"key", $"variable", $"member", $"kind", $"url", $"offset", $"length",
         floor(coalesce($"offset", lit(0L)) / lit(bytesPerTask)).as("__band"))
+      // persisted: the band count below is an EAGER job, and without the
+      // persist it would recompute the whole upstream entries plan (for
+      // kerchunk, the wholetext JSON parse + variant shred) once for the
+      // count and again for the refs read — ref METADATA is ~100 B/row, so
+      // the persist is small; Spark's LRU reclaims it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (url, offset band), NOT url alone: all chunks of one physical file on
     // one key would serialize a 1000-chunk netCDF into a single task —
     // banding bounds per-task byte volume while the within-partition sort
     // below keeps each task's reads sequential-ascending per file. The
     // partition count is pinned to the distinct band count (one tiny
-    // metadata-only job over the index): left to AQE, coalescing would size
-    // on the SHUFFLED bytes — ref metadata, ~100 B/row — underestimating by
-    // orders of magnitude the positioned-read volume each row fans out into.
+    // metadata-only job over the persisted band frame): left to AQE,
+    // coalescing would size on the SHUFFLED bytes — ref metadata —
+    // underestimating by orders of magnitude the positioned-read volume
+    // each row fans out into.
     val nTasks = {
       val bands = withBand.select("url", "__band").distinct().count()
       math.max(1L, math.min(bands, 1L << 20)).toInt
@@ -143,42 +150,31 @@ object KerchunkIndex {
         var fs: org.apache.hadoop.fs.FileSystem = null
         var in: org.apache.hadoop.fs.FSDataInputStream = null
         var fileLen = -1L // lazy: only stat'd when a ref omits its length
-        def connectorRefusal(url: String, cause: Throwable): Nothing =
-          throw new UnsupportedOperationException(
-            s"kerchunk chunk decode for '${url.takeWhile(_ != ':')}://' urls is behind the " +
-              "connector boundary: no seekable Hadoop FileSystem for the scheme is " +
-              "installed (object stores need their connector jar, e.g. s3a:// + hadoop-aws)",
-            cause)
-        def hadoopPath(key: String, url: String): org.apache.hadoop.fs.Path = {
-          if (url == null) throw new IllegalArgumentException(
-            s"kerchunk entry '$key': malformed ref (empty array — no url)")
+        def hadoopPath(url: String): org.apache.hadoop.fs.Path = {
           val scheme = if (url.contains("://")) url.takeWhile(_ != ':').toLowerCase else ""
           // Hadoop's http(s) FileSystem cannot seek — positioned range
           // reads are impossible over it, so refuse rather than stream
           // whole objects
-          if (scheme == "http" || scheme == "https") connectorRefusal(url, null)
-          // bare paths are LOCAL files (fsspec semantics) — made explicit so
-          // they never resolve against fs.defaultFS (hdfs on a real cluster)
-          new org.apache.hadoop.fs.Path(
-            if (scheme.nonEmpty) url
-            else "file://" + new java.io.File(url).getAbsolutePath)
+          if (scheme == "http" || scheme == "https") FsPaths.connectorRefusal(url, null)
+          FsPaths.hadoopPath(url)
         }
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ => if (in != null) in.close()))
         it.map { case (key, variable, member, kind, url, offsetOpt, lengthOpt) =>
+          // null BEFORE the open-url comparison: null urls sort first, so
+          // `null != openUrl(=null)` is false and the open would be skipped,
+          // turning the malformed-ref diagnostic into an NPE downstream
+          if (url == null) throw new IllegalArgumentException(
+            s"kerchunk entry '$key': malformed ref (empty array — no url)")
           if (url != openUrl) {
             if (in != null) { in.close(); in = null }
-            openPath = hadoopPath(key, url)
+            openPath = hadoopPath(url)
             try {
               fs = openPath.getFileSystem(conf)
               in = fs.open(openPath)
             } catch {
-              // FileSystem.get raises "No FileSystem for scheme ..." (an
-              // UnsupportedFileSystemException or plain IOException,
-              // version-dependent) for schemes with no installed connector
-              case e: java.io.IOException
-                  if Option(e.getMessage).exists(_.toLowerCase.contains("no filesystem for scheme")) =>
-                connectorRefusal(url, e)
+              case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+                FsPaths.connectorRefusal(url, e)
             }
             fileLen = -1L
             openUrl = url
@@ -269,6 +265,12 @@ object KerchunkIndex {
     decodeTyped(chunks, meta)
       .join(broadcast(meta.select(col("variable"), col("shape"), col("chunks"))), Seq("variable"))
       .join(broadcast(dims), Seq("variable"), "left")
+      // 0-d (scalar) arrays: zarr stores shape [] / chunks [] with chunk
+      // key "0" — normalize both to [1] so the grid math yields coord [0];
+      // un-normalized, sequence(0, -1) makes coords null and the padding
+      // filter silently drops the value
+      .withColumn("shape", when(size(col("shape")) === 0, array(lit(1L))).otherwise(col("shape")))
+      .withColumn("chunks", when(size(col("chunks")) === 0, array(lit(1L))).otherwise(col("chunks")))
       // coords staged into its own projection: referenced by the padding
       // filter AND the output — inlining would re-evaluate the whole
       // transform per reference

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 
 /** netCDF classic (CDF-1 / CDF-2) container reader — the other half of the
   * reference's `netcdf` format dispatch (intake_esm/source.py:97-109) that
@@ -157,19 +156,15 @@ object NetCDF3Index {
     * connector), or "unknown". Schemes with no installed Hadoop FileSystem
     * refuse with the connector-boundary message. */
   def sniff(spark: SparkSession, path: String): String = {
-    val hPath = new org.apache.hadoop.fs.Path(
-      if (path.contains("://")) path else "file://" + new java.io.File(path).getAbsolutePath)
+    val hPath = FsPaths.hadoopPath(path)
     val magic = new Array[Byte](4)
     try {
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(hPath)
       try in.readFully(0, magic) finally in.close()
     } catch {
-      case e: java.io.IOException
-          if Option(e.getMessage).exists(_.toLowerCase.contains("no filesystem for scheme")) =>
-        throw new UnsupportedOperationException(
-          s"netcdf asset at '${path.takeWhile(_ != ':')}://' is behind the connector " +
-            "boundary: no Hadoop FileSystem for the scheme is installed", e)
+      case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+        FsPaths.connectorRefusal(path, e)
     }
     if (magic.startsWith("CDF".getBytes("US-ASCII"))) "cdf"
     else if (magic.sameElements(Array(0x89.toByte, 'H'.toByte, 'D'.toByte, 'F'.toByte))) "hdf5"
@@ -188,8 +183,7 @@ object NetCDF3Index {
       spark.sparkContext.hadoopConfiguration)
     val ds = spark.createDataset(Seq(path)).mapPartitions { paths =>
       paths.flatMap { p =>
-        val hPath = new org.apache.hadoop.fs.Path(
-          if (p.contains("://")) p else "file://" + new java.io.File(p).getAbsolutePath)
+        val hPath = FsPaths.hadoopPath(p)
         val fs = hPath.getFileSystem(hconf.value)
         val header = {
           val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(hPath)))
@@ -199,9 +193,6 @@ object NetCDF3Index {
       }
     }
     ds.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
-      // align nullability/typing with KerchunkIndex.read output
-      .select(col("key"), col("variable"), col("member"), col("kind"),
-        col("url"), col("offset"), col("length"), col("inline_value"))
   }
 
   /** Header → entry rows. Exposed shape:

@@ -270,6 +270,43 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(!rows.exists(_.getAs[Double]("value") == -1.0)) // padding never surfaces
   }
 
+  test("decodeCoords keeps 0-d (scalar) zarr variables; empty-array refs fail with the key") {
+    import org.apache.spark.sql.functions.col
+    val dir  = java.nio.file.Files.createTempDirectory("graft_scalarzarr")
+    val json = dir.resolve("idx.json")
+    // 'h' is a genuine zarr 0-d array: shape [], chunks [], chunk key "0" —
+    // its single value must surface with coord [0], not silently vanish
+    // through a null padding filter
+    java.nio.file.Files.writeString(json,
+      """{"version": 1, "refs": {
+        |  "h/.zarray": "{\"dtype\": \"<f8\", \"shape\": [], \"chunks\": [], \"compressor\": null, \"filters\": null}",
+        |  "h/0": "base64:AAAAAAAAAEA="
+        |}}""".stripMargin)
+    val idx = graft.sources.KerchunkIndex.read(spark, json.toString)
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(idx),
+      graft.sources.KerchunkIndex.arrayMeta(idx),
+      graft.sources.KerchunkIndex.attrDims(idx)).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Double]("value") == 2.0)
+    assert(rows(0).getAs[scala.collection.Seq[Long]]("coords") == Seq(0L))
+    java.nio.file.Files.deleteIfExists(json)
+    // a ref entry that is an EMPTY array (no url) must fail with the entry
+    // key, not an NPE from a skipped file open (null urls sort first)
+    val bad = dir.resolve("bad.json")
+    java.nio.file.Files.writeString(bad,
+      """{"version": 1, "refs": {"v/0": []}}""")
+    val e = intercept[Exception] {
+      graft.sources.KerchunkIndex.materializeChunks(
+        graft.sources.KerchunkIndex.read(spark, bad.toString)).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("malformed ref") && msg.contains("v/0"), msg)
+    assert(!e.isInstanceOf[NullPointerException] &&
+      !Option(e.getCause).exists(_.isInstanceOf[NullPointerException]))
+    java.nio.file.Files.deleteIfExists(bad); java.nio.file.Files.deleteIfExists(dir)
+  }
+
   test("typed decode refuses a data chunk whose variable has no inline .zarray") {
     import org.apache.spark.sql.functions.col
     val dir  = java.nio.file.Files.createTempDirectory("graft_badzarr")
