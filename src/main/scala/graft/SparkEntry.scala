@@ -309,6 +309,55 @@ object SparkEntry {
     json.toString
   }
 
+  /** One-time zarr v2 DIRECTORY store fixture for `load_zarr_store`:
+    * `t2m` is a [2,3] f4 array in [2,2] zlib chunks (uneven x edge, padding
+    * -1 must never surface) with `_ARRAY_DIMENSIONS` ["t","x"]; `step` is a
+    * raw i8 [4] vector with no `.zattrs` (dim0 fallback). Values encode
+    * their coordinates (t*10+x, i*i) so the oracle re-derives everything
+    * from range() joins. */
+  def ensureZarrStoreFixture(): String = {
+    val out = Paths.get("/tmp/graft_zarr_store_fixture")
+    this.synchronized {
+      if (!Files.exists(out.resolve(".zgroup"))) {
+        Files.createDirectories(out.resolve("t2m"))
+        Files.createDirectories(out.resolve("step"))
+        def zlib(b: Array[Byte]): Array[Byte] = {
+          val d = new java.util.zip.Deflater(2)
+          d.setInput(b); d.finish()
+          val o = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+          while (!d.finished()) { val n = d.deflate(buf); o.write(buf, 0, n) }
+          d.end(); o.toByteArray
+        }
+        def f4(vals: Seq[Float]): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(b.putFloat); b.array()
+        }
+        Files.writeString(out.resolve(".zgroup"), """{"zarr_format": 2}""")
+        Files.writeString(out.resolve("t2m/.zarray"),
+          """{"dtype": "<f4", "shape": [2, 3], "chunks": [2, 2],""" +
+            """ "compressor": {"id": "zlib", "level": 2}, "filters": null, "order": "C", "zarr_format": 2}""")
+        Files.writeString(out.resolve("t2m/.zattrs"), """{"_ARRAY_DIMENSIONS": ["t", "x"]}""")
+        // chunk (0, cx): C-order over the [2,2] chunk; x >= 3 is edge padding
+        for (cx <- 0 until 2) {
+          val vals = for { t <- 0 until 2; lx <- 0 until 2 } yield {
+            val x = cx * 2 + lx
+            if (x < 3) (t * 10 + x).toFloat else -1.0f
+          }
+          Files.write(out.resolve(s"t2m/0.$cx"), zlib(f4(vals)))
+        }
+        Files.writeString(out.resolve("step/.zarray"),
+          """{"dtype": "<i8", "shape": [4], "chunks": [4],""" +
+            """ "compressor": null, "filters": null, "order": "C", "zarr_format": 2}""")
+        val stepBytes = java.nio.ByteBuffer.allocate(32)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 4).foreach(i => stepBytes.putLong((i.toLong * i)))
+        Files.write(out.resolve("step/0"), stepBytes.array())
+      }
+    }
+    out.toString
+  }
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship: the full descriptor → scan → search → group → materialize
@@ -510,6 +559,22 @@ object SparkEntry {
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
           col("value"))
         .orderBy("variable", "value")
+    }),
+
+    "load_zarr_store" -> ((s, _) => {
+      // the reference's `zarr`/`zarr2` format (source.py:82-96) on a v2
+      // DIRECTORY store: enumerate files -> chunk-map entries -> decode with
+      // labeled coordinates, through the openAsset dispatch itself
+      // (graft.kerchunk.decode=coords), exercising the full user path.
+      val store = ensureZarrStoreFixture()
+      graft.catalog.EsmDataSource("z", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, store, "zarr")
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
     }),
 
     "load_netcdf3" -> ((s, _) => {
@@ -1475,6 +1540,21 @@ object SparkEntry {
         |SELECT variable, dims, coord_key, value FROM grid
         |ORDER BY variable, value""".stripMargin,
 
+
+    // coordinate re-derivation from the fixture's value formulas (t*10+x,
+    // i*i) — agreement proves store enumeration, chunk-grid math, and
+    // edge-padding drop end to end through the openAsset dispatch
+    "load_zarr_store" ->
+      """WITH g AS (
+        |  SELECT 't2m' AS variable, 't.x' AS dims,
+        |         CAST(t AS VARCHAR) || '.' || CAST(x AS VARCHAR) AS coord_key,
+        |         CAST(t * 10 + x AS DOUBLE) AS value
+        |  FROM range(2) a(t) CROSS JOIN range(3) b(x)
+        |  UNION ALL
+        |  SELECT 'step', 'dim0', CAST(i AS VARCHAR), CAST(i * i AS DOUBLE)
+        |  FROM range(4) t(i))
+        |SELECT variable, dims, coord_key, value FROM g
+        |ORDER BY variable, coord_key""".stripMargin,
 
     // values pinned from an INDEPENDENT python struct-level parse of the
     // reference's own CMIP5 classic-netCDF sample (the only CDF-format file

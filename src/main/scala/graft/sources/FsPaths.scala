@@ -7,9 +7,13 @@ package graft.sources
   * so a Hadoop message change or a bare-path semantics fix lands once. */
 private[sources] object FsPaths {
 
+  // a URI scheme prefix — matches both "file:///x" and Hadoop's
+  // single-slash "file:/x" rendering, but not bare absolute paths
+  private val schemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+
   def hadoopPath(url: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
-      if (url.contains("://")) url
+      if (schemePrefix.findPrefixOf(url).isDefined) url
       else "file://" + new java.io.File(url).getAbsolutePath)
 
   /** FileSystem.get raises "No FileSystem for scheme ..." (an

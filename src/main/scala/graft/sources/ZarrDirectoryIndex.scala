@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Zarr v2 DIRECTORY store reader — the reference's `zarr`/`zarr2` format
+  * (intake_esm/source.py:82-96, DataFormat enum cat.py:56-64) for stores
+  * that live on a Hadoop-reachable filesystem: a zarr v2 store is just
+  * files (`.zgroup`/`.zarray`/`.zattrs` JSON documents plus one file per
+  * chunk, named by its grid position), so no library is needed to
+  * enumerate it.
+  *
+  * Spark-first shape: like [[NetCDF3Index]], the store is translated into
+  * the entry rows [[KerchunkIndex.read]] emits — metadata documents
+  * inlined, chunk files as whole-file refs — and the shared
+  * materialize/decode/coords machinery does the rest. The recursive
+  * listing runs as ONE Spark task streaming a lazy iterator, so a
+  * million-chunk store never materializes on the driver; the downstream
+  * offset-band repartition spreads the chunk reads.
+  *
+  * Zarr v3 stores (a different metadata layout, `zarr.json`) refuse
+  * loudly, as do paths that are not directories (zip stores etc.).
+  */
+object ZarrDirectoryIndex {
+
+  /** Driver-side fail-fast for dispatch: resolves the filesystem (schemes
+    * without one refuse at the connector boundary), requires a directory,
+    * and rejects zarr v3 layouts — so a bad store fails at open, not
+    * somewhere inside a task. */
+  def probe(spark: SparkSession, path: String): Unit = {
+    val hPath = FsPaths.hadoopPath(path)
+    try {
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.getFileStatus(hPath).isDirectory,
+        s"zarr store '$path' is not a directory — zip/archived stores are behind the connector boundary")
+      if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "zarr.json")))
+        throw new UnsupportedOperationException(
+          s"'$path' is a zarr v3 store (zarr.json) — only v2 directory stores enumerate here")
+    } catch {
+      case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+        FsPaths.connectorRefusal(path, e)
+    }
+  }
+
+  /** One zarr v2 directory store → kerchunk-shaped entry rows (same schema
+    * as [[KerchunkIndex.read]]). Keys are store-relative paths; `variable`
+    * is the containing (possibly nested) array path, "" at the root. */
+  def read(spark: SparkSession, storePath: String,
+           storageOptions: Map[String, String] = Map.empty): DataFrame = {
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val ds = spark.createDataset(Seq(storePath)).mapPartitions { paths =>
+      paths.flatMap { p =>
+        val root = FsPaths.hadoopPath(p)
+        val fs   = root.getFileSystem(hconf.value)
+        val st   = fs.getFileStatus(root)
+        require(st.isDirectory,
+          s"zarr store '$p' is not a directory — zip/archived stores are behind the connector boundary")
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, "zarr.json")))
+          throw new UnsupportedOperationException(
+            s"'$p' is a zarr v3 store (zarr.json) — only v2 directory stores enumerate here")
+        val rootUri = root.toUri.getPath.stripSuffix("/")
+        val files   = fs.listFiles(root, true)
+        new Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] {
+          override def hasNext: Boolean = files.hasNext
+          override def next(): (String, String, String, String, String, Option[Long], Option[Long], String) = {
+            val f   = files.next()
+            val key = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+            val member   = key.split('/').last
+            val variable = key.stripSuffix(member).stripSuffix("/")
+            if (member.startsWith(".")) {
+              // metadata document: inline its (small) JSON content
+              val in  = fs.open(f.getPath)
+              val txt = try {
+                val bos = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                var n = in.read(buf)
+                while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+                new String(bos.toByteArray, "UTF-8")
+              } finally in.close()
+              (key, variable, member, "meta", null, None, None, txt)
+            } else {
+              // chunk file: a whole-file ref — offset/length resolve to
+              // (0, file size) inside materializeChunks
+              (key, variable, member, "ref", f.getPath.toString, None, None, null)
+            }
+          }
+        }
+      }
+    }
+    ds.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+  }
+}

@@ -400,6 +400,35 @@ class ReferenceFidelitySpec extends AnyFunSuite {
         u("""[{"id": "shuffle", "elementsize": 1}, {"id": "delta", "dtype": "|u1"}]""")))
   }
 
+  test("zarr v2 directory store: enumerates, decodes via dispatch; v3/non-dir refuse") {
+    import org.apache.spark.sql.functions.col
+    val store = SparkEntry.ensureZarrStoreFixture()
+    val src = graft.catalog.EsmDataSource("z", Nil, "path", None, Nil,
+      storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+    val rows = src.openAsset(spark, store, "zarr").collect()
+    assert(rows.length == 10) // 6 t2m (2x3, padding dropped) + 4 step
+    val t2m = rows.filter(_.getAs[String]("variable") == "t2m")
+    assert(t2m.length == 6)
+    t2m.foreach { r =>
+      val co = r.getAs[scala.collection.Seq[Long]]("coords")
+      assert(r.getAs[Double]("value") == co(0) * 10 + co(1))
+      assert(r.getAs[scala.collection.Seq[String]]("dims") == Seq("t", "x"))
+    }
+    // chunk-map plane (no decode option) exposes the file-per-chunk refs
+    val entries = graft.catalog.EsmDataSource("z", Nil, "path", None, Nil)
+      .openAsset(spark, store, "zarr")
+    assert(entries.filter(col("kind") === "ref").count() == 3) // t2m/0.0, t2m/0.1, step/0
+    assert(entries.filter(col("member") === ".zarray").count() == 2)
+    // refusals: a plain file is not a store; a zarr.json marks v3
+    val e1 = intercept[Exception](src.openAsset(spark, s"$store/.zgroup", "zarr"))
+    assert(e1.getMessage.contains("not a directory"), e1.getMessage)
+    val v3 = java.nio.file.Files.createTempDirectory("graft_zarr3")
+    java.nio.file.Files.writeString(v3.resolve("zarr.json"), """{"zarr_format": 3}""")
+    val e2 = intercept[UnsupportedOperationException](src.openAsset(spark, v3.toString, "zarr"))
+    assert(e2.getMessage.contains("v3"), e2.getMessage)
+    java.nio.file.Files.deleteIfExists(v3.resolve("zarr.json")); java.nio.file.Files.deleteIfExists(v3)
+  }
+
   test("netcdf classic: the real CMIP5 sample decodes with labeled coordinates") {
     val nc = "/root/reference/tests/sample_data/cmip/cmip5/output1/NIMR-KMA/HadGEM2-AO/" +
       "rcp85/mon/atmos/Amon/r1i1p1/v20130815/tasmax/" +
