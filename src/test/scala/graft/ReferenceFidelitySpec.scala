@@ -468,6 +468,109 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("connector boundary"))
   }
 
+  test("netcdf record variables: interleaved stride, single-var unpadded, CDF-2 offsets") {
+    import org.apache.spark.sql.functions.col
+    // spec-faithful byte-level writer (big-endian, padded names, record
+    // section after fixed data) — independent of the reader's code paths
+    def bb(n: Int) = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def putName(b: java.nio.ByteBuffer, s: String): Unit = {
+      b.putInt(s.length); b.put(s.getBytes("US-ASCII"))
+      (0 until ((4 - s.length % 4) % 4)).foreach(_ => b.put(0.toByte))
+    }
+    // two record vars 'a' (int, dims t,x) + 'b' (short, dims t), one fixed
+    // 'fix' (double, dims x); t is the record dim (len 0), x has len 2.
+    // recSize = pad4(2*4) + pad4(2) = 8 + 4 = 12.
+    def writeTwoRecVars(version: Int): String = {
+      val numrecs = 3
+      val b = bb(4096)
+      b.put("CDF".getBytes("US-ASCII")); b.put(version.toByte)
+      b.putInt(numrecs)
+      b.putInt(0x0a); b.putInt(2)
+      putName(b, "t"); b.putInt(0) // record dim
+      putName(b, "x"); b.putInt(2)
+      b.putInt(0); b.putInt(0) // no global atts
+      b.putInt(0x0b); b.putInt(3)
+      def putBegin(begin: Long): Unit =
+        if (version == 2) b.putLong(begin) else b.putInt(begin.toInt)
+      // header size depends on version (begin width) — compute data offsets
+      // after writing by patching; simpler: fixed layout with known sizes
+      val beginWidth = if (version == 2) 8 else 4
+      // var entry sizes: name(8 for 3-4 chars via putName), ndims, dimids,
+      // atts(8), type, vsize, begin — compute header length empirically by
+      // writing into the buffer and patching begins afterwards.
+      val beginSlots = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def varEntry(name: String, dimids: Seq[Int], t: Int, vsize: Int): Unit = {
+        putName(b, name); b.putInt(dimids.length); dimids.foreach(b.putInt)
+        b.putInt(0); b.putInt(0) // no atts
+        b.putInt(t); b.putInt(vsize)
+        beginSlots += b.position()
+        if (version == 2) b.putLong(0L) else b.putInt(0)
+      }
+      varEntry("a", Seq(0, 1), 4, 8)
+      varEntry("b", Seq(0), 3, 4)
+      varEntry("fix", Seq(1), 6, 16)
+      val headerLen = b.position()
+      val fixBegin  = headerLen
+      val recBegin  = fixBegin + 16
+      // patch begins: a at recBegin, b at recBegin+8, fix at fixBegin
+      val begins = Seq(recBegin.toLong, recBegin + 8L, fixBegin.toLong)
+      begins.zip(beginSlots).foreach { case (v, slot) =>
+        if (version == 2) b.putLong(slot, v) else b.putInt(slot, v.toInt)
+      }
+      b.position(headerLen)
+      b.putDouble(2.5); b.putDouble(-1.5) // fix
+      for (r <- 0 until numrecs) {        // record section, stride 12
+        b.putInt(r * 10); b.putInt(r * 10 + 1) // a slab (8 bytes)
+        b.putShort((-r).toShort); b.put(0.toByte); b.put(0.toByte) // b slab padded to 4
+      }
+      val out = java.nio.file.Files.createTempFile(s"graft_nc3_v$version", ".nc")
+      java.nio.file.Files.write(out, java.util.Arrays.copyOf(b.array(), b.position()))
+      out.toString
+    }
+    for (version <- Seq(1, 2)) {
+      val nc = writeTwoRecVars(version)
+      val entries = graft.sources.NetCDF3Index.read(spark, nc)
+      val rows = graft.sources.KerchunkIndex.decodeCoords(
+        graft.sources.KerchunkIndex.materializeChunks(entries),
+        graft.sources.KerchunkIndex.arrayMeta(entries),
+        graft.sources.KerchunkIndex.attrDims(entries)).collect()
+      val byKey = rows.map(r => (r.getAs[String]("variable"),
+        r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")) -> r.getAs[Double]("value")).toMap
+      assert(byKey.size == 6 + 3 + 2, s"v$version: ${byKey.keys}")
+      for (r <- 0 until 3; c <- 0 until 2)
+        assert(byKey(("a", s"$r.$c")) == r * 10 + c, s"v$version a($r,$c)")
+      for (r <- 0 until 3) assert(byKey(("b", r.toString)) == -r, s"v$version b($r)")
+      assert(byKey(("fix", "0")) == 2.5 && byKey(("fix", "1")) == -1.5, s"v$version fix")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(nc))
+    }
+    // exactly ONE record variable: the spec leaves its slab UNPADDED —
+    // a short-typed var strides 2 bytes per record, not 4
+    locally {
+      val numrecs = 4
+      val b = bb(1024)
+      b.put("CDF".getBytes("US-ASCII")); b.put(1.toByte)
+      b.putInt(numrecs)
+      b.putInt(0x0a); b.putInt(1); putName(b, "t"); b.putInt(0)
+      b.putInt(0); b.putInt(0)
+      b.putInt(0x0b); b.putInt(1)
+      putName(b, "s"); b.putInt(1); b.putInt(0)
+      b.putInt(0); b.putInt(0)
+      b.putInt(3); b.putInt(4) // short; vsize field padded (and ignored)
+      val slot = b.position(); b.putInt(0)
+      b.putInt(slot, b.position()) // begin = data start (right after the slot)
+      for (r <- 0 until numrecs) b.putShort((r * 3 + 1).toShort) // stride 2!
+      val out = java.nio.file.Files.createTempFile("graft_nc3_single", ".nc")
+      java.nio.file.Files.write(out, java.util.Arrays.copyOf(b.array(), b.position()))
+      val entries = graft.sources.NetCDF3Index.read(spark, out.toString)
+      val vals = graft.sources.KerchunkIndex.decodeTyped(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries))
+        .orderBy("chunk").select("value").collect().map(_.getDouble(0)).toSeq
+      assert(vals == Seq(1.0, 4.0, 7.0, 10.0), s"single-rec-var values $vals")
+      java.nio.file.Files.deleteIfExists(out)
+    }
+  }
+
   test("blosc codec: round-trips, shuffle/split shapes, memcpy fallback, refusals") {
     import graft.sources.BloscCodec
     def roundTrip(src: Array[Byte], typesize: Int): Unit = {
