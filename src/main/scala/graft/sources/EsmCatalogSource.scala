@@ -231,37 +231,36 @@ final class EsmCatalogTable(descriptorPath: String, schema0: StructType)
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
       // aggregate pushdown (the last pushdown dimension, mirroring the
-      // reference's polars lazy aggregation): GLOBAL count/count-distinct/
-      // min/max over scalar columns compute COMPLETELY inside the reader —
-      // one partition, so complete pushdown is exact by construction. Spark
-      // offers aggregates only when no post-scan filters remain; since
-      // supported filters are now fully handled by the reader, this fires on
-      // filterless AND handled-filter scans (the reader applies the filters
-      // before folding the aggregate).
-      private var aggSpecs: Seq[EsmCatalogAggs.AggSpec] = Nil
-      private var aggSchema: StructType                 = null
+      // reference's polars lazy aggregation): count/count-distinct/min/max
+      // over scalar columns — GLOBAL or GROUPED BY scalar columns — compute
+      // COMPLETELY inside the reader: one partition, so complete pushdown
+      // is exact by construction. Spark offers aggregates only when no
+      // post-scan filters remain; since supported filters are fully handled
+      // by the reader, this fires on filterless AND handled-filter scans
+      // (the reader applies the filters before folding the aggregate).
+      private var aggPushed: Option[EsmCatalogAggs.Pushed] = None
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         EsmCatalogAggs.supported(schema0, agg).isDefined
       override def pushAggregation(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         EsmCatalogAggs.supported(schema0, agg) match {
-          case Some(specs) =>
-            aggSpecs = specs
-            aggSchema = EsmCatalogAggs.outputSchema(schema0, specs)
-            true
-          case None => false
+          case some @ Some(_) => aggPushed = some; true
+          case None           => false
         }
       override def build(): Scan             = this
-      override def readSchema(): StructType  = if (aggSchema != null) aggSchema else pruned
+      override def readSchema(): StructType  =
+        aggPushed.map(EsmCatalogAggs.outputSchema(schema0, _)).getOrElse(pruned)
       override def toBatch: Batch            = this
       override def description(): String =
         s"esmcat PushedFilters: [${pushed.mkString(", ")}], " +
-          s"PushedAggregates: [${aggSpecs.mkString(", ")}], ReadSchema: ${readSchema().simpleString}"
+          s"PushedAggregates: [${aggPushed.map(_.specs.mkString(", ")).getOrElse("")}], " +
+          s"PushedGroupBy: [${aggPushed.map(_.groupCols.mkString(", ")).getOrElse("")}], " +
+          s"ReadSchema: ${readSchema().simpleString}"
       override def planInputPartitions(): Array[InputPartition] =
         Array(EsmCatalogPartition(descriptorPath))
       override def createReaderFactory(): PartitionReaderFactory =
-        new EsmCatalogReaderFactory(readSchema(), pushed, aggSpecs)
+        new EsmCatalogReaderFactory(readSchema(), pushed, aggPushed)
     }
 }
 
@@ -376,14 +375,14 @@ object EsmCatalogFilters {
 }
 
 /** The V2 `Aggregation` subset the esmcat reader computes completely:
-  * GLOBAL (no grouping) CountStar, Count(col) (incl. distinct), Min(col),
-  * Max(col) over scalar columns. Anything else is declined and Spark
-  * aggregates the raw rows itself — declining is a perf choice, never a
-  * correctness one. String min/max compares `UTF8String`s, i.e. Spark's own
-  * binary collation, not Java's UTF-16 order. */
+  * CountStar, Count(col) (incl. distinct), Min(col), Max(col) over scalar
+  * columns, GLOBAL or GROUPED BY scalar columns. Anything else is declined
+  * and Spark aggregates the raw rows itself — declining is a perf choice,
+  * never a correctness one. String min/max compares `UTF8String`s, i.e.
+  * Spark's own binary collation, not Java's UTF-16 order. */
 object EsmCatalogAggs {
   import org.apache.spark.sql.connector.expressions.aggregate._
-  import org.apache.spark.sql.connector.expressions.{FieldReference, NamedReference}
+  import org.apache.spark.sql.connector.expressions.NamedReference
 
   /** op ∈ count_star | count | min | max; serializable for the reader. */
   final case class AggSpec(op: String, col: String, distinct: Boolean) {
@@ -394,6 +393,10 @@ object EsmCatalogAggs {
     }
   }
 
+  /** A complete pushed aggregation: grouping columns (empty = global) +
+    * aggregate specs. Serializable for the reader. */
+  final case class Pushed(groupCols: Seq[String], specs: Seq[AggSpec])
+
   private def scalarCol(schema: StructType, e: Any): Option[String] = e match {
     case fr: NamedReference if fr.fieldNames.length == 1 =>
       val n = fr.fieldNames()(0)
@@ -402,8 +405,13 @@ object EsmCatalogAggs {
     case _ => None
   }
 
-  def supported(schema: StructType, agg: Aggregation): Option[Seq[AggSpec]] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+  def supported(schema: StructType, agg: Aggregation): Option[Pushed] = {
+    val groupCols = agg.groupByExpressions.map { e =>
+      scalarCol(schema, e) match {
+        case Some(n) => n
+        case None    => return None // expression or array-typed group key
+      }
+    }
     val specs = agg.aggregateExpressions.map {
       case _: CountStar => AggSpec("count_star", "", distinct = false)
       case c: Count =>
@@ -423,32 +431,44 @@ object EsmCatalogAggs {
         }
       case _ => return None
     }
-    if (specs.isEmpty) None else Some(specs.toIndexedSeq)
+    if (specs.isEmpty) None else Some(Pushed(groupCols.toIndexedSeq, specs.toIndexedSeq))
   }
 
-  def outputSchema(schema: StructType, specs: Seq[AggSpec]): StructType =
-    StructType(specs.zipWithIndex.map { case (s, i) =>
-      s.op match {
-        case "count_star" | "count" => StructField(s"agg_$i", LongType, nullable = false)
-        case _ =>
-          StructField(s"agg_$i", schema.fields.find(_.name == s.col).get.dataType, nullable = true)
-      }
-    })
+  /** DSv2 contract: grouping columns first, then aggregate columns. */
+  def outputSchema(schema: StructType, p: Pushed): StructType =
+    StructType(
+      p.groupCols.map(c => schema.fields.find(_.name == c).get) ++
+        p.specs.zipWithIndex.map { case (s, i) =>
+          s.op match {
+            case "count_star" | "count" => StructField(s"agg_$i", LongType, nullable = false)
+            case _ =>
+              StructField(s"agg_$i", schema.fields.find(_.name == s.col).get.dataType,
+                nullable = true)
+          }
+        })
 
-  /** Fold the decoded row lookups into ONE aggregated InternalRow. Values
-    * arrive as plain literals; min/max COERCES each value to the column's
-    * declared schema type before comparing (a dict catalog can mix JSON
-    * ints and floats in a LongType-inferred column — comparing them
-    * lexically via toString would be silently wrong, and boxing a Double
-    * into a LongType slot would CCE downstream). Unconvertible values fail
-    * loudly. String comparison goes through UTF8String — Spark's binary
-    * order, not Java's UTF-16 order. */
-  def aggregate(specs: Seq[AggSpec], schema: StructType,
-                rows: Iterator[String => Any]): InternalRow = {
+  /** Fold the decoded row lookups into one aggregated InternalRow PER GROUP
+    * (exactly one row — the global group — when `groupCols` is empty, even
+    * on empty input; zero rows for empty grouped input, matching SQL).
+    * Values arrive as plain literals; group keys AND min/max values COERCE
+    * to the column's declared schema type before comparing (a dict catalog
+    * can mix JSON ints and floats in a LongType-inferred column — comparing
+    * them lexically via toString would be silently wrong, and boxing a
+    * Double into a LongType slot would CCE downstream). Unconvertible
+    * values fail loudly. String comparison goes through UTF8String —
+    * Spark's binary order, not Java's UTF-16 order. Group keys normalize
+    * -0.0 to 0.0 (boxed equality would split a group Spark merges); boxed
+    * Double NaNs already compare equal, matching Spark's grouping. */
+  def aggregate(p: Pushed, schema: StructType,
+                rows: Iterator[String => Any]): Iterator[InternalRow] = {
+    val specs     = p.specs
     val nSpecs    = specs.length
-    val counts    = new Array[Long](nSpecs)
-    val distincts = Array.fill(nSpecs)(scala.collection.mutable.HashSet.empty[Any])
-    val minmax    = new Array[Any](nSpecs)
+    final class State {
+      val counts    = new Array[Long](nSpecs)
+      val distincts = Array.fill(nSpecs)(scala.collection.mutable.HashSet.empty[Any])
+      val minmax    = new Array[Any](nSpecs)
+    }
+    val groups    = new java.util.LinkedHashMap[List[Any], State]()
     val fieldType = schema.fields.map(f => f.name -> f.dataType).toMap
     def coerce(v: Any, dt: DataType, colName: String): Any = (v, dt) match {
       case (null, _)                         => null
@@ -472,12 +492,21 @@ object EsmCatalogAggs {
       case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
       case (x, y) => throw new IllegalStateException(s"uncomparable after coercion: $x vs $y")
     }
+    def groupKey(row: String => Any): List[Any] =
+      p.groupCols.map { c =>
+        coerce(row(c), fieldType.getOrElse(c, StringType), c) match {
+          case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+          case other                                         => other
+        }
+      }.toList
+    if (p.groupCols.isEmpty) groups.put(Nil, new State) // global agg: one row even on empty input
     rows.foreach { row =>
+      val st = groups.computeIfAbsent(groupKey(row), _ => new State)
       var i = 0
       while (i < nSpecs) {
         val s = specs(i)
         s.op match {
-          case "count_star" => counts(i) += 1
+          case "count_star" => st.counts(i) += 1
           case "count" =>
             val v = row(s.col)
             // DISTINCT must coerce like min/max: a DoubleType-unified dict
@@ -485,32 +514,36 @@ object EsmCatalogAggs {
             // logical value — raw boxing would count them as two distincts
             // while the unpushed row path widens both to 9.0 and counts one
             if (v != null) {
-              if (s.distinct) distincts(i) += coerce(v, fieldType.getOrElse(s.col, StringType), s.col)
-              else counts(i) += 1
+              if (s.distinct) st.distincts(i) += coerce(v, fieldType.getOrElse(s.col, StringType), s.col)
+              else st.counts(i) += 1
             }
           case "min" =>
             val v = coerce(row(s.col), fieldType.getOrElse(s.col, StringType), s.col)
-            if (v != null && (minmax(i) == null || cmp(v, minmax(i)) < 0)) minmax(i) = v
+            if (v != null && (st.minmax(i) == null || cmp(v, st.minmax(i)) < 0)) st.minmax(i) = v
           case "max" =>
             val v = coerce(row(s.col), fieldType.getOrElse(s.col, StringType), s.col)
-            if (v != null && (minmax(i) == null || cmp(v, minmax(i)) > 0)) minmax(i) = v
+            if (v != null && (st.minmax(i) == null || cmp(v, st.minmax(i)) > 0)) st.minmax(i) = v
         }
         i += 1
       }
     }
-    InternalRow.fromSeq(specs.zipWithIndex.map { case (s, i) =>
-      s.op match {
-        case "count_star"          => counts(i)
-        case "count" if s.distinct => distincts(i).size.toLong
-        case "count"               => counts(i)
-        case _ =>
-          minmax(i) match {
-            case null      => null
-            case v: String => UTF8String.fromString(v)
-            case v         => v // already coerced to the schema type
-          }
-      }
-    }.toIndexedSeq)
+    def toCatalyst(v: Any): Any = v match {
+      case null      => null
+      case s: String => UTF8String.fromString(s)
+      case other     => other // already coerced to the schema type
+    }
+    import scala.jdk.CollectionConverters._
+    groups.entrySet().iterator().asScala.map { e =>
+      val key = e.getKey; val st = e.getValue
+      InternalRow.fromSeq(key.map(toCatalyst) ++ specs.zipWithIndex.map { case (s, i) =>
+        s.op match {
+          case "count_star"          => st.counts(i)
+          case "count" if s.distinct => st.distincts(i).size.toLong
+          case "count"               => st.counts(i)
+          case _                     => toCatalyst(st.minmax(i))
+        }
+      })
+    }
   }
 }
 
@@ -518,7 +551,7 @@ final case class EsmCatalogPartition(descriptorPath: String) extends InputPartit
 
 final class EsmCatalogReaderFactory(schema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    aggSpecs: Seq[EsmCatalogAggs.AggSpec] = Nil)
+    aggPushed: Option[EsmCatalogAggs.Pushed] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val desc = EsmCatalogSource.describe(
@@ -569,11 +602,11 @@ final class EsmCatalogReaderFactory(schema: StructType,
     def keep(lookup: String => Any): Boolean =
       EsmCatalogFilters.keepRow(filters, lookup)
 
-    // complete aggregate pushdown: fold the (filtered) decoded rows into ONE
-    // aggregated InternalRow. `schema` is already the aggregate output
-    // schema in this mode (ScanBuilder.readSchema), so the plain-row branch
-    // below never runs.
-    if (aggSpecs.nonEmpty) {
+    // complete aggregate pushdown: fold the (filtered) decoded rows into
+    // one aggregated InternalRow per group (one total when global).
+    // `schema` is already the aggregate output schema in this mode
+    // (ScanBuilder.readSchema), so the plain-row branch below never runs.
+    if (aggPushed.isDefined) {
       val fullType = desc.schema.fields.map(f => f.name -> f.dataType).toMap
       val lookups: Iterator[String => Any] = desc.csvPath match {
         case Some(csv) =>
@@ -598,11 +631,11 @@ final class EsmCatalogReaderFactory(schema: StructType,
             }
             .filter(lookup => filters.isEmpty || keep(lookup))
       }
-      val out = EsmCatalogAggs.aggregate(aggSpecs, desc.schema, lookups)
+      val out = EsmCatalogAggs.aggregate(aggPushed.get, desc.schema, lookups)
       return new PartitionReader[InternalRow] {
-        private var emitted = false
-        override def next(): Boolean = { val h = !emitted; emitted = true; h }
-        override def get(): InternalRow = out
+        private var current: InternalRow = _
+        override def next(): Boolean = { val h = out.hasNext; if (h) current = out.next(); h }
+        override def get(): InternalRow = current
         override def close(): Unit = ()
       }
     }

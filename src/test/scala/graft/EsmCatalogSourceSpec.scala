@@ -83,7 +83,7 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(agg.head() == expected)
   }
 
-  test("format(esmcat) pushes aggregates past HANDLED filters; grouping still declined") {
+  test("format(esmcat) pushes aggregates past HANDLED filters and through GROUP BY") {
     val json = PipelineDemo.ensureCatalog(spark, "/root/testdata/sf0.001")
     val base = spark.read.format("esmcat").load(json)
     // supported filters are handled (not residual), so the aggregate also
@@ -95,14 +95,32 @@ class EsmCatalogSourceSpec extends AnyFunSuite {
     assert(fPlan.contains("EqualTo(status,O)"), fPlan.take(1500))
     val raw = graft.catalog.EsmCatalog.open(spark, json).df
     assert(filtered.head().getLong(0) == raw.filter(col("status") === "O").count())
-    // grouped aggregation is declined (supported() requires global)
-    val grouped = base.groupBy("status").agg(count(lit(1)).as("n"))
+    // grouped aggregation pushes completely too: one row per group computed
+    // in the reader, grouping columns first per the DSv2 contract
+    val grouped = base.groupBy("status").agg(count(lit(1)).as("n"), max("member").as("m"))
     val gPlan = grouped.queryExecution.executedPlan.toString
-    assert(gPlan.contains("PushedAggregates: []") || !gPlan.contains("PushedAggregates"),
-      gPlan.take(1500))
-    val got = grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val want = raw.groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == want)
+    assert(gPlan.contains("PushedAggregates: [COUNT(*), MAX(member)]") &&
+      gPlan.contains("PushedGroupBy: [status]"), gPlan.take(1500))
+    val got = grouped.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val want = raw.groupBy("status").agg(count(lit(1)), max("member"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == want && got.nonEmpty)
+    // grouped + handled filter: filter applies before the in-reader fold
+    val gf = base.filter(col("member").isNotNull).groupBy("status").agg(count(lit(1)).as("n"))
+    val gfPlan = gf.queryExecution.executedPlan.toString
+    assert(gfPlan.contains("PushedGroupBy: [status]") &&
+      gfPlan.contains("IsNotNull(member)"), gfPlan.take(1500))
+    val gotF = gf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantF = raw.filter(col("member").isNotNull).groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotF == wantF)
+    // grouping by an ARRAY column stays declined (still correct via Spark)
+    val arrCat = spark.read.format("esmcat")
+      .load("/root/reference/tests/sample-catalogs/multi-variable-catalog.json")
+    val byArr = arrCat.groupBy("variable").agg(count(lit(1)).as("n"))
+    val aPlan = byArr.queryExecution.executedPlan.toString
+    assert(!aPlan.contains("PushedGroupBy: [variable]"), aPlan.take(1500))
+    assert(byArr.count() > 0)
   }
 
   test("format(esmcat) aggregate pushdown on a dict catalog incl. non-string scalars") {
