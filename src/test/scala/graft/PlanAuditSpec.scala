@@ -164,6 +164,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
   }
 
+  test("labeled-coords decode stays broadcast-only; netcdf plane shares the shape") {
+    // decodeCoords adds TWO per-variable metadata joins (shape/chunks +
+    // dims) on top of decodeTyped — all broadcasts: the per-value work must
+    // stay embarrassingly parallel, with the banded repartition inside
+    // materializeChunks as the only exchange
+    val idx     = SparkEntry.ensureZarrGridFixture()
+    val entries = graft.sources.KerchunkIndex.read(spark, idx)
+    val p = graft.sources.KerchunkIndex.decodeCoords(
+        graft.sources.KerchunkIndex.materializeChunks(entries),
+        graft.sources.KerchunkIndex.arrayMeta(entries),
+        graft.sources.KerchunkIndex.attrDims(entries))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(2000))
+    // the netCDF3 plane compiles to the same shape (shared machinery)
+    val nc = "/root/reference/tests/sample_data/cmip/cmip5/output1/NIMR-KMA/HadGEM2-AO/" +
+      "rcp85/mon/atmos/Amon/r1i1p1/v20130815/tasmax/" +
+      "tasmax_Amon_HadGEM2-AO_rcp85_r1i1p1_200511-200512.nc"
+    val nEntries = graft.sources.NetCDF3Index.read(spark, nc)
+    val np = graft.sources.KerchunkIndex.decodeCoords(
+        graft.sources.KerchunkIndex.materializeChunks(nEntries),
+        graft.sources.KerchunkIndex.arrayMeta(nEntries),
+        graft.sources.KerchunkIndex.attrDims(nEntries))
+      .queryExecution.executedPlan.toString
+    assert(np.contains("BroadcastHashJoin") && !np.contains("SortMergeJoin"), np.take(2000))
+  }
+
   test("pivot compiles to a single aggregate pass (no per-value scans)") {
     val p = plan("q_pivot")
     assert("FileScan".r.findAllIn(p).size == 1, p.take(2000))
