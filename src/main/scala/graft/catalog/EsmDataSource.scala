@@ -70,7 +70,7 @@ final case class EsmDataSource(
           case "cdf" => decodeEntries(graft.sources.NetCDF3Index.read(spark, path, storageOptions))
           case "hdf5" => throw new UnsupportedOperationException(
             s"netCDF-4 asset '$path' is an HDF5 container — behind the connector " +
-              "boundary (classic CDF-1/2 files decode natively)")
+              "boundary (classic CDF-1/2/5 files decode natively)")
           case other => throw new IllegalArgumentException(
             s"asset '$path' declared netcdf but carries no CDF/HDF5 magic")
         }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** netCDF classic (CDF-1 / CDF-2) container reader — the other half of the
+/** netCDF classic (CDF-1 / CDF-2 / CDF-5) container reader — the other half of the
   * reference's `netcdf` format dispatch (intake_esm/source.py:97-109) that
   * needs no external library: the classic format is a simple public
   * big-endian layout (magic `CDF\x01|\x02`, dim/attr/var tables, then flat
@@ -28,9 +28,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * entries. `vsize` from the file is IGNORED (it overflows past 2 GiB by
   * spec) — sizes are recomputed from the dimension lengths.
   *
-  * Refused loudly: CDF-5 (64-bit data variant), HDF5-backed netCDF-4 (a
-  * different container — needs an external connector), and files in
-  * streaming state (numrecs = -1).
+  * CDF-5 promotes every size field to int64 and adds the unsigned/64-bit
+  * types (ubyte/ushort/uint/int64/uint64) — all handled. Refused loudly:
+  * HDF5-backed netCDF-4 (a different container — needs an external
+  * connector) and files in streaming state (numrecs = STREAMING).
   */
 object NetCDF3Index {
 
@@ -39,10 +40,14 @@ object NetCDF3Index {
   private val NcAttribute = 0x0c
 
   private def typeSize(t: Int): Int = t match {
-    case 1 | 2 => 1 // byte, char
-    case 3     => 2 // short
-    case 4 | 5 => 4 // int, float
-    case 6     => 8 // double
+    case 1 | 2    => 1 // byte, char
+    case 3        => 2 // short
+    case 4 | 5    => 4 // int, float
+    case 6        => 8 // double
+    case 7        => 1 // CDF-5 ubyte
+    case 8        => 2 // CDF-5 ushort
+    case 9        => 4 // CDF-5 uint
+    case 10 | 11  => 8 // CDF-5 int64 / uint64
     case other => throw new IllegalArgumentException(s"netcdf3: unknown nc_type $other")
   }
 
@@ -50,12 +55,17 @@ object NetCDF3Index {
     * classic format's only byte order; [[ZarrCodec]] decodes '>' natively).
     * `char` maps to `|S1`, which the typed decoder drops as non-numeric. */
   private def dtypeOf(t: Int): String = t match {
-    case 1 => "|i1"
-    case 2 => "|S1"
-    case 3 => ">i2"
-    case 4 => ">i4"
-    case 5 => ">f4"
-    case 6 => ">f8"
+    case 1  => "|i1"
+    case 2  => "|S1"
+    case 3  => ">i2"
+    case 4  => ">i4"
+    case 5  => ">f4"
+    case 6  => ">f8"
+    case 7  => "|u1"
+    case 8  => ">u2"
+    case 9  => ">u4"
+    case 10 => ">i8"
+    case 11 => ">u8"
     case other => throw new IllegalArgumentException(s"netcdf3: unknown nc_type $other")
   }
 
@@ -64,25 +74,31 @@ object NetCDF3Index {
   private final case class Header(version: Int, numrecs: Long, dims: Vector[(String, Int)],
                                   gatts: List[(String, Any)], vars: Vector[NcVar])
 
-  private final class Parser(in: java.io.DataInputStream) {
+  /** `version` drives the width of every NON_NEG field: CDF-1/2 use int32,
+    * CDF-5 promotes them all (numrecs, nelems, name lengths, dim lengths,
+    * dimids, attr counts, vsize) to int64; tags and nc_type stay int32, and
+    * `begin` is int64 for both CDF-2 and CDF-5 (pnetcdf CDF-5 spec). */
+  private final class Parser(in: java.io.DataInputStream, version: Int) {
     private var pos = 0L
     def i32(): Int = { pos += 4; in.readInt() }
     def i64(): Long = { pos += 8; in.readLong() }
-    def u8(): Int = { pos += 1; in.readUnsignedByte() }
     def bytes(n: Int): Array[Byte] = {
       val a = new Array[Byte](n); in.readFully(a); pos += n; a
     }
+    def nonNeg(): Long = if (version == 5) i64() else i32().toLong
     def pad(): Unit = { val r = ((4 - (pos % 4)) % 4).toInt; if (r > 0) bytes(r) }
-    def name(): String = { val n = i32(); val s = new String(bytes(n), "UTF-8"); pad(); s }
+    def name(): String = {
+      val n = nonNeg(); val s = new String(bytes(n.toInt), "UTF-8"); pad(); s
+    }
 
     /** attribute list → (name, value) with scala values (String or
       * List[Number]) ready for JSON rendering */
     def atts(): List[(String, Any)] = {
-      val tag = i32(); val n = i32()
+      val tag = i32(); val n = nonNeg()
       require((tag == NcAttribute && n >= 0) || (tag == 0 && n == 0),
         s"netcdf3: malformed attribute list (tag 0x${tag.toHexString}, n $n)")
-      (0 until n).map { _ =>
-        val nm = name(); val t = i32(); val ne = i32()
+      (0L until n).map { _ =>
+        val nm = name(); val t = i32(); val ne = nonNeg().toInt
         val v: Any = t match {
           case 2 => new String(bytes(ne), "ISO-8859-1")
           case 1 => bytes(ne).map(_.toLong).toList
@@ -90,6 +106,10 @@ object NetCDF3Index {
           case 4 => (0 until ne).map(_ => i32().toLong).toList
           case 5 => (0 until ne).map(_ => java.lang.Float.intBitsToFloat(i32()).toDouble).toList
           case 6 => (0 until ne).map(_ => java.lang.Double.longBitsToDouble(i64())).toList
+          case 7 => bytes(ne).map(b => (b & 0xff).toLong).toList
+          case 8 => (0 until ne).map(_ => { val s = bytes(2); (((s(0) & 0xff) << 8) | (s(1) & 0xff)).toLong }).toList
+          case 9 => (0 until ne).map(_ => i32().toLong & 0xffffffffL).toList
+          case 10 | 11 => (0 until ne).map(_ => i64()).toList
           case other => throw new IllegalArgumentException(s"netcdf3: unknown attr nc_type $other")
         }
         pad()
@@ -99,38 +119,39 @@ object NetCDF3Index {
   }
 
   private def parseHeader(in: java.io.DataInputStream): Header = {
-    val p = new Parser(in)
-    val magic = p.bytes(3)
-    require(magic.sameElements("CDF".getBytes("US-ASCII")),
+    val magicIn = new Array[Byte](4)
+    in.readFully(magicIn)
+    require(java.util.Arrays.copyOf(magicIn, 3).sameElements("CDF".getBytes("US-ASCII")),
       "netcdf3: not a classic netCDF file (missing CDF magic) — netCDF-4/HDF5 " +
         "containers are behind the connector boundary")
-    val version = p.u8()
-    if (version == 5) throw new UnsupportedOperationException(
-      "netcdf3: CDF-5 (64-bit data) files are behind the connector boundary " +
-        "(CDF-1 and CDF-2 parse here)")
-    require(version == 1 || version == 2, s"netcdf3: unknown format version $version")
-    val numrecs = p.i32()
-    if (numrecs == -1) throw new UnsupportedOperationException(
-      "netcdf3: file is in streaming state (numrecs = -1) — refusing a moving target")
-    val dTag = p.i32(); val nDims = p.i32()
+    val version = magicIn(3) & 0xff
+    require(version == 1 || version == 2 || version == 5,
+      s"netcdf3: unknown format version $version")
+    val p = new Parser(in, version)
+    val numrecs = p.nonNeg()
+    // STREAMING sentinel: 0xFFFFFFFF reads as -1 through the i32 path and
+    // 0xFF..FF as -1 through the i64 path alike
+    if (numrecs == -1L) throw new UnsupportedOperationException(
+      "netcdf3: file is in streaming state (numrecs = STREAMING) — refusing a moving target")
+    val dTag = p.i32(); val nDims = p.nonNeg()
     require((dTag == NcDimension && nDims >= 0) || (dTag == 0 && nDims == 0),
       s"netcdf3: malformed dimension list (tag 0x${dTag.toHexString})")
-    val dims  = (0 until nDims).map(_ => (p.name(), p.i32())).toVector
+    val dims  = (0L until nDims).map(_ => (p.name(), p.nonNeg().toInt)).toVector
     val gatts = p.atts()
-    val vTag = p.i32(); val nVars = p.i32()
+    val vTag = p.i32(); val nVars = p.nonNeg()
     require((vTag == NcVariable && nVars >= 0) || (vTag == 0 && nVars == 0),
       s"netcdf3: malformed variable list (tag 0x${vTag.toHexString})")
-    val vars = (0 until nVars).map { _ =>
+    val vars = (0L until nVars).map { _ =>
       val nm = p.name()
-      val nd = p.i32()
-      val dimids = (0 until nd).map(_ => p.i32())
+      val nd = p.nonNeg().toInt
+      val dimids = (0 until nd).map(_ => p.nonNeg().toInt)
       val va = p.atts()
       val t  = p.i32()
-      p.i32() // vsize: per spec unreliable past 2 GiB — recomputed from dims
-      val begin = if (version == 2) p.i64() else p.i32().toLong
+      p.nonNeg() // vsize: per spec unreliable past 2 GiB — recomputed from dims
+      val begin = if (version >= 2) p.i64() else p.i32().toLong
       NcVar(nm, dimids, va, t, begin)
     }.toVector
-    Header(version, numrecs.toLong, dims, gatts, vars)
+    Header(version, numrecs, dims, gatts, vars)
   }
 
   private def jsonOf(v: Any): org.json4s.JValue = {

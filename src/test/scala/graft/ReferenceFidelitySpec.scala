@@ -571,6 +571,58 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     }
   }
 
+  test("netcdf CDF-5: int64-wide sizes and unsigned/64-bit types decode") {
+    // spec-faithful CDF-5 writer: every NON_NEG is int64, tags/nc_type stay
+    // int32, begin is int64. One fixed uint64 var, one record int64 var.
+    val b = java.nio.ByteBuffer.allocate(2048).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def putName(s: String): Unit = {
+      b.putLong(s.length.toLong); b.put(s.getBytes("US-ASCII"))
+      (0 until ((4 - s.length % 4) % 4)).foreach(_ => b.put(0.toByte))
+    }
+    b.put("CDF".getBytes("US-ASCII")); b.put(5.toByte)
+    b.putLong(2L) // numrecs
+    b.putInt(0x0a); b.putLong(2L)
+    putName("t"); b.putLong(0L) // record dim
+    putName("x"); b.putLong(3L)
+    b.putInt(0); b.putLong(0L) // no global atts
+    b.putInt(0x0b); b.putLong(2L)
+    // fixed 'u' : uint64, dims [x]
+    putName("u"); b.putLong(1L); b.putLong(1L)
+    b.putInt(0); b.putLong(0L)
+    b.putInt(11); b.putLong(24L)
+    val uBeginSlot = b.position(); b.putLong(0L)
+    // record 'r' : int64, dims [t, x]
+    putName("r"); b.putLong(2L); b.putLong(0L); b.putLong(1L)
+    b.putInt(0); b.putLong(0L)
+    b.putInt(10); b.putLong(24L)
+    val rBeginSlot = b.position(); b.putLong(0L)
+    val uBegin = b.position()
+    b.putLong(uBeginSlot, uBegin.toLong)
+    // u values: includes one above 2^63 (unsigned) — widens like ZarrCodec u8
+    b.putLong(7L); b.putLong(-1L /* 2^64-1 */ ); b.putLong(1L << 40)
+    val rBegin = b.position()
+    b.putLong(rBeginSlot, rBegin.toLong)
+    for (rec <- 0 until 2; x <- 0 until 3) b.putLong((rec * 100 + x).toLong)
+    val out = java.nio.file.Files.createTempFile("graft_cdf5", ".nc")
+    java.nio.file.Files.write(out, java.util.Arrays.copyOf(b.array(), b.position()))
+    val entries = graft.sources.NetCDF3Index.read(spark, out.toString)
+    val meta = graft.sources.KerchunkIndex.arrayMeta(entries).collect()
+      .map(r => r.getAs[String]("variable") -> r.getAs[String]("dtype")).toMap
+    assert(meta == Map("u" -> ">u8", "r" -> ">i8"), meta.toString)
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    val byKey = rows.map(r => (r.getAs[String]("variable"),
+      r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")) -> r.getAs[Double]("value")).toMap
+    assert(byKey(("u", "0")) == 7.0)
+    assert(byKey(("u", "1")) == 1.8446744073709552e19) // 2^64 - 1 as unsigned
+    assert(byKey(("u", "2")) == (1L << 40).toDouble)
+    for (rec <- 0 until 2; x <- 0 until 3)
+      assert(byKey(("r", s"$rec.$x")) == rec * 100 + x, s"r($rec,$x)")
+    java.nio.file.Files.deleteIfExists(out)
+  }
+
   test("blosc codec: round-trips, shuffle/split shapes, memcpy fallback, refusals") {
     import graft.sources.BloscCodec
     def roundTrip(src: Array[Byte], typesize: Int): Unit = {
