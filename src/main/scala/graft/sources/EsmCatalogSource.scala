@@ -492,13 +492,15 @@ object EsmCatalogAggs {
       case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
       case (x, y) => throw new IllegalStateException(s"uncomparable after coercion: $x vs $y")
     }
+    // -0.0 → 0.0 for hash identity: Spark normalizes floats before grouping
+    // AND before distinct counting — boxed Double.equals would split what
+    // the unpushed path merges (boxed NaNs already compare equal)
+    def normFloat(v: Any): Any = v match {
+      case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
+      case other                                         => other
+    }
     def groupKey(row: String => Any): List[Any] =
-      p.groupCols.map { c =>
-        coerce(row(c), fieldType.getOrElse(c, StringType), c) match {
-          case d: java.lang.Double if d.doubleValue() == 0.0 => java.lang.Double.valueOf(0.0)
-          case other                                         => other
-        }
-      }.toList
+      p.groupCols.map(c => normFloat(coerce(row(c), fieldType.getOrElse(c, StringType), c))).toList
     if (p.groupCols.isEmpty) groups.put(Nil, new State) // global agg: one row even on empty input
     rows.foreach { row =>
       val st = groups.computeIfAbsent(groupKey(row), _ => new State)
@@ -514,7 +516,8 @@ object EsmCatalogAggs {
             // logical value — raw boxing would count them as two distincts
             // while the unpushed row path widens both to 9.0 and counts one
             if (v != null) {
-              if (s.distinct) st.distincts(i) += coerce(v, fieldType.getOrElse(s.col, StringType), s.col)
+              if (s.distinct)
+                st.distincts(i) += normFloat(coerce(v, fieldType.getOrElse(s.col, StringType), s.col))
               else st.counts(i) += 1
             }
           case "min" =>

@@ -7,14 +7,28 @@ package graft.sources
   * so a Hadoop message change or a bare-path semantics fix lands once. */
 private[sources] object FsPaths {
 
-  // a URI scheme prefix — matches both "file:///x" and Hadoop's
-  // single-slash "file:/x" rendering, but not bare absolute paths
-  private val schemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:".r
+  // a URI scheme prefix — matches "file:///x", "s3a://b/k" AND Hadoop's
+  // single-slash "file:/x" rendering, but NOT bare paths whose first
+  // segment merely contains a colon ("t12:00.nc" — common in time-stamped
+  // climate filenames): the colon must be followed by a slash
+  private val schemePrefix = "^[A-Za-z][A-Za-z0-9+.-]*:/".r
 
   def hadoopPath(url: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       if (schemePrefix.findPrefixOf(url).isDefined) url
       else "file://" + new java.io.File(url).getAbsolutePath)
+
+  /** Resolve the FileSystem for a path, unwrapping the local CHECKSUM
+    * filesystem to its raw form: the checksum layer builds a RELATIVE
+    * `.name.crc` sibling Path, which Hadoop cannot represent when the
+    * filename contains a colon (common in time-stamped climate files), and
+    * no source here writes local .crc files to verify anyway. */
+  def fileSystemFor(p: org.apache.hadoop.fs.Path,
+                    conf: org.apache.hadoop.conf.Configuration): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(conf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRaw
+      case other                                   => other
+    }
 
   /** FileSystem.get raises "No FileSystem for scheme ..." (an
     * UnsupportedFileSystemException or plain IOException,

@@ -170,7 +170,7 @@ object KerchunkIndex {
             if (in != null) { in.close(); in = null }
             openPath = hadoopPath(url)
             try {
-              fs = openPath.getFileSystem(conf)
+              fs = FsPaths.fileSystemFor(openPath, conf)
               in = fs.open(openPath)
             } catch {
               case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>

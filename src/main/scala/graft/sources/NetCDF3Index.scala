@@ -86,9 +86,18 @@ object NetCDF3Index {
       val a = new Array[Byte](n); in.readFully(a); pos += n; a
     }
     def nonNeg(): Long = if (version == 5) i64() else i32().toLong
+    /** CDF-5 sizes are int64 but this reader's in-memory model (and a local
+      * test rig) is Int-bounded — a silently wrapped length would
+      * misclassify record variables (2^32 → 0 = the record sentinel) or go
+      * negative, so refuse loudly instead. */
+    def nonNegInt(what: String): Int = {
+      val v = nonNeg()
+      require(v >= 0 && v <= Int.MaxValue, s"netcdf3: $what $v exceeds the supported 2^31-1")
+      v.toInt
+    }
     def pad(): Unit = { val r = ((4 - (pos % 4)) % 4).toInt; if (r > 0) bytes(r) }
     def name(): String = {
-      val n = nonNeg(); val s = new String(bytes(n.toInt), "UTF-8"); pad(); s
+      val n = nonNegInt("name length"); val s = new String(bytes(n), "UTF-8"); pad(); s
     }
 
     /** attribute list → (name, value) with scala values (String or
@@ -98,7 +107,7 @@ object NetCDF3Index {
       require((tag == NcAttribute && n >= 0) || (tag == 0 && n == 0),
         s"netcdf3: malformed attribute list (tag 0x${tag.toHexString}, n $n)")
       (0L until n).map { _ =>
-        val nm = name(); val t = i32(); val ne = nonNeg().toInt
+        val nm = name(); val t = i32(); val ne = nonNegInt("attribute count")
         val v: Any = t match {
           case 2 => new String(bytes(ne), "ISO-8859-1")
           case 1 => bytes(ne).map(_.toLong).toList
@@ -109,7 +118,13 @@ object NetCDF3Index {
           case 7 => bytes(ne).map(b => (b & 0xff).toLong).toList
           case 8 => (0 until ne).map(_ => { val s = bytes(2); (((s(0) & 0xff) << 8) | (s(1) & 0xff)).toLong }).toList
           case 9 => (0 until ne).map(_ => i32().toLong & 0xffffffffL).toList
-          case 10 | 11 => (0 until ne).map(_ => i64()).toList
+          case 10 => (0 until ne).map(_ => i64()).toList
+          // uint64: values past 2^63-1 must surface unsigned (BigInt), not
+          // sign-wrapped — a _FillValue of 2^64-1 rendered as -1 could never
+          // match the (correctly widened) data
+          case 11 => (0 until ne).map { _ =>
+            val l = i64(); if (l >= 0) BigInt(l) else BigInt(l) + (BigInt(1) << 64)
+          }.toList
           case other => throw new IllegalArgumentException(s"netcdf3: unknown attr nc_type $other")
         }
         pad()
@@ -136,15 +151,15 @@ object NetCDF3Index {
     val dTag = p.i32(); val nDims = p.nonNeg()
     require((dTag == NcDimension && nDims >= 0) || (dTag == 0 && nDims == 0),
       s"netcdf3: malformed dimension list (tag 0x${dTag.toHexString})")
-    val dims  = (0L until nDims).map(_ => (p.name(), p.nonNeg().toInt)).toVector
+    val dims  = (0L until nDims).map(_ => (p.name(), p.nonNegInt("dimension length"))).toVector
     val gatts = p.atts()
     val vTag = p.i32(); val nVars = p.nonNeg()
     require((vTag == NcVariable && nVars >= 0) || (vTag == 0 && nVars == 0),
       s"netcdf3: malformed variable list (tag 0x${vTag.toHexString})")
     val vars = (0L until nVars).map { _ =>
       val nm = p.name()
-      val nd = p.nonNeg().toInt
-      val dimids = (0 until nd).map(_ => p.nonNeg().toInt)
+      val nd = p.nonNegInt("variable rank")
+      val dimids = (0 until nd).map(_ => p.nonNegInt("dimension id"))
       val va = p.atts()
       val t  = p.i32()
       p.nonNeg() // vsize: per spec unreliable past 2 GiB — recomputed from dims
@@ -162,6 +177,7 @@ object NetCDF3Index {
       case xs: List[_] =>
         val vals = xs.map {
           case l: Long   => JLong(l): JValue
+          case b: BigInt => JInt(b): JValue // uint64 attrs past 2^63-1
           case d: Double =>
             // NaN/Inf are not JSON — render as strings like numcodecs does
             if (d.isNaN || d.isInfinite) JString(d.toString) else JDouble(d)
@@ -180,7 +196,7 @@ object NetCDF3Index {
     val hPath = FsPaths.hadoopPath(path)
     val magic = new Array[Byte](4)
     try {
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = FsPaths.fileSystemFor(hPath, spark.sparkContext.hadoopConfiguration)
       val in = fs.open(hPath)
       try in.readFully(0, magic) finally in.close()
     } catch {
@@ -205,7 +221,7 @@ object NetCDF3Index {
     val ds = spark.createDataset(Seq(path)).mapPartitions { paths =>
       paths.flatMap { p =>
         val hPath = FsPaths.hadoopPath(p)
-        val fs = hPath.getFileSystem(hconf.value)
+        val fs = FsPaths.fileSystemFor(hPath, hconf.value)
         val header = {
           val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(hPath)))
           try parseHeader(in) finally in.close()

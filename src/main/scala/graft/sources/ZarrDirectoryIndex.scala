@@ -22,20 +22,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ZarrDirectoryIndex {
 
+  /** Shared store validation (driver probe AND task): directory required,
+    * zarr v3 layouts rejected. One implementation so the checks and their
+    * messages cannot drift between the two call sites. */
+  private def validateStore(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path, display: String): Unit = {
+    require(fs.getFileStatus(root).isDirectory,
+      s"zarr store '$display' is not a directory — zip/archived stores are behind the connector boundary")
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "zarr.json")))
+      throw new UnsupportedOperationException(
+        s"'$display' is a zarr v3 store (zarr.json) — only v2 directory stores enumerate here")
+  }
+
   /** Driver-side fail-fast for dispatch: resolves the filesystem (schemes
-    * without one refuse at the connector boundary), requires a directory,
-    * and rejects zarr v3 layouts — so a bad store fails at open, not
-    * somewhere inside a task. */
+    * without one refuse at the connector boundary) and validates the store —
+    * so a bad store fails at open, not somewhere inside a task. */
   def probe(spark: SparkSession, path: String): Unit = {
     val hPath = FsPaths.hadoopPath(path)
-    try {
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      require(fs.getFileStatus(hPath).isDirectory,
-        s"zarr store '$path' is not a directory — zip/archived stores are behind the connector boundary")
-      if (fs.exists(new org.apache.hadoop.fs.Path(hPath, "zarr.json")))
-        throw new UnsupportedOperationException(
-          s"'$path' is a zarr v3 store (zarr.json) — only v2 directory stores enumerate here")
-    } catch {
+    try validateStore(FsPaths.fileSystemFor(hPath, spark.sparkContext.hadoopConfiguration), hPath, path)
+    catch {
       case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
         FsPaths.connectorRefusal(path, e)
     }
@@ -52,15 +57,27 @@ object ZarrDirectoryIndex {
     val ds = spark.createDataset(Seq(storePath)).mapPartitions { paths =>
       paths.flatMap { p =>
         val root = FsPaths.hadoopPath(p)
-        val fs   = root.getFileSystem(hconf.value)
-        val st   = fs.getFileStatus(root)
-        require(st.isDirectory,
-          s"zarr store '$p' is not a directory — zip/archived stores are behind the connector boundary")
-        if (fs.exists(new org.apache.hadoop.fs.Path(root, "zarr.json")))
-          throw new UnsupportedOperationException(
-            s"'$p' is a zarr v3 store (zarr.json) — only v2 directory stores enumerate here")
+        val fs   = FsPaths.fileSystemFor(root, hconf.value)
+        validateStore(fs, root, p)
         val rootUri = root.toUri.getPath.stripSuffix("/")
         val files   = fs.listFiles(root, true)
+        // chunk attribution must handle dimension_separator "/": chunk (0,0)
+        // of a nested store lives at var/0/0, so the VARIABLE is the deepest
+        // ancestor directory holding a .zarray, and the remaining segments
+        // join with "." into the canonical chunk key. One cached exists()
+        // per distinct directory, not per chunk file.
+        val hasZarray = scala.collection.mutable.HashMap.empty[String, Boolean]
+        def dirHasZarray(rel: String): Boolean = hasZarray.getOrElseUpdate(rel, {
+          val dir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+          fs.exists(new org.apache.hadoop.fs.Path(dir, ".zarray"))
+        })
+        def splitChunkKey(key: String): (String, String) = {
+          val segs = key.split('/')
+          (segs.length - 1 to 0 by -1).collectFirst {
+            case k if dirHasZarray(segs.take(k).mkString("/")) =>
+              (segs.take(k).mkString("/"), segs.drop(k).mkString("."))
+          }.getOrElse((segs.init.mkString("/"), segs.last))
+        }
         new Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] {
           override def hasNext: Boolean = files.hasNext
           override def next(): (String, String, String, String, String, Option[Long], Option[Long], String) = {
@@ -82,7 +99,9 @@ object ZarrDirectoryIndex {
             } else {
               // chunk file: a whole-file ref — offset/length resolve to
               // (0, file size) inside materializeChunks
-              (key, variable, member, "ref", f.getPath.toString, None, None, null)
+              val (chunkVar, chunkMember) = splitChunkKey(key)
+              (s"$chunkVar/$chunkMember", chunkVar, chunkMember, "ref",
+                f.getPath.toString, None, None, null)
             }
           }
         }

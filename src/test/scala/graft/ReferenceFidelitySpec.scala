@@ -429,6 +429,55 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(v3.resolve("zarr.json")); java.nio.file.Files.deleteIfExists(v3)
   }
 
+  test("zarr store with dimension_separator '/' (nested chunk dirs) attributes correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr_nested")
+    java.nio.file.Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
+    java.nio.file.Files.createDirectories(dir.resolve("m/0"))
+    java.nio.file.Files.writeString(dir.resolve("m/.zarray"),
+      """{"dtype": "<i4", "shape": [2, 2], "chunks": [1, 2], "compressor": null,""" +
+        """ "filters": null, "order": "C", "zarr_format": 2, "dimension_separator": "/"}""")
+    def le(vals: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putInt); b.array()
+    }
+    java.nio.file.Files.write(dir.resolve("m/0/0"), le(10, 11)) // row 0
+    java.nio.file.Files.createDirectories(dir.resolve("m/1"))
+    java.nio.file.Files.write(dir.resolve("m/1/0"), le(20, 21)) // row 1
+    val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+    // nested chunk paths normalize to the canonical dotted keys under the
+    // OWNING array (the deepest .zarray ancestor), not a phantom "m/0" var
+    val refs = entries.filter(org.apache.spark.sql.functions.col("kind") === "ref")
+      .select("variable", "member").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs == Set(("m", "0.0"), ("m", "1.0")), refs.toString)
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    val byCoord = rows.map(r => r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")
+      -> r.getAs[Double]("value")).toMap
+    assert(byCoord == Map("0.0" -> 10.0, "0.1" -> 11.0, "1.0" -> 20.0, "1.1" -> 21.0))
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
+  test("bare paths whose names contain colons stay local files, not fake schemes") {
+    import spark.implicits._
+    val dir  = java.nio.file.Files.createTempDirectory("graft_colon")
+    val file = dir.resolve("t12:00.bin")
+    java.nio.file.Files.write(file, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    // a relative-looking url with a colon in the FILENAME must route to the
+    // local file branch — a scheme-prefix regex without the slash test would
+    // hand "t12:" to Hadoop as a scheme and refuse a readable file
+    val entries = Seq(("k/0", "k", "0", "ref", file.toString, Some(2L), Some(4L),
+      None: Option[String]))
+      .toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+    val data = graft.sources.KerchunkIndex.materializeChunks(entries)
+      .select("data").head().getAs[Array[Byte]](0)
+    assert(data.toSeq == Seq[Byte](3, 4, 5, 6))
+    java.nio.file.Files.deleteIfExists(file); java.nio.file.Files.deleteIfExists(dir)
+  }
+
   test("netcdf classic: the real CMIP5 sample decodes with labeled coordinates") {
     val nc = "/root/reference/tests/sample_data/cmip/cmip5/output1/NIMR-KMA/HadGEM2-AO/" +
       "rcp85/mon/atmos/Amon/r1i1p1/v20130815/tasmax/" +
