@@ -74,16 +74,17 @@ final case class EsmDataSource(
           case other => throw new IllegalArgumentException(
             s"asset '$path' declared netcdf but carries no CDF/HDF5 magic")
         }
-      case "zarr" | "zarr2" =>
-        // zarr v2 DIRECTORY stores enumerate natively (metadata documents +
-        // one file per chunk — sources.ZarrDirectoryIndex) into the same
-        // chunk-map plane; v3 layouts, archived stores, and unreachable
-        // schemes fail fast in the probe (source.py:82-96)
+      case "zarr" | "zarr2" | "zarr3" =>
+        // zarr DIRECTORY stores (v2 AND v3 metadata layouts) enumerate
+        // natively (metadata documents + one file per chunk —
+        // sources.ZarrDirectoryIndex) into the same chunk-map plane;
+        // archived stores and unreachable schemes fail fast in the probe
+        // (source.py:82-96)
         graft.sources.ZarrDirectoryIndex.probe(spark, path)
         decodeEntries(graft.sources.ZarrDirectoryIndex.read(spark, path, storageOptions))
       case other =>
         throw new UnsupportedOperationException(
-          s"data format '$other' needs an external Spark connector (zarr3/opendap per source.py:70-137)")
+          s"data format '$other' needs an external Spark connector (opendap per source.py:70-137)")
     }
 
   /** Chunk-map entries → the depth `graft.kerchunk.decode` asks for:

@@ -2,37 +2,39 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Zarr v2 DIRECTORY store reader — the reference's `zarr`/`zarr2` format
-  * (intake_esm/source.py:82-96, DataFormat enum cat.py:56-64) for stores
-  * that live on a Hadoop-reachable filesystem: a zarr v2 store is just
-  * files (`.zgroup`/`.zarray`/`.zattrs` JSON documents plus one file per
-  * chunk, named by its grid position), so no library is needed to
-  * enumerate it.
+/** Zarr DIRECTORY store reader — the reference's `zarr`/`zarr2`/`zarr3`
+  * formats (intake_esm/source.py:82-96, DataFormat enum cat.py:56-64) for
+  * stores on a Hadoop-reachable filesystem: a zarr store is just files
+  * (metadata JSON documents plus one file per chunk), so no library is
+  * needed to enumerate it.
   *
-  * Spark-first shape: like [[NetCDF3Index]], the store is translated into
-  * the entry rows [[KerchunkIndex.read]] emits — metadata documents
-  * inlined, chunk files as whole-file refs — and the shared
-  * materialize/decode/coords machinery does the rest. The recursive
-  * listing runs as ONE Spark task streaming a lazy iterator, so a
-  * million-chunk store never materializes on the driver; the downstream
-  * offset-band repartition spreads the chunk reads.
+  * v2 stores carry `.zgroup`/`.zarray`/`.zattrs` per node with flat (or
+  * `dimension_separator: "/"` nested) chunk names. v3 stores carry ONE
+  * `zarr.json` per node (the root one marks the store) with chunks under
+  * the `c/` prefix by default; the array metadata is TRANSLATED into the
+  * synthesized v2 `.zarray`/`.zattrs` documents the downstream plane
+  * already consumes (data_type + the `bytes` codec's endian → numpy dtype,
+  * gzip/blosc codec → compressor id, `dimension_names` →
+  * `_ARRAY_DIMENSIONS`). Codec chains beyond `bytes [+ gzip|blosc]`
+  * (sharding, transpose, zstd, crc32c) refuse loudly.
   *
-  * Zarr v3 stores (a different metadata layout, `zarr.json`) refuse
-  * loudly, as do paths that are not directories (zip stores etc.).
+  * Spark-first shape: like [[NetCDF3Index]], the store becomes the entry
+  * rows [[KerchunkIndex.read]] emits — metadata documents inlined, chunk
+  * files as whole-file refs — and the shared materialize/decode/coords
+  * machinery does the rest. The recursive listing runs as ONE Spark task
+  * streaming a lazy iterator, so a million-chunk store never materializes
+  * on the driver; the downstream offset-band repartition spreads the
+  * chunk reads. Non-directory paths (zip stores etc.) refuse loudly.
   */
 object ZarrDirectoryIndex {
 
-  /** Shared store validation (driver probe AND task): directory required,
-    * zarr v3 layouts rejected. One implementation so the checks and their
-    * messages cannot drift between the two call sites. */
+  /** Shared store validation (driver probe AND task): directory required.
+    * One implementation so the checks and their messages cannot drift
+    * between the two call sites. */
   private def validateStore(fs: org.apache.hadoop.fs.FileSystem,
-                            root: org.apache.hadoop.fs.Path, display: String): Unit = {
+                            root: org.apache.hadoop.fs.Path, display: String): Unit =
     require(fs.getFileStatus(root).isDirectory,
       s"zarr store '$display' is not a directory — zip/archived stores are behind the connector boundary")
-    if (fs.exists(new org.apache.hadoop.fs.Path(root, "zarr.json")))
-      throw new UnsupportedOperationException(
-        s"'$display' is a zarr v3 store (zarr.json) — only v2 directory stores enumerate here")
-  }
 
   /** Driver-side fail-fast for dispatch: resolves the filesystem (schemes
     * without one refuse at the connector boundary) and validates the store —
@@ -46,9 +48,126 @@ object ZarrDirectoryIndex {
     }
   }
 
-  /** One zarr v2 directory store → kerchunk-shaped entry rows (same schema
-    * as [[KerchunkIndex.read]]). Keys are store-relative paths; `variable`
-    * is the containing (possibly nested) array path, "" at the root. */
+  /** One parsed v3 array node, carried as the SYNTHESIZED v2 documents the
+    * downstream plane consumes plus its chunk-key encoding. */
+  private final case class V3Array(zarray: String, zattrs: String,
+                                   encoding: String, separator: String)
+
+  /** Translate a v3 array `zarr.json` into v2 `.zarray`/`.zattrs` texts.
+    * Returns None for group nodes; refuses unsupported codec chains,
+    * data types, and chunk grids loudly. */
+  private def translateV3(text: String, where: String): Option[V3Array] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def refuse(what: String): Nothing = throw new UnsupportedOperationException(
+      s"zarr v3 '$where': $what — behind the connector boundary")
+    val j = JsonMethods.parse(text)
+    (j \ "node_type") match {
+      case JString("group") => None
+      case JString("array") =>
+        def longs(v: JValue): List[Long] = v match {
+          case JArray(xs) => xs.map { case JInt(i) => i.toLong; case JLong(l) => l
+            case other => refuse(s"non-integer size $other") }
+          case other => refuse(s"malformed size list $other")
+        }
+        val shape0 = longs(j \ "shape")
+        require((j \ "chunk_grid" \ "name") == JString("regular"),
+          s"zarr v3 '$where': only the regular chunk grid is supported")
+        val chunks0 = longs(j \ "chunk_grid" \ "configuration" \ "chunk_shape")
+        // scalar arrays (shape []) normalize to [1] like the netCDF plane
+        val (shape, chunks) =
+          if (shape0.isEmpty) (List(1L), List(1L)) else (shape0, chunks0)
+        val codecs = (j \ "codecs") match {
+          case JArray(cs) => cs.map(c => ((c \ "name"), c))
+          case _          => refuse("missing codecs list")
+        }
+        val (endian, rest) = codecs match {
+          case (JString("bytes"), cfg) :: tail =>
+            ((cfg \ "configuration" \ "endian") match {
+              case JString("big") => ">"
+              case _              => "<" // little is the spec default
+            }, tail)
+          case _ => refuse("codec chain must start with the 'bytes' codec")
+        }
+        val compressor = rest match {
+          case Nil                        => "null"
+          case (JString("gzip"), _) :: Nil  => """{"id": "gzip"}"""
+          case (JString("blosc"), _) :: Nil => """{"id": "blosc"}""" // frame self-describes
+          case other => refuse(s"codec chain ${other.map(_._1)} (only gzip/blosc after bytes)")
+        }
+        val dtype = (j \ "data_type") match {
+          case JString("bool")    => "|b1"
+          case JString("int8")    => "|i1"
+          case JString("uint8")   => "|u1"
+          case JString("int16")   => endian + "i2"
+          case JString("uint16")  => endian + "u2"
+          case JString("int32")   => endian + "i4"
+          case JString("uint32")  => endian + "u4"
+          case JString("int64")   => endian + "i8"
+          case JString("uint64")  => endian + "u8"
+          case JString("float32") => endian + "f4"
+          case JString("float64") => endian + "f8"
+          case other              => refuse(s"data_type $other")
+        }
+        val (encName, sep) = (j \ "chunk_key_encoding") match {
+          case JNothing => ("default", "/")
+          case enc =>
+            val name = (enc \ "name") match {
+              case JString(n) => n
+              case _          => "default"
+            }
+            val s = (enc \ "configuration" \ "separator") match {
+              case JString(x) => x
+              case _          => if (name == "v2") "." else "/"
+            }
+            (name, s)
+        }
+        if (encName != "default" && encName != "v2") refuse(s"chunk_key_encoding '$encName'")
+        def renderLongs(xs: List[Long]) = xs.mkString("[", ", ", "]")
+        val zarray = s"""{"zarr_format": 2, "dtype": "$dtype", "shape": ${renderLongs(shape)},""" +
+          s""" "chunks": ${renderLongs(chunks)}, "compressor": $compressor,""" +
+          """ "filters": null, "order": "C"}"""
+        val attrs = (j \ "attributes") match {
+          case o: JObject => o.obj
+          case _          => Nil
+        }
+        val dims = (j \ "dimension_names") match {
+          case JArray(ds) => List(JField("_ARRAY_DIMENSIONS",
+            JArray(ds.map { case JString(s) => JString(s); case other => other })))
+          case _ => Nil
+        }
+        val zattrs = JsonMethods.compact(JsonMethods.render(JObject(attrs ++ dims)))
+        Some(V3Array(zarray, zattrs, encName, sep))
+      case other => refuse(s"node_type $other")
+    }
+  }
+
+  /** Map a chunk file's array-relative path to the canonical dotted chunk
+    * key, or None when the file is not a chunk of this encoding. */
+  private def v3ChunkMember(a: V3Array, rel: String): Option[String] = {
+    def digits(p: String) = p.nonEmpty && p.forall(_.isDigit)
+    val segs: List[String] =
+      if (a.separator == "/") rel.split('/').toList
+      else rel.split('/').toList match {
+        case single :: Nil => single.split(java.util.regex.Pattern.quote(a.separator)).toList
+        case other         => other
+      }
+    a.encoding match {
+      case "default" => segs match {
+        case "c" :: Nil                            => Some("0") // scalar array
+        case "c" :: coords if coords.forall(digits) => Some(coords.mkString("."))
+        case _                                     => None
+      }
+      case _ => if (segs.forall(digits)) Some(segs.mkString(".")) else None
+    }
+  }
+
+  /** One zarr directory store (v2 OR v3) → kerchunk-shaped entry rows (same
+    * schema as [[KerchunkIndex.read]]). Keys are store-relative paths;
+    * `variable` is the containing (possibly nested) array path, "" at the
+    * root. Note: chunks a writer omitted because they are entirely
+    * fill_value have no file and therefore emit no rows — the plane
+    * surfaces STORED data. */
   def read(spark: SparkSession, storePath: String,
            storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
@@ -60,53 +179,136 @@ object ZarrDirectoryIndex {
         val fs   = FsPaths.fileSystemFor(root, hconf.value)
         validateStore(fs, root, p)
         val rootUri = root.toUri.getPath.stripSuffix("/")
-        val files   = fs.listFiles(root, true)
-        // chunk attribution must handle dimension_separator "/": chunk (0,0)
-        // of a nested store lives at var/0/0, so the VARIABLE is the deepest
-        // ancestor directory holding a .zarray, and the remaining segments
-        // join with "." into the canonical chunk key. One cached exists()
-        // per distinct directory, not per chunk file.
-        val hasZarray = scala.collection.mutable.HashMap.empty[String, Boolean]
-        def dirHasZarray(rel: String): Boolean = hasZarray.getOrElseUpdate(rel, {
-          val dir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
-          fs.exists(new org.apache.hadoop.fs.Path(dir, ".zarray"))
-        })
-        def splitChunkKey(key: String): (String, String) = {
-          val segs = key.split('/')
-          (segs.length - 1 to 0 by -1).collectFirst {
-            case k if dirHasZarray(segs.take(k).mkString("/")) =>
-              (segs.take(k).mkString("/"), segs.drop(k).mkString("."))
-          }.getOrElse((segs.init.mkString("/"), segs.last))
+        def relOf(f: org.apache.hadoop.fs.Path): String =
+          f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        def readText(f: org.apache.hadoop.fs.Path): String = {
+          val in = fs.open(f)
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            new String(bos.toByteArray, "UTF-8")
+          } finally in.close()
         }
-        new Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] {
-          override def hasNext: Boolean = files.hasNext
-          override def next(): (String, String, String, String, String, Option[Long], Option[Long], String) = {
-            val f   = files.next()
-            val key = f.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-            val member   = key.split('/').last
-            val variable = key.stripSuffix(member).stripSuffix("/")
-            if (member.startsWith(".")) {
-              // metadata document: inline its (small) JSON content
-              val in  = fs.open(f.getPath)
-              val txt = try {
-                val bos = new java.io.ByteArrayOutputStream()
-                val buf = new Array[Byte](8192)
-                var n = in.read(buf)
-                while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-                new String(bos.toByteArray, "UTF-8")
-              } finally in.close()
-              (key, variable, member, "meta", null, None, None, txt)
-            } else {
-              // chunk file: a whole-file ref — offset/length resolve to
-              // (0, file size) inside materializeChunks
-              val (chunkVar, chunkMember) = splitChunkKey(key)
-              (s"$chunkVar/$chunkMember", chunkVar, chunkMember, "ref",
-                f.getPath.toString, None, None, null)
-            }
-          }
-        }
+        if (fs.exists(new org.apache.hadoop.fs.Path(root, "zarr.json")))
+          v3Entries(fs, root, p, relOf, readText)
+        else
+          v2Entries(fs, root, relOf, readText)
       }
     }
     ds.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+  }
+
+  private type Entry = (String, String, String, String, String, Option[Long], Option[Long], String)
+
+  private def v2Entries(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+                        relOf: org.apache.hadoop.fs.Path => String,
+                        readText: org.apache.hadoop.fs.Path => String): Iterator[Entry] = {
+    val files = fs.listFiles(root, true)
+    // chunk attribution must handle dimension_separator "/": chunk (0,0)
+    // of a nested store lives at var/0/0, so the VARIABLE is the deepest
+    // ancestor directory holding a .zarray, and the remaining segments
+    // join with "." into the canonical chunk key. One cached exists()
+    // per distinct directory, not per chunk file.
+    val hasZarray = scala.collection.mutable.HashMap.empty[String, Boolean]
+    def dirHasZarray(rel: String): Boolean = hasZarray.getOrElseUpdate(rel, {
+      val dir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+      fs.exists(new org.apache.hadoop.fs.Path(dir, ".zarray"))
+    })
+    def splitChunkKey(key: String): (String, String) = {
+      val segs = key.split('/')
+      (segs.length - 1 to 0 by -1).collectFirst {
+        case k if dirHasZarray(segs.take(k).mkString("/")) =>
+          (segs.take(k).mkString("/"), segs.drop(k).mkString("."))
+      }.getOrElse((segs.init.mkString("/"), segs.last))
+    }
+    new Iterator[Entry] {
+      override def hasNext: Boolean = files.hasNext
+      override def next(): Entry = {
+        val f   = files.next()
+        val key = relOf(f.getPath)
+        val member   = key.split('/').last
+        val variable = key.stripSuffix(member).stripSuffix("/")
+        if (member.startsWith(".")) {
+          // metadata document: inline its (small) JSON content
+          (key, variable, member, "meta", null, None, None, readText(f.getPath))
+        } else {
+          // chunk file: a whole-file ref — offset/length resolve to
+          // (0, file size) inside materializeChunks
+          val (chunkVar, chunkMember) = splitChunkKey(key)
+          (s"$chunkVar/$chunkMember", chunkVar, chunkMember, "ref",
+            f.getPath.toString, None, None, null)
+        }
+      }
+    }
+  }
+
+  private def v3Entries(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+                        display: String, relOf: org.apache.hadoop.fs.Path => String,
+                        readText: org.apache.hadoop.fs.Path => String): Iterator[Entry] = {
+    // pass 1: parse every zarr.json (one per node — few relative to chunks)
+    // into the synthesized v2 documents + each array's chunk-key encoding
+    val arrays = scala.collection.mutable.LinkedHashMap.empty[String, V3Array]
+    locally {
+      val metaFiles = fs.listFiles(root, true)
+      while (metaFiles.hasNext) {
+        val f = metaFiles.next()
+        if (f.getPath.getName == "zarr.json") {
+          val rel = relOf(f.getPath)
+          val dir = rel.stripSuffix("zarr.json").stripSuffix("/")
+          translateV3(readText(f.getPath), s"$display/$rel").foreach(arrays(dir) = _)
+        }
+      }
+    }
+    val meta: Iterator[Entry] =
+      Iterator((".zgroup", "", ".zgroup", "meta", null: String,
+        None: Option[Long], None: Option[Long], """{"zarr_format": 2}""")) ++
+        arrays.iterator.flatMap { case (dir, a) =>
+          Iterator(
+            (s"$dir/.zarray", dir, ".zarray", "meta", null: String,
+              None: Option[Long], None: Option[Long], a.zarray),
+            (s"$dir/.zattrs", dir, ".zattrs", "meta", null: String,
+              None: Option[Long], None: Option[Long], a.zattrs))
+        }
+    // pass 2: stream the chunk files, attributing each to its deepest
+    // owning array and normalizing the chunk key to the dotted form
+    val files = fs.listFiles(root, true)
+    val chunks: Iterator[Entry] = new Iterator[Entry] {
+      private var nextEntry: Entry = _
+      private def advance(): Boolean = {
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getPath.getName != "zarr.json") {
+            val key  = relOf(f.getPath)
+            val segs = key.split('/')
+            val owner = (segs.length - 1 to 0 by -1).collectFirst {
+              case k if arrays.contains(segs.take(k).mkString("/")) =>
+                (segs.take(k).mkString("/"), segs.drop(k).mkString("/"))
+            }
+            owner.flatMap { case (dir, rel) =>
+              v3ChunkMember(arrays(dir), rel).map(m => (dir, m))
+            } match {
+              case Some((dir, m)) =>
+                nextEntry = (s"$dir/$m", dir, m, "ref", f.getPath.toString, None, None, null)
+                return true
+              case None =>
+                // sidecar file outside any array's chunk scheme: surface it
+                // under its literal path rather than dropping it silently
+                nextEntry = (key, segs.init.mkString("/"), segs.last, "ref",
+                  f.getPath.toString, None, None, null)
+                return true
+            }
+          }
+        }
+        false
+      }
+      override def hasNext: Boolean = nextEntry != null || advance()
+      override def next(): Entry = {
+        if (nextEntry == null && !advance()) throw new NoSuchElementException
+        val e = nextEntry; nextEntry = null; e
+      }
+    }
+    meta ++ chunks
   }
 }

@@ -419,14 +419,50 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       .openAsset(spark, store, "zarr")
     assert(entries.filter(col("kind") === "ref").count() == 3) // t2m/0.0, t2m/0.1, step/0
     assert(entries.filter(col("member") === ".zarray").count() == 2)
-    // refusals: a plain file is not a store; a zarr.json marks v3
+    // refusals: a plain file is not a store; a v3 array with an unsupported
+    // codec chain (zstd) fails loudly at the connector boundary
     val e1 = intercept[Exception](src.openAsset(spark, s"$store/.zgroup", "zarr"))
     assert(e1.getMessage.contains("not a directory"), e1.getMessage)
-    val v3 = java.nio.file.Files.createTempDirectory("graft_zarr3")
-    java.nio.file.Files.writeString(v3.resolve("zarr.json"), """{"zarr_format": 3}""")
-    val e2 = intercept[UnsupportedOperationException](src.openAsset(spark, v3.toString, "zarr"))
-    assert(e2.getMessage.contains("v3"), e2.getMessage)
+    val v3 = java.nio.file.Files.createTempDirectory("graft_zarr3bad")
+    java.nio.file.Files.writeString(v3.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |            {"name": "zstd", "configuration": {"level": 3}}]}""".stripMargin)
+    val e2 = intercept[Exception] {
+      src.openAsset(spark, v3.toString, "zarr3").collect()
+    }
+    val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("connector boundary"), msg2)
     java.nio.file.Files.deleteIfExists(v3.resolve("zarr.json")); java.nio.file.Files.deleteIfExists(v3)
+  }
+
+  test("zarr v3 store: metadata translation, both chunk-key encodings, codec chain") {
+    import org.apache.spark.sql.functions.col
+    val store = SparkEntry.ensureZarrV3Fixture()
+    val entries = graft.catalog.EsmDataSource("z3", Nil, "path", None, Nil)
+      .openAsset(spark, store, "zarr3")
+    // the v3 metadata arrives as synthesized v2 documents
+    val meta = graft.sources.KerchunkIndex.arrayMeta(entries).collect()
+      .map(r => r.getAs[String]("variable") -> r).toMap
+    assert(meta("wind").getAs[String]("dtype") == "<i4")
+    assert(meta("wind").getAs[String]("compressor") == "gzip")
+    assert(meta("wind").getAs[scala.collection.Seq[Long]]("chunks") == Seq(1L, 3L))
+    assert(meta("lev").getAs[String]("dtype") == "<f8")
+    // default (c/-prefixed) and v2 chunk keys both normalize to dotted form
+    val refs = entries.filter(col("kind") === "ref")
+      .select("variable", "member").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs == Set(("wind", "0.0"), ("wind", "1.0"), ("lev", "0")), refs.toString)
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    val byKey = rows.map(r => (r.getAs[String]("variable"),
+      r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")) -> r.getAs[Double]("value")).toMap
+    for (t <- 0 until 2; x <- 0 until 3) assert(byKey(("wind", s"$t.$x")) == t * 100 + x)
+    for (i <- 0 until 5) assert(byKey(("lev", i.toString)) == i * 0.5 - 1.0)
+    assert(rows.find(_.getAs[String]("variable") == "wind").get
+      .getAs[scala.collection.Seq[String]]("dims") == Seq("t", "x"))
   }
 
   test("zarr store with dimension_separator '/' (nested chunk dirs) attributes correctly") {
