@@ -48,22 +48,40 @@ object ZarrDirectoryIndex {
     }
   }
 
+  private sealed trait V3Node
+  /** A v3 group node's attributes (as a `.zattrs` text), when any. */
+  private final case class V3Group(zattrs: Option[String]) extends V3Node
   /** One parsed v3 array node, carried as the SYNTHESIZED v2 documents the
-    * downstream plane consumes plus its chunk-key encoding. */
+    * downstream plane consumes plus its chunk-key encoding and rank. */
   private final case class V3Array(zarray: String, zattrs: String,
-                                   encoding: String, separator: String)
+                                   encoding: String, separator: String, ndim: Int) extends V3Node
 
-  /** Translate a v3 array `zarr.json` into v2 `.zarray`/`.zattrs` texts.
-    * Returns None for group nodes; refuses unsupported codec chains,
-    * data types, and chunk grids loudly. */
-  private def translateV3(text: String, where: String): Option[V3Array] = {
+  /** Translate a v3 node `zarr.json` into the v2 documents.
+    *
+    * Refusal depth matches the v2 plane's granularity: features that break
+    * ENUMERATION (malformed metadata, non-regular chunk grids, unknown key
+    * encodings, invalid endian values) refuse loudly here, while merely
+    * UNSUPPORTED per-variable features defer to decode time — an
+    * unsupported codec chain passes its codec id through as the compressor
+    * (ZarrCodec refuses that chunk loudly), and an unsupported data_type
+    * synthesizes a non-numeric dtype (dropped like `|S` chunks) — so one
+    * zstd variable cannot poison the chunk-map read of a ten-variable
+    * store. */
+  private def translateV3(text: String, where: String): V3Node = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     def refuse(what: String): Nothing = throw new UnsupportedOperationException(
       s"zarr v3 '$where': $what — behind the connector boundary")
+    def attrsOf(j: JValue): List[JField] = (j \ "attributes") match {
+      case o: JObject => o.obj
+      case _          => Nil
+    }
     val j = JsonMethods.parse(text)
     (j \ "node_type") match {
-      case JString("group") => None
+      case JString("group") =>
+        val attrs = attrsOf(j)
+        V3Group(if (attrs.isEmpty) None
+          else Some(JsonMethods.compact(JsonMethods.render(JObject(attrs)))))
       case JString("array") =>
         def longs(v: JValue): List[Long] = v match {
           case JArray(xs) => xs.map { case JInt(i) => i.toLong; case JLong(l) => l
@@ -71,8 +89,8 @@ object ZarrDirectoryIndex {
           case other => refuse(s"malformed size list $other")
         }
         val shape0 = longs(j \ "shape")
-        require((j \ "chunk_grid" \ "name") == JString("regular"),
-          s"zarr v3 '$where': only the regular chunk grid is supported")
+        if ((j \ "chunk_grid" \ "name") != JString("regular"))
+          refuse(s"chunk grid ${j \ "chunk_grid" \ "name"} (only 'regular' enumerates)")
         val chunks0 = longs(j \ "chunk_grid" \ "configuration" \ "chunk_shape")
         // scalar arrays (shape []) normalize to [1] like the netCDF plane
         val (shape, chunks) =
@@ -84,16 +102,21 @@ object ZarrDirectoryIndex {
         val (endian, rest) = codecs match {
           case (JString("bytes"), cfg) :: tail =>
             ((cfg \ "configuration" \ "endian") match {
-              case JString("big") => ">"
-              case _              => "<" // little is the spec default
+              case JString("big")              => ">"
+              case JString("little") | JNothing => "<" // little is the spec default
+              case other => refuse(s"bytes codec endian $other") // never guess byte order
             }, tail)
           case _ => refuse("codec chain must start with the 'bytes' codec")
         }
         val compressor = rest match {
-          case Nil                        => "null"
+          case Nil                          => "null"
           case (JString("gzip"), _) :: Nil  => """{"id": "gzip"}"""
           case (JString("blosc"), _) :: Nil => """{"id": "blosc"}""" // frame self-describes
-          case other => refuse(s"codec chain ${other.map(_._1)} (only gzip/blosc after bytes)")
+          case other =>
+            // unsupported chain: pass the codec ids through — ZarrCodec
+            // refuses THIS variable's chunks loudly at decode time
+            val ids = other.map { case (JString(n), _) => n; case _ => "?" }.mkString("+")
+            s"""{"id": "${ids}"}"""
         }
         val dtype = (j \ "data_type") match {
           case JString("bool")    => "|b1"
@@ -107,6 +130,9 @@ object ZarrDirectoryIndex {
           case JString("uint64")  => endian + "u8"
           case JString("float32") => endian + "f4"
           case JString("float64") => endian + "f8"
+          // unsupported type: non-numeric kind 'V' — decodeTyped drops these
+          // chunks like |S, the documented v2 behavior
+          case JString(other)     => s"|V$other"
           case other              => refuse(s"data_type $other")
         }
         val (encName, sep) = (j \ "chunk_key_encoding") match {
@@ -127,23 +153,27 @@ object ZarrDirectoryIndex {
         val zarray = s"""{"zarr_format": 2, "dtype": "$dtype", "shape": ${renderLongs(shape)},""" +
           s""" "chunks": ${renderLongs(chunks)}, "compressor": $compressor,""" +
           """ "filters": null, "order": "C"}"""
-        val attrs = (j \ "attributes") match {
-          case o: JObject => o.obj
-          case _          => Nil
-        }
         val dims = (j \ "dimension_names") match {
           case JArray(ds) => List(JField("_ARRAY_DIMENSIONS",
-            JArray(ds.map { case JString(s) => JString(s); case other => other })))
+            // null entries are spec-valid ("unnamed dimension") — substitute
+            // the positional fallback so labels stay aligned with coords
+            JArray(ds.zipWithIndex.map {
+              case (JString(s), _) => JString(s)
+              case (_, i)          => JString(s"dim$i")
+            })))
           case _ => Nil
         }
-        val zattrs = JsonMethods.compact(JsonMethods.render(JObject(attrs ++ dims)))
-        Some(V3Array(zarray, zattrs, encName, sep))
+        val zattrs = JsonMethods.compact(JsonMethods.render(JObject(attrsOf(j) ++ dims)))
+        V3Array(zarray, zattrs, encName, sep, shape.length)
       case other => refuse(s"node_type $other")
     }
   }
 
   /** Map a chunk file's array-relative path to the canonical dotted chunk
-    * key, or None when the file is not a chunk of this encoding. */
+    * key, or None when the file is not a chunk of this encoding (wrong
+    * prefix, non-numeric parts, or a coord count that does not match the
+    * array's rank — a stray `lev/0` next to a default-encoded `lev/c/0`
+    * must NOT decode as a phantom chunk). */
   private def v3ChunkMember(a: V3Array, rel: String): Option[String] = {
     def digits(p: String) = p.nonEmpty && p.forall(_.isDigit)
     val segs: List[String] =
@@ -154,11 +184,14 @@ object ZarrDirectoryIndex {
       }
     a.encoding match {
       case "default" => segs match {
-        case "c" :: Nil                            => Some("0") // scalar array
-        case "c" :: coords if coords.forall(digits) => Some(coords.mkString("."))
-        case _                                     => None
+        case "c" :: Nil if a.ndim == 1 => Some("0") // scalar array (shape [] → [1])
+        case "c" :: coords if coords.length == a.ndim && coords.forall(digits) =>
+          Some(coords.mkString("."))
+        case _ => None
       }
-      case _ => if (segs.forall(digits)) Some(segs.mkString(".")) else None
+      case _ =>
+        if (segs.length == a.ndim && segs.forall(digits)) Some(segs.mkString("."))
+        else None
     }
   }
 
@@ -247,28 +280,41 @@ object ZarrDirectoryIndex {
   private def v3Entries(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
                         display: String, relOf: org.apache.hadoop.fs.Path => String,
                         readText: org.apache.hadoop.fs.Path => String): Iterator[Entry] = {
-    // pass 1: parse every zarr.json (one per node — few relative to chunks)
-    // into the synthesized v2 documents + each array's chunk-key encoding
-    val arrays = scala.collection.mutable.LinkedHashMap.empty[String, V3Array]
-    locally {
-      val metaFiles = fs.listFiles(root, true)
-      while (metaFiles.hasNext) {
-        val f = metaFiles.next()
-        if (f.getPath.getName == "zarr.json") {
-          val rel = relOf(f.getPath)
-          val dir = rel.stripSuffix("zarr.json").stripSuffix("/")
-          translateV3(readText(f.getPath), s"$display/$rel").foreach(arrays(dir) = _)
-        }
+    // pass 1: a PRUNED directory walk for the zarr.json documents — arrays
+    // contain no nested nodes, so their (potentially million-file) chunk
+    // trees are never descended into; only group levels are listed. The
+    // full recursive listing below is therefore the only full enumeration.
+    val arrays     = scala.collection.mutable.LinkedHashMap.empty[String, V3Array]
+    val groupAttrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def walk(dirRel: String): Unit = {
+      val dir = if (dirRel.isEmpty) root else new org.apache.hadoop.fs.Path(root, dirRel)
+      val entries = fs.listStatus(dir)
+      val node = entries.find(e => !e.isDirectory && e.getPath.getName == "zarr.json")
+        .map(f => translateV3(readText(f.getPath), s"$display/${relOf(f.getPath)}"))
+      node match {
+        case Some(a: V3Array) => arrays(dirRel) = a // no nested nodes below an array
+        case other =>
+          other.collect { case V3Group(Some(za)) => groupAttrs(dirRel) = za }
+          entries.iterator.filter(_.isDirectory).foreach { d =>
+            walk(if (dirRel.isEmpty) d.getPath.getName else s"$dirRel/${d.getPath.getName}")
+          }
       }
     }
+    walk("")
     val meta: Iterator[Entry] =
       Iterator((".zgroup", "", ".zgroup", "meta", null: String,
         None: Option[Long], None: Option[Long], """{"zarr_format": 2}""")) ++
+        groupAttrs.iterator.map { case (dir, za) =>
+          val key = if (dir.isEmpty) ".zattrs" else s"$dir/.zattrs"
+          (key, dir, ".zattrs", "meta", null: String,
+            None: Option[Long], None: Option[Long], za)
+        } ++
         arrays.iterator.flatMap { case (dir, a) =>
+          def keyOf(m: String) = if (dir.isEmpty) m else s"$dir/$m" // root-level array store
           Iterator(
-            (s"$dir/.zarray", dir, ".zarray", "meta", null: String,
+            (keyOf(".zarray"), dir, ".zarray", "meta", null: String,
               None: Option[Long], None: Option[Long], a.zarray),
-            (s"$dir/.zattrs", dir, ".zattrs", "meta", null: String,
+            (keyOf(".zattrs"), dir, ".zattrs", "meta", null: String,
               None: Option[Long], None: Option[Long], a.zattrs))
         }
     // pass 2: stream the chunk files, attributing each to its deepest
@@ -294,8 +340,11 @@ object ZarrDirectoryIndex {
                 return true
               case None =>
                 // sidecar file outside any array's chunk scheme: surface it
-                // under its literal path rather than dropping it silently
-                nextEntry = (key, segs.init.mkString("/"), segs.last, "ref",
+                // under its literal path — with a member that CANNOT match
+                // decodeTyped's chunk-key pattern, or a numerically-named
+                // stray file (a half-migrated v2 `lev/0` beside `lev/c/0`)
+                // would decode as a phantom chunk
+                nextEntry = (key, segs.init.mkString("/"), s"sidecar:${segs.last}", "ref",
                   f.getPath.toString, None, None, null)
                 return true
             }

@@ -429,12 +429,15 @@ class ReferenceFidelitySpec extends AnyFunSuite {
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
         |            {"name": "zstd", "configuration": {"level": 3}}]}""".stripMargin)
+    java.nio.file.Files.createDirectories(v3.resolve("c"))
+    java.nio.file.Files.write(v3.resolve("c/0"), Array[Byte](1, 2, 3)) // fake zstd chunk
     val e2 = intercept[Exception] {
-      src.openAsset(spark, v3.toString, "zarr3").collect()
+      src.openAsset(spark, v3.toString, "zarr3").collect() // decode=coords hits the codec
     }
     val msg2 = e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse("")
     assert(msg2.contains("connector boundary"), msg2)
-    java.nio.file.Files.deleteIfExists(v3.resolve("zarr.json")); java.nio.file.Files.deleteIfExists(v3)
+    java.nio.file.Files.walk(v3).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
   test("zarr v3 store: metadata translation, both chunk-key encodings, codec chain") {
@@ -463,6 +466,60 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     for (i <- 0 until 5) assert(byKey(("lev", i.toString)) == i * 0.5 - 1.0)
     assert(rows.find(_.getAs[String]("variable") == "wind").get
       .getAs[scala.collection.Seq[String]]("dims") == Seq("t", "x"))
+  }
+
+  test("zarr v3 edge semantics: bad variable isolated, null dims, sidecars, endian") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr3_edge")
+    java.nio.file.Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group", "attributes": {"title": "edge"}}""")
+    // 'ok': raw int32 [2], null second dimension name, plus a STRAY v2-style
+    // numeric file next to the real c/-encoded chunk
+    java.nio.file.Files.createDirectories(dir.resolve("ok/c"))
+    java.nio.file.Files.writeString(dir.resolve("ok/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        | "dimension_names": [null]}""".stripMargin)
+    val chunk = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(6).putInt(9).array()
+    java.nio.file.Files.write(dir.resolve("ok/c/0"), chunk)
+    java.nio.file.Files.write(dir.resolve("ok/0"), Array[Byte](99, 99, 99, 99, 99, 99, 99, 99))
+    // 'bad': a zstd-coded variable — must NOT poison the store's enumeration
+    java.nio.file.Files.createDirectories(dir.resolve("bad"))
+    java.nio.file.Files.writeString(dir.resolve("bad/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |            {"name": "zstd", "configuration": {"level": 3}}]}""".stripMargin)
+    val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+    // entry plane enumerates EVERYTHING, including the unsupported variable
+    assert(entries.filter(col("variable") === "bad").count() == 2) // .zarray + .zattrs
+    // group attributes survive as a root .zattrs meta row
+    val rootAttrs = entries.filter(col("key") === ".zattrs").head().getAs[String]("inline_value")
+    assert(rootAttrs.contains("edge"))
+    // decode of the GOOD variable: stray 'ok/0' must not become a phantom
+    // chunk; null dim name falls back positionally
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(
+        entries.filter(col("variable") === "ok")),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    assert(rows.length == 2, rows.mkString(";"))
+    assert(rows.map(_.getAs[Double]("value")).sorted.toSeq == Seq(6.0, 9.0))
+    assert(rows.head.getAs[scala.collection.Seq[String]]("dims") == Seq("dim0"))
+    // an invalid endian value refuses loudly instead of guessing byte order
+    java.nio.file.Files.createDirectories(dir.resolve("weird"))
+    java.nio.file.Files.writeString(dir.resolve("weird/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "BIG"}}]}""".stripMargin)
+    val e = intercept[Exception](
+      graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("endian"), msg)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
   test("zarr store with dimension_separator '/' (nested chunk dirs) attributes correctly") {
