@@ -662,6 +662,26 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_netcdf4" -> ((s, _) => {
+      // the OTHER half of the reference's `netcdf` dispatch (source.py:97-109):
+      // an HDF5-backed netCDF-4 file — a REAL CESM-LE sample from its own
+      // test data — through the openAsset dispatch itself with labeled
+      // coordinates: container-structure parse (sources.Hdf5Index) ->
+      // chunk-map entries -> positioned reads -> zlib+shuffle inversion ->
+      // dimension-scale labels, all on the shared kerchunk machinery.
+      val nc = "/root/reference/tests/sample_data/cesm-le/" +
+        "b.e11.B1850C5CN.f09_g16.005.pop.h.SHF.200001-209912.nc"
+      graft.catalog.EsmDataSource("n4", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, nc, "netcdf")
+        .filter(col("variable").isin("TLAT", "TLONG", "KMT", "dz", "grav"))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "scan_catalog_dict" -> ((s, _) => {
       CatalogReader.fromDict(s, Seq(
         Map("component" -> "ocn", "experiment" -> "20C", "variable" -> "SHF", "scode" -> 482L),
@@ -1732,6 +1752,90 @@ object SparkEntry {
         |('tasmax','time.lat.lon','1.4.4','243.98590087890625')
         |) AS t(variable, dims, coord_key, value)
         |ORDER BY variable, coord_key""".stripMargin,
+
+    // reference's own CESM-LE netCDF-4 (HDF5) sample: values pinned by an
+    // independent python struct/zlib parse of the same container (byte
+    // shuffle + deflate inverted by hand), no shared code with the Scala
+    // reader. 73 rows = every element of five variables covering f8/f4/i4
+    // dtypes, chunked+filtered and contiguous layouts, and a scalar.
+    "load_netcdf4" ->
+      """SELECT variable, dims, coord_key, CAST(value AS DOUBLE) AS value FROM (VALUES
+        |('TLAT','nlat.nlon','0.0','28.55677500703854'),
+        |('TLAT','nlat.nlon','0.1','28.522155900490016'),
+        |('TLAT','nlat.nlon','1.0','29.073360762850665'),
+        |('TLAT','nlat.nlon','1.1','29.037387150190117'),
+        |('TLONG','nlat.nlon','0.0','244.39384414171622'),
+        |('TLONG','nlat.nlon','0.1','245.51644224725385'),
+        |('TLONG','nlat.nlon','1.0','244.41505889366732'),
+        |('TLONG','nlat.nlon','1.1','245.53748357686706'),
+        |('KMT','nlat.nlon','0.0','41.0'),
+        |('KMT','nlat.nlon','0.1','4.0'),
+        |('KMT','nlat.nlon','1.0','41.0'),
+        |('KMT','nlat.nlon','1.1','0.0'),
+        |('dz','z_t','0','1000.0'),
+        |('dz','z_t','1','1000.0'),
+        |('dz','z_t','2','1000.0'),
+        |('dz','z_t','3','1000.0'),
+        |('dz','z_t','4','1000.0'),
+        |('dz','z_t','5','1000.0'),
+        |('dz','z_t','6','1000.0'),
+        |('dz','z_t','7','1000.0'),
+        |('dz','z_t','8','1000.0'),
+        |('dz','z_t','9','1000.0'),
+        |('dz','z_t','10','1000.0'),
+        |('dz','z_t','11','1000.0'),
+        |('dz','z_t','12','1000.0'),
+        |('dz','z_t','13','1000.0'),
+        |('dz','z_t','14','1000.0'),
+        |('dz','z_t','15','1000.0'),
+        |('dz','z_t','16','1019.6807861328125'),
+        |('dz','z_t','17','1056.4483642578125'),
+        |('dz','z_t','18','1105.9951171875'),
+        |('dz','z_t','19','1167.8070068359375'),
+        |('dz','z_t','20','1242.413330078125'),
+        |('dz','z_t','21','1330.9677734375'),
+        |('dz','z_t','22','1435.1409912109375'),
+        |('dz','z_t','23','1557.1258544921875'),
+        |('dz','z_t','24','1699.6795654296875'),
+        |('dz','z_t','25','1866.21240234375'),
+        |('dz','z_t','26','2060.90234375'),
+        |('dz','z_t','27','2288.85205078125'),
+        |('dz','z_t','28','2556.2470703125'),
+        |('dz','z_t','29','2870.574951171875'),
+        |('dz','z_t','30','3240.837158203125'),
+        |('dz','z_t','31','3677.7724609375'),
+        |('dz','z_t','32','4194.03076171875'),
+        |('dz','z_t','33','4804.2236328125'),
+        |('dz','z_t','34','5524.75439453125'),
+        |('dz','z_t','35','6373.19189453125'),
+        |('dz','z_t','36','7366.94482421875'),
+        |('dz','z_t','37','8520.892578125'),
+        |('dz','z_t','38','9843.658203125'),
+        |('dz','z_t','39','11332.4658203125'),
+        |('dz','z_t','40','12967.19921875'),
+        |('dz','z_t','41','14705.34375'),
+        |('dz','z_t','42','16480.708984375'),
+        |('dz','z_t','43','18209.134765625'),
+        |('dz','z_t','44','19802.234375'),
+        |('dz','z_t','45','21185.95703125'),
+        |('dz','z_t','46','22316.509765625'),
+        |('dz','z_t','47','23186.494140625'),
+        |('dz','z_t','48','23819.44921875'),
+        |('dz','z_t','49','24257.216796875'),
+        |('dz','z_t','50','24546.779296875'),
+        |('dz','z_t','51','24731.013671875'),
+        |('dz','z_t','52','24844.328125'),
+        |('dz','z_t','53','24911.974609375'),
+        |('dz','z_t','54','24951.291015625'),
+        |('dz','z_t','55','24973.59375'),
+        |('dz','z_t','56','24985.9609375'),
+        |('dz','z_t','57','24992.673828125'),
+        |('dz','z_t','58','24996.244140625'),
+        |('dz','z_t','59','24998.109375'),
+        |('grav','grav','0','980.616')
+        |) AS t(variable, dims, coord_key, value)
+        |ORDER BY variable, coord_key""".stripMargin,
+
 
     "scan_catalog_esmcat" ->
       """SELECT o_orderstatus AS status, o_orderpriority AS member,

@@ -62,15 +62,13 @@ final case class EsmDataSource(
         // reaches through xarray's zarr engine (source.py:82-96);
         // `=coords` adds the dimension-labeled global indices
         decodeEntries(graft.sources.KerchunkIndex.read(spark, path, storageOptions))
-      case "netcdf" | "netcdf3" =>
-        // classic CDF containers parse natively (sources.NetCDF3Index
-        // translates the header into the same chunk-map plane as kerchunk);
-        // HDF5-backed netCDF-4 needs an external connector (source.py:97-109)
+      case "netcdf" | "netcdf3" | "netcdf4" | "hdf5" =>
+        // both container families parse natively into the same chunk-map
+        // plane (source.py:97-109): classic CDF via sources.NetCDF3Index,
+        // HDF5-backed netCDF-4 via sources.Hdf5Index — the magic decides
         graft.sources.NetCDF3Index.sniff(spark, path) match {
-          case "cdf" => decodeEntries(graft.sources.NetCDF3Index.read(spark, path, storageOptions))
-          case "hdf5" => throw new UnsupportedOperationException(
-            s"netCDF-4 asset '$path' is an HDF5 container — behind the connector " +
-              "boundary (classic CDF-1/2/5 files decode natively)")
+          case "cdf"  => decodeEntries(graft.sources.NetCDF3Index.read(spark, path, storageOptions))
+          case "hdf5" => decodeEntries(graft.sources.Hdf5Index.read(spark, path, storageOptions))
           case other => throw new IllegalArgumentException(
             s"asset '$path' declared netcdf but carries no CDF/HDF5 magic")
         }

@@ -601,13 +601,86 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     // must be a plausible Kelvin temperature
     val temps = tas.map(_.getAs[Double]("value"))
     assert(temps.length == 50 && temps.forall(t => t > 150 && t < 350))
-    // HDF5-backed netCDF-4 (the CMIP6 samples) refuses at the boundary
+    // HDF5-backed netCDF-4 (the CMIP6 samples) now dispatches to Hdf5Index
+    // through the same `netcdf` format — the magic decides the parser
     val h5 = "/root/reference/tests/sample_data/cmip/CMIP6/CMIP/BCC/BCC-ESM1/piControl/" +
       "r1i1p1f1/Amon/tasmax/gn/v20181214/tasmax/" +
       "tasmax_Amon_BCC-ESM1_piControl_r1i1p1f1_gn_185001-230012.nc"
-    val e = intercept[UnsupportedOperationException](
-      graft.catalog.EsmDataSource("k", Nil, "path", None, Nil).openAsset(spark, h5, "netcdf"))
-    assert(e.getMessage.contains("connector boundary"))
+    val h5entries = graft.catalog.EsmDataSource("k", Nil, "path", None, Nil)
+      .openAsset(spark, h5, "netcdf")
+    assert(h5entries.filter(col("member") === ".zarray").count() == 9)
+  }
+
+  test("netCDF-4 (HDF5): real CESM-LE/CMIP6/MPI-GE samples decode via dispatch") {
+    import org.apache.spark.sql.functions.col
+    def coordRows(path: String, vars: Seq[String]) =
+      graft.catalog.EsmDataSource("n4", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(spark, path, "netcdf")
+        .filter(col("variable").isin(vars: _*)).collect()
+        .map(r => (r.getAs[String]("variable"),
+          r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")) ->
+          (r.getAs[scala.collection.Seq[String]]("dims").mkString("."), r.getAs[Double]("value")))
+        .toMap
+
+    // CMIP6 (BCC writer): contiguous f8/f4 variables, LE data, dense root
+    // attrs (multi-row fractal heap + depth-1 name b-tree). Values pinned
+    // by the independent python struct parse (scripts/h5survey.py).
+    val bcc = "/root/reference/tests/sample_data/cmip/CMIP6/CMIP/BCC/BCC-ESM1/piControl/" +
+      "r1i1p1f1/Amon/tasmax/gn/v20181214/tasmax/" +
+      "tasmax_Amon_BCC-ESM1_piControl_r1i1p1f1_gn_185001-230012.nc"
+    val b = coordRows(bcc, Seq("lat", "tasmax", "height"))
+    assert(b(("lat", "0")) == ("lat", -87.86379883923263))
+    assert(b(("tasmax", "0.0.0")) == ("time.lat.lon", 249.50198364257812))
+    assert(b(("tasmax", "0.0.2")) == ("time.lat.lon", 249.15121459960938))
+    assert(b(("height", "0")) == ("height", 2.0)) // 0-d scalar keeps coord [0]
+
+    // MPI-GE (CDO writer): BIG-endian f4 dimension scales next to LE data
+    // in the same file, 4-D contiguous variables
+    val mpi = "/root/reference/tests/sample_data/mpi-ge/hist/hist0001/outdata/mpiom/" +
+      "hist0001_mpiom_data_2d_mm_18500101_18501231.nc"
+    val m = coordRows(mpi, Seq("sst", "time", "y"))
+    assert(m(("sst", "0.0.0.0"))._2 == 279.2419738769531)
+    assert(m(("sst", "0.0.0.1"))._2 == 279.3222351074219)
+    assert(m(("time", "1"))._2 == 672.0)
+    // `y` was never written (contiguous address undefined): all-fill
+    // variables contribute metadata but zero value rows
+    assert(!m.keys.exists(_._1 == "y"))
+
+    // CESM-LE file whose `history` exceeds the managed-object limit: the
+    // huge-object path (v2 b-tree type 1) must surface the full attribute
+    val huge = "/root/reference/tests/sample_data/cesm-le/" +
+      "b.e11.B1850C5CN.f09_g16.005.pop.h.SHF.040001-049912.nc"
+    val rootAttrs = graft.sources.Hdf5Index.read(spark, huge)
+      .filter(col("key") === ".zattrs").head().getAs[String]("inline_value")
+    assert(rootAttrs.contains("history"))
+    assert(rootAttrs.length > 6000, s"history attr truncated: ${rootAttrs.length}")
+
+    // chunked+filtered variables: `time` [1200] in [1] chunks → 1200 refs
+    // through a multi-level v1 b-tree walk; SHF [1200,2,2] in a single
+    // [1200,2,2] chunk whose 4800 values must all be plausible W/m^2 heat
+    // fluxes after zlib+shuffle inversion (offset/stride errors produce
+    // float garbage)
+    val entries = graft.sources.Hdf5Index.read(spark, huge)
+    assert(entries.filter(col("variable") === "time" && col("kind") === "ref").count() == 1200)
+    assert(entries.filter(col("variable") === "SHF" && col("kind") === "ref").count() == 1)
+    val shf = graft.sources.KerchunkIndex.decodeTyped(
+      graft.sources.KerchunkIndex.materializeChunks(
+        entries.filter(col("variable") === "SHF" || col("kind") === "meta")),
+      graft.sources.KerchunkIndex.arrayMeta(entries))
+      .filter(col("variable") === "SHF")
+    // one of the four grid cells is land → exactly 1200 _FillValue (9.97e36)
+    // entries; the ocean cells carry physical heat fluxes whose extremes are
+    // pinned by the independent python parse (scripts/h5survey.py decode_var)
+    val fills = shf.filter(col("value") > 1e30).count()
+    assert(fills == 1200L)
+    val stats = shf.filter(col("value") < 1e30)
+      .agg(org.apache.spark.sql.functions.count(col("value")),
+        org.apache.spark.sql.functions.min(col("value")),
+        org.apache.spark.sql.functions.max(col("value"))).head()
+    assert(stats.getLong(0) == 3600L)
+    assert(stats.getDouble(1) == -189.9114990234375)
+    assert(stats.getDouble(2) == 196.13958740234375)
   }
 
   test("netcdf record variables: interleaved stride, single-var unpadded, CDF-2 offsets") {
