@@ -361,15 +361,18 @@ object SparkEntry {
   /** One-time zarr v3 DIRECTORY store fixture for `load_zarr_v3`: `wind` is
     * a [2,3] int32 gzip array in [1,3] chunks with default ("c/" prefixed,
     * "/"-separated) chunk keys and `dimension_names` ["t","x"]; `lev` is a
-    * raw float64 [5] vector using the v2 chunk-key encoding. Values encode
-    * their coordinates (t*100+x, i*0.5-1) for the range-join oracle. */
+    * raw float64 [5] vector using the v2 chunk-key encoding; `rain` is a
+    * float32 [4] vector compressed with zstd — v3's DEFAULT compressor.
+    * Values encode their coordinates (t*100+x, i*0.5-1, i*2.5+1) for the
+    * range-join oracle. */
   def ensureZarrV3Fixture(): String = {
-    val out = Paths.get("/tmp/graft_zarr_v3_fixture")
+    val out = Paths.get("/tmp/graft_zarr_v3_fixture_v2")
     this.synchronized {
       if (!Files.exists(out.resolve("zarr.json"))) {
         Files.createDirectories(out.resolve("wind/c/0"))
         Files.createDirectories(out.resolve("wind/c/1"))
         Files.createDirectories(out.resolve("lev"))
+        Files.createDirectories(out.resolve("rain/c"))
         def gz(b: Array[Byte]): Array[Byte] = {
           val o = new java.io.ByteArrayOutputStream()
           val g = new java.util.zip.GZIPOutputStream(o); g.write(b); g.close()
@@ -401,6 +404,18 @@ object SparkEntry {
         val lb = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
         (0 until 5).foreach(i => lb.putDouble(i * 0.5 - 1.0))
         Files.write(out.resolve("lev/0"), lb.array())
+        Files.writeString(out.resolve("rain/zarr.json"),
+          """{"zarr_format": 3, "node_type": "array", "shape": [4],""" +
+            """ "data_type": "float32",""" +
+            """ "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},""" +
+            """ "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},""" +
+            """ "fill_value": 0.0,""" +
+            """ "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},""" +
+            """ {"name": "zstd", "configuration": {"level": 3, "checksum": false}}],""" +
+            """ "dimension_names": ["r"]}""")
+        val rb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 4).foreach(i => rb.putFloat(i * 2.5f + 1.0f))
+        Files.write(out.resolve("rain/c/0"), com.github.luben.zstd.Zstd.compress(rb.array(), 3))
       }
     }
     out.toString
@@ -1641,9 +1656,10 @@ object SparkEntry {
         |ORDER BY variable, coord_key""".stripMargin,
 
     // coordinate re-derivation from the v3 fixture's value formulas
-    // (t*100+x over the gzip int32 grid, i*0.5-1 over the raw f8 vector) —
+    // (t*100+x over the gzip int32 grid, i*0.5-1 over the raw f8 vector,
+    // i*2.5+1 over the zstd f4 vector — all exactly representable in f4) —
     // agreement proves v3 metadata translation, both chunk-key encodings,
-    // and the codec chain end to end
+    // and the gzip AND zstd codec chains end to end
     "load_zarr_v3" ->
       """WITH g AS (
         |  SELECT 'wind' AS variable, 't.x' AS dims,
@@ -1652,7 +1668,10 @@ object SparkEntry {
         |  FROM range(2) a(t) CROSS JOIN range(3) b(x)
         |  UNION ALL
         |  SELECT 'lev', 'dim0', CAST(i AS VARCHAR), CAST(i AS DOUBLE) * 0.5 - 1.0
-        |  FROM range(5) t(i))
+        |  FROM range(5) t(i)
+        |  UNION ALL
+        |  SELECT 'rain', 'r', CAST(i AS VARCHAR), CAST(i AS DOUBLE) * 2.5 + 1.0
+        |  FROM range(4) t(i))
         |SELECT variable, dims, coord_key, value FROM g
         |ORDER BY variable, coord_key""".stripMargin,
 

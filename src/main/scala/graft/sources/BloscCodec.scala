@@ -22,10 +22,14 @@ package graft.sources
   *    and the block is not the trailing partial block (c-blosc's
   *    forward-compatible split rule for blosclz/lz4), else 1.
   *
-  * Scope: lz4 + stored/memcpy decode, and a compliant encoder for fixtures
-  * and round-trip tests. blosclz/snappy/zlib/zstd codec ids and bit-shuffle
-  * refuse loudly with the connector-boundary message — silently wrong
-  * values would be worse.
+  * Scope: lz4 (pure JVM, from the public LZ4 block spec), zstd and snappy
+  * (via the zstd-jni / snappy-java that ship inside every Spark
+  * distribution — no new dependency), zlib (JDK Inflater) and stored/memcpy
+  * decode, plus a compliant encoder for fixtures and round-trip tests.
+  * c-blosc's block-split rule applies only to blosclz/lz4 (`split_block` in
+  * blosc.c), so zstd/zlib/snappy blocks always carry exactly one stream.
+  * The blosclz codec id and bit-shuffle refuse loudly with the
+  * connector-boundary message — silently wrong values would be worse.
   */
 object BloscCodec {
 
@@ -39,8 +43,11 @@ object BloscCodec {
     o.write(v & 0xff); o.write((v >>> 8) & 0xff); o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
   }
 
-  private def nsplitsFor(typesize: Int, blocksize: Int, leftover: Boolean): Int =
-    if (typesize > 1 && typesize <= MaxSplits && blocksize / typesize >= MinBufferSize && !leftover)
+  private val CodecLz4 = 1
+
+  private def nsplitsFor(codec: Int, typesize: Int, blocksize: Int, leftover: Boolean): Int =
+    if (codec == CodecLz4 && typesize > 1 && typesize <= MaxSplits &&
+        blocksize / typesize >= MinBufferSize && !leftover)
       typesize
     else 1
 
@@ -174,12 +181,56 @@ object BloscCodec {
     out.toByteArray
   }
 
+  // ------------------------------------------------------- zstd/zlib/snappy
+
+  /** zstd frame decompress via Spark's bundled zstd-jni. Streaming read —
+    * robust to frames without a content-size field. `expected < 0` skips
+    * the exact-size check (bare zarr `zstd` chunks, where the caller only
+    * learns the size from the dtype math afterwards). */
+  def zstdDecompress(src: Array[Byte], off: Int, len: Int, expected: Int): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(src, off, len))
+    val out = new java.io.ByteArrayOutputStream(if (expected > 0) expected else math.max(64, len * 4))
+    try {
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close() // frees the native ZSTD_DStream now, not at GC time
+    val res = out.toByteArray
+    require(expected < 0 || res.length == expected,
+      s"zstd: decoded ${res.length} bytes, expected $expected")
+    res
+  }
+
+  private def zlibDecompress(src: Array[Byte], off: Int, len: Int, expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(src, off, len)
+    val dest = new Array[Byte](expected)
+    try {
+      var d = 0
+      while (d < expected && !inf.finished()) {
+        val n = inf.inflate(dest, d, expected - d)
+        if (n == 0) throw new IllegalArgumentException("zlib: truncated or dictionary stream")
+        d += n
+      }
+      require(d == expected, s"zlib: decoded $d bytes, expected $expected")
+    } finally inf.end()
+    dest
+  }
+
+  private def snappyDecompress(src: Array[Byte], off: Int, len: Int, expected: Int): Array[Byte] = {
+    val slice = java.util.Arrays.copyOfRange(src, off, off + len)
+    val res = org.xerial.snappy.Snappy.uncompress(slice)
+    require(res.length == expected, s"snappy: decoded ${res.length} bytes, expected $expected")
+    res
+  }
+
   // ---------------------------------------------------------------- blosc
 
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"blosc chunk uses $what — behind the connector boundary " +
-        "(only lz4/stored blosc1 chunks decode here)")
+        "(lz4/zstd/zlib/snappy/stored blosc1 chunks decode here)")
 
   /** Decompress one blosc1 chunk to its original bytes. */
   def decompress(data: Array[Byte]): Array[Byte] = {
@@ -200,7 +251,13 @@ object BloscCodec {
       require(data.length >= 16 + nbytes, "blosc memcpy chunk shorter than nbytes")
       return java.util.Arrays.copyOfRange(data, 16, 16 + nbytes)
     }
-    if (codec != 1) refuse(s"codec id $codec (not lz4)")
+    val decodeStream: (Array[Byte], Int, Int, Int) => Array[Byte] = codec match {
+      case 1 => lz4Decompress      // lz4 / lz4hc share the block format
+      case 2 => snappyDecompress
+      case 3 => zlibDecompress
+      case 4 => zstdDecompress
+      case other => refuse(s"codec id $other (blosclz or unknown)")
+    }
     val out     = new Array[Byte](nbytes)
     val nblocks = (nbytes + blocksize - 1) / blocksize
     require(data.length >= 16 + 4 * nblocks,
@@ -209,7 +266,7 @@ object BloscCodec {
     while (j < nblocks) {
       val bsize    = math.min(blocksize, nbytes - j * blocksize)
       val leftover = bsize != blocksize
-      val nsplits  = nsplitsFor(typesize, blocksize, leftover)
+      val nsplits  = nsplitsFor(codec, typesize, blocksize, leftover)
       val neblock  = bsize / nsplits
       val block    = new Array[Byte](bsize)
       var s = le32(data, 16 + 4 * j)
@@ -220,7 +277,7 @@ object BloscCodec {
           s"blosc block $j split $split: stream of $csize bytes overruns the chunk")
         if (csize == neblock) System.arraycopy(data, s, block, split * neblock, neblock)
         else System.arraycopy(
-          lz4Decompress(data, s, csize, neblock), 0, block, split * neblock, neblock)
+          decodeStream(data, s, csize, neblock), 0, block, split * neblock, neblock)
         s += csize
         split += 1
       }
@@ -231,11 +288,30 @@ object BloscCodec {
     out
   }
 
-  /** Encode bytes as a blosc1-lz4 chunk (shuffle on when typesize > 1) —
+  /** Encode bytes as a blosc1 chunk (shuffle on when typesize > 1) —
     * fixture/test infrastructure for the decoder above; falls back to a
-    * memcpy chunk when compression does not pay, like c-blosc. */
-  def compress(src: Array[Byte], typesize: Int): Array[Byte] = {
+    * memcpy chunk when compression does not pay, like c-blosc. `codec`
+    * selects the inner block codec (1 lz4 default, 2 snappy, 3 zlib,
+    * 4 zstd); non-lz4 codecs never split, per c-blosc's split rule. */
+  def compress(src: Array[Byte], typesize: Int): Array[Byte] =
+    compress(src, typesize, CodecLz4)
+
+  def compress(src: Array[Byte], typesize: Int, codec: Int): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize outside [1, 255]")
+    val encodeStream: Array[Byte] => Array[Byte] = codec match {
+      case 1 => lz4Compress
+      case 2 => org.xerial.snappy.Snappy.compress
+      case 3 => plane => {
+        val d = new java.util.zip.Deflater()
+        d.setInput(plane); d.finish()
+        val out = new java.io.ByteArrayOutputStream(plane.length)
+        val buf = new Array[Byte](8192)
+        try { while (!d.finished()) out.write(buf, 0, d.deflate(buf)) } finally d.end()
+        out.toByteArray
+      }
+      case 4 => plane => com.github.luben.zstd.Zstd.compress(plane, 3)
+      case other => throw new IllegalArgumentException(s"blosc encoder codec id $other")
+    }
     val nbytes = src.length
     val blocksize = {
       // one block up to 64 KiB, kept a multiple of typesize so shuffle
@@ -253,14 +329,14 @@ object BloscCodec {
       bstarts(j) = headerAndStarts + streams.size()
       val bsize    = math.min(blocksize, nbytes - j * blocksize)
       val leftover = bsize != blocksize
-      val nsplits  = nsplitsFor(typesize, blocksize, leftover)
+      val nsplits  = nsplitsFor(codec, typesize, blocksize, leftover)
       val neblock  = bsize / nsplits
       val raw      = java.util.Arrays.copyOfRange(src, j * blocksize, j * blocksize + bsize)
       val block    = if (doShuffle) shuffle(raw, typesize) else raw
       var split = 0
       while (split < nsplits) {
         val plane = java.util.Arrays.copyOfRange(block, split * neblock, (split + 1) * neblock)
-        val packed = lz4Compress(plane)
+        val packed = encodeStream(plane)
         if (packed.length < neblock) { putLe32(streams, packed.length); streams.write(packed, 0, packed.length) }
         else { putLe32(streams, neblock); streams.write(plane, 0, neblock) } // stored split
         split += 1
@@ -271,14 +347,14 @@ object BloscCodec {
     if (headerAndStarts + body.length >= 16 + nbytes) {
       // incompressible: memcpy chunk (flags bit1, no shuffle, no bstarts)
       val o = new java.io.ByteArrayOutputStream(16 + nbytes)
-      o.write(2); o.write(1); o.write(0x2 | (1 << 5)); o.write(typesize)
+      o.write(2); o.write(1); o.write(0x2 | (codec << 5)); o.write(typesize)
       putLe32(o, nbytes); putLe32(o, blocksize); putLe32(o, 16 + nbytes)
       o.write(src, 0, nbytes)
       o.toByteArray
     } else {
       val o = new java.io.ByteArrayOutputStream(headerAndStarts + body.length)
       o.write(2); o.write(1)
-      o.write((if (doShuffle) 0x1 else 0x0) | (1 << 5)) // codec lz4
+      o.write((if (doShuffle) 0x1 else 0x0) | (codec << 5))
       o.write(typesize)
       putLe32(o, nbytes); putLe32(o, blocksize); putLe32(o, headerAndStarts + body.length)
       bstarts.foreach(putLe32(o, _))

@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * need no external library:
   *
   *  - compressors `null` (raw), `zlib`, `gzip` — `java.util.zip` is part of
-  *    the JDK — and `blosc` with the lz4/stored inner codec ([[BloscCodec]],
-  *    pure JVM). Other blosc inner codecs (blosclz/snappy/zstd), bare zstd,
-  *    and bit-shuffle stay behind the connector boundary and raise.
+  *    the JDK — `zstd` (zarr v3's default compressor) via the zstd-jni that
+  *    ships inside every Spark distribution, and `blosc` with the
+  *    lz4/zstd/zlib/snappy/stored inner codecs ([[BloscCodec]]; snappy via
+  *    Spark's bundled snappy-java). blosclz and bit-shuffle stay behind the
+  *    connector boundary and raise.
   *  - numpy dtype strings `<i1..i8`, `<u1..u8`, `<f4/f8`, `|b1` bool (and
   *    their `>` big-endian / `|` single-byte forms), widened to DOUBLE — one numeric
   *    output type keeps the relational surface simple, and every listed
@@ -104,11 +106,12 @@ object ZarrCodec {
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         } finally in.close()
         out.toByteArray
-      case "blosc" => BloscCodec.decompress(data) // lz4/stored frames; others refuse inside
+      case "zstd" => BloscCodec.zstdDecompress(data, 0, data.length, -1)
+      case "blosc" => BloscCodec.decompress(data) // lz4/zstd/zlib/snappy; blosclz refuses inside
       case other =>
         throw new UnsupportedOperationException(
           s"zarr compressor '$other' needs an external codec library — " +
-            "behind the connector boundary (raw/zlib/gzip/blosc-lz4 decode here)")
+            "behind the connector boundary (raw/zlib/gzip/zstd/blosc decode here)")
     }
 
   /** Decoded chunk as doubles, or null for non-numeric dtypes. Called from

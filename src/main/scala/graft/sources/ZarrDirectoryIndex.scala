@@ -14,9 +14,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the `c/` prefix by default; the array metadata is TRANSLATED into the
   * synthesized v2 `.zarray`/`.zattrs` documents the downstream plane
   * already consumes (data_type + the `bytes` codec's endian → numpy dtype,
-  * gzip/blosc codec → compressor id, `dimension_names` →
-  * `_ARRAY_DIMENSIONS`). Codec chains beyond `bytes [+ gzip|blosc]`
-  * (sharding, transpose, zstd, crc32c) refuse loudly.
+  * gzip/zstd/blosc codec → compressor id, `dimension_names` →
+  * `_ARRAY_DIMENSIONS`). Codec chains beyond `bytes [+ gzip|zstd|blosc]`
+  * (sharding, transpose, crc32c) refuse loudly.
   *
   * Spark-first shape: like [[NetCDF3Index]], the store becomes the entry
   * rows [[KerchunkIndex.read]] emits — metadata documents inlined, chunk
@@ -111,6 +111,7 @@ object ZarrDirectoryIndex {
         val compressor = rest match {
           case Nil                          => "null"
           case (JString("gzip"), _) :: Nil  => """{"id": "gzip"}"""
+          case (JString("zstd"), _) :: Nil  => """{"id": "zstd"}""" // v3's default compressor
           case (JString("blosc"), _) :: Nil => """{"id": "blosc"}""" // frame self-describes
           case other =>
             // unsupported chain: pass the codec ids through — ZarrCodec

@@ -373,8 +373,13 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     // non-numeric dtype → null (caller drops); unknown codec → loud refusal
     assert(ZarrCodec.decode("ab".getBytes, u("|S2"), u("")) == null)
     val e = intercept[UnsupportedOperationException](
-      ZarrCodec.decode(Array[Byte](1), u("<i1"), u("zstd")))
+      ZarrCodec.decode(Array[Byte](1), u("<i1"), u("lzma")))
     assert(e.getMessage.contains("connector boundary"))
+    // bare zstd frames (numcodecs Zstd, zarr v2's and v3's zstd compressor)
+    val zf = com.github.luben.zstd.Zstd.compress(
+      java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(42).putInt(-7).array(), 3)
+    assert(ZarrCodec.decode(zf, u("<i4"), u("zstd")).toDoubleArray.toSeq == Seq(42.0, -7.0))
     // blosc-lz4 decodes through the same entry point
     val bl = graft.sources.BloscCodec.compress(
       Array.tabulate[Byte](512)(i => (i % 19).toByte), typesize = 2)
@@ -420,7 +425,7 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(entries.filter(col("kind") === "ref").count() == 3) // t2m/0.0, t2m/0.1, step/0
     assert(entries.filter(col("member") === ".zarray").count() == 2)
     // refusals: a plain file is not a store; a v3 array with an unsupported
-    // codec chain (zstd) fails loudly at the connector boundary
+    // codec chain (crc32c checksum) fails loudly at the connector boundary
     val e1 = intercept[Exception](src.openAsset(spark, s"$store/.zgroup", "zarr"))
     assert(e1.getMessage.contains("not a directory"), e1.getMessage)
     val v3 = java.nio.file.Files.createTempDirectory("graft_zarr3bad")
@@ -428,9 +433,9 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
-        |            {"name": "zstd", "configuration": {"level": 3}}]}""".stripMargin)
+        |            {"name": "crc32c"}]}""".stripMargin)
     java.nio.file.Files.createDirectories(v3.resolve("c"))
-    java.nio.file.Files.write(v3.resolve("c/0"), Array[Byte](1, 2, 3)) // fake zstd chunk
+    java.nio.file.Files.write(v3.resolve("c/0"), Array[Byte](1, 2, 3)) // fake chunk
     val e2 = intercept[Exception] {
       src.openAsset(spark, v3.toString, "zarr3").collect() // decode=coords hits the codec
     }
@@ -452,10 +457,12 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(meta("wind").getAs[String]("compressor") == "gzip")
     assert(meta("wind").getAs[scala.collection.Seq[Long]]("chunks") == Seq(1L, 3L))
     assert(meta("lev").getAs[String]("dtype") == "<f8")
+    assert(meta("rain").getAs[String]("dtype") == "<f4")
+    assert(meta("rain").getAs[String]("compressor") == "zstd")
     // default (c/-prefixed) and v2 chunk keys both normalize to dotted form
     val refs = entries.filter(col("kind") === "ref")
       .select("variable", "member").collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(refs == Set(("wind", "0.0"), ("wind", "1.0"), ("lev", "0")), refs.toString)
+    assert(refs == Set(("wind", "0.0"), ("wind", "1.0"), ("lev", "0"), ("rain", "0")), refs.toString)
     val rows = graft.sources.KerchunkIndex.decodeCoords(
       graft.sources.KerchunkIndex.materializeChunks(entries),
       graft.sources.KerchunkIndex.arrayMeta(entries),
@@ -464,6 +471,7 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")) -> r.getAs[Double]("value")).toMap
     for (t <- 0 until 2; x <- 0 until 3) assert(byKey(("wind", s"$t.$x")) == t * 100 + x)
     for (i <- 0 until 5) assert(byKey(("lev", i.toString)) == i * 0.5 - 1.0)
+    for (i <- 0 until 4) assert(byKey(("rain", i.toString)) == i * 2.5 + 1.0) // zstd chain
     assert(rows.find(_.getAs[String]("variable") == "wind").get
       .getAs[scala.collection.Seq[String]]("dims") == Seq("t", "x"))
   }
@@ -485,13 +493,13 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       .putInt(6).putInt(9).array()
     java.nio.file.Files.write(dir.resolve("ok/c/0"), chunk)
     java.nio.file.Files.write(dir.resolve("ok/0"), Array[Byte](99, 99, 99, 99, 99, 99, 99, 99))
-    // 'bad': a zstd-coded variable — must NOT poison the store's enumeration
+    // 'bad': a crc32c-coded variable — must NOT poison the store's enumeration
     java.nio.file.Files.createDirectories(dir.resolve("bad"))
     java.nio.file.Files.writeString(dir.resolve("bad/zarr.json"),
       """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
-        |            {"name": "zstd", "configuration": {"level": 3}}]}""".stripMargin)
+        |            {"name": "crc32c"}]}""".stripMargin)
     val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
     // entry plane enumerates EVERYTHING, including the unsupported variable
     assert(entries.filter(col("variable") === "bad").count() == 2) // .zarray + .zattrs
@@ -840,10 +848,10 @@ class ReferenceFidelitySpec extends AnyFunSuite {
 
   test("blosc codec: round-trips, shuffle/split shapes, memcpy fallback, refusals") {
     import graft.sources.BloscCodec
-    def roundTrip(src: Array[Byte], typesize: Int): Unit = {
-      val packed = BloscCodec.compress(src, typesize)
+    def roundTrip(src: Array[Byte], typesize: Int, codec: Int = 1): Unit = {
+      val packed = BloscCodec.compress(src, typesize, codec)
       assert(java.util.Arrays.equals(BloscCodec.decompress(packed), src),
-        s"round-trip failed: n=${src.length} typesize=$typesize")
+        s"round-trip failed: n=${src.length} typesize=$typesize codec=$codec")
     }
     // compressible input with shuffle + 4-way split (typesize 4, one block)
     roundTrip(Array.tabulate[Byte](4096)(i => ((i / 4) % 50).toByte), 4)
@@ -863,14 +871,22 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     // lz4 overlapping match (RLE shape: offset < length) expands correctly
     val rle = Array.fill[Byte](1024)(7)
     roundTrip(rle, 1)
-    // refusals: bit-shuffle flag and non-lz4 codec ids fail loudly
+    // snappy/zlib/zstd inner codecs (Spark's bundled snappy-java, the JDK
+    // Deflater, Spark's bundled zstd-jni): never split per c-blosc's
+    // split rule, shuffle still applies, multi-block still works
+    for (codec <- Seq(2, 3, 4)) {
+      roundTrip(Array.tabulate[Byte](4096)(i => ((i / 4) % 50).toByte), 4, codec)
+      roundTrip(Array.tabulate[Byte](64 * 1024 + 1000)(i => (i % 17).toByte), 8, codec)
+      roundTrip(Array.tabulate[Byte](300)(i => (i % 5).toByte), 1, codec)
+    }
+    // refusals: bit-shuffle flag and the blosclz codec id fail loudly
     val bitShuffled = BloscCodec.compress(rle, 1).clone()
     bitShuffled(2) = (bitShuffled(2) | 0x4).toByte
     val e1 = intercept[UnsupportedOperationException](BloscCodec.decompress(bitShuffled))
     assert(e1.getMessage.contains("connector boundary"))
-    val zstdChunk = BloscCodec.compress(Array.tabulate[Byte](600)(i => (i % 4).toByte), 1).clone()
-    zstdChunk(2) = ((zstdChunk(2) & 0x1f) | (4 << 5)).toByte // codec id 4 = zstd
-    val e2 = intercept[UnsupportedOperationException](BloscCodec.decompress(zstdChunk))
+    val loPart = BloscCodec.compress(Array.tabulate[Byte](600)(i => (i % 4).toByte), 1).clone()
+    loPart(2) = (loPart(2) & 0x1f).toByte // codec id 0 = blosclz
+    val e2 = intercept[UnsupportedOperationException](BloscCodec.decompress(loPart))
     assert(e2.getMessage.contains("connector boundary"))
     // header/chunk length mismatch is a loud error, not silent truncation
     intercept[IllegalArgumentException](
