@@ -697,6 +697,28 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_catalog_netcdf" -> ((s, _) => {
+      // the reference's FLAGSHIP workflow over its own catalog + data:
+      // open_esm_datastore(cesm1-lens-netcdf.json) -> search ->
+      // to_dataset_dict (core.py:606-762), with every asset an HDF5-backed
+      // netCDF-4 file decoded natively. The './tests/…' relative asset
+      // paths resolve via the documented descriptor-ancestor fallback;
+      // join_new stamps member_id as a coordinate column. Per-member
+      // count/min/max over the decoded SHF values are exact (no
+      // order-dependent float sums).
+      val cat = graft.catalog.EsmCatalog.open(s,
+          "/root/reference/tests/sample-catalogs/cesm1-lens-netcdf.json",
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .search(Map("experiment" -> "20C", "member_id" -> Seq(2, 9), "variable" -> "SHF"))
+      val ds = cat.toDatasetDict(Nil)("ocn.20C.pop.h")
+      ds.filter(col("variable") === "SHF")
+        .groupBy(col("member_id"))
+        .agg(count(col("value")).as("n_values"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+        .orderBy("member_id")
+    }),
+
     "scan_catalog_dict" -> ((s, _) => {
       CatalogReader.fromDict(s, Seq(
         Map("component" -> "ocn", "experiment" -> "20C", "variable" -> "SHF", "scode" -> 482L),
@@ -1171,6 +1193,20 @@ object SparkEntry {
         .portableStratifiedSplits(T(s, dir, "documents"), "doc_id", "lang")
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")
+    }),
+
+    "pipeline_decontaminate" -> ((s, dir) => {
+      // test-set-leakage guard: docs whose text shares >= 2 distinct word
+      // 3-grams with the "benchmark" slice (doc_id % 97 == 0) are flagged.
+      // Eval n-grams broadcast (benchmark-sized); the train side streams
+      // map-side — no shuffle until the per-doc hit count.
+      val docs  = T(s, dir, "documents")
+      val eval  = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      graft.operators.Decontaminate
+        .contaminationReport(train, eval, "text", "doc_id", n = 3, minHits = 2)
+        .select(col("id").as("doc_id"), col("hits"))
+        .orderBy("doc_id")
     }),
 
     "pipeline_chunk_docs" -> ((s, dir) => {
@@ -1772,6 +1808,19 @@ object SparkEntry {
         |) AS t(variable, dims, coord_key, value)
         |ORDER BY variable, coord_key""".stripMargin,
 
+    // flagship catalog->search->to_dataset_dict over the reference's own
+    // cesm1-lens netcdf catalog: per-member count/min/max of every decoded
+    // SHF value (members 2 and 9, 1032 months x 2x2 grid incl. the 1032
+    // land-cell _FillValues), pinned by the independent python parse
+    // (scripts/h5survey.py decode_var over the same two files).
+    "load_catalog_netcdf" ->
+      """SELECT member_id, n_values, CAST(CAST(v_min AS VARCHAR) AS DOUBLE) AS v_min,
+        |       CAST(CAST(v_max AS VARCHAR) AS DOUBLE) AS v_max FROM (VALUES
+        |('2', CAST(4128 AS BIGINT), CAST('-215.0996856689453' AS DOUBLE), CAST('9.969209968386869e+36' AS DOUBLE)),
+        |('9', CAST(4128 AS BIGINT), CAST('-201.44403076171875' AS DOUBLE), CAST('9.969209968386869e+36' AS DOUBLE))
+        |) AS t(member_id, n_values, v_min, v_max)
+        |ORDER BY member_id""".stripMargin,
+
     // reference's own CESM-LE netCDF-4 (HDF5) sample: values pinned by an
     // independent python struct/zlib parse of the same container (byte
     // shuffle + deflate inverted by hand), no shared code with the Scala
@@ -2362,6 +2411,23 @@ object SparkEntry {
         |       ELSE 'und' END AS guess
         |FROM (SELECT *, greatest(h_en, h_de, h_fr, h_es) AS m FROM h)
         |ORDER BY doc_id""".stripMargin,
+
+    // same 3-gram derivation as dedup_ngram_jaccard's oracle; eval slice =
+    // doc_id % 97 == 0, hit = distinct shared gram, flag at >= 2 hits
+    "pipeline_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, COUNT(*) AS hits
+        |  FROM sh s JOIN ev ON s.sh = ev.sh
+        |  WHERE s.doc_id % 97 <> 0
+        |  GROUP BY s.doc_id)
+        |SELECT doc_id, hits FROM hits WHERE hits >= 2 ORDER BY doc_id""".stripMargin,
 
     "pipeline_chunk_docs" ->
       """WITH toks AS (

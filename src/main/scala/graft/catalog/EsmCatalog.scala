@@ -25,6 +25,7 @@ final class EsmCatalog(
     val requestedVariables: Seq[String] = Nil,
     val sep: String = ".",
     val storageOptions: Map[String, String] = Map.empty,
+    val descriptorDir: Option[String] = None,
 ) {
   import CatalogReader.ContainerType
 
@@ -36,7 +37,7 @@ final class EsmCatalog(
     // carries EVERY session-scoped field — notably storageOptions, or a
     // search() result would silently drop the credentials open() was given
     new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes, derivedRegistry,
-      requestedVariables, sep, storageOptions)
+      requestedVariables, sep, storageOptions, descriptorDir)
 
   // ---------------------------------------------------------------- search
 
@@ -288,15 +289,40 @@ final class EsmCatalog(
 
   private def buildSource(key: String, records: Seq[Map[String, Any]]): EsmDataSource = {
     val fmt = model.assets.format.getOrElse("")
+    val pathCol = model.assets.columnName
     EsmDataSource(
       key = key,
       records = records,
-      pathColumn = model.assets.columnName,
+      pathColumn = pathCol,
       variableColumn = model.variableColumnName,
       aggregations = model.aggregationControl.map(_.aggregations).getOrElse(Nil),
       requestedVariables = requestedVariables,
       storageOptions = storageOptions,
-    ).copy(records = records.map(r => r + ("_data_format_" -> resolveFormat(r, fmt))))
+    ).copy(records = records.map(r => r + ("_data_format_" -> resolveFormat(r, fmt)) ++
+      r.get(pathCol).collect { case p: String => pathCol -> resolveAssetPath(p) }))
+  }
+
+  /** Relative asset paths ('./tests/…') resolve against the process CWD in
+    * the reference (its own sample catalogs assume the repo root as CWD —
+    * fsspec applies no descriptor-relative logic, cat.py:318-322). The
+    * engine's documented extra fallback, mirroring
+    * [[CatalogReader.resolveCatalogFile]]: when such a path does not exist
+    * from the CWD, probe the DESCRIPTOR directory's ancestors and take the
+    * first match, so the reference's own catalogs open from anywhere.
+    * Scheme'd URIs and absolute paths pass through untouched. */
+  private def resolveAssetPath(path: String): String = {
+    val p = java.nio.file.Paths.get(path)
+    if (path.contains("://") || p.isAbsolute || java.nio.file.Files.exists(p)) return path
+    descriptorDir match {
+      case None => path
+      case Some(dir) =>
+        Iterator.iterate(java.nio.file.Paths.get(dir).toAbsolutePath)(_.getParent)
+          .takeWhile(_ != null)
+          .map(_.resolve(path).normalize)
+          .find(java.nio.file.Files.exists(_))
+          .map(_.toString)
+          .getOrElse(path) // leave as-is; the open fails with the original name
+    }
   }
 
   private def resolveFormat(record: Map[String, Any], default: String): String =
@@ -383,8 +409,14 @@ object EsmCatalog {
            registry: DerivedVariableRegistry = new DerivedVariableRegistry,
            storageOptions: Map[String, String] = Map.empty): EsmCatalog = {
     val (model, table) = CatalogReader.load(spark, jsonPath, storageOptions)
+    // descriptor dir (for relative-asset-path fallback) only makes sense
+    // for local descriptors; remote schemes resolve their assets remotely
+    val dir =
+      if (jsonPath.contains("://") && !jsonPath.startsWith("file://")) None
+      else Option(java.nio.file.Paths.get(
+        jsonPath.stripPrefix("file://")).toAbsolutePath.getParent).map(_.toString)
     new EsmCatalog(spark, model, table.df, table.columnsWithIterables, table.iterableDtypes,
-      registry, storageOptions = storageOptions)
+      registry, storageOptions = storageOptions, descriptorDir = dir)
   }
 
   /** Open from an in-memory descriptor + pre-built table (search results,

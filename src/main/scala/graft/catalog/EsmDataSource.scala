@@ -41,14 +41,14 @@ final case class EsmDataSource(
   private def joinNewAttrs: Seq[String] =
     aggregations.filter(_.aggType == AggregationType.JoinNew).map(_.attributeName)
 
-  /** Format dispatch (source.py:70-137). The harness's assets are parquet;
-    * netcdf/zarr/opendap need external connectors that don't ship in this
-    * environment — the dispatch table is where they'd plug in. Kerchunk
-    * `reference` assets are supported at the CATALOG plane: the JSON index
-    * shreds to a chunk-map frame (variable / chunk / url / byte range —
-    * exactly what the reference's zarr engine sees before decoding,
-    * source.py:82-86); decoding the referenced byte ranges stays behind the
-    * same connector boundary as the other binary formats.
+  /** Format dispatch (source.py:70-137). parquet/csv/json read through
+    * Spark's sources; kerchunk `reference` indexes, zarr v2/v3 directory
+    * stores, classic netCDF (CDF-1/2/5) and HDF5-backed netCDF-4 all parse
+    * NATIVELY into one shared chunk-map plane (variable / chunk / url /
+    * byte range — what the reference's zarr engine sees before decoding,
+    * source.py:82-96) and optionally decode to typed, dimension-labeled
+    * values. Only opendap (a network protocol) remains behind the external
+    * connector boundary.
     */
   def openAsset(spark: SparkSession, path: String, format: String): DataFrame =
     format match {

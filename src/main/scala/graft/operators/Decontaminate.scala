@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data decontamination: remove training documents that share word
+  * n-grams with an evaluation/benchmark set.
+  *
+  * The standard LLM-pipeline guard against test-set leakage (the reference
+  * engine stops at catalog analytics; this extends the corpus-pipeline
+  * surface the same way Dedup/Chunking do): a training document is
+  * contaminated when at least `minHits` DISTINCT evaluation n-grams occur
+  * in it.
+  *
+  * Scale shape: an eval set is benchmark-sized (thousands of documents),
+  * so its distinct n-gram table is broadcast — the 100 TB train side
+  * streams through a map-side hash join with NO shuffle; the only
+  * shuffles are the per-doc hit count (groupBy id) and the final anti
+  * join. Nothing here is quadratic and no driver collect touches data.
+  */
+object Decontaminate {
+
+  /** Per-contaminated-doc report: (id, hits = distinct eval n-grams seen).
+    * Only docs with hits >= minHits appear. */
+  def contaminationReport(train: DataFrame, eval: DataFrame, textCol: String,
+                          idCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+      .distinct()
+    val trainGrams = train
+      .select(col(idCol).as("id"), explode(Dedup.wordShingles(col(textCol), n)).as("g"))
+    trainGrams
+      .join(broadcast(evalGrams), "g") // map-side: eval grams are benchmark-sized
+      .groupBy("id")
+      .agg(count(lit(1)).as("hits")) // grams already distinct per doc (wordShingles)
+      .filter(col("hits") >= minHits)
+  }
+
+  /** Training rows with contaminated documents removed. */
+  def decontaminate(train: DataFrame, eval: DataFrame, textCol: String,
+                    idCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
+    val bad = contaminationReport(train, eval, textCol, idCol, n, minHits)
+    train.join(bad, train(idCol) === bad("id"), "left_anti")
+  }
+}

@@ -97,6 +97,27 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
   }
 
+  test("decontaminate: flagged + kept partition the train set; threshold honored") {
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog", "e"))
+      .toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "the quick brown fox went home", "a"),      // shares 2 eval 3-grams
+      (2L, "a quick brown dog", "a"),                  // shares 0 (too short a match)
+      (3L, "jumps over the lazy dog every day", "b"),  // shares 3
+      (4L, "unrelated catalyst optimizer text", "c"),  // shares 0
+    ).toDF("doc_id", "text", "source")
+    val report = Decontaminate.contaminationReport(train, eval, "text", "doc_id", n = 3, minHits = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("hits")).toMap
+    assert(report == Map(1L -> 2L, 3L -> 3L), report.toString)
+    val kept = Decontaminate.decontaminate(train, eval, "text", "doc_id", n = 3, minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L))
+    // minHits = 1 also catches doc 1's single-hit sibling behaviors
+    val loose = Decontaminate.decontaminate(train, eval, "text", "doc_id", n = 3, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose.subsetOf(Set(2L, 4L)))
+  }
+
   test("incremental dedup: bloom+confirm equals plain anti-join") {
     val corpus = Seq((1L, "alpha text"), (2L, "beta text"), (3L, "gamma text"))
       .toDF("doc_id", "text")

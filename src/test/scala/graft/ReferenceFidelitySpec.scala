@@ -691,6 +691,34 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(stats.getDouble(2) == 196.13958740234375)
   }
 
+  test("catalog netcdf end-to-end: relative paths resolve, to_dataset_dict decodes") {
+    import org.apache.spark.sql.functions.col
+    // the reference's own catalog: './tests/sample_data/…' asset paths are
+    // CWD-relative there; the engine's descriptor-ancestor fallback finds
+    // them from any CWD
+    val cat = EsmCatalog.open(spark, s"$base/cesm1-lens-netcdf.json",
+        storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+      .search(Map("experiment" -> "20C", "member_id" -> Seq(2, 9), "variable" -> "SHF"))
+    assert(cat.length == 1L && cat.df.count() == 2L)
+    val dict = cat.toDatasetDict(Nil)
+    assert(dict.keySet == Set("ocn.20C.pop.h"))
+    val shf = dict("ocn.20C.pop.h").filter(col("variable") === "SHF")
+    // join_new stamped member_id; both members' full grids decoded
+    val byMember = shf.groupBy("member_id").count().collect()
+      .map(r => r.getAs[String]("member_id") -> r.getAs[Long]("count")).toMap
+    assert(byMember == Map("2" -> 4128L, "9" -> 4128L), byMember.toString)
+    // one pinned value per member from the independent python parse
+    val m2first = shf.filter(col("member_id") === "2")
+      .filter(col("coords")(0) === 0 && col("coords")(1) === 0 && col("coords")(2) === 0)
+      .head().getAs[Double]("value")
+    assert(m2first == -77.76759338378906, m2first.toString)
+    // a relative path that matches NO ancestor stays as written (open fails
+    // on the original name, not a mangled one)
+    val cat2 = EsmCatalog.open(spark, s"$base/cesm1-lens-netcdf.json")
+    val entry = cat2.getEntry("ocn.CTRL.pop.h")
+    assert(entry.records.forall(_.apply("path").toString.startsWith("/root/reference/")))
+  }
+
   test("netcdf record variables: interleaved stride, single-var unpadded, CDF-2 offsets") {
     import org.apache.spark.sql.functions.col
     // spec-faithful byte-level writer (big-endian, padded names, record
