@@ -64,16 +64,23 @@ object Dedup {
     )
   }
 
-  /** Word n-gram shingles (n consecutive tokens joined by space). */
+  /** Word n-gram shingles (n consecutive tokens joined by space), distinct.
+    *
+    * Built as a zip_with chain of shifted slices so the token array only
+    * ever sits in ARGUMENT position (evaluated once per row). Referencing
+    * the tokens expression INSIDE a lambda instead (the old
+    * `transform(sequence(…), i => slice(toks, …))` shape) re-evaluates the
+    * whole tokenization per produced gram — O(tokens²) per document, which
+    * benched 6× slower on the corpus at sf0.1. Positions past the last
+    * full window pair with null and null-concat to null; one filter drops
+    * them. */
   def wordShingles(c: Column, n: Int = 3): Column = {
     val toks = tokens(c)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")),
-        s => size(split(s, " ")) === n,
-      )
-    )
+    val grams = (2 to n).foldLeft(toks) { (acc, i) =>
+      zip_with(acc, slice(toks, lit(i), greatest(size(toks) - (i - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(grams, x => x.isNotNull))
   }
 
   /** Lowercased whitespace tokens, empties removed — trim-then-split stays

@@ -197,4 +197,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q_pivot")
     assert("FileScan".r.findAllIn(p).size == 1, p.take(2000))
   }
+
+  test("decontaminate joins the eval grams by broadcast; train side never shuffles pre-count") {
+    // the 100 TB side (train n-grams) must reach its hit-count aggregate
+    // through a map-side broadcast join — a shuffled (sort-merge) gram join
+    // would move the whole exploded corpus
+    val p = plan("pipeline_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+    // exchanges: eval-gram distinct (small side), the per-doc count, the
+    // final presentation sort — nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("catalog netcdf flagship keeps per-member work parallel: broadcast metadata, banded reads") {
+    val p = plan("load_catalog_netcdf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
 }
