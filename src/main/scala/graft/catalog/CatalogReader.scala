@@ -179,8 +179,15 @@ object CatalogReader {
     */
   def load(spark: SparkSession, jsonPath: String,
            storageOptions: Map[String, String] = Map.empty): (EsmCatalogModel, LoadedTable) = {
-    val model = EsmCatalogModel.fromJson(new String(Files.readAllBytes(Paths.get(jsonPath)), "UTF-8"))
-    val table = loadTable(spark, model, Some(jsonPath), storageOptions)
+    // accept Hadoop's file:/// AND single-slash file:/ URI renderings of a
+    // local descriptor alongside bare paths (URI parsing — a stripPrefix
+    // would leave "file:/x" as the relative path "file:")
+    val local =
+      if (jsonPath.startsWith("file:"))
+        scala.util.Try(Paths.get(new java.net.URI(jsonPath)).toString).getOrElse(jsonPath)
+      else jsonPath
+    val model = EsmCatalogModel.fromJson(new String(Files.readAllBytes(Paths.get(local)), "UTF-8"))
+    val table = loadTable(spark, model, Some(local), storageOptions)
     (model, table)
   }
 

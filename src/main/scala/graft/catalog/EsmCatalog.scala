@@ -382,10 +382,11 @@ final class EsmCatalog(
       case Some(ls) =>
         val ac = model.aggregationControl.map(_.copy(groupbyAttrs = ls.toList))
         new EsmCatalog(spark, model.copy(aggregationControl = ac), df, columnsWithIterables,
-          iterableDtypes, derivedRegistry, requestedVariables, sep = "/", storageOptions)
+          iterableDtypes, derivedRegistry, requestedVariables, sep = "/", storageOptions,
+          descriptorDir)
       case None =>
         new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes,
-          derivedRegistry, requestedVariables, sep = "/", storageOptions)
+          derivedRegistry, requestedVariables, sep = "/", storageOptions, descriptorDir)
     }
     cat.toDatasetDict(coords).map { case (k, v) => s"/${k.replace(cat.sep, "/")}" -> v }
   }
@@ -410,11 +411,17 @@ object EsmCatalog {
            storageOptions: Map[String, String] = Map.empty): EsmCatalog = {
     val (model, table) = CatalogReader.load(spark, jsonPath, storageOptions)
     // descriptor dir (for relative-asset-path fallback) only makes sense
-    // for local descriptors; remote schemes resolve their assets remotely
-    val dir =
-      if (jsonPath.contains("://") && !jsonPath.startsWith("file://")) None
-      else Option(java.nio.file.Paths.get(
-        jsonPath.stripPrefix("file://")).toAbsolutePath.getParent).map(_.toString)
+    // for local descriptors; remote schemes resolve their assets remotely.
+    // Hadoop renders local URIs BOTH as file:///x and single-slash file:/x
+    // — go through java.net.URI so either form yields a real directory
+    // (Paths.get("file:/x") would be a RELATIVE path named "file:").
+    val localPath: Option[String] =
+      if (jsonPath.startsWith("file:"))
+        scala.util.Try(java.nio.file.Paths.get(new java.net.URI(jsonPath)).toString).toOption
+      else if (jsonPath.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) None // remote scheme
+      else Some(jsonPath)
+    val dir = localPath.flatMap(p =>
+      Option(java.nio.file.Paths.get(p).toAbsolutePath.getParent).map(_.toString))
     new EsmCatalog(spark, model, table.df, table.columnsWithIterables, table.iterableDtypes,
       registry, storageOptions = storageOptions, descriptorDir = dir)
   }

@@ -70,7 +70,7 @@ final case class EsmDataSource(
           case "cdf"  => decodeEntries(graft.sources.NetCDF3Index.read(spark, path, storageOptions))
           case "hdf5" => decodeEntries(graft.sources.Hdf5Index.read(spark, path, storageOptions))
           case other => throw new IllegalArgumentException(
-            s"asset '$path' declared netcdf but carries no CDF/HDF5 magic")
+            s"asset '$path' declared '$format' but carries no CDF/HDF5 magic (sniffed: $other)")
         }
       case "zarr" | "zarr2" | "zarr3" =>
         // zarr DIRECTORY stores (v2 AND v3 metadata layouts) enumerate

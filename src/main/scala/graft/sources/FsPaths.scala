@@ -36,6 +36,20 @@ private[sources] object FsPaths {
   def isNoFilesystem(e: java.io.IOException): Boolean =
     Option(e.getMessage).exists(_.toLowerCase.contains("no filesystem for scheme"))
 
+  /** Per-call storage options (fs credentials, endpoints — cat.py:238-280)
+    * overlaid on the session Hadoop conf, so container readers honor the
+    * same options the Spark-source paths pass via DataFrameReader.options.
+    * graft.* control keys ride along harmlessly (nothing reads them as
+    * Hadoop config). */
+  def confWith(base: org.apache.hadoop.conf.Configuration,
+               options: Map[String, String]): org.apache.hadoop.conf.Configuration =
+    if (options.isEmpty) base
+    else {
+      val c = new org.apache.hadoop.conf.Configuration(base)
+      options.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+
   def connectorRefusal(url: String, cause: Throwable): Nothing =
     throw new UnsupportedOperationException(
       s"byte-range access for '${url.takeWhile(_ != ':')}://' urls is behind the " +

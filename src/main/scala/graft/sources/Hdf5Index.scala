@@ -176,6 +176,9 @@ object Hdf5Index {
       val track = (flags & 0x04) != 0
       val hdrLen = 4 + (if (track) 2 else 0)
       val out = List.newBuilder[Msg]
+      // cycle guard: a corrupt continuation chain pointing back at a seen
+      // block must refuse loudly, not loop the executor forever
+      val seen = scala.collection.mutable.Set[Long](p)
       var blocks = List((p, size0))
       while (blocks.nonEmpty) {
         val (off, size) = blocks.head; blocks = blocks.tail
@@ -192,6 +195,7 @@ object Hdf5Index {
           if (mtype == 0x10) {
             val ca = B.u(body, 0, 8); val cl = B.u(body, 8, 8)
             require(r.sig(ca) == "OCHK", s"hdf5 '$path': bad continuation at $ca")
+            require(seen.add(ca + 4), s"hdf5 '$path': cyclic header continuation at $ca")
             blocks = blocks :+ (ca + 4, cl - 8) // strip signature + trailing checksum
           }
           out += Msg(mtype, body)
@@ -258,7 +262,9 @@ object Hdf5Index {
         sb.toString
       }
       val out = List.newBuilder[(String, Long)]
+      val seenNodes = scala.collection.mutable.Set.empty[Long]
       def walk(addr: Long): Unit = {
+        require(seenNodes.add(addr), s"hdf5 '$path': cyclic group b-tree at $addr")
         require(r.sig(addr) == "TREE", s"hdf5 '$path': bad group b-tree node at $addr")
         val ntype = r.u8(addr + 4); val nlevel = r.u8(addr + 5)
         val nent = r.u16(addr + 6)
@@ -513,8 +519,14 @@ object Hdf5Index {
         if (order == ">") java.lang.Long.reverseBytes(raw) >>> (64 - 8 * size) else raw
       }
       dt.cls match {
-        case 3 => AStr(new String(m, off, math.min(dt.size * n, m.length - off), "UTF-8")
+        case 3 if n <= 1 => AStr(new String(m, off, math.min(dt.size, m.length - off), "UTF-8")
           .takeWhile(_ != '\u0000'))
+        case 3 => // fixed-size string ARRAY: one element per dataspace slot
+          AStrs((0 until n).map { i =>
+            val o = off + i * dt.size
+            new String(m, o, math.min(dt.size, math.max(m.length - o, 0)), "UTF-8")
+              .takeWhile(_ != '\u0000')
+          }.toList)
         case 1 =>
           ADbl((0 until n).map { i =>
             val bits = num(off + i * dt.size, dt.size)
@@ -711,7 +723,13 @@ object Hdf5Index {
         else fields :+ JField("_ARRAY_DIMENSIONS", JArray(dims.map(JString(_)).toList))
       if (withDims.isEmpty) None else Some(compact(render(JObject(withDims))))
     }
+    val visited = scala.collection.mutable.Set.empty[Long]
     def visit(prefix: String, name: String, addr: Long): Unit = {
+      // netCDF-4 never multi-links an object; a revisited header address is
+      // a link cycle (or an alias this reader cannot represent) — refuse
+      // loudly rather than recurse forever
+      require(visited.add(addr),
+        s"hdf5 '$path': object header at $addr reached twice (link cycle?)")
       val ms = P.messages(addr)
       val key = if (prefix.isEmpty) name else s"$prefix/$name"
       if (ms.exists(_.mtype == 0x08)) {
@@ -825,7 +843,7 @@ object Hdf5Index {
            storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
+      FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
     val ds = spark.createDataset(Seq(path)).mapPartitions { paths =>
       paths.flatMap { p =>
         val hPath = FsPaths.hadoopPath(p)

@@ -217,7 +217,7 @@ object NetCDF3Index {
            storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
+      FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
     val ds = spark.createDataset(Seq(path)).mapPartitions { paths =>
       paths.flatMap { p =>
         val hPath = FsPaths.hadoopPath(p)

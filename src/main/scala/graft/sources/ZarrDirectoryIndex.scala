@@ -206,7 +206,7 @@ object ZarrDirectoryIndex {
            storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
+      FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
     val ds = spark.createDataset(Seq(storePath)).mapPartitions { paths =>
       paths.flatMap { p =>
         val root = FsPaths.hadoopPath(p)

@@ -717,6 +717,14 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     val cat2 = EsmCatalog.open(spark, s"$base/cesm1-lens-netcdf.json")
     val entry = cat2.getEntry("ocn.CTRL.pop.h")
     assert(entry.records.forall(_.apply("path").toString.startsWith("/root/reference/")))
+    // toDatatree rebuilds the catalog with sep="/" — descriptorDir must
+    // survive that copy or the same assets go unresolved
+    val tree = cat.toDatatree(Nil)
+    assert(tree.keySet == Set("/ocn/20C/pop.h"))
+    // Hadoop's single-slash file:/ descriptor form resolves the same way
+    val cat3 = EsmCatalog.open(spark, s"file:$base/cesm1-lens-netcdf.json")
+    assert(cat3.getEntry("ocn.CTRL.pop.h").records
+      .forall(_.apply("path").toString.startsWith("/root/reference/")))
   }
 
   test("netcdf record variables: interleaved stride, single-var unpadded, CDF-2 offsets") {
