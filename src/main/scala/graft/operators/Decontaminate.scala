@@ -42,4 +42,34 @@ object Decontaminate {
     val bad = contaminationReport(train, eval, textCol, idCol, n, minHits)
     train.join(bad, train(idCol) === bad("id"), "left_anti")
   }
+
+  /** Streaming twin: filter a training-document STREAM against a static
+    * eval set. The eval n-grams are collected once (DriverGuard-bounded —
+    * eval sets are benchmark-sized) and broadcast; each arriving doc is
+    * scored by pure set membership. Stateless per-row work — no watermark,
+    * no state store, append-mode safe — because the static side is fixed at
+    * query start, exactly like the reference side of a stream-static join.
+    * Returns the KEPT stream; pass `invert = true` for the flagged stream
+    * (with a `hits` column). */
+  def decontaminateStream(trainStream: DataFrame, eval: DataFrame, textCol: String,
+                          n: Int = 3, minHits: Int = 1, invert: Boolean = false): DataFrame = {
+    val spark = eval.sparkSession
+    val grams = graft.catalog.DriverGuard.boundedCollect(
+      eval.select(explode(Dedup.wordShingles(col(textCol), n)).as("g")).distinct(),
+      "decontaminateStream(eval n-grams)").map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(grams)
+    // a udf over the broadcast set: set membership over ~benchmark-sized
+    // gram tables has no expression form that doesn't inline the table
+    // into the plan; the udf evaluates once per row on grams built by the
+    // same (codegen-friendly) wordShingles as the batch path
+    val hitsUdf = udf { shings: Seq[String] =>
+      if (shings == null) 0 else shings.count(bc.value.contains)
+    }
+    val scored = trainStream
+      .withColumn("__grams", Dedup.wordShingles(col(textCol), n))
+      .withColumn("hits", hitsUdf(col("__grams")))
+      .drop("__grams")
+    if (invert) scored.filter(col("hits") >= minHits)
+    else scored.filter(col("hits") < minHits).drop("hits")
+  }
 }

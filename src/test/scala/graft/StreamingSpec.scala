@@ -202,6 +202,42 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed=${streamed.size} batch=${batch.size} diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
   }
 
+  test("streaming decontaminate: flags leaky docs in-stream, batch parity on real docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = graft.operators.Decontaminate
+      .decontaminateStream(stream, eval, "text", n = 3, minHits = 2)
+      .writeStream.format("memory").queryName("decon_stream").outputMode("append").start()
+    input.addData(
+      (1L, "the quick brown fox went home"),          // 2 hits -> dropped
+      (2L, "a quick brown dog"),                      // 0 hits -> kept
+      (3L, "jumps over the lazy dog every day"),      // 3 hits -> dropped
+      (4L, "unrelated catalyst optimizer text"))      // kept
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("decon_stream").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L), kept.toString)
+
+    // batch parity on real sf0.001 documents: the streaming filter (static
+    // broadcast set) must keep exactly the docs the batch operator keeps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val evalSlice  = docs.filter(col("doc_id") % 97 === 0)
+    val trainSlice = docs.filter(col("doc_id") % 97 =!= 0)
+    val batchKept = graft.operators.Decontaminate
+      .decontaminate(trainSlice, evalSlice, "text", "doc_id", n = 3, minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val streamKept = graft.operators.Decontaminate
+      .decontaminateStream(trainSlice, evalSlice, "text", n = 3, minHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept,
+      s"stream=${streamKept.size} batch=${batchKept.size} diff=${(streamKept diff batchKept).take(5)}")
+  }
+
   test("streaming near-dup: duplicates collide in-bucket, TTL forgets old buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
