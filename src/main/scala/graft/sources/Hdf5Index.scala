@@ -840,12 +840,24 @@ object Hdf5Index {
     * metadata-sized — while the chunk DATA reads happen downstream in
     * [[KerchunkIndex.materializeChunks]]'s offset-banded distributed plan. */
   def read(spark: SparkSession, path: String,
-           storageOptions: Map[String, String] = Map.empty): DataFrame = {
+           storageOptions: Map[String, String] = Map.empty): DataFrame =
+    readMany(spark, Seq(path), storageOptions)
+
+  /** Collection-scale variant: one distributed job parses MANY files'
+    * structures (one task per file, up to the session's parallelism) —
+    * the shape a thousand-asset catalog group or a corpus sweep wants,
+    * instead of one single-row Spark job per file. Entry keys stay
+    * FILE-relative (refs carry their url; meta rows do not), so drive the
+    * downstream decode per file — the concatenated frame is for
+    * inventory/sweep use. */
+  def readMany(spark: SparkSession, paths: Seq[String],
+               storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
-    val ds = spark.createDataset(Seq(path)).mapPartitions { paths =>
-      paths.flatMap { p =>
+    val parts = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val ds = spark.createDataset(paths).repartition(parts).mapPartitions { it =>
+      it.flatMap { p =>
         val hPath = FsPaths.hadoopPath(p)
         val fs = FsPaths.fileSystemFor(hPath, hconf.value)
         val in = fs.open(hPath)
