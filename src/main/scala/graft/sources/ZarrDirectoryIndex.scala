@@ -239,6 +239,25 @@ object ZarrDirectoryIndex {
   private def v2Entries(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
                         relOf: org.apache.hadoop.fs.Path => String,
                         readText: org.apache.hadoop.fs.Path => String): Iterator[Entry] = {
+    // consolidated metadata (.zmetadata, the zarr v2 convention xarray's
+    // engine prefers): ONE object read supplies every metadata document,
+    // so the walk below skips per-file .zarray/.zattrs reads AND the
+    // chunk-attribution exists() probes — on an object store that turns
+    // O(arrays) metadata round trips into one
+    val consolidated: Option[Map[String, String]] = {
+      val zm = new org.apache.hadoop.fs.Path(root, ".zmetadata")
+      if (!fs.exists(zm)) None
+      else {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(readText(zm)) \ "metadata" match {
+          case JObject(fields) => Some(fields.map { case (k, v) =>
+            k -> org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(v))
+          }.toMap)
+          case _ => None // malformed doc: fall back to the per-file walk
+        }
+      }
+    }
     val files = fs.listFiles(root, true)
     // chunk attribution must handle dimension_separator "/": chunk (0,0)
     // of a nested store lives at var/0/0, so the VARIABLE is the deepest
@@ -247,8 +266,12 @@ object ZarrDirectoryIndex {
     // per distinct directory, not per chunk file.
     val hasZarray = scala.collection.mutable.HashMap.empty[String, Boolean]
     def dirHasZarray(rel: String): Boolean = hasZarray.getOrElseUpdate(rel, {
-      val dir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
-      fs.exists(new org.apache.hadoop.fs.Path(dir, ".zarray"))
+      consolidated match {
+        case Some(m) => m.contains(if (rel.isEmpty) ".zarray" else s"$rel/.zarray")
+        case None =>
+          val dir = if (rel.isEmpty) root else new org.apache.hadoop.fs.Path(root, rel)
+          fs.exists(new org.apache.hadoop.fs.Path(dir, ".zarray"))
+      }
     })
     def splitChunkKey(key: String): (String, String) = {
       val segs = key.split('/')
@@ -257,25 +280,42 @@ object ZarrDirectoryIndex {
           (segs.take(k).mkString("/"), segs.drop(k).mkString("."))
       }.getOrElse((segs.init.mkString("/"), segs.last))
     }
-    new Iterator[Entry] {
-      override def hasNext: Boolean = files.hasNext
-      override def next(): Entry = {
-        val f   = files.next()
-        val key = relOf(f.getPath)
+    val consolidatedMeta: Iterator[Entry] = consolidated.iterator.flatMap(_.iterator.map {
+      case (key, doc) =>
         val member   = key.split('/').last
         val variable = key.stripSuffix(member).stripSuffix("/")
-        if (member.startsWith(".")) {
-          // metadata document: inline its (small) JSON content
-          (key, variable, member, "meta", null, None, None, readText(f.getPath))
-        } else {
-          // chunk file: a whole-file ref — offset/length resolve to
-          // (0, file size) inside materializeChunks
-          val (chunkVar, chunkMember) = splitChunkKey(key)
-          (s"$chunkVar/$chunkMember", chunkVar, chunkMember, "ref",
-            f.getPath.toString, None, None, null)
+        (key, variable, member, "meta", null: String,
+          None: Option[Long], None: Option[Long], doc)
+    })
+    val walked: Iterator[Entry] = new Iterator[Entry] {
+      private var nextEntry: Entry = _
+      private def advance(): Unit = {
+        nextEntry = null
+        while (nextEntry == null && files.hasNext) {
+          val f   = files.next()
+          val key = relOf(f.getPath)
+          val member   = key.split('/').last
+          val variable = key.stripSuffix(member).stripSuffix("/")
+          if (member.startsWith(".")) {
+            // metadata document: inline its (small) JSON content — unless
+            // the consolidated doc already supplied it (skip the read; the
+            // .zmetadata file itself is never a plane document)
+            if (consolidated.isEmpty && member != ".zmetadata")
+              nextEntry = (key, variable, member, "meta", null, None, None, readText(f.getPath))
+          } else {
+            // chunk file: a whole-file ref — offset/length resolve to
+            // (0, file size) inside materializeChunks
+            val (chunkVar, chunkMember) = splitChunkKey(key)
+            nextEntry = (s"$chunkVar/$chunkMember", chunkVar, chunkMember, "ref",
+              f.getPath.toString, None, None, null)
+          }
         }
       }
+      advance()
+      override def hasNext: Boolean = nextEntry != null
+      override def next(): Entry = { val e = nextEntry; advance(); e }
     }
+    consolidatedMeta ++ walked
   }
 
   private def v3Entries(fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,

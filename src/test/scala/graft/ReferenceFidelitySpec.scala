@@ -530,6 +530,42 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
+  test("zarr v2 consolidated metadata (.zmetadata): one read supplies every doc") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr_consol")
+    // metadata ONLY in the consolidated doc (some writers skip the
+    // per-node files entirely for object-store efficiency) — plus one
+    // array whose sidecar .zattrs deliberately DISAGREES, to prove the
+    // consolidated doc is authoritative and the sidecar is never read
+    java.nio.file.Files.writeString(dir.resolve(".zmetadata"),
+      """{"zarr_format": 2, "metadata": {
+        |  ".zgroup": {"zarr_format": 2},
+        |  "v/.zarray": {"dtype": "<i4", "shape": [3], "chunks": [3], "compressor": null,
+        |                "filters": null, "order": "C", "zarr_format": 2},
+        |  "v/.zattrs": {"_ARRAY_DIMENSIONS": ["x"]}
+        |}}""".stripMargin)
+    java.nio.file.Files.createDirectories(dir.resolve("v"))
+    java.nio.file.Files.writeString(dir.resolve("v/.zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["WRONG"]}""")
+    val chunk = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(7).putInt(8).putInt(9).array()
+    java.nio.file.Files.write(dir.resolve("v/0"), chunk)
+    val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+    // consolidated docs present; the stale sidecar was not consulted
+    val zattrs = entries.filter(col("key") === "v/.zattrs").collect()
+    assert(zattrs.length == 1 && zattrs(0).getAs[String]("inline_value").contains("\"x\""))
+    assert(entries.filter(col("member") === ".zmetadata").count() == 0)
+    // chunk attribution worked without any .zarray exists() probe
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    assert(rows.map(_.getAs[Double]("value")).sorted.toSeq == Seq(7.0, 8.0, 9.0))
+    assert(rows.head.getAs[scala.collection.Seq[String]]("dims") == Seq("x"))
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
   test("zarr store with dimension_separator '/' (nested chunk dirs) attributes correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zarr_nested")
     java.nio.file.Files.writeString(dir.resolve(".zgroup"), """{"zarr_format": 2}""")
