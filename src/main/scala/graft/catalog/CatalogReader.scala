@@ -177,15 +177,21 @@ object CatalogReader {
     * Mirrors ESMCatalogModel.load (cat.py:238-280) + _df_from_file
     * (cat.py:282-326).
     */
+  /** Local form of a descriptor path, or None for a remote scheme. Accepts
+    * bare paths plus Hadoop's file:/// AND single-slash file:/ URI
+    * renderings (URI parsing — a stripPrefix would leave "file:/x" as the
+    * relative path "file:"). ONE implementation for both the descriptor
+    * read and the descriptor-dir computation, so scheme-handling fixes
+    * cannot drift between them. */
+  def localPathOf(jsonPath: String): Option[String] =
+    if (jsonPath.startsWith("file:"))
+      Some(scala.util.Try(Paths.get(new java.net.URI(jsonPath)).toString).getOrElse(jsonPath))
+    else if (jsonPath.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) None // remote scheme
+    else Some(jsonPath)
+
   def load(spark: SparkSession, jsonPath: String,
            storageOptions: Map[String, String] = Map.empty): (EsmCatalogModel, LoadedTable) = {
-    // accept Hadoop's file:/// AND single-slash file:/ URI renderings of a
-    // local descriptor alongside bare paths (URI parsing — a stripPrefix
-    // would leave "file:/x" as the relative path "file:")
-    val local =
-      if (jsonPath.startsWith("file:"))
-        scala.util.Try(Paths.get(new java.net.URI(jsonPath)).toString).getOrElse(jsonPath)
-      else jsonPath
+    val local = localPathOf(jsonPath).getOrElse(jsonPath)
     val model = EsmCatalogModel.fromJson(new String(Files.readAllBytes(Paths.get(local)), "UTF-8"))
     val table = loadTable(spark, model, Some(local), storageOptions)
     (model, table)

@@ -378,16 +378,16 @@ final class EsmCatalog(
 
   /** to_datatree (core.py:764-867): keys joined with '/'. */
   def toDatatree(coords: Seq[String] = Nil, levels: Option[Seq[String]] = None): Map[String, DataFrame] = {
-    val cat = levels match {
+    // ONE constructor call (the duplicated 10-argument pair is exactly how
+    // descriptorDir got dropped here once): only the model varies
+    val treeModel = levels match {
       case Some(ls) =>
-        val ac = model.aggregationControl.map(_.copy(groupbyAttrs = ls.toList))
-        new EsmCatalog(spark, model.copy(aggregationControl = ac), df, columnsWithIterables,
-          iterableDtypes, derivedRegistry, requestedVariables, sep = "/", storageOptions,
-          descriptorDir)
-      case None =>
-        new EsmCatalog(spark, model, df, columnsWithIterables, iterableDtypes,
-          derivedRegistry, requestedVariables, sep = "/", storageOptions, descriptorDir)
+        model.copy(aggregationControl =
+          model.aggregationControl.map(_.copy(groupbyAttrs = ls.toList)))
+      case None => model
     }
+    val cat = new EsmCatalog(spark, treeModel, df, columnsWithIterables, iterableDtypes,
+      derivedRegistry, requestedVariables, sep = "/", storageOptions, descriptorDir)
     cat.toDatasetDict(coords).map { case (k, v) => s"/${k.replace(cat.sep, "/")}" -> v }
   }
 
@@ -411,16 +411,8 @@ object EsmCatalog {
            storageOptions: Map[String, String] = Map.empty): EsmCatalog = {
     val (model, table) = CatalogReader.load(spark, jsonPath, storageOptions)
     // descriptor dir (for relative-asset-path fallback) only makes sense
-    // for local descriptors; remote schemes resolve their assets remotely.
-    // Hadoop renders local URIs BOTH as file:///x and single-slash file:/x
-    // — go through java.net.URI so either form yields a real directory
-    // (Paths.get("file:/x") would be a RELATIVE path named "file:").
-    val localPath: Option[String] =
-      if (jsonPath.startsWith("file:"))
-        scala.util.Try(java.nio.file.Paths.get(new java.net.URI(jsonPath)).toString).toOption
-      else if (jsonPath.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")) None // remote scheme
-      else Some(jsonPath)
-    val dir = localPath.flatMap(p =>
+    // for local descriptors; remote schemes resolve their assets remotely
+    val dir = CatalogReader.localPathOf(jsonPath).flatMap(p =>
       Option(java.nio.file.Paths.get(p).toAbsolutePath.getParent).map(_.toString))
     new EsmCatalog(spark, model, table.df, table.columnsWithIterables, table.iterableDtypes,
       registry, storageOptions = storageOptions, descriptorDir = dir)

@@ -66,7 +66,7 @@ final case class EsmDataSource(
         // both container families parse natively into the same chunk-map
         // plane (source.py:97-109): classic CDF via sources.NetCDF3Index,
         // HDF5-backed netCDF-4 via sources.Hdf5Index — the magic decides
-        graft.sources.NetCDF3Index.sniff(spark, path) match {
+        graft.sources.NetCDF3Index.sniff(spark, path, storageOptions) match {
           case "cdf"  => decodeEntries(graft.sources.NetCDF3Index.read(spark, path, storageOptions))
           case "hdf5" => decodeEntries(graft.sources.Hdf5Index.read(spark, path, storageOptions))
           case other => throw new IllegalArgumentException(
@@ -78,7 +78,7 @@ final case class EsmDataSource(
         // sources.ZarrDirectoryIndex) into the same chunk-map plane;
         // archived stores and unreachable schemes fail fast in the probe
         // (source.py:82-96)
-        graft.sources.ZarrDirectoryIndex.probe(spark, path)
+        graft.sources.ZarrDirectoryIndex.probe(spark, path, storageOptions)
         decodeEntries(graft.sources.ZarrDirectoryIndex.read(spark, path, storageOptions))
       case other =>
         throw new UnsupportedOperationException(
@@ -92,11 +92,11 @@ final case class EsmDataSource(
     storageOptions.get("graft.kerchunk.decode") match {
       case Some("typed") =>
         graft.sources.KerchunkIndex.decodeTyped(
-          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
           graft.sources.KerchunkIndex.arrayMeta(entries))
       case Some("coords") =>
         graft.sources.KerchunkIndex.decodeCoords(
-          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
           graft.sources.KerchunkIndex.arrayMeta(entries),
           graft.sources.KerchunkIndex.attrDims(entries))
       case _ => entries

@@ -65,11 +65,19 @@ object Decontaminate {
     val hitsUdf = udf { shings: Seq[String] =>
       if (shings == null) 0 else shings.count(bc.value.contains)
     }
+    // collision-proof internal names: the kept path must return the input
+    // schema EXACTLY (batch parity — the batch twin's anti join preserves
+    // every train column, including any user column named "hits")
+    val gramsCol = "__graft_decon_grams"
+    val hitsCol  = "__graft_decon_hits"
     val scored = trainStream
-      .withColumn("__grams", Dedup.wordShingles(col(textCol), n))
-      .withColumn("hits", hitsUdf(col("__grams")))
-      .drop("__grams")
-    if (invert) scored.filter(col("hits") >= minHits)
-    else scored.filter(col("hits") < minHits).drop("hits")
+      .withColumn(gramsCol, Dedup.wordShingles(col(textCol), n))
+      .withColumn(hitsCol, hitsUdf(col(gramsCol)))
+      .drop(gramsCol)
+    if (invert) {
+      require(!trainStream.columns.contains("hits"),
+        "decontaminateStream(invert = true) emits a 'hits' column but the input already has one")
+      scored.filter(col(hitsCol) >= minHits).withColumnRenamed(hitsCol, "hits")
+    } else scored.filter(col(hitsCol) < minHits).drop(hitsCol)
   }
 }

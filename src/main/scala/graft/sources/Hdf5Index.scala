@@ -856,7 +856,11 @@ object Hdf5Index {
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
     val parts = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
-    val ds = spark.createDataset(paths).repartition(parts).mapPartitions { it =>
+    val seed  = spark.createDataset(paths)
+    // no round-robin exchange for the single-file (read()) path — the
+    // local relation maps directly; only real fan-outs pay the shuffle
+    val spread = if (paths.size <= 1) seed else seed.repartition(parts)
+    val ds = spread.mapPartitions { it =>
       it.flatMap { p =>
         val hPath = FsPaths.hadoopPath(p)
         val fs = FsPaths.fileSystemFor(hPath, hconf.value)

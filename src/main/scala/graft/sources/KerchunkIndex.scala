@@ -95,7 +95,8 @@ object KerchunkIndex {
     */
   def materializeChunks(entries: DataFrame,
                         maxChunkBytes: Long = 256L << 20,
-                        bytesPerTask: Long = 256L << 20): DataFrame = {
+                        bytesPerTask: Long = 256L << 20,
+                        storageOptions: Map[String, String] = Map.empty): DataFrame = {
     require(bytesPerTask > 0, s"bytesPerTask must be positive, got $bytesPerTask")
     val spark = entries.sparkSession
     import spark.implicits._
@@ -115,7 +116,7 @@ object KerchunkIndex {
       .select(cols.map(col): _*)
 
     val hconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
+      FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
     val withBand = entries.filter(col("kind") === "ref" || col("url").isNotNull)
       .select($"key", $"variable", $"member", $"kind", $"url", $"offset", $"length",
         floor(coalesce($"offset", lit(0L)) / lit(bytesPerTask)).as("__band"))

@@ -192,11 +192,13 @@ object NetCDF3Index {
     * "cdf" (classic, parseable here), "hdf5" (netCDF-4 — external
     * connector), or "unknown". Schemes with no installed Hadoop FileSystem
     * refuse with the connector-boundary message. */
-  def sniff(spark: SparkSession, path: String): String = {
+  def sniff(spark: SparkSession, path: String,
+            storageOptions: Map[String, String] = Map.empty): String = {
     val hPath = FsPaths.hadoopPath(path)
     val magic = new Array[Byte](4)
     try {
-      val fs = FsPaths.fileSystemFor(hPath, spark.sparkContext.hadoopConfiguration)
+      val fs = FsPaths.fileSystemFor(hPath,
+        FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
       val in = fs.open(hPath)
       try in.readFully(0, magic) finally in.close()
     } catch {

@@ -39,9 +39,11 @@ object ZarrDirectoryIndex {
   /** Driver-side fail-fast for dispatch: resolves the filesystem (schemes
     * without one refuse at the connector boundary) and validates the store —
     * so a bad store fails at open, not somewhere inside a task. */
-  def probe(spark: SparkSession, path: String): Unit = {
+  def probe(spark: SparkSession, path: String,
+            storageOptions: Map[String, String] = Map.empty): Unit = {
     val hPath = FsPaths.hadoopPath(path)
-    try validateStore(FsPaths.fileSystemFor(hPath, spark.sparkContext.hadoopConfiguration), hPath, path)
+    try validateStore(FsPaths.fileSystemFor(hPath,
+        FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions)), hPath, path)
     catch {
       case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
         FsPaths.connectorRefusal(path, e)
@@ -249,13 +251,16 @@ object ZarrDirectoryIndex {
       if (!fs.exists(zm)) None
       else {
         import org.json4s._
-        org.json4s.jackson.JsonMethods.parse(readText(zm)) \ "metadata" match {
-          case JObject(fields) => Some(fields.map { case (k, v) =>
-            k -> org.json4s.jackson.JsonMethods.compact(
-              org.json4s.jackson.JsonMethods.render(v))
-          }.toMap)
-          case _ => None // malformed doc: fall back to the per-file walk
-        }
+        // malformed/truncated doc (interrupted consolidate): fall back to
+        // the per-file walk — the store was readable without it before
+        scala.util.Try(org.json4s.jackson.JsonMethods.parse(readText(zm)) \ "metadata")
+          .toOption.flatMap {
+            case JObject(fields) => Some(fields.map { case (k, v) =>
+              k -> org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(v))
+            }.toMap)
+            case _ => None
+          }
       }
     }
     val files = fs.listFiles(root, true)
