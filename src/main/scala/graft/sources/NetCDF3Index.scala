@@ -216,12 +216,23 @@ object NetCDF3Index {
     * iterator, so huge record counts stream straight into the downstream
     * shuffle. */
   def read(spark: SparkSession, path: String,
-           storageOptions: Map[String, String] = Map.empty): DataFrame = {
+           storageOptions: Map[String, String] = Map.empty): DataFrame =
+    readMany(spark, Seq(path), storageOptions)
+
+  /** Collection-scale variant (same contract as [[Hdf5Index.readMany]]):
+    * one distributed job parses MANY classic files' headers, one task per
+    * file up to the session parallelism. Entry keys stay file-relative;
+    * drive the downstream decode per file. */
+  def readMany(spark: SparkSession, paths: Seq[String],
+               storageOptions: Map[String, String] = Map.empty): DataFrame = {
     import spark.implicits._
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
-    val ds = spark.createDataset(Seq(path)).mapPartitions { paths =>
-      paths.flatMap { p =>
+    val parts = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val seed  = spark.createDataset(paths)
+    val spread = if (paths.size <= 1) seed else seed.repartition(parts)
+    val ds = spread.mapPartitions { it =>
+      it.flatMap { p =>
         val hPath = FsPaths.hadoopPath(p)
         val fs = FsPaths.fileSystemFor(hPath, hconf.value)
         val header = {
