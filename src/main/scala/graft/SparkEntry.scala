@@ -1209,6 +1209,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_shuffle_shards" -> ((s, dir) => {
+      // deterministic shuffle-and-shard: shard and in-shard position are
+      // pure functions of (doc_id, seed), so the training order reproduces
+      // across reruns, layouts, and engines — unlike rand() shuffles. The
+      // only exchange is the per-shard hash partition a sharded writer
+      // needs anyway (no global sort at any scale).
+      graft.operators.DatasetSplit
+        .shuffleShards(T(s, dir, "documents").select("doc_id"), "doc_id", shards = 8)
+        .orderBy("shard", "pos")
+    }),
+
     "pipeline_chunk_docs" -> ((s, dir) => {
       // context-length chunking: overlapping 64-token windows, stride 48 —
       // pure per-row expressions, no shuffle (runs inside the scan)
@@ -2515,6 +2526,20 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM v GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "pipeline_shuffle_shards" ->
+      """WITH b AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|42') AS h FROM documents),
+        |v AS (
+        |  SELECT doc_id, h,
+        |   CAST(((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) % 8 AS BIGINT) AS shard
+        |  FROM b)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM v ORDER BY shard, pos""".stripMargin,
 
     "multimodal_resize" ->
       """WITH d AS (

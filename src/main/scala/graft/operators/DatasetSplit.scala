@@ -57,4 +57,31 @@ object DatasetSplit {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Deterministic shuffle-and-shard for training order: every row gets a
+    * `shard` (its output file) and a `pos` within that shard, both pure
+    * functions of (id, seed) — reruns, repartitions, and engine changes
+    * reproduce the same order, unlike rand().
+    *
+    * Scale shape: the md5 key IS the random order, and sharding comes from
+    * its prefix, so the only exchange is the hash partition by shard that a
+    * sharded writer needs anyway; positions are a per-shard window sort —
+    * no global sort of the corpus at any size. A tie on the full md5 breaks
+    * by id, keeping the order total and deterministic. */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int, seed: Int = 42): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val keyCol = "__graft_shuffle_key"
+    val withKey = df
+      .withColumn(keyCol,
+        md5(concat_ws("|", col(idCol).cast(org.apache.spark.sql.types.StringType),
+          lit(seed.toString))))
+      .withColumn("shard",
+        pmod(conv(substring(col(keyCol), 1, 4), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType), lit(shards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(keyCol), col(idCol))
+    withKey
+      .withColumn("pos", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .drop(keyCol)
+  }
 }

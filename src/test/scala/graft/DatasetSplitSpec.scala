@@ -28,6 +28,28 @@ class DatasetSplitSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("shuffleShards: shards in range, pos contiguous, stable across layouts") {
+    val rows = DatasetSplit.shuffleShards(docs.select("doc_id"), "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    rows.groupBy(_._2).foreach { case (s, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"shard $s positions not contiguous")
+    }
+    val relaid = DatasetSplit.shuffleShards(
+        docs.repartition(17).select("doc_id"), "doc_id", shards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    assert(rows.sortBy(_._1).toSeq == relaid.sortBy(_._1).toSeq)
+  }
+
+  test("shuffleShards: the order is shuffled, not the input order") {
+    val order = DatasetSplit.shuffleShards(docs.select("doc_id"), "doc_id", shards = 1)
+      .orderBy("pos").select("doc_id").as[Long].collect().toSeq
+    assert(order != order.sorted)
+    assert(order.toSet == order.sorted.toSet) // a permutation: nothing lost
+  }
+
   test("stratified split covers every stratum with train rows") {
     val perStratum = DatasetSplit.assignStratifiedSplits(docs, "doc_id", "lang")
       .groupBy("lang", "split").count()
