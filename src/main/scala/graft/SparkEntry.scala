@@ -1220,6 +1220,19 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "pipeline_mixture_sample" -> ((s, dir) => {
+      // domain-mixture resampling: downsample per-language so the kept
+      // corpus matches target weights at the largest feasible size. One
+      // tiny count agg + broadcast thresholds + per-row md5 filter — no
+      // per-domain window over data rows (that would serialize each
+      // domain into one task at scale).
+      graft.operators.Mixture
+        .sampleToMixture(T(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    }),
+
     "pipeline_chunk_docs" -> ((s, dir) => {
       // context-length chunking: overlapping 64-token windows, stride 48 —
       // pure per-row expressions, no shuffle (runs inside the scan)
@@ -2526,6 +2539,28 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM v GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // weights as quoted-varchar→double casts: DuckDB decimal literals would
+    // run the n/w arithmetic in DECIMAL, diverging from Spark's double math
+    "pipeline_mixture_sample" ->
+      """WITH w(lang, wt) AS (VALUES
+        |  ('en', CAST('0.40' AS DOUBLE)), ('de', CAST('0.15' AS DOUBLE)),
+        |  ('es', CAST('0.15' AS DOUBLE)), ('fr', CAST('0.15' AS DOUBLE)),
+        |  ('zh', CAST('0.15' AS DOUBLE))),
+        |c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, n, wt FROM c JOIN w USING (lang)),
+        |t AS (SELECT lang, n, wt, min(n / wt) OVER () AS t FROM j),
+        |thr AS (SELECT lang, CAST(floor(wt * t / n * 65536) AS BIGINT) AS thr FROM t),
+        |b AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || '|42') AS h FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |   ((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) AS hv
+        |  FROM b)
+        |SELECT v.doc_id AS doc_id, v.lang AS lang
+        |FROM v JOIN thr ON v.lang = thr.lang
+        |WHERE hv < thr ORDER BY lang, doc_id""".stripMargin,
 
     "pipeline_shuffle_shards" ->
       """WITH b AS (
