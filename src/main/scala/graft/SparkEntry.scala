@@ -421,6 +421,72 @@ object SparkEntry {
     out.toString
   }
 
+  /** One-time zarr v3 SHARDED store fixture for `load_zarr_sharded`: `temp`
+    * is a [5,6] float64 array whose chunk grid is [4,4] SHARD files, each
+    * holding a 2×2 grid of gzip'd [2,2] inner chunks behind a
+    * crc32c-checked end index (the spec defaults). Shards at the array
+    * edge carry missing slots (all-ones sentinel) for inner chunks beyond
+    * the array, inner chunk (1,1) is deliberately omitted (fill), and the
+    * last row of the (2,*) inners is zarr padding — so the oracle excludes
+    * exactly the (1,1) footprint and decode must drop the padding.
+    * Values encode coordinates (y*10+x) for the range-join oracle. */
+  def ensureZarrV3ShardedFixture(): String = {
+    val out = Paths.get("/tmp/graft_zarr_v3_sharded_v1")
+    this.synchronized {
+      if (!Files.exists(out.resolve("zarr.json"))) {
+        Files.createDirectories(out.resolve("temp/c/0"))
+        Files.createDirectories(out.resolve("temp/c/1"))
+        Files.writeString(out.resolve("zarr.json"),
+          """{"zarr_format": 3, "node_type": "group"}""")
+        Files.writeString(out.resolve("temp/zarr.json"),
+          """{"zarr_format": 3, "node_type": "array", "shape": [5, 6],""" +
+            """ "data_type": "float64",""" +
+            """ "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 4]}},""" +
+            """ "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},""" +
+            """ "fill_value": 0.0,""" +
+            """ "codecs": [{"name": "sharding_indexed", "configuration": {""" +
+            """"chunk_shape": [2, 2],""" +
+            """ "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},""" +
+            """ {"name": "gzip", "configuration": {"level": 2}}],""" +
+            """ "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},""" +
+            """ {"name": "crc32c"}],""" +
+            """ "index_location": "end"}}],""" +
+            """ "dimension_names": ["y", "x"]}""")
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val o = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(o); g.write(b); g.close()
+          o.toByteArray
+        }
+        val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+        for (s0 <- 0 until 2; s1 <- 0 until 2) {
+          val data  = new java.io.ByteArrayOutputStream()
+          val index = java.nio.ByteBuffer.allocate(4 * 16).order(LE)
+          for (l0 <- 0 until 2; l1 <- 0 until 2) { // C-order slots
+            val (g0, g1) = (s0 * 2 + l0, s1 * 2 + l1)
+            val present = g0 < 3 && g1 < 3 && !(g0 == 1 && g1 == 1)
+            if (!present) { index.putLong(-1L); index.putLong(-1L) }
+            else {
+              val bb = java.nio.ByteBuffer.allocate(4 * 8).order(LE)
+              for (r <- 0 until 2; c <- 0 until 2) {
+                val (y, x) = (g0 * 2 + r, g1 * 2 + c)
+                bb.putDouble(if (y < 5 && x < 6) y * 10.0 + x else 0.0) // 0.0 = pad fill
+              }
+              val enc = gz(bb.array())
+              index.putLong(data.size().toLong); index.putLong(enc.length.toLong)
+              data.write(enc)
+            }
+          }
+          val crc = new java.util.zip.CRC32C(); crc.update(index.array())
+          val os = new java.io.ByteArrayOutputStream()
+          os.write(data.toByteArray); os.write(index.array())
+          os.write(java.nio.ByteBuffer.allocate(4).order(LE).putInt(crc.getValue.toInt).array())
+          Files.write(out.resolve(s"temp/c/$s0/$s1"), os.toByteArray)
+        }
+      }
+    }
+    out.toString
+  }
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship: the full descriptor → scan → search → group → materialize
@@ -647,6 +713,24 @@ object SparkEntry {
       // openAsset dispatch (source.py:82-96, DataFormat cat.py:56-64).
       val store = ensureZarrV3Fixture()
       graft.catalog.EsmDataSource("z3", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, store, "zarr3")
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "load_zarr_sharded" -> ((s, _) => {
+      // zarr v3 sharding_indexed — the format's many-chunks-per-object
+      // scale layout: each shard file's crc32c-checked index expands into
+      // per-inner-chunk byte-range refs, decoded with labeled coordinates
+      // through the same openAsset dispatch as load_zarr_v3. Missing index
+      // slots (edge shards + one deliberately omitted inner chunk) are
+      // fill and emit no rows; zarr edge padding is dropped.
+      val store = ensureZarrV3ShardedFixture()
+      graft.catalog.EsmDataSource("z3shard", Nil, "path", None, Nil,
           storageOptions = Map("graft.kerchunk.decode" -> "coords"))
         .openAsset(s, store, "zarr3")
         .select(col("variable"),
@@ -1733,6 +1817,17 @@ object SparkEntry {
         |  SELECT 'rain', 'r', CAST(i AS VARCHAR), CAST(i AS DOUBLE) * 2.5 + 1.0
         |  FROM range(4) t(i))
         |SELECT variable, dims, coord_key, value FROM g
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // the full 5x6 grid minus the deliberately-omitted inner chunk's 2x2
+    // footprint (rows 2-3 x cols 2-3); padded/edge-missing cells never
+    // existed in the array so the range join covers them by construction
+    "load_zarr_sharded" ->
+      """SELECT 'temp' AS variable, 'y.x' AS dims,
+        |       CAST(y AS VARCHAR) || '.' || CAST(x AS VARCHAR) AS coord_key,
+        |       CAST(y * 10 + x AS DOUBLE) AS value
+        |FROM range(5) a(y) CROSS JOIN range(6) b(x)
+        |WHERE NOT (y BETWEEN 2 AND 3 AND x BETWEEN 2 AND 3)
         |ORDER BY variable, coord_key""".stripMargin,
 
     // values pinned from an INDEPENDENT python struct-level parse of the

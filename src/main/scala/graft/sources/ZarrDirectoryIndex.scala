@@ -15,8 +15,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * synthesized v2 `.zarray`/`.zattrs` documents the downstream plane
   * already consumes (data_type + the `bytes` codec's endian → numpy dtype,
   * gzip/zstd/blosc codec → compressor id, `dimension_names` →
-  * `_ARRAY_DIMENSIONS`). Codec chains beyond `bytes [+ gzip|zstd|blosc]`
-  * (sharding, transpose, crc32c) refuse loudly.
+  * `_ARRAY_DIMENSIONS`). `sharding_indexed` — v3's many-chunks-per-object
+  * scale layout — is supported natively: the synthesized `.zarray` carries
+  * the INNER chunk shape + inner codec chain, and each shard file expands
+  * (one small index read per shard) into per-inner-chunk byte-range refs
+  * that the plane's offset-banded positioned reads parallelize WITHIN the
+  * shard file. Codec chains beyond `bytes [+ gzip|zstd|blosc]` and
+  * sharding (transpose, crc32c data codecs, nested sharding) refuse
+  * loudly.
   *
   * Spark-first shape: like [[NetCDF3Index]], the store becomes the entry
   * rows [[KerchunkIndex.read]] emits — metadata documents inlined, chunk
@@ -56,7 +62,17 @@ object ZarrDirectoryIndex {
   /** One parsed v3 array node, carried as the SYNTHESIZED v2 documents the
     * downstream plane consumes plus its chunk-key encoding and rank. */
   private final case class V3Array(zarray: String, zattrs: String,
-                                   encoding: String, separator: String, ndim: Int) extends V3Node
+                                   encoding: String, separator: String, ndim: Int,
+                                   shard: Option[ShardSpec] = None) extends V3Node
+
+  /** `sharding_indexed` layout of one shard FILE: inner chunks per shard
+    * dimension, plus how to read the shard's index (16 bytes per inner
+    * chunk slot: uint64 offset + uint64 nbytes, missing = all-ones). */
+  private final case class ShardSpec(perShard: List[Long], indexBig: Boolean,
+                                     indexCrc: Boolean, indexAtEnd: Boolean) {
+    val slots: Long = perShard.product
+    val indexBytes: Long = 16L * slots + (if (indexCrc) 4L else 0L)
+  }
 
   /** Translate a v3 node `zarr.json` into the v2 documents.
     *
@@ -101,25 +117,78 @@ object ZarrDirectoryIndex {
           case JArray(cs) => cs.map(c => ((c \ "name"), c))
           case _          => refuse("missing codecs list")
         }
-        val (endian, rest) = codecs match {
-          case (JString("bytes"), cfg) :: tail =>
-            ((cfg \ "configuration" \ "endian") match {
-              case JString("big")              => ">"
-              case JString("little") | JNothing => "<" // little is the spec default
-              case other => refuse(s"bytes codec endian $other") // never guess byte order
-            }, tail)
-          case _ => refuse("codec chain must start with the 'bytes' codec")
+        // a codec chain (outer, or sharding's inner) → (endian, v2 compressor)
+        def parseChain(chain: List[(JValue, JValue)]): (String, String) = {
+          val (endian, rest) = chain match {
+            case (JString("bytes"), cfg) :: tail =>
+              ((cfg \ "configuration" \ "endian") match {
+                case JString("big")              => ">"
+                case JString("little") | JNothing => "<" // little is the spec default
+                case other => refuse(s"bytes codec endian $other") // never guess byte order
+              }, tail)
+            case (JString("sharding_indexed"), _) :: _ => refuse("nested sharding_indexed")
+            case _ => refuse("codec chain must start with the 'bytes' codec")
+          }
+          val compressor = rest match {
+            case Nil                          => "null"
+            case (JString("gzip"), _) :: Nil  => """{"id": "gzip"}"""
+            case (JString("zstd"), _) :: Nil  => """{"id": "zstd"}""" // v3's default compressor
+            case (JString("blosc"), _) :: Nil => """{"id": "blosc"}""" // frame self-describes
+            case other =>
+              // unsupported chain: pass the codec ids through — ZarrCodec
+              // refuses THIS variable's chunks loudly at decode time
+              val ids = other.map { case (JString(n), _) => n; case _ => "?" }.mkString("+")
+              s"""{"id": "${ids}"}"""
+          }
+          (endian, compressor)
         }
-        val compressor = rest match {
-          case Nil                          => "null"
-          case (JString("gzip"), _) :: Nil  => """{"id": "gzip"}"""
-          case (JString("zstd"), _) :: Nil  => """{"id": "zstd"}""" // v3's default compressor
-          case (JString("blosc"), _) :: Nil => """{"id": "blosc"}""" // frame self-describes
-          case other =>
-            // unsupported chain: pass the codec ids through — ZarrCodec
-            // refuses THIS variable's chunks loudly at decode time
-            val ids = other.map { case (JString(n), _) => n; case _ => "?" }.mkString("+")
-            s"""{"id": "${ids}"}"""
+        // sharding_indexed (zarr v3's scale layout — many logical chunks
+        // packed per stored object): chunk_grid's chunk_shape is the SHARD
+        // file; the logical chunking the plane decodes is the INNER
+        // chunk_shape, so the synthesized .zarray carries the inner shape
+        // and inner codec chain, and each shard file later expands into
+        // one byte-range ref per STORED inner chunk (missing = fill).
+        val (endian, compressor, chunksEff, shardSpec) = codecs match {
+          case (JString("sharding_indexed"), cfg) :: tail =>
+            if (tail.nonEmpty) refuse("codecs after sharding_indexed")
+            if (shape0.isEmpty) refuse("sharding_indexed on a scalar array")
+            val conf  = cfg \ "configuration"
+            val inner = longs(conf \ "chunk_shape")
+            if (inner.length != chunks.length)
+              refuse(s"sharding inner rank ${inner.length} != shard rank ${chunks.length}")
+            val perShard = chunks.zip(inner).map { case (sh, in) =>
+              if (in <= 0 || sh % in != 0)
+                refuse(s"inner chunk shape $inner must evenly divide shard shape $chunks")
+              sh / in
+            }
+            val innerChain = (conf \ "codecs") match {
+              case JArray(cs) => cs.map(c => ((c \ "name"), c))
+              case other      => refuse(s"missing/malformed sharding inner codecs $other")
+            }
+            val (e, comp) = parseChain(innerChain)
+            val (idxBig, idxCrc) = (conf \ "index_codecs") match {
+              case JNothing => (false, true) // spec default: bytes(little) + crc32c
+              case JArray(ics) =>
+                val big = ics.headOption.map(c => c \ "configuration" \ "endian") match {
+                  case Some(JString("big")) => true
+                  case _                    => false
+                }
+                ics.map(c => c \ "name") match {
+                  case List(JString("bytes"))                    => (big, false)
+                  case List(JString("bytes"), JString("crc32c")) => (big, true)
+                  case other                                     => refuse(s"index_codecs $other")
+                }
+              case other => refuse(s"malformed index_codecs $other")
+            }
+            val atEnd = (conf \ "index_location") match {
+              case JNothing | JString("end") => true
+              case JString("start")          => false
+              case other                     => refuse(s"index_location $other")
+            }
+            (e, comp, inner, Some(ShardSpec(perShard, idxBig, idxCrc, atEnd)))
+          case chain =>
+            val (e, comp) = parseChain(chain)
+            (e, comp, chunks, None)
         }
         val dtype = (j \ "data_type") match {
           case JString("bool")    => "|b1"
@@ -154,7 +223,7 @@ object ZarrDirectoryIndex {
         if (encName != "default" && encName != "v2") refuse(s"chunk_key_encoding '$encName'")
         def renderLongs(xs: List[Long]) = xs.mkString("[", ", ", "]")
         val zarray = s"""{"zarr_format": 2, "dtype": "$dtype", "shape": ${renderLongs(shape)},""" +
-          s""" "chunks": ${renderLongs(chunks)}, "compressor": $compressor,""" +
+          s""" "chunks": ${renderLongs(chunksEff)}, "compressor": $compressor,""" +
           """ "filters": null, "order": "C"}"""
         val dims = (j \ "dimension_names") match {
           case JArray(ds) => List(JField("_ARRAY_DIMENSIONS",
@@ -167,7 +236,7 @@ object ZarrDirectoryIndex {
           case _ => Nil
         }
         val zattrs = JsonMethods.compact(JsonMethods.render(JObject(attrsOf(j) ++ dims)))
-        V3Array(zarray, zattrs, encName, sep, shape.length)
+        V3Array(zarray, zattrs, encName, sep, shape.length, shardSpec)
       case other => refuse(s"node_type $other")
     }
   }
@@ -364,46 +433,92 @@ object ZarrDirectoryIndex {
               None: Option[Long], None: Option[Long], a.zattrs))
         }
     // pass 2: stream the chunk files, attributing each to its deepest
-    // owning array and normalizing the chunk key to the dotted form
+    // owning array and normalizing the chunk key to the dotted form;
+    // sharded arrays' files expand into per-inner-chunk byte-range refs
     val files = fs.listFiles(root, true)
-    val chunks: Iterator[Entry] = new Iterator[Entry] {
-      private var nextEntry: Entry = _
-      private def advance(): Boolean = {
-        while (files.hasNext) {
-          val f = files.next()
-          if (f.getPath.getName != "zarr.json") {
-            val key  = relOf(f.getPath)
-            val segs = key.split('/')
-            val owner = (segs.length - 1 to 0 by -1).collectFirst {
-              case k if arrays.contains(segs.take(k).mkString("/")) =>
-                (segs.take(k).mkString("/"), segs.drop(k).mkString("/"))
-            }
-            owner.flatMap { case (dir, rel) =>
-              v3ChunkMember(arrays(dir), rel).map(m => (dir, m))
-            } match {
-              case Some((dir, m)) =>
-                nextEntry = (s"$dir/$m", dir, m, "ref", f.getPath.toString, None, None, null)
-                return true
-              case None =>
-                // sidecar file outside any array's chunk scheme: surface it
-                // under its literal path — with a member that CANNOT match
-                // decodeTyped's chunk-key pattern, or a numerically-named
-                // stray file (a half-migrated v2 `lev/0` beside `lev/c/0`)
-                // would decode as a phantom chunk
-                nextEntry = (key, segs.init.mkString("/"), s"sidecar:${segs.last}", "ref",
-                  f.getPath.toString, None, None, null)
-                return true
-            }
-          }
+    val fileIt = new Iterator[org.apache.hadoop.fs.LocatedFileStatus] {
+      override def hasNext: Boolean = files.hasNext
+      override def next(): org.apache.hadoop.fs.LocatedFileStatus = files.next()
+    }
+    val chunks: Iterator[Entry] = fileIt
+      .filter(_.getPath.getName != "zarr.json")
+      .flatMap { f =>
+        val key  = relOf(f.getPath)
+        val segs = key.split('/')
+        val owner = (segs.length - 1 to 0 by -1).collectFirst {
+          case k if arrays.contains(segs.take(k).mkString("/")) =>
+            (segs.take(k).mkString("/"), segs.drop(k).mkString("/"))
         }
-        false
+        owner.flatMap { case (dir, rel) =>
+          v3ChunkMember(arrays(dir), rel).map(m => (dir, m))
+        } match {
+          case Some((dir, m)) =>
+            arrays(dir).shard match {
+              case None =>
+                Iterator((s"$dir/$m", dir, m, "ref", f.getPath.toString,
+                  None: Option[Long], None: Option[Long], null: String): Entry)
+              case Some(ss) => expandShard(fs, f, dir, m, ss)
+            }
+          case None =>
+            // sidecar file outside any array's chunk scheme: surface it
+            // under its literal path — with a member that CANNOT match
+            // decodeTyped's chunk-key pattern, or a numerically-named
+            // stray file (a half-migrated v2 `lev/0` beside `lev/c/0`)
+            // would decode as a phantom chunk
+            Iterator((key, segs.init.mkString("/"), s"sidecar:${segs.last}", "ref",
+              f.getPath.toString, None: Option[Long], None: Option[Long], null: String): Entry)
+        }
       }
-      override def hasNext: Boolean = nextEntry != null || advance()
-      override def next(): Entry = {
-        if (nextEntry == null && !advance()) throw new NoSuchElementException
-        val e = nextEntry; nextEntry = null; e
+    meta ++ chunks
+  }
+
+  /** Read one shard file's index (ONE small positioned read per shard
+    * object — a shard packs many inner chunks precisely so the file count
+    * stays modest) and emit a byte-range ref per STORED inner chunk, keyed
+    * by its GLOBAL inner-chunk coordinates. The heavy chunk-byte reads stay
+    * distributed: the plane's offset-band repartition spreads them across
+    * tasks WITHIN each shard file, so one multi-GB shard never serializes
+    * into a single task. Missing slots (all-ones sentinel) are fill — no
+    * row, matching the "plane surfaces STORED data" contract. */
+  private def expandShard(fs: org.apache.hadoop.fs.FileSystem,
+                          f: org.apache.hadoop.fs.LocatedFileStatus,
+                          dir: String, shardKey: String, ss: ShardSpec): Iterator[Entry] = {
+    val url = f.getPath.toString
+    val len = f.getLen
+    require(len >= ss.indexBytes,
+      s"shard '$url': ${len} bytes cannot hold its ${ss.indexBytes}-byte index — corrupt shard")
+    val idx = new Array[Byte](ss.indexBytes.toInt)
+    val in  = fs.open(f.getPath)
+    try in.readFully(if (ss.indexAtEnd) len - ss.indexBytes else 0L, idx) finally in.close()
+    if (ss.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idx, 0, idx.length - 4)
+      val stored = java.nio.ByteBuffer.wrap(idx, idx.length - 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xFFFFFFFFL
+      require(crc.getValue == stored,
+        s"shard '$url': index crc32c mismatch (stored $stored, computed ${crc.getValue})")
+    }
+    val order = if (ss.indexBig) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN
+    val bb = java.nio.ByteBuffer.wrap(idx, 0, (16L * ss.slots).toInt).order(order)
+    val shardCoords = shardKey.split('.').map(_.toLong)
+    Iterator.range(0, ss.slots.toInt).flatMap { i =>
+      val off = bb.getLong(i * 16)
+      val nb  = bb.getLong(i * 16 + 8)
+      if (off == -1L && nb == -1L) Iterator.empty // missing inner chunk = fill
+      else {
+        require(off >= 0 && nb >= 0 && off + nb <= len,
+          s"shard '$url': inner chunk $i range [$off, +$nb) outside the file (len $len)")
+        // unflatten slot i (C-order over the shard's inner grid) → global coords
+        var rem = i.toLong
+        val local = new Array[Long](ss.perShard.length)
+        var d = ss.perShard.length - 1
+        while (d >= 0) { local(d) = rem % ss.perShard(d); rem /= ss.perShard(d); d -= 1 }
+        val global = shardCoords.lazyZip(local).lazyZip(ss.perShard)
+          .map((s, l, p) => s * p + l)
+        val m = global.mkString(".")
+        Iterator((s"$dir/$m", dir, m, "ref", url, Some(off), Some(nb), null: String): Entry)
       }
     }
-    meta ++ chunks
   }
 }

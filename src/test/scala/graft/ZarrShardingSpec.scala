@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** zarr v3 `sharding_indexed` — the plane must expand each shard file's
+  * index into per-inner-chunk byte-range refs and decode through the shared
+  * machinery. The main fixture (crc32c end-index, gzip inner chunks, edge
+  * padding, a deliberately-missing inner chunk) is oracle-gated via
+  * `load_zarr_sharded`; this spec covers the OTHER layout axes: index at
+  * the start, crc-less index codecs, raw inner chunks, and corruption
+  * refusing loudly. */
+class ZarrShardingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def decode(store: String) = {
+    val entries = graft.sources.ZarrDirectoryIndex.read(spark, store)
+    graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries))
+  }
+
+  private def tmpStore(): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shard_spec")
+    java.nio.file.Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    dir
+  }
+
+  private def rmTree(dir: java.nio.file.Path): Unit =
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+
+  /** 1-D array shape [4], one shard [4] of two raw-float64 [2] inner
+    * chunks, index WITHOUT crc32c placed at the START of the file. */
+  private def writeStartIndexStore(dir: java.nio.file.Path,
+                                   corruptIndex: Boolean = false): Unit = {
+    java.nio.file.Files.createDirectories(dir.resolve("v/c"))
+    java.nio.file.Files.writeString(dir.resolve("v/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [4],
+        | "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+        | "codecs": [{"name": "sharding_indexed", "configuration": {
+        |   "chunk_shape": [2],
+        |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |   "index_location": "start"}}],
+        | "dimension_names": ["i"]}""".stripMargin)
+    val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+    val index = java.nio.ByteBuffer.allocate(2 * 16).order(LE)
+    index.putLong(32L).putLong(16L) // inner 0 right after the 32-byte index
+    index.putLong(if (corruptIndex) 1L << 40 else 48L).putLong(16L)
+    val chunks = java.nio.ByteBuffer.allocate(32).order(LE)
+    (0 until 4).foreach(i => chunks.putDouble(i * 1.5))
+    val os = new java.io.ByteArrayOutputStream()
+    os.write(index.array()); os.write(chunks.array())
+    java.nio.file.Files.write(dir.resolve("v/c/0"), os.toByteArray)
+  }
+
+  test("start-located crc-less index decodes; refs are byte ranges into the shard") {
+    val dir = tmpStore()
+    try {
+      writeStartIndexStore(dir)
+      val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+      val refs = entries.filter(col("kind") === "ref").collect()
+      assert(refs.length == 2, refs.mkString(";"))
+      assert(refs.forall(r => !r.isNullAt(r.fieldIndex("offset"))
+        && !r.isNullAt(r.fieldIndex("length"))), "inner refs must carry byte ranges")
+      assert(refs.map(_.getAs[String]("member")).sorted.toSeq == Seq("0", "1"))
+      val rows = decode(dir.toString).orderBy("coords").collect()
+      assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(0.0, 1.5, 3.0, 4.5))
+      assert(rows.head.getAs[scala.collection.Seq[String]]("dims") == Seq("i"))
+    } finally rmTree(dir)
+  }
+
+  test("an index slot pointing outside the shard file refuses loudly") {
+    val dir = tmpStore()
+    try {
+      writeStartIndexStore(dir, corruptIndex = true)
+      val e = intercept[Exception](
+        graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("outside the file"), msg)
+    } finally rmTree(dir)
+  }
+
+  test("a corrupted crc32c index checksum refuses loudly") {
+    val store = graft.SparkEntry.ensureZarrV3ShardedFixture()
+    val dir = tmpStore()
+    try {
+      // copy the oracle fixture, then flip one byte of one shard's crc tail
+      val src = java.nio.file.Paths.get(store)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val rel = src.relativize(p).toString
+        if (rel.nonEmpty) {
+          val dst = dir.resolve(rel)
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+          else java.nio.file.Files.copy(p, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+      val shard = dir.resolve("temp/c/0/0")
+      val bytes = java.nio.file.Files.readAllBytes(shard)
+      bytes(bytes.length - 1) = (bytes(bytes.length - 1) ^ 0x5A).toByte
+      java.nio.file.Files.write(shard, bytes)
+      val e = intercept[Exception](
+        graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("crc32c"), msg)
+    } finally rmTree(dir)
+  }
+
+  test("inner shape that does not divide the shard refuses loudly") {
+    val dir = tmpStore()
+    try {
+      java.nio.file.Files.createDirectories(dir.resolve("v"))
+      java.nio.file.Files.writeString(dir.resolve("v/zarr.json"),
+        """{"zarr_format": 3, "node_type": "array", "shape": [4],
+          | "data_type": "float64",
+          | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4]}},
+          | "codecs": [{"name": "sharding_indexed", "configuration": {
+          |   "chunk_shape": [3],
+          |   "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}}]}"""
+          .stripMargin)
+      val e = intercept[Exception](
+        graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("evenly divide"), msg)
+    } finally rmTree(dir)
+  }
+}
