@@ -22,14 +22,16 @@ package graft.sources
   *    and the block is not the trailing partial block (c-blosc's
   *    forward-compatible split rule for blosclz/lz4), else 1.
   *
-  * Scope: lz4 (pure JVM, from the public LZ4 block spec), zstd and snappy
-  * (via the zstd-jni / snappy-java that ship inside every Spark
-  * distribution — no new dependency), zlib (JDK Inflater) and stored/memcpy
-  * decode, plus a compliant encoder for fixtures and round-trip tests.
-  * c-blosc's block-split rule applies only to blosclz/lz4 (`split_block` in
-  * blosc.c), so zstd/zlib/snappy blocks always carry exactly one stream.
-  * The blosclz codec id and bit-shuffle refuse loudly with the
-  * connector-boundary message — silently wrong values would be worse.
+  * Scope: blosclz (pure JVM, from the public blosclz.c/FastLZ format) and
+  * lz4 (pure JVM, from the public LZ4 block spec), zstd and snappy (via
+  * the zstd-jni / snappy-java that ship inside every Spark distribution —
+  * no new dependency), zlib (JDK Inflater) and stored/memcpy decode, with
+  * BOTH byte-shuffle and bit-shuffle filters inverted, plus a compliant
+  * encoder for fixtures and round-trip tests. c-blosc's block-split rule
+  * applies only to blosclz/lz4 (`split_block` in blosc.c), so
+  * zstd/zlib/snappy blocks always carry exactly one stream. Unknown codec
+  * ids refuse loudly with the connector-boundary message — silently wrong
+  * values would be worse.
   */
 object BloscCodec {
 
@@ -43,10 +45,11 @@ object BloscCodec {
     o.write(v & 0xff); o.write((v >>> 8) & 0xff); o.write((v >>> 16) & 0xff); o.write((v >>> 24) & 0xff)
   }
 
-  private val CodecLz4 = 1
+  private val CodecBloscLz = 0
+  private val CodecLz4     = 1
 
   private def nsplitsFor(codec: Int, typesize: Int, blocksize: Int, leftover: Boolean): Int =
-    if (codec == CodecLz4 && typesize > 1 && typesize <= MaxSplits &&
+    if ((codec == CodecBloscLz || codec == CodecLz4) && typesize > 1 && typesize <= MaxSplits &&
         blocksize / typesize >= MinBufferSize && !leftover)
       typesize
     else 1
@@ -91,6 +94,159 @@ object BloscCodec {
     var t = elements * typesize
     while (t < n) { out(t) = src(t); t += 1 }
     out
+  }
+
+  /** Bit-shuffle inverse (c-blosc flags bit2, the bitshuffle library's
+    * `trans_bit_elem` layout): bit-plane p — bytes MSB-first, byte order
+    * within the element ascending — of every element is packed
+    * contiguously (elements MSB-first within each packed byte), for the
+    * first `n - n%8` elements; the remaining elements' bytes are carried
+    * verbatim at the end, exactly c-blosc's leftover rule. Layout derived
+    * from the PUBLIC bitshuffle reference semantics
+    * (numpy unpackbits → transpose → packbits). */
+  def bitUnshuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+    val n  = src.length / typesize
+    val n8 = n - n % 8
+    val out = new Array[Byte](src.length)
+    val nbits = typesize * 8
+    val rowBytes = n8 / 8
+    var p = 0
+    while (p < nbits) {
+      val b     = p >>> 3      // destination byte within the element
+      val shift = 7 - (p & 7)  // MSB-first within that byte
+      var e = 0
+      while (e < n8) {
+        val bit = (src(p * rowBytes + (e >>> 3)) >>> (7 - (e & 7))) & 1
+        if (bit != 0) out(e * typesize + b) = (out(e * typesize + b) | (1 << shift)).toByte
+        e += 1
+      }
+      p += 1
+    }
+    var t = n8 * typesize
+    while (t < src.length) { out(t) = src(t); t += 1 }
+    out
+  }
+
+  /** Bit-shuffle forward transform (encoder side, for fixtures/round-trip
+    * tests) — the exact inverse of [[bitUnshuffle]]. */
+  def bitShuffle(src: Array[Byte], typesize: Int): Array[Byte] = {
+    val n  = src.length / typesize
+    val n8 = n - n % 8
+    val out = new Array[Byte](src.length)
+    val nbits = typesize * 8
+    val rowBytes = n8 / 8
+    var p = 0
+    while (p < nbits) {
+      val b     = p >>> 3
+      val shift = 7 - (p & 7)
+      var e = 0
+      while (e < n8) {
+        val bit = (src(e * typesize + b) >>> shift) & 1
+        if (bit != 0)
+          out(p * rowBytes + (e >>> 3)) =
+            (out(p * rowBytes + (e >>> 3)) | (1 << (7 - (e & 7)))).toByte
+        e += 1
+      }
+      p += 1
+    }
+    var t = n8 * typesize
+    while (t < src.length) { out(t) = src(t); t += 1 }
+    out
+  }
+
+  // -------------------------------------------------------------- blosclz
+
+  /** blosclz block decompress (c-blosc1's native codec, a FastLZ
+    * descendant, from the PUBLIC blosclz.c format): each control byte is a
+    * literal run (< 32, length ctrl+1) or a match with a 3-bit length code
+    * (7 ⇒ 255-chained extension bytes), a 13-bit distance (5 high bits in
+    * the control byte + one low byte), and a 16-bit far-distance escape
+    * (low byte 255 with all 5 high bits set ⇒ two extra bytes + 8191).
+    * Distance-1 matches express RLE; the first control byte is always a
+    * literal run. */
+  def blosclzDecompress(src: Array[Byte], srcOff: Int, srcLen: Int, destLen: Int): Array[Byte] = {
+    require(srcLen > 0, "blosclz: empty stream")
+    val dest = new Array[Byte](destLen)
+    val end  = srcOff + srcLen
+    var s = srcOff
+    var d = 0
+    var ctrl = src(s) & 31; s += 1
+    var loop = true
+    while (loop) {
+      if (ctrl >= 32) {
+        var len = (ctrl >>> 5) - 1
+        var ref = d - ((ctrl & 31) << 8)
+        if (len == 6) { // extended match length
+          var code = 0
+          do { require(s < end, "blosclz: truncated length extension")
+               code = src(s) & 0xff; s += 1; len += code } while (code == 255)
+        }
+        require(s < end, "blosclz: truncated distance byte")
+        val code = src(s) & 0xff; s += 1
+        ref -= code
+        if (code == 255 && (ctrl & 31) == 31) { // 16-bit far distance
+          require(s + 1 < end, "blosclz: truncated far distance")
+          ref = d - ((((src(s) & 0xff) << 8) | (src(s + 1) & 0xff)) + 8191)
+          s += 2
+        }
+        require(d + len + 3 <= destLen, s"blosclz: match overruns output at $d")
+        require(ref - 1 >= 0, s"blosclz: match reaches before output start at $d")
+        if (s < end) { ctrl = src(s) & 0xff; s += 1 } else loop = false
+        ref -= 1
+        var k = len + 3 // byte-wise: overlapping matches (RLE) must replicate
+        while (k > 0) { dest(d) = dest(ref); d += 1; ref += 1; k -= 1 }
+      } else {
+        val lit = ctrl + 1
+        require(d + lit <= destLen, s"blosclz: literal run overruns output at $d")
+        require(s + lit <= end, "blosclz: truncated literal run")
+        System.arraycopy(src, s, dest, d, lit); s += lit; d += lit
+        if (s < end) { ctrl = src(s) & 0xff; s += 1 } else loop = false
+      }
+    }
+    require(d == destLen, s"blosclz: decoded $d bytes, expected $destLen")
+    dest
+  }
+
+  /** blosclz encoder (fixture/test infrastructure): greedy distance-1
+    * matches (RLE) plus literal runs — a strictly valid stream that any
+    * blosclz decoder accepts, compressing repetitive fixture data well;
+    * real c-blosc output additionally uses longer distances, which the
+    * decoder above covers (spec-pinned far-distance stream test). */
+  def blosclzCompress(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val n = src.length
+    var litStart = 0
+    def flushLits(until: Int): Unit = {
+      var p = litStart
+      while (p < until) {
+        val run = math.min(32, until - p)
+        out.write(run - 1)
+        out.write(src, p, run)
+        p += run
+      }
+      litStart = until
+    }
+    var i = math.min(1, n) // the stream must open with a literal run
+    while (i < n) {
+      var r = 0
+      while (i + r < n && src(i + r) == src(i - 1)) r += 1
+      if (r >= 3) {
+        flushLits(i)
+        var rem = r
+        while (rem >= 3) {
+          var take = math.min(rem, 263) // single-extension cap: len 6+254, +3
+          if (rem - take > 0 && rem - take < 3) take = rem - 3
+          if (take <= 8) out.write((take - 2) << 5)
+          else { out.write(7 << 5); out.write(take - 9) }
+          out.write(0) // distance-1: high bits 0, low byte 0
+          rem -= take
+        }
+        i += r - rem
+        litStart = i
+      } else i += 1
+    }
+    flushLits(n)
+    out.toByteArray
   }
 
   // ------------------------------------------------------------------ LZ4
@@ -230,7 +386,7 @@ object BloscCodec {
   private def refuse(what: String): Nothing =
     throw new UnsupportedOperationException(
       s"blosc chunk uses $what — behind the connector boundary " +
-        "(lz4/zstd/zlib/snappy/stored blosc1 chunks decode here)")
+        "(blosclz/lz4/zstd/zlib/snappy/stored blosc1 chunks decode here)")
 
   /** Decompress one blosc1 chunk to its original bytes. */
   def decompress(data: Array[Byte]): Array[Byte] = {
@@ -243,7 +399,6 @@ object BloscCodec {
     require(cbytes == data.length,
       s"blosc header declares $cbytes chunk bytes but ${data.length} arrived")
     require(nbytes >= 0 && blocksize > 0, s"blosc header nbytes=$nbytes blocksize=$blocksize")
-    if ((flags & 0x4) != 0) refuse("bit-shuffle")
     val codec = (flags >>> 5) & 0x7
     val memcpyed = (flags & 0x2) != 0
     if (memcpyed) {
@@ -252,11 +407,12 @@ object BloscCodec {
       return java.util.Arrays.copyOfRange(data, 16, 16 + nbytes)
     }
     val decodeStream: (Array[Byte], Int, Int, Int) => Array[Byte] = codec match {
+      case 0 => blosclzDecompress
       case 1 => lz4Decompress      // lz4 / lz4hc share the block format
       case 2 => snappyDecompress
       case 3 => zlibDecompress
       case 4 => zstdDecompress
-      case other => refuse(s"codec id $other (blosclz or unknown)")
+      case other => refuse(s"codec id $other")
     }
     val out     = new Array[Byte](nbytes)
     val nblocks = (nbytes + blocksize - 1) / blocksize
@@ -281,7 +437,10 @@ object BloscCodec {
         s += csize
         split += 1
       }
-      val plain = if ((flags & 0x1) != 0) unshuffle(block, math.max(typesize, 1)) else block
+      val plain =
+        if ((flags & 0x1) != 0) unshuffle(block, math.max(typesize, 1))
+        else if ((flags & 0x4) != 0) bitUnshuffle(block, math.max(typesize, 1))
+        else block
       System.arraycopy(plain, 0, out, j * blocksize, bsize)
       j += 1
     }
@@ -296,9 +455,14 @@ object BloscCodec {
   def compress(src: Array[Byte], typesize: Int): Array[Byte] =
     compress(src, typesize, CodecLz4)
 
-  def compress(src: Array[Byte], typesize: Int, codec: Int): Array[Byte] = {
+  def compress(src: Array[Byte], typesize: Int, codec: Int): Array[Byte] =
+    compress(src, typesize, codec, bitShuffleMode = false)
+
+  def compress(src: Array[Byte], typesize: Int, codec: Int,
+               bitShuffleMode: Boolean): Array[Byte] = {
     require(typesize >= 1 && typesize <= 255, s"typesize $typesize outside [1, 255]")
     val encodeStream: Array[Byte] => Array[Byte] = codec match {
+      case 0 => plane => blosclzCompress(plane)
       case 1 => lz4Compress
       case 2 => org.xerial.snappy.Snappy.compress
       case 3 => plane => {
@@ -319,7 +483,7 @@ object BloscCodec {
       val cap = math.min(math.max(nbytes, typesize), 64 * 1024)
       math.max(cap - cap % typesize, typesize)
     }
-    val doShuffle = typesize > 1
+    val doShuffle = typesize > 1 && !bitShuffleMode
     val nblocks = math.max(1, (nbytes + blocksize - 1) / blocksize)
     val streams = new java.io.ByteArrayOutputStream()
     val bstarts = new Array[Int](nblocks)
@@ -332,7 +496,9 @@ object BloscCodec {
       val nsplits  = nsplitsFor(codec, typesize, blocksize, leftover)
       val neblock  = bsize / nsplits
       val raw      = java.util.Arrays.copyOfRange(src, j * blocksize, j * blocksize + bsize)
-      val block    = if (doShuffle) shuffle(raw, typesize) else raw
+      val block    = if (doShuffle) shuffle(raw, typesize)
+                     else if (bitShuffleMode) bitShuffle(raw, typesize)
+                     else raw
       var split = 0
       while (split < nsplits) {
         val plane = java.util.Arrays.copyOfRange(block, split * neblock, (split + 1) * neblock)
@@ -354,7 +520,7 @@ object BloscCodec {
     } else {
       val o = new java.io.ByteArrayOutputStream(headerAndStarts + body.length)
       o.write(2); o.write(1)
-      o.write((if (doShuffle) 0x1 else 0x0) | (codec << 5))
+      o.write((if (doShuffle) 0x1 else if (bitShuffleMode) 0x4 else 0x0) | (codec << 5))
       o.write(typesize)
       putLe32(o, nbytes); putLe32(o, blocksize); putLe32(o, headerAndStarts + body.length)
       bstarts.foreach(putLe32(o, _))

@@ -22,7 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the JDK — `zstd` (zarr v3's default compressor) via the zstd-jni that
   *    ships inside every Spark distribution, and `blosc` with the
   *    lz4/zstd/zlib/snappy/stored inner codecs ([[BloscCodec]]; snappy via
-  *    Spark's bundled snappy-java). blosclz and bit-shuffle stay behind the
+  *    Spark's bundled snappy-java), blosclz pure-JVM; byte- AND bit-shuffle
+  *    invert. Unknown blosc codec ids stay behind the
   *    connector boundary and raise.
   *  - numpy dtype strings `<i1..i8`, `<u1..u8`, `<f4/f8`, `|b1` bool (and
   *    their `>` big-endian / `|` single-byte forms), widened to DOUBLE — one numeric
@@ -107,7 +108,7 @@ object ZarrCodec {
         } finally in.close()
         out.toByteArray
       case "zstd" => BloscCodec.zstdDecompress(data, 0, data.length, -1)
-      case "blosc" => BloscCodec.decompress(data) // lz4/zstd/zlib/snappy; blosclz refuses inside
+      case "blosc" => BloscCodec.decompress(data) // blosclz/lz4/zstd/zlib/snappy + (bit)shuffle
       case other =>
         throw new UnsupportedOperationException(
           s"zarr compressor '$other' needs an external codec library — " +

@@ -507,7 +507,7 @@ object ZarrDirectoryIndex {
       val nb  = bb.getLong(i * 16 + 8)
       if (off == -1L && nb == -1L) Iterator.empty // missing inner chunk = fill
       else {
-        require(off >= 0 && nb >= 0 && off + nb <= len,
+        require(off >= 0 && nb >= 0 && nb <= len - off, // subtract: off+nb could overflow
           s"shard '$url': inner chunk $i range [$off, +$nb) outside the file (len $len)")
         // unflatten slot i (C-order over the shard's inner grid) → global coords
         var rem = i.toLong

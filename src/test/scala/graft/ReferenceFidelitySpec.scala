@@ -977,13 +977,65 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       roundTrip(Array.tabulate[Byte](64 * 1024 + 1000)(i => (i % 17).toByte), 8, codec)
       roundTrip(Array.tabulate[Byte](300)(i => (i % 5).toByte), 1, codec)
     }
-    // refusals: bit-shuffle flag and the blosclz codec id fail loudly
-    val bitShuffled = BloscCodec.compress(rle, 1).clone()
-    bitShuffled(2) = (bitShuffled(2) | 0x4).toByte
-    val e1 = intercept[UnsupportedOperationException](BloscCodec.decompress(bitShuffled))
-    assert(e1.getMessage.contains("connector boundary"))
+    // blosclz (codec id 0): same shapes as lz4 — shuffle+split, leftovers,
+    // typesize 1, RLE
+    roundTrip(Array.tabulate[Byte](4096)(i => ((i / 4) % 50).toByte), 4, 0)
+    roundTrip(Array.tabulate[Byte](64 * 1024 + 1000)(i => (i % 17).toByte), 4, 0)
+    roundTrip(Array.tabulate[Byte](300)(i => (i % 5).toByte), 1, 0)
+    roundTrip(rle, 1, 0)
+    // blosclz far-distance escape (> 8191+code): hand-crafted stream, since
+    // the fixture encoder only emits distance-1 matches — copy 5 bytes from
+    // distance 8500 after 8700 literals
+    locally {
+      val lits = Array.tabulate[Byte](8700)(i => (i % 251).toByte)
+      val st = new java.io.ByteArrayOutputStream()
+      var p = 0
+      while (p < lits.length) {
+        val run = math.min(32, lits.length - p)
+        st.write(run - 1); st.write(lits, p, run); p += run
+      }
+      // ctrl: len-code 3 (copies 5), ofs-high 31; dist byte 255; far16 = 8500-8192
+      st.write((3 << 5) | 31); st.write(255)
+      val far = 8500 - 8192
+      st.write((far >> 8) & 0xff); st.write(far & 0xff)
+      val stream = st.toByteArray
+      val out = BloscCodec.blosclzDecompress(stream, 0, stream.length, 8705)
+      assert(java.util.Arrays.equals(out, lits ++ (200 until 205).map(i => (i % 251).toByte)))
+    }
+    // bit-shuffle (flags bit2): layout pinned against the PUBLIC bitshuffle
+    // reference semantics (numpy unpackbits -> transpose -> packbits,
+    // independently computed)
+    locally {
+      val i2 = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 16).foreach(v => i2.putShort(v.toShort))
+      val expected = Array[Int](0, 0, 0, 0, 0, 0, 0, 0, 0, 255, 15, 15, 51, 51, 85, 85,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+      assert(java.util.Arrays.equals(BloscCodec.bitShuffle(i2.array(), 2), expected))
+      assert(java.util.Arrays.equals(BloscCodec.bitUnshuffle(expected, 2), i2.array()))
+      val f4 = java.nio.ByteBuffer.allocate(32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      Seq(1.5f, -2.25f, 3.0f, 4.5f, 0.0f, 100.25f, -0.125f, 7.875f).foreach(f4.putFloat)
+      val expF4 = Array[Int](0, 0, 0, 0, 0, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0,
+        149, 165, 1, 81, 5, 1, 0, 0, 66, 117, 130, 130, 130, 130, 134, 128).map(_.toByte)
+      assert(java.util.Arrays.equals(BloscCodec.bitShuffle(f4.array(), 4), expF4))
+      assert(java.util.Arrays.equals(BloscCodec.bitUnshuffle(expF4, 4), f4.array()))
+      // non-multiple-of-8 element counts carry the tail verbatim (c-blosc rule)
+      val odd = Array.tabulate[Byte](42)(i => (i * 7).toByte) // 21 i2 elements
+      assert(java.util.Arrays.equals(
+        BloscCodec.bitUnshuffle(BloscCodec.bitShuffle(odd, 2), 2), odd))
+      assert(java.util.Arrays.equals(
+        BloscCodec.bitShuffle(odd, 2).drop(32), odd.drop(32))) // 16*2 transformed
+    }
+    // full-chunk bit-shuffle round-trips across codecs and block shapes
+    for (codec <- Seq(0, 1, 3)) {
+      val src = Array.tabulate[Byte](4096)(i => ((i / 8) % 23).toByte)
+      val packed = BloscCodec.compress(src, 8, codec, bitShuffleMode = true)
+      assert((packed(2) & 0x4) != 0 || (packed(2) & 0x2) != 0)
+      assert(java.util.Arrays.equals(BloscCodec.decompress(packed), src),
+        s"bit-shuffle round-trip failed for codec $codec")
+    }
+    // unknown codec id still refuses loudly
     val loPart = BloscCodec.compress(Array.tabulate[Byte](600)(i => (i % 4).toByte), 1).clone()
-    loPart(2) = (loPart(2) & 0x1f).toByte // codec id 0 = blosclz
+    loPart(2) = ((loPart(2) & 0x1f) | (6 << 5)).toByte // codec id 6 = unassigned
     val e2 = intercept[UnsupportedOperationException](BloscCodec.decompress(loPart))
     assert(e2.getMessage.contains("connector boundary"))
     // header/chunk length mismatch is a loud error, not silent truncation
