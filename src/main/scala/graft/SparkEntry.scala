@@ -487,6 +487,57 @@ object SparkEntry {
     out.toString
   }
 
+  /** One-time fixture pair for `load_zarr_transpose` — the two ways a zarr
+    * store departs from C-order addressing: `v3/mat` is a [2,3] int32
+    * array stored through a full-reversal `transpose` codec (column-major
+    * bytes, gzip'd), `v2/fm` is a [2,3] float64 v2 array declaring
+    * `order: "F"` in [2,2] chunks (edge chunk padded). Values encode their
+    * coordinates (t*100+x, r*10+c) for the range-join oracle — wrong
+    * stride math would scramble, not shift, them. */
+  def ensureZarrOrderFixture(): String = {
+    val out = Paths.get("/tmp/graft_zarr_order_v1")
+    this.synchronized {
+      if (!Files.exists(out.resolve("v3/zarr.json"))) {
+        def gz(b: Array[Byte]): Array[Byte] = {
+          val o = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(o); g.write(b); g.close()
+          o.toByteArray
+        }
+        val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+        Files.createDirectories(out.resolve("v3/mat/c/0"))
+        Files.writeString(out.resolve("v3/zarr.json"),
+          """{"zarr_format": 3, "node_type": "group"}""")
+        Files.writeString(out.resolve("v3/mat/zarr.json"),
+          """{"zarr_format": 3, "node_type": "array", "shape": [2, 3],""" +
+            """ "data_type": "int32",""" +
+            """ "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3]}},""" +
+            """ "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},""" +
+            """ "fill_value": 0,""" +
+            """ "codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},""" +
+            """ {"name": "bytes", "configuration": {"endian": "little"}},""" +
+            """ {"name": "gzip", "configuration": {"level": 2}}],""" +
+            """ "dimension_names": ["t", "x"]}""")
+        val mb = java.nio.ByteBuffer.allocate(24).order(LE)
+        for (x <- 0 until 3; t <- 0 until 2) mb.putInt(t * 100 + x) // column-major
+        Files.write(out.resolve("v3/mat/c/0/0"), gz(mb.array()))
+        Files.createDirectories(out.resolve("v2/fm"))
+        Files.writeString(out.resolve("v2/.zgroup"), """{"zarr_format": 2}""")
+        Files.writeString(out.resolve("v2/fm/.zarray"),
+          """{"zarr_format": 2, "dtype": "<f8", "shape": [2, 3], "chunks": [2, 2],""" +
+            """ "compressor": null, "filters": null, "order": "F"}""")
+        for (cc <- 0 until 2) {
+          val bb = java.nio.ByteBuffer.allocate(32).order(LE)
+          for (c <- 0 until 2; r <- 0 until 2) { // F: dim0 fastest
+            val (y, x) = (r, cc * 2 + c)
+            bb.putDouble(if (x < 3) y * 10.0 + x else 0.0) // col 3 = pad fill
+          }
+          Files.write(out.resolve(s"v2/fm/0.$cc"), bb.array())
+        }
+      }
+    }
+    out.toString
+  }
+
   // ------------------------------------------------------------- flagship
 
   /** Flagship: the full descriptor → scan → search → group → materialize
@@ -715,6 +766,24 @@ object SparkEntry {
       graft.catalog.EsmDataSource("z3", Nil, "path", None, Nil,
           storageOptions = Map("graft.kerchunk.decode" -> "coords"))
         .openAsset(s, store, "zarr3")
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "load_zarr_transpose" -> ((s, _) => {
+      // non-C element orders, both flavors: a v3 full-reversal `transpose`
+      // codec (translated to the v2 plane's order "F") and a native v2
+      // `order: "F"` array with a padded edge chunk — the coords math
+      // switches to column-major strides per the declared order; values
+      // encode their coordinates so wrong strides would scramble them.
+      val base = ensureZarrOrderFixture()
+      val src = graft.catalog.EsmDataSource("zt", Nil, "path", None, Nil,
+        storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+      src.openAsset(s, s"$base/v3", "zarr3")
+        .unionByName(src.openAsset(s, s"$base/v2", "zarr"))
         .select(col("variable"),
           array_join(col("dims"), ".").as("dims"),
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
@@ -1816,6 +1885,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'rain', 'r', CAST(i AS VARCHAR), CAST(i AS DOUBLE) * 2.5 + 1.0
         |  FROM range(4) t(i))
+        |SELECT variable, dims, coord_key, value FROM g
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    "load_zarr_transpose" ->
+      """WITH g AS (
+        |  SELECT 'fm' AS variable, 'dim0.dim1' AS dims,
+        |         CAST(r AS VARCHAR) || '.' || CAST(c AS VARCHAR) AS coord_key,
+        |         CAST(r * 10 + c AS DOUBLE) AS value
+        |  FROM range(2) a(r) CROSS JOIN range(3) b(c)
+        |  UNION ALL
+        |  SELECT 'mat', 't.x', CAST(t AS VARCHAR) || '.' || CAST(x AS VARCHAR),
+        |         CAST(t * 100 + x AS DOUBLE)
+        |  FROM range(2) u(t) CROSS JOIN range(3) v(x))
         |SELECT variable, dims, coord_key, value FROM g
         |ORDER BY variable, coord_key""".stripMargin,
 

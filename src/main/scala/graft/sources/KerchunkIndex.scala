@@ -218,6 +218,9 @@ object KerchunkIndex {
         from_json(get_json_object(col("inline_value"), "$.chunks"), ArrayType(LongType)).as("chunks"),
         get_json_object(col("inline_value"), "$.compressor.id").as("compressor"),
         get_json_object(col("inline_value"), "$.filters").as("filters"),
+        // in-chunk element order: "C" (row-major, the default) or "F" —
+        // absent means C (kerchunk refs often omit it)
+        coalesce(get_json_object(col("inline_value"), "$.order"), lit("C")).as("order"),
       )
 
   /** Dimension names per variable from the `.zattrs` `_ARRAY_DIMENSIONS`
@@ -253,19 +256,29 @@ object KerchunkIndex {
     */
   def decodeCoords(chunks: DataFrame, meta: DataFrame, dims: DataFrame): DataFrame = {
     val grid = transform(split(col("chunk"), "[.]"), s => s.cast("long"))
-    // stride_d = prod(chunks[d+1..]) — C-order (row-major), the storage
-    // order of every zarr writer that matters (decodeTyped's contract)
+    // in-chunk stride per the declared element order: C (row-major,
+    // stride_d = prod(chunks[d+1..]), every mainstream writer's default)
+    // or F (column-major, stride_d = prod(chunks[..d-1]) — v2 order:"F",
+    // or a v3 full-reversal transpose codec translated to it). Any other
+    // declared order asserts loudly below rather than mis-addressing.
     val coordsExpr = transform(sequence(lit(0), size(col("chunks")) - 1), d => {
-      val stride = aggregate(
+      val strideC = aggregate(
         slice(col("chunks"), d + lit(2), size(col("chunks"))), lit(1L), (a, x) => a * x)
+      val strideF = aggregate(
+        slice(col("chunks"), lit(1), d), lit(1L), (a, x) => a * x)
+      val stride = when(col("order") === "F", strideF).otherwise(strideC)
       val local = call_function("div", col("idx").cast("long"), stride) % get(col("chunks"), d)
       get(grid, d) * get(col("chunks"), d) + local
     })
     val named = coalesce(col("dims"),
       transform(sequence(lit(0), size(col("chunks")) - 1), d => concat(lit("dim"), d)))
     decodeTyped(chunks, meta)
-      .join(broadcast(meta.select(col("variable"), col("shape"), col("chunks"))), Seq("variable"))
+      .join(broadcast(meta.select(col("variable"), col("shape"), col("chunks"),
+        coalesce(col("order"), lit("C")).as("order"))), Seq("variable"))
       .join(broadcast(dims), Seq("variable"), "left")
+      .filter(coalesce(assert_true(col("order").isin("C", "F"),
+        concat(lit("zarr variable '"), col("variable"), lit("' declares order '"),
+          col("order"), lit("' — only C and F address correctly"))), lit(true)))
       // 0-d (scalar) arrays: zarr stores shape [] / chunks [] with chunk
       // key "0" — normalize both to [1] so the grid math yields coord [0];
       // un-normalized, sequence(0, -1) makes coords null and the padding

@@ -117,8 +117,23 @@ object ZarrDirectoryIndex {
           case JArray(cs) => cs.map(c => ((c \ "name"), c))
           case _          => refuse("missing codecs list")
         }
-        // a codec chain (outer, or sharding's inner) → (endian, v2 compressor)
-        def parseChain(chain: List[(JValue, JValue)]): (String, String) = {
+        // a codec chain (outer, or sharding's inner) → (endian, v2
+        // compressor, element order). An optional leading `transpose`
+        // array→array codec translates by its permutation: identity → "C",
+        // full reversal → column-major storage → v2 order "F"; any other
+        // permutation has no v2-plane equivalent and refuses.
+        def parseChain(chain0: List[(JValue, JValue)]): (String, String, String) = {
+          val (order, chain) = chain0 match {
+            case (JString("transpose"), cfg) :: rest =>
+              val perm = longs(cfg \ "configuration" \ "order")
+              val n = perm.length
+              if (n != shape0.length)
+                refuse(s"transpose order $perm rank != array rank ${shape0.length}")
+              if (perm == (0L until n.toLong).toList) ("C", rest)
+              else if (perm == (n - 1 to 0 by -1).map(_.toLong).toList) ("F", rest)
+              else refuse(s"transpose order $perm (only identity and full reversal map to C/F)")
+            case rest => ("C", rest)
+          }
           val (endian, rest) = chain match {
             case (JString("bytes"), cfg) :: tail =>
               ((cfg \ "configuration" \ "endian") match {
@@ -140,7 +155,7 @@ object ZarrDirectoryIndex {
               val ids = other.map { case (JString(n), _) => n; case _ => "?" }.mkString("+")
               s"""{"id": "${ids}"}"""
           }
-          (endian, compressor)
+          (endian, compressor, order)
         }
         // sharding_indexed (zarr v3's scale layout — many logical chunks
         // packed per stored object): chunk_grid's chunk_shape is the SHARD
@@ -148,7 +163,7 @@ object ZarrDirectoryIndex {
         // chunk_shape, so the synthesized .zarray carries the inner shape
         // and inner codec chain, and each shard file later expands into
         // one byte-range ref per STORED inner chunk (missing = fill).
-        val (endian, compressor, chunksEff, shardSpec) = codecs match {
+        val (endian, compressor, order, chunksEff, shardSpec) = codecs match {
           case (JString("sharding_indexed"), cfg) :: tail =>
             if (tail.nonEmpty) refuse("codecs after sharding_indexed")
             if (shape0.isEmpty) refuse("sharding_indexed on a scalar array")
@@ -165,7 +180,7 @@ object ZarrDirectoryIndex {
               case JArray(cs) => cs.map(c => ((c \ "name"), c))
               case other      => refuse(s"missing/malformed sharding inner codecs $other")
             }
-            val (e, comp) = parseChain(innerChain)
+            val (e, comp, ord) = parseChain(innerChain)
             val (idxBig, idxCrc) = (conf \ "index_codecs") match {
               case JNothing => (false, true) // spec default: bytes(little) + crc32c
               case JArray(ics) =>
@@ -185,10 +200,10 @@ object ZarrDirectoryIndex {
               case JString("start")          => false
               case other                     => refuse(s"index_location $other")
             }
-            (e, comp, inner, Some(ShardSpec(perShard, idxBig, idxCrc, atEnd)))
+            (e, comp, ord, inner, Some(ShardSpec(perShard, idxBig, idxCrc, atEnd)))
           case chain =>
-            val (e, comp) = parseChain(chain)
-            (e, comp, chunks, None)
+            val (e, comp, ord) = parseChain(chain)
+            (e, comp, ord, chunks, None)
         }
         val dtype = (j \ "data_type") match {
           case JString("bool")    => "|b1"
@@ -224,7 +239,7 @@ object ZarrDirectoryIndex {
         def renderLongs(xs: List[Long]) = xs.mkString("[", ", ", "]")
         val zarray = s"""{"zarr_format": 2, "dtype": "$dtype", "shape": ${renderLongs(shape)},""" +
           s""" "chunks": ${renderLongs(chunksEff)}, "compressor": $compressor,""" +
-          """ "filters": null, "order": "C"}"""
+          s""" "filters": null, "order": "$order"}"""
         val dims = (j \ "dimension_names") match {
           case JArray(ds) => List(JField("_ARRAY_DIMENSIONS",
             // null entries are spec-valid ("unnamed dimension") — substitute

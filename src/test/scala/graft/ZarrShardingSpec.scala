@@ -111,6 +111,48 @@ class ZarrShardingSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
+  test("a non-reversal transpose permutation refuses loudly (no C/F mapping)") {
+    val dir = tmpStore()
+    try {
+      java.nio.file.Files.createDirectories(dir.resolve("v"))
+      java.nio.file.Files.writeString(dir.resolve("v/zarr.json"),
+        """{"zarr_format": 3, "node_type": "array", "shape": [2, 3, 4],
+          | "data_type": "float64",
+          | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3, 4]}},
+          | "codecs": [{"name": "transpose", "configuration": {"order": [1, 0, 2]}},
+          |            {"name": "bytes", "configuration": {"endian": "little"}}]}"""
+        .stripMargin)
+      val e = intercept[Exception](
+        graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("transpose order"), msg)
+    } finally rmTree(dir)
+  }
+
+  test("an unknown declared order asserts at coords decode, never mis-addresses") {
+    val dir = tmpStore()
+    try {
+      java.nio.file.Files.createDirectories(dir.resolve("w"))
+      // a v2-side .zarray with a bogus order reaches the plane unparsed —
+      // the coords decode must refuse, not silently use C strides
+      java.nio.file.Files.writeString(dir.resolve("w/.zarray"),
+        """{"zarr_format": 2, "dtype": "<f8", "shape": [2], "chunks": [2],
+          | "compressor": null, "filters": null, "order": "K"}""".stripMargin)
+      java.nio.file.Files.delete(dir.resolve("zarr.json")) // force the v2 walk
+      val bb = java.nio.ByteBuffer.allocate(16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putDouble(1.0); bb.putDouble(2.0)
+      java.nio.file.Files.write(dir.resolve("w/0"), bb.array())
+      val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+      val e = intercept[Exception](
+        graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries)).collect())
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("order"), msg)
+    } finally rmTree(dir)
+  }
+
   test("inner shape that does not divide the shard refuses loudly") {
     val dir = tmpStore()
     try {
