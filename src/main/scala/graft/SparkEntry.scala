@@ -162,10 +162,10 @@ object SparkEntry {
     * only 0.25/0.5 steps, exact in f4/f8, so the double widening is
     * bit-identical on both sides. */
   def ensureZarrFixture(): String = {
-    // _v3: the fixture gained the blosc-lz4 and delta+shuffle-filtered
-    // variables — a content change must change the cache path, or a stale
-    // /tmp survivor from an older session would silently serve the old store
-    val out  = Paths.get("/tmp/graft_zarr_fixture_v3")
+    // _v4: gained the fletcher32-checksummed variable (earlier: _v3 added
+    // blosc-lz4 and delta+shuffle) — a content change must change the cache
+    // path, or a stale /tmp survivor would silently serve the old store
+    val out  = Paths.get("/tmp/graft_zarr_fixture_v4")
     val json = out.resolve("zarr-index.json")
     this.synchronized {
       if (!Files.exists(json)) {
@@ -207,6 +207,13 @@ object SparkEntry {
         // are the byte-shuffled DIFFERENCES of v_i = 3*i*(i+1)/2 - 40
         val drift = slice(graft.sources.BloscCodec.shuffle(
           le(128)(bb => (0 until 32).foreach(i => bb.putInt(if (i == 0) -40 else 3 * i))), 4))
+        // fletcher32 checksum filter: v_i = 7*i - 11 plus the 4-byte LE
+        // checksum suffix the decoder must verify and strip
+        val check = slice {
+          val body = le(24)(bb => (0 until 6).foreach(i => bb.putInt(7 * i - 11)))
+          val sum  = graft.sources.ZarrCodec.fletcher32(body, body.length)
+          body ++ le(4)(bb => bb.putInt(sum.toInt))
+        }
         Files.write(out.resolve("store.bin"), bos.toByteArray)
         // a .zarray entry is a JSON STRING whose content is itself JSON —
         // build the inner document plainly, then JSON-escape it once
@@ -236,6 +243,10 @@ object SparkEntry {
                   """"compressor": null, "filters": [{"id": "delta", "dtype": "<i4"}, """ +
                   """{"id": "shuffle", "elementsize": 4}], "order": "C", "zarr_format": 2}""")},
              |  "drift/0": $drift,
+             |  "check/.zarray": ${jstr("""{"dtype": "<i4", "shape": [6], "chunks": [6], """ +
+                  """"compressor": null, "filters": [{"id": "fletcher32"}], """ +
+                  """"order": "C", "zarr_format": 2}""")},
+             |  "check/0": $check,
              |  "tag/.zarray": ${zarray("|S3", 2, 2, "null")},
              |  "tag/0": $tag
              |}}""".stripMargin
@@ -1832,7 +1843,9 @@ object SparkEntry {
         |  SELECT 'packed', '0', CAST(i AS INT), CAST(i % 50 AS DOUBLE) FROM range(256) t(i)
         |  UNION ALL
         |  SELECT 'drift', '0', CAST(i AS INT), CAST(3 * (i * (i + 1) // 2) - 40 AS DOUBLE)
-        |  FROM range(32) t(i))
+        |  FROM range(32) t(i)
+        |  UNION ALL
+        |  SELECT 'check', '0', CAST(i AS INT), CAST(7 * i - 11 AS DOUBLE) FROM range(6) t(i))
         |SELECT variable, chunk, idx, value FROM vals
         |ORDER BY variable, chunk, idx""".stripMargin,
 

@@ -779,8 +779,15 @@ object Hdf5Index {
           case 2 =>
             zfilterList += JObject(List(JField("id", JString("shuffle")),
               JField("elementsize", JLong(cvals.headOption.getOrElse(dt.size.toLong)))))
+          case 3 =>
+            // fletcher32: netCDF-4 writers place it FIRST in the pipeline
+            // (checksum of the raw data, then shuffle/deflate) — the zarr
+            // filter list mirrors pipeline order, so the plane's reverse
+            // inversion verifies it last, exactly right
+            zfilterList += JObject(List(JField("id", JString("fletcher32"))))
           case other => fail(path,
-            s"dataset ${ds.pathKey} uses HDF5 filter id $other (only deflate/shuffle decode)")
+            s"dataset ${ds.pathKey} uses HDF5 filter id $other " +
+              "(only deflate/shuffle/fletcher32 decode)")
         }
       }
       val zfilters = zfilterList.result() match {

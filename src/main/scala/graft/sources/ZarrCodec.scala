@@ -52,6 +52,37 @@ object ZarrCodec {
   private final case class FilterSpec(id: String, elementSize: Int, astype: Option[String],
                                       dtype: Option[String])
 
+  /** Fletcher-32 checksum over `len` bytes, the HDF5 H5_checksum_fletcher32
+    * variant numcodecs copied: big-endian 16-bit words, deferred modulo
+    * every 360 words, an odd trailing byte as `b << 8`, sums folded to 16
+    * bits — PUBLIC algorithm (HDF5 spec / numcodecs docs). Exposed for the
+    * encoder side of fixtures and tests. */
+  def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L; var sum2 = 0L
+    var idx  = 0
+    var words = len / 2
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(idx) & 0xffL) << 8) | (data(idx + 1) & 0xffL)
+        sum2 += sum1
+        idx += 2; tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(len - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
+
   /** Parse the `.zarray` `filters` JSON: null / "null" / [] → no filters. */
   private def parseFilters(filters: UTF8String): List[FilterSpec] = {
     val s = if (filters == null) "" else filters.toString.trim
@@ -145,9 +176,24 @@ object ZarrCodec {
               s"zarr delta filter with astype ${f.astype.get} != dtype $dt — " +
                 "behind the connector boundary")
           delta = Some(f)
+        case "fletcher32" =>
+          // verify-and-strip: 4-byte LE checksum suffix over the preceding
+          // bytes (numcodecs and HDF5 share the H5_checksum_fletcher32
+          // algorithm); like HDF5, also accept the byte-reversed stored
+          // form its pre-1.6.3 writers emitted
+          require(raw.length >= 4, "fletcher32-filtered chunk shorter than its 4-byte checksum")
+          val stored = ((raw(raw.length - 1) & 0xffL) << 24) |
+            ((raw(raw.length - 2) & 0xffL) << 16) |
+            ((raw(raw.length - 3) & 0xffL) << 8) | (raw(raw.length - 4) & 0xffL)
+          val reversed = ((stored & 0xffL) << 24) | ((stored & 0xff00L) << 8) |
+            ((stored >> 8) & 0xff00L) | ((stored >> 24) & 0xffL)
+          val computed = fletcher32(raw, raw.length - 4)
+          require(computed == stored || computed == reversed,
+            s"fletcher32 checksum mismatch: stored $stored, computed $computed — corrupt chunk")
+          raw = java.util.Arrays.copyOf(raw, raw.length - 4)
         case other => throw new UnsupportedOperationException(
           s"zarr v2 filter '$other' needs an external codec library — behind the " +
-            "connector boundary (only shuffle/delta invert here)")
+            "connector boundary (only shuffle/delta/fletcher32 invert here)")
       }
     }
     require(raw.length % width == 0,

@@ -238,8 +238,9 @@ class ReferenceFidelitySpec extends AnyFunSuite {
         storageOptions = Map("graft.kerchunk.decode" -> "typed"))
       .openAsset(spark, SparkEntry.ensureZarrFixture(), "reference")
     assert(viaDispatch.columns.toSeq == Seq("variable", "chunk", "idx", "value"))
-    // 24 temp + 10 count + 4 big + 6 mask + 256 packed (blosc) + 32 drift (delta+shuffle)
-    assert(viaDispatch.count() == 332)
+    // 24 temp + 10 count + 4 big + 6 mask + 256 packed (blosc) + 32 drift
+    // (delta+shuffle) + 6 check (fletcher32)
+    assert(viaDispatch.count() == 338)
   }
 
   test("decodeCoords labels values with global indices; padded edge elements dropped") {
@@ -1032,6 +1033,39 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       assert((packed(2) & 0x4) != 0 || (packed(2) & 0x2) != 0)
       assert(java.util.Arrays.equals(BloscCodec.decompress(packed), src),
         s"bit-shuffle round-trip failed for codec $codec")
+    }
+    // fletcher32 (HDF5 H5_checksum_fletcher32, the variant numcodecs
+    // copied): values pinned by an independent python port of the public
+    // algorithm — odd tail, multi-block deferred modulo, fixture body
+    locally {
+      import graft.sources.ZarrCodec
+      assert(ZarrCodec.fletcher32("abcde".getBytes("US-ASCII"), 5) == 1341139399L)
+      assert(ZarrCodec.fletcher32("abcdefgh".getBytes("US-ASCII"), 8) == 3790311829L)
+      val long = Array.tabulate[Byte](1024)(i => (i % 256).toByte)
+      assert(ZarrCodec.fletcher32(long, 1024) == 353763583L)
+      val body = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 6).foreach(i => body.putInt(7 * i - 11))
+      assert(ZarrCodec.fletcher32(body.array(), 24) == 838871296L)
+      // decode verifies-and-strips; a flipped byte fails loudly; the
+      // byte-reversed stored form (HDF5 pre-1.6.3 writers) is accepted
+      def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      val sum = ZarrCodec.fletcher32(body.array(), 24)
+      def withSuffix(v: Long, reversed: Boolean): Array[Byte] = {
+        val sfx = java.nio.ByteBuffer.allocate(4)
+          .order(if (reversed) java.nio.ByteOrder.BIG_ENDIAN
+                 else java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putInt(v.toInt).array()
+        body.array() ++ sfx
+      }
+      val filters = u("""[{"id": "fletcher32"}]""")
+      val ok = ZarrCodec.decode(withSuffix(sum, reversed = false), u("<i4"), u(""), filters)
+      assert((0 until 6).forall(i => ok.getDouble(i) == 7 * i - 11))
+      val okRev = ZarrCodec.decode(withSuffix(sum, reversed = true), u("<i4"), u(""), filters)
+      assert((0 until 6).forall(i => okRev.getDouble(i) == 7 * i - 11))
+      val bad = withSuffix(sum, reversed = false); bad(3) = (bad(3) ^ 0x11).toByte
+      val e = intercept[IllegalArgumentException](
+        ZarrCodec.decode(bad, u("<i4"), u(""), filters))
+      assert(e.getMessage.contains("fletcher32"), e.getMessage)
     }
     // unknown codec id still refuses loudly
     val loPart = BloscCodec.compress(Array.tabulate[Byte](600)(i => (i % 4).toByte), 1).clone()
