@@ -176,6 +176,11 @@ object ZarrDirectoryIndex {
                 refuse(s"inner chunk shape $inner must evenly divide shard shape $chunks")
               sh / in
             }
+            // bound the index size BEFORE any allocation sized from it: a
+            // corrupt metadata product would otherwise truncate through
+            // toInt into a wrong-sized (or negative) buffer
+            if (perShard.product <= 0 || perShard.product > (1L << 26))
+              refuse(s"shard of ${perShard.product} inner chunk slots (corrupt or > 2^26)")
             val innerChain = (conf \ "codecs") match {
               case JArray(cs) => cs.map(c => ((c \ "name"), c))
               case other      => refuse(s"missing/malformed sharding inner codecs $other")
