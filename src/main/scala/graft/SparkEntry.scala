@@ -152,6 +152,52 @@ object SparkEntry {
     json.toString
   }
 
+  /** One-time tar archive holding the reference's CMIP5 classic-netCDF
+    * sample (plus a decoy member the scan must skip), for
+    * `load_netcdf_tar`: the fsspec-chained `tar://member::archive` form the
+    * reference opens through open_local (source.py:94-95,
+    * tests/test_source.py:49-59). Hand-written ustar headers — correct
+    * checksums, octal sizes — so the fixture shares no code with the
+    * TarMember scanner it exercises. */
+  def ensureNetcdfTarFixture(): String = {
+    val src = Paths.get("/root/reference/tests/sample_data/cmip/cmip5/output1/NIMR-KMA/" +
+      "HadGEM2-AO/rcp85/mon/atmos/Amon/r1i1p1/v20130815/tasmax/" +
+      "tasmax_Amon_HadGEM2-AO_rcp85_r1i1p1_200511-200512.nc")
+    val member = src.getFileName.toString
+    val out = Paths.get("/tmp/graft_nctar_fixture")
+    val tar = out.resolve("cmip5-sample.tar")
+    this.synchronized {
+      if (!Files.exists(tar)) {
+        Files.createDirectories(out)
+        def header(name: String, size: Long): Array[Byte] = {
+          val h = new Array[Byte](512)
+          def put(off: Int, s: String): Unit = {
+            val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
+          }
+          put(0, name); put(100, "0000644 "); put(108, "0000000 ")
+          put(116, "0000000 "); put(124, f"$size%011o" + " ")
+          put(136, "00000000000 "); put(148, "        "); h(156) = '0'
+          put(257, "ustar "); put(263, "00")
+          val sum = h.map(_ & 0xff).sum
+          put(148, f"$sum%06o" + "  ")
+          h
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        val decoy = "this member is not the one being asked for\n".getBytes("US-ASCII")
+        def add(name: String, data: Array[Byte]): Unit = {
+          bos.write(header(name, data.length.toLong)); bos.write(data)
+          val pad = (512 - data.length % 512) % 512
+          bos.write(new Array[Byte](pad))
+        }
+        add("README.txt", decoy)
+        add(member, Files.readAllBytes(src))
+        bos.write(new Array[Byte](1024)) // end-of-archive marker
+        Files.write(tar, bos.toByteArray)
+      }
+    }
+    s"tar://$member::$tar"
+  }
+
   /** One-time local zarr-over-kerchunk fixture for `load_kerchunk_typed`: a
     * binary store holding FORMULA-GENERATED chunks (zlib f4, raw i4, gzip
     * f8, raw u1, blosc-lz4 i4, delta+shuffle-filtered i4, plus a
@@ -834,6 +880,26 @@ object SparkEntry {
           graft.sources.KerchunkIndex.materializeChunks(entries),
           graft.sources.KerchunkIndex.arrayMeta(entries),
           graft.sources.KerchunkIndex.attrDims(entries))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "load_netcdf_tar" -> ((s, _) => {
+      // tar-archived netCDF (source.py:94-95 fsspec chaining; the
+      // reference's own test shape, tests/test_source.py:49-59): the SAME
+      // CMIP5 classic file as load_netcdf3, but reached as a tar member —
+      // TarMember walks the ustar headers (skipping a decoy member), both
+      // parse and chunk refs shift by the member offset, and positioned
+      // reads go straight into the archive with no extraction. Oracle =
+      // the same 87 independently-pinned values: tar framing must be
+      // perfectly transparent.
+      val url = ensureNetcdfTarFixture()
+      graft.catalog.EsmDataSource("nt", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, url, "netcdf")
         .select(col("variable"),
           array_join(col("dims"), ".").as("dims"),
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
@@ -1711,7 +1777,13 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
-  def oracleSql: Map[String, String] = ListMap(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
+    // file as a tar member, so any tar-framing error (offset shift, member
+    // misresolution) breaks the hash while the oracle stays authoritative
+    ("load_netcdf_tar" -> oracleSqlBase("load_netcdf3"))
+
+  private lazy val oracleSqlBase: Map[String, String] = ListMap(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
          | ${dsumSql("l_extendedprice")} AS sum_base_price,

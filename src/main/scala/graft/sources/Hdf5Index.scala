@@ -56,11 +56,16 @@ object Hdf5Index {
   // ---------------------------------------------------------------- readers
 
   /** Positioned reads over one open file plus little-endian field helpers —
-    * HDF5 metadata is little-endian regardless of the data byte order. */
-  private final class Reader(in: org.apache.hadoop.fs.FSDataInputStream, path: String) {
+    * HDF5 metadata is little-endian regardless of the data byte order.
+    * `base` shifts every read: HDF5 internal addresses are relative to the
+    * superblock (the spec's userblock rule), so a container embedded in a
+    * tar archive parses unchanged once reads are offset by the member
+    * position. */
+  private final class Reader(in: org.apache.hadoop.fs.FSDataInputStream, path: String,
+                             val base: Long = 0L) {
     def bytes(pos: Long, n: Int): Array[Byte] = {
       val a = new Array[Byte](n)
-      try in.readFully(pos, a, 0, n)
+      try in.readFully(base + pos, a, 0, n)
       catch {
         case e: java.io.EOFException => throw new IllegalArgumentException(
           s"hdf5 '$path': truncated read of $n bytes at offset $pos", e)
@@ -869,19 +874,24 @@ object Hdf5Index {
     val spread = if (paths.size <= 1) seed else seed.repartition(parts)
     val ds = spread.mapPartitions { it =>
       it.flatMap { p =>
-        val hPath = FsPaths.hadoopPath(p)
+        // tar members parse at their base offset (addresses are
+        // superblock-relative); refs point into the archive itself
+        val (real, base, _) =
+          if (TarMember.isTarUrl(p)) TarMember.locate(p, hconf.value) else (p, 0L, 0L)
+        val hPath = FsPaths.hadoopPath(real)
         val fs = FsPaths.fileSystemFor(hPath, hconf.value)
         val in = fs.open(hPath)
         val (groupAttrs, vars) =
-          try parseFile(new Reader(in, p), p)
+          try parseFile(new Reader(in, p, base), p)
           finally in.close()
-        entriesOf(groupAttrs, vars, p)
+        entriesOf(groupAttrs, vars, real, base)
       }
     }
     ds.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
   }
 
-  private def entriesOf(groupAttrs: List[(String, String)], vars: List[VarInfo], url: String)
+  private def entriesOf(groupAttrs: List[(String, String)], vars: List[VarInfo], url: String,
+                        base: Long = 0L)
       : Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.{compact, render}
@@ -914,7 +924,7 @@ object Hdf5Index {
         case RefChunks(refs) =>
           refs.iterator.map { case (member, addr, size) =>
             (s"${v.pathKey}/$member", v.pathKey, member, "ref", url,
-              Some(addr), Some(size), null: String)
+              Some(base + addr), Some(size), null: String)
           }
       }
       meta ++ data

@@ -194,13 +194,17 @@ object NetCDF3Index {
     * refuse with the connector-boundary message. */
   def sniff(spark: SparkSession, path: String,
             storageOptions: Map[String, String] = Map.empty): String = {
-    val hPath = FsPaths.hadoopPath(path)
+    val conf = FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions)
+    // tar-archived assets (source.py:94-95 via fsspec chaining): sniff the
+    // member's first bytes inside the archive, no extraction
+    val (real, base, _) =
+      if (TarMember.isTarUrl(path)) TarMember.locate(path, conf) else (path, 0L, 0L)
+    val hPath = FsPaths.hadoopPath(real)
     val magic = new Array[Byte](4)
     try {
-      val fs = FsPaths.fileSystemFor(hPath,
-        FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
+      val fs = FsPaths.fileSystemFor(hPath, conf)
       val in = fs.open(hPath)
-      try in.readFully(0, magic) finally in.close()
+      try in.readFully(base, magic) finally in.close()
     } catch {
       case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
         FsPaths.connectorRefusal(path, e)
@@ -233,21 +237,28 @@ object NetCDF3Index {
     val spread = if (paths.size <= 1) seed else seed.repartition(parts)
     val ds = spread.mapPartitions { it =>
       it.flatMap { p =>
-        val hPath = FsPaths.hadoopPath(p)
+        // tar members read at their base offset; refs point into the archive
+        val (real, base, _) =
+          if (TarMember.isTarUrl(p)) TarMember.locate(p, hconf.value) else (p, 0L, 0L)
+        val hPath = FsPaths.hadoopPath(real)
         val fs = FsPaths.fileSystemFor(hPath, hconf.value)
         val header = {
-          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(hPath)))
+          val raw = fs.open(hPath)
+          if (base > 0) raw.seek(base)
+          val in = new java.io.DataInputStream(new java.io.BufferedInputStream(raw))
           try parseHeader(in) finally in.close()
         }
-        entriesOf(header, p)
+        entriesOf(header, real, base)
       }
     }
     ds.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
   }
 
   /** Header → entry rows. Exposed shape:
-    * (key, variable, member, kind, url, offset, length, inline_value). */
-  private def entriesOf(h: Header, url: String)
+    * (key, variable, member, kind, url, offset, length, inline_value).
+    * `base` shifts every data offset — nonzero when the container sits
+    * inside a tar archive and `url` is the archive itself. */
+  private def entriesOf(h: Header, url: String, base: Long = 0L)
       : Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] = {
     import org.json4s.jackson.JsonMethods.{compact, render}
     import org.json4s.JsonDSL._
@@ -294,13 +305,13 @@ object NetCDF3Index {
           (0L until h.numrecs).iterator.map { r =>
             val member = (r.toString +: zeros).mkString(".")
             (s"${v.name}/$member", v.name, member, "ref", url,
-              Some(v.begin + r * recSize), Some(slab), null: String)
+              Some(base + v.begin + r * recSize), Some(slab), null: String)
           }
         } else {
           val member = Seq.fill(chunks.size)("0").mkString(".")
           val len    = shape.product * typeSize(v.ncType)
           Iterator((s"${v.name}/$member", v.name, member, "ref", url,
-            Some(v.begin), Some(len), null: String))
+            Some(base + v.begin), Some(len), null: String))
         }
       meta ++ data
     }
