@@ -907,6 +907,26 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_netcdf_glob" -> ((s, _) => {
+      // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
+      // the reference's own test glob, tests/test_source.py:41,71): BOTH
+      // CMIP5 tasmax files — one classic CDF, one HDF5/netCDF-4, sniffed
+      // per file — nested-concatenated along the inferred record dim
+      // (time), so the collection reads as time=4. Oracle = file 1's 87
+      // pinned values + file 2's 56 time-carrying values shifted by +2,
+      // both from independent python parses.
+      val glob = "/root/reference/tests/sample_data/cmip/cmip5/output1/NIMR-KMA/HadGEM2-AO/" +
+        "rcp85/mon/atmos/Amon/r1i1p1/v20130815/tasmax/*.nc"
+      graft.catalog.EsmDataSource("ng", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, glob, "netcdf")
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf4" -> ((s, _) => {
       // the OTHER half of the reference's `netcdf` dispatch (source.py:97-109):
       // an HDF5-backed netCDF-4 file — a REAL CESM-LE sample from its own
@@ -1781,7 +1801,81 @@ object SparkEntry {
     // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
     // file as a tar member, so any tar-framing error (offset shift, member
     // misresolution) breaks the hash while the oracle stays authoritative
-    ("load_netcdf_tar" -> oracleSqlBase("load_netcdf3"))
+    ("load_netcdf_tar" -> oracleSqlBase("load_netcdf3")) +
+    // the glob collection = file 1's 87 rows (the load_netcdf3 oracle,
+    // reused verbatim) + file 2's 56 time-carrying rows injected into the
+    // same VALUES table — nested concat must add exactly those rows and
+    // touch nothing else
+    ("load_netcdf_glob" -> {
+      val marker = "\n) AS t(variable"
+      val sql = oracleSqlBase("load_netcdf3").replace(marker, ",\n" + cmip5File2Rows + marker)
+      require(sql.length > oracleSqlBase("load_netcdf3").length,
+        "load_netcdf3 oracle shape changed — re-derive the glob injection")
+      sql
+    })
+
+  /** File 2 of the reference's CMIP5 tasmax glob (HDF5/netCDF-4,
+    * tests/test_source.py:41): all 56 values of its time-carrying variables
+    * (tasmax, time, time_bnds) with the record coordinate shifted by file
+    * 1's two records — pinned by an independent python parse
+    * (scripts/h5survey.py decode_var + global-coordinate unravel). */
+  private val cmip5File2Rows: String =
+    """('tasmax','time.lat.lon','2.0.0','255.84188842773438'),
+      |('tasmax','time.lat.lon','2.0.1','255.84188842773438'),
+      |('tasmax','time.lat.lon','2.0.2','255.84188842773438'),
+      |('tasmax','time.lat.lon','2.0.3','255.84188842773438'),
+      |('tasmax','time.lat.lon','2.0.4','255.84188842773438'),
+      |('tasmax','time.lat.lon','2.1.0','256.97027587890625'),
+      |('tasmax','time.lat.lon','2.1.1','256.9209899902344'),
+      |('tasmax','time.lat.lon','2.1.2','256.8812561035156'),
+      |('tasmax','time.lat.lon','2.1.3','256.8370056152344'),
+      |('tasmax','time.lat.lon','2.1.4','256.7801513671875'),
+      |('tasmax','time.lat.lon','2.2.0','258.2611999511719'),
+      |('tasmax','time.lat.lon','2.2.1','258.1934509277344'),
+      |('tasmax','time.lat.lon','2.2.2','258.12554931640625'),
+      |('tasmax','time.lat.lon','2.2.3','258.0267639160156'),
+      |('tasmax','time.lat.lon','2.2.4','257.927490234375'),
+      |('tasmax','time.lat.lon','2.3.0','258.88507080078125'),
+      |('tasmax','time.lat.lon','2.3.1','258.7810974121094'),
+      |('tasmax','time.lat.lon','2.3.2','258.6761169433594'),
+      |('tasmax','time.lat.lon','2.3.3','258.5372314453125'),
+      |('tasmax','time.lat.lon','2.3.4','258.40301513671875'),
+      |('tasmax','time.lat.lon','2.4.0','259.60638427734375'),
+      |('tasmax','time.lat.lon','2.4.1','259.4760437011719'),
+      |('tasmax','time.lat.lon','2.4.2','259.34454345703125'),
+      |('tasmax','time.lat.lon','2.4.3','259.2398986816406'),
+      |('tasmax','time.lat.lon','2.4.4','259.17669677734375'),
+      |('tasmax','time.lat.lon','3.0.0','243.99853515625'),
+      |('tasmax','time.lat.lon','3.0.1','243.99853515625'),
+      |('tasmax','time.lat.lon','3.0.2','243.99853515625'),
+      |('tasmax','time.lat.lon','3.0.3','243.99853515625'),
+      |('tasmax','time.lat.lon','3.0.4','243.99853515625'),
+      |('tasmax','time.lat.lon','3.1.0','245.4482879638672'),
+      |('tasmax','time.lat.lon','3.1.1','245.39979553222656'),
+      |('tasmax','time.lat.lon','3.1.2','245.3414764404297'),
+      |('tasmax','time.lat.lon','3.1.3','245.2953338623047'),
+      |('tasmax','time.lat.lon','3.1.4','245.2533416748047'),
+      |('tasmax','time.lat.lon','3.2.0','245.65126037597656'),
+      |('tasmax','time.lat.lon','3.2.1','245.53457641601562'),
+      |('tasmax','time.lat.lon','3.2.2','245.43777465820312'),
+      |('tasmax','time.lat.lon','3.2.3','245.33885192871094'),
+      |('tasmax','time.lat.lon','3.2.4','245.24212646484375'),
+      |('tasmax','time.lat.lon','3.3.0','245.50172424316406'),
+      |('tasmax','time.lat.lon','3.3.1','245.36776733398438'),
+      |('tasmax','time.lat.lon','3.3.2','245.22950744628906'),
+      |('tasmax','time.lat.lon','3.3.3','245.09181213378906'),
+      |('tasmax','time.lat.lon','3.3.4','244.944580078125'),
+      |('tasmax','time.lat.lon','3.4.0','244.93466186523438'),
+      |('tasmax','time.lat.lon','3.4.1','244.65748596191406'),
+      |('tasmax','time.lat.lon','3.4.2','244.44102478027344'),
+      |('tasmax','time.lat.lon','3.4.3','244.19937133789062'),
+      |('tasmax','time.lat.lon','3.4.4','243.9859161376953'),
+      |('time','time','2','15.0'),
+      |('time','time','3','45.0'),
+      |('time_bnds','time.bnds','2.0','0.0'),
+      |('time_bnds','time.bnds','2.1','30.0'),
+      |('time_bnds','time.bnds','3.0','30.0'),
+      |('time_bnds','time.bnds','3.1','60.0')""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = ListMap(
     "q1_agg" ->

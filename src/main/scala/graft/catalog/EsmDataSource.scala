@@ -62,6 +62,21 @@ final case class EsmDataSource(
         // reaches through xarray's zarr engine (source.py:82-96);
         // `=coords` adds the dimension-labeled global indices
         decodeEntries(graft.sources.KerchunkIndex.read(spark, path, storageOptions))
+      case "netcdf" | "netcdf3" | "netcdf4" | "hdf5"
+          if graft.sources.NetcdfCollection.isGlob(path) =>
+        // multi-file datasets (source.py:102-107 `'*' in url` →
+        // open_mfdataset): nested concat along the record dimension in
+        // sorted-path order; entries mode yields the url-stamped inventory
+        val paths = graft.sources.NetcdfCollection.expand(spark, path, storageOptions)
+        storageOptions.get("graft.kerchunk.decode") match {
+          case Some("coords") =>
+            graft.sources.NetcdfCollection.openCoords(spark, paths, storageOptions)
+          case Some(other) => throw new UnsupportedOperationException(
+            s"glob netcdf decode mode '$other' unsupported — use 'coords' " +
+              "(concatenation is defined on labeled coordinates) or omit for the inventory")
+          case None =>
+            graft.sources.NetcdfCollection.readEntries(spark, paths, storageOptions)
+        }
       case "netcdf" | "netcdf3" | "netcdf4" | "hdf5" =>
         // both container families parse natively into the same chunk-map
         // plane (source.py:97-109): classic CDF via sources.NetCDF3Index,

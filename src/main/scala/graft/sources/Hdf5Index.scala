@@ -95,7 +95,9 @@ object Hdf5Index {
 
   private final case class Msg(mtype: Int, body: Array[Byte])
 
-  private final case class Dataspace(dims: Seq[Long])
+  /** `unlimited(i)` = max size of dim i is H5S_UNLIMITED (netCDF-4's
+    * record dimension marker; empty when the message carries no maxdims). */
+  private final case class Dataspace(dims: Seq[Long], unlimited: Seq[Boolean] = Nil)
   /** `order` is "<"/">"; `kind` numpy-style: i/u/f/S/V (V = undecodable). */
   private final case class Datatype(cls: Int, size: Int, order: String, kind: String,
                                     baseCls: Int = -1)
@@ -568,12 +570,18 @@ object Hdf5Index {
     def dataspace(m: Array[Byte], off: Int): Dataspace = {
       val ver = m(off) & 0xff
       val rank = m(off + 1) & 0xff
+      val flags = m(off + 2) & 0xff // bit 0: maxdims present (v1 and v2 alike)
       val p = ver match {
         case 1 => off + 8
         case 2 => off + 4
         case other => fail(path, s"dataspace version $other")
       }
-      Dataspace((0 until rank).map(i => B.u(m, p + 8 * i, 8)))
+      val dims = (0 until rank).map(i => B.u(m, p + 8 * i, 8))
+      val unlimited =
+        if ((flags & 1) == 0) Nil
+        // H5S_UNLIMITED = all-ones, which the 8-byte read yields as -1
+        else (0 until rank).map(i => B.u(m, p + 8 * rank + 8 * i, 8) == -1L)
+      Dataspace(dims, unlimited)
     }
 
     def datatype(m: Array[Byte], off: Int): Datatype = {
@@ -747,10 +755,11 @@ object Hdf5Index {
       }
     }
     val rootMs = P.messages(P.rootHeaderAddr)
-    renderAttrs(P.attributes(rootMs), Nil).foreach(j => groupAttrs += ("" -> j))
+    val rootAttrList = P.attributes(rootMs) // rendered after pass 2 (record dims)
     P.groupLinks(rootMs).foreach { case (nm, oh) => visit("", nm, oh) }
 
     // pass 2: per dataset, geometry + filters + dimension names + chunk refs
+    val recordDims = List.newBuilder[String] // UNLIMITED dimension-scale names
     val vars = datasets.result().map { ds =>
       val spMsg = ds.ms.find(_.mtype == 0x01).getOrElse(
         throw new IllegalArgumentException(s"hdf5 '$path': dataset ${ds.pathKey} has no dataspace"))
@@ -803,6 +812,11 @@ object Hdf5Index {
       // dimension names: DIMENSION_LIST refs, else a 1-D dimension scale is
       // its own coordinate, else positional fallback downstream
       val attrMap = attrs.toMap
+      val isScale = attrMap.get("CLASS").exists { case AStr(s) => s == "DIMENSION_SCALE"; case _ => false }
+      // an UNLIMITED dimension scale is the file's record dimension — the
+      // axis multi-file (glob) opens concatenate along
+      if (isScale && rank == 1 && sp.unlimited.headOption.contains(true))
+        recordDims += ds.pathKey.split('/').last
       val dims: Seq[String] = attrMap.get("DIMENSION_LIST") match {
         case Some(ARefs(refs)) =>
           refs.map(_.headOption.flatMap(nameOf.get).getOrElse("")) match {
@@ -810,7 +824,6 @@ object Hdf5Index {
             case _ => Nil
           }
         case _ =>
-          val isScale = attrMap.get("CLASS").exists { case AStr(s) => s == "DIMENSION_SCALE"; case _ => false }
           if (isScale && rank == 1) Seq(ds.pathKey.split('/').last)
           else if (sp.dims.isEmpty) Seq(ds.pathKey.split('/').last) // scalar, netCDF3 parity
           else Nil
@@ -840,7 +853,20 @@ object Hdf5Index {
       }
       VarInfo(ds.pathKey, shape, chunks, dtype, zattrs, compressor, zfilters, data)
     }
-    (groupAttrs.result(), vars)
+
+    // root .zattrs last: global attrs + `_graft_unlimited_dims` (the record
+    // dimensions pass 2 discovered), mirroring the netCDF3 plane's marker
+    val rootJson = {
+      val fields = rootAttrList.collect {
+        case (k, v) if !HiddenAttrs.contains(k) && jsonOfAv(v) != JNothing =>
+          JField(k, jsonOfAv(v))
+      } ++ (recordDims.result() match {
+        case Nil => Nil
+        case rs  => List(JField("_graft_unlimited_dims", JArray(rs.map(JString(_)))))
+      })
+      if (fields.isEmpty) None else Some(compact(render(JObject(fields))))
+    }
+    (rootJson.map("" -> _).toList ++ groupAttrs.result(), vars)
   }
 
   // -------------------------------------------------------------- public API

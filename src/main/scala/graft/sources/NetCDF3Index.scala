@@ -276,6 +276,20 @@ object NetCDF3Index {
     val group = Iterator((".zgroup", "", ".zgroup", "meta", null: String,
       None: Option[Long], None: Option[Long], """{"zarr_format": 2}"""))
 
+    // root .zattrs: the file's global attributes, plus the record (UNLIMITED)
+    // dimension surfaced as `_graft_unlimited_dims` — multi-file (glob)
+    // opens concatenate along it, the same role xarray's open_mfdataset
+    // gives the record dim (source.py:102-107)
+    val rootAttrs: Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] = {
+      val fields = h.gatts.map { case (k, value) => JField(k, jsonOf(value)) } ++
+        h.dims.collectFirst { case (nm, 0) =>
+          JField("_graft_unlimited_dims", JArray(List(JString(nm))))
+        }
+      if (fields.isEmpty) Iterator.empty
+      else Iterator((".zattrs", "", ".zattrs", "meta", null: String,
+        None: Option[Long], None: Option[Long], compact(render(JObject(fields)))))
+    }
+
     val perVar = h.vars.iterator.flatMap { v =>
       val isRecord = v.dimids.headOption.exists(d => h.dims(d)._2 == 0)
       // scalar variables present as shape [1] (zarr's [] shape would make
@@ -315,6 +329,6 @@ object NetCDF3Index {
         }
       meta ++ data
     }
-    group ++ perVar
+    group ++ rootAttrs ++ perVar
   }
 }
