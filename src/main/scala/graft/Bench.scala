@@ -31,6 +31,7 @@ object Bench {
       // TypedImperativeAggregate (minhash/simhash) groups far exceed the
       // 128-group default before the sort-based fallback kicks in
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

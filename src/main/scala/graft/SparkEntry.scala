@@ -44,12 +44,34 @@ object SparkEntry {
     * (orderkey, linenumber) pair alone is NOT unique in this testdata). */
   private val lineKey = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
 
-  /** events.parquet uses TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as raw nanos (LongType) and derive microseconds —
-    * exact integer math, matching DuckDB's epoch_us(). */
+  /** events.parquet's `ts` physical type has changed across testdata
+    * regenerations — TIMESTAMP(NANOS) in one build, timestamp[us] in the
+    * next — so dispatch on the schema actually read instead of assuming one:
+    *   - timestamp / timestamp_ntz  → unix_micros (session tz is UTC, so an
+    *     NTZ wall clock maps to the same epoch micros DuckDB's epoch_us
+    *     computes on its naive TIMESTAMP);
+    *   - long (TIMESTAMP(NANOS) re-read under nanosAsLong) → ts div 1000.
+    * Both are exact integer math; the DuckDB oracle's epoch_us(ts) yields
+    * the identical value for either physical encoding. The legacy
+    * nanosAsLong conf is only set when a plain read refuses the NANOS
+    * annotation — never unconditionally. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events").withColumn("us", expr("ts div 1000"))
+    def load() = T(s, dir, "events")
+    val df =
+      try load()
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).toUpperCase.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load()
+      }
+    val us = df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case LongType                         => expr("ts div 1000")
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported type $other — expected timestamp, timestamp_ntz, " +
+          "or long (raw nanos); update SparkEntry.events() for this fixture schema")
+    }
+    df.withColumn("us", us)
   }
 
   /** Ad-hoc catalog wrapper over a plain DataFrame (no asset files). */
@@ -174,12 +196,12 @@ object SparkEntry {
           def put(off: Int, s: String): Unit = {
             val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
           }
-          put(0, name); put(100, "0000644 "); put(108, "0000000 ")
-          put(116, "0000000 "); put(124, f"$size%011o" + " ")
-          put(136, "00000000000 "); put(148, "        "); h(156) = '0'
-          put(257, "ustar "); put(263, "00")
+          put(0, name); put(100, "0000644\u0000"); put(108, "0000000\u0000")
+          put(116, "0000000\u0000"); put(124, f"$size%011o" + "\u0000")
+          put(136, "00000000000\u0000"); put(148, "        "); h(156) = '0'
+          put(257, "ustar\u0000"); put(263, "00")
           val sum = h.map(_ & 0xff).sum
-          put(148, f"$sum%06o" + "  ")
+          put(148, f"$sum%06o" + "\u0000 ")
           h
         }
         val bos = new java.io.ByteArrayOutputStream()

@@ -4,6 +4,37 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Run every query, dumping each result to `outDir/<name>` parquet.
+    * A query whose construction or write throws MUST leave a visible trace
+    * (r6 post-mortem: four broken queries silently vanished from the
+    * driver's correctness artifact because failure produced no output at
+    * all): each failure writes `outDir/<name>._ERROR.txt` with the
+    * exception, and the collected map is also dumped as
+    * `outDir/errors.json` — so a red query can never shrink the artifact
+    * unnoticed. Returns name → error message for the failures. */
+  private[graft] def dumpQueries(
+      spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+  ): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    queries.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        None
+      } catch {
+        case e: Throwable =>
+          val sw = new java.io.StringWriter()
+          e.printStackTrace(new java.io.PrintWriter(sw))
+          val msg = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[verify] $name FAILED: $msg")
+          Files.writeString(Paths.get(s"$outDir/$name._ERROR.txt"), sw.toString)
+          Some(name -> msg)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,14 +48,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+    val errors = dumpQueries(spark, sfDir, outDir, SparkEntry.queries)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +64,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when green) so a consumer can distinguish
+    // "no failures" from "failures were never recorded".
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} failed: " +
+        errors.keys.toSeq.sorted.mkString(", "))
     spark.stop()
   }
 }

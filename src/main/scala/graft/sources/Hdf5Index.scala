@@ -44,7 +44,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Refused loudly (absent from the reference's entire sample corpus,
   * verified by a 399-file survey): layout v4 chunk indexes, filters other
-  * than deflate/shuffle (fletcher32/szip/nbit/scaleoffset), per-chunk
+  * than deflate/shuffle/fletcher32 (szip/nbit/scaleoffset — fletcher32
+  * decodes via the shared filter plane since the blosc work), per-chunk
   * filter masks, shared datatype/dataspace messages, external/soft links,
   * filtered fractal heaps, and VAX floats. Chunks never written stay
   * absent from the map — the fill-value semantics of both netCDF and zarr.
