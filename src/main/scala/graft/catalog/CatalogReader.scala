@@ -40,8 +40,16 @@ object CatalogReader {
     * configuration (`sessionState.newHadoopConfWithOptions`), so
     * filesystem keys like `fs.s3a.endpoint` / credentials reach the store
     * for this read only — no global SparkContext conf mutation. */
-  def readAssetTable(spark: SparkSession, path: String,
+  def readAssetTable(spark: SparkSession, rawPath: String,
                      storageOptions: Map[String, String] = Map.empty): DataFrame = {
+    // http(s): whole-file fetch to a local cache, then a plain local read —
+    // the catalog table is the SMALL plane (the reference reads it through
+    // fsspec the same way, cat.py:238-280); data-plane byte ranges keep
+    // refusing http at the connector boundary.
+    val path =
+      if (graft.sources.HttpFetch.isHttp(rawPath))
+        graft.sources.HttpFetch.fetchCached(rawPath, graft.sources.HttpFetch.maxBytesFrom(storageOptions))
+      else rawPath
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet") || lower.endsWith(".parq"))
       spark.read.options(storageOptions).parquet(path)
@@ -62,6 +70,10 @@ object CatalogReader {
   def resolveCatalogFile(jsonPath: String, catalogFile: String): String = {
     val p = Paths.get(catalogFile)
     if (p.isAbsolute || catalogFile.contains("://") || Files.exists(p)) return catalogFile
+    // descriptor fetched over http: a relative catalog_file resolves against
+    // the descriptor's URL, never the local cache directory
+    if (graft.sources.HttpFetch.isHttp(jsonPath))
+      return new java.net.URI(jsonPath).resolve(catalogFile).toString
     val jsonDir  = Paths.get(jsonPath).toAbsolutePath.getParent
     val relative = jsonDir.resolve(catalogFile).normalize
     if (Files.exists(relative)) return relative.toString
@@ -191,9 +203,15 @@ object CatalogReader {
 
   def load(spark: SparkSession, jsonPath: String,
            storageOptions: Map[String, String] = Map.empty): (EsmCatalogModel, LoadedTable) = {
-    val local = localPathOf(jsonPath).getOrElse(jsonPath)
+    val isHttp = graft.sources.HttpFetch.isHttp(jsonPath)
+    val local =
+      if (isHttp)
+        graft.sources.HttpFetch.fetchCached(jsonPath, graft.sources.HttpFetch.maxBytesFrom(storageOptions))
+      else localPathOf(jsonPath).getOrElse(jsonPath)
     val model = EsmCatalogModel.fromJson(new String(Files.readAllBytes(Paths.get(local)), "UTF-8"))
-    val table = loadTable(spark, model, Some(local), storageOptions)
+    // relative catalog_file paths must resolve against the descriptor's
+    // ORIGINAL location (the URL for http), not the local cache copy
+    val table = loadTable(spark, model, Some(if (isHttp) jsonPath else local), storageOptions)
     (model, table)
   }
 
