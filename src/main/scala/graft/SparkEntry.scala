@@ -929,6 +929,27 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap" -> ((s, dir) => {
+      // the reference's LAST DataFormat (cat.py:56-64; source.py:70-137
+      // hands opendap urls to pydap): the native DAP2 client against a
+      // loopback fixture server whose arrays derive from the sf dir's
+      // nation/region parquet, so the oracle recomputes every value from
+      // the same tables. A small chunk budget forces multi-band hyperslab
+      // requests (`?var[lo:hi]...`) — the protocol's scale path — and the
+      // decode runs through the shared kerchunk coords plane. Types cover
+      // Int32 / XDR-promoted Int16 / packed Byte / Float32 / Float64.
+      val base = graft.harness.Dap2Fixture.ensure(s, dir)
+      graft.catalog.EsmDataSource("od", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords",
+            graft.sources.Dap2Index.MaxChunkBytesOption -> "64"))
+        .openAsset(s, base, "opendap")
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -2228,6 +2249,28 @@ object SparkEntry {
     // shuffle + deflate inverted by hand), no shared code with the Scala
     // reader. 73 rows = every element of five variables covering f8/f4/i4
     // dtypes, chunked+filtered and contiguous layouts, and a scalar.
+    // every value recomputed from the same nation/region parquet the
+    // fixture server encodes — the wire (XDR counts, Int16 promotion, Byte
+    // packing, IEEE big-endian) must be perfectly transparent
+    "load_opendap" ->
+      """WITH nk AS (SELECT n_nationkey, n_regionkey,
+        |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),
+        |     rk AS (SELECT r_regionkey,
+        |              ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS j FROM region)
+        |SELECT variable, dims, coord_key, value FROM (
+        |  SELECT 'n_nationkey' AS variable, 'nation' AS dims,
+        |         CAST(i AS VARCHAR) AS coord_key, CAST(n_nationkey AS DOUBLE) AS value FROM nk
+        |  UNION ALL
+        |  SELECT 'n_regionkey', 'nation', CAST(i AS VARCHAR), CAST(n_regionkey AS DOUBLE) FROM nk
+        |  UNION ALL
+        |  SELECT 'flag', 'nation', CAST(i AS VARCHAR), CAST(n_nationkey % 3 AS DOUBLE) FROM nk
+        |  UNION ALL
+        |  SELECT 'r_regionkey', 'region', CAST(j AS VARCHAR), CAST(r_regionkey AS DOUBLE) FROM rk
+        |  UNION ALL
+        |  SELECT 'key_sum', 'nation.region', CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         CAST(n_nationkey + r_regionkey AS DOUBLE) FROM nk CROSS JOIN rk
+        |) ORDER BY variable, coord_key""".stripMargin,
+
     "load_netcdf4" ->
       """SELECT variable, dims, coord_key, CAST(value AS DOUBLE) AS value FROM (VALUES
         |('TLAT','nlat.nlon','0.0','28.55677500703854'),

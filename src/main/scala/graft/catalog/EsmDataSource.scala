@@ -47,8 +47,8 @@ final case class EsmDataSource(
     * NATIVELY into one shared chunk-map plane (variable / chunk / url /
     * byte range — what the reference's zarr engine sees before decoding,
     * source.py:82-96) and optionally decode to typed, dimension-labeled
-    * values. Only opendap (a network protocol) remains behind the external
-    * connector boundary.
+    * values. opendap dispatches to the native DAP2 client (sources.Dap2Index)
+    * — every reference DataFormat now has an in-engine path.
     */
   def openAsset(spark: SparkSession, path: String, format: String): DataFrame =
     format match {
@@ -95,9 +95,26 @@ final case class EsmDataSource(
         // (source.py:82-96)
         graft.sources.ZarrDirectoryIndex.probe(spark, path, storageOptions)
         decodeEntries(graft.sources.ZarrDirectoryIndex.read(spark, path, storageOptions))
+      case "opendap" =>
+        // native DAP2 client (source.py:70-137's last format): DDS/DAS parse
+        // → the shared chunk-map plane; each ref is a `.dods` hyperslab
+        // request fetched in parallel tasks (sources.Dap2Index)
+        val entries = graft.sources.Dap2Index.read(spark, path, storageOptions)
+        storageOptions.get("graft.kerchunk.decode") match {
+          case Some("typed") =>
+            graft.sources.KerchunkIndex.decodeTyped(
+              graft.sources.Dap2Index.materialize(entries),
+              graft.sources.KerchunkIndex.arrayMeta(entries))
+          case Some("coords") =>
+            graft.sources.KerchunkIndex.decodeCoords(
+              graft.sources.Dap2Index.materialize(entries),
+              graft.sources.KerchunkIndex.arrayMeta(entries),
+              graft.sources.KerchunkIndex.attrDims(entries))
+          case _ => entries
+        }
       case other =>
         throw new UnsupportedOperationException(
-          s"data format '$other' needs an external Spark connector (opendap per source.py:70-137)")
+          s"data format '$other' needs an external Spark connector (source.py:70-137)")
     }
 
   /** Chunk-map entries → the depth `graft.kerchunk.decode` asks for:

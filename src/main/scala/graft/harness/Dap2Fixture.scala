@@ -1,0 +1,189 @@
+package graft.harness
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.HttpServer
+import org.apache.spark.sql.SparkSession
+
+/** Loopback DAP2 server fixture for the `load_opendap` gate query and the
+  * Dap2 specs — the stand-in for a real OPeNDAP deployment (the reference's
+  * own opendap catalog, noaa-pathfinder-opendap.json, points at public
+  * servers this sandbox cannot reach).
+  *
+  * Serves one dataset, `nation`, derived from the sf dir's nation/region
+  * parquet (25 + 5 rows — driver-side collect of fixed-size dimension
+  * tables, not data tables):
+  *
+  *   Int32   n_nationkey[nation = N]
+  *   Int16   n_regionkey[nation = N]        (XDR promotes Int16 → 4 bytes)
+  *   Byte    flag[nation = N]   = n_nationkey % 3  (packed + padded)
+  *   Float32 r_regionkey[region = R]
+  *   Float64 key_sum[nation = N][region = R] = n_nationkey + r_regionkey
+  *
+  * so the DuckDB oracle recomputes every value from the same parquet.
+  *
+  * The XDR encoder here is written independently from RFC 4506 §4.19 / DAP
+  * 2.0 §7.3.2 (two big-endian uint32 counts, 4-byte-promoted integers,
+  * packed+padded bytes) — it shares no code with sources.Dap2Index, and
+  * Dap2Spec additionally pins both sides against hand-written golden bytes
+  * so an encoder/decoder bug pair cannot cancel out.
+  *
+  * One server per (process, sf dir), started lazily on an ephemeral
+  * loopback port with daemon worker threads; it lives for the session
+  * (Verify/Bench/test JVMs), like the other harness fixtures.
+  */
+object Dap2Fixture {
+
+  final case class Var(name: String, dapType: String, dims: Seq[(String, Long)],
+                       data: Array[Double])
+
+  private val servers = scala.collection.mutable.Map.empty[String, String]
+
+  /** Base dataset url (`http://127.0.0.1:<port>/nation`) for the sf dir's
+    * fixture server, starting it on first use. */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    servers.getOrElseUpdate(sfDir, start(buildVars(spark, sfDir), "nation"))
+  }
+
+  private def buildVars(spark: SparkSession, sfDir: String): Seq[Var] = {
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select("n_nationkey", "n_regionkey").orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Number]("n_nationkey").longValue,
+                 r.getAs[Number]("n_regionkey").longValue))
+    val region = spark.read.parquet(s"$sfDir/region.parquet")
+      .select("r_regionkey").orderBy("r_regionkey").collect()
+      .map(_.getAs[Number]("r_regionkey").longValue)
+    val n = nation.length.toLong
+    val r = region.length.toLong
+    Seq(
+      Var("n_nationkey", "Int32", Seq("nation" -> n), nation.map(_._1.toDouble)),
+      Var("n_regionkey", "Int16", Seq("nation" -> n), nation.map(_._2.toDouble)),
+      Var("flag", "Byte", Seq("nation" -> n), nation.map(x => (x._1 % 3).toDouble)),
+      Var("r_regionkey", "Float32", Seq("region" -> r), region.map(_.toDouble)),
+      Var("key_sum", "Float64", Seq("nation" -> n, "region" -> r),
+        nation.flatMap(x => region.map(y => (x._1 + y).toDouble))),
+    )
+  }
+
+  private[graft] def ddsText(vars: Seq[Var], name: String): String = {
+    val decls = vars.map { v =>
+      val dims = v.dims.map { case (d, sz) => s"[$d = $sz]" }.mkString
+      s"    ${v.dapType} ${v.name}$dims;"
+    }.mkString("\n")
+    s"Dataset {\n$decls\n} $name;"
+  }
+
+  private[graft] def dasText: String =
+    """Attributes {
+      |    NC_GLOBAL {
+      |        String title "graft DAP2 fixture over nation/region";
+      |    }
+      |    n_nationkey {
+      |        String units "id";
+      |    }
+      |}""".stripMargin
+
+  /** XDR array body per RFC 4506 §4.19 / DAP 2.0 §7.3.2: count, count,
+    * then elements — integers ≤4 bytes promoted to 4-byte big-endian,
+    * Byte packed and zero-padded to a 4-byte boundary. */
+  private[graft] def xdrArray(dapType: String, values: Array[Double]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    u32(values.length.toLong); u32(values.length.toLong)
+    dapType match {
+      case "Byte" =>
+        values.foreach(v => out.write(v.toInt & 0xff))
+        var pad = (4 - values.length % 4) % 4
+        while (pad > 0) { out.write(0); pad -= 1 }
+      case "Int16" | "UInt16" | "Int32" | "UInt32" =>
+        values.foreach(v => u32(v.toLong & 0xffffffffL))
+      case "Float32" =>
+        values.foreach(v => u32(java.lang.Float.floatToIntBits(v.toFloat).toLong & 0xffffffffL))
+      case "Float64" =>
+        values.foreach { v =>
+          val bits = java.lang.Double.doubleToLongBits(v)
+          u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+        }
+      case other => throw new IllegalArgumentException(s"fixture cannot encode $other")
+    }
+    out.toByteArray
+  }
+
+  private val slabRe = """\[(\d+):(\d+)\]""".r
+
+  /** `name[lo:hi][lo:hi]…` → the projected Var with sliced dims + data
+    * (C-order). No constraint → the whole variable. */
+  private[graft] def applyConstraint(vars: Seq[Var], query: String): Seq[Var] = {
+    if (query == null || query.trim.isEmpty) return vars
+    query.split(',').toSeq.map { proj =>
+      val name = proj.takeWhile(_ != '[').trim
+      val v = vars.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no such variable '$name'"))
+      val slabs = slabRe.findAllMatchIn(proj).map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+      if (slabs.isEmpty) v
+      else {
+        require(slabs.size == v.dims.size,
+          s"constraint '$proj' has ${slabs.size} slabs for ${v.dims.size} dims")
+        slabs.zip(v.dims).foreach { case ((lo, hi), (d, sz)) =>
+          require(lo >= 0 && lo <= hi && hi < sz, s"slab [$lo:$hi] out of range for $d=$sz") }
+        val newDims = v.dims.zip(slabs).map { case ((d, _), (lo, hi)) => (d, hi - lo + 1) }
+        // C-order gather of the hyperslab
+        val strides = v.dims.map(_._2).scanRight(1L)(_ * _).drop(1)
+        def gather(dim: Int, base: Long): Seq[Double] =
+          if (dim == slabs.size) Seq(v.data(base.toInt))
+          else (slabs(dim)._1 to slabs(dim)._2).flatMap(i => gather(dim + 1, base + i * strides(dim)))
+        Var(v.name, v.dapType, newDims, gather(0, 0L).toArray)
+      }
+    }
+  }
+
+  private def start(vars: Seq[Var], dataset: String): String = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "dap2-fixture"); t.setDaemon(true); t
+    })
+    server.setExecutor(pool)
+    // the fixture must never pin the JVM open: HttpServer.start() spawns a
+    // dispatcher thread whose daemon flag inherits from the STARTING thread
+    // — start from a short-lived daemon thread so a Verify/Bench main can
+    // exit normally when it returns (r7: Verify hung after writing all
+    // output because the dispatcher was non-daemon)
+    def startDaemonized(): Unit = {
+      val t = new Thread(() => server.start(), "dap2-fixture-start")
+      t.setDaemon(true)
+      t.start()
+      t.join()
+    }
+    server.createContext(s"/$dataset", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val query = exchange.getRequestURI.getQuery
+      try {
+        val bytes: Array[Byte] =
+          if (path.endsWith(".dds"))
+            (ddsText(applyConstraint(vars, query), dataset) + "\n").getBytes("US-ASCII")
+          else if (path.endsWith(".das"))
+            (dasText + "\n").getBytes("US-ASCII")
+          else if (path.endsWith(".dods")) {
+            val projected = applyConstraint(vars, query)
+            val out = new ByteArrayOutputStream()
+            out.write((ddsText(projected, dataset) + "\nData:\n").getBytes("US-ASCII"))
+            projected.foreach(v => out.write(xdrArray(v.dapType, v.data)))
+            out.toByteArray
+          } else throw new IllegalArgumentException(s"unknown DAP request $path")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } catch {
+        case e: Exception =>
+          val msg = ("Error { " + e.getMessage + " }").getBytes("US-ASCII")
+          exchange.sendResponseHeaders(400, msg.length.toLong)
+          exchange.getResponseBody.write(msg)
+      } finally exchange.close()
+    })
+    startDaemonized()
+    s"http://127.0.0.1:${server.getAddress.getPort}/$dataset"
+  }
+}
