@@ -132,36 +132,45 @@ object Bench {
     // longer inflate the round's official artifact (the r4 lesson)
     val samples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(2)
     require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
-    val results = names.map { name =>
-      val dts = (1 to samples).map { _ =>
-        val t0 = System.nanoTime()
-        // a failing query MUST NOT read as a fast sample — record it so the
-        // harness (and the judge) see the regression instead of a better total
-        //
-        // count() is NOT a valid bench action: it wraps the plan in an
-        // Aggregate, whereupon ColumnPruning deletes every unreferenced
-        // projection and EliminateSorts the trailing sort — a
-        // pure-projection query (text_quality, text_token_count, ...)
-        // would time as a bare parquet row-count with none of its md5/
-        // regex/tokenize work executed. Consuming the physical plan's own
-        // rows instead executes the query exactly as written — every
-        // output column evaluated, sorts kept — without paying a
-        // driver-side collect/deserialize that a cluster sink wouldn't.
-        try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
-        catch { case e: Throwable =>
-          errors += s"$name: ${e.getClass.getSimpleName}"
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // operator-internal persists (minhash signatures, shingle rows) are
-        // per-query working state here; dropping them between queries keeps
-        // one query's cache from occupying the next one's executor storage.
-        // Outside the timed region: a long-lived session pays this once.
-        spark.sharedState.cacheManager.clearCache()
-        dt
+    // samples are INTERLEAVED (sweep the whole suite, then sweep again),
+    // not back-to-back per query: a host-level throttle/contention window
+    // must now span the entire suite in every round to poison a query's
+    // min, instead of just that query's few seconds (the r7 lesson: a
+    // ~7-minute degraded window made consecutive per-query samples agree
+    // on 4-13× inflated times while a later run read 26 s total)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    for (_ <- 1 to samples; name <- names) {
+      val t0 = System.nanoTime()
+      // a failing query MUST NOT read as a fast sample — record it so the
+      // harness (and the judge) see the regression instead of a better total
+      //
+      // count() is NOT a valid bench action: it wraps the plan in an
+      // Aggregate, whereupon ColumnPruning deletes every unreferenced
+      // projection and EliminateSorts the trailing sort — a
+      // pure-projection query (text_quality, text_token_count, ...)
+      // would time as a bare parquet row-count with none of its md5/
+      // regex/tokenize work executed. Consuming the physical plan's own
+      // rows instead executes the query exactly as written — every
+      // output column evaluated, sorts kept — without paying a
+      // driver-side collect/deserialize that a cluster sink wouldn't.
+      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      catch { case e: Throwable =>
+        val tag = s"$name: ${e.getClass.getSimpleName}"
+        if (!errors.contains(tag)) errors += tag
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> dts.min
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operator-internal persists (minhash signatures, shingle rows) are
+      // per-query working state here; dropping them between queries keeps
+      // one query's cache from occupying the next one's executor storage.
+      // Outside the timed region: a long-lived session pays this once.
+      spark.sharedState.cacheManager.clearCache()
+      best.updateWith(name) {
+        case Some(prev) => Some(math.min(prev, dt))
+        case None       => Some(dt)
+      }
     }
+    val results = names.map(n => n -> best(n))
     val calibAfter = calibrate()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -929,6 +929,46 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_catalog_opendap" -> ((s, dir) => {
+      // the reference's opendap catalog workflow (its own
+      // noaa-pathfinder-opendap.json: a catalog_dict of opendap urls):
+      // open_esm_datastore(json) -> search -> to_dataset_dict with every
+      // asset served by the loopback DAP2 fixture. Two catalog rows point
+      // at the same dataset and join_new stamps `member`, so the full
+      // descriptor-parse + group + aggregate path runs over DAP2 assets;
+      // per-(member, variable) count/min/max recompute exactly from
+      // nation/region parquet in the oracle.
+      val base = graft.harness.Dap2Fixture.ensure(s, dir)
+      val json =
+        s"""{
+           |  "esmcat_version": "0.1.0",
+           |  "id": "graft-opendap",
+           |  "description": "loopback DAP2 fixture catalog (noaa-pathfinder-opendap shape)",
+           |  "assets": {"column_name": "path", "format": "opendap"},
+           |  "aggregation_control": {
+           |    "variable_column_name": "variable",
+           |    "groupby_attrs": ["kind"],
+           |    "aggregations": [{"type": "join_new", "attribute_name": "member"}]
+           |  },
+           |  "catalog_dict": [
+           |    {"kind": "grid", "member": 1, "variable": "key_sum", "path": "$base"},
+           |    {"kind": "grid", "member": 2, "variable": "key_sum", "path": "$base"}
+           |  ]
+           |}""".stripMargin
+      val jsonPath = s"/tmp/graft_opendap_cat_${tmpToken(dir)}.json"
+      Files.writeString(Paths.get(jsonPath), json)
+      val cat = graft.catalog.EsmCatalog.open(s, jsonPath,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords",
+            graft.sources.Dap2Index.MaxChunkBytesOption -> "64"))
+        .search(Map("kind" -> "grid"))
+      cat.toDatasetDict(Nil)("grid")
+        .groupBy(col("member"), col("variable"))
+        .agg(count(col("value")).as("n_values"),
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+        .orderBy("member", "variable")
+    }),
+
     "load_opendap" -> ((s, dir) => {
       // the reference's LAST DataFormat (cat.py:56-64; source.py:70-137
       // hands opendap urls to pydap): the native DAP2 client against a
@@ -2249,6 +2289,25 @@ object SparkEntry {
     // shuffle + deflate inverted by hand), no shared code with the Scala
     // reader. 73 rows = every element of five variables covering f8/f4/i4
     // dtypes, chunked+filtered and contiguous layouts, and a scalar.
+    // per-(member, variable) stats over the DAP2-served arrays, recomputed
+    // from the same nation/region parquet; member is the join_new-stamped
+    // string coordinate
+    "load_catalog_opendap" ->
+      """WITH m AS (SELECT 1 AS member UNION ALL SELECT 2),
+        |vals AS (
+        |  SELECT 'n_nationkey' AS variable, CAST(n_nationkey AS DOUBLE) AS value FROM nation
+        |  UNION ALL SELECT 'n_regionkey', CAST(n_regionkey AS DOUBLE) FROM nation
+        |  UNION ALL SELECT 'flag', CAST(n_nationkey % 3 AS DOUBLE) FROM nation
+        |  UNION ALL SELECT 'r_regionkey', CAST(r_regionkey AS DOUBLE) FROM region
+        |  UNION ALL SELECT 'key_sum', CAST(n_nationkey + r_regionkey AS DOUBLE)
+        |    FROM nation CROSS JOIN region
+        |)
+        |SELECT CAST(member AS VARCHAR) AS member, variable,
+        |       CAST(COUNT(*) AS BIGINT) AS n_values,
+        |       MIN(value) AS v_min, MAX(value) AS v_max
+        |FROM m CROSS JOIN vals
+        |GROUP BY 1, 2 ORDER BY member, variable""".stripMargin,
+
     // every value recomputed from the same nation/region parquet the
     // fixture server encodes — the wire (XDR counts, Int16 promotion, Byte
     // packing, IEEE big-endian) must be perfectly transparent

@@ -155,6 +155,14 @@ class Dap2Spec extends AnyFunSuite {
       whole.select(col("variable"), col("coords"), col("value")).collect().toSet)
   }
 
+  test("catalog flow: open_esm_datastore -> search -> to_dataset_dict over opendap assets") {
+    val got = SparkEntry.queries("load_catalog_opendap")(spark, dir).collect()
+    assert(got.length === 10) // 2 members x 5 variables
+    val keySum = got.filter(r => r.getString(1) == "key_sum")
+    assert(keySum.map(_.getString(0)).toSet === Set("1", "2"))
+    assert(keySum.forall(_.getLong(2) === 125L))
+  }
+
   test("openAsset dispatch: format 'opendap' reaches the DAP2 plane") {
     val base = Dap2Fixture.ensure(spark, dir)
     val src = graft.catalog.EsmDataSource("k", Nil, "path", None, Nil,
