@@ -172,6 +172,19 @@ object Bench {
     }
     val results = names.map(n => n -> best(n))
     val calibAfter = calibrate()
+    // streaming twins get a throughput number too (r6 verdict follow-up):
+    // rows/sec through the stateful sessionize and LSH near-dup paths over
+    // a bounded MemoryStream feed of the sf dir's own rows. Reported as an
+    // EXTRA field — the batch total (the 2× gate) is untouched. Opt out
+    // with SPARK_GRAFT_BENCH_STREAMING=0.
+    val streamingJson =
+      if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) ""
+      else
+        try s""""streaming":${streamingThroughput(spark, sfDir)},"""
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] streaming bench FAILED: ${e.getMessage}")
+          s""""streaming_error":"${e.getClass.getSimpleName}","""
+        }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
@@ -182,7 +195,7 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     } + "\""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      s""""samples":$samples,"calib_sec":[${fmt(calibBefore)},${fmt(calibAfter)}],"sf":$sfJson}"""
+      s"""$streamingJson"samples":$samples,"calib_sec":[${fmt(calibBefore)},${fmt(calibAfter)}],"sf":$sfJson}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -193,5 +206,65 @@ object Bench {
     // visible failure: the JSON line (with its errors array) is already out,
     // but a broken query must also fail the run, not just annotate it
     if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** Throughput of the stateful streaming twins over a bounded MemoryStream
+    * feed of the sf dir's own rows, as a JSON object fragment:
+    * `{"sessionize_rows_per_sec":N,"sessionize_rows":n,...}`.
+    *
+    * Feeds arrive in 5 chunks so the micro-batch machinery (state store
+    * commits, watermark advancement, timeout sweeps) is actually exercised
+    * rather than one giant batch. Input sizes are capped (50k events /
+    * 2k docs) — this measures per-row state-machine cost, not scan
+    * bandwidth, and the caps keep the driver-side feed bench-sized. */
+  private def streamingThroughput(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def fmt0(v: Double): String = String.format(java.util.Locale.ROOT, "%.0f", Double.box(v))
+
+    // --- sessionize twin (flatMapGroupsWithState + event-time timeouts)
+    val events = SparkEntry.events(spark, sfDir)
+      .select("user_id", "event_id", "us").orderBy("us").limit(50000)
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, e, us) => StreamingOps.Event(u, e, new java.sql.Timestamp(us), 0.0) }
+    val sessIn = MemoryStream[StreamingOps.Event]
+    val sessQ = StreamingOps.sessionize(sessIn.toDS(), gapMinutes = 30000,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("bench_stream_sess")
+      .outputMode("append").start()
+    val t0 = System.nanoTime()
+    events.grouped(math.max(1, events.length / 5)).foreach { chunk =>
+      sessIn.addData(chunk.toIndexedSeq)
+      sessQ.processAllAvailable()
+    }
+    val sessSec = (System.nanoTime() - t0) / 1e9
+    sessQ.stop()
+
+    // --- near-dup twin (row-local minhash + per-bucket state, TTL eviction)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").limit(2000)
+      .as[(Long, String)].collect()
+      .zipWithIndex.map { case ((id, text), i) =>
+        (id, text, new java.sql.Timestamp(1600000000000L + i * 1000L)) }
+    val dupIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val dupQ = StreamingOps.nearDupCollisions(
+        dupIn.toDS().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("bench_stream_dup")
+      .outputMode("append").start()
+    val t1 = System.nanoTime()
+    docs.grouped(math.max(1, docs.length / 5)).foreach { chunk =>
+      dupIn.addData(chunk.toIndexedSeq)
+      dupQ.processAllAvailable()
+    }
+    val dupSec = (System.nanoTime() - t1) / 1e9
+    dupQ.stop()
+
+    s"""{"sessionize_rows_per_sec":${fmt0(events.length / math.max(sessSec, 1e-9))},""" +
+      s""""sessionize_rows":${events.length},""" +
+      s""""neardup_docs_per_sec":${fmt0(docs.length / math.max(dupSec, 1e-9))},""" +
+      s""""neardup_docs":${docs.length}}"""
   }
 }
