@@ -195,10 +195,15 @@ object Dap2Index {
         val block = t.substring(nameEnd + 1, blockEnd)
         val attrs = attrRe.findAllMatchIn(block).map { m =>
           val raw = m.group(3).trim
+          // DAS attributes may be comma-separated LISTS (`Float64 range
+          // 0.0, 360.0;`) — a failed scalar parse keeps the raw text
+          // rather than refusing the whole document over an attribute
           val value: Any =
             if (raw.startsWith("\"")) raw.substring(1, raw.length - 1).replace("\\\"", "\"")
-            else if (m.group(1).startsWith("Float")) raw.toDouble
-            else raw.toLong
+            else if (m.group(1).startsWith("Float"))
+              try raw.toDouble catch { case _: NumberFormatException => raw }
+            else
+              try raw.toLong catch { case _: NumberFormatException => raw }
           m.group(2) -> value
         }.toMap
         out(varName) = attrs
@@ -337,10 +342,25 @@ object Dap2Index {
         val in = conn.getInputStream
         try in.readAllBytes() finally in.close()
       } finally conn.disconnect()
-    stripDods(body, url)
+    // the requested variable, from the constraint: `...dods?name[slab]...`
+    val wantVar = url.indexOf('?') match {
+      case -1 => None
+      case q  => Some(url.substring(q + 1).takeWhile(c => c != '[' && c != ',' && c != '&'))
+        .map(n => java.net.URLDecoder.decode(n, "UTF-8")).filter(_.nonEmpty)
+    }
+    stripDods(body, url, wantVar)
   }
 
-  private[graft] def stripDods(body: Array[Byte], url: String): Array[Byte] = {
+  /** Strip the DODS framing and return the requested variable's raw XDR
+    * payload. A server answering a Grid constraint returns the sliced Grid
+    * — array plus maps, several serialized variables — so the binary
+    * section is WALKED in projected-DDS order (each variable's byte span
+    * is fully determined by its counts/dims/type), and the span whose name
+    * matches `wantVar` is returned; with `wantVar` empty a single-variable
+    * response is required. Every span is length- and count-checked, so a
+    * malformed response refuses rather than mis-addressing. */
+  private[graft] def stripDods(body: Array[Byte], url: String,
+                               wantVar: Option[String] = None): Array[Byte] = {
     val marker = "\nData:\n".getBytes("US-ASCII")
     val at = indexOfSlice(body, marker)
     if (at < 0)
@@ -348,27 +368,37 @@ object Dap2Index {
         s"malformed DODS response from $url: missing 'Data:' separator")
     val ddsText = new String(body, 0, at, "US-ASCII")
     val projected = parseDds(ddsText)
-    require(projected.vars.size == 1,
+    require(wantVar.isDefined || projected.vars.size == 1,
       s"expected exactly one projected variable in the DODS response from $url, " +
         s"got ${projected.vars.map(_.name).mkString(", ")}")
-    val v = projected.vars.head
-    val expectElems = v.dims.map(_._2).product
-    val dataAt = at + marker.length
-    require(body.length - dataAt >= 8,
-      s"truncated DODS response from $url: no XDR count words")
     def u32(off: Int): Long =
       ((body(off) & 0xffL) << 24) | ((body(off + 1) & 0xffL) << 16) |
         ((body(off + 2) & 0xffL) << 8) | (body(off + 3) & 0xffL)
-    val n1 = u32(dataAt)
-    val n2 = u32(dataAt + 4)
-    require(n1 == expectElems && n2 == expectElems,
-      s"DODS count mismatch from $url: DDS declares $expectElems elements, " +
-        s"XDR counts are $n1/$n2")
-    val payloadLen = (expectElems * wireElemSize(v.dapType)).toInt
-    require(body.length - dataAt - 8 >= payloadLen,
-      s"truncated DODS response from $url: need $payloadLen payload bytes, " +
-        s"have ${body.length - dataAt - 8}")
-    java.util.Arrays.copyOfRange(body, dataAt + 8, dataAt + 8 + payloadLen)
+    var pos = at + marker.length
+    val want = wantVar.getOrElse(projected.vars.head.name)
+    projected.vars.foreach { v =>
+      val expectElems = v.dims.map(_._2).product
+      require(body.length - pos >= 8,
+        s"truncated DODS response from $url: no XDR count words for '${v.name}'")
+      val n1 = u32(pos)
+      val n2 = u32(pos + 4)
+      require(n1 == expectElems && n2 == expectElems,
+        s"DODS count mismatch from $url for '${v.name}': DDS declares " +
+          s"$expectElems elements, XDR counts are $n1/$n2")
+      val payloadLen = (expectElems * wireElemSize(v.dapType)).toInt
+      // Byte arrays pad to the 4-byte XDR boundary on the wire
+      val wireLen =
+        if (v.dapType == "Byte") (payloadLen + 3) / 4 * 4 else payloadLen
+      require(body.length - pos - 8 >= payloadLen,
+        s"truncated DODS response from $url: '${v.name}' needs $payloadLen " +
+          s"payload bytes, have ${body.length - pos - 8}")
+      if (v.name == want)
+        return java.util.Arrays.copyOfRange(body, pos + 8, pos + 8 + payloadLen)
+      pos += 8 + wireLen
+    }
+    throw new java.io.IOException(
+      s"DODS response from $url does not contain requested variable '$want' " +
+        s"(has: ${projected.vars.map(_.name).mkString(", ")})")
   }
 
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {

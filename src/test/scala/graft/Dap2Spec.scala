@@ -47,6 +47,34 @@ class Dap2Spec extends AnyFunSuite {
     assert(hex(Dap2Fixture.xdrArray("Float64", Array(3.5))) === golden)
   }
 
+  test("stripDods walks a multi-variable response (Grid answer) to the requested var") {
+    // a real server answering a Grid constraint returns array + maps; the
+    // requested var may sit AFTER other spans — incl. a padded Byte span
+    val dds = "Dataset {\n    Byte flags[x = 5];\n    Float64 t[t = 2];\n    Int32 v[x = 3];\n} g;\nData:\n"
+    val body = dds.getBytes("US-ASCII") ++
+      Dap2Fixture.xdrArray("Byte", Array(9, 8, 7, 6, 5).map(_.toDouble)) ++
+      Dap2Fixture.xdrArray("Float64", Array(1.5, 2.5)) ++
+      Dap2Fixture.xdrArray("Int32", Array(1.0, 2.0, 3.0))
+    assert(hex(Dap2Index.stripDods(body, "test://", Some("v"))) === "000000010000000200000003")
+    assert(hex(Dap2Index.stripDods(body, "test://", Some("flags"))) === "0908070605")
+    val e = intercept[java.io.IOException] {
+      Dap2Index.stripDods(body, "test://", Some("nope"))
+    }
+    assert(e.getMessage.contains("does not contain"))
+  }
+
+  test("DAS: comma-separated numeric lists degrade to raw text, not a refusal") {
+    val das = Dap2Index.parseDas(
+      """Attributes {
+        |    sst {
+        |        Float64 valid_range 0.0, 360.0;
+        |        Int32 code 7;
+        |    }
+        |}""".stripMargin)
+    assert(das("sst")("valid_range") === "0.0, 360.0")
+    assert(das("sst")("code") === 7L)
+  }
+
   test("stripDods refuses count mismatch and truncation loudly") {
     val enc = Dap2Fixture.xdrArray("Int32", Array(1.0, 2.0, 3.0))
     val lyingDds = ("Dataset {\n    Int32 v[x = 4];\n} d;\nData:\n").getBytes("US-ASCII")
