@@ -193,6 +193,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(np.contains("BroadcastHashJoin") && !np.contains("SortMergeJoin"), np.take(2000))
   }
 
+  test("DAP2 coords decode shares the broadcast-only shape; one exchange for the band fan-out") {
+    // the opendap plane reuses the same decode machinery: per-band fetches
+    // repartition once (the materialize fan-out), and every metadata join
+    // (.zarray shape/chunks + dims) broadcasts — no sort-merge join, no
+    // per-value shuffle
+    val base    = graft.harness.Dap2Fixture.ensure(spark, dir)
+    val entries = graft.sources.Dap2Index.read(spark, base,
+      Map(graft.sources.Dap2Index.MaxChunkBytesOption -> "64"))
+    val p = graft.sources.KerchunkIndex.decodeCoords(
+        graft.sources.Dap2Index.materialize(entries),
+        graft.sources.KerchunkIndex.arrayMeta(entries),
+        graft.sources.KerchunkIndex.attrDims(entries))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // broadcasts are fine; the only real shuffle is the materialize
+    // fan-out's round-robin repartition
+    assert("Exchange (hash|range|roundrobin)partitioning".r.findAllIn(p).size <= 1,
+      p.take(2000))
+  }
+
   test("pivot compiles to a single aggregate pass (no per-value scans)") {
     val p = plan("q_pivot")
     assert("FileScan".r.findAllIn(p).size == 1, p.take(2000))
