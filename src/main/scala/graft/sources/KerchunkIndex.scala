@@ -33,8 +33,16 @@ object KerchunkIndex {
     * inline_value). `variable` is "" for root-level keys; inline values keep
     * their `base64:` prefix when binary.
     */
-  def read(spark: SparkSession, path: String,
+  def read(spark: SparkSession, rawPath: String,
            storageOptions: Map[String, String] = Map.empty): DataFrame = {
+    // kerchunk reference documents are routinely HOSTED over https (the
+    // fsspec `reference://` chain the reference uses, source.py:82-96);
+    // the index json is the small catalog plane, so it rides the cached
+    // whole-file http fetch. The chunk byte-ranges it points at keep
+    // refusing http at the connector boundary (no seekable FS).
+    val path = if (HttpFetch.isHttp(rawPath))
+      HttpFetch.fetchCached(rawPath, HttpFetch.maxBytesFrom(storageOptions))
+    else rawPath
     val raw = spark.read.option("wholetext", "true").options(storageOptions).text(path)
     // variant_explode is a table-valued function — LATERAL over a scoped
     // temp view; the view entry can drop once the plan is analyzed

@@ -81,6 +81,31 @@ class HttpCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.get() === afterFirst, "cached open must not re-hit the server")
   }
 
+  test("kerchunk reference json over http: index parses; inline refs decode") {
+    // serve a minimal kerchunk doc from memory on a dedicated context
+    val doc =
+      """{"version": 1, "refs": {
+        |  ".zgroup": "{\"zarr_format\": 2}",
+        |  "v/.zarray": "{\"zarr_format\": 2, \"dtype\": \"<i4\", \"shape\": [2], \"chunks\": [2], \"compressor\": null, \"filters\": null, \"order\": \"C\"}",
+        |  "v/.zattrs": "{\"_ARRAY_DIMENSIONS\": [\"x\"]}",
+        |  "v/0": "base64:AQAAAAIAAAA="
+        |}}""".stripMargin
+    server.createContext("/kerchunk/index.json", { exchange =>
+      val bytes = doc.getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, bytes.length.toLong)
+      exchange.getResponseBody.write(bytes)
+      exchange.close()
+    })
+    val entries = graft.sources.KerchunkIndex.read(spark, s"$base/kerchunk/index.json")
+    assert(entries.count() === 4L)
+    val decoded = graft.sources.KerchunkIndex.decodeTyped(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries))
+    import org.apache.spark.sql.functions.col
+    assert(decoded.orderBy("idx").select("value").collect().map(_.getDouble(0)).toSeq
+      === Seq(1.0, 2.0))
+  }
+
   test("404 refuses with a status-bearing error") {
     val e = intercept[java.io.IOException] {
       HttpFetch.fetchCached(s"$base/no-such-catalog.json")
