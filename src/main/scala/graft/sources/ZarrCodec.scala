@@ -140,6 +140,22 @@ object ZarrCodec {
         out.toByteArray
       case "zstd" => BloscCodec.zstdDecompress(data, 0, data.length, -1)
       case "blosc" => BloscCodec.decompress(data) // blosclz/lz4/zstd/zlib/snappy + (bit)shuffle
+      case s if s == "crc32c" || s.endsWith("+crc32c") =>
+        // zarr v3 crc32c bytes→bytes codec (zarr-specs v3 crc32c): the last
+        // 4 stored bytes are the little-endian CRC32C of everything before
+        // them. Verify, strip, and hand the payload to the inner codec.
+        if (data.length < 4)
+          throw new IllegalArgumentException(
+            s"crc32c-coded chunk of ${data.length} bytes is shorter than its checksum")
+        val crc = new java.util.zip.CRC32C()
+        crc.update(data, 0, data.length - 4)
+        val stored = java.nio.ByteBuffer.wrap(data, data.length - 4, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt() & 0xffffffffL
+        if (stored != crc.getValue)
+          throw new IllegalArgumentException(
+            f"crc32c mismatch on chunk: stored 0x$stored%08x, computed 0x${crc.getValue}%08x")
+        decompress(java.util.Arrays.copyOf(data, data.length - 4),
+          s.stripSuffix("crc32c").stripSuffix("+"))
       case other =>
         throw new UnsupportedOperationException(
           s"zarr compressor '$other' needs an external codec library — " +

@@ -20,9 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the INNER chunk shape + inner codec chain, and each shard file expands
   * (one small index read per shard) into per-inner-chunk byte-range refs
   * that the plane's offset-banded positioned reads parallelize WITHIN the
-  * shard file. Codec chains beyond `bytes [+ gzip|zstd|blosc]` and
-  * sharding (transpose, crc32c data codecs, nested sharding) refuse
-  * loudly.
+  * shard file. A leading `transpose` (identity or full reversal) maps to
+  * C/F order, and a trailing `crc32c` checksum codec verifies-and-strips
+  * in [[ZarrCodec.decompress]]. Codec chains beyond
+  * `[transpose +] bytes [+ gzip|zstd|blosc] [+ crc32c]` and sharding
+  * (other permutations, nested sharding) refuse loudly.
   *
   * Spark-first shape: like [[NetCDF3Index]], the store becomes the entry
   * rows [[KerchunkIndex.read]] emits — metadata documents inlined, chunk
@@ -144,16 +146,28 @@ object ZarrDirectoryIndex {
             case (JString("sharding_indexed"), _) :: _ => refuse("nested sharding_indexed")
             case _ => refuse("codec chain must start with the 'bytes' codec")
           }
-          val compressor = rest match {
-            case Nil                          => "null"
-            case (JString("gzip"), _) :: Nil  => """{"id": "gzip"}"""
-            case (JString("zstd"), _) :: Nil  => """{"id": "zstd"}""" // v3's default compressor
-            case (JString("blosc"), _) :: Nil => """{"id": "blosc"}""" // frame self-describes
+          // a trailing crc32c bytes→bytes codec (checksum suffix on the
+          // stored bytes, zarr v3 spec) peels off here; ZarrCodec verifies
+          // and strips the 4-byte suffix before the inner codec runs
+          val (restInner, crcSuffix) = rest.reverse match {
+            case (JString("crc32c"), _) :: tl => (tl.reverse, true)
+            case _                            => (rest, false)
+          }
+          val baseId: Option[String] = restInner match {
+            case Nil                          => None
+            case (JString("gzip"), _) :: Nil  => Some("gzip")
+            case (JString("zstd"), _) :: Nil  => Some("zstd") // v3's default compressor
+            case (JString("blosc"), _) :: Nil => Some("blosc") // frame self-describes
             case other =>
               // unsupported chain: pass the codec ids through — ZarrCodec
               // refuses THIS variable's chunks loudly at decode time
-              val ids = other.map { case (JString(n), _) => n; case _ => "?" }.mkString("+")
-              s"""{"id": "${ids}"}"""
+              Some(other.map { case (JString(n), _) => n; case _ => "?" }.mkString("+"))
+          }
+          val compressor = (baseId, crcSuffix) match {
+            case (None, false)     => "null"
+            case (None, true)      => """{"id": "crc32c"}"""
+            case (Some(id), false) => s"""{"id": "$id"}"""
+            case (Some(id), true)  => s"""{"id": "$id+crc32c"}"""
           }
           (endian, compressor, order)
         }

@@ -426,7 +426,8 @@ class ReferenceFidelitySpec extends AnyFunSuite {
     assert(entries.filter(col("kind") === "ref").count() == 3) // t2m/0.0, t2m/0.1, step/0
     assert(entries.filter(col("member") === ".zarray").count() == 2)
     // refusals: a plain file is not a store; a v3 array with an unsupported
-    // codec chain (crc32c checksum) fails loudly at the connector boundary
+    // codec chain (bz2 needs an external library) fails loudly at the
+    // connector boundary
     val e1 = intercept[Exception](src.openAsset(spark, s"$store/.zgroup", "zarr"))
     assert(e1.getMessage.contains("not a directory"), e1.getMessage)
     val v3 = java.nio.file.Files.createTempDirectory("graft_zarr3bad")
@@ -434,7 +435,7 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
-        |            {"name": "crc32c"}]}""".stripMargin)
+        |            {"name": "bz2"}]}""".stripMargin)
     java.nio.file.Files.createDirectories(v3.resolve("c"))
     java.nio.file.Files.write(v3.resolve("c/0"), Array[Byte](1, 2, 3)) // fake chunk
     val e2 = intercept[Exception] {
@@ -494,13 +495,13 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       .putInt(6).putInt(9).array()
     java.nio.file.Files.write(dir.resolve("ok/c/0"), chunk)
     java.nio.file.Files.write(dir.resolve("ok/0"), Array[Byte](99, 99, 99, 99, 99, 99, 99, 99))
-    // 'bad': a crc32c-coded variable — must NOT poison the store's enumeration
+    // 'bad': a bz2-coded variable — must NOT poison the store's enumeration
     java.nio.file.Files.createDirectories(dir.resolve("bad"))
     java.nio.file.Files.writeString(dir.resolve("bad/zarr.json"),
       """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "int32",
         | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
         | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
-        |            {"name": "crc32c"}]}""".stripMargin)
+        |            {"name": "bz2"}]}""".stripMargin)
     val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
     // entry plane enumerates EVERYTHING, including the unsupported variable
     assert(entries.filter(col("variable") === "bad").count() == 2) // .zarray + .zattrs
@@ -527,6 +528,66 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
     val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.contains("endian"), msg)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
+  test("zarr v3 crc32c data codec: verify-and-strip for raw and gzip chains") {
+    def crcSuffix(payload: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32C(); crc.update(payload)
+      payload ++ java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr3_crc")
+    java.nio.file.Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    // 'raw': bytes + crc32c, int32 [3]
+    java.nio.file.Files.createDirectories(dir.resolve("raw/c"))
+    java.nio.file.Files.writeString(dir.resolve("raw/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [3], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [3]}},
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |            {"name": "crc32c"}]}""".stripMargin)
+    val rawPayload = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(11).putInt(22).putInt(33).array()
+    java.nio.file.Files.write(dir.resolve("raw/c/0"), crcSuffix(rawPayload))
+    // 'gz': bytes + gzip + crc32c, float64 [2] — checksum covers the
+    // COMPRESSED bytes (the codec chain order), not the plaintext
+    java.nio.file.Files.createDirectories(dir.resolve("gz/c"))
+    java.nio.file.Files.writeString(dir.resolve("gz/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2], "data_type": "float64",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2]}},
+        | "codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |            {"name": "gzip"}, {"name": "crc32c"}]}""".stripMargin)
+    val gzPlain = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(2.5).putDouble(-4.25).array()
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz  = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(gzPlain); gz.close(); bos.toByteArray
+    }
+    java.nio.file.Files.write(dir.resolve("gz/c/0"), crcSuffix(gzBytes))
+    val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    val byKey = rows.map(r => (r.getAs[String]("variable"),
+      r.getAs[scala.collection.Seq[Long]]("coords").head) -> r.getAs[Double]("value")).toMap
+    assert(byKey(("raw", 0L)) == 11.0 && byKey(("raw", 1L)) == 22.0 && byKey(("raw", 2L)) == 33.0)
+    assert(byKey(("gz", 0L)) == 2.5 && byKey(("gz", 1L)) == -4.25)
+    // a flipped payload bit fails the checksum loudly — no silent bad data
+    val corrupt = crcSuffix(rawPayload); corrupt(0) = (corrupt(0) ^ 1).toByte
+    java.nio.file.Files.write(dir.resolve("raw/c/0"), corrupt)
+    val e = intercept[Exception] {
+      graft.sources.KerchunkIndex.decodeCoords(
+        graft.sources.KerchunkIndex.materializeChunks(
+          graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)),
+        graft.sources.KerchunkIndex.arrayMeta(entries),
+        graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("crc32c mismatch"), msg)
     java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
       .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
