@@ -1363,6 +1363,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_substring" -> ((s, dir) => {
+      // ExactSubstr spans: every 8-token window seen more than once in the
+      // corpus, first occurrence canonical, the rest merged into maximal
+      // per-doc removal spans (the real pipeline uses ~50-token windows;
+      // 8 exercises multi-window merging on the ~54-token fixture docs)
+      Dedup.exactSubstringSpans(T(s, dir, "documents"), "text", "doc_id", windowTokens = 8)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "dedup_substring_clean" -> ((s, dir) => {
+      // the application of dedup_substring: corpus with those spans cut out
+      Dedup.removeSubstringSpans(T(s, dir, "documents"), "text", "doc_id", windowTokens = 8)
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingest shape: docs 250+ are the new batch, docs <250 the
       // standing corpus; bloom pre-filter + exact anti-join confirm
@@ -2832,6 +2847,69 @@ object SparkEntry {
         |FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
         |WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // ExactSubstr oracle: same window/canonical/merge derivation in plain
+    // SQL — case-preserving tokens (exact means byte-exact), windows of 8,
+    // canonical key doc_id*1e9+pos, gaps-and-islands merge per doc. The
+    // COALESCE(… + 1, -1) encodes "no previous span" (s >= 0 > -1 always
+    // starts an island), matching the Spark isNull branch.
+    "dedup_substring" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS sh,
+        |         doc_id * 1000000000 + (i - 1) AS k
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)),
+        |grp AS (SELECT sh, COUNT(*) AS c, MIN(k) AS canon FROM wins GROUP BY sh),
+        |marked AS (
+        |  SELECT w.doc_id, w.pos AS s, w.pos + 7 AS e
+        |  FROM wins w JOIN grp g ON w.sh = g.sh
+        |  WHERE g.c > 1 AND w.k <> g.canon),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, -1)
+        |              THEN 1 ELSE 0 END AS ni
+        |  FROM marked),
+        |num AS (SELECT doc_id, s, e,
+        |               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp_no
+        |        FROM isl)
+        |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+        |       CAST(MAX(e) AS BIGINT) AS span_end,
+        |       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+        |FROM num GROUP BY doc_id, grp_no
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_substring_clean" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+7], ' ') AS sh,
+        |         doc_id * 1000000000 + (i - 1) AS k
+        |  FROM toks, UNNEST(range(1, len(t) - 6)) AS r(i)),
+        |grp AS (SELECT sh, COUNT(*) AS c, MIN(k) AS canon FROM wins GROUP BY sh),
+        |marked AS (
+        |  SELECT w.doc_id, w.pos AS s, w.pos + 7 AS e
+        |  FROM wins w JOIN grp g ON w.sh = g.sh
+        |  WHERE g.c > 1 AND w.k <> g.canon),
+        |tokpos AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS tok
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok
+        |  FROM tokpos tp
+        |  WHERE NOT EXISTS (SELECT 1 FROM marked m
+        |                    WHERE m.doc_id = tp.doc_id AND tp.pos BETWEEN m.s AND m.e))
+        |SELECT d.doc_id,
+        |       COALESCE(kk.clean_text, '') AS clean_text,
+        |       CAST(COALESCE(kk.nk, 0) AS BIGINT) AS n_tokens_kept
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+        |         COUNT(*) AS nk
+        |  FROM kept GROUP BY doc_id) kk ON d.doc_id = kk.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT b.doc_id FROM documents b

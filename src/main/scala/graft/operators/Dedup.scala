@@ -483,4 +483,108 @@ object Dedup {
       .select(col("id_a"), col("id_b"), (col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact-substring duplicated spans, the ExactSubstr shape from the
+    * public dedup literature (Lee et al. 2022, arXiv:2107.06499): every
+    * window of `windowTokens` consecutive tokens that occurs more than
+    * once in the corpus is a duplicate; the lexicographically first
+    * occurrence (min (doc_id, pos)) survives, every other occurrence is
+    * marked for removal, and per doc the marked windows merge into maximal
+    * contiguous spans `[span_start, span_end]` (token indexes, inclusive).
+    *
+    * Scale shape — no suffix array, pure relational:
+    *  1. positional window strings via the zip_with slice chain (same
+    *     O(tokens) trick as [[wordShingles]], but positional: no distinct,
+    *     no lowercasing — "exact" means byte-exact tokens);
+    *  2. `groupBy(window)` with partial map-side aggregation collapses
+    *     each window's occurrences BEFORE the shuffle, and only windows
+    *     with count > 1 survive into the (small) duplicate side;
+    *  3. the join back marks non-canonical occurrences — AQE's skew-join
+    *     handles boilerplate windows with millions of occurrences;
+    *  4. one window function per doc merges overlapping/adjacent marks
+    *     (gaps-and-islands), partitioned by doc_id — never global.
+    *
+    * The canonical-occurrence key packs (doc_id, pos) into one long as
+    * `doc_id * 10^9 + pos` so `min` needs no struct ordering; a 10^9-token
+    * single document (~4 GB of text in one row) is out of scope long
+    * before the encoding would collide. */
+  def exactSubstringSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 50,
+  ): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val L = windowTokens
+    val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val toks = when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+    val base = df.select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
+    // positional L-gram strings: grams(i) = tokens i..i+L-1 joined by one
+    // space; tail positions without a full window null out and are dropped
+    // after the explode, so array index == token position throughout
+    val grams = (2 to L).foldLeft(col("t")) { (acc, i) =>
+      zip_with(acc, slice(col("t"), lit(i), greatest(size(col("t")) - (i - 1), lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val wins = base
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "sh")))
+      .where(col("sh").isNotNull)
+      .withColumn("k", col("doc_id") * lit(1000000000L) + col("pos"))
+    val dup = wins.groupBy("sh")
+      .agg(count(lit(1)).as("c"), min(col("k")).as("canon"))
+      .where(col("c") > 1)
+      .select("sh", "canon")
+    val marked = wins.join(dup, "sh")
+      .where(col("k") =!= col("canon"))
+      .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(L - 1)).as("e"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s", "e")
+    val prevMax = max(col("e")).over(byDoc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    val isl = marked
+      .withColumn("new_isl",
+        when(prevMax.isNull || col("s") > prevMax + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(byDoc))
+    isl.groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select(col("doc_id"),
+        col("s").cast(LongType).as("span_start"),
+        col("e").cast(LongType).as("span_end"),
+        (col("e") - col("s") + 1).cast(LongType).as("span_tokens"))
+  }
+
+  /** Companion application of [[exactSubstringSpans]]: the corpus with the
+    * duplicated spans cut out. Tokens whose position falls inside any of
+    * the doc's spans drop; the rest re-join with single spaces. The span
+    * side is grouped to one row per doc (an array of few spans) before the
+    * join, so the join key is unique and the corpus row count is
+    * preserved — docs without spans pass through unchanged. */
+  def removeSubstringSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      windowTokens: Int = 50,
+  ): DataFrame = {
+    val spans = exactSubstringSpans(df, textCol, idCol, windowTokens)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("spans"))
+    val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val toks = when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+    df.withColumn("__did", col(idCol).cast("long"))
+      .join(spans, col("__did") === spans("doc_id"), "left")
+      .withColumn("__kept",
+        when(col("spans").isNull, toks).otherwise(
+          filter(zip_with(toks,
+              sequence(lit(0), greatest(size(toks) - 1, lit(0))),
+              (tok, i) => when(
+                exists(col("spans"), sp => i >= sp("s") && i <= sp("e")),
+                lit(null).cast(StringType)).otherwise(tok)),
+            x => x.isNotNull)))
+      .select(col("__did").as("doc_id"),
+        array_join(col("__kept"), " ").as("clean_text"),
+        size(col("__kept")).cast(LongType).as("n_tokens_kept"))
+  }
 }

@@ -97,6 +97,36 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
   }
 
+  test("exact-substring spans: canonical survives, cross-doc and internal repeats merge") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),       // canonical source for the shared run
+      (2L, "x y a b c d e q r"),     // contains d1's "a b c d e" → windows at pos 2,3,4
+      (3L, "c d e c d e m n"),       // internal repeat + cross-doc: pos 0 and 3 both marked
+      (4L, "p q"),                   // shorter than the window: no windows at all
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(corpus, "text", "doc_id", windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // d1 is the first occurrence of every shared window → never marked;
+    // d2's three overlapping windows merge to [2,6]; d3's two occurrences
+    // of "c d e" ([0,2] and [3,5]) are ADJACENT and merge to [0,5]
+    assert(spans.toSet == Set((2L, 2L, 6L, 5L), (3L, 0L, 5L, 6L)), spans.mkString(";"))
+  }
+
+  test("exact-substring removal: spans cut out, untouched docs pass through") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y a b c d e q r"),
+      (3L, "c d e c d e m n"),
+      (4L, "p q"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeSubstringSpans(corpus, "text", "doc_id", windowTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c d e f g h", 8L)))
+    assert(out(2L) == (("x y q r", 4L)))
+    assert(out(3L) == (("m n", 2L)))
+    assert(out(4L) == (("p q", 2L)))
+  }
+
   test("decontaminate: flagged + kept partition the train set; threshold honored") {
     val eval = Seq((100L, "the quick brown fox jumps over the lazy dog", "e"))
       .toDF("doc_id", "text", "source")
