@@ -20,7 +20,8 @@ object Bench {
     "ann_ivf_topk", "text_quality", "events_sessionize", "events_asof_join",
     "multimodal_frames", "pipeline_clean_corpus", "dedup_embedding",
     "pipeline_chunk_docs", "pipeline_decontaminate", "events_funnel",
-    "q_sketch_stats", "text_repetition", "scan_kerchunk_reference")
+    "q_sketch_stats", "text_repetition", "scan_kerchunk_reference",
+    "dedup_substring")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -493,9 +493,9 @@ object Dedup {
     * contiguous spans `[span_start, span_end]` (token indexes, inclusive).
     *
     * Scale shape — no suffix array, pure relational:
-    *  1. positional window strings via the zip_with slice chain (same
-    *     O(tokens) trick as [[wordShingles]], but positional: no distinct,
-    *     no lowercasing — "exact" means byte-exact tokens);
+    *  1. positional window strings via exploded tokens + lead() over the
+    *     per-doc window (the [[shingleRows]] shape, kept codegen'd; no
+    *     distinct, no lowercasing — "exact" means byte-exact tokens);
     *  2. `groupBy(window)` with partial map-side aggregation collapses
     *     each window's occurrences BEFORE the shuffle, and only windows
     *     with count > 1 survive into the (small) duplicate side;
@@ -513,24 +513,34 @@ object Dedup {
       textCol: String,
       idCol: String,
       windowTokens: Int = 50,
+      winStorage: StorageLevel = StorageLevel.DISK_ONLY,
+      scope: CacheScope = CacheScope.untracked,
   ): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
     val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
-    val toks = when(length(trimmed) === 0, array().cast("array<string>"))
-      .otherwise(split(trimmed, "\\s+"))
-    val base = df.select(col(idCol).cast("long").as("doc_id"), toks.as("t"))
-    // positional L-gram strings: grams(i) = tokens i..i+L-1 joined by one
-    // space; tail positions without a full window null out and are dropped
-    // after the explode, so array index == token position throughout
-    val grams = (2 to L).foldLeft(col("t")) { (acc, i) =>
-      zip_with(acc, slice(col("t"), lit(i), greatest(size(col("t")) - (i - 1), lit(0))),
-        (a, b) => concat(a, lit(" "), b))
+    // positional L-gram strings, built like [[shingleRows]]: explode tokens
+    // (posexplode index == token position — a trimmed \s+ split emits no
+    // empties), then lead() over the per-doc window. Stays whole-stage
+    // codegen'd end to end, unlike a zip_with slice chain (higher-order
+    // functions are interpreted — benched ~3 s vs ~0.4 s at sf0.1).
+    // Persisted because BOTH the duplicate-group aggregate and the
+    // mark-back join consume it — without the cache the explode (and its
+    // per-doc window shuffle) runs twice.
+    val byDocPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    var d = df.select(col(idCol).cast("long").as("doc_id"),
+      posexplode(when(length(trimmed) === 0, array().cast("array<string>"))
+        .otherwise(split(trimmed, "\\s+"))))
+    val leadCols = (1 until L).map { i =>
+      d = d.withColumn(s"__l$i", lead(col("col"), i).over(byDocPos)); col(s"__l$i")
     }
-    val wins = base
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "sh")))
-      .where(col("sh").isNotNull)
-      .withColumn("k", col("doc_id") * lit(1000000000L) + col("pos"))
+    val wins = scope.persisted(
+      d.filter(col(s"__l${L - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", (col("col") +: leadCols): _*).as("sh"),
+          (col("doc_id") * lit(1000000000L) + col("pos")).as("k")),
+      winStorage)
     val dup = wins.groupBy("sh")
       .agg(count(lit(1)).as("c"), min(col("k")).as("canon"))
       .where(col("c") > 1)
