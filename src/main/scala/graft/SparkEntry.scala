@@ -1521,6 +1521,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_zipf_surprisal" -> ((s, dir) => {
+      // unigram-LM quality scoring in the exact integer domain (bit-length
+      // of corpus-frequency rank); vocabK = 16 on the 31-type fixture vocab
+      // so roughly half the token stream is genuinely OOV
+      TextAnalysis.zipfSurprisal(T(s, dir, "documents"), "text", "doc_id", vocabK = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "text_pii_scrub" -> ((s, dir) => {
       // The corpus is synthetic and clean, so the query plants one of each
       // PII shape per doc and scrubs it — the oracle runs the SAME
@@ -3070,6 +3079,30 @@ object SparkEntry {
         |bgf AS (SELECT doc_id, 1.0 - CAST(count(DISTINCT sh) AS DOUBLE) / count(*) AS dup_bigram_frac FROM bg GROUP BY 1)
         |SELECT tok.doc_id AS doc_id, top_token_frac, dup_bigram_frac
         |FROM tok JOIN bgf ON tok.doc_id = bgf.doc_id ORDER BY doc_id""".stripMargin,
+
+    // Zipf-surprisal: identical rank/bit-length derivation — bit length of
+    // rank r is length(printf('%b', r)) here vs length(conv(rank,10,2)) in
+    // Spark, both exactly floor(log2 r)+1; the single final division of
+    // identical integers is the only float op, so hashes match exactly.
+    // OOV pays bitlen(16)+1 = 6.
+    "text_zipf_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        |ranked AS (
+        |  SELECT t, length(printf('%b', rn)) AS bits FROM (
+        |    SELECT t, CAST(row_number() OVER (ORDER BY c DESC, t ASC) AS INT) AS rn
+        |    FROM counts) WHERE rn <= 16),
+        |scored AS (
+        |  SELECT k.doc_id, COUNT(*) AS n_tokens,
+        |         SUM(CASE WHEN r.bits IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |         SUM(COALESCE(r.bits, 6)) AS sum_bits
+        |  FROM toks k LEFT JOIN ranked r ON k.t = r.t GROUP BY k.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(n_oov AS BIGINT) AS n_oov,
+        |       CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_bits
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // the oracle runs the SAME RE2-compatible patterns (with DuckDB's 'g'
     // flag matching Spark's replace-all default)

@@ -124,6 +124,49 @@ object TextAnalysis {
     * map-side-combined groupBys; the shuffles carry (doc, token/bigram)
     * partial counts — short keys, never whole documents.
     */
+  /** Zipf-surprisal quality scoring — a KenLM-style unigram LM score made
+    * engine-portable by staying in exact integer arithmetic. Tokens rank
+    * by corpus frequency (count desc, token asc: deterministic ties);
+    * vocab = the top `vocabK`; surprisal(token) = bit length of its rank,
+    * i.e. floor(log2 r) + 1, which under Zipf's law tracks the true
+    * unigram -log2 p(token) to within half a bit plus a corpus-wide
+    * constant that cancels when COMPARING docs (the only use of an LM
+    * quality score). OOV tokens pay bitlen(vocabK) + 1 — one bit past the
+    * rarest in-vocab rank. A float ln-based score would hash-differ
+    * across engines (JIT log intrinsics, float-sum ordering); bit lengths
+    * and one final division are bit-identical everywhere.
+    *
+    * Per doc: (id, n_tokens, n_oov, mean_bits). Docs with zero tokens
+    * have no surprisal and drop (the [[repetitionSignals]] convention).
+    *
+    * Scale: token counts aggregate with map-side partial agg; top-K is a
+    * distributed TakeOrdered (never a global sort); ranks come from a
+    * window over the K-row vocab (bounded by the constant K, not by
+    * data); the vocab broadcasts into the token stream; the per-doc
+    * aggregate shuffles integers only. */
+  def zipfSurprisal(df: DataFrame, textCol: String, idCol: String,
+                    vocabK: Int = 4096): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val oovBits = 64 - java.lang.Long.numberOfLeadingZeros(vocabK.toLong) + 1
+    val toks = df.select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("t").asc)
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(vocabK)
+      .withColumn("rank", row_number().over(byFreq)) // K rows — bounded
+      .select(col("t"), length(conv(col("rank"), 10, 2)).as("bits"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("bits").isNull, 1).otherwise(0)).as("n_oov"),
+        sum(coalesce(col("bits"), lit(oovBits))).as("sum_bits"))
+      .select(col("id"),
+        col("n_tokens").cast(LongType).as("n_tokens"),
+        col("n_oov").cast(LongType).as("n_oov"),
+        (col("sum_bits").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("mean_bits"))
+  }
+
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))

@@ -415,6 +415,19 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("zipf surprisal: ranks by frequency, ties on token, OOV pays bitlen(K)+1") {
+    val df = Seq(
+      (1L, "a a a b"), // all top-vocab: 3×bits(rank 1=1) + bits(rank 2=2)
+      (2L, "a b c"),   // ranks 1, 2, 4 → bits 1+2+3
+      (3L, "z z q"),   // z rank 3 (count 2, after b by token order); q OOV → 4 bits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.zipfSurprisal(df, "text", "doc_id", vocabK = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 0L, 1.25)))
+    assert(out(2L) == ((3L, 0L, 2.0)))
+    assert(out(3L) == ((3L, 1L, 8.0 / 3.0)))
+  }
+
   test("language id on obvious sentences") {
     val df = Seq(
       (1, "the cat and the dog is in the house for the winter"),
