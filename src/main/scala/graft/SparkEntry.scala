@@ -444,6 +444,61 @@ object SparkEntry {
     * float32 [4] vector compressed with zstd — v3's DEFAULT compressor.
     * Values encode their coordinates (t*100+x, i*0.5-1, i*2.5+1) for the
     * range-join oracle. */
+  /** Deterministic HDF5 layout-v4 fixture (see [[graft.harness.Hdf5V4Fixture]]):
+    * `ea` — an 18-element extensible-array-indexed record variable with
+    * value(i) = i; `fap` — a paged fixed array over [10] with page 1
+    * never written (coords 4..7 are fill-absent), value(i) = i; `bt` — a
+    * [4,4] v2-btree-indexed grid where chunk k carries k*100 + local
+    * offset. Bytes are pure functions of these formulas, so rewriting on
+    * a missing file is always safe. */
+  def ensureHdf5V4Fixture(): String = {
+    val out = Paths.get("/tmp/graft_h5v4_fixture.nc")
+    this.synchronized {
+      if (!Files.exists(out)) {
+        import graft.harness.Hdf5V4Fixture._
+        val UNDEF = -1L
+        val bytes = file { s =>
+          val eaChunks = (0 until 9).map { k =>
+            val at = s.pos; s.bytes(i32(k * 2, k * 2 + 1)); at
+          }
+          val eaHdr = extensibleArray(s, maxBits = 4, idxElmts = 2, minPtrs = 2,
+            minElmts = 2, pageBits = 3, elems = eaChunks)
+          val ea = ohdr(s, Seq(
+            0x01 -> dataspace2(Seq(18), maxDims = Seq(-1L)), 0x03 -> dtInt32,
+            0x08 -> layoutV4(Seq(2), 4, eaHdr, eaCfg = (4, 2, 2, 2, 3))))
+          val c0 = s.pos; s.bytes(i32(0, 1))
+          val c1 = s.pos; s.bytes(i32(2, 3))
+          val c4 = s.pos; s.bytes(i32(8, 9))
+          val fapHdr = fixedArray(s, clientId = 0, entrySize = 8, pageBits = 1,
+            Seq((c0, 0L), (c1, 0L), (UNDEF, 0L), (UNDEF, 0L), (c4, 0L)),
+            pagesPresent = Seq(true, false, true))
+          val fap = ohdr(s, Seq(
+            0x01 -> dataspace2(Seq(10)), 0x03 -> dtInt32,
+            0x08 -> layoutV4(Seq(2), 3, fapHdr)))
+          val btChunks = (0 until 4).map { k =>
+            val at = s.pos
+            s.bytes(i32(k * 100, k * 100 + 1, k * 100 + 2, k * 100 + 3)); at
+          }
+          val recs10 = (0 until 4).map { k =>
+            val t = new Sink
+            t.u64(btChunks(k)); t.u64(k / 2); t.u64(k % 2)
+            t.result()
+          }
+          val btHdr = btree2(s, recordType = 10, recSize = 24, recs10)
+          val bt = ohdr(s, Seq(
+            0x01 -> dataspace2(Seq(4, 4)), 0x03 -> dtInt32,
+            0x08 -> layoutV4(Seq(2, 2), 5, btHdr)))
+          Seq("ea" -> ea, "fap" -> fap, "bt" -> bt)
+        }
+        val tmp = Files.createTempFile(out.getParent, "graft_h5v4_", ".tmp")
+        Files.write(tmp, bytes)
+        Files.move(tmp, out, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    out.toString
+  }
+
   def ensureZarrV3Fixture(): String = {
     val out = Paths.get("/tmp/graft_zarr_v3_fixture_v2")
     this.synchronized {
@@ -1025,6 +1080,23 @@ object SparkEntry {
         .filter(col("variable").isin("TLAT", "TLONG", "KMT", "dz", "grav"))
         .select(col("variable"),
           array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "load_netcdf4_v4" -> ((s, _) => {
+      // HDF5 1.10+ "latest format" (data layout v4): a deterministic
+      // hand-encoded fixture covering the three non-trivial chunk index
+      // types — extensible array (record variable), paged fixed array
+      // (with an unwritten page = fill), and a v2-btree chunk index —
+      // through the same openAsset dispatch as any .nc asset. The oracle
+      // re-generates every value from the fixture's closed-form formulas.
+      val nc = ensureHdf5V4Fixture()
+      graft.catalog.EsmDataSource("n4v4", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, nc, "netcdf")
+        .select(col("variable"),
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
           col("value"))
         .orderBy("variable", "coord_key")
@@ -2353,6 +2425,24 @@ object SparkEntry {
         |  SELECT 'key_sum', 'nation.region', CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
         |         CAST(n_nationkey + r_regionkey AS DOUBLE) FROM nk CROSS JOIN rk
         |) ORDER BY variable, coord_key""".stripMargin,
+
+    // every value in the v4 fixture is a closed-form function of its
+    // coordinates (see ensureHdf5V4Fixture's scaladoc) — the oracle
+    // regenerates them from range() instead of trusting any parser
+    "load_netcdf4_v4" ->
+      """WITH ea AS (
+        |  SELECT 'ea' AS variable, CAST(i AS VARCHAR) AS coord_key, CAST(i AS DOUBLE) AS value
+        |  FROM range(0, 18) r(i)),
+        |fap AS (
+        |  SELECT 'fap' AS variable, CAST(i AS VARCHAR) AS coord_key, CAST(i AS DOUBLE) AS value
+        |  FROM range(0, 10) r(i) WHERE i NOT IN (4, 5, 6, 7)),
+        |bt AS (
+        |  SELECT 'bt' AS variable,
+        |         CAST(a.r AS VARCHAR) || '.' || CAST(b.c AS VARCHAR) AS coord_key,
+        |         CAST(((a.r // 2) * 2 + (b.c // 2)) * 100 + (a.r % 2) * 2 + (b.c % 2) AS DOUBLE) AS value
+        |  FROM range(0, 4) a(r), range(0, 4) b(c))
+        |SELECT * FROM (SELECT * FROM ea UNION ALL SELECT * FROM fap UNION ALL SELECT * FROM bt)
+        |ORDER BY variable, coord_key""".stripMargin,
 
     "load_netcdf4" ->
       """SELECT variable, dims, coord_key, CAST(value AS DOUBLE) AS value FROM (VALUES
