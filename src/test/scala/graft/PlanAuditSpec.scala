@@ -238,4 +238,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
+
+  test("exact-substring dedup: partial agg on the window key, no nested-loop mark-back") {
+    // the duplicate-group aggregate must keep its map-side partial phase
+    // (two HashAggregates around one exchange on sh) so each window's
+    // occurrences collapse BEFORE the shuffle; the mark-back join must be
+    // a hash join (broadcast here; SMJ with AQE skew handling at scale is
+    // also fine — never a nested loop)
+    val p = plan("dedup_substring")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2500))
+    // the span merge is one per-doc window partition — the sort feeding it
+    // must be a local sort under a doc_id exchange, not a global sort
+    assert(p.contains("Window"), p.take(2500))
+  }
+
+  test("zipf surprisal: distributed top-K vocab, broadcast into the token stream") {
+    val p = plan("text_zipf_surprisal")
+    // the vocab selection must be a TakeOrdered (distributed top-K), never
+    // a full global sort of the vocabulary
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    // the K-row vocab joins the exploded token stream by broadcast — a
+    // shuffled join here would move the whole corpus token stream twice
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
 }
