@@ -170,6 +170,82 @@ object StreamingOps {
       }
   }
 
+  final case class WinRow(key: Long, doc_id: Long, pos: Int, ts: java.sql.Timestamp)
+  final case class WinState(firstDoc: Long, firstPos: Int, lastMs: Long)
+  final case class WindowHit(doc_id: Long, pos: Int, first_doc_id: Long,
+                             ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.Dedup.exactSubstringSpans]]: each
+    * L-token window of an arriving document hashes to a 64-bit key; state
+    * remembers the first (doc, pos) that claimed the key, and every later
+    * occurrence emits a [[WindowHit]] — the streaming analogue of the
+    * batch operator's non-canonical marks (merge hits into spans
+    * downstream, exactly like the batch gaps-and-islands stage).
+    *
+    * Windows are built ROW-LOCALLY with the zip_with slice chain — the
+    * batch operator's lead()-over-doc construction is a non-time window
+    * function, which streaming rejects; per-arriving-row the interpreted
+    * chain is fine. Keys are xxhash64 of the window text, so hits are
+    * CANDIDATES with a ~2^-64 per-pair false-hit rate (the same
+    * by-construction trade the LSH twin makes, with far better odds).
+    * State: one (key) → (first doc, pos, last-seen ms) entry, evicted
+    * `ttlMinutes` after the key's last hit — duplicates of text older
+    * than the TTL fall to the batch operator, the explicit
+    * recall/memory trade of every streaming dedup here. */
+  def duplicatedWindowHits(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
+                           windowTokens: Int = 8, watermark: String = "10 minutes",
+                           ttlMinutes: Int = 60): Dataset[WindowHit] = {
+    import docs.sparkSession.implicits._
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val L = windowTokens
+    val ttlMs = ttlMinutes.toLong * 60L * 1000L
+    val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
+    val toks = when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"), toks.as("__t"))
+      .select(col("doc_id"), col("ts"),
+        (2 to L).foldLeft(col("__t")) { (acc, i) =>
+          zip_with(acc, slice(col("__t"), lit(i), greatest(size(col("__t")) - (i - 1), lit(0))),
+            (a, b) => concat(a, lit(" "), b))
+        }.as("__grams"))
+      .select(col("doc_id"), col("ts"), posexplode(col("__grams")))
+      .where(col("col").isNotNull)
+      .select(xxhash64(col("col")).as("key"), col("doc_id"),
+        col("pos").cast("int").as("pos"), col("ts"))
+      .as[WinRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[WinState, WindowHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: Long, rows: Iterator[WinRow], state: GroupState[WinState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // same-batch arrivals order by (ts, doc, pos) so the canonical
+            // claimant matches the batch operator's min-(doc, pos) choice
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id, r.pos))
+            var st  = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[WindowHit]
+            sorted.foreach { r =>
+              st match {
+                case Some(s) =>
+                  if (s.firstDoc != r.doc_id || s.firstPos != r.pos)
+                    out += WindowHit(r.doc_id, r.pos, s.firstDoc, r.ts)
+                  st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
+                case None =>
+                  st = Some(WinState(r.doc_id, r.pos, r.ts.getTime))
+              }
+            }
+            state.update(st.get)
+            state.setTimeoutTimestamp(
+              math.max(st.get.lastMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastUs: Long, nEvents: Long, firstUs: Long)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, first_us: Long, last_us: Long)

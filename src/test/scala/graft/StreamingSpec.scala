@@ -348,6 +348,86 @@ class StreamingSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"verified pairs not covered by streaming collisions: ${missed.take(5).toSeq}")
   }
 
+  test("streaming window hits: first claim wins, TTL forgets old windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base  = "a b c d e f g h"
+    val other = "q r s t u v w x"
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.duplicatedWindowHits(stream, "text", "doc_id", "ts",
+        windowTokens = 3, watermark = "0 seconds", ttlMinutes = 60)
+      .writeStream.format("memory").queryName("winhits_ttl").outputMode("append").start()
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, base),
+      (Timestamp.valueOf("2024-01-01 10:00:30"), 2L, other))
+    q.processAllAvailable()
+    // an exact duplicate inside the TTL: every one of its 6 windows hits doc 1
+    input.addData((Timestamp.valueOf("2024-01-01 10:05:00"), 3L, base))
+    q.processAllAvailable()
+    def hits = spark.table("winhits_ttl")
+      .select("doc_id", "first_doc_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((3L, 1L)), hits)
+    assert(spark.table("winhits_ttl").count() == 6) // windows 0..5 of doc 3
+    // push the watermark far past the TTL: the window state evicts, the
+    // same text claims fresh, and the NEXT twin hits the new claimant
+    input.addData((Timestamp.valueOf("2024-01-03 00:00:00"), 99L,
+      "sentinel words advancing the watermark beyond the ttl boundary now"))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-03 00:01:00"), 4L, base))
+    q.processAllAvailable()
+    assert(hits == Set((3L, 1L)), hits)
+    input.addData((Timestamp.valueOf("2024-01-03 00:02:00"), 5L, base))
+    q.processAllAvailable()
+    q.stop()
+    assert(hits == Set((3L, 1L), (5L, 4L)), hits)
+  }
+
+  test("streaming window hits match batch substring spans on real documents (sf0.001)") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val L = 8
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // one micro-batch, identical timestamps: the stateful sort falls back
+    // to (doc_id, pos), exactly the batch operator's canonical choice
+    val ts0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val timed = docs.orderBy("doc_id").as[(Long, String)].collect()
+      .map { case (id, text) => (ts0, id, text) }
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val stream = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.duplicatedWindowHits(stream, "text", "doc_id", "ts",
+        windowTokens = L, watermark = "0 seconds", ttlMinutes = 60)
+      .writeStream.format("memory").queryName("winhits").outputMode("append").start()
+    input.addData(timed.toIndexedSeq)
+    q.processAllAvailable()
+    val hits = spark.table("winhits").select("doc_id", "pos")
+      .as[(Long, Int)].collect()
+    q.stop()
+    // merge hits into per-doc spans (the batch operator's islands stage,
+    // in-test over a few hundred rows) and compare with the batch spans
+    val streamedSpans = hits.groupBy(_._1).flatMap { case (doc, ps) =>
+      val sorted = ps.map(_._2).distinct.sorted
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      sorted.foreach { p =>
+        val s = p.toLong; val e = p.toLong + L - 1
+        if (spans.nonEmpty && s <= spans.last._2 + 1)
+          spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, e), 0L)
+        else spans += ((s, e, 0L))
+      }
+      spans.map(sp => (doc, sp._1, sp._2))
+    }.toSet
+    val batchSpans = Dedup.exactSubstringSpans(docs, "text", "doc_id", windowTokens = L)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batchSpans.nonEmpty, "parity fixture produced no duplicated spans")
+    assert(streamedSpans == batchSpans,
+      s"stream=${streamedSpans.size} batch=${batchSpans.size} " +
+        s"diff=${(streamedSpans diff batchSpans).take(3)} ${(batchSpans diff streamedSpans).take(3)}")
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
