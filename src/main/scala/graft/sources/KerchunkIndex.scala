@@ -229,6 +229,11 @@ object KerchunkIndex {
         // in-chunk element order: "C" (row-major, the default) or "F" —
         // absent means C (kerchunk refs often omit it)
         coalesce(get_json_object(col("inline_value"), "$.order"), lit("C")).as("order"),
+        // stored-axis permutation for a zarr v3 transpose codec that is
+        // neither identity nor full reversal (ZarrDirectoryIndex embeds
+        // it); null for every plain C/F array
+        from_json(get_json_object(col("inline_value"), "$._graft_perm"),
+          ArrayType(LongType)).as("perm"),
       )
 
   /** Dimension names per variable from the `.zattrs` `_ARRAY_DIMENSIONS`
@@ -274,7 +279,17 @@ object KerchunkIndex {
         slice(col("chunks"), d + lit(2), size(col("chunks"))), lit(1L), (a, x) => a * x)
       val strideF = aggregate(
         slice(col("chunks"), lit(1), d), lit(1L), (a, x) => a * x)
-      val stride = when(col("order") === "F", strideF).otherwise(strideC)
+      // general stored-axis permutation (a v3 transpose that is neither
+      // identity nor reversal): stored axis k holds logical dim perm[k],
+      // so the stored chunk shape is perm-gathered and logical dim d
+      // reads stored axis k = position of d in perm, with C strides over
+      // the STORED shape
+      val storedChunks = transform(col("perm"), p => get(col("chunks"), p.cast("int")))
+      val k = (array_position(col("perm"), d.cast("long")) - 1).cast("int")
+      val strideP = aggregate(
+        slice(storedChunks, k + lit(2), size(storedChunks)), lit(1L), (a, x) => a * x)
+      val stride = when(col("perm").isNotNull, strideP)
+        .when(col("order") === "F", strideF).otherwise(strideC)
       val local = call_function("div", col("idx").cast("long"), stride) % get(col("chunks"), d)
       get(grid, d) * get(col("chunks"), d) + local
     })
@@ -282,7 +297,7 @@ object KerchunkIndex {
       transform(sequence(lit(0), size(col("chunks")) - 1), d => concat(lit("dim"), d)))
     decodeTyped(chunks, meta)
       .join(broadcast(meta.select(col("variable"), col("shape"), col("chunks"),
-        coalesce(col("order"), lit("C")).as("order"))), Seq("variable"))
+        coalesce(col("order"), lit("C")).as("order"), col("perm"))), Seq("variable"))
       .join(broadcast(dims), Seq("variable"), "left")
       .filter(coalesce(assert_true(col("order").isin("C", "F"),
         concat(lit("zarr variable '"), col("variable"), lit("' declares order '"),

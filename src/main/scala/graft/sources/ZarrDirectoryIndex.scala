@@ -20,11 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the INNER chunk shape + inner codec chain, and each shard file expands
   * (one small index read per shard) into per-inner-chunk byte-range refs
   * that the plane's offset-banded positioned reads parallelize WITHIN the
-  * shard file. A leading `transpose` (identity or full reversal) maps to
-  * C/F order, and a trailing `crc32c` checksum codec verifies-and-strips
-  * in [[ZarrCodec.decompress]]. Codec chains beyond
-  * `[transpose +] bytes [+ gzip|zstd|blosc] [+ crc32c]` and sharding
-  * (other permutations, nested sharding) refuse loudly.
+  * shard file. A leading `transpose` codec is fully supported: identity
+  * and full reversal map to C/F order, and any other permutation rides
+  * the synthesized `.zarray` as `_graft_perm` for the decode plane's
+  * permuted-stride addressing. A trailing `crc32c` checksum codec
+  * verifies-and-strips in [[ZarrCodec.decompress]]. Codec chains beyond
+  * `[transpose +] bytes [+ gzip|zstd|blosc] [+ crc32c]` and nested
+  * sharding refuse loudly.
   *
   * Spark-first shape: like [[NetCDF3Index]], the store becomes the entry
   * rows [[KerchunkIndex.read]] emits — metadata documents inlined, chunk
@@ -120,21 +122,26 @@ object ZarrDirectoryIndex {
           case _          => refuse("missing codecs list")
         }
         // a codec chain (outer, or sharding's inner) → (endian, v2
-        // compressor, element order). An optional leading `transpose`
-        // array→array codec translates by its permutation: identity → "C",
-        // full reversal → column-major storage → v2 order "F"; any other
-        // permutation has no v2-plane equivalent and refuses.
-        def parseChain(chain0: List[(JValue, JValue)]): (String, String, String) = {
-          val (order, chain) = chain0 match {
+        // compressor, element order, optional stored-axis permutation).
+        // A leading `transpose` array→array codec translates by its
+        // permutation: identity → "C", full reversal → column-major
+        // storage → v2 order "F"; any OTHER permutation has no v2 order
+        // string, so it rides the synthesized `.zarray` as a
+        // `_graft_perm` array and the decode plane's permuted-stride
+        // branch addresses it exactly.
+        def parseChain(chain0: List[(JValue, JValue)]): (String, String, String, Option[List[Long]]) = {
+          val (order, perm0, chain) = chain0 match {
             case (JString("transpose"), cfg) :: rest =>
               val perm = longs(cfg \ "configuration" \ "order")
               val n = perm.length
               if (n != shape0.length)
                 refuse(s"transpose order $perm rank != array rank ${shape0.length}")
-              if (perm == (0L until n.toLong).toList) ("C", rest)
-              else if (perm == (n - 1 to 0 by -1).map(_.toLong).toList) ("F", rest)
-              else refuse(s"transpose order $perm (only identity and full reversal map to C/F)")
-            case rest => ("C", rest)
+              if (perm.sorted != (0L until n.toLong).toList)
+                refuse(s"transpose order $perm is not a permutation of 0..${n - 1}")
+              if (perm == (0L until n.toLong).toList) ("C", None, rest)
+              else if (perm == (n - 1 to 0 by -1).map(_.toLong).toList) ("F", None, rest)
+              else ("C", Some(perm), rest)
+            case rest => ("C", None, rest)
           }
           val (endian, rest) = chain match {
             case (JString("bytes"), cfg) :: tail =>
@@ -169,7 +176,7 @@ object ZarrDirectoryIndex {
             case (Some(id), false) => s"""{"id": "$id"}"""
             case (Some(id), true)  => s"""{"id": "$id+crc32c"}"""
           }
-          (endian, compressor, order)
+          (endian, compressor, order, perm0)
         }
         // sharding_indexed (zarr v3's scale layout — many logical chunks
         // packed per stored object): chunk_grid's chunk_shape is the SHARD
@@ -177,7 +184,7 @@ object ZarrDirectoryIndex {
         // chunk_shape, so the synthesized .zarray carries the inner shape
         // and inner codec chain, and each shard file later expands into
         // one byte-range ref per STORED inner chunk (missing = fill).
-        val (endian, compressor, order, chunksEff, shardSpec) = codecs match {
+        val (endian, compressor, order, perm, chunksEff, shardSpec) = codecs match {
           case (JString("sharding_indexed"), cfg) :: tail =>
             if (tail.nonEmpty) refuse("codecs after sharding_indexed")
             if (shape0.isEmpty) refuse("sharding_indexed on a scalar array")
@@ -199,7 +206,7 @@ object ZarrDirectoryIndex {
               case JArray(cs) => cs.map(c => ((c \ "name"), c))
               case other      => refuse(s"missing/malformed sharding inner codecs $other")
             }
-            val (e, comp, ord) = parseChain(innerChain)
+            val (e, comp, ord, prm) = parseChain(innerChain)
             val (idxBig, idxCrc) = (conf \ "index_codecs") match {
               case JNothing => (false, true) // spec default: bytes(little) + crc32c
               case JArray(ics) =>
@@ -219,10 +226,10 @@ object ZarrDirectoryIndex {
               case JString("start")          => false
               case other                     => refuse(s"index_location $other")
             }
-            (e, comp, ord, inner, Some(ShardSpec(perShard, idxBig, idxCrc, atEnd)))
+            (e, comp, ord, prm, inner, Some(ShardSpec(perShard, idxBig, idxCrc, atEnd)))
           case chain =>
-            val (e, comp, ord) = parseChain(chain)
-            (e, comp, ord, chunks, None)
+            val (e, comp, ord, prm) = parseChain(chain)
+            (e, comp, ord, prm, chunks, None)
         }
         val dtype = (j \ "data_type") match {
           case JString("bool")    => "|b1"
@@ -256,9 +263,10 @@ object ZarrDirectoryIndex {
         }
         if (encName != "default" && encName != "v2") refuse(s"chunk_key_encoding '$encName'")
         def renderLongs(xs: List[Long]) = xs.mkString("[", ", ", "]")
+        val permField = perm.map(p => s""", "_graft_perm": ${renderLongs(p)}""").getOrElse("")
         val zarray = s"""{"zarr_format": 2, "dtype": "$dtype", "shape": ${renderLongs(shape)},""" +
           s""" "chunks": ${renderLongs(chunksEff)}, "compressor": $compressor,""" +
-          s""" "filters": null, "order": "$order"}"""
+          s""" "filters": null, "order": "$order"$permField}"""
         val dims = (j \ "dimension_names") match {
           case JArray(ds) => List(JField("_ARRAY_DIMENSIONS",
             // null entries are spec-valid ("unnamed dimension") — substitute

@@ -592,6 +592,63 @@ class ReferenceFidelitySpec extends AnyFunSuite {
       .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
   }
 
+  test("zarr v3 general transpose permutation addresses exactly (3-D, multi-chunk)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zarr3_perm")
+    java.nio.file.Files.writeString(dir.resolve("zarr.json"),
+      """{"zarr_format": 3, "node_type": "group"}""")
+    // 'one': [2,3,4] single chunk, transpose order [2,0,1] — stored axes
+    // hold logical dims (2,0,1), i.e. stored shape (4,2,3); element
+    // (i,j,k) lives at stored flat k*6 + i*3 + j
+    java.nio.file.Files.createDirectories(dir.resolve("one/c/0/0"))
+    java.nio.file.Files.writeString(dir.resolve("one/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 3, 4], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3, 4]}},
+        | "codecs": [{"name": "transpose", "configuration": {"order": [2, 0, 1]}},
+        |            {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    def v(i: Int, j: Int, k: Int) = i * 100 + j * 10 + k
+    val bb1 = java.nio.ByteBuffer.allocate(2 * 3 * 4 * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (k <- 0 until 4; i <- 0 until 2; j <- 0 until 3) bb1.putInt(v(i, j, k))
+    java.nio.file.Files.write(dir.resolve("one/c/0/0/0"), bb1.array())
+    // 'two': same logical array, chunks [2,3,2] → grid (1,1,2); each chunk
+    // stores its local block permuted the same way (stored chunk (2,2,3))
+    java.nio.file.Files.createDirectories(dir.resolve("two/c/0/0"))
+    java.nio.file.Files.writeString(dir.resolve("two/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 3, 4], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3, 2]}},
+        | "codecs": [{"name": "transpose", "configuration": {"order": [2, 0, 1]}},
+        |            {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    for (c <- 0 until 2) {
+      val bb = java.nio.ByteBuffer.allocate(2 * 3 * 2 * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (kk <- 0 until 2; i <- 0 until 2; j <- 0 until 3) bb.putInt(v(i, j, c * 2 + kk))
+      java.nio.file.Files.write(dir.resolve(s"two/c/0/0/$c"), bb.array())
+    }
+    val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+    val rows = graft.sources.KerchunkIndex.decodeCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries)).collect()
+    val byKey = rows.map(r => (r.getAs[String]("variable"),
+      r.getAs[scala.collection.Seq[Long]]("coords").mkString(".")) -> r.getAs[Double]("value")).toMap
+    assert(byKey.size == 48, byKey.size.toString)
+    for (i <- 0 until 2; j <- 0 until 3; k <- 0 until 4) {
+      assert(byKey(("one", s"$i.$j.$k")) == v(i, j, k), s"one $i.$j.$k")
+      assert(byKey(("two", s"$i.$j.$k")) == v(i, j, k), s"two $i.$j.$k")
+    }
+    // a non-permutation order still refuses loudly
+    java.nio.file.Files.createDirectories(dir.resolve("bad"))
+    java.nio.file.Files.writeString(dir.resolve("bad/zarr.json"),
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2], "data_type": "int32",
+        | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        | "codecs": [{"name": "transpose", "configuration": {"order": [0, 0]}},
+        |            {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    val e = intercept[Exception](
+      graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("not a permutation"), msg)
+    java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+  }
+
   test("zarr v2 consolidated metadata (.zmetadata): one read supplies every doc") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft_zarr_consol")

@@ -111,7 +111,10 @@ class ZarrShardingSpec extends AnyFunSuite {
     } finally rmTree(dir)
   }
 
-  test("a non-reversal transpose permutation refuses loudly (no C/F mapping)") {
+  test("a non-reversal transpose permutation rides the synthesized .zarray as _graft_perm") {
+    // r7: these no longer refuse — the permutation is carried to the
+    // decode plane's permuted-stride branch (value-level coverage lives
+    // in ReferenceFidelitySpec's 3-D multi-chunk transpose test)
     val dir = tmpStore()
     try {
       java.nio.file.Files.createDirectories(dir.resolve("v"))
@@ -122,10 +125,12 @@ class ZarrShardingSpec extends AnyFunSuite {
           | "codecs": [{"name": "transpose", "configuration": {"order": [1, 0, 2]}},
           |            {"name": "bytes", "configuration": {"endian": "little"}}]}"""
         .stripMargin)
-      val e = intercept[Exception](
-        graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
-      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
-      assert(msg.contains("transpose order"), msg)
+      val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+      val zarray = entries
+        .filter(org.apache.spark.sql.functions.col("member") === ".zarray")
+        .head().getAs[String]("inline_value")
+      assert(zarray.contains(""""_graft_perm": [1, 0, 2]"""), zarray)
+      assert(zarray.contains(""""order": "C""""), zarray)
     } finally rmTree(dir)
   }
 
