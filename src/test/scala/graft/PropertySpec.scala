@@ -117,4 +117,77 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)))
     once.foreach { case (c1, c2) => assert(c1 == c2, s"not a fixed point: '$c1' -> '$c2'") }
   }
+
+  test("transposed zarr stores round-trip for random shapes, chunks, and permutations") {
+    // the decode plane's permuted-stride branch vs an independent scala
+    // reference: random 2-4 dim arrays, random chunk grids (edge chunks
+    // included), random non-trivial permutations — every element must land
+    // on its logical coordinate exactly once
+    val caseGen = for {
+      rank   <- Gen.choose(2, 4)
+      shape  <- Gen.listOfN(rank, Gen.choose(1, 5))
+      chunks <- Gen.sequence[List[Int], Int](shape.map(s => Gen.choose(1, s)))
+      perm   <- Gen.const(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(shape.hashCode.toLong)).shuffle((0 until rank).toList))
+    } yield (shape.map(_.toLong), chunks.map(_.toLong), perm.map(_.toLong))
+    samples(caseGen, 12).zipWithIndex.foreach { case ((shape, chunks, perm), ci) =>
+      val rank = shape.length
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_permprop_$ci")
+      try {
+        java.nio.file.Files.writeString(dir.resolve("zarr.json"),
+          """{"zarr_format": 3, "node_type": "group"}""")
+        java.nio.file.Files.createDirectories(dir.resolve("v"))
+        java.nio.file.Files.writeString(dir.resolve("v/zarr.json"),
+          s"""{"zarr_format": 3, "node_type": "array", "shape": [${shape.mkString(", ")}],
+             | "data_type": "int32",
+             | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chunks.mkString(", ")}]}},
+             | "codecs": [{"name": "transpose", "configuration": {"order": [${perm.mkString(", ")}]}},
+             |            {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+        // value = dot-encoded logical coordinate; written per chunk in the
+        // STORED order: iterate stored axes (logical dims perm(k)) C-major
+        def encode(coord: Seq[Long]): Int =
+          coord.zipWithIndex.map { case (c, d) => c.toInt * math.pow(10, rank - 1 - d).toInt }.sum
+        val grid = shape.zip(chunks).map { case (s, c) => (s + c - 1) / c }
+        def cartesian(dims: Seq[Long]): Seq[Seq[Long]] =
+          dims.foldLeft(Seq(Seq.empty[Long])) { (acc, n) =>
+            acc.flatMap(p => (0L until n).map(p :+ _))
+          }
+        cartesian(grid).foreach { g =>
+          val storedChunks = perm.map(p => chunks(p.toInt))
+          val bb = java.nio.ByteBuffer.allocate((chunks.product * 4).toInt)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          cartesian(storedChunks).foreach { storedLocal =>
+            // stored axis k holds logical dim perm(k)
+            val local = new Array[Long](rank)
+            storedLocal.zipWithIndex.foreach { case (c, k) => local(perm(k).toInt) = c }
+            val coord = local.toSeq.zipWithIndex.map { case (l, d) => g(d) * chunks(d) + l }
+            // padding elements (outside shape) carry a sentinel; the plane
+            // must DROP them, so any sentinel in the output is a failure
+            bb.putInt(if (coord.zip(shape).forall { case (c, s) => c < s }) encode(coord)
+                      else -99999)
+          }
+          val key = g.mkString("/")
+          val f = dir.resolve(s"v/c/$key")
+          java.nio.file.Files.createDirectories(f.getParent)
+          java.nio.file.Files.write(f, bb.array())
+        }
+        val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+        val rows = graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries)).collect()
+        val got = rows.map(r => r.getAs[scala.collection.Seq[Long]]("coords").toList ->
+          r.getAs[Double]("value")).toMap
+        assert(got.size == shape.product,
+          s"case $ci shape=$shape chunks=$chunks perm=$perm: ${got.size} rows")
+        cartesian(shape).foreach { coord =>
+          assert(got(coord.toList) == encode(coord),
+            s"case $ci shape=$shape chunks=$chunks perm=$perm coord=$coord")
+        }
+      } finally {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+    }
+  }
 }
