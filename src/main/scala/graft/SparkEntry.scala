@@ -1776,6 +1776,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "multimodal_ahash" -> ((s, dir) => {
+      // perceptual average-hash over the payload plane (stub decode: the
+      // UTF-8 bytes ARE the "image"); exact integer thresholding keeps the
+      // 64-bit fingerprint engine-portable
+      Multimodal.averageHash(
+          T(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+          "payload", "doc_id")
+        .select(col("id").as("doc_id"), col("ahash_bits"))
+        .orderBy("doc_id")
+    }),
+
     "multimodal_frames" -> ((s, dir) => {
       val d = T(s, dir, "documents").select(col("doc_id"), (col("n_chars") * 10).as("duration_ms"))
       Multimodal.sampleFrames(d, "doc_id", "duration_ms", everyMs = 500L)
@@ -2723,6 +2734,20 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same 64-sample derivation over the UTF-8 payload; the exact integer
+    // threshold (64·s > Σs) keeps both engines bit-identical
+    "multimodal_ahash" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      CAST(('0x' || substr(to_hex(encode(text)),
+        |        CAST(floor(i * octet_length(encode(text)) / 64.0) AS INT) * 2 + 1, 2)) AS BIGINT)) AS smp
+        |  FROM documents),
+        |t AS (SELECT doc_id, smp, list_sum(smp) AS sm FROM s)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(smp, x -> CASE WHEN x * 64 > sm THEN '1' ELSE '0' END), '') AS ahash_bits
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS mime, CAST(strlen(text) AS BIGINT) AS n_bytes,

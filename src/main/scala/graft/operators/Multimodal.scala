@@ -100,6 +100,44 @@ object Multimodal {
       lit(target).as("scale_num"), den.cast(LongType).as("scale_den"))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint over a binary payload —
+    * the classic image near-dup primitive: sample 64 evenly spaced values
+    * of the decoded image, set bit i when sample i is above the mean.
+    * Here the "decoded grayscale" is the raw payload bytes (STUB — a real
+    * decoder substitutes the 8×8 thumbnail; the sampling, thresholding,
+    * and packing stay). The mean compare is exact integer arithmetic
+    * (64·sᵢ > Σs — no division), so the hash is engine-portable
+    * bit-for-bit. Output per row: `ahash_bits` (64-char '0'/'1' string,
+    * MSB first — oracle-exact) and `ahash` (the same bits packed into one
+    * long) — feed `ahash` into
+    * [[Dedup.simhashPairsFromFingerprints]] for hamming-banded near-dup
+    * candidate pairs, exactly like a simhash fingerprint. Empty payloads
+    * have no samples and yield null hashes. */
+  def averageHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
+    val b = col(binCol)
+    val n = octet_length(b).cast(LongType)
+    // 64 evenly spaced byte samples read from the hex rendering (stays in
+    // whole-stage codegen; a binary element accessor does not exist as a
+    // built-in). Position math in doubles is exact below 2^53.
+    val samples = transform(sequence(lit(0L), lit(63L)), i =>
+      conv(hex(b).substr(
+        floor(i.cast(DoubleType) * n.cast(DoubleType) / 64.0).cast(LongType) * 2 + 1,
+        lit(2)), 16, 10).cast(LongType))
+    df.select(col(idCol).as("id"), when(n > 0, samples).as("__s"))
+      .select(col("id"), col("__s"),
+        aggregate(col("__s"), lit(0L), (a, x) => a + x).as("__sum"))
+      .select(col("id"),
+        when(col("__s").isNotNull, array_join(
+          transform(col("__s"), x => when(x * 64 > col("__sum"), "1").otherwise("0")), ""))
+          .as("ahash_bits"),
+        when(col("__s").isNotNull, aggregate(col("__s"), lit(0L),
+          // shiftleft/or, not a*2+b: the sign bit makes checked ANSI
+          // multiplication overflow on the final iterations
+          (a, x) => shiftleft(a, 1).bitwiseOR(
+            when(x * 64 > col("__sum"), 1L).otherwise(0L))))
+          .as("ahash"))
+  }
+
   /** Frame-sampling plan for video-like payloads: given a duration and a
     * target fps, emit (id, frame_idx, offset_ms) rows — the generator shape
     * of a frame extractor, as a pure explode (scales linearly, no driver

@@ -492,6 +492,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).sum == 0.0)
   }
 
+  test("average hash: identical payloads equal, perturbed close, string matches long") {
+    val base = ("x" * 30 + "ABCDEFGH" * 10).getBytes("UTF-8")
+    val tweaked = base.clone(); tweaked(40) = 'Z'.toByte
+    val df = Seq((1L, base), (2L, base.clone()), (3L, tweaked))
+      .toDF("id", "payload")
+    val out = Multimodal.averageHash(df, "payload", "id").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == out(2L))
+    // the bit string and the packed long encode the same bits (MSB first)
+    out.values.foreach { case (bits, packed) =>
+      assert(bits.length == 64)
+      val repacked = bits.foldLeft(0L)((a, c) => a * 2 + (if (c == '1') 1L else 0L))
+      assert(repacked == packed, s"$bits != $packed")
+    }
+    // a one-byte perturbation flips few bits — hamming-band near-dup ready
+    val d = java.lang.Long.bitCount(out(1L)._2 ^ out(3L)._2)
+    assert(d <= 8, s"hamming $d")
+    // null hash for an empty payload, not a crash
+    val empty = Multimodal.averageHash(
+      Seq((9L, Array.emptyByteArray)).toDF("id", "payload"), "payload", "id").head()
+    assert(empty.isNullAt(1) && empty.isNullAt(2))
+  }
+
   test("frame sampling emits one row per interval") {
     val df  = Seq((1L, 1200L), (2L, 499L)).toDF("id", "duration_ms")
     val out = Multimodal.sampleFrames(df, "id", "duration_ms", everyMs = 500L)
