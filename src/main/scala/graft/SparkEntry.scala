@@ -1493,6 +1493,20 @@ object SparkEntry {
         .orderBy("survivor_id")
     }),
 
+    "pipeline_snapshot_delta" -> ((s, dir) => {
+      // incremental-recrawl shape: old = docs except %7, new = docs except
+      // %11 with %5 texts revised — the delta classifies every id
+      val docs = T(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.DatasetSplit.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "q_exists_subquery" -> ((s, dir) => {
       // correlated EXISTS — Catalyst rewrites it to a left-semi hash join
       T(s, dir, "orders").createOrReplaceTempView("ord_v")
@@ -3267,6 +3281,17 @@ object SparkEntry {
         |SELECT v.doc_id AS doc_id, v.lang AS lang
         |FROM v JOIN thr ON v.lang = thr.lang
         |WHERE hv < thr ORDER BY lang, doc_id""".stripMargin,
+
+    "pipeline_snapshot_delta" ->
+      """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |new AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |        FROM documents WHERE doc_id % 11 <> 0),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS id, md5(o.text) AS oh, md5(n.text) AS nh
+        |      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT id AS doc_id,
+        |       CASE WHEN oh IS NULL THEN 'added' WHEN nh IS NULL THEN 'removed'
+        |            WHEN oh <> nh THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM j ORDER BY doc_id""".stripMargin,
 
     "pipeline_shuffle_shards" ->
       """WITH b AS (

@@ -58,4 +58,12 @@ class DatasetSplitSpec extends AnyFunSuite {
     val langs = docs.select("lang").distinct().as[String].collect().toSet
     assert(perStratum == langs)
   }
+
+  test("snapshot delta classifies added, removed, changed, unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val out = DatasetSplit.snapshotDelta(oldSnap, newSnap, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+  }
 }
