@@ -1493,6 +1493,17 @@ object SparkEntry {
         .orderBy("survivor_id")
     }),
 
+    "pipeline_curriculum" -> ((s, dir) => {
+      // curriculum training order: difficulty = floor of the Zipf-surprisal
+      // mean (exact integers both sides), then bucket-major md5-shuffled
+      // positions within each of 4 shards
+      val scored = TextAnalysis.zipfSurprisal(T(s, dir, "documents"), "text", "doc_id", vocabK = 16)
+        .select(col("id").as("doc_id"), floor(col("mean_bits")).cast("long").as("bucket"))
+      graft.operators.DatasetSplit.curriculumShards(scored, "doc_id", "bucket", shards = 4)
+        .select(col("doc_id"), col("bucket"), col("shard"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_snapshot_delta" -> ((s, dir) => {
       // incremental-recrawl shape: old = docs except %7, new = docs except
       // %11 with %5 texts revised — the delta classifies every id
@@ -3281,6 +3292,35 @@ object SparkEntry {
         |SELECT v.doc_id AS doc_id, v.lang AS lang
         |FROM v JOIN thr ON v.lang = thr.lang
         |WHERE hv < thr ORDER BY lang, doc_id""".stripMargin,
+
+    // zipf bucket (same derivation as text_zipf_surprisal) + the
+    // shuffle_shards md5-prefix arithmetic, ordered bucket-major per shard
+    "pipeline_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |counts AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+        |ranked AS (
+        |  SELECT t, length(printf('%b', rn)) AS bits FROM (
+        |    SELECT t, CAST(row_number() OVER (ORDER BY c DESC, t ASC) AS INT) AS rn
+        |    FROM counts) WHERE rn <= 16),
+        |scored AS (
+        |  SELECT k.doc_id, COUNT(*) AS n_tokens, SUM(COALESCE(r.bits, 6)) AS sum_bits
+        |  FROM toks k LEFT JOIN ranked r ON k.t = r.t GROUP BY k.doc_id),
+        |z AS (SELECT doc_id,
+        |        CAST(floor(CAST(sum_bits AS DOUBLE) / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS bucket
+        |      FROM scored),
+        |b AS (SELECT doc_id, bucket, md5(CAST(doc_id AS VARCHAR) || '|42') AS h FROM z),
+        |v AS (
+        |  SELECT doc_id, bucket, h,
+        |   CAST(((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) % 4 AS BIGINT) AS shard
+        |  FROM b)
+        |SELECT doc_id, bucket, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY bucket, h, doc_id) AS BIGINT) AS pos
+        |FROM v ORDER BY doc_id""".stripMargin,
 
     "pipeline_snapshot_delta" ->
       """WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),

@@ -85,6 +85,34 @@ object DatasetSplit {
       .drop(keyCol)
   }
 
+  /** Curriculum sharding: deterministic training order that is
+    * easy-to-hard ACROSS each shard and shuffled WITHIN a difficulty
+    * bucket — the curriculum-learning counterpart of [[shuffleShards]].
+    * `bucketCol` is any precomputed integer difficulty (e.g. the floor of
+    * [[TextAnalysis.zipfSurprisal]]'s mean_bits); shard assignment stays
+    * the md5-prefix hash (every bucket spreads over every shard), and
+    * `pos` ranks (bucket, md5, id) per shard — a reader walking a shard
+    * in pos order sees buckets in ascending difficulty, random inside.
+    * One exchange (the per-shard partition a sharded writer needs
+    * anyway), never a global sort. */
+  def curriculumShards(df: DataFrame, idCol: String, bucketCol: String,
+                       shards: Int, seed: Int = 42): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val keyCol = "__graft_curr_key"
+    val withKey = df
+      .withColumn(keyCol,
+        md5(concat_ws("|", col(idCol).cast(org.apache.spark.sql.types.StringType),
+          lit(seed.toString))))
+      .withColumn("shard",
+        pmod(conv(substring(col(keyCol), 1, 4), 16, 10)
+          .cast(org.apache.spark.sql.types.LongType), lit(shards.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(bucketCol), col(keyCol), col(idCol))
+    withKey
+      .withColumn("pos", row_number().over(w).cast(org.apache.spark.sql.types.LongType))
+      .drop(keyCol)
+  }
+
   /** Snapshot delta between two corpus versions — the ingest-pipeline
     * primitive behind incremental recrawls and dataset versioning: per
     * document id, `added` (only in the new snapshot), `removed` (only in

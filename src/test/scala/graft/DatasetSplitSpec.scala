@@ -59,6 +59,23 @@ class DatasetSplitSpec extends AnyFunSuite {
     assert(perStratum == langs)
   }
 
+  test("curriculum shards: per-shard positions walk buckets in ascending difficulty") {
+    val docs = (1L to 200L).map(i => (i, i % 3)).toDF("id", "bucket")
+    val out = DatasetSplit.curriculumShards(docs, "id", "bucket", shards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 200)
+    // within each shard, bucket must be non-decreasing in pos order, and
+    // positions must be contiguous from 1
+    out.groupBy(_._3).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == (1L to rows.length).toSeq)
+      assert(byPos.map(_._2).toSeq == byPos.map(_._2).sorted.toSeq)
+    }
+    // every bucket reaches every shard (md5 spread, 200 rows over 4 shards)
+    val cover = out.groupBy(_._3).view.mapValues(_.map(_._2).toSet)
+    cover.foreach { case (_, bs) => assert(bs == Set(0L, 1L, 2L)) }
+  }
+
   test("snapshot delta classifies added, removed, changed, unchanged") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
