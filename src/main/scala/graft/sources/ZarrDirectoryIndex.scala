@@ -20,13 +20,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the INNER chunk shape + inner codec chain, and each shard file expands
   * (one small index read per shard) into per-inner-chunk byte-range refs
   * that the plane's offset-banded positioned reads parallelize WITHIN the
-  * shard file. A leading `transpose` codec is fully supported: identity
-  * and full reversal map to C/F order, and any other permutation rides
-  * the synthesized `.zarray` as `_graft_perm` for the decode plane's
-  * permuted-stride addressing. A trailing `crc32c` checksum codec
-  * verifies-and-strips in [[ZarrCodec.decompress]]. Codec chains beyond
-  * `[transpose +] bytes [+ gzip|zstd|blosc] [+ crc32c]` and nested
-  * sharding refuse loudly.
+  * shard file; NESTED sharding recurses, one more small index read per
+  * level inside the parent's byte range (depth-bounded). A leading
+  * `transpose` codec is fully supported: identity and full reversal map
+  * to C/F order, and any other permutation rides the synthesized
+  * `.zarray` as `_graft_perm` for the decode plane's permuted-stride
+  * addressing. A trailing `crc32c` checksum codec verifies-and-strips in
+  * [[ZarrCodec.decompress]]. Codec chains beyond
+  * `[transpose +] bytes [+ gzip|zstd|blosc] [+ crc32c]` refuse loudly.
   *
   * Spark-first shape: like [[NetCDF3Index]], the store becomes the entry
   * rows [[KerchunkIndex.read]] emits — metadata documents inlined, chunk
@@ -69,13 +70,22 @@ object ZarrDirectoryIndex {
                                    encoding: String, separator: String, ndim: Int,
                                    shard: Option[ShardSpec] = None) extends V3Node
 
-  /** `sharding_indexed` layout of one shard FILE: inner chunks per shard
-    * dimension, plus how to read the shard's index (16 bytes per inner
-    * chunk slot: uint64 offset + uint64 nbytes, missing = all-ones). */
+  /** `sharding_indexed` layout of one shard level: inner chunks per shard
+    * dimension, plus how to read this level's index (16 bytes per inner
+    * chunk slot: uint64 offset + uint64 nbytes, missing = all-ones).
+    * `inner` chains one more level for NESTED sharding — each present slot
+    * then holds another shard whose index is read within the slot's byte
+    * range; only the innermost level's slots become chunk refs. */
   private final case class ShardSpec(perShard: List[Long], indexBig: Boolean,
-                                     indexCrc: Boolean, indexAtEnd: Boolean) {
+                                     indexCrc: Boolean, indexAtEnd: Boolean,
+                                     inner: Option[ShardSpec] = None) {
     val slots: Long = perShard.product
     val indexBytes: Long = 16L * slots + (if (indexCrc) 4L else 0L)
+    /** Innermost-chunk extent of ONE slot at this level, per dimension —
+      * the product of every deeper level's perShard. */
+    val slotScale: List[Long] =
+      inner.map(in => in.perShard.zip(in.slotScale).map { case (a, b) => a * b })
+        .getOrElse(perShard.map(_ => 1L))
   }
 
   /** Translate a v3 node `zarr.json` into the v2 documents.
@@ -150,7 +160,8 @@ object ZarrDirectoryIndex {
                 case JString("little") | JNothing => "<" // little is the spec default
                 case other => refuse(s"bytes codec endian $other") // never guess byte order
               }, tail)
-            case (JString("sharding_indexed"), _) :: _ => refuse("nested sharding_indexed")
+            case (JString("sharding_indexed"), _) :: _ =>
+              refuse("sharding_indexed must lead its codec chain")
             case _ => refuse("codec chain must start with the 'bytes' codec")
           }
           // a trailing crc32c bytes→bytes codec (checksum suffix on the
@@ -180,57 +191,67 @@ object ZarrDirectoryIndex {
         }
         // sharding_indexed (zarr v3's scale layout — many logical chunks
         // packed per stored object): chunk_grid's chunk_shape is the SHARD
-        // file; the logical chunking the plane decodes is the INNER
-        // chunk_shape, so the synthesized .zarray carries the inner shape
-        // and inner codec chain, and each shard file later expands into
-        // one byte-range ref per STORED inner chunk (missing = fill).
-        val (endian, compressor, order, perm, chunksEff, shardSpec) = codecs match {
-          case (JString("sharding_indexed"), cfg) :: tail =>
-            if (tail.nonEmpty) refuse("codecs after sharding_indexed")
-            if (shape0.isEmpty) refuse("sharding_indexed on a scalar array")
-            val conf  = cfg \ "configuration"
-            val inner = longs(conf \ "chunk_shape")
-            if (inner.length != chunks.length)
-              refuse(s"sharding inner rank ${inner.length} != shard rank ${chunks.length}")
-            val perShard = chunks.zip(inner).map { case (sh, in) =>
-              if (in <= 0 || sh % in != 0)
-                refuse(s"inner chunk shape $inner must evenly divide shard shape $chunks")
-              sh / in
-            }
-            // bound the index size BEFORE any allocation sized from it: a
-            // corrupt metadata product would otherwise truncate through
-            // toInt into a wrong-sized (or negative) buffer
-            if (perShard.product <= 0 || perShard.product > (1L << 26))
-              refuse(s"shard of ${perShard.product} inner chunk slots (corrupt or > 2^26)")
-            val innerChain = (conf \ "codecs") match {
-              case JArray(cs) => cs.map(c => ((c \ "name"), c))
-              case other      => refuse(s"missing/malformed sharding inner codecs $other")
-            }
-            val (e, comp, ord, prm) = parseChain(innerChain)
-            val (idxBig, idxCrc) = (conf \ "index_codecs") match {
-              case JNothing => (false, true) // spec default: bytes(little) + crc32c
-              case JArray(ics) =>
-                val big = ics.headOption.map(c => c \ "configuration" \ "endian") match {
-                  case Some(JString("big")) => true
-                  case _                    => false
-                }
-                ics.map(c => c \ "name") match {
-                  case List(JString("bytes"))                    => (big, false)
-                  case List(JString("bytes"), JString("crc32c")) => (big, true)
-                  case other                                     => refuse(s"index_codecs $other")
-                }
-              case other => refuse(s"malformed index_codecs $other")
-            }
-            val atEnd = (conf \ "index_location") match {
-              case JNothing | JString("end") => true
-              case JString("start")          => false
-              case other                     => refuse(s"index_location $other")
-            }
-            (e, comp, ord, prm, inner, Some(ShardSpec(perShard, idxBig, idxCrc, atEnd)))
-          case chain =>
-            val (e, comp, ord, prm) = parseChain(chain)
-            (e, comp, ord, prm, chunks, None)
-        }
+        // file; the logical chunking the plane decodes is the INNERMOST
+        // chunk_shape, so the synthesized .zarray carries that shape and
+        // the innermost codec chain, and each shard file later expands
+        // into one byte-range ref per STORED innermost chunk (missing =
+        // fill). NESTED sharding (a sharding_indexed inner chain) recurses:
+        // each level is one more small index read within the parent's byte
+        // range; depth is bounded to 4 against adversarial metadata.
+        def parseShardingChain(outerChunks: List[Long], chain: List[(JValue, JValue)],
+                               depth: Int): (String, String, String, Option[List[Long]], List[Long], Option[ShardSpec]) =
+          chain match {
+            case (JString("sharding_indexed"), cfg) :: tail =>
+              if (tail.nonEmpty) refuse("codecs after sharding_indexed")
+              if (shape0.isEmpty) refuse("sharding_indexed on a scalar array")
+              if (depth >= 4) refuse("sharding_indexed nested deeper than 4 levels")
+              val conf  = cfg \ "configuration"
+              val inner = longs(conf \ "chunk_shape")
+              if (inner.length != outerChunks.length)
+                refuse(s"sharding inner rank ${inner.length} != shard rank ${outerChunks.length}")
+              val perShard = outerChunks.zip(inner).map { case (sh, in) =>
+                if (in <= 0 || sh % in != 0)
+                  refuse(s"inner chunk shape $inner must evenly divide shard shape $outerChunks")
+                sh / in
+              }
+              // bound the index size BEFORE any allocation sized from it: a
+              // corrupt metadata product would otherwise truncate through
+              // toInt into a wrong-sized (or negative) buffer
+              if (perShard.product <= 0 || perShard.product > (1L << 26))
+                refuse(s"shard of ${perShard.product} inner chunk slots (corrupt or > 2^26)")
+              val innerChain = (conf \ "codecs") match {
+                case JArray(cs) => cs.map(c => ((c \ "name"), c))
+                case other      => refuse(s"missing/malformed sharding inner codecs $other")
+              }
+              val (idxBig, idxCrc) = (conf \ "index_codecs") match {
+                case JNothing => (false, true) // spec default: bytes(little) + crc32c
+                case JArray(ics) =>
+                  val big = ics.headOption.map(c => c \ "configuration" \ "endian") match {
+                    case Some(JString("big")) => true
+                    case _                    => false
+                  }
+                  ics.map(c => c \ "name") match {
+                    case List(JString("bytes"))                    => (big, false)
+                    case List(JString("bytes"), JString("crc32c")) => (big, true)
+                    case other                                     => refuse(s"index_codecs $other")
+                  }
+                case other => refuse(s"malformed index_codecs $other")
+              }
+              val atEnd = (conf \ "index_location") match {
+                case JNothing | JString("end") => true
+                case JString("start")          => false
+                case other                     => refuse(s"index_location $other")
+              }
+              val (e, comp, ord, prm, finalChunks, innerSpec) =
+                parseShardingChain(inner, innerChain, depth + 1)
+              (e, comp, ord, prm, finalChunks,
+                Some(ShardSpec(perShard, idxBig, idxCrc, atEnd, innerSpec)))
+            case plain =>
+              val (e, comp, ord, prm) = parseChain(plain)
+              (e, comp, ord, prm, outerChunks, None)
+          }
+        val (endian, compressor, order, perm, chunksEff, shardSpec) =
+          parseShardingChain(chunks, codecs, 0)
         val dtype = (j \ "data_type") match {
           case JString("bool")    => "|b1"
           case JString("int8")    => "|i1"
@@ -526,41 +547,64 @@ object ZarrDirectoryIndex {
                           f: org.apache.hadoop.fs.LocatedFileStatus,
                           dir: String, shardKey: String, ss: ShardSpec): Iterator[Entry] = {
     val url = f.getPath.toString
-    val len = f.getLen
-    require(len >= ss.indexBytes,
-      s"shard '$url': ${len} bytes cannot hold its ${ss.indexBytes}-byte index — corrupt shard")
-    val idx = new Array[Byte](ss.indexBytes.toInt)
     val in  = fs.open(f.getPath)
-    try in.readFully(if (ss.indexAtEnd) len - ss.indexBytes else 0L, idx) finally in.close()
-    if (ss.indexCrc) {
-      val crc = new java.util.zip.CRC32C()
-      crc.update(idx, 0, idx.length - 4)
-      val stored = java.nio.ByteBuffer.wrap(idx, idx.length - 4, 4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xFFFFFFFFL
-      require(crc.getValue == stored,
-        s"shard '$url': index crc32c mismatch (stored $stored, computed ${crc.getValue})")
-    }
-    val order = if (ss.indexBig) java.nio.ByteOrder.BIG_ENDIAN
-                else java.nio.ByteOrder.LITTLE_ENDIAN
-    val bb = java.nio.ByteBuffer.wrap(idx, 0, (16L * ss.slots).toInt).order(order)
-    val shardCoords = shardKey.split('.').map(_.toLong)
-    Iterator.range(0, ss.slots.toInt).flatMap { i =>
-      val off = bb.getLong(i * 16)
-      val nb  = bb.getLong(i * 16 + 8)
-      if (off == -1L && nb == -1L) Iterator.empty // missing inner chunk = fill
-      else {
-        require(off >= 0 && nb >= 0 && nb <= len - off, // subtract: off+nb could overflow
-          s"shard '$url': inner chunk $i range [$off, +$nb) outside the file (len $len)")
-        // unflatten slot i (C-order over the shard's inner grid) → global coords
-        var rem = i.toLong
-        val local = new Array[Long](ss.perShard.length)
-        var d = ss.perShard.length - 1
-        while (d >= 0) { local(d) = rem % ss.perShard(d); rem /= ss.perShard(d); d -= 1 }
-        val global = shardCoords.lazyZip(local).lazyZip(ss.perShard)
-          .map((s, l, p) => s * p + l)
-        val m = global.mkString(".")
-        Iterator((s"$dir/$m", dir, m, "ref", url, Some(off), Some(nb), null: String): Entry)
+    // one level: read the index inside [rangeOff, rangeOff+rangeLen),
+    // emit either chunk refs (leaf) or recurse into nested shards. Inner
+    // offsets are relative to the enclosing shard's byte string — absolute
+    // position = rangeOff + off. `base` carries the slot's origin in
+    // INNERMOST-chunk coordinates.
+    def level(ss: ShardSpec, rangeOff: Long, rangeLen: Long,
+              base: Array[Long]): Iterator[Entry] = {
+      require(rangeLen >= ss.indexBytes,
+        s"shard '$url': ${rangeLen} bytes cannot hold its ${ss.indexBytes}-byte index — corrupt shard")
+      val idx = new Array[Byte](ss.indexBytes.toInt)
+      in.readFully(rangeOff + (if (ss.indexAtEnd) rangeLen - ss.indexBytes else 0L), idx)
+      if (ss.indexCrc) {
+        val crc = new java.util.zip.CRC32C()
+        crc.update(idx, 0, idx.length - 4)
+        val stored = java.nio.ByteBuffer.wrap(idx, idx.length - 4, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt & 0xFFFFFFFFL
+        require(crc.getValue == stored,
+          s"shard '$url': index crc32c mismatch (stored $stored, computed ${crc.getValue})")
+      }
+      val order = if (ss.indexBig) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN
+      val bb = java.nio.ByteBuffer.wrap(idx, 0, (16L * ss.slots).toInt).order(order)
+      // NOTE: the index buffer is consumed eagerly per level (toList at the
+      // leaf emission below would also work, but recursion performs reads
+      // against the shared stream, so iteration stays strictly sequential)
+      (0 until ss.slots.toInt).iterator.flatMap { i =>
+        val off = bb.getLong(i * 16)
+        val nb  = bb.getLong(i * 16 + 8)
+        if (off == -1L && nb == -1L) Iterator.empty // missing inner chunk = fill
+        else {
+          require(off >= 0 && nb >= 0 && nb <= rangeLen - off, // subtract: off+nb could overflow
+            s"shard '$url': inner chunk $i range [$off, +$nb) outside its shard (len $rangeLen)")
+          // unflatten slot i (C-order over this level's grid)
+          var rem = i.toLong
+          val local = new Array[Long](ss.perShard.length)
+          var d = ss.perShard.length - 1
+          while (d >= 0) { local(d) = rem % ss.perShard(d); rem /= ss.perShard(d); d -= 1 }
+          val childBase = base.indices.map(d2 =>
+            base(d2) + local(d2) * ss.slotScale(d2)).toArray
+          ss.inner match {
+            case None =>
+              val m = childBase.mkString(".")
+              Iterator((s"$dir/$m", dir, m, "ref", url,
+                Some(rangeOff + off), Some(nb), null: String): Entry)
+            case Some(innerSpec) =>
+              level(innerSpec, rangeOff + off, nb, childBase)
+          }
+        }
       }
     }
+    try {
+      val shardCoords = shardKey.split('.').map(_.toLong)
+      val fileScale = ss.perShard.zip(ss.slotScale).map { case (p, s) => p * s }
+      val base = shardCoords.zip(fileScale).map { case (c, s) => c * s }
+      // materialize within the open-stream scope: the lazy iterator would
+      // otherwise read after close
+      level(ss, 0L, f.getLen, base).toVector.iterator
+    } finally in.close()
   }
 }

@@ -81,7 +81,7 @@ class ZarrShardingSpec extends AnyFunSuite {
       val e = intercept[Exception](
         graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
       val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
-      assert(msg.contains("outside the file"), msg)
+      assert(msg.contains("outside its shard"), msg)
     } finally rmTree(dir)
   }
 
@@ -108,6 +108,61 @@ class ZarrShardingSpec extends AnyFunSuite {
         graft.sources.ZarrDirectoryIndex.read(spark, dir.toString).collect())
       val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
       assert(msg.contains("crc32c"), msg)
+    } finally rmTree(dir)
+  }
+
+  test("nested sharding: two index levels resolve to absolute byte ranges") {
+    // [8] → one file of two [4]-shards, each of two [2]-chunks. Outer index
+    // crc-less at the END; inner indexes crc-less at the START (both
+    // locations exercised across levels). Inner offsets are relative to
+    // their enclosing shard's byte string. One inner chunk missing.
+    val dir = tmpStore()
+    try {
+      java.nio.file.Files.createDirectories(dir.resolve("v/c"))
+      java.nio.file.Files.writeString(dir.resolve("v/zarr.json"),
+        """{"zarr_format": 3, "node_type": "array", "shape": [8],
+          | "data_type": "float64",
+          | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [8]}},
+          | "codecs": [{"name": "sharding_indexed", "configuration": {
+          |   "chunk_shape": [4],
+          |   "codecs": [{"name": "sharding_indexed", "configuration": {
+          |     "chunk_shape": [2],
+          |     "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+          |     "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+          |     "index_location": "start"}}],
+          |   "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+          |   "index_location": "end"}}],
+          | "dimension_names": ["i"]}""".stripMargin)
+      val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+      def f64(vals: Double*) = {
+        val b = java.nio.ByteBuffer.allocate(8 * vals.length).order(LE)
+        vals.foreach(b.putDouble); b.array()
+      }
+      // inner shard A (64 B): start index → (32,16),(48,16); chunks 0,1 / 2,3
+      val a = java.nio.ByteBuffer.allocate(64).order(LE)
+      a.putLong(32L).putLong(16L).putLong(48L).putLong(16L)
+      a.put(f64(0, 1)).put(f64(2, 3))
+      // inner shard B (48 B): slot 0 missing; slot 1 → (32,16); chunk 6,7
+      val b = java.nio.ByteBuffer.allocate(48).order(LE)
+      b.putLong(-1L).putLong(-1L).putLong(32L).putLong(16L)
+      b.put(f64(6, 7))
+      // outer end index: slot 0 → [0,64), slot 1 → [64,+48)
+      val outer = java.nio.ByteBuffer.allocate(32).order(LE)
+      outer.putLong(0L).putLong(64L).putLong(64L).putLong(48L)
+      val os = new java.io.ByteArrayOutputStream()
+      os.write(a.array()); os.write(b.array()); os.write(outer.array())
+      java.nio.file.Files.write(dir.resolve("v/c/0"), os.toByteArray)
+
+      val entries = graft.sources.ZarrDirectoryIndex.read(spark, dir.toString)
+      val refs = entries.filter(col("kind") === "ref").collect()
+        .map(r => r.getAs[String]("member") ->
+          ((r.getAs[Long]("offset"), r.getAs[Long]("length")))).toMap
+      // absolute ranges: A's chunks at 32/48; B's surviving chunk at 64+32
+      assert(refs == Map("0" -> ((32L, 16L)), "1" -> ((48L, 16L)), "3" -> ((96L, 16L))), refs)
+      val rows = decode(dir.toString).collect()
+        .map(r => r.getAs[scala.collection.Seq[Long]]("coords").head -> r.getAs[Double]("value"))
+        .toMap
+      assert(rows == Map(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 6L -> 6.0, 7L -> 7.0), rows)
     } finally rmTree(dir)
   }
 
