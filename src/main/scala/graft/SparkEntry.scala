@@ -499,6 +499,60 @@ object SparkEntry {
     out.toString
   }
 
+  /** Deterministic NESTED-shard zarr v3 store: shape [4,8], file shards
+    * [4,4] → outer sharding [2,4] → inner sharding [2,2] (both levels on
+    * the spec-default crc32c end index), value(y,x) = y*10+x, with the
+    * inner chunk covering y∈[2,3], x∈[6,7] deliberately missing (fill). */
+  def ensureZarrNestedFixture(): String = {
+    val out = Paths.get("/tmp/graft_zarr_nested_fixture")
+    this.synchronized {
+      if (!Files.exists(out.resolve("zarr.json"))) {
+        Files.createDirectories(out.resolve("v/c/0"))
+        Files.writeString(out.resolve("zarr.json"),
+          """{"zarr_format": 3, "node_type": "group"}""")
+        Files.writeString(out.resolve("v/zarr.json"),
+          """{"zarr_format": 3, "node_type": "array", "shape": [4, 8],
+            | "data_type": "float64",
+            | "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 4]}},
+            | "codecs": [{"name": "sharding_indexed", "configuration": {
+            |   "chunk_shape": [2, 4],
+            |   "codecs": [{"name": "sharding_indexed", "configuration": {
+            |     "chunk_shape": [2, 2],
+            |     "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}}]}}],
+            | "dimension_names": ["y", "x"]}""".stripMargin)
+        val LE = java.nio.ByteOrder.LITTLE_ENDIAN
+        def index(slots: Seq[(Long, Long)]): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(16 * slots.length).order(LE)
+          slots.foreach { case (o, n) => bb.putLong(o).putLong(n) }
+          val crc = new java.util.zip.CRC32C(); crc.update(bb.array())
+          bb.array() ++ java.nio.ByteBuffer.allocate(4).order(LE)
+            .putInt(crc.getValue.toInt).array()
+        }
+        // one [2,2] final chunk, C-order, value = y*10+x
+        def chunk(y0: Long, x0: Long): Array[Byte] = {
+          val bb = java.nio.ByteBuffer.allocate(32).order(LE)
+          for (r <- 0L until 2L; c <- 0L until 2L) bb.putDouble((y0 + r) * 10 + (x0 + c))
+          bb.array()
+        }
+        // inner shard over cols [x0, x0+4): two [2,2] chunks + end index
+        def innerShard(y0: Long, x0: Long, dropLast: Boolean): Array[Byte] = {
+          val c0 = chunk(y0, x0)
+          if (dropLast) c0 ++ index(Seq((0L, 32L), (-1L, -1L)))
+          else c0 ++ chunk(y0, x0 + 2) ++ index(Seq((0L, 32L), (32L, 32L)))
+        }
+        // file shard: two stacked inner shards + its own end index
+        def fileShard(x0: Long, dropLastInner: Boolean): Array[Byte] = {
+          val a = innerShard(0, x0, dropLast = false)
+          val b = innerShard(2, x0, dropLastInner)
+          a ++ b ++ index(Seq((0L, a.length.toLong), (a.length.toLong, b.length.toLong)))
+        }
+        Files.write(out.resolve("v/c/0/0"), fileShard(0, dropLastInner = false))
+        Files.write(out.resolve("v/c/0/1"), fileShard(4, dropLastInner = true))
+      }
+    }
+    out.toString
+  }
+
   def ensureZarrV3Fixture(): String = {
     val out = Paths.get("/tmp/graft_zarr_v3_fixture_v2")
     this.synchronized {
@@ -918,6 +972,21 @@ object SparkEntry {
         storageOptions = Map("graft.kerchunk.decode" -> "coords"))
       src.openAsset(s, s"$base/v3", "zarr3")
         .unionByName(src.openAsset(s, s"$base/v2", "zarr"))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "load_zarr_nested" -> ((s, _) => {
+      // two nested sharding levels, both on the spec-default crc32c end
+      // index — absolute byte ranges accumulate down the recursion, and
+      // one missing innermost chunk stays fill
+      val store = ensureZarrNestedFixture()
+      graft.catalog.EsmDataSource("z3nest", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, store, "zarr3")
         .select(col("variable"),
           array_join(col("dims"), ".").as("dims"),
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
@@ -2298,6 +2367,14 @@ object SparkEntry {
     // the full 5x6 grid minus the deliberately-omitted inner chunk's 2x2
     // footprint (rows 2-3 x cols 2-3); padded/edge-missing cells never
     // existed in the array so the range join covers them by construction
+    "load_zarr_nested" ->
+      """SELECT 'v' AS variable, 'y.x' AS dims,
+        |       CAST(y AS VARCHAR) || '.' || CAST(x AS VARCHAR) AS coord_key,
+        |       CAST(y * 10 + x AS DOUBLE) AS value
+        |FROM range(4) a(y) CROSS JOIN range(8) b(x)
+        |WHERE NOT (y BETWEEN 2 AND 3 AND x BETWEEN 6 AND 7)
+        |ORDER BY variable, coord_key""".stripMargin,
+
     "load_zarr_sharded" ->
       """SELECT 'temp' AS variable, 'y.x' AS dims,
         |       CAST(y AS VARCHAR) || '.' || CAST(x AS VARCHAR) AS coord_key,
