@@ -114,16 +114,22 @@ object Multimodal {
     * candidate pairs, exactly like a simhash fingerprint. Empty payloads
     * have no samples and yield null hashes. */
   def averageHash(df: DataFrame, binCol: String, idCol: String): DataFrame = {
-    val b = col(binCol)
-    val n = octet_length(b).cast(LongType)
+    // STAGED: the hex rendering must be its own column BEFORE the sampling
+    // lambda — `hex(payload)` inline in the lambda re-renders the whole
+    // payload once per sampled element (64× per row; megabytes × 64 on
+    // real media payloads). As a column reference it is read, not
+    // recomputed (the same staging invariant minhashSignature documents).
+    val staged = df.select(col(idCol).as("id"),
+      hex(col(binCol)).as("__hex"),
+      octet_length(col(binCol)).cast(LongType).as("__n"))
     // 64 evenly spaced byte samples read from the hex rendering (stays in
     // whole-stage codegen; a binary element accessor does not exist as a
     // built-in). Position math in doubles is exact below 2^53.
     val samples = transform(sequence(lit(0L), lit(63L)), i =>
-      conv(hex(b).substr(
-        floor(i.cast(DoubleType) * n.cast(DoubleType) / 64.0).cast(LongType) * 2 + 1,
+      conv(col("__hex").substr(
+        floor(i.cast(DoubleType) * col("__n").cast(DoubleType) / 64.0).cast(LongType) * 2 + 1,
         lit(2)), 16, 10).cast(LongType))
-    df.select(col(idCol).as("id"), when(n > 0, samples).as("__s"))
+    staged.select(col("id"), when(col("__n") > 0, samples).as("__s"))
       .select(col("id"), col("__s"),
         aggregate(col("__s"), lit(0L), (a, x) => a + x).as("__sum"))
       .select(col("id"),

@@ -252,6 +252,15 @@ object ZarrDirectoryIndex {
           }
         val (endian, compressor, order, perm, chunksEff, shardSpec) =
           parseShardingChain(chunks, codecs, 0)
+        // CUMULATIVE slot bound: nested levels multiply, and one file's
+        // expansion materializes its innermost refs — the per-level 2^26
+        // check alone would let 2^26 × 2^26 through
+        if (shardSpec.isDefined && {
+            val total = chunks.product / math.max(1L, chunksEff.product)
+            total <= 0 || total > (1L << 26)
+          })
+          refuse(s"shard file of ${chunks.product / math.max(1L, chunksEff.product)} " +
+            "innermost chunk slots across nested levels (corrupt or > 2^26)")
         val dtype = (j \ "data_type") match {
           case JString("bool")    => "|b1"
           case JString("int8")    => "|i1"
