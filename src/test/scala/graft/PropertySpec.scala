@@ -118,6 +118,45 @@ class PropertySpec extends AnyFunSuite {
     once.foreach { case (c1, c2) => assert(c1 == c2, s"not a fixed point: '$c1' -> '$c2'") }
   }
 
+  test("exact-substring spans match a brute-force reference on random corpora") {
+    // independent reference: enumerate windows, group in a scala Map,
+    // min-(doc,pos) canonical, merge adjacent/overlapping — no Spark code
+    def reference(docs: Seq[(Long, String)], L: Int): Set[(Long, Long, Long)] = {
+      val wins = for {
+        (id, text) <- docs
+        toks = text.trim.split("\\s+").filter(_.nonEmpty)
+        p <- 0 to toks.length - L
+      } yield (toks.slice(p, p + L).mkString(" "), id, p)
+      val marked = wins.groupBy(_._1).values.filter(_.size > 1).flatMap { g =>
+        val canon = g.map(w => (w._2, w._3)).min
+        g.filter(w => (w._2, w._3) != canon).map(w => (w._2, w._3))
+      }
+      marked.groupBy(_._1).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._2).toSeq.distinct.sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { p =>
+          val (s, e) = (p.toLong, p.toLong + L - 1)
+          if (spans.nonEmpty && s <= spans.last._2 + 1)
+            spans(spans.length - 1) = (spans.last._1, math.max(spans.last._2, e))
+          else spans += ((s, e))
+        }
+        spans.map(sp => (id, sp._1, sp._2))
+      }.toSet
+    }
+    val vocab = Vector("a", "b", "c", "d")
+    val docGen = Gen.listOfN(40, Gen.choose(0, vocab.size - 1)).map(_.map(vocab).mkString(" "))
+    val corpusGen = Gen.listOfN(12, docGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(corpusGen, 8).foreach { corpus =>
+      val got = graft.operators.Dedup
+        .exactSubstringSpans(corpus.toDF("doc_id", "text"), "text", "doc_id", windowTokens = 5)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3)).toSet
+      val want = reference(corpus, 5)
+      assert(got == want,
+        s"got=${got.size} want=${want.size} diff=${(got diff want).take(3)} ${(want diff got).take(3)}")
+    }
+  }
+
   test("transposed zarr stores round-trip for random shapes, chunks, and permutations") {
     // the decode plane's permuted-stride branch vs an independent scala
     // reference: random 2-4 dim arrays, random chunk grids (edge chunks
