@@ -167,6 +167,46 @@ object TextAnalysis {
           .as("mean_bits"))
   }
 
+  /** The top-`vocabK` corpus vocabulary as (token → surprisal bits),
+    * driver-collected — bounded by the CONSTANT vocabK, not by data size
+    * (the same contract as [[zipfSurprisal]]'s K-row rank window). Feed it
+    * to [[zipfScoreWithVocab]] to score any other frame — including an
+    * unbounded stream — against this frozen vocabulary. */
+  def zipfVocab(df: DataFrame, textCol: String, vocabK: Int = 4096): Map[String, Int] = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val toks = df.select(explode(tokens(lower(col(textCol)))).as("t"))
+    toks.groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(vocabK)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (64 - java.lang.Long.numberOfLeadingZeros(i + 1L)) }
+      .toMap
+  }
+
+  /** [[zipfSurprisal]] against a FROZEN vocabulary (from [[zipfVocab]]) —
+    * stateless pure expressions (the vocab becomes a map literal read by
+    * `element_at`, no UDF, no broadcast bookkeeping), so it composes into
+    * Structured Streaming unchanged: the streaming twin of the batch
+    * scorer, with the usual frozen-vocab trade (drift in the live token
+    * distribution does not update ranks until the vocab is re-derived). */
+  def zipfScoreWithVocab(df: DataFrame, textCol: String, idCol: String,
+                         vocab: Map[String, Int]): DataFrame = {
+    require(vocab.nonEmpty, "empty vocabulary")
+    val oovBits = 64 - java.lang.Long.numberOfLeadingZeros(vocab.size.toLong) + 1
+    val vmap = typedlit(vocab)
+    val passthrough = df.columns.filter(c => c != idCol && c != textCol).map(col)
+    val staged = df.select((col(idCol).as("id") +: tokens(lower(col(textCol))).as("__t")
+      +: passthrough): _*)
+    staged
+      .withColumn("__bits", transform(col("__t"),
+        t => coalesce(element_at(vmap, t), lit(oovBits)).cast(LongType)))
+      .where(size(col("__t")) > 0) // no tokens → no surprisal (batch convention)
+      .select((col("id") +: size(col("__t")).cast(LongType).as("n_tokens")
+        +: size(filter(col("__t"), t => element_at(vmap, t).isNull)).cast(LongType).as("n_oov")
+        +: (aggregate(col("__bits"), lit(0L), (a, x) => a + x).cast(DoubleType)
+            / size(col("__t")).cast(DoubleType)).as("mean_bits")
+        +: passthrough): _*)
+  }
+
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("t"))

@@ -348,6 +348,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"verified pairs not covered by streaming collisions: ${missed.take(5).toSeq}")
   }
 
+  test("frozen-vocab zipf scoring matches the batch scorer in-stream (sf0.001)") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val vocab = TextAnalysis.zipfVocab(docs, "text", vocabK = 16)
+    val input = MemoryStream[(Long, String)]
+    val q = TextAnalysis.zipfScoreWithVocab(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", vocab)
+      .writeStream.format("memory").queryName("zipf_stream").outputMode("append").start()
+    input.addData(docs.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("zipf_stream")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    q.stop()
+    val batch = TextAnalysis.zipfSurprisal(docs, "text", "doc_id", vocabK = 16)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream=${streamed.size} batch=${batch.size} " +
+        s"diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
+  }
+
   test("streaming window hits: first claim wins, TTL forgets old windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
