@@ -1519,6 +1519,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_incremental_near" -> ((s, dir) => {
+      // near-dup recrawl: new docs (>= 250) against the standing corpus
+      // (< 250) — LSH candidates BETWEEN the sides only, exact jaccard
+      // verify; same checkpoint-before-sort convention as ngram_jaccard
+      val docs = T(s, dir, "documents")
+      Dedup.crossNearDup(docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250), "text", "doc_id", n = 3, threshold = 0.3)
+        .localCheckpoint(false)
+        .orderBy("id_batch", "id_corpus")
+    }),
+
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingest shape: docs 250+ are the new batch, docs <250 the
       // standing corpus; bloom pre-filter + exact anti-join confirm
@@ -3136,6 +3147,28 @@ object SparkEntry {
         |         COUNT(*) AS nk
         |  FROM kept GROUP BY doc_id) kk ON d.doc_id = kk.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // exact cross-side jaccard ground truth — LSH is candidates-only in the
+    // engine; the exact verify makes the emitted pair set deterministic
+    "dedup_incremental_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT b.doc_id AS id_batch, c.doc_id AS id_corpus, COUNT(*) AS cnt
+        |  FROM sh b JOIN sh c ON b.sh = c.sh
+        |  WHERE b.doc_id >= 250 AND c.doc_id < 250
+        |  GROUP BY 1, 2)
+        |SELECT id_batch, id_corpus,
+        |  CAST(cnt AS DOUBLE) / CAST(sb.n + sc.n - cnt AS DOUBLE) AS jaccard
+        |FROM ix JOIN sizes sb ON ix.id_batch = sb.doc_id
+        |        JOIN sizes sc ON ix.id_corpus = sc.doc_id
+        |WHERE CAST(cnt AS DOUBLE) / CAST(sb.n + sc.n - cnt AS DOUBLE) >= 0.3
+        |ORDER BY id_batch, id_corpus""".stripMargin,
 
     "dedup_incremental" ->
       """SELECT b.doc_id FROM documents b

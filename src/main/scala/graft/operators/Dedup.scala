@@ -484,6 +484,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus near-duplicate pairs — the incremental-recrawl
+    * counterpart of [[ngramJaccard]]: every `batch` document within exact
+    * n-gram Jaccard `threshold` of some `corpus` document. Ids must be
+    * disjoint across sides (the recrawl contract).
+    *
+    * Scale asymmetry is the point: candidates come from an LSH band join
+    * BETWEEN the sides (never within a side — a within-corpus self-join
+    * would re-verify the standing corpus against itself on every
+    * increment), and exact shingle sets are gathered ONLY for
+    * candidate-touched ids, so the per-increment cost follows the batch
+    * size plus its collision neighborhood, not the corpus. */
+  def crossNearDup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      shingleStorage: StorageLevel = StorageLevel.DISK_ONLY,
+      scope: CacheScope = CacheScope.untracked,
+  ): DataFrame = {
+    val (b, r) =
+      if (lshDetectProb(threshold, 32, 4) >= 0.98) (32, 4)
+      else lshAutoParams(threshold)
+    val k = b * r
+    val shB = scope.persisted(shingleRows(batch, textCol, idCol, n), shingleStorage)
+    val shC = scope.persisted(shingleRows(corpus, textCol, idCol, n), shingleStorage)
+    def sigsOf(sh: DataFrame) = sh.groupBy("id")
+      .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
+    def bandsOf(sigs: DataFrame, out: String) = sigs.select(col("id").as(out),
+        posexplode(graft.functions.SketchFunctions.band_hashes(col("sig"), b, r)))
+      .select(col(out), col("pos").as("band"), col("col").as("bucket"))
+    val candidates = bandsOf(sigsOf(shB), "id_batch")
+      .join(bandsOf(sigsOf(shC), "id_corpus"), Seq("band", "bucket"))
+      .select("id_batch", "id_corpus").distinct()
+      .localCheckpoint(true) // three consumers below (two semi-joins + the pair join)
+    def setsFor(sh: DataFrame, ids: DataFrame, idName: String, shName: String) =
+      sh.join(ids, sh("id") === ids(idName), "left_semi")
+        .groupBy("id").agg(collect_set(col("sh")).as(shName))
+        .withColumnRenamed("id", idName)
+    candidates
+      .join(setsFor(shB, candidates.select("id_batch"), "id_batch", "sh_b"), "id_batch")
+      .join(setsFor(shC, candidates.select("id_corpus"), "id_corpus", "sh_c"), "id_corpus")
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast(DoubleType))
+      .withColumn("uni", size(array_union(col("sh_b"), col("sh_c"))).cast(DoubleType))
+      .select(col("id_batch"), col("id_corpus"), (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Exact-substring duplicated spans, the ExactSubstr shape from the
     * public dedup literature (Lee et al. 2022, arXiv:2107.06499): every
     * window of `windowTokens` consecutive tokens that occurs more than

@@ -97,6 +97,23 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
   }
 
+  test("cross-corpus near-dup: only cross-side pairs, jaccard exact") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about spark catalyst optimizer internals"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (12L, "unrelated sentences mentioning parquet footers and shuffle spills"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossNearDup(batch, corpus, "text", "doc_id", n = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((10L, 1L), (11L, 1L)), out.toString)
+    assert(out((11L, 1L)) == 1.0)
+    assert(out((10L, 1L)) > 0.3 && out((10L, 1L)) < 1.0)
+  }
+
   test("exact-substring spans: canonical survives, cross-doc and internal repeats merge") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),       // canonical source for the shared run
