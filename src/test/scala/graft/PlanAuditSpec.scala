@@ -254,6 +254,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2500))
   }
 
+  test("cross-corpus near-dup: band-key equality joins only, no cartesian anywhere") {
+    // audit the operator, not the registered query — its presentation
+    // localCheckpoint would truncate the visible plan to the final sort
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Dedup.crossNearDup(
+        docs.filter(col("doc_id") >= 30), docs.filter(col("doc_id") < 30),
+        "text", "doc_id", n = 3, threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+    // the shingle-set gathers are semi-joins on candidate-touched ids
+    assert(p.contains("LeftSemi"), p.take(2500))
+  }
+
   test("zipf surprisal: distributed top-K vocab, broadcast into the token stream") {
     val p = plan("text_zipf_surprisal")
     // the vocab selection must be a TakeOrdered (distributed top-K), never
