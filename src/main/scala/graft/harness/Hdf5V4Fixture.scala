@@ -172,6 +172,49 @@ object Hdf5V4Fixture {
     hdrAddr
   }
 
+  /** Depth-1 v2 b-tree: leaves under one root internal node (`BTIN`) —
+    * the node shape a many-chunk dataset's index actually has, exercising
+    * the walker's depth>0 child-pointer arithmetic. `groups` are the leaf
+    * record runs IN ORDER; between consecutive leaves one record is
+    * promoted into the internal node (the b-tree invariant). The child
+    * pointer's record-count field width is minBytes(maxNrec(0)) =
+    * minBytes((nodeSize-10)/recSize), matching the reader's derivation
+    * from the spec. */
+  def btree2Depth1(s: Sink, recordType: Int, recSize: Int,
+                   groups: Seq[Seq[Array[Byte]]]): Long = {
+    require(groups.length >= 2, "depth-1 tree needs >= 2 leaves")
+    val nodeSize = 2048
+    val maxNrec0 = (nodeSize - 10) / recSize
+    val nb = { var n = 0; var x = maxNrec0.toLong; while (x > 0) { n += 1; x >>= 8 }; n }
+    // leaves: every group loses its LAST record to the internal node,
+    // except the final group
+    val leafRecs = groups.init.map(_.init) :+ groups.last
+    val promoted = groups.init.map(_.last)
+    val leafAddrs = leafRecs.map { recs =>
+      val at = s.pos
+      s.lit("BTLF"); s.u8(0); s.u8(recordType)
+      recs.foreach { r => require(r.length == recSize); s.bytes(r) }
+      s.u32(0)
+      at
+    }
+    val rootAddr = s.pos
+    s.lit("BTIN"); s.u8(0); s.u8(recordType)
+    promoted.foreach(s.bytes) // internal records first
+    leafAddrs.zip(leafRecs).foreach { case (addr, recs) => // then child pointers
+      s.u64(addr)
+      (0 until nb).foreach(i => s.u8(((recs.length >> (8 * i)) & 0xff)))
+    }
+    s.u32(0)
+    val total = groups.map(_.length).sum
+    val hdrAddr = s.pos
+    s.lit("BTHD"); s.u8(0); s.u8(recordType)
+    s.u32(nodeSize.toLong); s.u16(recSize); s.u16(1) // depth 1
+    s.u8(100); s.u8(40)
+    s.u64(rootAddr); s.u16(promoted.length); s.u64(total.toLong)
+    s.u32(0)
+    hdrAddr
+  }
+
   /** Extensible array (spec III.F) for client 0 (plain chunk addresses),
     * unpaged data blocks. `elems(i)` is the chunk address for array index
     * i (UNDEF = unwritten). Geometry derived per the spec: super block u

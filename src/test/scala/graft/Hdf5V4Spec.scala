@@ -158,6 +158,33 @@ class Hdf5V4Spec extends AnyFunSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
 
+  test("v4 depth-1 v2-btree chunk index: internal node + leaves walk correctly") {
+    // [16] chunks [2] → 8 records type 10 split over 3 leaves with 2
+    // promoted internal records — the shape a many-chunk dataset's index
+    // takes once the root leaf splits
+    val bytes = file { s =>
+      val chunkAddrs = (0 until 8).map { k =>
+        val at = s.pos; s.bytes(i32(k * 2 + 100, k * 2 + 101)); at
+      }
+      val recs = (0 until 8).map { k =>
+        val t = new Sink
+        t.u64(chunkAddrs(k)); t.u64(k.toLong)
+        t.result()
+      }
+      val hdr = btree2Depth1(s, recordType = 10, recSize = 16,
+        Seq(recs.slice(0, 3), recs.slice(3, 6), recs.slice(6, 8)))
+      val bt = ohdr(s, Seq(
+        0x01 -> dataspace2(Seq(16)), 0x03 -> dtInt32,
+        0x08 -> layoutV4(Seq(2), 5, hdr)))
+      Seq("bt" -> bt)
+    }
+    val path = writeTmp(bytes)
+    val v = decodeAll(path)
+    assert(v.size == 16, v.toString)
+    for (i <- 0 until 16) assert(v(("bt", s"$i")) == 100 + i)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
   test("v4 extensible array: inline, direct, and super-block elements decode") {
     // [18] chunks [2] → 9 array elements; cparams maxBits=4 idxElmts=2
     // minPtrs=2 minElmts=2 pageBits=3 → super blocks (ndblks, dblkNelmts):
