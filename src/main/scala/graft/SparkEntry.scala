@@ -1519,6 +1519,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_exact_stats" -> ((s, dir) => {
+      // duplication profile: cluster-size histogram, no member lists
+      Dedup.exactDupStats(T(s, dir, "documents"), "text").orderBy("cluster_size")
+    }),
+
     "dedup_incremental_near" -> ((s, dir) => {
       // near-dup recrawl: new docs (>= 250) against the standing corpus
       // (< 250) — LSH candidates BETWEEN the sides only, exact jaccard
@@ -3147,6 +3152,14 @@ object SparkEntry {
         |         COUNT(*) AS nk
         |  FROM kept GROUP BY doc_id) kk ON d.doc_id = kk.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "dedup_exact_stats" ->
+      """WITH g AS (SELECT md5(text) AS h, COUNT(*) AS cluster_size
+        |           FROM documents GROUP BY md5(text))
+        |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        |FROM g GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
 
     // exact cross-side jaccard ground truth — LSH is candidates-only in the
     // engine; the exact verify makes the emitted pair set deterministic

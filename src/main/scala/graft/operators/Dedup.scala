@@ -48,6 +48,22 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_dups") > 1)
 
+  /** Duplication profile of a corpus: cluster-size histogram over exact
+    * content groups — the observability number a dedup pipeline reports
+    * (how much of the corpus is singletons vs how much sits in big
+    * clusters). Two cheap aggregations (content hash → size, size →
+    * counts); no member lists, so a degenerate boilerplate key costs one
+    * counter, never a collect_list. */
+  def exactDupStats(df: DataFrame, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .select(col("cluster_size").cast(LongType),
+        col("n_clusters").cast(LongType),
+        col("n_docs").cast(LongType).as("n_docs"))
+
   // -------------------------------------------------------------- shingling
 
   /** Character n-gram shingles of a text column, as a distinct array.
