@@ -97,6 +97,14 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
   }
 
+  test("exact dup stats: histogram buckets by cluster size, doc counts add up") {
+    val corpus = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDupStats(corpus, "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L)), out.toString)
+  }
+
   test("cross-corpus near-dup: only cross-side pairs, jaccard exact") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
