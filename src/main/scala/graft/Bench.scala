@@ -263,9 +263,26 @@ object Bench {
     val dupSec = (System.nanoTime() - t1) / 1e9
     dupQ.stop()
 
+    // --- exact-window dedup twin (per-window-hash state, first-claim)
+    val winIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val winQ = StreamingOps.duplicatedWindowHits(
+        winIn.toDS().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+        windowTokens = 8, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("bench_stream_win")
+      .outputMode("append").start()
+    val t2 = System.nanoTime()
+    docs.grouped(math.max(1, docs.length / 5)).foreach { chunk =>
+      winIn.addData(chunk.toIndexedSeq)
+      winQ.processAllAvailable()
+    }
+    val winSec = (System.nanoTime() - t2) / 1e9
+    winQ.stop()
+
     s"""{"sessionize_rows_per_sec":${fmt0(events.length / math.max(sessSec, 1e-9))},""" +
       s""""sessionize_rows":${events.length},""" +
       s""""neardup_docs_per_sec":${fmt0(docs.length / math.max(dupSec, 1e-9))},""" +
-      s""""neardup_docs":${docs.length}}"""
+      s""""neardup_docs":${docs.length},""" +
+      s""""winhits_docs_per_sec":${fmt0(docs.length / math.max(winSec, 1e-9))},""" +
+      s""""winhits_docs":${docs.length}}"""
   }
 }
