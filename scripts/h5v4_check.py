@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Independent validator for the engine's hand-encoded HDF5 layout-v4
-fixture (/tmp/graft_h5v4_fixture.nc, written by
+fixture (/tmp/graft_h5v4_fixture_v2.nc, written by
 graft.harness.Hdf5V4Fixture via SparkEntry.ensureHdf5V4Fixture).
 
 This is a THIRD implementation of the relevant subset of the public HDF5
@@ -86,16 +86,21 @@ class F(object):
                 lo = o
         return sp, dt, lo
 
-    # layout v4 chunked: ver(1) cls(1) flags(1) rank(1) enc(1) dims idx(1) cfg addr(8)
+    # layout v4 chunked: ver(1) cls(1) flags(1) ndims(1) enc(1) dims idx(1)
+    # cfg addr(8). As in v3, ndims = rank + 1 and the LAST dimension entry
+    # is the datatype's element size (the HDF5 C library encodes the same
+    # u.chunk.ndims it uses for v3).
     def layout_v4(self, o):
         assert self.b[o] == 4 and self.b[o + 1] == 2
-        rank, enc = self.b[o + 3], self.b[o + 4]
-        dims = [self.u(o + 5 + enc * i, enc) for i in range(rank)]
-        p = o + 5 + enc * rank
+        ndims, enc = self.b[o + 3], self.b[o + 4]
+        assert ndims >= 2, 'v4 ndims must be rank+1'
+        dims = [self.u(o + 5 + enc * i, enc) for i in range(ndims)]
+        assert dims[-1] == 4, 'trailing entry must be the int32 element size'
+        p = o + 5 + enc * ndims
         itype = self.b[p]
         p += 1
         skip = {1: 0, 2: 0, 3: 1, 4: 5, 5: 6}[itype]
-        return itype, dims, self.u(p + skip, 8)
+        return itype, dims[:-1], self.u(p + skip, 8)
 
     # ---- index structures ----
 
@@ -239,4 +244,4 @@ def main(path):
 
 
 if __name__ == '__main__':
-    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_h5v4_fixture.nc')
+    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_h5v4_fixture_v2.nc')

@@ -452,7 +452,9 @@ object SparkEntry {
     * offset. Bytes are pure functions of these formulas, so rewriting on
     * a missing file is always safe. */
   def ensureHdf5V4Fixture(): String = {
-    val out = Paths.get("/tmp/graft_h5v4_fixture.nc")
+    // v2 suffix: the layout-v4 dimension encoding changed (rank+1 with a
+    // trailing element-size entry), so pre-fix cached bytes must not be reused
+    val out = Paths.get("/tmp/graft_h5v4_fixture_v2.nc")
     this.synchronized {
       if (!Files.exists(out)) {
         import graft.harness.Hdf5V4Fixture._

@@ -36,7 +36,10 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query-name filter]
+    val sfDir = args(0); val outDir = args(1)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,7 +51,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val errors = dumpQueries(spark, sfDir, outDir, SparkEntry.queries)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
+    val errors = dumpQueries(spark, sfDir, outDir, selected)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -86,14 +86,18 @@ object Hdf5V4Fixture {
     s.result()
   }
 
-  /** Data layout message v4, chunked, with the index-type config tail. */
+  /** Data layout message v4, chunked, with the index-type config tail.
+    * Like v3, the dimensionality byte is rank + 1 and the dimension list
+    * carries the datatype's element size as its trailing entry (the C
+    * library encodes the same u.chunk.ndims it uses for v3). */
   def layoutV4(chunkDims: Seq[Long], idxType: Int, addr: Long,
                flags: Int = 0, singleFilteredSize: Long = -1L,
-               eaCfg: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0)): Array[Byte] = {
+               eaCfg: (Int, Int, Int, Int, Int) = (0, 0, 0, 0, 0),
+               elemSize: Long = 4L): Array[Byte] = {
     val s = new Sink
     s.u8(4); s.u8(2)            // version 4, class 2 (chunked)
-    s.u8(flags); s.u8(chunkDims.length); s.u8(8) // 8-byte dim encoding
-    chunkDims.foreach(s.u64)
+    s.u8(flags); s.u8(chunkDims.length + 1); s.u8(8) // rank+1, 8-byte dim encoding
+    chunkDims.foreach(s.u64); s.u64(elemSize)
     s.u8(idxType)
     idxType match {
       case 1 =>

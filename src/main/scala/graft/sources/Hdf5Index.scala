@@ -120,7 +120,8 @@ object Hdf5Index {
     * `singleFilteredSize` is >= 0 only for index type 1 with the
     * filtered-single-chunk flag (the stored size lives in the message). */
   private final case class ChunkedV4(indexType: Int, addr: Long, chunkDims: Seq[Long],
-                                     singleFilteredSize: Long) extends Layout
+                                     singleFilteredSize: Long,
+                                     elemSizeEntry: Long) extends Layout
 
   /** One parsed attribute: name plus a decoded value. */
   private sealed trait AV
@@ -633,17 +634,21 @@ object Hdf5Index {
         case other => fail(path, s"data layout class $other")
       } else (m(1) & 0xff) match {
         // v4 (spec IV.A.2.i, version 4): compact/contiguous are bit-
-        // identical to v3; chunked grew per-index-type config and dropped
-        // the trailing element-size entry from the dimension list
+        // identical to v3; chunked grew per-index-type config but kept the
+        // v3 dimension convention — the dimensionality byte is rank + 1 and
+        // the LAST entry is the datatype's element size (the C library
+        // encodes the same u.chunk.ndims it uses for v3)
         case 0 => Compact(java.util.Arrays.copyOfRange(m, 4, 4 + B.u(m, 2, 2).toInt))
         case 1 => Contiguous(B.u(m, 2, 8), B.u(m, 10, 8))
         case 2 =>
           val flags  = m(2) & 0xff
-          val dim    = m(3) & 0xff // true rank this time (no +1)
+          val dim    = m(3) & 0xff // stored rank + 1 (trailing element-size entry)
           val encLen = m(4) & 0xff // bytes per chunk-dimension field
           require(encLen >= 1 && encLen <= 8,
             s"hdf5 '$path': v4 chunk dimension encoding of $encLen bytes")
-          val dims = (0 until dim).map(i => B.u(m, 5 + encLen * i, encLen))
+          require(dim >= 2, s"hdf5 '$path': v4 chunk dimensionality $dim (< rank+1)")
+          val allDims = (0 until dim).map(i => B.u(m, 5 + encLen * i, encLen))
+          val dims = allDims.dropRight(1) // trailing entry = element size
           var p = 5 + encLen * dim
           val idxType = m(p) & 0xff; p += 1
           idxType match {
@@ -655,15 +660,15 @@ object Hdf5Index {
                 require(mask == 0,
                   s"hdf5 '$path': single-chunk filter mask 0x${mask.toHexString} unsupported")
               }
-              ChunkedV4(1, B.u(m, p, 8), dims, fsize)
+              ChunkedV4(1, B.u(m, p, 8), dims, fsize, allDims.last)
             case 2 => // implicit: early-allocated, unfiltered, C-order contiguous grid
-              ChunkedV4(2, B.u(m, p, 8), dims, -1)
+              ChunkedV4(2, B.u(m, p, 8), dims, -1, allDims.last)
             case 3 => // fixed array: 1 config byte (max-bits), then FAHD address
-              ChunkedV4(3, B.u(m, p + 1, 8), dims, -1)
+              ChunkedV4(3, B.u(m, p + 1, 8), dims, -1, allDims.last)
             case 4 => // extensible array: 5 config bytes, then EAHD address
-              ChunkedV4(4, B.u(m, p + 5, 8), dims, -1)
+              ChunkedV4(4, B.u(m, p + 5, 8), dims, -1, allDims.last)
             case 5 => // v2 b-tree: node size(4) + split%(1) + merge%(1), then BTHD address
-              ChunkedV4(5, B.u(m, p + 6, 8), dims, -1)
+              ChunkedV4(5, B.u(m, p + 6, 8), dims, -1, allDims.last)
             case other => fail(path, s"v4 chunk index type $other")
           }
         case other => fail(path, s"v4 data layout class $other (virtual datasets refuse)")
@@ -736,6 +741,8 @@ object Hdf5Index {
       * addresses, uninitialized fixed-array pages) stay absent — fill. */
     def chunkRefsV4(c: ChunkedV4, shape: Seq[Long], elemSize: Int,
                     dsPath: String): Iterator[(String, Long, Long)] = {
+      require(c.elemSizeEntry == elemSize.toLong,
+        s"hdf5 '$path': $dsPath v4 layout trailing dim ${c.elemSizeEntry} != datatype size $elemSize")
       val cd = c.chunkDims
       val gridDims = shape.zip(cd).map { case (s, ch) => (s + ch - 1) / ch }
       val nchunks = gridDims.product
@@ -1077,7 +1084,7 @@ object Hdf5Index {
       val shape: Seq[Long] = if (sp.dims.isEmpty) Seq(1L) else sp.dims
       val chunks: Seq[Long] = layout match {
         case Chunked(_, cd, _)       => cd
-        case ChunkedV4(_, _, cd, _)  => cd
+        case ChunkedV4(_, _, cd, _, _) => cd
         case _                       => shape
       }
 
