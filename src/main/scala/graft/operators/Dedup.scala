@@ -561,18 +561,25 @@ object Dedup {
     *  1. positional window strings via exploded tokens + lead() over the
     *     per-doc window (the [[shingleRows]] shape, kept codegen'd; no
     *     distinct, no lowercasing — "exact" means byte-exact tokens);
-    *  2. `groupBy(window)` with partial map-side aggregation collapses
+    *  2. each window string collapses to a 128-bit key (two independent
+    *     xxhash64 lanes) BEFORE it is persisted or shuffled — at the real
+    *     L≈50 the string key would carry ≈L× the corpus text through the
+    *     exchange (a multi-PB shuffle at 100 TB) while the hash key is a
+    *     fixed 16 bytes/row. False-collision odds at 10^13 windows are
+    *     ~10^-13 (birthday bound over 2^128) — negligible against media
+    *     durability, and a collision can only over-mark, never corrupt
+    *     span merging;
+    *  3. `groupBy(h1, h2)` with partial map-side aggregation collapses
     *     each window's occurrences BEFORE the shuffle, and only windows
     *     with count > 1 survive into the (small) duplicate side;
-    *  3. the join back marks non-canonical occurrences — AQE's skew-join
+    *  4. the join back marks non-canonical occurrences — AQE's skew-join
     *     handles boilerplate windows with millions of occurrences;
-    *  4. one window function per doc merges overlapping/adjacent marks
+    *  5. one window function per doc merges overlapping/adjacent marks
     *     (gaps-and-islands), partitioned by doc_id — never global.
     *
-    * The canonical-occurrence key packs (doc_id, pos) into one long as
-    * `doc_id * 10^9 + pos` so `min` needs no struct ordering; a 10^9-token
-    * single document (~4 GB of text in one row) is out of scope long
-    * before the encoding would collide. */
+    * The canonical occurrence is `min(struct(doc_id, pos))` — orderable
+    * struct min, no packed-long encoding, so any long doc_id (negative
+    * included) and any pos order correctly. */
   def exactSubstringSpans(
       df: DataFrame,
       textCol: String,
@@ -600,18 +607,21 @@ object Dedup {
     val leadCols = (1 until L).map { i =>
       d = d.withColumn(s"__l$i", lead(col("col"), i).over(byDocPos)); col(s"__l$i")
     }
+    // the window string exists only inside this projection — what is
+    // persisted and shuffled is (doc_id, pos, h1, h2): 32 fixed bytes/row
+    val sh = concat_ws(" ", (col("col") +: leadCols): _*)
     val wins = scope.persisted(
       d.filter(col(s"__l${L - 1}").isNotNull)
         .select(col("doc_id"), col("pos"),
-          concat_ws(" ", (col("col") +: leadCols): _*).as("sh"),
-          (col("doc_id") * lit(1000000000L) + col("pos")).as("k")),
+          xxhash64(sh).as("h1"), xxhash64(lit("g2"), sh).as("h2")),
       winStorage)
-    val dup = wins.groupBy("sh")
-      .agg(count(lit(1)).as("c"), min(col("k")).as("canon"))
+    val occ = struct(col("doc_id"), col("pos"))
+    val dup = wins.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("c"), min(occ).as("canon"))
       .where(col("c") > 1)
-      .select("sh", "canon")
-    val marked = wins.join(dup, "sh")
-      .where(col("k") =!= col("canon"))
+      .select("h1", "h2", "canon")
+    val marked = wins.join(dup, Seq("h1", "h2"))
+      .where(occ =!= col("canon"))
       .select(col("doc_id"), col("pos").as("s"), (col("pos") + lit(L - 1)).as("e"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("s", "e")

@@ -252,6 +252,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // the span merge is one per-doc window partition — the sort feeding it
     // must be a local sort under a doc_id exchange, not a global sort
     assert(p.contains("Window"), p.take(2500))
+    // the shuffled window relation must carry fixed-width 128-bit hash keys,
+    // never the L-token window string (~L× the corpus text at scale): the
+    // duplicate-group exchange partitions on (h1, h2) and no exchange or
+    // aggregate keys on the string column
+    assert(p.contains("xxhash64"), p.take(2500))
+    assert("hashpartitioning\\(h1".r.findFirstIn(p).isDefined ||
+           "keys=\\[h1".r.findFirstIn(p).isDefined, p.take(4000))
+    assert(!"hashpartitioning\\(sh".r.findFirstIn(p).isDefined &&
+           !"keys=\\[sh".r.findFirstIn(p).isDefined, p.take(4000))
   }
 
   test("cross-corpus near-dup: band-key equality joins only, no cartesian anywhere") {
