@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Independent validator for the CF decode layer: parses the CDF-1
+fixture (/tmp/graft_cf_fixture.nc, written by graft.harness.Nc3CfFixture
+via SparkEntry.ensureCfFixture) with its own netCDF classic reader,
+applies CF mask/scale/time decoding in plain python (datetime
+arithmetic, not Spark and not DuckDB), and compares every row against
+the engine's dumped load_netcdf_cf parquet.
+
+Third implementation of both the container format and the CF
+arithmetic, so an encoder/decoder matched bug pair cannot survive it.
+
+Driver-side only (not shipped in the library). Usage:
+  python3 scripts/cf_check.py [fixture.nc] [dumped_query_dir]
+"""
+import datetime
+import glob
+import math
+import struct
+import sys
+
+
+def parse_cdf1(path):
+    b = open(path, 'rb').read()
+    assert b[:4] == b'CDF\x01', 'not a CDF-1 file'
+    pos = [4]
+
+    def i32():
+        v = struct.unpack_from('>i', b, pos[0])[0]
+        pos[0] += 4
+        return v
+
+    def name():
+        n = i32()
+        s = b[pos[0]:pos[0] + n].decode('utf-8')
+        pos[0] += (n + 3) // 4 * 4
+        return s
+
+    def atts():
+        tag, n = i32(), i32()
+        assert tag in (0x0c, 0) and (tag or n == 0)
+        out = {}
+        for _ in range(n):
+            nm, t, ne = name(), i32(), i32()
+            if t == 2:
+                v = b[pos[0]:pos[0] + ne].decode('latin-1')
+                pos[0] += (ne + 3) // 4 * 4
+            elif t == 3:
+                v = list(struct.unpack_from('>%dh' % ne, b, pos[0]))
+                pos[0] += (2 * ne + 3) // 4 * 4
+            elif t == 4:
+                v = list(struct.unpack_from('>%di' % ne, b, pos[0]))
+                pos[0] += 4 * ne
+            elif t == 5:
+                v = list(struct.unpack_from('>%df' % ne, b, pos[0]))
+                pos[0] += (4 * ne + 3) // 4 * 4
+            elif t == 6:
+                v = list(struct.unpack_from('>%dd' % ne, b, pos[0]))
+                pos[0] += 8 * ne
+            else:
+                raise AssertionError('attr type %d' % t)
+            out[nm] = v if t != 2 else v
+        return out
+
+    numrecs = i32()
+    assert numrecs == 0, 'fixture has no record vars'
+    tag, nd = i32(), i32()
+    assert tag == 0x0a
+    dims = [(name(), i32()) for _ in range(nd)]
+    gatts = atts()
+    tag, nv = i32(), i32()
+    assert tag == 0x0b
+    out = {}
+    for _ in range(nv):
+        nm = name()
+        rank = i32()
+        dimids = [i32() for _ in range(rank)]
+        va = atts()
+        t = i32()
+        i32()  # vsize
+        begin = i32()
+        shape = [dims[d][1] for d in dimids]
+        count = 1
+        for s in shape:
+            count *= s
+        fmt = {3: 'h', 4: 'i', 5: 'f', 6: 'd'}[t]
+        vals = list(struct.unpack_from('>%d%s' % (count, fmt), b, begin))
+        out[nm] = (shape, va, vals)
+    return gatts, out
+
+
+UNITS_SEC = {'days': 86400, 'day': 86400, 'd': 86400,
+             'hours': 3600, 'hour': 3600, 'hr': 3600, 'h': 3600,
+             'minutes': 60, 'minute': 60, 'min': 60,
+             'seconds': 1, 'second': 1, 'sec': 1, 's': 1,
+             'milliseconds': 1e-3, 'microseconds': 1e-6,
+             'weeks': 604800, 'week': 604800}
+
+
+def cf_decode(shape, va, vals):
+    """-> list of (coord_key, value_or_None, time_str_or_None)."""
+    scale = va.get('scale_factor', [1.0])[0] if 'scale_factor' in va else 1.0
+    offset = va.get('add_offset', [0.0])[0] if 'add_offset' in va else 0.0
+    fills = []
+    for k in ('_FillValue', 'missing_value'):
+        if k in va and not isinstance(va[k], str):
+            fills.append(float(va[k][0]))
+    units = va.get('units')
+    epoch = unit_sec = None
+    if isinstance(units, str) and ' since ' in units:
+        word, _, rest = units.partition(' since ')
+        unit_sec = UNITS_SEC[word.strip().lower()]
+        ds = rest.strip()
+        for fmt in ('%Y-%m-%d %H:%M:%S', '%Y-%m-%d'):
+            try:
+                epoch = datetime.datetime.strptime(ds, fmt)
+                break
+            except ValueError:
+                pass
+        assert epoch is not None, 'unparsed epoch %r' % ds
+        cal = va.get('calendar', 'standard')
+        assert cal in ('standard', 'gregorian', 'proleptic_gregorian'), cal
+    rows = []
+    for flat, raw in enumerate(vals):
+        coords, rem = [], flat
+        for s in reversed(shape):
+            coords.append(rem % s)
+            rem //= s
+        key = '.'.join(str(c) for c in reversed(coords))
+        if any(float(raw) == f or (math.isnan(f) and math.isnan(float(raw)))
+               for f in fills):
+            rows.append((key, None, None))
+            continue
+        v = float(raw) * scale + offset
+        ts = None
+        if epoch is not None:
+            ts = (epoch + datetime.timedelta(seconds=v * unit_sec)
+                  ).strftime('%Y-%m-%d %H:%M:%S')
+        rows.append((key, v, ts))
+    return rows
+
+
+def main(fixture, dumped):
+    import pandas as pd
+    _, nc_vars = parse_cdf1(fixture)
+    expect = {}
+    for nm, (shape, va, vals) in nc_vars.items():
+        for key, v, ts in cf_decode(shape, va, vals):
+            expect[(nm, key)] = (v, ts)
+
+    files = glob.glob(dumped + '/*.parquet')
+    assert files, 'no parquet under ' + dumped
+    df = pd.concat(pd.read_parquet(f) for f in files)
+    assert len(df) == len(expect), (len(df), len(expect))
+    for _, r in df.iterrows():
+        ev, ets = expect[(r['variable'], r['coord_key'])]
+        got_v = None if pd.isna(r['value']) else float(r['value'])
+        got_t = None if pd.isna(r['time_str']) else r['time_str']
+        assert (got_v is None) == (ev is None), (r['variable'], r['coord_key'], got_v, ev)
+        if ev is not None:
+            assert got_v == ev, (r['variable'], r['coord_key'], got_v, ev)
+        assert got_t == ets, (r['variable'], r['coord_key'], got_t, ets)
+    print('cf_check: %d rows, python-computed mask/scale/time all match' % len(df))
+
+
+if __name__ == '__main__':
+    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_cf_fixture.nc',
+         sys.argv[2] if len(sys.argv) > 2 else '/tmp/r8cf/load_netcdf_cf')

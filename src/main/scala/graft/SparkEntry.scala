@@ -451,6 +451,22 @@ object SparkEntry {
     * [4,4] v2-btree-indexed grid where chunk k carries k*100 + local
     * offset. Bytes are pure functions of these formulas, so rewriting on
     * a missing file is always safe. */
+  /** Deterministic CDF-1 fixture with CF packed/masked/time variables
+    * (see [[graft.harness.Nc3CfFixture]]). Pure function of closed-form
+    * formulas, so rewriting on a missing file is always safe. */
+  def ensureCfFixture(): String = {
+    val out = Paths.get("/tmp/graft_cf_fixture.nc")
+    this.synchronized {
+      if (!Files.exists(out)) {
+        val tmp = Files.createTempFile(out.getParent, "graft_cf_", ".tmp")
+        Files.write(tmp, graft.harness.Nc3CfFixture.bytes())
+        Files.move(tmp, out, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    out.toString
+  }
+
   def ensureHdf5V4Fixture(): String = {
     // v2 suffix: the layout-v4 dimension encoding changed (rank+1 with a
     // trailing element-size entry), so pre-fix cached bytes must not be reused
@@ -1170,6 +1186,25 @@ object SparkEntry {
         .select(col("variable"),
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
           col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "load_netcdf_cf" -> ((s, _) => {
+      // CF-convention decode (`graft.kerchunk.decode=cf` — the
+      // xarray.open_dataset defaults mask_and_scale + decode_times the
+      // reference relies on, source.py:70-137): a hand-encoded CDF-1
+      // fixture with a packed int16 variable (scale/offset/_FillValue), a
+      // float variable with missing_value, and a standard-calendar time
+      // axis. The oracle re-applies the identical arithmetic in DuckDB
+      // from the closed-form raw values (harness.Nc3CfFixture).
+      val nc = ensureCfFixture()
+      graft.catalog.EsmDataSource("cf", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "cf"))
+        .openAsset(s, nc, "netcdf")
+        .select(col("variable"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"),
+          date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_str"))
         .orderBy("variable", "coord_key")
     }),
 
@@ -2573,6 +2608,36 @@ object SparkEntry {
         |         CAST(((a.r // 2) * 2 + (b.c // 2)) * 100 + (a.r % 2) * 2 + (b.c % 2) AS DOUBLE) AS value
         |  FROM range(0, 4) a(r), range(0, 4) b(c))
         |SELECT * FROM (SELECT * FROM ea UNION ALL SELECT * FROM fap UNION ALL SELECT * FROM bt)
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // CF decode oracle: DuckDB re-applies mask → unpack → time arithmetic
+    // to the fixture's closed-form RAW values (harness.Nc3CfFixture) —
+    // double casts everywhere so both engines run identical IEEE ops
+    "load_netcdf_cf" ->
+      """WITH tv AS (
+        |  SELECT 'time' AS variable, CAST(i AS VARCHAR) AS coord_key,
+        |         CAST(v AS DOUBLE) AS value,
+        |         strftime(TIMESTAMP '1850-01-16 12:00:00' + v * INTERVAL 1 DAY,
+        |                  '%Y-%m-%d %H:%M:%S') AS time_str
+        |  FROM (VALUES (0, 0), (1, 31), (2, 59), (3, 90)) t(i, v)),
+        |lv AS (
+        |  SELECT 'lat', CAST(i AS VARCHAR), CAST(v AS DOUBLE), CAST(NULL AS VARCHAR)
+        |  FROM (VALUES (0, -30.0), (1, 0.0), (2, 30.0)) t(i, v)),
+        |tas AS (
+        |  SELECT 'tas', CAST(t AS VARCHAR) || '.' || CAST(l AS VARCHAR),
+        |         CASE WHEN raw = -999 THEN NULL
+        |              ELSE CAST(raw AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(250.0 AS DOUBLE) END,
+        |         CAST(NULL AS VARCHAR)
+        |  FROM (SELECT t, l, CASE WHEN t = 1 AND l = 1 THEN -999 ELSE t*100 + l*10 - 150 END AS raw
+        |        FROM range(0, 4) a(t), range(0, 3) b(l))),
+        |rh AS (
+        |  SELECT 'rh', CAST(t AS VARCHAR) || '.' || CAST(l AS VARCHAR),
+        |         CASE WHEN t = 2 AND l = 0 THEN NULL
+        |              ELSE CAST(t AS DOUBLE) + CAST(l AS DOUBLE) * CAST(0.5 AS DOUBLE) END,
+        |         CAST(NULL AS VARCHAR)
+        |  FROM range(0, 4) a(t), range(0, 3) b(l))
+        |SELECT * FROM (SELECT * FROM tv UNION ALL SELECT * FROM lv
+        |               UNION ALL SELECT * FROM tas UNION ALL SELECT * FROM rh)
         |ORDER BY variable, coord_key""".stripMargin,
 
     "load_netcdf4" ->

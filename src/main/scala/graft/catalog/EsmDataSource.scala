@@ -73,7 +73,8 @@ final case class EsmDataSource(
             graft.sources.NetcdfCollection.openCoords(spark, paths, storageOptions)
           case Some(other) => throw new UnsupportedOperationException(
             s"glob netcdf decode mode '$other' unsupported — use 'coords' " +
-              "(concatenation is defined on labeled coordinates) or omit for the inventory")
+              "(concatenation is defined on labeled coordinates; 'cf' applies " +
+              "per single file) or omit for the inventory")
           case None =>
             graft.sources.NetcdfCollection.readEntries(spark, paths, storageOptions)
         }
@@ -110,6 +111,14 @@ final case class EsmDataSource(
               graft.sources.Dap2Index.materialize(entries),
               graft.sources.KerchunkIndex.arrayMeta(entries),
               graft.sources.KerchunkIndex.attrDims(entries))
+          case Some("cf") =>
+            // DAS attributes ride the same synthesized .zattrs plane, so CF
+            // decode layers identically over the DAP2 chunk map
+            graft.sources.CfDecode.decodeCf(
+              graft.sources.Dap2Index.materialize(entries),
+              graft.sources.KerchunkIndex.arrayMeta(entries),
+              graft.sources.KerchunkIndex.attrDims(entries),
+              graft.sources.CfDecode.cfAttrs(entries))
           case _ => entries
         }
       case other =>
@@ -119,7 +128,9 @@ final case class EsmDataSource(
 
   /** Chunk-map entries → the depth `graft.kerchunk.decode` asks for:
     * absent = the entry rows themselves, `typed` = decoded values,
-    * `coords` = decoded values with dimension-labeled global indices. */
+    * `coords` = decoded values with dimension-labeled global indices,
+    * `cf` = coords plus CF-convention mask/scale/time decode
+    * ([[graft.sources.CfDecode]] — the xarray.open_dataset defaults). */
   private def decodeEntries(entries: DataFrame): DataFrame =
     storageOptions.get("graft.kerchunk.decode") match {
       case Some("typed") =>
@@ -131,6 +142,12 @@ final case class EsmDataSource(
           graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
           graft.sources.KerchunkIndex.arrayMeta(entries),
           graft.sources.KerchunkIndex.attrDims(entries))
+      case Some("cf") =>
+        graft.sources.CfDecode.decodeCf(
+          graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries),
+          graft.sources.CfDecode.cfAttrs(entries))
       case _ => entries
     }
 
