@@ -1563,22 +1563,28 @@ object SparkEntry {
 
     "dedup_incremental_near" -> ((s, dir) => {
       // near-dup recrawl: new docs (>= 250) against the standing corpus
-      // (< 250) — LSH candidates BETWEEN the sides only, exact jaccard
-      // verify; same checkpoint-before-sort convention as ngram_jaccard
+      // (< 250). The corpus side is a PRECOMPUTED index (the persisted
+      // artifact a real recrawl loop reloads — its text is scanned once at
+      // build, zero times per batch); LSH candidates BETWEEN the sides
+      // only, exact jaccard verify; same checkpoint-before-sort convention
+      // as ngram_jaccard
       val docs = T(s, dir, "documents")
-      Dedup.crossNearDup(docs.filter(col("doc_id") >= 250),
-          docs.filter(col("doc_id") < 250), "text", "doc_id", n = 3, threshold = 0.3)
+      val index = Dedup.buildNearDupIndex(docs.filter(col("doc_id") < 250),
+          "text", "doc_id", n = 3, threshold = 0.3)
+        .localCheckpoint(true) // materialized = the reloaded-artifact shape
+      Dedup.crossNearDupWithIndex(docs.filter(col("doc_id") >= 250),
+          index, "text", "doc_id", n = 3, threshold = 0.3)
         .localCheckpoint(false)
         .orderBy("id_batch", "id_corpus")
     }),
 
     "dedup_incremental" -> ((s, dir) => {
       // daily-ingest shape: docs 250+ are the new batch, docs <250 the
-      // standing corpus; bloom pre-filter + exact anti-join confirm
+      // standing corpus held as a precomputed ExactIndex (distinct texts +
+      // bloom bytes); bloom pre-filter + exact anti-join confirm
       val docs   = T(s, dir, "documents")
-      val corpus = docs.filter(col("doc_id") < 250)
-      val batch  = docs.filter(col("doc_id") >= 250)
-      Dedup.incrementalExact(batch, corpus, "text")
+      val index  = Dedup.buildExactIndex(docs.filter(col("doc_id") < 250), "text")
+      Dedup.incrementalExactWithIndex(docs.filter(col("doc_id") >= 250), index, "text")
         .select("doc_id").orderBy("doc_id")
     }),
 

@@ -358,24 +358,8 @@ object Dedup {
     * is ~1.2 GB per 10⁹ keys at 1% — or feed per-shard filters.
     */
   def incrementalExact(batch: DataFrame, corpus: DataFrame, textCol: String,
-                       fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge
-    val hashes = corpus.select(xxhash64(col(textCol)).as("h"))
-    val n      = math.max(1L, hashes.count())
-    val bloom  = hashes.stat.bloomFilter("h", n, fpp)
-    val bos    = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    val mightContain = GraftColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        GraftColumnBridge.expression(lit(bos.toByteArray)),
-        GraftColumnBridge.expression(xxhash64(col(textCol)))))
-    val flagged = batch.withColumn("__maybe", mightContain)
-    val fresh   = flagged.filter(!coalesce(col("__maybe"), lit(false))).drop("__maybe")
-    val confirmed = flagged.filter(coalesce(col("__maybe"), lit(false)))
-      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
-      .drop("__maybe")
-    fresh.unionByName(confirmed)
-  }
+                       fpp: Double = 0.01): DataFrame =
+    incrementalExactWithIndex(batch, buildExactIndex(corpus, textCol, fpp), textCol)
 
   // ------------------------------------------------ embedding-cosine near-dup
 
@@ -521,9 +505,7 @@ object Dedup {
       shingleStorage: StorageLevel = StorageLevel.DISK_ONLY,
       scope: CacheScope = CacheScope.untracked,
   ): DataFrame = {
-    val (b, r) =
-      if (lshDetectProb(threshold, 32, 4) >= 0.98) (32, 4)
-      else lshAutoParams(threshold)
+    val (b, r) = nearDupParams(threshold)
     val k = b * r
     val shB = scope.persisted(shingleRows(batch, textCol, idCol, n), shingleStorage)
     val shC = scope.persisted(shingleRows(corpus, textCol, idCol, n), shingleStorage)
@@ -547,6 +529,124 @@ object Dedup {
       .withColumn("uni", size(array_union(col("sh_b"), col("sh_c"))).cast(DoubleType))
       .select(col("id_batch"), col("id_corpus"), (col("inter") / col("uni")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------ precomputed-signature indexes
+
+  /** Near-dup index of a standing corpus — the persisted artifact a real
+    * recrawl loop keys on. One row per document:
+    * (id, shingles: array&lt;string&gt;, sig: array&lt;long&gt;), both computed
+    * in ONE shingle pass + ONE groupBy. Build it once per corpus state,
+    * write it as parquet, and feed [[crossNearDupWithIndex]] per increment:
+    * the corpus TEXT is scanned exactly once at build time — at 100 TB the
+    * per-batch cost follows the batch, not the corpus.
+    *
+    * `threshold` fixes the LSH geometry (b × r) exactly as [[crossNearDup]]
+    * derives it, so an index built at one threshold verifies increments at
+    * that same threshold — [[crossNearDupWithIndex]] guards the signature
+    * width per row. Band/bucket rows are NOT stored: they derive from `sig`
+    * with a pure column function at query time, so the artifact stays one
+    * compact row per doc. */
+  def buildNearDupIndex(
+      corpus: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    val (b, r) = nearDupParams(threshold)
+    shingleRows(corpus, textCol, idCol, n)
+      .groupBy("id")
+      .agg(collect_set(col("sh")).as("shingles"),
+        graft.functions.SketchFunctions.minhash_agg(col("sh"), b * r).as("sig"))
+  }
+
+  private def nearDupParams(threshold: Double): (Int, Int) =
+    if (lshDetectProb(threshold, 32, 4) >= 0.98) (32, 4) else lshAutoParams(threshold)
+
+  /** [[crossNearDup]] against a PRECOMPUTED corpus index
+    * ([[buildNearDupIndex]], typically reloaded from parquet): identical
+    * output, but the standing corpus text is never touched — bands derive
+    * from the stored signatures, and the exact verify reads the stored
+    * shingle sets (semi-joined to candidate-touched ids only). */
+  def crossNearDupWithIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      shingleStorage: StorageLevel = StorageLevel.DISK_ONLY,
+      scope: CacheScope = CacheScope.untracked,
+  ): DataFrame = {
+    val (b, r) = nearDupParams(threshold)
+    val k = b * r
+    val shB = scope.persisted(shingleRows(batch, textCol, idCol, n), shingleStorage)
+    val sigB = shB.groupBy("id")
+      .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
+    def bandsOf(sigs: DataFrame, out: String) = sigs.select(col(out),
+        posexplode(graft.functions.SketchFunctions.band_hashes(col("sig"), b, r)))
+      .select(col(out), col("pos").as("band"), col("col").as("bucket"))
+    // per-row geometry guard: an index built at a different threshold has a
+    // different signature width — banding it would silently change recall
+    val guarded = index.filter(coalesce(assert_true(size(col("sig")) === k,
+      concat(lit(s"near-dup index signature width "), size(col("sig")),
+        lit(s" != $k — the index was built at a different threshold"))), lit(true)))
+    val candidates = bandsOf(sigB.select(col("id").as("id_batch"), col("sig")), "id_batch")
+      .join(bandsOf(guarded.select(col("id").as("id_corpus"), col("sig")), "id_corpus"),
+        Seq("band", "bucket"))
+      .select("id_batch", "id_corpus").distinct()
+      .localCheckpoint(true) // three consumers below (two semi-joins + the pair join)
+    val setsB = shB.join(candidates.select("id_batch"),
+        shB("id") === col("id_batch"), "left_semi")
+      .groupBy("id").agg(collect_set(col("sh")).as("sh_b"))
+      .withColumnRenamed("id", "id_batch")
+    val setsC = guarded.join(candidates.select("id_corpus"),
+        guarded("id") === col("id_corpus"), "left_semi")
+      .select(col("id").as("id_corpus"), col("shingles").as("sh_c"))
+    candidates
+      .join(setsB, "id_batch")
+      .join(setsC, "id_corpus")
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast(DoubleType))
+      .withColumn("uni", size(array_union(col("sh_b"), col("sh_c"))).cast(DoubleType))
+      .select(col("id_batch"), col("id_corpus"), (col("inter") / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact-dedup index of a standing corpus: the distinct corpus texts
+    * (the anti-join side — kept so the result stays EXACT, not
+    * hash-probabilistic) plus the serialized Bloom filter over their
+    * xxhash64s. Build once per corpus state; persist `texts` as parquet
+    * and the filter bytes alongside. */
+  final case class ExactIndex(texts: DataFrame, bloom: Array[Byte])
+
+  /** One corpus scan → [[ExactIndex]]. */
+  def buildExactIndex(corpus: DataFrame, textCol: String,
+                      fpp: Double = 0.01): ExactIndex = {
+    val texts = corpus.select(col(textCol)).distinct()
+    val hashes = texts.select(xxhash64(col(textCol)).as("h"))
+    val n = math.max(1L, hashes.count())
+    val bloom = hashes.stat.bloomFilter("h", n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    ExactIndex(texts, bos.toByteArray)
+  }
+
+  /** [[incrementalExact]] against a precomputed [[ExactIndex]]: identical
+    * output, corpus scanned zero times per batch. */
+  def incrementalExactWithIndex(batch: DataFrame, index: ExactIndex,
+                                textCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val mightContain = GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftColumnBridge.expression(lit(index.bloom)),
+        GraftColumnBridge.expression(xxhash64(col(textCol)))))
+    val flagged = batch.withColumn("__maybe", mightContain)
+    val fresh   = flagged.filter(!coalesce(col("__maybe"), lit(false))).drop("__maybe")
+    val confirmed = flagged.filter(coalesce(col("__maybe"), lit(false)))
+      .join(index.texts, Seq(textCol), "left_anti")
+      .drop("__maybe")
+    fresh.unionByName(confirmed)
   }
 
   /** Exact-substring duplicated spans, the ExactSubstr shape from the
