@@ -232,12 +232,168 @@ object BandHashes {
         s"band_hashes: signature has $n slots, needs bands*rowsPerBand = ${bands * rowsPerBand}")
 }
 
+/** Row-local MinHash signature of an `array<string>` — the non-aggregate
+  * twin of [[MinHashAgg]], same Kirsch–Mitzenmacher hash family (g_i =
+  * h1 + i·h2 over xxhash64 seeds 0/1), so a signature computed per row
+  * here equals the one [[MinHashAgg]] accumulates over the same exploded
+  * set. One expression node replacing the k-branch
+  * `array(array_min(transform(...)))` formulation: the streaming twin's
+  * incremental planner re-optimizes the tree EVERY micro-batch, and the
+  * higher-order-function form is interpreted per row — both costs scale
+  * with k there and are constant here. Null elements are skipped; an
+  * empty array yields the Long.MaxValue identity signature. */
+case class MinHashSig(child: Expression, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<string> (a shingle set), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(MinHashSig.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.MinHashSig.compute($arr, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Static kernel, shared by interpreted and generated code. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Array[Long] = {
+    val buf = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s  = arr.getUTF8String(j)
+        val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 0L)
+        val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
+        var i = 0
+        var g = h1
+        while (i < k) {
+          if (g < buf(i)) buf(i) = g
+          g += h2
+          i += 1
+        }
+      }
+      j += 1
+    }
+    buf
+  }
+}
+
+/** Row-local 64-bit hashes of every L-token window of a token array —
+  * the expression form the streaming substring-dedup twin keys state on.
+  * Window w's hash is xxhash64(seed 42) of the tokens joined by single
+  * spaces (identical bytes to `xxhash64(concat_ws(" ", …))`), computed in
+  * one native loop instead of an interpreted L-deep zip_with chain whose
+  * tree the incremental planner re-optimizes every micro-batch. Output
+  * length is max(0, n - L + 1). */
+case class WindowHashes(child: Expression, windowTokens: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"window_hashes expects array<string> (tokens), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(WindowHashes.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], windowTokens))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WindowHashes.compute($arr, $windowTokens));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  /** Static kernel, shared by interpreted and generated code. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, l: Int): Array[Long] = {
+    val n = arr.numElements()
+    val m = math.max(0, n - l + 1)
+    val out = new Array[Long](m)
+    if (m == 0) return out
+    // token bytes gathered once; each window joins with single spaces into
+    // one buffer and hashes — identical bytes to xxhash64 of the joined
+    // window string
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    var w = 0
+    while (w < m) {
+      var len = l - 1
+      var j = 0
+      while (j < l) { len += toks(w + j).length; j += 1 }
+      val buf = new Array[Byte](len)
+      var at = 0
+      j = 0
+      while (j < l) {
+        if (j > 0) { buf(at) = ' '; at += 1 }
+        val t = toks(w + j)
+        System.arraycopy(t, 0, buf, at, t.length)
+        at += t.length
+        j += 1
+      }
+      out(w) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        len, 42L)
+      w += 1
+    }
+    out
+  }
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   /** MinHash signature aggregate: `array<long>` of length k per group. */
   def minhash_agg(c: Column, k: Int): Column =
     column(MinHashAgg(expression(c), k).toAggregateExpression())
+
+  /** Row-local MinHash signature of an array<string> (same hash family as
+    * [[minhash_agg]]). */
+  def minhash_sig(c: Column, k: Int): Column =
+    column(MinHashSig(expression(c), k))
+
+  /** 64-bit hashes of every `windowTokens`-token window of a token array. */
+  def window_hashes(c: Column, windowTokens: Int): Column =
+    column(WindowHashes(expression(c), windowTokens))
 
   /** 64-bit SimHash fingerprint aggregate over the group's tokens. */
   def simhash_agg(c: Column): Column =

@@ -118,12 +118,15 @@ object StreamingOps {
           "derive one (e.g. xxhash64 of the string id) before calling")
     }
     val ttlMs = ttlMinutes.toLong * 60L * 1000L
-    // STAGED projections, one per layer: shingles → signature → band keys.
-    // Inlining one `sig` expression into bandKeys would copy it into every
-    // band struct — k×bands re-evaluations of the whole shingle pipeline per
-    // row (hours, not seconds, on real documents). As separate selects each
-    // layer computes ONCE per row: CollapseProject leaves multi-referenced
-    // non-cheap expressions in their own ProjectExec.
+    // STAGED projections, one per layer: shingles → signature → band keys
+    // (CollapseProject leaves multi-referenced non-cheap expressions in
+    // their own ProjectExec, so each layer computes once per row). The
+    // signature and band layers are single NATIVE expressions
+    // (SketchFunctions.minhash_sig / band_hashes — the same hash family as
+    // the batch MinHashAgg pipeline): the k-branch higher-order-function
+    // formulation was interpreted per row AND its wide tree was re-optimized
+    // by the incremental planner EVERY micro-batch — both costs scale with
+    // k there and are constant here (profiled ~1.3 s of the 2 k-doc bench).
     docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
@@ -134,10 +137,12 @@ object StreamingOps {
       // with false collisions against the first short doc seen.
       .filter(size(col("__sh")) > 0)
       .select(col("doc_id"), col("ts"),
-        Dedup.minhashSignature(col("__sh"), bands * rowsPerBand).as("__sig"))
+        graft.functions.SketchFunctions.minhash_sig(col("__sh"), bands * rowsPerBand)
+          .as("__sig"))
       .select(col("doc_id"), col("ts"),
-        posexplode(Dedup.bandKeys(col("__sig"), bands, rowsPerBand)))
-      .select(col("col.band").as("band"), col("col.bucket").cast("long").as("bucket"),
+        posexplode(graft.functions.SketchFunctions.band_hashes(
+          col("__sig"), bands, rowsPerBand)))
+      .select(col("pos").cast("int").as("band"), col("col").as("bucket"),
         col("doc_id"), col("ts"))
       .as[BandRow]
       .groupByKey(r => (r.band, r.bucket))
@@ -202,17 +207,16 @@ object StreamingOps {
     val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
     val toks = when(length(trimmed) === 0, array().cast("array<string>"))
       .otherwise(split(trimmed, "\\s+"))
+    // one native expression hashes every L-token window (identical bytes to
+    // xxhash64 of the space-joined window string) — replaces an interpreted
+    // L-deep zip_with chain whose tree the incremental planner re-optimized
+    // every micro-batch, and the explode carries longs, never window strings
     docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"), toks.as("__t"))
       .select(col("doc_id"), col("ts"),
-        (2 to L).foldLeft(col("__t")) { (acc, i) =>
-          zip_with(acc, slice(col("__t"), lit(i), greatest(size(col("__t")) - (i - 1), lit(0))),
-            (a, b) => concat(a, lit(" "), b))
-        }.as("__grams"))
-      .select(col("doc_id"), col("ts"), posexplode(col("__grams")))
-      .where(col("col").isNotNull)
-      .select(xxhash64(col("col")).as("key"), col("doc_id"),
+        posexplode(graft.functions.SketchFunctions.window_hashes(col("__t"), L)))
+      .select(col("col").as("key"), col("doc_id"),
         col("pos").cast("int").as("pos"), col("ts"))
       .as[WinRow]
       .groupByKey(_.key)

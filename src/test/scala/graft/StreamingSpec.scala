@@ -314,11 +314,12 @@ class StreamingSpec extends AnyFunSuite {
     val sigDf = timedDf
       .withColumn("__sh", Dedup.wordShingles(col("text"), 3))
       .select(col("doc_id"), col("ts"),
-        Dedup.minhashSignature(col("__sh"), bands * rows).as("__sig"))
+        graft.functions.SketchFunctions.minhash_sig(col("__sh"), bands * rows).as("__sig"))
       .localCheckpoint()
     val banded = sigDf
-      .select(col("doc_id"), col("ts"), posexplode(Dedup.bandKeys(col("__sig"), bands, rows)))
-      .select(col("col.band").as("band"), col("col.bucket").cast("long").as("bucket"),
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.functions.SketchFunctions.band_hashes(col("__sig"), bands, rows)))
+      .select(col("pos").cast("int").as("band"), col("col").as("bucket"),
         col("doc_id"), col("ts"))
     val w = Window.partitionBy("band", "bucket").orderBy(col("ts"), col("doc_id"))
     val expected = banded
