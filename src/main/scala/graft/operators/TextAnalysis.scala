@@ -167,19 +167,30 @@ object TextAnalysis {
           .as("mean_bits"))
   }
 
-  /** The top-`vocabK` corpus vocabulary as (token → surprisal bits),
+  /** Frozen vocabulary for [[zipfScoreWithVocab]]: token → surprisal bits,
+    * plus the `vocabK` it was DERIVED AT. Carrying K is load-bearing — the
+    * OOV bit cost is a function of the requested K, and a corpus with
+    * fewer distinct tokens than K would otherwise make the frozen-vocab
+    * scorer disagree with [[zipfSurprisal]] on every OOV-bearing doc. */
+  final case class ZipfVocab(bits: Map[String, Int], k: Int)
+
+  /** The top-`vocabK` corpus vocabulary as a [[ZipfVocab]],
     * driver-collected — bounded by the CONSTANT vocabK, not by data size
-    * (the same contract as [[zipfSurprisal]]'s K-row rank window). Feed it
-    * to [[zipfScoreWithVocab]] to score any other frame — including an
-    * unbounded stream — against this frozen vocabulary. */
-  def zipfVocab(df: DataFrame, textCol: String, vocabK: Int = 4096): Map[String, Int] = {
+    * (the same contract as [[zipfSurprisal]]'s K-row rank window; the
+    * collect is DriverGuard-exempt for the same reason — at most K tiny
+    * rows regardless of corpus size). Feed it to [[zipfScoreWithVocab]]
+    * to score any other frame — including an unbounded stream — against
+    * this frozen vocabulary. */
+  def zipfVocab(df: DataFrame, textCol: String, vocabK: Int = 4096): ZipfVocab = {
     require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
     val toks = df.select(explode(tokens(lower(col(textCol)))).as("t"))
-    toks.groupBy("t").agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("t").asc).limit(vocabK)
-      .collect().zipWithIndex
-      .map { case (r, i) => r.getString(0) -> (64 - java.lang.Long.numberOfLeadingZeros(i + 1L)) }
-      .toMap
+    ZipfVocab(
+      toks.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t").asc).limit(vocabK)
+        .collect().zipWithIndex
+        .map { case (r, i) => r.getString(0) -> (64 - java.lang.Long.numberOfLeadingZeros(i + 1L)) }
+        .toMap,
+      vocabK)
   }
 
   /** [[zipfSurprisal]] against a FROZEN vocabulary (from [[zipfVocab]]) —
@@ -187,12 +198,15 @@ object TextAnalysis {
     * `element_at`, no UDF, no broadcast bookkeeping), so it composes into
     * Structured Streaming unchanged: the streaming twin of the batch
     * scorer, with the usual frozen-vocab trade (drift in the live token
-    * distribution does not update ranks until the vocab is re-derived). */
+    * distribution does not update ranks until the vocab is re-derived).
+    * OOV bits derive from the vocab's REQUESTED K (not the realized map
+    * size), matching the batch scorer bit-for-bit even when the deriving
+    * corpus had fewer distinct tokens than K. */
   def zipfScoreWithVocab(df: DataFrame, textCol: String, idCol: String,
-                         vocab: Map[String, Int]): DataFrame = {
-    require(vocab.nonEmpty, "empty vocabulary")
-    val oovBits = 64 - java.lang.Long.numberOfLeadingZeros(vocab.size.toLong) + 1
-    val vmap = typedlit(vocab)
+                         vocab: ZipfVocab): DataFrame = {
+    require(vocab.bits.nonEmpty, "empty vocabulary")
+    val oovBits = 64 - java.lang.Long.numberOfLeadingZeros(vocab.k.toLong) + 1
+    val vmap = typedlit(vocab.bits)
     val passthrough = df.columns.filter(c => c != idCol && c != textCol).map(col)
     val staged = df.select((col(idCol).as("id") +: tokens(lower(col(textCol))).as("__t")
       +: passthrough): _*)

@@ -372,6 +372,25 @@ class StreamingSpec extends AnyFunSuite {
         s"diff=${(streamed diff batch).take(3)} ${(batch diff streamed).take(3)}")
   }
 
+  test("frozen-vocab zipf OOV bit cost comes from K, not the realized vocab size") {
+    // the deriving corpus has only 3 distinct tokens but K = 16: the OOV
+    // bit cost must be the batch scorer's K-based constant
+    // (64 - nlz(16) + 1 = 6), not a vocab.size-based one (which would be
+    // 3) — the scorer-divergence case the r7 advice flagged
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val corpus = Seq((1L, "aa bb cc aa"), (2L, "aa bb")).toDF("doc_id", "text")
+    val scored = Seq((10L, "aa zz yy"), (11L, "bb")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.zipfVocab(corpus, "text", vocabK = 16)
+    assert(vocab.bits.size == 3 && vocab.k == 16)
+    val frozen = TextAnalysis.zipfScoreWithVocab(scored, "text", "doc_id", vocab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // ranks: aa=1 (1 bit), bb=2 (2 bits), cc=3 (2 bits); OOV = 6 bits
+    assert(frozen(10L) == ((3L, 2L, (1.0 + 6.0 + 6.0) / 3.0)), frozen(10L))
+    assert(frozen(11L) == ((1L, 0L, 2.0)), frozen(11L))
+  }
+
   test("streaming window hits: first claim wins, TTL forgets old windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
