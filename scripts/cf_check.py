@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Independent validator for the CF decode layer: parses the CDF-1
-fixture (/tmp/graft_cf_fixture.nc, written by graft.harness.Nc3CfFixture
+fixture (/tmp/graft_cf_fixture_v2.nc, written by graft.harness.Nc3CfFixture
 via SparkEntry.ensureCfFixture) with its own netCDF classic reader,
 applies CF mask/scale/time decoding in plain python (datetime
 arithmetic, not Spark and not DuckDB), and compares every row against
@@ -96,6 +96,42 @@ UNITS_SEC = {'days': 86400, 'day': 86400, 'd': 86400,
              'weeks': 604800, 'week': 604800}
 
 
+FIXED_CAL = {'noleap': [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+             '365_day': [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+             'all_leap': [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+             '366_day': [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31],
+             '360_day': [30] * 12}
+
+
+def fixed_cal_date(epoch_ymdhms, offset_seconds, cal):
+    """Fixed CF calendar arithmetic, independent of the Scala kernel."""
+    months = FIXED_CAL[cal]
+    ylen = sum(months)
+    ey, em, ed, eh, emi, es = epoch_ymdhms
+    days0 = ey * ylen + sum(months[:em - 1]) + (ed - 1)
+    micros = (days0 * 86400 + eh * 3600 + emi * 60) * 10**6 \
+        + round(es * 10**6) + round(offset_seconds * 10**6)
+    days, day_us = divmod(micros, 86400 * 10**6)
+    year, doy = divmod(days, ylen)
+    m = 0
+    while doy >= months[m]:
+        doy -= months[m]
+        m += 1
+    sec = day_us // 10**6
+    return '%04d-%02d-%02d %02d:%02d:%02d' % (
+        year, m + 1, doy + 1, sec // 3600, sec // 60 % 60, sec % 60)
+
+
+def parse_epoch(ds):
+    for fmt in ('%Y-%m-%d %H:%M:%S', '%Y-%m-%d'):
+        try:
+            e = datetime.datetime.strptime(ds, fmt)
+            return (e.year, e.month, e.day, e.hour, e.minute, float(e.second))
+        except ValueError:
+            pass
+    raise AssertionError('unparsed epoch %r' % ds)
+
+
 def cf_decode(shape, va, vals):
     """-> list of (coord_key, value_or_None, time_str_or_None)."""
     scale = va.get('scale_factor', [1.0])[0] if 'scale_factor' in va else 1.0
@@ -105,20 +141,14 @@ def cf_decode(shape, va, vals):
         if k in va and not isinstance(va[k], str):
             fills.append(float(va[k][0]))
     units = va.get('units')
-    epoch = unit_sec = None
+    epoch = unit_sec = cal = None
     if isinstance(units, str) and ' since ' in units:
         word, _, rest = units.partition(' since ')
         unit_sec = UNITS_SEC[word.strip().lower()]
-        ds = rest.strip()
-        for fmt in ('%Y-%m-%d %H:%M:%S', '%Y-%m-%d'):
-            try:
-                epoch = datetime.datetime.strptime(ds, fmt)
-                break
-            except ValueError:
-                pass
-        assert epoch is not None, 'unparsed epoch %r' % ds
+        epoch = parse_epoch(rest.strip())
         cal = va.get('calendar', 'standard')
-        assert cal in ('standard', 'gregorian', 'proleptic_gregorian'), cal
+        assert cal in ('standard', 'gregorian', 'proleptic_gregorian') \
+            or cal in FIXED_CAL, cal
     rows = []
     for flat, raw in enumerate(vals):
         coords, rem = [], flat
@@ -133,8 +163,13 @@ def cf_decode(shape, va, vals):
         v = float(raw) * scale + offset
         ts = None
         if epoch is not None:
-            ts = (epoch + datetime.timedelta(seconds=v * unit_sec)
-                  ).strftime('%Y-%m-%d %H:%M:%S')
+            if cal in FIXED_CAL:
+                ts = fixed_cal_date(epoch, v * unit_sec, cal)
+            else:
+                ey, em, ed, eh, emi, es = epoch
+                base = datetime.datetime(ey, em, ed, eh, emi, int(es))
+                ts = (base + datetime.timedelta(seconds=v * unit_sec)
+                      ).strftime('%Y-%m-%d %H:%M:%S')
         rows.append((key, v, ts))
     return rows
 
@@ -163,5 +198,5 @@ def main(fixture, dumped):
 
 
 if __name__ == '__main__':
-    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_cf_fixture.nc',
+    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_cf_fixture_v2.nc',
          sys.argv[2] if len(sys.argv) > 2 else '/tmp/r8cf/load_netcdf_cf')

@@ -455,7 +455,7 @@ object SparkEntry {
     * (see [[graft.harness.Nc3CfFixture]]). Pure function of closed-form
     * formulas, so rewriting on a missing file is always safe. */
   def ensureCfFixture(): String = {
-    val out = Paths.get("/tmp/graft_cf_fixture.nc")
+    val out = Paths.get("/tmp/graft_cf_fixture_v2.nc")
     this.synchronized {
       if (!Files.exists(out)) {
         val tmp = Files.createTempFile(out.getParent, "graft_cf_", ".tmp")
@@ -1194,9 +1194,13 @@ object SparkEntry {
       // xarray.open_dataset defaults mask_and_scale + decode_times the
       // reference relies on, source.py:70-137): a hand-encoded CDF-1
       // fixture with a packed int16 variable (scale/offset/_FillValue), a
-      // float variable with missing_value, and a standard-calendar time
-      // axis. The oracle re-applies the identical arithmetic in DuckDB
-      // from the closed-form raw values (harness.Nc3CfFixture).
+      // float variable with missing_value, a standard-calendar time axis,
+      // and two FIXED-calendar axes (noleap across a Gregorian leap year,
+      // 360_day) that decode to calendar-date strings — the cftime
+      // analogue. The oracle re-applies the identical arithmetic in
+      // DuckDB from the closed-form raw values (harness.Nc3CfFixture),
+      // including an independent SQL implementation of the fixed-month
+      // calendar math.
       val nc = ensureCfFixture()
       graft.catalog.EsmDataSource("cf", Nil, "path", None, Nil,
           storageOptions = Map("graft.kerchunk.decode" -> "cf"))
@@ -1204,7 +1208,8 @@ object SparkEntry {
         .select(col("variable"),
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
           col("value"),
-          date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_str"))
+          coalesce(date_format(col("time"), "yyyy-MM-dd HH:mm:ss"), col("time_cal"))
+            .as("time_str"))
         .orderBy("variable", "coord_key")
     }),
 
@@ -2641,9 +2646,25 @@ object SparkEntry {
         |         CASE WHEN t = 2 AND l = 0 THEN NULL
         |              ELSE CAST(t AS DOUBLE) + CAST(l AS DOUBLE) * CAST(0.5 AS DOUBLE) END,
         |         CAST(NULL AS VARCHAR)
-        |  FROM range(0, 4) a(t), range(0, 3) b(l))
+        |  FROM range(0, 4) a(t), range(0, 3) b(l)),
+        |noleap_months(m, cum, len) AS (VALUES (1,0,31),(2,31,28),(3,59,31),(4,90,30),
+        |  (5,120,31),(6,151,30),(7,181,31),(8,212,31),(9,243,30),(10,273,31),
+        |  (11,304,30),(12,334,31)),
+        |tnl AS (
+        |  SELECT 'tnl', CAST(r.i AS VARCHAR), CAST(r.v AS DOUBLE),
+        |         printf('%04d-%02d-%02d 00:00:00',
+        |                (4*365 + r.v) // 365, mm.m, (4*365 + r.v) % 365 - mm.cum + 1)
+        |  FROM (VALUES (0, 58), (1, 59), (2, 60), (3, 364)) r(i, v)
+        |  JOIN noleap_months mm
+        |    ON (4*365 + r.v) % 365 >= mm.cum AND (4*365 + r.v) % 365 < mm.cum + mm.len),
+        |t360 AS (
+        |  SELECT 't360', CAST(i AS VARCHAR), CAST(v AS DOUBLE),
+        |         printf('%04d-%02d-%02d 00:00:00',
+        |                (360 + v) // 360, (360 + v) % 360 // 30 + 1, (360 + v) % 360 % 30 + 1)
+        |  FROM (VALUES (0, 29), (1, 30), (2, 359), (3, 719)) t(i, v))
         |SELECT * FROM (SELECT * FROM tv UNION ALL SELECT * FROM lv
-        |               UNION ALL SELECT * FROM tas UNION ALL SELECT * FROM rh)
+        |               UNION ALL SELECT * FROM tas UNION ALL SELECT * FROM rh
+        |               UNION ALL SELECT * FROM tnl UNION ALL SELECT * FROM t360)
         |ORDER BY variable, coord_key""".stripMargin,
 
     "load_netcdf4" ->

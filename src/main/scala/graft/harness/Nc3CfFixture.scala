@@ -12,7 +12,14 @@ package graft.harness
   *    add_offset=250.0, _FillValue=-999: raw(t,l) = t*100 + l*10 - 150,
   *    with raw(1,1) = -999 (fill → null);
   *  - `rh(time,lat)` float with missing_value=1e20f:
-  *    raw(t,l) = t + l*0.5, with raw(2,0) = 1e20f (missing → null).
+  *    raw(t,l) = t + l*0.5, with raw(2,0) = 1e20f (missing → null);
+  *  - `tnl(tfix=4)` int32 [58, 59, 60, 364], units
+  *    "days since 0004-01-01 00:00:00", calendar "noleap" — year 0004 IS
+  *    a Gregorian leap year, so day-of-year 59 must land on Mar 1 (not
+  *    Feb 29), the decisive noleap-vs-gregorian case;
+  *  - `t360(tfix)` int32 [29, 30, 359, 719], units
+  *    "days since 0001-01-01", calendar "360_day" — 30-day months, so
+  *    day 30 is Feb 1 and day 359 is Dec 30 (the year's last day).
   *
   * All values are closed-form so both the DuckDB oracle and the
   * independent python validator (scripts/cf_check.py) re-derive them. */
@@ -72,9 +79,11 @@ object Nc3CfFixture {
   val latRaw: Seq[Double] = Seq(-30.0, 0.0, 30.0)
   def tasRaw(t: Int, l: Int): Int = if (t == 1 && l == 1) -999 else t * 100 + l * 10 - 150
   def rhRaw(t: Int, l: Int): Float = if (t == 2 && l == 0) 1e20f else t + l * 0.5f
+  val tnlRaw: Seq[Int] = Seq(58, 59, 60, 364)
+  val t360Raw: Seq[Int] = Seq(29, 30, 359, 719)
 
   def bytes(): Array[Byte] = {
-    val dims = Seq(("time", 4), ("lat", 3))
+    val dims = Seq(("time", 4), ("lat", 3), ("tfix", 4))
     def typeSize(t: Int): Int = t match {
       case 3 => 2; case 4 => 4; case 5 => 4; case 6 => 8
       case other => throw new IllegalArgumentException(s"fixture nc_type $other")
@@ -97,6 +106,14 @@ object Nc3CfFixture {
         Seq("missing_value" -> AFloat(Seq(1e20f)),
             "units" -> AStr("1")),
         s => for (t <- 0 until 4; l <- 0 until 3) s.f32(rhRaw(t, l))),
+      V("tnl", Seq(2), 4,
+        Seq("units" -> AStr("days since 0004-01-01 00:00:00"),
+            "calendar" -> AStr("noleap")),
+        s => tnlRaw.foreach(s.i32)),
+      V("t360", Seq(2), 4,
+        Seq("units" -> AStr("days since 0001-01-01"),
+            "calendar" -> AStr("360_day")),
+        s => t360Raw.foreach(s.i32)),
     )
     def slabBytes(v: V): Int =
       v.dimids.map(d => dims(d)._2).product * typeSize(v.ncType)

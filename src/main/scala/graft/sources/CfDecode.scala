@@ -21,20 +21,26 @@ import org.apache.spark.sql.functions._
   *  - unpack = raw * scale_factor + add_offset (each defaulting to the
   *    identity when absent), in double — the widened type xarray picks for
   *    any packed variable;
-  *  - a variable whose `units` is `<unit> since <datetime>` decodes to a
-  *    `time` timestamp column: epoch parsed from the ISO-ish CF datetime
+  *  - a variable whose `units` is `<unit> since <datetime>` decodes its
+  *    time axis: epoch parsed from the ISO-ish CF datetime
   *    (`YYYY-M-D[ H:M[:S[.f]]][Z|UTC]`), value scaled by the unit's seconds
   *    (weeks/days/hours/minutes/seconds/milliseconds/microseconds and
-  *    their CF spellings). ONLY real-world calendars decode — absent,
-  *    `standard`, `gregorian`, `proleptic_gregorian`; any other calendar
-  *    (`noleap`, `360_day`, ...) has dates no instant timestamp can
-  *    represent, so the decode REFUSES loudly instead of silently shifting
-  *    every date (the same reason cftime exists). A time-like units string
-  *    whose unit word or epoch fails to parse also refuses loudly.
+  *    their CF spellings). Real-world calendars — absent, `standard`,
+  *    `gregorian`, `proleptic_gregorian` — fill the `time` TIMESTAMP
+  *    column. The fixed CF model calendars — `noleap`/`365_day`,
+  *    `all_leap`/`366_day`, `360_day`, ubiquitous in real CMIP output
+  *    (e.g. CESM POP writes `calendar: "noleap"`) — have dates no instant
+  *    timestamp can represent, so they fill the `time_cal` STRING column
+  *    instead (`yyyy-MM-dd HH:mm:ss` computed with the calendar's own
+  *    fixed-month integer arithmetic — the relational analogue of
+  *    xarray's cftime objects). Any OTHER calendar (`julian`,
+  *    `proleptic_julian`, custom) REFUSES loudly rather than silently
+  *    shifting every date. A time-like units string whose unit word or
+  *    epoch fails to parse also refuses loudly.
   *
   * Out of scope (documented, refuse-or-ignore): `valid_range`/`valid_min`/
   * `valid_max` masking and the netCDF-3 `_Unsigned` trick are ignored
-  * (attrs pass through untouched); non-standard calendars refuse.
+  * (attrs pass through untouched); julian-family calendars refuse.
   */
 object CfDecode {
 
@@ -65,10 +71,14 @@ object CfDecode {
       .when(unit.isin("microseconds", "microsecond", "usec", "us"), 1e-6)
       .when(unit.isin("weeks", "week"), 604800.0)
 
+  private val standardCals = Seq("standard", "gregorian", "proleptic_gregorian")
+  private val fixedCals = Seq("noleap", "365_day", "all_leap", "366_day", "360_day")
+
   /** [[KerchunkIndex.decodeCoords]] plus CF decode: `value` becomes the
-    * masked + unpacked double, and a `time` timestamp column is non-null
-    * exactly for time-coordinate values (standard calendar). Output:
-    * (variable, chunk, idx, value, time, dims, coords). */
+    * masked + unpacked double; `time` (timestamp) is non-null exactly for
+    * standard-calendar time-coordinate values and `time_cal` (string) for
+    * fixed-calendar (noleap/all_leap/360_day) ones. Output:
+    * (variable, chunk, idx, value, time, time_cal, dims, coords). */
   def decodeCf(chunks: DataFrame, meta: DataFrame, dims: DataFrame,
                cf: DataFrame): DataFrame = {
     val raw = col("value")
@@ -92,21 +102,29 @@ object CfDecode {
       coalesce(nullif(g(4), lit("")), lit("0")).cast("int"),
       coalesce(nullif(g(5), lit("")), lit("0")).cast("int"),
       coalesce(nullif(g(6), lit("")), lit("0")).cast("decimal(16,6)"))
-    val calOk = coalesce(lower(col("cf_calendar")), lit("standard"))
-      .isin("standard", "gregorian", "proleptic_gregorian")
+    val cal = coalesce(lower(col("cf_calendar")), lit("standard"))
+    val calStandard = cal.isin(standardCals: _*)
+    val calFixed = cal.isin(fixedCals: _*)
     // epoch seconds as double (timestamp→double cast is seconds.fraction);
     // microsecond-exact for any realistic coordinate magnitude
     val timeVal = (epochTs.cast("double") + decoded * unitSec).cast("timestamp")
+    val timeCalVal = org.apache.spark.sql.GraftColumnBridge.column(
+      CfCalendarDate(
+        org.apache.spark.sql.GraftColumnBridge.expression(epochStr),
+        org.apache.spark.sql.GraftColumnBridge.expression(decoded * unitSec),
+        org.apache.spark.sql.GraftColumnBridge.expression(cal)))
 
     KerchunkIndex.decodeCoords(chunks, meta, dims)
       .join(broadcast(cf), Seq("variable"), "left")
       // loud refusals, evaluated per row inside the scan stage: a decode
-      // that silently shifted every date (non-standard calendar) or left a
+      // that silently shifted every date (unknown calendar) or left a
       // time axis raw (unparseable unit/epoch) would be worse than failing
-      .filter(coalesce(assert_true(!timeLike || calOk,
+      .filter(coalesce(assert_true(!timeLike || calStandard || calFixed,
         concat(lit("CF variable '"), col("variable"), lit("' has calendar '"),
           col("cf_calendar"),
-          lit("' — only standard/gregorian/proleptic_gregorian decode to timestamps"))),
+          lit("' — standard/gregorian/proleptic_gregorian decode to timestamps, " +
+            "noleap/365_day/all_leap/366_day/360_day to calendar-date strings; " +
+            "anything else refuses"))),
         lit(true)))
       .filter(coalesce(assert_true(!timeLike || (unitSec.isNotNull && epochOk),
         concat(lit("CF variable '"), col("variable"), lit("' time units '"),
@@ -114,8 +132,105 @@ object CfDecode {
         lit(true)))
       .select(col("variable"), col("chunk"), col("idx"),
         decoded.as("value"),
-        when(timeLike && decoded.isNotNull, timeVal).otherwise(lit(null).cast("timestamp"))
-          .as("time"),
+        when(timeLike && calStandard && decoded.isNotNull, timeVal)
+          .otherwise(lit(null).cast("timestamp")).as("time"),
+        when(timeLike && calFixed && decoded.isNotNull, timeCalVal)
+          .otherwise(lit(null).cast("string")).as("time_cal"),
         col("dims"), col("coords"))
+  }
+}
+
+/** Calendar-date formatting for the CF FIXED calendars (noleap/365_day,
+  * all_leap/366_day, 360_day): `epochStr` (the CF `<datetime>` tail),
+  * plus `offsetSeconds` since that epoch, to `yyyy-MM-dd HH:mm:ss` — the
+  * calendar's own fixed-month integer arithmetic, exact to the
+  * microsecond. The relational analogue of xarray's cftime objects for
+  * the calendars every fixed-calendar climate model uses. Evaluates to
+  * null for null offsets; throws on a calendar outside the fixed family
+  * (callers gate standard calendars to the timestamp path). */
+case class CfCalendarDate(epochStr: org.apache.spark.sql.catalyst.expressions.Expression,
+                          offsetSeconds: org.apache.spark.sql.catalyst.expressions.Expression,
+                          calendar: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.types.{DataType, StringType, DoubleType}
+
+  override def first: Expression = epochStr
+  override def second: Expression = offsetSeconds
+  override def third: Expression = calendar
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (epochStr.dataType == StringType && offsetSeconds.dataType == DoubleType &&
+        calendar.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cf_calendar_date expects (string, double, string), got " +
+        s"(${epochStr.dataType}, ${offsetSeconds.dataType}, ${calendar.dataType})")
+
+  override def nullSafeEval(e: Any, off: Any, cal: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      CfCalendarDate.format(e.toString, off.asInstanceOf[Double], cal.toString))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, off, cal) => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.sources.CfCalendarDate.format($e.toString(), $off, $cal.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(epochStr = f, offsetSeconds = s, calendar = t)
+}
+
+object CfCalendarDate {
+  private val noleapMonths = Array(31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+  private val leapMonths   = Array(31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+  private val epochRe =
+    ("^(\\d{1,4})-(\\d{1,2})-(\\d{1,2})" +
+      "(?:[ T](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}(?:[.]\\d+)?))?)?(?:\\s*(?:Z|UTC))?$").r
+
+  private def monthsOf(calendar: String): (Array[Int], Long) = calendar match {
+    case "noleap" | "365_day"   => (noleapMonths, 365L)
+    case "all_leap" | "366_day" => (leapMonths, 366L)
+    case "360_day"              => (Array.fill(12)(30), 360L)
+    case other => throw new IllegalArgumentException(
+      s"cf_calendar_date: calendar '$other' is not a fixed CF calendar")
+  }
+
+  /** Static kernel, shared by interpreted and generated code. Exact in
+    * MICROSECONDS: the fractional offset converts once to a rounded long
+    * so repeated float error cannot shift a date across a boundary. */
+  def format(epochStr: String, offsetSeconds: Double, calendar: String): String = {
+    val (months, yearDays) = monthsOf(calendar)
+    val m = epochRe.findFirstMatchIn(epochStr.trim).getOrElse(
+      throw new IllegalArgumentException(s"cf_calendar_date: unparseable epoch '$epochStr'"))
+    def g(i: Int): String = Option(m.group(i)).getOrElse("")
+    val ey = g(1).toLong; val em = g(2).toInt; val ed = g(3).toInt
+    val eh = if (g(4).isEmpty) 0 else g(4).toInt
+    val emi = if (g(5).isEmpty) 0 else g(5).toInt
+    val es = if (g(6).isEmpty) 0.0 else g(6).toDouble
+    require(em >= 1 && em <= 12 && ed >= 1 && ed <= months(em - 1),
+      s"cf_calendar_date: epoch '$epochStr' is not a valid $calendar date")
+    // days from the calendar's year-0 origin to the epoch date
+    val epochDays = ey * yearDays + months.take(em - 1).map(_.toLong).sum + (ed - 1)
+    val epochMicros = epochDays * 86400000000L + eh * 3600000000L +
+      emi * 60000000L + math.round(es * 1e6)
+    val total = epochMicros + math.round(offsetSeconds * 1e6)
+    require(total >= 0, s"cf_calendar_date: offset $offsetSeconds reaches before year 0")
+    val dayMicros = java.lang.Math.floorMod(total, 86400000000L)
+    val days = java.lang.Math.floorDiv(total, 86400000000L)
+    val year = days / yearDays
+    var doy = (days % yearDays).toInt
+    var month = 0
+    while (doy >= months(month)) { doy -= months(month); month += 1 }
+    val secOfDay = (dayMicros / 1000000L).toInt // formatted output truncates micros
+    f"$year%04d-${month + 1}%02d-${doy + 1}%02d " +
+      f"${secOfDay / 3600}%02d:${secOfDay / 60 % 60}%02d:${secOfDay % 60}%02d"
   }
 }

@@ -80,16 +80,70 @@ class CfDecodeSpec extends AnyFunSuite {
       graft.sources.CfDecode.cfAttrs(e)).collect()
   }
 
-  test("non-standard calendar refuses loudly instead of shifting dates") {
+  test("unknown calendar (julian) refuses loudly instead of shifting dates") {
     val ex = intercept[Exception](decodeAll(
-      """{"units":"days since 1850-01-01","calendar":"noleap","_ARRAY_DIMENSIONS":["t"]}"""))
-    assert(ex.getMessage != null && ex.getMessage.contains("noleap"), ex.getMessage)
+      """{"units":"days since 1850-01-01","calendar":"julian","_ARRAY_DIMENSIONS":["t"]}"""))
+    assert(ex.getMessage != null && ex.getMessage.contains("julian"), ex.getMessage)
+  }
+
+  test("noleap calendar decodes with fixed-month arithmetic (leap-year decisive)") {
+    // fixture tnl: days since 0004-01-01, noleap. Year 0004 IS a Gregorian
+    // leap year, so day-of-year 59 (0-based) must be Mar 1 — a gregorian
+    // decode would say Feb 29. Values pinned from python (cf_check.py's
+    // independent fixed_cal_date).
+    val tnl = openCf().filter(col("variable") === "tnl")
+      .select(col("coords")(0).as("i"), col("time_cal"), col("time"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+    assert(tnl(0L)._1 == "0004-02-28 00:00:00")
+    assert(tnl(1L)._1 == "0004-03-01 00:00:00") // NOT Feb 29
+    assert(tnl(2L)._1 == "0004-03-02 00:00:00")
+    assert(tnl(3L)._1 == "0004-12-31 00:00:00") // day 364 = last day of a 365-day year
+    assert(tnl.values.forall(_._2 == null), "fixed calendars must not fill the timestamp column")
+  }
+
+  test("360_day calendar decodes 30-day months") {
+    val t360 = openCf().filter(col("variable") === "t360")
+      .select(col("coords")(0).as("i"), col("time_cal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t360(0L) == "0001-01-30 00:00:00")
+    assert(t360(1L) == "0001-02-01 00:00:00") // day 30 rolls into month 2
+    assert(t360(2L) == "0001-12-30 00:00:00") // last day of the 360-day year
+    assert(t360(3L) == "0002-12-30 00:00:00")
   }
 
   test("unparseable time unit word refuses loudly") {
     val ex = intercept[Exception](decodeAll(
       """{"units":"fortnights since 1850-01-01","_ARRAY_DIMENSIONS":["t"]}"""))
     assert(ex.getMessage != null && ex.getMessage.contains("did not parse"), ex.getMessage)
+  }
+
+  test("real CESM POP file: noleap time axis, fill masking (reference fidelity)") {
+    // the reference's own sample data (calendar "noleap", units
+    // "days since 0000-01-01 00:00:00", _FillValue 9.97e36 over land):
+    // exactly the file class the r7 verdict said a CMIP user hits first.
+    // Pinned values: 146031 = 400*365 + 31 → cftime.DatetimeNoLeap(400,2,1)
+    // (the filename's 040001 period start, stamped at interval end);
+    // 146059 → day-of-year 59 → Mar 1 (noleap). TLAT values equal the
+    // load_netcdf4 oracle's pinned raw values (no scale/offset attrs).
+    val f = "/root/reference/tests/sample_data/cesm-le/" +
+      "b.e11.B1850C5CN.f09_g16.005.pop.h.SHF.040001-049912.nc"
+    val df = graft.catalog.EsmDataSource("cesm", Nil, "path", None, Nil,
+        storageOptions = Map("graft.kerchunk.decode" -> "cf"))
+      .openAsset(spark, f, "netcdf")
+    val time = df.filter(col("variable") === "time")
+      .select(col("coords")(0).as("i"), col("time_cal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(time(0L) == "0400-02-01 00:00:00")
+    assert(time(1L) == "0400-03-01 00:00:00")
+    val tlat00 = df.filter(col("variable") === "TLAT")
+      .filter(col("coords") === array(lit(0L), lit(0L)))
+      .select("value").head().getDouble(0)
+    assert(tlat00 == 28.55677500703854)
+    // SHF: a quarter of the grid is land → _FillValue → null
+    val shf = df.filter(col("variable") === "SHF")
+      .agg(count(lit(1)).as("n"), sum(when(col("value").isNull, 1).otherwise(0)).as("nulls"))
+      .head()
+    assert(shf.getLong(0) == 4800 && shf.getLong(1) == 1200)
   }
 
   test("plain units decode as identity with null time") {
