@@ -1235,6 +1235,32 @@ object SparkEntry {
         .orderBy("member_id")
     }),
 
+    "load_catalog_netcdf_cf" -> ((s, _) => {
+      // the SAME flagship catalog flow as load_catalog_netcdf but with
+      // graft.kerchunk.decode=cf — the xarray.open_dataset defaults: the
+      // SHF land cells (_FillValue 9.97e36) mask to null, and the noleap
+      // time axis ("days since 0000-01-01", calendar noleap) decodes to
+      // calendar-date strings spanning the filename's 192001-200512
+      // period. Oracle literals were derived INDEPENDENTLY from the same
+      // .nc bytes by scripts/h5survey.py (pure-python HDF5 reader) +
+      // cf_check.py's fixed_cal_date (python noleap arithmetic).
+      val cat = graft.catalog.EsmCatalog.open(s,
+          "/root/reference/tests/sample-catalogs/cesm1-lens-netcdf.json",
+          storageOptions = Map("graft.kerchunk.decode" -> "cf"))
+        .search(Map("experiment" -> "20C", "member_id" -> Seq(2, 9), "variable" -> "SHF"))
+      val ds = cat.toDatasetDict(Nil)("ocn.20C.pop.h")
+      val shf = ds.filter(col("variable") === "SHF")
+        .groupBy(col("member_id").cast("long").as("member_id"))
+        .agg(count(lit(1)).as("n_raw"),
+          count(col("value")).as("n_kept"), // count(col) skips the masked nulls
+          min(col("value")).as("v_min"),
+          max(col("value")).as("v_max"))
+      val tspan = ds.filter(col("variable") === "time")
+        .groupBy(col("member_id").cast("long").as("member_id"))
+        .agg(min(col("time_cal")).as("t_min"), max(col("time_cal")).as("t_max"))
+      shf.join(tspan, "member_id").orderBy("member_id")
+    }),
+
     "scan_catalog_dict" -> ((s, _) => {
       CatalogReader.fromDict(s, Seq(
         Map("component" -> "ocn", "experiment" -> "20C", "variable" -> "SHF", "scode" -> 482L),
@@ -2555,6 +2581,26 @@ object SparkEntry {
         |('2', CAST(4128 AS BIGINT), CAST('-215.0996856689453' AS DOUBLE), CAST('9.969209968386869e+36' AS DOUBLE)),
         |('9', CAST(4128 AS BIGINT), CAST('-201.44403076171875' AS DOUBLE), CAST('9.969209968386869e+36' AS DOUBLE))
         |) AS t(member_id, n_values, v_min, v_max)
+        |ORDER BY member_id""".stripMargin,
+
+    // CF twin of the flagship flow: masked stats + noleap calendar span.
+    // Literals derived independently by scripts/h5survey.py (pure-python
+    // HDF5 decode of the same .nc bytes) + cf_check.py fixed_cal_date:
+    // 3096 kept of 4128 (1032 land cells = _FillValue -> null per member),
+    // masked max is the true ocean max (the raw-value oracle above shows
+    // the unmasked max was the fill itself), and the time axis
+    // (700831..732190 days since 0000-01-01, noleap) spans 1920-02-01 to
+    // 2006-01-01.
+    "load_catalog_netcdf_cf" ->
+      """SELECT member_id, n_raw, n_kept, CAST(CAST(v_min AS VARCHAR) AS DOUBLE) AS v_min,
+        |       CAST(CAST(v_max AS VARCHAR) AS DOUBLE) AS v_max, t_min, t_max FROM (VALUES
+        |(CAST(2 AS BIGINT), CAST(4128 AS BIGINT), CAST(3096 AS BIGINT),
+        | CAST('-215.0996856689453' AS DOUBLE), CAST('198.60850524902344' AS DOUBLE),
+        | '1920-02-01 00:00:00', '2006-01-01 00:00:00'),
+        |(CAST(9 AS BIGINT), CAST(4128 AS BIGINT), CAST(3096 AS BIGINT),
+        | CAST('-201.44403076171875' AS DOUBLE), CAST('188.3180694580078' AS DOUBLE),
+        | '1920-02-01 00:00:00', '2006-01-01 00:00:00')
+        |) AS t(member_id, n_raw, n_kept, v_min, v_max, t_min, t_max)
         |ORDER BY member_id""".stripMargin,
 
     // reference's own CESM-LE netCDF-4 (HDF5) sample: values pinned by an
