@@ -1925,6 +1925,51 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "pipeline_semdedup" -> ((s, dir) => {
+      // SemDeDup (cluster + greedy keep-first prune, Dedup.semanticDedup):
+      // centroid means are float sums whose exact values depend on partial
+      // aggregation order, so the oracle pins ORDER-INVARIANT properties
+      // instead of per-doc rows (the ann_recall_check convention): every
+      // doc appears exactly once; no two KEPT docs share a cluster at
+      // cosine >= threshold; every DROPPED doc's dup_of is an earlier
+      // same-cluster doc above threshold and is the EARLIEST such doc.
+      val emb = T(s, dir, "embeddings")
+      val t = 0.4
+      val res = Dedup.semanticDedup(emb, "vec_id", "embedding",
+          threshold = t, nCells = 8, kmeansIters = 2)
+        .localCheckpoint(true) // five consumers below; also pins one clustering
+      val vecs = emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("__v"))
+      val keptPairViolations = res.filter(col("keep"))
+        .select(col("cell"), col("id").as("id_a"))
+        .join(res.filter(col("keep")).select(col("cell"), col("id").as("id_b")), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .join(vecs.select(col("id").as("id_a"), col("__v").as("__va")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb")), "id_b")
+        .filter(graft.functions.VectorFunctions.vec_cosine(col("__va"), col("__vb")) >= t)
+        .count()
+      val dropped = res.filter(!col("keep"))
+      val badShadow = dropped
+        .join(vecs, Seq("id"))
+        .join(vecs.select(col("id").as("dup_of"), col("__v").as("__vd")), Seq("dup_of"))
+        .filter(col("dup_of") >= col("id") ||
+          graft.functions.VectorFunctions.vec_cosine(col("__v"), col("__vd")) < t)
+        .count()
+      // dup_of must be the EARLIEST same-cluster shadow: no j < dup_of
+      // in the same cell with cosine >= t
+      val notEarliest = dropped
+        .join(vecs, Seq("id"))
+        .join(res.select(col("cell"), col("id").as("j")), Seq("cell"))
+        .filter(col("j") < col("dup_of"))
+        .join(vecs.select(col("id").as("j"), col("__v").as("__vj")), Seq("j"))
+        .filter(graft.functions.VectorFunctions.vec_cosine(col("__v"), col("__vj")) >= t)
+        .count()
+      import s.implicits._
+      Seq((res.count(), keptPairViolations, badShadow, notEarliest,
+          dropped.count() > 0))
+        .toDF("n_total", "kept_pair_violations", "bad_shadow", "not_earliest",
+          "any_dropped")
+    }),
+
     // ===== extensions: text analysis =====
 
     "text_lang_id" -> ((s, dir) => {
@@ -3195,6 +3240,17 @@ object SparkEntry {
     "ann_recall_check" ->
       """SELECT * FROM (VALUES ('ivf', TRUE), ('lsh', TRUE)) AS t(method, recall_ok)
         |ORDER BY method""".stripMargin,
+
+    // property-style (ann_recall_check convention): the greedy keep-first
+    // invariants are order-invariant even though the kmeans centroid float
+    // sums are not; n_total re-derived from the table by DuckDB
+    "pipeline_semdedup" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |       CAST(0 AS BIGINT) AS kept_pair_violations,
+        |       CAST(0 AS BIGINT) AS bad_shadow,
+        |       CAST(0 AS BIGINT) AS not_earliest,
+        |       TRUE AS any_dropped
+        |FROM embeddings""".stripMargin,
 
     // property-style: the LSH pair set is cross-validated in-plan against
     // exact shingle-set jaccard (estimator margin, high-sim probe recall);

@@ -420,6 +420,60 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with the deterministic-seed kmeans coarse
+    * quantizer, then inside each cluster drop every document that has an
+    * EARLIER (lower-id) cluster-mate with cosine ≥ `threshold` — the
+    * paper's greedy keep-first rule, expressed relationally (no
+    * iteration: a doc's fate depends only on earlier docs' existence, not
+    * on their own keep/drop outcome, exactly as the reference
+    * implementation computes max-similarity-to-predecessors).
+    *
+    * Scale shape: clustering is the IVF coarse quantizer (driver-resident
+    * centroids, ONE distributed job per Lloyd round, in-scan NearestCells
+    * assignment — no shuffle); the quadratic term is Σ|cluster|², bounded
+    * by sizing `nCells` to the corpus (the paper uses ~0.1% of n); the
+    * pair join shuffles on the cluster key only.
+    *
+    * Output: every input id with (id, cell, keep, dup_of) where `dup_of`
+    * is the EARLIEST same-cluster doc above threshold (null for kept). */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      nCells: Int = 16,
+      kmeansIters: Int = 2,
+  ): DataFrame = {
+    val (cellIds, cents) = Similarity.kmeansCentroidArrays(df, idCol, vecCol, nCells, kmeansIters)
+    val assigned = Similarity.ivfAssign(
+        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")),
+        "id", "__v",
+        df.sparkSession.createDataFrame(
+          { val rows = new java.util.ArrayList[org.apache.spark.sql.Row](cellIds.length)
+            cellIds.zip(cents).foreach { case (i, v) =>
+              rows.add(org.apache.spark.sql.Row(i, v.toIndexedSeq)) }
+            rows },
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("cent_id",
+              df.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("cent_vec",
+              ArrayType(org.apache.spark.sql.types.FloatType))))),
+        "cent_id", "cent_vec")
+    val shadows = assigned.select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
+      .join(assigned.select(col("cell"), col("id").as("id_b"), col("__v").as("__vb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.vec_cosine(col("__va"), col("__vb"))
+        >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("dup_of"))
+    assigned.select("id", "cell")
+      .join(shadows, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
   // ---------------------------------------------------- exact n-gram jaccard
 
   /** Exact Jaccard similarity between candidate pairs' word-n-gram sets.

@@ -234,6 +234,32 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == 2 * (10 * 9) / 2) // all intra-block pairs, both blocks
     assert(out.forall { case (a, b) => a % 2 == b % 2 })
   }
+
+  test("semantic dedup: greedy keep-first within kmeans clusters") {
+    // two well-separated directions; docs 1/2/3 are near-dups of each
+    // other along +x (with 3 near 2 but NOT near 1 — the chain case the
+    // greedy predecessor rule drops anyway), docs 10/11/20 along +y.
+    // kmeansIters=0 seeds cells with the first two vectors
+    // (deterministic), so the assignment is hand-checkable.
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1.0, 0.00)), (2L, v(1.0, 0.28)), (3L, v(1.0, 0.50)),
+      (10L, v(0.0, 1.0)), (11L, v(0.05, 1.0)), (20L, v(-0.02, 1.0)),
+    ).toDF("vec_id", "embedding")
+    val res = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.97, nCells = 2, kmeansIters = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    // hand-computed: cos(1,2)=0.963, cos(2,3)=0.982, cos(1,3)=0.894,
+    // cos(10,11)=0.9988, cos(10,20)=0.9998, cos(11,20)=0.9976
+    assert(res(1L) == ((true, None)))
+    assert(res(2L) == ((true, None)))          // cos(1,2) < 0.97
+    assert(res(3L) == ((false, Some(2L))))     // shadowed by 2 (earliest >= t)
+    assert(res(10L) == ((true, None)))
+    assert(res(11L) == ((false, Some(10L))))
+    assert(res(20L) == ((false, Some(10L))))   // earliest shadow 10, not 11
+    assert(res.size == 6)
+  }
 }
 
 class RobustnessSpec extends AnyFunSuite {

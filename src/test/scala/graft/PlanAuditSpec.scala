@@ -289,4 +289,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2500))
   }
+
+  test("CF decode layers on the chunk plane as broadcast joins, no extra shuffle") {
+    // mask/scale/time decode is per-variable metadata over per-row
+    // expressions: every metadata join (zarray geometry, dims, CF attrs)
+    // must broadcast — a shuffled join would move the whole decoded value
+    // stream for a handful of attribute rows
+    val p = plan("load_netcdf_cf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+    // the calendar expression stays native (no UDF fallback)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2500))
+  }
 }
