@@ -1984,6 +1984,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_gopher_rules" -> ((s, dir) => {
+      // Gopher quality-filter rules (Rae et al. 2021 A1) — per-rule
+      // booleans + the keep conjunction, every ratio compared by integer
+      // cross-multiplication so the DuckDB oracle is bit-exact
+      TextAnalysis.gopherRules(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id")
+    }),
+
     "text_token_count" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -3023,6 +3031,50 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same integer cross-multiplied thresholds as the operator; words are
+    // the lowercased whitespace tokens, lines the nonempty newline splits
+    "text_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(
+        |                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS w,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, chr(8230), ''))) AS n_ell
+        |  FROM documents),
+        |feat AS (
+        |  SELECT id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_w,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> ltrim(l) LIKE chr(8226) || '%'
+        |      OR ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS BIGINT) AS bullet_l,
+        |    CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+        |      OR rtrim(l) LIKE '%' || chr(8230))) AS BIGINT) AS ell_l,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    n_hash, n_ell
+        |  FROM base)
+        |SELECT id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS r_mean_word_len,
+        |  n_words > 0 AND (n_hash + n_ell) * 10 < n_words AS r_symbol_ratio,
+        |  n_lines = 0 OR bullet_l * 10 < n_lines * 9 AS r_bullet_lines,
+        |  n_lines = 0 OR ell_l * 10 < n_lines * 3 AS r_ellipsis_lines,
+        |  n_words > 0 AND alpha_w * 5 >= n_words * 4 AS r_alpha_words,
+        |  stop_hits >= 2 AS r_stop_words,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+        |    AND (n_words > 0 AND (n_hash + n_ell) * 10 < n_words)
+        |    AND (n_lines = 0 OR bullet_l * 10 < n_lines * 9)
+        |    AND (n_lines = 0 OR ell_l * 10 < n_lines * 3)
+        |    AND (n_words > 0 AND alpha_w * 5 >= n_words * 4)
+        |    AND (stop_hits >= 2) AS gopher_keep
+        |FROM feat ORDER BY id""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -94,6 +94,75 @@ object TextAnalysis {
               + when(col("punct_ratio") <= 0.1, 0.1).otherwise(0.0))),
           4))
 
+  /** Gopher quality-filter rules (Rae et al. 2021, arXiv:2112.11446,
+    * Appendix A1) as per-rule boolean columns plus their conjunction
+    * `gopher_keep` — the per-document heuristics every large-scale text
+    * pipeline applies before training:
+    *
+    *  - `r_word_count`: word count in [minWords, maxWords];
+    *  - `r_mean_word_len`: mean word length in [3, 10] characters;
+    *  - `r_symbol_ratio`: (# '#' chars + '...' / '…' occurrences) to
+    *    words below 1/10;
+    *  - `r_bullet_lines`: fewer than 9/10 of nonempty lines start with a
+    *    bullet ('•', '-', '*');
+    *  - `r_ellipsis_lines`: fewer than 3/10 of nonempty lines end with an
+    *    ellipsis;
+    *  - `r_alpha_words`: at least 4/5 of words contain an alphabetic
+    *    character;
+    *  - `r_stop_words`: at least 2 distinct of the 8 English function
+    *    words {the, be, to, of, and, that, have, with} appear.
+    *
+    * Every ratio threshold compares via INTEGER cross-multiplication
+    * (e.g. `alpha_words * 5 >= n_words * 4`), so a SQL oracle reproduces
+    * each rule bit-for-bit — no float round-trip anywhere. Words are the
+    * lowercased whitespace tokens of [[tokens]]; lines split on newline
+    * and blank lines are excluded from the line-rule denominators.
+    * Documents with zero words fail the word-dependent rules (their
+    * ratios are undefined and Gopher drops them via the count bound). */
+  def gopherRules(df: DataFrame, textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val c = col(textCol)
+    val staged = df.select(col(idCol).as("id"), tokens(c).as("__w"),
+      filter(split(c, "\n"), l => trim(l) =!= "").as("__lines"),
+      (length(c) - length(regexp_replace(c, "#", ""))).as("__n_hash"),
+      (((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3) +
+        (length(c) - length(regexp_replace(c, "…", "")))).as("__n_ell"))
+    staged
+      .withColumn("n_words", size(col("__w")).cast(LongType))
+      .withColumn("__sum_len",
+        aggregate(col("__w"), lit(0L), (a, x) => a + length(x)))
+      .withColumn("__alpha_w",
+        size(filter(col("__w"), w => w.rlike("[a-z]"))).cast(LongType))
+      .withColumn("__n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("__bullet_l", size(filter(col("__lines"),
+        l => ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
+          ltrim(l).startsWith("*"))).cast(LongType))
+      .withColumn("__ell_l", size(filter(col("__lines"),
+        l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast(LongType))
+      .withColumn("__stop_hits", size(array_intersect(array_distinct(col("__w")),
+        array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+        .cast(LongType))
+      .withColumn("r_word_count", col("n_words").between(minWords.toLong, maxWords.toLong))
+      .withColumn("r_mean_word_len", col("n_words") > 0 &&
+        col("__sum_len") >= col("n_words") * 3 && col("__sum_len") <= col("n_words") * 10)
+      .withColumn("r_symbol_ratio", col("n_words") > 0 &&
+        (col("__n_hash") + col("__n_ell")) * 10 < col("n_words"))
+      .withColumn("r_bullet_lines",
+        col("__n_lines") === 0 || col("__bullet_l") * 10 < col("__n_lines") * 9)
+      .withColumn("r_ellipsis_lines",
+        col("__n_lines") === 0 || col("__ell_l") * 10 < col("__n_lines") * 3)
+      .withColumn("r_alpha_words", col("n_words") > 0 &&
+        col("__alpha_w") * 5 >= col("n_words") * 4)
+      .withColumn("r_stop_words", col("__stop_hits") >= 2)
+      .withColumn("gopher_keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_bullet_lines") && col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stop_words"))
+      .select("id", "n_words", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stop_words",
+        "gopher_keep")
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Stable document fingerprint (md5 of normalized text). */

@@ -510,6 +510,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row.getAs[Double]("mean_token_len") == 2.5)
   }
 
+  test("gopher rules: line, symbol, alpha, and stop-word gates") {
+    val docs = Seq(
+      // 1: clean doc above all thresholds (minWords lowered to 4)
+      (1L, "the cat sat with the dog and that was all"),
+      // 2: bullet-dominated (3/3 lines bullets >= 9/10) → r_bullet fails
+      (2L, "- the one\n- be two\n* of three"),
+      // 3: ellipsis-heavy lines (2/3 >= 3/10) and symbol-heavy (### + …)
+      (3L, "so the story goes on...\nand of course…\nplain line"),
+      // 4: numeric tokens — alpha-word rule fails (1/5 words alphabetic)
+      (4L, "11 22 33 44 the"),
+      // 5: no stop words at all
+      (5L, "lorem ipsum dolor sit amet consectetur"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "text", "doc_id", minWords = 4)
+      .collect().map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Boolean]("gopher_keep"))
+    assert(!r(2L).getAs[Boolean]("r_bullet_lines") && !r(2L).getAs[Boolean]("gopher_keep"))
+    assert(r(1L).getAs[Boolean]("r_bullet_lines"))
+    assert(!r(3L).getAs[Boolean]("r_ellipsis_lines"))
+    // doc 3: words=12? symbols: 1 '...' + 1 '…' = 2; 2*10 >= n_words → fails
+    assert(!r(3L).getAs[Boolean]("r_symbol_ratio"))
+    assert(!r(4L).getAs[Boolean]("r_alpha_words"))
+    assert(r(4L).getAs[Boolean]("r_stop_words") == false) // only 'the' → 1 < 2
+    assert(!r(5L).getAs[Boolean]("r_stop_words"))
+    assert(r(1L).getAs[Boolean]("r_stop_words"))
+  }
+
   test("fingerprints are stable under whitespace normalization") {
     val df = Seq(("Hello  World"), ("hello world")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).as[String].collect()
