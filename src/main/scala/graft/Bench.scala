@@ -21,7 +21,11 @@ object Bench {
     "multimodal_frames", "pipeline_clean_corpus", "dedup_embedding",
     "pipeline_chunk_docs", "pipeline_decontaminate", "events_funnel",
     "q_sketch_stats", "text_repetition", "scan_kerchunk_reference",
-    "dedup_substring")
+    "dedup_substring",
+    // r8 additions: CF decode (fixture-scale), semantic dedup (embeddings
+    // scale incl. its in-plan property verification), gopher rules (full
+    // corpus scan of integer-exact gates)
+    "load_netcdf_cf", "pipeline_semdedup", "text_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
