@@ -1992,6 +1992,15 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "text_repetition_ngrams" -> ((s, dir) => {
+      // Gopher repetition n-gram filters: top-bigram char fraction +
+      // merged dup-5-gram char coverage, each from ONE zero-shuffle scan
+      // expression (RepetitionStats) — the oracle re-derives both with
+      // SQL window/island arithmetic over the same token lists
+      TextAnalysis.repetitionNgramFractions(T(s, dir, "documents"), "text", "doc_id")
+        .orderBy("id")
+    }),
+
     "text_token_count" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
@@ -3031,6 +3040,57 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // independent SQL re-derivation of both repetition fractions: bigram
+    // counting + row_number top pick, dup-5-gram island merge (the
+    // dedup_substring oracle pattern) + char coverage via list slicing
+    "text_repetition_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, t, len(t) AS nt,
+        |    CAST(list_sum(list_transform(t, x -> length(x)))
+        |         + CASE WHEN len(t) > 1 THEN len(t) - 1 ELSE 0 END AS BIGINT) AS total_chars
+        |  FROM toks WHERE len(t) > 0),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+        |  FROM base, UNNEST(range(1, nt)) AS r(i)),
+        |t2 AS (SELECT doc_id, gram, COUNT(*) AS c FROM g2 GROUP BY doc_id, gram),
+        |top2 AS (
+        |  SELECT doc_id, c AS top_count, length(gram) AS top_len FROM (
+        |    SELECT doc_id, gram, c,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+        |    FROM t2) WHERE rn = 1),
+        |g5 AS (
+        |  SELECT doc_id, i - 1 AS s, i + 3 AS e, array_to_string(t[i:i+4], ' ') AS gram
+        |  FROM base, UNNEST(range(1, nt - 3)) AS r(i)),
+        |d5 AS (SELECT doc_id, gram FROM g5 GROUP BY doc_id, gram HAVING COUNT(*) >= 2),
+        |marked AS (SELECT g.doc_id, g.s, g.e FROM g5 g JOIN d5 d USING (doc_id, gram)),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, -1)
+        |              THEN 1 ELSE 0 END AS ni
+        |  FROM marked),
+        |num AS (SELECT doc_id, s, e,
+        |               SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp_no
+        |        FROM isl),
+        |spans AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM num GROUP BY doc_id, grp_no),
+        |dup5 AS (
+        |  SELECT sp.doc_id,
+        |         CAST(SUM(length(array_to_string(b.t[sp.s + 1:sp.e + 1], ' '))) AS BIGINT)
+        |           AS dup_chars
+        |  FROM spans sp JOIN base b USING (doc_id) GROUP BY sp.doc_id)
+        |SELECT b.doc_id AS id, b.total_chars,
+        |  CAST(COALESCE(top2.top_count, 0) AS BIGINT) AS top_ngram_count,
+        |  CASE WHEN COALESCE(top2.top_count, 0) >= 2
+        |       THEN CAST(top2.top_count * top2.top_len AS DOUBLE) / CAST(b.total_chars AS DOUBLE)
+        |       ELSE 0.0 END AS top_ngram_char_frac,
+        |  CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / CAST(b.total_chars AS DOUBLE)
+        |    AS dup_ngram_char_frac
+        |FROM base b LEFT JOIN top2 USING (doc_id) LEFT JOIN dup5 d ON b.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin,
 
     // same integer cross-multiplied thresholds as the operator; words are
     // the lowercased whitespace tokens, lines the nonempty newline splits

@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Per-document n-gram repetition statistics in ONE per-row pass — the
+  * Gopher repetition filters' raw counts (Rae et al. 2021, arXiv:2112.11446
+  * A1: "fraction of characters in the most common n-gram" and "fraction of
+  * characters inside duplicate n-grams"), computed with ZERO shuffle: a
+  * document's repetition profile depends only on its own tokens, so the
+  * natural 100 TB shape is a scan-stage expression, not an
+  * explode + groupBy whose exchange would carry every n-gram of the corpus.
+  *
+  * Characters count over the whitespace-NORMALIZED text (tokens joined by
+  * single spaces), making every output an exact integer a SQL oracle
+  * reproduces bit-for-bit. Output struct:
+  *  - `total_chars`: Σ token length + (count − 1) separators;
+  *  - `top_count`: occurrences of the most frequent n-gram (ties broken
+  *    by lexicographically smallest gram — deterministic and
+  *    SQL-reproducible); 0 when the doc has no n-gram;
+  *  - `top_chars`: top_count × the top gram's char length (overlapping
+  *    occurrences counted in full, matching the public implementations of
+  *    the top-n-gram filter);
+  *  - `dup_chars`: characters covered by ANY occurrence of any n-gram
+  *    appearing ≥ 2 times in the doc, overlaps MERGED (island union —
+  *    each covered token counted once, plus the separator between two
+  *    adjacently-covered tokens).
+  */
+case class RepetitionStats(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_chars", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repetition_stats expects array<string> (tokens), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    RepetitionStats.compute(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.RepetitionStats.compute($arr, $n);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  /** Static kernel, shared by interpreted and generated code. */
+  def compute(arr: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = arr.numElements()
+    val toks = new Array[String](cnt)
+    val lens = new Array[Int](cnt)
+    var totalChars = 0L
+    var i = 0
+    while (i < cnt) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      lens(i) = toks(i).codePointCount(0, toks(i).length)
+      totalChars += lens(i)
+      i += 1
+    }
+    if (cnt > 1) totalChars += cnt - 1
+    val m = cnt - n + 1 // number of n-gram windows
+    var topCount = 0L
+    var topChars = 0L
+    var dupChars = 0L
+    if (m > 0) {
+      val counts = new java.util.HashMap[String, Int]()
+      val grams = new Array[String](m)
+      var w = 0
+      while (w < m) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(w + j))
+          j += 1
+        }
+        grams(w) = sb.toString
+        counts.merge(grams(w), 1, Integer.sum)
+        w += 1
+      }
+      var topGram: String = null
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > topCount ||
+            (e.getValue == topCount && (topGram == null || e.getKey.compareTo(topGram) < 0))) {
+          topCount = e.getValue
+          topGram = e.getKey
+        }
+      }
+      if (topGram != null)
+        topChars = topCount * topGram.codePointCount(0, topGram.length).toLong
+      // island-merged coverage of duplicated windows
+      val covered = new Array[Boolean](cnt)
+      w = 0
+      while (w < m) {
+        if (counts.get(grams(w)) >= 2) {
+          var j = 0
+          while (j < n) { covered(w + j) = true; j += 1 }
+        }
+        w += 1
+      }
+      i = 0
+      while (i < cnt) {
+        if (covered(i)) {
+          dupChars += lens(i)
+          if (i + 1 < cnt && covered(i + 1)) dupChars += 1 // shared separator
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(totalChars, topCount, topChars, dupChars)
+  }
+}
+
+object TextFunctions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Per-row n-gram repetition counts over a token array (see
+    * [[RepetitionStats]]). */
+  def repetition_stats(tokens: Column, n: Int): Column =
+    column(RepetitionStats(expression(tokens), n))
+}

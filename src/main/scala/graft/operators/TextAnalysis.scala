@@ -163,6 +163,37 @@ object TextAnalysis {
         "gopher_keep")
   }
 
+  /** Gopher repetition n-gram filters (Rae et al. 2021 A1, the n-gram
+    * half) — per doc, from ONE zero-shuffle scan expression
+    * ([[graft.functions.RepetitionStats]]):
+    *  - `top_ngram_char_frac`: chars inside every occurrence of the most
+    *    frequent `topN`-gram / total chars (0 when it occurs only once —
+    *    a unique n-gram is not repetition);
+    *  - `dup_ngram_char_frac`: chars covered by any occurrence of any
+    *    `dupN`-gram appearing ≥ 2 times, overlaps merged.
+    * Characters count over the whitespace-normalized text; both
+    * fractions divide exact integers, so a SQL oracle matches
+    * bit-for-bit. Docs with no tokens drop (no text → no repetition,
+    * the [[repetitionSignals]] convention). */
+  def repetitionNgramFractions(df: DataFrame, textCol: String, idCol: String,
+                               topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"n-gram sizes must be >= 1 ($topN, $dupN)")
+    import graft.functions.TextFunctions.repetition_stats
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__w"))
+      .where(size(col("__w")) > 0)
+      .select(col("id"),
+        repetition_stats(col("__w"), topN).as("__t"),
+        repetition_stats(col("__w"), dupN).as("__d"))
+      .select(col("id"),
+        col("__t.total_chars").as("total_chars"),
+        col("__t.top_count").as("top_ngram_count"),
+        when(col("__t.top_count") >= 2,
+          col("__t.top_chars").cast(DoubleType) / col("__t.total_chars").cast(DoubleType))
+          .otherwise(lit(0.0)).as("top_ngram_char_frac"),
+        (col("__d.dup_chars").cast(DoubleType) / col("__d.total_chars").cast(DoubleType))
+          .as("dup_ngram_char_frac"))
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Stable document fingerprint (md5 of normalized text). */

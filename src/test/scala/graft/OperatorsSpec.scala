@@ -537,6 +537,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(1L).getAs[Boolean]("r_stop_words"))
   }
 
+  test("repetition n-gram fractions: overlap counting and island merge") {
+    val docs = Seq(
+      // doc 1: "a b a b a b" — top bigram "a b" occurs 3 times
+      // (overlapping with "b a"); total_chars = 6 + 5 = 11;
+      // top_chars = 3 * 3 = 9 (occurrences counted in full).
+      // dup 5-grams: "a b a b a" (pos 0) and "b a b a b" (pos 1) each
+      // occur once → no dup coverage.
+      (1L, "a b a b a b"),
+      // doc 2: the 5-gram "x y z w v" repeats; both occurrences covered,
+      // islands merged over tokens 0..4 and 5..9 (adjacent → ONE island
+      // 0..9 = the whole 19-char doc).
+      (2L, "x y z w v x y z w v"),
+      // doc 3: no repetition at all
+      (3L, "one two three four five six"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionNgramFractions(docs, "text", "doc_id")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Long]("total_chars") == 11L)
+    assert(r(1L).getAs[Long]("top_ngram_count") == 3L)
+    assert(r(1L).getAs[Double]("top_ngram_char_frac") == 9.0 / 11.0)
+    assert(r(1L).getAs[Double]("dup_ngram_char_frac") == 0.0)
+    assert(r(2L).getAs[Long]("total_chars") == 19L)
+    assert(r(2L).getAs[Double]("dup_ngram_char_frac") == 1.0) // whole doc covered
+    assert(r(3L).getAs[Double]("top_ngram_char_frac") == 0.0) // top count 1 → 0
+    assert(r(3L).getAs[Double]("dup_ngram_char_frac") == 0.0)
+  }
+
   test("fingerprints are stable under whitespace normalization") {
     val df = Seq(("Hello  World"), ("hello world")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).as[String].collect()
