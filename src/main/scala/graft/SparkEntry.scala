@@ -1992,6 +1992,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "text_dup_fragments" -> ((s, dir) => {
+      // Gopher duplicate line/paragraph fractions. The corpus is
+      // single-line, so the query builds a deterministic multi-fragment
+      // twin — each doc becomes (text ¶ prefix40 ¶ prefix40) — and the
+      // oracle applies the identical construction; the duplicated prefix
+      // paragraphs give every doc a nonzero dup fraction
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n\n", col("text"),
+          substring(col("text"), 1, 40), substring(col("text"), 1, 40)).as("text"))
+      TextAnalysis.duplicateFragmentFractions(docs, "text", "doc_id")
+        .orderBy("id")
+    }),
+
     "text_repetition_ngrams" -> ((s, dir) => {
       // Gopher repetition n-gram filters: top-bigram char fraction +
       // merged dup-5-gram char coverage, each from ONE zero-shuffle scan
@@ -3040,6 +3053,52 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical fragment construction, then per-fragment counting: every
+    // occurrence of a fragment with count >= 2 is duplicated (Gopher)
+    "text_dup_fragments" ->
+      """WITH src AS (
+        |  SELECT doc_id, text || chr(10) || chr(10) || substring(text, 1, 40)
+        |           || chr(10) || chr(10) || substring(text, 1, 40) AS text
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |                l -> l <> '') AS lines,
+        |    list_filter(list_transform(regexp_split_to_array(text, '\n\s*\n'),
+        |                p -> regexp_replace(trim(p), '\s+', ' ', 'g')),
+        |                p -> p <> '') AS paras
+        |  FROM src),
+        |lc AS (
+        |  SELECT doc_id, frag, COUNT(*) AS c FROM fr, UNNEST(lines) AS u(frag)
+        |  GROUP BY doc_id, frag),
+        |ls AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+        |         CAST(SUM(c * length(frag)) AS BIGINT) AS tot_ch,
+        |         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup_n,
+        |         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(frag) END), 0) AS BIGINT) AS dup_ch
+        |  FROM lc GROUP BY doc_id),
+        |pc AS (
+        |  SELECT doc_id, frag, COUNT(*) AS c FROM fr, UNNEST(paras) AS u(frag)
+        |  GROUP BY doc_id, frag),
+        |ps AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+        |         CAST(SUM(c * length(frag)) AS BIGINT) AS tot_ch,
+        |         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS dup_n,
+        |         CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * length(frag) END), 0) AS BIGINT) AS dup_ch
+        |  FROM pc GROUP BY doc_id)
+        |SELECT ls.doc_id AS id, ls.n_lines,
+        |  CAST(ls.dup_n AS DOUBLE) / CAST(ls.n_lines AS DOUBLE) AS dup_line_frac,
+        |  CASE WHEN ls.tot_ch > 0
+        |       THEN CAST(ls.dup_ch AS DOUBLE) / CAST(ls.tot_ch AS DOUBLE) ELSE 0.0 END
+        |    AS dup_line_char_frac,
+        |  ps.n_paras,
+        |  CAST(ps.dup_n AS DOUBLE) / CAST(ps.n_paras AS DOUBLE) AS dup_para_frac,
+        |  CASE WHEN ps.tot_ch > 0
+        |       THEN CAST(ps.dup_ch AS DOUBLE) / CAST(ps.tot_ch AS DOUBLE) ELSE 0.0 END
+        |    AS dup_para_char_frac
+        |FROM ls JOIN ps USING (doc_id)
+        |ORDER BY id""".stripMargin,
 
     // independent SQL re-derivation of both repetition fractions: bigram
     // counting + row_number top pick, dup-5-gram island merge (the

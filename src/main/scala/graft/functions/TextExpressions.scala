@@ -133,6 +133,79 @@ object RepetitionStats {
   }
 }
 
+/** Duplicate-fragment statistics over an array of text fragments (lines
+  * or paragraphs) — the other half of the Gopher repetition filters
+  * (Rae et al. 2021 A1: "fraction of lines/paragraphs that are
+  * duplicates" and "fraction of characters in duplicated
+  * lines/paragraphs"). One per-row pass, zero shuffle. Fragments compare
+  * EXACTLY (after the caller's own normalization); every occurrence of a
+  * fragment appearing ≥ 2 times counts as duplicated (including the
+  * first — Gopher's definition). Output struct: (n_frags, total_chars,
+  * dup_frags, dup_chars) where chars sum the fragments' own lengths
+  * (separators are not part of any fragment). */
+case class FragmentDupStats(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_frags", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false),
+    StructField("dup_frags", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fragment_dup_stats expects array<string> (lines/paragraphs), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    FragmentDupStats.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.FragmentDupStats.compute($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FragmentDupStats {
+  /** Static kernel, shared by interpreted and generated code. */
+  def compute(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = arr.numElements()
+    val frags = new Array[String](cnt)
+    val counts = new java.util.HashMap[String, Int]()
+    var totalChars = 0L
+    var i = 0
+    while (i < cnt) {
+      frags(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      totalChars += frags(i).codePointCount(0, frags(i).length)
+      counts.merge(frags(i), 1, Integer.sum)
+      i += 1
+    }
+    var dupFrags = 0L
+    var dupChars = 0L
+    i = 0
+    while (i < cnt) {
+      if (counts.get(frags(i)) >= 2) {
+        dupFrags += 1
+        dupChars += frags(i).codePointCount(0, frags(i).length)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(cnt.toLong, totalChars, dupFrags, dupChars)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -140,4 +213,9 @@ object TextFunctions {
     * [[RepetitionStats]]). */
   def repetition_stats(tokens: Column, n: Int): Column =
     column(RepetitionStats(expression(tokens), n))
+
+  /** Per-row duplicate-fragment counts over an array of lines/paragraphs
+    * (see [[FragmentDupStats]]). */
+  def fragment_dup_stats(frags: Column): Column =
+    column(FragmentDupStats(expression(frags)))
 }

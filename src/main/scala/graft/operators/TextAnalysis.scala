@@ -194,6 +194,43 @@ object TextAnalysis {
           .as("dup_ngram_char_frac"))
   }
 
+  /** Gopher duplicate line / paragraph fractions (Rae et al. 2021 A1, the
+    * fragment half): per doc,
+    *  - `dup_line_frac` / `dup_line_char_frac`: fraction of nonempty
+    *    lines (and of their characters) occurring ≥ 2 times verbatim —
+    *    every occurrence counts, per Gopher;
+    *  - `dup_para_frac` / `dup_para_char_frac`: same over blank-line
+    *    separated paragraphs (each paragraph's internal whitespace
+    *    normalized to single spaces so a reflowed duplicate still
+    *    matches).
+    * Zero shuffle ([[graft.functions.FragmentDupStats]] per row); docs
+    * with no nonempty lines drop. Fractions divide exact integers. */
+  def duplicateFragmentFractions(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.TextFunctions.fragment_dup_stats
+    val c = col(textCol)
+    val lines = filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+    val paras = filter(transform(split(c, "\n\\s*\n"),
+      p => regexp_replace(trim(p), "\\s+", " ")), p => p =!= "")
+    df.select(col(idCol).as("id"), lines.as("__l"), paras.as("__p"))
+      .where(size(col("__l")) > 0)
+      .select(col("id"),
+        fragment_dup_stats(col("__l")).as("__dl"),
+        fragment_dup_stats(col("__p")).as("__dp"))
+      .select(col("id"),
+        col("__dl.n_frags").as("n_lines"),
+        (col("__dl.dup_frags").cast(DoubleType) / col("__dl.n_frags").cast(DoubleType))
+          .as("dup_line_frac"),
+        when(col("__dl.total_chars") > 0,
+          col("__dl.dup_chars").cast(DoubleType) / col("__dl.total_chars").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_line_char_frac"),
+        col("__dp.n_frags").as("n_paras"),
+        (col("__dp.dup_frags").cast(DoubleType) / col("__dp.n_frags").cast(DoubleType))
+          .as("dup_para_frac"),
+        when(col("__dp.total_chars") > 0,
+          col("__dp.dup_chars").cast(DoubleType) / col("__dp.total_chars").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_para_char_frac"))
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Stable document fingerprint (md5 of normalized text). */

@@ -564,6 +564,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L).getAs[Double]("dup_ngram_char_frac") == 0.0)
   }
 
+  test("duplicate line/paragraph fractions count every duplicated occurrence") {
+    val docs = Seq(
+      // lines (trimmed, nonempty): [same, other, same, same] → 3/4 dup;
+      // chars: same=4 ×3 + other=5 → dup 12/17. paragraphs: "same\nother"
+      // normalizes to "same other", then two "same" paras → ["same other",
+      // "same", "same"] → 2/3 dup; chars: 10 + 4 + 4 → dup 8/18
+      (1L, "same\nother\n\n same \n\nsame"),
+      (2L, "all unique lines\nno repeats here"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.duplicateFragmentFractions(docs, "text", "doc_id")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Long]("n_lines") == 4L)
+    assert(r(1L).getAs[Double]("dup_line_frac") == 3.0 / 4.0)
+    assert(r(1L).getAs[Double]("dup_line_char_frac") == 12.0 / 17.0)
+    assert(r(1L).getAs[Long]("n_paras") == 3L)
+    assert(r(1L).getAs[Double]("dup_para_frac") == 2.0 / 3.0)
+    assert(r(1L).getAs[Double]("dup_para_char_frac") == 8.0 / 18.0)
+    assert(r(2L).getAs[Double]("dup_line_frac") == 0.0)
+    assert(r(2L).getAs[Double]("dup_para_frac") == 0.0)
+  }
+
   test("fingerprints are stable under whitespace normalization") {
     val df = Seq(("Hello  World"), ("hello world")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).as[String].collect()
