@@ -301,13 +301,16 @@ object MinHashSig {
 }
 
 /** Row-local 64-bit hashes of every L-token window of a token array —
-  * the expression form the streaming substring-dedup twin keys state on.
-  * Window w's hash is xxhash64(seed 42) of the tokens joined by single
-  * spaces (identical bytes to `xxhash64(concat_ws(" ", …))`), computed in
-  * one native loop instead of an interpreted L-deep zip_with chain whose
-  * tree the incremental planner re-optimizes every micro-batch. Output
-  * length is max(0, n - L + 1). */
-case class WindowHashes(child: Expression, windowTokens: Int)
+  * the expression the streaming substring-dedup twin keys state on and
+  * the batch operator builds its shuffle keys from (two independent
+  * seeds → a 128-bit key, no corpus-wide lead()-window shuffle).
+  * Window w's hash is xxhash64(`seed`) of the tokens joined by single
+  * spaces (seed 42 = identical bytes and value to
+  * `xxhash64(concat_ws(" ", …))`), computed in one native loop instead
+  * of an interpreted L-deep zip_with chain whose tree the incremental
+  * planner re-optimizes every micro-batch. Output length is
+  * max(0, n - L + 1). */
+case class WindowHashes(child: Expression, windowTokens: Int, seed: Long = 42L)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -323,7 +326,7 @@ case class WindowHashes(child: Expression, windowTokens: Int)
 
   override def nullSafeEval(v: Any): Any =
     new GenericArrayData(WindowHashes.compute(
-      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], windowTokens))
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], windowTokens, seed))
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -332,7 +335,7 @@ case class WindowHashes(child: Expression, windowTokens: Int)
     nullSafeCodeGen(ctx, ev, arr => {
       s"""
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  graft.functions.WindowHashes.compute($arr, $windowTokens));
+         |  graft.functions.WindowHashes.compute($arr, $windowTokens, ${seed}L));
        """.stripMargin
     })
 
@@ -342,7 +345,8 @@ case class WindowHashes(child: Expression, windowTokens: Int)
 
 object WindowHashes {
   /** Static kernel, shared by interpreted and generated code. */
-  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, l: Int): Array[Long] = {
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, l: Int,
+              seed: Long): Array[Long] = {
     val n = arr.numElements()
     val m = math.max(0, n - l + 1)
     val out = new Array[Long](m)
@@ -372,7 +376,7 @@ object WindowHashes {
         j += 1
       }
       out(w) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        len, 42L)
+        len, seed)
       w += 1
     }
     out
@@ -391,9 +395,11 @@ object SketchFunctions {
   def minhash_sig(c: Column, k: Int): Column =
     column(MinHashSig(expression(c), k))
 
-  /** 64-bit hashes of every `windowTokens`-token window of a token array. */
-  def window_hashes(c: Column, windowTokens: Int): Column =
-    column(WindowHashes(expression(c), windowTokens))
+  /** 64-bit hashes of every `windowTokens`-token window of a token array
+    * (seed 42 matches `xxhash64(concat_ws(" ", window))`; pass another
+    * seed for an independent lane). */
+  def window_hashes(c: Column, windowTokens: Int, seed: Long = 42L): Column =
+    column(WindowHashes(expression(c), windowTokens, seed))
 
   /** 64-bit SimHash fingerprint aggregate over the group's tokens. */
   def simhash_agg(c: Column): Column =

@@ -712,17 +712,19 @@ object Dedup {
     * contiguous spans `[span_start, span_end]` (token indexes, inclusive).
     *
     * Scale shape — no suffix array, pure relational:
-    *  1. positional window strings via exploded tokens + lead() over the
-    *     per-doc window (the [[shingleRows]] shape, kept codegen'd; no
-    *     distinct, no lowercasing — "exact" means byte-exact tokens);
-    *  2. each window string collapses to a 128-bit key (two independent
-    *     xxhash64 lanes) BEFORE it is persisted or shuffled — at the real
-    *     L≈50 the string key would carry ≈L× the corpus text through the
-    *     exchange (a multi-PB shuffle at 100 TB) while the hash key is a
-    *     fixed 16 bytes/row. False-collision odds at 10^13 windows are
-    *     ~10^-13 (birthday bound over 2^128) — negligible against media
-    *     durability, and a collision can only over-mark, never corrupt
-    *     span merging;
+    *  1. every L-token window hashes INSIDE the scan, per document row
+    *     (two independent [[graft.functions.WindowHashes]] lanes → a
+    *     128-bit key), then explodes to (doc_id, pos, h1, h2) — no
+    *     lead()-window construction, so the corpus text never enters an
+    *     exchange at all (the former shape shuffled the whole corpus once
+    *     just to build windows);
+    *  2. the 128-bit key is all that is persisted or shuffled — at the
+    *     real L≈50 a string key would carry ≈L× the corpus text through
+    *     the exchange (a multi-PB shuffle at 100 TB) while the hash key
+    *     is a fixed 16 bytes/row. False-collision odds at 10^13 windows
+    *     are ~10^-13 (birthday bound over 2^128) — negligible against
+    *     media durability, and a collision can only over-mark, never
+    *     corrupt span merging;
     *  3. `groupBy(h1, h2)` with partial map-side aggregation collapses
     *     each window's occurrences BEFORE the shuffle, and only windows
     *     with count > 1 survive into the (small) duplicate side;
@@ -748,25 +750,14 @@ object Dedup {
     require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
     val trimmed = regexp_replace(col(textCol), "^\\s+|\\s+$", "")
-    // positional L-gram strings, built like [[shingleRows]]: explode tokens
-    // (posexplode index == token position — a trimmed \s+ split emits no
-    // empties), then lead() over the per-doc window. Stays whole-stage
-    // codegen'd end to end, unlike a zip_with slice chain (higher-order
-    // functions are interpreted — benched ~3 s vs ~0.4 s at sf0.1).
-    // Persisted because BOTH the duplicate-group aggregate and the
-    // mark-back join consume it — without the cache the explode (and its
-    // per-doc window shuffle) runs twice.
-    val byDocPos = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    var d = df.select(col(idCol).cast("long").as("doc_id"),
-      posexplode(when(length(trimmed) === 0, array().cast("array<string>"))
-        .otherwise(split(trimmed, "\\s+"))))
-    val leadCols = (1 until L).map { i =>
-      d = d.withColumn(s"__l$i", lead(col("col"), i).over(byDocPos)); col(s"__l$i")
-    }
-    // the window string exists only inside this projection — what is
-    // persisted and shuffled is (doc_id, pos, h1, h2, k): 40 fixed bytes/row
-    val sh = concat_ws(" ", (col("col") +: leadCols): _*)
+    val toks = when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+    // both hash lanes computed per DOCUMENT row in the scan (no
+    // lead()-window shuffle of the corpus text), zipped and exploded to
+    // fixed-width rows. Persisted because BOTH the duplicate-group
+    // aggregate and the mark-back join consume it — without the cache the
+    // tokenize + hash pass runs twice.
+    import graft.functions.SketchFunctions.window_hashes
     val packGuard = assert_true(
       col("doc_id").between(0L, Long.MaxValue / 1000000000L - 1) &&
         col("pos") < 1000000000L,
@@ -774,10 +765,13 @@ object Dedup {
         lit(" / pos "), col("pos"),
         lit(" outside the packed-key range [0, 2^63/10^9) x [0, 10^9)")))
     val wins = scope.persisted(
-      d.filter(col(s"__l${L - 1}").isNotNull)
+      df.select(col(idCol).cast("long").as("doc_id"), toks.as("__t"))
+        .select(col("doc_id"), posexplode(arrays_zip(
+          window_hashes(col("__t"), L).as("h1"),
+          window_hashes(col("__t"), L, seed = 0x67726166L).as("h2"))))
         .filter(coalesce(packGuard, lit(true)))
         .select(col("doc_id"), col("pos"),
-          xxhash64(sh).as("h1"), xxhash64(lit("g2"), sh).as("h2"),
+          col("col.h1").as("h1"), col("col.h2").as("h2"),
           (col("doc_id") * lit(1000000000L) + col("pos")).as("k")),
       winStorage)
     val dup = wins.groupBy("h1", "h2")

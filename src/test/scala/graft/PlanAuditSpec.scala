@@ -252,15 +252,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // the span merge is one per-doc window partition — the sort feeding it
     // must be a local sort under a doc_id exchange, not a global sort
     assert(p.contains("Window"), p.take(2500))
-    // the shuffled window relation must carry fixed-width 128-bit hash keys,
-    // never the L-token window string (~L× the corpus text at scale): the
-    // duplicate-group exchange partitions on (h1, h2) and no exchange or
-    // aggregate keys on the string column
-    assert(p.contains("xxhash64"), p.take(2500))
+    // the shuffled window relation must carry fixed-width 128-bit hash keys
+    // (two WindowHashes lanes computed in the scan — the corpus text never
+    // enters an exchange), never the L-token window string (~L× the corpus
+    // text at scale): the duplicate-group exchange partitions on (h1, h2)
+    // and no exchange or aggregate keys on a string column
+    assert(p.toLowerCase.contains("windowhashes"), p.take(4000))
     assert("hashpartitioning\\(h1".r.findFirstIn(p).isDefined ||
            "keys=\\[h1".r.findFirstIn(p).isDefined, p.take(4000))
     assert(!"hashpartitioning\\(sh".r.findFirstIn(p).isDefined &&
            !"keys=\\[sh".r.findFirstIn(p).isDefined, p.take(4000))
+    // the window-build stage is exchange-free: no lead()-window shuffle of
+    // exploded corpus tokens remains (the only exchanges are the hash-key
+    // aggregate/join and the per-doc island merge)
+    assert(!p.contains("lead("), p.take(4000))
   }
 
   test("cross-corpus near-dup: band-key equality joins only, no cartesian anywhere") {
