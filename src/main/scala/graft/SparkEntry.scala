@@ -1992,6 +1992,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "text_c4_clean" -> ((s, dir) => {
+      // C4 line+page cleaning. The single-line punctuation-free corpus
+      // becomes a deterministic five-line page (the dup_fragments
+      // construction pattern): a long kept sentence, an unpunctuated
+      // 40-char fragment (dropped), a short kept sentence, a javascript
+      // boilerplate line (dropped), and — on every 5th doc — a brace
+      // line that trips the page-level code gate
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(col("text"), lit(".")),
+          substring(col("text"), 1, 40),
+          lit("the data pipeline works well."),
+          lit("please enable javascript to continue."),
+          when(col("doc_id") % 5 === 0, lit("config = { verbose }"))
+            .otherwise(lit("a clean closing line."))).as("text"))
+      TextAnalysis.c4Clean(docs, "text", "doc_id").orderBy("id")
+    }),
+
     "text_dup_fragments" -> ((s, dir) => {
       // Gopher duplicate line/paragraph fractions. The corpus is
       // single-line, so the query builds a deterministic multi-fragment
@@ -3053,6 +3071,36 @@ object SparkEntry {
     "text_token_count" ->
       """SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
         | FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical page construction, then the same line/page rules: RE2's
+    // (?i)\bjavascript\b and [.!?"]$ behave identically to Java regex here
+    "text_c4_clean" ->
+      """WITH src AS (
+        |  SELECT doc_id, text || '.' || chr(10) || substring(text, 1, 40) || chr(10)
+        |    || 'the data pipeline works well.' || chr(10)
+        |    || 'please enable javascript to continue.' || chr(10)
+        |    || CASE WHEN doc_id % 5 = 0 THEN 'config = { verbose }'
+        |            ELSE 'a clean closing line.' END AS text
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l ->
+        |      regexp_matches(l, '[.!?"]$')
+        |      AND len(list_filter(regexp_split_to_array(l, '\s+'), w -> w <> '')) >= 3
+        |      AND NOT regexp_matches(l, '(?i)\bjavascript\b')) AS kept
+        |  FROM src),
+        |f AS (
+        |  SELECT doc_id AS id, array_to_string(kept, chr(10)) AS clean_text,
+        |    CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |    CAST(length(array_to_string(kept, chr(10)))
+        |      - length(regexp_replace(array_to_string(kept, chr(10)), '[.!?]', '', 'g'))
+        |      AS BIGINT) AS n_sentences,
+        |    (contains(text, '{') OR contains(text, '}')) AS has_brace,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem
+        |  FROM k)
+        |SELECT id, clean_text, n_lines_kept, n_sentences, has_brace, has_lorem,
+        |       (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS keep
+        |FROM f ORDER BY id""".stripMargin,
 
     // identical fragment construction, then per-fragment counting: every
     // occurrence of a fragment with count >= 2 is duplicated (Gopher)

@@ -231,6 +231,42 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("dup_para_char_frac"))
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2), as a
+    * single scan-stage pass of pure column expressions:
+    *
+    * line KEPT iff (after trimming) it ends in terminal punctuation
+    * (`.` `!` `?` `"`), has ≥ `minLineWords` words, and does not contain
+    * the word "javascript" (the paper's enable-javascript boilerplate
+    * line rule); page DROPPED iff the kept text has fewer than
+    * `minSentences` sentences (terminal-punctuation occurrences), or the
+    * ORIGINAL page contains a curly brace (code) or the phrase
+    * "lorem ipsum".
+    *
+    * Out of scope, documented: the paper's bad-words list (user-supplied
+    * lookup) and its cross-page three-sentence dedup
+    * ([[graft.operators.Dedup.exactSubstringSpans]]'s job).
+    * Output: (id, clean_text, n_lines_kept, n_sentences, has_brace,
+    * has_lorem, keep). */
+  def c4Clean(df: DataFrame, textCol: String, idCol: String,
+              minLineWords: Int = 3, minSentences: Int = 3): DataFrame = {
+    val c = col(textCol)
+    val kept = filter(transform(split(c, "\n"), l => trim(l)), l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        !l.rlike("(?i)\\bjavascript\\b"))
+    df.select(col(idCol).as("id"), c.as("__t"), kept.as("__k"))
+      .select(col("id"),
+        array_join(col("__k"), "\n").as("clean_text"),
+        size(col("__k")).cast(LongType).as("n_lines_kept"),
+        (length(array_join(col("__k"), "\n")) -
+          length(regexp_replace(array_join(col("__k"), "\n"), "[.!?]", "")))
+          .cast(LongType).as("n_sentences"),
+        (col("__t").contains("{") || col("__t").contains("}")).as("has_brace"),
+        lower(col("__t")).contains("lorem ipsum").as("has_lorem"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences && !col("has_brace") && !col("has_lorem"))
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Stable document fingerprint (md5 of normalized text). */

@@ -585,6 +585,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(2L).getAs[Double]("dup_para_frac") == 0.0)
   }
 
+  test("c4 clean: line punctuation/word-count/javascript rules, page gates") {
+    val docs = Seq(
+      // kept: 3 proper sentences; dropped lines: short ("ok."), no
+      // terminal punct, javascript boilerplate
+      (1L, "this is a good sentence.\nok.\nno terminal punct here\n" +
+        "please enable JavaScript today.\nanother full sentence!\nis this kept?\n"),
+      // page gates: brace and lorem ipsum pages drop even with sentences
+      (2L, "one fine sentence here.\ntwo fine sentences here.\nthree fine ones.\nx = { 1 }"),
+      (3L, "one fine sentence here.\ntwo fine sentences here.\nthree fine ones.\nLorem Ipsum dolor."),
+      // too few sentences after filtering
+      (4L, "just one kept sentence.\nnothing else survives"),
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.c4Clean(docs, "text", "doc_id")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    assert(r(1L).getAs[Boolean]("keep"))
+    assert(r(1L).getAs[Long]("n_lines_kept") == 3L)
+    assert(r(1L).getAs[String]("clean_text") ==
+      "this is a good sentence.\nanother full sentence!\nis this kept?")
+    assert(r(2L).getAs[Boolean]("has_brace") && !r(2L).getAs[Boolean]("keep"))
+    assert(r(3L).getAs[Boolean]("has_lorem") && !r(3L).getAs[Boolean]("keep"))
+    assert(!r(4L).getAs[Boolean]("keep") && r(4L).getAs[Long]("n_sentences") == 1L)
+  }
+
   test("fingerprints are stable under whitespace normalization") {
     val df = Seq(("Hello  World"), ("hello world")).toDF("text")
     val fps = df.select(TextAnalysis.fingerprintMd5(col("text"))).as[String].collect()
