@@ -229,4 +229,77 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("RepetitionStats kernel matches a naive reimplementation on random docs") {
+    // small alphabet forces plenty of repeated n-grams
+    val tokGen = Gen.oneOf("a", "b", "c", "ab", "x")
+    val docGen = Gen.chooseNum(0, 40).flatMap(k => Gen.listOfN(k, tokGen))
+    samples(docGen, 150).zipWithIndex.foreach { case (toks, i) =>
+      val n = 2 + i % 3 // n in 2..4
+      def naive(ts: List[String]): (Long, Long, Long, Long) = {
+        val total = ts.map(_.length).sum.toLong + math.max(0, ts.length - 1)
+        val grams = ts.sliding(n).filter(_.length == n).map(_.mkString(" ")).toList
+        if (grams.isEmpty) (total, 0L, 0L, 0L)
+        else {
+          val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+          val (topG, topC) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+          val covered = Array.fill(ts.length)(false)
+          grams.zipWithIndex.foreach { case (g, w) =>
+            if (counts(g) >= 2) (0 until n).foreach(j => covered(w + j) = true)
+          }
+          var dup = 0L
+          ts.indices.foreach { j =>
+            if (covered(j)) {
+              dup += ts(j).length
+              if (j + 1 < ts.length && covered(j + 1)) dup += 1
+            }
+          }
+          (total, topC.toLong, topC.toLong * topG.length, dup)
+        }
+      }
+      val row = graft.functions.RepetitionStats.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]), n)
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(got == naive(toks), s"case $i n=$n toks=$toks")
+    }
+  }
+
+  test("FragmentDupStats kernel matches a naive reimplementation on random fragment lists") {
+    val fragGen = Gen.oneOf("one", "two", "three", "a longer line", "x")
+    val docGen = Gen.chooseNum(0, 25).flatMap(k => Gen.listOfN(k, fragGen))
+    samples(docGen, 150).zipWithIndex.foreach { case (frags, i) =>
+      val counts = frags.groupBy(identity).view.mapValues(_.size).toMap
+      val expect = (
+        frags.length.toLong,
+        frags.map(_.length).sum.toLong,
+        frags.count(f => counts(f) >= 2).toLong,
+        frags.filter(f => counts(f) >= 2).map(_.length).sum.toLong)
+      val row = graft.functions.FragmentDupStats.compute(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          frags.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any]))
+      val got = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(got == expect, s"case $i frags=$frags")
+    }
+  }
+
+  test("WindowHashes seeds are independent lanes and match xxhash64 at seed 42") {
+    val tokGen = Gen.oneOf("alpha", "beta", "g", "dd")
+    val docGen = Gen.chooseNum(2, 20).flatMap(k => Gen.listOfN(k, tokGen))
+    samples(docGen, 60).foreach { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      val h42 = graft.functions.WindowHashes.compute(arr, 2, 42L)
+      val hG  = graft.functions.WindowHashes.compute(arr, 2, 0x67726166L)
+      // seed 42 equals Spark's xxhash64 of the joined window string
+      toks.sliding(2).zipWithIndex.foreach { case (w, i) =>
+        val s = org.apache.spark.unsafe.types.UTF8String.fromString(w.mkString(" "))
+        val exp = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        assert(h42(i) == exp)
+      }
+      // lanes disagree somewhere on any non-trivial doc (independence smoke)
+      if (toks.distinct.size > 1) assert(!h42.sameElements(hG))
+    }
+  }
 }
