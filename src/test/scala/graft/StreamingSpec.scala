@@ -391,6 +391,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(frozen(11L) == ((1L, 0L, 2.0)), frozen(11L))
   }
 
+  test("stateless quality/clean operators compose into streams unchanged") {
+    // gopherRules / c4Clean / repetitionNgramFractions are pure
+    // projections+filters — they must run inside a streaming query with
+    // NO semantic drift vs batch (no state, no watermark needed)
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(100)
+    val rows = docs.as[(Long, String)].collect()
+
+    def streamed(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                 name: String): Array[org.apache.spark.sql.Row] = {
+      val in = MemoryStream[(Long, String)]
+      val q = f(in.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+      q.stop()
+      out
+    }
+    def canon(rs: Array[org.apache.spark.sql.Row]): Set[String] =
+      rs.map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+    val g = canon(streamed(TextAnalysis.gopherRules(_, "text", "doc_id"), "s_gopher"))
+    assert(g == canon(TextAnalysis.gopherRules(docs, "text", "doc_id").collect()) && g.size == 100)
+    val c = canon(streamed(TextAnalysis.c4Clean(_, "text", "doc_id"), "s_c4"))
+    assert(c == canon(TextAnalysis.c4Clean(docs, "text", "doc_id").collect()))
+    val r = canon(streamed(TextAnalysis.repetitionNgramFractions(_, "text", "doc_id"), "s_rep"))
+    assert(r == canon(TextAnalysis.repetitionNgramFractions(docs, "text", "doc_id").collect()))
+  }
+
   test("streaming window hits: first claim wins, TTL forgets old windows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
