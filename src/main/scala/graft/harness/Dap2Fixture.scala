@@ -81,6 +81,8 @@ object Dap2Fixture {
       |    }
       |    n_nationkey {
       |        String units "id";
+      |        Float64 scale_factor 2.0;
+      |        Float64 add_offset 10.0;
       |    }
       |}""".stripMargin
 

@@ -198,4 +198,26 @@ class Dap2Spec extends AnyFunSuite {
     val df = src.openAsset(spark, base, "opendap")
     assert(df.filter(col("variable") === "key_sum").count() === 125L)
   }
+
+  test("CF decode layers over the DAP2 plane: DAS scale/offset unpack") {
+    // the fixture DAS declares scale_factor=2 / add_offset=10 on
+    // n_nationkey; decode=cf must unpack exactly raw*2+10 while leaving
+    // un-attributed variables at identity — DAS attributes ride the same
+    // synthesized .zattrs plane every container shares
+    val base = Dap2Fixture.ensure(spark, dir)
+    def open(mode: String) = graft.catalog.EsmDataSource("k", Nil, "path", None, Nil,
+        storageOptions = Map("graft.kerchunk.decode" -> mode))
+      .openAsset(spark, base, "opendap")
+    val raw = open("coords").filter(col("variable") === "n_nationkey")
+      .select(col("coords")(0).as("i"), col("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cf = open("cf").filter(col("variable") === "n_nationkey")
+      .select(col("coords")(0).as("i"), col("value"), col("time"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.get(2)))).toMap
+    assert(raw.nonEmpty && cf.keySet == raw.keySet)
+    raw.foreach { case (i, v) =>
+      assert(cf(i)._1 == v * 2.0 + 10.0, s"i=$i")
+      assert(cf(i)._2 == null) // units "id" is not time-like
+    }
+  }
 }
