@@ -146,6 +146,41 @@ class CfDecodeSpec extends AnyFunSuite {
     assert(shf.getLong(0) == 4800 && shf.getLong(1) == 1200)
   }
 
+  test("time unit words and epoch formats: hours, seconds, T separator, fraction") {
+    def times(attrs: String): Map[Long, String] =
+      decodeAll(attrs).map(r => r.getAs[Long]("idx") ->
+        String.valueOf(r.getAs[java.sql.Timestamp]("time"))).toMap
+    // payload values are [1, 2] (two big-endian int32s)
+    val h = times("""{"units":"hours since 2000-01-01 06:00:00","_ARRAY_DIMENSIONS":["t"]}""")
+    assert(h(0L) == "2000-01-01 07:00:00.0" && h(1L) == "2000-01-01 08:00:00.0")
+    val sec = times("""{"units":"seconds since 2000-06-15T12:30:15","_ARRAY_DIMENSIONS":["t"]}""")
+    assert(sec(0L) == "2000-06-15 12:30:16.0" && sec(1L) == "2000-06-15 12:30:17.0")
+    val frac = times("""{"units":"minutes since 1999-12-31 23:59:30.5 UTC","_ARRAY_DIMENSIONS":["t"]}""")
+    assert(frac(0L) == "2000-01-01 00:00:30.5" && frac(1L) == "2000-01-01 00:01:30.5")
+    val wk = times("""{"units":"weeks since 2024-01-01","_ARRAY_DIMENSIONS":["t"]}""")
+    assert(wk(0L) == "2024-01-08 00:00:00.0" && wk(1L) == "2024-01-15 00:00:00.0")
+  }
+
+  test("fixed calendars: hour units and year-boundary rollover") {
+    def cals(attrs: String): Map[Long, String] =
+      decodeAll(attrs).map(r => r.getAs[Long]("idx") -> r.getAs[String]("time_cal")).toMap
+    // values [1, 2] hours since the last hour of a noleap year: value 1
+    // lands exactly on the year boundary, value 2 one hour past it
+    val h = cals("""{"units":"hours since 0002-12-31 23:00:00","calendar":"noleap","_ARRAY_DIMENSIONS":["t"]}""")
+    assert(h(0L) == "0003-01-01 00:00:00")
+    assert(h(1L) == "0003-01-01 01:00:00")
+    // all_leap: Feb has 29 days every year — day 59 of year 1 IS Feb 29
+    val al = cals("""{"units":"days since 0001-01-01","calendar":"all_leap","_ARRAY_DIMENSIONS":["t"]}""")
+    assert(al(0L) == "0001-01-02 00:00:00")
+    assert(al(1L) == "0001-01-03 00:00:00")
+    val al59 = graft.sources.CfCalendarDate.format("0001-01-01", 59.0 * 86400, "all_leap")
+    assert(al59 == "0001-02-29 00:00:00")
+    val nl59 = graft.sources.CfCalendarDate.format("0001-01-01", 59.0 * 86400, "noleap")
+    assert(nl59 == "0001-03-01 00:00:00")
+    val d360 = graft.sources.CfCalendarDate.format("0001-02-28 12:00:00", 2.5 * 86400, "360_day")
+    assert(d360 == "0001-03-01 00:00:00") // 28th 12:00 + 2.5d in 30-day months
+  }
+
   test("plain units decode as identity with null time") {
     val rows = decodeAll("""{"units":"K","_ARRAY_DIMENSIONS":["t"]}""")
     assert(rows.length == 2)
