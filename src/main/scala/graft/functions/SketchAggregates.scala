@@ -383,6 +383,103 @@ object WindowHashes {
   }
 }
 
+/** MinHash signature of a token array's n-token word shingles in ONE
+  * per-row pass — shingle construction and Kirsch–Mitzenmacher minhash
+  * fused, no explode, no per-doc window shuffle, no aggregate. Bit-equal
+  * to [[MinHashAgg]] over the same doc's exploded shingle rows (XXH64
+  * seeds 0/1 of the space-joined window bytes, g_i = h1 + i·h2), so the
+  * bulk pipelines can swap the explode + lead-window + groupBy signature
+  * stage — at 100 TB a full corpus-tokens exchange — for a scan
+  * expression with identical output. Null for docs with fewer than n
+  * tokens (the agg path emits no row for them). */
+case class MinHashSigWindows(child: Expression, n: Int, k: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig_windows expects array<string> (tokens), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val out = MinHashSigWindows.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, k)
+    if (out == null) null else new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val raw = ctx.freshName("raw")
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |long[] $raw = graft.functions.MinHashSigWindows.compute($arr, $n, $k);
+         |if ($raw == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($raw);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigWindows {
+  /** Static kernel, shared by interpreted and generated code. Returns null
+    * when the doc has no n-token window. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData, n: Int,
+              k: Int): Array[Long] = {
+    val cnt = arr.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return null
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) {
+      toks(i) = if (arr.isNullAt(i)) Array.emptyByteArray else arr.getUTF8String(i).getBytes
+      i += 1
+    }
+    val buf = Array.fill(k)(Long.MaxValue)
+    var w = 0
+    while (w < m) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += toks(w + j).length; j += 1 }
+      val bytes = new Array[Byte](len)
+      var at = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { bytes(at) = ' '; at += 1 }
+        val t = toks(w + j)
+        System.arraycopy(t, 0, bytes, at, t.length)
+        at += t.length
+        j += 1
+      }
+      val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      val h1 = XXH64.hashUnsafeBytes(bytes, off, len, 0L)
+      val h2 = XXH64.hashUnsafeBytes(bytes, off, len, 1L)
+      var g = h1
+      var s = 0
+      while (s < k) {
+        if (g < buf(s)) buf(s) = g
+        g += h2
+        s += 1
+      }
+      w += 1
+    }
+    buf
+  }
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -394,6 +491,12 @@ object SketchFunctions {
     * [[minhash_agg]]). */
   def minhash_sig(c: Column, k: Int): Column =
     column(MinHashSig(expression(c), k))
+
+  /** Fused shingle-and-minhash over a token array: the signature
+    * [[minhash_agg]] would produce over the doc's exploded n-token
+    * shingles, in one scan expression (null below n tokens). */
+  def minhash_sig_windows(tokens: Column, n: Int, k: Int): Column =
+    column(MinHashSigWindows(expression(tokens), n, k))
 
   /** 64-bit hashes of every `windowTokens`-token window of a token array
     * (seed 42 matches `xxhash64(concat_ws(" ", window))`; pass another

@@ -217,8 +217,24 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
   ): DataFrame =
-    minhashLshFromShingleRows(
-      shingleRows(df, textCol, idCol, shingleWords), bands, rowsPerBand, threshold)
+    minhashLshFromSignatures(
+      minhashSignaturesRowLocal(df, textCol, idCol, shingleWords, bands * rowsPerBand),
+      bands, rowsPerBand, threshold)
+
+  /** Per-document minhash signatures computed ROW-LOCALLY in the scan —
+    * the fused [[graft.functions.MinHashSigWindows]] kernel (shingle
+    * construction + Kirsch–Mitzenmacher minhash in one pass), bit-equal to
+    * the [[minhashSignatures]] explode + lead-window + MinHashAgg pipeline
+    * but with ZERO shuffle: at 100 TB the agg path's window stage alone
+    * exchanges the full exploded corpus. Docs with fewer than
+    * `shingleWords` tokens are absent (matching the agg path).
+    * Output: (id, sig: array&lt;long&gt;). */
+  def minhashSignaturesRowLocal(df: DataFrame, textCol: String, idCol: String,
+                                shingleWords: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.minhash_sig_windows(
+          tokens(col(textCol)), shingleWords, k).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Core of [[minhashLsh]] over pre-computed (id, sh) shingle rows — callers
     * that need the shingles for other purposes too (e.g. [[ngramJaccard]]'s
@@ -241,12 +257,26 @@ object Dedup {
       threshold: Double,
       sigStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
       scope: CacheScope = CacheScope.untracked,
+  ): DataFrame =
+    minhashLshFromSignatures(
+      shRows.groupBy("id")
+        .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), bands * rowsPerBand)
+          .as("sig")),
+      bands, rowsPerBand, threshold, sigStorage, scope)
+
+  /** Banding + estimate over a precomputed (id, sig) signature frame —
+    * the shared tail of [[minhashLsh]] (row-local signatures) and
+    * [[minhashLshFromShingleRows]] (aggregate signatures). */
+  def minhashLshFromSignatures(
+      sigFrame: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      sigStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      scope: CacheScope = CacheScope.untracked,
   ): DataFrame = {
     val k    = bands * rowsPerBand
-    val sigs = scope.persisted(
-      shRows.groupBy("id")
-        .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig")),
-      sigStorage)
+    val sigs = scope.persisted(sigFrame, sigStorage)
     // band bucket = native per-band hash of the signature (one tiny loop
     // expression instead of a bands-wide hash(slice(…)) projection);
     // carry ONLY ids through the exploded self-join; signatures rejoin later

@@ -30,6 +30,24 @@ class SketchExprSpec extends AnyFunSuite {
     viaExpr.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
   }
 
+  test("minhash_sig_windows equals the explode + lead-window + MinHashAgg pipeline") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(80)
+    val rowLocal = graft.operators.Dedup
+      .minhashSignaturesRowLocal(docs, "text", "doc_id", shingleWords = 3, k = 128)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = graft.operators.Dedup
+      .minhashSignatures(docs, "text", "doc_id", shingleWords = 3, k = 128)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rowLocal.nonEmpty && rowLocal.keySet == viaAgg.keySet)
+    rowLocal.foreach { case (id, sig) => assert(sig == viaAgg(id), s"doc $id") }
+    // short docs absent from both
+    val short = Seq((1L, "just two")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .minhashSignaturesRowLocal(short, "text", "doc_id", 3, 8).count() == 0)
+  }
+
   test("minhash_sig of an empty set is the MaxValue identity; nulls skipped") {
     import spark.implicits._
     val rows = Seq((1L, Seq.empty[String]), (2L, Seq("a", null, "b")))
