@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch aggregates for the dedup pipeline.
@@ -480,6 +480,82 @@ object MinHashSigWindows {
   }
 }
 
+/** DISTINCT n-token window strings of a token array, per row — the
+  * shingle SET the jaccard verifiers compare, without the exploded
+  * (id, sh) relation the former pipeline persisted at corpus × words
+  * size and re-aggregated with collect_set. First-seen order (set
+  * semantics downstream: array_intersect/array_union are
+  * order-insensitive). Empty array below n tokens. */
+case class WindowStrings(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"window_strings expects array<string> (tokens), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(WindowStrings.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.WindowStrings.compute($arr, $n));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WindowStrings {
+  /** Static kernel, shared by interpreted and generated code. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+              n: Int): Array[Any] = {
+    val cnt = arr.numElements()
+    val m = cnt - n + 1
+    if (m <= 0) return Array.empty[Any]
+    val toks = new Array[String](cnt)
+    var i = 0
+    while (i < cnt) {
+      toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]()
+    var w = 0
+    while (w < m) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(w + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      w += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+      i += 1
+    }
+    out
+  }
+}
+
 object SketchFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -497,6 +573,10 @@ object SketchFunctions {
     * shingles, in one scan expression (null below n tokens). */
   def minhash_sig_windows(tokens: Column, n: Int, k: Int): Column =
     column(MinHashSigWindows(expression(tokens), n, k))
+
+  /** Distinct n-token window strings (the shingle SET) per row. */
+  def window_strings(tokens: Column, n: Int): Column =
+    column(WindowStrings(expression(tokens), n))
 
   /** 64-bit hashes of every `windowTokens`-token window of a token array
     * (seed 42 matches `xxhash64(concat_ws(" ", window))`; pass another

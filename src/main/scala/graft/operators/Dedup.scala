@@ -522,10 +522,14 @@ object Dedup {
     * true pair is a ~1e-4 event) so the exact array-intersect join touches a near-final pair
     * set instead of every band collision.
     *
-    * The exploded shingle rows are corpus × words of storage; they persist
-    * at `shingleStorage` (DISK_ONLY by default — memory-caching them is an
-    * executor-memory cliff at 100 TB). Caller owns the cache lifecycle, as
-    * with [[minhashLshFromShingleRows]].
+    * Everything per-document is a SCAN expression (r8): signatures via the
+    * fused [[graft.functions.MinHashSigWindows]] kernel and exact shingle
+    * sets via [[graft.functions.WindowStrings]] for CANDIDATE-touched docs
+    * only — the former pipeline persisted exploded (id, shingle) rows at
+    * corpus × words size (DISK_ONLY against the executor-memory cliff) and
+    * re-aggregated them twice; now no shingle relation exists at all.
+    * `shingleStorage` is retained for signature persistence (the banding +
+    * two rejoins consume the signature table).
     */
   def ngramJaccard(
       df: DataFrame,
@@ -542,23 +546,24 @@ object Dedup {
       if (bands > 0 && rowsPerBand > 0) (bands, rowsPerBand)
       else if (lshDetectProb(threshold, 32, 4) >= 0.98) (32, 4)
       else lshAutoParams(threshold)
-    // one shingling pass feeds both the minhash candidates and the exact sets
-    val shRows = scope.persisted(shingleRows(df, textCol, idCol, n), shingleStorage)
-    val candidates = minhashLshFromShingleRows(shRows, b, r,
-        threshold = math.max(0.0, threshold - 0.2), scope = scope)
+    val candidates = minhashLshFromSignatures(
+        minhashSignaturesRowLocal(df, textCol, idCol, n, b * r), b, r,
+        threshold = math.max(0.0, threshold - 0.2),
+        sigStorage = shingleStorage, scope = scope)
       .select("id_a", "id_b")
       // checkpointed because THREE branches consume it (twice via the
       // candIds union below, plus the final pair join); EAGER — a lazy
       // checkpoint first touched inside a multi-branch plan can race its
       // own block writes (same invariant DedupChecks documents)
       .localCheckpoint(true)
-    // exact sets only for docs that appear in some candidate pair — the
-    // collect_set shuffle carries candidate-touched docs (near the pair
-    // count), not the whole corpus
+    // exact sets only for docs that appear in some candidate pair —
+    // computed per ROW after the semi-join, so the only shuffled shingle
+    // sets are the candidate-touched ones (near the pair count)
     val candIds = candidates.select(col("id_a").as("id"))
       .unionByName(candidates.select(col("id_b").as("id"))).distinct()
-    val sh = shRows.join(candIds, Seq("id"), "left_semi")
-      .groupBy("id").agg(collect_set(col("sh")).as("sh"))
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.window_strings(tokens(col(textCol)), n).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -591,24 +596,26 @@ object Dedup {
   ): DataFrame = {
     val (b, r) = nearDupParams(threshold)
     val k = b * r
-    val shB = scope.persisted(shingleRows(batch, textCol, idCol, n), shingleStorage)
-    val shC = scope.persisted(shingleRows(corpus, textCol, idCol, n), shingleStorage)
-    def sigsOf(sh: DataFrame) = sh.groupBy("id")
-      .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
+    // per-row scan expressions end to end (r8): fused signatures + distinct
+    // shingle sets for candidate-touched docs — no exploded shingle
+    // relation on either side
+    def sigsOf(side: DataFrame) =
+      minhashSignaturesRowLocal(side, textCol, idCol, n, k)
     def bandsOf(sigs: DataFrame, out: String) = sigs.select(col("id").as(out),
         posexplode(graft.functions.SketchFunctions.band_hashes(col("sig"), b, r)))
       .select(col(out), col("pos").as("band"), col("col").as("bucket"))
-    val candidates = bandsOf(sigsOf(shB), "id_batch")
-      .join(bandsOf(sigsOf(shC), "id_corpus"), Seq("band", "bucket"))
+    val candidates = bandsOf(sigsOf(batch), "id_batch")
+      .join(bandsOf(sigsOf(corpus), "id_corpus"), Seq("band", "bucket"))
       .select("id_batch", "id_corpus").distinct()
       .localCheckpoint(true) // three consumers below (two semi-joins + the pair join)
-    def setsFor(sh: DataFrame, ids: DataFrame, idName: String, shName: String) =
-      sh.join(ids, sh("id") === ids(idName), "left_semi")
-        .groupBy("id").agg(collect_set(col("sh")).as(shName))
+    def setsFor(side: DataFrame, ids: DataFrame, idName: String, shName: String) =
+      side.select(col(idCol).as("id"),
+          graft.functions.SketchFunctions.window_strings(tokens(col(textCol)), n).as(shName))
+        .join(ids, col("id") === ids(idName), "left_semi")
         .withColumnRenamed("id", idName)
     candidates
-      .join(setsFor(shB, candidates.select("id_batch"), "id_batch", "sh_b"), "id_batch")
-      .join(setsFor(shC, candidates.select("id_corpus"), "id_corpus", "sh_c"), "id_corpus")
+      .join(setsFor(batch, candidates.select("id_batch"), "id_batch", "sh_b"), "id_batch")
+      .join(setsFor(corpus, candidates.select("id_corpus"), "id_corpus", "sh_c"), "id_corpus")
       .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_c"))).cast(DoubleType))
       .withColumn("uni", size(array_union(col("sh_b"), col("sh_c"))).cast(DoubleType))
       .select(col("id_batch"), col("id_corpus"), (col("inter") / col("uni")).as("jaccard"))
@@ -639,10 +646,15 @@ object Dedup {
       threshold: Double = 0.5,
   ): DataFrame = {
     val (b, r) = nearDupParams(threshold)
-    shingleRows(corpus, textCol, idCol, n)
-      .groupBy("id")
-      .agg(collect_set(col("sh")).as("shingles"),
-        graft.functions.SketchFunctions.minhash_agg(col("sh"), b * r).as("sig"))
+    // ONE scan, zero shuffle (r8): distinct shingle set + fused minhash
+    // signature per corpus row — the index build never explodes or
+    // aggregates anything
+    corpus.select(col(idCol).as("id"),
+        graft.functions.SketchFunctions.window_strings(
+          tokens(col(textCol)), n).as("shingles"),
+        graft.functions.SketchFunctions.minhash_sig_windows(
+          tokens(col(textCol)), n, b * r).as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   private def nearDupParams(threshold: Double): (Int, Int) =
@@ -665,9 +677,9 @@ object Dedup {
   ): DataFrame = {
     val (b, r) = nearDupParams(threshold)
     val k = b * r
-    val shB = scope.persisted(shingleRows(batch, textCol, idCol, n), shingleStorage)
-    val sigB = shB.groupBy("id")
-      .agg(graft.functions.SketchFunctions.minhash_agg(col("sh"), k).as("sig"))
+    // batch-side signatures and shingle sets are per-row scan expressions
+    // (r8) — only the tiny band rows and candidate-touched sets shuffle
+    val sigB = minhashSignaturesRowLocal(batch, textCol, idCol, n, k)
     def bandsOf(sigs: DataFrame, out: String) = sigs.select(col(out),
         posexplode(graft.functions.SketchFunctions.band_hashes(col("sig"), b, r)))
       .select(col(out), col("pos").as("band"), col("col").as("bucket"))
@@ -681,10 +693,9 @@ object Dedup {
         Seq("band", "bucket"))
       .select("id_batch", "id_corpus").distinct()
       .localCheckpoint(true) // three consumers below (two semi-joins + the pair join)
-    val setsB = shB.join(candidates.select("id_batch"),
-        shB("id") === col("id_batch"), "left_semi")
-      .groupBy("id").agg(collect_set(col("sh")).as("sh_b"))
-      .withColumnRenamed("id", "id_batch")
+    val setsB = batch.select(col(idCol).as("id_batch"),
+        graft.functions.SketchFunctions.window_strings(tokens(col(textCol)), n).as("sh_b"))
+      .join(candidates.select("id_batch"), Seq("id_batch"), "left_semi")
     val setsC = guarded.join(candidates.select("id_corpus"),
         guarded("id") === col("id_corpus"), "left_semi")
       .select(col("id").as("id_corpus"), col("shingles").as("sh_c"))
