@@ -480,6 +480,67 @@ object MinHashSigWindows {
   }
 }
 
+/** Row-local 64-bit SimHash of a token array — the non-aggregate twin of
+  * [[SimHashAgg]] (same per-token xxhash64 seed 42, same majority vote),
+  * so fingerprints computed per row equal the exploded-aggregate path's
+  * bit for bit, with no exchange at all. 0L for an empty array (the agg
+  * emits no row; callers filter on token count when absence semantics
+  * matter). */
+case class SimHashSig(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_sig expects array<string> (tokens), got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    SimHashSig.compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = graft.functions.SimHashSig.compute($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSig {
+  /** Static kernel, shared by interpreted and generated code. */
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val cnt = arr.numElements()
+    val bits = new Array[Long](64)
+    var n = 0L
+    var i = 0
+    while (i < cnt) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+        var b = 0
+        while (b < 64) { bits(b) += (h >>> b) & 1L; b += 1 }
+        n += 1L
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (bits(b) * 2 > n) fp |= (1L << b); b += 1 }
+    fp
+  }
+}
+
 /** DISTINCT n-token window strings of a token array, per row — the
   * shingle SET the jaccard verifiers compare, without the exploded
   * (id, sh) relation the former pipeline persisted at corpus × words
@@ -577,6 +638,11 @@ object SketchFunctions {
   /** Distinct n-token window strings (the shingle SET) per row. */
   def window_strings(tokens: Column, n: Int): Column =
     column(WindowStrings(expression(tokens), n))
+
+  /** Row-local 64-bit SimHash of a token array (same hash + vote as
+    * [[simhash_agg]]). */
+  def simhash_sig(tokens: Column): Column =
+    column(SimHashSig(expression(tokens)))
 
   /** 64-bit hashes of every `windowTokens`-token window of a token array
     * (seed 42 matches `xxhash64(concat_ws(" ", window))`; pass another

@@ -336,9 +336,12 @@ object Dedup {
     * small expression instead of 64 flat sum-aggregates — constant-size
     * generated code, one hash per token. */
   def simhashFingerprints(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .groupBy("id")
-      .agg(graft.functions.SketchFunctions.simhash_agg(col("t")).as("fp"))
+    // per-row kernel (r8), bit-equal to the explode + SimHashAgg path —
+    // zero exchange; zero-token docs filtered to match the agg path's
+    // no-row absence
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .select(col("id"), graft.functions.SketchFunctions.simhash_sig(col("__t")).as("fp"))
 
   def simhashPairs(
       df: DataFrame,

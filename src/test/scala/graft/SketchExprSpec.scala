@@ -48,6 +48,20 @@ class SketchExprSpec extends AnyFunSuite {
       .minhashSignaturesRowLocal(short, "text", "doc_id", 3, 8).count() == 0)
   }
 
+  test("simhash_sig equals the explode + SimHashAgg path on real docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(80)
+    val rowLocal = graft.operators.Dedup.simhashFingerprints(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = docs
+      .select(col("doc_id").as("id"),
+        explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+      .groupBy("id").agg(SketchFunctions.simhash_agg(col("t")).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(rowLocal.nonEmpty && rowLocal == viaAgg)
+  }
+
   test("minhash_sig of an empty set is the MaxValue identity; nulls skipped") {
     import spark.implicits._
     val rows = Seq((1L, Seq.empty[String]), (2L, Seq("a", null, "b")))
