@@ -31,4 +31,16 @@ class VerifySpec extends AnyFunSuite {
     }
     assert(errors("broken_throw").contains("boom"))
   }
+
+  test("every oracle key names a registered query (no orphaned oracle SQL)") {
+    // an oracle whose query id was renamed/removed would silently never be
+    // compared — the driver only checks oracles for dumped queries
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
+    // inverse direction is intentionally allowed (rows-only queries have
+    // no oracle), but the rows-only set must stay exactly the two
+    // by-design approximate ANN queries
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk"), rowsOnly)
+  }
 }
