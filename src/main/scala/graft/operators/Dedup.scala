@@ -465,34 +465,67 @@ object Dedup {
     * Scale shape: clustering is the IVF coarse quantizer (driver-resident
     * centroids, ONE distributed job per Lloyd round, in-scan NearestCells
     * assignment — no shuffle); the quadratic term is Σ|cluster|², bounded
-    * by sizing `nCells` to the corpus (the paper uses ~0.1% of n); the
-    * pair join shuffles on the cluster key only.
+    * two ways (the paper sizes k so within-cluster pairwise stays
+    * tractable, §3):
+    *  - `nCells = 0` (default) derives the top-level cell count from a
+    *    cheap corpus count: `clamp(ceil(n / targetClusterSize), 16, 4096)`
+    *    (4096 is the in-scan argmax comfort zone; deeper fan-out comes
+    *    from splitting, not a wider top level);
+    *  - any cell whose size still exceeds `targetClusterSize` is
+    *    recursively re-clustered (up to `maxSplitRounds` Voronoi rounds on
+    *    deterministic evenly-spaced member seeds — seed-assignment only,
+    *    no distributed Lloyd means, so re-evaluating the plan cannot flip
+    *    the clustering), and any survivor (e.g. a blob of identical
+    *    vectors no vector split can separate) is hash-partitioned into
+    *    `ceil(size / targetClusterSize)` buckets. After that the pair join
+    *    cost is ≤ n × O(targetClusterSize) even under k-means skew, at the
+    *    documented SemDeDup price: pairs across split sub-cells are not
+    *    compared (the same approximation the paper already makes across
+    *    clusters).
+    * Split rounds touch ONLY members of oversized cells: one
+    * window-rank shuffle to pick seeds plus one cell-key join whose row
+    * count is itself bounded by Σ|cell|²/targetClusterSize. The pair join
+    * shuffles on the cluster key only.
+    *
+    * `idCol` must be numeric: the greedy rule orders docs by id, and a
+    * silent cast of (say) a string id would null every id, drop every
+    * pair, and return keep=true for all docs (the streaming twin refuses
+    * loudly for the same reason).
     *
     * Output: every input id with (id, cell, keep, dup_of) where `dup_of`
-    * is the EARLIEST same-cluster doc above threshold (null for kept). */
+    * is the EARLIEST same-cluster doc above threshold (null for kept);
+    * `cell` is a string path (`topCell[/seedIdx…][#bucket]`) so split
+    * sub-cell labels can never collide with surviving top-level labels. */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double = 0.9,
-      nCells: Int = 16,
+      nCells: Int = 0,
       kmeansIters: Int = 2,
+      targetClusterSize: Int = 4096,
+      maxSplitRounds: Int = 2,
   ): DataFrame = {
-    val (cellIds, cents) = Similarity.kmeansCentroidArrays(df, idCol, vecCol, nCells, kmeansIters)
-    val assigned = Similarity.ivfAssign(
-        df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v")),
-        "id", "__v",
-        df.sparkSession.createDataFrame(
-          { val rows = new java.util.ArrayList[org.apache.spark.sql.Row](cellIds.length)
-            cellIds.zip(cents).foreach { case (i, v) =>
-              rows.add(org.apache.spark.sql.Row(i, v.toIndexedSeq)) }
-            rows },
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("cent_id",
-              df.schema(idCol).dataType),
-            org.apache.spark.sql.types.StructField("cent_vec",
-              ArrayType(org.apache.spark.sql.types.FloatType))))),
-        "cent_id", "cent_vec")
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"semanticDedup: id column '$idCol' is ${df.schema(idCol).dataType.simpleString} — " +
+        "the greedy keep-first rule orders docs by a numeric id, and casting would silently " +
+        "null non-numeric ids (every pair dropped, keep=true for all docs); derive a numeric " +
+        "id first (e.g. xxhash64(text) or monotonically_increasing_id)")
+    require(targetClusterSize > 0, "semanticDedup: targetClusterSize must be positive")
+    val docs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+    val k0 =
+      if (nCells > 0) nCells
+      else {
+        val n = docs.count()
+        math.min(4096L, math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+      }
+    val assigned = boundedClusters(
+      Similarity.ivfAssign(docs, "id", "__v",
+          Similarity.kmeansCentroids(docs, "id", "__v", k0, kmeansIters),
+          "cent_id", "cent_vec")
+        .select(col("id"), col("__v"), col("cell").cast("string").as("cell")),
+      targetClusterSize, maxSplitRounds)
     val shadows = assigned.select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
       .join(assigned.select(col("cell"), col("id").as("id_b"), col("__v").as("__vb")),
         Seq("cell"))
@@ -505,6 +538,72 @@ object Dedup {
       .join(shadows, Seq("id"), "left")
       .select(col("id"), col("cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
+  }
+
+  /** Enforce the SemDeDup per-cluster size bound on an assignment
+    * (id long, __v array&lt;float&gt;, cell string): up to `maxSplitRounds`
+    * rounds of Voronoi re-clustering of every oversized cell on
+    * evenly-spaced member seeds (ranks 0, target, 2·target, … by id — one
+    * seed per id-stratum), then a deterministic hash partition of anything
+    * that still exceeds `target` (a blob of near-identical vectors is
+    * un-splittable by ANY vector rule: every member ties to seed 0).
+    *
+    * Each round touches only oversized-cell members: one window-rank
+    * shuffle to pick seeds and one cell-key join producing
+    * Σ|cell|·ceil(|cell|/target) rows — itself within the pair bound being
+    * enforced. Everything is deterministic WITHOUT a checkpoint (seed
+    * choice by id rank; assignment ties break to the lowest seed index via
+    * lexicographic struct max), so the returned plan re-evaluates to the
+    * same clustering every time even though size collection already forced
+    * one evaluation. */
+  private def boundedClusters(
+      start: DataFrame, target: Int, maxSplitRounds: Int): DataFrame = {
+    def oversized(assigned: DataFrame): Array[(String, Long)] =
+      assigned.groupBy("cell").count()
+        .filter(col("count") > target)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+    def overDF(rows: Array[(String, Long)]): DataFrame = {
+      import start.sparkSession.implicits._
+      rows.map { case (c, n) => (c, ((n + target - 1) / target).toInt) }
+        .toSeq.toDF("cell", "__k")
+    }
+    var assigned = start
+    var round    = 0
+    var over     = oversized(assigned)
+    while (round < maxSplitRounds && over.nonEmpty) {
+      val o    = overDF(over)
+      val keep = assigned.join(broadcast(o), Seq("cell"), "left_anti")
+      val mem  = assigned.join(broadcast(o.select("cell")), Seq("cell"))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("cell").orderBy("id")) - 1)
+      val seeds = mem.filter(col("__rk") % target === 0)
+        .select(col("cell"), (col("__rk") / target).cast("int").as("__sidx"),
+          col("__v").as("__seed"))
+      val sub = mem.join(seeds, Seq("cell"))
+        .withColumn("__cand", struct(
+          graft.functions.VectorFunctions.vec_cosine(col("__v"), col("__seed"))
+            .cast("double").as("score"),
+          (-col("__sidx")).as("negidx")))
+        .groupBy("id")
+        .agg(max(col("__cand")).as("__b"),
+          first(col("cell")).as("cell"), first(col("__v")).as("__v"))
+        .select(col("id"), col("__v"),
+          concat(col("cell"), lit("/"),
+            (-col("__b").getField("negidx")).cast("string")).as("cell"))
+      assigned = keep.select("id", "__v", "cell").unionByName(sub.select("id", "__v", "cell"))
+      round += 1
+      over = oversized(assigned)
+    }
+    if (over.isEmpty) assigned
+    else {
+      val o    = overDF(over)
+      val keep = assigned.join(broadcast(o), Seq("cell"), "left_anti")
+      val split = assigned.join(broadcast(o), Seq("cell"))
+        .select(col("id"), col("__v"),
+          concat(col("cell"), lit("#"),
+            pmod(xxhash64(col("id")), col("__k")).cast("string")).as("cell"))
+      keep.select("id", "__v", "cell").unionByName(split)
+    }
   }
 
   // ---------------------------------------------------- exact n-gram jaccard

@@ -260,6 +260,83 @@ class DedupSpec extends AnyFunSuite {
     assert(res(20L) == ((false, Some(10L))))   // earliest shadow 10, not 11
     assert(res.size == 6)
   }
+
+  test("semantic dedup refuses a non-numeric id column") {
+    val df = Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f))).toDF("doc", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "doc", "embedding")
+    }
+    assert(e.getMessage.contains("numeric id"))
+  }
+
+  test("semantic dedup: skewed corpus — per-cluster pair bound holds") {
+    // the k-means skew case the 100 TB bound exists for: one dense blob of
+    // 600 near-identical vectors (pairwise cosine ~1.0, so NO vector rule
+    // can separate them — the hash fallback must) plus 200 scattered docs
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val rows =
+      (0 until 600).map(i =>
+        (i.toLong, base.map(v => v + (rnd.nextGaussian() * 1e-4).toFloat).toSeq)) ++
+      (600 until 800).map(i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val emb = rows.toDF("vec_id", "embedding")
+    val target = 50
+    val res = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        threshold = 0.99, targetClusterSize = target, maxSplitRounds = 2)
+      .localCheckpoint(true)
+    assert(res.count() == 800 && res.select("id").distinct().count() == 800)
+    val sizes = res.groupBy("cell").count().collect().map(_.getLong(1))
+    // vector splits land at <= target exactly; the hash fallback is a
+    // binomial around size/k — 2x slack covers its skew at these sizes
+    assert(sizes.max <= 2L * target, s"max cell ${sizes.max}")
+    // the Σ|cluster|² pair-join bound the split enforces
+    assert(sizes.map(s => s * s).sum <= 4L * 800L * target,
+      s"pair bound: ${sizes.map(s => s * s).sum}")
+    // greedy invariants survive splitting: every dropped doc's shadow is an
+    // EARLIER SAME-CELL doc above threshold (checked exactly, on the driver)
+    val vec  = rows.map { case (i, v) => i -> v.toArray }.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { d += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k) }
+      d / math.sqrt(na * nb)
+    }
+    val out = res.collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    out.filter(!_._3).foreach { case (id, cell, _, dupOf) =>
+      val d = dupOf.get
+      assert(d < id && cellOf(d) == cell, s"doc $id dup_of $d")
+      assert(cos(vec(id), vec(d)) >= 0.99, s"doc $id dup_of $d below threshold")
+    }
+    // blob docs are near-dups: exactly one keeper per blob-containing cell
+    val blobCells = out.filter(_._1 < 600).groupBy(_._2)
+    blobCells.foreach { case (c, docs) =>
+      assert(docs.count(_._3) == 1, s"cell $c keeps ${docs.count(_._3)} blob docs")
+    }
+  }
+
+  test("semantic dedup: a separable oversized cell splits by vectors, not hash") {
+    // nCells=1 forces everything into one oversized cell; the split round's
+    // evenly-spaced seeds (ranks 0 and 60 by id) land one in each direction
+    // group, so the Voronoi re-cluster separates them without the fallback
+    def jit(x: Double, y: Double, r: Double) = Seq((x + r).toFloat, (y + r).toFloat)
+    val rnd = new scala.util.Random(3)
+    val rows =
+      (0 until 60).map(i => (i.toLong, jit(1.0, 0.0, rnd.nextGaussian() * 0.01))) ++
+      (60 until 120).map(i => (i.toLong, jit(0.0, 1.0, rnd.nextGaussian() * 0.01)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val res = Dedup.semanticDedup(emb, "vec_id", "embedding", threshold = 0.999,
+        nCells = 1, kmeansIters = 0, targetClusterSize = 60, maxSplitRounds = 2)
+      .collect()
+    val cells = res.map(_.getString(1)).distinct.sorted
+    assert(cells.length == 2 && cells.forall(c => c.contains("/") && !c.contains("#")),
+      cells.mkString(","))
+    // the two direction groups landed in different cells
+    val byCell = res.groupBy(_.getString(1)).map { case (c, rs) => c -> rs.map(_.getLong(0)).toSet }
+    assert(byCell.values.toSet == Set((0L until 60L).toSet, (60L until 120L).toSet))
+  }
 }
 
 class RobustnessSpec extends AnyFunSuite {

@@ -307,4 +307,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // the calendar expression stays native (no UDF fallback)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2500))
   }
+
+  test("semdedup: cell assignment stays in-scan, no cartesian anywhere") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.operators.Dedup
+      .semanticDedup(emb, "vec_id", "embedding", threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    // assignment is the collected-centroid argmax expression inside the
+    // scan — never a centroid join or corpus-wide window
+    assert(p.toLowerCase.contains("nearestcells"), p.take(2500))
+    // the quadratic stage is an equality join on the cluster key only
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
 }
