@@ -25,7 +25,20 @@ object Bench {
     // r8 additions: CF decode (fixture-scale), semantic dedup (embeddings
     // scale incl. its in-plan property verification), gopher rules (full
     // corpus scan of integer-exact gates)
-    "load_netcdf_cf", "pipeline_semdedup", "text_gopher_rules")
+    "load_netcdf_cf", "pipeline_semdedup", "text_gopher_rules",
+    // r9: the minhash-LSH PIPELINE in isolation — the registered
+    // dedup_minhash_lsh row deliberately includes its in-plan ground-truth
+    // verification (SURVEY §9), which would hide a sketch-pipeline
+    // regression inside verification noise; this row makes one attributable
+    "dedup_minhash_lsh_pipeline")
+
+  /** Bench-only rows (NOT registered gate queries — correctness for these
+    * paths is carried by the gate rows that wrap them in verification). */
+  val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "dedup_minhash_lsh_pipeline" -> ((s, dir) =>
+      graft.operators.Dedup.minhashLsh(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
+        shingleWords = 3, bands = 32, rowsPerBand = 4, threshold = 0.5)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -113,9 +126,10 @@ object Bench {
       SparkEntry.ensureCsvFixture(spark, sfDir)
     }
     val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    val runnable = SparkEntry.queries ++ extras
     val names =
-      if (all) SparkEntry.queries.keys.toSeq
-      else headline.filter(SparkEntry.queries.contains)
+      if (all) SparkEntry.queries.keys.toSeq ++ extras.keys
+      else headline.filter(runnable.contains)
     // explicit locale: f"" uses the JVM default — a comma-decimal locale
     // (de_DE etc.) would emit 0,123 and break the harness's JSON parse
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -158,7 +172,7 @@ object Bench {
       // rows instead executes the query exactly as written — every
       // output column evaluated, sorts kept — without paying a
       // driver-side collect/deserialize that a cluster sink wouldn't.
-      try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
+      try { runnable(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ()) }
       catch { case e: Throwable =>
         val tag = s"$name: ${e.getClass.getSimpleName}"
         if (!errors.contains(tag)) errors += tag
