@@ -812,33 +812,85 @@ object Dedup {
 
   /** Exact-dedup index of a standing corpus: the distinct corpus texts
     * (the anti-join side — kept so the result stays EXACT, not
-    * hash-probabilistic) plus the serialized Bloom filter over their
-    * xxhash64s. Build once per corpus state; persist `texts` as parquet
-    * and the filter bytes alongside. */
-  final case class ExactIndex(texts: DataFrame, bloom: Array[Byte])
+    * hash-probabilistic) plus HASH-SHARDED Bloom filters over their
+    * xxhash64s — shard `pmod(h, nShards)` holds hash `h`, and every
+    * filter is independently below the broadcast-safe literal bound.
+    * One monolithic filter does not survive corpus growth: at 10^10
+    * distinct texts and fpp 0.01 it is ~11 GB (9.6 bits/item), past any
+    * literal/broadcast limit, while 64 MB shards stay individually
+    * embeddable. Build once per corpus state; persist `texts` as parquet
+    * and each shard blob alongside (`bloom_<i>.bin`, index = shard id).
+    *
+    * The probe plan carries one literal per shard; if the INDEX TOTAL
+    * (n × 1.2 B at fpp 0.01) outgrows plan-size comfort, raise `fpp` —
+    * the filter only prunes the anti-join, so a higher fpp costs join
+    * traffic, never correctness. */
+  final case class ExactIndex(texts: DataFrame, blooms: IndexedSeq[Array[Byte]])
 
-  /** One corpus scan → [[ExactIndex]]. */
+  /** One corpus scan → [[ExactIndex]]. `maxFilterBytes` bounds each
+    * shard's serialized size; the shard count derives from the distinct
+    * count (`ceil(n · bits(fpp) / 8 / maxFilterBytes)`), so small corpora
+    * build exactly one filter and the artifact only fans out when a
+    * single filter would breach the bound. The per-shard build is ONE
+    * pass + one 8-byte/row shuffle: hashes group by shard and each group
+    * streams through a single in-memory filter. */
   def buildExactIndex(corpus: DataFrame, textCol: String,
-                      fpp: Double = 0.01): ExactIndex = {
+                      fpp: Double = 0.01,
+                      maxFilterBytes: Long = 64L << 20): ExactIndex = {
     val texts = corpus.select(col(textCol)).distinct()
     val hashes = texts.select(xxhash64(col(textCol)).as("h"))
     val n = math.max(1L, hashes.count())
-    val bloom = hashes.stat.bloomFilter("h", n, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    ExactIndex(texts, bos.toByteArray)
+    // optimal filter size: n · ln(1/fpp)/ln²2 bits (~9.6 bits/item at 0.01)
+    val bitsPerItem = -math.log(fpp) / (math.log(2) * math.log(2))
+    val totalBytes  = (n * bitsPerItem / 8).toLong + 1
+    val nShards     = math.max(1L, (totalBytes + maxFilterBytes - 1) / maxFilterBytes).toInt
+    val perShard    = math.max(1L, n / nShards + 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val built: Map[Int, Array[Byte]] = hashes
+      .select(pmod(col("h"), lit(nShards.toLong)).cast("int").as("s"), col("h"))
+      .as[(Int, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (s, it) =>
+        val f = org.apache.spark.util.sketch.BloomFilter.create(perShard, fpp)
+        it.foreach { case (_, h) => f.putLong(h) }
+        val bos = new java.io.ByteArrayOutputStream()
+        f.writeTo(bos)
+        (s, bos.toByteArray)
+      }
+      .collect().toMap
+    // a shard with no corpus texts still needs a (trivially empty) filter
+    // so probe selection stays total over pmod values
+    val empty = {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(1, fpp).writeTo(bos)
+      bos.toByteArray
+    }
+    val blooms = (0 until nShards).map(i => built.getOrElse(i, empty))
+    blooms.zipWithIndex.foreach { case (b, i) =>
+      require(b.length <= maxFilterBytes + 4096,
+        s"buildExactIndex: shard $i serialized to ${b.length} B > bound $maxFilterBytes") }
+    ExactIndex(texts, blooms)
   }
 
   /** [[incrementalExact]] against a precomputed [[ExactIndex]]: identical
-    * output, corpus scanned zero times per batch. */
+    * output, corpus scanned zero times per batch. The probe selects the
+    * row's shard by the same `pmod(xxhash64, nShards)` the build used and
+    * tests only that shard's filter. */
   def incrementalExactWithIndex(batch: DataFrame, index: ExactIndex,
                                 textCol: String): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    val mightContain = GraftColumnBridge.column(
+    require(index.blooms.nonEmpty, "incrementalExactWithIndex: index has no filter shards")
+    val h = xxhash64(col(textCol))
+    def mightContain(bytes: Array[Byte]) = GraftColumnBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        GraftColumnBridge.expression(lit(index.bloom)),
-        GraftColumnBridge.expression(xxhash64(col(textCol)))))
-    val flagged = batch.withColumn("__maybe", mightContain)
+        GraftColumnBridge.expression(lit(bytes)),
+        GraftColumnBridge.expression(h)))
+    val shard = pmod(h, lit(index.blooms.length.toLong)).cast("int")
+    val probed = index.blooms.zipWithIndex
+      .map { case (bytes, i) => (shard === i) && mightContain(bytes) }
+      .reduce(_ || _)
+    val flagged = batch.withColumn("__maybe", probed)
     val fresh   = flagged.filter(!coalesce(col("__maybe"), lit(false))).drop("__maybe")
     val confirmed = flagged.filter(coalesce(col("__maybe"), lit(false)))
       .join(index.texts, Seq(textCol), "left_anti")

@@ -64,12 +64,15 @@ class DedupIndexSpec extends AnyFunSuite {
     val corpus = docs.filter(col("doc_id") < 250)
     val batch  = docs.filter(col("doc_id") >= 250)
     val built = Dedup.buildExactIndex(corpus, "text")
+    assert(built.blooms.length == 1, "small corpus should build a single shard")
     // round-trip both artifact halves the way a real loop persists them
     built.texts.write.parquet(s"$tmp/texts.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/bloom.bin"), built.bloom)
+    built.blooms.zipWithIndex.foreach { case (b, i) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/bloom_$i.bin"), b) }
     val reloaded = Dedup.ExactIndex(
       spark.read.parquet(s"$tmp/texts.parquet"),
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/bloom.bin")))
+      built.blooms.indices.map(i =>
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$tmp/bloom_$i.bin"))))
 
     val viaIndex = Dedup.incrementalExactWithIndex(batch, reloaded, "text")
       .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -77,5 +80,26 @@ class DedupIndexSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaIndex == recompute)
     assert(viaIndex.nonEmpty)
+  }
+
+  test("exact index shards by hash when one filter would breach the size bound") {
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch  = docs.filter(col("doc_id") >= 250)
+    // force fan-out: a bound small enough that the fixture corpus needs
+    // several filters (the real default is 64 MB; at 10^10 distinct texts
+    // and fpp 0.01 the monolith would be ~11 GB — the case the shards fix)
+    val bound = 64L
+    val sharded = Dedup.buildExactIndex(corpus, "text", fpp = 0.01,
+      maxFilterBytes = bound)
+    assert(sharded.blooms.length > 1, s"expected fan-out, got ${sharded.blooms.length}")
+    sharded.blooms.foreach(b => assert(b.length <= bound + 4096))
+    // sharding must not change the output: the probe routes by the same
+    // pmod the build used, and the anti-join keeps exactness regardless
+    val viaSharded = Dedup.incrementalExactWithIndex(batch, sharded, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val recompute = Dedup.incrementalExact(batch, corpus, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaSharded == recompute)
+    assert(viaSharded.nonEmpty)
   }
 }
