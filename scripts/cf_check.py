@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Independent validator for the CF decode layer: parses the CDF-1
-fixture (/tmp/graft_cf_fixture_v2.nc, written by graft.harness.Nc3CfFixture
+fixture (/tmp/graft_cf_fixture_v3.nc, written by graft.harness.Nc3CfFixture
 via SparkEntry.ensureCfFixture) with its own netCDF classic reader,
 applies CF mask/scale/time decoding in plain python (datetime
 arithmetic, not Spark and not DuckDB), and compares every row against
@@ -44,6 +44,9 @@ def parse_cdf1(path):
             if t == 2:
                 v = b[pos[0]:pos[0] + ne].decode('latin-1')
                 pos[0] += (ne + 3) // 4 * 4
+            elif t == 1:
+                v = list(struct.unpack_from('>%db' % ne, b, pos[0]))
+                pos[0] += (ne + 3) // 4 * 4
             elif t == 3:
                 v = list(struct.unpack_from('>%dh' % ne, b, pos[0]))
                 pos[0] += (2 * ne + 3) // 4 * 4
@@ -82,9 +85,9 @@ def parse_cdf1(path):
         count = 1
         for s in shape:
             count *= s
-        fmt = {3: 'h', 4: 'i', 5: 'f', 6: 'd'}[t]
+        fmt = {1: 'b', 3: 'h', 4: 'i', 5: 'f', 6: 'd'}[t]
         vals = list(struct.unpack_from('>%d%s' % (count, fmt), b, begin))
-        out[nm] = (shape, va, vals)
+        out[nm] = (shape, va, vals, t)
     return gatts, out
 
 
@@ -122,6 +125,38 @@ def fixed_cal_date(epoch_ymdhms, offset_seconds, cal):
         year, m + 1, doy + 1, sec // 3600, sec // 60 % 60, sec % 60)
 
 
+JULIAN_CAL = ('julian', 'proleptic_julian')
+
+
+def julian_cal_date(epoch_ymdhms, offset_seconds):
+    """Julian-calendar arithmetic (leap every 4th year, no century rule).
+    Deliberately a DIFFERENT algorithm from the engine kernel: year-by-year
+    stepping instead of 1461-day cycle decomposition."""
+    def leap(y):
+        return y % 4 == 0
+
+    def mlen(y):
+        return [31, 29 if leap(y) else 28, 31, 30, 31, 30,
+                31, 31, 30, 31, 30, 31]
+    ey, em, ed, eh, emi, es = epoch_ymdhms
+    days0 = sum(366 if leap(y) else 365 for y in range(ey))
+    days0 += sum(mlen(ey)[:em - 1]) + (ed - 1)
+    micros = (days0 * 86400 + eh * 3600 + emi * 60) * 10**6 \
+        + round(es * 10**6) + round(offset_seconds * 10**6)
+    days, day_us = divmod(micros, 86400 * 10**6)
+    year = 0
+    while days >= (366 if leap(year) else 365):
+        days -= 366 if leap(year) else 365
+        year += 1
+    m, ml = 0, mlen(year)
+    while days >= ml[m]:
+        days -= ml[m]
+        m += 1
+    sec = day_us // 10**6
+    return '%04d-%02d-%02d %02d:%02d:%02d' % (
+        year, m + 1, days + 1, sec // 3600, sec // 60 % 60, sec % 60)
+
+
 def parse_epoch(ds):
     for fmt in ('%Y-%m-%d %H:%M:%S', '%Y-%m-%d'):
         try:
@@ -132,14 +167,22 @@ def parse_epoch(ds):
     raise AssertionError('unparsed epoch %r' % ds)
 
 
-def cf_decode(shape, va, vals):
+def cf_decode(shape, va, vals, nctype):
     """-> list of (coord_key, value_or_None, time_str_or_None)."""
     scale = va.get('scale_factor', [1.0])[0] if 'scale_factor' in va else 1.0
     offset = va.get('add_offset', [0.0])[0] if 'add_offset' in va else 0.0
+    # netCDF-3 _Unsigned: reinterpret signed stored ints (and the fill
+    # attrs, identically) as unsigned BEFORE mask/unpack
+    unsigned = isinstance(va.get('_Unsigned'), str) \
+        and va['_Unsigned'].lower() == 'true'
+    span = {1: 2**8, 3: 2**16, 4: 2**32}.get(nctype)
+
+    def reinterp(x):
+        return x + span if unsigned and span and x < 0 else x
     fills = []
     for k in ('_FillValue', 'missing_value'):
         if k in va and not isinstance(va[k], str):
-            fills.append(float(va[k][0]))
+            fills.append(float(reinterp(va[k][0])))
     units = va.get('units')
     epoch = unit_sec = cal = None
     if isinstance(units, str) and ' since ' in units:
@@ -148,7 +191,7 @@ def cf_decode(shape, va, vals):
         epoch = parse_epoch(rest.strip())
         cal = va.get('calendar', 'standard')
         assert cal in ('standard', 'gregorian', 'proleptic_gregorian') \
-            or cal in FIXED_CAL, cal
+            or cal in FIXED_CAL or cal in JULIAN_CAL, cal
     rows = []
     for flat, raw in enumerate(vals):
         coords, rem = [], flat
@@ -156,15 +199,18 @@ def cf_decode(shape, va, vals):
             coords.append(rem % s)
             rem //= s
         key = '.'.join(str(c) for c in reversed(coords))
-        if any(float(raw) == f or (math.isnan(f) and math.isnan(float(raw)))
+        rawr = float(reinterp(raw))
+        if any(rawr == f or (math.isnan(f) and math.isnan(rawr))
                for f in fills):
             rows.append((key, None, None))
             continue
-        v = float(raw) * scale + offset
+        v = rawr * scale + offset
         ts = None
         if epoch is not None:
             if cal in FIXED_CAL:
                 ts = fixed_cal_date(epoch, v * unit_sec, cal)
+            elif cal in JULIAN_CAL:
+                ts = julian_cal_date(epoch, v * unit_sec)
             else:
                 ey, em, ed, eh, emi, es = epoch
                 base = datetime.datetime(ey, em, ed, eh, emi, int(es))
@@ -178,8 +224,8 @@ def main(fixture, dumped):
     import pandas as pd
     _, nc_vars = parse_cdf1(fixture)
     expect = {}
-    for nm, (shape, va, vals) in nc_vars.items():
-        for key, v, ts in cf_decode(shape, va, vals):
+    for nm, (shape, va, vals, nctype) in nc_vars.items():
+        for key, v, ts in cf_decode(shape, va, vals, nctype):
             expect[(nm, key)] = (v, ts)
 
     files = glob.glob(dumped + '/*.parquet')
@@ -198,5 +244,5 @@ def main(fixture, dumped):
 
 
 if __name__ == '__main__':
-    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_cf_fixture_v2.nc',
+    main(sys.argv[1] if len(sys.argv) > 1 else '/tmp/graft_cf_fixture_v3.nc',
          sys.argv[2] if len(sys.argv) > 2 else '/tmp/r8cf/load_netcdf_cf')

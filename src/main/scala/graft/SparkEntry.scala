@@ -455,7 +455,9 @@ object SparkEntry {
     * (see [[graft.harness.Nc3CfFixture]]). Pure function of closed-form
     * formulas, so rewriting on a missing file is always safe. */
   def ensureCfFixture(): String = {
-    val out = Paths.get("/tmp/graft_cf_fixture_v2.nc")
+    // v3: adds the _Unsigned byte variable (pb) and the julian time axis
+    // (tjul) — pre-r9 cached bytes must not be reused
+    val out = Paths.get("/tmp/graft_cf_fixture_v3.nc")
     this.synchronized {
       if (!Files.exists(out)) {
         val tmp = Files.createTempFile(out.getParent, "graft_cf_", ".tmp")
@@ -1195,12 +1197,15 @@ object SparkEntry {
       // reference relies on, source.py:70-137): a hand-encoded CDF-1
       // fixture with a packed int16 variable (scale/offset/_FillValue), a
       // float variable with missing_value, a standard-calendar time axis,
-      // and two FIXED-calendar axes (noleap across a Gregorian leap year,
+      // two FIXED-calendar axes (noleap across a Gregorian leap year,
       // 360_day) that decode to calendar-date strings — the cftime
-      // analogue. The oracle re-applies the identical arithmetic in
+      // analogue — plus an _Unsigned byte variable (stored -1 must decode
+      // as 255 and a stored-negative fill must still mask) and a JULIAN
+      // time axis whose day 59 is 1900-02-29, a date gregorian arithmetic
+      // cannot produce. The oracle re-applies the identical arithmetic in
       // DuckDB from the closed-form raw values (harness.Nc3CfFixture),
-      // including an independent SQL implementation of the fixed-month
-      // calendar math.
+      // including independent SQL implementations of the fixed-month and
+      // julian calendar math.
       val nc = ensureCfFixture()
       graft.catalog.EsmDataSource("cf", Nil, "path", None, Nil,
           storageOptions = Map("graft.kerchunk.decode" -> "cf"))
@@ -2800,10 +2805,42 @@ object SparkEntry {
         |  SELECT 't360', CAST(i AS VARCHAR), CAST(v AS DOUBLE),
         |         printf('%04d-%02d-%02d 00:00:00',
         |                (360 + v) // 360, (360 + v) % 360 // 30 + 1, (360 + v) % 360 % 30 + 1)
-        |  FROM (VALUES (0, 29), (1, 30), (2, 359), (3, 719)) t(i, v))
+        |  FROM (VALUES (0, 29), (1, 30), (2, 359), (3, 719)) t(i, v)),
+        |pb AS (
+        |  -- _Unsigned byte: reinterpret raw AND fill (< 0 -> +256) before
+        |  -- masking, then unpack; fill byte -106 reinterprets to 150
+        |  SELECT 'pb', CAST(i AS VARCHAR),
+        |         CASE WHEN (CASE WHEN raw < 0 THEN raw + 256 ELSE raw END)
+        |                 = (CASE WHEN -106 < 0 THEN -106 + 256 ELSE -106 END) THEN NULL
+        |              ELSE CAST((CASE WHEN raw < 0 THEN raw + 256 ELSE raw END) AS DOUBLE)
+        |                   * CAST(2.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) END,
+        |         CAST(NULL AS VARCHAR)
+        |  FROM (VALUES (0, -1), (1, 100), (2, -106)) t(i, raw)),
+        |jul_months(m, cuml, lenl, cumn, lenn) AS (VALUES
+        |  (1,0,31,0,31),(2,31,29,31,28),(3,60,31,59,31),(4,91,30,90,30),
+        |  (5,121,31,120,31),(6,152,30,151,30),(7,182,31,181,31),(8,213,31,212,31),
+        |  (9,244,30,243,30),(10,274,31,273,31),(11,305,30,304,30),(12,335,31,334,31)),
+        |tjul AS (
+        |  -- julian: leap every 4th year, no century exception; 1461-day
+        |  -- cycles from year 0, in-cycle year 0 leap (1900-02-29 exists)
+        |  SELECT 'tjul', CAST(b.i AS VARCHAR), CAST(b.v AS DOUBLE),
+        |         printf('%04d-%02d-%02d 00:00:00', b.y, mm.m,
+        |                b.doy - (CASE WHEN b.leap THEN mm.cuml ELSE mm.cumn END) + 1)
+        |  FROM (
+        |    SELECT i, v,
+        |           (d // 1461) * 4 + CASE WHEN r < 366 THEN 0 ELSE (r - 366) // 365 + 1 END AS y,
+        |           CASE WHEN r < 366 THEN r ELSE (r - 366) % 365 END AS doy,
+        |           r < 366 AS leap
+        |    FROM (SELECT i, v, 1900*365 + (1900+3)//4 + v AS d,
+        |                 (1900*365 + (1900+3)//4 + v) % 1461 AS r
+        |          FROM (VALUES (0, 58), (1, 59), (2, 60), (3, 1460)) t(i, v))) b
+        |  JOIN jul_months mm
+        |    ON (b.leap AND b.doy >= mm.cuml AND b.doy < mm.cuml + mm.lenl)
+        |    OR (NOT b.leap AND b.doy >= mm.cumn AND b.doy < mm.cumn + mm.lenn))
         |SELECT * FROM (SELECT * FROM tv UNION ALL SELECT * FROM lv
         |               UNION ALL SELECT * FROM tas UNION ALL SELECT * FROM rh
-        |               UNION ALL SELECT * FROM tnl UNION ALL SELECT * FROM t360)
+        |               UNION ALL SELECT * FROM tnl UNION ALL SELECT * FROM t360
+        |               UNION ALL SELECT * FROM pb UNION ALL SELECT * FROM tjul)
         |ORDER BY variable, coord_key""".stripMargin,
 
     "load_netcdf4" ->

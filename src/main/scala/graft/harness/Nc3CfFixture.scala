@@ -19,7 +19,18 @@ package graft.harness
   *    Feb 29), the decisive noleap-vs-gregorian case;
   *  - `t360(tfix)` int32 [29, 30, 359, 719], units
   *    "days since 0001-01-01", calendar "360_day" — 30-day months, so
-  *    day 30 is Feb 1 and day 359 is Dec 30 (the year's last day).
+  *    day 30 is Feb 1 and day 359 is Dec 30 (the year's last day);
+  *  - `pb(lat=3)` BYTE with `_Unsigned="true"`, scale_factor=2.0,
+  *    add_offset=1.0, _FillValue=-106: raw [-1, 100, -106] — the stored
+  *    -1 must reinterpret to 255 (→ 511.0 unpacked) and the stored -106
+  *    must match the equally-reinterpreted fill (150) → null. Without
+  *    the reinterpretation -1 unpacks to -1.0: sign-decisive;
+  *  - `tjul(tfix)` int32 [58, 59, 60, 1460], units
+  *    "Days since 1900-01-01" (capitalized — the units regex must be
+  *    case-insensitive end to end), calendar "julian" — 1900 IS a julian
+  *    leap year, so day 59 is 1900-02-29 (a date that does not exist in
+  *    gregorian) and day 1460 crosses three year boundaries to
+  *    1903-12-31.
   *
   * All values are closed-form so both the DuckDB oracle and the
   * independent python validator (scripts/cf_check.py) re-derive them. */
@@ -46,6 +57,7 @@ object Nc3CfFixture {
 
   private sealed trait AttVal
   private final case class AStr(s: String) extends AttVal
+  private final case class AByte(vs: Seq[Int]) extends AttVal
   private final case class AShort(vs: Seq[Int]) extends AttVal
   private final case class AInt(vs: Seq[Int]) extends AttVal
   private final case class AFloat(vs: Seq[Float]) extends AttVal
@@ -61,6 +73,7 @@ object Nc3CfFixture {
           case AStr(x) =>
             val b = x.getBytes("ISO-8859-1")
             s.i32(2); s.i32(b.length); s.bytes(b); s.pad4()
+          case AByte(vs)   => s.i32(1); s.i32(vs.length); vs.foreach(s.u8); s.pad4()
           case AShort(vs)  => s.i32(3); s.i32(vs.length); vs.foreach(s.i16); s.pad4()
           case AInt(vs)    => s.i32(4); s.i32(vs.length); vs.foreach(s.i32)
           case AFloat(vs)  => s.i32(5); s.i32(vs.length); vs.foreach(s.f32)
@@ -81,11 +94,13 @@ object Nc3CfFixture {
   def rhRaw(t: Int, l: Int): Float = if (t == 2 && l == 0) 1e20f else t + l * 0.5f
   val tnlRaw: Seq[Int] = Seq(58, 59, 60, 364)
   val t360Raw: Seq[Int] = Seq(29, 30, 359, 719)
+  val pbRaw: Seq[Int] = Seq(-1, 100, -106)
+  val tjulRaw: Seq[Int] = Seq(58, 59, 60, 1460)
 
   def bytes(): Array[Byte] = {
     val dims = Seq(("time", 4), ("lat", 3), ("tfix", 4))
     def typeSize(t: Int): Int = t match {
-      case 3 => 2; case 4 => 4; case 5 => 4; case 6 => 8
+      case 1 => 1; case 3 => 2; case 4 => 4; case 5 => 4; case 6 => 8
       case other => throw new IllegalArgumentException(s"fixture nc_type $other")
     }
     val vars = Seq(
@@ -114,6 +129,17 @@ object Nc3CfFixture {
         Seq("units" -> AStr("days since 0001-01-01"),
             "calendar" -> AStr("360_day")),
         s => t360Raw.foreach(s.i32)),
+      V("pb", Seq(1), 1,
+        Seq("_Unsigned" -> AStr("true"),
+            "scale_factor" -> ADouble(Seq(2.0)),
+            "add_offset" -> ADouble(Seq(1.0)),
+            "_FillValue" -> AByte(Seq(-106)),
+            "units" -> AStr("percent")),
+        s => pbRaw.foreach(s.u8)),
+      V("tjul", Seq(2), 4,
+        Seq("units" -> AStr("Days since 1900-01-01"),
+            "calendar" -> AStr("julian")),
+        s => tjulRaw.foreach(s.i32)),
     )
     def slabBytes(v: V): Int =
       v.dimids.map(d => dims(d)._2).product * typeSize(v.ncType)

@@ -33,20 +33,25 @@ import org.apache.spark.sql.functions._
   *    timestamp can represent, so they fill the `time_cal` STRING column
   *    instead (`yyyy-MM-dd HH:mm:ss` computed with the calendar's own
   *    fixed-month integer arithmetic — the relational analogue of
-  *    xarray's cftime objects). Any OTHER calendar (`julian`,
-  *    `proleptic_julian`, custom) REFUSES loudly rather than silently
-  *    shifting every date. A time-like units string whose unit word or
-  *    epoch fails to parse also refuses loudly.
+  *    xarray's cftime objects), and so do the julian-family calendars
+  *    (`julian`/`proleptic_julian`: leap every 4th year with NO century
+  *    exception, so 1900-02-29 exists). Any OTHER calendar REFUSES
+  *    loudly rather than silently shifting every date. A time-like units
+  *    string whose unit word or epoch fails to parse also refuses loudly;
+  *  - the netCDF-3 `_Unsigned` convention reinterprets signed stored
+  *    integers as unsigned (and the symmetric `"false"` direction)
+  *    BEFORE masking/unpacking, with the fill/missing attrs
+  *    reinterpreted identically — xarray's UnsignedIntegerCoder.
   *
   * Out of scope (documented, refuse-or-ignore): `valid_range`/`valid_min`/
-  * `valid_max` masking and the netCDF-3 `_Unsigned` trick are ignored
-  * (attrs pass through untouched); julian-family calendars refuse.
+  * `valid_max` masking is ignored (attrs pass through untouched).
   */
 object CfDecode {
 
   /** CF decode attributes per variable from the `.zattrs` plane:
     * (variable, cf_scale, cf_offset, cf_fill, cf_missing, cf_units,
-    * cf_calendar). One tiny row per variable — always broadcast. */
+    * cf_calendar, cf_unsigned). One tiny row per variable — always
+    * broadcast. */
   def cfAttrs(entries: DataFrame): DataFrame =
     entries.filter(col("member") === ".zattrs" && col("variable") =!= "")
       .select(
@@ -56,9 +61,14 @@ object CfDecode {
         get_json_object(col("inline_value"), "$._FillValue").cast("double").as("cf_fill"),
         get_json_object(col("inline_value"), "$.missing_value").cast("double").as("cf_missing"),
         get_json_object(col("inline_value"), "$.units").as("cf_units"),
-        get_json_object(col("inline_value"), "$.calendar").as("cf_calendar"))
+        get_json_object(col("inline_value"), "$.calendar").as("cf_calendar"),
+        get_json_object(col("inline_value"), "$._Unsigned").as("cf_unsigned"))
 
-  private val unitsRe = "^\\s*([A-Za-z]+)\\s+since\\s+(.+?)\\s*$"
+  // (?i): CF writers capitalize freely ("Days Since 2000-1-1"); the
+  // time-like detector below is already case-insensitive, and the two
+  // regexes MUST agree or a capitalized 'Since' detects as time-like yet
+  // fails extraction and trips the unparseable-units refusal
+  private val unitsRe = "(?i)^\\s*([A-Za-z]+)\\s+since\\s+(.+?)\\s*$"
   private val epochRe =
     "^(\\d{1,4})-(\\d{1,2})-(\\d{1,2})(?:[ T](\\d{1,2}):(\\d{1,2})(?::(\\d{1,2}(?:[.]\\d+)?))?)?(?:\\s*(?:Z|UTC))?$"
 
@@ -73,6 +83,12 @@ object CfDecode {
 
   private val standardCals = Seq("standard", "gregorian", "proleptic_gregorian")
   private val fixedCals = Seq("noleap", "365_day", "all_leap", "366_day", "360_day")
+  // julian-family dates (leap every 4th year, NO century exception — so
+  // 1900-02-29 exists) drift vs the instant timeline, so like the fixed
+  // calendars they decode to `time_cal` strings via CfCalendarDate's
+  // integer arithmetic; cftime's 'julian' is already proleptic, so both
+  // spellings share the rule
+  private val julianCals = Seq("julian", "proleptic_julian")
 
   /** [[KerchunkIndex.decodeCoords]] plus CF decode: `value` becomes the
     * masked + unpacked double; `time` (timestamp) is non-null exactly for
@@ -81,9 +97,31 @@ object CfDecode {
     * (variable, chunk, idx, value, time, time_cal, dims, coords). */
   def decodeCf(chunks: DataFrame, meta: DataFrame, dims: DataFrame,
                cf: DataFrame): DataFrame = {
-    val raw = col("value")
+    // netCDF-3 `_Unsigned` convention (xarray's UnsignedIntegerCoder,
+    // applied BEFORE mask/unpack): a signed stored integer flagged
+    // `_Unsigned = "true"` reinterprets raw < 0 as raw + 2^bits, bits from
+    // the `.zarray` dtype width. The fill/missing attrs reinterpret
+    // IDENTICALLY — a fill stored as byte -1 must keep matching data
+    // stored as -1 (now both 255), and a fill written as 255 must match
+    // too; comparing mixed signs silently masks nothing. The symmetric
+    // `_Unsigned = "false"` on an unsigned stored dtype (an OPeNDAP quirk
+    // xarray also honors) narrows raw >= 2^(bits-1) by -2^bits. i8/u8
+    // widths lose sub-ulp precision in the double value plane — inherent,
+    // the whole decode plane is double.
+    val dkind  = regexp_extract(col("dtype"), "([iu])([1248])$", 1)
+    val span   = pow(lit(2.0), regexp_extract(col("dtype"), "([iu])([1248])$", 2)
+      .cast("int") * 8)
+    val toUnsigned = lower(col("cf_unsigned")) === "true"  && dkind === "i"
+    val toSigned   = lower(col("cf_unsigned")) === "false" && dkind === "u"
+    def reinterp(c: Column): Column =
+      when(toUnsigned && c < 0, c + span)
+        .when(toSigned && c >= span / 2, c - span)
+        .otherwise(c)
+    val raw = reinterp(col("value"))
+    val fill    = reinterp(col("cf_fill"))
+    val missing = reinterp(col("cf_missing"))
     val fillHit =
-      (raw === col("cf_fill")) || (raw === col("cf_missing")) ||
+      (raw === fill) || (raw === missing) ||
         (isnan(col("cf_fill")) && isnan(raw)) || (isnan(col("cf_missing")) && isnan(raw))
     val unpacked = (raw * coalesce(col("cf_scale"), lit(1.0)) +
       coalesce(col("cf_offset"), lit(0.0)))
@@ -104,7 +142,7 @@ object CfDecode {
       coalesce(nullif(g(6), lit("")), lit("0")).cast("decimal(16,6)"))
     val cal = coalesce(lower(col("cf_calendar")), lit("standard"))
     val calStandard = cal.isin(standardCals: _*)
-    val calFixed = cal.isin(fixedCals: _*)
+    val calFixed = cal.isin((fixedCals ++ julianCals): _*)
     // epoch seconds as double (timestamp→double cast is seconds.fraction);
     // microsecond-exact for any realistic coordinate magnitude
     val timeVal = (epochTs.cast("double") + decoded * unitSec).cast("timestamp")
@@ -116,6 +154,9 @@ object CfDecode {
 
     KerchunkIndex.decodeCoords(chunks, meta, dims)
       .join(broadcast(cf), Seq("variable"), "left")
+      // dtype rides along for the _Unsigned width; one more tiny
+      // broadcast, dropped again by the final select
+      .join(broadcast(meta.select(col("variable"), col("dtype"))), Seq("variable"), "left")
       // loud refusals, evaluated per row inside the scan stage: a decode
       // that silently shifted every date (unknown calendar) or left a
       // time axis raw (unparseable unit/epoch) would be worse than failing
@@ -123,8 +164,8 @@ object CfDecode {
         concat(lit("CF variable '"), col("variable"), lit("' has calendar '"),
           col("cf_calendar"),
           lit("' — standard/gregorian/proleptic_gregorian decode to timestamps, " +
-            "noleap/365_day/all_leap/366_day/360_day to calendar-date strings; " +
-            "anything else refuses"))),
+            "noleap/365_day/all_leap/366_day/360_day/julian/proleptic_julian " +
+            "to calendar-date strings; anything else refuses"))),
         lit(true)))
       .filter(coalesce(assert_true(!timeLike || (unitSec.isNotNull && epochOk),
         concat(lit("CF variable '"), col("variable"), lit("' time units '"),
@@ -140,14 +181,15 @@ object CfDecode {
   }
 }
 
-/** Calendar-date formatting for the CF FIXED calendars (noleap/365_day,
-  * all_leap/366_day, 360_day): `epochStr` (the CF `<datetime>` tail),
-  * plus `offsetSeconds` since that epoch, to `yyyy-MM-dd HH:mm:ss` — the
-  * calendar's own fixed-month integer arithmetic, exact to the
-  * microsecond. The relational analogue of xarray's cftime objects for
-  * the calendars every fixed-calendar climate model uses. Evaluates to
-  * null for null offsets; throws on a calendar outside the fixed family
-  * (callers gate standard calendars to the timestamp path). */
+/** Calendar-date formatting for the CF NON-INSTANT calendars — the fixed
+  * family (noleap/365_day, all_leap/366_day, 360_day) and the julian
+  * family (julian/proleptic_julian, leap every 4th year with no century
+  * exception): `epochStr` (the CF `<datetime>` tail), plus
+  * `offsetSeconds` since that epoch, to `yyyy-MM-dd HH:mm:ss` — each
+  * calendar's own integer arithmetic, exact to the microsecond. The
+  * relational analogue of xarray's cftime objects. Evaluates to null for
+  * null offsets; throws on any other calendar (callers gate standard
+  * calendars to the timestamp path). */
 case class CfCalendarDate(epochStr: org.apache.spark.sql.catalyst.expressions.Expression,
                           offsetSeconds: org.apache.spark.sql.catalyst.expressions.Expression,
                           calendar: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -203,11 +245,21 @@ object CfCalendarDate {
       s"cf_calendar_date: calendar '$other' is not a fixed CF calendar")
   }
 
+  private def isJulian(calendar: String): Boolean =
+    calendar == "julian" || calendar == "proleptic_julian"
+  // julian leap rule: every 4th year, NO century exception (1900-02-29
+  // exists); cftime's 'julian' is already proleptic, so both spellings
+  // share it. Year 0 is leap, so every 1461-day cycle from the year-0
+  // origin starts with its leap year.
+  private def julianMonths(year: Long): Array[Int] =
+    if (year % 4 == 0) leapMonths else noleapMonths
+
   /** Static kernel, shared by interpreted and generated code. Exact in
     * MICROSECONDS: the fractional offset converts once to a rounded long
     * so repeated float error cannot shift a date across a boundary. */
   def format(epochStr: String, offsetSeconds: Double, calendar: String): String = {
-    val (months, yearDays) = monthsOf(calendar)
+    val julian = isJulian(calendar)
+    val epochMonths0 = if (julian) null else monthsOf(calendar)._1
     val m = epochRe.findFirstMatchIn(epochStr.trim).getOrElse(
       throw new IllegalArgumentException(s"cf_calendar_date: unparseable epoch '$epochStr'"))
     def g(i: Int): String = Option(m.group(i)).getOrElse("")
@@ -215,18 +267,32 @@ object CfCalendarDate {
     val eh = if (g(4).isEmpty) 0 else g(4).toInt
     val emi = if (g(5).isEmpty) 0 else g(5).toInt
     val es = if (g(6).isEmpty) 0.0 else g(6).toDouble
-    require(em >= 1 && em <= 12 && ed >= 1 && ed <= months(em - 1),
+    val epochMonths = if (julian) julianMonths(ey) else epochMonths0
+    require(em >= 1 && em <= 12 && ed >= 1 && ed <= epochMonths(em - 1),
       s"cf_calendar_date: epoch '$epochStr' is not a valid $calendar date")
     // days from the calendar's year-0 origin to the epoch date
-    val epochDays = ey * yearDays + months.take(em - 1).map(_.toLong).sum + (ed - 1)
+    val epochDays =
+      (if (julian) ey * 365L + (ey + 3) / 4 else ey * monthsOf(calendar)._2) +
+        epochMonths.take(em - 1).map(_.toLong).sum + (ed - 1)
     val epochMicros = epochDays * 86400000000L + eh * 3600000000L +
       emi * 60000000L + math.round(es * 1e6)
     val total = epochMicros + math.round(offsetSeconds * 1e6)
     require(total >= 0, s"cf_calendar_date: offset $offsetSeconds reaches before year 0")
     val dayMicros = java.lang.Math.floorMod(total, 86400000000L)
     val days = java.lang.Math.floorDiv(total, 86400000000L)
-    val year = days / yearDays
-    var doy = (days % yearDays).toInt
+    val (year, doy0, months) =
+      if (julian) {
+        // 4-year cycle of 1461 days; in-cycle year 0 is the leap year
+        val cycle = days / 1461L
+        val r = (days % 1461L).toInt
+        val yic = if (r < 366) 0 else (r - 366) / 365 + 1
+        val d = if (r < 366) r else (r - 366) % 365
+        (cycle * 4 + yic, d, julianMonths(yic.toLong))
+      } else {
+        val yearDays = monthsOf(calendar)._2
+        (days / yearDays, (days % yearDays).toInt, monthsOf(calendar)._1)
+      }
+    var doy = doy0
     var month = 0
     while (doy >= months(month)) { doy -= months(month); month += 1 }
     val secOfDay = (dayMicros / 1000000L).toInt // formatted output truncates micros

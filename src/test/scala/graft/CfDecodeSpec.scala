@@ -80,10 +80,48 @@ class CfDecodeSpec extends AnyFunSuite {
       graft.sources.CfDecode.cfAttrs(e)).collect()
   }
 
-  test("unknown calendar (julian) refuses loudly instead of shifting dates") {
+  test("unknown calendar refuses loudly instead of shifting dates") {
     val ex = intercept[Exception](decodeAll(
-      """{"units":"days since 1850-01-01","calendar":"julian","_ARRAY_DIMENSIONS":["t"]}"""))
-    assert(ex.getMessage != null && ex.getMessage.contains("julian"), ex.getMessage)
+      """{"units":"days since 1850-01-01","calendar":"my_custom_cal","_ARRAY_DIMENSIONS":["t"]}"""))
+    assert(ex.getMessage != null && ex.getMessage.contains("my_custom_cal"), ex.getMessage)
+  }
+
+  test("julian calendar: leap every 4th year, no century exception (1900-02-29)") {
+    // fixture tjul: "Days since 1900-01-01" (capitalized unit word — the
+    // grammar must be case-insensitive end to end), calendar julian.
+    // 1900 IS a julian leap year (gregorian says no): day 59 must be
+    // Feb 29. Pinned from python (cf_check.py's independent
+    // year-stepping julian_cal_date).
+    val tj = openCf().filter(col("variable") === "tjul")
+      .select(col("coords")(0).as("i"), col("time_cal"), col("time"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+    assert(tj(0L)._1 == "1900-02-28 00:00:00")
+    assert(tj(1L)._1 == "1900-02-29 00:00:00") // exists in julian, not gregorian
+    assert(tj(2L)._1 == "1900-03-01 00:00:00")
+    assert(tj(3L)._1 == "1903-12-31 00:00:00") // +1460 d crosses the leap year + 3 plain
+    assert(tj.values.forall(_._2 == null),
+      "julian dates drift vs the instant timeline; the timestamp column must stay null")
+  }
+
+  test("_Unsigned byte reinterprets raw and fill before mask/unpack") {
+    val pb = openCf().filter(col("variable") === "pb")
+      .select(col("coords")(0).as("i"), col("value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    assert(pb(0L) === Some(511.0)) // stored -1 -> 255; 255*2+1 (sign-decisive)
+    assert(pb(1L) === Some(201.0)) // stored 100 unchanged
+    assert(pb(2L) === None)        // stored -106 matches the equally-reinterpreted fill (150)
+  }
+
+  test("capitalized 'Since' decodes instead of tripping the units refusal") {
+    val e = entriesWith("""{"units":"Days Since 1850-01-01","_ARRAY_DIMENSIONS":["t"]}""")
+    val out = graft.sources.CfDecode.decodeCf(
+        graft.sources.KerchunkIndex.materializeChunks(e),
+        graft.sources.KerchunkIndex.arrayMeta(e),
+        graft.sources.KerchunkIndex.attrDims(e),
+        graft.sources.CfDecode.cfAttrs(e))
+      .select(date_format(col("time"), "yyyy-MM-dd").as("d"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("1850-01-02", "1850-01-03"))
   }
 
   test("noleap calendar decodes with fixed-month arithmetic (leap-year decisive)") {
