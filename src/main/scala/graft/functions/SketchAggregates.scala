@@ -306,8 +306,11 @@ object MinHashSig {
   * seeds → a 128-bit key, no corpus-wide lead()-window shuffle).
   * Window w's hash is xxhash64(`seed`) of the tokens joined by single
   * spaces (seed 42 = identical bytes and value to
-  * `xxhash64(concat_ws(" ", …))`), computed in one native loop instead
-  * of an interpreted L-deep zip_with chain whose tree the incremental
+  * `xxhash64(concat_ws(" ", …))` — for NULL-FREE token arrays only:
+  * concat_ws skips nulls while this kernel hashes a null element as ""
+  * plus its separator; every caller feeds split() output, which never
+  * contains nulls), computed in one native loop instead of an
+  * interpreted L-deep zip_with chain whose tree the incremental
   * planner re-optimizes every micro-batch. Output length is
   * max(0, n - L + 1). */
 case class WindowHashes(child: Expression, windowTokens: Int, seed: Long = 42L)

@@ -103,10 +103,11 @@ object TextAnalysis {
     *  - `r_mean_word_len`: mean word length in [3, 10] characters;
     *  - `r_symbol_ratio`: (# '#' chars + '...' / '…' occurrences) to
     *    words below 1/10;
-    *  - `r_bullet_lines`: fewer than 9/10 of nonempty lines start with a
-    *    bullet ('•', '-', '*');
-    *  - `r_ellipsis_lines`: fewer than 3/10 of nonempty lines end with an
-    *    ellipsis;
+    *  - `r_bullet_lines`: at most 9/10 of nonempty lines start with a
+    *    bullet ('•', '-', '*') — Gopher removes on "more than 90%", so
+    *    exactly 90% keeps;
+    *  - `r_ellipsis_lines`: at most 3/10 of nonempty lines end with an
+    *    ellipsis (same boundary reading);
     *  - `r_alpha_words`: at least 4/5 of words contain an alphabetic
     *    character;
     *  - `r_stop_words`: at least 2 distinct of the 8 English function
@@ -148,9 +149,9 @@ object TextAnalysis {
       .withColumn("r_symbol_ratio", col("n_words") > 0 &&
         (col("__n_hash") + col("__n_ell")) * 10 < col("n_words"))
       .withColumn("r_bullet_lines",
-        col("__n_lines") === 0 || col("__bullet_l") * 10 < col("__n_lines") * 9)
+        col("__n_lines") === 0 || col("__bullet_l") * 10 <= col("__n_lines") * 9)
       .withColumn("r_ellipsis_lines",
-        col("__n_lines") === 0 || col("__ell_l") * 10 < col("__n_lines") * 3)
+        col("__n_lines") === 0 || col("__ell_l") * 10 <= col("__n_lines") * 3)
       .withColumn("r_alpha_words", col("n_words") > 0 &&
         col("__alpha_w") * 5 >= col("n_words") * 4)
       .withColumn("r_stop_words", col("__stop_hits") >= 2)

@@ -599,6 +599,11 @@ class TextAnalysisSpec extends AnyFunSuite {
       (4L, "11 22 33 44 the"),
       // 5: no stop words at all
       (5L, "lorem ipsum dolor sit amet consectetur"),
+      // 6: EXACTLY 90% bullet lines (9/10) — Gopher's wording is "more
+      // than 90%", so the boundary case keeps
+      (6L, (Seq.fill(9)("- the word of it") :+ "a plain line with that and have").mkString("\n")),
+      // 7: EXACTLY 30% ellipsis lines (3/10) — boundary keeps
+      (7L, (Seq.fill(3)("the end of it...") ++ Seq.fill(7)("a plain line with that and have")).mkString("\n")),
     ).toDF("doc_id", "text")
     val r = TextAnalysis.gopherRules(docs, "text", "doc_id", minWords = 4)
       .collect().map(row => row.getLong(0) -> row).toMap
@@ -612,6 +617,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(4L).getAs[Boolean]("r_stop_words") == false) // only 'the' → 1 < 2
     assert(!r(5L).getAs[Boolean]("r_stop_words"))
     assert(r(1L).getAs[Boolean]("r_stop_words"))
+    assert(r(6L).getAs[Boolean]("r_bullet_lines"),
+      "exactly 90% bullet lines is NOT 'more than 90%' — must keep")
+    assert(r(7L).getAs[Boolean]("r_ellipsis_lines"),
+      "exactly 30% ellipsis lines is NOT 'more than 30%' — must keep")
   }
 
   test("repetition n-gram fractions: overlap counting and island merge") {
