@@ -234,8 +234,15 @@ object Bench {
     * Feeds arrive in 5 chunks so the micro-batch machinery (state store
     * commits, watermark advancement, timeout sweeps) is actually exercised
     * rather than one giant batch. Input sizes are capped (50k events /
-    * 2k docs) — this measures per-row state-machine cost, not scan
-    * bandwidth, and the caps keep the driver-side feed bench-sized. */
+    * 5k docs) — this measures per-row state-machine cost, not scan
+    * bandwidth, and the caps keep the driver-side feed bench-sized.
+    * (r9: the doc cap rose 2k → 5k, the full sf0.1 documents table — at
+    * 400-doc micro-batches the ~0.2 s/batch fixed tax (offset/commit
+    * logs, planning, 2-stage scheduling) dominated and the number mostly
+    * measured trigger overhead; 1k-doc batches are the size a real
+    * deployment at the measured rate would see under a ~0.5 s trigger.
+    * Cross-round comparisons go through the same-environment control run
+    * of the prior commit, which carries its own harness.) */
   private def streamingThroughput(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.StreamingOps
@@ -298,7 +305,7 @@ object Bench {
 
     // --- near-dup twin (row-local minhash + per-bucket state, TTL eviction)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select("doc_id", "text").limit(2000)
+      .select("doc_id", "text").limit(5000)
       .as[(Long, String)].collect()
       .zipWithIndex.map { case ((id, text), i) =>
         (id, text, new java.sql.Timestamp(1600000000000L + i * 1000L)) }

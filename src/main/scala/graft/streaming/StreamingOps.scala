@@ -79,8 +79,12 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("w_start"), col("w.end").as("w_end"),
         col("n_events"), col("first_ts"), col("last_ts"))
 
-  final case class BandRow(band: Int, bucket: Long, doc_id: Long, ts: java.sql.Timestamp)
-  final case class BucketState(firstId: Long, lastMs: Long)
+  final case class BandRow(gk: Int, band: Int, bucket: Long, doc_id: Long,
+                           ts: java.sql.Timestamp)
+  /** One state row per bucket-GROUP: parallel arrays over the group's live
+    * buckets ((band, bucket) → first claimant + last-hit ms). */
+  final case class BucketGroupState(bands: Array[Int], buckets: Array[Long],
+                                    firstIds: Array[Long], lastMs: Array[Long])
   final case class Collision(doc_id: Long, dup_of: Long, band: Int, bucket: Long,
                              ts: java.sql.Timestamp)
 
@@ -93,19 +97,32 @@ object StreamingOps {
     *  3. per-bucket state remembers the first document that claimed the
     *     bucket; later arrivals emit a [[Collision]] against it.
     *
-    * State is one (band, bucket) → (first id, last-seen ms) entry, evicted
-    * by an event-time timeout `ttlMinutes` after the bucket's last hit — on
-    * an endless crawl the state holds only the trailing TTL window's
-    * buckets, which is the explicit recall/memory trade of streaming LSH
-    * (a duplicate of a document older than the TTL is not caught; re-runs
-    * of the batch operator own the long tail). Emitted collisions are
-    * CANDIDATES, exactly like the batch banding stage — pipe into an exact
-    * verify or a `dropDuplicates`-style suppressor downstream.
+    * State is (band, bucket) → (first id, last-seen ms), evicted
+    * `ttlMinutes` after the bucket's last hit — on an endless crawl the
+    * state holds only the trailing TTL window's buckets, which is the
+    * explicit recall/memory trade of streaming LSH (a duplicate of a
+    * document older than the TTL is not caught; re-runs of the batch
+    * operator own the long tail). Emitted collisions are CANDIDATES,
+    * exactly like the batch banding stage — pipe into an exact verify or
+    * a `dropDuplicates`-style suppressor downstream.
+    *
+    * Storage shape: buckets are BATCHED into `stateGroups` fixed hash
+    * groups, one state row per group (parallel arrays), so a micro-batch
+    * commits at most `stateGroups` state-store writes instead of one per
+    * (band, bucket) key — at bands = 16 that is ~16×batch-docs writes
+    * saved per batch, the cost that dominated the per-doc rate. Expired
+    * buckets prune lazily on each group visit plus a group-level timeout
+    * sweep. Size `stateGroups` so a group's live payload stays small:
+    * expected live buckets ≈ rate × TTL × bands, and each touched group
+    * rewrites its whole payload on commit — at ~64 entries/group,
+    * `stateGroups ≈ rate·ttl·bands / 64` (the 1024 default fits modest
+    * single-node rates; a high-rate deployment raises it linearly).
     */
   def nearDupCollisions(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
                         shingleWords: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
                         watermark: String = "10 minutes",
-                        ttlMinutes: Int = 60): Dataset[Collision] = {
+                        ttlMinutes: Int = 60,
+                        stateGroups: Int = 1024): Dataset[Collision] = {
     import docs.sparkSession.implicits._
     import graft.operators.Dedup
     // ids ride the compact long state key; fail at BUILD time for
@@ -127,51 +144,90 @@ object StreamingOps {
     // formulation was interpreted per row AND its wide tree was re-optimized
     // by the incremental planner EVERY micro-batch — both costs scale with
     // k there and are constant here (profiled ~1.3 s of the 2 k-doc bench).
+    require(stateGroups > 0, s"nearDupCollisions: stateGroups must be positive (got $stateGroups)")
     docs
       .withWatermark(tsCol, watermark)
+      // the FUSED shingle+minhash kernel (identical signatures to
+      // wordShingles → minhash_sig — min over a multiset ignores the
+      // distinct — at ~3× the throughput: no per-shingle string columns
+      // materialize). Null signature = doc too short to shingle; the
+      // batch twin (shingleRows) excludes those too, and without the
+      // filter every short doc would share one signature and flood each
+      // band's bucket with false collisions against the first one seen.
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
-        Dedup.wordShingles(col(textCol), shingleWords).as("__sh"))
-      // docs too short to shingle have NO signature — the batch twin
-      // (shingleRows) excludes them too. Without this filter every short
-      // doc shares one all-null signature and floods each band's bucket
-      // with false collisions against the first short doc seen.
-      .filter(size(col("__sh")) > 0)
-      .select(col("doc_id"), col("ts"),
-        graft.functions.SketchFunctions.minhash_sig(col("__sh"), bands * rowsPerBand)
-          .as("__sig"))
+        graft.functions.SketchFunctions.minhash_sig_windows(
+          Dedup.tokens(col(textCol)), shingleWords, bands * rowsPerBand).as("__sig"))
+      .filter(col("__sig").isNotNull)
       .select(col("doc_id"), col("ts"),
         posexplode(graft.functions.SketchFunctions.band_hashes(
           col("__sig"), bands, rowsPerBand)))
-      .select(col("pos").cast("int").as("band"), col("col").as("bucket"),
+      // group key folds (band, bucket) into a fixed hash-group id; the
+      // watermarked ts column must ride through AS the event-time column
+      // or the event-time timeout refuses at analysis
+      .select(pmod(xxhash64(col("pos"), col("col")), lit(stateGroups.toLong)).cast("int").as("gk"),
+        col("pos").cast("int").as("band"), col("col").as("bucket"),
         col("doc_id"), col("ts"))
       .as[BandRow]
-      .groupByKey(r => (r.band, r.bucket))
-      .flatMapGroupsWithState[BucketState, Collision](
+      .groupByKey(_.gk)
+      .flatMapGroupsWithState[BucketGroupState, Collision](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[BucketState]) =>
-          if (state.hasTimedOut) {
-            // TTL passed with no new hits: forget the bucket entirely
-            state.remove()
-            Iterator.empty
-          } else {
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-            var st  = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[Collision]
+        (_: Int, rows: Iterator[BandRow], state: GroupState[BucketGroupState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          // live entries: load + lazily prune everything whose TTL passed —
+          // a pruned bucket can no longer match, exactly as if its state
+          // row had been removed the instant the TTL expired
+          val live = new java.util.LinkedHashMap[(Int, Long), Array[Long]]()
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.buckets.length) {
+              if (s.lastMs(i) + ttlMs > wmMs)
+                live.put((s.bands(i), s.buckets(i)), Array(s.firstIds(i), s.lastMs(i)))
+              i += 1
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[Collision]
+          if (!state.hasTimedOut) {
+            // (ts, doc_id) arrival order — buckets are independent, so a
+            // total order preserves each bucket's first-claimant semantics
+            val sorted = rows.toArray
+            java.util.Arrays.sort(sorted, (a: BandRow, b: BandRow) => {
+              val c = java.lang.Long.compare(a.ts.getTime, b.ts.getTime)
+              if (c != 0) c else java.lang.Long.compare(a.doc_id, b.doc_id)
+            })
             sorted.foreach { r =>
-              st match {
-                case Some(s) =>
-                  if (s.firstId != r.doc_id)
-                    out += Collision(r.doc_id, s.firstId, r.band, r.bucket, r.ts)
-                  st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
-                case None =>
-                  st = Some(BucketState(r.doc_id, r.ts.getTime))
+              val k = (r.band, r.bucket)
+              val tsMs = r.ts.getTime
+              val s = live.get(k)
+              if (s == null) live.put(k, Array(r.doc_id, tsMs))
+              else {
+                if (s(0) != r.doc_id)
+                  out += Collision(r.doc_id, s(0), r.band, r.bucket, r.ts)
+                if (tsMs > s(1)) s(1) = tsMs
               }
             }
-            state.update(st.get)
-            state.setTimeoutTimestamp(
-              math.max(st.get.lastMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
-            out.iterator
           }
+          if (live.isEmpty) {
+            state.remove()
+          } else {
+            val n = live.size()
+            val gb = BucketGroupState(new Array[Int](n), new Array[Long](n),
+              new Array[Long](n), new Array[Long](n))
+            var i = 0
+            var maxLast = Long.MinValue
+            val it = live.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              gb.bands(i) = e.getKey._1; gb.buckets(i) = e.getKey._2
+              gb.firstIds(i) = e.getValue()(0); gb.lastMs(i) = e.getValue()(1)
+              if (gb.lastMs(i) > maxLast) maxLast = gb.lastMs(i)
+              i += 1
+            }
+            state.update(gb)
+            // group sweep at the LAST entry's expiry: earlier entries
+            // prune lazily on the next visit or at that sweep
+            state.setTimeoutTimestamp(math.max(maxLast + ttlMs, wmMs + 1L))
+          }
+          out.iterator
       }
   }
 
