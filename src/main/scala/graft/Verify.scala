@@ -41,9 +41,14 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partition-count soak hook: the gate normally runs at partitions =
+    // cpus; overriding (e.g. 200) flushes any partition-count-sensitive
+    // assumption (banding, checkpoint reuse, per-shard windows) — every
+    // registered query must hash identically at ANY partition count
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       // TypedImperativeAggregate (minhash/simhash) groups far exceed the
       // 128-group default before the sort-based fallback kicks in
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
