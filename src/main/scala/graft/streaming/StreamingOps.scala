@@ -231,8 +231,12 @@ object StreamingOps {
       }
   }
 
-  final case class WinRow(key: Long, doc_id: Long, pos: Int, ts: java.sql.Timestamp)
-  final case class WinState(firstDoc: Long, firstPos: Int, lastMs: Long)
+  final case class WinRow(gk: Int, key: Long, doc_id: Long, pos: Int,
+                          ts: java.sql.Timestamp)
+  /** One state row per key-GROUP: parallel arrays over the group's live
+    * window keys (key → first (doc, pos) claimant + last-hit ms). */
+  final case class WinGroupState(keys: Array[Long], firstDocs: Array[Long],
+                                 firstPoss: Array[Int], lastMs: Array[Long])
   final case class WindowHit(doc_id: Long, pos: Int, first_doc_id: Long,
                              ts: java.sql.Timestamp)
 
@@ -249,13 +253,20 @@ object StreamingOps {
     * chain is fine. Keys are xxhash64 of the window text, so hits are
     * CANDIDATES with a ~2^-64 per-pair false-hit rate (the same
     * by-construction trade the LSH twin makes, with far better odds).
-    * State: one (key) → (first doc, pos, last-seen ms) entry, evicted
-    * `ttlMinutes` after the key's last hit — duplicates of text older
-    * than the TTL fall to the batch operator, the explicit
-    * recall/memory trade of every streaming dedup here. */
+    * State: key → (first doc, pos, last-seen ms), evicted `ttlMinutes`
+    * after the key's last hit — duplicates of text older than the TTL
+    * fall to the batch operator, the explicit recall/memory trade of
+    * every streaming dedup here. Like [[nearDupCollisions]], keys are
+    * BATCHED into `stateGroups` hash groups with one state row per group
+    * (parallel arrays; lazy per-visit TTL prune + group timeout sweep):
+    * a doc emits ~tokens−L+1 keys — more per doc than the LSH twin's
+    * bands — so per-key state rows made the store commit, not the
+    * hashing, the per-doc cost. Same sizing rule: keep the live payload
+    * per group small (`stateGroups ≈ rate·ttl·windows-per-doc / 64`). */
   def duplicatedWindowHits(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
                            windowTokens: Int = 8, watermark: String = "10 minutes",
-                           ttlMinutes: Int = 60): Dataset[WindowHit] = {
+                           ttlMinutes: Int = 60,
+                           stateGroups: Int = 1024): Dataset[WindowHit] = {
     import docs.sparkSession.implicits._
     require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
     val L = windowTokens
@@ -267,42 +278,79 @@ object StreamingOps {
     // xxhash64 of the space-joined window string) — replaces an interpreted
     // L-deep zip_with chain whose tree the incremental planner re-optimized
     // every micro-batch, and the explode carries longs, never window strings
+    require(stateGroups > 0, s"duplicatedWindowHits: stateGroups must be positive (got $stateGroups)")
     docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"), toks.as("__t"))
       .select(col("doc_id"), col("ts"),
         posexplode(graft.functions.SketchFunctions.window_hashes(col("__t"), L)))
-      .select(col("col").as("key"), col("doc_id"),
+      // window keys are already xxhash64-uniform — pmod alone spreads them
+      .select(pmod(col("col"), lit(stateGroups.toLong)).cast("int").as("gk"),
+        col("col").as("key"), col("doc_id"),
         col("pos").cast("int").as("pos"), col("ts"))
       .as[WinRow]
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[WinState, WindowHit](
+      .groupByKey(_.gk)
+      .flatMapGroupsWithState[WinGroupState, WindowHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: Long, rows: Iterator[WinRow], state: GroupState[WinState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
+        (_: Int, rows: Iterator[WinRow], state: GroupState[WinGroupState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          // live entries, lazily pruned at the TTL exactly as if each
+          // key's row had been evicted the instant it expired
+          val live = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.keys.length) {
+              if (s.lastMs(i) + ttlMs > wmMs)
+                live.put(s.keys(i), Array(s.firstDocs(i), s.firstPoss(i).toLong, s.lastMs(i)))
+              i += 1
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[WindowHit]
+          if (!state.hasTimedOut) {
             // same-batch arrivals order by (ts, doc, pos) so the canonical
             // claimant matches the batch operator's min-(doc, pos) choice
-            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id, r.pos))
-            var st  = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[WindowHit]
+            val sorted = rows.toArray
+            java.util.Arrays.sort(sorted, (a: WinRow, b: WinRow) => {
+              val c = java.lang.Long.compare(a.ts.getTime, b.ts.getTime)
+              if (c != 0) c
+              else {
+                val d = java.lang.Long.compare(a.doc_id, b.doc_id)
+                if (d != 0) d else Integer.compare(a.pos, b.pos)
+              }
+            })
             sorted.foreach { r =>
-              st match {
-                case Some(s) =>
-                  if (s.firstDoc != r.doc_id || s.firstPos != r.pos)
-                    out += WindowHit(r.doc_id, r.pos, s.firstDoc, r.ts)
-                  st = Some(s.copy(lastMs = math.max(s.lastMs, r.ts.getTime)))
-                case None =>
-                  st = Some(WinState(r.doc_id, r.pos, r.ts.getTime))
+              val tsMs = r.ts.getTime
+              val s = live.get(r.key)
+              if (s == null) live.put(r.key, Array(r.doc_id, r.pos.toLong, tsMs))
+              else {
+                if (s(0) != r.doc_id || s(1) != r.pos.toLong)
+                  out += WindowHit(r.doc_id, r.pos, s(0), r.ts)
+                if (tsMs > s(2)) s(2) = tsMs
               }
             }
-            state.update(st.get)
-            state.setTimeoutTimestamp(
-              math.max(st.get.lastMs + ttlMs, state.getCurrentWatermarkMs() + 1L))
-            out.iterator
           }
+          if (live.isEmpty) {
+            state.remove()
+          } else {
+            val n = live.size()
+            val gs = WinGroupState(new Array[Long](n), new Array[Long](n),
+              new Array[Int](n), new Array[Long](n))
+            var i = 0
+            var maxLast = Long.MinValue
+            val it = live.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              gs.keys(i) = e.getKey
+              gs.firstDocs(i) = e.getValue()(0)
+              gs.firstPoss(i) = e.getValue()(1).toInt
+              gs.lastMs(i) = e.getValue()(2)
+              if (gs.lastMs(i) > maxLast) maxLast = gs.lastMs(i)
+              i += 1
+            }
+            state.update(gs)
+            state.setTimeoutTimestamp(math.max(maxLast + ttlMs, wmMs + 1L))
+          }
+          out.iterator
       }
   }
 
