@@ -15,6 +15,7 @@ Driver-side only (not shipped in the library). Usage:
 import datetime
 import glob
 import math
+import re
 import struct
 import sys
 
@@ -173,22 +174,33 @@ def cf_decode(shape, va, vals, nctype):
     offset = va.get('add_offset', [0.0])[0] if 'add_offset' in va else 0.0
     # netCDF-3 _Unsigned: reinterpret signed stored ints (and the fill
     # attrs, identically) as unsigned BEFORE mask/unpack
-    unsigned = isinstance(va.get('_Unsigned'), str) \
-        and va['_Unsigned'].lower() == 'true'
-    span = {1: 2**8, 3: 2**16, 4: 2**32}.get(nctype)
+    flag = va.get('_Unsigned')
+    unsigned = isinstance(flag, str) and flag.lower() == 'true'
+    # the symmetric "false" direction narrows unsigned stored dtypes
+    # (7=ubyte, 8=ushort, 9=uint in CDF-5), mirroring the engine
+    signed = isinstance(flag, str) and flag.lower() == 'false'
+    span = {1: 2**8, 3: 2**16, 4: 2**32,
+            7: 2**8, 8: 2**16, 9: 2**32}.get(nctype)
 
     def reinterp(x):
-        return x + span if unsigned and span and x < 0 else x
+        if unsigned and span and nctype in (1, 3, 4) and x < 0:
+            return x + span
+        if signed and span and nctype in (7, 8, 9) and x >= span // 2:
+            return x - span
+        return x
     fills = []
     for k in ('_FillValue', 'missing_value'):
         if k in va and not isinstance(va[k], str):
             fills.append(float(reinterp(va[k][0])))
     units = va.get('units')
     epoch = unit_sec = cal = None
-    if isinstance(units, str) and ' since ' in units:
-        word, _, rest = units.partition(' since ')
-        unit_sec = UNITS_SEC[word.strip().lower()]
-        epoch = parse_epoch(rest.strip())
+    # case-insensitive like the engine's (?i) units grammar — 'Days Since'
+    # must decode, not silently fall through to the identity path
+    m_units = re.match(r'\s*([A-Za-z]+)\s+since\s+(.*)$', units, re.IGNORECASE) \
+        if isinstance(units, str) else None
+    if m_units:
+        unit_sec = UNITS_SEC[m_units.group(1).lower()]
+        epoch = parse_epoch(m_units.group(2).strip())
         cal = va.get('calendar', 'standard')
         assert cal in ('standard', 'gregorian', 'proleptic_gregorian') \
             or cal in FIXED_CAL or cal in JULIAN_CAL, cal

@@ -33,7 +33,15 @@ object Bench {
     "dedup_minhash_lsh_pipeline")
 
   /** Bench-only rows (NOT registered gate queries — correctness for these
-    * paths is carried by the gate rows that wrap them in verification). */
+    * paths is carried by the gate rows that wrap them in verification).
+    *
+    * Note the registered dedup_minhash_lsh row does NOT simply wrap this
+    * pipeline: its verification shares ONE shingling pass with its ground
+    * truth (DedupChecks.minhashProperties → shingleRows + MinHashAgg), a
+    * signature build that exists only for that sharing. This row times
+    * Dedup.minhashLsh itself — the row-local fused kernel path every
+    * production caller (and ngramJaccard, crossNearDup, the index builds)
+    * actually runs. */
   val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "dedup_minhash_lsh_pipeline" -> ((s, dir) =>
       graft.operators.Dedup.minhashLsh(

@@ -3266,14 +3266,14 @@ object SparkEntry {
         |SELECT id, n_words,
         |  n_words BETWEEN 50 AND 100000 AS r_word_count,
         |  n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS r_mean_word_len,
-        |  n_words > 0 AND (n_hash + n_ell) * 10 < n_words AS r_symbol_ratio,
+        |  n_words > 0 AND (n_hash + n_ell) * 10 <= n_words AS r_symbol_ratio,
         |  n_lines = 0 OR bullet_l * 10 <= n_lines * 9 AS r_bullet_lines,
         |  n_lines = 0 OR ell_l * 10 <= n_lines * 3 AS r_ellipsis_lines,
         |  n_words > 0 AND alpha_w * 5 >= n_words * 4 AS r_alpha_words,
         |  stop_hits >= 2 AS r_stop_words,
         |  (n_words BETWEEN 50 AND 100000)
         |    AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
-        |    AND (n_words > 0 AND (n_hash + n_ell) * 10 < n_words)
+        |    AND (n_words > 0 AND (n_hash + n_ell) * 10 <= n_words)
         |    AND (n_lines = 0 OR bullet_l * 10 <= n_lines * 9)
         |    AND (n_lines = 0 OR ell_l * 10 <= n_lines * 3)
         |    AND (n_words > 0 AND alpha_w * 5 >= n_words * 4)

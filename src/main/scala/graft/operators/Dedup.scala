@@ -487,10 +487,18 @@ object Dedup {
     * count is itself bounded by Σ|cell|²/targetClusterSize. The pair join
     * shuffles on the cluster key only.
     *
-    * `idCol` must be numeric: the greedy rule orders docs by id, and a
-    * silent cast of (say) a string id would null every id, drop every
-    * pair, and return keep=true for all docs (the streaming twin refuses
-    * loudly for the same reason).
+    * `idCol` must be numeric, non-null, and UNIQUE (after the long cast):
+    * the greedy rule orders docs by id — a silent cast of (say) a string
+    * id would null every id, drop every pair, and return keep=true for
+    * all docs (the streaming twin refuses loudly for the same reason) —
+    * and the split seeding's determinism needs the id order to be total.
+    * Both are checked up front (one cheap two-column aggregate).
+    *
+    * The assignment is persisted at `assignStorage` (NONE to opt out —
+    * everything downstream is deterministic either way, recomputation is
+    * just extra scans): the size probe, each split round, and the pair
+    * join's two branches all consume it. Cache lifecycle follows the
+    * [[CacheScope]] convention (`scope.release()` once consumed).
     *
     * Output: every input id with (id, cell, keep, dup_of) where `dup_of`
     * is the EARLIEST same-cluster doc above threshold (null for kept);
@@ -505,6 +513,8 @@ object Dedup {
       kmeansIters: Int = 2,
       targetClusterSize: Int = 4096,
       maxSplitRounds: Int = 2,
+      assignStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      scope: CacheScope = CacheScope.untracked,
   ): DataFrame = {
     require(df.schema(idCol).dataType.isInstanceOf[NumericType],
       s"semanticDedup: id column '$idCol' is ${df.schema(idCol).dataType.simpleString} — " +
@@ -514,18 +524,21 @@ object Dedup {
     require(targetClusterSize > 0, "semanticDedup: targetClusterSize must be positive")
     val docs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull)
+    val stats = docs.agg(count(lit(1)), count_distinct(col("id"))).head()
+    val n = stats.getLong(0)
+    require(stats.getLong(1) == n,
+      s"semanticDedup: id column '$idCol' has ${n - stats.getLong(1)} duplicate or null " +
+        "values after the long cast — the greedy keep-first rule and the deterministic " +
+        "split seeding both key on unique ids; derive a unique numeric id first")
     val k0 =
       if (nCells > 0) nCells
-      else {
-        val n = docs.count()
-        math.min(4096L, math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
-      }
+      else math.min(4096L, math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
     val assigned = boundedClusters(
       Similarity.ivfAssign(docs, "id", "__v",
           Similarity.kmeansCentroids(docs, "id", "__v", k0, kmeansIters),
           "cent_id", "cent_vec")
         .select(col("id"), col("__v"), col("cell").cast("string").as("cell")),
-      targetClusterSize, maxSplitRounds)
+      targetClusterSize, maxSplitRounds, assignStorage, scope)
     val shadows = assigned.select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
       .join(assigned.select(col("cell"), col("id").as("id_b"), col("__v").as("__vb")),
         Seq("cell"))
@@ -551,13 +564,16 @@ object Dedup {
     * Each round touches only oversized-cell members: one window-rank
     * shuffle to pick seeds and one cell-key join producing
     * Σ|cell|·ceil(|cell|/target) rows — itself within the pair bound being
-    * enforced. Everything is deterministic WITHOUT a checkpoint (seed
-    * choice by id rank; assignment ties break to the lowest seed index via
-    * lexicographic struct max), so the returned plan re-evaluates to the
-    * same clustering every time even though size collection already forced
-    * one evaluation. */
+    * enforced. Everything is deterministic (seed choice by id rank over
+    * the caller-enforced UNIQUE ids; assignment ties break to the lowest
+    * seed index via lexicographic struct max), so re-evaluation can never
+    * flip the clustering; the per-round persist exists purely so the size
+    * probes, split rounds, and downstream pair-join branches don't
+    * re-scan the whole lineage (each round's size collect materializes
+    * the new assignment fully, after which its predecessor unpersists). */
   private def boundedClusters(
-      start: DataFrame, target: Int, maxSplitRounds: Int): DataFrame = {
+      start: DataFrame, target: Int, maxSplitRounds: Int,
+      storage: StorageLevel, scope: CacheScope): DataFrame = {
     def oversized(assigned: DataFrame): Array[(String, Long)] =
       assigned.groupBy("cell").count()
         .filter(col("count") > target)
@@ -567,9 +583,9 @@ object Dedup {
       rows.map { case (c, n) => (c, ((n + target - 1) / target).toInt) }
         .toSeq.toDF("cell", "__k")
     }
-    var assigned = start
+    var assigned = scope.persisted(start, storage)
     var round    = 0
-    var over     = oversized(assigned)
+    var over     = oversized(assigned) // materializes the persist in full
     while (round < maxSplitRounds && over.nonEmpty) {
       val o    = overDF(over)
       val keep = assigned.join(broadcast(o), Seq("cell"), "left_anti")
@@ -590,9 +606,13 @@ object Dedup {
         .select(col("id"), col("__v"),
           concat(col("cell"), lit("/"),
             (-col("__b").getField("negidx")).cast("string")).as("cell"))
-      assigned = keep.select("id", "__v", "cell").unionByName(sub.select("id", "__v", "cell"))
+      val next = scope.persisted(
+        keep.select("id", "__v", "cell").unionByName(sub.select("id", "__v", "cell")),
+        storage)
       round += 1
-      over = oversized(assigned)
+      over = oversized(next) // materializes next before its input unpersists
+      assigned.unpersist(false)
+      assigned = next
     }
     if (over.isEmpty) assigned
     else {
@@ -602,6 +622,8 @@ object Dedup {
         .select(col("id"), col("__v"),
           concat(col("cell"), lit("#"),
             pmod(xxhash64(col("id")), col("__k")).cast("string")).as("cell"))
+      // cheap projections over the (still-persisted) assignment — the
+      // downstream pair join's branches re-read the cache, not the lineage
       keep.select("id", "__v", "cell").unionByName(split)
     }
   }

@@ -102,7 +102,8 @@ object TextAnalysis {
     *  - `r_word_count`: word count in [minWords, maxWords];
     *  - `r_mean_word_len`: mean word length in [3, 10] characters;
     *  - `r_symbol_ratio`: (# '#' chars + '...' / '…' occurrences) to
-    *    words below 1/10;
+    *    words at most 1/10 (Gopher removes on "greater than 0.1", so
+    *    exactly 0.1 keeps — same boundary reading as the line rules);
     *  - `r_bullet_lines`: at most 9/10 of nonempty lines start with a
     *    bullet ('•', '-', '*') — Gopher removes on "more than 90%", so
     *    exactly 90% keeps;
@@ -147,7 +148,7 @@ object TextAnalysis {
       .withColumn("r_mean_word_len", col("n_words") > 0 &&
         col("__sum_len") >= col("n_words") * 3 && col("__sum_len") <= col("n_words") * 10)
       .withColumn("r_symbol_ratio", col("n_words") > 0 &&
-        (col("__n_hash") + col("__n_ell")) * 10 < col("n_words"))
+        (col("__n_hash") + col("__n_ell")) * 10 <= col("n_words"))
       .withColumn("r_bullet_lines",
         col("__n_lines") === 0 || col("__bullet_l") * 10 <= col("__n_lines") * 9)
       .withColumn("r_ellipsis_lines",

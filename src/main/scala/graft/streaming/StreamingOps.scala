@@ -117,6 +117,11 @@ object StreamingOps {
     * rewrites its whole payload on commit — at ~64 entries/group,
     * `stateGroups ≈ rate·ttl·bands / 64` (the 1024 default fits modest
     * single-node rates; a high-rate deployment raises it linearly).
+    * `stateGroups` is PART OF THE CHECKPOINT LAYOUT: restarting an
+    * existing checkpointed query with a different value re-routes keys to
+    * different groups (the state schema still matches, so nothing errors)
+    * and stored first-claimants are silently never found — pick it before
+    * the query first starts, or start over with a fresh checkpoint.
     */
   def nearDupCollisions(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
                         shingleWords: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
@@ -135,15 +140,10 @@ object StreamingOps {
           "derive one (e.g. xxhash64 of the string id) before calling")
     }
     val ttlMs = ttlMinutes.toLong * 60L * 1000L
-    // STAGED projections, one per layer: shingles → signature → band keys
-    // (CollapseProject leaves multi-referenced non-cheap expressions in
-    // their own ProjectExec, so each layer computes once per row). The
-    // signature and band layers are single NATIVE expressions
-    // (SketchFunctions.minhash_sig / band_hashes — the same hash family as
-    // the batch MinHashAgg pipeline): the k-branch higher-order-function
-    // formulation was interpreted per row AND its wide tree was re-optimized
-    // by the incremental planner EVERY micro-batch — both costs scale with
-    // k there and are constant here (profiled ~1.3 s of the 2 k-doc bench).
+    // every per-row layer is a single NATIVE expression (the fused
+    // minhash_sig_windows kernel + band_hashes, the same hash family as
+    // the batch pipeline): an interpreted higher-order-function tree would
+    // be re-optimized by the incremental planner EVERY micro-batch
     require(stateGroups > 0, s"nearDupCollisions: stateGroups must be positive (got $stateGroups)")
     docs
       .withWatermark(tsCol, watermark)
@@ -262,7 +262,9 @@ object StreamingOps {
     * a doc emits ~tokens−L+1 keys — more per doc than the LSH twin's
     * bands — so per-key state rows made the store commit, not the
     * hashing, the per-doc cost. Same sizing rule: keep the live payload
-    * per group small (`stateGroups ≈ rate·ttl·windows-per-doc / 64`). */
+    * per group small (`stateGroups ≈ rate·ttl·windows-per-doc / 64`) —
+    * and the same caveat: `stateGroups` is part of the checkpoint layout;
+    * never change it on restart of an existing checkpointed query. */
   def duplicatedWindowHits(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
                            windowTokens: Int = 8, watermark: String = "10 minutes",
                            ttlMinutes: Int = 60,

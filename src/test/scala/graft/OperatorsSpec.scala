@@ -269,6 +269,15 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numeric id"))
   }
 
+  test("semantic dedup refuses duplicate ids (split seeding needs a total id order)") {
+    val df = Seq((1L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticDedup(df, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+  }
+
   test("semantic dedup: skewed corpus — per-cluster pair bound holds") {
     // the k-means skew case the 100 TB bound exists for: one dense blob of
     // 600 near-identical vectors (pairwise cosine ~1.0, so NO vector rule
@@ -604,6 +613,9 @@ class TextAnalysisSpec extends AnyFunSuite {
       (6L, (Seq.fill(9)("- the word of it") :+ "a plain line with that and have").mkString("\n")),
       // 7: EXACTLY 30% ellipsis lines (3/10) — boundary keeps
       (7L, (Seq.fill(3)("the end of it...") ++ Seq.fill(7)("a plain line with that and have")).mkString("\n")),
+      // 8: EXACTLY 10% symbol-to-word ratio (1 '#' per 10 words) — Gopher
+      // removes on "greater than 0.1", so the boundary keeps
+      (8L, "the quick brown fox jumps over that lazy dog x#"),
     ).toDF("doc_id", "text")
     val r = TextAnalysis.gopherRules(docs, "text", "doc_id", minWords = 4)
       .collect().map(row => row.getLong(0) -> row).toMap
@@ -621,6 +633,8 @@ class TextAnalysisSpec extends AnyFunSuite {
       "exactly 90% bullet lines is NOT 'more than 90%' — must keep")
     assert(r(7L).getAs[Boolean]("r_ellipsis_lines"),
       "exactly 30% ellipsis lines is NOT 'more than 30%' — must keep")
+    assert(r(8L).getAs[Boolean]("r_symbol_ratio"),
+      "exactly 0.1 symbol ratio is NOT 'greater than 0.1' — must keep")
   }
 
   test("repetition n-gram fractions: overlap counting and island merge") {
