@@ -55,18 +55,21 @@ object DedupChecks {
   ): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    // ONE shingling pass serves both the sketch and its ground truth. The
-    // rows stay a MULTISET: minhash is distinct-invariant, the estimator
-    // check collect_set()s, and only the (bounded) probe slice needs true
-    // sets — a corpus-wide distinct here would add a full (id, sh) shuffle
-    // just to dedup rows every consumer dedups anyway. DISK_ONLY (matching
-    // ngramJaccard's exploded-shingle rationale): the multiset is |doc|-
-    // proportional — boilerplate-heavy corpora repeat the same shingle many
-    // times — so caching it in executor memory squeezes the aggregates that
-    // actually need the heap.
+    // The sketch runs the PRODUCTION pipeline (minhashLsh → fused
+    // row-local signatures) so a regression in the path every real caller
+    // executes is visible here, not hidden behind a verification-only
+    // signature build. The exploded shingle rows below exist purely for
+    // the GROUND TRUTH (exact jaccard of returned pairs + probe recall);
+    // sharing them with the sketch used to save one shingling pass, but
+    // the fused kernel computes its shingles in-scan at a fraction of the
+    // exploded pass's cost, so the sharing saved nothing worth coupling
+    // the paths for. The truth rows stay a MULTISET (the estimator check
+    // collect_set()s; only the bounded probe slice needs true sets) at
+    // DISK_ONLY — |doc|-proportional, keep it off the heap.
     val shRows = Dedup.shingleRows(docs, textCol, idCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val pairs = Dedup.minhashLshFromShingleRows(shRows, bands, rowsPerBand, threshold)
+    val pairs = Dedup.minhashLsh(docs, textCol, idCol, shingleWords, bands, rowsPerBand,
+        threshold)
       .localCheckpoint(false)
     // materialize the checkpoint behind ONE action before three branches
     // consume it — a lazy checkpoint first touched inside a multi-branch
