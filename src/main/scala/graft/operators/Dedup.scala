@@ -80,24 +80,14 @@ object Dedup {
     )
   }
 
-  /** Word n-gram shingles (n consecutive tokens joined by space), distinct.
-    *
-    * Built as a zip_with chain of shifted slices so the token array only
-    * ever sits in ARGUMENT position (evaluated once per row). Referencing
-    * the tokens expression INSIDE a lambda instead (the old
-    * `transform(sequence(…), i => slice(toks, …))` shape) re-evaluates the
-    * whole tokenization per produced gram — O(tokens²) per document, which
-    * benched 6× slower on the corpus at sf0.1. Positions past the last
-    * full window pair with null and null-concat to null; one filter drops
-    * them. */
-  def wordShingles(c: Column, n: Int = 3): Column = {
-    val toks = tokens(c)
-    val grams = (2 to n).foldLeft(toks) { (acc, i) =>
-      zip_with(acc, slice(toks, lit(i), greatest(size(toks) - (i - 1), lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(filter(grams, x => x.isNotNull))
-  }
+  /** Word n-gram shingles (n consecutive tokens joined by space),
+    * DISTINCT, first-seen order — the fused native
+    * [[graft.functions.WindowStrings]] kernel (r9; element-identical to
+    * the zip_with/slice chain + array_distinct it replaced, without
+    * materializing every non-distinct window as an interpreted-lambda
+    * string first). Empty array below n tokens; null text → null. */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    graft.functions.SketchFunctions.window_strings(tokens(c), n)
 
   /** Lowercased whitespace tokens, empties removed — trim-then-split stays
     * codegen'd (see TextAnalysis.tokens). */
