@@ -1624,6 +1624,55 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_incremental_semantic" -> ((s, dir) => {
+      // semantic recrawl: new embeddings (vec_id >= 250) against the
+      // standing corpus (< 250) held as a precomputed SemanticIndex
+      // (centroids + KEPT survivors with vectors — corpus scanned once at
+      // build, zero times per batch). Property oracle (the
+      // pipeline_semdedup convention — kmeans centroid float sums are
+      // agg-order-sensitive, so rows aren't portable but the invariants
+      // are): every batch doc exactly once; every flagged doc's dup_of is
+      // a kept index doc in the SAME top cell at cosine >= t, and the
+      // EARLIEST such; every unflagged doc has NO kept same-cell doc at
+      // cosine >= t.
+      val emb = T(s, dir, "embeddings")
+      val t = 0.4
+      val built = Dedup.buildSemanticIndex(emb.filter(col("vec_id") < 250),
+        "vec_id", "embedding", threshold = t, nCells = 8, kmeansIters = 2)
+      val index = Dedup.SemanticIndex(built.centroids.localCheckpoint(true),
+        built.kept.localCheckpoint(true)) // materialized = the reloaded-artifact shape
+      val res = Dedup.incrementalSemanticWithIndex(
+          emb.filter(col("vec_id") >= 250), index, "vec_id", "embedding", t)
+        .localCheckpoint(true)
+      val kept = index.kept.select(col("id").as("kid"), col("top_cell"),
+        col("vec"))
+      val flagged = res.filter(!col("keep"))
+      val badFlag = flagged
+        .join(kept, flagged("dup_of") === kept("kid") &&
+          flagged("top_cell") === kept("top_cell"), "left")
+        .join(T(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("__bv")), Seq("id"))
+        .filter(col("kid").isNull ||
+          graft.functions.VectorFunctions.vec_cosine(col("__bv"), col("vec")) < t)
+        .count()
+      val notEarliest = flagged
+        .join(T(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("__bv")), Seq("id"))
+        .join(kept, Seq("top_cell"))
+        .filter(col("kid") < col("dup_of") &&
+          graft.functions.VectorFunctions.vec_cosine(col("__bv"), col("vec")) >= t)
+        .count()
+      val missed = res.filter(col("keep"))
+        .join(T(s, dir, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("__bv")), Seq("id"))
+        .join(kept, Seq("top_cell"))
+        .filter(graft.functions.VectorFunctions.vec_cosine(col("__bv"), col("vec")) >= t)
+        .count()
+      import s.implicits._
+      Seq((res.count(), badFlag, notEarliest, missed, res.filter(!col("keep")).count() > 0))
+        .toDF("n_total", "bad_flag", "not_earliest", "missed", "any_flagged")
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       // exact cosine pairs inside a blocking key (label): Σ|block|² shape,
       // never a cross join — the oracle-checkable semantic-dedup baseline.
@@ -3496,6 +3545,17 @@ object SparkEntry {
     "ann_recall_check" ->
       """SELECT * FROM (VALUES ('ivf', TRUE), ('lsh', TRUE)) AS t(method, recall_ok)
         |ORDER BY method""".stripMargin,
+
+    // property-style (pipeline_semdedup convention): clustering rows are
+    // not portable, the incremental-dedup invariants are; n_total
+    // re-derived from the batch slice by DuckDB
+    "dedup_incremental_semantic" ->
+      """SELECT CAST(0 AS BIGINT) AS bad_flag,
+        |       CAST(0 AS BIGINT) AS not_earliest,
+        |       CAST(0 AS BIGINT) AS missed,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       TRUE AS any_flagged
+        |FROM embeddings WHERE vec_id >= 250""".stripMargin,
 
     // property-style (ann_recall_check convention): the greedy keep-first
     // invariants are order-invariant even though the kmeans centroid float

@@ -505,7 +505,19 @@ object Dedup {
       maxSplitRounds: Int = 2,
       assignStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
       scope: CacheScope = CacheScope.untracked,
-  ): DataFrame = {
+  ): DataFrame =
+    semanticPrune(df, idCol, vecCol, threshold, nCells, kmeansIters,
+      targetClusterSize, maxSplitRounds, assignStorage, scope)._2
+      .select("id", "cell", "keep", "dup_of")
+
+  /** Shared core of [[semanticDedup]] and [[buildSemanticIndex]]: guards,
+    * clustering, bounded split, greedy keep-first prune. Returns the
+    * centroid table plus every doc with its vector still attached —
+    * (id, cell, __v, keep, dup_of). */
+  private def semanticPrune(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      nCells: Int, kmeansIters: Int, targetClusterSize: Int, maxSplitRounds: Int,
+      assignStorage: StorageLevel, scope: CacheScope): (DataFrame, DataFrame) = {
     require(df.schema(idCol).dataType.isInstanceOf[NumericType],
       s"semanticDedup: id column '$idCol' is ${df.schema(idCol).dataType.simpleString} — " +
         "the greedy keep-first rule orders docs by a numeric id, and casting would silently " +
@@ -523,10 +535,9 @@ object Dedup {
     val k0 =
       if (nCells > 0) nCells
       else math.min(4096L, math.max(16L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    val centroids = Similarity.kmeansCentroids(docs, "id", "__v", k0, kmeansIters)
     val assigned = boundedClusters(
-      Similarity.ivfAssign(docs, "id", "__v",
-          Similarity.kmeansCentroids(docs, "id", "__v", k0, kmeansIters),
-          "cent_id", "cent_vec")
+      Similarity.ivfAssign(docs, "id", "__v", centroids, "cent_id", "cent_vec")
         .select(col("id"), col("__v"), col("cell").cast("string").as("cell")),
       targetClusterSize, maxSplitRounds, assignStorage, scope)
     val shadows = assigned.select(col("cell"), col("id").as("id_a"), col("__v").as("__va"))
@@ -537,9 +548,89 @@ object Dedup {
         >= threshold)
       .groupBy(col("id_b").as("id"))
       .agg(min(col("id_a")).as("dup_of"))
-    assigned.select("id", "cell")
-      .join(shadows, Seq("id"), "left")
-      .select(col("id"), col("cell"),
+    (centroids,
+      assigned
+        .join(shadows, Seq("id"), "left")
+        .select(col("id"), col("cell"), col("__v"),
+          col("dup_of").isNull.as("keep"), col("dup_of")))
+  }
+
+  /** Standing-corpus SEMANTIC-dedup index — the semantic member of the
+    * incremental family next to [[buildExactIndex]] and
+    * [[buildNearDupIndex]]: the coarse-quantizer centroid table plus the
+    * corpus's KEPT (deduplicated) docs with their vectors, labeled by
+    * top-level cell. Persist both halves as parquet; a recrawl loop
+    * reloads them and runs [[incrementalSemanticWithIndex]] per batch —
+    * the corpus embeddings are scanned once at build, zero times per
+    * batch.
+    *
+    * The index stores SURVIVORS only, which is what bounds the per-batch
+    * join: survivors within a cell are pairwise BELOW the threshold (the
+    * greedy prune guarantees it), so a dense near-duplicate blob
+    * contributes ~one kept doc per split sub-cell no matter how many
+    * duplicates it held. `threshold` rides as a column so a mismatched
+    * query refuses per row instead of silently changing recall. */
+  final case class SemanticIndex(centroids: DataFrame, kept: DataFrame)
+
+  def buildSemanticIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+      nCells: Int = 0,
+      kmeansIters: Int = 2,
+      targetClusterSize: Int = 4096,
+      maxSplitRounds: Int = 2,
+      assignStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      scope: CacheScope = CacheScope.untracked,
+  ): SemanticIndex = {
+    val (centroids, pruned) = semanticPrune(corpus, idCol, vecCol, threshold,
+      nCells, kmeansIters, targetClusterSize, maxSplitRounds, assignStorage, scope)
+    SemanticIndex(centroids,
+      pruned.filter(col("keep"))
+        .select(col("id"),
+          regexp_extract(col("cell"), "^([^/#]+)", 1).as("top_cell"),
+          col("__v").as("vec"), lit(threshold).as("threshold")))
+  }
+
+  /** Incremental semantic dedup of a batch against a precomputed
+    * [[SemanticIndex]]: assign each batch vector to its nearest index
+    * centroid (in-scan argmax — no shuffle), compare against the KEPT
+    * corpus docs of that top-level cell only, and flag any batch doc with
+    * a kept doc at cosine ≥ threshold (`dup_of` = the EARLIEST such kept
+    * id). Same cluster approximation as [[semanticDedup]]: a duplicate
+    * whose nearest centroid differs from its corpus twin's is missed.
+    * Output: (id, top_cell, keep, dup_of) for every batch doc. */
+  def incrementalSemanticWithIndex(
+      batch: DataFrame,
+      index: SemanticIndex,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.9,
+  ): DataFrame = {
+    require(batch.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"incrementalSemanticWithIndex: id column '$idCol' is " +
+        s"${batch.schema(idCol).dataType.simpleString} — derive a numeric id first")
+    // per-row guard, matching crossNearDupWithIndex's convention: an index
+    // built at a different threshold has a different kept set — querying
+    // it would silently change recall
+    val guarded = index.kept.filter(coalesce(assert_true(col("threshold") === threshold,
+      concat(lit("semantic index built at threshold "), col("threshold"),
+        lit(s" != $threshold — rebuild the index"))), lit(true)))
+    val assignedB = Similarity.ivfAssign(
+        batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+          .filter(col("__v").isNotNull),
+        "id", "__v", index.centroids, "cent_id", "cent_vec")
+      .select(col("id"), col("__v"), col("cell").cast("string").as("top_cell"))
+    val matches = assignedB
+      .join(guarded.select(col("top_cell"), col("id").as("__kid"), col("vec")),
+        Seq("top_cell"))
+      .filter(graft.functions.VectorFunctions.vec_cosine(col("__v"), col("vec"))
+        >= threshold)
+      .groupBy("id").agg(min(col("__kid")).as("dup_of"))
+    assignedB.select("id", "top_cell")
+      .join(matches, Seq("id"), "left")
+      .select(col("id"), col("top_cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"))
   }
 

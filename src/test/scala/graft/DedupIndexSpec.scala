@@ -82,6 +82,51 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(viaIndex.nonEmpty)
   }
 
+  test("incrementalSemanticWithIndex: parquet round-trip, hand-computed flags, refusal") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semidx_").toString
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    // nCells=2, kmeansIters=0 seeds centroids from docs 1 (+x) and 2 (+y);
+    // 3 and 11 are near-dups of them, so the greedy prune keeps exactly
+    // {1, 2} — the index must hold survivors only
+    val corpus = Seq(
+      (1L, v(1.0, 0.0)), (2L, v(0.0, 1.0)),
+      (3L, v(1.0, 0.02)), (11L, v(0.02, 1.0)),
+    ).toDF("vec_id", "embedding")
+    val t = 0.99
+    val built = Dedup.buildSemanticIndex(corpus, "vec_id", "embedding", threshold = t,
+      nCells = 2, kmeansIters = 0)
+    assert(built.kept.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // round-trip both halves the way a recrawl loop persists them
+    built.centroids.write.parquet(s"$tmp/centroids.parquet")
+    built.kept.write.parquet(s"$tmp/kept.parquet")
+    val reloaded = Dedup.SemanticIndex(
+      spark.read.parquet(s"$tmp/centroids.parquet"),
+      spark.read.parquet(s"$tmp/kept.parquet"))
+
+    val batch = Seq(
+      (100L, v(1.0, 0.01)),  // dup of kept 1 (+x)
+      (101L, v(-1.0, 0.0)),  // lands in SOME cell but cosine vs kept is <= 0 -> keep
+      (102L, v(0.01, 1.0)),  // dup of kept 2 (+y)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.incrementalSemanticWithIndex(batch, reloaded, "vec_id", "embedding", t)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(100L) == ((false, Some(1L))), out.toString)
+    assert(out(101L) == ((true, None)), out.toString)
+    assert(out(102L) == ((false, Some(2L))), out.toString)
+    assert(out.size == 3)
+
+    // an index built at a different threshold refuses, never silently
+    // changes recall
+    val ex = intercept[Exception] {
+      Dedup.incrementalSemanticWithIndex(batch, reloaded, "vec_id", "embedding", 0.5)
+        .collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("rebuild the index"),
+      ex.getMessage)
+  }
+
   test("exact index shards by hash when one filter would breach the size bound") {
     val corpus = docs.filter(col("doc_id") < 250)
     val batch  = docs.filter(col("doc_id") >= 250)
