@@ -346,11 +346,40 @@ object Bench {
     val winSec = (System.nanoTime() - t2) / 1e9
     winQ.stop()
 
+    // --- semantic-claims twin (in-scan centroid assign + per-cell survivor
+    // state; centroid build is artifact prep, outside the timed region)
+    val embTable = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val semCents = graft.operators.Similarity
+      .kmeansCentroids(embTable, "vec_id", "embedding", 16, 2)
+      .localCheckpoint(true)
+    val embRows = embTable.orderBy("vec_id")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .zipWithIndex.map { case ((id, vec), i) =>
+        (id, vec, new java.sql.Timestamp(1600000000000L + i * 1000L)) }
+    val semIn = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val semQ = StreamingOps.semanticClaims(
+        semIn.toDS().toDF("doc_id", "vec", "ts"), "doc_id", "vec", "ts",
+        semCents, "cent_id", "cent_vec", threshold = 0.4,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("bench_stream_sem")
+      .outputMode("append").start()
+    val t3 = System.nanoTime()
+    embRows.grouped(math.max(1, embRows.length / 5)).foreach { chunk =>
+      semIn.addData(chunk.toIndexedSeq)
+      semQ.processAllAvailable()
+    }
+    val semSec = (System.nanoTime() - t3) / 1e9
+    semQ.stop()
+
     s"""{"sessionize_rows_per_sec":${fmt0(events.length / math.max(sessSec, 1e-9))},""" +
       s""""sessionize_rows":${events.length},""" +
       s""""neardup_docs_per_sec":${fmt0(docs.length / math.max(dupSec, 1e-9))},""" +
       s""""neardup_docs":${docs.length},""" +
       s""""winhits_docs_per_sec":${fmt0(docs.length / math.max(winSec, 1e-9))},""" +
-      s""""winhits_docs":${docs.length}}"""
+      s""""winhits_docs":${docs.length},""" +
+      s""""semantic_vecs_per_sec":${fmt0(embRows.length / math.max(semSec, 1e-9))},""" +
+      s""""semantic_vecs":${embRows.length}}"""
   }
 }

@@ -421,4 +421,139 @@ object StreamingOps {
           }
       }
   }
+
+  final case class SemRow(cell: Long, doc_id: Long, vec: Array[Float],
+                          ts: java.sql.Timestamp)
+  /** Per-cell kept survivors: parallel ids/last-hit arrays plus the
+    * row-major flattened vectors. */
+  final case class SemCellState(ids: Array[Long], lastMs: Array[Long],
+                                vecs: Array[Float], dim: Int)
+  final case class SemClaim(doc_id: Long, dup_of: Long, cell: Long,
+                            ts: java.sql.Timestamp)
+
+  /** Streaming semantic dedup — the ONLINE GREEDY COVER twin of
+    * [[graft.operators.Dedup.incrementalSemanticWithIndex]] for an
+    * unbounded embedding ingest: each arriving vector assigns to its
+    * nearest centroid IN-SCAN (the centroid table is collected once at
+    * build — no per-batch join), then compares against the cell's KEPT
+    * survivors in state. A doc with a kept doc at cosine ≥ `threshold`
+    * emits a [[SemClaim]] against the EARLIEST (lowest-id) such survivor
+    * and is not kept; otherwise it joins the kept set.
+    *
+    * Note the kept-only comparison is the online form of SemDeDup's
+    * greedy rule, not byte-identical to the batch operator's
+    * any-predecessor `dup_of` attribution: in a chain (3 ~ 2 ~ 1 with
+    * 3 !~ 1) the batch prune drops 3 against 2, while here 2 was never
+    * kept, so 3 survives. That is the standard online greedy cover — no
+    * kept pair is ever within the threshold, the same invariant the
+    * batch operator guarantees for its kept set.
+    *
+    * State per cell: survivor ids + vectors, each evicted `ttlMinutes`
+    * after its last claim (arrival or duplicate hit) — the usual
+    * streaming recall/memory trade (a duplicate of an expired survivor
+    * re-claims the cell). `maxKeptPerCell` bounds the vectors a single
+    * cell can hold; breaching it refuses loudly (REBUILD with more
+    * centroids — a silent eviction would quietly stop deduplicating the
+    * stream's densest region).
+    */
+  def semanticClaims(docs: DataFrame, idCol: String, vecCol: String, tsCol: String,
+                     centroids: DataFrame, centroidId: String, centroidVec: String,
+                     threshold: Double = 0.9,
+                     watermark: String = "10 minutes",
+                     ttlMinutes: Int = 60,
+                     maxKeptPerCell: Int = 4096): Dataset[SemClaim] = {
+    import docs.sparkSession.implicits._
+    docs.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"semanticClaims needs an integral id column ('$idCol' is $other) — " +
+          "derive one (e.g. xxhash64 of the string id) before calling")
+    }
+    val ttlMs = ttlMinutes.toLong * 60L * 1000L
+    val assigned = graft.operators.Similarity.ivfAssign(
+        docs.withWatermark(tsCol, watermark)
+          .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
+            col(vecCol).cast("array<float>").as("vec"))
+          .filter(col("vec").isNotNull),
+        "doc_id", "vec", centroids, centroidId, centroidVec)
+      .select(col("cell").cast("long").as("cell"), col("doc_id"), col("vec"), col("ts"))
+    assigned.as[SemRow]
+      .groupByKey(_.cell)
+      .flatMapGroupsWithState[SemCellState, SemClaim](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (cellKey: Long, rows: Iterator[SemRow], state: GroupState[SemCellState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          // live survivors, TTL-pruned on load
+          val ids    = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val lastMs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val vecs   = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+          state.getOption.foreach { s =>
+            var i = 0
+            while (i < s.ids.length) {
+              if (s.lastMs(i) + ttlMs > wmMs) {
+                ids += s.ids(i); lastMs += s.lastMs(i)
+                vecs += java.util.Arrays.copyOfRange(s.vecs, i * s.dim, (i + 1) * s.dim)
+              }
+              i += 1
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[SemClaim]
+          var dim = state.getOption.map(_.dim).getOrElse(0)
+          if (!state.hasTimedOut) {
+            val sorted = rows.toArray
+            java.util.Arrays.sort(sorted, (a: SemRow, b: SemRow) => {
+              val c = java.lang.Long.compare(a.ts.getTime, b.ts.getTime)
+              if (c != 0) c else java.lang.Long.compare(a.doc_id, b.doc_id)
+            })
+            sorted.foreach { r =>
+              if (dim == 0) dim = r.vec.length
+              val tsMs = r.ts.getTime
+              // earliest kept match = min id over cosine >= threshold
+              var best = -1
+              var i = 0
+              while (i < ids.length) {
+                if ((best < 0 || ids(i) < ids(best)) &&
+                    cosine(r.vec, vecs(i)) >= threshold) best = i
+                i += 1
+              }
+              if (best >= 0) {
+                out += SemClaim(r.doc_id, ids(best), cellKey, r.ts)
+                if (tsMs > lastMs(best)) lastMs(best) = tsMs
+              } else {
+                require(ids.length < maxKeptPerCell,
+                  s"semanticClaims: cell $cellKey exceeded maxKeptPerCell=$maxKeptPerCell " +
+                    "survivors — rebuild with more centroids (a silent eviction would stop " +
+                    "deduplicating the densest region)")
+                ids += r.doc_id; lastMs += tsMs; vecs += r.vec
+              }
+            }
+          }
+          if (ids.isEmpty) {
+            state.remove()
+          } else {
+            val flat = new Array[Float](ids.length * dim)
+            var i = 0
+            while (i < ids.length) {
+              System.arraycopy(vecs(i), 0, flat, i * dim, dim); i += 1
+            }
+            state.update(SemCellState(ids.toArray, lastMs.toArray, flat, dim))
+            state.setTimeoutTimestamp(math.max(lastMs.max + ttlMs, wmMs + 1L))
+          }
+          out.iterator
+      }
+  }
+
+  /** Deterministic double-precision cosine, matching the batch
+    * [[graft.functions.VectorFunctions]] fold order. */
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
+  }
 }

@@ -552,4 +552,109 @@ class StreamingSpec extends AnyFunSuite {
     // the late 09:30 row must NOT appear (no 09:00 window, sum stays 3.0)
     assert(out == Set(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
   }
+
+  test("streaming semantic claims: online greedy cover, chain case, TTL re-claim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    // static centroid table: +x and +y cells
+    val cents = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)))
+      .toDF("cent_id", "cent_vec")
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val docs = input.toDF().toDF("ts", "doc_id", "vec")
+    val q = StreamingOps.semanticClaims(docs, "doc_id", "vec", "ts",
+        cents, "cent_id", "cent_vec", threshold = 0.97,
+        watermark = "0 seconds", ttlMinutes = 60)
+      .writeStream.format("memory").queryName("sem_claims").outputMode("append").start()
+    def claims = spark.table("sem_claims")
+      .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+    // 1 claims +x; 2 (cos ~0.9998 vs 1) duplicates it; 10 claims +y
+    input.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, v(1.0, 0.0)),
+      (Timestamp.valueOf("2024-01-01 10:00:10"), 2L, v(1.0, 0.02)),
+      (Timestamp.valueOf("2024-01-01 10:00:20"), 10L, v(0.0, 1.0)))
+    q.processAllAvailable()
+    assert(claims == Set((2L, 1L)), claims)
+    // CHAIN case (the online-cover semantics this operator documents):
+    // 3 is within threshold of the NON-kept 2 but not of kept 1 — since
+    // only survivors are compared, 3 claims the cell instead of dropping
+    input.addData((Timestamp.valueOf("2024-01-01 10:01:00"), 3L, v(1.0, 0.26)))
+    q.processAllAvailable()
+    assert(claims == Set((2L, 1L)), claims) // cos(1, 3) ~0.968 < 0.97 -> kept
+    // a dup of 3 now attributes to 3 (and NOT to 1)
+    input.addData((Timestamp.valueOf("2024-01-01 10:02:00"), 4L, v(1.0, 0.27)))
+    q.processAllAvailable()
+    assert(claims == Set((2L, 1L), (4L, 3L)), claims)
+    // push the watermark far past the TTL with an OBLIQUE vector (cos
+    // ~0.707-0.86 vs every survivor — it claims, never collides): the
+    // watermark doc itself still sees pre-eviction state, eviction lands
+    // on the NEXT batch
+    input.addData((Timestamp.valueOf("2024-01-03 00:00:00"), 90L, v(1.0, 1.0)))
+    q.processAllAvailable()
+    input.addData((Timestamp.valueOf("2024-01-03 00:01:00"), 5L, v(1.0, 0.0)))
+    q.processAllAvailable()
+    assert(claims == Set((2L, 1L), (4L, 3L)), claims)
+    // ...and the next +x twin duplicates the NEW claimant 5
+    input.addData((Timestamp.valueOf("2024-01-03 00:02:00"), 6L, v(1.0, 0.01)))
+    q.processAllAvailable()
+    q.stop()
+    assert(claims == Set((2L, 1L), (4L, 3L), (6L, 5L)), claims)
+  }
+
+  test("streaming semantic claims match a driver online-greedy mirror (sf0.001)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, Similarity}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val t = 0.4
+    // the same coarse quantizer the batch family uses, collected once
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8, 2)
+      .localCheckpoint(true)
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val timed = emb.orderBy("vec_id")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+      .zipWithIndex.map { case ((id, vec), i) => (new Timestamp(base + i * 1000L), id, vec) }
+
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val q = StreamingOps.semanticClaims(input.toDF().toDF("ts", "doc_id", "vec"),
+        "doc_id", "vec", "ts", cents, "cent_id", "cent_vec", threshold = t,
+        watermark = "0 seconds", ttlMinutes = 60)
+      .writeStream.format("memory").queryName("sem_parity").outputMode("append").start()
+    // two chunks so state round-trips the store between batches
+    timed.grouped(250).foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+    val streamed = spark.table("sem_parity")
+      .select("doc_id", "dup_of", "cell").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+
+    // driver mirror: identical cell assignment (batch ivfAssign over the
+    // SAME collected centroids), then the online greedy cover in (ts, id)
+    // order with an independent cosine implementation
+    val assigned = Similarity.ivfAssign(
+        emb.select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("v")),
+        "id", "v", cents, "cent_id", "cent_vec")
+      .select(col("cell").cast("long"), col("id"), col("v"))
+      .as[(Long, Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (k <- a.indices) { d += a(k).toDouble * b(k); na += a(k).toDouble * a(k); nb += b(k).toDouble * b(k) }
+      if (na == 0 || nb == 0) 0.0 else d / math.sqrt(na * nb)
+    }
+    val expected = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    assigned.groupBy(_._1).foreach { case (cell, members) =>
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+      members.sortBy(_._2).foreach { case (_, id, vec) =>
+        val hit = kept.filter { case (_, kv) => cos(vec, kv) >= t }
+          .sortBy(_._1).headOption
+        hit match {
+          case Some((kid, _)) => expected += ((id, kid, cell))
+          case None           => kept += ((id, vec))
+        }
+      }
+    }
+    assert(streamed == expected.toSet,
+      s"streamed=${streamed.size} expected=${expected.size} " +
+        s"diff=${(streamed diff expected.toSet).take(3)} ${(expected.toSet diff streamed).take(3)}")
+    assert(streamed.nonEmpty, "fixture should contain semantic dups at t=0.4")
+  }
 }
