@@ -308,6 +308,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p.take(2500))
   }
 
+  test("incremental semantic: batch assigns in-scan, kept join never cartesian") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val index = graft.operators.Dedup.buildSemanticIndex(
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding", threshold = 0.4,
+      nCells = 8, kmeansIters = 2)
+    val p = graft.operators.Dedup.incrementalSemanticWithIndex(
+        emb.filter(col("vec_id") >= 250), index, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("nearestcells"), p.take(2500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
+
   test("semdedup: cell assignment stays in-scan, no cartesian anywhere") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Dedup
