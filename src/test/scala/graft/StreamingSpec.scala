@@ -553,6 +553,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
   }
 
+  test("near-dup and window-hit outputs are invariant to the state grouping") {
+    // stateGroups is a STORAGE layout, never semantics: any value must
+    // produce the identical collision/hit set (the degenerate 1-group case
+    // funnels every key through one state row)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val timed = docs.unionByName(docs.filter(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .orderBy("doc_id").as[(Long, String)].collect().zipWithIndex
+      .map { case ((id, text), i) => (new Timestamp(base + i * 1000L), id, text) }
+    def run(groups: Int): Set[(Long, Long, Int, Long)] = {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val q = StreamingOps.nearDupCollisions(in.toDF().toDF("ts", "doc_id", "text"),
+          "text", "doc_id", "ts", watermark = "0 seconds", stateGroups = groups)
+        .writeStream.format("memory").queryName(s"ndg_$groups")
+        .outputMode("append").start()
+      timed.grouped(300).foreach { c => in.addData(c.toIndexedSeq); q.processAllAvailable() }
+      val out = spark.table(s"ndg_$groups")
+        .select("doc_id", "dup_of", "band", "bucket")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      q.stop()
+      out
+    }
+    val a = run(1)
+    val b = run(1024)
+    assert(a == b && a.nonEmpty, s"1-group=${a.size} 1024-group=${b.size}")
+  }
+
   test("streaming semantic claims: online greedy cover, chain case, TTL re-claim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
