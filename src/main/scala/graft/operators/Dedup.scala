@@ -568,7 +568,13 @@ object Dedup {
     * join: survivors within a cell are pairwise BELOW the threshold (the
     * greedy prune guarantees it), so a dense near-duplicate blob
     * contributes ~one kept doc per split sub-cell no matter how many
-    * duplicates it held. `threshold` rides as a column so a mismatched
+    * duplicates it held. Survivors are keyed by TOP-LEVEL cell (batch
+    * docs can be assigned in-scan only against the collected centroid
+    * table, not the corpus-member split seeds), so the per-batch-doc
+    * comparison set is the top cell's whole survivor list — for a corpus
+    * whose top cells stay semantically diverse after dedup, size the top
+    * level up (`nCells`) rather than relying on splits, which only shrink
+    * the BUILD's pair join. `threshold` rides as a column so a mismatched
     * query refuses per row instead of silently changing recall. */
   final case class SemanticIndex(centroids: DataFrame, kept: DataFrame)
 
@@ -682,6 +688,9 @@ object Dedup {
             .cast("double").as("score"),
           (-col("__sidx")).as("negidx")))
         .groupBy("id")
+        // first() is formally non-deterministic, but cell and __v are
+        // functionally determined by the unique id within `mem`, so every
+        // pick yields the same value
         .agg(max(col("__cand")).as("__b"),
           first(col("cell")).as("cell"), first(col("__v")).as("__v"))
         .select(col("id"), col("__v"),
