@@ -26,11 +26,11 @@ object Bench {
     // scale incl. its in-plan property verification), gopher rules (full
     // corpus scan of integer-exact gates)
     "load_netcdf_cf", "pipeline_semdedup", "text_gopher_rules",
-    // r9: the minhash-LSH PIPELINE in isolation — the registered
-    // dedup_minhash_lsh row deliberately includes its in-plan ground-truth
-    // verification (SURVEY §9), which would hide a sketch-pipeline
-    // regression inside verification noise; this row makes one attributable
-    "dedup_minhash_lsh_pipeline")
+    // r9: the minhash-LSH and semdedup PIPELINES in isolation — the
+    // registered rows deliberately include their in-plan property
+    // verification (SURVEY §9), which would hide a pipeline regression
+    // inside verification noise; these rows make one attributable
+    "dedup_minhash_lsh_pipeline", "pipeline_semdedup_pipeline")
 
   /** Bench-only rows (NOT registered gate queries — correctness for these
     * paths is carried by the gate rows that wrap them in verification).
@@ -46,7 +46,11 @@ object Bench {
     "dedup_minhash_lsh_pipeline" -> ((s, dir) =>
       graft.operators.Dedup.minhashLsh(
         s.read.parquet(s"$dir/documents.parquet"), "text", "doc_id",
-        shingleWords = 3, bands = 32, rowsPerBand = 4, threshold = 0.5)))
+        shingleWords = 3, bands = 32, rowsPerBand = 4, threshold = 0.5)),
+    "pipeline_semdedup_pipeline" -> ((s, dir) =>
+      graft.operators.Dedup.semanticDedup(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        threshold = 0.4, nCells = 8, kmeansIters = 2)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
