@@ -302,4 +302,40 @@ class PropertySpec extends AnyFunSuite {
       if (toks.distinct.size > 1) assert(!h42.sameElements(hG))
     }
   }
+
+  test("julian calendar kernel matches an independent year-stepping reference") {
+    // CfCalendarDate decomposes the day count via 1461-day cycles; this
+    // reference walks year by year with the bare leap rule (every 4th
+    // year, no century exception) — a different algorithm, so a shared
+    // arithmetic slip cannot satisfy both.
+    def leap(y: Long) = y % 4 == 0
+    def mlen(y: Long) =
+      Array(31, if (leap(y)) 29 else 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31)
+    def refJulian(ey: Long, em: Int, ed: Int, offsetDays: Long): String = {
+      var days = (0L until ey).map(y => if (leap(y)) 366L else 365L).sum +
+        mlen(ey).take(em - 1).map(_.toLong).sum + (ed - 1) + offsetDays
+      var year = 0L
+      while (days >= (if (leap(year)) 366 else 365)) {
+        days -= (if (leap(year)) 366 else 365); year += 1
+      }
+      var m = 0
+      val ml = mlen(year)
+      while (days >= ml(m)) { days -= ml(m); m += 1 }
+      f"$year%04d-${m + 1}%02d-${days + 1}%02d 00:00:00"
+    }
+    val gen = for {
+      ey <- Gen.chooseNum(1L, 2200L)
+      em <- Gen.chooseNum(1, 12)
+      ed <- Gen.chooseNum(1, 28)
+      off <- Gen.chooseNum(0L, 400000L) // ~1100 years of day offsets
+    } yield (ey, em, ed, off)
+    samples(gen, 300).foreach { case (ey, em, ed, off) =>
+      val got = graft.sources.CfCalendarDate.format(
+        f"$ey%04d-$em%02d-$ed%02d", off * 86400.0, "julian")
+      assert(got == refJulian(ey, em, ed, off), s"epoch $ey-$em-$ed + $off d")
+    }
+    // the decisive century case straight out: 1900 IS a julian leap year
+    assert(graft.sources.CfCalendarDate.format("1900-01-01", 59 * 86400.0, "julian")
+      == "1900-02-29 00:00:00")
+  }
 }
