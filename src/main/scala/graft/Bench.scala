@@ -352,7 +352,9 @@ object Bench {
 
     // --- semantic-claims twin (in-scan centroid assign + per-cell survivor
     // state; centroid build is artifact prep, outside the timed region)
-    val embTable = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // capped like the sibling feeds (50k events / 5k docs) so the
+    // driver-side collect stays bench-sized at any scale factor
+    val embTable = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(5000)
     val semCents = graft.operators.Similarity
       .kmeansCentroids(embTable, "vec_id", "embedding", 16, 2)
       .localCheckpoint(true)

@@ -1669,7 +1669,7 @@ object SparkEntry {
         .filter(graft.functions.VectorFunctions.vec_cosine(col("__bv"), col("vec")) >= t)
         .count()
       import s.implicits._
-      Seq((res.count(), badFlag, notEarliest, missed, res.filter(!col("keep")).count() > 0))
+      Seq((res.count(), badFlag, notEarliest, missed, flagged.count() > 0))
         .toDF("n_total", "bad_flag", "not_earliest", "missed", "any_flagged")
     }),
 

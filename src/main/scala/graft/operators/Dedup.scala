@@ -606,7 +606,11 @@ object Dedup {
     * a kept doc at cosine ≥ threshold (`dup_of` = the EARLIEST such kept
     * id). Same cluster approximation as [[semanticDedup]]: a duplicate
     * whose nearest centroid differs from its corpus twin's is missed.
-    * Output: (id, top_cell, keep, dup_of) for every batch doc. */
+    * Output: (id, top_cell, keep, dup_of) for EVERY batch doc — a doc
+    * with a null vector has nothing to compare and comes back keep=true
+    * with a null top_cell. Batch ids must be unique and non-null after
+    * the long cast (same check as the build: a shared id would merge two
+    * docs' match sets and flag the wrong row). */
   def incrementalSemanticWithIndex(
       batch: DataFrame,
       index: SemanticIndex,
@@ -617,15 +621,19 @@ object Dedup {
     require(batch.schema(idCol).dataType.isInstanceOf[NumericType],
       s"incrementalSemanticWithIndex: id column '$idCol' is " +
         s"${batch.schema(idCol).dataType.simpleString} — derive a numeric id first")
+    val b = batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+    val stats = b.agg(count(lit(1)), count_distinct(col("id"))).head()
+    require(stats.getLong(1) == stats.getLong(0),
+      s"incrementalSemanticWithIndex: id column '$idCol' has " +
+        s"${stats.getLong(0) - stats.getLong(1)} duplicate or null values after the " +
+        "long cast — a shared id merges two docs' match sets; derive a unique id first")
     // per-row guard, matching crossNearDupWithIndex's convention: an index
     // built at a different threshold has a different kept set — querying
     // it would silently change recall
     val guarded = index.kept.filter(coalesce(assert_true(col("threshold") === threshold,
       concat(lit("semantic index built at threshold "), col("threshold"),
         lit(s" != $threshold — rebuild the index"))), lit(true)))
-    val assignedB = Similarity.ivfAssign(
-        batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-          .filter(col("__v").isNotNull),
+    val assignedB = Similarity.ivfAssign(b.filter(col("__v").isNotNull),
         "id", "__v", index.centroids, "cent_id", "cent_vec")
       .select(col("id"), col("__v"), col("cell").cast("string").as("top_cell"))
     val matches = assignedB
@@ -635,6 +643,9 @@ object Dedup {
         >= threshold)
       .groupBy("id").agg(min(col("__kid")).as("dup_of"))
     assignedB.select("id", "top_cell")
+      // vectorless docs re-enter here so the output covers the WHOLE batch
+      .unionByName(b.filter(col("__v").isNull)
+        .select(col("id"), lit(null).cast("string").as("top_cell")))
       .join(matches, Seq("id"), "left")
       .select(col("id"), col("top_cell"),
         col("dup_of").isNull.as("keep"), col("dup_of"))

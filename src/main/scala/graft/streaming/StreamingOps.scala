@@ -424,10 +424,10 @@ object StreamingOps {
 
   final case class SemRow(cell: Long, doc_id: Long, vec: Array[Float],
                           ts: java.sql.Timestamp)
-  /** Per-cell kept survivors: parallel ids/last-hit arrays plus the
-    * row-major flattened vectors. */
+  /** Per-cell kept survivors: parallel ids/last-hit/vector arrays (vectors
+    * nested, so ragged dimensions cannot corrupt neighbours' slots). */
   final case class SemCellState(ids: Array[Long], lastMs: Array[Long],
-                                vecs: Array[Float], dim: Int)
+                                vecs: Array[Array[Float]])
   final case class SemClaim(doc_id: Long, dup_of: Long, cell: Long,
                             ts: java.sql.Timestamp)
 
@@ -470,12 +470,21 @@ object StreamingOps {
         s"semanticClaims needs an integral id column ('$idCol' is $other) — " +
           "derive one (e.g. xxhash64 of the string id) before calling")
     }
+    centroids.schema(centroidId).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"semanticClaims needs an integral centroid id column ('$centroidId' is $other) — " +
+          "a silent long cast would null every cell key mid-stream")
+    }
     val ttlMs = ttlMinutes.toLong * 60L * 1000L
     val assigned = graft.operators.Similarity.ivfAssign(
         docs.withWatermark(tsCol, watermark)
           .select(col(idCol).cast("long").as("doc_id"), col(tsCol).as("ts"),
             col(vecCol).cast("array<float>").as("vec"))
-          .filter(col("vec").isNotNull),
+          // null or EMPTY vectors carry no semantics: cosine is 0 against
+          // everything, but an empty-vec doc would still claim a cell slot
+          .filter(col("vec").isNotNull && size(col("vec")) > 0),
         "doc_id", "vec", centroids, centroidId, centroidVec)
       .select(col("cell").cast("long").as("cell"), col("doc_id"), col("vec"), col("ts"))
     assigned.as[SemRow]
@@ -492,14 +501,12 @@ object StreamingOps {
             var i = 0
             while (i < s.ids.length) {
               if (s.lastMs(i) + ttlMs > wmMs) {
-                ids += s.ids(i); lastMs += s.lastMs(i)
-                vecs += java.util.Arrays.copyOfRange(s.vecs, i * s.dim, (i + 1) * s.dim)
+                ids += s.ids(i); lastMs += s.lastMs(i); vecs += s.vecs(i)
               }
               i += 1
             }
           }
           val out = scala.collection.mutable.ArrayBuffer.empty[SemClaim]
-          var dim = state.getOption.map(_.dim).getOrElse(0)
           if (!state.hasTimedOut) {
             val sorted = rows.toArray
             java.util.Arrays.sort(sorted, (a: SemRow, b: SemRow) => {
@@ -507,7 +514,6 @@ object StreamingOps {
               if (c != 0) c else java.lang.Long.compare(a.doc_id, b.doc_id)
             })
             sorted.foreach { r =>
-              if (dim == 0) dim = r.vec.length
               val tsMs = r.ts.getTime
               // earliest kept match = min id over cosine >= threshold
               var best = -1
@@ -532,12 +538,7 @@ object StreamingOps {
           if (ids.isEmpty) {
             state.remove()
           } else {
-            val flat = new Array[Float](ids.length * dim)
-            var i = 0
-            while (i < ids.length) {
-              System.arraycopy(vecs(i), 0, flat, i * dim, dim); i += 1
-            }
-            state.update(SemCellState(ids.toArray, lastMs.toArray, flat, dim))
+            state.update(SemCellState(ids.toArray, lastMs.toArray, vecs.toArray))
             state.setTimeoutTimestamp(math.max(lastMs.max + ttlMs, wmMs + 1L))
           }
           out.iterator
