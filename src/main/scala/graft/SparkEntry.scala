@@ -1624,6 +1624,32 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "dedup_paragraphs" -> ((s, dir) => {
+      // corpus-wide exact paragraph dedup (RefinedWeb/MassiveText recipe).
+      // The corpus is single-line, so the query builds a deterministic
+      // multi-paragraph twin — each doc becomes (text ¶ shared-boilerplate
+      // keyed by doc_id%7 ¶ prefix50) — and the oracle applies the
+      // identical construction; the shared paragraph gives cross-document
+      // dups, the prefix gives same-first-50-chars collisions, and the
+      // corpus's own exact-dup docs duplicate everything
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("shared boilerplate "), (col("doc_id") % 7).cast(StringType)),
+          substring(col("text"), 1, 50)).as("text"))
+      Dedup.duplicateParagraphMarks(docs, "text", "doc_id")
+        .orderBy("doc_id", "para_idx")
+    }),
+
+    "dedup_paragraphs_clean" -> ((s, dir) => {
+      // the application: rebuild each doc from its surviving paragraphs
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"),
+          concat(lit("shared boilerplate "), (col("doc_id") % 7).cast(StringType)),
+          substring(col("text"), 1, 50)).as("text"))
+      Dedup.removeDuplicateParagraphs(docs, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "dedup_incremental_semantic" -> ((s, dir) => {
       // semantic recrawl: new embeddings (vec_id >= 250) against the
       // standing corpus (< 250) held as a precomputed SemanticIndex
@@ -3545,6 +3571,54 @@ object SparkEntry {
     "ann_recall_check" ->
       """SELECT * FROM (VALUES ('ivf', TRUE), ('lsh', TRUE)) AS t(method, recall_ok)
         |ORDER BY method""".stripMargin,
+
+    // paragraph-dedup oracle: the identical deterministic multi-paragraph
+    // construction, then first-(doc,idx)-per-identical-paragraph in plain
+    // SQL (the engine compares 128-bit hashes; the oracle compares the
+    // paragraph text itself, so a hash bug cannot satisfy both)
+    "dedup_paragraphs" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text || chr(10) || 'shared boilerplate ' ||
+        |         CAST(doc_id % 7 AS VARCHAR) || chr(10) || substring(text, 1, 50) AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, r.i, trim(parts[r.i]) AS para
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS parts FROM docs2),
+        |       UNNEST(range(1, len(parts) + 1)) AS r(i)
+        |  WHERE trim(parts[r.i]) <> ''),
+        |idx AS (
+        |  SELECT doc_id, para,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS para_idx
+        |  FROM p)
+        |SELECT doc_id, CAST(para_idx AS BIGINT) AS para_idx,
+        |       row_number() OVER (PARTITION BY para
+        |                          ORDER BY doc_id * 1000000000 + para_idx) = 1 AS keep
+        |FROM idx ORDER BY doc_id, para_idx""".stripMargin,
+
+    "dedup_paragraphs_clean" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text || chr(10) || 'shared boilerplate ' ||
+        |         CAST(doc_id % 7 AS VARCHAR) || chr(10) || substring(text, 1, 50) AS text
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, r.i, trim(parts[r.i]) AS para
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS parts FROM docs2),
+        |       UNNEST(range(1, len(parts) + 1)) AS r(i)
+        |  WHERE trim(parts[r.i]) <> ''),
+        |idx AS (
+        |  SELECT doc_id, para,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS para_idx
+        |  FROM p),
+        |marked AS (
+        |  SELECT doc_id, para, para_idx,
+        |         row_number() OVER (PARTITION BY para
+        |                            ORDER BY doc_id * 1000000000 + para_idx) = 1 AS keep
+        |  FROM idx)
+        |SELECT d.doc_id, COALESCE(s.t, '') AS clean_text
+        |FROM docs2 d LEFT JOIN (
+        |  SELECT doc_id, string_agg(para, chr(10) ORDER BY para_idx) AS t
+        |  FROM marked WHERE keep GROUP BY doc_id) s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // property-style (pipeline_semdedup convention): clustering rows are
     // not portable, the incremental-dedup invariants are; n_total

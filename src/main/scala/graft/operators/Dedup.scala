@@ -1148,4 +1148,63 @@ object Dedup {
         array_join(col("__kept"), " ").as("clean_text"),
         size(col("__kept")).cast(LongType).as("n_tokens_kept"))
   }
+
+  // ------------------------------------------------------ paragraph dedup
+
+  /** Corpus-wide exact PARAGRAPH dedup marks (the RefinedWeb/MassiveText
+    * recipe between document-exact and substring dedup): split each doc
+    * on newlines, trim, drop blank lines, and mark every paragraph whose
+    * exact text occurred earlier in the corpus — the lexicographically
+    * first (doc_id, para_idx) occurrence survives.
+    *
+    * Scale shape mirrors [[exactSubstringSpans]]: each paragraph hashes
+    * to a 128-bit key (two independent xxhash64 lanes) INSIDE the scan,
+    * so only fixed-width rows enter the one exchange (paragraph text
+    * never shuffles); the canonical pick is a window min over the packed
+    * (doc, idx) key. A 2⁻¹²⁸ collision can only over-mark.
+    *
+    * Output: (doc_id, para_idx, keep) for every non-blank paragraph,
+    * para_idx counting non-blank paragraphs from 0. */
+  def duplicateParagraphMarks(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val paras = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(filter(transform(split(col(textCol), "\n"), p => trim(p)),
+          p => p =!= "")))
+      .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
+        xxhash64(col("col")).as("h1"), xxhash64(col("col"), lit(7)).as("h2"))
+      // packed canonical key (same range guard as the substring family)
+      .filter(coalesce(assert_true(
+        col("doc_id").between(0L, Long.MaxValue / 1000000000L - 1) &&
+          col("para_idx") < 1000000000L,
+        lit("duplicateParagraphMarks: doc_id/para_idx outside the packed-key range")),
+        lit(true)))
+      .withColumn("__k", col("doc_id") * lit(1000000000L) + col("para_idx"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h1", "h2").orderBy("__k")
+    paras
+      .withColumn("keep", row_number().over(w) === 1)
+      .select("doc_id", "para_idx", "keep")
+  }
+
+  /** The application of [[duplicateParagraphMarks]]: rebuild each doc's
+    * text from its surviving paragraphs (newline-joined, original order).
+    * Docs whose every paragraph was marked come back with empty text —
+    * exactly the rows a downstream length gate drops. */
+  def removeDuplicateParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keptIdx = duplicateParagraphMarks(df, textCol, idCol)
+      .filter(col("keep"))
+      .groupBy("doc_id").agg(collect_list(col("para_idx")).as("__kidx"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        filter(transform(split(col(textCol), "\n"), p => trim(p)), p => p =!= "")
+          .as("__paras"))
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(
+          filter(zip_with(col("__paras"),
+              sequence(lit(0L), greatest(size(col("__paras")).cast(LongType) - 1, lit(0L))),
+              (p, i) => when(array_contains(coalesce(col("__kidx"),
+                array().cast("array<long>")), i), p)
+                .otherwise(lit(null).cast(StringType))),
+            x => x.isNotNull),
+          "\n").as("clean_text"))
+  }
 }

@@ -261,6 +261,30 @@ class DedupSpec extends AnyFunSuite {
     assert(res.size == 6)
   }
 
+  test("paragraph dedup: first occurrence wins, clean rebuilds in order") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared line\ngamma"),
+      (2L, "shared line\n\n  \ndelta"),          // blank/whitespace lines drop
+      (3L, "alpha beta\nalpha beta"),            // in-doc duplicate
+      (4L, "   "),                               // no non-blank paragraphs
+    ).toDF("doc_id", "text")
+    val marks = Dedup.duplicateParagraphMarks(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    // doc 1 owns everything it says first; doc 2's 'shared line' loses to
+    // doc 1's; blank lines never index (delta is doc 2's para_idx 1)
+    assert(marks == Map(
+      (1L, 0L) -> true, (1L, 1L) -> true, (1L, 2L) -> true,
+      (2L, 0L) -> false, (2L, 1L) -> true,
+      (3L, 0L) -> false, (3L, 1L) -> false), marks.toString)
+    val clean = Dedup.removeDuplicateParagraphs(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L) == "alpha beta\nshared line\ngamma")
+    assert(clean(2L) == "delta")
+    assert(clean(3L) == "")   // every paragraph was someone else's first
+    assert(clean(4L) == "")   // nothing to keep
+    assert(clean.size == 4)
+  }
+
   test("semantic dedup refuses a non-numeric id column") {
     val df = Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f))).toDF("doc", "embedding")
     val e = intercept[IllegalArgumentException] {
