@@ -1624,6 +1624,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    "text_normalize" -> ((s, dir) => {
+      // canonical normalization (NFC + line endings + controls +
+      // whitespace): the fixture is ASCII, so both engines append the same
+      // messy suffix — a decomposed e+U+0301 (must compose to é), CRLF,
+      // a control byte, tab runs, newline-hugging spaces
+      val messy = concat(col("text"),
+        lit("  cafe"), lit("\u0301"), lit(" \t x\r\n  y "),
+        lit("\u0001"), lit("z"))
+      T(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.normalizeText(messy).as("norm"),
+          TextAnalysis.normalizeText(messy, lowercase = true).as("norm_lower"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_paragraphs" -> ((s, dir) => {
       // corpus-wide exact paragraph dedup (RefinedWeb/MassiveText recipe).
       // The corpus is single-line, so the query builds a deterministic
@@ -3571,6 +3585,27 @@ object SparkEntry {
     "ann_recall_check" ->
       """SELECT * FROM (VALUES ('ivf', TRUE), ('lsh', TRUE)) AS t(method, recall_ok)
         |ORDER BY method""".stripMargin,
+
+    // normalization oracle: identical messy-suffix construction, then
+    // DuckDB's nfc_normalize (same stable Unicode algorithm as
+    // java.text.Normalizer) + the identical regexp chain
+    "text_normalize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || '  cafe' || chr(769) || ' ' || chr(9) || ' x' ||
+        |         chr(13) || chr(10) || '  y ' || chr(1) || 'z' AS text
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g'),
+        |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        '[ \t]+', ' ', 'g'),
+        |      ' ?\n ?', chr(10), 'g') AS norm
+        |  FROM d)
+        |SELECT doc_id, norm, lower(norm) AS norm_lower
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // paragraph-dedup oracle: the identical deterministic multi-paragraph
     // construction, then first-(doc,idx)-per-identical-paragraph in plain

@@ -206,6 +206,53 @@ object FragmentDupStats {
   }
 }
 
+/** Unicode NFC normalization (canonical composition) as a native
+  * codegen'd expression — Spark ships no normalizer function, and the
+  * text-dedup preprocessing chain needs one (a composed é and its
+  * decomposed e + U+0301 twin must hash identically). Backed by
+  * `java.text.Normalizer`; DuckDB's `nfc_normalize` implements the same
+  * stable Unicode algorithm, so oracle parity holds. */
+case class NfcNormalize(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nfc_normalize expects string, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(NfcNormalize.compute(v.toString))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.NfcNormalize.compute($s.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static kernel, shared by interpreted and generated code. Skips the
+    * normalizer entirely for already-normalized text (the common case —
+    * isNormalized is a cheap quick-check scan). */
+  def compute(s: String): String =
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) s
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -218,4 +265,8 @@ object TextFunctions {
     * (see [[FragmentDupStats]]). */
   def fragment_dup_stats(frags: Column): Column =
     column(FragmentDupStats(expression(frags)))
+
+  /** Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfc_normalize(c: Column): Column =
+    column(NfcNormalize(expression(c)))
 }

@@ -269,6 +269,32 @@ object TextAnalysis {
         col("n_sentences") >= minSentences && !col("has_brace") && !col("has_lorem"))
   }
 
+  // ----------------------------------------------------- text normalization
+
+  /** Canonical text normalization for dedup preprocessing — the step every
+    * exact/shingle dedup should run first, or byte-different renderings of
+    * the same text (decomposed accents, CRLF, stray controls, tab runs)
+    * defeat hash equality:
+    *
+    *  1. Unicode NFC (canonical composition — é == e + U+0301), the
+    *     native [[graft.functions.NfcNormalize]] expression;
+    *  2. line endings: CRLF / lone CR → LF;
+    *  3. control characters stripped (except tab and LF, which carry
+    *     structure the later steps own);
+    *  4. space/tab runs → one space; spaces hugging a newline dropped.
+    *
+    * Optionally lowercases LAST (after NFC, so case-folding sees composed
+    * characters). Every step is a codegen'd expression; the DuckDB mirror
+    * is `nfc_normalize` + the identical regexp chain. */
+  def normalizeText(c: Column, lowercase: Boolean = false): Column = {
+    val nfc  = graft.functions.TextFunctions.nfc_normalize(c)
+    val nl   = regexp_replace(nfc, "\\r\\n|\\r", "\n")
+    val ctl  = regexp_replace(nl, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val sp   = regexp_replace(ctl, "[ \\t]+", " ")
+    val tidy = regexp_replace(sp, " ?\\n ?", "\n")
+    if (lowercase) lower(tidy) else tidy
+  }
+
   // ----------------------------------------------------------- fingerprints
 
   /** Stable document fingerprint (md5 of normalized text). */

@@ -261,6 +261,29 @@ class DedupSpec extends AnyFunSuite {
     assert(res.size == 6)
   }
 
+  test("normalizeText: NFC composition, line endings, controls, whitespace") {
+    val rows = Seq(
+      (1L, "cafe\u0301 time"),          // decomposed -> composed \u00e9
+      (2L, "caf\u00e9 time"),           // already composed: must equal doc 1
+      (3L, "a\r\nb\rc"),              // CRLF and lone CR -> LF
+      (4L, "x\u0001y\u0007z"),         // controls stripped
+      (5L, "a \t  b\t\tc"),           // tab/space runs -> one space
+      (6L, "end  \n  start"),           // spaces hugging the newline drop
+      (7L, "MiXeD Case\u0301"),         // lowercase applies AFTER composition
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n"),
+        TextAnalysis.normalizeText(col("text"), lowercase = true).as("nl"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out(1L)._1 == "caf\u00e9 time")
+    assert(out(1L)._1 == out(2L)._1, "composed and decomposed must normalize identically")
+    assert(out(3L)._1 == "a\nb\nc")
+    assert(out(4L)._1 == "xyz")
+    assert(out(5L)._1 == "a b c")
+    assert(out(6L)._1 == "end\nstart")
+    assert(out(7L)._2 == "mixed cas\u00e9", out(7L)._2)
+  }
+
   test("paragraph dedup: first occurrence wins, clean rebuilds in order") {
     val docs = Seq(
       (1L, "alpha beta\nshared line\ngamma"),
