@@ -3617,10 +3617,11 @@ object SparkEntry {
         |         CAST(doc_id % 7 AS VARCHAR) || chr(10) || substring(text, 1, 50) AS text
         |  FROM documents),
         |p AS (
-        |  SELECT doc_id, r.i, trim(parts[r.i]) AS para
+        |  SELECT doc_id, r.i,
+        |         regexp_replace(parts[r.i], '^\s+|\s+$', '', 'g') AS para
         |  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS parts FROM docs2),
         |       UNNEST(range(1, len(parts) + 1)) AS r(i)
-        |  WHERE trim(parts[r.i]) <> ''),
+        |  WHERE regexp_replace(parts[r.i], '^\s+|\s+$', '', 'g') <> ''),
         |idx AS (
         |  SELECT doc_id, para,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS para_idx
@@ -3636,10 +3637,11 @@ object SparkEntry {
         |         CAST(doc_id % 7 AS VARCHAR) || chr(10) || substring(text, 1, 50) AS text
         |  FROM documents),
         |p AS (
-        |  SELECT doc_id, r.i, trim(parts[r.i]) AS para
+        |  SELECT doc_id, r.i,
+        |         regexp_replace(parts[r.i], '^\s+|\s+$', '', 'g') AS para
         |  FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS parts FROM docs2),
         |       UNNEST(range(1, len(parts) + 1)) AS r(i)
-        |  WHERE trim(parts[r.i]) <> ''),
+        |  WHERE regexp_replace(parts[r.i], '^\s+|\s+$', '', 'g') <> ''),
         |idx AS (
         |  SELECT doc_id, para,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS para_idx

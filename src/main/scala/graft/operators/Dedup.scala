@@ -1158,19 +1158,28 @@ object Dedup {
     * first (doc_id, para_idx) occurrence survives.
     *
     * Scale shape mirrors [[exactSubstringSpans]]: each paragraph hashes
-    * to a 128-bit key (two independent xxhash64 lanes) INSIDE the scan,
-    * so only fixed-width rows enter the one exchange (paragraph text
-    * never shuffles); the canonical pick is a window min over the packed
-    * (doc, idx) key. A 2⁻¹²⁸ collision can only over-mark.
+    * to a 128-bit key (two xxhash64 lanes under DIFFERENT effective
+    * seeds — the constant hashes first, the Similarity.scala convention;
+    * a lane seeded second would be a pure function of the first and the
+    * key only 64 bits strong) INSIDE the scan, so only fixed-width rows
+    * enter the exchange (paragraph text never shuffles); the canonical
+    * pick is a map-side-combined groupBy min over the packed (doc, idx)
+    * key joined back to the marks — duplicate groups collapse BEFORE the
+    * exchange and a corpus-wide boilerplate paragraph is one aggregation
+    * key, not one window partition. A 2⁻¹²⁸ collision can only
+    * over-mark.
     *
     * Output: (doc_id, para_idx, keep) for every non-blank paragraph,
     * para_idx counting non-blank paragraphs from 0. */
   def duplicateParagraphMarks(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // "blank" = whitespace-only (trim() strips spaces alone — a tab-only
+    // line would otherwise count as a content paragraph)
+    val wsTrim = (p: Column) => regexp_replace(p, "^\\s+|\\s+$", "")
     val paras = df.select(col(idCol).cast("long").as("doc_id"),
-        posexplode(filter(transform(split(col(textCol), "\n"), p => trim(p)),
+        posexplode(filter(transform(split(col(textCol), "\n"), wsTrim),
           p => p =!= "")))
       .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
-        xxhash64(col("col")).as("h1"), xxhash64(col("col"), lit(7)).as("h2"))
+        xxhash64(col("col")).as("h1"), xxhash64(lit(7L), col("col")).as("h2"))
       // packed canonical key (same range guard as the substring family)
       .filter(coalesce(assert_true(
         col("doc_id").between(0L, Long.MaxValue / 1000000000L - 1) &&
@@ -1178,11 +1187,15 @@ object Dedup {
         lit("duplicateParagraphMarks: doc_id/para_idx outside the packed-key range")),
         lit(true)))
       .withColumn("__k", col("doc_id") * lit(1000000000L) + col("para_idx"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("h1", "h2").orderBy("__k")
-    paras
-      .withColumn("keep", row_number().over(w) === 1)
-      .select("doc_id", "para_idx", "keep")
+    // only DUPLICATED keys join back; a unique paragraph never leaves its
+    // map-side partial aggregate, and keep defaults to true on the miss
+    val canon = paras.groupBy("h1", "h2")
+      .agg(min(col("__k")).as("__canon"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("h1", "h2", "__canon")
+    paras.join(canon, Seq("h1", "h2"), "left")
+      .select(col("doc_id"), col("para_idx"),
+        (col("__canon").isNull || col("__k") === col("__canon")).as("keep"))
   }
 
   /** The application of [[duplicateParagraphMarks]]: rebuild each doc's
@@ -1193,18 +1206,15 @@ object Dedup {
     val keptIdx = duplicateParagraphMarks(df, textCol, idCol)
       .filter(col("keep"))
       .groupBy("doc_id").agg(collect_list(col("para_idx")).as("__kidx"))
+    val wsTrim = (p: Column) => regexp_replace(p, "^\\s+|\\s+$", "")
     df.select(col(idCol).cast("long").as("doc_id"),
-        filter(transform(split(col(textCol), "\n"), p => trim(p)), p => p =!= "")
+        filter(transform(split(col(textCol), "\n"), wsTrim), p => p =!= "")
           .as("__paras"))
       .join(keptIdx, Seq("doc_id"), "left")
       .select(col("doc_id"),
         array_join(
-          filter(zip_with(col("__paras"),
-              sequence(lit(0L), greatest(size(col("__paras")).cast(LongType) - 1, lit(0L))),
-              (p, i) => when(array_contains(coalesce(col("__kidx"),
-                array().cast("array<long>")), i), p)
-                .otherwise(lit(null).cast(StringType))),
-            x => x.isNotNull),
+          filter(col("__paras"), (p, i) => array_contains(
+            coalesce(col("__kidx"), array().cast("array<long>")), i.cast(LongType))),
           "\n").as("clean_text"))
   }
 }

@@ -290,6 +290,7 @@ class DedupSpec extends AnyFunSuite {
       (2L, "shared line\n\n  \ndelta"),          // blank/whitespace lines drop
       (3L, "alpha beta\nalpha beta"),            // in-doc duplicate
       (4L, "   "),                               // no non-blank paragraphs
+      (5L, "\t\ndelta\n \t "),                 // tab-only lines are blank too
     ).toDF("doc_id", "text")
     val marks = Dedup.duplicateParagraphMarks(docs, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
@@ -298,14 +299,16 @@ class DedupSpec extends AnyFunSuite {
     assert(marks == Map(
       (1L, 0L) -> true, (1L, 1L) -> true, (1L, 2L) -> true,
       (2L, 0L) -> false, (2L, 1L) -> true,
-      (3L, 0L) -> false, (3L, 1L) -> false), marks.toString)
+      (3L, 0L) -> false, (3L, 1L) -> false,
+      (5L, 0L) -> false), marks.toString) // doc 5's only paragraph is doc 2's delta
     val clean = Dedup.removeDuplicateParagraphs(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(clean(1L) == "alpha beta\nshared line\ngamma")
     assert(clean(2L) == "delta")
     assert(clean(3L) == "")   // every paragraph was someone else's first
     assert(clean(4L) == "")   // nothing to keep
-    assert(clean.size == 4)
+    assert(clean(5L) == "")   // tab-only lines never index; delta lost to doc 2
+    assert(clean.size == 5)
   }
 
   test("semantic dedup refuses a non-numeric id column") {
