@@ -322,6 +322,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("paragraph dedup: hash-key partial agg, no window sort, no text in the exchange") {
+    val p = plan("dedup_paragraphs")
+    // canonical pick is a map-side-combined aggregate over the hash keys,
+    // never a corpus-wide window sort (a boilerplate paragraph would land
+    // in ONE window partition)
+    assert(!p.contains("Window"), p.take(2500))
+    assert(p.contains("partial_min") || p.contains("HashAggregate"), p.take(2500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
+
   test("semdedup: cell assignment stays in-scan, no cartesian anywhere") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Dedup
