@@ -56,18 +56,19 @@ class CfDecodeSpec extends AnyFunSuite {
   }
 
   // synthesized single-variable entry plane for the refusal paths: one
-  // inline chunk (two big-endian int32s) + configurable .zattrs
-  private def entriesWith(attrs: String) = {
+  // inline chunk (two big-endian int32s by default) + configurable .zattrs
+  private def entriesWith(attrs: String,
+                          dtype: String = ">i4",
+                          payload: Array[Byte] = Array[Byte](0, 0, 0, 1, 0, 0, 0, 2)) = {
     import spark.implicits._
-    val payload = java.util.Base64.getEncoder.encodeToString(
-      Array[Byte](0, 0, 0, 1, 0, 0, 0, 2))
+    val b64 = java.util.Base64.getEncoder.encodeToString(payload)
     Seq(
       ("t/.zarray", "t", ".zarray", "meta", null: String, None: Option[Long], None: Option[Long],
-        Some("""{"zarr_format":2,"dtype":">i4","shape":[2],"chunks":[2],"compressor":null,"filters":null,"order":"C"}""")),
+        Some(s"""{"zarr_format":2,"dtype":"$dtype","shape":[2],"chunks":[2],"compressor":null,"filters":null,"order":"C"}""")),
       ("t/.zattrs", "t", ".zattrs", "meta", null: String, None: Option[Long], None: Option[Long],
         Some(attrs)),
       ("t/0", "t", "0", "inline", null: String, None: Option[Long], None: Option[Long],
-        Some("base64:" + payload)),
+        Some("base64:" + b64)),
     ).toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
   }
 
@@ -101,6 +102,32 @@ class CfDecodeSpec extends AnyFunSuite {
     assert(tj(3L)._1 == "1903-12-31 00:00:00") // +1460 d crosses the leap year + 3 plain
     assert(tj.values.forall(_._2 == null),
       "julian dates drift vs the instant timeline; the timestamp column must stay null")
+  }
+
+  test("_Unsigned both directions on the synthetic plane") {
+    def vals(attrs: String, dtype: String, payload: Array[Byte]): Map[Long, Option[Double]] = {
+      val e = entriesWith(attrs, dtype, payload)
+      graft.sources.CfDecode.decodeCf(
+          graft.sources.KerchunkIndex.materializeChunks(e),
+          graft.sources.KerchunkIndex.arrayMeta(e),
+          graft.sources.KerchunkIndex.attrDims(e),
+          graft.sources.CfDecode.cfAttrs(e))
+        .select(col("coords")(0), col("value")).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
+    }
+    // "true" on a signed byte: stored -1 widens to 255; 5 unchanged
+    val up = vals("""{"_Unsigned":"true","_ARRAY_DIMENSIONS":["t"]}""",
+      "|i1", Array(0xFF.toByte, 0x05))
+    assert(up == Map(0L -> Some(255.0), 1L -> Some(5.0)), up.toString)
+    // "false" on an UNSIGNED short (the OPeNDAP quirk): stored 65534
+    // narrows to -2; 1 unchanged
+    val dn = vals("""{"_Unsigned":"false","_ARRAY_DIMENSIONS":["t"]}""",
+      ">u2", Array(0xFF.toByte, 0xFE.toByte, 0x00, 0x01))
+    assert(dn == Map(0L -> Some(-2.0), 1L -> Some(1.0)), dn.toString)
+    // no flag: both pass through raw
+    val raw = vals("""{"_ARRAY_DIMENSIONS":["t"]}""",
+      "|i1", Array(0xFF.toByte, 0x05))
+    assert(raw == Map(0L -> Some(-1.0), 1L -> Some(5.0)), raw.toString)
   }
 
   test("_Unsigned byte reinterprets raw and fill before mask/unpack") {
