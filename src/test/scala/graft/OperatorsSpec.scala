@@ -428,6 +428,25 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Dedup.exact(dirty.filter(col("text").isNotNull), Seq("text"), "doc_id").count() == 3)
   }
 
+  test("paragraph dedup and normalizeText are null/empty safe") {
+    // null/blank docs contribute NO paragraphs (never a crash, never a
+    // phantom empty-paragraph cluster); marks cover only real paragraphs
+    val marks = Dedup.duplicateParagraphMarks(dirty, "text", "doc_id").collect()
+    assert(marks.forall(_.getLong(0) == 4L) && marks.length == 1)
+    val clean = Dedup.removeDuplicateParagraphs(dirty, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(clean.size == 4)
+    assert(clean(1L) == null)                 // null text propagates
+    assert(clean(2L) == "" && clean(3L) == "")
+    assert(clean(4L) == "a normal document with several words")
+    val norm = dirty.select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(norm(1L) == null)              // null propagates
+    assert(norm(2L) == "" && norm(3L) == " ") // blank collapses, never throws
+  }
+
   test("chunking/packing handle null and blank text") {
     val chunks = Chunking.chunkDocuments(dirty, "doc_id", "text", 4, 1).collect()
     assert(chunks.count(_.getLong(0) == 4L) == 2) // 6 tokens, stride 3 -> 2 chunks
