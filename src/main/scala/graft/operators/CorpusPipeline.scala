@@ -132,14 +132,23 @@ object CorpusPipeline {
       nearDupThreshold: Double = 0.8,
       featureStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      normalize: Boolean = false,
   ): CleanResult = {
+    // 0. optional canonical normalization (TextAnalysis.normalizeText):
+    // byte-different renderings of the same text (decomposed accents,
+    // CRLF, control chars, tab runs) otherwise defeat the exact and
+    // shingle dedup stages below. Off by default — it REWRITES the text
+    // column, so the cleaned output is the normalized rendering.
+    val docs0 =
+      if (!normalize) docs
+      else docs.withColumn(textCol, TextAnalysis.normalizeText(col(textCol)))
     // 1. structural quality gate. The featurized frame is persisted once and
     // feeds the audit counts, the gate filter, and (via the checkpointed
     // exact-dedup below) everything downstream — ONE corpus scan for the
     // whole clean, not one per consumer. Unpersisted before returning (all
     // downstream plans are checkpoint-cut by then).
     val qualityCond = col("n_tokens") >= minTokens && col("alpha_ratio") >= minAlphaRatio
-    val feats = TextAnalysis.qualityFeatures(docs, textCol)
+    val feats = TextAnalysis.qualityFeatures(docs0, textCol)
       .withColumn("__pass", qualityCond)
       .persist(featureStorage)
     val counts = feats
@@ -148,7 +157,7 @@ object CorpusPipeline {
     val n0 = counts.getLong(0)
     val n1 = counts.getLong(1)
     val quality = feats.filter(col("__pass"))
-      .select(docs.columns.map(col): _*)
+      .select(docs0.columns.map(col): _*)
 
     // 2. language gate (count only paid when the gate is active)
     val langed =

@@ -47,4 +47,27 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(r.stats.toMap.apply("near_dedup") == 2L)  // 3 collapses into 1
 
   }
+
+  test("clean(normalize = true) unifies byte-different renderings before dedup") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      // same text, different bytes: CRLF word gap, a tab run, a decomposed
+      // accent that NFC composes away — exact dedup misses ALL of these raw
+      (2L, base.replace(" dog ", " dog\r\n") + "\t "),
+      (3L, "café menu lists twelve seasonal dishes and several regional wines tonight"),
+      (4L, "café menu lists twelve seasonal dishes and several regional wines tonight"),
+    ).toDF("doc_id", "text")
+    val raw = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95)
+    assert(raw.stats.toMap.apply("exact_dedup") == 4L,
+      s"raw bytes must NOT collapse: ${raw.stats}")
+    val norm = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95,
+      normalize = true)
+    assert(norm.stats.toMap.apply("exact_dedup") == 2L, norm.stats.toString)
+    val kept = norm.cleaned.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), kept.toString)
+    // the cleaned output carries the NORMALIZED rendering
+    val texts = norm.cleaned.select("text").as[String].collect().toSet
+    assert(texts.forall(t => !t.contains("\r") && !t.contains("\t")), texts.toString)
+  }
 }
