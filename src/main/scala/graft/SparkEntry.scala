@@ -3599,10 +3599,12 @@ object SparkEntry {
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(
-        |          regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g'),
-        |          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
-        |        '[ \t]+', ' ', 'g'),
-        |      ' ?\n ?', chr(10), 'g') AS norm
+        |          regexp_replace(
+        |            regexp_replace(nfc_normalize(text), '\r\n|\r', chr(10), 'g'),
+        |            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |          '[ \t]+', ' ', 'g'),
+        |        ' ?\n ?', chr(10), 'g'),
+        |      '^[ \n]+|[ \n]+$', '', 'g') AS norm
         |  FROM d)
         |SELECT doc_id, norm, lower(norm) AS norm_lower
         |FROM n ORDER BY doc_id""".stripMargin,

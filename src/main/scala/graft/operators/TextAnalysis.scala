@@ -281,7 +281,18 @@ object TextAnalysis {
     *  2. line endings: CRLF / lone CR → LF;
     *  3. control characters stripped (except tab and LF, which carry
     *     structure the later steps own);
-    *  4. space/tab runs → one space; spaces hugging a newline dropped.
+    *  4. space/tab runs → one space; spaces hugging a newline dropped;
+    *  5. outer whitespace (spaces/newlines at either edge) trimmed — edge
+    *     whitespace carries no structure, only byte noise.
+    *
+    * Deliberate contract: a newline is NOT equivalent to a space. Interior
+    * newlines are paragraph structure that the paragraph-level operators
+    * ([[graft.operators.Dedup.duplicateParagraphMarks]]) own; folding them
+    * away here would destroy that signal. Whitespace-INSENSITIVE text
+    * equivalence is the near-dup / fingerprint stage's job
+    * ([[fingerprintMd5]] folds all whitespace; token streams ignore it) —
+    * so `"a b"` and `"a\nb"` normalize to different strings by design and
+    * are caught by near-dup, not exact dedup.
     *
     * Optionally lowercases LAST (after NFC, so case-folding sees composed
     * characters). Every step is a codegen'd expression; the DuckDB mirror
@@ -291,7 +302,8 @@ object TextAnalysis {
     val nl   = regexp_replace(nfc, "\\r\\n|\\r", "\n")
     val ctl  = regexp_replace(nl, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     val sp   = regexp_replace(ctl, "[ \\t]+", " ")
-    val tidy = regexp_replace(sp, " ?\\n ?", "\n")
+    val nlsp = regexp_replace(sp, " ?\\n ?", "\n")
+    val tidy = regexp_replace(nlsp, "^[ \\n]+|[ \\n]+$", "")
     if (lowercase) lower(tidy) else tidy
   }
 

@@ -52,8 +52,13 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
       (1L, base),
-      // same text, different bytes: CRLF word gap, a tab run, a decomposed
-      // accent that NFC composes away — exact dedup misses ALL of these raw
+      // same words, different bytes: a CRLF where doc 1 has a space, a
+      // trailing tab run, and (docs 3/4) a decomposed accent NFC composes.
+      // Contract (normalizeText scaladoc): CRLF→LF, controls stripped,
+      // runs collapsed, edges trimmed — but an interior newline is NOT a
+      // space (it is paragraph structure), so doc 2 still differs from
+      // doc 1 byte-wise after normalization and is the NEAR-dup stage's
+      // catch (identical token streams), while the NFC pair is exact's.
       (2L, base.replace(" dog ", " dog\r\n") + "\t "),
       (3L, "café menu lists twelve seasonal dishes and several regional wines tonight"),
       (4L, "café menu lists twelve seasonal dishes and several regional wines tonight"),
@@ -63,11 +68,16 @@ class CorpusPipelineSpec extends AnyFunSuite {
       s"raw bytes must NOT collapse: ${raw.stats}")
     val norm = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95,
       normalize = true)
-    assert(norm.stats.toMap.apply("exact_dedup") == 2L, norm.stats.toString)
+    // NFC pair (3,4) collapses at the exact stage; newline-vs-space doc 2
+    // collapses at the near-dup stage, per the settled whitespace contract
+    assert(norm.stats.toMap.apply("exact_dedup") == 3L, norm.stats.toString)
+    assert(norm.stats.toMap.apply("near_dedup") == 2L, norm.stats.toString)
     val kept = norm.cleaned.select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L), kept.toString)
-    // the cleaned output carries the NORMALIZED rendering
+    // the cleaned output carries the NORMALIZED rendering: no CR/tab, no
+    // edge whitespace
     val texts = norm.cleaned.select("text").as[String].collect().toSet
-    assert(texts.forall(t => !t.contains("\r") && !t.contains("\t")), texts.toString)
+    assert(texts.forall(t => !t.contains("\r") && !t.contains("\t") && t == t.trim),
+      texts.toString)
   }
 }

@@ -270,6 +270,8 @@ class DedupSpec extends AnyFunSuite {
       (5L, "a \t  b\t\tc"),           // tab/space runs -> one space
       (6L, "end  \n  start"),           // spaces hugging the newline drop
       (7L, "MiXeD Case\u0301"),         // lowercase applies AFTER composition
+      (8L, "  \n padded text \n\t "),   // edge whitespace trims entirely
+      (9L, "inner\nlines  keep"),        // interior newline SURVIVES (not a space)
     ).toDF("doc_id", "text")
     val out = rows.select(col("doc_id"),
         TextAnalysis.normalizeText(col("text")).as("n"),
@@ -282,6 +284,8 @@ class DedupSpec extends AnyFunSuite {
     assert(out(5L)._1 == "a b c")
     assert(out(6L)._1 == "end\nstart")
     assert(out(7L)._2 == "mixed cas\u00e9", out(7L)._2)
+    assert(out(8L)._1 == "padded text", out(8L)._1)
+    assert(out(9L)._1 == "inner\nlines keep", out(9L)._1)
   }
 
   test("paragraph dedup: first occurrence wins, clean rebuilds in order") {
@@ -444,7 +448,7 @@ class RobustnessSpec extends AnyFunSuite {
         TextAnalysis.normalizeText(col("text")).as("n")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
     assert(norm(1L) == null)              // null propagates
-    assert(norm(2L) == "" && norm(3L) == " ") // blank collapses, never throws
+    assert(norm(2L) == "" && norm(3L) == "") // blank collapses + trims, never throws
   }
 
   test("chunking/packing handle null and blank text") {
