@@ -333,6 +333,32 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("semdedup split round: no Window operator carries an array column") {
+    // The r9 judge flag: an oversized cell is a skewed key, and a Window
+    // partition (unlike a join) cannot be AQE-skew-split — so the vector
+    // payload must never ride through the seed-pick window. The rank runs
+    // over a projected (cell, id) pair; seed vectors join back by id.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val assigned = (0L until 100L)
+      .map(i => (i, Array.fill(8)((i % 7).toFloat + 1f), "c0"))
+      .toDF("id", "__v", "cell")
+    val o = Seq(("c0", 5)).toDF("cell", "__k")
+    val out = graft.operators.Dedup.splitOversized(assigned, o, 20)
+    val wins = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "seed pick must still rank via a window")
+    wins.foreach { w =>
+      val arrays = (w.child.output ++ w.windowExpressions.flatMap(_.references))
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty, s"window carries array columns: $arrays")
+    }
+    // the round itself is still a total reassignment of the oversized cell
+    assert(out.count() == 100L)
+    assert(out.filter(col("cell").startsWith("c0/")).count() == 100L)
+  }
+
   test("semdedup: cell assignment stays in-scan, no cartesian anywhere") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Dedup
