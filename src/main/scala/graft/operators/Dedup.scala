@@ -962,11 +962,22 @@ object Dedup {
     * embeddable. Build once per corpus state; persist `texts` as parquet
     * and each shard blob alongside (`bloom_<i>.bin`, index = shard id).
     *
-    * The probe plan carries one literal per shard; if the INDEX TOTAL
-    * (n × 1.2 B at fpp 0.01) outgrows plan-size comfort, raise `fpp` —
-    * the filter only prunes the anti-join, so a higher fpp costs join
-    * traffic, never correctness. */
-  final case class ExactIndex(texts: DataFrame, blooms: IndexedSeq[Array[Byte]])
+    * Probe plan size is O(1) in index bytes: a single-shard index embeds
+    * its one blob as a literal (codegen'd `BloomFilterMightContain`, no
+    * broadcast infrastructure), while a multi-shard index rides ONE
+    * broadcast variable ([[broadcastShards]], built lazily once per index
+    * lifetime and shared by every subsequent batch probe) through
+    * [[graft.functions.ShardedBloomMightContain]] — the r9 residual where
+    * every shard blob became a plan literal (~11 GB of plan at 10^10
+    * texts) is gone. The filter only prunes the anti-join, so fpp tuning
+    * costs join traffic, never correctness. */
+  final case class ExactIndex(texts: DataFrame, blooms: IndexedSeq[Array[Byte]]) {
+    /** One torrent broadcast of the shard blobs per index lifetime —
+      * created on first multi-shard probe, reused by every batch. */
+    @transient lazy val broadcastShards
+        : org.apache.spark.broadcast.Broadcast[IndexedSeq[Array[Byte]]] =
+      texts.sparkSession.sparkContext.broadcast(blooms)
+  }
 
   /** One corpus scan → [[ExactIndex]]. `maxFilterBytes` bounds each
     * shard's serialized size; the shard count derives from the distinct
@@ -1023,14 +1034,23 @@ object Dedup {
     import org.apache.spark.sql.GraftColumnBridge
     require(index.blooms.nonEmpty, "incrementalExactWithIndex: index has no filter shards")
     val h = xxhash64(col(textCol))
-    def mightContain(bytes: Array[Byte]) = GraftColumnBridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        GraftColumnBridge.expression(lit(bytes)),
-        GraftColumnBridge.expression(h)))
-    val shard = pmod(h, lit(index.blooms.length.toLong)).cast("int")
-    val probed = index.blooms.zipWithIndex
-      .map { case (bytes, i) => (shard === i) && mightContain(bytes) }
-      .reduce(_ || _)
+    val probed =
+      if (index.blooms.length == 1)
+        // small index: one literal, Spark's own codegen'd expression, no
+        // broadcast round-trip
+        GraftColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            GraftColumnBridge.expression(lit(index.blooms.head)),
+            GraftColumnBridge.expression(h)))
+      else {
+        // sharded index: blobs ride ONE broadcast (plan size O(1) in index
+        // bytes); the row routes to its shard by the same pmod the build used
+        val shard = pmod(h, lit(index.blooms.length.toLong)).cast("int")
+        GraftColumnBridge.column(graft.functions.ShardedBloomMightContain(
+          index.broadcastShards,
+          GraftColumnBridge.expression(shard),
+          GraftColumnBridge.expression(h)))
+      }
     val flagged = batch.withColumn("__maybe", probed)
     val fresh   = flagged.filter(!coalesce(col("__maybe"), lit(false))).drop("__maybe")
     val confirmed = flagged.filter(coalesce(col("__maybe"), lit(false)))

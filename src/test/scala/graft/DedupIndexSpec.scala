@@ -146,5 +146,23 @@ class DedupIndexSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(viaSharded == recompute)
     assert(viaSharded.nonEmpty)
+
+    // plan size must be O(1) in index bytes: the sharded probe carries NO
+    // binary literals at all (blobs ride one broadcast variable); only the
+    // single-shard path may embed its one blob
+    val probe = Dedup.incrementalExactWithIndex(batch, sharded, "text")
+      .queryExecution.analyzed
+    val binaryLiteralBytes = probe
+      .collect { case n => n }.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType == org.apache.spark.sql.types.BinaryType &&
+              l.value != null =>
+          l.value.asInstanceOf[Array[Byte]].length.toLong
+      }).sum
+    assert(binaryLiteralBytes == 0L,
+      s"sharded probe plan embeds $binaryLiteralBytes B of blobs as literals")
+    // and the broadcast is per-INDEX, not per-batch: two probes share it
+    assert(sharded.broadcastShards eq sharded.broadcastShards)
   }
 }
