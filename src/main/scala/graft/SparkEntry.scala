@@ -144,6 +144,29 @@ object SparkEntry {
     out
   }
 
+  /** One-time REAL-container image fixture for `multimodal_image_meta`
+    * (cached per sf dir): every doc_id becomes an actual PNG/JPEG/GIF/BMP
+    * payload (JDK ImageIO writers) with dims/channels derived from doc_id
+    * arithmetic — [[graft.harness.ImageFixture]]. Encoding runs
+    * distributed (mapPartitions over the doc ids); the gate then parses
+    * the BYTES back with the native header-parse expression while the
+    * DuckDB oracle re-derives the same values from the arithmetic. */
+  def ensureImageFixture(s: SparkSession, dir: String): String = {
+    val out    = s"/tmp/graft_img_${tmpToken(dir)}"
+    val marker = Paths.get(out, "_READY")
+    this.synchronized {
+      if (!Files.exists(marker)) {
+        import s.implicits._
+        T(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.harness.ImageFixture.encode(id))))
+          .toDF("img_id", "payload")
+          .write.mode("overwrite").parquet(s"$out/images.parquet")
+        Files.createFile(marker)
+      }
+    }
+    s"$out/images.parquet"
+  }
+
   /** One-time local kerchunk index fixture for `load_kerchunk_chunks`: ref
     * entries pointing at byte ranges of a STABLE read-only local file (the
     * reference's noaa-nwm sample index, 54207 bytes) plus inline, base64 and
@@ -2180,6 +2203,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "multimodal_image_meta" -> ((s, dir) => {
+      // REAL container dims: the fixture encodes actual PNG/JPEG/GIF/BMP
+      // bytes (ImageIO), the engine parses them back with the native
+      // header-parse expression (strict — an unknown container refuses,
+      // never a silent wrong dimension), and the resize plan runs on the
+      // PARSED dims; the oracle re-derives everything from doc_id
+      // arithmetic, so any encoder/parser header-offset disagreement fails
+      val imgs = s.read.parquet(ensureImageFixture(s, dir))
+      val meta = Multimodal.imageMeta(imgs, "payload", "img_id", strict = true)
+      val rs   = Multimodal.resizePlan(meta, "id", "width", "height", target = 224)
+      meta.join(rs.select("id", "out_w", "out_h"), Seq("id"))
+        .select(col("id"), col("format"), col("width"), col("height"),
+          col("channels"), col("out_w"), col("out_h"))
+        .orderBy("id")
+    }),
+
     // ===== extensions: event-stream analytics (batch shape) =====
 
     "q_grouping_sets" -> ((s, dir) => {
@@ -4105,6 +4144,28 @@ object SparkEntry {
         |  CAST(224 AS INT) AS scale_num,
         |  CAST(greatest(w, h) AS BIGINT) AS scale_den
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Real-container image metadata: the engine parses dims out of actual
+    // encoded PNG/JPEG/GIF/BMP bytes; the oracle re-derives the SAME values
+    // from the doc_id arithmetic the fixture encoder used
+    // (harness/ImageFixture.scala) — the two agree only when the header
+    // parse recovers exactly what the encoder wrote
+    "multimodal_image_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |         WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+        |    CAST((doc_id * 7) % 120 + 16 AS INT) AS width,
+        |    CAST((doc_id * 13) % 90 + 16 AS INT) AS height,
+        |    CAST(CASE doc_id % 4
+        |      WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
+        |      WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
+        |      ELSE 3 END AS INT) AS channels
+        |  FROM documents)
+        |SELECT id, format, width, height, channels,
+        |  CAST((width * 224) // greatest(width, height) AS INT) AS out_w,
+        |  CAST((height * 224) // greatest(width, height) AS INT) AS out_h
+        |FROM m ORDER BY id""".stripMargin,
 
     // f0 = fraction of payload bytes in [0, 32) (bucket 0 of the 8-bucket
     // byte histogram). In UTF-8 those bytes are exactly the control chars.

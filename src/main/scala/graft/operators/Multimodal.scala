@@ -26,22 +26,55 @@ object Multimodal {
     StructField("checksum", StringType),
   ))
 
-  /** Wrap a binary payload column with its metadata struct. Width/height/
-    * duration are decoder outputs — here derived deterministically from the
-    * payload bytes (STUB: a real image decoder replaces the fake dims). */
+  /** True image container metadata parsed from the payload header bytes —
+    * the pure-JVM [[graft.functions.ImageDims]] kernel (PNG / JPEG / GIF /
+    * BMP, header offsets from the public specs, no codec dependency, no
+    * pixel decode). Output per row: id, format, width, height, channels,
+    * n_bytes. A payload that is none of the four containers (or truncated
+    * mid-header) yields nulls — or, with `strict = true`, refuses LOUDLY
+    * per row (never a silent wrong dimension). Feed width/height straight
+    * into [[resizePlan]]. */
+  def imageMeta(df: DataFrame, binCol: String, idCol: String,
+                strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val dims = GraftColumnBridge.column(
+      graft.functions.ImageDims(GraftColumnBridge.expression(col(binCol))))
+    val base = df.select(col(idCol).as("id"), dims.as("__d"),
+      octet_length(col(binCol)).cast(LongType).as("n_bytes"))
+    val guarded =
+      if (!strict) base
+      else base.filter(coalesce(assert_true(col("__d").isNotNull,
+        concat(lit("imageMeta: unrecognized or truncated image container for id="),
+          col("id").cast(StringType))), lit(true)))
+    guarded.select(col("id"),
+      col("__d").getField("format").as("format"),
+      col("__d").getField("width").as("width"),
+      col("__d").getField("height").as("height"),
+      col("__d").getField("channels").as("channels"),
+      col("n_bytes"))
+  }
+
+  /** Wrap a binary payload column with its metadata struct. Width/height
+    * come from the REAL container-header parse ([[imageMeta]]) when the
+    * payload is a recognized image; non-image payloads fall back to the
+    * deterministic content-hash pseudo-dims (STUB — a real media decoder
+    * would own those, e.g. audio/video duration). */
   def withMediaMeta(df: DataFrame, binCol: String, mime: Column): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     val b = col(binCol)
-    // STUB dims: deterministic pseudo-dimensions from the content hash, so
-    // tests are stable. Real decoders read the container header instead.
+    val dims = GraftColumnBridge.column(
+      graft.functions.ImageDims(GraftColumnBridge.expression(b)))
     val h = abs(xxhash64(b))
-    df.withColumn("media_meta", struct(
+    df.withColumn("__d", dims).withColumn("media_meta", struct(
       mime.as("mime"),
       octet_length(b).cast(LongType).as("n_bytes"),
-      (h % 1920 + 1).cast(IntegerType).as("width"),
-      (h % 1080 + 1).cast(IntegerType).as("height"),
+      coalesce(col("__d").getField("width"),
+        (h % 1920 + 1).cast(IntegerType)).as("width"),
+      coalesce(col("__d").getField("height"),
+        (h % 1080 + 1).cast(IntegerType)).as("height"),
       (h % 600000).cast(LongType).as("duration_ms"),
       md5(b).as("checksum"),
-    ))
+    )).drop("__d")
   }
 
   /** Batched "decode + featurize" over binary payloads — the Spark-side

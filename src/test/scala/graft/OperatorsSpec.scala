@@ -844,4 +844,95 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1L) == 3L) // offsets 0, 500, 1000
     assert(out(2L) == 1L) // offset 0
   }
+
+  test("image dims: hand-built golden headers for all four containers") {
+    // byte-level goldens written from the PUBLIC specs, independent of any
+    // encoder — if the parser and these disagree, the parser is wrong
+    def png(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      bb.putInt(0) // CRC not checked by a header parse
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int, nc: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(2 + 18 + 10 + 3 * nc + 2)
+      bb.put(0xff.toByte).put(0xd8.toByte)                   // SOI
+      bb.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort) // APP0 JFIF
+        .put("JFIF".getBytes).put(0.toByte)
+        .put(1.toByte).put(1.toByte).put(0.toByte)
+        .putShort(1.toShort).putShort(1.toShort).put(0.toByte).put(0.toByte)
+      bb.put(0xff.toByte).put(0xc0.toByte)                   // SOF0
+        .putShort((8 + 3 * nc).toShort).put(8.toByte)
+        .putShort(h.toShort).putShort(w.toShort).put(nc.toByte)
+      (1 to nc).foreach(i => bb.put(i.toByte).put(0x11.toByte).put(0.toByte))
+      bb.put(0xff.toByte).put(0xd9.toByte)                   // EOI
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte, 0.toByte, 0.toByte, 0.toByte)
+    def bmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(bpp.toShort)
+      bb.array()
+    }
+    val df = Seq(
+      (1L, png(640, 480, 2)), (2L, png(31, 17, 6)), (3L, png(9, 9, 0)),
+      (4L, jpeg(800, 600, 3)), (5L, jpeg(12, 34, 1)),
+      (6L, gif(320, 200)),
+      (7L, bmp(100, 50, 24)), (8L, bmp(64, 32, 32)),
+      (9L, "not an image".getBytes), (10L, png(640, 480, 2).take(20)),
+    ).toDF("id", "payload")
+    val out = Multimodal.imageMeta(df, "payload", "id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))).toMap
+    assert(out(1L).contains(("png", 640, 480, 3)))
+    assert(out(2L).contains(("png", 31, 17, 4)))
+    assert(out(3L).contains(("png", 9, 9, 1)))
+    assert(out(4L).contains(("jpeg", 800, 600, 3)))
+    assert(out(5L).contains(("jpeg", 12, 34, 1)))
+    assert(out(6L).contains(("gif", 320, 200, 3)))
+    assert(out(7L).contains(("bmp", 100, 50, 3)))
+    assert(out(8L).contains(("bmp", 64, 32, 4)))
+    assert(out(9L).isEmpty && out(10L).isEmpty)
+  }
+
+  test("image dims: ImageIO round-trip matches the fixture arithmetic") {
+    // the gate's exact shape at unit scale: encode REAL containers, parse
+    // the bytes back, compare against the id-derived expectation
+    import graft.harness.ImageFixture
+    val ids = (0L until 16L) ++ Seq(101L, 202L, 303L, 404L)
+    val df = ids.map(id => (id, ImageFixture.encode(id))).toDF("id", "payload")
+    val out = Multimodal.imageMeta(df, "payload", "id", strict = true).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    ids.foreach { id =>
+      assert(out(id) == ((ImageFixture.formatName(id), ImageFixture.width(id),
+        ImageFixture.height(id), ImageFixture.channels(id))), s"id=$id got ${out(id)}")
+    }
+  }
+
+  test("image meta: strict mode refuses non-image payloads loudly") {
+    val df = Seq((1L, "plain text bytes".getBytes)).toDF("id", "payload")
+    val ex = intercept[Exception] {
+      Multimodal.imageMeta(df, "payload", "id", strict = true).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("unrecognized"),
+      ex.getMessage)
+  }
+
+  test("media meta uses REAL parsed dims for image payloads, stub otherwise") {
+    val pngBytes = graft.harness.ImageFixture.encode(0L) // png 16x16
+    val df = Seq((1L, pngBytes), (2L, "not an image".getBytes)).toDF("id", "payload")
+    val out = Multimodal.withMediaMeta(df, "payload", lit("image/png"))
+      .select("id", "media_meta").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L).getAs[Int]("width") == graft.harness.ImageFixture.width(0L))
+    assert(out(1L).getAs[Int]("height") == graft.harness.ImageFixture.height(0L))
+    // non-image payload: deterministic stub dims still present (non-null)
+    assert(out(2L).getAs[Int]("width") >= 1 && out(2L).getAs[Int]("height") >= 1)
+  }
 }
