@@ -424,10 +424,18 @@ object StreamingOps {
 
   final case class SemRow(cell: Long, doc_id: Long, vec: Array[Float],
                           ts: java.sql.Timestamp)
-  /** Per-cell kept survivors: parallel ids/last-hit/vector arrays (vectors
-    * nested, so ragged dimensions cannot corrupt neighbours' slots). */
+  /** Per-cell kept survivors: parallel ids/last-hit arrays plus ONE flat
+    * primitive vector block (`flat(i*dim until (i+1)*dim)` is survivor i).
+    * Flat, not nested: a `Array[Array[Float]]` state field encodes through
+    * a per-inner-array UnsafeArrayData construction every batch — at a few
+    * thousand survivors that nested encode/decode dominated the whole
+    * twin's batch time (the r9 981-1,340 vecs/s row), while a single
+    * primitive array is one memcpy each way. The cell's vector dimension
+    * is pinned by its first survivor; a later row with a different length
+    * REFUSES loudly (pad/fix the feed upstream) instead of silently
+    * corrupting block offsets. */
   final case class SemCellState(ids: Array[Long], lastMs: Array[Long],
-                                vecs: Array[Array[Float]])
+                                dim: Int, flat: Array[Float])
   final case class SemClaim(doc_id: Long, dup_of: Long, cell: Long,
                             ts: java.sql.Timestamp)
 
@@ -493,68 +501,109 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (cellKey: Long, rows: Iterator[SemRow], state: GroupState[SemCellState]) =>
           val wmMs = state.getCurrentWatermarkMs()
-          // live survivors, TTL-pruned on load
-          val ids    = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val lastMs = scala.collection.mutable.ArrayBuffer.empty[Long]
-          val vecs   = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-          state.getOption.foreach { s =>
+          val incoming = if (state.hasTimedOut) Array.empty[SemRow] else {
+            val a = rows.toArray
+            java.util.Arrays.sort(a, (x: SemRow, y: SemRow) => {
+              val c = java.lang.Long.compare(x.ts.getTime, y.ts.getTime)
+              if (c != 0) c else java.lang.Long.compare(x.doc_id, y.doc_id)
+            })
+            a
+          }
+          // live survivors, TTL-pruned on load into preallocated parallel
+          // arrays (capacity = live + batch, so the batch never reallocs)
+          val prev = state.getOption.orNull
+          var dim  = if (prev != null) prev.dim else -1
+          val cap  = (if (prev != null) prev.ids.length else 0) + incoming.length
+          val ids    = new Array[Long](cap)
+          val lastMs = new Array[Long](cap)
+          val norms  = new Array[Double](cap)   // Σ v², cached once per batch
+          var flat   = new Array[Float](math.max(1, cap) * math.max(1, dim))
+          var n = 0
+          if (prev != null) {
             var i = 0
-            while (i < s.ids.length) {
-              if (s.lastMs(i) + ttlMs > wmMs) {
-                ids += s.ids(i); lastMs += s.lastMs(i); vecs += s.vecs(i)
+            while (i < prev.ids.length) {
+              if (prev.lastMs(i) + ttlMs > wmMs) {
+                ids(n) = prev.ids(i); lastMs(n) = prev.lastMs(i)
+                System.arraycopy(prev.flat, i * dim, flat, n * dim, dim)
+                var na = 0.0
+                var k = 0
+                while (k < dim) { val x = flat(n * dim + k).toDouble; na += x * x; k += 1 }
+                norms(n) = na
+                n += 1
               }
               i += 1
             }
           }
+          // id-ascending scan order: the earliest-kept match is the FIRST
+          // match in id order, so the survivor loop breaks at the first hit
+          // instead of scoring every survivor for every row
+          val order = new Array[Int](cap)
+          locally {
+            val sorted = Array.range(0, n).sortBy(ids(_))
+            System.arraycopy(sorted, 0, order, 0, n)
+          }
           val out = scala.collection.mutable.ArrayBuffer.empty[SemClaim]
-          if (!state.hasTimedOut) {
-            val sorted = rows.toArray
-            java.util.Arrays.sort(sorted, (a: SemRow, b: SemRow) => {
-              val c = java.lang.Long.compare(a.ts.getTime, b.ts.getTime)
-              if (c != 0) c else java.lang.Long.compare(a.doc_id, b.doc_id)
-            })
-            sorted.foreach { r =>
-              val tsMs = r.ts.getTime
-              // earliest kept match = min id over cosine >= threshold
-              var best = -1
-              var i = 0
-              while (i < ids.length) {
-                if ((best < 0 || ids(i) < ids(best)) &&
-                    cosine(r.vec, vecs(i)) >= threshold) best = i
-                i += 1
+          incoming.foreach { r =>
+            val tsMs = r.ts.getTime
+            if (dim < 0) {
+              dim = r.vec.length
+              if (flat.length < cap * dim) flat = new Array[Float](cap * dim)
+            }
+            require(r.vec.length == dim,
+              s"semanticClaims: cell $cellKey holds $dim-dim vectors but doc " +
+                s"${r.doc_id} arrived with ${r.vec.length} — pad or fix the feed " +
+                "upstream (a silent mismatch would corrupt the survivor block)")
+            var nb = 0.0
+            var k = 0
+            while (k < dim) { val x = r.vec(k).toDouble; nb += x * x; k += 1 }
+            var best = -1
+            var j = 0
+            while (best < 0 && j < n) {
+              val i = order(j)
+              // same double fold as the batch kernels: dot / sqrt(na*nb)
+              if (norms(i) != 0.0 && nb != 0.0) {
+                var d = 0.0
+                var k2 = 0
+                val off = i * dim
+                while (k2 < dim) { d += flat(off + k2).toDouble * r.vec(k2); k2 += 1 }
+                if (d / math.sqrt(norms(i) * nb) >= threshold) best = i
               }
-              if (best >= 0) {
-                out += SemClaim(r.doc_id, ids(best), cellKey, r.ts)
-                if (tsMs > lastMs(best)) lastMs(best) = tsMs
-              } else {
-                require(ids.length < maxKeptPerCell,
-                  s"semanticClaims: cell $cellKey exceeded maxKeptPerCell=$maxKeptPerCell " +
-                    "survivors — rebuild with more centroids (a silent eviction would stop " +
-                    "deduplicating the densest region)")
-                ids += r.doc_id; lastMs += tsMs; vecs += r.vec
+              j += 1
+            }
+            if (best >= 0) {
+              out += SemClaim(r.doc_id, ids(best), cellKey, r.ts)
+              if (tsMs > lastMs(best)) lastMs(best) = tsMs
+            } else {
+              require(n < maxKeptPerCell,
+                s"semanticClaims: cell $cellKey exceeded maxKeptPerCell=$maxKeptPerCell " +
+                  "survivors — rebuild with more centroids (a silent eviction would stop " +
+                  "deduplicating the densest region)")
+              ids(n) = r.doc_id; lastMs(n) = tsMs; norms(n) = nb
+              System.arraycopy(r.vec, 0, flat, n * dim, dim)
+              // insert into the id-sorted order at its binary-search slot
+              var lo = 0; var hi = n
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (ids(order(mid)) < r.doc_id) lo = mid + 1 else hi = mid
               }
+              System.arraycopy(order, lo, order, lo + 1, n - lo)
+              order(lo) = n
+              n += 1
             }
           }
-          if (ids.isEmpty) {
+          if (n == 0) {
             state.remove()
           } else {
-            state.update(SemCellState(ids.toArray, lastMs.toArray, vecs.toArray))
-            state.setTimeoutTimestamp(math.max(lastMs.max + ttlMs, wmMs + 1L))
+            var maxLast = Long.MinValue
+            var i = 0
+            while (i < n) { if (lastMs(i) > maxLast) maxLast = lastMs(i); i += 1 }
+            state.update(SemCellState(java.util.Arrays.copyOf(ids, n),
+              java.util.Arrays.copyOf(lastMs, n), dim,
+              java.util.Arrays.copyOf(flat, n * dim)))
+            state.setTimeoutTimestamp(math.max(maxLast + ttlMs, wmMs + 1L))
           }
           out.iterator
       }
   }
 
-  /** Deterministic double-precision cosine, matching the batch
-    * [[graft.functions.VectorFunctions]] fold order. */
-  private def cosine(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
-      i += 1
-    }
-    if (na == 0.0 || nb == 0.0) 0.0 else d / math.sqrt(na * nb)
-  }
 }
