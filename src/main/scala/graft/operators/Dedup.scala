@@ -493,7 +493,11 @@ object Dedup {
     * Output: every input id with (id, cell, keep, dup_of) where `dup_of`
     * is the EARLIEST same-cluster doc above threshold (null for kept);
     * `cell` is a string path (`topCell[/seedIdx…][#bucket]`) so split
-    * sub-cell labels can never collide with surviving top-level labels. */
+    * sub-cell labels can never collide with surviving top-level labels.
+    * A NULL-vector doc has no semantics to compare: it comes back with
+    * keep=true and null cell/dup_of — the same contract as
+    * [[incrementalSemanticWithIndex]] (and it never enters the pair join
+    * or a [[buildSemanticIndex]] survivor list). */
   def semanticDedup(
       df: DataFrame,
       idCol: String,
@@ -505,10 +509,19 @@ object Dedup {
       maxSplitRounds: Int = 2,
       assignStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK,
       scope: CacheScope = CacheScope.untracked,
-  ): DataFrame =
-    semanticPrune(df, idCol, vecCol, threshold, nCells, kmeansIters,
+  ): DataFrame = {
+    val pruned = semanticPrune(df, idCol, vecCol, threshold, nCells, kmeansIters,
       targetClusterSize, maxSplitRounds, assignStorage, scope)._2
       .select("id", "cell", "keep", "dup_of")
+    // vectorless docs re-enter so the output covers the WHOLE input —
+    // the incremental twin's contract (batch and standing-corpus paths
+    // must not disagree on who appears in the result)
+    pruned.unionByName(df.filter(col(vecCol).isNull)
+      .select(col(idCol).cast("long").as("id"),
+        lit(null).cast("string").as("cell"),
+        lit(true).as("keep"),
+        lit(null).cast("long").as("dup_of")))
+  }
 
   /** Shared core of [[semanticDedup]] and [[buildSemanticIndex]]: guards,
     * clustering, bounded split, greedy keep-first prune. Returns the
@@ -1210,6 +1223,12 @@ object Dedup {
     * Output: (doc_id, para_idx, keep) for every non-blank paragraph,
     * para_idx counting non-blank paragraphs from 0. */
   def duplicateParagraphMarks(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"duplicateParagraphMarks: id column '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — the canonical pick orders by a " +
+        "numeric packed key, and casting would silently null every doc_id (the packed-key " +
+        "assert_true passes on null); derive a numeric id first (e.g. xxhash64(text) or " +
+        "monotonically_increasing_id)")
     // "blank" = whitespace-only (trim() strips spaces alone — a tab-only
     // line would otherwise count as a content paragraph)
     val wsTrim = (p: Column) => regexp_replace(p, "^\\s+|\\s+$", "")
@@ -1241,6 +1260,10 @@ object Dedup {
     * Docs whose every paragraph was marked come back with empty text —
     * exactly the rows a downstream length gate drops. */
   def removeDuplicateParagraphs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[NumericType],
+      s"removeDuplicateParagraphs: id column '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — a non-numeric id would cast to null " +
+        "and every output row would silently carry null doc_id; derive a numeric id first")
     val keptIdx = duplicateParagraphMarks(df, textCol, idCol)
       .filter(col("keep"))
       .groupBy("doc_id").agg(collect_list(col("para_idx")).as("__kidx"))
@@ -1249,10 +1272,14 @@ object Dedup {
         filter(transform(split(col(textCol), "\n"), wsTrim), p => p =!= "")
           .as("__paras"))
       .join(keptIdx, Seq("doc_id"), "left")
+      // index the kept positions directly (O(kept log kept) per doc) — the
+      // former filter evaluated array_contains per paragraph,
+      // O(paragraphs × kept) on a boilerplate-heavy doc
       .select(col("doc_id"),
-        array_join(
-          filter(col("__paras"), (p, i) => array_contains(
-            coalesce(col("__kidx"), array().cast("array<long>")), i.cast(LongType))),
-          "\n").as("clean_text"))
+        when(col("__paras").isNull, lit(null).cast(StringType)).otherwise(
+          array_join(
+            transform(sort_array(coalesce(col("__kidx"), array().cast("array<long>"))),
+              i => element_at(col("__paras"), (i + 1).cast("int"))),
+            "\n")).as("clean_text"))
   }
 }

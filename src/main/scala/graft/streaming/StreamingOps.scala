@@ -82,9 +82,13 @@ object StreamingOps {
   final case class BandRow(gk: Int, band: Int, bucket: Long, doc_id: Long,
                            ts: java.sql.Timestamp)
   /** One state row per bucket-GROUP: parallel arrays over the group's live
-    * buckets ((band, bucket) → first claimant + last-hit ms). */
+    * buckets ((band, bucket) → first claimant + last-hit ms). `groups`
+    * records the stateGroups the row was written under — a restart with a
+    * different value re-routes keys, so every state load checks it and
+    * refuses loudly instead of silently losing stored first-claimants. */
   final case class BucketGroupState(bands: Array[Int], buckets: Array[Long],
-                                    firstIds: Array[Long], lastMs: Array[Long])
+                                    firstIds: Array[Long], lastMs: Array[Long],
+                                    groups: Int)
   final case class Collision(doc_id: Long, dup_of: Long, band: Int, bucket: Long,
                              ts: java.sql.Timestamp)
 
@@ -118,10 +122,11 @@ object StreamingOps {
     * `stateGroups ≈ rate·ttl·bands / 64` (the 1024 default fits modest
     * single-node rates; a high-rate deployment raises it linearly).
     * `stateGroups` is PART OF THE CHECKPOINT LAYOUT: restarting an
-    * existing checkpointed query with a different value re-routes keys to
-    * different groups (the state schema still matches, so nothing errors)
-    * and stored first-claimants are silently never found — pick it before
-    * the query first starts, or start over with a fresh checkpoint.
+    * existing checkpointed query with a different value would re-route
+    * keys to different groups and stored first-claimants would silently
+    * never be found — so the value is PERSISTED in every state row and
+    * checked on load: a mismatched restart refuses loudly on the first
+    * populated group it touches instead of degrading quietly.
     */
   def nearDupCollisions(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
                         shingleWords: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
@@ -178,6 +183,11 @@ object StreamingOps {
           // row had been removed the instant the TTL expired
           val live = new java.util.LinkedHashMap[(Int, Long), Array[Long]]()
           state.getOption.foreach { s =>
+            require(s.groups == stateGroups,
+              s"nearDupCollisions: checkpointed state was written with stateGroups=" +
+                s"${s.groups} but this query restarted with $stateGroups — keys would " +
+                "re-route and stored first-claimants silently never match; restart with " +
+                s"stateGroups=${s.groups} or start over with a fresh checkpoint")
             var i = 0
             while (i < s.buckets.length) {
               if (s.lastMs(i) + ttlMs > wmMs)
@@ -211,7 +221,7 @@ object StreamingOps {
           } else {
             val n = live.size()
             val gb = BucketGroupState(new Array[Int](n), new Array[Long](n),
-              new Array[Long](n), new Array[Long](n))
+              new Array[Long](n), new Array[Long](n), stateGroups)
             var i = 0
             var maxLast = Long.MinValue
             val it = live.entrySet().iterator()
@@ -234,9 +244,12 @@ object StreamingOps {
   final case class WinRow(gk: Int, key: Long, doc_id: Long, pos: Int,
                           ts: java.sql.Timestamp)
   /** One state row per key-GROUP: parallel arrays over the group's live
-    * window keys (key → first (doc, pos) claimant + last-hit ms). */
+    * window keys (key → first (doc, pos) claimant + last-hit ms).
+    * `groups` pins the stateGroups the row was written under — checked on
+    * every load so a restart with a different value refuses loudly. */
   final case class WinGroupState(keys: Array[Long], firstDocs: Array[Long],
-                                 firstPoss: Array[Int], lastMs: Array[Long])
+                                 firstPoss: Array[Int], lastMs: Array[Long],
+                                 groups: Int)
   final case class WindowHit(doc_id: Long, pos: Int, first_doc_id: Long,
                              ts: java.sql.Timestamp)
 
@@ -263,8 +276,9 @@ object StreamingOps {
     * bands — so per-key state rows made the store commit, not the
     * hashing, the per-doc cost. Same sizing rule: keep the live payload
     * per group small (`stateGroups ≈ rate·ttl·windows-per-doc / 64`) —
-    * and the same caveat: `stateGroups` is part of the checkpoint layout;
-    * never change it on restart of an existing checkpointed query. */
+    * and the same restart contract: the value is persisted in every state
+    * row and checked on load, so a restart of an existing checkpointed
+    * query with a different value refuses loudly. */
   def duplicatedWindowHits(docs: DataFrame, textCol: String, idCol: String, tsCol: String,
                            windowTokens: Int = 8, watermark: String = "10 minutes",
                            ttlMinutes: Int = 60,
@@ -300,6 +314,11 @@ object StreamingOps {
           // key's row had been evicted the instant it expired
           val live = new java.util.LinkedHashMap[java.lang.Long, Array[Long]]()
           state.getOption.foreach { s =>
+            require(s.groups == stateGroups,
+              s"duplicatedWindowHits: checkpointed state was written with stateGroups=" +
+                s"${s.groups} but this query restarted with $stateGroups — keys would " +
+                "re-route and stored first-claimants silently never match; restart with " +
+                s"stateGroups=${s.groups} or start over with a fresh checkpoint")
             var i = 0
             while (i < s.keys.length) {
               if (s.lastMs(i) + ttlMs > wmMs)
@@ -336,7 +355,7 @@ object StreamingOps {
           } else {
             val n = live.size()
             val gs = WinGroupState(new Array[Long](n), new Array[Long](n),
-              new Array[Int](n), new Array[Long](n))
+              new Array[Int](n), new Array[Long](n), stateGroups)
             var i = 0
             var maxLast = Long.MinValue
             val it = live.entrySet().iterator()

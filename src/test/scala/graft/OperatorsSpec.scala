@@ -323,6 +323,32 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("numeric id"))
   }
 
+  test("semantic dedup covers null-vector docs with keep=true, like the incremental twin") {
+    val df = Seq(
+      (1L, Some(Seq(1f, 0f))), (2L, Some(Seq(1f, 0.01f))),   // dup pair
+      (3L, None),                                            // vectorless
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", threshold = 0.9,
+        nCells = 1, kmeansIters = 0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), r.isNullAt(1), r.isNullAt(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), out.toString)   // WHOLE input covered
+    assert(out(1L)._1 && !out(2L)._1)
+    assert(out(3L) == ((true, true, true)), out.toString) // keep, null cell/dup_of
+  }
+
+  test("paragraph dedup refuses a non-numeric id column") {
+    val df = Seq(("a", "line one\nline two")).toDF("doc", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.duplicateParagraphMarks(df, "text", "doc")
+    }
+    assert(e1.getMessage.contains("numeric"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.removeDuplicateParagraphs(df, "text", "doc")
+    }
+    assert(e2.getMessage.contains("numeric"), e2.getMessage)
+  }
+
   test("semantic dedup refuses duplicate ids (split seeding needs a total id order)") {
     val df = Seq((1L, Seq(1f, 0f)), (1L, Seq(0f, 1f)), (2L, Seq(1f, 1f)))
       .toDF("vec_id", "embedding")

@@ -553,6 +553,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
   }
 
+  test("near-dup restart with a different stateGroups refuses loudly") {
+    // stateGroups is part of the checkpoint layout: the value is persisted
+    // in every state row and checked on load, so a mismatched restart must
+    // fail with the explanatory message — not silently re-route keys
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ndout_").toString
+    val text = (1 to 30).map(i => s"word$i").mkString(" ")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // file sink, not memory: only recovery-capable sinks replay a checkpoint
+    def start(groups: Int) = StreamingOps.nearDupCollisions(
+        input.toDF().toDF("ts", "doc_id", "text"), "text", "doc_id", "ts",
+        watermark = "0 seconds", stateGroups = groups)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start(8)
+    input.addData((Timestamp.valueOf("2024-01-01 10:00:00"), 1L, text))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart funneling every key to group 0, which holds groups=8 state
+    val q2 = start(1)
+    input.addData((Timestamp.valueOf("2024-01-01 10:00:10"), 2L, text))
+    val ex = intercept[Exception] { q2.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("stateGroups")),
+      messages(ex).mkString(" | "))
+    q2.stop()
+  }
+
   test("near-dup and window-hit outputs are invariant to the state grouping") {
     // stateGroups is a STORAGE layout, never semantics: any value must
     // produce the identical collision/hit set (the degenerate 1-group case
