@@ -807,11 +807,20 @@ object Dedup {
         threshold = math.max(0.0, threshold - 0.2),
         sigStorage = shingleStorage, scope = scope)
       .select("id_a", "id_b")
-      // checkpointed because THREE branches consume it (twice via the
-      // candIds union below, plus the final pair join); EAGER — a lazy
-      // checkpoint first touched inside a multi-branch plan can race its
-      // own block writes (same invariant DedupChecks documents)
-      .localCheckpoint(true)
+      // PERSISTED (scope-tracked), not checkpointed, for the THREE
+      // consumers below (twice via the candIds union, plus the final pair
+      // join). Same executor-storage bytes either way (both materialize
+      // the pair set on the block managers), but persist keeps the
+      // lineage — an executor loss recomputes the lost partitions instead
+      // of failing the job (localCheckpoint is documented unsafe under
+      // executor loss, a real concern on a 1000-executor cluster) — and
+      // CacheScope.release() frees the blocks deterministically instead
+      // of waiting for driver GC + ContextCleaner. The r8 lazy-CHECKPOINT
+      // race (a first touch inside a multi-branch plan racing its own
+      // block writes — the invariant DedupChecks documents) does not
+      // apply to a cache: a cached partition computes once under the
+      // block-manager lock and concurrent branches wait on it.
+      .transform(c => scope.persisted(c, StorageLevel.MEMORY_AND_DISK))
     // exact sets only for docs that appear in some candidate pair —
     // computed per ROW after the semi-join, so the only shuffled shingle
     // sets are the candidate-touched ones (near the pair count)
@@ -863,7 +872,11 @@ object Dedup {
     val candidates = bandsOf(sigsOf(batch), "id_batch")
       .join(bandsOf(sigsOf(corpus), "id_corpus"), Seq("band", "bucket"))
       .select("id_batch", "id_corpus").distinct()
-      .localCheckpoint(true) // three consumers below (two semi-joins + the pair join)
+      // scope-persisted for the three consumers below (two semi-joins +
+      // the pair join) — see ngramJaccard's candidate note for why persist
+      // beats localCheckpoint here (lineage survives executor loss,
+      // deterministic release, no lazy-checkpoint race for caches)
+      .transform(c => scope.persisted(c, StorageLevel.MEMORY_AND_DISK))
     def setsFor(side: DataFrame, ids: DataFrame, idName: String, shName: String) =
       side.select(col(idCol).as("id"),
           graft.functions.SketchFunctions.window_strings(tokens(col(textCol)), n).as(shName))
@@ -948,7 +961,9 @@ object Dedup {
       .join(bandsOf(guarded.select(col("id").as("id_corpus"), col("sig")), "id_corpus"),
         Seq("band", "bucket"))
       .select("id_batch", "id_corpus").distinct()
-      .localCheckpoint(true) // three consumers below (two semi-joins + the pair join)
+      // scope-persisted for the three consumers below (two semi-joins +
+      // the pair join) — see ngramJaccard's candidate note
+      .transform(c => scope.persisted(c, StorageLevel.MEMORY_AND_DISK))
     val setsB = batch.select(col(idCol).as("id_batch"),
         graft.functions.SketchFunctions.window_strings(tokens(col(textCol)), n).as("sh_b"))
       .join(candidates.select("id_batch"), Seq("id_batch"), "left_semi")

@@ -333,6 +333,20 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("ngramJaccard candidates: one shared cache, no checkpoint scar") {
+    // r10: the candidate pair set is scope-persisted, not localCheckpointed
+    // — the three consumers (candIds union twice + the pair join) must all
+    // read the ONE cached relation, and no lineage-cutting ExistingRDD scan
+    // (the checkpoint scar, which loses executor-failure recompute) may
+    // remain anywhere in the plan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.operators.Dedup
+      .ngramJaccard(docs, "text", "doc_id", threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("ExistingRDD"), p.take(3000))
+  }
+
   test("semdedup split round: no Window operator carries an array column") {
     // The r9 judge flag: an oversized cell is a skewed key, and a Window
     // partition (unlike a join) cannot be AQE-skew-split — so the vector
