@@ -1144,7 +1144,10 @@ object SparkEntry {
       // the same tables. A small chunk budget forces multi-band hyperslab
       // requests (`?var[lo:hi]...`) — the protocol's scale path — and the
       // decode runs through the shared kerchunk coords plane. Types cover
-      // Int32 / XDR-promoted Int16 / packed Byte / Float32 / Float64.
+      // Int32 / XDR-promoted Int16 / packed Byte / Float32 / Float64, and
+      // key_sum is served as a real DAP GRID (r10): its nation/region maps
+      // flatten to coordinate variables (pydap-style) and every banded
+      // .dods answer is a multi-variable Grid response the client walks.
       val base = graft.harness.Dap2Fixture.ensure(s, dir)
       graft.catalog.EsmDataSource("od", Nil, "path", None, Nil,
           storageOptions = Map("graft.kerchunk.decode" -> "coords",
@@ -1236,8 +1239,12 @@ object SparkEntry {
         .select(col("variable"),
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
           col("value"),
-          coalesce(date_format(col("time"), "yyyy-MM-dd HH:mm:ss"), col("time_cal"))
-            .as("time_str"))
+          // calendar string first: since the r10 julian instant fast path,
+          // julian rows carry BOTH — time_cal stays the authoritative
+          // calendar rendering, time_instant pins the timeline conversion
+          coalesce(col("time_cal"), date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+            .as("time_str"),
+          date_format(col("time"), "yyyy-MM-dd HH:mm:ss").as("time_instant"))
         .orderBy("variable", "coord_key")
     }),
 
@@ -2844,6 +2851,8 @@ object SparkEntry {
         |  UNION ALL SELECT 'n_regionkey', CAST(n_regionkey AS DOUBLE) FROM nation
         |  UNION ALL SELECT 'flag', CAST(n_nationkey % 3 AS DOUBLE) FROM nation
         |  UNION ALL SELECT 'r_regionkey', CAST(r_regionkey AS DOUBLE) FROM region
+        |  UNION ALL SELECT 'nation', CAST(n_nationkey AS DOUBLE) FROM nation
+        |  UNION ALL SELECT 'region', CAST(r_regionkey AS DOUBLE) FROM region
         |  UNION ALL SELECT 'key_sum', CAST(n_nationkey + r_regionkey AS DOUBLE)
         |    FROM nation CROSS JOIN region
         |)
@@ -2870,6 +2879,10 @@ object SparkEntry {
         |  SELECT 'flag', 'nation', CAST(i AS VARCHAR), CAST(n_nationkey % 3 AS DOUBLE) FROM nk
         |  UNION ALL
         |  SELECT 'r_regionkey', 'region', CAST(j AS VARCHAR), CAST(r_regionkey AS DOUBLE) FROM rk
+        |  UNION ALL
+        |  SELECT 'nation', 'nation', CAST(i AS VARCHAR), CAST(n_nationkey AS DOUBLE) FROM nk
+        |  UNION ALL
+        |  SELECT 'region', 'region', CAST(j AS VARCHAR), CAST(r_regionkey AS DOUBLE) FROM rk
         |  UNION ALL
         |  SELECT 'key_sum', 'nation.region', CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
         |         CAST(n_nationkey + r_regionkey AS DOUBLE) FROM nk CROSS JOIN rk
@@ -2901,23 +2914,26 @@ object SparkEntry {
         |  SELECT 'time' AS variable, CAST(i AS VARCHAR) AS coord_key,
         |         CAST(v AS DOUBLE) AS value,
         |         strftime(TIMESTAMP '1850-01-16 12:00:00' + v * INTERVAL 1 DAY,
-        |                  '%Y-%m-%d %H:%M:%S') AS time_str
+        |                  '%Y-%m-%d %H:%M:%S') AS time_str,
+        |         strftime(TIMESTAMP '1850-01-16 12:00:00' + v * INTERVAL 1 DAY,
+        |                  '%Y-%m-%d %H:%M:%S') AS time_instant
         |  FROM (VALUES (0, 0), (1, 31), (2, 59), (3, 90)) t(i, v)),
         |lv AS (
-        |  SELECT 'lat', CAST(i AS VARCHAR), CAST(v AS DOUBLE), CAST(NULL AS VARCHAR)
+        |  SELECT 'lat', CAST(i AS VARCHAR), CAST(v AS DOUBLE), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS VARCHAR)
         |  FROM (VALUES (0, -30.0), (1, 0.0), (2, 30.0)) t(i, v)),
         |tas AS (
         |  SELECT 'tas', CAST(t AS VARCHAR) || '.' || CAST(l AS VARCHAR),
         |         CASE WHEN raw = -999 THEN NULL
         |              ELSE CAST(raw AS DOUBLE) * CAST(0.01 AS DOUBLE) + CAST(250.0 AS DOUBLE) END,
-        |         CAST(NULL AS VARCHAR)
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |  FROM (SELECT t, l, CASE WHEN t = 1 AND l = 1 THEN -999 ELSE t*100 + l*10 - 150 END AS raw
         |        FROM range(0, 4) a(t), range(0, 3) b(l))),
         |rh AS (
         |  SELECT 'rh', CAST(t AS VARCHAR) || '.' || CAST(l AS VARCHAR),
         |         CASE WHEN t = 2 AND l = 0 THEN NULL
         |              ELSE CAST(t AS DOUBLE) + CAST(l AS DOUBLE) * CAST(0.5 AS DOUBLE) END,
-        |         CAST(NULL AS VARCHAR)
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |  FROM range(0, 4) a(t), range(0, 3) b(l)),
         |noleap_months(m, cum, len) AS (VALUES (1,0,31),(2,31,28),(3,59,31),(4,90,30),
         |  (5,120,31),(6,151,30),(7,181,31),(8,212,31),(9,243,30),(10,273,31),
@@ -2925,14 +2941,16 @@ object SparkEntry {
         |tnl AS (
         |  SELECT 'tnl', CAST(r.i AS VARCHAR), CAST(r.v AS DOUBLE),
         |         printf('%04d-%02d-%02d 00:00:00',
-        |                (4*365 + r.v) // 365, mm.m, (4*365 + r.v) % 365 - mm.cum + 1)
+        |                (4*365 + r.v) // 365, mm.m, (4*365 + r.v) % 365 - mm.cum + 1),
+        |         CAST(NULL AS VARCHAR)
         |  FROM (VALUES (0, 58), (1, 59), (2, 60), (3, 364)) r(i, v)
         |  JOIN noleap_months mm
         |    ON (4*365 + r.v) % 365 >= mm.cum AND (4*365 + r.v) % 365 < mm.cum + mm.len),
         |t360 AS (
         |  SELECT 't360', CAST(i AS VARCHAR), CAST(v AS DOUBLE),
         |         printf('%04d-%02d-%02d 00:00:00',
-        |                (360 + v) // 360, (360 + v) % 360 // 30 + 1, (360 + v) % 360 % 30 + 1)
+        |                (360 + v) // 360, (360 + v) % 360 // 30 + 1, (360 + v) % 360 % 30 + 1),
+        |         CAST(NULL AS VARCHAR)
         |  FROM (VALUES (0, 29), (1, 30), (2, 359), (3, 719)) t(i, v)),
         |pb AS (
         |  -- _Unsigned byte: reinterpret raw AND fill (< 0 -> +256) before
@@ -2942,7 +2960,7 @@ object SparkEntry {
         |                 = (CASE WHEN -106 < 0 THEN -106 + 256 ELSE -106 END) THEN NULL
         |              ELSE CAST((CASE WHEN raw < 0 THEN raw + 256 ELSE raw END) AS DOUBLE)
         |                   * CAST(2.0 AS DOUBLE) + CAST(1.0 AS DOUBLE) END,
-        |         CAST(NULL AS VARCHAR)
+        |         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
         |  FROM (VALUES (0, -1), (1, 100), (2, -106)) t(i, raw)),
         |jul_months(m, cuml, lenl, cumn, lenn) AS (VALUES
         |  (1,0,31,0,31),(2,31,29,31,28),(3,60,31,59,31),(4,91,30,90,30),
@@ -2950,10 +2968,14 @@ object SparkEntry {
         |  (9,244,30,243,30),(10,274,31,273,31),(11,305,30,304,30),(12,335,31,334,31)),
         |tjul AS (
         |  -- julian: leap every 4th year, no century exception; 1461-day
-        |  -- cycles from year 0, in-cycle year 0 leap (1900-02-29 exists)
+        |  -- cycles from year 0, in-cycle year 0 leap (1900-02-29 exists).
+        |  -- time_instant (r10 fast path): julian 1900-01-01 is proleptic-
+        |  -- Gregorian 1900-01-13 (JDN 2415033), offsets add uniformly
         |  SELECT 'tjul', CAST(b.i AS VARCHAR), CAST(b.v AS DOUBLE),
         |         printf('%04d-%02d-%02d 00:00:00', b.y, mm.m,
-        |                b.doy - (CASE WHEN b.leap THEN mm.cuml ELSE mm.cumn END) + 1)
+        |                b.doy - (CASE WHEN b.leap THEN mm.cuml ELSE mm.cumn END) + 1),
+        |         strftime(TIMESTAMP '1900-01-13 00:00:00' + b.v * INTERVAL 1 DAY,
+        |                  '%Y-%m-%d %H:%M:%S')
         |  FROM (
         |    SELECT i, v,
         |           (d // 1461) * 4 + CASE WHEN r < 366 THEN 0 ELSE (r - 366) // 365 + 1 END AS y,

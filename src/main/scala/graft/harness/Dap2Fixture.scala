@@ -35,8 +35,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Dap2Fixture {
 
+  /** `mapsOf` non-empty renders the var as a DAP Grid whose MAPS section
+    * holds the named sibling vars (which then do NOT render at top level —
+    * the Grid owns them, like a real server's DDS). */
   final case class Var(name: String, dapType: String, dims: Seq[(String, Long)],
-                       data: Array[Double])
+                       data: Array[Double], mapsOf: Seq[String] = Nil)
 
   private val servers = scala.collection.mutable.Map.empty[String, String]
 
@@ -61,15 +64,33 @@ object Dap2Fixture {
       Var("n_regionkey", "Int16", Seq("nation" -> n), nation.map(_._2.toDouble)),
       Var("flag", "Byte", Seq("nation" -> n), nation.map(x => (x._1 % 3).toDouble)),
       Var("r_regionkey", "Float32", Seq("region" -> r), region.map(_.toDouble)),
+      // key_sum is served as a proper DAP GRID: its coordinate maps are
+      // the nation/region key vectors, so the client must both flatten the
+      // Grid (array + maps as variables, pydap-style) and carry the maps
+      // association through as the CF `coordinates` attribute
+      Var("nation", "Float64", Seq("nation" -> n), nation.map(_._1.toDouble)),
+      Var("region", "Float64", Seq("region" -> r), region.map(_.toDouble)),
       Var("key_sum", "Float64", Seq("nation" -> n, "region" -> r),
-        nation.flatMap(x => region.map(y => (x._1 + y).toDouble))),
+        nation.flatMap(x => region.map(y => (x._1 + y).toDouble)),
+        mapsOf = Seq("nation", "region")),
     )
   }
 
   private[graft] def ddsText(vars: Seq[Var], name: String): String = {
-    val decls = vars.map { v =>
+    def decl(v: Var, indent: String): String = {
       val dims = v.dims.map { case (d, sz) => s"[$d = $sz]" }.mkString
-      s"    ${v.dapType} ${v.name}$dims;"
+      s"$indent${v.dapType} ${v.name}$dims;"
+    }
+    val owned = vars.flatMap(_.mapsOf).toSet
+    val decls = vars.filterNot(v => owned.contains(v.name)).map { v =>
+      if (v.mapsOf.isEmpty) decl(v, "    ")
+      else {
+        // only maps present in the projected var set render (a constraint
+        // on one map projects the Grid away entirely)
+        val maps = v.mapsOf.flatMap(m => vars.find(_.name == m))
+          .map(m => decl(m, "        ")).mkString("\n")
+        s"    Grid {\n     ARRAY:\n${decl(v, "        ")}\n     MAPS:\n$maps\n    } ${v.name};"
+      }
     }.mkString("\n")
     s"Dataset {\n$decls\n} $name;"
   }
@@ -118,15 +139,18 @@ object Dap2Fixture {
   private val slabRe = """\[(\d+):(\d+)\]""".r
 
   /** `name[lo:hi][lo:hi]…` → the projected Var with sliced dims + data
-    * (C-order). No constraint → the whole variable. */
+    * (C-order). No constraint → the whole variable. A constraint on a
+    * GRID array answers the way a real server does: the sliced Grid —
+    * array plus its maps, each map sliced on its own dimension — so the
+    * client's multi-variable DODS walk is exercised end-to-end. */
   private[graft] def applyConstraint(vars: Seq[Var], query: String): Seq[Var] = {
     if (query == null || query.trim.isEmpty) return vars
-    query.split(',').toSeq.map { proj =>
+    query.split(',').toSeq.flatMap { proj =>
       val name = proj.takeWhile(_ != '[').trim
       val v = vars.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no such variable '$name'"))
       val slabs = slabRe.findAllMatchIn(proj).map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
-      if (slabs.isEmpty) v
+      if (slabs.isEmpty) Seq(v)
       else {
         require(slabs.size == v.dims.size,
           s"constraint '$proj' has ${slabs.size} slabs for ${v.dims.size} dims")
@@ -138,7 +162,14 @@ object Dap2Fixture {
         def gather(dim: Int, base: Long): Seq[Double] =
           if (dim == slabs.size) Seq(v.data(base.toInt))
           else (slabs(dim)._1 to slabs(dim)._2).flatMap(i => gather(dim + 1, base + i * strides(dim)))
-        Var(v.name, v.dapType, newDims, gather(0, 0L).toArray)
+        val sliced = Var(v.name, v.dapType, newDims, gather(0, 0L).toArray, v.mapsOf)
+        val slicedMaps = v.mapsOf.zip(slabs).map { case (mName, (lo, hi)) =>
+          val m = vars.find(_.name == mName).getOrElse(
+            throw new IllegalArgumentException(s"Grid '$name' references unknown map '$mName'"))
+          Var(m.name, m.dapType, Seq((m.dims.head._1, hi - lo + 1)),
+            m.data.slice(lo.toInt, hi.toInt + 1))
+        }
+        sliced +: slicedMaps
       }
     }
   }

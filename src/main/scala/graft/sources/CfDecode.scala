@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   *    fixed-month integer arithmetic — the relational analogue of
   *    xarray's cftime objects), and so do the julian-family calendars
   *    (`julian`/`proleptic_julian`: leap every 4th year with NO century
-  *    exception, so 1900-02-29 exists). Any OTHER calendar REFUSES
+  *    exception, so 1900-02-29 exists) — but a julian DATE names a real
+  *    instant, so since r10 the julian family ALSO fills `time` with the
+  *    proleptic-Gregorian timestamp of that instant (epoch converted via
+  *    its Julian Day Number) whenever it lands in the year 1-9999 render
+  *    window, alongside the authoritative `time_cal` string. Any OTHER
+  *    calendar REFUSES
   *    loudly rather than silently shifting every date. A time-like units
   *    string whose unit word or epoch fails to parse also refuses loudly;
   *  - the netCDF-3 `_Unsigned` convention reinterprets signed stored
@@ -143,9 +148,32 @@ object CfDecode {
     val cal = coalesce(lower(col("cf_calendar")), lit("standard"))
     val calStandard = cal.isin(standardCals: _*)
     val calFixed = cal.isin((fixedCals ++ julianCals): _*)
+    val calJulian = cal.isin(julianCals: _*)
     // epoch seconds as double (timestamp→double cast is seconds.fraction);
     // microsecond-exact for any realistic coordinate magnitude
     val timeVal = (epochTs.cast("double") + decoded * unitSec).cast("timestamp")
+    // julian-family FAST PATH (r10): a julian calendar date names a real
+    // instant — the epoch converts to the proleptic-Gregorian timeline via
+    // its Julian Day Number (Richards' arithmetic; all operands positive,
+    // so floor == integer division) and offsets add uniformly. `time` is
+    // filled alongside the authoritative `time_cal` string whenever the
+    // instant lands inside the year 1-9999 window Spark timestamps render
+    // cleanly; outside it only the string carries (no overflow, no wrap).
+    val jy = regexp_extract(epochStr, epochRe, 1).cast("long")
+    val jm = regexp_extract(epochStr, epochRe, 2).cast("long")
+    val jd = regexp_extract(epochStr, epochRe, 3).cast("long")
+    val ja  = floor((lit(14L) - jm) / 12).cast("long")
+    val jy2 = jy + 4800L - ja
+    val jm2 = jm + ja * 12L - 3L
+    val jdn = jd + floor((jm2 * 153L + 2L) / 5).cast("long") + jy2 * 365L +
+      floor(jy2 / 4).cast("long") - lit(32083L)
+    val julianEpochSec = (jdn - 2440588L) * 86400L +
+      coalesce(nullif(g(4), lit("")), lit("0")).cast("long") * 3600L +
+      coalesce(nullif(g(5), lit("")), lit("0")).cast("long") * 60L +
+      coalesce(nullif(g(6), lit("")), lit("0")).cast("decimal(16,6)").cast("double")
+    val julianSec = julianEpochSec + decoded * unitSec
+    val julianInRange = julianSec >= -62135596800.0 && julianSec <= 253402300799.0
+    val julianTimeVal = julianSec.cast("timestamp")
     val timeCalVal = org.apache.spark.sql.GraftColumnBridge.column(
       CfCalendarDate(
         org.apache.spark.sql.GraftColumnBridge.expression(epochStr),
@@ -174,6 +202,7 @@ object CfDecode {
       .select(col("variable"), col("chunk"), col("idx"),
         decoded.as("value"),
         when(timeLike && calStandard && decoded.isNotNull, timeVal)
+          .when(timeLike && calJulian && decoded.isNotNull && julianInRange, julianTimeVal)
           .otherwise(lit(null).cast("timestamp")).as("time"),
         when(timeLike && calFixed && decoded.isNotNull, timeCalVal)
           .otherwise(lit(null).cast("string")).as("time_cal"),

@@ -36,7 +36,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Dap2Index {
 
   /** One DDS array declaration: `Float64 sst[time = 10][lat = 5];`. */
-  final case class DapVar(name: String, dapType: String, dims: Seq[(String, Long)])
+  /** `maps` is non-empty only for a Grid's array variable: the names of
+    * its coordinate map vectors, in declaration order — the association
+    * pydap surfaces as `GridType.maps` and xarray as the CF `coordinates`
+    * attribute. */
+  final case class DapVar(name: String, dapType: String, dims: Seq[(String, Long)],
+                          maps: Seq[String] = Nil)
 
   final case class Dds(datasetName: String, vars: Seq[DapVar])
 
@@ -99,13 +104,14 @@ object Dap2Index {
         val gridName = afterBrace.substring(0, semi).trim
         val sections = gridBody.split("(?i)(?:ARRAY|MAPS)\\s*:").filter(_.trim.nonEmpty)
         require(sections.length == 2, s"Grid '$gridName' needs ARRAY and MAPS sections")
+        val mapVars = parseDecls(sections(1))
         val arrayVar = parseDecls(sections(0)) match {
-          case Seq(one) => one.copy(name = gridName)
+          case Seq(one) => one.copy(name = gridName, maps = mapVars.map(_.name))
           case other => throw new IllegalArgumentException(
             s"Grid '$gridName' ARRAY section must hold exactly one declaration, got ${other.size}")
         }
         vars += arrayVar
-        parseDecls(sections(1)).foreach { m =>
+        mapVars.foreach { m =>
           if (!vars.exists(_.name == m.name)) vars += m
         }
         rest = afterBrace.substring(semi + 1)
@@ -279,8 +285,12 @@ object Dap2Index {
         ("zarr_format" -> 2) ~ ("dtype" -> zarrDtype(v.dapType)) ~
           ("shape" -> shape) ~ ("chunks" -> chunks) ~
           ("compressor" -> JNull) ~ ("filters" -> JNull) ~ ("order" -> "C")
+      // a Grid's coordinate-map association surfaces as the CF
+      // `coordinates` attribute (space-joined map names) — exactly what
+      // xarray writes when it flattens a pydap Grid
       val zattrs: JValue = JObject(
-        das.getOrElse(v.name, Map.empty).toList.map { case (k, value) => JField(k, jsonOf(value)) } :+
+        das.getOrElse(v.name, Map.empty).toList.map { case (k, value) => JField(k, jsonOf(value)) } ++
+          (if (v.maps.nonEmpty) List(JField("coordinates", JString(v.maps.mkString(" ")))) else Nil) :+
           JField("_ARRAY_DIMENSIONS", JArray(v.dims.map(d => JString(d._1)).toList)))
       val meta = Iterator(
         (s"${v.name}/.zarray", v.name, ".zarray", "meta", null: String,

@@ -94,14 +94,20 @@ class CfDecodeSpec extends AnyFunSuite {
     // Feb 29. Pinned from python (cf_check.py's independent
     // year-stepping julian_cal_date).
     val tj = openCf().filter(col("variable") === "tjul")
-      .select(col("coords")(0).as("i"), col("time_cal"), col("time"))
-      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.get(2)))).toMap
+      .select(col("coords")(0).as("i"), col("time_cal"),
+        date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
     assert(tj(0L)._1 == "1900-02-28 00:00:00")
     assert(tj(1L)._1 == "1900-02-29 00:00:00") // exists in julian, not gregorian
     assert(tj(2L)._1 == "1900-03-01 00:00:00")
     assert(tj(3L)._1 == "1903-12-31 00:00:00") // +1460 d crosses the leap year + 3 plain
-    assert(tj.values.forall(_._2 == null),
-      "julian dates drift vs the instant timeline; the timestamp column must stay null")
+    // r10 instant fast path: a julian date names a real instant, so `time`
+    // carries its proleptic-Gregorian conversion ALONGSIDE the calendar
+    // string — julian 1900-01-01 is Gregorian 1900-01-13 (JDN 2415033)
+    assert(tj(0L)._2 == "1900-03-12 00:00:00", tj(0L)._2)
+    assert(tj(1L)._2 == "1900-03-13 00:00:00", tj(1L)._2)
+    assert(tj(2L)._2 == "1900-03-14 00:00:00", tj(2L)._2)
+    assert(tj(3L)._2 == "1904-01-13 00:00:00", tj(3L)._2)
   }
 
   test("_Unsigned both directions on the synthetic plane") {

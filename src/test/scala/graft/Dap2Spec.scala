@@ -118,6 +118,10 @@ class Dap2Spec extends AnyFunSuite {
     assert(dds.vars.map(_.name) === Seq("sst", "time", "lat"))
     assert(dds.vars.head.dapType === "Int16")
     assert(dds.vars.head.dims === Seq("time" -> 4L, "lat" -> 3L))
+    // the maps ASSOCIATION survives the flatten (pydap GridType.maps; it
+    // surfaces downstream as the CF `coordinates` attribute)
+    assert(dds.vars.head.maps === Seq("time", "lat"))
+    assert(dds.vars(1).maps.isEmpty && dds.vars(2).maps.isEmpty)
   }
 
   test("DDS: Structure/Sequence and String arrays refuse loudly") {
@@ -127,6 +131,19 @@ class Dap2Spec extends AnyFunSuite {
     assert(intercept[UnsupportedOperationException] {
       Dap2Index.parseDds("Dataset {\n String names[x = 3];\n} d;")
     }.getMessage.contains("String"))
+  }
+
+  test("Grid maps surface as the CF coordinates attribute in .zattrs") {
+    val base = Dap2Fixture.ensure(spark, dir)
+    val z = Dap2Index.read(spark, base, Map.empty)
+      .filter(col("key") === "key_sum/.zattrs")
+      .select("inline_value").head().getString(0)
+    assert(z.contains("\"coordinates\":\"nation region\""), z)
+    // non-grid variables carry no coordinates attribute
+    val flat = Dap2Index.read(spark, base, Map.empty)
+      .filter(col("key") === "flag/.zattrs")
+      .select("inline_value").head().getString(0)
+    assert(!flat.contains("coordinates"), flat)
   }
 
   test("DAS: typed attribute decode incl. globals") {
@@ -162,8 +179,11 @@ class Dap2Spec extends AnyFunSuite {
     val want = nation.zipWithIndex.flatMap { case ((nk, rk), i) => Seq(
       ("n_nationkey", "nation", i.toString, nk.toDouble),
       ("n_regionkey", "nation", i.toString, rk.toDouble),
-      ("flag", "nation", i.toString, (nk % 3).toDouble)) }.toSet ++
-      region.zipWithIndex.map { case (r, j) => ("r_regionkey", "region", j.toString, r.toDouble) } ++
+      ("flag", "nation", i.toString, (nk % 3).toDouble),
+      ("nation", "nation", i.toString, nk.toDouble)) }.toSet ++
+      region.zipWithIndex.flatMap { case (r, j) => Seq(
+        ("r_regionkey", "region", j.toString, r.toDouble),
+        ("region", "region", j.toString, r.toDouble)) } ++
       nation.zipWithIndex.flatMap { case ((nk, _), i) =>
         region.zipWithIndex.map { case (r, j) => ("key_sum", "nation.region", s"$i.$j", (nk + r).toDouble) } }
     assert(got === want)
@@ -176,7 +196,7 @@ class Dap2Spec extends AnyFunSuite {
       Map(Dap2Index.MaxChunkBytesOption -> "64")).filter(col("kind") === "ref").count()
     val wholeRefs = Dap2Index.read(spark, Dap2Fixture.ensure(spark, dir), Map.empty)
       .filter(col("kind") === "ref").count()
-    assert(wholeRefs === 5L, "default budget: one request per variable")
+    assert(wholeRefs === 7L, "default budget: one request per variable (incl. the Grid's maps)")
     assert(smallRefs > wholeRefs, "64-byte budget must band the bigger variables")
     val k = Seq("variable", "coords")
     assert(small.select(col("variable"), col("coords"), col("value")).collect().toSet ===
@@ -185,7 +205,7 @@ class Dap2Spec extends AnyFunSuite {
 
   test("catalog flow: open_esm_datastore -> search -> to_dataset_dict over opendap assets") {
     val got = SparkEntry.queries("load_catalog_opendap")(spark, dir).collect()
-    assert(got.length === 10) // 2 members x 5 variables
+    assert(got.length === 14) // 2 members x 7 variables (incl. the Grid's maps)
     val keySum = got.filter(r => r.getString(1) == "key_sum")
     assert(keySum.map(_.getString(0)).toSet === Set("1", "2"))
     assert(keySum.forall(_.getLong(2) === 125L))
