@@ -152,7 +152,9 @@ object SparkEntry {
     * the BYTES back with the native header-parse expression while the
     * DuckDB oracle re-derives the same values from the arithmetic. */
   def ensureImageFixture(s: SparkSession, dir: String): String = {
-    val out    = s"/tmp/graft_img_${tmpToken(dir)}"
+    // _v2: channel sub-variant keyed on (doc_id/4)%2 — bump with any
+    // encoder change or a stale cached fixture silently tests old bytes
+    val out    = s"/tmp/graft_img_v2_${tmpToken(dir)}"
     val marker = Paths.get(out, "_READY")
     this.synchronized {
       if (!Files.exists(marker)) {
@@ -4180,8 +4182,8 @@ object SparkEntry {
         |    CAST((doc_id * 7) % 120 + 16 AS INT) AS width,
         |    CAST((doc_id * 13) % 90 + 16 AS INT) AS height,
         |    CAST(CASE doc_id % 4
-        |      WHEN 0 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END
-        |      WHEN 1 THEN CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END
+        |      WHEN 0 THEN CASE WHEN (doc_id // 4) % 2 = 0 THEN 3 ELSE 4 END
+        |      WHEN 1 THEN CASE WHEN (doc_id // 4) % 2 = 0 THEN 3 ELSE 1 END
         |      ELSE 3 END AS INT) AS channels
         |  FROM documents)
         |SELECT id, format, width, height, channels,

@@ -130,10 +130,19 @@ object ImageDims {
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", le16(b, 6), le16(b, 8), 3)
-    // BMP: BITMAPINFOHEADER (header size >= 40 at offset 14)
-    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' && le32(b, 14) >= 40) {
-      val bpp = le16(b, 28)
-      return row("bmp", le32(b, 18), math.abs(le32(b, 22)), math.max(1, bpp / 8))
+    // BMP: BITMAPINFOHEADER (header size >= 40 at offset 14). 'BM' alone
+    // is far too weak a magic (any text starting "BM…" matches) — the
+    // spec's reserved words at offsets 6-9 MUST be zero, and the header
+    // size field takes only a handful of defined values; both are checked
+    // so a non-image payload cannot parse into silent garbage dimensions.
+    if (b.length >= 30 && b(0) == 'B' && b(1) == 'M' &&
+        b(6) == 0 && b(7) == 0 && b(8) == 0 && b(9) == 0) {
+      val hdr = le32(b, 14)
+      if (hdr == 40 || hdr == 52 || hdr == 56 || hdr == 64 || hdr == 108 || hdr == 124) {
+        val bpp = le16(b, 28)
+        return row("bmp", le32(b, 18), math.abs(le32(b, 22)), math.max(1, bpp / 8))
+      }
+      return null
     }
     null
   }

@@ -24,8 +24,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * expression instance (`addReferenceObj`) so the generated code stays
   * inside whole-stage codegen with no fallback.
   *
-  * Deserialized filters are per-instance `@transient lazy` — rebuilt at
-  * most once per executor JVM after deserialization, never per row. */
+  * Deserialized filters are cached in a JVM-GLOBAL map keyed by the
+  * broadcast id — NOT per expression instance: the expression rides every
+  * task's serialized binary, so a per-instance `@transient lazy` would
+  * re-deserialize the whole shard set once per TASK (at the motivating
+  * ~11 GB index scale, 8 concurrent tasks would transiently hold 8 full
+  * copies of the bit arrays). One deserialization per (executor JVM,
+  * broadcast) is the contract; the cache entry lives as long as the JVM,
+  * matching the broadcast block's own lifetime. */
 case class ShardedBloomMightContain(
     shards: Broadcast[IndexedSeq[Array[Byte]]],
     left: Expression,
@@ -42,7 +48,7 @@ case class ShardedBloomMightContain(
     }
 
   @transient private lazy val filters: IndexedSeq[BloomFilter] =
-    shards.value.map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b)))
+    ShardedBloomMightContain.filtersFor(shards)
 
   def test(shard: Int, hash: Long): Boolean = filters(shard).mightContainLong(hash)
 
@@ -58,4 +64,14 @@ case class ShardedBloomMightContain(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object ShardedBloomMightContain {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, IndexedSeq[BloomFilter]]()
+
+  private[graft] def filtersFor(
+      shards: Broadcast[IndexedSeq[Array[Byte]]]): IndexedSeq[BloomFilter] =
+    cache.computeIfAbsent(shards.id, _ =>
+      shards.value.map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))))
 }

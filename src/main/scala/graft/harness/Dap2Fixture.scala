@@ -150,8 +150,13 @@ object Dap2Fixture {
       val v = vars.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no such variable '$name'"))
       val slabs = slabRe.findAllMatchIn(proj).map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
-      if (slabs.isEmpty) Seq(v)
-      else {
+      if (slabs.isEmpty) {
+        // a bracket-less projection of a Grid still answers the FULL Grid
+        // (array + maps), like a real server — returning the bare array
+        // would render an empty MAPS section the client's DDS parse rejects
+        v +: v.mapsOf.map(mName => vars.find(_.name == mName).getOrElse(
+          throw new IllegalArgumentException(s"Grid '$name' references unknown map '$mName'")))
+      } else {
         require(slabs.size == v.dims.size,
           s"constraint '$proj' has ${slabs.size} slabs for ${v.dims.size} dims")
         slabs.zip(v.dims).foreach { case ((lo, hi), (d, sz)) =>

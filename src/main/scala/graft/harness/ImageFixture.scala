@@ -12,32 +12,37 @@ import java.io.ByteArrayOutputStream
   * values from the encoded BYTES — an encoder/parser disagreement on any
   * header offset fails the gate.
   *
-  * Format cycle (doc_id % 4): png, jpeg, gif, bmp.
-  *  - png: even ids TYPE_3BYTE_BGR (color type 2 → 3 channels), odd
-  *    TYPE_INT_ARGB (type 6 → 4);
-  *  - jpeg: even TYPE_3BYTE_BGR (3 components), odd TYPE_BYTE_GRAY (1);
-  *  - gif / bmp: TYPE_3BYTE_BGR (palette RGB → 3; 24bpp → 3).
+  * Format cycle (doc_id % 4): png, jpeg, gif, bmp. The channel
+  * sub-variant keys on (doc_id / 4) % 2 — NOT doc_id % 2, which is fully
+  * determined by doc_id % 4 and would leave half the branches dead:
+  *  - png: sub-variant 0 TYPE_3BYTE_BGR (color type 2 → 3 channels),
+  *    sub-variant 1 TYPE_INT_ARGB (type 6 → 4);
+  *  - jpeg: sub-variant 0 TYPE_3BYTE_BGR (3 components), else
+  *    TYPE_BYTE_GRAY (1);
+  *  - gif / bmp: palette RGB → 3; 24bpp → 3.
   * Dims: width = (doc_id·7) % 120 + 16, height = (doc_id·13) % 90 + 16.
   */
 object ImageFixture {
   def width(id: Long): Int  = ((id * 7) % 120 + 16).toInt
   def height(id: Long): Int = ((id * 13) % 90 + 16).toInt
 
+  private def sub(id: Long): Long = (id / 4) % 2
+
   def formatName(id: Long): String = (id % 4) match {
     case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"; case _ => "bmp"
   }
 
   def channels(id: Long): Int = (id % 4) match {
-    case 0 => if (id % 2 == 0) 3 else 4
-    case 1 => if (id % 2 == 0) 3 else 1
+    case 0 => if (sub(id) == 0) 3 else 4
+    case 1 => if (sub(id) == 0) 3 else 1
     case _ => 3
   }
 
   def encode(id: Long): Array[Byte] = {
     val w = width(id); val h = height(id)
     val imgType = (id % 4) match {
-      case 0 => if (id % 2 == 0) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_INT_ARGB
-      case 1 => if (id % 2 == 0) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_BYTE_GRAY
+      case 0 => if (sub(id) == 0) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_INT_ARGB
+      case 1 => if (sub(id) == 0) BufferedImage.TYPE_3BYTE_BGR else BufferedImage.TYPE_BYTE_GRAY
       // gif: pre-indexed so the JDK writer never has to quantize
       case 2 => BufferedImage.TYPE_BYTE_INDEXED
       case _ => BufferedImage.TYPE_3BYTE_BGR

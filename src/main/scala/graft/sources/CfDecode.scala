@@ -153,25 +153,25 @@ object CfDecode {
     // microsecond-exact for any realistic coordinate magnitude
     val timeVal = (epochTs.cast("double") + decoded * unitSec).cast("timestamp")
     // julian-family FAST PATH (r10): a julian calendar date names a real
-    // instant — the epoch converts to the proleptic-Gregorian timeline via
-    // its Julian Day Number (Richards' arithmetic; all operands positive,
-    // so floor == integer division) and offsets add uniformly. `time` is
-    // filled alongside the authoritative `time_cal` string whenever the
-    // instant lands inside the year 1-9999 window Spark timestamps render
-    // cleanly; outside it only the string carries (no overflow, no wrap).
-    val jy = regexp_extract(epochStr, epochRe, 1).cast("long")
-    val jm = regexp_extract(epochStr, epochRe, 2).cast("long")
-    val jd = regexp_extract(epochStr, epochRe, 3).cast("long")
+    // instant — shift the epoch by the julian-vs-Gregorian calendar offset
+    // at that date (the difference of the two Julian Day Number formulas,
+    // Richards' arithmetic: all operands positive, so floor == integer
+    // division, and every term but the century correction cancels) and
+    // offsets add uniformly from there. Built on the SAME `epochTs`
+    // make_timestamp the standard path uses, so the julian `time` column
+    // keeps identical session-timezone semantics (a non-UTC session
+    // renders both calendars' wall clocks consistently). Filled alongside
+    // the authoritative `time_cal` string whenever the instant lands
+    // inside the year 1-9999 window Spark timestamps render cleanly;
+    // outside it only the string carries (no overflow, no wrap).
+    val jm  = g(2).cast("long")
     val ja  = floor((lit(14L) - jm) / 12).cast("long")
-    val jy2 = jy + 4800L - ja
-    val jm2 = jm + ja * 12L - 3L
-    val jdn = jd + floor((jm2 * 153L + 2L) / 5).cast("long") + jy2 * 365L +
-      floor(jy2 / 4).cast("long") - lit(32083L)
-    val julianEpochSec = (jdn - 2440588L) * 86400L +
-      coalesce(nullif(g(4), lit("")), lit("0")).cast("long") * 3600L +
-      coalesce(nullif(g(5), lit("")), lit("0")).cast("long") * 60L +
-      coalesce(nullif(g(6), lit("")), lit("0")).cast("decimal(16,6)").cast("double")
-    val julianSec = julianEpochSec + decoded * unitSec
+    val jy2 = g(1).cast("long") + 4800L - ja
+    // jdn_julian - jdn_gregorian = floor(y'/100) - floor(y'/400) - 38
+    val julianDeltaDays = floor(jy2 / 100).cast("long") -
+      floor(jy2 / 400).cast("long") - 38L
+    val julianSec = epochTs.cast("double") + julianDeltaDays.cast("double") * 86400.0 +
+      decoded * unitSec
     val julianInRange = julianSec >= -62135596800.0 && julianSec <= 253402300799.0
     val julianTimeVal = julianSec.cast("timestamp")
     val timeCalVal = org.apache.spark.sql.GraftColumnBridge.column(

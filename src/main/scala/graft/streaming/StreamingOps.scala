@@ -85,7 +85,11 @@ object StreamingOps {
     * buckets ((band, bucket) → first claimant + last-hit ms). `groups`
     * records the stateGroups the row was written under — a restart with a
     * different value re-routes keys, so every state load checks it and
-    * refuses loudly instead of silently losing stored first-claimants. */
+    * refuses loudly instead of silently losing stored first-claimants.
+    * STATE SCHEMA v2 (the `groups` field): checkpoints written by earlier
+    * builds fail Spark's state-schema compatibility check on restart —
+    * start those streams over with a fresh checkpoint; there is no
+    * in-place migration. */
   final case class BucketGroupState(bands: Array[Int], buckets: Array[Long],
                                     firstIds: Array[Long], lastMs: Array[Long],
                                     groups: Int)
@@ -552,6 +556,12 @@ object StreamingOps {
               }
               i += 1
             }
+            // every stored survivor TTL-expired → the cell is effectively
+            // fresh, so the dim pin resets with it: after a pause longer
+            // than the TTL, a redeploy with a different embedding model
+            // must re-pin from its first arrival, not crash-loop against
+            // a dimension no live survivor carries
+            if (n == 0) dim = -1
           }
           // id-ascending scan order: the earliest-kept match is the FIRST
           // match in id order, so the survivor loop breaks at the first hit

@@ -162,7 +162,19 @@ class DedupIndexSpec extends AnyFunSuite {
       }).sum
     assert(binaryLiteralBytes == 0L,
       s"sharded probe plan embeds $binaryLiteralBytes B of blobs as literals")
-    // and the broadcast is per-INDEX, not per-batch: two probes share it
-    assert(sharded.broadcastShards eq sharded.broadcastShards)
+    // and the broadcast is per-INDEX, not per-batch: two independently
+    // constructed probe plans must reference the SAME broadcast id (a
+    // regression to a broadcast-per-probe would pass a mere handle-equality
+    // check, so compare what the plans actually carry)
+    def broadcastIds(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+      .queryExecution.analyzed
+      .collect { case n => n }.flatMap(_.expressions)
+      .flatMap(_.collect {
+        case e: graft.functions.ShardedBloomMightContain => e.shards.id
+      })
+    val ids1 = broadcastIds(Dedup.incrementalExactWithIndex(batch, sharded, "text"))
+    val ids2 = broadcastIds(Dedup.incrementalExactWithIndex(batch, sharded, "text"))
+    assert(ids1.nonEmpty && ids1.distinct.size == 1, ids1.toString)
+    assert(ids1.distinct == ids2.distinct, s"$ids1 vs $ids2")
   }
 }

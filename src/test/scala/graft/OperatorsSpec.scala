@@ -911,6 +911,10 @@ class MultimodalSpec extends AnyFunSuite {
       (6L, gif(320, 200)),
       (7L, bmp(100, 50, 24)), (8L, bmp(64, 32, 32)),
       (9L, "not an image".getBytes), (10L, png(640, 480, 2).take(20)),
+      // 'BM' text prefix must NOT sniff as BMP (reserved words 6-9 are
+      // ASCII, not the spec's mandatory zeros) — garbage dims would be
+      // worse than a refusal
+      (11L, "BMW technical manual for series three owners, 1984 edition".getBytes),
     ).toDF("id", "payload")
     val out = Multimodal.imageMeta(df, "payload", "id").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
@@ -923,7 +927,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(6L).contains(("gif", 320, 200, 3)))
     assert(out(7L).contains(("bmp", 100, 50, 3)))
     assert(out(8L).contains(("bmp", 64, 32, 4)))
-    assert(out(9L).isEmpty && out(10L).isEmpty)
+    assert(out(9L).isEmpty && out(10L).isEmpty && out(11L).isEmpty)
   }
 
   test("image dims: ImageIO round-trip matches the fixture arithmetic") {
