@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
 import graft.catalog._
 import graft.derived.{DerivedVariable, DerivedVariableRegistry}
 import graft.harness.PipelineDemo
-import graft.operators.{Dedup, DedupChecks, MinimalExploder, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DedupChecks, MinimalExploder, Multimodal, Similarity, TextAnalysis, TextClassifier}
 import graft.search.QueryCompiler
 
 /** Driver contract — one query per implemented operator from SURVEY.md §2
@@ -1909,6 +1909,22 @@ object SparkEntry {
       // so roughly half the token stream is genuinely OOV
       TextAnalysis.zipfSurprisal(T(s, dir, "documents"), "text", "doc_id", vocabK = 16)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    "text_classifier_score" -> ((s, dir) => {
+      // fastText-style linear classifier INFERENCE (arXiv:1607.01759) over
+      // hashed unigram+bigram features — the scoring pass of a DCLM/
+      // fineweb-style quality filter, as one corpus scan with the weight
+      // vector riding the plan as a single array literal. Weights here are
+      // a deterministic function of the feature id ((fid·37) % 201 − 100,
+      // dyadic k/128 grid) so the DuckDB oracle rebuilds the identical
+      // model and the SUM is exact in any fold order — hash-green, not
+      // approximately-equal.
+      val dim = 4096
+      val w = Array.tabulate(dim)(f => (f * 37) % 201 - 100)
+      TextClassifier.scoreLinear(T(s, dir, "documents"), "text", "doc_id", w)
+        .select(col("id").as("doc_id"), col("n_features"), col("logit"), col("label"))
         .orderBy("doc_id")
     }),
 
@@ -4010,6 +4026,36 @@ object SparkEntry {
         |  FROM b)
         |SELECT lang, COUNT(*) AS n_sampled FROM v WHERE bucket < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // classifier oracle: DuckDB rebuilds the identical hashed-feature
+    // linear model — md5-hex4 feature ids (sample_hash's ascii trick),
+    // the same (fid·37) % 201 − 100 weight numerators, and an INTEGER sum
+    // divided once by 128, so the double logit is bit-exact in any fold
+    // order
+    "text_classifier_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(t) AS g FROM toks),
+        |bi  AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |        FROM toks, UNNEST(range(1, len(t))) r(i)),
+        |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |f AS (
+        |  SELECT doc_id,
+        |    ((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+        |   + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+        |   + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+        |   + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) % 4096 AS fid
+        |  FROM (SELECT doc_id, md5(g) AS h FROM grams)),
+        |s AS (
+        |  SELECT doc_id, COUNT(*) AS n_features,
+        |         SUM((fid * 37) % 201 - 100) AS num
+        |  FROM f GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+        |  CAST(coalesce(s.num, 0) AS DOUBLE) / 128.0 AS logit,
+        |  coalesce(s.num, 0) > 0 AS label
+        |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_top_ngrams" ->
       """WITH toks AS (

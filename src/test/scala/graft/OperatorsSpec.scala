@@ -817,6 +817,64 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class TextClassifierSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.TextClassifier
+
+  test("linear scoring: hand-computed logit over known feature ids") {
+    // dim 8 → feature id = md5-hex4 mod 8; weights picked so the expected
+    // numerator is computable by hand from the ids below
+    def fid(g: String): Int = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(h, 16) % 8
+    }
+    val w = Array.tabulate(8)(i => (i + 1) * 10) // 10..80, all positive
+    val df = Seq((1L, "alpha beta"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextClassifier.scoreLinear(df, "text", "doc_id", w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // grams of doc 1: "alpha", "beta", "alpha beta"
+    val expectNum = Seq("alpha", "beta", "alpha beta").map(g => w(fid(g))).sum
+    assert(out(1L) == ((3L, expectNum / 128.0, true)), out(1L).toString)
+    assert(out(2L) == ((0L, 0.0, false)))
+    assert(out(3L) == ((0L, 0.0, false)))
+  }
+
+  test("table-form model matches the array form; out-of-range ids refuse") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val w = Array.tabulate(64)(i => (i * 37) % 201 - 100)
+    val table = w.zipWithIndex.map { case (k, i) => (i.toLong, k.toLong) }
+      .toSeq.toDF("feature_id", "weight_num")
+    val a = TextClassifier.scoreLinear(docs, "text", "doc_id", w)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    val b = TextClassifier.scoreLinearTable(docs, "text", "doc_id", table, 64)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(a == b && a.nonEmpty)
+    val bad = Seq((99L, 1L)).toDF("feature_id", "weight_num")
+    val ex = intercept[IllegalArgumentException] {
+      TextClassifier.scoreLinearTable(docs, "text", "doc_id", bad, 64)
+    }
+    assert(ex.getMessage.contains("outside"), ex.getMessage)
+  }
+
+  test("quantize clamps to the overflow-safe dyadic grid") {
+    val q = TextClassifier.quantize(Array(0.5, -0.25, 1000.0, -1000.0, 0.0))
+    assert(q.toSeq == Seq(64, -32, 16256, -16256, 0))
+  }
+
+  test("plan shape: one scan, no joins, no shuffle for the scoring pass") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val w = Array.fill(16)(1)
+    val p = TextClassifier.scoreLinear(docs, "text", "doc_id", w)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join") && !p.contains("Exchange"), p.take(2000))
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
