@@ -26,8 +26,10 @@ object Bench {
     // scale incl. its in-plan property verification), gopher rules (full
     // corpus scan of integer-exact gates)
     "load_netcdf_cf", "pipeline_semdedup", "text_gopher_rules",
-    // r10: classifier inference — full-corpus hashed-feature scoring scan
-    "text_classifier_score",
+    // r10: classifier inference (full-corpus hashed-feature scoring scan)
+    // and BPE tokenization (distributed dict agg + driver merge loop +
+    // encode scan + in-plan losslessness verification)
+    "text_classifier_score", "pipeline_bpe_tokenize",
     // r9: the minhash-LSH and semdedup PIPELINES in isolation — the
     // registered rows deliberately include their in-plan property
     // verification (SURVEY §9), which would hide a pipeline regression

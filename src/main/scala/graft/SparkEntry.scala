@@ -1928,6 +1928,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_bpe_tokenize" -> ((s, dir) => {
+      // real learned subword tokenization (Sennrich 2016 BPE): train 200
+      // merges on the corpus' own word-frequency dict (the one distributed
+      // shuffle), then tokenize every doc in one scan via the native
+      // BpeEncode expression. Property-oracle pattern (SURVEY §9): BPE is
+      // not SQL-expressible, so the oracle pins five invariants as
+      // constant-TRUE rows and the query computes them IN-PLAN from the
+      // actual encodings — losslessness is checked by decoding every doc
+      // back and comparing TEXT, so a broken merge table cannot pass.
+      import graft.operators.BpeTokenizer
+      val docs = T(s, dir, "documents")
+      val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 200)
+      val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+      val base = docs.select(col("doc_id").as("id"),
+        coalesce(Dedup.tokens(col("text")), array().cast("array<string>")).as("__t"))
+        .select(col("id"), array_join(col("__t"), " ").as("__norm"),
+          size(col("__t")).cast(LongType).as("__nw"),
+          length(array_join(col("__t"), "")).cast(LongType).as("__nc"))
+      val joined = enc.join(base, Seq("id"))
+        .select(col("id"), col("n_tokens"), col("__norm"), col("__nw"), col("__nc"),
+          BpeTokenizer.decode(col("token_ids"), model).as("__rt"),
+          when(size(col("token_ids")) > 0, array_min(col("token_ids"))).as("__minid"))
+      val st = joined.agg(
+        sum(when(col("__rt") =!= col("__norm"), 1L).otherwise(0L)).as("rt_bad"),
+        sum(when(col("n_tokens") < col("__nw") ||
+          col("n_tokens") > col("__nc") + col("__nw"), 1L).otherwise(0L)).as("bound_bad"),
+        sum(col("n_tokens")).as("tot_tokens"),
+        sum(col("__nc") + col("__nw")).as("tot_syms"),
+        min(col("__minid")).as("min_id")).head()
+      import s.implicits._
+      Seq(
+        ("compression_gain", st.getLong(2) < st.getLong(3)),
+        ("merges_learned", model.merges.nonEmpty && model.merges.size <= 200),
+        ("no_unk", st.isNullAt(4) || st.getInt(4) >= 1),
+        ("roundtrip_lossless", st.getLong(0) == 0L),
+        ("token_bounds", st.getLong(1) == 0L),
+      ).toDF("invariant", "ok").orderBy("invariant")
+    }),
+
     "text_pii_scrub" -> ((s, dir) => {
       // The corpus is synthetic and clean, so the query plants one of each
       // PII shape per doc and scrubs it — the oracle runs the SAME
@@ -4026,6 +4065,16 @@ object SparkEntry {
         |  FROM b)
         |SELECT lang, COUNT(*) AS n_sampled FROM v WHERE bucket < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // property-style (like ann_recall_check): BPE is not SQL-expressible —
+    // the query verifies losslessness/bounds/compression IN-PLAN from the
+    // actual encodings and the oracle pins the invariants as met
+    "pipeline_bpe_tokenize" ->
+      """SELECT * FROM (VALUES
+        |  ('compression_gain', TRUE), ('merges_learned', TRUE),
+        |  ('no_unk', TRUE), ('roundtrip_lossless', TRUE),
+        |  ('token_bounds', TRUE)) AS t(invariant, ok)
+        |ORDER BY invariant""".stripMargin,
 
     // classifier oracle: DuckDB rebuilds the identical hashed-feature
     // linear model — md5-hex4 feature ids (sample_hash's ascii trick),

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTokenizer
+
+class BpeTokenizerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // scripts/bpe_check.py's fixture dict — goldens below are that script's
+  // output (an INDEPENDENT python implementation that also encodes by a
+  // different algorithm: rank-ordered full replacement vs the engine's
+  // lowest-rank adjacent scan)
+  private val dict = Array(
+    ("lower", 5L), ("lowest", 3L), ("newer", 6L), ("wider", 2L), ("new", 4L))
+
+  test("learned merges match the independent python reference") {
+    val model = BpeTokenizer.learnFromDict(dict, 8)
+    assert(model.merges == Seq(("w", "e"), ("r", "</w>"), ("we", "r</w>"),
+      ("n", "e"), ("l", "o"), ("ne", "wer</w>"), ("lo", "wer</w>"), ("ne", "w")),
+      model.merges.toString)
+    // sorted-symbol vocab ids, 0 reserved for UNK
+    assert(model.vocab("lower</w>") == 7 && model.vocab("</w>") == 1 &&
+      model.vocab("wer</w>") == 19, model.vocab.toString)
+  }
+
+  test("encodings and ids match the python goldens; decode round-trips") {
+    val model = BpeTokenizer.learnFromDict(dict, 8)
+    val docs = Seq(
+      (1L, "lower lowest"),
+      (2L, "newer wider new"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    val out = enc.collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Int](1), r.getLong(2)))).toMap
+    assert(out(1L) == ((Seq(7, 6, 18, 15, 16, 1), 6L)), out(1L).toString)
+    assert(out(2L) == ((Seq(11, 17, 4, 2, 3, 14, 10, 1), 8L)), out(2L).toString)
+    assert(out(3L) == ((Seq(), 0L)) && out(4L) == ((Seq(), 0L)))
+    val rt = enc.select(col("id"), BpeTokenizer.decode(col("token_ids"), model))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt(1L) == "lower lowest" && rt(2L) == "newer wider new" && rt(3L) == "")
+  }
+
+  test("unseen character maps to UNK 0 and decode shows it loudly") {
+    val model = BpeTokenizer.learnFromDict(dict, 8)
+    val docs = Seq((1L, "zebra")).toDF("doc_id", "text") // z/b/a unseen
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    val ids = enc.select("token_ids").head().getSeq[Int](0)
+    assert(ids.contains(0), ids.toString)
+    val rt = enc.select(BpeTokenizer.decode(col("token_ids"), model)).head().getString(0)
+    assert(rt.contains("�"), rt)
+  }
+
+  test("no repeated pair -> zero merges, pure character vocab") {
+    val model = BpeTokenizer.learnFromDict(Array(("ab", 1L), ("cd", 1L)), 10)
+    assert(model.merges.isEmpty)
+    assert(model.vocab.keySet == Set("a", "b", "c", "d", "</w>"))
+  }
+
+  test("learnVocab's distributed dict agg equals the explicit dict path") {
+    // the corpus spelled as documents must train the same model as the
+    // hand-counted dict (freq desc, word asc capping is deterministic)
+    val docs = dict.zipWithIndex.flatMap { case ((w, f), i) =>
+      Seq((i.toLong, (w + " ") * f.toInt))
+    }.toSeq.toDF("doc_id", "text")
+    val a = BpeTokenizer.learnVocab(docs, "text", nMerges = 8)
+    val b = BpeTokenizer.learnFromDict(dict, 8)
+    assert(a.merges == b.merges && a.vocab == b.vocab)
+  }
+
+  test("corpus-scale lossless round-trip (sf0.001 documents)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 60)
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    val bad = enc.join(docs.select(col("doc_id").as("id"),
+        array_join(coalesce(graft.operators.Dedup.tokens(col("text")),
+          array().cast("array<string>")), " ").as("norm")), Seq("id"))
+      .filter(BpeTokenizer.decode(col("token_ids"), model) =!= col("norm"))
+      .count()
+    assert(bad == 0L)
+    // merges actually compress: fewer tokens than raw symbols
+    val toks = enc.agg(sum("n_tokens")).head().getLong(0)
+    val syms = docs.select(
+        graft.operators.Dedup.tokens(col("text")).as("t"))
+      .agg(sum(length(array_join(col("t"), "")) + size(col("t")))).head().getLong(0)
+    assert(toks < syms, s"$toks vs $syms")
+  }
+}
