@@ -1928,6 +1928,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_classifier_train" -> ((s, dir) => {
+      // the TRAINER half of the classifier plane: full-batch logistic
+      // regression over the same hashed features, on a PLANTED separable
+      // label (doc contains the token 'spark' — text-derived, so the
+      // invariant is honest: the trainer must actually find the signal).
+      // Float gradient sums are order-dependent in the last ulps, so the
+      // oracle pins PROPERTIES (property-oracle pattern, SURVEY §9): the
+      // quantized model — the exact engine-portable scoring plane — must
+      // reproduce >= 95% of the planted labels, on a label split that is
+      // genuinely two-sided.
+      import graft.operators.TextClassifier
+      val dim = 1024
+      val docs = T(s, dir, "documents")
+      val labeled = docs.withColumn("y",
+        array_contains(Dedup.tokens(col("text")), "spark"))
+      val (w, b) = TextClassifier.train(labeled, "text", "y", dim, iters = 40, lr = 1.0)
+      val maxAbs = math.max(math.max(w.map(math.abs).max, math.abs(b)), 1e-12)
+      val scale  = 50.0 / maxAbs
+      val q  = TextClassifier.quantize(w.map(_ * scale))
+      val qb = TextClassifier.quantize(Array(b * scale)).head
+      val scored = TextClassifier.scoreLinear(labeled, "text", "doc_id", q, qb)
+      val agg = scored
+        .join(labeled.select(col("doc_id").as("id"), col("y")), Seq("id"))
+        .agg(sum(when(col("label") === col("y"), 1L).otherwise(0L)).as("ok"),
+          count(lit(1)).as("n"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("npos")).head()
+      val acc = agg.getLong(0).toDouble / math.max(1L, agg.getLong(1))
+      import s.implicits._
+      Seq(
+        ("label_nontrivial", agg.getLong(2) > 0 && agg.getLong(2) < agg.getLong(1)),
+        ("quantized_accuracy", acc >= 0.95),
+        ("weights_dim", w.length == dim),
+      ).toDF("invariant", "ok").orderBy("invariant")
+    }),
+
     "pipeline_bpe_tokenize" -> ((s, dir) => {
       // real learned subword tokenization (Sennrich 2016 BPE): train 200
       // merges on the corpus' own word-frequency dict (the one distributed
@@ -4065,6 +4100,15 @@ object SparkEntry {
         |  FROM b)
         |SELECT lang, COUNT(*) AS n_sampled FROM v WHERE bucket < 10
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // property-style: float gradient sums are order-dependent, so the
+    // trainer gate pins invariants (quantized-model accuracy on the
+    // planted separable label) rather than bits
+    "pipeline_classifier_train" ->
+      """SELECT * FROM (VALUES
+        |  ('label_nontrivial', TRUE), ('quantized_accuracy', TRUE),
+        |  ('weights_dim', TRUE)) AS t(invariant, ok)
+        |ORDER BY invariant""".stripMargin,
 
     // property-style (like ann_recall_check): BPE is not SQL-expressible —
     // the query verifies losslessness/bounds/compression IN-PLAN from the

@@ -54,13 +54,17 @@ object TextClassifier {
 
   /** Score every document with a linear model over hashed unigram+bigram
     * features. `weightNumerators(fid)` is the INTEGER numerator of the
-    * weight `k/128` (see [[quantize]]).
+    * weight `k/128` (see [[quantize]]); `biasNum` the intercept's
+    * numerator on the same grid (an imbalanced-class model without an
+    * intercept parks the minority class at margin ~0 — see [[train]]).
     *
-    * Output per row: (id, n_features, logit double, label boolean). A
-    * null/empty text scores 0 features, logit 0.0, label false — a gate
-    * downstream drops it explicitly rather than this operator guessing. */
+    * Output per row: (id, n_features, logit double, label boolean) with
+    * logit = (Σ w + bias)/128 and label = logit > 0. A null/empty text
+    * scores 0 features, logit = bias/128 — the intercept IS the
+    * no-evidence prior, exactly what a featureless doc should get. */
   def scoreLinear(df: DataFrame, textCol: String, idCol: String,
                   weightNumerators: Array[Int],
+                  biasNum: Int = 0,
                   addBigrams: Boolean = true): DataFrame = {
     val dim = weightNumerators.length
     require(dim > 0 && dim <= MaxDim,
@@ -78,11 +82,93 @@ object TextClassifier {
       .select(col("id"), concat(col("__t"), bi).as("__g"))
       .select(col("id"),
         size(col("__g")).cast(LongType).as("n_features"),
-        aggregate(col("__g"), lit(0L), (acc, g) =>
+        aggregate(col("__g"), lit(biasNum.toLong), (acc, g) =>
           acc + element_at(wLit, featureId(g, dim).cast(IntegerType) + 1)).as("__num"))
       .select(col("id"), col("n_features"),
         (col("__num").cast(DoubleType) / 128.0).as("logit"),
         (col("__num") > 0L).as("label"))
+  }
+
+  /** TRAIN the linear model by full-batch logistic-regression gradient
+    * descent over the same hashed unigram+bigram features [[scoreLinear]]
+    * scores with — the trainer half of the fastText-style filter.
+    *
+    * `df` is the LABELED TRAINING SET, which for a real quality filter is
+    * a curated sample (10^5-10^6 docs), not the corpus: training cost
+    * follows the sample, scoring ([[scoreLinear]]) is the corpus-scale
+    * pass. Features per doc are RAW gram counts — the margin the trainer
+    * optimizes (`Σ_j count_j·w_j + b`) is then bit-for-bit the plane
+    * [[scoreLinear]] scores (its sum over gram occurrences), so the
+    * trained decision boundary transfers exactly instead of through a
+    * normalization mismatch. Features are built ONCE into a persisted
+    * (did, y, fid, x) relation; each iteration is two aggregations over
+    * it: per-doc margins against the weight vector riding the plan as one
+    * array literal, and per-fid gradients `Σ_d (σ(m_d) − y_d)·x_dj`
+    * collected to the driver (≤ dim+1 rows — a metadata pull) for the
+    * dense update. No MLlib, no UDFs.
+    *
+    * Returns (dense weight vector of length `dim`, intercept). The
+    * intercept is essential under class imbalance: without it the
+    * decision boundary is pinned at margin 0 and a shared-vocabulary
+    * minority class parks exactly there. Feed both through [[quantize]]
+    * (scale first so max|w| uses the grid — see the gate query) for the
+    * engine-exact scoring plane. Float gradient sums are order-dependent
+    * in the last ulps, so two runs may differ microscopically — consumers
+    * pin PROPERTIES (accuracy, sign agreement), not bits. */
+  def train(df: DataFrame, textCol: String, labelCol: String,
+            dim: Int, iters: Int = 40, lr: Double = 1.0,
+            addBigrams: Boolean = true,
+            storage: org.apache.spark.storage.StorageLevel =
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      : (Array[Double], Double) = {
+    require(dim > 0 && dim <= MaxDim, s"train: dim $dim outside (0, $MaxDim]")
+    require(iters > 0 && lr > 0.0, s"train: iters/lr must be positive")
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val bi =
+      if (!addBigrams) array().cast("array<string>")
+      else when(size(col("__t")) >= 2,
+        transform(sequence(lit(0), size(col("__t")) - 2),
+          i => concat_ws(" ", element_at(col("__t"), i + 1), element_at(col("__t"), i + 2))))
+        .otherwise(array().cast("array<string>"))
+    val feats = df
+      .select(monotonically_increasing_id().as("did"),
+        col(labelCol).cast(DoubleType).as("y"), toks.as("__t"))
+      .select(col("did"), col("y"), concat(col("__t"), bi).as("__g"))
+      .filter(size(col("__g")) > 0)
+      .select(col("did"), col("y"), explode(col("__g")).as("g"))
+      .groupBy(col("did"), col("y"),
+        featureId(col("g"), dim).cast(IntegerType).as("fid"))
+      .agg(count(lit(1)).cast(DoubleType).as("x"))
+      .persist(storage)
+    val nDocs = feats.select(countDistinct("did")).head().getLong(0)
+    require(nDocs > 0, "train: no document carries any feature")
+    val w = new Array[Double](dim)
+    var bias = 0.0
+    var it = 0
+    while (it < iters) {
+      val wLit = lit(w)
+      val resid = feats
+        .groupBy("did", "y")
+        .agg(sum(col("x") * element_at(wLit, col("fid") + 1)).as("m"))
+        .select(col("did"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("m") + bias))) - col("y")).as("r"))
+      // one pass yields the bias gradient (Σr) and, joined back, the
+      // per-feature gradients — resid is nDocs rows, the collect ≤ dim+1
+      val grads = resid
+        .join(feats, Seq("did"))
+        .groupBy("fid").agg(sum(col("x") * col("r")).as("grad"))
+        .unionByName(resid.agg(sum(col("r")).as("grad"))
+          .select(lit(-1).as("fid"), col("grad")))
+        .collect()
+      grads.foreach { row =>
+        val fid = row.getInt(0)
+        if (fid < 0) bias -= lr * row.getDouble(1) / nDocs
+        else w(fid) -= lr * row.getDouble(1) / nDocs
+      }
+      it += 1
+    }
+    feats.unpersist(false)
+    (w, bias)
   }
 
   /** [[scoreLinear]] with the model as a (feature_id, weight_num) TABLE —
@@ -103,6 +189,6 @@ object TextClassifier {
         s"scoreLinearTable: feature_id $fid outside [0, $dim)")
       arr(fid.toInt) = r.getLong(1).toInt
     }
-    scoreLinear(df, textCol, idCol, arr, addBigrams)
+    scoreLinear(df, textCol, idCol, arr, addBigrams = addBigrams)
   }
 }

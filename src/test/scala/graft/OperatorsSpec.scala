@@ -866,6 +866,26 @@ class TextClassifierSpec extends AnyFunSuite {
     assert(q.toSeq == Seq(64, -32, 16256, -16256, 0))
   }
 
+  test("training finds a planted separable signal; quantized model keeps it") {
+    // positives all contain 'needle'; GD must push its feature weight up
+    // and the common-word weights down enough that the quantized
+    // sum-over-grams sign reproduces every label
+    val docs = (0L until 40L).map { i =>
+      val base = s"common filler words w${i % 5} w${(i * 3) % 7}"
+      (i, if (i % 2 == 0) s"$base needle" else base, i % 2 == 0)
+    }.toDF("doc_id", "text", "y")
+    val dim = 256
+    val (w, b) = TextClassifier.train(docs, "text", "y", dim, iters = 60, lr = 1.0)
+    assert(w.length == dim)
+    val maxAbs = math.max(math.max(w.map(math.abs).max, math.abs(b)), 1e-12)
+    val q  = TextClassifier.quantize(w.map(_ * 50.0 / maxAbs))
+    val qb = TextClassifier.quantize(Array(b * 50.0 / maxAbs)).head
+    val acc = TextClassifier.scoreLinear(docs, "text", "doc_id", q, qb)
+      .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
+      .filter(col("label") === col("y")).count()
+    assert(acc == 40L, s"quantized accuracy $acc/40")
+  }
+
   test("plan shape: one scan, no joins, no shuffle for the scoring pass") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val w = Array.fill(16)(1)
