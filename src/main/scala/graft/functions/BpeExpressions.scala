@@ -21,12 +21,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * repeated words — the overwhelming majority of a natural corpus — a
   * hash lookup instead of a merge loop.
   *
+  * Symbols are Unicode CODE POINTS, never UTF-16 units
+  * ([[BpeEncode.codePointSymbols]], shared with the trainer): a lone
+  * surrogate is not encodable UTF-8, and the gate's token bound counts
+  * code points. Words longer than [[BpeEncode.MaxMergeWordLen]] code
+  * points (unsegmented URL/base64/CJK blobs — whitespace tokenization's
+  * pathology) skip the O(len²) merge loop and emit base symbols directly:
+  * same losslessness, same token bound, O(len).
+  *
   * [[BpeEncode]]: array&lt;string&gt; words → array&lt;int&gt; token ids.
   * A character never seen at training time has no symbol id; it maps to
   * the reserved UNK id 0 (real tokenizers' byte-fallback analogue —
-  * callers needing losslessness train on the corpus they encode, which
-  * makes UNK structurally impossible; the id-0 reservation keeps the
-  * failure visible instead of silently dropping text).
+  * [[graft.operators.BpeTokenizer.learnVocab]] closes the base-character
+  * set over the FULL word set before its frequency cap, so training on
+  * the corpus you encode makes UNK structurally impossible; the id-0
+  * reservation keeps any remaining failure visible instead of silently
+  * dropping text).
   *
   * [[BpeDecode]]: array&lt;int&gt; ids → the reconstructed (lowercased,
   * single-spaced) text — `</w>` becomes the word boundary. Unknown ids
@@ -61,28 +71,39 @@ case class BpeEncode(
     // shared-instance evaluation (driver-side interpreted eval, local mode)
     val cached = wordCache.synchronized(wordCache.get(word))
     if (cached != null) return cached
-    var syms = scala.collection.mutable.ArrayBuffer.empty[String]
-    word.foreach(c => syms += c.toString)
-    syms += BpeEncode.EndOfWord
-    var done = false
-    while (!done && syms.length > 1) {
-      // lowest-rank adjacent pair merges first (ties impossible: ranks
-      // are unique); scan is O(len) per round, len shrinks every round
-      var bestRank = Int.MaxValue
-      var bestAt = -1
-      var i = 0
-      while (i < syms.length - 1) {
-        val r = merges.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
-        if (r < bestRank) { bestRank = r; bestAt = i }
-        i += 1
+    val base = BpeEncode.codePointSymbols(word)
+    val ids: Array[Int] =
+      if (base.length > BpeEncode.MaxMergeWordLen) {
+        val out = new Array[Int](base.length + 1)
+        var i = 0
+        while (i < base.length) {
+          out(i) = vocab.getOrElse(base(i), BpeEncode.UnkId); i += 1
+        }
+        out(base.length) = vocab.getOrElse(BpeEncode.EndOfWord, BpeEncode.UnkId)
+        out
+      } else {
+        val syms = scala.collection.mutable.ArrayBuffer.from(base)
+        syms += BpeEncode.EndOfWord
+        var done = false
+        while (!done && syms.length > 1) {
+          // lowest-rank adjacent pair merges first (ties impossible: ranks
+          // are unique); scan is O(len) per round, len shrinks every round
+          var bestRank = Int.MaxValue
+          var bestAt = -1
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = merges.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < bestRank) { bestRank = r; bestAt = i }
+            i += 1
+          }
+          if (bestAt < 0) done = true
+          else {
+            syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
+            syms.remove(bestAt + 1)
+          }
+        }
+        syms.map(s => vocab.getOrElse(s, BpeEncode.UnkId)).toArray
       }
-      if (bestAt < 0) done = true
-      else {
-        syms(bestAt) = syms(bestAt) + syms(bestAt + 1)
-        syms.remove(bestAt + 1)
-      }
-    }
-    val ids = syms.map(s => vocab.getOrElse(s, BpeEncode.UnkId)).toArray
     wordCache.synchronized(wordCache.put(word, ids))
     ids
   }
@@ -117,6 +138,25 @@ case class BpeEncode(
 object BpeEncode {
   val EndOfWord = "</w>"
   val UnkId = 0
+
+  /** Past this many code points a word skips the O(len²) merge loop and
+    * encodes as base symbols (production encoders cap for the same
+    * reason: one pathological blob must not stall a scan task). */
+  val MaxMergeWordLen = 1024
+
+  /** Split a word into per-CODE-POINT symbols — the single definition of
+    * the base-symbol alphabet, shared by trainer and encoder so the
+    * contract cannot drift. */
+  def codePointSymbols(word: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
 }
 
 case class BpeDecode(
@@ -141,10 +181,10 @@ case class BpeDecode(
     val n = ids.numElements()
     while (i < n) {
       val sym = inverseVocab.getOrElse(ids.getInt(i), "�")
+      // the endsWith branch also covers the bare </w> symbol (zero-length
+      // prefix append + the word-boundary space)
       if (sym.endsWith(BpeEncode.EndOfWord)) {
         sb.append(sym, 0, sym.length - BpeEncode.EndOfWord.length)
-        if (i < n - 1) sb.append(' ')
-      } else if (sym == BpeEncode.EndOfWord) {
         if (i < n - 1) sb.append(' ')
       } else sb.append(sym)
       i += 1

@@ -41,28 +41,51 @@ object BpeTokenizer {
 
   /** Learn `nMerges` BPE merges from the corpus' word-frequency dictionary
     * (lowercased whitespace words — [[Dedup.tokens]]' normalization).
-    * Stops early when no pair occurs twice. */
+    * Stops early when no pair occurs twice.
+    *
+    * The vocab's base-character set closes over the FULL word set BEFORE
+    * the frequency cap: the cap may drop a tail word carrying the only
+    * occurrence of a character, and a missing base symbol is the one thing
+    * that makes UNK reachable when encoding the training corpus. Both
+    * pulls (capped dict + distinct characters) read one persisted
+    * word-frequency aggregation — the corpus is scanned once. */
   def learnVocab(df: DataFrame, textCol: String, nMerges: Int,
                  maxDictWords: Int = 1000000): BpeModel = {
     require(nMerges >= 0, s"learnVocab: nMerges must be >= 0, got $nMerges")
-    val dict = df
+    val wordFreq = df
       .select(explode(Dedup.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      // frequency-capped dict: deterministic order (freq desc, word asc)
-      .orderBy(col("f").desc, col("w").asc)
-      .limit(maxDictWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    learnFromDict(dict, nMerges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dict = wordFreq
+        // frequency-capped dict: deterministic order (freq desc, word asc)
+        .orderBy(col("f").desc, col("w").asc)
+        .limit(maxDictWords)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // Java regex's zero-width split is code-point aware, so split(w, '')
+      // yields code-point characters — the same alphabet codePointSymbols
+      // produces; the distinct set is Unicode-bounded, a metadata pull
+      val baseChars = wordFreq
+        .select(explode(split(col("w"), "")).as("c"))
+        .filter(length(col("c")) > 0)
+        .distinct().collect().map(_.getString(0))
+      learnFromDict(dict, nMerges, baseChars)
+    } finally wordFreq.unpersist(false)
   }
 
   /** The driver-side merge loop over an explicit (word, freq) dictionary —
     * exposed so tests (and a caller with a precomputed dict) can train
-    * without a Spark job. */
-  def learnFromDict(dict: Array[(String, Long)], nMerges: Int): BpeModel = {
-    // each word as its working symbol sequence
+    * without a Spark job. `extraBaseChars` widens the vocab's base
+    * alphabet beyond the dict's own characters (see [[learnVocab]]'s
+    * full-word-set closure). */
+  def learnFromDict(dict: Array[(String, Long)], nMerges: Int,
+                    extraBaseChars: Iterable[String] = Nil): BpeModel = {
+    // each word as its working symbol sequence (code-point symbols — the
+    // encoder's alphabet, graft.functions.BpeEncode.codePointSymbols)
     val words = dict.map { case (w, f) =>
       (scala.collection.mutable.ArrayBuffer.from(
-        w.map(_.toString) :+ graft.functions.BpeEncode.EndOfWord), f)
+        graft.functions.BpeEncode.codePointSymbols(w)
+          :+ graft.functions.BpeEncode.EndOfWord), f)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var round = 0
@@ -106,7 +129,9 @@ object BpeTokenizer {
     // vocab: every base character seen + </w> + every merge product,
     // ids 1.. by sorted symbol (0 reserved for UNK)
     val symbols = scala.collection.mutable.SortedSet.empty[String]
-    dict.foreach { case (w, _) => w.foreach(c => symbols += c.toString) }
+    dict.foreach { case (w, _) =>
+      symbols ++= graft.functions.BpeEncode.codePointSymbols(w) }
+    symbols ++= extraBaseChars
     symbols += graft.functions.BpeEncode.EndOfWord
     merges.foreach { case (a, b) => symbols += (a + b) }
     BpeModel(merges.toSeq, symbols.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap)

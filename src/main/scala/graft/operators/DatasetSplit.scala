@@ -43,9 +43,19 @@ object DatasetSplit {
     * ANY engine with md5 (DuckDB, Trino, Postgres…) — the property that
     * matters when train/val membership must survive an engine migration.
     * Still a pure per-row expression: no shuffle, computed inside the scan. */
-  def portableBucket(parts: Seq[Column], seed: Int = 42): Column = {
-    val h = md5(concat_ws("|", parts.map(_.cast(org.apache.spark.sql.types.StringType)) :+ lit(seed.toString): _*))
-    pmod(conv(substring(h, 1, 4), 16, 10).cast(org.apache.spark.sql.types.LongType), lit(100L))
+  def portableBucket(parts: Seq[Column], seed: Int = 42): Column =
+    portableHexMod(
+      concat_ws("|", parts.map(_.cast(org.apache.spark.sql.types.StringType)) :+ lit(seed.toString): _*),
+      100)
+
+  /** The engine-portable hash core shared by the split buckets, mixture
+    * sampling and the classifier feature ids: first 4 hex digits of
+    * md5(`s`) mod `m` — bit-exact in any engine with md5. ONE definition,
+    * because the value is a cross-engine contract. `m` must be in
+    * (0, 65536]: 4 hex digits address 2^16 values. */
+  def portableHexMod(s: Column, m: Int): Column = {
+    require(m > 0 && m <= 65536, s"portableHexMod: modulus $m outside (0, 65536]")
+    pmod(conv(substring(md5(s), 1, 4), 16, 10).cast(org.apache.spark.sql.types.LongType), lit(m.toLong))
   }
 
   /** Stratified split on the portable md5 bucket (see [[portableBucket]]). */

@@ -42,9 +42,10 @@ object TextClassifier {
   val MaxDim: Int = 65536
 
   /** Portable hashed feature id in [0, dim): first 4 md5 hex digits mod
-    * dim. Pure codegen'd expressions. */
+    * dim ([[DatasetSplit.portableHexMod]] — the one shared definition of
+    * the cross-engine hash contract). Pure codegen'd expressions. */
   def featureId(gram: Column, dim: Int): Column =
-    pmod(conv(substring(md5(gram), 1, 4), 16, 10).cast(LongType), lit(dim.toLong))
+    DatasetSplit.portableHexMod(gram, dim)
 
   /** Quantize trained weights onto the exact dyadic grid: k = round(w·128),
     * clamped to ±16,256 (127·128) so a single feature can never overflow
@@ -101,11 +102,16 @@ object TextClassifier {
     * [[scoreLinear]] scores (its sum over gram occurrences), so the
     * trained decision boundary transfers exactly instead of through a
     * normalization mismatch. Features are built ONCE into a persisted
-    * (did, y, fid, x) relation; each iteration is two aggregations over
-    * it: per-doc margins against the weight vector riding the plan as one
-    * array literal, and per-fid gradients `Σ_d (σ(m_d) − y_d)·x_dj`
-    * collected to the driver (≤ dim+1 rows — a metadata pull) for the
-    * dense update. No MLlib, no UDFs.
+    * (did, y, fid, x) relation; each iteration persists the per-doc
+    * residual frame (margins against the weight vector riding the plan as
+    * one array literal, computed ONCE) and reads it twice: joined back
+    * for the per-fid gradients `Σ_d (σ(m_d) − y_d)·x_dj` (≤ dim rows
+    * collected — a metadata pull) and summed for the bias gradient.
+    * Zero-feature documents never enter the relation, but their margin is
+    * exactly the intercept, so their residual mass has the closed form
+    * `nEmpty·σ(b) − ΣyEmpty` — added to the bias gradient and the
+    * normalizer each iteration, so a junk-heavy labeled set trains the
+    * no-evidence prior on ALL its labels. No MLlib, no UDFs.
     *
     * Returns (dense weight vector of length `dim`, intercept). The
     * intercept is essential under class imbalance: without it the
@@ -140,8 +146,19 @@ object TextClassifier {
         featureId(col("g"), dim).cast(IntegerType).as("fid"))
       .agg(count(lit(1)).cast(DoubleType).as("x"))
       .persist(storage)
-    val nDocs = feats.select(countDistinct("did")).head().getLong(0)
-    require(nDocs > 0, "train: no document carries any feature")
+    val nFeatured = feats.select(countDistinct("did")).head().getLong(0)
+    require(nFeatured > 0, "train: no document carries any feature")
+    // zero-feature docs (empty/whitespace text) carry labels the intercept
+    // must see — count them and their positive mass once
+    val emptyRow = df
+      .select(col(labelCol).cast(DoubleType).as("y"), toks.as("__t"))
+      .select(col("y"), concat(col("__t"), bi).as("__g"))
+      .filter(size(col("__g")) === 0)
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("y")), lit(0.0)).as("pos"))
+      .head()
+    val nEmpty = emptyRow.getLong(0)
+    val emptyPos = emptyRow.getDouble(1)
+    val nDocs = nFeatured + nEmpty
     val w = new Array[Double](dim)
     var bias = 0.0
     var it = 0
@@ -152,19 +169,19 @@ object TextClassifier {
         .agg(sum(col("x") * element_at(wLit, col("fid") + 1)).as("m"))
         .select(col("did"),
           (lit(1.0) / (lit(1.0) + exp(-(col("m") + bias))) - col("y")).as("r"))
-      // one pass yields the bias gradient (Σr) and, joined back, the
-      // per-feature gradients — resid is nDocs rows, the collect ≤ dim+1
-      val grads = resid
+        .persist(storage)
+      val fGrads = resid
         .join(feats, Seq("did"))
         .groupBy("fid").agg(sum(col("x") * col("r")).as("grad"))
-        .unionByName(resid.agg(sum(col("r")).as("grad"))
-          .select(lit(-1).as("fid"), col("grad")))
         .collect()
-      grads.foreach { row =>
-        val fid = row.getInt(0)
-        if (fid < 0) bias -= lr * row.getDouble(1) / nDocs
-        else w(fid) -= lr * row.getDouble(1) / nDocs
+      val rSum = resid.agg(coalesce(sum(col("r")), lit(0.0))).head().getDouble(0)
+      resid.unpersist(false)
+      fGrads.foreach { row =>
+        w(row.getInt(0)) -= lr * row.getDouble(1) / nDocs
       }
+      // closed-form residual of the zero-feature docs: margin = bias
+      val emptyResid = nEmpty * (1.0 / (1.0 + math.exp(-bias))) - emptyPos
+      bias -= lr * (rSum + emptyResid) / nDocs
       it += 1
     }
     feats.unpersist(false)
@@ -175,7 +192,9 @@ object TextClassifier {
     * the shape a training job or a model registry hands over. The table is
     * dim-bounded by contract, so collecting it to the one array literal
     * the scan path needs is a metadata pull, not a data pull. Missing ids
-    * weigh 0; out-of-range ids refuse. */
+    * weigh 0; out-of-range, duplicate, null, or off-grid rows refuse
+    * loudly — a registry row this function cannot represent exactly must
+    * never silently corrupt every downstream label. */
   def scoreLinearTable(df: DataFrame, textCol: String, idCol: String,
                        weights: DataFrame, dim: Int,
                        addBigrams: Boolean = true): DataFrame = {
@@ -183,11 +202,21 @@ object TextClassifier {
     val rows = weights.select(col("feature_id").cast(LongType),
       col("weight_num").cast(LongType)).collect()
     val arr = new Array[Int](dim)
+    val seen = new java.util.BitSet(dim)
     rows.foreach { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "scoreLinearTable: null feature_id/weight_num row")
       val fid = r.getLong(0)
       require(fid >= 0 && fid < dim,
         s"scoreLinearTable: feature_id $fid outside [0, $dim)")
-      arr(fid.toInt) = r.getLong(1).toInt
+      require(!seen.get(fid.toInt),
+        s"scoreLinearTable: duplicate rows for feature_id $fid")
+      seen.set(fid.toInt)
+      val wn = r.getLong(1)
+      require(wn >= -16256L && wn <= 16256L,
+        s"scoreLinearTable: weight_num $wn outside the ±16256 dyadic grid " +
+          "(see quantize) — the no-overflow contract needs the clamp")
+      arr(fid.toInt) = wn.toInt
     }
     scoreLinear(df, textCol, idCol, arr, addBigrams = addBigrams)
   }

@@ -72,6 +72,70 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(a.merges == b.merges && a.vocab == b.vocab)
   }
 
+  test("code-point symbols: astral chars never split into lone surrogates") {
+    val docs = Seq((1L, "go 😀😀 go"), (2L, "😀x 😀x"))
+      .toDF("doc_id", "text")
+    val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 4)
+    // every vocab symbol must be a well-formed code-point sequence
+    model.vocab.keys.foreach { s =>
+      var i = 0
+      while (i < s.length) {
+        if (Character.isHighSurrogate(s(i))) {
+          assert(i + 1 < s.length && Character.isLowSurrogate(s(i + 1)),
+            s"lone high surrogate in symbol ${s.toSeq}")
+          i += 2
+        } else {
+          assert(!Character.isLowSurrogate(s(i)), s"lone low surrogate in ${s.toSeq}")
+          i += 1
+        }
+      }
+    }
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    // the gate's token bound counts CODE POINTS (Spark length()) — must
+    // hold for emoji: n_words <= n_tokens <= n_chars + n_words
+    val bad = enc.join(docs.select(col("doc_id").as("id"),
+        graft.operators.Dedup.tokens(col("text")).as("t")), Seq("id"))
+      .select(col("n_tokens"), size(col("t")).cast("long").as("nw"),
+        length(array_join(col("t"), "")).cast("long").as("nc"))
+      .filter(col("n_tokens") > col("nc") + col("nw") || col("n_tokens") < col("nw"))
+      .count()
+    assert(bad == 0L)
+    val rt = enc.select(col("id"), BpeTokenizer.decode(col("token_ids"), model))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt(1L) == "go 😀😀 go" && rt(2L) == "😀x 😀x")
+  }
+
+  test("dict frequency cap cannot make UNK reachable (base-char closure)") {
+    // 'ñ' and 'z' appear only in the rarest word, which maxDictWords = 2
+    // drops from the merge dict — the base alphabet must still cover them
+    val docs = Seq((1L, "aa aa aa aa"), (2L, "bb bb bb"), (3L, "cc cc"), (4L, "ñz"))
+      .toDF("doc_id", "text")
+    val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 4, maxDictWords = 2)
+    assert(model.vocab.contains("ñ") && model.vocab.contains("z") &&
+      model.vocab.contains("c"), model.vocab.keySet.toString)
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    assert(enc.select(explode(col("token_ids")).as("tid"))
+      .filter(col("tid") === 0).count() == 0L)
+    val rt = enc.filter(col("id") === 4L)
+      .select(BpeTokenizer.decode(col("token_ids"), model)).head().getString(0)
+    assert(rt == "ñz")
+  }
+
+  test("unsegmented blob past the merge cap encodes O(len), losslessly") {
+    val blob = "ab" * 3000 // 6000 code points > BpeEncode.MaxMergeWordLen
+    val docs = Seq((1L, s"$blob normal words"), (2L, "normal words ab"))
+      .toDF("doc_id", "text")
+    val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 8)
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    val row = enc.filter(col("id") === 1L).head()
+    // base-symbol fallback: the blob word contributes len+1 ids, none UNK
+    assert(row.getLong(2) >= 6001L, row.getLong(2).toString)
+    assert(!row.getSeq[Int](1).contains(0))
+    val rt = enc.select(col("id"), BpeTokenizer.decode(col("token_ids"), model))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt(1L) == s"$blob normal words" && rt(2L) == "normal words ab")
+  }
+
   test("corpus-scale lossless round-trip (sf0.001 documents)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 60)

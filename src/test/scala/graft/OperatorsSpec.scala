@@ -893,6 +893,38 @@ class TextClassifierSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("Exchange"), p.take(2000))
   }
+
+  test("table-form model refuses duplicates, nulls and off-grid weights") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val dup = Seq((3L, 5L), (3L, 7L)).toDF("feature_id", "weight_num")
+    assert(intercept[IllegalArgumentException] {
+      TextClassifier.scoreLinearTable(docs, "text", "doc_id", dup, 64)
+    }.getMessage.contains("duplicate"))
+    val off = Seq((1L, 20000L)).toDF("feature_id", "weight_num")
+    assert(intercept[IllegalArgumentException] {
+      TextClassifier.scoreLinearTable(docs, "text", "doc_id", off, 64)
+    }.getMessage.contains("grid"))
+    val nul = Seq((Some(1L), None: Option[Long])).toDF("feature_id", "weight_num")
+    assert(intercept[IllegalArgumentException] {
+      TextClassifier.scoreLinearTable(docs, "text", "doc_id", nul, 64)
+    }.getMessage.contains("null"))
+  }
+
+  test("zero-feature docs train the intercept (junk-heavy labeled set)") {
+    // 10 featured positives vs 30 empty negatives: the intercept must see
+    // the empty docs' labels and go negative enough to score them false
+    val docs = ((0L until 10L).map(i => (i, s"signal w${i % 3}", true)) ++
+      (10L until 40L).map(i => (i, "", false))).toDF("doc_id", "text", "y")
+    val (w, b) = TextClassifier.train(docs, "text", "y", 64, iters = 60, lr = 1.0)
+    assert(b < 0.0, s"bias $b must be negative with 30/40 empty negatives")
+    val maxAbs = math.max(math.max(w.map(math.abs).max, math.abs(b)), 1e-12)
+    val q = TextClassifier.quantize(w.map(_ * 50.0 / maxAbs))
+    val qb = TextClassifier.quantize(Array(b * 50.0 / maxAbs)).head
+    val acc = TextClassifier.scoreLinear(docs, "text", "doc_id", q, qb)
+      .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
+      .filter(col("label") === col("y")).count()
+    assert(acc == 40L, s"accuracy $acc/40")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
