@@ -30,6 +30,9 @@ object Bench {
     // and BPE tokenization (distributed dict agg + driver merge loop +
     // encode scan + in-plan losslessness verification)
     "text_classifier_score", "pipeline_bpe_tokenize",
+    // r10: stupid-backoff LM — one-scan distributed n-gram count with
+    // capped deterministic pulls + the pure-scan scoring expression
+    "text_lm_levels",
     // r9: the minhash-LSH and semdedup PIPELINES in isolation — the
     // registered rows deliberately include their in-plan property
     // verification (SURVEY §9), which would hide a pipeline regression

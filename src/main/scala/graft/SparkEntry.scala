@@ -2002,6 +2002,60 @@ object SparkEntry {
       ).toDF("invariant", "ok").orderBy("invariant")
     }),
 
+    "text_lm_levels" -> ((s, dir) => {
+      // stupid-backoff n-gram LM (Brants 2007 — the CCNet perplexity
+      // filter's model family). Caps are chosen to BIND on this corpus
+      // (31 unigrams / ~900 bigrams / 16k+ trigrams), so the
+      // deterministic (count desc, gram asc) capped pulls — the contract
+      // that bounds model size at 100 TB — are exactly what the oracle
+      // mirrors with ORDER BY + LIMIT. Output is the integer
+      // backoff-level census per doc: exact facts about the capped count
+      // tables, hash-comparable cross-engine (the transcendental logscore
+      // is gated by properties in text_lm_perplexity instead).
+      import graft.operators.NgramLm
+      val docs = T(s, dir, "documents")
+      val model = NgramLm.train(docs, "text",
+        maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)
+      NgramLm.score(docs, "text", "doc_id", model)
+        .select(col("id").as("doc_id"), col("n_pos"), col("tri_hits"),
+          col("bi_hits"), col("uni_hits"), col("unk"))
+        .orderBy("doc_id")
+    }),
+
+    "text_lm_perplexity" -> ((s, dir) => {
+      // property-oracle twin (SURVEY §9): perplexity is transcendental,
+      // so the invariants are computed IN-PLAN from the actual scores.
+      // With unbound caps, self-training makes every level a hit (no
+      // unk), logscore ≤ 0 ⟺ every backoff score ≤ 1, perplexity ≥ 1,
+      // and a document of never-seen words must score strictly worse
+      // than every real document (its per-token mass α^s/(N+1) is the
+      // model's floor).
+      import graft.operators.NgramLm
+      val docs = T(s, dir, "documents")
+      val model = NgramLm.train(docs, "text")
+      val st = NgramLm.score(docs, "text", "doc_id", model).agg(
+        sum(when(col("tri_hits") + col("bi_hits") + col("uni_hits") + col("unk")
+          =!= col("n_pos"), 1L).otherwise(0L)).as("part_bad"),
+        sum(when(col("logscore") > 0.0, 1L).otherwise(0L)).as("pos_bad"),
+        sum(col("unk")).as("unk_tot"),
+        sum(when(col("n_pos") > 0L && col("perplexity") < 1.0, 1L).otherwise(0L)).as("floor_bad"),
+        max(col("perplexity")).as("max_perp")).head()
+      val garbage = {
+        import s.implicits._
+        Seq((1L, (1 to 20).map(i => s"zzunseen$i").mkString(" "))).toDF("doc_id", "text")
+      }
+      val gp = NgramLm.score(garbage, "text", "doc_id", model)
+        .head().getAs[Double]("perplexity")
+      import s.implicits._
+      Seq(
+        ("garbage_scores_worse", gp > st.getAs[Double]("max_perp")),
+        ("levels_partition", st.getLong(0) == 0L),
+        ("logscore_nonpositive", st.getLong(1) == 0L),
+        ("perplexity_floor", st.getLong(3) == 0L),
+        ("self_train_no_unk", st.getLong(2) == 0L),
+      ).toDF("invariant", "ok").orderBy("invariant")
+    }),
+
     "text_pii_scrub" -> ((s, dir) => {
       // The corpus is synthetic and clean, so the query plants one of each
       // PII shape per doc and scrubs it — the oracle runs the SAME
@@ -4118,6 +4172,69 @@ object SparkEntry {
         |  ('compression_gain', TRUE), ('merges_learned', TRUE),
         |  ('no_unk', TRUE), ('roundtrip_lossless', TRUE),
         |  ('token_bounds', TRUE)) AS t(invariant, ok)
+        |ORDER BY invariant""".stripMargin,
+
+    // stupid-backoff LM oracle: DuckDB re-derives the three capped count
+    // tables (same deterministic ORDER BY n DESC, g LIMIT) and replays
+    // the per-position backoff-level decision — including the closure
+    // checks that a kept gram's CONTEXT survived its own cap — so every
+    // integer in the engine's level census is independently recomputed
+    "text_lm_levels" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT g, n FROM (
+        |    SELECT w AS g, COUNT(*) AS n FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)
+        |  ORDER BY n DESC, g LIMIT 25),
+        |bi AS (SELECT g, n FROM (
+        |    SELECT g, COUNT(*) AS n FROM (
+        |      SELECT array_to_string(t[i:i+1], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(t))) AS r(i)) GROUP BY g)
+        |  ORDER BY n DESC, g LIMIT 500),
+        |tri AS (SELECT g, n FROM (
+        |    SELECT g, COUNT(*) AS n FROM (
+        |      SELECT array_to_string(t[i:i+2], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)) GROUP BY g)
+        |  ORDER BY n DESC, g LIMIT 5000),
+        |pos AS (
+        |  SELECT doc_id, t[i] AS w,
+        |    CASE WHEN i >= 3 THEN array_to_string(t[i-2:i], ' ') END AS tg,
+        |    CASE WHEN i >= 3 THEN array_to_string(t[i-2:i-1], ' ') END AS tctx,
+        |    CASE WHEN i >= 2 THEN array_to_string(t[i-1:i], ' ') END AS bg,
+        |    CASE WHEN i >= 2 THEN t[i-1] END AS bctx
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |lev AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN t3.g IS NOT NULL AND bc.g IS NOT NULL THEN 3
+        |         WHEN b2.g IS NOT NULL AND uc.g IS NOT NULL THEN 2
+        |         WHEN u1.g IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        |  FROM pos p
+        |  LEFT JOIN tri t3 ON p.tg = t3.g
+        |  LEFT JOIN bi bc ON p.tctx = bc.g
+        |  LEFT JOIN bi b2 ON p.bg = b2.g
+        |  LEFT JOIN uni uc ON p.bctx = uc.g
+        |  LEFT JOIN uni u1 ON p.w = u1.g),
+        |agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_pos,
+        |    CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits,
+        |    CAST(SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS bi_hits,
+        |    CAST(SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uni_hits,
+        |    CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk
+        |  FROM lev GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.n_pos, 0) AS n_pos,
+        |  COALESCE(a.tri_hits, 0) AS tri_hits, COALESCE(a.bi_hits, 0) AS bi_hits,
+        |  COALESCE(a.uni_hits, 0) AS uni_hits, COALESCE(a.unk, 0) AS unk
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // property-style: perplexity is transcendental, the invariants are
+    // verified in-plan (see the query); the hash-exact LM surface is
+    // text_lm_levels above
+    "text_lm_perplexity" ->
+      """SELECT * FROM (VALUES
+        |  ('garbage_scores_worse', TRUE), ('levels_partition', TRUE),
+        |  ('logscore_nonpositive', TRUE), ('perplexity_floor', TRUE),
+        |  ('self_train_no_unk', TRUE)) AS t(invariant, ok)
         |ORDER BY invariant""".stripMargin,
 
     // classifier oracle: DuckDB rebuilds the identical hashed-feature

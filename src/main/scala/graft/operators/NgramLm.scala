@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Stupid-backoff n-gram language model for perplexity filtering — the
+  * CCNet-recipe companion to the [[TextClassifier]] quality plane (CCNet
+  * filters on LM perplexity against a clean reference corpus; fineweb-edu
+  * adds the classifier; a complete training-data pipeline needs both).
+  * Scoring semantics live in [[graft.functions.NgramLmScore]] (Brants et
+  * al. 2007's stupid backoff, α = 0.4).
+  *
+  * Scale shape (same split as [[BpeTokenizer]]):
+  *  - TRAINING is one corpus scan: every document emits its uni/bi/tri
+  *    grams into ONE exploded column, one map-side-combined
+  *    `groupBy(gram)` shuffle counts them, and the aggregated counts
+  *    frame (distinct grams — orders of magnitude smaller than the
+  *    corpus) is persisted for the three capped pulls + the total-token
+  *    sum, then dropped. Nothing else grows with corpus size.
+  *  - the MODEL is frequency-capped per order (count desc, gram asc —
+  *    deterministic in any engine): the caps bound driver memory and
+  *    plan size; a capped-away gram simply backs off, costing score
+  *    accuracy on the rarest grams, never correctness. A real filter
+  *    trains on a curated reference corpus (CCNet uses Wikipedia), so
+  *    the caps rarely bind.
+  *  - SCORING is a pure scan expression — zero joins, zero shuffle,
+  *    zero UDFs; the 100 TB pass is embarrassingly parallel.
+  */
+object NgramLm {
+
+  /** Capped n-gram count tables + the pre-cap total token count. */
+  final case class LmModel(uni: Map[String, Long], bi: Map[String, Long],
+                           tri: Map[String, Long], totalTokens: Long)
+
+  /** Count uni/bi/trigrams over the corpus in ONE scan and build the
+    * frequency-capped model. Caps pick the top-k grams per order by
+    * (count desc, gram asc) — deterministic, SQL-mirrorable. */
+  def train(df: DataFrame, textCol: String,
+            maxUnigrams: Int = 1000000,
+            maxBigrams: Int = 2000000,
+            maxTrigrams: Int = 2000000): LmModel = {
+    require(maxUnigrams > 0 && maxBigrams > 0 && maxTrigrams > 0,
+      "NgramLm.train: caps must be positive")
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    def grams(order: Int) =
+      when(size(col("__t")) >= order,
+        transform(sequence(lit(0), size(col("__t")) - order), i =>
+          concat_ws(" ", (0 until order).map(k => element_at(col("__t"), i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val counts = df
+      .select(toks.as("__t"))
+      .select(explode(concat(col("__t"), grams(2), grams(3))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+      // a token never contains whitespace, so the space count IS the order
+      .withColumn("ord", size(split(col("g"), " ")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pull(ord: Int, cap: Int): Map[String, Long] = counts
+        .filter(col("ord") === ord)
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(cap)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val total = counts.filter(col("ord") === 1)
+        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      require(total > 0L, "NgramLm.train: corpus has no tokens")
+      LmModel(pull(1, maxUnigrams), pull(2, maxBigrams), pull(3, maxTrigrams), total)
+    } finally counts.unpersist(false)
+  }
+
+  /** Score every document: (id, n_pos, tri_hits, bi_hits, uni_hits, unk,
+    * logscore, perplexity). The level counters are integer facts about
+    * the capped count tables (the hash-exact gate surface); perplexity =
+    * 10^(−logscore/n_pos), null for a tokenless doc. One scan, zero
+    * shuffle. */
+  def score(df: DataFrame, textCol: String, idCol: String, model: LmModel): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val st = GraftColumnBridge.column(graft.functions.NgramLmScore(
+      GraftColumnBridge.expression(toks), model))
+    df.select(col(idCol).as("id"), st.as("__s"))
+      .select(col("id"),
+        col("__s.n_pos").as("n_pos"), col("__s.tri_hits").as("tri_hits"),
+        col("__s.bi_hits").as("bi_hits"), col("__s.uni_hits").as("uni_hits"),
+        col("__s.unk").as("unk"), col("__s.logscore").as("logscore"))
+      .withColumn("perplexity",
+        when(col("n_pos") > 0L,
+          pow(lit(10.0), -col("logscore") / col("n_pos").cast(DoubleType)))
+          .otherwise(lit(null).cast(DoubleType)))
+  }
+}
