@@ -37,15 +37,24 @@ import org.apache.spark.sql.types._
   * so gates pin its PROPERTIES and specs pin exact values against a
   * driver-side mirror.
   *
-  * The model rides the plan as reference objects (the [[BpeEncode]]
-  * pattern): scoring a 100 TB corpus is one shuffle-free scan. Model size
-  * is bounded by the training caps ([[graft.operators.NgramLm.train]]),
-  * not by corpus size.
+  * The model rides a Spark BROADCAST variable, not plan literals (the
+  * [[ShardedBloomMightContain]] lesson): the default caps admit millions
+  * of grams — hundreds of MB as reference objects would grow the
+  * analyzed plan and per-stage task binary linearly with model size,
+  * while the broadcast keeps the plan at an O(1) handle and ships the
+  * maps to each executor once via torrent broadcast. Scoring a 100 TB
+  * corpus is one shuffle-free scan; model size is bounded by the
+  * training caps ([[graft.operators.NgramLm.train]]), never by corpus
+  * size.
   */
 case class NgramLmScore(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
-    model: graft.operators.NgramLm.LmModel)
+    bModel: org.apache.spark.broadcast.Broadcast[graft.operators.NgramLm.LmModel])
   extends UnaryExpression {
+
+  // Broadcast.value resolves to the executor's single cached block — a
+  // shared reference, not a copy, so no JVM-global cache is needed here
+  @transient private lazy val model: graft.operators.NgramLm.LmModel = bModel.value
 
   override def dataType: DataType = NgramLmScore.schema
 

@@ -76,8 +76,11 @@ object NgramLm {
   def score(df: DataFrame, textCol: String, idCol: String, model: LmModel): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    // broadcast, don't plan-embed: the capped model can still be 100s of
+    // MB; the plan carries an O(1) handle (see NgramLmScore's scaladoc)
+    val bModel = df.sparkSession.sparkContext.broadcast(model)
     val st = GraftColumnBridge.column(graft.functions.NgramLmScore(
-      GraftColumnBridge.expression(toks), model))
+      GraftColumnBridge.expression(toks), bModel))
     df.select(col(idCol).as("id"), st.as("__s"))
       .select(col("id"),
         col("__s.n_pos").as("n_pos"), col("__s.tri_hits").as("tri_hits"),
