@@ -31,8 +31,9 @@ object Bench {
     // encode scan + in-plan losslessness verification)
     "text_classifier_score", "pipeline_bpe_tokenize",
     // r10: stupid-backoff LM — one-scan distributed n-gram count with
-    // capped deterministic pulls + the pure-scan scoring expression
-    "text_lm_levels",
+    // capped deterministic pulls + the pure-scan scoring expression —
+    // and the composed classifier+LM+gopher verdict in ONE corpus scan
+    "text_lm_levels", "pipeline_quality_filter",
     // r9: the minhash-LSH and semdedup PIPELINES in isolation — the
     // registered rows deliberately include their in-plan property
     // verification (SURVEY §9), which would hide a pipeline regression

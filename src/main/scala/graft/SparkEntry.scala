@@ -2056,6 +2056,46 @@ object SparkEntry {
       ).toDF("invariant", "ok").orderBy("invariant")
     }),
 
+    "pipeline_quality_filter" -> ((s, dir) => {
+      // the COMPOSED pretraining quality gate: a document survives iff
+      // the fastText-style classifier keeps it AND the Gopher structural
+      // rules pass AND the LM backoff census clears integer floors
+      // (≥ 30% trigram coverage, ≤ 5% unknown words — the perplexity
+      // filter's hash-exact shadow). Every plane is individually gated
+      // above; this row pins the COMPOSITION, and pins it in the shape
+      // that matters at 100 TB: all three planes are struct-valued scan
+      // expressions evaluated in ONE pass over the corpus — no joins, no
+      // re-scans, no shuffle (PlanAuditSpec asserts it). Label, census
+      // and verdict are integers/booleans, so the oracle is bit-exact.
+      import graft.operators.{NgramLm, TextClassifier}
+      // the synthetic corpus has no English function words, so
+      // r_stop_words (and with it the whole conjunction) would be
+      // degenerate-false; plant a deterministic stopword tail (the
+      // pii_scrub construction pattern) — the oracle applies the same
+      // construction, and every plane recomputes from the same text
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" the data and that it holds")).as("text"))
+      val dim = 4096
+      val w = Array.tabulate(dim)(f => (f * 37) % 201 - 100)
+      val model = NgramLm.train(docs, "text",
+        maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)
+      val bModel = s.sparkContext.broadcast(model)
+      docs.select(col("doc_id"),
+          TextClassifier.scoreStruct(col("text"), w).as("__c"),
+          NgramLm.scoreStruct(col("text"), bModel).as("__l"),
+          TextAnalysis.gopherStruct(col("text")).as("__g"))
+        .select(col("doc_id"),
+          col("__c.label").as("cls_keep"),
+          col("__g.gopher_keep").as("gopher_keep"),
+          (col("__l.n_pos") > 0L &&
+            col("__l.tri_hits") * 10L >= col("__l.n_pos") * 3L &&
+            col("__l.unk") * 20L <= col("__l.n_pos")).as("lm_keep"),
+          col("__l.n_pos").as("n_pos"), col("__l.tri_hits").as("tri_hits"),
+          col("__l.unk").as("unk"))
+        .withColumn("keep", col("cls_keep") && col("gopher_keep") && col("lm_keep"))
+        .orderBy("doc_id")
+    }),
+
     "text_pii_scrub" -> ((s, dir) => {
       // The corpus is synthetic and clean, so the query plants one of each
       // PII shape per doc and scrubs it — the oracle runs the SAME
@@ -4225,6 +4265,121 @@ object SparkEntry {
         |  COALESCE(a.tri_hits, 0) AS tri_hits, COALESCE(a.bi_hits, 0) AS bi_hits,
         |  COALESCE(a.uni_hits, 0) AS uni_hits, COALESCE(a.unk, 0) AS unk
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // composed quality gate: the oracle independently rebuilds all three
+    // planes — the identical hashed-feature linear model (the
+    // text_classifier_score arithmetic), the capped LM count tables with
+    // the per-position backoff-level replay (the text_lm_levels CTEs),
+    // and the Gopher rule conjunction (the text_gopher_rules CTEs) — and
+    // re-derives the integer floors and the final keep conjunction
+    "pipeline_quality_filter" ->
+      """WITH docsrc AS (
+        |  SELECT doc_id, text || ' the data and that it holds' AS text
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM docsrc),
+        |cgrams AS (
+        |  SELECT doc_id, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t))) r(i)),
+        |cf AS (
+        |  SELECT doc_id,
+        |    ((CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 4096
+        |   + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 256
+        |   + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) * 16
+        |   + (CASE WHEN ascii(substr(h,4,1)) >= 97 THEN ascii(substr(h,4,1))-87 ELSE ascii(substr(h,4,1))-48 END)) % 4096 AS fid
+        |  FROM (SELECT doc_id, md5(g) AS h FROM cgrams)),
+        |cs AS (SELECT doc_id, SUM((fid * 37) % 201 - 100) AS num FROM cf GROUP BY doc_id),
+        |uni AS (SELECT g, n FROM (
+        |    SELECT w AS g, COUNT(*) AS n FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)
+        |  ORDER BY n DESC, g LIMIT 25),
+        |bi AS (SELECT g, n FROM (
+        |    SELECT g, COUNT(*) AS n FROM (
+        |      SELECT array_to_string(t[i:i+1], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(t))) AS r(i)) GROUP BY g)
+        |  ORDER BY n DESC, g LIMIT 500),
+        |tri AS (SELECT g, n FROM (
+        |    SELECT g, COUNT(*) AS n FROM (
+        |      SELECT array_to_string(t[i:i+2], ' ') AS g
+        |      FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)) GROUP BY g)
+        |  ORDER BY n DESC, g LIMIT 5000),
+        |pos AS (
+        |  SELECT doc_id, t[i] AS w,
+        |    CASE WHEN i >= 3 THEN array_to_string(t[i-2:i], ' ') END AS tg,
+        |    CASE WHEN i >= 3 THEN array_to_string(t[i-2:i-1], ' ') END AS tctx,
+        |    CASE WHEN i >= 2 THEN array_to_string(t[i-1:i], ' ') END AS bg,
+        |    CASE WHEN i >= 2 THEN t[i-1] END AS bctx
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)),
+        |lev AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN t3.g IS NOT NULL AND bc.g IS NOT NULL THEN 3
+        |         WHEN b2.g IS NOT NULL AND uc.g IS NOT NULL THEN 2
+        |         WHEN u1.g IS NOT NULL THEN 1 ELSE 0 END AS lvl
+        |  FROM pos p
+        |  LEFT JOIN tri t3 ON p.tg = t3.g
+        |  LEFT JOIN bi bc ON p.tctx = bc.g
+        |  LEFT JOIN bi b2 ON p.bg = b2.g
+        |  LEFT JOIN uni uc ON p.bctx = uc.g
+        |  LEFT JOIN uni u1 ON p.w = u1.g),
+        |lm AS (
+        |  SELECT doc_id, COUNT(*) AS n_pos,
+        |    CAST(SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS tri_hits,
+        |    CAST(SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unk
+        |  FROM lev GROUP BY doc_id),
+        |gbase AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(
+        |                regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+') END AS w,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3
+        |      + (length(text) - length(replace(text, chr(8230), ''))) AS n_ell
+        |  FROM docsrc),
+        |gfeat AS (
+        |  SELECT id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha_w,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> ltrim(l) LIKE chr(8226) || '%'
+        |      OR ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS BIGINT) AS bullet_l,
+        |    CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...'
+        |      OR rtrim(l) LIKE '%' || chr(8230))) AS BIGINT) AS ell_l,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        |    n_hash, n_ell
+        |  FROM gbase),
+        |gop AS (
+        |  SELECT id AS doc_id,
+        |    (n_words BETWEEN 50 AND 100000)
+        |      AND (n_words > 0 AND sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+        |      AND (n_words > 0 AND (n_hash + n_ell) * 10 <= n_words)
+        |      AND (n_lines = 0 OR bullet_l * 10 <= n_lines * 9)
+        |      AND (n_lines = 0 OR ell_l * 10 <= n_lines * 3)
+        |      AND (n_words > 0 AND alpha_w * 5 >= n_words * 4)
+        |      AND (stop_hits >= 2) AS gopher_keep
+        |  FROM gfeat)
+        |SELECT d.doc_id,
+        |  COALESCE(cs.num, 0) > 0 AS cls_keep,
+        |  g.gopher_keep,
+        |  (COALESCE(lm.n_pos, 0) > 0
+        |    AND COALESCE(lm.tri_hits, 0) * 10 >= COALESCE(lm.n_pos, 0) * 3
+        |    AND COALESCE(lm.unk, 0) * 20 <= COALESCE(lm.n_pos, 0)) AS lm_keep,
+        |  CAST(COALESCE(lm.n_pos, 0) AS BIGINT) AS n_pos,
+        |  CAST(COALESCE(lm.tri_hits, 0) AS BIGINT) AS tri_hits,
+        |  CAST(COALESCE(lm.unk, 0) AS BIGINT) AS unk,
+        |  (COALESCE(cs.num, 0) > 0) AND g.gopher_keep
+        |    AND (COALESCE(lm.n_pos, 0) > 0
+        |      AND COALESCE(lm.tri_hits, 0) * 10 >= COALESCE(lm.n_pos, 0) * 3
+        |      AND COALESCE(lm.unk, 0) * 20 <= COALESCE(lm.n_pos, 0)) AS keep
+        |FROM docsrc d
+        |LEFT JOIN cs ON d.doc_id = cs.doc_id
+        |LEFT JOIN lm ON d.doc_id = lm.doc_id
+        |JOIN gop g ON d.doc_id = g.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     // property-style: perplexity is transcendental, the invariants are

@@ -74,14 +74,10 @@ object NgramLm {
     * 10^(−logscore/n_pos), null for a tokenless doc. One scan, zero
     * shuffle. */
   def score(df: DataFrame, textCol: String, idCol: String, model: LmModel): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge
-    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
     // broadcast, don't plan-embed: the capped model can still be 100s of
     // MB; the plan carries an O(1) handle (see NgramLmScore's scaladoc)
     val bModel = df.sparkSession.sparkContext.broadcast(model)
-    val st = GraftColumnBridge.column(graft.functions.NgramLmScore(
-      GraftColumnBridge.expression(toks), bModel))
-    df.select(col(idCol).as("id"), st.as("__s"))
+    df.select(col(idCol).as("id"), scoreStruct(col(textCol), bModel).as("__s"))
       .select(col("id"),
         col("__s.n_pos").as("n_pos"), col("__s.tri_hits").as("tri_hits"),
         col("__s.bi_hits").as("bi_hits"), col("__s.uni_hits").as("uni_hits"),
@@ -90,5 +86,20 @@ object NgramLm {
         when(col("n_pos") > 0L,
           pow(lit(10.0), -col("logscore") / col("n_pos").cast(DoubleType)))
           .otherwise(lit(null).cast(DoubleType)))
+  }
+
+  /** The raw scoring struct (n_pos, tri_hits, bi_hits, uni_hits, unk,
+    * logscore) as ONE column over the raw text — the column-level form
+    * [[score]] flattens, exposed so a composed quality gate can run
+    * every filter plane in a single scan. The caller owns the broadcast
+    * (one `sparkContext.broadcast(model)` per model, reusable across
+    * queries). */
+  def scoreStruct(text: org.apache.spark.sql.Column,
+                  bModel: org.apache.spark.broadcast.Broadcast[LmModel])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = coalesce(Dedup.tokens(text), array().cast("array<string>"))
+    GraftColumnBridge.column(graft.functions.NgramLmScore(
+      GraftColumnBridge.expression(toks), bModel))
   }
 }

@@ -122,47 +122,56 @@ object TextAnalysis {
     * Documents with zero words fail the word-dependent rules (their
     * ratios are undefined and Gopher drops them via the count bound). */
   def gopherRules(df: DataFrame, textCol: String, idCol: String,
-                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val c = col(textCol)
-    val staged = df.select(col(idCol).as("id"), tokens(c).as("__w"),
-      filter(split(c, "\n"), l => trim(l) =!= "").as("__lines"),
-      (length(c) - length(regexp_replace(c, "#", ""))).as("__n_hash"),
-      (((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3) +
-        (length(c) - length(regexp_replace(c, "…", "")))).as("__n_ell"))
-    staged
-      .withColumn("n_words", size(col("__w")).cast(LongType))
-      .withColumn("__sum_len",
-        aggregate(col("__w"), lit(0L), (a, x) => a + length(x)))
-      .withColumn("__alpha_w",
-        size(filter(col("__w"), w => w.rlike("[a-z]"))).cast(LongType))
-      .withColumn("__n_lines", size(col("__lines")).cast(LongType))
-      .withColumn("__bullet_l", size(filter(col("__lines"),
-        l => ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
-          ltrim(l).startsWith("*"))).cast(LongType))
-      .withColumn("__ell_l", size(filter(col("__lines"),
-        l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast(LongType))
-      .withColumn("__stop_hits", size(array_intersect(array_distinct(col("__w")),
-        array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
-        .cast(LongType))
-      .withColumn("r_word_count", col("n_words").between(minWords.toLong, maxWords.toLong))
-      .withColumn("r_mean_word_len", col("n_words") > 0 &&
-        col("__sum_len") >= col("n_words") * 3 && col("__sum_len") <= col("n_words") * 10)
-      .withColumn("r_symbol_ratio", col("n_words") > 0 &&
-        (col("__n_hash") + col("__n_ell")) * 10 <= col("n_words"))
-      .withColumn("r_bullet_lines",
-        col("__n_lines") === 0 || col("__bullet_l") * 10 <= col("__n_lines") * 9)
-      .withColumn("r_ellipsis_lines",
-        col("__n_lines") === 0 || col("__ell_l") * 10 <= col("__n_lines") * 3)
-      .withColumn("r_alpha_words", col("n_words") > 0 &&
-        col("__alpha_w") * 5 >= col("n_words") * 4)
-      .withColumn("r_stop_words", col("__stop_hits") >= 2)
-      .withColumn("gopher_keep",
-        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
-          col("r_bullet_lines") && col("r_ellipsis_lines") && col("r_alpha_words") &&
-          col("r_stop_words"))
-      .select("id", "n_words", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
-        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stop_words",
-        "gopher_keep")
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    df.select(col(idCol).as("id"),
+        gopherStruct(col(textCol), minWords, maxWords).as("__g"))
+      .select(col("id"), col("__g.n_words"), col("__g.r_word_count"),
+        col("__g.r_mean_word_len"), col("__g.r_symbol_ratio"),
+        col("__g.r_bullet_lines"), col("__g.r_ellipsis_lines"),
+        col("__g.r_alpha_words"), col("__g.r_stop_words"), col("__g.gopher_keep"))
+
+  /** The Gopher rule set as ONE struct-valued column over the raw text —
+    * the column-level form [[gopherRules]] flattens, exposed so a
+    * composed quality gate can evaluate every filter plane inside a
+    * single scan (codegen's common-subexpression elimination shares the
+    * token/line arrays across the rules, as the former projection chain
+    * did). */
+  def gopherStruct(c: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val w = tokens(c)
+    val lines = filter(split(c, "\n"), l => trim(l) =!= "")
+    val nHash = length(c) - length(regexp_replace(c, "#", ""))
+    val nEll = ((length(c) - length(regexp_replace(c, "\\.\\.\\.", ""))) / 3) +
+      (length(c) - length(regexp_replace(c, "…", "")))
+    val nWords = size(w).cast(LongType)
+    val sumLen = aggregate(w, lit(0L), (a, x) => a + length(x))
+    val alphaW = size(filter(w, t => t.rlike("[a-z]"))).cast(LongType)
+    val nLines = size(lines).cast(LongType)
+    val bulletL = size(filter(lines,
+      l => ltrim(l).startsWith("•") || ltrim(l).startsWith("-") ||
+        ltrim(l).startsWith("*"))).cast(LongType)
+    val ellL = size(filter(lines,
+      l => rtrim(l).endsWith("...") || rtrim(l).endsWith("…"))).cast(LongType)
+    val stopHits = size(array_intersect(array_distinct(w),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+      .cast(LongType)
+    val rWordCount = nWords.between(minWords.toLong, maxWords.toLong)
+    val rMeanWordLen = nWords > 0 && sumLen >= nWords * 3 && sumLen <= nWords * 10
+    val rSymbolRatio = nWords > 0 && (nHash + nEll) * 10 <= nWords
+    val rBulletLines = nLines === 0 || bulletL * 10 <= nLines * 9
+    val rEllipsisLines = nLines === 0 || ellL * 10 <= nLines * 3
+    val rAlphaWords = nWords > 0 && alphaW * 5 >= nWords * 4
+    val rStopWords = stopHits >= 2
+    struct(
+      nWords.as("n_words"),
+      rWordCount.as("r_word_count"),
+      rMeanWordLen.as("r_mean_word_len"),
+      rSymbolRatio.as("r_symbol_ratio"),
+      rBulletLines.as("r_bullet_lines"),
+      rEllipsisLines.as("r_ellipsis_lines"),
+      rAlphaWords.as("r_alpha_words"),
+      rStopWords.as("r_stop_words"),
+      (rWordCount && rMeanWordLen && rSymbolRatio && rBulletLines &&
+        rEllipsisLines && rAlphaWords && rStopWords).as("gopher_keep"))
   }
 
   /** Gopher repetition n-gram filters (Rae et al. 2021 A1, the n-gram

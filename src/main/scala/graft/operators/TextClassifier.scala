@@ -66,28 +66,36 @@ object TextClassifier {
   def scoreLinear(df: DataFrame, textCol: String, idCol: String,
                   weightNumerators: Array[Int],
                   biasNum: Int = 0,
-                  addBigrams: Boolean = true): DataFrame = {
+                  addBigrams: Boolean = true): DataFrame =
+    df.select(col(idCol).as("id"),
+        scoreStruct(col(textCol), weightNumerators, biasNum, addBigrams).as("__s"))
+      .select(col("id"), col("__s.n_features"), col("__s.logit"), col("__s.label"))
+
+  /** The scoring plane as ONE struct-valued column (n_features, logit,
+    * label) over the raw text — the column-level form [[scoreLinear]]
+    * flattens, exposed so a composed quality gate can run every filter
+    * plane in a single scan. */
+  def scoreStruct(text: Column, weightNumerators: Array[Int],
+                  biasNum: Int = 0, addBigrams: Boolean = true): Column = {
     val dim = weightNumerators.length
     require(dim > 0 && dim <= MaxDim,
       s"scoreLinear: weight vector length $dim outside (0, $MaxDim] — 4 md5 hex " +
         "digits address at most 65,536 features")
     val wLit = lit(weightNumerators.map(_.toLong))
-    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val toks = coalesce(Dedup.tokens(text), array().cast("array<string>"))
     val bi =
       if (!addBigrams) array().cast("array<string>")
-      else when(size(col("__t")) >= 2,
-        transform(sequence(lit(0), size(col("__t")) - 2),
-          i => concat_ws(" ", element_at(col("__t"), i + 1), element_at(col("__t"), i + 2))))
+      else when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), toks.as("__t"))
-      .select(col("id"), concat(col("__t"), bi).as("__g"))
-      .select(col("id"),
-        size(col("__g")).cast(LongType).as("n_features"),
-        aggregate(col("__g"), lit(biasNum.toLong), (acc, g) =>
-          acc + element_at(wLit, featureId(g, dim).cast(IntegerType) + 1)).as("__num"))
-      .select(col("id"), col("n_features"),
-        (col("__num").cast(DoubleType) / 128.0).as("logit"),
-        (col("__num") > 0L).as("label"))
+    val g = concat(toks, bi)
+    val num = aggregate(g, lit(biasNum.toLong), (acc, gr) =>
+      acc + element_at(wLit, featureId(gr, dim).cast(IntegerType) + 1))
+    struct(
+      size(g).cast(LongType).as("n_features"),
+      (num.cast(DoubleType) / 128.0).as("logit"),
+      (num > 0L).as("label"))
   }
 
   /** TRAIN the linear model by full-batch logistic-regression gradient

@@ -373,6 +373,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(out.filter(col("cell").startsWith("c0/")).count() == 100L)
   }
 
+  test("composed quality filter scores all three planes in ONE corpus scan") {
+    // classifier + LM census + gopher rules are struct-valued scan
+    // expressions: the composition must be a single parquet scan with no
+    // joins (the only exchange is the final order-by's range partition)
+    val p = plan("pipeline_quality_filter")
+    assert(!p.contains("Join"), p.take(2500))
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(2500))
+  }
+
   test("semdedup: cell assignment stays in-scan, no cartesian anywhere") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.operators.Dedup
