@@ -1943,7 +1943,10 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val labeled = docs.withColumn("y",
         array_contains(Dedup.tokens(col("text")), "spark"))
-      val (w, b) = TextClassifier.train(labeled, "text", "y", dim, iters = 40, lr = 1.0)
+      // lr 4 / 60 iters: full-batch GD on raw-count features needs the
+      // hotter step — 40@1.0 underfits the 5,000-doc gate SF (81%),
+      // 60@4.0 fully separates BOTH gate SFs (5000/5000, 500/500)
+      val (w, b) = TextClassifier.train(labeled, "text", "y", dim, iters = 60, lr = 4.0)
       val maxAbs = math.max(math.max(w.map(math.abs).max, math.abs(b)), 1e-12)
       val scale  = 50.0 / maxAbs
       val q  = TextClassifier.quantize(w.map(_ * scale))
