@@ -24,14 +24,22 @@ import org.apache.spark.util.sketch.BloomFilter
   * expression instance (`addReferenceObj`) so the generated code stays
   * inside whole-stage codegen with no fallback.
   *
-  * Deserialized filters are cached in a JVM-GLOBAL map keyed by the
-  * broadcast id — NOT per expression instance: the expression rides every
-  * task's serialized binary, so a per-instance `@transient lazy` would
-  * re-deserialize the whole shard set once per TASK (at the motivating
-  * ~11 GB index scale, 8 concurrent tasks would transiently hold 8 full
-  * copies of the bit arrays). One deserialization per (executor JVM,
-  * broadcast) is the contract; the cache entry lives as long as the JVM,
-  * matching the broadcast block's own lifetime. */
+  * Deserialized filters are cached in a JVM-GLOBAL map keyed by
+  * (application id, broadcast id) — NOT per expression instance: the
+  * expression rides every task's serialized binary, so a per-instance
+  * `@transient lazy` would re-deserialize the whole shard set once per
+  * TASK (at the motivating ~11 GB index scale, 8 concurrent tasks would
+  * transiently hold 8 full copies of the bit arrays). One deserialization
+  * per (executor JVM, broadcast) is the contract. Broadcast ids alone are
+  * NOT a safe key: they restart at 0 with every new SparkContext, so in a
+  * long-lived JVM (local mode, test suites, notebook restarts) a second
+  * context's index would silently collide with — and serve — the previous
+  * context's filters, turning Bloom "definitely new" answers into false
+  * negatives. The application id (unique per context, available from
+  * `SparkEnv` on both driver and executors) disambiguates; since at most
+  * one SparkContext is active per JVM, entries under any OTHER app id are
+  * provably stale and are evicted on the next miss, so the cache also
+  * cannot grow across context restarts. */
 case class ShardedBloomMightContain(
     shards: Broadcast[IndexedSeq[Array[Byte]]],
     left: Expression,
@@ -68,10 +76,20 @@ case class ShardedBloomMightContain(
 
 object ShardedBloomMightContain {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Long, IndexedSeq[BloomFilter]]()
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[BloomFilter]]()
 
   private[graft] def filtersFor(
-      shards: Broadcast[IndexedSeq[Array[Byte]]]): IndexedSeq[BloomFilter] =
-    cache.computeIfAbsent(shards.id, _ =>
+      shards: Broadcast[IndexedSeq[Array[Byte]]]): IndexedSeq[BloomFilter] = {
+    val appId = org.apache.spark.SparkEnv.get.conf.getAppId
+    val key = s"$appId#${shards.id}"
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    // Miss: drop entries from dead contexts (only one SparkContext is
+    // active per JVM, so any other app id cannot be served again).
+    val stalePrefixCheck = appId + "#"
+    val it = cache.keySet().iterator()
+    while (it.hasNext) if (!it.next().startsWith(stalePrefixCheck)) it.remove()
+    cache.computeIfAbsent(key, _ =>
       shards.value.map(b => BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))))
+  }
 }

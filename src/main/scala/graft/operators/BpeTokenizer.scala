@@ -100,13 +100,31 @@ object BpeTokenizer {
           i += 1
         }
       }
-      // argmax by (count desc, pair asc) — fully deterministic
+      // argmax by (count desc, pair asc) — fully deterministic.
+      //
+      // Marker-integrity guard: decode detects word boundaries by
+      // `endsWith(EndOfWord)`, which is sound only under the invariant
+      // "a symbol ends with the marker chars iff it IS word-final". Base
+      // symbols are single code points (can't end with the 4-char
+      // marker) and the marker itself is final, so the invariant breaks
+      // only through a merge whose product SPELLS the marker suffix out
+      // of literal corpus text — e.g. text containing '</w>' training
+      // "a</w" + ">" → "a</w>", which decode would strip mid-word
+      // (silently lossy). Skip exactly those: product ends with the
+      // marker while the right-hand symbol is not itself final (a final
+      // right side — e.g. "e" + "</w>" — is the legitimate case and
+      // stays mergeable). This subsumes product == EndOfWord. Mid-string
+      // literal '</w>' (e.g. a product "a</w>b") is harmless: decode
+      // only strips suffixes.
       var best: (String, String) = null
       var bestCount = 1L // a merge must fire at least twice
       counts.foreach { case (p, c) =>
-        if (c > bestCount ||
-            (c == bestCount && best != null &&
-              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+        val spoofsMarker = (p._1 + p._2).endsWith(graft.functions.BpeEncode.EndOfWord) &&
+          !p._2.endsWith(graft.functions.BpeEncode.EndOfWord)
+        if (!spoofsMarker &&
+            (c > bestCount ||
+             (c == bestCount && best != null &&
+               (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))) {
           best = p; bestCount = c
         }
       }

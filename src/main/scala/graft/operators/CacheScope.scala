@@ -37,10 +37,37 @@ class CacheScope {
 }
 
 object CacheScope {
-  /** Session-lifetime caches: persists without keeping handles — the
-    * default when no scope is passed, matching callers that own the cache
-    * lifecycle themselves (`spark.catalog.clearCache()` or session end). */
+  /** How many persisted intermediates the default scope keeps live before
+    * evicting the oldest. Generously above any single operator
+    * invocation's concurrent needs (the largest holder, semdedup's split
+    * loop, unpersists superseded rounds itself and holds ≤ 2 at a time;
+    * the candidate-pair ops hold 1-2), so eviction only ever hits
+    * ALREADY-CONSUMED intermediates from earlier invocations. */
+  private val MaxUntracked = 64
+
+  /** Default scope when the caller passes none. Earlier rounds persisted
+    * WITHOUT keeping handles, which meant every invocation in a long-lived
+    * session (notebook, service, test suite) accumulated MEMORY_AND_DISK
+    * blocks until session end — unlike `localCheckpoint` blocks, DataFrame
+    * caches are registered in the session CacheManager and are never
+    * reclaimed by GC. Now a bounded FIFO: beyond [[MaxUntracked]] live
+    * handles the oldest is unpersisted (non-blocking). Safe because every
+    * scope-persisted intermediate in this codebase is a DETERMINISTIC
+    * plan (minhash/band hashes, xxhash-seeded Voronoi assignments) — a
+    * worst-case eviction recomputes identical rows, it can never change
+    * them. Callers that want deterministic, immediate release (the
+    * long-lived-session recommendation) still pass their own scope and
+    * call `release()` once the returned plan is materialized. */
   val untracked: CacheScope = new CacheScope {
-    override protected def record(df: DataFrame): Unit = ()
+    private val fifo = new java.util.ArrayDeque[DataFrame]()
+    override protected def record(df: DataFrame): Unit = synchronized {
+      fifo.addLast(df)
+      while (fifo.size() > MaxUntracked) {
+        // an evictee from an already-stopped session (test suites spin
+        // sessions up and down) has nothing left to free — drop the handle
+        try fifo.pollFirst().unpersist(false)
+        catch { case scala.util.control.NonFatal(_) => }
+      }
+    }
   }
 }

@@ -136,6 +136,38 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(rt(1L) == s"$blob normal words" && rt(2L) == "normal words ab")
   }
 
+  test("literal '</w>' in corpus text cannot spoof the end-of-word marker") {
+    // Text containing the marker's own characters would, un-guarded, train
+    // merges like "a</w" + ">" whose product ends with "</w>" mid-word —
+    // decode would strip it and insert a phantom word boundary. The
+    // marker-integrity guard skips exactly those merges, so the round
+    // trip stays lossless and every vocab symbol ending with the marker
+    // chars is genuinely word-final.
+    val docs = Seq(
+      (1L, "a</w>b a</w>b a</w>b a</w>b a</w>b"),
+      (2L, "</w> </w> </w> </w>"),
+      (3L, "x</w x</w x</w w> w> w>"),
+      (4L, "plain words plain words"),
+    ).toDF("doc_id", "text")
+    val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 40)
+    // no learned merge product may spell the marker out of literal text:
+    // a product ending with "</w>" must come from a word-final right side
+    model.merges.foreach { case (a, b) =>
+      assert(!((a + b).endsWith("</w>") && !b.endsWith("</w>")),
+        s"marker-spoofing merge ($a, $b) survived")
+    }
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    val rt = enc.select(col("id"), BpeTokenizer.decode(col("token_ids"), model))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt(1L) == "a</w>b a</w>b a</w>b a</w>b a</w>b", rt(1L))
+    assert(rt(2L) == "</w> </w> </w> </w>", rt(2L))
+    assert(rt(3L) == "x</w x</w x</w w> w> w>", rt(3L))
+    assert(rt(4L) == "plain words plain words", rt(4L))
+    // UNK never fires: the corpus trains its own base alphabet
+    assert(enc.select(explode(col("token_ids")).as("tid"))
+      .filter(col("tid") === 0).count() == 0L)
+  }
+
   test("corpus-scale lossless round-trip (sf0.001 documents)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 60)
