@@ -8,6 +8,18 @@ import org.apache.spark.sql.SparkSession
   * gets truncated and fails to parse. Set SPARK_GRAFT_BENCH_ALL=1 to time the
   * full query surface instead (local iteration); either way the complete
   * per-query timing map is written to target/bench_full.json.
+  *
+  * Contention defenses (the r10 artifact breached the 2× gate purely from
+  * a machine-load window while the same-machine clean rerun read 1.46×):
+  *  - 3 INTERLEAVED samples per query, min reported — a contention window
+  *    must now span three full suite sweeps to poison a query's min;
+  *  - queries whose samples disagree >2× get ONE post-sweep re-sample
+  *    (listed in `resampled`) — their min gets a shot at a calm machine;
+  *  - `calib_sec` carries the fixed CPU-bound sentinel at EVERY sweep
+  *    boundary plus a streaming-phase sentinel, so a contended window is
+  *    visible in the artifact itself (which sweep, headline vs streaming);
+  *  - `shared_rows_total` sums the FROZEN r10 row set ([[sharedRows]]) —
+  *    the cross-round comparable that new headline rows cannot inflate.
   */
 object Bench {
   /** Representative slice of the surface: parity catalog ops, joins/aggs,
@@ -38,6 +50,27 @@ object Bench {
     // registered rows deliberately include their in-plan property
     // verification (SURVEY §9), which would hide a pipeline regression
     // inside verification noise; these rows make one attributable
+    "dedup_minhash_lsh_pipeline", "pipeline_semdedup_pipeline")
+
+  /** FROZEN at the round-10 headline set (37 rows). The artifact's
+    * `shared_rows_total` sums exactly these, so future rounds that add
+    * headline rows keep one directly comparable cross-round number — the
+    * r10 gate breach was an apples-to-oranges total (37 rows vs the r2
+    * baseline's sweep) inflated further by a contention window. Do NOT
+    * append to this list; a future re-freeze should introduce a new field
+    * name alongside it. */
+  val sharedRows: Seq[String] = Seq(
+    "q1_agg", "q3_top_orders", "q_topk_per_group", "q_salted_join",
+    "search_require_all_on", "search_derived_union", "to_dataset_dict",
+    "combine_by_coords", "agg_union", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_ngram_jaccard", "embed_cosine_topk",
+    "ann_ivf_topk", "text_quality", "events_sessionize", "events_asof_join",
+    "multimodal_frames", "pipeline_clean_corpus", "dedup_embedding",
+    "pipeline_chunk_docs", "pipeline_decontaminate", "events_funnel",
+    "q_sketch_stats", "text_repetition", "scan_kerchunk_reference",
+    "dedup_substring", "load_netcdf_cf", "pipeline_semdedup",
+    "text_gopher_rules", "text_classifier_score", "pipeline_bpe_tokenize",
+    "text_lm_levels", "pipeline_quality_filter",
     "dedup_minhash_lsh_pipeline", "pipeline_semdedup_pipeline")
 
   /** Bench-only rows (NOT registered gate queries — correctness for these
@@ -164,12 +197,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // compile/JIT the calibration shape itself outside the measure
-    val calibBefore = calibrate()
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    // two timed samples per query, report the min: a transient load spike
-    // poisons at most one sample, so one noisy scheduling window can no
-    // longer inflate the round's official artifact (the r4 lesson)
-    val samples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(2)
+    // ≥3 timed samples per query, report the min: a transient load spike
+    // poisons individual samples, so a noisy scheduling window can no
+    // longer inflate the round's official artifact (the r4 lesson; raised
+    // 2 → 3 after the r10 artifact breached the gate from a contention
+    // window that poisoned both of a pair)
+    val samples = sys.env.get("SPARK_GRAFT_BENCH_SAMPLES").map(_.toInt).getOrElse(3)
     require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
     // samples are INTERLEAVED (sweep the whole suite, then sweep again),
     // not back-to-back per query: a host-level throttle/contention window
@@ -177,8 +211,7 @@ object Bench {
     // min, instead of just that query's few seconds (the r7 lesson: a
     // ~7-minute degraded window made consecutive per-query samples agree
     // on 4-13× inflated times while a later run read 26 s total)
-    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    for (_ <- 1 to samples; name <- names) {
+    def timeQuery(name: String): Double = {
       val t0 = System.nanoTime()
       // a failing query MUST NOT read as a fast sample — record it so the
       // harness (and the judge) see the regression instead of a better total
@@ -204,13 +237,32 @@ object Bench {
       // one query's cache from occupying the next one's executor storage.
       // Outside the timed region: a long-lived session pays this once.
       spark.sharedState.cacheManager.clearCache()
-      best.updateWith(name) {
-        case Some(prev) => Some(math.min(prev, dt))
-        case None       => Some(dt)
-      }
+      dt
     }
-    val results = names.map(n => n -> best(n))
-    val calibAfter = calibrate()
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
+    // calibration sentinel at every sweep BOUNDARY (not just the run's
+    // ends): a contention window confined to one sweep is then visible in
+    // the artifact itself as one inflated boundary pair, instead of hiding
+    // between two calm endpoints (how the r10 window evaded the sentinel)
+    val calib = scala.collection.mutable.ArrayBuffer(calibrate())
+    for (_ <- 1 to samples) {
+      names.foreach { name =>
+        times.updateWith(name) { prev => Some(timeQuery(name) :: prev.getOrElse(Nil)) }
+      }
+      calib += calibrate()
+    }
+    // samples disagreeing >2× mark a query whose every sweep may have been
+    // load-poisoned; one post-sweep re-sample (the machine has had the
+    // whole suite's duration to calm down) gives its min a clean shot
+    val resampled = names.filter { n =>
+      val ts = times(n)
+      ts.min > 0.05 && ts.max > 2.0 * ts.min
+    }
+    resampled.foreach { n =>
+      times.updateWith(n) { prev => Some(timeQuery(n) :: prev.getOrElse(Nil)) }
+    }
+    if (resampled.nonEmpty) calib += calibrate()
+    val results = names.map(n => n -> times(n).min)
     // streaming twins get a throughput number too (r6 verdict follow-up):
     // rows/sec through the stateful sessionize and LSH near-dup paths over
     // a bounded MemoryStream feed of the sf dir's own rows. Reported as an
@@ -219,22 +271,31 @@ object Bench {
     val streamingJson =
       if (sys.env.get("SPARK_GRAFT_BENCH_STREAMING").contains("0")) ""
       else
-        try s""""streaming":${streamingThroughput(spark, sfDir)},"""
-        catch { case e: Throwable =>
+        try {
+          val s0 = s""""streaming":${streamingThroughput(spark, sfDir)},"""
+          calib += calibrate() // streaming-phase sentinel
+          s0
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] streaming bench FAILED: ${e.getMessage}")
           s""""streaming_error":"${e.getClass.getSimpleName}","""
         }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
+    // the cross-round comparable: the FROZEN r10 row set's subtotal (new
+    // headline rows change `value` but never this)
+    val resultMap = results.toMap
+    val sharedTotal = fmt(sharedRows.flatMap(resultMap.get).sum)
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val resampledJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     // escape sfDir like every other string field — a quote/backslash in the
     // path would break the harness's JSON parse of the bench line
     val sfJson = "\"" + sfDir.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     } + "\""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      s"""$streamingJson"samples":$samples,"calib_sec":[${fmt(calibBefore)},${fmt(calibAfter)}],"sf":$sfJson}"""
+      s""""shared_rows_total":$sharedTotal,"resampled":$resampledJson,""" +
+      s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
