@@ -2427,6 +2427,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "multimodal_phash" -> ((s, dir) => {
+      // r11: REAL pixel-plane perceptual hash — ImageIO decodes the
+      // fixture's actual container bytes, the 8×8 integer-luma thumbnail
+      // thresholds division-free, and the oracle re-derives the EXACT bit
+      // string in SQL from the fixture's known pixel function
+      // ((x·31+y·17+id) & 0xffffff). Restricted to the LOSSLESS formats
+      // (png, bmp — id%4 ∈ {0,3}): jpeg decode is lossy and gif is
+      // palette-quantized by the encoder, so their decoded pixels are
+      // reader-implementation facts, not arithmetic (the MultimodalSpec
+      // covers them via ImageIO round-trip instead). strict: an
+      // undecodable payload refuses loudly, never a silent fingerprint.
+      val imgs = s.read.parquet(ensureImageFixture(s, dir))
+        .filter(pmod(col("img_id"), lit(4)).isin(0, 3))
+      Multimodal.pixelAverageHash(imgs, "payload", "img_id", strict = true)
+        .select(col("id"), col("phash_bits"))
+        .orderBy("id")
+    }),
+
     // ===== extensions: event-stream analytics (batch shape) =====
 
     "q_grouping_sets" -> ((s, dir) => {
@@ -4635,6 +4653,37 @@ object SparkEntry {
         |  CAST((width * 224) // greatest(width, height) AS INT) AS out_w,
         |  CAST((height * 224) // greatest(width, height) AS INT) AS out_h
         |FROM m ORDER BY id""".stripMargin,
+
+    // Pixel-plane aHash re-derived from first principles: the fixture's
+    // pixel function is (x·31 + y·17 + id) & 0xffffff and png/bmp encode
+    // losslessly, so DuckDB regenerates every pixel, folds the same
+    // BT.601 integer luma into the same 8×8 floor-division cells, and
+    // must reproduce the engine's 64-bit string exactly.
+    "multimodal_phash" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id,
+        |         CAST((doc_id * 7) % 120 + 16 AS BIGINT) AS w,
+        |         CAST((doc_id * 13) % 90 + 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 4 IN (0, 3)),
+        |xs AS (
+        |  SELECT id, w, h, unnest(generate_series(0, w - 1)) AS x FROM imgs),
+        |px AS (
+        |  SELECT id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |lum AS (
+        |  SELECT id, (y * 8) // h * 8 + (x * 8) // w AS cell,
+        |         299 * ((((x*31 + y*17 + id) & 16777215) >> 16) & 255)
+        |       + 587 * ((((x*31 + y*17 + id) & 16777215) >> 8) & 255)
+        |       + 114 * (((x*31 + y*17 + id) & 16777215) & 255) AS l
+        |  FROM px),
+        |cells AS (
+        |  SELECT id, cell, SUM(l) // COUNT(*) AS t FROM lum GROUP BY id, cell),
+        |tot AS (
+        |  SELECT id, SUM(t) AS total FROM cells GROUP BY id)
+        |SELECT c.id AS id,
+        |       string_agg(CASE WHEN 64 * c.t > t2.total THEN '1' ELSE '0' END,
+        |                  '' ORDER BY c.cell) AS phash_bits
+        |FROM cells c JOIN tot t2 USING (id)
+        |GROUP BY c.id ORDER BY id""".stripMargin,
 
     // f0 = fraction of payload bytes in [0, 32) (bucket 0 of the 8-bucket
     // byte histogram). In UTF-8 those bytes are exactly the control chars.

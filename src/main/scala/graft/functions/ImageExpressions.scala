@@ -147,3 +147,109 @@ object ImageDims {
     null
   }
 }
+
+/** Pixel-plane perceptual average-hash (aHash) — the REAL decode path the
+  * payload-byte stub in `Multimodal.averageHash` approximates. Decodes the
+  * payload with the JDK's own `javax.imageio.ImageIO` (PNG / JPEG / GIF /
+  * BMP readers ship in every JVM — no new dependency), folds the pixels
+  * into an 8×8 integer-luma thumbnail, and thresholds each cell against
+  * the thumbnail mean. Every step is EXACT integer arithmetic so an
+  * independent engine (the DuckDB oracle, over the fixture's known pixel
+  * function) reproduces the bit string bit-for-bit on lossless formats:
+  *
+  *  - luma(x,y) = 299·r + 587·g + 114·b (BT.601 weights ×1000 — kept
+  *    un-divided: only ratios matter downstream);
+  *  - pixel (x,y) belongs to thumbnail cell (x·8 div w, y·8 div h);
+  *  - cell value t = (Σ luma) div (cell pixel count)  [floor division];
+  *  - bit i (row-major, MSB first) set iff 64·tᵢ > Σt — the same
+  *    division-free compare the byte-plane stub uses.
+  *
+  * Output: struct(bits string[64], hash long) or NULL when ImageIO has no
+  * reader for the payload (not an image / truncated / exotic container)
+  * or the decoded image is smaller than 8×8 (no meaningful thumbnail) —
+  * callers that must refuse loudly gate on the null
+  * (`Multimodal.pixelAverageHash(strict = true)`).
+  *
+  * Scan-stage expression: per-row decode, zero shuffle. The decode IS the
+  * dominant cost (as on any real image pipeline); at 100 TB this is the
+  * operator you give the whole cluster to, and it scales embarrassingly —
+  * no exchange, no state, pure map. */
+case class ImageAHash(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("bits", StringType, nullable = false),
+    StructField("hash", LongType, nullable = false)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"image_ahash expects binary payload, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ImageAHash.hash(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bytes => {
+      s"""
+         |${ev.value} = graft.functions.ImageAHash.hash($bytes);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
+object ImageAHash {
+  /** Static kernel shared by interpreted and generated code; null when the
+    * payload doesn't decode or is smaller than the 8×8 thumbnail. */
+  def hash(payload: Array[Byte]): InternalRow = {
+    if (payload == null || payload.length == 0) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 8 || h < 8) return null
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // sRGB, alpha ignored
+        val luma = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val cell = cy * 8 + x * 8 / w
+        sums(cell) += luma
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val t = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < 64) { t(i) = sums(i) / cnts(i); total += t(i); i += 1 }
+    val sb = new java.lang.StringBuilder(64)
+    var packed = 0L
+    i = 0
+    while (i < 64) {
+      val bit = 64L * t(i) > total
+      sb.append(if (bit) '1' else '0')
+      packed = (packed << 1) | (if (bit) 1L else 0L)
+      i += 1
+    }
+    InternalRow(UTF8String.fromString(sb.toString), packed)
+  }
+}

@@ -177,6 +177,33 @@ object Multimodal {
           .as("ahash"))
   }
 
+  /** REAL pixel-plane perceptual average-hash: decodes the payload with
+    * JDK ImageIO ([[graft.functions.ImageAHash]] — PNG/JPEG/GIF/BMP), 8×8
+    * integer-luma thumbnail, division-free mean threshold. Same output
+    * contract as the byte-plane [[averageHash]] (`phash_bits` 64-char
+    * string MSB-first + `phash` packed long → feed into
+    * [[Dedup.simhashPairsFromFingerprints]] for hamming-banded near-dup
+    * pairs); unlike it, two encodings of the SAME pixels (or a lightly
+    * perturbed image) hash near each other — the byte plane can't see
+    * through a container. Payloads ImageIO cannot decode (or images
+    * smaller than the 8×8 thumbnail) yield nulls — or refuse LOUDLY per
+    * row with `strict = true`, never a silent wrong fingerprint. */
+  def pixelAverageHash(df: DataFrame, binCol: String, idCol: String,
+                       strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val hashed = GraftColumnBridge.column(
+      graft.functions.ImageAHash(GraftColumnBridge.expression(col(binCol))))
+    val base = df.select(col(idCol).as("id"), hashed.as("__h"))
+    val guarded =
+      if (!strict) base
+      else base.filter(coalesce(assert_true(col("__h").isNotNull,
+        concat(lit("pixelAverageHash: undecodable or sub-8x8 image payload for id="),
+          col("id").cast(StringType))), lit(true)))
+    guarded.select(col("id"),
+      col("__h").getField("bits").as("phash_bits"),
+      col("__h").getField("hash").as("phash"))
+  }
+
   /** Frame-sampling plan for video-like payloads: given a duration and a
     * target fps, emit (id, frame_idx, offset_ms) rows — the generator shape
     * of a frame extractor, as a pure explode (scales linearly, no driver

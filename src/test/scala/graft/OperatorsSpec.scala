@@ -1064,6 +1064,71 @@ class MultimodalSpec extends AnyFunSuite {
       ex.getMessage)
   }
 
+  test("pixel aHash: identical and perturbed images pair up; noise does not") {
+    import java.awt.image.BufferedImage
+    // deterministic 64x48 gradient image + a perturbed twin (one corner
+    // block blacked out) + an unrelated inverted-gradient image
+    def gradient(w: Int, h: Int, invert: Boolean, blackCorner: Boolean): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v0 = ((x * 255 / (w - 1)) + (y * 255 / (h - 1))) / 2
+        val v = if (invert) 255 - v0 else v0
+        val vv = if (blackCorner && x < 8 && y < 6) 0 else v
+        img.setRGB(x, y, (vv << 16) | (vv << 8) | vv)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val base   = gradient(64, 48, invert = false, blackCorner = false)
+    val close  = gradient(64, 48, invert = false, blackCorner = true)
+    val far    = gradient(64, 48, invert = true, blackCorner = false)
+    val df = Seq((1L, base), (2L, base.clone()), (3L, close), (4L, far))
+      .toDF("id", "payload")
+    val hashed = Multimodal.pixelAverageHash(df, "payload", "id", strict = true)
+    val rows = hashed.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    // identical bytes → identical fingerprint
+    assert(rows(1L) == rows(2L))
+    // perturbed twin is NEAR (few corner/threshold bits), inversion is FAR
+    val dClose = hamming(rows(1L)._1, rows(3L)._1)
+    val dFar   = hamming(rows(1L)._1, rows(4L)._1)
+    assert(dClose <= 7, s"perturbed hamming $dClose")
+    assert(dFar > 20, s"inverted hamming $dFar")
+    // the hamming-banded pair join finds exactly the near pairs (8 blocks
+    // of 8 bits → pigeonhole guarantees detection up to hamming 7)
+    val pairs = graft.operators.Dedup.simhashPairsFromFingerprints(
+        hashed.select(col("id"), col("phash").as("fp")), maxHamming = 7, blocks = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+  }
+
+  test("pixel aHash: undecodable and sub-8x8 payloads refuse under strict") {
+    // GIF and JPEG fixture payloads DECODE (reader-implementation pixels,
+    // covered here by non-null hashes); junk and tiny images do not
+    val okDf = Seq(
+      (1L, graft.harness.ImageFixture.encode(2L)),  // gif
+      (2L, graft.harness.ImageFixture.encode(5L))). // jpeg gray
+      toDF("id", "payload")
+    val ok = Multimodal.pixelAverageHash(okDf, "payload", "id", strict = true).collect()
+    assert(ok.length == 2 && ok.forall(r => r.getString(1).length == 64))
+    val tiny = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val badDf = Seq((1L, "not an image".getBytes), (2L, tiny)).toDF("id", "payload")
+    // lenient: nulls; strict: loud per-row refusal
+    val lenient = Multimodal.pixelAverageHash(badDf, "payload", "id").collect()
+    assert(lenient.forall(_.isNullAt(1)))
+    val ex = intercept[Exception] {
+      Multimodal.pixelAverageHash(badDf, "payload", "id", strict = true).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("undecodable"), ex.getMessage)
+  }
+
   test("media meta uses REAL parsed dims for image payloads, stub otherwise") {
     val pngBytes = graft.harness.ImageFixture.encode(0L) // png 16x16
     val df = Seq((1L, pngBytes), (2L, "not an image".getBytes)).toDF("id", "payload")
