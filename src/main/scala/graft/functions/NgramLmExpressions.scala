@@ -42,10 +42,17 @@ import org.apache.spark.sql.types._
   * of grams — hundreds of MB as reference objects would grow the
   * analyzed plan and per-stage task binary linearly with model size,
   * while the broadcast keeps the plan at an O(1) handle and ships the
-  * maps to each executor once via torrent broadcast. Scoring a 100 TB
+  * tables to each executor once via torrent broadcast. Scoring a 100 TB
   * corpus is one shuffle-free scan; model size is bounded by the
   * training caps ([[graft.operators.NgramLm.train]]), never by corpus
   * size.
+  *
+  * r11: counts live in primitive [[GramTable]]s (open-addressed
+  * xxhash64→long; size and collision bounds in its scaladoc). The hot
+  * loop hashes each token once from its UTF8String bytes and derives
+  * every gram key by long-mixing — no gram string is ever built, no
+  * String hashing, no boxing; the census stays bit-identical to the
+  * string-keyed form it replaced.
   */
 case class NgramLmScore(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -69,43 +76,50 @@ case class NgramLmScore(
 
   def score(tokens: ArrayData): InternalRow = {
     val n = tokens.numElements()
-    val t = new Array[String](n)
+    // hash each token ONCE (straight off the UTF8String bytes — no java
+    // String materializes); every gram key below is a long-mix of these
+    val hs = new Array[Long](n)
     var i = 0
     while (i < n) {
       // tokenizer output never contains nulls; defend as empty word
-      t(i) = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+      val u = if (tokens.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+              else tokens.getUTF8String(i)
+      hs(i) = GramTable.hashToken(u)
       i += 1
     }
     var tri = 0L; var bi = 0L; var uni = 0L; var unk = 0L
     var logscore = 0.0
+    // pairH = hash of the bigram (t(i-1), t(i)) — doubles as the NEXT
+    // position's trigram context, so each pair mixes exactly once
+    var prevPairH = 0L
     i = 0
     while (i < n) {
-      val w = t(i)
       var s = 0 // levels backed off from the longest available context
       var p = -1.0
+      val pairH = if (i >= 1) GramTable.combine(hs(i - 1), hs(i)) else 0L
       if (i >= 2) {
-        val ctx = t(i - 2) + " " + t(i - 1)
-        val c3 = model.tri.getOrElse(ctx + " " + w, 0L)
+        val c3 = model.tri.get(GramTable.combine(prevPairH, hs(i)))
         if (c3 > 0L) {
-          val c2 = model.bi.getOrElse(ctx, 0L)
+          val c2 = model.bi.get(prevPairH)
           if (c2 > 0L) { p = c3.toDouble / c2.toDouble; tri += 1L }
         }
         if (p < 0.0) s += 1
       }
       if (p < 0.0 && i >= 1) {
-        val c2 = model.bi.getOrElse(t(i - 1) + " " + w, 0L)
+        val c2 = model.bi.get(pairH)
         if (c2 > 0L) {
-          val c1 = model.uni.getOrElse(t(i - 1), 0L)
+          val c1 = model.uni.get(hs(i - 1))
           if (c1 > 0L) { p = c2.toDouble / c1.toDouble; bi += 1L }
         }
         if (p < 0.0) s += 1
       }
       if (p < 0.0) {
-        val c1 = model.uni.getOrElse(w, 0L)
+        val c1 = model.uni.get(hs(i))
         if (c1 > 0L) { p = c1.toDouble / model.totalTokens.toDouble; uni += 1L }
         else { p = 1.0 / (model.totalTokens.toDouble + 1.0); unk += 1L }
       }
       logscore += math.log10(p) + s * NgramLmScore.Log10Alpha
+      prevPairH = pairH
       i += 1
     }
     InternalRow(n.toLong, tri, bi, uni, unk, logscore)

@@ -29,9 +29,18 @@ import org.apache.spark.sql.types.DoubleType
   */
 object NgramLm {
 
-  /** Capped n-gram count tables + the pre-cap total token count. */
-  final case class LmModel(uni: Map[String, Long], bi: Map[String, Long],
-                           tri: Map[String, Long], totalTokens: Long)
+  /** Capped n-gram count tables + the pre-cap total token count.
+    *
+    * r11: the tables are primitive open-addressed xxhash64→count maps
+    * ([[graft.functions.GramTable]] — collision story and broadcast-size
+    * numbers there), not boxed `Map[String, Long]`: at the default caps
+    * the broadcast shrank from ~0.5-1 GB of java object graph to ≤
+    * 320 MB of long arrays, and the scoring hot loop does primitive
+    * probes on per-position token hashes instead of building and
+    * String-hashing a gram string three times per token. The census is
+    * bit-identical (same counts → same integer hits and log-scores). */
+  final case class LmModel(uni: graft.functions.GramTable, bi: graft.functions.GramTable,
+                           tri: graft.functions.GramTable, totalTokens: Long)
 
   /** Count uni/bi/trigrams over the corpus in ONE scan and build the
     * frequency-capped model. Caps pick the top-k grams per order by
@@ -56,11 +65,12 @@ object NgramLm {
       .withColumn("ord", size(split(col("g"), " ")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      def pull(ord: Int, cap: Int): Map[String, Long] = counts
-        .filter(col("ord") === ord)
-        .orderBy(col("n").desc, col("g").asc)
-        .limit(cap)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def pull(ord: Int, cap: Int): graft.functions.GramTable = graft.functions.GramTable.build(
+        counts
+          .filter(col("ord") === ord)
+          .orderBy(col("n").desc, col("g").asc)
+          .limit(cap)
+          .collect().map(r => r.getString(0) -> r.getLong(1)))
       val total = counts.filter(col("ord") === 1)
         .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
       require(total > 0L, "NgramLm.train: corpus has no tokens")

@@ -55,8 +55,9 @@ class NgramLmSpec extends AnyFunSuite {
     // picks cat over sat; bi cap 1 keeps only "the cat"; all tris kept
     val model = NgramLm.train(corpus, "text",
       maxUnigrams = 2, maxBigrams = 1, maxTrigrams = 5)
-    assert(model.uni.keySet == Set("the", "cat"), model.uni.toString)
-    assert(model.bi.keySet == Set("the cat"))
+    assert(model.uni.size == 2 && model.uni("the") == 3L && model.uni("cat") == 2L
+      && model.uni("sat") == 0L && model.uni("dog") == 0L)
+    assert(model.bi.size == 1 && model.bi("the cat") == 2L && model.bi("cat sat") == 0L)
     assert(model.tri.size == 3)
     val docs = Seq((1L, "the cat sat"), (2L, "the dog sat")).toDF("doc_id", "text")
     val out = NgramLm.score(docs, "text", "doc_id", model).collect()
@@ -88,7 +89,8 @@ class NgramLmSpec extends AnyFunSuite {
   }
 
   test("plan shape: scoring is one scan, no joins, no shuffle") {
-    val model = NgramLm.LmModel(Map("a" -> 1L), Map.empty, Map.empty, 1L)
+    val model = NgramLm.LmModel(graft.functions.GramTable.fromMap(Map("a" -> 1L)),
+      graft.functions.GramTable.empty, graft.functions.GramTable.empty, 1L)
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val p = NgramLm.score(docs, "text", "doc_id", model)
       .queryExecution.executedPlan.toString
