@@ -52,7 +52,10 @@ object Bench {
     // inside verification noise; these rows make one attributable
     "dedup_minhash_lsh_pipeline", "pipeline_semdedup_pipeline",
     // r11: raw IVF path, now that the registered row carries verification
-    "ann_ivf_topk_pipeline")
+    "ann_ivf_topk_pipeline",
+    // r11: BPE-unit sequence packing (train + encode + pack + in-plan
+    // losslessness-through-packing verification)
+    "pipeline_pack_sequences_bpe")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add

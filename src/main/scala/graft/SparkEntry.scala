@@ -2179,6 +2179,63 @@ object SparkEntry {
         .orderBy("lang", "bin")
     }),
 
+    "pipeline_pack_sequences_bpe" -> ((s, dir) => {
+      // r11: sequence packing in the unit an LLM actually trains on — BPE
+      // token ids from the learned 200-merge model (same model scale as
+      // pipeline_bpe_tokenize), packed per language stratum. Property
+      // oracle (BPE ids aren't SQL-expressible); four in-plan invariants:
+      //  - every document lands in exactly one bin;
+      //  - within any bin, the docs before the last sum to < budget (each
+      //    non-final doc ENDS inside the bin's budget window — the exact
+      //    budget-bound guarantee of cumulative-start packing);
+      //  - decoding each bin's concatenated token ids (stratum id order)
+      //    reproduces the space-joined normalized texts — losslessness
+      //    survives PACKING end to end, not just per document;
+      //  - multi-doc bins exist (the packer actually packs at this scale).
+      // The count column is PROJECTED before the packing window so the
+      // token-id arrays never ride a Window partition (the r9 semdedup
+      // lesson); ids join back by the unique doc id for the decode check.
+      import graft.operators.{BpeTokenizer, Chunking}
+      val docs = T(s, dir, "documents")
+      val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 200)
+      val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+        .localCheckpoint(true) // two consumers: the packing counts + the id rejoin
+      val counted = enc.select(col("id"), col("n_tokens"))
+        .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      val budget = 512
+      val packed = Chunking.packByTokenCount(counted, "id", "n_tokens", "lang", budget)
+        .localCheckpoint(true) // four consumers below
+      val nDocs = docs.count()
+      val onceOk = packed.count() == nDocs &&
+        packed.select("id").distinct().count() == nDocs
+      val wBin = org.apache.spark.sql.expressions.Window.partitionBy("lang", "bin")
+      val nonlastBad = packed
+        .withColumn("__last", max(col("id")).over(wBin))
+        .filter(col("id") =!= col("__last"))
+        .groupBy("lang", "bin").agg(sum("n_tokens").as("__nl"))
+        .filter(col("__nl") >= budget).count()
+      val multiDoc = packed.groupBy("lang", "bin").count()
+        .filter(col("count") > 1L).count()
+      val binsBad = packed.select(col("lang"), col("bin"), col("id"))
+        .join(enc.select(col("id"), col("token_ids")), Seq("id"))
+        .join(docs.select(col("doc_id").as("id"),
+          array_join(coalesce(Dedup.tokens(col("text")), array().cast("array<string>")), " ")
+            .as("__norm")), Seq("id"))
+        .groupBy("lang", "bin")
+        .agg(array_sort(collect_list(struct(col("id"), col("token_ids"), col("__norm"))))
+          .as("__e"))
+        .select(
+          flatten(transform(col("__e"), e => e.getField("token_ids"))).as("__ids"),
+          array_join(filter(transform(col("__e"), e => e.getField("__norm")),
+            n => length(n) > 0), " ").as("__want"))
+        .filter(BpeTokenizer.decode(col("__ids"), model) =!= col("__want"))
+        .count()
+      import s.implicits._
+      Seq((nDocs, onceOk, nonlastBad == 0L, binsBad == 0L, multiDoc > 0L))
+        .toDF("n_docs", "docs_once_ok", "nonlast_bound_ok", "bins_lossless_ok",
+          "any_multi_doc_bin")
+    }),
+
     "pipeline_clean_corpus" -> ((s, dir) => {
       import s.implicits._
       val r = graft.operators.CorpusPipeline.clean(
@@ -4233,6 +4290,15 @@ object SparkEntry {
         |SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    // property-style (the pipeline_bpe_tokenize convention): BPE token ids
+    // are not SQL-expressible; the packing invariants verify in-plan and
+    // the oracle re-derives the document count and pins the booleans
+    "pipeline_pack_sequences_bpe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       TRUE AS docs_once_ok, TRUE AS nonlast_bound_ok,
+        |       TRUE AS bins_lossless_ok, TRUE AS any_multi_doc_bin
+        |FROM documents""".stripMargin,
 
     "pipeline_sample_hash" ->
       """WITH b AS (

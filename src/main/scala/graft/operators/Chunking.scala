@@ -63,18 +63,35 @@ object Chunking {
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     stratumCol: String, budget: Int = 512,
-                    subShards: Int = 1): DataFrame = {
+                    subShards: Int = 1): DataFrame =
+    packByTokenCount(
+      df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast(LongType)),
+      idCol, "n_tokens", stratumCol, budget, subShards)
+
+  /** Core packing over a PRECOMPUTED token-count column — the unit can be
+    * whitespace tokens ([[packSequences]]) or real tokenizer output (BPE
+    * ids via [[BpeTokenizer.encode]]'s `n_tokens` — the unit an LLM
+    * actually trains on). Same deterministic cumulative-start assignment
+    * and sub-shard salting as [[packSequences]].
+    *
+    * Feed this the PROJECTED (id, count, stratum) columns when the frame
+    * also carries the token-id arrays: the window sorts its partition, and
+    * an array column riding through it pays the array's serialization per
+    * row (the r9 semdedup seed-window lesson) — join the ids back by the
+    * unique id afterwards instead. */
+  def packByTokenCount(df: DataFrame, idCol: String, nTokensCol: String,
+                       stratumCol: String, budget: Int = 512,
+                       subShards: Int = 1): DataFrame = {
     require(subShards >= 1, s"subShards must be >= 1, got $subShards")
     val shard = if (subShards == 1) lit(0L) else pmod(xxhash64(col(idCol)), lit(subShards.toLong))
     val w = Window.partitionBy(col(stratumCol), shard).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast(LongType))
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+    df.withColumn("__cum", sum(col(nTokensCol)).over(w))
       // integer div, not double / — epoch-scale cumulative sums lose
       // precision in double division right at bin boundaries (the same
       // rule RangeJoin documents); values are non-negative so div == floor
       .withColumn("__localbin",
-        call_function("div", col("__cum") - col("n_tokens"), lit(budget.toLong)))
+        call_function("div", col("__cum") - col(nTokensCol), lit(budget.toLong)))
       // namespace bins by sub-shard so (stratum, bin) stays a unique key
       .withColumn("bin", col("__localbin") * subShards + shard)
       .drop("__cum", "__localbin")

@@ -576,6 +576,35 @@ class ChunkingSpec extends AnyFunSuite {
       .select("doc_id", "bin").as[(Long, Long)].collect().toMap
     assert(legacy == explicit1)
   }
+
+  test("BPE-count packing: bins budget BPE tokens and reconstruct losslessly") {
+    import graft.operators.BpeTokenizer
+    val docs = Seq(
+      (1L, "aa bb aa bb", "en"), (2L, "aa aa", "en"), (3L, "bb bb bb", "en"),
+      (4L, "aa bb", "en"), (5L, "cc cc cc cc", "de"), (6L, "", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val model = BpeTokenizer.learnVocab(docs, "text", nMerges = 10)
+    val enc = BpeTokenizer.encode(docs, "text", "doc_id", model)
+    val counted = enc.select(col("id"), col("n_tokens"))
+      .join(docs.select(col("doc_id").as("id"), col("lang")), Seq("id"))
+    // with 10 merges, 'aa'/'bb'/'cc' each become one merged-word token →
+    // n_tokens = word count per doc: 4,2,3,2,4,0
+    val nt = enc.select("id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(nt == Map(1L -> 4L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 4L, 6L -> 0L), nt.toString)
+    val packed = Chunking.packByTokenCount(counted, "id", "n_tokens", "lang", budget = 5)
+      .select("id", "lang", "bin").as[(Long, String, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // en cumulative starts: d1 0 → bin 0, d2 4 → bin 0, d3 6 → bin 1,
+    // d4 9 → bin 1, d6 11 → bin 2; de: d5 → bin 0
+    assert(packed == Map(1L -> (("en", 0L)), 2L -> (("en", 0L)), 3L -> (("en", 1L)),
+      4L -> (("en", 1L)), 6L -> (("en", 2L)), 5L -> (("de", 0L))), packed.toString)
+    // per-bin losslessness: concatenated ids decode to the joined norms
+    val binIds = enc.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val flat01 = (binIds(1L) ++ binIds(2L)).toArray
+    val dec = Seq(Tuple1(flat01)).toDF("ids")
+      .select(BpeTokenizer.decode(col("ids"), model)).head().getString(0)
+    assert(dec == "aa bb aa bb aa aa", dec)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
