@@ -9,6 +9,9 @@ import org.apache.spark.sql.types.{StructField, StructType}
   *
   * Stages (C4/Gopher-shaped):
   *   1. quality gate   — structural features (TextAnalysis.qualityFeatures)
+  *   1b. quality plane — OPTIONAL composed model gate (classifier ∧ Gopher
+  *                       ∧ LM census, [[CorpusPipeline.QualityPlane]]) —
+  *                       the full CCNet/fineweb-style stack in one scan
   *   2. language gate  — heuristic lang-id agreement or allow-list
   *   3. exact dedup    — content-hash groupBy, deterministic survivor
   *   4. near dedup     — MinHash-LSH pairs → connected components via
@@ -23,6 +26,28 @@ import org.apache.spark.sql.types.{StructField, StructType}
 object CorpusPipeline {
 
   final case class CleanResult(cleaned: DataFrame, stats: Seq[(String, Long)])
+
+  /** The composed model-based quality plane (classifier ∧ Gopher ∧ LM —
+    * the full CCNet/fineweb-style stack) as a `clean()` stage option.
+    * The CALLER owns both models: a real deployment trains the classifier
+    * on labeled seeds and the LM on a clean REFERENCE corpus (CCNet uses
+    * Wikipedia), not on the corpus being cleaned — `clean()` only applies
+    * them. Thresholds are integer per-mille floors on the LM's backoff
+    * census (hash-exact, engine-portable — the perplexity filter's
+    * integer shadow).
+    *
+    * @param classifierWeights dyadic k/128 weight numerators for
+    *        [[TextClassifier.scoreStruct]] (e.g. from
+    *        [[TextClassifier.train]]'s quantized model)
+    * @param lmModel caller-owned broadcast of the reference LM
+    * @param minTriPermille keep needs tri_hits·1000 ≥ n_pos·this
+    * @param maxUnkPermille keep needs unk·1000 ≤ n_pos·this */
+  final case class QualityPlane(
+      classifierWeights: Array[Int],
+      classifierBias: Int,
+      lmModel: org.apache.spark.broadcast.Broadcast[NgramLm.LmModel],
+      minTriPermille: Int = 300,
+      maxUnkPermille: Int = 50)
 
   /** Connected components over near-dup pairs via min-label propagation:
     * every doc starts as its own label; each round adopts the smallest label
@@ -133,6 +158,7 @@ object CorpusPipeline {
       featureStorage: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       normalize: Boolean = false,
+      qualityPlane: Option[QualityPlane] = None,
   ): CleanResult = {
     // 0. optional canonical normalization (TextAnalysis.normalizeText):
     // byte-different renderings of the same text (decomposed accents,
@@ -159,11 +185,33 @@ object CorpusPipeline {
     val quality = feats.filter(col("__pass"))
       .select(docs0.columns.map(col): _*)
 
+    // 1b. optional model-based quality plane: classifier ∧ Gopher ∧ LM
+    // census, all three struct-valued SCAN expressions composed in one
+    // filter over the (persisted) featurized frame — the same
+    // zero-join/zero-shuffle shape the pipeline_quality_filter gate pins.
+    // A document survives iff the classifier keeps it AND the Gopher
+    // structural rules pass AND the LM backoff census clears the integer
+    // per-mille floors.
+    val planed = qualityPlane match {
+      case None => quality
+      case Some(qp) =>
+        val c = TextClassifier.scoreStruct(col(textCol), qp.classifierWeights,
+          biasNum = qp.classifierBias)
+        val l = NgramLm.scoreStruct(col(textCol), qp.lmModel)
+        val g = TextAnalysis.gopherStruct(col(textCol))
+        quality.filter(
+          c.getField("label") && g.getField("gopher_keep") &&
+          l.getField("n_pos") > 0L &&
+          l.getField("tri_hits") * 1000L >= l.getField("n_pos") * qp.minTriPermille &&
+          l.getField("unk") * 1000L <= l.getField("n_pos") * qp.maxUnkPermille)
+    }
+    val n1b = if (qualityPlane.isEmpty) n1 else planed.count()
+
     // 2. language gate (count only paid when the gate is active)
     val langed =
-      if (allowedLangs.isEmpty) quality
-      else quality.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
-    val n2 = if (allowedLangs.isEmpty) n1 else langed.count()
+      if (allowedLangs.isEmpty) planed
+      else planed.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
+    val n2 = if (allowedLangs.isEmpty) n1b else langed.count()
 
     // 3. exact dedup (deterministic survivor = min id); materialized once —
     // it feeds the count, the LSH pass, and the final anti-join
@@ -189,7 +237,11 @@ object CorpusPipeline {
     scope.release()
     feats.unpersist(false)
 
-    CleanResult(cleaned, Seq(
-      "input" -> n0, "quality" -> n1, "lang" -> n2, "exact_dedup" -> n3, "near_dedup" -> n4))
+    // the quality_plane row appears only when the stage ran, so default
+    // callers' stats (and the gate oracles pinning them) are unchanged
+    val planeRow: Seq[(String, Long)] =
+      if (qualityPlane.isEmpty) Nil else Seq("quality_plane" -> n1b)
+    CleanResult(cleaned, Seq("input" -> n0, "quality" -> n1) ++ planeRow ++ Seq(
+      "lang" -> n2, "exact_dedup" -> n3, "near_dedup" -> n4))
   }
 }

@@ -80,4 +80,54 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(texts.forall(t => !t.contains("\r") && !t.contains("\t") && t == t.trim),
       texts.toString)
   }
+
+  test("clean with the composed quality plane gates on classifier ∧ gopher ∧ LM") {
+    import graft.operators.{NgramLm, TextClassifier}
+    import org.apache.spark.sql.functions._
+    // two clean-vocabulary sentence families (stopword-bearing, mean word
+    // length in Gopher's [3,10]); ×4 repetitions clear the 50-word floor
+    val s1 = "the catalog holds many datasets and every record describes " +
+      "one asset of that collection with stable names"
+    val s2 = "the archive keeps every dataset and that index lists one " +
+      "location of each member with precise offsets"
+    val good1 = (s1 + " ") * 4
+    val good2 = (s2 + " ") * 4
+    // reference corpus: what a CCNet-style deployment trains the LM on
+    val ref = Seq((1L, good1), (2L, good2)).toDF("doc_id", "text")
+    val bLm = spark.sparkContext.broadcast(NgramLm.train(ref, "text"))
+    // classifier: keep iff no zzspam token — trained to separation on
+    // labeled seeds, then quantized (the engine-portable scoring plane)
+    val spamWords = (1 to 52).map(i => s"zzspam$i word$i").mkString(" ")
+    val labeled = (Seq((1L, good1, true), (2L, good2, true)) ++
+      (3L to 8L).map(i => (i, (1 to 52).map(j => s"zzspam${i * 100 + j} filler$j")
+        .mkString(" "), false))).toDF("doc_id", "text", "y")
+    val (w, b) = TextClassifier.train(labeled, "text", "y", dim = 256,
+      iters = 60, lr = 4.0)
+    val scale = 50.0 / math.max(math.max(w.map(math.abs).max, math.abs(b)), 1e-12)
+    val qp = CorpusPipeline.QualityPlane(
+      TextClassifier.quantize(w.map(_ * scale)),
+      TextClassifier.quantize(Array(b * scale)).head, bLm)
+    val docs = Seq(
+      (1L, good1),                                         // survives everything
+      (2L, good2),                                         // second distinct survivor
+      (3L, spamWords),                                     // classifier (and LM) reject
+      (4L, (1 to 55).map(i => s"zzunseen$i").mkString(" ")), // LM unk floor rejects
+      (5L, "tiny text"),                                   // structural gate rejects
+    ).toDF("doc_id", "text")
+    val r = CorpusPipeline.clean(docs, minTokens = 5, minAlphaRatio = 0.5,
+      nearDupThreshold = 0.8, qualityPlane = Some(qp))
+    val st = r.stats.toMap
+    assert(r.stats.map(_._1) == Seq("input", "quality", "quality_plane",
+      "lang", "exact_dedup", "near_dedup"), r.stats.toString)
+    assert(st("input") == 5L && st("quality") == 4L && st("quality_plane") == 2L &&
+      st("near_dedup") == 2L, r.stats.toString)
+    val kept = r.cleaned.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+    // plane off → stats shape (and semantics) unchanged
+    val off = CorpusPipeline.clean(docs, minTokens = 5, minAlphaRatio = 0.5,
+      nearDupThreshold = 0.8)
+    assert(off.stats.map(_._1) == Seq("input", "quality", "lang",
+      "exact_dedup", "near_dedup"), off.stats.toString)
+    assert(off.stats.toMap.apply("quality") == 4L)
+  }
 }
