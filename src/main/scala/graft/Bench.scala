@@ -434,6 +434,34 @@ object Bench {
     val winSec = (System.nanoTime() - t2) / 1e9
     winQ.stop()
 
+    // --- quality-filter twin (STATELESS composed classifier∧Gopher∧LM
+    // scan — model training is artifact prep, outside the timed region;
+    // docs carry the gate's planted stopword tail so all three planes are
+    // genuinely exercised)
+    val qDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.lit(" the data and that it holds")).as("text"))
+      .limit(5000)
+    val qPlane = graft.operators.CorpusPipeline.QualityPlane(
+      Array.tabulate(4096)(f => (f * 37) % 201 - 100), 0,
+      spark.sparkContext.broadcast(graft.operators.NgramLm.train(qDocs, "text",
+        maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)))
+    val qRows = qDocs.as[(Long, String)].collect()
+    val qIn = MemoryStream[(Long, String)]
+    val qQ = graft.operators.CorpusPipeline.qualityFilter(
+        qIn.toDF().toDF("doc_id", "text"), "text", qPlane)
+      .writeStream.format("memory").queryName("bench_stream_quality")
+      .outputMode("append").start()
+    val tq = System.nanoTime()
+    qRows.grouped(math.max(1, qRows.length / 5)).foreach { chunk =>
+      qIn.addData(chunk.toIndexedSeq)
+      qQ.processAllAvailable()
+    }
+    val qSec = (System.nanoTime() - tq) / 1e9
+    qQ.stop()
+
     // --- semantic-claims twin (in-scan centroid assign + per-cell survivor
     // state; centroid build is artifact prep, outside the timed region)
     // capped like the sibling feeds (50k events / 5k docs) so the
@@ -481,6 +509,8 @@ object Bench {
       s""""neardup_docs":${docs.length},""" +
       s""""winhits_docs_per_sec":${fmt0(docs.length / math.max(winSec, 1e-9))},""" +
       s""""winhits_docs":${docs.length},""" +
+      s""""quality_docs_per_sec":${fmt0(qRows.length / math.max(qSec, 1e-9))},""" +
+      s""""quality_docs":${qRows.length},""" +
       s""""semantic_vecs_per_sec":${fmt0(embRows.length / math.max(semSec, 1e-9))},""" +
       s""""semantic_vecs":${embRows.length}}"""
   }

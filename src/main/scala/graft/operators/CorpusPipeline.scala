@@ -49,6 +49,31 @@ object CorpusPipeline {
       minTriPermille: Int = 300,
       maxUnkPermille: Int = 50)
 
+  /** The composed keep-condition of a [[QualityPlane]] — ONE boolean
+    * column from three struct-valued scan expressions. Shared verbatim by
+    * the batch stage in [[clean]] and the streaming [[qualityFilter]], so
+    * batch/stream parity holds by construction. */
+  def qualityPlaneCondition(textCol: String, qp: QualityPlane): Column = {
+    val c = TextClassifier.scoreStruct(col(textCol), qp.classifierWeights,
+      biasNum = qp.classifierBias)
+    val l = NgramLm.scoreStruct(col(textCol), qp.lmModel)
+    val g = TextAnalysis.gopherStruct(col(textCol))
+    c.getField("label") && g.getField("gopher_keep") &&
+      l.getField("n_pos") > 0L &&
+      l.getField("tri_hits") * 1000L >= l.getField("n_pos") * qp.minTriPermille &&
+      l.getField("unk") * 1000L <= l.getField("n_pos") * qp.maxUnkPermille
+  }
+
+  /** Apply the composed quality plane as a standalone filter — STATELESS
+    * and therefore streaming-safe: all three planes are scan expressions
+    * (no joins, no state, no watermark needed — the decontaminateStream
+    * precedent), so the same call filters a `readStream` DataFrame with
+    * byte-identical keep decisions to the batch stage (parity test in
+    * StreamingSpec). Models ride broadcasts/reference objects; a restart
+    * re-ships them with the new query. */
+  def qualityFilter(docs: DataFrame, textCol: String, qp: QualityPlane): DataFrame =
+    docs.filter(qualityPlaneCondition(textCol, qp))
+
   /** Connected components over near-dup pairs via min-label propagation:
     * every doc starts as its own label; each round adopts the smallest label
     * among itself and its neighbors. Converges in O(cluster diameter)
@@ -193,17 +218,8 @@ object CorpusPipeline {
     // structural rules pass AND the LM backoff census clears the integer
     // per-mille floors.
     val planed = qualityPlane match {
-      case None => quality
-      case Some(qp) =>
-        val c = TextClassifier.scoreStruct(col(textCol), qp.classifierWeights,
-          biasNum = qp.classifierBias)
-        val l = NgramLm.scoreStruct(col(textCol), qp.lmModel)
-        val g = TextAnalysis.gopherStruct(col(textCol))
-        quality.filter(
-          c.getField("label") && g.getField("gopher_keep") &&
-          l.getField("n_pos") > 0L &&
-          l.getField("tri_hits") * 1000L >= l.getField("n_pos") * qp.minTriPermille &&
-          l.getField("unk") * 1000L <= l.getField("n_pos") * qp.maxUnkPermille)
+      case None     => quality
+      case Some(qp) => quality.filter(qualityPlaneCondition(textCol, qp))
     }
     val n1b = if (qualityPlane.isEmpty) n1 else planed.count()
 

@@ -238,6 +238,41 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=${streamKept.size} batch=${batchKept.size} diff=${(streamKept diff batchKept).take(5)}")
   }
 
+  test("streaming quality filter: batch parity on real docs via MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{CorpusPipeline, NgramLm}
+    // real corpus + the quality-filter gate's planted stopword tail (the
+    // synthetic docs carry no English function words, so the Gopher plane
+    // would be degenerate-false without it)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" the data and that it holds")).as("text"))
+    val w = Array.tabulate(4096)(f => (f * 37) % 201 - 100)
+    val qp = CorpusPipeline.QualityPlane(w, 0,
+      spark.sparkContext.broadcast(NgramLm.train(docs, "text",
+        maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)))
+    val batchKept = CorpusPipeline.qualityFilter(docs, "text", qp)
+      .select("doc_id").as[Long].collect().toSet
+    // the verdict must be genuinely two-sided for the parity to mean much
+    val n = docs.count()
+    assert(batchKept.nonEmpty && batchKept.size < n,
+      s"degenerate split: ${batchKept.size} of $n")
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusPipeline.qualityFilter(input.toDF().toDF("doc_id", "text"), "text", qp)
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    val rows = docs.as[(Long, String)].collect()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamKept = spark.table("quality_stream").select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept,
+      s"stream=${streamKept.size} batch=${batchKept.size} diff=${(streamKept diff batchKept).take(5)}${(batchKept diff streamKept).take(5)}")
+  }
+
   test("streaming near-dup: duplicates collide in-bucket, TTL forgets old buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
