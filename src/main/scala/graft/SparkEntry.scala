@@ -1162,6 +1162,24 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_labels" -> ((s, dir) => {
+      // r11: DAP2 String atomic arrays (coordinate labels — e.g. station
+      // or region names on real ESM servers). The fixture serves r_name
+      // as a count-once XDR string vector; the client walks the
+      // variable-length spans, decodeLabels parses them via the native
+      // XdrStringArray expression, and the oracle pins every decoded
+      // label against the same region parquet the server reads.
+      val base = graft.harness.Dap2Fixture.ensure(s, dir)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeLabels(entries,
+          graft.sources.Dap2Index.materialize(entries))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -3141,6 +3159,14 @@ object SparkEntry {
     // every value recomputed from the same nation/region parquet the
     // fixture server encodes — the wire (XDR counts, Int16 promotion, Byte
     // packing, IEEE big-endian) must be perfectly transparent
+    // the decoded String labels re-derive from the same region parquet the
+    // fixture server reads; coord = position in r_regionkey order
+    "load_opendap_labels" ->
+      """SELECT 'r_name' AS variable, 'region' AS dims,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS VARCHAR) AS coord_key,
+        |       r_name AS label
+        |FROM region ORDER BY variable, coord_key""".stripMargin,
+
     "load_opendap" ->
       """WITH nk AS (SELECT n_nationkey, n_regionkey,
         |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),

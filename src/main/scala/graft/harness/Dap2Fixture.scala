@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   * parquet (25 + 5 rows — driver-side collect of fixed-size dimension
   * tables, not data tables):
   *
+  *   String  r_name[region = R]             (label vector, count-once XDR)
   *   Int32   n_nationkey[nation = N]
   *   Int16   n_regionkey[nation = N]        (XDR promotes Int16 → 4 bytes)
   *   Byte    flag[nation = N]   = n_nationkey % 3  (packed + padded)
@@ -37,9 +38,11 @@ object Dap2Fixture {
 
   /** `mapsOf` non-empty renders the var as a DAP Grid whose MAPS section
     * holds the named sibling vars (which then do NOT render at top level —
-    * the Grid owns them, like a real server's DDS). */
+    * the Grid owns them, like a real server's DDS). String variables carry
+    * `sdata` instead of `data` (labels, r11). */
   final case class Var(name: String, dapType: String, dims: Seq[(String, Long)],
-                       data: Array[Double], mapsOf: Seq[String] = Nil)
+                       data: Array[Double], mapsOf: Seq[String] = Nil,
+                       sdata: Array[String] = null)
 
   private val servers = scala.collection.mutable.Map.empty[String, String]
 
@@ -54,12 +57,16 @@ object Dap2Fixture {
       .select("n_nationkey", "n_regionkey").orderBy("n_nationkey").collect()
       .map(r => (r.getAs[Number]("n_nationkey").longValue,
                  r.getAs[Number]("n_regionkey").longValue))
-    val region = spark.read.parquet(s"$sfDir/region.parquet")
-      .select("r_regionkey").orderBy("r_regionkey").collect()
-      .map(_.getAs[Number]("r_regionkey").longValue)
+    val regionRows = spark.read.parquet(s"$sfDir/region.parquet")
+      .select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+    val region = regionRows.map(_.getAs[Number]("r_regionkey").longValue)
+    val rNames = regionRows.map(_.getAs[String]("r_name"))
     val n = nation.length.toLong
     val r = region.length.toLong
     Seq(
+      // String coordinate-label vector (r11): names re-derivable from the
+      // same parquet, so the oracle pins the decoded labels exactly
+      Var("r_name", "String", Seq("region" -> r), null, sdata = rNames),
       Var("n_nationkey", "Int32", Seq("nation" -> n), nation.map(_._1.toDouble)),
       Var("n_regionkey", "Int16", Seq("nation" -> n), nation.map(_._2.toDouble)),
       Var("flag", "Byte", Seq("nation" -> n), nation.map(x => (x._1 % 3).toDouble)),
@@ -136,6 +143,28 @@ object Dap2Fixture {
     out.toByteArray
   }
 
+  /** XDR string-array body: element count ONCE (the doubled count is the
+    * numeric-array quirk; libdap/pydap serialize string vectors this way),
+    * then each string as RFC 4506 §4.11 — length word + UTF-8 bytes,
+    * zero-padded to a 4-byte boundary. Independent of the client decoder
+    * (Dap2Spec pins both against hand-written golden bytes). */
+  private[graft] def xdrStringArray(values: Array[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    u32(values.length.toLong)
+    values.foreach { s =>
+      val b = s.getBytes("UTF-8")
+      u32(b.length.toLong)
+      out.write(b)
+      var pad = (4 - b.length % 4) % 4
+      while (pad > 0) { out.write(0); pad -= 1 }
+    }
+    out.toByteArray
+  }
+
   private val slabRe = """\[(\d+):(\d+)\]""".r
 
   /** `name[lo:hi][lo:hi]…` → the projected Var with sliced dims + data
@@ -162,19 +191,27 @@ object Dap2Fixture {
         slabs.zip(v.dims).foreach { case ((lo, hi), (d, sz)) =>
           require(lo >= 0 && lo <= hi && hi < sz, s"slab [$lo:$hi] out of range for $d=$sz") }
         val newDims = v.dims.zip(slabs).map { case ((d, _), (lo, hi)) => (d, hi - lo + 1) }
-        // C-order gather of the hyperslab
-        val strides = v.dims.map(_._2).scanRight(1L)(_ * _).drop(1)
-        def gather(dim: Int, base: Long): Seq[Double] =
-          if (dim == slabs.size) Seq(v.data(base.toInt))
-          else (slabs(dim)._1 to slabs(dim)._2).flatMap(i => gather(dim + 1, base + i * strides(dim)))
-        val sliced = Var(v.name, v.dapType, newDims, gather(0, 0L).toArray, v.mapsOf)
-        val slicedMaps = v.mapsOf.zip(slabs).map { case (mName, (lo, hi)) =>
-          val m = vars.find(_.name == mName).getOrElse(
-            throw new IllegalArgumentException(s"Grid '$name' references unknown map '$mName'"))
-          Var(m.name, m.dapType, Seq((m.dims.head._1, hi - lo + 1)),
-            m.data.slice(lo.toInt, hi.toInt + 1))
+        if (v.sdata != null) {
+          // string label vectors are 1-D (coordinate labels)
+          require(slabs.size == 1, s"String variable '$name' must be 1-D")
+          val (lo, hi) = slabs.head
+          Seq(Var(v.name, v.dapType, newDims, null,
+            sdata = v.sdata.slice(lo.toInt, hi.toInt + 1)))
+        } else {
+          // C-order gather of the hyperslab
+          val strides = v.dims.map(_._2).scanRight(1L)(_ * _).drop(1)
+          def gather(dim: Int, base: Long): Seq[Double] =
+            if (dim == slabs.size) Seq(v.data(base.toInt))
+            else (slabs(dim)._1 to slabs(dim)._2).flatMap(i => gather(dim + 1, base + i * strides(dim)))
+          val sliced = Var(v.name, v.dapType, newDims, gather(0, 0L).toArray, v.mapsOf)
+          val slicedMaps = v.mapsOf.zip(slabs).map { case (mName, (lo, hi)) =>
+            val m = vars.find(_.name == mName).getOrElse(
+              throw new IllegalArgumentException(s"Grid '$name' references unknown map '$mName'"))
+            Var(m.name, m.dapType, Seq((m.dims.head._1, hi - lo + 1)),
+              m.data.slice(lo.toInt, hi.toInt + 1))
+          }
+          sliced +: slicedMaps
         }
-        sliced +: slicedMaps
       }
     }
   }
@@ -209,7 +246,8 @@ object Dap2Fixture {
             val projected = applyConstraint(vars, query)
             val out = new ByteArrayOutputStream()
             out.write((ddsText(projected, dataset) + "\nData:\n").getBytes("US-ASCII"))
-            projected.foreach(v => out.write(xdrArray(v.dapType, v.data)))
+            projected.foreach(v => out.write(
+              if (v.sdata != null) xdrStringArray(v.sdata) else xdrArray(v.dapType, v.data)))
             out.toByteArray
           } else throw new IllegalArgumentException(s"unknown DAP request $path")
         exchange.sendResponseHeaders(200, bytes.length.toLong)

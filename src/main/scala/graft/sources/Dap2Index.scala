@@ -29,9 +29,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - Int16/UInt16 → promoted on the wire to 4-byte ints → `>i4`/`>u4`
   *   - Int32/UInt32 → 4-byte big-endian → `>i4`/`>u4`
   *   - Float32/Float64 → IEEE big-endian → `>f4`/`>f8`
-  * so a stripped payload IS a valid big-endian zarr chunk. Refused loudly:
-  * String/Url arrays, Structure/Sequence containers (absent from the
-  * reference's own opendap test catalog, noaa-pathfinder-opendap.json).
+  * so a stripped payload IS a valid big-endian zarr chunk.
+  *
+  * String/Url ARRAYS (r11 — coordinate labels on real ESM servers, e.g.
+  * station names) decode through their own plane: the DDS declares them
+  * normally, `read` emits a `|O`-dtyped meta row (numpy's object dtype —
+  * what zarr v2 uses for vlen strings; the numeric decode path skips it
+  * by design) plus ONE un-banded ref per variable (label vectors are
+  * dimension-table sized; their wire length is data-dependent, so row
+  * banding cannot be presized), and [[decodeLabels]] parses the XDR
+  * string block into (variable, dims, coords, label) rows. Wire
+  * convention: a DAP2 String array carries its element count ONCE, then
+  * RFC 4506 §4.11 counted strings (length word + bytes + pad-to-4) —
+  * libdap and pydap both serialize string vectors this way; the doubled
+  * count is the NUMERIC array quirk. Still refused loudly:
+  * Structure/Sequence containers (absent from the reference's own opendap
+  * test catalog, noaa-pathfinder-opendap.json).
   */
 object Dap2Index {
 
@@ -162,11 +175,12 @@ object Dap2Index {
     out.toSeq
   }
 
+  /** String/Url label vectors are first-class since r11 (decodeLabels). */
+  private val stringTypes = Set("String", "Url")
+
   private def parseDecl(tpe: String, name: String, dimsText: String): Seq[DapVar] = {
-    if (tpe == "String" || tpe == "Url")
-      throw new UnsupportedOperationException(
-        s"DAP2 $tpe variable '$name' is outside the numeric array plane")
-    require(atomicTypes.contains(tpe), s"unknown DAP2 type '$tpe' for '$name'")
+    require(atomicTypes.contains(tpe) || stringTypes.contains(tpe),
+      s"unknown DAP2 type '$tpe' for '$name'")
     val dims = dimRe.findAllMatchIn(dimsText).map { m =>
       (Option(m.group(1)).getOrElse(name), m.group(2).toLong)
     }.toSeq
@@ -275,6 +289,26 @@ object Dap2Index {
 
     val perVar = dds.vars.iterator.flatMap { v =>
       val shape = v.dims.map(_._2)
+      if (stringTypes.contains(v.dapType)) {
+        // label vector: |O meta row (numeric decode skips it), one
+        // un-banded ref — see the class doc's String-array paragraph
+        val zarray: JValue =
+          ("zarr_format" -> 2) ~ ("dtype" -> "|O") ~
+            ("shape" -> shape) ~ ("chunks" -> shape) ~
+            ("compressor" -> JNull) ~ ("filters" -> JNull) ~ ("order" -> "C")
+        val zattrs: JValue = JObject(
+          das.getOrElse(v.name, Map.empty).toList.map { case (k, value) => JField(k, jsonOf(value)) } :+
+            JField("_ARRAY_DIMENSIONS", JArray(v.dims.map(d => JString(d._1)).toList)))
+        val member = Seq.fill(shape.size)("0").mkString(".")
+        val slab = shape.map(n => s"[0:${n - 1}]").mkString
+        Iterator(
+          (s"${v.name}/.zarray", v.name, ".zarray", "meta", null: String,
+            None: Option[Long], None: Option[Long], compact(render(zarray))),
+          (s"${v.name}/.zattrs", v.name, ".zattrs", "meta", null: String,
+            None: Option[Long], None: Option[Long], compact(render(zattrs))),
+          (s"${v.name}/$member", v.name, member, "ref", s"$base.dods?${v.name}$slab",
+            None: Option[Long], None: Option[Long], null: String))
+      } else {
       val rowElems = shape.drop(1).product
       val rowBytes = math.max(1L, rowElems * wireElemSize(v.dapType))
       val bandRows = math.max(1L, math.min(shape.head, maxChunk / rowBytes))
@@ -309,6 +343,7 @@ object Dap2Index {
           None: Option[Long], None: Option[Long], null: String)
       }
       meta ++ data
+      }
     }
 
     spark.createDataset((group ++ rootAttrs ++ perVar).toSeq)
@@ -388,6 +423,34 @@ object Dap2Index {
     val want = wantVar.getOrElse(projected.vars.head.name)
     projected.vars.foreach { v =>
       val expectElems = v.dims.map(_._2).product
+      if (stringTypes.contains(v.dapType)) {
+        // String array: count ONCE, then RFC 4506 counted strings (length
+        // word + bytes + pad-to-4). The span end is data-dependent, so the
+        // walk parses every string — a truncated or mis-counted block
+        // refuses here rather than mis-addressing the next variable.
+        require(body.length - pos >= 4,
+          s"truncated DODS response from $url: no XDR count word for '${v.name}'")
+        val n = u32(pos)
+        require(n == expectElems,
+          s"DODS count mismatch from $url for '${v.name}': DDS declares " +
+            s"$expectElems elements, XDR count is $n")
+        var p = pos + 4
+        var k = 0L
+        while (k < n) {
+          require(body.length - p >= 4,
+            s"truncated DODS response from $url: string ${k + 1}/$n of '${v.name}' has no length word")
+          val len = u32(p)
+          val wire = 4L + (len + 3L) / 4L * 4L
+          require(body.length - p >= wire,
+            s"truncated DODS response from $url: string ${k + 1}/$n of '${v.name}' " +
+              s"needs $wire wire bytes, have ${body.length - p}")
+          p += wire.toInt
+          k += 1L
+        }
+        if (v.name == want)
+          return java.util.Arrays.copyOfRange(body, pos, p)
+        pos = p
+      } else {
       require(body.length - pos >= 8,
         s"truncated DODS response from $url: no XDR count words for '${v.name}'")
       val n1 = u32(pos)
@@ -405,6 +468,7 @@ object Dap2Index {
       if (v.name == want)
         return java.util.Arrays.copyOfRange(body, pos + 8, pos + 8 + payloadLen)
       pos += 8 + wireLen
+      }
     }
     throw new java.io.IOException(
       s"DODS response from $url does not contain requested variable '$want' " +
@@ -420,5 +484,106 @@ object Dap2Index {
       i += 1
     }
     -1
+  }
+
+  // ---------------------------------------------------------------- labels
+
+  /** Decode materialized String-array chunks into
+    * (variable, dims: array&lt;string&gt;, coords: array&lt;long&gt;,
+    * label) rows — the label plane of [[KerchunkIndex.decodeCoords]].
+    * String variables are identified by their `|O` `.zarray` dtype (the
+    * rows [[read]] synthesizes); numeric variables pass through the shared
+    * numeric plane untouched and are ignored here. One chunk per variable
+    * by construction, C order, so coords are plain stride arithmetic over
+    * `idx`. Per-row scan work only — no shuffle. */
+  def decodeLabels(entries: DataFrame, materialized: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions._
+    val meta = KerchunkIndex.arrayMeta(entries)
+      .filter(col("dtype") === "|O")
+      .select(col("variable"), col("shape"))
+    val dims = KerchunkIndex.attrDims(entries)
+    val labels = GraftColumnBridge.column(
+      XdrStringArray(GraftColumnBridge.expression(col("data"))))
+    val coordsExpr = transform(sequence(lit(0), size(col("shape")) - 1), d => {
+      val stride = aggregate(
+        slice(col("shape"), d + lit(2), size(col("shape"))), lit(1L), (a, x) => a * x)
+      call_function("div", col("idx").cast("long"), stride) % get(col("shape"), d)
+    })
+    val named = coalesce(col("dims"),
+      transform(sequence(lit(0), size(col("shape")) - 1), d => concat(lit("dim"), d)))
+    materialized
+      .join(broadcast(meta), Seq("variable"))
+      .select(col("variable"), col("shape"), posexplode(labels))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "label")
+      .join(broadcast(dims), Seq("variable"), "left")
+      .select(col("variable"), named.as("dims"), coordsExpr.as("coords"), col("label"))
+  }
+}
+
+/** XDR string-array block → array&lt;string&gt;: one big-endian uint32
+  * element count, then per element a length word + UTF-8 bytes padded to a
+  * 4-byte boundary (RFC 4506 §4.11; DAP2 string vectors carry the count
+  * ONCE — see [[Dap2Index]]'s class doc). The parse must consume the block
+  * EXACTLY — trailing or missing bytes refuse loudly rather than
+  * mis-decoding. */
+case class XdrStringArray(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"xdr_string_array expects binary, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    XdrStringArray.parse(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.sources.XdrStringArray.parse($b);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
+object XdrStringArray {
+  def parse(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    def u32(off: Int): Long =
+      ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+        ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+    require(b.length >= 4, s"XDR string block of ${b.length} bytes has no count word")
+    val n = u32(0)
+    require(n <= Int.MaxValue, s"XDR string count $n out of range")
+    val out = new Array[Any](n.toInt)
+    var pos = 4
+    var i = 0
+    while (i < n) {
+      require(b.length - pos >= 4,
+        s"truncated XDR string block: element ${i + 1}/$n has no length word")
+      val len = u32(pos)
+      val padded = (len + 3L) / 4L * 4L
+      require(b.length - pos - 4 >= padded,
+        s"truncated XDR string block: element ${i + 1}/$n needs $padded bytes, " +
+          s"have ${b.length - pos - 4}")
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        b, pos + 4, len.toInt)
+      pos += 4 + padded.toInt
+      i += 1
+    }
+    require(pos == b.length,
+      s"XDR string block has ${b.length - pos} trailing bytes after $n strings")
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

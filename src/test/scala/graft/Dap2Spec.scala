@@ -124,13 +124,51 @@ class Dap2Spec extends AnyFunSuite {
     assert(dds.vars(1).maps.isEmpty && dds.vars(2).maps.isEmpty)
   }
 
-  test("DDS: Structure/Sequence and String arrays refuse loudly") {
+  test("DDS: Structure/Sequence refuse loudly; String arrays parse (r11)") {
     assert(intercept[UnsupportedOperationException] {
       Dap2Index.parseDds("Dataset {\n Structure { Int32 a; } s;\n} d;")
     }.getMessage.contains("Structure"))
-    assert(intercept[UnsupportedOperationException] {
-      Dap2Index.parseDds("Dataset {\n String names[x = 3];\n} d;")
-    }.getMessage.contains("String"))
+    val dds = Dap2Index.parseDds("Dataset {\n String names[x = 3];\n} d;")
+    assert(dds.vars === Seq(Dap2Index.DapVar("names", "String", Seq("x" -> 3L))))
+  }
+
+  test("XDR golden bytes: String array count-once framing round-trips") {
+    // hand-written per RFC 4506 §4.11 + the count-once DAP string-vector
+    // convention: n=2, then "AB" (len 2, 2 pad) and "C" (len 1, 3 pad)
+    val golden = Array[Byte](
+      0, 0, 0, 2,
+      0, 0, 0, 2, 'A', 'B', 0, 0,
+      0, 0, 0, 1, 'C', 0, 0, 0)
+    // the fixture's independent encoder must produce exactly these bytes
+    assert(Dap2Fixture.xdrStringArray(Array("AB", "C")).toSeq === golden.toSeq)
+    // and the client parser must decode them back
+    val parsed = graft.sources.XdrStringArray.parse(golden)
+    assert((0 until parsed.numElements()).map(parsed.getUTF8String(_).toString)
+      === Seq("AB", "C"))
+    // trailing garbage and truncation refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.XdrStringArray.parse(golden :+ 0.toByte)
+    }.getMessage.contains("trailing"))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.XdrStringArray.parse(golden.dropRight(4))
+    }.getMessage.contains("truncated"))
+  }
+
+  test("String labels decode end-to-end against parquet truth") {
+    val base = Dap2Fixture.ensure(spark, dir)
+    val entries = Dap2Index.read(spark, base, Map.empty)
+    val got = Dap2Index.decodeLabels(entries, Dap2Index.materialize(entries))
+      .select(col("variable"), array_join(col("dims"), ".").as("dims"),
+        array_join(transform(col("coords"), c => c.cast("string")), ".").as("ck"),
+        col("label"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val want = spark.read.parquet(s"$dir/region.parquet")
+      .select("r_regionkey", "r_name").orderBy("r_regionkey").collect()
+      .zipWithIndex.map { case (r, j) => ("r_name", "region", j.toString, r.getString(1)) }.toSet
+    assert(got === want)
+    // the numeric plane ignores the |O variable entirely (no null rows)
+    assert(!tidy(Map.empty).select("variable").distinct()
+      .collect().map(_.getString(0)).contains("r_name"))
   }
 
   test("Grid maps surface as the CF coordinates attribute in .zattrs") {
@@ -196,7 +234,8 @@ class Dap2Spec extends AnyFunSuite {
       Map(Dap2Index.MaxChunkBytesOption -> "64")).filter(col("kind") === "ref").count()
     val wholeRefs = Dap2Index.read(spark, Dap2Fixture.ensure(spark, dir), Map.empty)
       .filter(col("kind") === "ref").count()
-    assert(wholeRefs === 7L, "default budget: one request per variable (incl. the Grid's maps)")
+    assert(wholeRefs === 8L,
+      "default budget: one request per variable (incl. the Grid's maps + the r_name label vector)")
     assert(smallRefs > wholeRefs, "64-byte budget must band the bigger variables")
     val k = Seq("variable", "coords")
     assert(small.select(col("variable"), col("coords"), col("value")).collect().toSet ===
