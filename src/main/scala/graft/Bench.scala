@@ -63,13 +63,20 @@ object Bench {
     * r10 gate breach was an apples-to-oranges total (37 rows vs the r2
     * baseline's sweep) inflated further by a contention window. Do NOT
     * append to this list; a future re-freeze should introduce a new field
-    * name alongside it. */
+    * name alongside it.
+    *
+    * One SUBSTITUTION, not an append: the registered `ann_ivf_topk`
+    * became a property-verdict row in r11 (brute-force baseline + four
+    * verification jobs — a different computation), so this list carries
+    * `ann_ivf_topk_pipeline`, which runs the r10 row's EXACT raw IVF
+    * query (same k/nCells/nProbe) — the honest continuation of that
+    * timing series. */
   val sharedRows: Seq[String] = Seq(
     "q1_agg", "q3_top_orders", "q_topk_per_group", "q_salted_join",
     "search_require_all_on", "search_derived_union", "to_dataset_dict",
     "combine_by_coords", "agg_union", "dedup_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_ngram_jaccard", "embed_cosine_topk",
-    "ann_ivf_topk", "text_quality", "events_sessionize", "events_asof_join",
+    "ann_ivf_topk_pipeline", "text_quality", "events_sessionize", "events_asof_join",
     "multimodal_frames", "pipeline_clean_corpus", "dedup_embedding",
     "pipeline_chunk_docs", "pipeline_decontaminate", "events_funnel",
     "q_sketch_stats", "text_repetition", "scan_kerchunk_reference",
@@ -99,13 +106,15 @@ object Bench {
         threshold = 0.4, nCells = 8, kmeansIters = 2)),
     // r11: the registered ann_ivf_topk became a property-verdict row
     // (brute-force baseline + four in-plan checks); this row keeps the
-    // raw production IVF path separately attributable
+    // raw production IVF path separately attributable, with the EXACT
+    // parameters the r10 registered row ran (nProbe = 4) so it is the
+    // continuation of that row's timing series in sharedRows
     "ann_ivf_topk_pipeline" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 3), "vec_id", "embedding",
-        k = 10, nCells = 16, nProbe = 8, kmeansIters = 2)
+        k = 10, nCells = 16, nProbe = 4, kmeansIters = 2)
     }))
 
   def main(args: Array[String]): Unit = {
@@ -298,9 +307,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
     // the cross-round comparable: the FROZEN r10 row set's subtotal (new
-    // headline rows change `value` but never this)
+    // headline rows change `value` but never this). A frozen row missing
+    // from the timed results would silently SHRINK the comparable — the
+    // one number whose whole purpose is stability — so refuse loudly.
     val resultMap = results.toMap
-    val sharedTotal = fmt(sharedRows.flatMap(resultMap.get).sum)
+    val missingShared = sharedRows.filterNot(resultMap.contains)
+    require(missingShared.isEmpty,
+      s"frozen shared rows missing from the timed sweep: ${missingShared.mkString(", ")}")
+    val sharedTotal = fmt(sharedRows.map(resultMap).sum)
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val resampledJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     // escape sfDir like every other string field — a quote/backslash in the
@@ -442,10 +456,11 @@ object Bench {
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.concat(
           org.apache.spark.sql.functions.col("text"),
-          org.apache.spark.sql.functions.lit(" the data and that it holds")).as("text"))
+          org.apache.spark.sql.functions.lit(
+            graft.harness.QualityFixture.StopwordTail)).as("text"))
       .limit(5000)
     val qPlane = graft.operators.CorpusPipeline.QualityPlane(
-      Array.tabulate(4096)(f => (f * 37) % 201 - 100), 0,
+      graft.harness.QualityFixture.syntheticWeights(), 0,
       spark.sparkContext.broadcast(graft.operators.NgramLm.train(qDocs, "text",
         maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)))
     val qRows = qDocs.as[(Long, String)].collect()

@@ -2095,9 +2095,9 @@ object SparkEntry {
       // pii_scrub construction pattern) — the oracle applies the same
       // construction, and every plane recomputes from the same text
       val docs = T(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"), lit(" the data and that it holds")).as("text"))
-      val dim = 4096
-      val w = Array.tabulate(dim)(f => (f * 37) % 201 - 100)
+        concat(col("text"),
+          lit(graft.harness.QualityFixture.StopwordTail)).as("text"))
+      val w = graft.harness.QualityFixture.syntheticWeights()
       val model = NgramLm.train(docs, "text",
         maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)
       val bModel = s.sparkContext.broadcast(model)

@@ -119,12 +119,16 @@ object BpeTokenizer {
       var best: (String, String) = null
       var bestCount = 1L // a merge must fire at least twice
       counts.foreach { case (p, c) =>
-        val spoofsMarker = (p._1 + p._2).endsWith(graft.functions.BpeEncode.EndOfWord) &&
-          !p._2.endsWith(graft.functions.BpeEncode.EndOfWord)
-        if (!spoofsMarker &&
-            (c > bestCount ||
-             (c == bestCount && best != null &&
-               (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2))))) {
+        // count test FIRST: the spoof guard concatenates strings, so it
+        // runs only for would-be argmax pairs (a handful per round), not
+        // every candidate pair. Selection is identical either way: the
+        // argmax ranges over non-spoofing pairs.
+        val better = c > bestCount ||
+          (c == bestCount && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))
+        if (better &&
+            !((p._1 + p._2).endsWith(graft.functions.BpeEncode.EndOfWord) &&
+              !p._2.endsWith(graft.functions.BpeEncode.EndOfWord))) {
           best = p; bestCount = c
         }
       }

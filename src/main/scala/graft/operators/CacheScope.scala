@@ -61,10 +61,19 @@ object CacheScope {
   val untracked: CacheScope = new CacheScope {
     private val fifo = new java.util.ArrayDeque[DataFrame]()
     override protected def record(df: DataFrame): Unit = synchronized {
+      // handles from STOPPED sessions pin their whole SessionState (plan
+      // tree, catalog, conf) and their blocks died with the context —
+      // purge them first so a suite that spins sessions up and down never
+      // retains dead sessions behind the live FIFO window
+      val it = fifo.iterator()
+      while (it.hasNext) {
+        val stopped =
+          try it.next().sparkSession.sparkContext.isStopped
+          catch { case scala.util.control.NonFatal(_) => true }
+        if (stopped) it.remove()
+      }
       fifo.addLast(df)
       while (fifo.size() > MaxUntracked) {
-        // an evictee from an already-stopped session (test suites spin
-        // sessions up and down) has nothing left to free — drop the handle
         try fifo.pollFirst().unpersist(false)
         catch { case scala.util.control.NonFatal(_) => }
       }

@@ -565,7 +565,11 @@ object XdrStringArray {
         ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
     require(b.length >= 4, s"XDR string block of ${b.length} bytes has no count word")
     val n = u32(0)
-    require(n <= Int.MaxValue, s"XDR string count $n out of range")
+    // plausibility BEFORE allocation: each element needs at least its
+    // 4-byte length word, so a corrupt count (e.g. 0x7fffffff in a tiny
+    // block) refuses here instead of OOMing on a 2^31-slot array
+    require(n <= (b.length - 4L) / 4L,
+      s"XDR string count $n impossible for a ${b.length}-byte block")
     val out = new Array[Any](n.toInt)
     var pos = 4
     var i = 0

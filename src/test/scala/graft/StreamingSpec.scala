@@ -247,8 +247,9 @@ class StreamingSpec extends AnyFunSuite {
     // would be degenerate-false without it)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),
-        concat(col("text"), lit(" the data and that it holds")).as("text"))
-    val w = Array.tabulate(4096)(f => (f * 37) % 201 - 100)
+        concat(col("text"),
+          lit(graft.harness.QualityFixture.StopwordTail)).as("text"))
+    val w = graft.harness.QualityFixture.syntheticWeights()
     val qp = CorpusPipeline.QualityPlane(w, 0,
       spark.sparkContext.broadcast(NgramLm.train(docs, "text",
         maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)))
