@@ -55,7 +55,10 @@ object Bench {
     "ann_ivf_topk_pipeline",
     // r11: BPE-unit sequence packing (train + encode + pack + in-plan
     // losslessness-through-packing verification)
-    "pipeline_pack_sequences_bpe")
+    "pipeline_pack_sequences_bpe",
+    // r11: lexical BM25 retrieval (one-scan tf kernel + stats agg +
+    // two-stage top-k over a 3-query battery)
+    "search_bm25_topk")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add

@@ -2271,6 +2271,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_topk" -> ((s, dir) => {
+      // r11: lexical retrieval — Okapi BM25 top-10 per query over the
+      // corpus (KeywordSearch: one corpus scan for all queries, codegen'd
+      // tf kernel, literal idf table, two-stage top-k). The oracle
+      // re-derives the FULL ranking in SQL (same formula, same
+      // term-order float sums, same doc-id tie rule); the float score
+      // itself stays out of the gate row — ranks, lengths and tf sums
+      // are the integer-exact surface.
+      graft.operators.KeywordSearch.bm25TopK(
+          T(s, dir, "documents"), "text", "doc_id",
+          Seq(("q_join", "spark hash join"),
+              ("q_scan", "fast table scan"),
+              ("q_stream", "stream window agg")), k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // r11: property-verdict row (closes the last no_oracle pair). The
       // params match ann_recall_check's LSH arm (4 bits × 16 tables) —
@@ -3943,6 +3961,73 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
         | FROM scored) WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // full BM25 re-derivation: same Okapi formula, same left-to-right
+    // per-term float sums (explicit expression, NOT an unordered SUM),
+    // same (score desc, doc_id asc) tie rule — ranks/dl/tf are the
+    // hash-exact surface
+    "search_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    len(list_filter(t, x -> x = 'spark'))  AS tf_spark,
+        |    len(list_filter(t, x -> x = 'hash'))   AS tf_hash,
+        |    len(list_filter(t, x -> x = 'join'))   AS tf_join,
+        |    len(list_filter(t, x -> x = 'fast'))   AS tf_fast,
+        |    len(list_filter(t, x -> x = 'table'))  AS tf_table,
+        |    len(list_filter(t, x -> x = 'scan'))   AS tf_scan,
+        |    len(list_filter(t, x -> x = 'stream')) AS tf_stream,
+        |    len(list_filter(t, x -> x = 'window')) AS tf_window,
+        |    len(list_filter(t, x -> x = 'agg'))    AS tf_agg
+        |  FROM toks),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_spark,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_hash,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_join,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_fast   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_fast   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_fast,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_table,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_scan,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_stream,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_window,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_agg    > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_agg    > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_agg
+        |  FROM tf),
+        |normed AS (
+        |  SELECT tf.*, st.*,
+        |    1.2 * (1 - 0.75) + (1.2 * 0.75 / st.avgdl) * CAST(tf.dl AS DOUBLE) AS nrm
+        |  FROM tf, st),
+        |scored AS (
+        |  SELECT 'q_join' AS query_id, doc_id, dl,
+        |    tf_spark + tf_hash + tf_join AS tf_total,
+        |    (idf_spark * CAST(tf_spark AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_spark AS DOUBLE) + nrm))
+        |    + (idf_hash * CAST(tf_hash AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_hash AS DOUBLE) + nrm))
+        |    + (idf_join * CAST(tf_join AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_join AS DOUBLE) + nrm)) AS score
+        |  FROM normed
+        |  UNION ALL
+        |  SELECT 'q_scan', doc_id, dl,
+        |    tf_fast + tf_table + tf_scan,
+        |    (idf_fast * CAST(tf_fast AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_fast AS DOUBLE) + nrm))
+        |    + (idf_table * CAST(tf_table AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_table AS DOUBLE) + nrm))
+        |    + (idf_scan * CAST(tf_scan AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_scan AS DOUBLE) + nrm))
+        |  FROM normed
+        |  UNION ALL
+        |  SELECT 'q_stream', doc_id, dl,
+        |    tf_stream + tf_window + tf_agg,
+        |    (idf_stream * CAST(tf_stream AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_stream AS DOUBLE) + nrm))
+        |    + (idf_window * CAST(tf_window AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_window AS DOUBLE) + nrm))
+        |    + (idf_agg * CAST(tf_agg AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_agg AS DOUBLE) + nrm))
+        |  FROM normed)
+        |SELECT query_id, rank, doc_id, CAST(dl AS BIGINT) AS dl,
+        |       CAST(tf_total AS BIGINT) AS tf_total
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored WHERE score > 0)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
 
     // property-style: the oracle pins the recall floors as met
     "ann_recall_check" ->

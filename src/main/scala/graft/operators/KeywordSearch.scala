@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Batch keyword retrieval over the corpus: Okapi BM25 top-k per query —
+  * the lexical sibling of [[Similarity]]'s embedding search, and the shape
+  * a training-data pipeline actually runs (score the WHOLE corpus against
+  * a fixed query battery: topic probes, contamination probes, eval-set
+  * look-alikes), not an online serving index.
+  *
+  * Scale shape:
+  *  - ONE corpus scan computes each doc's term-frequency vector over the
+  *    union of all query vocabularies ([[graft.functions.TermCounts]] —
+  *    a codegen'd kernel, zero shuffle) plus its length; that PROJECTED
+  *    (id, tf, dl) frame — ints only, no text — is persisted and feeds
+  *    both the stats pass and the scoring pass, so corpus bytes are read
+  *    once no matter how many queries run;
+  *  - corpus statistics (N, avgdl, per-term document frequencies) are one
+  *    map-side-combined aggregation over the projection → a driver-side
+  *    idf table baked into the scoring expressions as literals (a few
+  *    doubles — never a join);
+  *  - scoring is pure per-row arithmetic; docs matching NO query term are
+  *    filtered before any exchange, so the top-k windows see only the
+  *    posting-bearing slice (at web scale: the tiny fraction containing a
+  *    query term), then the two-stage (partition-local prune → global
+  *    rank) top-k bounds the final shuffle at k·partitions rows per query
+  *    — the [[Similarity]] topKPerQuery design.
+  *
+  * Scoring (Robertson et al., TREC-3 Okapi; the Lucene-default variant):
+  *   idf(t)      = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * Per-term contributions add in QUERY TERM ORDER (row-local, fixed),
+  * so scores are bit-deterministic; ranks tie-break on doc id asc.
+  *
+  * Query strings tokenize with the corpus tokenizer's contract
+  * (lowercased whitespace words); duplicate terms in one query contribute
+  * once per occurrence, as BM25's tf-in-query weighting degenerates to
+  * with short queries.
+  */
+object KeywordSearch {
+
+  /** Top-k BM25 hits per query: (query_id, rank, doc_id, score, dl,
+    * tf_total). `queries` is a driver-side battery (id → text) — query
+    * vocabularies ride the plan as expression literals, so the battery
+    * must be human-sized (hundreds of terms, not millions; a million-term
+    * battery is a different operator — an inverted-index join). */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(String, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               scope: CacheScope = CacheScope.untracked): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK: empty query battery")
+    // driver-side mirror of Dedup.tokens' contract
+    def qTokens(s: String): Seq[String] =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val perQuery: Seq[(String, Seq[String])] =
+      queries.map { case (qid, qtext) => (qid, qTokens(qtext)) }
+    perQuery.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"bm25TopK: query '$qid' has no terms") }
+    val allTerms: Seq[String] =
+      perQuery.flatMap(_._2).distinct.sorted // deterministic kernel layout
+    val termIdx: Map[String, Int] = allTerms.zipWithIndex.toMap
+
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val tf = GraftColumnBridge.column(graft.functions.TermCounts(
+      GraftColumnBridge.expression(toks), allTerms))
+    val projected = scope.persisted(
+      docs.select(col(idCol).as("doc_id"), tf.as("__tf"),
+        size(toks).cast(LongType).as("dl")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // corpus stats: one aggregation over the int projection
+    val dfAggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+        allTerms.indices.map(i =>
+          sum(when(element_at(col("__tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val statsRow = projected.agg(dfAggs.head, dfAggs.tail: _*).head()
+    val n = statsRow.getLong(0)
+    require(n > 0, "bm25TopK: empty corpus")
+    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+    val idf: Array[Double] = allTerms.indices.map { i =>
+      val df = statsRow.getLong(2 + i).toDouble
+      math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+    }.toArray
+
+    // per-row length normalization, shared by every term of every query
+    val norm = lit(k1 * (1 - b)) + lit(k1 * b / avgdl) * col("dl").cast(DoubleType)
+    def scoreOf(terms: Seq[String]): Column =
+      terms.map { t =>
+        val i = termIdx(t)
+        val tfc = element_at(col("__tf"), i + 1).cast(DoubleType)
+        lit(idf(i)) * tfc * lit(k1 + 1.0) / (tfc + norm)
+      }.reduce(_ + _) // query-term order: bit-deterministic row-local sum
+    def tfTotalOf(terms: Seq[String]): Column =
+      terms.distinct.map(t => element_at(col("__tf"), termIdx(t) + 1).cast(LongType))
+        .reduce(_ + _)
+
+    val scored = perQuery.map { case (qid, ts) =>
+      projected
+        .withColumn("__s", scoreOf(ts))
+        // zero-score docs carry no query term: pruned before any exchange
+        .filter(col("__s") > 0.0)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("__s").as("score"),
+          col("dl"), tfTotalOf(ts).as("tf_total"))
+    }.reduce(_ unionByName _)
+
+    // two-stage deterministic top-k (the Similarity.topKPerQuery design):
+    // local prune spreads the corpus-volume shuffle over (query,
+    // partition) keys; the global rank sees ≤ k·partitions survivors
+    val ord = Seq(col("score").desc, col("doc_id").asc)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("__pid")).orderBy(ord: _*)
+    val wGlobal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(ord: _*)
+    scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(wLocal))
+      .filter(col("__lr") <= k)
+      .withColumn("rank", row_number().over(wGlobal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("dl"), col("tf_total"))
+  }
+}

@@ -1170,3 +1170,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).getAs[Int]("width") >= 1 && out(2L).getAs[Int]("height") >= 1)
   }
 }
+
+class KeywordSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bm25: hand-computed ranking on a four-doc corpus") {
+    // corpus: N=4, dl = 4,4,2,3, avgdl = 13/4
+    val docs = Seq(
+      (1L, "cat dog cat bird"),   // tf(cat)=2
+      (2L, "dog dog dog dog"),    // no cat
+      (3L, "cat fish"),           // tf(cat)=1, short doc
+      (4L, "bird fish bird"),     // no cat/dog
+    ).toDF("doc_id", "text")
+    val out = graft.operators.KeywordSearch.bm25TopK(
+        docs, "text", "doc_id", Seq(("q", "cat dog")), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))
+    // mirror the exact formula driver-side
+    val n = 4.0; val avgdl = 13.0 / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val (idfCat, idfDog) = (idf(2.0), idf(2.0))
+    def term(i: Double, tf: Double, dl: Double) =
+      i * tf * (1.2 + 1.0) / (tf + (1.2 * (1 - 0.75) + (1.2 * 0.75 / avgdl) * dl))
+    def score(tfc: Double, tfd: Double, dl: Double) =
+      term(idfCat, tfc, dl) + term(idfDog, tfd, dl)
+    val want = Seq(
+      (1L, score(2, 1, 4)), (2L, score(0, 4, 4)), (3L, score(1, 0, 2)))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(out.map(_._2).toSeq == want.map(_._1), out.mkString(", "))
+    out.zip(want).foreach { case (got, (_, s)) =>
+      assert(got._3 == s, s"score mismatch: $got vs $s") } // bit-exact
+    assert(out.map(_._1).toSeq == (1 to out.length), "ranks dense from 1")
+    // doc 4 carries no query term: pruned, never ranked
+    assert(!out.exists(_._2 == 4L))
+    // integer facts
+    val byId = out.map(r => r._2 -> ((r._4, r._5))).toMap
+    assert(byId(1L) == ((4L, 3L)) && byId(2L) == ((4L, 4L)) && byId(3L) == ((2L, 1L)))
+  }
+
+  test("bm25: duplicate query terms, multiple queries, empty-match query") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.KeywordSearch.bm25TopK(
+        docs, "text", "doc_id",
+        Seq(("a", "alpha alpha"), ("z", "zebra")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    // duplicate terms contribute twice (short-query BM25 degeneracy, doc'd);
+    // a query matching nothing yields zero rows, not an error
+    assert(out == Set(("a", 1L)), out.toString)
+  }
+
+  test("bm25: ties break on doc id and k truncates") {
+    val docs = (1L to 6L).map(i => (i, "same words here")).toDF("doc_id", "text")
+    val out = graft.operators.KeywordSearch.bm25TopK(
+        docs, "text", "doc_id", Seq(("q", "same")), k = 4)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(1L, 2L, 3L, 4L), out.toString)
+  }
+}
