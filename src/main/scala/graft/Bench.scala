@@ -58,7 +58,10 @@ object Bench {
     "pipeline_pack_sequences_bpe",
     // r11: lexical BM25 retrieval (one-scan tf kernel + stats agg +
     // two-stage top-k over a 3-query battery)
-    "search_bm25_topk")
+    "search_bm25_topk",
+    // r11: IVF-PQ (codebook training + encode scan + ADC + exact re-rank
+    // + the in-plan property verification)
+    "ann_pq_topk")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add

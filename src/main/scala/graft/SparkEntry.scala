@@ -2343,6 +2343,21 @@ object SparkEntry {
         ann, method = "ivf")
     }),
 
+    "ann_pq_topk" -> ((s, dir) => {
+      // r11: IVF-PQ — the compressed ANN path (coarse cells bound which
+      // vectors a query touches, 8×16 product-quantization codes bound
+      // the bytes, exact re-rank restores true cosines). Same
+      // property-verdict gate as the LSH/IVF rows; slack 0.15 covers the
+      // measured worst margin (-0.043 at sf0.1, bit-identical at 8 and
+      // 200 shuffle partitions) with 3.5× headroom.
+      val emb = T(s, dir, "embeddings")
+      val q   = emb.filter(col("vec_id") < 3)
+      val ann = Similarity.pqTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, m = 8, nCentroids = 16, nCells = 16, nProbe = 8, kmeansIters = 2)
+      Similarity.topKPropertyVerdict(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        ann, method = "pq", slack = 0.15)
+    }),
+
     "pipeline_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster + greedy keep-first prune, Dedup.semanticDedup):
       // centroid means are float sums whose exact values depend on partial
@@ -4042,6 +4057,12 @@ object SparkEntry {
     // and re-derives the query count from the table
     "ann_lsh_topk" ->
       """SELECT 'lsh' AS method,
+        |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |       TRUE AS k_rows_ok, TRUE AS tie_rule_ok,
+        |       TRUE AS cosine_floor_ok, TRUE AS cosine_exact_ok
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_pq_topk" ->
+      """SELECT 'pq' AS method,
         |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |       TRUE AS k_rows_ok, TRUE AS tie_rule_ok,
         |       TRUE AS cosine_floor_ok, TRUE AS cosine_exact_ok

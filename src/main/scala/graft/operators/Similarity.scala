@@ -277,6 +277,127 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-subspace product-quantization codebooks: slice the corpus vectors
+    * into `m` contiguous sub-vectors and Lloyd-train `nCentroids` per
+    * subspace ([[kmeansCentroidArrays]]'s deterministic seeding/refining,
+    * on the SLICED column) — `m` small distributed jobs, each over a
+    * subDim-wide projection of the corpus. Returns m × k × (dim/m) floats
+    * (kilobytes — rides plans as a reference object). `dim` must divide
+    * by `m`. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int, nCentroids: Int = 16,
+                  kmeansIters: Int = 2): Array[Array[Array[Float]]] = {
+    require(m > 0 && dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
+    val subDim = dim / m
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol).as("id"),
+        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
+      kmeansCentroidArrays(sub, "id", "__sub", nCentroids, kmeansIters)._2
+    }.toArray
+  }
+
+  /** IVF-PQ ANN top-k — the compressed 100 TB path (Jégou et al. 2011,
+    * the FAISS `IVFx,PQy` architecture): coarse cells bound WHICH vectors
+    * a query touches, product quantization bounds the BYTES each touch
+    * costs, and an exact re-rank of the short list restores true cosines.
+    *
+    *  1. coarse quantizer: [[kmeansCentroidArrays]] cells; the corpus
+    *     assigns with nProbe = 1, queries probe `nProbe` cells — but here
+    *     the probed cells become a FILTER on the encoded corpus (query
+    *     cells are computed driver-side from the tiny centroid matrix),
+    *     not a join: with the encoded corpus partitioned/clustered by
+    *     cell, a real deployment prunes partitions instead of shuffling;
+    *  2. PQ encode: one scan → (id, cell, codes, |v|) — M ints + a float
+    *     per vector; the raw vectors never enter the candidate path;
+    *  3. ADC: per query, an M·K dot-product table (driver, microseconds)
+    *     scores every candidate as Σ table(code) / (|q|·|v|) — approximate
+    *     COSINE (norms are exact, stored at encode time), in one codegen'd
+    *     scan over the probed cells;
+    *  4. refine: the top `k·refine` ADC candidates per query (two-stage
+    *     window) rejoin their true vectors for an exact cosine re-rank —
+    *     output rows carry EXACT cosines with the shared deterministic
+    *     (cosine desc, id asc) tie rule, so [[topKPropertyVerdict]]
+    *     applies unchanged.
+    *
+    * `queries` must be a driver-sized battery (vectors are collected to
+    * build the ADC tables). */
+  def pqTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+             queries: DataFrame, queryId: String, queryVec: String,
+             k: Int = 10, m: Int = 8, nCentroids: Int = 16,
+             nCells: Int = 16, nProbe: Int = 8, kmeansIters: Int = 2,
+             refine: Int = 4): DataFrame = {
+    val qRows = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .filter(col("__qv").isNotNull).collect()
+    require(qRows.nonEmpty, "pqTopK: empty query battery")
+    val dim = qRows.head.getAs[scala.collection.Seq[Float]]("__qv").length
+    val books = pqCodebooks(corpus, corpusId, corpusVec, dim, m, nCentroids, kmeansIters)
+    val (cellIds, cents) = kmeansCentroidArrays(corpus, corpusId, corpusVec, nCells, kmeansIters)
+
+    import org.apache.spark.sql.GraftColumnBridge
+    val codes = GraftColumnBridge.column(graft.functions.PqEncode(
+      GraftColumnBridge.expression(col("__cv")), books))
+    val encoded = ivfAssignCollected(
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+        "__cv", cellIds, cents, nProbe = 1)
+      .select(col("neighbor_id"), col("cell"), codes.as("__code"),
+        norm(col("__cv")).as("__vn"))
+
+    val perQuery = qRows.map { r =>
+      val qid = r.get(0)
+      val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
+      // probed cells + ADC table from the driver-resident matrices
+      val probed: Seq[Any] = cents.indices
+        .sortBy { c =>
+          var d = 0.0; var i = 0
+          while (i < dim) { val x = qv(i) - cents(c)(i); d += x * x; i += 1 }
+          (d, c) // deterministic tie on cell index
+        }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+        .take(nProbe).map(cellIds)
+      var qn = 0.0
+      qv.foreach(x => qn += x.toDouble * x.toDouble)
+      qn = math.sqrt(qn)
+      val table: Array[Array[Double]] = {
+        var off = 0
+        books.map { book =>
+          val sd = book.head.length
+          val t = book.map { cent =>
+            var s = 0.0; var i = 0
+            while (i < sd) { s += qv(off + i).toDouble * cent(i).toDouble; i += 1 }
+            s
+          }
+          off += sd
+          t
+        }
+      }
+      val adc = GraftColumnBridge.column(graft.functions.PqAdcDot(
+        GraftColumnBridge.expression(col("__code")), table))
+      encoded
+        .filter(col("cell").isin(probed: _*))
+        .select(typedLit(qid).as("query_id"), col("neighbor_id"),
+          (adc / (lit(qn) * col("__vn"))).as("__approx"))
+    }.reduce(_ unionByName _)
+
+    // short list by approximate cosine, then exact re-rank
+    val ordA = Seq(col("__approx").desc, col("neighbor_id").asc)
+    val wLocalA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("__pid")).orderBy(ordA: _*)
+    val wGlobalA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(ordA: _*)
+    val shortList = perQuery
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lr", row_number().over(wLocalA))
+      .filter(col("__lr") <= k * refine)
+      .withColumn("__ar", row_number().over(wGlobalA))
+      .filter(col("__ar") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val cVec = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val qVec = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    val rescored = shortList.join(cVec, "neighbor_id").join(qVec, "query_id")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
+    topKPerQuery(rescored, k)
+  }
+
   /** In-plan property verdict for an approximate top-k result — ONE row of
     * booleans a constant oracle can pin (the pipeline_semdedup convention;
     * approximate neighbor SETS are legitimately parameter- and

@@ -1229,3 +1229,87 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(out == Seq(1L, 2L, 3L, 4L), out.toString)
   }
 }
+
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pq encode: codes in range, identical vectors share codes, dim mismatch refuses") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = graft.operators.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 8, nCentroids = 16, kmeansIters = 2)
+    assert(books.length == 8 && books.forall(b => b.nonEmpty && b.head.length == 8))
+    import org.apache.spark.sql.GraftColumnBridge
+    val codes = GraftColumnBridge.column(graft.functions.PqEncode(
+      GraftColumnBridge.expression(col("embedding")), books))
+    val out = emb.select(col("vec_id"), codes.as("c")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(out.forall(_._2.length == 8))
+    out.foreach { case (_, cs) => cs.zipWithIndex.foreach { case (c, m) =>
+      assert(c >= 0 && c < books(m).length) } }
+    // same bytes → same codes (encode is a pure function)
+    val dup = emb.limit(1).select(codes.as("c")).head().getSeq[Int](0)
+    val dup2 = emb.limit(1).select(codes.as("c")).head().getSeq[Int](0)
+    assert(dup == dup2)
+    // a wrong-dim vector refuses loudly, never truncates
+    val bad = Seq((1L, Array.fill(32)(0.5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      bad.select(GraftColumnBridge.column(graft.functions.PqEncode(
+        GraftColumnBridge.expression(col("embedding")), books))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("pq adc: table-lookup sum approximates the true dot product") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).cache()
+    val books = graft.operators.Similarity.pqCodebooks(
+      emb, "vec_id", "embedding", dim = 64, m = 8, nCentroids = 16)
+    val qv = emb.orderBy("vec_id").limit(1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val table = {
+      var off = 0
+      books.map { book =>
+        val sd = book.head.length
+        val t = book.map { cent =>
+          var s = 0.0; var i = 0
+          while (i < sd) { s += qv(off + i).toDouble * cent(i).toDouble; i += 1 }
+          s
+        }
+        off += sd
+        t
+      }
+    }
+    import org.apache.spark.sql.GraftColumnBridge
+    val codes = GraftColumnBridge.column(graft.functions.PqEncode(
+      GraftColumnBridge.expression(col("embedding")), books))
+    val adc = GraftColumnBridge.column(graft.functions.PqAdcDot(
+      GraftColumnBridge.expression(col("c")), table))
+    val qvLit = typedLit(qv.toSeq)
+    val rows = emb.select(col("vec_id"), codes.as("c"), col("embedding"))
+      .select(adc.as("approx"),
+        graft.operators.Similarity.dot(col("embedding"), qvLit).as("exact"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // quantization error is bounded: mean |approx - exact| well under the
+    // typical dot magnitude (loose sanity bound — recall is the real gate)
+    val mae = rows.map { case (a, e) => math.abs(a - e) }.sum / rows.length
+    val scale = rows.map { case (_, e) => math.abs(e) }.max
+    assert(mae < scale, s"mae=$mae scale=$scale")
+    emb.unpersist()
+  }
+
+  test("pqTopK: self-query ranks itself first with exact cosine 1") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 7)
+    val out = graft.operators.Similarity.pqTopK(
+        emb, "vec_id", "embedding", q, "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect()
+    assert(out.length == 5)
+    assert(out.head.getAs[Long]("neighbor_id") == 7L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-12)
+    // ranks dense, cosines non-increasing (exact re-rank)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+    val cs = out.map(_.getAs[Double]("cosine"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
+}
