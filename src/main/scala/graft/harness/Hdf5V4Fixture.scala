@@ -86,6 +86,23 @@ object Hdf5V4Fixture {
     s.result()
   }
 
+  /** Link message v1 with an explicit link type (flags bit 3): the
+    * link-specific info bytes follow the name verbatim. */
+  def typedLink(name: String, ltype: Int, info: Array[Byte]): Array[Byte] = {
+    val s = new Sink
+    val nb = name.getBytes("UTF-8")
+    s.u8(1); s.u8(0x08); s.u8(ltype); s.u8(nb.length); s.bytes(nb); s.bytes(info)
+    s.result()
+  }
+
+  /** Soft link (type 1, spec IV.A.2.g): 2-byte value length + target path. */
+  def softLink(name: String, target: String): Array[Byte] = {
+    val s = new Sink
+    val tb = target.getBytes("UTF-8")
+    s.u16(tb.length); s.bytes(tb)
+    typedLink(name, 1, s.result())
+  }
+
   /** Data layout message v4, chunked, with the index-type config tail.
     * Like v3, the dimensionality byte is rank + 1 and the dimension list
     * carries the datatype's element size as its trailing entry (the C
@@ -299,7 +316,12 @@ object Hdf5V4Fixture {
   /** One superblock-v2 file: datasets written by `build(sink)` (returning
     * (name, ohdrAddr) links), root group last, then the superblock fields
     * patched in. */
-  def file(build: Sink => Seq[(String, Long)]): Array[Byte] = {
+  def file(build: Sink => Seq[(String, Long)]): Array[Byte] =
+    fileMsgs(s => build(s).map { case (n, a) => 0x06 -> link(n, a) })
+
+  /** [[file]], but the root group's messages are given raw — for fixtures
+    * mixing hard and SOFT link messages (or any other root message). */
+  def fileMsgs(build: Sink => Seq[(Int, Array[Byte])]): Array[Byte] = {
     val s = new Sink
     s.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
     s.u8(2); s.u8(8); s.u8(8); s.u8(0) // version 2, 8-byte offsets/lengths
@@ -307,8 +329,8 @@ object Hdf5V4Fixture {
     val eofAt = s.pos; s.u64(0)        // EOF (patched)
     val rootAt = s.pos; s.u64(0)       // root header (patched)
     s.u32(0)                           // checksum
-    val links = build(s)
-    val rootAddr = ohdr(s, links.map { case (n, a) => 0x06 -> link(n, a) })
+    val msgs = build(s)
+    val rootAddr = ohdr(s, msgs)
     val out = s.result()
     val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putLong(eofAt.toInt, out.length.toLong)

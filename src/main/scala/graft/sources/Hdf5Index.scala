@@ -49,14 +49,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * netCDF-4 record variable gets under `H5Pset_libver_bounds(LATEST)`),
   * and v2 b-tree records 10/11.
   *
+  * Soft (symbolic) links resolve since r11 — both encodings: link
+  * messages of type 1 and old-style symbol-table entries with cache type
+  * 2 (value in the group's local heap). A soft link surfaces its target
+  * object (dataset or whole group subtree) under the link's own path,
+  * h5py-style; targets may be absolute or relative, chains resolve
+  * iteratively, and cycles/dangling targets refuse loudly.
+  *
   * Refused loudly (absent from the reference's entire sample corpus,
   * verified by a 399-file survey): virtual (class 3) storage, paged
   * extensible-array data blocks, filters other than
   * deflate/shuffle/fletcher32 (szip/nbit/scaleoffset — fletcher32
   * decodes via the shared filter plane since the blosc work), per-chunk
-  * filter masks, shared datatype/dataspace messages, external/soft links,
-  * filtered fractal heaps, and VAX floats. Chunks never written stay
-  * absent from the map — the fill-value semantics of both netCDF and zarr.
+  * filter masks, shared datatype/dataspace messages, external links,
+  * nested soft links inside aliased subtrees, filtered fractal heaps, and
+  * VAX floats. Chunks never written stay absent from the map — the
+  * fill-value semantics of both netCDF and zarr.
   */
 object Hdf5Index {
 
@@ -103,6 +111,12 @@ object Hdf5Index {
   // ------------------------------------------------------------ structures
 
   private final case class Msg(mtype: Int, body: Array[Byte])
+
+  /** A group's outgoing link: hard (to an object header) or soft (to an
+    * in-file path, resolved after the hard walk). */
+  private sealed trait GroupLink { def name: String }
+  private final case class HardLink(name: String, addr: Long) extends GroupLink
+  private final case class SoftLink(name: String, target: String) extends GroupLink
 
   /** `unlimited(i)` = max size of dim i is H5S_UNLIMITED (netCDF-4's
     * record dimension marker; empty when the message carries no maxdims). */
@@ -231,9 +245,11 @@ object Hdf5Index {
 
     // -------------------------------------------------------------- groups
 
-    /** All hard links of a group: (name, object header address). */
-    def groupLinks(ms: List[Msg]): List[(String, Long)] = {
-      val out = List.newBuilder[(String, Long)]
+    /** All links of a group: hard (name → object header address) and soft
+      * (name → in-file target path, resolved by the traversal in
+      * `parseFile`). External links (type 64+) keep refusing loudly. */
+    def groupLinks(ms: List[Msg]): List[GroupLink] = {
+      val out = List.newBuilder[GroupLink]
       ms.foreach { m =>
         m.mtype match {
           case 0x06 => parseLink(m.body).foreach(out += _)
@@ -258,7 +274,7 @@ object Hdf5Index {
       out.result()
     }
 
-    private def parseLink(m: Array[Byte]): Option[(String, Long)] = {
+    private def parseLink(m: Array[Byte]): Option[GroupLink] = {
       require((m(0) & 0xff) == 1, s"hdf5 '$path': link message version ${m(0)}")
       val flags = m(1) & 0xff
       var p = 2
@@ -271,11 +287,16 @@ object Hdf5Index {
       p += lsz
       val name = new String(m, p, nlen, "UTF-8")
       p += nlen
-      if (ltype == 0) Some(name -> B.u(m, p, 8))
-      else fail(path, s"link '$name' of type $ltype (soft/external)")
+      if (ltype == 0) Some(HardLink(name, B.u(m, p, 8)))
+      else if (ltype == 1) {
+        // soft link (spec IV.A.2.g): 2-byte length + target path bytes
+        val vlen = B.u(m, p, 2).toInt
+        Some(SoftLink(name, new String(m, p + 2, vlen, "UTF-8")))
+      }
+      else fail(path, s"link '$name' of type $ltype (external/user)")
     }
 
-    private def symtabLinks(btreeAddr: Long, heapAddr: Long): List[(String, Long)] = {
+    private def symtabLinks(btreeAddr: Long, heapAddr: Long): List[GroupLink] = {
       require(r.sig(heapAddr) == "HEAP", s"hdf5 '$path': bad local heap at $heapAddr")
       val heapData = r.u64(heapAddr + 24)
       def name(off: Long): String = {
@@ -285,7 +306,7 @@ object Hdf5Index {
         while (c != 0) { sb.append(c.toChar); p += 1; c = r.u8(p) }
         sb.toString
       }
-      val out = List.newBuilder[(String, Long)]
+      val out = List.newBuilder[GroupLink]
       val seenNodes = scala.collection.mutable.Set.empty[Long]
       def walk(addr: Long): Unit = {
         require(seenNodes.add(addr), s"hdf5 '$path': cyclic group b-tree at $addr")
@@ -305,7 +326,15 @@ object Hdf5Index {
             var q = child + 8
             var j = 0
             while (j < nsym) {
-              out += (name(r.u64(q)) -> r.u64(q + 8))
+              // symbol entry: name off(8) + ohdr(8) + cache type(4) +
+              // reserved(4) + scratch(16). Cache type 2 = symbolic link:
+              // scratch[0..3] is the link VALUE's offset in the same
+              // local heap (spec III.C); the ohdr field is undefined.
+              val cacheType = r.u32(q + 16)
+              if (cacheType == 2L)
+                out += SoftLink(name(r.u64(q)), name(r.u32(q + 24)))
+              else
+                out += HardLink(name(r.u64(q)), r.u64(q + 8))
               q += 40; j += 1
             }
           }
@@ -1045,26 +1074,94 @@ object Hdf5Index {
       if (withDims.isEmpty) None else Some(compact(render(JObject(withDims))))
     }
     val visited = scala.collection.mutable.Set.empty[Long]
+    val pathToAddr = scala.collection.mutable.HashMap.empty[String, Long]
+    // (group key, link name, target path) — resolved after the hard walk
+    val softLinks = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     def visit(prefix: String, name: String, addr: Long): Unit = {
-      // netCDF-4 never multi-links an object; a revisited header address is
-      // a link cycle (or an alias this reader cannot represent) — refuse
-      // loudly rather than recurse forever
+      // netCDF-4 never multi-hard-links an object; a revisited header
+      // address is a hard-link cycle — refuse loudly rather than recurse
+      // forever (soft-link aliases resolve separately below)
       require(visited.add(addr),
         s"hdf5 '$path': object header at $addr reached twice (link cycle?)")
       val ms = P.messages(addr)
       val key = if (prefix.isEmpty) name else s"$prefix/$name"
+      pathToAddr(key) = addr
       if (ms.exists(_.mtype == 0x08)) {
         nameOf(addr) = name
         datasets += RawDs(key, ms)
       } else {
         val links = P.groupLinks(ms)
         renderAttrs(P.attributes(ms), Nil).foreach(j => groupAttrs += (key -> j))
-        links.foreach { case (nm, oh) => visit(key, nm, oh) }
+        links.foreach {
+          case HardLink(nm, oh)     => visit(key, nm, oh)
+          case SoftLink(nm, target) => softLinks += ((key, nm, target))
+        }
       }
     }
     val rootMs = P.messages(P.rootHeaderAddr)
     val rootAttrList = P.attributes(rootMs) // rendered after pass 2 (record dims)
-    P.groupLinks(rootMs).foreach { case (nm, oh) => visit("", nm, oh) }
+    P.groupLinks(rootMs).foreach {
+      case HardLink(nm, oh)     => visit("", nm, oh)
+      case SoftLink(nm, target) => softLinks += (("", nm, target))
+    }
+
+    // soft-link resolution (spec IV.A.2.g / h5py semantics): a soft link
+    // surfaces its TARGET object under the link's own path. Targets are
+    // in-file paths, absolute ('/a/b') or relative to the link's group;
+    // '.'/'..' components refuse (not observed in real writers). Chains
+    // (soft → soft) resolve iteratively: each resolved alias registers its
+    // path, so the next round can resolve links pointing at it; a round
+    // with pending links but no progress is a cycle or a dangling target —
+    // refused loudly, never silently dropped.
+    if (softLinks.nonEmpty) {
+      def normalize(groupKey: String, target: String): String = {
+        require(target.nonEmpty, s"hdf5 '$path': empty soft-link target")
+        val parts = target.split("/").filter(_.nonEmpty).toList
+        require(parts.forall(p => p != "." && p != ".."),
+          s"hdf5 '$path': soft-link target '$target' uses ./.. components")
+        val base =
+          if (target.startsWith("/") || groupKey.isEmpty) Nil
+          else groupKey.split("/").toList
+        (base ++ parts).mkString("/")
+      }
+      // alias-visit: emit the target (and, for a group, its subtree) under
+      // the alias path. The per-traversal stack refuses true cycles while
+      // allowing the cross-traversal revisit an alias IS.
+      def aliasVisit(key: String, addr: Long, stack: Set[Long]): Unit = {
+        require(!stack.contains(addr),
+          s"hdf5 '$path': soft-link alias cycle through header $addr")
+        val ms = P.messages(addr)
+        if (ms.exists(_.mtype == 0x08)) {
+          nameOf.getOrElseUpdate(addr, key.split("/").last)
+          datasets += RawDs(key, ms)
+        } else {
+          renderAttrs(P.attributes(ms), Nil).foreach(j => groupAttrs += (key -> j))
+          P.groupLinks(ms).foreach {
+            case HardLink(nm, oh) => aliasVisit(s"$key/$nm", oh, stack + addr)
+            case SoftLink(nm, _) => fail(path,
+              s"soft link '$nm' inside the aliased subtree '$key' (nested soft links)")
+          }
+        }
+      }
+      var pending = softLinks.toList
+      var progress = true
+      while (pending.nonEmpty && progress) {
+        val (ready, blocked) = pending.partition { case (g, _, t) =>
+          pathToAddr.contains(normalize(g, t)) }
+        progress = ready.nonEmpty
+        ready.foreach { case (g, nm, t) =>
+          val addr = pathToAddr(normalize(g, t))
+          val aliasKey = if (g.isEmpty) nm else s"$g/$nm"
+          aliasVisit(aliasKey, addr, Set.empty)
+          pathToAddr(aliasKey) = addr
+        }
+        pending = blocked
+      }
+      require(pending.isEmpty,
+        s"hdf5 '$path': unresolvable soft links (dangling target or soft-link cycle): " +
+          pending.map { case (g, nm, t) => s"'${if (g.isEmpty) nm else s"$g/$nm"}' -> '$t'" }
+            .mkString(", "))
+    }
 
     // pass 2: per dataset, geometry + filters + dimension names + chunk refs
     val recordDims = List.newBuilder[String] // UNLIMITED dimension-scale names

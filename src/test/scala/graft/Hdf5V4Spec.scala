@@ -228,4 +228,60 @@ class Hdf5V4Spec extends AnyFunSuite {
     assert(msg.contains("v4 data layout class 3"), msg)
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
+
+  test("soft links: dataset alias (absolute, relative, chain) decodes") {
+    val bytes = fileMsgs { s =>
+      val data = s.pos; s.bytes(i32(0, 1, 2, 10, 11, 12))
+      val temp = ohdr(s, Seq(
+        0x01 -> dataspace2(Seq(2, 3)), 0x03 -> dtInt32,
+        0x08 -> layoutV4(Seq(2, 3), 1, data)))
+      Seq(
+        0x06 -> link("temp", temp),
+        0x06 -> softLink("alias", "/temp"),
+        0x06 -> softLink("rel", "temp"),
+        0x06 -> softLink("chain", "/alias"))
+    }
+    val path = writeTmp(bytes)
+    val v = decodeAll(path)
+    for (name <- Seq("temp", "alias", "rel", "chain");
+         i <- 0 until 2; j <- 0 until 3)
+      assert(v((name, s"$i.$j")) == i * 10 + j, s"$name $i.$j")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
+  test("soft links: group-subtree alias surfaces children under the alias") {
+    val bytes = fileMsgs { s =>
+      val data = s.pos; s.bytes(i32(7, 8))
+      val x = ohdr(s, Seq(
+        0x01 -> dataspace2(Seq(2)), 0x03 -> dtInt32,
+        0x08 -> layoutV4(Seq(2), 1, data)))
+      val g = ohdr(s, Seq(0x06 -> link("x", x)))
+      Seq(0x06 -> link("g", g), 0x06 -> softLink("galias", "/g"))
+    }
+    val path = writeTmp(bytes)
+    val v = decodeAll(path)
+    assert(v(("g/x", "0")) == 7 && v(("g/x", "1")) == 8)
+    assert(v(("galias/x", "0")) == 7 && v(("galias/x", "1")) == 8)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
+  test("soft links: cycles, dangling targets, external links refuse loudly") {
+    def refuse(bytes: Array[Byte], needle: String): Unit = {
+      val path = writeTmp(bytes)
+      val e = intercept[Exception] {
+        graft.sources.Hdf5Index.read(spark, path).collect()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains(needle), msg)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+    }
+    refuse(fileMsgs { _ => Seq(
+      0x06 -> softLink("c1", "/c2"), 0x06 -> softLink("c2", "/c1")) },
+      "unresolvable soft links")
+    refuse(fileMsgs { _ => Seq(0x06 -> softLink("d", "/nope")) },
+      "unresolvable soft links")
+    refuse(fileMsgs { _ => Seq(
+      0x06 -> typedLink("ext", 64, Array[Byte](0, 0))) },
+      "type 64")
+  }
 }
