@@ -279,9 +279,13 @@ object Similarity {
 
   /** Per-subspace product-quantization codebooks: slice the corpus vectors
     * into `m` contiguous sub-vectors and Lloyd-train `nCentroids` per
-    * subspace ([[kmeansCentroidArrays]]'s deterministic seeding/refining,
-    * on the SLICED column) — `m` small distributed jobs, each over a
-    * subDim-wide projection of the corpus. Returns m × k × (dim/m) floats
+    * subspace. Same per-subspace math as running
+    * [[kmeansCentroidArrays]] on each sliced column (deterministic seeds =
+    * the first `nCentroids` corpus vectors sliced; assign via the same
+    * NearestCells kernel; member means; empty cells drop out) — but FUSED:
+    * one seed collect and ONE distributed job per Lloyd round cover all
+    * `m` subspaces (the unfused form paid m·(iters+1) driver-coordinated
+    * jobs of pure scheduling overhead). Returns m × k × (dim/m) floats
     * (kilobytes — rides plans as a reference object). `dim` must divide
     * by `m`. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
@@ -289,11 +293,37 @@ object Similarity {
                   kmeansIters: Int = 2): Array[Array[Array[Float]]] = {
     require(m > 0 && dim % m == 0, s"pqCodebooks: dim $dim not divisible by m $m")
     val subDim = dim / m
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol).as("id"),
-        slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
-      kmeansCentroidArrays(sub, "id", "__sub", nCentroids, kmeansIters)._2
-    }.toArray
+    val seedRows = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull).orderBy("id").limit(nCentroids).collect()
+    require(seedRows.nonEmpty, "pqCodebooks: no seed vectors")
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      seedRows.map(_.getAs[scala.collection.Seq[Float]]("__v")
+        .slice(s * subDim, (s + 1) * subDim).toArray)
+    }
+    for (_ <- 0 until kmeansIters) {
+      val assigns = (0 until m).map { s =>
+        val sub = slice(col("__v"), s * subDim + 1, subDim)
+        struct(lit(s).as("m"),
+          element_at(
+            graft.functions.VectorFunctions.nearest_cells(sub, books(s), 1), 1).as("c"),
+          sub.as("x"))
+      }
+      val means = corpus.select(col(vecCol).as("__v"))
+        .filter(col("__v").isNotNull)
+        .select(explode(array(assigns: _*)).as("a"))
+        .select(col("a.m").as("sub"), col("a.c"), posexplode(col("a.x")))
+        .groupBy("sub", "c", "pos").agg(avg(col("col")).as("mean"))
+        .collect()
+      val bySub = means.groupBy(_.getInt(0))
+      books = Array.tabulate(m) { s =>
+        val cells = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(1))
+        // kept-cell index order == prior-centroid order, like the unfused form
+        cells.keySet.toArray.sorted.map(c =>
+          cells(c).sortBy(_.getInt(2)).map(_.getDouble(3).toFloat))
+      }
+    }
+    books
   }
 
   /** IVF-PQ ANN top-k — the compressed 100 TB path (Jégou et al. 2011,
