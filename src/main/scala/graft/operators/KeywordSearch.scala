@@ -106,20 +106,11 @@ object KeywordSearch {
           col("dl"), tfTotalOf(ts).as("tf_total"))
     }.reduce(_ unionByName _)
 
-    // two-stage deterministic top-k (the Similarity.topKPerQuery design):
+    // shared two-stage deterministic top-k (Similarity.twoStageTopK):
     // local prune spreads the corpus-volume shuffle over (query,
     // partition) keys; the global rank sees ≤ k·partitions survivors
-    val ord = Seq(col("score").desc, col("doc_id").asc)
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"), col("__pid")).orderBy(ord: _*)
-    val wGlobal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(ord: _*)
-    scored
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number().over(wLocal))
-      .filter(col("__lr") <= k)
-      .withColumn("rank", row_number().over(wGlobal))
-      .filter(col("rank") <= k)
+    Similarity.twoStageTopK(scored, "query_id",
+        Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("dl"), col("tf_total"))
   }

@@ -42,19 +42,29 @@ object Similarity {
     * keeps a superset of the global top-k, so the result is bit-identical to
     * the single-stage form.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
-    val ord = Seq(col("cosine").desc, col("neighbor_id").asc)
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    twoStageTopK(scored, "query_id",
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+
+  /** The two-stage deterministic per-key top-k (shared by the ANN ops and
+    * [[KeywordSearch]]): stage 1 prunes to k per (key, input-partition) —
+    * the corpus-volume shuffle spreads over #keys × #partitions window
+    * keys, no skew; stage 2 ranks the ≤ k·partitions survivors per key.
+    * Both stages share `ord` (which must end in a tie-breaking unique
+    * column), so the result is identical to a single global window. */
+  private[operators] def twoStageTopK(df: DataFrame, keyCol: String,
+      ord: Seq[Column], k: Int, rankCol: String = "rank"): DataFrame = {
     val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"), col("__pid")).orderBy(ord: _*)
+      .partitionBy(col(keyCol), col("__pid")).orderBy(ord: _*)
     val wGlobal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(ord: _*)
-    scored
-      .withColumn("__pid", spark_partition_id())
+      .partitionBy(col(keyCol)).orderBy(ord: _*)
+    df.withColumn("__pid", spark_partition_id())
       .withColumn("__lr", row_number().over(wLocal))
       .filter(col("__lr") <= k)
-      .withColumn("rank", row_number().over(wGlobal))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+      .withColumn(rankCol, row_number().over(wGlobal))
+      .filter(col(rankCol) <= k)
+      .drop("__pid", "__lr")
   }
 
   /** Exact cosine top-k of each query vector against the corpus.
@@ -300,25 +310,30 @@ object Similarity {
       seedRows.map(_.getAs[scala.collection.Seq[Float]]("__v")
         .slice(s * subDim, (s + 1) * subDim).toArray)
     }
+    import org.apache.spark.sql.GraftColumnBridge
     for (_ <- 0 until kmeansIters) {
-      val assigns = (0 until m).map { s =>
-        val sub = slice(col("__v"), s * subDim + 1, subDim)
-        struct(lit(s).as("m"),
-          element_at(
-            graft.functions.VectorFunctions.nearest_cells(sub, books(s), 1), 1).as("c"),
-          sub.as("x"))
-      }
+      // assignment rule == the ENCODER's rule (PqEncode: L2-argmin, ties →
+      // lowest code): textbook Lloyd with the production quantizer, so the
+      // codebooks are fit to exactly the partition the codes come from (an
+      // earlier draft assigned with the cosine NearestCells kernel — a
+      // different metric than the encoder's, systematically inflating
+      // quantization error)
+      val codes = GraftColumnBridge.column(graft.functions.PqEncode(
+        GraftColumnBridge.expression(col("__v")), books))
       val means = corpus.select(col(vecCol).as("__v"))
         .filter(col("__v").isNotNull)
-        .select(explode(array(assigns: _*)).as("a"))
-        .select(col("a.m").as("sub"), col("a.c"), posexplode(col("a.x")))
-        .groupBy("sub", "c", "pos").agg(avg(col("col")).as("mean"))
+        .select(codes.as("__c"), posexplode(col("__v")))
+        .select(
+          (col("pos") / subDim).cast("int").as("sub"),
+          element_at(col("__c"), (col("pos") / subDim).cast("int") + 1).as("c"),
+          (col("pos") % subDim).as("p"), col("col").cast("double").as("x"))
+        .groupBy("sub", "c", "p").agg(avg(col("x")).as("mean"))
         .collect()
       val bySub = means.groupBy(_.getInt(0))
       books = Array.tabulate(m) { s =>
         val cells = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
           .groupBy(_.getInt(1))
-        // kept-cell index order == prior-centroid order, like the unfused form
+        // kept-cell index order == prior-centroid order; empty cells drop
         cells.keySet.toArray.sorted.map(c =>
           cells(c).sortBy(_.getInt(2)).map(_.getDouble(3).toFloat))
       }
@@ -355,7 +370,9 @@ object Similarity {
              queries: DataFrame, queryId: String, queryVec: String,
              k: Int = 10, m: Int = 8, nCentroids: Int = 16,
              nCells: Int = 16, nProbe: Int = 8, kmeansIters: Int = 2,
-             refine: Int = 4): DataFrame = {
+             refine: Int = 4,
+             scope: graft.operators.CacheScope = graft.operators.CacheScope.untracked)
+      : DataFrame = {
     val qRows = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .filter(col("__qv").isNotNull).collect()
     require(qRows.nonEmpty, "pqTopK: empty query battery")
@@ -366,26 +383,42 @@ object Similarity {
     import org.apache.spark.sql.GraftColumnBridge
     val codes = GraftColumnBridge.column(graft.functions.PqEncode(
       GraftColumnBridge.expression(col("__cv")), books))
-    val encoded = ivfAssignCollected(
-        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
-        "__cv", cellIds, cents, nProbe = 1)
-      .select(col("neighbor_id"), col("cell"), codes.as("__code"),
-        norm(col("__cv")).as("__vn"))
+    // persisted: every query's candidate branch reads this projection —
+    // without the cache the full assignment+encode scan re-runs per query.
+    // Norms via the codegen'd vec_dot kernel (the interpreted HOF fold is
+    // the r10 classifier lesson; values identical — same fold order).
+    val encoded = scope.persisted(
+      ivfAssignCollected(
+          corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+          "__cv", cellIds, cents, nProbe = 1)
+        .select(col("neighbor_id"), col("cell"), codes.as("__code"),
+          sqrt(graft.functions.VectorFunctions.vec_dot(col("__cv"), col("__cv")))
+            .as("__vn")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val perQuery = qRows.map { r =>
       val qid = r.get(0)
       val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
-      // probed cells + ADC table from the driver-resident matrices
+      // probed cells by the SAME rule the corpus was assigned with
+      // (NearestCells: cosine desc, tie → lower cell index) — an L2 probe
+      // order would send queries to cells the cosine partition never put
+      // their neighbors in
+      var qn0 = 0.0
+      qv.foreach(x => qn0 += x.toDouble * x.toDouble)
+      val qNorm = math.sqrt(qn0)
       val probed: Seq[Any] = cents.indices
         .sortBy { c =>
-          var d = 0.0; var i = 0
-          while (i < dim) { val x = qv(i) - cents(c)(i); d += x * x; i += 1 }
-          (d, c) // deterministic tie on cell index
+          var dot = 0.0; var cn = 0.0; var i = 0
+          while (i < dim) {
+            dot += qv(i).toDouble * cents(c)(i).toDouble
+            cn += cents(c)(i).toDouble * cents(c)(i).toDouble
+            i += 1
+          }
+          val cos = if (qNorm == 0.0 || cn == 0.0) -2.0 else dot / (qNorm * math.sqrt(cn))
+          (-cos, c) // cosine desc, deterministic tie on cell index
         }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
         .take(nProbe).map(cellIds)
-      var qn = 0.0
-      qv.foreach(x => qn += x.toDouble * x.toDouble)
-      qn = math.sqrt(qn)
+      val qn = qNorm
       val table: Array[Array[Double]] = {
         var off = 0
         books.map { book =>
@@ -408,17 +441,8 @@ object Similarity {
     }.reduce(_ unionByName _)
 
     // short list by approximate cosine, then exact re-rank
-    val ordA = Seq(col("__approx").desc, col("neighbor_id").asc)
-    val wLocalA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"), col("__pid")).orderBy(ordA: _*)
-    val wGlobalA = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(ordA: _*)
-    val shortList = perQuery
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number().over(wLocalA))
-      .filter(col("__lr") <= k * refine)
-      .withColumn("__ar", row_number().over(wGlobalA))
-      .filter(col("__ar") <= k * refine)
+    val shortList = twoStageTopK(perQuery, "query_id",
+        Seq(col("__approx").desc, col("neighbor_id").asc), k * refine, "__ar")
       .select("query_id", "neighbor_id")
     val cVec = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val qVec = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))

@@ -1059,7 +1059,7 @@ object Hdf5Index {
     val P = new Parser(r, path)
 
     // pass 1: walk the group tree, collecting datasets and group attrs
-    final case class RawDs(pathKey: String, ms: List[Msg])
+    final case class RawDs(pathKey: String, ms: List[Msg], alias: Boolean = false)
     val groupAttrs = List.newBuilder[(String, String)] // (entry-dir, zattrs json)
     val datasets = List.newBuilder[RawDs]
     val nameOf = scala.collection.mutable.LinkedHashMap.empty[Long, String] // ohdr → basename
@@ -1131,9 +1131,10 @@ object Hdf5Index {
         require(!stack.contains(addr),
           s"hdf5 '$path': soft-link alias cycle through header $addr")
         val ms = P.messages(addr)
+        pathToAddr(key) = addr // alias children are addressable targets too
         if (ms.exists(_.mtype == 0x08)) {
           nameOf.getOrElseUpdate(addr, key.split("/").last)
-          datasets += RawDs(key, ms)
+          datasets += RawDs(key, ms, alias = true)
         } else {
           renderAttrs(P.attributes(ms), Nil).foreach(j => groupAttrs += (key -> j))
           P.groupLinks(ms).foreach {
@@ -1221,7 +1222,10 @@ object Hdf5Index {
       val isScale = attrMap.get("CLASS").exists { case AStr(s) => s == "DIMENSION_SCALE"; case _ => false }
       // an UNLIMITED dimension scale is the file's record dimension — the
       // axis multi-file (glob) opens concatenate along
-      if (isScale && rank == 1 && sp.unlimited.headOption.contains(true))
+      // only the CANONICAL (hard-linked) visit registers the record
+      // dimension: a soft-link alias of an unlimited scale is the same
+      // physical axis, not a second one
+      if (isScale && rank == 1 && sp.unlimited.headOption.contains(true) && !ds.alias)
         recordDims += ds.pathKey.split('/').last
       val dims: Seq[String] = attrMap.get("DIMENSION_LIST") match {
         case Some(ARefs(refs)) =>

@@ -265,6 +265,24 @@ class Hdf5V4Spec extends AnyFunSuite {
     java.nio.file.Files.delete(java.nio.file.Paths.get(path))
   }
 
+  test("soft links: a target inside a resolved alias subtree resolves (chained rounds)") {
+    val bytes = fileMsgs { s =>
+      val data = s.pos; s.bytes(i32(5, 6))
+      val x = ohdr(s, Seq(
+        0x01 -> dataspace2(Seq(2)), 0x03 -> dtInt32,
+        0x08 -> layoutV4(Seq(2), 1, data)))
+      val g = ohdr(s, Seq(0x06 -> link("x", x)))
+      Seq(0x06 -> link("g", g),
+        0x06 -> softLink("galias", "/g"),
+        // resolvable only AFTER galias surfaces its children
+        0x06 -> softLink("y", "/galias/x"))
+    }
+    val path = writeTmp(bytes)
+    val v = decodeAll(path)
+    assert(v(("y", "0")) == 5 && v(("y", "1")) == 6)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+  }
+
   test("soft links: cycles, dangling targets, external links refuse loudly") {
     def refuse(bytes: Array[Byte], needle: String): Unit = {
       val path = writeTmp(bytes)
