@@ -37,10 +37,10 @@ class VerifySpec extends AnyFunSuite {
     // compared — the driver only checks oracles for dumped queries
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle entries without a query: $orphans")
-    // inverse direction is intentionally allowed (rows-only queries have
-    // no oracle), but the rows-only set must stay exactly the two
-    // by-design approximate ANN queries
+    // r11: the last two rows-only queries (the approximate ANN top-ks)
+    // became property-verdict rows with constant oracles — EVERY
+    // registered query now carries an oracle, and this pin keeps it so
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("ann_lsh_topk", "ann_ivf_topk"), rowsOnly)
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 }
