@@ -41,6 +41,102 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object KeywordSearch {
 
+  /** Frozen corpus statistics + query battery for BM25 scoring — what a
+    * deployment computes ONCE on a reference corpus and then applies to
+    * any batch or stream ([[bm25Score]]). `idf` indexes [[terms]]
+    * (sorted-distinct union of all query vocabularies). */
+  final case class Bm25Model(
+      k1: Double, b: Double, avgdl: Double,
+      terms: Seq[String], idf: Array[Double],
+      queries: Seq[(String, Seq[String])])
+
+  /** driver-side mirror of Dedup.tokens' contract */
+  private def qTokens(s: String): Seq[String] =
+    s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def parseBattery(queries: Seq[(String, String)]): Seq[(String, Seq[String])] = {
+    require(queries.nonEmpty, "bm25: empty query battery")
+    val perQuery = queries.map { case (qid, qtext) => (qid, qTokens(qtext)) }
+    perQuery.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"bm25: query '$qid' has no terms") }
+    perQuery
+  }
+
+  /** Build a [[Bm25Model]] from a reference corpus: one scan computes the
+    * tf/dl projection, one aggregation derives N / avgdl / per-term df. */
+  def bm25Model(corpus: DataFrame, textCol: String,
+                queries: Seq[(String, String)],
+                k1: Double = 1.2, b: Double = 0.75): Bm25Model = {
+    val perQuery = parseBattery(queries)
+    val allTerms = perQuery.flatMap(_._2).distinct.sorted
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val tf = GraftColumnBridge.column(graft.functions.TermCounts(
+      GraftColumnBridge.expression(toks), allTerms))
+    val projected = corpus.select(tf.as("__tf"), size(toks).cast(LongType).as("dl"))
+    val (n, avgdl, idf) = statsOf(projected, allTerms.size)
+    Bm25Model(k1, b, avgdl, allTerms, idf, perQuery)
+  }
+
+  private def statsOf(projected: DataFrame, nTerms: Int): (Long, Double, Array[Double]) = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
+        (0 until nTerms).map(i =>
+          sum(when(element_at(col("__tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val statsRow = projected.agg(aggs.head, aggs.tail: _*).head()
+    val n = statsRow.getLong(0)
+    require(n > 0, "bm25: empty corpus")
+    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+    val idf = (0 until nTerms).map { i =>
+      val df = statsRow.getLong(2 + i).toDouble
+      math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+    }.toArray
+    (n, avgdl, idf)
+  }
+
+  /** Per-term contribution sum in QUERY TERM ORDER over a `__tf`/`dl`
+    * projection — shared verbatim by the batch top-k and the streaming
+    * scorer, so their scores are bit-identical. */
+  private def scoreOf(terms: Seq[String], termIdx: Map[String, Int],
+                      idf: Array[Double], k1: Double, norm: Column): Column =
+    terms.map { t =>
+      val i = termIdx(t)
+      val tfc = element_at(col("__tf"), i + 1).cast(DoubleType)
+      lit(idf(i)) * tfc * lit(k1 + 1.0) / (tfc + norm)
+    }.reduce(_ + _)
+
+  private def tfTotalOf(terms: Seq[String], termIdx: Map[String, Int]): Column =
+    terms.distinct.map(t => element_at(col("__tf"), termIdx(t) + 1).cast(LongType))
+      .reduce(_ + _)
+
+  /** Score a document frame — batch OR `readStream` — against a frozen
+    * [[Bm25Model]]: (query_id, doc_id, score, dl, tf_total) rows for
+    * docs carrying at least one query term. STATELESS (one codegen'd tf
+    * kernel + literal arithmetic per row; the model rides the plan), so
+    * the same call is the streaming twin with byte-identical scores —
+    * no state store, no watermark (the qualityFilter precedent). Top-k
+    * ranking needs ordering and is the BATCH operator's job; a stream
+    * consumer windows the scored rows downstream. */
+  def bm25Score(docs: DataFrame, textCol: String, idCol: String,
+                model: Bm25Model): DataFrame = {
+    val termIdx = model.terms.zipWithIndex.toMap
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val tf = GraftColumnBridge.column(graft.functions.TermCounts(
+      GraftColumnBridge.expression(toks), model.terms))
+    val base = docs.select(col(idCol).as("doc_id"), tf.as("__tf"),
+      size(toks).cast(LongType).as("dl"))
+    val norm = lit(model.k1 * (1 - model.b)) +
+      lit(model.k1 * model.b / model.avgdl) * col("dl").cast(DoubleType)
+    model.queries.map { case (qid, ts) =>
+      base
+        .withColumn("__s", scoreOf(ts, termIdx, model.idf, model.k1, norm))
+        .filter(col("__s") > 0.0)
+        .select(lit(qid).as("query_id"), col("doc_id"), col("__s").as("score"),
+          col("dl"), tfTotalOf(ts, termIdx).as("tf_total"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Top-k BM25 hits per query: (query_id, rank, doc_id, score, dl,
     * tf_total). `queries` is a driver-side battery (id → text) — query
     * vocabularies ride the plan as expression literals, so the battery
@@ -50,14 +146,7 @@ object KeywordSearch {
                queries: Seq[(String, String)], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75,
                scope: CacheScope = CacheScope.untracked): DataFrame = {
-    require(queries.nonEmpty, "bm25TopK: empty query battery")
-    // driver-side mirror of Dedup.tokens' contract
-    def qTokens(s: String): Seq[String] =
-      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    val perQuery: Seq[(String, Seq[String])] =
-      queries.map { case (qid, qtext) => (qid, qTokens(qtext)) }
-    perQuery.foreach { case (qid, ts) =>
-      require(ts.nonEmpty, s"bm25TopK: query '$qid' has no terms") }
+    val perQuery = parseBattery(queries)
     val allTerms: Seq[String] =
       perQuery.flatMap(_._2).distinct.sorted // deterministic kernel layout
     val termIdx: Map[String, Int] = allTerms.zipWithIndex.toMap
@@ -66,44 +155,25 @@ object KeywordSearch {
     val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
     val tf = GraftColumnBridge.column(graft.functions.TermCounts(
       GraftColumnBridge.expression(toks), allTerms))
+    // persisted: the int projection feeds BOTH the stats aggregation and
+    // every query's scoring branch — the corpus text is read exactly once
+    // no matter the battery size (bm25Score by contrast recomputes tf
+    // inline: it serves streams, which cannot persist)
     val projected = scope.persisted(
       docs.select(col(idCol).as("doc_id"), tf.as("__tf"),
         size(toks).cast(LongType).as("dl")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // corpus stats: one aggregation over the int projection
-    val dfAggs: Seq[Column] =
-      Seq(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")) ++
-        allTerms.indices.map(i =>
-          sum(when(element_at(col("__tf"), i + 1) > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    val statsRow = projected.agg(dfAggs.head, dfAggs.tail: _*).head()
-    val n = statsRow.getLong(0)
-    require(n > 0, "bm25TopK: empty corpus")
-    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
-    val idf: Array[Double] = allTerms.indices.map { i =>
-      val df = statsRow.getLong(2 + i).toDouble
-      math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
-    }.toArray
+    val (_, avgdl, idf) = statsOf(projected, allTerms.size)
 
     // per-row length normalization, shared by every term of every query
     val norm = lit(k1 * (1 - b)) + lit(k1 * b / avgdl) * col("dl").cast(DoubleType)
-    def scoreOf(terms: Seq[String]): Column =
-      terms.map { t =>
-        val i = termIdx(t)
-        val tfc = element_at(col("__tf"), i + 1).cast(DoubleType)
-        lit(idf(i)) * tfc * lit(k1 + 1.0) / (tfc + norm)
-      }.reduce(_ + _) // query-term order: bit-deterministic row-local sum
-    def tfTotalOf(terms: Seq[String]): Column =
-      terms.distinct.map(t => element_at(col("__tf"), termIdx(t) + 1).cast(LongType))
-        .reduce(_ + _)
-
     val scored = perQuery.map { case (qid, ts) =>
       projected
-        .withColumn("__s", scoreOf(ts))
+        .withColumn("__s", scoreOf(ts, termIdx, idf, k1, norm))
         // zero-score docs carry no query term: pruned before any exchange
         .filter(col("__s") > 0.0)
         .select(lit(qid).as("query_id"), col("doc_id"), col("__s").as("score"),
-          col("dl"), tfTotalOf(ts).as("tf_total"))
+          col("dl"), tfTotalOf(ts, termIdx).as("tf_total"))
     }.reduce(_ unionByName _)
 
     // shared two-stage deterministic top-k (Similarity.twoStageTopK):

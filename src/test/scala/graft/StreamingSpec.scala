@@ -274,6 +274,48 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=${streamKept.size} batch=${batchKept.size} diff=${(streamKept diff batchKept).take(5)}${(batchKept diff streamKept).take(5)}")
   }
 
+  test("streaming bm25: scored rows via MemoryStream equal the batch top-k source") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KeywordSearch
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val battery = Seq(("q_join", "spark hash join"), ("q_scan", "fast table scan"))
+    val model = KeywordSearch.bm25Model(docs, "text", battery)
+    // batch truth: the top-k operator on the same corpus + same stats
+    val batchTopK = KeywordSearch.bm25TopK(docs, "text", "doc_id", battery, k = 10)
+      .select("query_id", "rank", "doc_id", "score")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // stream the same docs through the stateless scorer
+    val input = MemoryStream[(Long, String)]
+    val q = KeywordSearch.bm25Score(input.toDF().toDF("doc_id", "text"), "text", "doc_id", model)
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    val rows = docs.as[(Long, String)].collect()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("bm25_stream")
+      .select("query_id", "doc_id", "score")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every batch top-k row exists in the stream with a BIT-IDENTICAL
+    // score (same literal idf table, same query-term-order float sums)
+    batchTopK.foreach { case (qid, rank, did, score) =>
+      assert(streamed.get((qid, did)).contains(score),
+        s"$qid rank $rank doc $did: batch $score vs stream ${streamed.get((qid, did))}")
+    }
+    // and re-ranking the streamed scores reproduces the batch ranking
+    val reranked = streamed.toSeq
+      .groupBy(_._1._1).flatMap { case (qid, xs) =>
+        xs.sortBy { case ((_, did), s) => (-s, did) }.take(10).zipWithIndex
+          .map { case (((_, did), s), i) => (qid, i + 1, did, s) }
+      }.toSet
+    assert(reranked == batchTopK.toSet,
+      s"diff=${(reranked diff batchTopK.toSet).take(3)} ${(batchTopK.toSet diff reranked).take(3)}")
+  }
+
   test("streaming near-dup: duplicates collide in-bucket, TTL forgets old buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
