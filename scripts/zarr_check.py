@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Independent pure-python pin for the zarr v2 writer (save_zarr_roundtrip).
+
+Reads the store the gate query wrote — json + zlib + struct only, no zarr
+library — and compares every decoded cell against the nation/region
+parquet the tidy plane was derived from (via duckdb). A disagreement on
+any byte of the written format (chunk naming, C-order offsets,
+little-endian f8, zlib framing, edge-chunk padding) fails here even if
+the engine's own reader happens to share the writer's mistake.
+
+Usage: zarr_check.py [store_dir] [sf_dir]
+Defaults match the sf0.01 gate run.
+"""
+import json, os, struct, sys, zlib
+
+import duckdb
+
+
+def read_store_var(store, name):
+    with open(os.path.join(store, name, ".zarray")) as f:
+        za = json.load(f)
+    assert za["zarr_format"] == 2 and za["dtype"] == "<f8", za
+    assert za["order"] == "C", za
+    shape, chunks = za["shape"], za["chunks"]
+    comp = za.get("compressor")
+    n_in = [-(-s // c) for s, c in zip(shape, chunks)]  # chunks per dim
+    out = {}
+    def rec(idx):
+        if len(idx) == len(shape):
+            member = ".".join(str(i) for i in idx)
+            with open(os.path.join(store, name, member), "rb") as f:
+                raw = f.read()
+            if comp is not None:
+                assert comp["id"] == "zlib", comp
+                raw = zlib.decompress(raw)
+            vals = struct.unpack("<%dd" % (len(raw) // 8), raw)
+            # C-order walk of the (padded) chunk
+            dims = chunks
+            for flat, v in enumerate(vals):
+                rem, coord = flat, []
+                for d in range(len(dims) - 1, -1, -1):
+                    coord.append(idx[d] * dims[d] + rem % dims[d])
+                    rem //= dims[d]
+                coord = tuple(reversed(coord))
+                if all(c < s for c, s in zip(coord, shape)):  # drop padding
+                    out[coord] = v
+            return
+        for i in range(n_in[len(idx)]):
+            rec(idx + [i])
+    rec([])
+    assert len(out) == 1 if not shape else True
+    return out
+
+
+def main():
+    store = (sys.argv[1] if len(sys.argv) > 1
+             else "/tmp/graft_zarr_rt__root_testdata_sf0.01")
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    nk = con.execute(
+        "SELECT n_nationkey FROM read_parquet(?) ORDER BY n_nationkey",
+        [os.path.join(sf, "nation.parquet")]).fetchall()
+    rk = con.execute(
+        "SELECT r_regionkey FROM read_parquet(?) ORDER BY r_regionkey",
+        [os.path.join(sf, "region.parquet")]).fetchall()
+    n_key = read_store_var(store, "n_key")
+    assert len(n_key) == len(nk), (len(n_key), len(nk))
+    for i, (k,) in enumerate(nk):
+        assert n_key[(i,)] == float(k), (i, n_key[(i,)], k)
+    key_sum = read_store_var(store, "key_sum")
+    assert len(key_sum) == len(nk) * len(rk)
+    for i, (k,) in enumerate(nk):
+        for j, (r,) in enumerate(rk):
+            assert key_sum[(i, j)] == float(k + r), (i, j, key_sum[(i, j)], k + r)
+    # dimension names round-trip too
+    with open(os.path.join(store, "key_sum", ".zattrs")) as f:
+        assert json.load(f)["_ARRAY_DIMENSIONS"] == ["nation", "region"]
+    print("zarr_check: OK — %d + %d cells match parquet truth"
+          % (len(n_key), len(key_sum)))
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,10 @@ object Bench {
     "search_bm25_topk",
     // r11: IVF-PQ (codebook training + encode scan + ADC + exact re-rank
     // + the in-plan property verification)
-    "ann_pq_topk")
+    "ann_pq_topk",
+    // r11: the zarr SINK round trip (write banded zlib store + read back
+    // through the engine's own reader + decode plane)
+    "save_zarr_roundtrip")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add

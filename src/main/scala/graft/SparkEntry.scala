@@ -1162,6 +1162,54 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "save_zarr_roundtrip" -> ((s, dir) => {
+      // r11: the zarr v2 SINK, gated end to end — build a tidy plane from
+      // nation/region (coords = rank in key order, the Dap2 fixture's
+      // construction), WRITE it as a real zarr directory store (banded
+      // chunks + zlib), read the store back through the engine's own
+      // ZarrDirectoryIndex + decode plane, and emit the decoded cells;
+      // the oracle re-derives every cell from the same parquet, so a
+      // writer/reader disagreement on any byte of the format fails.
+      // scripts/zarr_check.py additionally re-reads the store with an
+      // independent pure-python parse (json + zlib + struct).
+      import org.apache.spark.sql.expressions.Window
+      val n = T(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"),
+          col("n_regionkey").cast(LongType).as("rk"))
+        .withColumn("i", (row_number().over(Window.orderBy("k")) - 1).cast(LongType))
+      val r = T(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType).as("rr"))
+        .withColumn("j", (row_number().over(Window.orderBy("rr")) - 1).cast(LongType))
+      val tidy = n
+        .select(lit("n_key").as("variable"), typedLit(Seq("nation")).as("dims"),
+          array(col("i")).as("coords"), col("k").cast(DoubleType).as("value"))
+        .unionByName(n.join(broadcast(r))
+          .select(lit("key_sum").as("variable"),
+            typedLit(Seq("nation", "region")).as("dims"),
+            array(col("i"), col("j")).as("coords"),
+            (col("k") + col("rr")).cast(DoubleType).as("value")))
+      val out = s"/tmp/graft_zarr_rt_${tmpToken(dir)}"
+      val outPath = java.nio.file.Paths.get(out)
+      if (java.nio.file.Files.exists(outPath)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(outPath)
+        try walk.iterator().asScala.toSeq.reverse.foreach(p =>
+          java.nio.file.Files.deleteIfExists(p)) finally walk.close()
+      }
+      // a 256-byte budget forces multi-chunk banding on both variables
+      graft.sources.ZarrWriter.write(tidy, out, maxChunkBytes = 256)
+      val entries = graft.sources.ZarrDirectoryIndex.read(s, out)
+      graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_opendap_labels" -> ((s, dir) => {
       // r11: DAP2 String atomic arrays (coordinate labels — e.g. station
       // or region names on real ESM servers). The fixture serves r_name
@@ -3192,6 +3240,24 @@ object SparkEntry {
     // every value recomputed from the same nation/region parquet the
     // fixture server encodes — the wire (XDR counts, Int16 promotion, Byte
     // packing, IEEE big-endian) must be perfectly transparent
+    // the sink round trip re-derives from the same parquet the tidy plane
+    // was built from — coord = rank-1 in key order on each axis
+    "save_zarr_roundtrip" ->
+      """WITH nk AS (SELECT n_nationkey AS k,
+        |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),
+        |     rk AS (SELECT r_regionkey AS rr,
+        |              ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS j FROM region)
+        |SELECT variable, dims, coord_key, value FROM (
+        |  SELECT 'n_key' AS variable, 'nation' AS dims,
+        |         CAST(i AS VARCHAR) AS coord_key, CAST(k AS DOUBLE) AS value
+        |  FROM nk
+        |  UNION ALL
+        |  SELECT 'key_sum', 'nation.region',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         CAST(k + rr AS DOUBLE)
+        |  FROM nk, rk)
+        |ORDER BY variable, coord_key""".stripMargin,
+
     // the decoded String labels re-derive from the same region parquet the
     // fixture server reads; coord = position in r_regionkey order
     "load_opendap_labels" ->
