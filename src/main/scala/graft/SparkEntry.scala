@@ -169,6 +169,27 @@ object SparkEntry {
     s"$out/images.parquet"
   }
 
+  /** One-time REAL-container audio fixture for `multimodal_audio_meta`
+    * (cached per sf dir): every doc_id becomes an actual WAV (JDK
+    * javax.sound encoder) or hand-encoded FLAC STREAMINFO payload with
+    * facts derived from doc_id arithmetic — [[graft.harness.AudioFixture]].
+    * Encoding runs distributed (mapPartitions over the doc ids). */
+  def ensureAudioFixture(s: SparkSession, dir: String): String = {
+    val out    = s"/tmp/graft_audio_v1_${tmpToken(dir)}"
+    val marker = Paths.get(out, "_READY")
+    this.synchronized {
+      if (!Files.exists(marker)) {
+        import s.implicits._
+        T(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.harness.AudioFixture.encode(id))))
+          .toDF("clip_id", "payload")
+          .write.mode("overwrite").parquet(s"$out/audio.parquet")
+        Files.createFile(marker)
+      }
+    }
+    s"$out/audio.parquet"
+  }
+
   /** One-time local kerchunk index fixture for `load_kerchunk_chunks`: ref
     * entries pointing at byte ranges of a STABLE read-only local file (the
     * reference's noaa-nwm sample index, 54207 bytes) plus inline, base64 and
@@ -2583,6 +2604,21 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "multimodal_audio_meta" -> ((s, dir) => {
+      // r11: REAL audio container facts — the fixture encodes actual WAV
+      // (the JDK's own javax.sound writer) and FLAC STREAMINFO payloads,
+      // the engine parses the BYTES back with the native header-parse
+      // expression (strict — unknown containers refuse, never a silent
+      // wrong duration), and the oracle re-derives everything from the
+      // clip_id arithmetic, so any encoder/parser offset disagreement
+      // fails the gate.
+      val clips = s.read.parquet(ensureAudioFixture(s, dir))
+      Multimodal.audioMeta(clips, "payload", "clip_id", strict = true)
+        .select(col("id"), col("format"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), col("duration_ms"))
+        .orderBy("id")
+    }),
+
     "multimodal_phash" -> ((s, dir) => {
       // r11: REAL pixel-plane perceptual hash — ImageIO decodes the
       // fixture's actual container bytes, the 8×8 integer-luma thumbnail
@@ -4917,6 +4953,19 @@ object SparkEntry {
         |  CAST((width * 224) // greatest(width, height) AS INT) AS out_w,
         |  CAST((height * 224) // greatest(width, height) AS INT) AS out_h
         |FROM m ORDER BY id""".stripMargin,
+
+    // audio facts re-derived from the clip_id arithmetic the fixture
+    // encoder used; duration is integer division (frames·1000 // rate)
+    "multimodal_audio_meta" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'flac' END AS format,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |  CAST((doc_id // 2) % 2 + 1 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(doc_id % 100 + 50 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 100 + 50) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT)
+        |    AS duration_ms
+        |FROM documents ORDER BY id""".stripMargin,
 
     // Pixel-plane aHash re-derived from first principles: the fixture's
     // pixel function is (x·31 + y·17 + id) & 0xffffff and png/bmp encode

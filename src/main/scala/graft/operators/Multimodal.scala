@@ -54,27 +54,63 @@ object Multimodal {
       col("n_bytes"))
   }
 
+  /** True audio container metadata parsed from the payload header — the
+    * audio sibling of [[imageMeta]]: the pure-JVM
+    * [[graft.functions.AudioMeta]] kernel (WAV/RIFF chunk walk, FLAC
+    * STREAMINFO — public-spec offsets, no codec, no sample decode).
+    * Output per row: id, format, sample_rate, channels, bits, n_frames,
+    * duration_ms, n_bytes. A payload that is neither container (or is
+    * truncated/compressed-WAV) yields nulls — or refuses LOUDLY per row
+    * with `strict = true`. */
+  def audioMeta(df: DataFrame, binCol: String, idCol: String,
+                strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val meta = GraftColumnBridge.column(
+      graft.functions.AudioMeta(GraftColumnBridge.expression(col(binCol))))
+    val base = df.select(col(idCol).as("id"), meta.as("__a"),
+      octet_length(col(binCol)).cast(LongType).as("n_bytes"))
+    val guarded =
+      if (!strict) base
+      else base.filter(coalesce(assert_true(col("__a").isNotNull,
+        concat(lit("audioMeta: unrecognized or truncated audio container for id="),
+          col("id").cast(StringType))), lit(true)))
+    guarded.select(col("id"),
+      col("__a").getField("format").as("format"),
+      col("__a").getField("sample_rate").as("sample_rate"),
+      col("__a").getField("channels").as("channels"),
+      col("__a").getField("bits").as("bits"),
+      col("__a").getField("n_frames").as("n_frames"),
+      col("__a").getField("duration_ms").as("duration_ms"),
+      col("n_bytes"))
+  }
+
   /** Wrap a binary payload column with its metadata struct. Width/height
     * come from the REAL container-header parse ([[imageMeta]]) when the
-    * payload is a recognized image; non-image payloads fall back to the
-    * deterministic content-hash pseudo-dims (STUB — a real media decoder
-    * would own those, e.g. audio/video duration). */
+    * payload is a recognized image; duration comes from the REAL audio
+    * header parse ([[audioMeta]]) when it is a recognized audio
+    * container (r11 — previously a content-hash stub for everything);
+    * other payloads fall back to the deterministic content-hash
+    * pseudo-values (STUB — a real video decoder would own those). */
   def withMediaMeta(df: DataFrame, binCol: String, mime: Column): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val b = col(binCol)
     val dims = GraftColumnBridge.column(
       graft.functions.ImageDims(GraftColumnBridge.expression(b)))
+    val audio = GraftColumnBridge.column(
+      graft.functions.AudioMeta(GraftColumnBridge.expression(b)))
     val h = abs(xxhash64(b))
-    df.withColumn("__d", dims).withColumn("media_meta", struct(
-      mime.as("mime"),
-      octet_length(b).cast(LongType).as("n_bytes"),
-      coalesce(col("__d").getField("width"),
-        (h % 1920 + 1).cast(IntegerType)).as("width"),
-      coalesce(col("__d").getField("height"),
-        (h % 1080 + 1).cast(IntegerType)).as("height"),
-      (h % 600000).cast(LongType).as("duration_ms"),
-      md5(b).as("checksum"),
-    )).drop("__d")
+    df.withColumn("__d", dims).withColumn("__a", audio)
+      .withColumn("media_meta", struct(
+        mime.as("mime"),
+        octet_length(b).cast(LongType).as("n_bytes"),
+        coalesce(col("__d").getField("width"),
+          (h % 1920 + 1).cast(IntegerType)).as("width"),
+        coalesce(col("__d").getField("height"),
+          (h % 1080 + 1).cast(IntegerType)).as("height"),
+        coalesce(col("__a").getField("duration_ms"),
+          (h % 600000).cast(LongType)).as("duration_ms"),
+        md5(b).as("checksum"),
+      )).drop("__d", "__a")
   }
 
   /** Batched "decode + featurize" over binary payloads — the Spark-side

@@ -1158,6 +1158,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage != null && ex.getMessage.contains("undecodable"), ex.getMessage)
   }
 
+  test("audio meta: golden WAV/FLAC headers parse to spec-exact facts") {
+    // hand-written WAV per the RIFF spec: 8000 Hz mono 16-bit, 4 frames
+    val wav = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le16(v: Int) = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def le32(v: Int) = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      o.write("RIFF".getBytes); le32(36 + 8)
+      o.write("WAVE".getBytes)
+      o.write("fmt ".getBytes); le32(16)
+      le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+      o.write("data".getBytes); le32(8)
+      o.write(new Array[Byte](8))
+      o.toByteArray
+    }
+    // the fixture's independent FLAC encoder: 12000 Hz stereo, 123 frames
+    val flac = graft.harness.AudioFixture.encode(5L)
+    val df = Seq((1L, wav), (2L, flac), (3L, "not audio".getBytes))
+      .toDF("id", "payload")
+    val out = Multimodal.audioMeta(df, "payload", "id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "wav" && out(1L).getInt(2) == 8000 &&
+      out(1L).getInt(3) == 1 && out(1L).getInt(4) == 16 &&
+      out(1L).getLong(5) == 4L && out(1L).getLong(6) == 0L)
+    assert(out(2L).getString(1) == "flac" &&
+      out(2L).getInt(2) == graft.harness.AudioFixture.sampleRate(5L) &&
+      out(2L).getInt(3) == graft.harness.AudioFixture.channels(5L) &&
+      out(2L).getLong(5) == graft.harness.AudioFixture.nFrames(5L))
+    assert(out(3L).isNullAt(1))
+    val ex = intercept[Exception] {
+      Multimodal.audioMeta(df, "payload", "id", strict = true).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("unrecognized"), ex.getMessage)
+    // truncated FLAC (header cut mid-STREAMINFO) refuses via null
+    val trunc = Seq((1L, flac.take(20))).toDF("id", "payload")
+    assert(Multimodal.audioMeta(trunc, "payload", "id").head().isNullAt(1))
+  }
+
+  test("media meta uses REAL parsed duration for audio payloads") {
+    val wav = graft.harness.AudioFixture.encode(4L) // JDK encoder
+    val df = Seq((1L, wav), (2L, "text payload".getBytes)).toDF("id", "payload")
+    val out = Multimodal.withMediaMeta(df, "payload", lit("audio/wav"))
+      .select("id", "media_meta").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L).getAs[Long]("duration_ms") ==
+      graft.harness.AudioFixture.durationMs(4L))
+    // non-audio payload keeps the deterministic stub
+    assert(out(2L).getAs[Long]("duration_ms") >= 0L)
+  }
+
   test("media meta uses REAL parsed dims for image payloads, stub otherwise") {
     val pngBytes = graft.harness.ImageFixture.encode(0L) // png 16x16
     val df = Seq((1L, pngBytes), (2L, "not an image".getBytes)).toDF("id", "payload")
