@@ -1210,13 +1210,7 @@ object SparkEntry {
             array(col("i"), col("j")).as("coords"),
             (col("k") + col("rr")).cast(DoubleType).as("value")))
       val out = s"/tmp/graft_zarr_rt_${tmpToken(dir)}"
-      val outPath = java.nio.file.Paths.get(out)
-      if (java.nio.file.Files.exists(outPath)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(outPath)
-        try walk.iterator().asScala.toSeq.reverse.foreach(p =>
-          java.nio.file.Files.deleteIfExists(p)) finally walk.close()
-      }
+      // (the writer clears any pre-existing store itself)
       // a 256-byte budget forces multi-chunk banding on both variables
       graft.sources.ZarrWriter.write(tidy, out, maxChunkBytes = 256)
       val entries = graft.sources.ZarrDirectoryIndex.read(s, out)

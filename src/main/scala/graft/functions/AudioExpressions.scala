@@ -80,7 +80,9 @@ object AudioMeta {
     ((b(i) & 0xff) << 16) | ((b(i + 1) & 0xff) << 8) | (b(i + 2) & 0xff)
 
   private def row(fmt: String, rate: Long, ch: Int, bits: Int, frames: Long): InternalRow =
-    if (rate <= 0 || ch <= 0 || bits <= 0 || frames < 0) null
+    // rate bounded to Int range BEFORE the .toInt: a 32-bit header field
+    // above Int.MaxValue must refuse, not truncate to a negative rate
+    if (rate <= 0 || rate > Int.MaxValue || ch <= 0 || bits <= 0 || frames < 0) null
     else InternalRow(UTF8String.fromString(fmt), rate.toInt, ch, bits, frames,
       frames * 1000L / rate)
 
@@ -91,27 +93,35 @@ object AudioMeta {
     // WAV: RIFF container, WAVE form, fmt + data chunk walk
     if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') {
-      var pos = 12
+      // LONG walk position: a 32-bit chunk size is unsigned, so .toInt
+      // arithmetic could advance by zero or negative amounts on corrupt
+      // payloads — an infinite loop or a crash where the contract is a
+      // null refusal. Every declared chunk must also FIT the payload
+      // (minus an optionally-missing final pad byte): a truncated clip
+      // must refuse, not report its declared duration as fact.
+      var pos = 12L
       var rate = -1L; var ch = -1; var bits = -1; var blockAlign = -1
       var dataSize = -1L
       while (pos + 8 <= b.length && (rate < 0 || dataSize < 0)) {
-        val id = new String(b, pos, 4, "US-ASCII")
-        val sz = le32(b, pos + 4)
+        val p = pos.toInt
+        val id = new String(b, p, 4, "US-ASCII")
+        val sz = le32(b, p + 4) // unsigned 32-bit, always >= 0 as Long
+        if (pos + 8 + sz > b.length) return null // truncated chunk body
         if (id == "fmt ") {
-          if (pos + 8 + 16 > b.length) return null
-          val audioFormat = le16(b, pos + 8)
+          if (sz < 16) return null
+          val audioFormat = le16(b, p + 8)
           // PCM (1) and IEEE float (3) only: compressed formats' data
           // sizes are not frame counts
           if (audioFormat != 1 && audioFormat != 3) return null
-          ch = le16(b, pos + 10)
-          rate = le32(b, pos + 12)
-          blockAlign = le16(b, pos + 20)
-          bits = le16(b, pos + 22)
+          ch = le16(b, p + 10)
+          rate = le32(b, p + 12)
+          blockAlign = le16(b, p + 20)
+          bits = le16(b, p + 22)
         } else if (id == "data") {
           dataSize = sz
         }
-        // chunks pad to even length (RIFF rule)
-        pos += 8 + sz.toInt + (sz.toInt & 1)
+        // chunks pad to even length (RIFF rule); advance is always >= 8
+        pos += 8L + sz + (sz & 1L)
       }
       if (rate < 0 || dataSize < 0 || blockAlign <= 0) return null
       return row("wav", rate, ch, bits, dataSize / blockAlign)

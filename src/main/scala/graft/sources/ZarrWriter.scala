@@ -20,9 +20,12 @@ import org.apache.spark.sql.types._
   * Spark-first scale shape:
   *  - per-variable geometry (dims, shape = max coord + 1, a chunk band
   *    along the FIRST dimension sized to `maxChunkBytes`) derives from
-  *    one metadata aggregation; the duplicate-coordinate guard is one
-  *    more (both map-side-combined) — a duplicate cell refuses loudly
-  *    (last-writer-wins would be silent data loss);
+  *    one metadata aggregation that also carries the duplicate-cell
+  *    guard (countDistinct(coords) — a duplicate refuses loudly;
+  *    last-writer-wins would be silent data loss); the input persists
+  *    once for the metadata and write passes; a pre-existing store at
+  *    the target path is cleared first (the reader walks the directory,
+  *    so stale chunks would silently corrupt reads);
   *  - every row maps to (chunk file, in-chunk C-order offset) by pure
   *    arithmetic against a broadcast geometry table; ONE shuffle groups
   *    rows by chunk file; each task assembles and writes its chunks
@@ -36,14 +39,24 @@ import org.apache.spark.sql.types._
   */
 object ZarrWriter {
 
-  def write(df: DataFrame, storePath: String,
+  def write(df0: DataFrame, storePath: String,
             maxChunkBytes: Long = 4L << 20,
             compress: Boolean = true): Unit = {
-    val spark = df.sparkSession
-    require(df.schema("value").dataType == DoubleType,
-      s"ZarrWriter: value column must be double, got ${df.schema("value").dataType}")
+    val spark = df0.sparkSession
+    require(df0.schema("value").dataType == DoubleType,
+      s"ZarrWriter: value column must be double, got ${df0.schema("value").dataType}")
+    // the input feeds three actions (geometry, shapes, chunk write) —
+    // persist once so an expensive upstream plan computes once, not 3×
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeCached(df, spark, storePath, maxChunkBytes, compress)
+    finally df.unpersist(false)
+  }
 
-    // ---- per-variable geometry (one aggregation) + input guards
+  private def writeCached(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, maxChunkBytes: Long,
+                          compress: Boolean): Unit = {
+    // ---- per-variable geometry + input guards (ONE aggregation — the
+    // duplicate-cell check rides it as countDistinct(coords))
     val metaRows = df
       .select(col("variable"), col("dims"), col("coords"))
       .groupBy("variable")
@@ -51,7 +64,8 @@ object ZarrWriter {
         countDistinct(col("dims")).as("nd"),
         first(col("dims")).as("dims"),
         max(size(col("coords"))).as("rankMax"),
-        min(size(col("coords"))).as("rankMin"))
+        min(size(col("coords"))).as("rankMin"),
+        countDistinct(col("coords")).as("ncells"))
       .collect()
     require(metaRows.nonEmpty, "ZarrWriter: empty input")
     metaRows.foreach { r =>
@@ -61,6 +75,10 @@ object ZarrWriter {
         s"ZarrWriter: variable '${r.getString(0)}' has ragged coords")
       require(r.getAs[scala.collection.Seq[String]]("dims").length == r.getInt(4),
         s"ZarrWriter: variable '${r.getString(0)}' dims/coords rank mismatch")
+      require(r.getLong(6) == r.getLong(1),
+        s"ZarrWriter: variable '${r.getString(0)}' has " +
+          s"${r.getLong(1) - r.getLong(6)} duplicate coordinate cells — refusing " +
+          "(silent last-writer-wins would lose data)")
     }
     val shapes = df
       .select(col("variable"), posexplode(col("coords")))
@@ -72,10 +90,6 @@ object ZarrWriter {
           s"ZarrWriter: variable '$v' has negative coordinates"))
         v -> rows.sortBy(_.getInt(1)).map(_.getLong(2) + 1L)
       }
-    val dup = df.groupBy("variable", "coords").count().filter(col("count") > 1L).count()
-    require(dup == 0L,
-      s"ZarrWriter: $dup duplicate (variable, coords) cells — refusing (silent " +
-        "last-writer-wins would lose data)")
 
     // ---- geometry table: band along dim 0 sized to the byte budget
     final case class Geo(variable: String, dims: Seq[String], shape: Seq[Long],
@@ -93,6 +107,14 @@ object ZarrWriter {
     // ---- driver-side metadata documents
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // clear any pre-existing store FIRST: the reader discovers chunks by
+    // walking the directory, so stale chunk files from an earlier write
+    // with different geometry would silently corrupt reads
+    locally {
+      val root = new org.apache.hadoop.fs.Path(storePath)
+      val fs = root.getFileSystem(conf.value)
+      if (fs.exists(root)) fs.delete(root, true)
+    }
     def writeFile(rel: String, bytes: Array[Byte]): Unit = {
       val p = new org.apache.hadoop.fs.Path(storePath, rel)
       val fs = p.getFileSystem(conf.value)
@@ -116,10 +138,10 @@ object ZarrWriter {
     // ---- data: map rows to (chunk file, offset), one shuffle, write
     import spark.implicits._
     val geoDf = broadcast(geos.toSeq.map(g =>
-        (g.variable, g.chunks.head, g.chunks,
+        (g.variable, g.chunks.head,
           // C-order strides over the CHUNK shape
           g.chunks.indices.map(d => g.chunks.drop(d + 1).product)))
-      .toDF("variable", "band", "__chunks", "__strides"))
+      .toDF("variable", "band", "__strides"))
     val keyed = df
       .join(geoDf, Seq("variable"))
       .withColumn("__member", concat_ws(".",

@@ -1172,7 +1172,7 @@ class MultimodalSpec extends AnyFunSuite {
       o.write(new Array[Byte](8))
       o.toByteArray
     }
-    // the fixture's independent FLAC encoder: 12000 Hz stereo, 123 frames
+    // the fixture's independent FLAC encoder: id 5 -> 12000 Hz mono, 55 frames
     val flac = graft.harness.AudioFixture.encode(5L)
     val df = Seq((1L, wav), (2L, flac), (3L, "not audio".getBytes))
       .toDF("id", "payload")
@@ -1193,6 +1193,36 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated FLAC (header cut mid-STREAMINFO) refuses via null
     val trunc = Seq((1L, flac.take(20))).toDF("id", "payload")
     assert(Multimodal.audioMeta(trunc, "payload", "id").head().isNullAt(1))
+  }
+
+  test("audio meta: corrupt and truncated WAV payloads refuse, never hang") {
+    // chunk size 0xFFFFFFF8: as signed-int arithmetic this advanced the
+    // walk by ZERO (an infinite executor loop); the Long walk refuses
+    val evil = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write("RIFF".getBytes); o.write(Array[Byte](36, 0, 0, 0))
+      o.write("WAVE".getBytes)
+      o.write("junk".getBytes); o.write(Array[Byte](-8, -1, -1, -1))
+      o.write(new Array[Byte](16))
+      o.toByteArray
+    }
+    // data chunk declares 96000 bytes but the payload was cut after the
+    // header: declared frames must NOT be reported as fact
+    val truncated = {
+      val o = new java.io.ByteArrayOutputStream()
+      def le16(v: Int) = { o.write(v & 0xff); o.write((v >> 8) & 0xff) }
+      def le32(v: Int) = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+      o.write("RIFF".getBytes); le32(36 + 96000)
+      o.write("WAVE".getBytes)
+      o.write("fmt ".getBytes); le32(16)
+      le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+      o.write("data".getBytes); le32(96000)
+      o.toByteArray
+    }
+    val out = Multimodal.audioMeta(
+        Seq((1L, evil), (2L, truncated)).toDF("id", "payload"), "payload", "id")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L), out.toString)
   }
 
   test("media meta uses REAL parsed duration for audio payloads") {

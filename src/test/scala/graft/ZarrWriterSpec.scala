@@ -30,7 +30,6 @@ class ZarrWriterSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
     // 64-byte budget → 8 doubles per chunk: t bands into 2 chunks,
     // grid (rowElems 4) bands 2 rows per chunk → 3 chunks
-    graft.operators.CacheScope // (no-op ref; keep import-free)
     graft.sources.ZarrWriter.write(tidy(rows), dir, maxChunkBytes = 64)
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "t", "1")))
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "grid", "2.0")))
