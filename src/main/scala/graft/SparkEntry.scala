@@ -1690,6 +1690,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // transitive duplicate clusters: connected components (large-star/
+      // small-star) over the exact n-gram Jaccard pair graph — the
+      // keep-one-per-CLUSTER closure production fuzzy dedup needs (A~B,
+      // B~C clusters A,B,C even when the pair (A,C) was never emitted)
+      val pairs = Dedup.ngramJaccard(T(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.3)
+      Dedup.clusterTable(pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+          col("cluster_size"))
+        .localCheckpoint(false) // don't re-run LSH+CC for the sort's range sampling
+        .orderBy("doc_id")
+    }),
+
+    "dedup_clusters_clean" -> ((s, dir) => {
+      // the application: keep the min-id member of every duplicate cluster
+      val docs  = T(s, dir, "documents")
+      val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, threshold = 0.3)
+      val drops = Dedup.connectedComponents(pairs)
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      docs.join(drops, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .localCheckpoint(false)
+        .orderBy("doc_id")
+    }),
+
     "dedup_substring" -> ((s, dir) => {
       // ExactSubstr spans: every 8-token window seen more than once in the
       // corpus, first occurrence canonical, the rest merged into maximal
@@ -4298,6 +4325,71 @@ object SparkEntry {
         |FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
         |WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Transitive closure over the exact jaccard>=0.3 pair graph: the same
+    // pair derivation as dedup_ngram_jaccard's oracle, then a recursive
+    // min-label propagation (edges both directions; the fixpoint MIN over
+    // every reachable node IS the component id). Exact — the Spark side's
+    // large-star/small-star iteration provably converges to the same
+    // minimum-reachable-id labeling.
+    "dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
+        |  WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b AS s, id_a AS d FROM pairs),
+        |cc AS (
+        |  SELECT s AS id, s AS lbl FROM edges
+        |  UNION
+        |  SELECT e.d AS id, cc.lbl FROM cc JOIN edges e ON cc.id = e.s),
+        |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+        |szs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+        |SELECT comp.id AS doc_id, comp.cluster_id, szs.cluster_size
+        |FROM comp JOIN szs USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // keep-one-per-cluster: drop every clustered doc except its component
+    // minimum; singletons (no pairs) never enter the closure and survive
+    "dedup_clusters_clean" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+        |  FROM toks, UNNEST(range(1, len(t)-1)) AS r(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |ix AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS cnt
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM ix JOIN sizes sa ON ix.id_a = sa.doc_id JOIN sizes sb ON ix.id_b = sb.doc_id
+        |  WHERE CAST(cnt AS DOUBLE) / CAST(sa.n + sb.n - cnt AS DOUBLE) >= 0.3),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b AS s, id_a AS d FROM pairs),
+        |cc AS (
+        |  SELECT s AS id, s AS lbl FROM edges
+        |  UNION
+        |  SELECT e.d AS id, cc.lbl FROM cc JOIN edges e ON cc.id = e.s),
+        |comp AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+        |drops AS (SELECT id FROM comp WHERE id <> cluster_id)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |LEFT JOIN drops ON d.doc_id = drops.id
+        |WHERE drops.id IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // ExactSubstr oracle: same window/canonical/merge derivation in plain
     // SQL — case-preserving tokens (exact means byte-exact), windows of 8,

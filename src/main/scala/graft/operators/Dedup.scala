@@ -1297,4 +1297,133 @@ object Dedup {
               i => element_at(col("__paras"), (i + 1).cast("int"))),
             "\n")).as("clean_text"))
   }
+
+  // ------------------------------------------- transitive duplicate clusters
+
+  /** Transitive duplicate clustering: connected components over a candidate
+    * pair graph, via the alternating large-star/small-star algorithm
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    * Components in MapReduce and Beyond", ACM SoCC 2014). Near-dup pair
+    * detection ([[minhashLsh]], [[ngramJaccard]], [[simhashPairs]]) is only
+    * half of production dedup: A~B and B~C puts all three in ONE duplicate
+    * cluster even when (A,C) itself was never emitted, and keep-one-per-
+    * cluster needs that transitive closure, not the raw pairs. The reference
+    * ships no equivalent (its scope ends at catalog queries); this is the
+    * operator a 100 TB fuzzy-dedup pass runs after banding.
+    *
+    * Why this algorithm at scale: naive min-label propagation runs
+    * O(diameter) rounds and re-shuffles the full frontier each round;
+    * large-star/small-star provably converges in O(log² n) rounds with the
+    * total edge count NON-INCREASING round over round (Theorems 1-3 of the
+    * paper), so every round is two bounded hash-shuffles on a frame no
+    * larger than the input pairs. Duplicate graphs in practice (near-clique
+    * clusters) converge in 2-3 rounds.
+    *
+    * Input: one row per undirected candidate pair; node ids non-null
+    * numerics. Self-pairs are dropped; duplicate pair rows are fine.
+    * Returns `(id, component)` for every node that appears in ≥ 1 pair,
+    * where `component` is the MINIMUM node id reachable from `id` — the
+    * canonical label a keep-first rule wants (keep `id === component`,
+    * drop the rest). Nodes with no pairs are their own singleton clusters
+    * and are NOT emitted (join back to the corpus with a left join and
+    * `coalesce(component, id)` when full labeling is wanted).
+    *
+    * Driver-iterated, lineage-cut per round: each star step self-joins and
+    * self-unions the edge frame, so the LOGICAL plan grows geometrically
+    * with rounds — persist alone caches data but leaves the plan tree to
+    * explode (an 8-round run OOMs the driver just STRINGING the plan). Every
+    * round therefore checkpoints: reliable `.checkpoint` when the session
+    * has a checkpoint dir (the cluster posture — survives executor loss),
+    * eager `.localCheckpoint` otherwise. The input pair frame is
+    * checkpointed once up front, so an expensive upstream candidate
+    * pipeline (LSH banding) computes exactly once regardless of round
+    * count. Superseded rounds' blocks are reclaimed by the ContextCleaner
+    * as the driver drops its references. Convergence is ONE fused job per
+    * round (star-forest test). Refuses loudly at
+    * `maxRounds` (a silently truncated iteration would return WRONG,
+    * over-split components); 50 rounds covers graphs astronomically larger
+    * than any real corpus (convergence is logarithmic).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxRounds: Int = 50,
+  ): DataFrame = {
+    val reliable = !pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // canonical edge convention throughout: (u, v) with u > v — every edge
+    // points at a smaller node, so "smaller neighbors of u" is exactly the
+    // stored row set and star centers can only be component minima
+    val input = pairs
+      .select(col(idA).cast(LongType).as("a"), col(idB).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+
+    // large-star: for each node a with neighborhood Γ(a), m = min(Γ(a)∪{a});
+    // re-link every LARGER neighbor b > a to m. Output keeps u > v because
+    // m <= a < b.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val adj = edges.select(col("u").as("nd"), col("v").as("nb"))
+        .union(edges.select(col("v").as("nd"), col("u").as("nb")))
+      val mins = adj.groupBy("nd").agg(min(col("nb")).as("mb"))
+        .select(col("nd"), least(col("mb"), col("nd")).as("m"))
+      adj.join(mins, "nd")
+        .filter(col("nb") > col("nd"))
+        .select(col("nb").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: for each node u over its SMALLER neighbors (the stored
+    // rows), m = min; re-link the non-min smaller neighbors and u itself
+    // to m. Output keeps u > v (m <= v < u on both branches).
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = edges.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      relinked.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    var cur     = cut(input)
+    var rounds  = 0
+    var settled = cur.isEmpty // empty pair set: nothing to iterate
+    while (!settled) {
+      rounds += 1
+      if (rounds > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds — " +
+            "truncating would return over-split (wrong) components; raise maxRounds")
+      val next = cut(smallStar(largeStar(cur)))
+      // fixpoint test = "is a star forest": no node on both sides of an
+      // edge (leaf AND center), and one center per left node. Both steps
+      // preserve connectivity and component minima (paper, Lemma 1), so a
+      // star forest IS the answer: centers are exactly the component
+      // minima. Fused into ONE job over the checkpointed frame: node n is
+      // bad iff it appears as u in >1 row, or on both sides of any edges.
+      val bad = next.select(col("u").as("n"), lit(1L).as("cu"), lit(0L).as("cv"))
+        .union(next.select(col("v").as("n"), lit(0L).as("cu"), lit(1L).as("cv")))
+        .groupBy("n").agg(sum(col("cu")).as("cu"), sum(col("cv")).as("cv"))
+        .filter(col("cu") > 1 || (col("cu") > 0 && col("cv") > 0))
+        .limit(1).count()
+      cur     = next
+      settled = bad == 0L
+    }
+    // the returned lazy plan references the final (checkpointed) edge frame
+    // twice — both scans read its stored blocks, nothing re-runs
+    cur.select(col("u").as("id"), col("v").as("component"))
+      .union(cur.select(col("v").as("id"), col("v").as("component")).distinct())
+  }
+
+  /** Duplicate-cluster table for a corpus: [[connectedComponents]] over a
+    * pair frame, joined back to sizes — `(id, component, cluster_size)` for
+    * every clustered doc. `cluster_size >= 2` always (singletons have no
+    * pairs). The size join broadcasts when the cluster census is small. */
+  def clusterTable(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val cc    = connectedComponents(pairs, idA, idB)
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "component").select(col("id"), col("component"), col("cluster_size"))
+  }
 }
