@@ -190,6 +190,27 @@ object SparkEntry {
     s"$out/audio.parquet"
   }
 
+  /** One-time REAL-container video fixture for `multimodal_video_meta`
+    * (cached per sf dir): every doc_id becomes an actual ISO BMFF (MP4)
+    * payload with facts derived from doc_id arithmetic —
+    * [[graft.harness.VideoFixture]] (hand-encoded boxes, spec offsets).
+    * Encoding runs distributed (mapPartitions over the doc ids). */
+  def ensureVideoFixture(s: SparkSession, dir: String): String = {
+    val out    = s"/tmp/graft_video_v1_${tmpToken(dir)}"
+    val marker = Paths.get(out, "_READY")
+    this.synchronized {
+      if (!Files.exists(marker)) {
+        import s.implicits._
+        T(s, dir, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, graft.harness.VideoFixture.encode(id))))
+          .toDF("clip_id", "payload")
+          .write.mode("overwrite").parquet(s"$out/video.parquet")
+        Files.createFile(marker)
+      }
+    }
+    s"$out/video.parquet"
+  }
+
   /** One-time local kerchunk index fixture for `load_kerchunk_chunks`: ref
     * entries pointing at byte ranges of a STABLE read-only local file (the
     * reference's noaa-nwm sample index, 54207 bytes) plus inline, base64 and
@@ -2640,6 +2661,22 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "multimodal_video_meta" -> ((s, dir) => {
+      // r11: REAL video container facts — the fixture hand-encodes actual
+      // ISO BMFF boxes (spec offsets, independent of the parser's walk),
+      // the engine walks the BYTES back with the native Mp4Meta expression
+      // (strict — a non-BMFF or truncated payload refuses, never a silent
+      // wrong duration), and the oracle re-derives everything from the
+      // clip_id arithmetic, so any encoder/parser offset disagreement
+      // fails the gate.
+      val clips = s.read.parquet(ensureVideoFixture(s, dir))
+      Multimodal.videoMeta(clips, "payload", "clip_id", strict = true)
+        .select(col("id"), col("brand"), col("timescale"), col("duration_ms"),
+          col("n_tracks"), col("video_tracks"), col("audio_tracks"),
+          col("width"), col("height"))
+        .orderBy("id")
+    }),
+
     "multimodal_phash" -> ((s, dir) => {
       // r11: REAL pixel-plane perceptual hash — ImageIO decodes the
       // fixture's actual container bytes, the 8×8 integer-luma thumbnail
@@ -5051,6 +5088,21 @@ object SparkEntry {
         |  CAST(doc_id % 100 + 50 AS BIGINT) AS n_frames,
         |  CAST((doc_id % 100 + 50) * 1000 // (8000 + (doc_id % 4) * 4000) AS BIGINT)
         |    AS duration_ms
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // video facts re-derived from the clip_id arithmetic the fixture
+    // encoder used; duration is integer division (units·1000 // timescale)
+    "multimodal_video_meta" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(600 + (doc_id % 5) * 100 AS INT) AS timescale,
+        |  CAST((doc_id % 500 + 120) * 1000 // (600 + (doc_id % 5) * 100) AS BIGINT)
+        |    AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        |  CAST(1 AS INT) AS video_tracks,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS audio_tracks,
+        |  CAST((doc_id * 7) % 320 + 16 AS INT) AS width,
+        |  CAST((doc_id * 13) % 240 + 16 AS INT) AS height
         |FROM documents ORDER BY id""".stripMargin,
 
     // Pixel-plane aHash re-derived from first principles: the fixture's

@@ -84,6 +84,38 @@ object Multimodal {
       col("n_bytes"))
   }
 
+  /** True video container metadata parsed from the payload box structure —
+    * the video sibling of [[imageMeta]] / [[audioMeta]]: the pure-JVM
+    * [[graft.functions.Mp4Meta]] kernel (ISO BMFF box walk — public-spec
+    * offsets, no codec, no sample decode). Output per row: id, brand,
+    * timescale, duration_ms, n_tracks, video_tracks, audio_tracks, width,
+    * height, n_bytes. A payload that is not BMFF (or is truncated /
+    * structurally invalid) yields nulls — or refuses LOUDLY per row with
+    * `strict = true`. */
+  def videoMeta(df: DataFrame, binCol: String, idCol: String,
+                strict: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val meta = GraftColumnBridge.column(
+      graft.functions.Mp4Meta(GraftColumnBridge.expression(col(binCol))))
+    val base = df.select(col(idCol).as("id"), meta.as("__v"),
+      octet_length(col(binCol)).cast(LongType).as("n_bytes"))
+    val guarded =
+      if (!strict) base
+      else base.filter(coalesce(assert_true(col("__v").isNotNull,
+        concat(lit("videoMeta: unrecognized or truncated video container for id="),
+          col("id").cast(StringType))), lit(true)))
+    guarded.select(col("id"),
+      col("__v").getField("brand").as("brand"),
+      col("__v").getField("timescale").as("timescale"),
+      col("__v").getField("duration_ms").as("duration_ms"),
+      col("__v").getField("n_tracks").as("n_tracks"),
+      col("__v").getField("video_tracks").as("video_tracks"),
+      col("__v").getField("audio_tracks").as("audio_tracks"),
+      col("__v").getField("width").as("width"),
+      col("__v").getField("height").as("height"),
+      col("n_bytes"))
+  }
+
   /** Wrap a binary payload column with its metadata struct. Width/height
     * come from the REAL container-header parse ([[imageMeta]]) when the
     * payload is a recognized image; duration comes from the REAL audio

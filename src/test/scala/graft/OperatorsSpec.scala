@@ -1237,6 +1237,123 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L).getAs[Long]("duration_ms") >= 0L)
   }
 
+  test("video meta: golden hand-built BMFF parses to spec-exact facts") {
+    // minimal ISO BMFF written byte-by-byte in the test, independent of
+    // both VideoFixture and the parser: ftyp(mp41) + moov(mvhd v0
+    // ts=1000 dur=2500, one vide trak 320x180)
+    val o = new java.io.ByteArrayOutputStream()
+    def be32(v: Int) = { o.write(v >>> 24); o.write((v >>> 16) & 0xff)
+      o.write((v >>> 8) & 0xff); o.write(v & 0xff) }
+    def tag(s: String) = o.write(s.getBytes("US-ASCII"))
+    be32(16); tag("ftyp"); tag("mp41"); be32(0)
+    val hdlrSz = 8 + 4 + 4 + 4 + 12 + 1          // 33
+    val mdiaSz = 8 + hdlrSz                      // 41
+    val tkhdSz = 8 + 84                          // 92
+    val trakSz = 8 + tkhdSz + mdiaSz             // 141
+    val mvhdSz = 8 + 100                         // 108
+    be32(8 + mvhdSz + trakSz); tag("moov")
+    be32(mvhdSz); tag("mvhd"); be32(0)           // version 0, flags 0
+    be32(0); be32(0); be32(1000); be32(2500)     // created, modified, ts, dur
+    for (_ <- 0 until 20) be32(0)                // rate..next_track_ID
+    be32(trakSz); tag("trak")
+    be32(tkhdSz); tag("tkhd"); be32(0)
+    be32(0); be32(0); be32(1); be32(0); be32(2500) // times, id, rsvd, dur
+    for (_ <- 0 until 13) be32(0)                // rsvd, layer.., matrix
+    be32(320 << 16); be32(180 << 16)             // 16.16 width/height
+    be32(mdiaSz); tag("mdia")
+    be32(hdlrSz); tag("hdlr"); be32(0)
+    be32(0); tag("vide"); be32(0); be32(0); be32(0); o.write(0)
+    val golden = o.toByteArray
+    val out = Multimodal.videoMeta(Seq((1L, golden)).toDF("id", "payload"),
+      "payload", "id").head()
+    assert(out.getString(1) == "mp41" && out.getInt(2) == 1000 &&
+      out.getLong(3) == 2500L && out.getInt(4) == 1 && out.getInt(5) == 1 &&
+      out.getInt(6) == 0 && out.getInt(7) == 320 && out.getInt(8) == 180)
+  }
+
+  test("video meta: fixture round-trips every mod class, v0 and v1 boxes") {
+    import graft.harness.VideoFixture
+    val ids = (0L until 15L)
+    val df = ids.map(id => (id, VideoFixture.encode(id))).toDF("id", "payload")
+    val out = Multimodal.videoMeta(df, "payload", "id", strict = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val r = out(id)
+      assert(r.getString(1) == VideoFixture.brand(id), s"brand id=$id")
+      assert(r.getInt(2) == VideoFixture.timescale(id), s"ts id=$id")
+      assert(r.getLong(3) == VideoFixture.durationMs(id), s"dur id=$id")
+      assert(r.getInt(4) == (if (VideoFixture.hasAudio(id)) 2 else 1), s"tracks id=$id")
+      assert(r.getInt(5) == 1 && r.getInt(6) == (if (VideoFixture.hasAudio(id)) 1 else 0))
+      assert(r.getInt(7) == VideoFixture.width(id), s"w id=$id")
+      assert(r.getInt(8) == VideoFixture.height(id), s"h id=$id")
+    }
+    // byte-level pin of the fixture prefix (encoder vs SPEC, not vs parser):
+    // u32 size 24, 'ftyp', brand, minor 0x200
+    val b = VideoFixture.encode(2L)
+    assert(b.slice(0, 4).toSeq == Seq[Byte](0, 0, 0, 24))
+    assert(new String(b.slice(4, 12), "US-ASCII") == "ftypisom")
+    assert(b.slice(12, 16).toSeq == Seq[Byte](0, 0, 2, 0))
+    assert(new String(graft.harness.VideoFixture.encode(3L).slice(4, 12),
+      "US-ASCII") == "ftypmp42")
+  }
+
+  test("video meta: audio-only BMFF reports null dims, zero video tracks") {
+    // surgically rebadge the vide handler as soun: id=2 has exactly one
+    // track, so the result is a pure audio container
+    val b = graft.harness.VideoFixture.encode(2L)
+    val i = b.indexOfSlice("vide".getBytes("US-ASCII"))
+    assert(i > 0)
+    "soun".getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => b(i + j) = c }
+    val r = Multimodal.videoMeta(Seq((1L, b)).toDF("id", "payload"),
+      "payload", "id").head()
+    assert(r.getInt(4) == 1 && r.getInt(5) == 0 && r.getInt(6) == 1)
+    assert(r.isNullAt(7) && r.isNullAt(8))
+  }
+
+  test("video meta: largesize and to-end-of-file box forms parse") {
+    val base = graft.harness.VideoFixture.encode(7L)
+    // rewrite the trailing mdat (24 bytes: 8 header + 16 payload) as a
+    // largesize box: u32 1, 'mdat', u64 32, same payload
+    val head = base.dropRight(24)
+    val o = new java.io.ByteArrayOutputStream(); o.write(head)
+    o.write(Array[Byte](0, 0, 0, 1)); o.write("mdat".getBytes("US-ASCII"))
+    o.write(Array[Byte](0, 0, 0, 0, 0, 0, 0, 32)); o.write(new Array[Byte](16))
+    val large = o.toByteArray
+    // and as a size-0 (extends to end) box
+    val z = new java.io.ByteArrayOutputStream(); z.write(head)
+    z.write(Array[Byte](0, 0, 0, 0)); z.write("mdat".getBytes("US-ASCII"))
+    z.write(new Array[Byte](100))
+    val toEnd = z.toByteArray
+    val out = Multimodal.videoMeta(
+        Seq((1L, large), (2L, toEnd)).toDF("id", "payload"), "payload", "id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getString(1) == graft.harness.VideoFixture.brand(7L))
+      assert(out(id).getLong(3) == graft.harness.VideoFixture.durationMs(7L))
+    }
+  }
+
+  test("video meta: corrupt, truncated and non-BMFF payloads refuse, never hang") {
+    val good = graft.harness.VideoFixture.encode(4L)
+    // truncated mid-moov: a declared box extent past the payload end
+    val truncated = good.take(good.length - 30)
+    // a box declaring size 4 (< header size): zero/negative advance as Int
+    // arithmetic — the Long walk must refuse. The 'free' box header sits
+    // right after the 24-byte ftyp.
+    val evil = good.clone()
+    evil(24) = 0; evil(25) = 0; evil(26) = 0; evil(27) = 4
+    val out = Multimodal.videoMeta(
+        Seq((1L, "long enough but not a video container".getBytes), (2L, truncated), (3L, evil),
+          (4L, good.take(10))).toDF("id", "payload"), "payload", "id")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L) && out(2L) && out(3L) && out(4L), out.toString)
+    val ex = intercept[Exception] {
+      Multimodal.videoMeta(Seq((1L, "junk".getBytes)).toDF("id", "payload"),
+        "payload", "id", strict = true).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("unrecognized"), ex.getMessage)
+  }
+
   test("media meta uses REAL parsed dims for image payloads, stub otherwise") {
     val pngBytes = graft.harness.ImageFixture.encode(0L) // png 16x16
     val df = Seq((1L, pngBytes), (2L, "not an image".getBytes)).toDF("id", "payload")
