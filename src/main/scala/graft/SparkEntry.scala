@@ -144,72 +144,49 @@ object SparkEntry {
     out
   }
 
-  /** One-time REAL-container image fixture for `multimodal_image_meta`
-    * (cached per sf dir): every doc_id becomes an actual PNG/JPEG/GIF/BMP
-    * payload (JDK ImageIO writers) with dims/channels derived from doc_id
-    * arithmetic — [[graft.harness.ImageFixture]]. Encoding runs
-    * distributed (mapPartitions over the doc ids); the gate then parses
-    * the BYTES back with the native header-parse expression while the
-    * DuckDB oracle re-derives the same values from the arithmetic. */
-  def ensureImageFixture(s: SparkSession, dir: String): String = {
-    // _v2: channel sub-variant keyed on (doc_id/4)%2 — bump with any
-    // encoder change or a stale cached fixture silently tests old bytes
-    val out    = s"/tmp/graft_img_v2_${tmpToken(dir)}"
+  /** Shared one-time REAL-container media fixture builder (cached per sf
+    * dir): every doc_id becomes an actual container payload from `encode`,
+    * written distributed (mapPartitions over the doc ids) under a
+    * `_READY`-markered cache dir. The gates then parse the BYTES back with
+    * the native header-parse expressions while the DuckDB oracles
+    * re-derive the same values from the doc_id arithmetic. `token`
+    * carries the version suffix — bump it with ANY encoder change, or a
+    * stale cached fixture silently tests the old bytes. */
+  private def ensureMediaFixture(s: SparkSession, dir: String, token: String,
+      idCol: String, file: String, encode: Long => Array[Byte]): String = {
+    val out    = s"/tmp/graft_${token}_${tmpToken(dir)}"
     val marker = Paths.get(out, "_READY")
     this.synchronized {
       if (!Files.exists(marker)) {
         import s.implicits._
         T(s, dir, "documents").select(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, graft.harness.ImageFixture.encode(id))))
-          .toDF("img_id", "payload")
-          .write.mode("overwrite").parquet(s"$out/images.parquet")
+          .mapPartitions(_.map(id => (id, encode(id))))
+          .toDF(idCol, "payload")
+          .write.mode("overwrite").parquet(s"$out/$file")
         Files.createFile(marker)
       }
     }
-    s"$out/images.parquet"
+    s"$out/$file"
   }
 
-  /** One-time REAL-container audio fixture for `multimodal_audio_meta`
-    * (cached per sf dir): every doc_id becomes an actual WAV (JDK
-    * javax.sound encoder) or hand-encoded FLAC STREAMINFO payload with
-    * facts derived from doc_id arithmetic — [[graft.harness.AudioFixture]].
-    * Encoding runs distributed (mapPartitions over the doc ids). */
-  def ensureAudioFixture(s: SparkSession, dir: String): String = {
-    val out    = s"/tmp/graft_audio_v1_${tmpToken(dir)}"
-    val marker = Paths.get(out, "_READY")
-    this.synchronized {
-      if (!Files.exists(marker)) {
-        import s.implicits._
-        T(s, dir, "documents").select(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, graft.harness.AudioFixture.encode(id))))
-          .toDF("clip_id", "payload")
-          .write.mode("overwrite").parquet(s"$out/audio.parquet")
-        Files.createFile(marker)
-      }
-    }
-    s"$out/audio.parquet"
-  }
+  /** Image fixture for `multimodal_image_meta`: PNG/JPEG/GIF/BMP via the
+    * JDK ImageIO writers — [[graft.harness.ImageFixture]]. _v2: channel
+    * sub-variant keyed on (doc_id/4)%2. */
+  def ensureImageFixture(s: SparkSession, dir: String): String =
+    ensureMediaFixture(s, dir, "img_v2", "img_id", "images.parquet",
+      graft.harness.ImageFixture.encode)
 
-  /** One-time REAL-container video fixture for `multimodal_video_meta`
-    * (cached per sf dir): every doc_id becomes an actual ISO BMFF (MP4)
-    * payload with facts derived from doc_id arithmetic —
-    * [[graft.harness.VideoFixture]] (hand-encoded boxes, spec offsets).
-    * Encoding runs distributed (mapPartitions over the doc ids). */
-  def ensureVideoFixture(s: SparkSession, dir: String): String = {
-    val out    = s"/tmp/graft_video_v1_${tmpToken(dir)}"
-    val marker = Paths.get(out, "_READY")
-    this.synchronized {
-      if (!Files.exists(marker)) {
-        import s.implicits._
-        T(s, dir, "documents").select(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, graft.harness.VideoFixture.encode(id))))
-          .toDF("clip_id", "payload")
-          .write.mode("overwrite").parquet(s"$out/video.parquet")
-        Files.createFile(marker)
-      }
-    }
-    s"$out/video.parquet"
-  }
+  /** Audio fixture for `multimodal_audio_meta`: WAV (JDK javax.sound
+    * encoder) / hand-encoded FLAC STREAMINFO — [[graft.harness.AudioFixture]]. */
+  def ensureAudioFixture(s: SparkSession, dir: String): String =
+    ensureMediaFixture(s, dir, "audio_v1", "clip_id", "audio.parquet",
+      graft.harness.AudioFixture.encode)
+
+  /** Video fixture for `multimodal_video_meta`: hand-encoded ISO BMFF
+    * boxes, spec offsets — [[graft.harness.VideoFixture]]. */
+  def ensureVideoFixture(s: SparkSession, dir: String): String =
+    ensureMediaFixture(s, dir, "video_v1", "clip_id", "video.parquet",
+      graft.harness.VideoFixture.encode)
 
   /** One-time local kerchunk index fixture for `load_kerchunk_chunks`: ref
     * entries pointing at byte ranges of a STABLE read-only local file (the

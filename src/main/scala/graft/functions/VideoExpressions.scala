@@ -205,9 +205,12 @@ object Mp4Meta {
     }
     if (top.bad || brand == null || timescale <= 0 || timescale > Int.MaxValue ||
         nTracks == 0) return null
+    // v1 durations are u64: a value whose ·1000 overflows Long must refuse
+    // (a garbage/negative duration_ms would defeat the strict contract);
+    // the bound still admits ~292 million years at timescale 1
     val durationMs: Any =
       if (!durKnown) null
-      else if (durUnits < 0) return null
+      else if (durUnits < 0 || durUnits > Long.MaxValue / 1000L) return null
       else durUnits * 1000L / timescale
     InternalRow(UTF8String.fromString(brand), timescale.toInt, durationMs,
       nTracks, videoTracks, audioTracks,

@@ -1337,9 +1337,16 @@ object Dedup {
     * eager `.localCheckpoint` otherwise. The input pair frame is
     * checkpointed once up front, so an expensive upstream candidate
     * pipeline (LSH banding) computes exactly once regardless of round
-    * count. Superseded rounds' blocks are reclaimed by the ContextCleaner
-    * as the driver drops its references. Convergence is ONE fused job per
-    * round (star-forest test). Refuses loudly at
+    * count. Superseded localCheckpoint blocks are reclaimed by the
+    * ContextCleaner as the driver drops its references; superseded
+    * RELIABLE checkpoint files are deleted explicitly after the replacing
+    * round materializes (Spark only auto-removes them under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, default false —
+    * without the explicit delete a long-lived session would accumulate
+    * O(rounds·|edges|) of dead checkpoint storage). The FINAL round's
+    * checkpoint backs the returned plan and lives until the app ends.
+    * Convergence is ONE fused job per round (star-forest test). Refuses
+    * loudly at
     * `maxRounds` (a silently truncated iteration would return WRONG,
     * over-split components); 50 rounds covers graphs astronomically larger
     * than any real corpus (convergence is logarithmic).
@@ -1408,6 +1415,14 @@ object Dedup {
         .groupBy("n").agg(sum(col("cu")).as("cu"), sum(col("cv")).as("cv"))
         .filter(col("cu") > 1 || (col("cu") > 0 && col("cv") > 0))
         .limit(1).count()
+      // next is materialized and self-contained: the superseded round's
+      // reliable checkpoint files can go now (no-op on the local branch)
+      if (reliable)
+        org.apache.spark.sql.GraftColumnBridge.checkpointFile(cur).foreach { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(pairs.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       cur     = next
       settled = bad == 0L
     }

@@ -74,6 +74,29 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("reliable-checkpoint branch: same labels, superseded round files deleted") {
+    // the cluster posture: with a checkpoint dir set, rounds checkpoint
+    // reliably (survives executor loss) and each superseded round's files
+    // are deleted explicitly (Spark's default cleaner never removes them)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      assert(cc(pairs) == bruteForce(pairs))
+      // a multi-round run keeps only the FINAL round's rdd checkpoint
+      // (plus the up-front input checkpoint's parent app dir structure)
+      val appDir = new java.io.File(ckpt).listFiles().head
+      val rddDirs = appDir.listFiles().filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.length == 1, rddDirs.map(_.getName).mkString(","))
+    } finally {
+      // TestSpark is shared: restore the local branch for other tests
+      val f = spark.sparkContext.getClass.getMethods
+        .find(_.getName == "checkpointDir_$eq").get
+      f.invoke(spark.sparkContext, None)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   test("clusterTable carries sizes; keep-first rule = id === component") {
     val rows = Dedup.clusterTable(Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b"))
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -1342,11 +1342,19 @@ class MultimodalSpec extends AnyFunSuite {
     // right after the 24-byte ftyp.
     val evil = good.clone()
     evil(24) = 0; evil(25) = 0; evil(26) = 0; evil(27) = 4
+    // v1 mvhd duration so large that ·1000 would overflow Long: a garbage
+    // negative duration_ms must not escape as a non-null "fact"
+    val v1 = graft.harness.VideoFixture.encode(7L) // id%3==1 -> v1 boxes
+    val mv = v1.indexOfSlice("mvhd".getBytes("US-ASCII"))
+    assert(mv > 0)
+    val durOff = mv + 4 + 4 + 16 + 4 // verflags, creation(8)+modification(8), ts
+    v1(durOff) = 0x40.toByte
+    (1 to 7).foreach(j => v1(durOff + j) = 0)
     val out = Multimodal.videoMeta(
         Seq((1L, "long enough but not a video container".getBytes), (2L, truncated), (3L, evil),
-          (4L, good.take(10))).toDF("id", "payload"), "payload", "id")
+          (4L, good.take(10)), (5L, v1)).toDF("id", "payload"), "payload", "id")
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
-    assert(out(1L) && out(2L) && out(3L) && out(4L), out.toString)
+    assert(out(1L) && out(2L) && out(3L) && out(4L) && out(5L), out.toString)
     val ex = intercept[Exception] {
       Multimodal.videoMeta(Seq((1L, "junk".getBytes)).toDF("id", "payload"),
         "payload", "id", strict = true).collect()
