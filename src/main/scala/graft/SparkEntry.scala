@@ -2252,6 +2252,37 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "pipeline_dsir_weights" -> ((s, dir) => {
+      // DSIR training plane (arXiv:2302.03169): hashed unigram+bigram
+      // bucket histograms of the target slice (doc_id%10=0) vs the raw
+      // rest — exact integers, ONE corpus scan (the explode partial-
+      // aggregates map-side to <=4096 rows per partition before the only
+      // shuffle). The oracle re-derives every count from md5 arithmetic.
+      val docs = T(s, dir, "documents")
+      docs.select((col("doc_id") % 10 === 0).as("is_t"),
+          explode(graft.operators.Dsir.gramBuckets(col("text"))).as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("target_cnt"),
+          sum(when(!col("is_t"), 1L).otherwise(0L)).as("raw_cnt"))
+        .orderBy("bucket")
+    }),
+
+    "pipeline_dsir_select" -> ((s, dir) => {
+      // DSIR data selection: top-100 raw docs by add-1-smoothed log
+      // importance weight toward the target slice. Ranks + integer gram
+      // counts are the gate row (the bm25 convention — the float score
+      // stays out of the hash; the oracle still reproduces the COMPLETE
+      // ranking, so a single bit of float divergence would reorder and
+      // fail). Scoring is one codegen'd scan; selection the shared
+      // two-stage top-k.
+      val docs   = T(s, dir, "documents")
+      val target = docs.filter(col("doc_id") % 10 === 0)
+      val raw    = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.operators.Dsir.selectTopK(raw, target, "text", "doc_id", k = 100)
+        .select(col("rank"), col("id").as("doc_id"), col("n_grams"))
+        .orderBy("rank")
+    }),
+
     "pipeline_mixture_sample" -> ((s, dir) => {
       // domain-mixture resampling: downsample per-language so the kept
       // corpus matches target weights at the largest feasible size. One
@@ -4944,6 +4975,74 @@ object SparkEntry {
         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
         |  COUNT(*) AS n
         |FROM v GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    // DSIR bucket histograms re-derived from scratch: same tokenizer, same
+    // interleaved unigram+bigram grams, bucket = value of md5's first 3 hex
+    // chars (= the kernel's first 12 digest bits) via ascii arithmetic
+    "pipeline_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, t[i] AS g FROM toks, UNNEST(range(1, len(t)+1)) r(i)
+        |  UNION ALL
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] FROM toks, UNNEST(range(1, len(t))) r(i)),
+        |gb AS (
+        |  SELECT doc_id, CAST(
+        |    (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) AS INT) AS bucket
+        |  FROM (SELECT doc_id, md5(g) AS h FROM grams))
+        |SELECT bucket,
+        |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt,
+        |  CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS raw_cnt
+        |FROM gb GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // DSIR selection re-derived end-to-end: per-gram log-ratio weights from
+    // the count tables (same add-1 formula, same exact-integer ln args),
+    // per-doc score = ORDERED list_reduce fold in the kernel's interleaved
+    // walk order (u1, u2, b12, u3, b23, … — left-to-right float sums are
+    // the only cross-engine-deterministic ones; ln itself is bit-identical,
+    // the bm25 precedent), rank by (score DESC, doc_id) — the gate hashes
+    // ranks + integer gram counts, the score stays out
+    "pipeline_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN i = 1 THEN 1 ELSE 2*i - 2 END AS ord, t[i] AS g
+        |  FROM toks, UNNEST(range(1, len(t)+1)) r(i)
+        |  UNION ALL
+        |  SELECT doc_id, 2*i + 1, t[i] || ' ' || t[i+1] FROM toks, UNNEST(range(1, len(t))) r(i)),
+        |gb AS (
+        |  SELECT doc_id, ord,
+        |    (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) AS b
+        |  FROM (SELECT doc_id, ord, md5(g) AS h FROM grams)),
+        |tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY b),
+        |rc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 <> 0 GROUP BY b),
+        |tt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 = 0),
+        |rt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 <> 0),
+        |wt AS (
+        |  SELECT gb.doc_id, gb.ord,
+        |    ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.s + 4096 AS DOUBLE))
+        |  - ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / CAST(rt.s + 4096 AS DOUBLE)) AS w
+        |  FROM gb CROSS JOIN tt CROSS JOIN rt
+        |  LEFT JOIN tc ON gb.b = tc.b LEFT JOIN rc ON gb.b = rc.b
+        |  WHERE gb.doc_id % 10 <> 0),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |         list_reduce(list(w ORDER BY ord), (a, x) -> a + x) AS s
+        |  FROM wt GROUP BY doc_id),
+        |allr AS (
+        |  SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, COALESCE(sc.s, 0.0) AS s
+        |  FROM documents d LEFT JOIN sc USING (doc_id) WHERE d.doc_id % 10 <> 0),
+        |rk AS (
+        |  SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank, doc_id, n_grams
+        |  FROM allr)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, n_grams
+        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
 
     // weights as quoted-varchar→double casts: DuckDB decimal literals would
     // run the n/w arithmetic in DECIMAL, diverging from Spark's double math
