@@ -2283,6 +2283,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "pipeline_dsir_sample" -> ((s, dir) => {
+      // the paper's Gumbel-top-k sampler: rank on score + seeded-md5
+      // Gumbel noise — reproducible across engines (a pure function of
+      // (seed, doc_id)), so the oracle re-derives the full noisy ranking
+      val docs   = T(s, dir, "documents")
+      val target = docs.filter(col("doc_id") % 10 === 0)
+      val raw    = docs.filter(col("doc_id") % 10 =!= 0)
+      graft.operators.Dsir.selectGumbelTopK(raw, target, "text", "doc_id",
+          k = 100, seed = 42)
+        .select(col("rank"), col("id").as("doc_id"), col("n_grams"))
+        .orderBy("rank")
+    }),
+
     "pipeline_mixture_sample" -> ((s, dir) => {
       // domain-mixture resampling: downsample per-language so the kept
       // corpus matches target weights at the largest feasible size. One
@@ -5041,6 +5054,59 @@ object SparkEntry {
         |rk AS (
         |  SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank, doc_id, n_grams
         |  FROM allr)
+        |SELECT CAST(rank AS INT) AS rank, doc_id, n_grams
+        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Gumbel-top-k sampling: the select oracle's score plane plus the
+    // seeded-md5 noise — u = (hex4(md5('gumbel|42|'||id)) + 0.5)/65536,
+    // g = −ln(−ln u), rank on (s + g) DESC
+    "pipeline_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, CASE WHEN i = 1 THEN 1 ELSE 2*i - 2 END AS ord, t[i] AS g
+        |  FROM toks, UNNEST(range(1, len(t)+1)) r(i)
+        |  UNION ALL
+        |  SELECT doc_id, 2*i + 1, t[i] || ' ' || t[i+1] FROM toks, UNNEST(range(1, len(t))) r(i)),
+        |gb AS (
+        |  SELECT doc_id, ord,
+        |    (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 256
+        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 16
+        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) AS b
+        |  FROM (SELECT doc_id, ord, md5(g) AS h FROM grams)),
+        |tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY b),
+        |rc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 <> 0 GROUP BY b),
+        |tt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 = 0),
+        |rt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 <> 0),
+        |wt AS (
+        |  SELECT gb.doc_id, gb.ord,
+        |    ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.s + 4096 AS DOUBLE))
+        |  - ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / CAST(rt.s + 4096 AS DOUBLE)) AS w
+        |  FROM gb CROSS JOIN tt CROSS JOIN rt
+        |  LEFT JOIN tc ON gb.b = tc.b LEFT JOIN rc ON gb.b = rc.b
+        |  WHERE gb.doc_id % 10 <> 0),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |         list_reduce(list(w ORDER BY ord), (a, x) -> a + x) AS s
+        |  FROM wt GROUP BY doc_id),
+        |allr AS (
+        |  SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, COALESCE(sc.s, 0.0) AS s
+        |  FROM documents d LEFT JOIN sc USING (doc_id) WHERE d.doc_id % 10 <> 0),
+        |gum AS (
+        |  SELECT doc_id, n_grams, s,
+        |    ((CASE WHEN ascii(substr(gh,1,1)) >= 97 THEN ascii(substr(gh,1,1))-87 ELSE ascii(substr(gh,1,1))-48 END) * 4096
+        |   + (CASE WHEN ascii(substr(gh,2,1)) >= 97 THEN ascii(substr(gh,2,1))-87 ELSE ascii(substr(gh,2,1))-48 END) * 256
+        |   + (CASE WHEN ascii(substr(gh,3,1)) >= 97 THEN ascii(substr(gh,3,1))-87 ELSE ascii(substr(gh,3,1))-48 END) * 16
+        |   + (CASE WHEN ascii(substr(gh,4,1)) >= 97 THEN ascii(substr(gh,4,1))-87 ELSE ascii(substr(gh,4,1))-48 END)) AS v4
+        |  FROM (SELECT doc_id, n_grams, s,
+        |          md5('gumbel|42|' || CAST(doc_id AS VARCHAR)) AS gh FROM allr)),
+        |rk AS (
+        |  SELECT row_number() OVER (
+        |      ORDER BY s + (- ln(- ln((CAST(v4 AS DOUBLE) + 0.5) / 65536.0))) DESC,
+        |               doc_id ASC) AS rank,
+        |    doc_id, n_grams
+        |  FROM gum)
         |SELECT CAST(rank AS INT) AS rank, doc_id, n_grams
         |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
 

@@ -99,4 +99,34 @@ object Dsir {
         "__k", Seq(col("score").desc, col("id").asc), k)
       .select(col("rank"), col("id"), col("n_grams"), col("score"))
   }
+
+  /** Deterministic per-doc Gumbel noise for the paper's actual sampler —
+    * seeded md5 uniform (the portable-bucket convention: first 4 hex
+    * chars → u = (v+0.5)/65536, strictly inside (0,1)) fed through the
+    * standard inverse transform g = −ln(−ln u). A pure function of
+    * (seed, id): reproducible across reruns, layouts, and engines —
+    * unlike rand(), and exactly re-derivable by the DuckDB oracle. */
+  def gumbelKey(id: Column, seed: Int): Column = {
+    val v4 = conv(substring(md5(concat_ws("|",
+        lit("gumbel"), lit(seed.toString), id.cast(org.apache.spark.sql.types.StringType))),
+      1, 4), 16, 10).cast(LongType).cast(org.apache.spark.sql.types.DoubleType)
+    -log(-log((v4 + lit(0.5)) / lit(65536.0)))
+  }
+
+  /** The paper's Gumbel-top-k resampling (§2 of arXiv:2302.03169): sample
+    * k docs WITHOUT replacement ∝ their importance weights by ranking on
+    * log-weight + Gumbel noise — the noisy variant trades the determinism
+    * of [[selectTopK]]'s argmax for the diversity the paper argues
+    * matters at scale, while staying bit-reproducible via the seeded
+    * noise. Same one-scan + two-stage-prune shape. */
+  def selectGumbelTopK(raw: DataFrame, target: DataFrame, textCol: String,
+                       idCol: String, k: Int, seed: Int = 42): DataFrame = {
+    val w = importanceWeights(
+      bucketHistogram(target, textCol), bucketHistogram(raw, textCol))
+    val keyed = scored(raw, textCol, idCol, w)
+      .withColumn("key", col("score") + gumbelKey(col("id"), seed))
+    Similarity.twoStageTopK(keyed.withColumn("__k", lit(1)),
+        "__k", Seq(col("key").desc, col("id").asc), k)
+      .select(col("rank"), col("id"), col("n_grams"), col("score"), col("key"))
+  }
 }

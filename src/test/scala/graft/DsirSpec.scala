@@ -77,6 +77,40 @@ class DsirSpec extends AnyFunSuite {
     assert(out(0)._3 == 7L) // 4 unigrams + 3 bigrams
   }
 
+  test("gumbelKey: pure function of (seed, id), mirrors the md5 derivation") {
+    val ids = Seq(1L, 2L, 999L).toDF("id")
+    val out = ids.select(col("id"), Dsir.gumbelKey(col("id"), 42).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def mirror(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"gumbel|42|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val v4 = Integer.parseInt(hex.substring(0, 4), 16)
+      -math.log(-math.log((v4 + 0.5) / 65536.0))
+    }
+    Seq(1L, 2L, 999L).foreach(id => assert(out(id) == mirror(id), s"id=$id"))
+    // different seed, different noise
+    val other = ids.select(Dsir.gumbelKey(col("id"), 7).as("g"))
+      .collect().map(_.getDouble(0)).toSet
+    assert(other != out.values.toSet)
+  }
+
+  test("selectGumbelTopK: k rows, reproducible, noise can reorder near-ties") {
+    val target = (0L until 6L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = (100L until 140L)
+      .map(i => (i, if (i % 2 == 0) "alpha beta gamma" else "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val a = Dsir.selectGumbelTopK(raw, target, "text", "doc_id", k = 10, seed = 42)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val b = Dsir.selectGumbelTopK(raw, target, "text", "doc_id", k = 10, seed = 42)
+      .orderBy("rank").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(a.length == 10 && a.toSeq == b.toSeq) // deterministic given the seed
+    assert(a.map(_._1).toSeq == (1 to 10))
+    // among equal-score docs the seeded noise, not the id, orders them
+    val evens = a.filter(_._2 % 2 == 0).map(_._2)
+    assert(evens.nonEmpty && evens.toSeq != evens.sorted.toSeq)
+  }
+
   test("scored: zero-gram docs score exactly 0.0 with n_grams 0") {
     val w = Dsir.importanceWeights(
       (new Array[Long](Dsir.Buckets), 0L), (new Array[Long](Dsir.Buckets), 0L))

@@ -316,6 +316,38 @@ class StreamingSpec extends AnyFunSuite {
       s"diff=${(reranked diff batchTopK.toSet).take(3)} ${(batchTopK.toSet diff reranked).take(3)}")
   }
 
+  test("streaming dsir: scored rows via MemoryStream equal the batch scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dsir
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val w = Dsir.importanceWeights(
+      Dsir.bucketHistogram(docs.filter(col("doc_id") % 10 === 0), "text"),
+      Dsir.bucketHistogram(docs.filter(col("doc_id") % 10 =!= 0), "text"))
+    val batch = Dsir.scored(docs, "text", "doc_id", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the frozen weight table applies to any readStream frame as a
+    // stateless scan (the bm25Score / qualityFilter precedent)
+    val input = MemoryStream[(Long, String)]
+    val q = Dsir.scored(input.toDF().toDF("doc_id", "text"), "text", "doc_id", w)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    val rows = docs.as[(Long, String)].collect()
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("dsir_stream")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed.size == batch.size)
+    // BIT-identical scores: same weight table, same left-to-right walk
+    batch.foreach { case (id, v) =>
+      assert(streamed.get(id).contains(v), s"doc $id: batch $v stream ${streamed.get(id)}")
+    }
+  }
+
   test("streaming near-dup: duplicates collide in-bucket, TTL forgets old buckets") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
