@@ -103,6 +103,20 @@ object Hdf5V4Fixture {
     typedLink(name, 1, s.result())
   }
 
+  /** External link (type 64, spec IV.A.2.g + the H5L blob layout): 2-byte
+    * value length, then version/flags byte 0, NUL-terminated target file
+    * name, NUL-terminated target object path. */
+  def externalLink(name: String, file: String, objPath: String): Array[Byte] = {
+    val blob = new Sink
+    blob.u8(0)
+    blob.bytes(file.getBytes("UTF-8")); blob.u8(0)
+    blob.bytes(objPath.getBytes("UTF-8")); blob.u8(0)
+    val b = blob.result()
+    val s = new Sink
+    s.u16(b.length); s.bytes(b)
+    typedLink(name, 64, s.result())
+  }
+
   /** Data layout message v4, chunked, with the index-type config tail.
     * Like v3, the dimensionality byte is rank + 1 and the dimension list
     * carries the datatype's element size as its trailing entry (the C

@@ -56,12 +56,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * h5py-style; targets may be absolute or relative, chains resolve
   * iteratively, and cycles/dangling targets refuse loudly.
   *
+  * External links (type 64) resolve since r11, one level deep: the target
+  * file parses in the same task and the target object surfaces under the
+  * link's path with chunk refs carrying the TARGET file's url (the
+  * kerchunk-shaped row model already spans files). Relative file names
+  * resolve against the linking file's directory; missing files/objects,
+  * chained cross-file links inside the target subtree, and links out of
+  * tar members refuse loudly.
+  *
   * Refused loudly (absent from the reference's entire sample corpus,
   * verified by a 399-file survey): virtual (class 3) storage, paged
   * extensible-array data blocks, filters other than
   * deflate/shuffle/fletcher32 (szip/nbit/scaleoffset — fletcher32
   * decodes via the shared filter plane since the blosc work), per-chunk
-  * filter masks, shared datatype/dataspace messages, external links,
+  * filter masks, shared datatype/dataspace messages, user link types,
   * nested soft links inside aliased subtrees, filtered fractal heaps, and
   * VAX floats. Chunks never written stay absent from the map — the
   * fill-value semantics of both netCDF and zarr.
@@ -117,6 +125,8 @@ object Hdf5Index {
   private sealed trait GroupLink { def name: String }
   private final case class HardLink(name: String, addr: Long) extends GroupLink
   private final case class SoftLink(name: String, target: String) extends GroupLink
+  private final case class ExternalLink(name: String, file: String, objPath: String)
+    extends GroupLink
 
   /** `unlimited(i)` = max size of dim i is H5S_UNLIMITED (netCDF-4's
     * record dimension marker; empty when the message carries no maxdims). */
@@ -245,9 +255,11 @@ object Hdf5Index {
 
     // -------------------------------------------------------------- groups
 
-    /** All links of a group: hard (name → object header address) and soft
+    /** All links of a group: hard (name → object header address), soft
       * (name → in-file target path, resolved by the traversal in
-      * `parseFile`). External links (type 64+) keep refusing loudly. */
+      * `parseFile`) and external (name → target file + object path,
+      * resolved one level deep in `readMany`, which can open other
+      * files). User link types (65+) keep refusing loudly. */
     def groupLinks(ms: List[Msg]): List[GroupLink] = {
       val out = List.newBuilder[GroupLink]
       ms.foreach { m =>
@@ -293,7 +305,24 @@ object Hdf5Index {
         val vlen = B.u(m, p, 2).toInt
         Some(SoftLink(name, new String(m, p + 2, vlen, "UTF-8")))
       }
-      else fail(path, s"link '$name' of type $ltype (external/user)")
+      else if (ltype == 64) {
+        // external link (spec IV.A.2.g + the H5L blob layout): 2-byte
+        // length, then a version/flags byte (must be 0), NUL-terminated
+        // target FILE name, NUL-terminated target object path
+        val vlen = B.u(m, p, 2).toInt
+        val blob = java.util.Arrays.copyOfRange(m, p + 2, p + 2 + vlen)
+        require(blob.length >= 4 && blob(0) == 0,
+          s"hdf5 '$path': external link '$name' has a malformed value blob " +
+            s"(${blob.length} bytes, version/flags ${if (blob.isEmpty) "none" else blob(0)})")
+        val nul1 = blob.indexOf(0.toByte, 1)
+        require(nul1 > 1, s"hdf5 '$path': external link '$name' has an empty target file")
+        val file = new String(blob, 1, nul1 - 1, "UTF-8")
+        val end = { val n2 = blob.indexOf(0.toByte, nul1 + 1); if (n2 < 0) blob.length else n2 }
+        require(end > nul1 + 1,
+          s"hdf5 '$path': external link '$name' has an empty target object path")
+        Some(ExternalLink(name, file, new String(blob, nul1 + 1, end - nul1 - 1, "UTF-8")))
+      }
+      else fail(path, s"link '$name' of type $ltype (user)")
     }
 
     private def symtabLinks(btreeAddr: Long, heapAddr: Long): List[GroupLink] = {
@@ -1050,10 +1079,16 @@ object Hdf5Index {
   private final case class RefChunks(refs: List[(String, Long, Long)]) extends VarData
   private final case class InlineChunk(member: String, data: Array[Byte]) extends VarData
 
-  /** Parse one HDF5 file's structure into per-variable infos + group attrs.
+  /** One unresolved external link: the alias path in THIS file, the target
+    * file name (as stored — possibly relative), and the target object
+    * path. Resolution happens in `readMany`, which can open other files. */
+  private final case class ExtRef(aliasKey: String, file: String, objPath: String)
+
+  /** Parse one HDF5 file's structure into per-variable infos + group attrs
+    * + unresolved external links.
     * Runs inside one executor task; everything here is metadata-sized. */
   private def parseFile(r: Reader, path: String)
-      : (List[(String, String)], List[VarInfo]) = {
+      : (List[(String, String)], List[VarInfo], List[ExtRef]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.{compact, render}
     val P = new Parser(r, path)
@@ -1077,6 +1112,10 @@ object Hdf5Index {
     val pathToAddr = scala.collection.mutable.HashMap.empty[String, Long]
     // (group key, link name, target path) — resolved after the hard walk
     val softLinks = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    // external links — resolved by the caller, which can open other files
+    val extLinks = scala.collection.mutable.ArrayBuffer.empty[ExtRef]
+    def keyed(prefix: String, nm: String): String =
+      if (prefix.isEmpty) nm else s"$prefix/$nm"
     def visit(prefix: String, name: String, addr: Long): Unit = {
       // netCDF-4 never multi-hard-links an object; a revisited header
       // address is a hard-link cycle — refuse loudly rather than recurse
@@ -1093,16 +1132,18 @@ object Hdf5Index {
         val links = P.groupLinks(ms)
         renderAttrs(P.attributes(ms), Nil).foreach(j => groupAttrs += (key -> j))
         links.foreach {
-          case HardLink(nm, oh)     => visit(key, nm, oh)
-          case SoftLink(nm, target) => softLinks += ((key, nm, target))
+          case HardLink(nm, oh)        => visit(key, nm, oh)
+          case SoftLink(nm, target)    => softLinks += ((key, nm, target))
+          case ExternalLink(nm, f, op) => extLinks += ExtRef(keyed(key, nm), f, op)
         }
       }
     }
     val rootMs = P.messages(P.rootHeaderAddr)
     val rootAttrList = P.attributes(rootMs) // rendered after pass 2 (record dims)
     P.groupLinks(rootMs).foreach {
-      case HardLink(nm, oh)     => visit("", nm, oh)
-      case SoftLink(nm, target) => softLinks += (("", nm, target))
+      case HardLink(nm, oh)        => visit("", nm, oh)
+      case SoftLink(nm, target)    => softLinks += (("", nm, target))
+      case ExternalLink(nm, f, op) => extLinks += ExtRef(nm, f, op)
     }
 
     // soft-link resolution (spec IV.A.2.g / h5py semantics): a soft link
@@ -1141,6 +1182,7 @@ object Hdf5Index {
             case HardLink(nm, oh) => aliasVisit(s"$key/$nm", oh, stack + addr)
             case SoftLink(nm, _) => fail(path,
               s"soft link '$nm' inside the aliased subtree '$key' (nested soft links)")
+            case ExternalLink(nm, f, op) => extLinks += ExtRef(s"$key/$nm", f, op)
           }
         }
       }
@@ -1278,8 +1320,60 @@ object Hdf5Index {
       })
       if (fields.isEmpty) None else Some(compact(render(JObject(fields))))
     }
-    (rootJson.map("" -> _).toList ++ groupAttrs.result(), vars)
+    (rootJson.map("" -> _).toList ++ groupAttrs.result(), vars, extLinks.toList)
   }
+
+  /** Resolve one file's external links (h5py semantics, one level deep):
+    * parse each target file and surface the target object (dataset or
+    * group subtree) under the link's own path, with chunk refs carrying
+    * the TARGET file's url — the kerchunk-shaped row model already spans
+    * files. Relative target file names resolve against the linking file's
+    * directory (the H5L default). Refused loudly: a missing target file
+    * or object, an external link inside the resolved target subtree
+    * (chained cross-file hops), and links out of tar members (member
+    * offsets would not survive the hop). The target file's own root attrs
+    * and unlimited-dimension markers stay in the target — only the linked
+    * subtree surfaces. */
+  private def resolveExternals(
+      externals: List[ExtRef], linkingUrl: String,
+      hconf: org.apache.hadoop.conf.Configuration)
+      : Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] =
+    externals.iterator.flatMap { case ExtRef(aliasKey, file, objPath) =>
+      require(!TarMember.isTarUrl(linkingUrl),
+        s"hdf5 '$linkingUrl': external link '$aliasKey' from a tar member")
+      val parts = objPath.split("/").filter(_.nonEmpty).toList
+      require(parts.nonEmpty && parts.forall(p => p != "." && p != ".."),
+        s"hdf5 '$linkingUrl': external link '$aliasKey' target object '$objPath'")
+      val obj = parts.mkString("/")
+      val tgtUrl =
+        if (file.startsWith("/") || file.contains("://")) file
+        else new org.apache.hadoop.fs.Path(
+          FsPaths.hadoopPath(linkingUrl).getParent, file).toString
+      val tgtHPath = FsPaths.hadoopPath(tgtUrl)
+      val tfs = FsPaths.fileSystemFor(tgtHPath, hconf)
+      require(tfs.exists(tgtHPath),
+        s"hdf5 '$linkingUrl': external link '$aliasKey' target file '$file' " +
+          s"not found at '$tgtUrl'")
+      val tin = tfs.open(tgtHPath)
+      val (tAttrs, tVars, tExt) =
+        try parseFile(new Reader(tin, tgtUrl, 0L), tgtUrl)
+        finally tin.close()
+      def inSubtree(k: String): Boolean = k == obj || k.startsWith(obj + "/")
+      tExt.foreach { e =>
+        require(!inSubtree(e.aliasKey),
+          s"hdf5 '$linkingUrl': external link '${e.aliasKey}' inside the external " +
+            s"target '/$obj' of '$aliasKey' (chained cross-file links)")
+      }
+      val vSel = tVars.filter(v => inSubtree(v.pathKey))
+      val aSel = tAttrs.filter { case (d, _) => inSubtree(d) }
+      require(vSel.nonEmpty || aSel.nonEmpty,
+        s"hdf5 '$linkingUrl': external link '$aliasKey' target object '/$obj' " +
+          s"not found in '$tgtUrl'")
+      def rebase(k: String): String = aliasKey + k.stripPrefix(obj)
+      entriesOf(aSel.map { case (d, j) => (rebase(d), j) },
+        vSel.map(v => v.copy(pathKey = rebase(v.pathKey))), tgtUrl, 0L,
+        includeRoot = false)
+    }
 
   // -------------------------------------------------------------- public API
 
@@ -1319,23 +1413,26 @@ object Hdf5Index {
         val hPath = FsPaths.hadoopPath(real)
         val fs = FsPaths.fileSystemFor(hPath, hconf.value)
         val in = fs.open(hPath)
-        val (groupAttrs, vars) =
+        val (groupAttrs, vars, externals) =
           try parseFile(new Reader(in, p, base), p)
           finally in.close()
-        entriesOf(groupAttrs, vars, real, base)
+        entriesOf(groupAttrs, vars, real, base) ++
+          resolveExternals(externals, real, hconf.value)
       }
     }
     ds.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
   }
 
   private def entriesOf(groupAttrs: List[(String, String)], vars: List[VarInfo], url: String,
-                        base: Long = 0L)
+                        base: Long = 0L, includeRoot: Boolean = true)
       : Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.{compact, render}
     val none: Option[Long] = None
-    val group = Iterator((".zgroup", "", ".zgroup", "meta", null: String,
-      none, none, """{"zarr_format": 2}"""))
+    val group =
+      if (!includeRoot) Iterator.empty
+      else Iterator((".zgroup", "", ".zgroup", "meta", null: String,
+        none, none, """{"zarr_format": 2}"""))
     val gattrs = groupAttrs.iterator.map { case (dir, za) =>
       val key = if (dir.isEmpty) ".zattrs" else s"$dir/.zattrs"
       (key, dir, ".zattrs", "meta", null: String, none, none, za)

@@ -298,8 +298,83 @@ class Hdf5V4Spec extends AnyFunSuite {
       "unresolvable soft links")
     refuse(fileMsgs { _ => Seq(0x06 -> softLink("d", "/nope")) },
       "unresolvable soft links")
+    // a malformed external-link blob and a user link type both refuse
     refuse(fileMsgs { _ => Seq(
       0x06 -> typedLink("ext", 64, Array[Byte](0, 0))) },
-      "type 64")
+      "malformed value blob")
+    refuse(fileMsgs { _ => Seq(
+      0x06 -> typedLink("usr", 65, Array[Byte](0, 0))) },
+      "type 65")
+  }
+
+  /** A target file: /temp dataset (2x3) and a /g/x dataset (2 values). */
+  private def writeExtTarget(): String = writeTmp(fileMsgs { s =>
+    val data = s.pos; s.bytes(i32(0, 1, 2, 10, 11, 12))
+    val temp = ohdr(s, Seq(
+      0x01 -> dataspace2(Seq(2, 3)), 0x03 -> dtInt32,
+      0x08 -> layoutV4(Seq(2, 3), 1, data)))
+    val xd = s.pos; s.bytes(i32(7, 8))
+    val x = ohdr(s, Seq(
+      0x01 -> dataspace2(Seq(2)), 0x03 -> dtInt32,
+      0x08 -> layoutV4(Seq(2), 1, xd)))
+    val g = ohdr(s, Seq(0x06 -> link("x", x)))
+    Seq(0x06 -> link("temp", temp), 0x06 -> link("g", g))
+  })
+
+  test("external links: dataset and group-subtree aliases decode across files") {
+    val target = writeExtTarget()
+    val targetName = java.nio.file.Paths.get(target).getFileName.toString
+    val bytes = fileMsgs { s =>
+      val own = s.pos; s.bytes(i32(42, 43))
+      val local = ohdr(s, Seq(
+        0x01 -> dataspace2(Seq(2)), 0x03 -> dtInt32,
+        0x08 -> layoutV4(Seq(2), 1, own)))
+      Seq(
+        0x06 -> link("local", local),
+        0x06 -> externalLink("ext", target, "/temp"),        // absolute file
+        0x06 -> externalLink("extg", targetName, "/g"))      // sibling-relative
+    }
+    val path = writeTmp(bytes)
+    val v = decodeAll(path)
+    assert(v(("local", "0")) == 42 && v(("local", "1")) == 43)
+    for (i <- 0 until 2; j <- 0 until 3)
+      assert(v(("ext", s"$i.$j")) == i * 10 + j, s"ext $i.$j")
+    assert(v(("extg/x", "0")) == 7 && v(("extg/x", "1")) == 8)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(target))
+  }
+
+  test("external links: missing file, missing object, chained hops refuse") {
+    def refuse(bytes: Array[Byte], needle: String): Unit = {
+      val path = writeTmp(bytes)
+      val e = intercept[Exception] {
+        graft.sources.Hdf5Index.read(spark, path).collect()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains(needle), msg)
+      java.nio.file.Files.delete(java.nio.file.Paths.get(path))
+    }
+    refuse(fileMsgs { _ =>
+      Seq(0x06 -> externalLink("e", "/definitely/not/there.nc", "/temp")) },
+      "not found at")
+    val target = writeExtTarget()
+    refuse(fileMsgs { _ =>
+      Seq(0x06 -> externalLink("e", target, "/absent")) },
+      "not found in")
+    // a target subtree that itself contains an external link refuses
+    val hop = writeTmp(fileMsgs { s =>
+      val d = s.pos; s.bytes(i32(1, 2))
+      val ds = ohdr(s, Seq(
+        0x01 -> dataspace2(Seq(2)), 0x03 -> dtInt32,
+        0x08 -> layoutV4(Seq(2), 1, d)))
+      val g = ohdr(s, Seq(
+        0x06 -> link("inner", ds),
+        0x06 -> externalLink("hop", target, "/temp")))
+      Seq(0x06 -> link("grp", g))
+    })
+    refuse(fileMsgs { _ => Seq(0x06 -> externalLink("e", hop, "/grp")) },
+      "chained cross-file links")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(hop))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(target))
   }
 }
