@@ -2894,6 +2894,49 @@ object SparkEntry {
 
   // ------------------------------------------------------------ oracle SQL
 
+  /** Shared DSIR oracle plane (one definition for the three dsir gates —
+    * a one-sided edit to the tokenizer/ord/smoothing would otherwise
+    * silently desynchronize the gates that cross-check it): tokens →
+    * interleaved unigram+bigram grams with walk order → md5-first-3-hex
+    * buckets. */
+  private val dsirGramCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, CASE WHEN i = 1 THEN 1 ELSE 2*i - 2 END AS ord, t[i] AS g
+      |  FROM toks, UNNEST(range(1, len(t)+1)) r(i)
+      |  UNION ALL
+      |  SELECT doc_id, 2*i + 1, t[i] || ' ' || t[i+1] FROM toks, UNNEST(range(1, len(t))) r(i)),
+      |gb AS (
+      |  SELECT doc_id, ord,
+      |    (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 256
+      |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 16
+      |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) AS b
+      |  FROM (SELECT doc_id, ord, md5(g) AS h FROM grams))""".stripMargin
+
+  /** …plus the per-doc score fold: add-1-smoothed log-ratio weights summed
+    * by ordered list_reduce; `allr` = every raw doc with its (n_grams, s). */
+  private val dsirScoreCtes: String = dsirGramCtes + ",\n" +
+    """tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY b),
+      |rc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 <> 0 GROUP BY b),
+      |tt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 = 0),
+      |rt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 <> 0),
+      |wt AS (
+      |  SELECT gb.doc_id, gb.ord,
+      |    ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.s + 4096 AS DOUBLE))
+      |  - ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / CAST(rt.s + 4096 AS DOUBLE)) AS w
+      |  FROM gb CROSS JOIN tt CROSS JOIN rt
+      |  LEFT JOIN tc ON gb.b = tc.b LEFT JOIN rc ON gb.b = rc.b
+      |  WHERE gb.doc_id % 10 <> 0),
+      |sc AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |         list_reduce(list(w ORDER BY ord), (a, x) -> a + x) AS s
+      |  FROM wt GROUP BY doc_id),
+      |allr AS (
+      |  SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, COALESCE(sc.s, 0.0) AS s
+      |  FROM documents d LEFT JOIN sc USING (doc_id) WHERE d.doc_id % 10 <> 0)""".stripMargin
+
   def oracleSql: Map[String, String] = oracleSqlBase +
     // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
     // file as a tar member, so any tar-framing error (offset shift, member
@@ -4989,27 +5032,14 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM v GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
-    // DSIR bucket histograms re-derived from scratch: same tokenizer, same
-    // interleaved unigram+bigram grams, bucket = value of md5's first 3 hex
-    // chars (= the kernel's first 12 digest bits) via ascii arithmetic
-    "pipeline_dsir_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, t[i] AS g FROM toks, UNNEST(range(1, len(t)+1)) r(i)
-        |  UNION ALL
-        |  SELECT doc_id, t[i] || ' ' || t[i+1] FROM toks, UNNEST(range(1, len(t))) r(i)),
-        |gb AS (
-        |  SELECT doc_id, CAST(
-        |    (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 256
-        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 16
-        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) AS INT) AS bucket
-        |  FROM (SELECT doc_id, md5(g) AS h FROM grams))
-        |SELECT bucket,
+    // DSIR bucket histograms re-derived from scratch: the shared gram/
+    // bucket CTE plane (one definition across the three dsir gates) +
+    // a per-slice count tail
+    "pipeline_dsir_weights" -> (dsirGramCtes + "\n" +
+      """SELECT CAST(b AS INT) AS bucket,
         |  CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS target_cnt,
         |  CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS raw_cnt
-        |FROM gb GROUP BY bucket ORDER BY bucket""".stripMargin,
+        |FROM gb GROUP BY b ORDER BY bucket""".stripMargin),
 
     // DSIR selection re-derived end-to-end: per-gram log-ratio weights from
     // the count tables (same add-1 formula, same exact-integer ln args),
@@ -5018,82 +5048,18 @@ object SparkEntry {
     // the only cross-engine-deterministic ones; ln itself is bit-identical,
     // the bm25 precedent), rank by (score DESC, doc_id) — the gate hashes
     // ranks + integer gram counts, the score stays out
-    "pipeline_dsir_select" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, CASE WHEN i = 1 THEN 1 ELSE 2*i - 2 END AS ord, t[i] AS g
-        |  FROM toks, UNNEST(range(1, len(t)+1)) r(i)
-        |  UNION ALL
-        |  SELECT doc_id, 2*i + 1, t[i] || ' ' || t[i+1] FROM toks, UNNEST(range(1, len(t))) r(i)),
-        |gb AS (
-        |  SELECT doc_id, ord,
-        |    (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 256
-        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 16
-        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) AS b
-        |  FROM (SELECT doc_id, ord, md5(g) AS h FROM grams)),
-        |tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY b),
-        |rc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 <> 0 GROUP BY b),
-        |tt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 = 0),
-        |rt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 <> 0),
-        |wt AS (
-        |  SELECT gb.doc_id, gb.ord,
-        |    ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.s + 4096 AS DOUBLE))
-        |  - ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / CAST(rt.s + 4096 AS DOUBLE)) AS w
-        |  FROM gb CROSS JOIN tt CROSS JOIN rt
-        |  LEFT JOIN tc ON gb.b = tc.b LEFT JOIN rc ON gb.b = rc.b
-        |  WHERE gb.doc_id % 10 <> 0),
-        |sc AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |         list_reduce(list(w ORDER BY ord), (a, x) -> a + x) AS s
-        |  FROM wt GROUP BY doc_id),
-        |allr AS (
-        |  SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, COALESCE(sc.s, 0.0) AS s
-        |  FROM documents d LEFT JOIN sc USING (doc_id) WHERE d.doc_id % 10 <> 0),
-        |rk AS (
+    "pipeline_dsir_select" -> (dsirScoreCtes + ",\n" +
+      """rk AS (
         |  SELECT row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank, doc_id, n_grams
         |  FROM allr)
         |SELECT CAST(rank AS INT) AS rank, doc_id, n_grams
-        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
+        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin),
 
     // Gumbel-top-k sampling: the select oracle's score plane plus the
     // seeded-md5 noise — u = (hex4(md5('gumbel|42|'||id)) + 0.5)/65536,
     // g = −ln(−ln u), rank on (s + g) DESC
-    "pipeline_dsir_sample" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, CASE WHEN i = 1 THEN 1 ELSE 2*i - 2 END AS ord, t[i] AS g
-        |  FROM toks, UNNEST(range(1, len(t)+1)) r(i)
-        |  UNION ALL
-        |  SELECT doc_id, 2*i + 1, t[i] || ' ' || t[i+1] FROM toks, UNNEST(range(1, len(t))) r(i)),
-        |gb AS (
-        |  SELECT doc_id, ord,
-        |    (CASE WHEN ascii(substr(h,1,1)) >= 97 THEN ascii(substr(h,1,1))-87 ELSE ascii(substr(h,1,1))-48 END) * 256
-        |  + (CASE WHEN ascii(substr(h,2,1)) >= 97 THEN ascii(substr(h,2,1))-87 ELSE ascii(substr(h,2,1))-48 END) * 16
-        |  + (CASE WHEN ascii(substr(h,3,1)) >= 97 THEN ascii(substr(h,3,1))-87 ELSE ascii(substr(h,3,1))-48 END) AS b
-        |  FROM (SELECT doc_id, ord, md5(g) AS h FROM grams)),
-        |tc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 = 0 GROUP BY b),
-        |rc AS (SELECT b, COUNT(*) AS c FROM gb WHERE doc_id % 10 <> 0 GROUP BY b),
-        |tt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 = 0),
-        |rt AS (SELECT COUNT(*) AS s FROM gb WHERE doc_id % 10 <> 0),
-        |wt AS (
-        |  SELECT gb.doc_id, gb.ord,
-        |    ln(CAST(COALESCE(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.s + 4096 AS DOUBLE))
-        |  - ln(CAST(COALESCE(rc.c, 0) + 1 AS DOUBLE) / CAST(rt.s + 4096 AS DOUBLE)) AS w
-        |  FROM gb CROSS JOIN tt CROSS JOIN rt
-        |  LEFT JOIN tc ON gb.b = tc.b LEFT JOIN rc ON gb.b = rc.b
-        |  WHERE gb.doc_id % 10 <> 0),
-        |sc AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
-        |         list_reduce(list(w ORDER BY ord), (a, x) -> a + x) AS s
-        |  FROM wt GROUP BY doc_id),
-        |allr AS (
-        |  SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, COALESCE(sc.s, 0.0) AS s
-        |  FROM documents d LEFT JOIN sc USING (doc_id) WHERE d.doc_id % 10 <> 0),
-        |gum AS (
+    "pipeline_dsir_sample" -> (dsirScoreCtes + ",\n" +
+      """gum AS (
         |  SELECT doc_id, n_grams, s,
         |    ((CASE WHEN ascii(substr(gh,1,1)) >= 97 THEN ascii(substr(gh,1,1))-87 ELSE ascii(substr(gh,1,1))-48 END) * 4096
         |   + (CASE WHEN ascii(substr(gh,2,1)) >= 97 THEN ascii(substr(gh,2,1))-87 ELSE ascii(substr(gh,2,1))-48 END) * 256
@@ -5108,7 +5074,7 @@ object SparkEntry {
         |    doc_id, n_grams
         |  FROM gum)
         |SELECT CAST(rank AS INT) AS rank, doc_id, n_grams
-        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
+        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin),
 
     // weights as quoted-varchar→double casts: DuckDB decimal literals would
     // run the n/w arithmetic in DECIMAL, diverging from Spark's double math

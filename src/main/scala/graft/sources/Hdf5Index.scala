@@ -310,6 +310,11 @@ object Hdf5Index {
         // length, then a version/flags byte (must be 0), NUL-terminated
         // target FILE name, NUL-terminated target object path
         val vlen = B.u(m, p, 2).toInt
+        // the declared value must FIT the message: copyOfRange would
+        // silently zero-pad a truncated blob, and a pad zero would then
+        // pass for the object path's terminating NUL
+        require(p + 2 + vlen <= m.length,
+          s"hdf5 '$path': external link '$name' value ($vlen bytes) overruns its message")
         val blob = java.util.Arrays.copyOfRange(m, p + 2, p + 2 + vlen)
         require(blob.length >= 4 && blob(0) == 0,
           s"hdf5 '$path': external link '$name' has a malformed value blob " +
@@ -1085,10 +1090,12 @@ object Hdf5Index {
   private final case class ExtRef(aliasKey: String, file: String, objPath: String)
 
   /** Parse one HDF5 file's structure into per-variable infos + group attrs
-    * + unresolved external links.
+    * + unresolved external links + the set of all object paths (datasets
+    * AND groups — the external-link resolver needs to tell an existing
+    * empty group from a missing target).
     * Runs inside one executor task; everything here is metadata-sized. */
   private def parseFile(r: Reader, path: String)
-      : (List[(String, String)], List[VarInfo], List[ExtRef]) = {
+      : (List[(String, String)], List[VarInfo], List[ExtRef], Set[String]) = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.{compact, render}
     val P = new Parser(r, path)
@@ -1320,60 +1327,69 @@ object Hdf5Index {
       })
       if (fields.isEmpty) None else Some(compact(render(JObject(fields))))
     }
-    (rootJson.map("" -> _).toList ++ groupAttrs.result(), vars, extLinks.toList)
+    (rootJson.map("" -> _).toList ++ groupAttrs.result(), vars, extLinks.toList,
+      pathToAddr.keySet.toSet)
   }
 
   /** Resolve one file's external links (h5py semantics, one level deep):
-    * parse each target file and surface the target object (dataset or
-    * group subtree) under the link's own path, with chunk refs carrying
-    * the TARGET file's url — the kerchunk-shaped row model already spans
-    * files. Relative target file names resolve against the linking file's
-    * directory (the H5L default). Refused loudly: a missing target file
-    * or object, an external link inside the resolved target subtree
-    * (chained cross-file hops), and links out of tar members (member
-    * offsets would not survive the hop). The target file's own root attrs
-    * and unlimited-dimension markers stay in the target — only the linked
+    * parse each DISTINCT target file once and surface every linked object
+    * (dataset or group subtree) under its link's path, with chunk refs
+    * carrying the TARGET file's url — the kerchunk-shaped row model
+    * already spans files. Relative target file names resolve against the
+    * linking file's directory (the H5L default). An existing but empty,
+    * attribute-less target group resolves to nothing (there is nothing to
+    * surface). Refused loudly: a missing target file or object, an
+    * external link inside the resolved target subtree (chained cross-file
+    * hops), and links out of tar members (`sourceUrl` is the ORIGINAL
+    * url: a member's links would resolve against the archive's directory,
+    * not the member's). The target file's own root attrs and
+    * unlimited-dimension markers stay in the target — only the linked
     * subtree surfaces. */
   private def resolveExternals(
-      externals: List[ExtRef], linkingUrl: String,
+      externals: List[ExtRef], sourceUrl: String, linkingUrl: String,
       hconf: org.apache.hadoop.conf.Configuration)
-      : Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] =
-    externals.iterator.flatMap { case ExtRef(aliasKey, file, objPath) =>
-      require(!TarMember.isTarUrl(linkingUrl),
-        s"hdf5 '$linkingUrl': external link '$aliasKey' from a tar member")
-      val parts = objPath.split("/").filter(_.nonEmpty).toList
-      require(parts.nonEmpty && parts.forall(p => p != "." && p != ".."),
-        s"hdf5 '$linkingUrl': external link '$aliasKey' target object '$objPath'")
-      val obj = parts.mkString("/")
-      val tgtUrl =
-        if (file.startsWith("/") || file.contains("://")) file
-        else new org.apache.hadoop.fs.Path(
-          FsPaths.hadoopPath(linkingUrl).getParent, file).toString
+      : Iterator[(String, String, String, String, String, Option[Long], Option[Long], String)] = {
+    if (externals.isEmpty) return Iterator.empty
+    require(!TarMember.isTarUrl(sourceUrl),
+      s"hdf5 '$sourceUrl': external link '${externals.head.aliasKey}' from a tar member")
+    val byTarget = externals.groupBy { e =>
+      if (e.file.startsWith("/") || e.file.contains("://")) e.file
+      else new org.apache.hadoop.fs.Path(
+        FsPaths.hadoopPath(linkingUrl).getParent, e.file).toString
+    }
+    byTarget.iterator.flatMap { case (tgtUrl, refs) =>
       val tgtHPath = FsPaths.hadoopPath(tgtUrl)
       val tfs = FsPaths.fileSystemFor(tgtHPath, hconf)
       require(tfs.exists(tgtHPath),
-        s"hdf5 '$linkingUrl': external link '$aliasKey' target file '$file' " +
-          s"not found at '$tgtUrl'")
+        s"hdf5 '$linkingUrl': external link '${refs.head.aliasKey}' target file " +
+          s"'${refs.head.file}' not found at '$tgtUrl'")
       val tin = tfs.open(tgtHPath)
-      val (tAttrs, tVars, tExt) =
+      val (tAttrs, tVars, tExt, tKeys) =
         try parseFile(new Reader(tin, tgtUrl, 0L), tgtUrl)
         finally tin.close()
-      def inSubtree(k: String): Boolean = k == obj || k.startsWith(obj + "/")
-      tExt.foreach { e =>
-        require(!inSubtree(e.aliasKey),
-          s"hdf5 '$linkingUrl': external link '${e.aliasKey}' inside the external " +
-            s"target '/$obj' of '$aliasKey' (chained cross-file links)")
+      refs.iterator.flatMap { case ExtRef(aliasKey, _, objPath) =>
+        val parts = objPath.split("/").filter(_.nonEmpty).toList
+        require(parts.nonEmpty && parts.forall(p => p != "." && p != ".."),
+          s"hdf5 '$linkingUrl': external link '$aliasKey' target object '$objPath'")
+        val obj = parts.mkString("/")
+        def inSubtree(k: String): Boolean = k == obj || k.startsWith(obj + "/")
+        tExt.foreach { e =>
+          require(!inSubtree(e.aliasKey),
+            s"hdf5 '$linkingUrl': external link '${e.aliasKey}' inside the external " +
+              s"target '/$obj' of '$aliasKey' (chained cross-file links)")
+        }
+        val vSel = tVars.filter(v => inSubtree(v.pathKey))
+        val aSel = tAttrs.filter { case (d, _) => inSubtree(d) }
+        require(vSel.nonEmpty || aSel.nonEmpty || tKeys.contains(obj),
+          s"hdf5 '$linkingUrl': external link '$aliasKey' target object '/$obj' " +
+            s"not found in '$tgtUrl'")
+        def rebase(k: String): String = aliasKey + k.stripPrefix(obj)
+        entriesOf(aSel.map { case (d, j) => (rebase(d), j) },
+          vSel.map(v => v.copy(pathKey = rebase(v.pathKey))), tgtUrl, 0L,
+          includeRoot = false)
       }
-      val vSel = tVars.filter(v => inSubtree(v.pathKey))
-      val aSel = tAttrs.filter { case (d, _) => inSubtree(d) }
-      require(vSel.nonEmpty || aSel.nonEmpty,
-        s"hdf5 '$linkingUrl': external link '$aliasKey' target object '/$obj' " +
-          s"not found in '$tgtUrl'")
-      def rebase(k: String): String = aliasKey + k.stripPrefix(obj)
-      entriesOf(aSel.map { case (d, j) => (rebase(d), j) },
-        vSel.map(v => v.copy(pathKey = rebase(v.pathKey))), tgtUrl, 0L,
-        includeRoot = false)
     }
+  }
 
   // -------------------------------------------------------------- public API
 
@@ -1413,11 +1429,11 @@ object Hdf5Index {
         val hPath = FsPaths.hadoopPath(real)
         val fs = FsPaths.fileSystemFor(hPath, hconf.value)
         val in = fs.open(hPath)
-        val (groupAttrs, vars, externals) =
+        val (groupAttrs, vars, externals, _) =
           try parseFile(new Reader(in, p, base), p)
           finally in.close()
         entriesOf(groupAttrs, vars, real, base) ++
-          resolveExternals(externals, real, hconf.value)
+          resolveExternals(externals, p, real, hconf.value)
       }
     }
     ds.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")

@@ -374,7 +374,55 @@ class Hdf5V4Spec extends AnyFunSuite {
     })
     refuse(fileMsgs { _ => Seq(0x06 -> externalLink("e", hop, "/grp")) },
       "chained cross-file links")
+    // truncated value blob: declared length overruns the message — the
+    // zero padding must NOT pass for the object path's terminating NUL
+    refuse(fileMsgs { _ => Seq(
+      0x06 -> typedLink("e", 64, Array[Byte](0, 120, 0, 47, 97))) }, // len=30776 > msg
+      "overruns its message")
     java.nio.file.Files.delete(java.nio.file.Paths.get(hop))
     java.nio.file.Files.delete(java.nio.file.Paths.get(target))
+  }
+
+  test("external links: an existing empty group resolves to nothing; tar members refuse") {
+    // target with an empty, attribute-less group: the link resolves (h5py
+    // would hand back an empty group) and surfaces no entries
+    val target = writeTmp(fileMsgs { s =>
+      val g = ohdr(s, Seq.empty)
+      Seq(0x06 -> link("empty", g))
+    })
+    val path = writeTmp(fileMsgs { s =>
+      val d = s.pos; s.bytes(i32(1, 2))
+      val ds = ohdr(s, Seq(
+        0x01 -> dataspace2(Seq(2)), 0x03 -> dtInt32,
+        0x08 -> layoutV4(Seq(2), 1, d)))
+      Seq(0x06 -> link("v", ds), 0x06 -> externalLink("e", target, "/empty"))
+    })
+    val v = decodeAll(path)
+    assert(v.keySet.map(_._1) == Set("v"), v.keySet.toString)
+    // the same linking file as a tar member refuses: member-relative file
+    // resolution is not defined (it would resolve against the ARCHIVE dir)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val tarFile = java.nio.file.Files.createTempFile("graft_h5ext", ".tar")
+    val bos = new java.io.ByteArrayOutputStream()
+    val hdr = new Array[Byte](512)
+    def put(off: Int, str: String): Unit = {
+      val b = str.getBytes("US-ASCII"); System.arraycopy(b, 0, hdr, off, b.length)
+    }
+    put(0, "m.nc"); put(100, "0000644\u0000"); put(108, "0000000\u0000")
+    put(116, "0000000\u0000"); put(124, f"${bytes.length}%011o" + "\u0000")
+    put(136, "00000000000\u0000"); put(148, "        "); hdr(156) = '0'
+    put(257, "ustar\u0000"); put(263, "00")
+    put(148, f"${hdr.map(_ & 0xff).sum}%06o" + "\u0000 ")
+    bos.write(hdr); bos.write(bytes)
+    bos.write(new Array[Byte]((512 - bytes.length % 512) % 512))
+    bos.write(new Array[Byte](1024))
+    java.nio.file.Files.write(tarFile, bos.toByteArray)
+    val e = intercept[Exception] {
+      graft.sources.Hdf5Index.read(spark, s"tar://m.nc::$tarFile").collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("from a tar member"), msg)
+    Seq(path, target, tarFile.toString).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
   }
 }
