@@ -1223,6 +1223,43 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "save_zarr_v3_roundtrip" -> ((s, dir) => {
+      // r11: the zarr v3 SINK with sharding_indexed — the same tidy plane
+      // as save_zarr_roundtrip, written as a v3 store whose objects pack 2
+      // inner chunk bands each behind a crc32c'd trailing index, read back
+      // through the engine's own v3 + sharding reader. Same oracle values
+      // as the v2 gate (the format swap must be invisible to the cells).
+      import org.apache.spark.sql.expressions.Window
+      val n = T(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"),
+          col("n_regionkey").cast(LongType).as("rk"))
+        .withColumn("i", (row_number().over(Window.orderBy("k")) - 1).cast(LongType))
+      val r = T(s, dir, "region")
+        .select(col("r_regionkey").cast(LongType).as("rr"))
+        .withColumn("j", (row_number().over(Window.orderBy("rr")) - 1).cast(LongType))
+      val tidy = n
+        .select(lit("n_key").as("variable"), typedLit(Seq("nation")).as("dims"),
+          array(col("i")).as("coords"), col("k").cast(DoubleType).as("value"))
+        .unionByName(n.join(broadcast(r))
+          .select(lit("key_sum").as("variable"),
+            typedLit(Seq("nation", "region")).as("dims"),
+            array(col("i"), col("j")).as("coords"),
+            (col("k") + col("rr")).cast(DoubleType).as("value")))
+      val out = s"/tmp/graft_zarr3_rt_${tmpToken(dir)}"
+      graft.sources.ZarrWriter.writeV3(tidy, out, maxChunkBytes = 256,
+        shardInnerChunks = 2)
+      val entries = graft.sources.ZarrDirectoryIndex.read(s, out)
+      graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_opendap_labels" -> ((s, dir) => {
       // r11: DAP2 String atomic arrays (coordinate labels — e.g. station
       // or region names on real ESM servers). The fixture serves r_name
@@ -3401,6 +3438,24 @@ object SparkEntry {
     // the sink round trip re-derives from the same parquet the tidy plane
     // was built from — coord = rank-1 in key order on each axis
     "save_zarr_roundtrip" ->
+      """WITH nk AS (SELECT n_nationkey AS k,
+        |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),
+        |     rk AS (SELECT r_regionkey AS rr,
+        |              ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS j FROM region)
+        |SELECT variable, dims, coord_key, value FROM (
+        |  SELECT 'n_key' AS variable, 'nation' AS dims,
+        |         CAST(i AS VARCHAR) AS coord_key, CAST(k AS DOUBLE) AS value
+        |  FROM nk
+        |  UNION ALL
+        |  SELECT 'key_sum', 'nation.region',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         CAST(k + rr AS DOUBLE)
+        |  FROM nk, rk)
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // the v3 sharded sink must produce the SAME cells as the v2 gate — the
+    // oracle is reused verbatim (format swap invisible to the values)
+    "save_zarr_v3_roundtrip" ->
       """WITH nk AS (SELECT n_nationkey AS k,
         |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),
         |     rk AS (SELECT r_regionkey AS rr,

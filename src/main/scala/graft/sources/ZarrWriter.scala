@@ -39,24 +39,14 @@ import org.apache.spark.sql.types._
   */
 object ZarrWriter {
 
-  def write(df0: DataFrame, storePath: String,
-            maxChunkBytes: Long = 4L << 20,
-            compress: Boolean = true): Unit = {
-    val spark = df0.sparkSession
-    require(df0.schema("value").dataType == DoubleType,
-      s"ZarrWriter: value column must be double, got ${df0.schema("value").dataType}")
-    // the input feeds three actions (geometry, shapes, chunk write) —
-    // persist once so an expensive upstream plan computes once, not 3×
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeCached(df, spark, storePath, maxChunkBytes, compress)
-    finally df.unpersist(false)
-  }
+  private final case class Geo(variable: String, dims: Seq[String], shape: Seq[Long],
+                               chunks: Seq[Long], nBands: Long)
 
-  private def writeCached(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
-                          storePath: String, maxChunkBytes: Long,
-                          compress: Boolean): Unit = {
-    // ---- per-variable geometry + input guards (ONE aggregation — the
-    // duplicate-cell check rides it as countDistinct(coords))
+  /** Per-variable geometry + input guards, shared by the v2 and v3
+    * writers: ONE aggregation (the duplicate-cell check rides it as
+    * countDistinct(coords)) + one per-dimension extent pass, then a chunk
+    * band along the FIRST dimension sized to the byte budget. */
+  private def geometry(df: DataFrame, maxChunkBytes: Long): Array[Geo] = {
     val metaRows = df
       .select(col("variable"), col("dims"), col("coords"))
       .groupBy("variable")
@@ -90,11 +80,7 @@ object ZarrWriter {
           s"ZarrWriter: variable '$v' has negative coordinates"))
         v -> rows.sortBy(_.getInt(1)).map(_.getLong(2) + 1L)
       }
-
-    // ---- geometry table: band along dim 0 sized to the byte budget
-    final case class Geo(variable: String, dims: Seq[String], shape: Seq[Long],
-                         chunks: Seq[Long], nBands: Long)
-    val geos = metaRows.map { r =>
+    metaRows.map { r =>
       val v = r.getString(0)
       val dims = r.getAs[scala.collection.Seq[String]]("dims").toSeq
       val shape = shapes(v).toSeq
@@ -103,24 +89,50 @@ object ZarrWriter {
       val nBands = (shape.head + band - 1) / band
       Geo(v, dims, shape, band +: shape.drop(1), nBands)
     }
+  }
+
+  private def clearStore(storePath: String,
+                         conf: org.apache.hadoop.conf.Configuration): Unit = {
+    // clear any pre-existing store FIRST: readers discover chunks by
+    // walking the directory, so stale chunk files from an earlier write
+    // with different geometry would silently corrupt reads
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) fs.delete(root, true)
+  }
+
+  private def putFile(storePath: String, rel: String, bytes: Array[Byte],
+                      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath, rel)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def write(df0: DataFrame, storePath: String,
+            maxChunkBytes: Long = 4L << 20,
+            compress: Boolean = true): Unit = {
+    val spark = df0.sparkSession
+    require(df0.schema("value").dataType == DoubleType,
+      s"ZarrWriter: value column must be double, got ${df0.schema("value").dataType}")
+    // the input feeds three actions (geometry, shapes, chunk write) —
+    // persist once so an expensive upstream plan computes once, not 3×
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeCached(df, spark, storePath, maxChunkBytes, compress)
+    finally df.unpersist(false)
+  }
+
+  private def writeCached(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                          storePath: String, maxChunkBytes: Long,
+                          compress: Boolean): Unit = {
+    val geos = geometry(df, maxChunkBytes)
 
     // ---- driver-side metadata documents
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    // clear any pre-existing store FIRST: the reader discovers chunks by
-    // walking the directory, so stale chunk files from an earlier write
-    // with different geometry would silently corrupt reads
-    locally {
-      val root = new org.apache.hadoop.fs.Path(storePath)
-      val fs = root.getFileSystem(conf.value)
-      if (fs.exists(root)) fs.delete(root, true)
-    }
-    def writeFile(rel: String, bytes: Array[Byte]): Unit = {
-      val p = new org.apache.hadoop.fs.Path(storePath, rel)
-      val fs = p.getFileSystem(conf.value)
-      val out = fs.create(p, true)
-      try out.write(bytes) finally out.close()
-    }
+    clearStore(storePath, conf.value)
+    def writeFile(rel: String, bytes: Array[Byte]): Unit =
+      putFile(storePath, rel, bytes, conf.value)
     def jarr(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
     writeFile(".zgroup", """{"zarr_format": 2}""".getBytes("UTF-8"))
     geos.foreach { g =>
@@ -194,6 +206,164 @@ object ZarrWriter {
           val fs = p.getFileSystem(conf.value)
           val os = fs.create(p, true)
           try os.write(bytes) finally os.close()
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------ v3
+
+  /** zarr v3 directory-store writer — same tidy input contract and scale
+    * shape as [[write]], emitting the v3 layout our own
+    * [[ZarrDirectoryIndex]] (and any v3 reader) opens: one `zarr.json`
+    * per node, `data_type: float64`, the `bytes` (little-endian) codec
+    * optionally chained with `gzip`, default chunk-key encoding
+    * (`c/i/j…`), and first-class `dimension_names`.
+    *
+    * `shardInnerChunks >= 2` switches on `sharding_indexed` — v3's
+    * many-chunks-per-object layout and the reason v3 matters at 100 TB:
+    * each stored object packs that many dim-0 chunk bands plus a
+    * trailing index (16 B/slot u64 offset+nbytes little-endian, absent
+    * slot = all-ones = fill, crc32c suffix — the spec defaults), cutting
+    * object-store file count (and listing/request pressure) by the
+    * factor while keeping chunk-granular reads through the index. One
+    * task writes one shard: inner chunks encode independently and
+    * concatenate, so memory stays shard-sized. */
+  def writeV3(df0: DataFrame, storePath: String,
+              maxChunkBytes: Long = 4L << 20,
+              compress: Boolean = true,
+              shardInnerChunks: Int = 0): Unit = {
+    val spark = df0.sparkSession
+    require(df0.schema("value").dataType == DoubleType,
+      s"ZarrWriter: value column must be double, got ${df0.schema("value").dataType}")
+    require(shardInnerChunks == 0 || shardInnerChunks >= 2,
+      s"ZarrWriter: shardInnerChunks must be 0 (unsharded) or >= 2, got $shardInnerChunks")
+    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeV3Cached(df, spark, storePath, maxChunkBytes, compress, shardInnerChunks)
+    finally df.unpersist(false)
+  }
+
+  private def gzipBytes(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos) { `def`.setLevel(6) }
+    gz.write(raw); gz.close()
+    bos.toByteArray
+  }
+
+  private def writeV3Cached(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
+                            storePath: String, maxChunkBytes: Long,
+                            compress: Boolean, shardInnerChunks: Int): Unit = {
+    val geos = geometry(df, maxChunkBytes)
+    val sharded = shardInnerChunks >= 2
+    val sl = if (sharded) shardInnerChunks.toLong else 1L
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    clearStore(storePath, conf.value)
+
+    // ---- metadata: one zarr.json per node
+    def jarr(xs: Seq[Long]): String = xs.mkString("[", ", ", "]")
+    def jstrs(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ", ", "]")
+    putFile(storePath, "zarr.json",
+      """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"), conf.value)
+    val innerCodecs =
+      if (compress)
+        """[{"name": "bytes", "configuration": {"endian": "little"}}, """ +
+          """{"name": "gzip", "configuration": {"level": 6}}]"""
+      else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
+    geos.foreach { g =>
+      val gridChunks =
+        if (sharded) (g.chunks.head * sl) +: g.chunks.drop(1) else g.chunks
+      val codecs =
+        if (!sharded) innerCodecs
+        else
+          s"""[{"name": "sharding_indexed", "configuration": {""" +
+            s""""chunk_shape": ${jarr(g.chunks)}, "codecs": $innerCodecs, """ +
+            """"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, """ +
+            """{"name": "crc32c"}], "index_location": "end"}}]"""
+      putFile(storePath, s"${g.variable}/zarr.json",
+        (s"""{"zarr_format": 3, "node_type": "array", "shape": ${jarr(g.shape)}, """ +
+          s""""data_type": "float64", "chunk_grid": {"name": "regular", """ +
+          s""""configuration": {"chunk_shape": ${jarr(gridChunks)}}}, """ +
+          """"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}}, """ +
+          s""""fill_value": 0.0, "codecs": $codecs, """ +
+          s""""dimension_names": ${jstrs(g.dims)}}""").getBytes("UTF-8"), conf.value)
+    }
+
+    // ---- data: row → (stored object, inner slot, in-chunk offset);
+    // ONE shuffle groups rows by stored object (= shard when sharding)
+    import spark.implicits._
+    val geoDf = broadcast(geos.toSeq.map(g =>
+        (g.variable, g.chunks.head,
+          g.chunks.indices.map(d => g.chunks.drop(d + 1).product)))
+      .toDF("variable", "band", "__strides"))
+    val maxRank = geos.map(_.chunks.size).max
+    val keyed = df
+      .join(geoDf, Seq("variable"))
+      .withColumn("__bandIdx",
+        call_function("div", element_at(col("coords"), 1), col("band")))
+      .withColumn("__member", concat_ws("/",
+        (lit("c") +: call_function("div", col("__bandIdx"), lit(sl)).cast("string")
+          +: (1 until maxRank).map(d =>
+            when(size(col("coords")) > d, lit("0")).otherwise(lit(null)))): _*))
+      .withColumn("__slot", (col("__bandIdx") % lit(sl)).cast("int"))
+      .withColumn("__off",
+        aggregate(
+          zip_with(
+            concat(array(element_at(col("coords"), 1) % col("band")),
+              slice(col("coords"), lit(2), size(col("coords")) - 1)),
+            col("__strides"), (c, s) => c * s),
+          lit(0L), (a, x) => a + x))
+      .select(col("variable"), col("__member"), col("__slot"), col("__off"), col("value"))
+
+    val nObjects = geos.map(g => (g.nBands + sl - 1) / sl).sum
+    val zip = compress
+    val chunkElems = geos.map(g => g.variable -> g.chunks.product.toInt).toMap
+    val slots = sl.toInt
+    keyed
+      .groupBy("variable", "__member")
+      .agg(collect_list(struct(col("__slot"), col("__off"), col("value"))).as("cells"))
+      .repartition(math.max(1, math.min(nObjects,
+        spark.sparkContext.defaultParallelism.toLong)).toInt)
+      .select(col("variable"), col("__member"), col("cells"))
+      .as[(String, String, Seq[(Int, Long, Double)])]
+      .foreachPartition { it: Iterator[(String, String, Seq[(Int, Long, Double)])] =>
+        it.foreach { case (variable, member, cells) =>
+          val n = chunkElems(variable)
+          def encodeChunk(slotCells: Seq[(Int, Long, Double)]): Array[Byte] = {
+            val buf = java.nio.ByteBuffer.allocate(n * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            slotCells.foreach { case (_, off, v) =>
+              require(off >= 0 && off < n,
+                s"ZarrWriter: offset $off out of chunk range $n for $variable/$member")
+              buf.putDouble(off.toInt * 8, v)
+            }
+            if (zip) gzipBytes(buf.array()) else buf.array()
+          }
+          val bytes =
+            if (slots == 1) encodeChunk(cells) // plain v3 chunk object
+            else {
+              // shard: present inner chunks concatenated + trailing index
+              val bySlot = cells.groupBy(_._1)
+              val out = new java.io.ByteArrayOutputStream()
+              val index = java.nio.ByteBuffer.allocate(16 * slots + 4)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              (0 until slots).foreach { slot =>
+                bySlot.get(slot) match {
+                  case Some(sc) =>
+                    val enc = encodeChunk(sc)
+                    index.putLong(out.size.toLong); index.putLong(enc.length.toLong)
+                    out.write(enc)
+                  case None => // absent inner chunk = fill (all-ones sentinel)
+                    index.putLong(-1L); index.putLong(-1L)
+                }
+              }
+              val crc = new java.util.zip.CRC32C()
+              crc.update(index.array(), 0, 16 * slots)
+              index.putInt(crc.getValue.toInt)
+              out.write(index.array())
+              out.toByteArray
+            }
+          putFile(storePath, s"$variable/$member", bytes, conf.value)
         }
       }
   }

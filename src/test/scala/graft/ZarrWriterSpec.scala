@@ -95,4 +95,63 @@ class ZarrWriterSpec extends AnyFunSuite {
       graft.sources.ZarrWriter.write(ints, dir)
     }.getMessage.contains("double"))
   }
+
+  test("v3 round trip: default key encoding, gzip codec, dimension_names") {
+    val rows =
+      (0L until 10L).map(i => ("t", Seq("time"), Seq(i), i * 1.5)) ++
+        (for (i <- 0L until 6L; j <- 0L until 4L)
+          yield ("grid", Seq("time", "x"), Seq(i, j), i * 10.0 + j))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw3v").toString
+    graft.sources.ZarrWriter.writeV3(tidy(rows), dir, maxChunkBytes = 64)
+    // v3 layout facts: per-node zarr.json, c/-prefixed "/"-separated keys
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "zarr.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "t", "zarr.json")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "t", "c", "1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "grid", "c", "2", "0")))
+    val got = decode(dir)
+      .select(col("variable"), array_join(col("dims"), ".").as("d"),
+        array_join(transform(col("coords"), c => c.cast("string")), ".").as("ck"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val want = rows.map { case (v, d, c, x) =>
+      (v, d.mkString("."), c.mkString("."), x) }.toSet
+    assert(got === want)
+  }
+
+  test("v3 sharded round trip: index layout, absent slots, edge shards") {
+    // shape [8], band 1 (8-byte budget), 4 inner chunks per shard →
+    // shards c/0 (bands 0-3) and c/1 (bands 4-7); band 2 never written
+    val rows = Seq(0L, 1L, 3L, 4L).map(i => ("v", Seq("x"), Seq(i), i + 0.5))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw3s").toString
+    graft.sources.ZarrWriter.writeV3(tidy(rows), dir, maxChunkBytes = 8,
+      compress = false, shardInnerChunks = 4)
+    val shard0 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "v", "c", "0"))
+    // 3 present 8-byte inner chunks + 64-byte index + 4-byte crc32c
+    assert(shard0.length == 3 * 8 + 16 * 4 + 4, shard0.length.toString)
+    val idx = java.nio.ByteBuffer.wrap(shard0, 24, 68)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(idx.getLong(24 + 0) == 0L && idx.getLong(24 + 8) == 8L)   // slot 0
+    assert(idx.getLong(24 + 16) == 8L && idx.getLong(24 + 24) == 8L) // slot 1
+    assert(idx.getLong(24 + 32) == -1L && idx.getLong(24 + 40) == -1L) // absent slot 2
+    assert(idx.getLong(24 + 48) == 16L)                              // slot 3
+    val crc = new java.util.zip.CRC32C()
+    crc.update(shard0, 24, 64)
+    assert((java.nio.ByteBuffer.wrap(shard0, 24 + 64, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt() & 0xffffffffL) == crc.getValue)
+    // round trip through the engine's own v3 + sharding reader: exactly
+    // the written cells come back (absent slots and bands are fill)
+    val got = decode(dir).select("value").as[Double].collect().sorted
+    assert(got.toSeq == rows.map(_._4), got.mkString(","))
+    // gzip'd multi-dim sharded variant round-trips too
+    val rows2 = for (i <- 0L until 6L; j <- 0L until 3L)
+      yield ("g", Seq("a", "b"), Seq(i, j), i * 10.0 + j)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zw3s2").toString
+    graft.sources.ZarrWriter.writeV3(tidy(rows2.toSeq), dir2, maxChunkBytes = 48,
+      shardInnerChunks = 2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir2, "g", "c", "0", "0")))
+    val got2 = decode(dir2).select("value").as[Double].collect().sorted
+    assert(got2.toSeq == rows2.map(_._4).sorted)
+  }
 }
