@@ -64,7 +64,12 @@ object Bench {
     "ann_pq_topk",
     // r11: the zarr SINK round trip (write banded zlib store + read back
     // through the engine's own reader + decode plane)
-    "save_zarr_roundtrip")
+    "save_zarr_roundtrip",
+    // r11 late additions: transitive duplicate clustering (LSH pair graph
+    // + the large-star/small-star driver iteration), DSIR selection (two
+    // histogram training scans + the codegen'd scoring scan + two-stage
+    // top-k), and the v3 SHARDED sink round trip
+    "dedup_clusters", "pipeline_dsir_select", "save_zarr_v3_roundtrip")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add
