@@ -1358,8 +1358,13 @@ object Dedup {
       maxRounds: Int = 50,
   ): DataFrame = {
     val reliable = !pairs.sparkSession.sparkContext.getCheckpointDir.isEmpty
+    // local branch is LAZY: the fused convergence check is the next action
+    // anyway, and its job both computes and persists the frame (Spark
+    // backfills any missing localCheckpoint partitions at job end) — one
+    // job per round instead of two. Reliable checkpoints stay EAGER: the
+    // lazy form recomputes the whole plan once more to write the files.
     def cut(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(false)
     // canonical edge convention throughout: (u, v) with u > v — every edge
     // points at a smaller node, so "smaller neighbors of u" is exactly the
     // stored row set and star centers can only be component minima
