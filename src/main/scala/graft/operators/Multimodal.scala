@@ -117,12 +117,13 @@ object Multimodal {
   }
 
   /** Wrap a binary payload column with its metadata struct. Width/height
-    * come from the REAL container-header parse ([[imageMeta]]) when the
-    * payload is a recognized image; duration comes from the REAL audio
-    * header parse ([[audioMeta]]) when it is a recognized audio
-    * container (r11 — previously a content-hash stub for everything);
-    * other payloads fall back to the deterministic content-hash
-    * pseudo-values (STUB — a real video decoder would own those). */
+    * come from the REAL container-header parses — image ([[imageMeta]])
+    * first, then a video track's presentation dims ([[videoMeta]]);
+    * duration comes from the REAL audio ([[audioMeta]]) or video
+    * ([[videoMeta]]) header when the payload is a recognized container
+    * (r11 — previously a content-hash stub for everything); unrecognized
+    * payloads fall back to the deterministic content-hash pseudo-values
+    * (STUB — a real decoder plane would own those). */
   def withMediaMeta(df: DataFrame, binCol: String, mime: Column): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val b = col(binCol)
@@ -130,19 +131,24 @@ object Multimodal {
       graft.functions.ImageDims(GraftColumnBridge.expression(b)))
     val audio = GraftColumnBridge.column(
       graft.functions.AudioMeta(GraftColumnBridge.expression(b)))
+    val video = GraftColumnBridge.column(
+      graft.functions.Mp4Meta(GraftColumnBridge.expression(b)))
     val h = abs(xxhash64(b))
-    df.withColumn("__d", dims).withColumn("__a", audio)
+    df.withColumn("__d", dims).withColumn("__a", audio).withColumn("__v", video)
       .withColumn("media_meta", struct(
         mime.as("mime"),
         octet_length(b).cast(LongType).as("n_bytes"),
         coalesce(col("__d").getField("width"),
+          col("__v").getField("width"),
           (h % 1920 + 1).cast(IntegerType)).as("width"),
         coalesce(col("__d").getField("height"),
+          col("__v").getField("height"),
           (h % 1080 + 1).cast(IntegerType)).as("height"),
         coalesce(col("__a").getField("duration_ms"),
+          col("__v").getField("duration_ms"),
           (h % 600000).cast(LongType)).as("duration_ms"),
         md5(b).as("checksum"),
-      )).drop("__d", "__a")
+      )).drop("__d", "__a", "__v")
   }
 
   /** Batched "decode + featurize" over binary payloads — the Spark-side

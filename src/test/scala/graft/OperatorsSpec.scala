@@ -1362,6 +1362,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage != null && ex.getMessage.contains("unrecognized"), ex.getMessage)
   }
 
+  test("media meta uses REAL parsed video dims and duration for BMFF payloads") {
+    import graft.harness.VideoFixture
+    val mp4 = VideoFixture.encode(6L)
+    val df = Seq((1L, mp4), (2L, "plain payload".getBytes)).toDF("id", "payload")
+    val out = Multimodal.withMediaMeta(df, "payload", lit("video/mp4"))
+      .select("id", "media_meta").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(out(1L).getAs[Int]("width") == VideoFixture.width(6L))
+    assert(out(1L).getAs[Int]("height") == VideoFixture.height(6L))
+    assert(out(1L).getAs[Long]("duration_ms") == VideoFixture.durationMs(6L))
+    assert(out(2L).getAs[Long]("duration_ms") >= 0L) // stub fallback intact
+  }
+
   test("media meta uses REAL parsed dims for image payloads, stub otherwise") {
     val pngBytes = graft.harness.ImageFixture.encode(0L) // png 16x16
     val df = Seq((1L, pngBytes), (2L, "not an image".getBytes)).toDF("id", "payload")
