@@ -1,0 +1,148 @@
+#!/usr/bin/env python3
+"""Independent pure-python pin for the zarr v3 sharded writer
+(save_zarr_v3_roundtrip).
+
+Reads the store the gate query wrote — json + gzip + struct only, no zarr
+library — and compares every decoded cell against the nation/region
+parquet the tidy plane was derived from (via duckdb). The shard framing
+is walked from first principles: trailing 16-byte-per-slot little-endian
+index, all-ones absent sentinel, and a CRC32C (Castagnoli polynomial,
+implemented here — zlib.crc32 is the WRONG polynomial) verified over the
+index bytes. A disagreement on any byte of the written format fails here
+even if the engine's own reader happens to share the writer's mistake.
+
+Usage: zarr3_check.py [store_dir] [sf_dir]
+Defaults match the sf0.01 gate run.
+"""
+import gzip, json, os, struct, sys
+
+import duckdb
+
+# CRC32C (Castagnoli), reflected polynomial 0x82F63B78 — table-driven.
+_TBL = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _TBL.append(_c)
+
+
+def crc32c(data):
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _TBL[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def decode_inner(raw, codecs):
+    names = [c["name"] for c in codecs]
+    assert names[0] == "bytes", codecs
+    assert codecs[0].get("configuration", {}).get("endian", "little") == "little"
+    if "gzip" in names:
+        raw = gzip.decompress(raw)
+    return struct.unpack("<%dd" % (len(raw) // 8), raw)
+
+
+def read_store_var(store, name):
+    with open(os.path.join(store, name, "zarr.json")) as f:
+        zj = json.load(f)
+    assert zj["zarr_format"] == 3 and zj["node_type"] == "array", zj
+    assert zj["data_type"] == "float64", zj
+    assert zj["chunk_grid"]["name"] == "regular", zj
+    cke = zj["chunk_key_encoding"]
+    assert cke["name"] == "default" and cke["configuration"]["separator"] == "/"
+    shape = zj["shape"]
+    grid = zj["chunk_grid"]["configuration"]["chunk_shape"]
+    codecs = zj["codecs"]
+    if codecs[0]["name"] == "sharding_indexed":
+        cfg = codecs[0]["configuration"]
+        inner = cfg["chunk_shape"]
+        inner_codecs = cfg["codecs"]
+        assert cfg.get("index_location", "end") == "end", cfg
+        idx_names = [c["name"] for c in cfg.get(
+            "index_codecs", [{"name": "bytes"}, {"name": "crc32c"}])]
+        assert idx_names == ["bytes", "crc32c"], idx_names
+    else:
+        inner, inner_codecs = grid, codecs
+    per_shard = [g // i for g, i in zip(grid, inner)]
+    slots = 1
+    for p in per_shard:
+        slots *= p
+    n_outer = [-(-s // g) for s, g in zip(shape, grid)]
+    out = {}
+
+    def add_chunk(vals, inner_idx):
+        # C-order walk of the (padded) inner chunk; drop out-of-shape pads
+        for flat, v in enumerate(vals):
+            rem, coord = flat, []
+            for d in range(len(inner) - 1, -1, -1):
+                coord.append(inner_idx[d] * inner[d] + rem % inner[d])
+                rem //= inner[d]
+            coord = tuple(reversed(coord))
+            if all(c < s for c, s in zip(coord, shape)):
+                out[coord] = v
+
+    def walk(idx):
+        if len(idx) < len(shape):
+            for i in range(n_outer[len(idx)]):
+                walk(idx + [i])
+            return
+        path = os.path.join(store, name, "c", *[str(i) for i in idx])
+        if not os.path.exists(path):
+            return  # wholly absent object = fill everywhere
+        with open(path, "rb") as f:
+            blob = f.read()
+        if codecs[0]["name"] != "sharding_indexed":
+            add_chunk(decode_inner(blob, inner_codecs), idx)
+            return
+        ilen = 16 * slots + 4
+        index, crc = blob[-ilen:-4], blob[-4:]
+        assert struct.unpack("<I", crc)[0] == crc32c(index), "index crc32c"
+        for slot in range(slots):
+            off, nb = struct.unpack_from("<qq", index, slot * 16)
+            if off == -1 and nb == -1:
+                continue  # absent inner chunk = fill
+            # slot → inner grid coords (C-order), then global inner index
+            rem, ic = slot, []
+            for d in range(len(per_shard) - 1, -1, -1):
+                ic.append(rem % per_shard[d])
+                rem //= per_shard[d]
+            ic = list(reversed(ic))
+            gidx = [idx[d] * per_shard[d] + ic[d] for d in range(len(idx))]
+            add_chunk(decode_inner(blob[off:off + nb], inner_codecs), gidx)
+
+    walk([])
+    return out, zj.get("dimension_names")
+
+
+def main():
+    store = (sys.argv[1] if len(sys.argv) > 1
+             else "/tmp/graft_zarr3_rt__root_testdata_sf0.01")
+    sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    with open(os.path.join(store, "zarr.json")) as f:
+        root = json.load(f)
+    assert root["zarr_format"] == 3 and root["node_type"] == "group", root
+    con = duckdb.connect()
+    nk = con.execute(
+        "SELECT n_nationkey FROM read_parquet(?) ORDER BY n_nationkey",
+        [os.path.join(sf, "nation.parquet")]).fetchall()
+    rk = con.execute(
+        "SELECT r_regionkey FROM read_parquet(?) ORDER BY r_regionkey",
+        [os.path.join(sf, "region.parquet")]).fetchall()
+    n_key, dn1 = read_store_var(store, "n_key")
+    assert dn1 == ["nation"], dn1
+    assert len(n_key) == len(nk), (len(n_key), len(nk))
+    for i, (k,) in enumerate(nk):
+        assert n_key[(i,)] == float(k), (i, n_key[(i,)], k)
+    key_sum, dn2 = read_store_var(store, "key_sum")
+    assert dn2 == ["nation", "region"], dn2
+    assert len(key_sum) == len(nk) * len(rk)
+    for i, (k,) in enumerate(nk):
+        for j, (r,) in enumerate(rk):
+            assert key_sum[(i, j)] == float(k + r), (i, j, key_sum[(i, j)], k + r)
+    print("zarr3_check: OK — %d + %d cells match parquet truth (sharded v3)"
+          % (len(n_key), len(key_sum)))
+
+
+if __name__ == "__main__":
+    main()
