@@ -105,6 +105,16 @@ object CorpusPipeline {
     // replaces 3-5 distributed propagation rounds of pure job overhead;
     // above it, the distributed loop is the only shape that survives.
     if (p.count() <= maxDriverPairs) return driverUnionFind(p)
+    // numeric ids (every production corpus) take the large-star/small-star
+    // path (Dedup.connectedComponents): O(log² n) rounds with a
+    // NON-INCREASING edge count and a LOUD refusal on non-convergence —
+    // the propagation loop below stops silently at maxRounds, which on a
+    // deeper-than-maxRounds dup chain returns over-split labels. The
+    // propagation branch stays as the fallback for non-numeric id types
+    // (connectedComponents canonicalizes through Long ids).
+    if (p.schema.fields(0).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      return Dedup.connectedComponents(p, "id_a", "id_b")
+        .select(col("id"), col("component").as("label"))
     val undirected = p.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
     // edges/labels read the tiny checkpointed pair table — no further

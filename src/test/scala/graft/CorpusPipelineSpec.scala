@@ -16,15 +16,24 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(labels(10L) == 10L && labels(11L) == 10L)
   }
 
-  test("dup clusters: distributed propagation path matches driver union-find") {
+  test("dup clusters: distributed paths match driver union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (12L, 11L))
       .toDF("id_a", "id_b")
     val driver = CorpusPipeline.dupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // numeric ids route through Dedup.connectedComponents (large-star/
+    // small-star — no silent maxRounds truncation)
     val dist = CorpusPipeline.dupClusters(pairs, maxRounds = 10, maxDriverPairs = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(driver == dist)
     assert(driver(5L) == 1L && driver(12L) == 10L)
+    // non-numeric ids keep the propagation fallback — same labeling
+    val sPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val sDriver = CorpusPipeline.dupClusters(sPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val sDist = CorpusPipeline.dupClusters(sPairs, maxRounds = 10, maxDriverPairs = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sDriver == sDist && sDist("c") == "a" && sDist("y") == "x")
   }
 
   test("full clean keeps one survivor per dup cluster and drops junk") {
