@@ -74,6 +74,33 @@ object CorpusPipeline {
   def qualityFilter(docs: DataFrame, textCol: String, qp: QualityPlane): DataFrame =
     docs.filter(qualityPlaneCondition(textCol, qp))
 
+  /** DSIR data selection as a `clean()` stage option (arXiv:2302.03169 —
+    * keep documents whose hashed-gram distribution leans toward a TARGET
+    * corpus). The CALLER owns the weight table ([[Dsir.importanceWeights]]
+    * over target-vs-raw histograms, trained BEFORE the clean — the
+    * QualityPlane convention); `clean()` only applies the threshold. A
+    * threshold (not the paper's top-k) is the pipeline-stage form: it
+    * composes with the other per-row gates in the same scan, needs no
+    * global ranking exchange, and is streaming-safe.
+    *
+    * @param minScore keep needs log importance weight ≥ this (0.0 =
+    *        "looks at least as target-like as raw") */
+  final case class DsirPlane(weights: Array[Double], minScore: Double = 0.0)
+
+  /** The keep-condition of a [[DsirPlane]] — one codegen'd scan
+    * expression, shared by the batch stage and [[dsirFilter]]. */
+  def dsirCondition(textCol: String, dp: DsirPlane): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DsirScore(
+      GraftColumnBridge.expression(Dedup.tokens(col(textCol))), dp.weights))
+      .getField("score") >= dp.minScore
+  }
+
+  /** Apply the DSIR plane as a standalone filter — stateless, so the same
+    * call filters a `readStream` frame (the [[qualityFilter]] precedent). */
+  def dsirFilter(docs: DataFrame, textCol: String, dp: DsirPlane): DataFrame =
+    docs.filter(dsirCondition(textCol, dp))
+
   /** Connected components over near-dup pairs via min-label propagation:
     * every doc starts as its own label; each round adopts the smallest label
     * among itself and its neighbors. Converges in O(cluster diameter)
@@ -194,6 +221,7 @@ object CorpusPipeline {
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
       normalize: Boolean = false,
       qualityPlane: Option[QualityPlane] = None,
+      dsirPlane: Option[DsirPlane] = None,
   ): CleanResult = {
     // 0. optional canonical normalization (TextAnalysis.normalizeText):
     // byte-different renderings of the same text (decomposed accents,
@@ -233,11 +261,20 @@ object CorpusPipeline {
     }
     val n1b = if (qualityPlane.isEmpty) n1 else planed.count()
 
+    // 1c. optional DSIR selection: keep docs whose hashed-gram log
+    // importance weight toward the caller's target corpus clears the
+    // threshold — one codegen'd scan expression, no exchange
+    val selected = dsirPlane match {
+      case None     => planed
+      case Some(dp) => planed.filter(dsirCondition(textCol, dp))
+    }
+    val n1c = if (dsirPlane.isEmpty) n1b else selected.count()
+
     // 2. language gate (count only paid when the gate is active)
     val langed =
-      if (allowedLangs.isEmpty) planed
-      else planed.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
-    val n2 = if (allowedLangs.isEmpty) n1b else langed.count()
+      if (allowedLangs.isEmpty) selected
+      else selected.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
+    val n2 = if (allowedLangs.isEmpty) n1c else langed.count()
 
     // 3. exact dedup (deterministic survivor = min id); materialized once —
     // it feeds the count, the LSH pass, and the final anti-join
@@ -267,7 +304,9 @@ object CorpusPipeline {
     // callers' stats (and the gate oracles pinning them) are unchanged
     val planeRow: Seq[(String, Long)] =
       if (qualityPlane.isEmpty) Nil else Seq("quality_plane" -> n1b)
-    CleanResult(cleaned, Seq("input" -> n0, "quality" -> n1) ++ planeRow ++ Seq(
-      "lang" -> n2, "exact_dedup" -> n3, "near_dedup" -> n4))
+    val dsirRow: Seq[(String, Long)] =
+      if (dsirPlane.isEmpty) Nil else Seq("dsir" -> n1c)
+    CleanResult(cleaned, Seq("input" -> n0, "quality" -> n1) ++ planeRow ++ dsirRow ++
+      Seq("lang" -> n2, "exact_dedup" -> n3, "near_dedup" -> n4))
   }
 }

@@ -57,6 +57,30 @@ class CorpusPipelineSpec extends AnyFunSuite {
 
   }
 
+  test("clean with a DsirPlane keeps target-leaning docs; default stats unchanged") {
+    import graft.operators.Dsir
+    val target = (100L until 108L)
+      .map(i => (i, "climate model output grids with seasonal temperature anomalies"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "climate model output grids with seasonal temperature anomalies"),
+      (2L, "climate model output shows seasonal temperature trends everywhere"),
+      (3L, "xylophone quartet rehearses zesty jazz numbers downtown every evening"),
+      (4L, "quarterly zebra auctions feature vintage xylophones and quartz gems"),
+    ).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(
+      Dsir.bucketHistogram(target, "text"), Dsir.bucketHistogram(docs, "text"))
+    val r = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95,
+      dsirPlane = Some(CorpusPipeline.DsirPlane(w, minScore = 0.0)))
+    val kept = r.cleaned.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"kept=$kept stats=${r.stats}")
+    assert(r.stats.toMap.apply("dsir") == 2L, r.stats.toString)
+    // without the plane the stats keys are the default set (no dsir row)
+    val base = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95)
+    assert(!base.stats.toMap.contains("dsir"))
+    assert(base.cleaned.count() == 4L)
+  }
+
   test("clean(normalize = true) unifies byte-different renderings before dedup") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
