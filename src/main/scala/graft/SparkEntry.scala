@@ -188,6 +188,44 @@ object SparkEntry {
     ensureMediaFixture(s, dir, "video_v1", "clip_id", "video.parquet",
       graft.harness.VideoFixture.encode)
 
+  /** The zarr sink gates' shared tidy plane (nation/region, coords = rank
+    * in key order — the Dap2 fixture's construction): ONE definition so
+    * the v2 and v3 round trips write identical cells and share one
+    * oracle. */
+  private def zarrTidyPlane(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = T(s, dir, "nation")
+      .select(col("n_nationkey").cast(LongType).as("k"),
+        col("n_regionkey").cast(LongType).as("rk"))
+      .withColumn("i", (row_number().over(Window.orderBy("k")) - 1).cast(LongType))
+    val r = T(s, dir, "region")
+      .select(col("r_regionkey").cast(LongType).as("rr"))
+      .withColumn("j", (row_number().over(Window.orderBy("rr")) - 1).cast(LongType))
+    n.select(lit("n_key").as("variable"), typedLit(Seq("nation")).as("dims"),
+        array(col("i")).as("coords"), col("k").cast(DoubleType).as("value"))
+      .unionByName(n.join(broadcast(r))
+        .select(lit("key_sum").as("variable"),
+          typedLit(Seq("nation", "region")).as("dims"),
+          array(col("i"), col("j")).as("coords"),
+          (col("k") + col("rr")).cast(DoubleType).as("value")))
+  }
+
+  /** Read a written zarr store back through the engine's own reader +
+    * decode plane and emit (variable, dims, coord_key, value) rows — the
+    * zarr sink gates' shared read-back half. */
+  private def readZarrStoreCells(s: SparkSession, store: String): DataFrame = {
+    val entries = graft.sources.ZarrDirectoryIndex.read(s, store)
+    graft.sources.KerchunkIndex.decodeCoords(
+        graft.sources.KerchunkIndex.materializeChunks(entries),
+        graft.sources.KerchunkIndex.arrayMeta(entries),
+        graft.sources.KerchunkIndex.attrDims(entries))
+      .select(col("variable"),
+        array_join(col("dims"), ".").as("dims"),
+        array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+        col("value"))
+      .orderBy("variable", "coord_key")
+  }
+
   /** One-time local kerchunk index fixture for `load_kerchunk_chunks`: ref
     * entries pointing at byte ranges of a STABLE read-only local file (the
     * reference's noaa-nwm sample index, 54207 bytes) plus inline, base64 and
@@ -1191,73 +1229,26 @@ object SparkEntry {
       // writer/reader disagreement on any byte of the format fails.
       // scripts/zarr_check.py additionally re-reads the store with an
       // independent pure-python parse (json + zlib + struct).
-      import org.apache.spark.sql.expressions.Window
-      val n = T(s, dir, "nation")
-        .select(col("n_nationkey").cast(LongType).as("k"),
-          col("n_regionkey").cast(LongType).as("rk"))
-        .withColumn("i", (row_number().over(Window.orderBy("k")) - 1).cast(LongType))
-      val r = T(s, dir, "region")
-        .select(col("r_regionkey").cast(LongType).as("rr"))
-        .withColumn("j", (row_number().over(Window.orderBy("rr")) - 1).cast(LongType))
-      val tidy = n
-        .select(lit("n_key").as("variable"), typedLit(Seq("nation")).as("dims"),
-          array(col("i")).as("coords"), col("k").cast(DoubleType).as("value"))
-        .unionByName(n.join(broadcast(r))
-          .select(lit("key_sum").as("variable"),
-            typedLit(Seq("nation", "region")).as("dims"),
-            array(col("i"), col("j")).as("coords"),
-            (col("k") + col("rr")).cast(DoubleType).as("value")))
       val out = s"/tmp/graft_zarr_rt_${tmpToken(dir)}"
       // (the writer clears any pre-existing store itself)
       // a 256-byte budget forces multi-chunk banding on both variables
-      graft.sources.ZarrWriter.write(tidy, out, maxChunkBytes = 256)
-      val entries = graft.sources.ZarrDirectoryIndex.read(s, out)
-      graft.sources.KerchunkIndex.decodeCoords(
-          graft.sources.KerchunkIndex.materializeChunks(entries),
-          graft.sources.KerchunkIndex.arrayMeta(entries),
-          graft.sources.KerchunkIndex.attrDims(entries))
-        .select(col("variable"),
-          array_join(col("dims"), ".").as("dims"),
-          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
-          col("value"))
-        .orderBy("variable", "coord_key")
+      graft.sources.ZarrWriter.write(zarrTidyPlane(s, dir), out, maxChunkBytes = 256)
+      readZarrStoreCells(s, out)
     }),
 
     "save_zarr_v3_roundtrip" -> ((s, dir) => {
       // r11: the zarr v3 SINK with sharding_indexed — the same tidy plane
-      // as save_zarr_roundtrip, written as a v3 store whose objects pack 2
-      // inner chunk bands each behind a crc32c'd trailing index, read back
-      // through the engine's own v3 + sharding reader. Same oracle values
-      // as the v2 gate (the format swap must be invisible to the cells).
-      import org.apache.spark.sql.expressions.Window
-      val n = T(s, dir, "nation")
-        .select(col("n_nationkey").cast(LongType).as("k"),
-          col("n_regionkey").cast(LongType).as("rk"))
-        .withColumn("i", (row_number().over(Window.orderBy("k")) - 1).cast(LongType))
-      val r = T(s, dir, "region")
-        .select(col("r_regionkey").cast(LongType).as("rr"))
-        .withColumn("j", (row_number().over(Window.orderBy("rr")) - 1).cast(LongType))
-      val tidy = n
-        .select(lit("n_key").as("variable"), typedLit(Seq("nation")).as("dims"),
-          array(col("i")).as("coords"), col("k").cast(DoubleType).as("value"))
-        .unionByName(n.join(broadcast(r))
-          .select(lit("key_sum").as("variable"),
-            typedLit(Seq("nation", "region")).as("dims"),
-            array(col("i"), col("j")).as("coords"),
-            (col("k") + col("rr")).cast(DoubleType).as("value")))
+      // as save_zarr_roundtrip (shared builder), written as a v3 store
+      // whose objects pack 2 inner chunk bands each behind a crc32c'd
+      // trailing index, read back through the engine's own v3 + sharding
+      // reader. The v2 oracle is REFERENCED (not copied) in oracleSql —
+      // the format swap must be invisible to the cells.
+      // scripts/zarr3_check.py additionally re-reads the store with an
+      // independent pure-python parse (json + gzip + struct + crc32c).
       val out = s"/tmp/graft_zarr3_rt_${tmpToken(dir)}"
-      graft.sources.ZarrWriter.writeV3(tidy, out, maxChunkBytes = 256,
-        shardInnerChunks = 2)
-      val entries = graft.sources.ZarrDirectoryIndex.read(s, out)
-      graft.sources.KerchunkIndex.decodeCoords(
-          graft.sources.KerchunkIndex.materializeChunks(entries),
-          graft.sources.KerchunkIndex.arrayMeta(entries),
-          graft.sources.KerchunkIndex.attrDims(entries))
-        .select(col("variable"),
-          array_join(col("dims"), ".").as("dims"),
-          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
-          col("value"))
-        .orderBy("variable", "coord_key")
+      graft.sources.ZarrWriter.writeV3(zarrTidyPlane(s, dir), out,
+        maxChunkBytes = 256, shardInnerChunks = 2)
+      readZarrStoreCells(s, out)
     }),
 
     "load_opendap_labels" -> ((s, dir) => {
@@ -2975,6 +2966,9 @@ object SparkEntry {
       |  FROM documents d LEFT JOIN sc USING (doc_id) WHERE d.doc_id % 10 <> 0)""".stripMargin
 
   def oracleSql: Map[String, String] = oracleSqlBase +
+    // SAME oracle as the v2 sink gate — both round trips write the shared
+    // tidy plane (zarrTidyPlane), so the format swap must be invisible
+    ("save_zarr_v3_roundtrip" -> oracleSqlBase("save_zarr_roundtrip")) +
     // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
     // file as a tar member, so any tar-framing error (offset shift, member
     // misresolution) breaks the hash while the oracle stays authoritative
@@ -3438,24 +3432,6 @@ object SparkEntry {
     // the sink round trip re-derives from the same parquet the tidy plane
     // was built from — coord = rank-1 in key order on each axis
     "save_zarr_roundtrip" ->
-      """WITH nk AS (SELECT n_nationkey AS k,
-        |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),
-        |     rk AS (SELECT r_regionkey AS rr,
-        |              ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS j FROM region)
-        |SELECT variable, dims, coord_key, value FROM (
-        |  SELECT 'n_key' AS variable, 'nation' AS dims,
-        |         CAST(i AS VARCHAR) AS coord_key, CAST(k AS DOUBLE) AS value
-        |  FROM nk
-        |  UNION ALL
-        |  SELECT 'key_sum', 'nation.region',
-        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
-        |         CAST(k + rr AS DOUBLE)
-        |  FROM nk, rk)
-        |ORDER BY variable, coord_key""".stripMargin,
-
-    // the v3 sharded sink must produce the SAME cells as the v2 gate — the
-    // oracle is reused verbatim (format swap invisible to the values)
-    "save_zarr_v3_roundtrip" ->
       """WITH nk AS (SELECT n_nationkey AS k,
         |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),
         |     rk AS (SELECT r_regionkey AS rr,

@@ -88,13 +88,10 @@ object CorpusPipeline {
   final case class DsirPlane(weights: Array[Double], minScore: Double = 0.0)
 
   /** The keep-condition of a [[DsirPlane]] — one codegen'd scan
-    * expression, shared by the batch stage and [[dsirFilter]]. */
-  def dsirCondition(textCol: String, dp: DsirPlane): Column = {
-    import org.apache.spark.sql.GraftColumnBridge
-    GraftColumnBridge.column(graft.functions.DsirScore(
-      GraftColumnBridge.expression(Dedup.tokens(col(textCol))), dp.weights))
-      .getField("score") >= dp.minScore
-  }
+    * expression ([[Dsir.scoreStruct]], the gates' exact construction),
+    * shared by the batch stage and [[dsirFilter]]. */
+  def dsirCondition(textCol: String, dp: DsirPlane): Column =
+    Dsir.scoreStruct(col(textCol), dp.weights).getField("score") >= dp.minScore
 
   /** Apply the DSIR plane as a standalone filter — stateless, so the same
     * call filters a `readStream` frame (the [[qualityFilter]] precedent). */
@@ -132,16 +129,35 @@ object CorpusPipeline {
     // replaces 3-5 distributed propagation rounds of pure job overhead;
     // above it, the distributed loop is the only shape that survives.
     if (p.count() <= maxDriverPairs) return driverUnionFind(p)
-    // numeric ids (every production corpus) take the large-star/small-star
+    // INTEGRAL ids (every production corpus) take the large-star/small-star
     // path (Dedup.connectedComponents): O(log² n) rounds with a
     // NON-INCREASING edge count and a LOUD refusal on non-convergence —
     // the propagation loop below stops silently at maxRounds, which on a
     // deeper-than-maxRounds dup chain returns over-split labels. The
-    // propagation branch stays as the fallback for non-numeric id types
-    // (connectedComponents canonicalizes through Long ids).
-    if (p.schema.fields(0).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-      return Dedup.connectedComponents(p, "id_a", "id_b")
-        .select(col("id"), col("component").as("label"))
+    // propagation branch stays as the fallback for other id types
+    // (connectedComponents canonicalizes through Long, which would
+    // truncate fractional ids). The caller's round budget maps to the CC
+    // bound with a floor of 50: CC rounds are logarithmic (not
+    // diameter-bound like propagation's), and its bound is a refusal
+    // guard, never a silent truncation knob.
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = p.schema.fields(0).dataType
+    val integral = idType == ByteType || idType == ShortType ||
+      idType == IntegerType || idType == LongType
+    if (integral) {
+      val cc = Dedup.connectedComponents(p, "id_a", "id_b",
+          maxRounds = math.max(maxRounds, 50))
+        .select(col("id").cast(idType).as("id"), col("component").cast(idType).as("label"))
+      // contract parity with the other two paths: a node appearing ONLY in
+      // self-pairs still gets its identity label (CC drops self-pairs);
+      // self-pairs are rare-to-absent in real pair frames, so the anti-join
+      // is metadata-sized
+      val selfOnly = p.filter(col("id_a") === col("id_b"))
+        .select(col("id_a").as("id")).distinct()
+        .join(cc, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label"))
+      return cc.unionByName(selfOnly)
+    }
     val undirected = p.select(col("id_a").as("a"), col("id_b").as("b"))
       .unionByName(p.select(col("id_b").as("a"), col("id_a").as("b")))
     // edges/labels read the tiny checkpointed pair table — no further

@@ -72,13 +72,21 @@ object Dsir {
     }
   }
 
+  /** The (n_grams, score) struct column for a text column under a fitted
+    * weight table — THE one construction of the scoring expression, shared
+    * by [[scored]], the gates, and [[CorpusPipeline.dsirCondition]] (so
+    * the clean() stage and the oracle-pinned gates cannot drift apart). */
+  def scoreStruct(text: Column, weights: Array[Double]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.DsirScore(
+      GraftColumnBridge.expression(Dedup.tokens(text)), weights))
+  }
+
   /** Score a corpus with a fitted weight table: (idCol, n_grams, score) —
     * one codegen'd scan, zero shuffle. */
   def scored(df: DataFrame, textCol: String, idCol: String,
              weights: Array[Double]): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge
-    val s = GraftColumnBridge.column(graft.functions.DsirScore(
-      GraftColumnBridge.expression(Dedup.tokens(col(textCol))), weights))
+    val s = scoreStruct(col(textCol), weights)
     df.select(col(idCol).as("id"), s.as("__s"))
       .select(col("id"), col("__s").getField("n_grams").as("n_grams"),
         col("__s").getField("score").as("score"))

@@ -17,16 +17,28 @@ class CorpusPipelineSpec extends AnyFunSuite {
   }
 
   test("dup clusters: distributed paths match driver union-find") {
-    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (12L, 11L))
+    // (7,7) pins self-pair contract parity: a node appearing ONLY in a
+    // self-pair still gets its identity label on every path
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (12L, 11L),
+        (7L, 7L))
       .toDF("id_a", "id_b")
     val driver = CorpusPipeline.dupClusters(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // numeric ids route through Dedup.connectedComponents (large-star/
-    // small-star — no silent maxRounds truncation)
-    val dist = CorpusPipeline.dupClusters(pairs, maxRounds = 10, maxDriverPairs = 0L)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // integral ids route through Dedup.connectedComponents (large-star/
+    // small-star — no silent maxRounds truncation); output id type is
+    // preserved, not widened to long
+    val distDf = CorpusPipeline.dupClusters(pairs, maxRounds = 10, maxDriverPairs = 0L)
+    assert(distDf.schema.fields(0).dataType ==
+      org.apache.spark.sql.types.LongType)
+    val dist = distDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(driver == dist)
-    assert(driver(5L) == 1L && driver(12L) == 10L)
+    assert(driver(5L) == 1L && driver(12L) == 10L && driver(7L) == 7L)
+    // int ids: the CC path casts labels BACK to the input type
+    val iPairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
+    val iDf = CorpusPipeline.dupClusters(iPairs, maxDriverPairs = 0L)
+    assert(iDf.schema.fields(1).dataType == org.apache.spark.sql.types.IntegerType)
+    assert(iDf.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap ==
+      Map(1 -> 1, 2 -> 1, 3 -> 1))
     // non-numeric ids keep the propagation fallback — same labeling
     val sPairs = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
     val sDriver = CorpusPipeline.dupClusters(sPairs)
