@@ -48,7 +48,10 @@ def read_store_var(store, name):
         for i in range(n_in[len(idx)]):
             rec(idx + [i])
     rec([])
-    assert len(out) == 1 if not shape else True
+    expected = 1
+    for s in shape:
+        expected *= s
+    assert len(out) == expected, (name, len(out), expected)
     return out
 
 

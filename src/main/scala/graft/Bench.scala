@@ -3,18 +3,23 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Prints ONE compact JSON line with per-query seconds.
   *
-  * The line is kept short (headline queries only, ~20) because the harness
-  * captures a bounded tail of the sbt output; a line listing all ~70 queries
-  * gets truncated and fails to parse. Set SPARK_GRAFT_BENCH_ALL=1 to time the
-  * full query surface instead (local iteration); either way the complete
-  * per-query timing map is written to target/bench_full.json.
+  * The line lists HEADLINE queries only (~46 rows as of r12, plus the
+  * shared/baseline subtotals, resample count, and calib sentinels — ~1.8 KB,
+  * re-measured against the harness's 2,000-char captured tail each round:
+  * the r11 official line carried a 39-name resampled array, blew that tail,
+  * and the driver recorded parsed=null) because a line timing the full
+  * ~150-query surface gets truncated and fails to parse. Set
+  * SPARK_GRAFT_BENCH_ALL=1 to time the full query surface instead (local
+  * iteration); either way the complete per-query timing map (plus the full
+  * resampled name list) is written to target/bench_full.json.
   *
   * Contention defenses (the r10 artifact breached the 2× gate purely from
   * a machine-load window while the same-machine clean rerun read 1.46×):
   *  - 3 INTERLEAVED samples per query, min reported — a contention window
   *    must now span three full suite sweeps to poison a query's min;
   *  - queries whose samples disagree >2× get ONE post-sweep re-sample
-  *    (listed in `resampled`) — their min gets a shot at a calm machine;
+  *    (count in `resampled_n` on stdout; names in bench_full.json) —
+  *    their min gets a shot at a calm machine;
   *  - `calib_sec` carries the fixed CPU-bound sentinel at EVERY sweep
   *    boundary plus a streaming-phase sentinel, so a contended window is
   *    visible in the artifact itself (which sweep, headline vs streaming);
@@ -98,6 +103,27 @@ object Bench {
     "text_gopher_rules", "text_classifier_score", "pipeline_bpe_tokenize",
     "text_lm_levels", "pipeline_quality_filter",
     "dedup_minhash_lsh_pipeline", "pipeline_semdedup_pipeline")
+
+  /** FROZEN at the round-2 record's 24-row query set (BENCH_r02.json,
+    * total 34.290 s) — the like-for-like comparable for the formal
+    * 2×-vs-baseline gate, which the raw `value` total stopped being once
+    * rounds started ADDING headline rows (r11: 45 rows read 2.04× of the
+    * 24-row record while the same 24 rows read 0.84×). Two SUBSTITUTIONS,
+    * same rule as [[sharedRows]]: the registered `ann_ivf_topk` and
+    * `dedup_minhash_lsh` rows gained in-plan property verification after
+    * r2 (a different computation than the r2 rows timed), so this list
+    * carries their `_pipeline` attribution rows, which run the r2 rows'
+    * EXACT raw queries. Per-row r2-vs-now table: BASELINE.md. Do NOT
+    * append or re-freeze. */
+  val baselineRows: Seq[String] = Seq(
+    "q1_agg", "q3_top_orders", "q_topk_per_group", "q_salted_join",
+    "search_require_all_on", "search_derived_union", "to_dataset_dict",
+    "combine_by_coords", "agg_union", "dedup_exact",
+    "dedup_minhash_lsh_pipeline", "dedup_simhash", "dedup_ngram_jaccard",
+    "embed_cosine_topk", "ann_ivf_topk_pipeline", "text_quality",
+    "events_sessionize", "events_asof_join", "multimodal_frames",
+    "pipeline_clean_corpus", "dedup_embedding", "pipeline_chunk_docs",
+    "events_funnel", "q_sketch_stats")
 
   /** Bench-only rows (NOT registered gate queries — correctness for these
     * paths is carried by the gate rows that wrap them in verification).
@@ -329,6 +355,11 @@ object Bench {
     require(missingShared.isEmpty,
       s"frozen shared rows missing from the timed sweep: ${missingShared.mkString(", ")}")
     val sharedTotal = fmt(sharedRows.map(resultMap).sum)
+    val missingBaseline = baselineRows.filterNot(resultMap.contains)
+    require(missingBaseline.isEmpty,
+      s"frozen baseline rows missing from the timed sweep: ${missingBaseline.mkString(", ")}")
+    // like-for-like vs the r2 record (34.290 s over these exact 24 rows)
+    val baselineTotal = fmt(baselineRows.map(resultMap).sum)
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val resampledJson = resampled.map("\"" + _ + "\"").mkString("[", ",", "]")
     // escape sfDir like every other string field — a quote/backslash in the
@@ -336,13 +367,21 @@ object Bench {
     val sfJson = "\"" + sfDir.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     } + "\""
+    val subtotals = s""""shared_rows_total":$sharedTotal,"baseline_rows_total":$baselineTotal,"""
+    // stdout carries the resample COUNT only: the r11 official artifact's
+    // 39-name resampled array pushed the line past the harness's 2,000-char
+    // captured tail and the driver recorded parsed=null — the full name
+    // list (and everything else) lives in target/bench_full.json
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      s""""shared_rows_total":$sharedTotal,"resampled":$resampledJson,""" +
+      subtotals + s""""resampled_n":${resampled.size},""" +
+      s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
+      subtotals + s""""resampled":$resampledJson,""" +
       s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, line.getBytes("UTF-8"))
+      java.nio.file.Files.write(p, fullLine.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -140,11 +140,19 @@ object CorpusPipeline {
     // bound with a floor of 50: CC rounds are logarithmic (not
     // diameter-bound like propagation's), and its bound is a refusal
     // guard, never a silent truncation knob.
-    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
-    val idType = p.schema.fields(0).dataType
-    val integral = idType == ByteType || idType == ShortType ||
-      idType == IntegerType || idType == LongType
-    if (integral) {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType, DataType}
+    // BOTH id columns must be integral to take the CC path: the output
+    // `id` column carries values from both sides, so casting back through
+    // id_a's type alone would silently truncate a wider id_b (e.g. Int
+    // id_a, Long id_b). Mixed integral widths cast to the WIDER type;
+    // anything non-integral falls through to the generic propagation loop.
+    val integralWidth: Map[DataType, Int] =
+      Map(ByteType -> 1, ShortType -> 2, IntegerType -> 4, LongType -> 8)
+    val typeA = p.schema.fields(0).dataType
+    val typeB = p.schema.fields(1).dataType
+    if (integralWidth.contains(typeA) && integralWidth.contains(typeB)) {
+      val idType =
+        if (integralWidth(typeA) >= integralWidth(typeB)) typeA else typeB
       val cc = Dedup.connectedComponents(p, "id_a", "id_b",
           maxRounds = math.max(maxRounds, 50))
         .select(col("id").cast(idType).as("id"), col("component").cast(idType).as("label"))
@@ -153,7 +161,7 @@ object CorpusPipeline {
       // self-pairs are rare-to-absent in real pair frames, so the anti-join
       // is metadata-sized
       val selfOnly = p.filter(col("id_a") === col("id_b"))
-        .select(col("id_a").as("id")).distinct()
+        .select(col("id_a").cast(idType).as("id")).distinct()
         .join(cc, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("label"))
       return cc.unionByName(selfOnly)

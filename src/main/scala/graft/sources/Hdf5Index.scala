@@ -303,6 +303,10 @@ object Hdf5Index {
       else if (ltype == 1) {
         // soft link (spec IV.A.2.g): 2-byte length + target path bytes
         val vlen = B.u(m, p, 2).toInt
+        // same fit check as the external-link branch: a truncated message
+        // must refuse with file context, not throw a bare string-bounds error
+        require(p + 2 + vlen <= m.length,
+          s"hdf5 '$path': soft link '$name' value ($vlen bytes) overruns its message")
         Some(SoftLink(name, new String(m, p + 2, vlen, "UTF-8")))
       }
       else if (ltype == 64) {
