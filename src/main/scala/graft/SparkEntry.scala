@@ -519,6 +519,139 @@ object SparkEntry {
     out.toString
   }
 
+  /** One-time TEMPLATED kerchunk v1 fixture for `scan_kerchunk_templated` /
+    * `load_kerchunk_templated` — the fsspec v1 `templates`/`gen` surface the
+    * reference inherits through `reference://` (source.py:70-137):
+    * `templates.u` names the data file, rendered into a whitespace-hole
+    * ref (`{{ u }}`) and every generated ref; two `gen` entries expand a
+    * 1-D range dimension and a 2-D (range × list) product with arithmetic
+    * offset templates; and a static `gen/0` ref is deliberately SHADOWED by
+    * the gen expansion (fsspec's refs-then-update precedence). The store is
+    * int32 LE `v_k = 5k - 7`, so the DuckDB oracle re-derives both the
+    * expansion (range arithmetic) and the decoded values (formula). */
+  def ensureKerchunkTemplatedFixture(): String = {
+    val out  = Paths.get("/tmp/graft_kerchunk_tpl_fixture")
+    val json = out.resolve("index.json")
+    this.synchronized {
+      if (!Files.exists(json)) {
+        Files.createDirectories(out)
+        val b = java.nio.ByteBuffer.allocate(4 * 40)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 40).foreach(k => b.putInt(5 * k - 7))
+        Files.write(out.resolve("store.bin"), b.array())
+        def jstr(s: String): String =
+          "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+        def zarray(dtype: String, shape: String, chunks: String): String =
+          jstr(s"""{"dtype": "$dtype", "shape": $shape, "chunks": $chunks, """ +
+            s""""compressor": null, "filters": null, "order": "C", "zarr_format": 2}""")
+        val content =
+          s"""{"version": 1,
+             | "templates": {"u": "file://$out/store.bin"},
+             | "gen": [
+             |   {"key": "gen/{{i}}", "url": "{{u}}", "offset": "{{(i + 2) * 16}}",
+             |    "length": "16", "dimensions": {"i": {"stop": 4}}},
+             |   {"key": "grid/{{r}}.{{c}}", "url": "{{ u }}",
+             |    "offset": "{{96 + (r * 2 + c) * 16}}", "length": "16",
+             |    "dimensions": {"r": {"stop": 2}, "c": [0, 1]}}
+             | ],
+             | "refs": {
+             |  ".zgroup": ${jstr("""{"zarr_format": 2}""")},
+             |  "solo/.zarray": ${zarray("<i4", "[4]", "[4]")},
+             |  "solo/0": ["{{ u }}", 0, 16],
+             |  "gen/.zarray": ${zarray("<i4", "[16]", "[4]")},
+             |  "gen/0": ["{{u}}", 0, 16],
+             |  "grid/.zarray": ${zarray("<i4", "[2, 8]", "[1, 4]")}
+             |}}""".stripMargin
+        Files.writeString(json, content)
+      }
+    }
+    json.toString
+  }
+
+  /** One-time kerchunk PARQUET reference store fixture for
+    * `scan_kerchunk_parquet_refs` / `load_kerchunk_parquet` — the
+    * fsspec LazyReferenceMapper layout kerchunk recommends past ~100 MB of
+    * JSON: consolidated `.zmetadata` (metadata dict + `record_size`) over
+    * per-variable `refs.<r>.parq` files whose ROW POSITION is the chunk's
+    * C-order flat index. Exercises record-file boundaries (`temp`: 4
+    * chunks at record_size 3 → two files), inline raw bytes and byte-range
+    * refs (`flag`), a whole-file ref (size 0) and a MISSING chunk
+    * (all-null row, `note`). All values are coordinate formulas
+    * (0.5t - 2, 10y + x, 6j + 7) the DuckDB oracle re-derives; padding is
+    * planted as -1/-9 and must never surface. The ref parquet is written
+    * through Spark's own writer (one ordered partition per record file) —
+    * the ROW-ORDER semantics under test are the store layout's, and the
+    * oracle re-derives the decoded values independently. */
+  def ensureKerchunkParquetFixture(s: SparkSession): String = {
+    val out = Paths.get("/tmp/graft_kerchunk_parq_fixture")
+    this.synchronized {
+      // .zmetadata is written LAST, so its presence marks a complete build;
+      // a crashed partial build rebuilds from scratch
+      if (!Files.exists(out.resolve(".zmetadata"))) {
+        val work = out
+        org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+        Files.createDirectories(work)
+        // data files: temp = f8 v=0.5g-2 over [10] in [3] chunks (stored
+        // PADDED to full chunks, pad -1); flagchunk = flag's 0.1 byte-range
+        // chunk; note0 = note's whole-file chunk
+        val tempBytes = java.nio.ByteBuffer.allocate(8 * 12)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 12).foreach(g => tempBytes.putDouble(if (g < 10) 0.5 * g - 2 else -1.0))
+        Files.write(work.resolve("store.bin"), tempBytes.array())
+        def i4(vals: Seq[Int]): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(b.putInt); b.array()
+        }
+        // flag chunk 0.1 covers x ∈ {2, 3}; x=3 is edge padding (-9)
+        Files.write(work.resolve("flagchunk.bin"), i4(Seq(2, -9, 12, -9)))
+        Files.write(work.resolve("note0.bin"), i4(Seq(7, 13)))
+        // one refs.<r>.parq per record: rows in flat-chunk order, written
+        // as ONE pre-ordered partition so row_index == in-record position
+        def writeRefs(variable: String, record: Int,
+                      rows: Seq[(String, Long, Long, Array[Byte])]): Unit = {
+          import s.implicits._
+          val tmp = work.resolve(s"$variable.refs.$record.tmp")
+          rows.zipWithIndex.map { case ((p, o, sz, r), i) => (i, p, o, sz, r) }
+            .toDF("ord", "path", "offset", "size", "raw")
+            .coalesce(1).sortWithinPartitions("ord")
+            .select("path", "offset", "size", "raw")
+            .write.parquet(tmp.toString)
+          val part = Files.list(tmp).iterator()
+          val parts = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+          while (part.hasNext) { val p = part.next(); if (p.getFileName.toString.startsWith("part-")) parts += p }
+          require(parts.size == 1, s"fixture refs write produced ${parts.size} part files")
+          val dest = work.resolve(variable)
+          Files.createDirectories(dest)
+          Files.move(parts.head, dest.resolve(s"refs.$record.parq"))
+          org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+        }
+        val store = s"file://$work/store.bin"
+        writeRefs("temp", 0, (0 until 3).map(ci => (store, ci * 24L, 24L, null: Array[Byte])))
+        writeRefs("temp", 1, Seq((store, 72L, 24L, null: Array[Byte])))
+        writeRefs("flag", 0, Seq(
+          (null: String, 0L, 0L, i4(Seq(0, 1, 10, 11))),          // 0.0 inline raw
+          (s"file://$work/flagchunk.bin", 0L, 16L, null: Array[Byte]))) // 0.1 byte range
+        writeRefs("note", 0, Seq(
+          (s"file://$work/note0.bin", 0L, 0L, null: Array[Byte]), // whole-file (size 0)
+          (null: String, 0L, 0L, null: Array[Byte])))             // missing chunk
+        def z(dtype: String, shape: String, chunks: String): String =
+          s"""{"zarr_format": 2, "shape": $shape, "chunks": $chunks, "dtype": "$dtype", """ +
+            s""""compressor": null, "filters": null, "order": "C", "fill_value": null}"""
+        Files.writeString(work.resolve(".zmetadata"),
+          s"""{"metadata": {
+             |  ".zgroup": {"zarr_format": 2},
+             |  "temp/.zarray": ${z("<f8", "[10]", "[3]")},
+             |  "temp/.zattrs": {"_ARRAY_DIMENSIONS": ["t"]},
+             |  "flag/.zarray": ${z("<i4", "[2, 3]", "[2, 2]")},
+             |  "flag/.zattrs": {"_ARRAY_DIMENSIONS": ["y", "x"]},
+             |  "note/.zarray": ${z("<i4", "[4]", "[2]")}
+             | }, "record_size": 3, "zarr_consolidated_format": 1}""".stripMargin)
+      }
+    }
+    out.toString
+  }
+
   /** One-time zarr v3 DIRECTORY store fixture for `load_zarr_v3`: `wind` is
     * a [2,3] int32 gzip array in [1,3] chunks with default ("c/" prefixed,
     * "/"-separated) chunk keys and `dimension_names` ["t","x"]; `lev` is a
@@ -1029,6 +1162,62 @@ object SparkEntry {
           array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
           col("value"))
         .orderBy("variable", "value")
+    }),
+
+    "scan_kerchunk_templated" -> ((s, _) => {
+      // kerchunk v1 `templates`/`gen` at production index sizes
+      // (source.py:70-137 via fsspec's reference filesystem): template
+      // holes render into ref urls, two gen specs expand distributed
+      // (range and range×list dimensions, arithmetic offset templates),
+      // and a static `gen/0` ref is SHADOWED by the expansion (fsspec's
+      // refs-then-update precedence). The oracle re-derives the whole
+      // expansion from the same spec semantics in SQL.
+      val idx = ensureKerchunkTemplatedFixture()
+      graft.sources.KerchunkIndex.read(s, idx)
+        .select("key", "variable", "kind", "url", "offset", "length")
+        .orderBy("key")
+    }),
+
+    "load_kerchunk_templated" -> ((s, _) => {
+      // the templated index decoded to typed values: the generated refs'
+      // byte ranges land on the v_k = 5k - 7 store, so value agreement
+      // proves the rendered urls/offsets point where the spec says
+      val idx     = ensureKerchunkTemplatedFixture()
+      val entries = graft.sources.KerchunkIndex.read(s, idx)
+      graft.sources.KerchunkIndex.decodeTyped(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries))
+        .orderBy("variable", "chunk", "idx")
+    }),
+
+    "scan_kerchunk_parquet_refs" -> ((s, _) => {
+      // kerchunk PARQUET reference store (the format kerchunk recommends
+      // past ~100 MB of JSON; fsspec LazyReferenceMapper layout): row
+      // position in refs.<r>.parq is the chunk's C-order flat index.
+      // Exercises record-file boundaries, inline raw, byte-range,
+      // whole-file (size 0) and missing (all-null, dropped) refs through
+      // the open() store dispatch.
+      val store = ensureKerchunkParquetFixture(s)
+      graft.sources.KerchunkIndex.open(s, store)
+        .select(col("key"), col("kind"), col("url"), col("offset"), col("length"),
+          col("inline_value").isNotNull.as("has_inline"))
+        .orderBy("key")
+    }),
+
+    "load_kerchunk_parquet" -> ((s, _) => {
+      // the parquet-ref store decoded with labeled coordinates through the
+      // full openAsset('reference') user path — values are coordinate
+      // formulas (0.5t-2, 10y+x, 6j+7) the oracle re-derives; planted
+      // padding (-1/-9) and the missing chunk must never surface
+      val store = ensureKerchunkParquetFixture(s)
+      graft.catalog.EsmDataSource("kp", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, store, "reference")
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
     }),
 
     "load_zarr_store" -> ((s, _) => {
@@ -3201,6 +3390,89 @@ object SparkEntry {
         |  FROM range(10) t(i))
         |SELECT variable, dims, coord_key, value FROM grid
         |ORDER BY variable, value""".stripMargin,
+
+    // the v1 templates/gen expansion re-derived from the SAME spec
+    // semantics in SQL: range products for the gen dimensions, the spec's
+    // arithmetic offset formulas, the rendered template URL as a literal,
+    // and the shadowed static gen/0 ref ABSENT (gen overrides refs)
+    "scan_kerchunk_templated" ->
+      """WITH meta(key, variable) AS (VALUES
+        |  ('.zgroup', ''), ('gen/.zarray', 'gen'),
+        |  ('grid/.zarray', 'grid'), ('solo/.zarray', 'solo')),
+        |gen AS (SELECT 'gen/' || CAST(i AS VARCHAR) AS key, 'gen' AS variable,
+        |        CAST((i + 2) * 16 AS BIGINT) AS o FROM range(4) t(i)),
+        |grid AS (SELECT 'grid/' || CAST(r AS VARCHAR) || '.' || CAST(c AS VARCHAR) AS key,
+        |        'grid' AS variable, CAST(96 + (r * 2 + c) * 16 AS BIGINT) AS o
+        |        FROM range(2) a(r) CROSS JOIN range(2) b(c)),
+        |rows AS (
+        |  SELECT key, variable, 'meta' AS kind, CAST(NULL AS VARCHAR) AS url,
+        |         CAST(NULL AS BIGINT) AS "offset", CAST(NULL AS BIGINT) AS length FROM meta
+        |  UNION ALL
+        |  SELECT 'solo/0', 'solo', 'ref',
+        |         'file:///tmp/graft_kerchunk_tpl_fixture/store.bin', 0, 16
+        |  UNION ALL
+        |  SELECT key, variable, 'ref',
+        |         'file:///tmp/graft_kerchunk_tpl_fixture/store.bin', o, 16 FROM gen
+        |  UNION ALL
+        |  SELECT key, variable, 'ref',
+        |         'file:///tmp/graft_kerchunk_tpl_fixture/store.bin', o, 16 FROM grid)
+        |SELECT key, variable, kind, url, "offset", length FROM rows ORDER BY key""".stripMargin,
+
+    // value re-derivation from the store formula v_k = 5k - 7 at the
+    // offsets the gen templates compute: agreement proves the rendered
+    // urls/offsets land the byte ranges exactly where the v1 spec says
+    "load_kerchunk_templated" ->
+      """WITH vals AS (
+        |  SELECT 'gen' AS variable, CAST(c AS VARCHAR) AS chunk, CAST(j AS INT) AS idx,
+        |         CAST(33 + 20 * c + 5 * j AS DOUBLE) AS value
+        |  FROM range(4) a(c) CROSS JOIN range(4) b(j)
+        |  UNION ALL
+        |  SELECT 'grid', CAST(r AS VARCHAR) || '.' || CAST(c AS VARCHAR), CAST(j AS INT),
+        |         CAST(113 + 20 * (r * 2 + c) + 5 * j AS DOUBLE)
+        |  FROM range(2) a(r) CROSS JOIN range(2) b(c) CROSS JOIN range(4) d(j)
+        |  UNION ALL
+        |  SELECT 'solo', '0', CAST(j AS INT), CAST(5 * j - 7 AS DOUBLE) FROM range(4) t(j))
+        |SELECT variable, chunk, idx, value FROM vals ORDER BY variable, chunk, idx""".stripMargin,
+
+    // the parquet-store entry map re-derived row by row: record-file row
+    // positions → C-order chunk keys, inline/byte-range/whole-file kinds,
+    // and the missing (all-null) chunk ABSENT. Meta rows carry their
+    // consolidated JSON inline (has_inline true).
+    "scan_kerchunk_parquet_refs" ->
+      """WITH rows(key, kind, url, o, l, has_inline) AS (VALUES
+        |  ('.zgroup', 'meta', NULL, NULL, NULL, true),
+        |  ('flag/.zarray', 'meta', NULL, NULL, NULL, true),
+        |  ('flag/.zattrs', 'meta', NULL, NULL, NULL, true),
+        |  ('flag/0.0', 'inline', NULL, NULL, NULL, true),
+        |  ('flag/0.1', 'ref', 'file:///tmp/graft_kerchunk_parq_fixture/flagchunk.bin', 0, 16, false),
+        |  ('note/.zarray', 'meta', NULL, NULL, NULL, true),
+        |  ('note/0', 'ref', 'file:///tmp/graft_kerchunk_parq_fixture/note0.bin', NULL, NULL, false),
+        |  ('temp/.zarray', 'meta', NULL, NULL, NULL, true),
+        |  ('temp/.zattrs', 'meta', NULL, NULL, NULL, true),
+        |  ('temp/0', 'ref', 'file:///tmp/graft_kerchunk_parq_fixture/store.bin', 0, 24, false),
+        |  ('temp/1', 'ref', 'file:///tmp/graft_kerchunk_parq_fixture/store.bin', 24, 24, false),
+        |  ('temp/2', 'ref', 'file:///tmp/graft_kerchunk_parq_fixture/store.bin', 48, 24, false),
+        |  ('temp/3', 'ref', 'file:///tmp/graft_kerchunk_parq_fixture/store.bin', 72, 24, false))
+        |SELECT key, kind, CAST(url AS VARCHAR) AS url, CAST(o AS BIGINT) AS "offset",
+        |       CAST(l AS BIGINT) AS length, has_inline
+        |FROM rows ORDER BY key""".stripMargin,
+
+    // coordinate re-derivation from the fixture's value formulas
+    // (0.5t - 2 exact in f8, 10y + x, 6j + 7): agreement proves record-file
+    // row addressing, inline/range/whole-file materialization, padding drop
+    // AND the missing-chunk drop end to end through openAsset('reference')
+    "load_kerchunk_parquet" ->
+      """WITH vals AS (
+        |  SELECT 'flag' AS variable, 'y.x' AS dims,
+        |         CAST(y AS VARCHAR) || '.' || CAST(x AS VARCHAR) AS coord_key,
+        |         CAST(y * 10 + x AS DOUBLE) AS value
+        |  FROM range(2) a(y) CROSS JOIN range(3) b(x)
+        |  UNION ALL
+        |  SELECT 'note', 'dim0', CAST(j AS VARCHAR), CAST(6 * j + 7 AS DOUBLE) FROM range(2) t(j)
+        |  UNION ALL
+        |  SELECT 'temp', 't', CAST(g AS VARCHAR), CAST(g AS DOUBLE) * 0.5 - 2.0 FROM range(10) t(g))
+        |SELECT variable, dims, coord_key, value FROM vals
+        |ORDER BY variable, coord_key""".stripMargin,
 
 
     // coordinate re-derivation from the fixture's value formulas (t*10+x,

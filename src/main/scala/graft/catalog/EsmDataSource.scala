@@ -60,8 +60,11 @@ final case class EsmDataSource(
         // to typed values for JDK-decodable codecs (raw/zlib/gzip/blosc-lz4,
         // local or inline refs — sources.ZarrCodec), the depth the reference
         // reaches through xarray's zarr engine (source.py:82-96);
-        // `=coords` adds the dimension-labeled global indices
-        decodeEntries(graft.sources.KerchunkIndex.read(spark, path, storageOptions))
+        // `=coords` adds the dimension-labeled global indices. Dispatches
+        // on the path's shape: v1 JSON index (file/http — incl. templates/
+        // gen expansion) or a kerchunk PARQUET reference store (directory
+        // with .zmetadata)
+        decodeEntries(graft.sources.KerchunkIndex.open(spark, path, storageOptions))
       case "netcdf" | "netcdf3" | "netcdf4" | "hdf5"
           if graft.sources.NetcdfCollection.isGlob(path) =>
         // multi-file datasets (source.py:102-107 `'*' in url` →

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType}
 
@@ -48,15 +48,28 @@ object KerchunkIndex {
     // temp view; the view entry can drop once the plan is analyzed
     val view = "graft_kerchunk_" + java.util.UUID.randomUUID().toString.replace("-", "")
     raw.createOrReplaceTempView(view)
-    val entries =
-      try spark.sql(
-        s"""SELECT e.key AS key, e.value AS value
-           | FROM $view AS t,
-           | LATERAL variant_explode(variant_get(parse_json(t.value), '$$.refs', 'variant')) AS e
-           |""".stripMargin)
-      finally spark.catalog.dropTempView(view)
+    val (entries, templatesJson, genJson, version) =
+      try {
+        // templates/gen are v1-spec TOP-LEVEL metadata — generator SPECS
+        // and a small name→string dict, never the expansion itself — so
+        // collecting them is one tiny single-row job. The document parses
+        // a second time when the entries plan executes: an open-time
+        // metadata cost, bounded by the index size, not by data.
+        val m = spark.sql(
+          s"""SELECT try_variant_get(parse_json(t.value), '$$.templates', 'string'),
+             |       try_variant_get(parse_json(t.value), '$$.gen', 'string'),
+             |       try_variant_get(parse_json(t.value), '$$.version', 'long')
+             | FROM $view AS t""".stripMargin).head()
+        val e = spark.sql(
+          s"""SELECT e.key AS key, e.value AS value
+             | FROM $view AS t,
+             | LATERAL variant_explode(variant_get(parse_json(t.value), '$$.refs', 'variant')) AS e
+             |""".stripMargin)
+        (e, Option(m.getString(0)), Option(m.getString(1)),
+          if (m.isNullAt(2)) None else Some(m.getLong(2)))
+      } finally spark.catalog.dropTempView(view)
     val member = substring_index(col("key"), "/", -1)
-    entries.select(
+    val shredded = entries.select(
       col("key"),
       when(col("key").contains("/"),
         expr("substring(key, 1, length(key) - length(substring_index(key, '/', -1)) - 1)"))
@@ -70,6 +83,349 @@ object KerchunkIndex {
       expr("try_variant_get(value, '$[2]', 'long')").as("length"),
       expr("try_variant_get(value, '$', 'string')").as("inline_value"),
     )
+    if (templatesJson.isEmpty && genJson.isEmpty) shredded
+    else {
+      // templates/gen semantics are DEFINED by spec version 1 (fsspec
+      // treats a version-less document as a flat v0 ref dict, where
+      // neither key means anything)
+      require(version.contains(1L),
+        s"kerchunk index '$rawPath' carries templates/gen but declares version " +
+          s"${version.getOrElse("<absent>")} — their semantics are v1-only")
+      expandTemplated(spark, shredded, templatesJson, genJson, rawPath)
+    }
+  }
+
+  /** Kerchunk v1 `templates`/`gen` expansion (fsspec reference-filesystem
+    * v1 spec; the reference inherits it via `reference://`,
+    * source.py:70-137):
+    *
+    *  - `templates` — name → string; rendered into every byte-range ref's
+    *    URL (`{{u}}` holes, whitespace-tolerant). Inline string refs are
+    *    NOT rendered, matching fsspec. A URL hole that no template
+    *    resolves refuses loudly (fsspec's jinja would silently render
+    *    empty — a silently-wrong chunk location is worse than an error).
+    *  - `gen` — generated refs: per spec entry, the dimension product
+    *    (range or explicit list dims) expands DISTRIBUTED — `spark.range`
+    *    over the product size, C-order div/mod per-dimension indices, and
+    *    the key/url/offset/length templates compiled ONCE into codegen'd
+    *    columns ([[KerchunkTemplates]]). A million generated refs is a
+    *    narrow projection, never a driver loop.
+    *  - precedence: gen entries override same-key `refs` entries (fsspec
+    *    processes refs first, then `update()`s the gen expansion in).
+    */
+  private def expandTemplated(spark: SparkSession, shredded: DataFrame,
+                              templatesJson: Option[String], genJson: Option[String],
+                              rawPath: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val templates: Seq[(String, String)] = templatesJson.toSeq.flatMap { j =>
+      JsonMethods.parse(j) match {
+        case JObject(fields) => fields.map {
+          case (k, JString(v)) => k -> v
+          case (k, other) => throw new IllegalArgumentException(
+            s"kerchunk index '$rawPath': template '$k' is ${other.getClass.getSimpleName} — templates are strings")
+        }
+        case other => throw new IllegalArgumentException(
+          s"kerchunk index '$rawPath': 'templates' is ${other.getClass.getSimpleName}, not an object")
+      }
+    }
+    // refs URL rendering: hole-pattern replace per template (constant per
+    // index, whitespace-tolerant), then a loud per-row guard on leftovers
+    val renderedUrl = templates.foldLeft(col("url")) { case (c, (name, value)) =>
+      regexp_replace(c,
+        lit("\\{\\{\\s*" + java.util.regex.Pattern.quote(name) + "\\s*\\}\\}"),
+        lit(java.util.regex.Matcher.quoteReplacement(value)))
+    }
+    val guarded = shredded
+      .withColumn("url", renderedUrl)
+      .filter(coalesce(assert_true(col("url").isNull || !col("url").contains("{{"),
+        concat(lit(s"kerchunk index '$rawPath': ref '"), col("key"),
+          lit("' url '"), col("url"),
+          lit("' still holds a '{{' hole after template rendering — " +
+            "unresolved identifier or unsupported jinja"))), lit(true)))
+
+    val templateScope: Map[String, KerchunkTemplates.Value] =
+      templates.map { case (k, v) => k -> KerchunkTemplates.Value(lit(v), numeric = false) }.toMap
+
+    val genFrames: Seq[DataFrame] = genJson.toSeq.flatMap { j =>
+      val specs = JsonMethods.parse(j) match {
+        case JArray(items) => items
+        case other => throw new IllegalArgumentException(
+          s"kerchunk index '$rawPath': 'gen' is ${other.getClass.getSimpleName}, not an array")
+      }
+      specs.zipWithIndex.map { case (spec, i) =>
+        expandGen(spark, spec, templateScope, s"kerchunk index '$rawPath' gen[$i]")
+      }
+    }
+    if (genFrames.isEmpty) guarded
+    else {
+      val gen = genFrames.reduce(_ unionByName _)
+      guarded.join(gen.select("key"), Seq("key"), "left_anti").unionByName(gen)
+    }
+  }
+
+  /** One gen spec → entry rows. Dimensions follow the spec: an explicit
+    * JSON list (numbers or strings), or `{start?, stop, step?}` python
+    * range semantics. The product enumerates in C order over the spec's
+    * dimension order (the SET of generated entries is order-independent). */
+  private def expandGen(spark: SparkSession, spec: org.json4s.JValue,
+                        templateScope: Map[String, KerchunkTemplates.Value],
+                        context: String): DataFrame = {
+    import org.json4s._
+    def str(field: String): Option[String] = spec \ field match {
+      case JString(s) => Some(s)
+      case JNothing   => None
+      case other => throw new IllegalArgumentException(
+        s"$context: '$field' is ${other.getClass.getSimpleName}, not a string")
+    }
+    val keyT = str("key").getOrElse(throw new IllegalArgumentException(s"$context: missing 'key'"))
+    val urlT = str("url").getOrElse(throw new IllegalArgumentException(s"$context: missing 'url'"))
+    val offT = str("offset")
+    val lenT = str("length")
+    require(offT.isDefined == lenT.isDefined,
+      s"$context: both 'offset' and 'length' are required when either is given (fsspec v1 rule)")
+    // dimension name → (size, index column → value)
+    val dims: Seq[(String, Long, Column => KerchunkTemplates.Value)] = (spec \ "dimensions" match {
+      case JObject(fields) => fields
+      case other => throw new IllegalArgumentException(
+        s"$context: 'dimensions' is ${other.getClass.getSimpleName}, not an object")
+    }).map {
+      case (name, JArray(values)) if values.nonEmpty && values.forall(_.isInstanceOf[JInt]) =>
+        val longs = values.map(_.asInstanceOf[JInt].num.longValue)
+        (name, longs.size.toLong,
+          (idx: Column) => KerchunkTemplates.Value(
+            element_at(lit(longs.toArray), (idx + 1L).cast("int")), numeric = true))
+      case (name, JArray(values)) if values.nonEmpty && values.forall(_.isInstanceOf[JString]) =>
+        val strs = values.map(_.asInstanceOf[JString].s)
+        (name, strs.size.toLong,
+          (idx: Column) => KerchunkTemplates.Value(
+            element_at(lit(strs.toArray), (idx + 1L).cast("int")), numeric = false))
+      case (name, obj: JObject) =>
+        def long(f: String, default: => Long): Long = obj \ f match {
+          case JInt(v)   => v.longValue
+          case JNothing  => default
+          case other => throw new IllegalArgumentException(
+            s"$context: dimension '$name' field '$f' is ${other.getClass.getSimpleName}, not an integer")
+        }
+        val stop = long("stop", throw new IllegalArgumentException(
+          s"$context: dimension '$name' range needs 'stop'"))
+        val start = long("start", 0L)
+        val step  = long("step", 1L)
+        require(step != 0, s"$context: dimension '$name' has step 0")
+        val size = math.max(0L, if (step > 0) (stop - start + step - 1) / step
+                                else (start - stop - step - 1) / (-step))
+        (name, size, (idx: Column) => KerchunkTemplates.Value(lit(start) + idx * lit(step), numeric = true))
+      case (name, other) => throw new IllegalArgumentException(
+        s"$context: dimension '$name' is ${other.getClass.getSimpleName} — use a list or {start, stop, step}")
+    }
+    require(dims.nonEmpty, s"$context: 'dimensions' is empty")
+    val total = dims.map(_._2).product
+    // C-order unflatten: dim d's index = (id / prod(sizes[d+1..])) % size_d
+    val strides = dims.indices.map(d => dims.drop(d + 1).map(_._2).product)
+    val scope: Map[String, KerchunkTemplates.Value] = templateScope ++
+      dims.zipWithIndex.map { case ((name, size, value), d) =>
+        name -> value(call_function("div", col("id"), lit(strides(d))) % lit(size))
+      }
+    def render(t: String): Column = KerchunkTemplates.render(t, scope.get, context)
+    val keyCol = render(keyT)
+    val memberCol = substring_index(keyCol, "/", -1)
+    spark.range(total).select(
+      keyCol.as("key"),
+      when(keyCol.contains("/"), regexp_replace(keyCol, "/[^/]*$", ""))
+        .otherwise(lit("")).as("variable"),
+      memberCol.as("member"),
+      when(memberCol.startsWith("."), lit("meta")).otherwise(lit("ref")).as("kind"),
+      render(urlT).as("url"),
+      offT.map(t => KerchunkTemplates.renderLong(t, scope.get, context))
+        .getOrElse(lit(null).cast("long")).as("offset"),
+      lenT.map(t => KerchunkTemplates.renderLong(t, scope.get, context))
+        .getOrElse(lit(null).cast("long")).as("length"),
+      lit(null).cast("string").as("inline_value"),
+    )
+  }
+
+  /** Dispatch a `reference://` path to the right index form: a DIRECTORY
+    * with `.zmetadata` is a kerchunk PARQUET reference store (the format
+    * kerchunk itself recommends past ~100 MB of JSON — [[readParquetRefs]]);
+    * a plain file (or http url) is the v1 JSON form ([[read]]). A directory
+    * without `.zmetadata` refuses loudly — silently text-scanning a
+    * directory of parquet files would produce garbage entries. */
+  def open(spark: SparkSession, path: String,
+           storageOptions: Map[String, String] = Map.empty): DataFrame = {
+    if (HttpFetch.isHttp(path)) return read(spark, path, storageOptions)
+    val hPath = FsPaths.hadoopPath(path)
+    val conf = FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions)
+    val fs = try FsPaths.fileSystemFor(hPath, conf)
+    catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+      FsPaths.connectorRefusal(path, e) }
+    if (!fs.getFileStatus(hPath).isDirectory) read(spark, path, storageOptions)
+    else {
+      require(fs.exists(new org.apache.hadoop.fs.Path(hPath, ".zmetadata")),
+        s"kerchunk reference '$path' is a directory without .zmetadata — " +
+          "not a parquet reference store (a v1 JSON index is a single file)")
+      readParquetRefs(spark, path, storageOptions)
+    }
+  }
+
+  /** Kerchunk PARQUET reference store reader — the format kerchunk's own
+    * tooling recommends once the JSON form passes ~100 MB (fsspec
+    * LazyReferenceMapper layout, which the reference reaches through the
+    * same `reference://` chain, source.py:70-137):
+    *
+    *  - `<store>/.zmetadata` — zarr CONSOLIDATED metadata JSON (a
+    *    `metadata` dict of `.zgroup`/`.zarray`/`.zattrs` documents) plus
+    *    `record_size`;
+    *  - `<store>/<variable>/refs.<r>.parq` — per-variable parquet files of
+    *    `record_size` rows with columns (path, offset, size, raw), where a
+    *    chunk's C-order FLAT index `f` over the variable's chunk grid
+    *    lives at row `f % record_size` of file `r = f // record_size`.
+    *    `raw` non-null → inline bytes; `size` 0 → whole-file ref; path and
+    *    raw both null → missing chunk (dropped).
+    *
+    * Output: the same 8-column entry rows [[read]] emits, so the entire
+    * downstream plane (materialize / decode / coords / CF) is shared.
+    *
+    * Scale shape: ONE Spark parquet scan over every variable's ref files —
+    * a billion-chunk index is just a billion parquet rows; the row→chunk-key
+    * mapping (`_metadata.file_path` + `_metadata.row_index` → flat index →
+    * grid coordinates) is a narrow codegen'd projection joined against one
+    * broadcast row of geometry per variable. Only `.zmetadata` (the
+    * metadata plane, size-capped) is read on the driver.
+    */
+  def readParquetRefs(spark: SparkSession, dir: String,
+                      storageOptions: Map[String, String] = Map.empty): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val conf = FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions)
+    val root = FsPaths.hadoopPath(dir)
+    val fs = try FsPaths.fileSystemFor(root, conf)
+    catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+      FsPaths.connectorRefusal(dir, e) }
+    val metaPath = new org.apache.hadoop.fs.Path(root, ".zmetadata")
+    val metaStatus = fs.getFileStatus(metaPath) // missing → plain FileNotFound with the path
+    require(metaStatus.getLen <= (256L << 20),
+      s"kerchunk parquet store '$dir': .zmetadata is ${metaStatus.getLen} bytes (cap 256 MiB) — " +
+        "consolidated metadata is the small plane; a document this big is corrupt")
+    val metaText = {
+      val in = fs.open(metaPath)
+      try {
+        val buf = new Array[Byte](metaStatus.getLen.toInt)
+        in.readFully(0, buf)
+        new String(buf, "UTF-8")
+      } finally in.close()
+    }
+    val metaJson = JsonMethods.parse(metaText)
+    val metadata: Seq[(String, JValue)] = metaJson \ "metadata" match {
+      case JObject(fields) => fields
+      case other => throw new IllegalArgumentException(
+        s"kerchunk parquet store '$dir': .zmetadata 'metadata' is " +
+          s"${other.getClass.getSimpleName}, not an object")
+    }
+    val recordSize: Long = metaJson \ "record_size" match {
+      case JInt(v)  => v.longValue
+      case JNothing => 10000L // fsspec LazyReferenceMapper's default
+      case other => throw new IllegalArgumentException(
+        s"kerchunk parquet store '$dir': record_size is ${other.getClass.getSimpleName}")
+    }
+    require(recordSize > 0, s"kerchunk parquet store '$dir': record_size $recordSize")
+
+    import spark.implicits._
+    // metadata documents → the same meta entry rows the JSON form emits
+    val metaRows = metadata.map { case (key, v) =>
+      val member = key.split("/").last
+      val variable = if (key.contains("/")) key.substring(0, key.length - member.length - 1) else ""
+      (key, variable, member, "meta", Option.empty[String], Option.empty[Long],
+        Option.empty[Long], Some(JsonMethods.compact(JsonMethods.render(v))))
+    }
+    val metaDf = metaRows
+      .toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+
+    // per-variable chunk-grid geometry from the consolidated .zarray docs
+    def longs(v: JValue, what: String): Seq[Long] = v match {
+      case JArray(items) => items.map {
+        case JInt(n) => n.longValue
+        case other => throw new IllegalArgumentException(
+          s"kerchunk parquet store '$dir': $what holds ${other.getClass.getSimpleName}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"kerchunk parquet store '$dir': $what is ${other.getClass.getSimpleName}, not an array")
+    }
+    val geometry: Seq[(String, Seq[Long], Long)] = metadata.collect {
+      case (key, zarray) if key == ".zarray" || key.endsWith("/.zarray") =>
+        val variable = if (key == ".zarray") "" else key.dropRight("/.zarray".length)
+        val shape  = longs(zarray \ "shape", s"$variable .zarray shape")
+        val chunks = longs(zarray \ "chunks", s"$variable .zarray chunks")
+        require(shape.length == chunks.length && chunks.forall(_ > 0),
+          s"kerchunk parquet store '$dir': variable '$variable' has shape $shape / chunks $chunks")
+        val grid = shape.zip(chunks).map { case (s, c) => math.max(1L, (s + c - 1) / c) }
+        (variable, grid, grid.product)
+    }
+    require(!geometry.exists(_._1.isEmpty) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "refs.0.parq")),
+      s"kerchunk parquet store '$dir': a ROOT-level array's ref files are " +
+        "unsupported (zarr consolidated stores name their arrays)")
+    val varDirs = geometry.map(_._1).filter(v => v.nonEmpty &&
+      fs.exists(new org.apache.hadoop.fs.Path(root, v)))
+      .map(v => new org.apache.hadoop.fs.Path(root, v).toString)
+    if (varDirs.isEmpty) return metaDf
+
+    val geoDf = broadcast(geometry.map { case (v, grid, n) => (v, grid, n) }
+      .toDF("variable", "grid", "nchunks"))
+    val rootQ = fs.makeQualified(root).toString.stripSuffix("/")
+    val refs = spark.read.options(storageOptions).parquet(varDirs: _*)
+    val needed = Seq("path", "offset", "size", "raw")
+    require(needed.forall(refs.columns.contains),
+      s"kerchunk parquet store '$dir': ref files lack ${needed.filterNot(refs.columns.contains).mkString(",")} " +
+        s"(have ${refs.columns.mkString(",")})")
+    val rel = expr(s"substring(file_path, ${rootQ.length + 2})")
+    val shaped = refs
+      .select(col("path"), col("offset"), col("size"), col("raw"),
+        col("_metadata.file_path").as("file_path"), col("_metadata.row_index").as("row_index"))
+      // every scanned file must be <root>/<variable>/refs.<r>.parq — a stray
+      // parquet file would otherwise be silently mis-keyed
+      .filter(coalesce(assert_true(
+        col("file_path").startsWith(rootQ + "/") && rel.rlike("/refs\\.[0-9]+\\.parq$"),
+        concat(lit(s"kerchunk parquet store '$dir': unexpected file '"), col("file_path"),
+          lit("' — ref files are <variable>/refs.<N>.parq"))), lit(true)))
+      .select(col("path"), col("offset"), col("size"), col("raw"),
+        regexp_replace(rel, "/refs\\.[0-9]+\\.parq$", "").as("variable"),
+        regexp_extract(rel, "refs\\.([0-9]+)\\.parq$", 1).cast("long").as("record"),
+        col("row_index"))
+      // a missing chunk is an all-null row (fsspec writes the full record
+      // frame); drop it BEFORE the geometry check so trailing pad rows of
+      // the last record file never trip the flat-index bound
+      .filter(col("path").isNotNull || col("raw").isNotNull)
+      .join(geoDf, Seq("variable"), "left")
+      .filter(coalesce(assert_true(col("nchunks").isNotNull,
+        concat(lit(s"kerchunk parquet store '$dir': ref files for '"), col("variable"),
+          lit("' have no .zarray in .zmetadata"))), lit(true)))
+      .withColumn("flat", col("record") * lit(recordSize) + col("row_index"))
+      .filter(coalesce(assert_true(col("flat") < col("nchunks"),
+        concat(lit(s"kerchunk parquet store '$dir': variable '"), col("variable"),
+          lit("' row at flat index "), col("flat"),
+          lit(" exceeds its "), col("nchunks"), lit("-chunk grid"))), lit(true)))
+    // C-order unflatten over the chunk grid → the "r.c" member key; scalar
+    // arrays (grid []) normalize to [1] → member "0" (zarr v2 convention)
+    val gridN = when(size(col("grid")) === 0, array(lit(1L))).otherwise(col("grid"))
+    val memberCol = array_join(
+      transform(sequence(lit(0), size(gridN) - 1), d => {
+        val stride = aggregate(slice(gridN, d + lit(2), size(gridN)), lit(1L), (a, x) => a * x)
+        call_function("div", col("flat"), stride) % get(gridN, d)
+      }), ".")
+    shaped
+      .withColumn("member", memberCol)
+      .select(
+        concat(col("variable"), lit("/"), col("member")).as("key"),
+        col("variable"), col("member"),
+        when(col("raw").isNotNull, lit("inline")).otherwise(lit("ref")).as("kind"),
+        when(col("raw").isNull, col("path")).as("url"),
+        // size 0 → whole-file ref ([path] in the JSON form), per fsspec;
+        // explicit long casts — a writer may have stored int32 columns
+        when(col("raw").isNull && col("size") =!= 0L, col("offset").cast("long")).as("offset"),
+        when(col("raw").isNull && col("size") =!= 0L, col("size").cast("long")).as("length"),
+        when(col("raw").isNotNull, concat(lit("base64:"), base64(col("raw"))))
+          .otherwise(lit(null).cast("string")).as("inline_value"))
+      .unionByName(metaDf)
   }
 
   /** Materialize the BYTES each reference entry points at — one level deeper

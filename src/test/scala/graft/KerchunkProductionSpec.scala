@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{KerchunkIndex, KerchunkTemplates}
+
+/** Kerchunk at production index sizes (fsspec reference filesystem, which
+  * the reference inherits via `reference://`, source.py:70-137): the v1
+  * `templates`/`gen` jinja-subset compiler's semantics and refusals, and
+  * the parquet reference-store reader's layout contract. The happy paths
+  * are gate-checked against DuckDB (scan/load_kerchunk_templated,
+  * scan_kerchunk_parquet_refs, load_kerchunk_parquet); this spec pins the
+  * loud-refusal edges and the arithmetic corner semantics. */
+class KerchunkProductionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def scope(vals: (String, KerchunkTemplates.Value)*): String => Option[KerchunkTemplates.Value] =
+    vals.toMap.get
+
+  private def eval(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head().get(0)
+
+  // ------------------------------------------------------- template compiler
+
+  test("jinja subset: holes render, whitespace tolerated, ints as decimal") {
+    val s = scope(
+      "u" -> KerchunkTemplates.Value(lit("file:///data"), numeric = false),
+      "i" -> KerchunkTemplates.Value(lit(7L), numeric = true))
+    assert(eval(KerchunkTemplates.render("{{ u }}/part{{i}}.bin", s, "t")) == "file:///data/part7.bin")
+    assert(eval(KerchunkTemplates.renderLong("{{(i + 10) * 1000}}", s, "t")) == 17000L)
+    assert(eval(KerchunkTemplates.render("", s, "t")) == "")
+  }
+
+  test("jinja subset: python floor-division and modulo semantics, exactly") {
+    // python: -7 // 2 == -4, -7 % 2 == 1, 7 // -2 == -4, 7 % -2 == -1
+    val s = scope("a" -> KerchunkTemplates.Value(lit(-7L), numeric = true))
+    assert(eval(KerchunkTemplates.renderLong("{{a // 2}}", s, "t")) == -4L)
+    assert(eval(KerchunkTemplates.renderLong("{{a % 2}}", s, "t")) == 1L)
+    assert(eval(KerchunkTemplates.renderLong("{{7 // (0 - 2)}}", s, "t")) == -4L)
+    assert(eval(KerchunkTemplates.renderLong("{{7 % (0 - 2)}}", s, "t")) == -1L)
+    // exactness beyond double's 2^53 mantissa — a float round-trip would be off
+    val big = scope("b" -> KerchunkTemplates.Value(lit((1L << 55) + 3L), numeric = true))
+    assert(eval(KerchunkTemplates.renderLong("{{b // 2}}", big, "t")) == (1L << 54) + 1L)
+  }
+
+  test("jinja subset: everything beyond the v1 surface refuses loudly") {
+    val s = scope(
+      "u" -> KerchunkTemplates.Value(lit("x"), numeric = false),
+      "i" -> KerchunkTemplates.Value(lit(1L), numeric = true))
+    def refused(t: String): String =
+      intercept[IllegalArgumentException](KerchunkTemplates.render(t, s, "ctx")).getMessage
+    assert(refused("{% for x in y %}").contains("statements"))
+    assert(refused("{{i").contains("unterminated"))
+    assert(refused("{{i / 2}}").contains("TRUE division"))
+    assert(refused("{{u | upper}}").contains("unsupported jinja"))
+    assert(refused("{{missing}}").contains("unknown identifier"))
+    assert(refused("{{u + 1}}").contains("arithmetic"))
+    assert(refused("{{i 2}}").contains("trailing"))
+  }
+
+  // ----------------------------------------------------------- v1 index edges
+
+  private def writeIndex(content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_spec")
+    val f = dir.resolve("index.json")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  test("gen with offset but no length refuses (fsspec v1 rule)") {
+    val idx = writeIndex(
+      """{"version": 1, "gen": [{"key": "a/{{i}}", "url": "file:///x", "offset": "0",
+        |  "dimensions": {"i": {"stop": 2}}}], "refs": {}}""".stripMargin)
+    val e = intercept[IllegalArgumentException](KerchunkIndex.read(spark, idx))
+    assert(e.getMessage.contains("both 'offset' and 'length'"))
+  }
+
+  test("templates/gen on a non-v1 document refuse — their semantics are v1-only") {
+    val idx = writeIndex("""{"templates": {"u": "x"}, "refs": {"a": "inline"}}""")
+    val e = intercept[IllegalArgumentException](KerchunkIndex.read(spark, idx))
+    assert(e.getMessage.contains("v1-only"))
+  }
+
+  test("an unresolved {{hole}} in a ref url refuses per row, never renders empty") {
+    val idx = writeIndex(
+      """{"version": 1, "templates": {"u": "file:///x"},
+        | "refs": {"a/0": ["{{nope}}", 0, 4]}}""".stripMargin)
+    val e = intercept[Exception] {
+      KerchunkIndex.read(spark, idx).collect()
+    }
+    assert(e.getMessage.contains("{{") || Option(e.getCause).exists(_.getMessage.contains("{{")))
+  }
+
+  test("gen list dimensions: string lists substitute verbatim, range honors start/step") {
+    val idx = writeIndex(
+      """{"version": 1,
+        | "gen": [{"key": "v/{{tag}}_{{n}}", "url": "file:///{{tag}}/{{n}}",
+        |   "dimensions": {"tag": ["aa", "bb"], "n": {"start": 4, "stop": 10, "step": 3}}}],
+        | "refs": {}}""".stripMargin)
+    val got = KerchunkIndex.read(spark, idx)
+      .select("key", "url").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq(
+      ("v/aa_4", "file:///aa/4"), ("v/aa_7", "file:///aa/7"),
+      ("v/bb_4", "file:///bb/4"), ("v/bb_7", "file:///bb/7")))
+  }
+
+  // ------------------------------------------------------ parquet ref stores
+
+  test("open() dispatch: a directory without .zmetadata refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_nometa")
+    val e = intercept[IllegalArgumentException](KerchunkIndex.open(spark, dir.toString))
+    assert(e.getMessage.contains(".zmetadata"))
+  }
+
+  test("parquet store: a stray parquet file refuses instead of mis-keying rows") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_stray")
+    java.nio.file.Files.writeString(dir.resolve(".zmetadata"),
+      """{"metadata": {"v/.zarray": {"shape": [2], "chunks": [2], "dtype": "<i4",
+        |  "compressor": null, "filters": null, "order": "C", "zarr_format": 2}},
+        | "record_size": 10}""".stripMargin)
+    java.nio.file.Files.createDirectories(dir.resolve("v"))
+    import spark.implicits._
+    Seq(("file:///x", 0L, 8L, null: Array[Byte])).toDF("path", "offset", "size", "raw")
+      .coalesce(1).write.parquet(dir.resolve("v/sub").toString)
+    // move the part file to a non-refs name inside the variable dir
+    val part = java.nio.file.Files.list(dir.resolve("v/sub")).iterator()
+    var moved = false
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.startsWith("part-")) {
+        java.nio.file.Files.move(p, dir.resolve("v/stray.parquet")); moved = true
+      }
+    }
+    assert(moved)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.resolve("v/sub").toFile)
+    val e = intercept[Exception] {
+      KerchunkIndex.readParquetRefs(spark, dir.toString).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("refs.<N>.parq") || msg.contains("unexpected file"))
+  }
+
+  test("parquet store: a ref row past the chunk grid refuses (corrupt index)") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_over")
+    java.nio.file.Files.writeString(dir.resolve(".zmetadata"),
+      """{"metadata": {"v/.zarray": {"shape": [2], "chunks": [2], "dtype": "<i4",
+        |  "compressor": null, "filters": null, "order": "C", "zarr_format": 2}},
+        | "record_size": 10}""".stripMargin)
+    import spark.implicits._
+    // 2 non-null rows for a 1-chunk grid: row 1 is out of range
+    val tmp = dir.resolve("build")
+    Seq(("file:///x", 0L, 8L, null: Array[Byte]), ("file:///x", 8L, 8L, null: Array[Byte]))
+      .toDF("path", "offset", "size", "raw").coalesce(1).write.parquet(tmp.toString)
+    java.nio.file.Files.createDirectories(dir.resolve("v"))
+    val part = java.nio.file.Files.list(tmp).iterator()
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.startsWith("part-"))
+        java.nio.file.Files.move(p, dir.resolve("v/refs.0.parq"))
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    val e = intercept[Exception] {
+      KerchunkIndex.readParquetRefs(spark, dir.toString).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("exceeds") || msg.contains("chunk grid"))
+  }
+}
