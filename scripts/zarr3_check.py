@@ -34,20 +34,50 @@ def crc32c(data):
     return c ^ 0xFFFFFFFF
 
 
-def decode_inner(raw, codecs):
+def element_width(data_type):
+    """Bytes per element: core numerics, or r{N} raw bits (the writer's
+    |S label representation — core v3 has no fixed-width string type)."""
+    if data_type == "float64" or data_type == "int64":
+        return 8
+    if data_type == "int32":
+        return 4
+    if data_type.startswith("r"):
+        bits = int(data_type[1:])
+        assert bits > 0 and bits % 8 == 0, data_type
+        return bits // 8
+    raise AssertionError("unsupported data_type %s" % data_type)
+
+
+def decode_inner(raw, codecs, data_type, n_elems):
     names = [c["name"] for c in codecs]
     assert names[0] == "bytes", codecs
     assert codecs[0].get("configuration", {}).get("endian", "little") == "little"
     if "gzip" in names:
         raw = gzip.decompress(raw)
-    return struct.unpack("<%dd" % (len(raw) // 8), raw)
+    if "zstd" in names:
+        # pyarrow bundles a zstd decoder; the frame carries no trusted size,
+        # so pass the exact payload size the geometry dictates
+        import pyarrow
+        raw = pyarrow.Codec("zstd").decompress(
+            raw, element_width(data_type) * n_elems, asbytes=True)
+    w = element_width(data_type)
+    assert len(raw) == w * n_elems, (len(raw), w, n_elems)
+    if data_type == "float64":
+        return struct.unpack("<%dd" % n_elems, raw)
+    if data_type == "int32":
+        return struct.unpack("<%di" % n_elems, raw)
+    if data_type == "int64":
+        return struct.unpack("<%dq" % n_elems, raw)
+    # r{8n}: NUL-right-trimmed UTF-8 byte strings (the writer's convention)
+    return tuple(raw[i:i + w].rstrip(b"\0").decode("utf-8")
+                 for i in range(0, len(raw), w))
 
 
 def read_store_var(store, name):
     with open(os.path.join(store, name, "zarr.json")) as f:
         zj = json.load(f)
     assert zj["zarr_format"] == 3 and zj["node_type"] == "array", zj
-    assert zj["data_type"] == "float64", zj
+    data_type = zj["data_type"]
     assert zj["chunk_grid"]["name"] == "regular", zj
     cke = zj["chunk_key_encoding"]
     assert cke["name"] == "default" and cke["configuration"]["separator"] == "/"
@@ -92,8 +122,11 @@ def read_store_var(store, name):
             return  # wholly absent object = fill everywhere
         with open(path, "rb") as f:
             blob = f.read()
+        n_elems = 1
+        for c in inner:
+            n_elems *= c
         if codecs[0]["name"] != "sharding_indexed":
-            add_chunk(decode_inner(blob, inner_codecs), idx)
+            add_chunk(decode_inner(blob, inner_codecs, data_type, n_elems), idx)
             return
         ilen = 16 * slots + 4
         index, crc = blob[-ilen:-4], blob[-4:]
@@ -109,7 +142,8 @@ def read_store_var(store, name):
                 rem //= per_shard[d]
             ic = list(reversed(ic))
             gidx = [idx[d] * per_shard[d] + ic[d] for d in range(len(idx))]
-            add_chunk(decode_inner(blob[off:off + nb], inner_codecs), gidx)
+            add_chunk(decode_inner(blob[off:off + nb], inner_codecs,
+                                   data_type, n_elems), gidx)
 
     walk([])
     return out, zj.get("dimension_names")
@@ -140,8 +174,35 @@ def main():
     for i, (k,) in enumerate(nk):
         for j, (r,) in enumerate(rk):
             assert key_sum[(i, j)] == float(k + r), (i, j, key_sum[(i, j)], k + r)
-    print("zarr3_check: OK — %d + %d cells match parquet truth (sharded v3)"
-          % (len(n_key), len(key_sum)))
+    # r12 dtype breadth: int32, int64 (beyond int range), r{8n} labels
+    # (the writer's |S-over-raw-bits convention), all under the zstd codec
+    names = con.execute(
+        "SELECT n_regionkey, n_name FROM read_parquet(?) ORDER BY n_nationkey",
+        [os.path.join(sf, "nation.parquet")]).fetchall()
+    rnames = con.execute(
+        "SELECT r_name FROM read_parquet(?) ORDER BY r_regionkey",
+        [os.path.join(sf, "region.parquet")]).fetchall()
+    def dt(name):
+        with open(os.path.join(store, name, "zarr.json")) as f:
+            return json.load(f)["data_type"]
+    assert dt("n_region") == "int32", dt("n_region")
+    assert dt("n_big") == "int64", dt("n_big")
+    assert dt("n_name").startswith("r"), dt("n_name")
+    assert dt("r_label").startswith("r"), dt("r_label")
+    n_region, _ = read_store_var(store, "n_region")
+    n_big, _ = read_store_var(store, "n_big")
+    n_name, _ = read_store_var(store, "n_name")
+    r_label, _ = read_store_var(store, "r_label")
+    for i, (rgk, nm) in enumerate(names):
+        assert n_region[(i,)] == rgk, (i, n_region[(i,)], rgk)
+        assert n_big[(i,)] == 10000000000 + nk[i][0], (i, n_big[(i,)])
+        assert n_name[(i,)] == nm, (i, n_name[(i,)], nm)
+    for j, (rn,) in enumerate(rnames):
+        assert r_label[(j,)] == rn, (j, r_label[(j,)], rn)
+    print("zarr3_check: OK — %d + %d + %d + %d + %d + %d cells match "
+          "parquet truth (sharded v3, zstd)"
+          % (len(n_key), len(key_sum), len(n_region), len(n_big),
+             len(n_name), len(r_label)))
 
 
 if __name__ == "__main__":

@@ -16,10 +16,39 @@ import json, os, struct, sys, zlib
 import duckdb
 
 
+def decode_elems(raw, dtype):
+    """Little-endian element decode per the numpy dtype string: f8/i4/i8
+    numerics, |S<n> (UTF-8 bytes, NUL-right-trimmed) and <U<n> (UCS-4
+    code points, NUL-terminated) fixed-width strings."""
+    if dtype == "<f8":
+        return struct.unpack("<%dd" % (len(raw) // 8), raw)
+    if dtype == "<i4":
+        return struct.unpack("<%di" % (len(raw) // 4), raw)
+    if dtype == "<i8":
+        return struct.unpack("<%dq" % (len(raw) // 8), raw)
+    if dtype.startswith("|S"):
+        n = int(dtype[2:])
+        return tuple(raw[i:i + n].rstrip(b"\0").decode("utf-8")
+                     for i in range(0, len(raw), n))
+    if dtype.startswith("<U"):
+        n = int(dtype[2:])
+        out = []
+        for i in range(0, len(raw), 4 * n):
+            cps = struct.unpack("<%dI" % n, raw[i:i + 4 * n])
+            s = ""
+            for cp in cps:
+                if cp == 0:
+                    break
+                s += chr(cp)
+            out.append(s)
+        return tuple(out)
+    raise AssertionError("unsupported dtype %s" % dtype)
+
+
 def read_store_var(store, name):
     with open(os.path.join(store, name, ".zarray")) as f:
         za = json.load(f)
-    assert za["zarr_format"] == 2 and za["dtype"] == "<f8", za
+    assert za["zarr_format"] == 2, za
     assert za["order"] == "C", za
     shape, chunks = za["shape"], za["chunks"]
     comp = za.get("compressor")
@@ -33,7 +62,7 @@ def read_store_var(store, name):
             if comp is not None:
                 assert comp["id"] == "zlib", comp
                 raw = zlib.decompress(raw)
-            vals = struct.unpack("<%dd" % (len(raw) // 8), raw)
+            vals = decode_elems(raw, za["dtype"])
             # C-order walk of the (padded) chunk
             dims = chunks
             for flat, v in enumerate(vals):
@@ -78,8 +107,34 @@ def main():
     # dimension names round-trip too
     with open(os.path.join(store, "key_sum", ".zattrs")) as f:
         assert json.load(f)["_ARRAY_DIMENSIONS"] == ["nation", "region"]
-    print("zarr_check: OK — %d + %d cells match parquet truth"
-          % (len(n_key), len(key_sum)))
+    # r12 dtype breadth: <i4, <i8 (beyond int range), |S and <U labels
+    names = con.execute(
+        "SELECT n_regionkey, n_name FROM read_parquet(?) ORDER BY n_nationkey",
+        [os.path.join(sf, "nation.parquet")]).fetchall()
+    rnames = con.execute(
+        "SELECT r_name FROM read_parquet(?) ORDER BY r_regionkey",
+        [os.path.join(sf, "region.parquet")]).fetchall()
+    n_region = read_store_var(store, "n_region")
+    n_big = read_store_var(store, "n_big")
+    n_name = read_store_var(store, "n_name")
+    r_label = read_store_var(store, "r_label")
+    with open(os.path.join(store, "n_region", ".zarray")) as f:
+        assert json.load(f)["dtype"] == "<i4"
+    with open(os.path.join(store, "n_big", ".zarray")) as f:
+        assert json.load(f)["dtype"] == "<i8"
+    with open(os.path.join(store, "n_name", ".zarray")) as f:
+        assert json.load(f)["dtype"].startswith("|S")
+    with open(os.path.join(store, "r_label", ".zarray")) as f:
+        assert json.load(f)["dtype"].startswith("<U")
+    for i, (rgk, nm) in enumerate(names):
+        assert n_region[(i,)] == rgk, (i, n_region[(i,)], rgk)
+        assert n_big[(i,)] == 10000000000 + nk[i][0], (i, n_big[(i,)])
+        assert n_name[(i,)] == nm, (i, n_name[(i,)], nm)
+    for j, (rn,) in enumerate(rnames):
+        assert r_label[(j,)] == rn, (j, r_label[(j,)], rn)
+    print("zarr_check: OK — %d + %d + %d + %d + %d + %d cells match parquet truth"
+          % (len(n_key), len(key_sum), len(n_region), len(n_big),
+             len(n_name), len(r_label)))
 
 
 if __name__ == "__main__":

@@ -196,33 +196,62 @@ object SparkEntry {
     import org.apache.spark.sql.expressions.Window
     val n = T(s, dir, "nation")
       .select(col("n_nationkey").cast(LongType).as("k"),
-        col("n_regionkey").cast(LongType).as("rk"))
+        col("n_regionkey").cast(LongType).as("rk"), col("n_name"))
       .withColumn("i", (row_number().over(Window.orderBy("k")) - 1).cast(LongType))
     val r = T(s, dir, "region")
-      .select(col("r_regionkey").cast(LongType).as("rr"))
+      .select(col("r_regionkey").cast(LongType).as("rr"), col("r_name"))
       .withColumn("j", (row_number().over(Window.orderBy("rr")) - 1).cast(LongType))
+    val noLabel = lit(null).cast(StringType).as("label")
+    val noValue = lit(null).cast(DoubleType).as("value")
     n.select(lit("n_key").as("variable"), typedLit(Seq("nation")).as("dims"),
-        array(col("i")).as("coords"), col("k").cast(DoubleType).as("value"))
+        array(col("i")).as("coords"), col("k").cast(DoubleType).as("value"), noLabel)
       .unionByName(n.join(broadcast(r))
         .select(lit("key_sum").as("variable"),
           typedLit(Seq("nation", "region")).as("dims"),
           array(col("i"), col("j")).as("coords"),
-          (col("k") + col("rr")).cast(DoubleType).as("value")))
+          (col("k") + col("rr")).cast(DoubleType).as("value"), noLabel))
+      // r12 dtype-breadth variables: an <i4, an <i8 beyond int range (the
+      // 1e10 base forces the 8-byte width), and two label vectors — |S
+      // (UTF-8 bytes) and <U (UCS-4; the v3 twin writes it as |S, core v3
+      // has no UCS-4 fixed string) — all still coordinate formulas/columns
+      // the oracle re-derives from the same parquet
+      .unionByName(n.select(lit("n_region").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        col("rk").cast(DoubleType).as("value"), noLabel))
+      .unionByName(n.select(lit("n_big").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        (lit(10000000000L) + col("k")).cast(DoubleType).as("value"), noLabel))
+      .unionByName(n.select(lit("n_name").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        noValue, col("n_name").as("label")))
+      .unionByName(r.select(lit("r_label").as("variable"),
+        typedLit(Seq("region")).as("dims"), array(col("j")).as("coords"),
+        noValue, col("r_name").as("label")))
   }
+
+  /** The zarr sink gates' per-variable dtypes (`uForV3 = false` swaps the
+    * UCS-4 vector to |S for the v3 writer — see [[zarrTidyPlane]]). */
+  private def zarrTidyDtypes(ucs4: Boolean): Map[String, String] =
+    Map("n_region" -> "<i4", "n_big" -> "<i8", "n_name" -> "|S",
+      "r_label" -> (if (ucs4) "<U" else "|S"))
 
   /** Read a written zarr store back through the engine's own reader +
     * decode plane and emit (variable, dims, coord_key, value) rows — the
     * zarr sink gates' shared read-back half. */
   private def readZarrStoreCells(s: SparkSession, store: String): DataFrame = {
     val entries = graft.sources.ZarrDirectoryIndex.read(s, store)
-    graft.sources.KerchunkIndex.decodeCoords(
-        graft.sources.KerchunkIndex.materializeChunks(entries),
-        graft.sources.KerchunkIndex.arrayMeta(entries),
-        graft.sources.KerchunkIndex.attrDims(entries))
-      .select(col("variable"),
-        array_join(col("dims"), ".").as("dims"),
-        array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
-        col("value"))
+    val chunks  = graft.sources.KerchunkIndex.materializeChunks(entries)
+    val meta    = graft.sources.KerchunkIndex.arrayMeta(entries)
+    val dims    = graft.sources.KerchunkIndex.attrDims(entries)
+    val shared  = Seq(col("variable"),
+      array_join(col("dims"), ".").as("dims"),
+      array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"))
+    // numeric plane + label plane (r12: string dtypes round-trip too);
+    // each variable lives on exactly one of the two
+    graft.sources.KerchunkIndex.decodeCoords(chunks, meta, dims)
+      .select(shared :+ col("value") :+ lit(null).cast(StringType).as("label"): _*)
+      .unionByName(graft.sources.KerchunkIndex.decodeLabelCoords(chunks, meta, dims)
+        .select(shared :+ lit(null).cast(DoubleType).as("value") :+ col("label"): _*))
       .orderBy("variable", "coord_key")
   }
 
@@ -1420,8 +1449,10 @@ object SparkEntry {
       // independent pure-python parse (json + zlib + struct).
       val out = s"/tmp/graft_zarr_rt_${tmpToken(dir)}"
       // (the writer clears any pre-existing store itself)
-      // a 256-byte budget forces multi-chunk banding on both variables
-      graft.sources.ZarrWriter.write(zarrTidyPlane(s, dir), out, maxChunkBytes = 256)
+      // a 256-byte budget forces multi-chunk banding; r12 adds <i4/<i8
+      // value variables and |S/<U label vectors to the plane
+      graft.sources.ZarrWriter.write(zarrTidyPlane(s, dir), out,
+        maxChunkBytes = 256, dtypes = zarrTidyDtypes(ucs4 = true))
       readZarrStoreCells(s, out)
     }),
 
@@ -1435,8 +1466,13 @@ object SparkEntry {
       // scripts/zarr3_check.py additionally re-reads the store with an
       // independent pure-python parse (json + gzip + struct + crc32c).
       val out = s"/tmp/graft_zarr3_rt_${tmpToken(dir)}"
+      // r12: the v3 arm compresses with ZSTD (the codec v3 stores in the
+      // wild increasingly default to) and carries the dtype-breadth
+      // variables — |S labels ride the core r{8n} raw-bits type, the <U
+      // vector writes as |S (core v3 has no UCS-4 fixed string)
       graft.sources.ZarrWriter.writeV3(zarrTidyPlane(s, dir), out,
-        maxChunkBytes = 256, shardInnerChunks = 2)
+        maxChunkBytes = 256, shardInnerChunks = 2,
+        dtypes = zarrTidyDtypes(ucs4 = false), codec = "zstd")
       readZarrStoreCells(s, out)
     }),
 
@@ -3704,19 +3740,29 @@ object SparkEntry {
     // the sink round trip re-derives from the same parquet the tidy plane
     // was built from — coord = rank-1 in key order on each axis
     "save_zarr_roundtrip" ->
-      """WITH nk AS (SELECT n_nationkey AS k,
+      """WITH nk AS (SELECT n_nationkey AS k, n_regionkey AS rgk, n_name,
         |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation),
-        |     rk AS (SELECT r_regionkey AS rr,
+        |     rk AS (SELECT r_regionkey AS rr, r_name,
         |              ROW_NUMBER() OVER (ORDER BY r_regionkey) - 1 AS j FROM region)
-        |SELECT variable, dims, coord_key, value FROM (
+        |SELECT variable, dims, coord_key, value, label FROM (
         |  SELECT 'n_key' AS variable, 'nation' AS dims,
-        |         CAST(i AS VARCHAR) AS coord_key, CAST(k AS DOUBLE) AS value
+        |         CAST(i AS VARCHAR) AS coord_key, CAST(k AS DOUBLE) AS value,
+        |         CAST(NULL AS VARCHAR) AS label
         |  FROM nk
         |  UNION ALL
         |  SELECT 'key_sum', 'nation.region',
         |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
-        |         CAST(k + rr AS DOUBLE)
-        |  FROM nk, rk)
+        |         CAST(k + rr AS DOUBLE), NULL
+        |  FROM nk, rk
+        |  UNION ALL
+        |  SELECT 'n_region', 'nation', CAST(i AS VARCHAR), CAST(rgk AS DOUBLE), NULL FROM nk
+        |  UNION ALL
+        |  SELECT 'n_big', 'nation', CAST(i AS VARCHAR),
+        |         CAST(10000000000 + k AS DOUBLE), NULL FROM nk
+        |  UNION ALL
+        |  SELECT 'n_name', 'nation', CAST(i AS VARCHAR), CAST(NULL AS DOUBLE), n_name FROM nk
+        |  UNION ALL
+        |  SELECT 'r_label', 'region', CAST(j AS VARCHAR), CAST(NULL AS DOUBLE), r_name FROM rk)
         |ORDER BY variable, coord_key""".stripMargin,
 
     // the decoded String labels re-derive from the same region parquet the

@@ -623,7 +623,22 @@ object KerchunkIndex {
     * decoded rows plus two broadcast joins of per-variable metadata: no
     * shuffle, embarrassingly parallel at 100 TB.
     */
-  def decodeCoords(chunks: DataFrame, meta: DataFrame, dims: DataFrame): DataFrame = {
+  def decodeCoords(chunks: DataFrame, meta: DataFrame, dims: DataFrame): DataFrame =
+    labeledCoords(decodeTyped(chunks, meta), meta, dims, "value")
+
+  /** [[decodeCoords]]'s LABEL-plane twin: fixed-width STRING variables
+    * (`|S<n>`/`<U<n>` — coordinate labels like station or region names)
+    * decoded to (variable, chunk, idx, label, dims, coords) rows with the
+    * same chunk-grid math, padding drop and dimension labeling. Numeric
+    * variables are absent here exactly as string variables are absent from
+    * the numeric plane. */
+  def decodeLabelCoords(chunks: DataFrame, meta: DataFrame, dims: DataFrame): DataFrame =
+    labeledCoords(decodeLabelsTyped(chunks, meta), meta, dims, "label")
+
+  /** Shared coordinate labeling over a decoded (variable, chunk, idx,
+    * &lt;payload&gt;) frame — the chunk-grid math is payload-agnostic. */
+  private def labeledCoords(decoded: DataFrame, meta: DataFrame, dims: DataFrame,
+                            payload: String): DataFrame = {
     val grid = transform(split(col("chunk"), "[.]"), s => s.cast("long"))
     // in-chunk stride per the declared element order: C (row-major,
     // stride_d = prod(chunks[d+1..]), every mainstream writer's default)
@@ -651,7 +666,7 @@ object KerchunkIndex {
     })
     val named = coalesce(col("dims"),
       transform(sequence(lit(0), size(col("chunks")) - 1), d => concat(lit("dim"), d)))
-    decodeTyped(chunks, meta)
+    decoded
       .join(broadcast(meta.select(col("variable"), col("shape"), col("chunks"),
         coalesce(col("order"), lit("C")).as("order"), col("perm"))), Seq("variable"))
       .join(broadcast(dims), Seq("variable"), "left")
@@ -667,7 +682,7 @@ object KerchunkIndex {
       // coords staged into its own projection: referenced by the padding
       // filter AND the output — inlining would re-evaluate the whole
       // transform per reference
-      .select(col("variable"), col("chunk"), col("idx"), col("value"),
+      .select(col("variable"), col("chunk"), col("idx"), col(payload),
         col("shape"), named.as("dims"), coordsExpr.as("coords"))
       .filter(forall(zip_with(col("coords"), col("shape"), (g, s) => g < s), b => b))
       .drop("shape")
@@ -709,5 +724,24 @@ object KerchunkIndex {
         posexplode(ZarrCodec.zarr_decode(col("data"), col("dtype"),
           coalesce(col("compressor"), lit("")), coalesce(col("filters"), lit("null")))))
       .select(col("variable"), col("chunk"), col("pos").as("idx"), col("col").as("value"))
+  }
+
+  /** [[decodeTyped]]'s LABEL-plane twin: fixed-width string chunks
+    * (`|S<n>`/`<U<n>`) decode to (variable, chunk, idx, label) rows —
+    * [[ZarrCodec.decodeLabels]] returns null for every other dtype, so
+    * numeric variables drop here exactly as string variables drop from
+    * the numeric plane. Same scan shape: one generated stage, no shuffle. */
+  def decodeLabelsTyped(chunks: DataFrame, meta: DataFrame): DataFrame = {
+    chunks.filter(col("member").rlike("^[0-9]+([.][0-9]+)*$"))
+      .join(broadcast(meta), Seq("variable"), "left")
+      .filter(coalesce(assert_true(col("dtype").isNotNull,
+        concat(lit("zarr variable '"), col("variable"),
+          lit("' has no inline .zarray metadata (missing, or stored as a " +
+            "byte-range ref) — cannot decode its chunks"))),
+        lit(true)))
+      .select(col("variable"), col("member").as("chunk"),
+        posexplode(ZarrCodec.zarr_decode_labels(col("data"), col("dtype"),
+          coalesce(col("compressor"), lit("")), coalesce(col("filters"), lit("null")))))
+      .select(col("variable"), col("chunk"), col("pos").as("idx"), col("col").as("label"))
   }
 }

@@ -285,7 +285,68 @@ object ZarrCodec {
     new GenericArrayData(out)
   }
 
+  /** Decoded chunk as STRINGS for the fixed-width string dtypes — `|S<n>`
+    * (byte strings: UTF-8 bytes, trailing NULs trimmed — numpy's own
+    * convention) and `<U<n>`/`>U<n>` (UCS-4 code points, NUL-trimmed) — or
+    * null for every other dtype: the LABEL plane twin of [[decode]]
+    * (coordinate labels — station/region names — are first-class on real
+    * stores; the numeric plane documented-drops them). Compressors invert
+    * exactly like the numeric path; the only filters defined on string
+    * payloads here are none (delta/shuffle are numeric-typed transforms —
+    * a string chunk declaring them refuses loudly). */
+  def decodeLabels(data: Array[Byte], dtype: UTF8String, compressor: UTF8String,
+                   filters: UTF8String): GenericArrayData = {
+    val dt = dtype.toString
+    require(dt.length >= 2, s"malformed numpy dtype '$dt'")
+    val kind = dt.charAt(1)
+    if (kind != 'S' && kind != 'U') return null
+    require(parseFilters(filters).isEmpty,
+      s"zarr filters on a string chunk (dtype '$dt') — behind the connector boundary")
+    val n = dt.substring(2).toInt
+    require(n > 0, s"string dtype '$dt' with non-positive width")
+    val raw = decompress(data, if (compressor == null) "" else compressor.toString)
+    val width = if (kind == 'S') n else 4 * n
+    require(raw.length % width == 0,
+      s"chunk of ${raw.length} bytes is not a multiple of $dtype width $width")
+    val order = dt.charAt(0) match {
+      case '<' | '|' => ByteOrder.LITTLE_ENDIAN
+      case '>'       => ByteOrder.BIG_ENDIAN
+      case c         => throw new IllegalArgumentException(s"unknown byte order '$c' in dtype '$dt'")
+    }
+    val count = raw.length / width
+    val out = new Array[UTF8String](count)
+    var i = 0
+    while (i < count) {
+      if (kind == 'S') {
+        var end = (i + 1) * width
+        while (end > i * width && raw(end - 1) == 0) end -= 1
+        out(i) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(raw, i * width, end))
+      } else {
+        val buf = ByteBuffer.wrap(raw, i * width, width).order(order)
+        val sb = new java.lang.StringBuilder(n)
+        var j = 0
+        var done = false
+        while (j < n && !done) {
+          val cp = buf.getInt(i * width + 4 * j)
+          if (cp == 0) done = true // numpy U pads with NUL code points
+          else { sb.appendCodePoint(cp); j += 1 }
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[AnyRef]])
+  }
+
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** `zarr_decode_labels(data, dtype, compressor, filters)` → array<string>
+    * (null for non-string dtypes) — the label plane. Same null-safe-eval
+    * coalesce caveat as [[zarr_decode]]. */
+  def zarr_decode_labels(data: Column, dtype: Column, compressor: Column,
+                         filters: Column): Column =
+    column(ZarrChunkDecodeLabels(expression(data), expression(dtype),
+      expression(compressor), expression(filters)))
 
   /** `zarr_decode(data, dtype, compressor[, filters])` → array<double>
     * (null for non-numeric dtypes). Pass `coalesce(compressor, '')` /
@@ -326,6 +387,42 @@ case class ZarrChunkDecode(first: Expression, second: Expression, third: Express
     nullSafeCodeGen(ctx, ev, (d, t, c, f) => {
       s"""
          |${ev.value} = graft.sources.ZarrCodec.decode($d, $t, $c, $f);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Native expression form of [[ZarrCodec.decodeLabels]] — the label plane's
+  * twin of [[ZarrChunkDecode]], same single-generated-stage shape. */
+case class ZarrChunkDecodeLabels(first: Expression, second: Expression, third: Expression,
+                                 fourth: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean  = true // non-string dtype → null
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (BinaryType, StringType, StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"zarr_decode_labels expects (binary, string, string, string), got $other")
+    }
+
+  override def nullSafeEval(data: Any, dtype: Any, compressor: Any, filters: Any): Any =
+    ZarrCodec.decodeLabels(data.asInstanceOf[Array[Byte]],
+      dtype.asInstanceOf[UTF8String], compressor.asInstanceOf[UTF8String],
+      filters.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (d, t, c, f) => {
+      s"""
+         |${ev.value} = graft.sources.ZarrCodec.decodeLabels($d, $t, $c, $f);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })

@@ -273,6 +273,15 @@ object ZarrDirectoryIndex {
           case JString("uint64")  => endian + "u8"
           case JString("float32") => endian + "f4"
           case JString("float64") => endian + "f8"
+          // r* raw bits (core spec, byte multiples): translated to the
+          // fixed-width byte-string dtype of the same width — the engine's
+          // own v3 WRITER stores |S labels this way (core v3 defines no
+          // fixed-width string type), and the LABEL plane decodes them as
+          // NUL-trimmed UTF-8; the numeric plane drops them like any |S
+          case JString(r) if r.length > 1 && r.startsWith("r") &&
+              r.drop(1).forall(_.isDigit) && r.drop(1).toInt > 0 &&
+              r.drop(1).toInt % 8 == 0 =>
+            "|S" + (r.drop(1).toInt / 8)
           // unsupported type: non-numeric kind 'V' — decodeTyped drops these
           // chunks like |S, the documented v2 behavior
           case JString(other)     => s"|V$other"

@@ -10,65 +10,111 @@ import org.apache.spark.sql.types._
   * written back as a store any zarr reader — including our own — opens).
   * Format per the public zarr v2 spec: `.zgroup` at the root, per-variable
   * `.zarray`/`.zattrs`, C-order chunk files named `i.j.k`, little-endian
-  * `<f8` payloads, optional zlib compressor, edge chunks PADDED to full
+  * payloads, optional zlib compressor, edge chunks PADDED to full
   * chunk shape with the declared `fill_value` (the convention every
   * writer follows and our decodeCoords relies on).
   *
   * Input: the tidy decode-plane shape — (variable: string, dims:
-  * array&lt;string&gt;, coords: array&lt;long&gt;, value: double).
+  * array&lt;string&gt;, coords: array&lt;long&gt;, value: double) plus an
+  * optional `label: string` column for string-dtyped variables (the
+  * label plane's shape, [[KerchunkIndex.decodeLabelCoords]]).
+  *
+  * Per-variable dtypes (the read-side dtype table in reverse; default
+  * `<f8`): `<f8`, `<i4`, `<i8` encode from `value` — non-integral,
+  * out-of-range, or beyond-2^53 (i8: doubles carry integers exactly only
+  * to 2^53) values refuse loudly rather than silently rounding; `|S<n>`
+  * (UTF-8 bytes, NUL-padded) and `<U<n>` (UCS-4 LE, NUL-padded) encode
+  * from `label` — a bare `|S`/`<U` auto-sizes the width to the longest
+  * label; labels over an explicit width, or containing NUL (the padding
+  * character — it cannot round-trip), refuse loudly.
   *
   * Spark-first scale shape:
   *  - per-variable geometry (dims, shape = max coord + 1, a chunk band
   *    along the FIRST dimension sized to `maxChunkBytes`) derives from
   *    one metadata aggregation that also carries the duplicate-cell
   *    guard (countDistinct(coords) — a duplicate refuses loudly;
-  *    last-writer-wins would be silent data loss); the input persists
-  *    once for the metadata and write passes; a pre-existing store at
-  *    the target path is cleared first (the reader walks the directory,
-  *    so stale chunks would silently corrupt reads);
+  *    last-writer-wins would be silent data loss) and the per-plane
+  *    null guards; the input persists once for the metadata and write
+  *    passes; a pre-existing store at the target path is cleared first
+  *    (the reader walks the directory, so stale chunks would silently
+  *    corrupt reads);
   *  - every row maps to (chunk file, in-chunk C-order offset) by pure
   *    arithmetic against a broadcast geometry table; ONE shuffle groups
   *    rows by chunk file; each task assembles and writes its chunks
   *    through the Hadoop FileSystem API (local, HDFS, or any connector
   *    FS) — embarrassingly parallel, chunk-sized memory;
-  *  - cells absent from the input read back as `fill_value` (0.0) —
+  *  - cells absent from the input read back as `fill_value` (0 / "") —
   *    the writer is for DENSE planes; sparsity is the caller's contract.
-  *
-  * Only double values write (`<f8`): the tidy plane is double-typed end
-  * to end; any other need refuses loudly rather than silently casting.
   */
 object ZarrWriter {
 
   private final case class Geo(variable: String, dims: Seq[String], shape: Seq[Long],
-                               chunks: Seq[Long], nBands: Long)
+                               chunks: Seq[Long], nBands: Long, dtype: String)
+
+  /** Bytes per element of a supported write dtype. */
+  private def widthOf(dtype: String): Int = dtype match {
+    case "<f8" => 8
+    case "<i4" => 4
+    case "<i8" => 8
+    case s if s.startsWith("|S") => s.drop(2).toInt
+    case u if u.startsWith("<U") => 4 * u.drop(2).toInt
+  }
+
+  private def isString(dtype: String): Boolean =
+    dtype.startsWith("|S") || dtype.startsWith("<U")
+
+  private val DtypePattern = "^(<f8|<i4|<i8|\\|S[0-9]*|<U[0-9]*)$".r
 
   /** Per-variable geometry + input guards, shared by the v2 and v3
     * writers: ONE aggregation (the duplicate-cell check rides it as
-    * countDistinct(coords)) + one per-dimension extent pass, then a chunk
-    * band along the FIRST dimension sized to the byte budget. */
-  private def geometry(df: DataFrame, maxChunkBytes: Long): Array[Geo] = {
+    * countDistinct(coords); the per-plane null guards and the string
+    * auto-width ride it too) + one per-dimension extent pass, then a
+    * chunk band along the FIRST dimension sized to the byte budget. */
+  private def geometry(df: DataFrame, maxChunkBytes: Long,
+                       dtypes: Map[String, String]): Array[Geo] = {
+    dtypes.foreach { case (v, dt) =>
+      require(DtypePattern.matches(dt),
+        s"ZarrWriter: variable '$v' requests unsupported dtype '$dt' — " +
+          "supported: <f8, <i4, <i8, |S[n], <U[n]")
+    }
     val metaRows = df
-      .select(col("variable"), col("dims"), col("coords"))
+      .select(col("variable"), col("dims"), col("coords"), col("value"), col("label"))
       .groupBy("variable")
       .agg(count(lit(1)).as("n"),
         countDistinct(col("dims")).as("nd"),
         first(col("dims")).as("dims"),
         max(size(col("coords"))).as("rankMax"),
         min(size(col("coords"))).as("rankMin"),
-        countDistinct(col("coords")).as("ncells"))
+        countDistinct(col("coords")).as("ncells"),
+        count(col("value")).as("nvals"),
+        count(col("label")).as("nlabels"),
+        coalesce(max(octet_length(col("label"))), lit(0)).as("maxBytes"),
+        coalesce(max(length(col("label"))), lit(0)).as("maxChars"))
       .collect()
     require(metaRows.nonEmpty, "ZarrWriter: empty input")
+    val present = metaRows.map(_.getString(0)).toSet
+    dtypes.keys.foreach(v => require(present.contains(v),
+      s"ZarrWriter: dtype given for variable '$v', which is not in the input"))
     metaRows.foreach { r =>
-      require(r.getLong(2) == 1L,
-        s"ZarrWriter: variable '${r.getString(0)}' carries inconsistent dims")
+      val v = r.getString(0)
+      require(r.getLong(2) == 1L, s"ZarrWriter: variable '$v' carries inconsistent dims")
       require(r.getInt(4) == r.getInt(5) && r.getInt(4) >= 1,
-        s"ZarrWriter: variable '${r.getString(0)}' has ragged coords")
+        s"ZarrWriter: variable '$v' has ragged coords")
       require(r.getAs[scala.collection.Seq[String]]("dims").length == r.getInt(4),
-        s"ZarrWriter: variable '${r.getString(0)}' dims/coords rank mismatch")
+        s"ZarrWriter: variable '$v' dims/coords rank mismatch")
       require(r.getLong(6) == r.getLong(1),
-        s"ZarrWriter: variable '${r.getString(0)}' has " +
+        s"ZarrWriter: variable '$v' has " +
           s"${r.getLong(1) - r.getLong(6)} duplicate coordinate cells — refusing " +
           "(silent last-writer-wins would lose data)")
+      val dt = dtypes.getOrElse(v, "<f8")
+      if (isString(dt))
+        require(r.getLong(8) == r.getLong(1),
+          s"ZarrWriter: string variable '$v' ($dt) has null labels — " +
+            "string dtypes encode the 'label' column")
+      else
+        require(r.getLong(7) == r.getLong(1),
+          s"ZarrWriter: numeric variable '$v' ($dt) has null values — " +
+            "did you mean a string dtype over the 'label' column?")
     }
     val shapes = df
       .select(col("variable"), posexplode(col("coords")))
@@ -84,11 +130,98 @@ object ZarrWriter {
       val v = r.getString(0)
       val dims = r.getAs[scala.collection.Seq[String]]("dims").toSeq
       val shape = shapes(v).toSeq
+      // bare |S / <U auto-size to the data; explicit widths must FIT
+      val dtype = dtypes.getOrElse(v, "<f8") match {
+        case "|S" => "|S" + math.max(1, r.getInt(9))
+        case "<U" => "<U" + math.max(1, r.getInt(10))
+        case s if s.startsWith("|S") =>
+          require(r.getInt(9) <= s.drop(2).toInt,
+            s"ZarrWriter: variable '$v' has a ${r.getInt(9)}-byte label, over its declared $s")
+          s
+        case u if u.startsWith("<U") =>
+          require(r.getInt(10) <= u.drop(2).toInt,
+            s"ZarrWriter: variable '$v' has a ${r.getInt(10)}-char label, over its declared $u")
+          u
+        case num => num
+      }
+      require(widthOf(dtype) > 0,
+        s"ZarrWriter: variable '$v' resolves to zero-width dtype '$dtype'")
+      val width = widthOf(dtype).toLong
       val rowElems = shape.drop(1).product
-      val band = math.max(1L, math.min(shape.head, maxChunkBytes / 8L / math.max(1L, rowElems)))
+      val band = math.max(1L,
+        math.min(shape.head, maxChunkBytes / width / math.max(1L, rowElems)))
       val nBands = (shape.head + band - 1) / band
-      Geo(v, dims, shape, band +: shape.drop(1), nBands)
+      Geo(v, dims, shape, band +: shape.drop(1), nBands, dtype)
     }
+  }
+
+  /** Normalize the tidy input: `value` (double) and `label` (string) are
+    * each optional — a missing one is added as null — but at least one
+    * must exist, and present ones must carry the contract types. */
+  private def normalize(df0: DataFrame): DataFrame = {
+    val hasValue = df0.columns.contains("value")
+    val hasLabel = df0.columns.contains("label")
+    require(hasValue || hasLabel,
+      "ZarrWriter: input needs a 'value' (double) or 'label' (string) column")
+    if (hasValue) require(df0.schema("value").dataType == DoubleType,
+      s"ZarrWriter: value column must be double, got ${df0.schema("value").dataType}")
+    if (hasLabel) require(df0.schema("label").dataType == StringType,
+      s"ZarrWriter: label column must be string, got ${df0.schema("label").dataType}")
+    val withValue = if (hasValue) df0 else df0.withColumn("value", lit(null).cast(DoubleType))
+    if (hasLabel) withValue else withValue.withColumn("label", lit(null).cast(StringType))
+  }
+
+  /** Assemble one chunk's raw (pre-compression) bytes: zeroed buffer =
+    * fill (0 / ""), cells written at their C-order offsets, per-dtype
+    * range/integrality/width refusals. */
+  private def encodeCells(dtype: String, nElems: Int,
+                          cells: Seq[(Long, Option[Double], Option[String])],
+                          where: String): Array[Byte] = {
+    val width = widthOf(dtype)
+    val buf = java.nio.ByteBuffer.allocate(nElems * width)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def num(v: Option[Double], off: Long): Double =
+      v.getOrElse(throw new IllegalArgumentException(
+        s"ZarrWriter: null value at offset $off of $where"))
+    def str(s: Option[String], off: Long): String =
+      s.getOrElse(throw new IllegalArgumentException(
+        s"ZarrWriter: null label at offset $off of $where"))
+    def integral(v: Double, lo: Double, hi: Double): Long = {
+      require(v == math.rint(v) && v >= lo && v <= hi,
+        s"ZarrWriter: value $v is not an integral $dtype in [$lo, $hi] for $where — " +
+          "refusing (silent rounding/truncation would corrupt the store)")
+      v.toLong
+    }
+    cells.foreach { case (off, v, s) =>
+      require(off >= 0 && off < nElems,
+        s"ZarrWriter: offset $off out of chunk range $nElems for $where")
+      val at = off.toInt * width
+      dtype match {
+        case "<f8" => buf.putDouble(at, num(v, off))
+        case "<i4" => buf.putInt(at, integral(num(v, off), Int.MinValue, Int.MaxValue).toInt)
+        // 2^53: the largest range a double-carried integer survives exactly
+        case "<i8" => buf.putLong(at, integral(num(v, off), -9007199254740992.0, 9007199254740992.0))
+        case t if t.startsWith("|S") =>
+          val text = str(s, off)
+          require(!text.contains('\u0000'),
+            s"ZarrWriter: label at offset $off of $where contains NUL — " +
+              "the |S padding character cannot round-trip")
+          val bytes = text.getBytes("UTF-8")
+          require(bytes.length <= width,
+            s"ZarrWriter: ${bytes.length}-byte label at offset $off of $where over $dtype")
+          buf.put(at, bytes)
+        case u if u.startsWith("<U") =>
+          val text = str(s, off)
+          val cps = text.codePoints().toArray
+          require(!cps.contains(0),
+            s"ZarrWriter: label at offset $off of $where contains NUL — " +
+              "the <U padding code point cannot round-trip")
+          require(cps.length * 4 <= width,
+            s"ZarrWriter: ${cps.length}-code-point label at offset $off of $where over $dtype")
+          cps.zipWithIndex.foreach { case (cp, j) => buf.putInt(at + 4 * j, cp) }
+      }
+    }
+    buf.array()
   }
 
   private def clearStore(storePath: String,
@@ -109,23 +242,27 @@ object ZarrWriter {
     try out.write(bytes) finally out.close()
   }
 
+  /** v2 `.zarray` fill_value JSON per dtype: floats 0.0, ints 0, strings
+    * "" — matching the zeroed chunk buffers [[encodeCells]] fills. */
+  private def fillJson(dtype: String): String =
+    if (dtype == "<f8") "0.0" else if (isString(dtype)) "\"\"" else "0"
+
   def write(df0: DataFrame, storePath: String,
             maxChunkBytes: Long = 4L << 20,
-            compress: Boolean = true): Unit = {
+            compress: Boolean = true,
+            dtypes: Map[String, String] = Map.empty): Unit = {
     val spark = df0.sparkSession
-    require(df0.schema("value").dataType == DoubleType,
-      s"ZarrWriter: value column must be double, got ${df0.schema("value").dataType}")
     // the input feeds three actions (geometry, shapes, chunk write) —
     // persist once so an expensive upstream plan computes once, not 3×
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeCached(df, spark, storePath, maxChunkBytes, compress)
+    val df = normalize(df0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeCached(df, spark, storePath, maxChunkBytes, compress, dtypes)
     finally df.unpersist(false)
   }
 
   private def writeCached(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                           storePath: String, maxChunkBytes: Long,
-                          compress: Boolean): Unit = {
-    val geos = geometry(df, maxChunkBytes)
+                          compress: Boolean, dtypes: Map[String, String]): Unit = {
+    val geos = geometry(df, maxChunkBytes, dtypes)
 
     // ---- driver-side metadata documents
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -138,9 +275,10 @@ object ZarrWriter {
     geos.foreach { g =>
       val comp = if (compress) """{"id": "zlib", "level": 6}""" else "null"
       writeFile(s"${g.variable}/.zarray",
-        (s"""{"zarr_format": 2, "dtype": "<f8", "shape": ${jarr(g.shape)}, """ +
+        (s"""{"zarr_format": 2, "dtype": "${g.dtype}", """ +
+          s""""shape": ${jarr(g.shape)}, """ +
           s""""chunks": ${jarr(g.chunks)}, "compressor": $comp, "filters": null, """ +
-          """"order": "C", "fill_value": 0.0}""").getBytes("UTF-8"))
+          s""""order": "C", "fill_value": ${fillJson(g.dtype)}}""").getBytes("UTF-8"))
       writeFile(s"${g.variable}/.zattrs",
         ("""{"_ARRAY_DIMENSIONS": """ +
           g.dims.map(d => "\"" + d + "\"").mkString("[", ", ", "]") + "}")
@@ -167,30 +305,22 @@ object ZarrWriter {
               slice(col("coords"), lit(2), size(col("coords")) - 1)),
             col("__strides"), (c, s) => c * s),
           lit(0L), (a, x) => a + x))
-      .select(col("variable"), col("__member"), col("__off"), col("value"))
+      .select(col("variable"), col("__member"), col("__off"), col("value"), col("label"))
 
     val nChunksTotal = geos.map(_.nBands).sum
     val zlib = compress
-    val chunkElems = geos.map(g => g.variable -> g.chunks.product.toInt).toMap
+    val byVar = geos.map(g => g.variable -> ((g.chunks.product.toInt, g.dtype))).toMap
     keyed
       .groupBy("variable", "__member")
-      .agg(collect_list(struct(col("__off"), col("value"))).as("cells"))
+      .agg(collect_list(struct(col("__off"), col("value"), col("label"))).as("cells"))
       .repartition(math.max(1, math.min(nChunksTotal,
         spark.sparkContext.defaultParallelism.toLong)).toInt)
       .select(col("variable"), col("__member"), col("cells"))
-      .as[(String, String, Seq[(Long, Double)])]
-      .foreachPartition { it: Iterator[(String, String, Seq[(Long, Double)])] =>
+      .as[(String, String, Seq[(Long, Option[Double], Option[String])])]
+      .foreachPartition { it: Iterator[(String, String, Seq[(Long, Option[Double], Option[String])])] =>
         it.foreach { case (variable, member, cells) =>
-          val n = chunkElems(variable)
-          val buf = java.nio.ByteBuffer.allocate(n * 8)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          // fill_value 0.0 == zeroed buffer; set written cells
-          cells.foreach { case (off, v) =>
-            require(off >= 0 && off < n,
-              s"ZarrWriter: offset $off out of chunk range $n for $variable/$member")
-            buf.putDouble(off.toInt * 8, v)
-          }
-          val raw = buf.array()
+          val (n, dtype) = byVar(variable)
+          val raw = encodeCells(dtype, n, cells, s"$variable/$member")
           val bytes =
             if (!zlib) raw
             else {
@@ -215,8 +345,14 @@ object ZarrWriter {
   /** zarr v3 directory-store writer — same tidy input contract and scale
     * shape as [[write]], emitting the v3 layout our own
     * [[ZarrDirectoryIndex]] (and any v3 reader) opens: one `zarr.json`
-    * per node, `data_type: float64`, the `bytes` (little-endian) codec
-    * optionally chained with `gzip`, default chunk-key encoding
+    * per node, core data types (`float64`/`int32`/`int64`; `|S<n>` labels
+    * ride the core RAW BITS type `r{8n}` since core v3 defines no
+    * fixed-width string — our reader translates them back, other readers
+    * see spec-legal opaque bytes; `<U` refuses in v3 mode, use `|S`), the
+    * `bytes` (little-endian) codec optionally chained with `gzip` or
+    * `zstd` (v3 stores in the wild increasingly default to zstd; the
+    * fill_value for r* is written as 0 — the zeroed payload — pending a
+    * pinned spec syntax for raw fills), default chunk-key encoding
     * (`c/i/j…`), and first-class `dimension_names`.
     *
     * `shardInnerChunks >= 2` switches on `sharding_indexed` — v3's
@@ -231,14 +367,22 @@ object ZarrWriter {
   def writeV3(df0: DataFrame, storePath: String,
               maxChunkBytes: Long = 4L << 20,
               compress: Boolean = true,
-              shardInnerChunks: Int = 0): Unit = {
+              shardInnerChunks: Int = 0,
+              dtypes: Map[String, String] = Map.empty,
+              codec: String = "gzip"): Unit = {
     val spark = df0.sparkSession
-    require(df0.schema("value").dataType == DoubleType,
-      s"ZarrWriter: value column must be double, got ${df0.schema("value").dataType}")
     require(shardInnerChunks == 0 || shardInnerChunks >= 2,
       s"ZarrWriter: shardInnerChunks must be 0 (unsharded) or >= 2, got $shardInnerChunks")
-    val df = df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeV3Cached(df, spark, storePath, maxChunkBytes, compress, shardInnerChunks)
+    require(codec == "gzip" || codec == "zstd",
+      s"ZarrWriter: v3 codec must be gzip or zstd, got '$codec'")
+    dtypes.foreach { case (v, dt) =>
+      require(!dt.startsWith("<U"),
+        s"ZarrWriter: variable '$v' requests '$dt' in v3 mode — core v3 has no " +
+          "UCS-4 fixed-width string; use |S (UTF-8 bytes over raw bits)")
+    }
+    val df = normalize(df0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeV3Cached(df, spark, storePath, maxChunkBytes, compress, shardInnerChunks,
+      dtypes, codec)
     finally df.unpersist(false)
   }
 
@@ -249,10 +393,19 @@ object ZarrWriter {
     bos.toByteArray
   }
 
+  /** v3 `data_type` name for a write dtype (see [[writeV3]] on r*). */
+  private def v3DataType(dtype: String): String = dtype match {
+    case "<f8" => "float64"
+    case "<i4" => "int32"
+    case "<i8" => "int64"
+    case s if s.startsWith("|S") => "r" + (8 * s.drop(2).toInt)
+  }
+
   private def writeV3Cached(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                             storePath: String, maxChunkBytes: Long,
-                            compress: Boolean, shardInnerChunks: Int): Unit = {
-    val geos = geometry(df, maxChunkBytes)
+                            compress: Boolean, shardInnerChunks: Int,
+                            dtypes: Map[String, String], codec: String): Unit = {
+    val geos = geometry(df, maxChunkBytes, dtypes)
     val sharded = shardInnerChunks >= 2
     val sl = if (sharded) shardInnerChunks.toLong else 1L
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -265,10 +418,13 @@ object ZarrWriter {
       xs.map("\"" + _ + "\"").mkString("[", ", ", "]")
     putFile(storePath, "zarr.json",
       """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"), conf.value)
+    val compCodec = codec match {
+      case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
+      case "zstd" => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+    }
     val innerCodecs =
       if (compress)
-        """[{"name": "bytes", "configuration": {"endian": "little"}}, """ +
-          """{"name": "gzip", "configuration": {"level": 6}}]"""
+        s"""[{"name": "bytes", "configuration": {"endian": "little"}}, $compCodec]"""
       else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
     geos.foreach { g =>
       val gridChunks =
@@ -280,12 +436,13 @@ object ZarrWriter {
             s""""chunk_shape": ${jarr(g.chunks)}, "codecs": $innerCodecs, """ +
             """"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, """ +
             """{"name": "crc32c"}], "index_location": "end"}}]"""
+      val fill = if (g.dtype == "<f8") "0.0" else "0"
       putFile(storePath, s"${g.variable}/zarr.json",
         (s"""{"zarr_format": 3, "node_type": "array", "shape": ${jarr(g.shape)}, """ +
-          s""""data_type": "float64", "chunk_grid": {"name": "regular", """ +
+          s""""data_type": "${v3DataType(g.dtype)}", "chunk_grid": {"name": "regular", """ +
           s""""configuration": {"chunk_shape": ${jarr(gridChunks)}}}, """ +
           """"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}}, """ +
-          s""""fill_value": 0.0, "codecs": $codecs, """ +
+          s""""fill_value": $fill, "codecs": $codecs, """ +
           s""""dimension_names": ${jstrs(g.dims)}}""").getBytes("UTF-8"), conf.value)
     }
 
@@ -313,31 +470,31 @@ object ZarrWriter {
               slice(col("coords"), lit(2), size(col("coords")) - 1)),
             col("__strides"), (c, s) => c * s),
           lit(0L), (a, x) => a + x))
-      .select(col("variable"), col("__member"), col("__slot"), col("__off"), col("value"))
+      .select(col("variable"), col("__member"), col("__slot"), col("__off"),
+        col("value"), col("label"))
 
     val nObjects = geos.map(g => (g.nBands + sl - 1) / sl).sum
     val zip = compress
-    val chunkElems = geos.map(g => g.variable -> g.chunks.product.toInt).toMap
+    val zstd = codec == "zstd"
+    val byVar = geos.map(g => g.variable -> ((g.chunks.product.toInt, g.dtype))).toMap
     val slots = sl.toInt
     keyed
       .groupBy("variable", "__member")
-      .agg(collect_list(struct(col("__slot"), col("__off"), col("value"))).as("cells"))
+      .agg(collect_list(struct(col("__slot"), col("__off"), col("value"), col("label")))
+        .as("cells"))
       .repartition(math.max(1, math.min(nObjects,
         spark.sparkContext.defaultParallelism.toLong)).toInt)
       .select(col("variable"), col("__member"), col("cells"))
-      .as[(String, String, Seq[(Int, Long, Double)])]
-      .foreachPartition { it: Iterator[(String, String, Seq[(Int, Long, Double)])] =>
+      .as[(String, String, Seq[(Int, Long, Option[Double], Option[String])])]
+      .foreachPartition { it: Iterator[(String, String, Seq[(Int, Long, Option[Double], Option[String])])] =>
         it.foreach { case (variable, member, cells) =>
-          val n = chunkElems(variable)
-          def encodeChunk(slotCells: Seq[(Int, Long, Double)]): Array[Byte] = {
-            val buf = java.nio.ByteBuffer.allocate(n * 8)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            slotCells.foreach { case (_, off, v) =>
-              require(off >= 0 && off < n,
-                s"ZarrWriter: offset $off out of chunk range $n for $variable/$member")
-              buf.putDouble(off.toInt * 8, v)
-            }
-            if (zip) gzipBytes(buf.array()) else buf.array()
+          val (n, dtype) = byVar(variable)
+          def encodeChunk(slotCells: Seq[(Int, Long, Option[Double], Option[String])]): Array[Byte] = {
+            val raw = encodeCells(dtype, n,
+              slotCells.map { case (_, off, v, s) => (off, v, s) }, s"$variable/$member")
+            if (!zip) raw
+            else if (zstd) com.github.luben.zstd.Zstd.compress(raw, 3)
+            else gzipBytes(raw)
           }
           val bytes =
             if (slots == 1) encodeChunk(cells) // plain v3 chunk object

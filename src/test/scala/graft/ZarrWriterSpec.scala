@@ -154,4 +154,88 @@ class ZarrWriterSpec extends AnyFunSuite {
     val got2 = decode(dir2).select("value").as[Double].collect().sorted
     assert(got2.toSeq == rows2.map(_._4).sorted)
   }
+
+  // ------------------------------------------------------- r12 dtype breadth
+
+  private def decodeLabels(store: String) = {
+    val entries = graft.sources.ZarrDirectoryIndex.read(spark, store)
+    graft.sources.KerchunkIndex.decodeLabelCoords(
+      graft.sources.KerchunkIndex.materializeChunks(entries),
+      graft.sources.KerchunkIndex.arrayMeta(entries),
+      graft.sources.KerchunkIndex.attrDims(entries))
+  }
+
+  test("dtype breadth v2: i4/i8 values and |S/<U labels round-trip; widths auto-size") {
+    val rows = Seq(
+      ("cnt", Seq("x"), Seq(0L), Some(-3.0), None), ("cnt", Seq("x"), Seq(1L), Some(2147483647.0), None),
+      ("big", Seq("x"), Seq(0L), Some(1.0e10), None), ("big", Seq("x"), Seq(1L), Some(-9.007199254740992e15), None),
+      ("tag", Seq("x"), Seq(0L), None, Some("ab")), ("tag", Seq("x"), Seq(1L), None, Some("cdé")),
+      ("uni", Seq("x"), Seq(0L), None, Some("héllo")), ("uni", Seq("x"), Seq(1L), None, Some("日本")))
+      .toDF("variable", "dims", "coords", "value", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwd").toString
+    graft.sources.ZarrWriter.write(rows, dir,
+      dtypes = Map("cnt" -> "<i4", "big" -> "<i8", "tag" -> "|S", "uni" -> "<U"))
+    // declared dtypes: |S auto-sizes to the longest UTF-8 byte length (cdé = 4)
+    val tagZ = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tag", ".zarray")), "UTF-8")
+    assert(tagZ.contains("\"|S4\""), tagZ)
+    val uniZ = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "uni", ".zarray")), "UTF-8")
+    assert(uniZ.contains("\"<U5\""), uniZ)
+    val nums = decode(dir).select("variable", "value").as[(String, Double)].collect().toSet
+    assert(nums == Set(("cnt", -3.0), ("cnt", 2147483647.0),
+      ("big", 1.0e10), ("big", -9.007199254740992e15)))
+    val labels = decodeLabels(dir).select("variable", "label").as[(String, String)].collect().toSet
+    assert(labels == Set(("tag", "ab"), ("tag", "cdé"), ("uni", "héllo"), ("uni", "日本")))
+  }
+
+  test("dtype breadth v3: int32/int64 core types, |S over raw bits, zstd codec") {
+    val rows = Seq(
+      ("cnt", Seq("x"), Seq(0L), Some(7.0), None), ("cnt", Seq("x"), Seq(1L), Some(-40.0), None),
+      ("big", Seq("x"), Seq(0L), Some(1.0e10), None), ("big", Seq("x"), Seq(1L), Some(11.0), None),
+      ("tag", Seq("x"), Seq(0L), None, Some("aa")), ("tag", Seq("x"), Seq(1L), None, Some("bcd")))
+      .toDF("variable", "dims", "coords", "value", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw3d").toString
+    graft.sources.ZarrWriter.writeV3(rows, dir,
+      dtypes = Map("cnt" -> "<i4", "big" -> "<i8", "tag" -> "|S"), codec = "zstd")
+    val tagJ = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tag", "zarr.json")), "UTF-8")
+    assert(tagJ.contains("\"r24\"") && tagJ.contains("\"zstd\""), tagJ)
+    val nums = decode(dir).select("variable", "value").as[(String, Double)].collect().toSet
+    assert(nums == Set(("cnt", 7.0), ("cnt", -40.0), ("big", 1.0e10), ("big", 11.0)))
+    val labels = decodeLabels(dir).select("variable", "label").as[(String, String)].collect().toSet
+    assert(labels == Set(("tag", "aa"), ("tag", "bcd")))
+  }
+
+  test("dtype guards: non-integral, out-of-range, past-2^53, over-width, NUL, v3 <U refuse") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwdg").toString
+    def one(v: Double, dt: String): org.apache.spark.sql.DataFrame =
+      tidy(Seq(("v", Seq("x"), Seq(0L), v)))
+    def lab(s: String): org.apache.spark.sql.DataFrame =
+      Seq(("v", Seq("x"), Seq(0L), Option.empty[Double], Some(s)))
+        .toDF("variable", "dims", "coords", "value", "label")
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(one(1.5, "<i4"), dir, dtypes = Map("v" -> "<i4"))
+    }.getMessage.contains("integral"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(one(3.0e9, "<i4"), dir, dtypes = Map("v" -> "<i4"))
+    }.getMessage.contains("integral"))
+    assert(intercept[Exception] { // 2^53 + 2 is a representable double OUTSIDE the exact range
+      graft.sources.ZarrWriter.write(one(9.007199254740994e15, "<i8"), dir,
+        dtypes = Map("v" -> "<i8"))
+    }.getMessage.contains("integral"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(lab("toolong"), dir, dtypes = Map("v" -> "|S3"))
+    }.getMessage.contains("over"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(lab("a\u0000b"), dir, dtypes = Map("v" -> "|S"))
+    }.getMessage.contains("NUL"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.writeV3(lab("ab"), dir, dtypes = Map("v" -> "<U"))
+    }.getMessage.contains("UCS-4"))
+    // a numeric variable with null values points the caller at the label plane
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(lab("ab"), dir) // default <f8, but only labels given
+    }.getMessage.contains("null values"))
+  }
 }
