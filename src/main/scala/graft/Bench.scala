@@ -74,7 +74,10 @@ object Bench {
     // + the large-star/small-star driver iteration), DSIR selection (two
     // histogram training scans + the codegen'd scoring scan + two-stage
     // top-k), and the v3 SHARDED sink round trip
-    "dedup_clusters", "pipeline_dsir_select", "save_zarr_v3_roundtrip")
+    "dedup_clusters", "pipeline_dsir_select", "save_zarr_v3_roundtrip",
+    // r12: inverted-index BM25 over a 1,000-probe battery (bench-only row;
+    // the gate twin search_bm25_batch carries correctness)
+    "search_bm25_batch_1k")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add
@@ -155,6 +158,20 @@ object Bench {
       graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") < 3), "vec_id", "embedding",
         k = 10, nCells = 16, nProbe = 4, kmeansIters = 2)
+    }),
+    // r12: the inverted-index BM25 form at the scale the literal form
+    // cannot plan — a 1,000-probe battery (each probe = a document's
+    // leading 5 words: the eval-decontamination look-alike shape) as
+    // DATA through one posting-join plan. Correctness is carried by the
+    // search_bm25_batch gate row (same-oracle hash vs the literal form).
+    "search_bm25_batch_1k" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val battery = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 5)).as("qtext"))
+      graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", battery, "qid", "qtext", k = 10)
     }))
 
   def main(args: Array[String]): Unit = {

@@ -2674,6 +2674,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_batch" -> ((s, dir) => {
+      // r12: the INVERTED-INDEX BM25 form — the battery is a DataFrame
+      // (data, not plan), so a 10⁴-10⁶-probe decontamination battery
+      // plans ONE fixed shape instead of a union branch per query. Scores
+      // fold in query term order (bit-identical to bm25TopK), so this
+      // gate reuses search_bm25_topk's ORACLE verbatim on the same
+      // battery: hash-identical ranking across the two execution forms.
+      import s.implicits._
+      val battery = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25Batch(
+          T(s, dir, "documents"), "text", "doc_id", battery, "qid", "qtext", k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // r11: property-verdict row (closes the last no_oracle pair). The
       // params match ann_recall_check's LSH arm (4 bits × 16 tables) —
@@ -3194,6 +3212,10 @@ object SparkEntry {
     // SAME oracle as the v2 sink gate — both round trips write the shared
     // tidy plane (zarrTidyPlane), so the format swap must be invisible
     ("save_zarr_v3_roundtrip" -> oracleSqlBase("save_zarr_roundtrip")) +
+    // SAME oracle as the literal-form BM25 gate: the inverted-index form
+    // folds per-term contributions in query term order, so its ranking
+    // must be hash-identical on the same battery
+    ("search_bm25_batch" -> oracleSqlBase("search_bm25_topk")) +
     // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
     // file as a tar member, so any tar-framing error (offset shift, member
     // misresolution) breaks the hash while the oracle stays authoritative

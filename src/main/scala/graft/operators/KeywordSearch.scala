@@ -140,8 +140,9 @@ object KeywordSearch {
   /** Top-k BM25 hits per query: (query_id, rank, doc_id, score, dl,
     * tf_total). `queries` is a driver-side battery (id → text) — query
     * vocabularies ride the plan as expression literals, so the battery
-    * must be human-sized (hundreds of terms, not millions; a million-term
-    * battery is a different operator — an inverted-index join). */
+    * must be human-sized (hundreds of terms, not millions; past that,
+    * use [[bm25Batch]] — the inverted-index join form whose battery is
+    * data, with bit-identical scores). */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: Seq[(String, String)], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75,
@@ -179,6 +180,100 @@ object KeywordSearch {
     // shared two-stage deterministic top-k (Similarity.twoStageTopK):
     // local prune spreads the corpus-volume shuffle over (query,
     // partition) keys; the global rank sees ≤ k·partitions survivors
+    Similarity.twoStageTopK(scored, "query_id",
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("dl"), col("tf_total"))
+  }
+
+  /** INVERTED-INDEX BM25 top-k — [[bm25TopK]]'s scale sibling for
+    * batteries beyond the literal-plan contract. The battery is a
+    * DATAFRAME of (query id, query text): a contamination-probe battery
+    * of 10⁴–10⁶ queries (the realistic eval-decontamination shape) is
+    * data, not plan — the plan is ONE fixed shape regardless of battery
+    * size, where [[bm25TopK]] plans a union branch and an O(|terms|)
+    * aggregate row per query and hits Janino/plan-size cliffs first.
+    *
+    * Relational form of the classic posting traversal:
+    *  - battery → (query_id, ord, term) occurrence rows (duplicate terms
+    *    contribute once per occurrence — the literal form's semantics;
+    *    `ord` is the term's position, `first_occ` marks one row per
+    *    distinct term for the integer tf_total);
+    *  - corpus → POSTING table: explode tokens in the scan, keep only
+    *    battery-vocabulary terms (semi-join — broadcast for human-sized
+    *    vocabularies, shuffle for the million-probe form; AQE decides),
+    *    one map-side-combinable groupBy to (term, doc_id, tf, dl); the
+    *    persisted postings are ints + matched terms only — corpus text is
+    *    read twice (stats, postings), but never shuffled;
+    *  - per-term df → in-plan idf (same doubles as the literal path: the
+    *    identical formula through the same JVM `ln`);
+    *  - the RETRIEVAL JOIN: occurrences ⋈ postings on term — its output
+    *    is Σ_t |q_t|·df_t, the true posting-traversal cost (a stop-word
+    *    probe term is the classic skew key; AQE's skew-join split
+    *    handles it), then groupBy (query_id, doc_id) folds contributions
+    *    in QUERY TERM ORDER (sort_array over (ord, contrib) structs →
+    *    left-to-right `aggregate`), making scores BIT-IDENTICAL to
+    *    [[bm25TopK]]'s ordered literal sums: a term absent from a doc
+    *    contributes exactly +0.0 there, which preserves float bits.
+    *
+    * Output and tie rule match [[bm25TopK]] exactly. Queries with no
+    * tokens (or no corpus-matching term) simply rank nothing — a
+    * million-probe battery must not abort on one blank probe, where the
+    * literal form refuses its whole driver-side battery. */
+  def bm25Batch(docs: DataFrame, textCol: String, idCol: String,
+                queries: DataFrame, qidCol: String, qtextCol: String,
+                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                scope: CacheScope = CacheScope.untracked): DataFrame = {
+    val toks  = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val qToks = coalesce(Dedup.tokens(col(qtextCol)), array().cast("array<string>"))
+
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "term").orderBy("ord")
+    // persisted: occurrence rows feed the vocabulary AND the retrieval join
+    val qTerms = scope.persisted(
+      queries.select(col(qidCol).as("query_id"), posexplode(qToks))
+        .withColumnRenamed("pos", "ord").withColumnRenamed("col", "term")
+        .withColumn("first_occ", row_number().over(wFirst) === 1),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = qTerms.select("term").distinct()
+
+    // corpus statistics (N, avgdl) — zero-token docs count here even
+    // though they never reach the posting table
+    val statsRow = docs.select(size(toks).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    val n = statsRow.getLong(0)
+    require(n > 0, "bm25: empty corpus")
+    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+
+    val postings = scope.persisted(
+      docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
+          explode(toks).as("term"))
+        .join(vocab, Seq("term"), "left_semi")
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-term document frequency → idf (postings are unique per
+    // (term, doc), so df is a plain count); same expression shape as the
+    // driver-side idf of the literal path
+    val termStats = postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .select(col("term"), log(lit(1.0) +
+        (lit(n.toDouble) - col("df").cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5))).as("idf"))
+
+    val norm = lit(k1 * (1 - b)) + lit(k1 * b / avgdl) * col("dl").cast(DoubleType)
+    val tfc  = col("tf").cast(DoubleType)
+    val contrib = qTerms
+      .join(postings, Seq("term"))
+      .join(termStats, Seq("term"))
+      .withColumn("__c", col("idf") * tfc * lit(k1 + 1.0) / (tfc + norm))
+
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("ord"), col("__c")))),
+          lit(0.0), (a, x) => a + x.getField("__c")).as("score"),
+        max(col("dl")).as("dl"),
+        sum(when(col("first_occ"), col("tf")).otherwise(0L)).as("tf_total"))
     Similarity.twoStageTopK(scored, "query_id",
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),

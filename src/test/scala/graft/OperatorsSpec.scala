@@ -1445,6 +1445,32 @@ class KeywordSearchSpec extends AnyFunSuite {
       .orderBy("rank").collect().map(_.getLong(2)).toSeq
     assert(out == Seq(1L, 2L, 3L, 4L), out.toString)
   }
+
+  test("bm25Batch: bit-identical to the literal form (duplicate terms, absent terms, zero-len doc)") {
+    val docs = Seq(
+      (1L, "cat dog cat bird"), (2L, "dog dog dog dog"),
+      (3L, "cat fish"), (4L, "bird fish bird"), (5L, "")).toDF("doc_id", "text")
+    // q2's duplicate 'cat' + corpus-absent 'zebra' exercise the ordered
+    // fold exactly where the two forms could diverge: the literal form
+    // sums a +0.0 for zebra, the posting form never sees it — bit-equal
+    // because +0.0 preserves float bits
+    val battery = Seq(("q1", "cat dog"), ("q2", "cat cat zebra"), ("q3", "bird fish"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toSet
+    val lit = rows(graft.operators.KeywordSearch.bm25TopK(docs, "text", "doc_id", battery, k = 3))
+    val inv = rows(graft.operators.KeywordSearch.bm25Batch(docs, "text", "doc_id",
+      battery.toDF("qid", "qtext"), "qid", "qtext", k = 3))
+    assert(inv == lit, s"\nbatch: $inv\nliteral: $lit") // float score included: bit-exact
+  }
+
+  test("bm25Batch: blank or match-less probes rank nothing instead of aborting the battery") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val battery = Seq(("ok", "beta"), ("blank", "   "), ("miss", "zebra")).toDF("qid", "qtext")
+    val out = graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", battery, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(out == Set(("ok", 1L), ("ok", 2L)), out.toString)
+  }
 }
 
 class PqSpec extends AnyFunSuite {

@@ -403,4 +403,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2500))
   }
+
+  test("bm25Batch: no per-query plan branches — the plan is constant in battery size") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def planOf(nq: Int): String = {
+      val battery = (0 until nq).map(i => (s"q$i", s"word$i common term"))
+        .toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", battery, "qid", "qtext", k = 5)
+        .queryExecution.executedPlan.toString
+    }
+    val p3 = planOf(3)
+    // the literal form unions one scored branch per query; the posting
+    // form must plan ZERO unions and exactly two corpus scans (postings;
+    // the N/avgdl stats pass runs eagerly before the plan is built)
+    assert(!p3.contains("Union"), p3.take(2500))
+    assert("FileScan".r.findAllIn(p3).size == 2, p3.take(2500))
+    // growing the battery 10× must not grow the plan: same operator tree
+    // modulo the battery's LocalTableScan contents
+    val p30 = planOf(30)
+    assert("Join".r.findAllIn(p30).size == "Join".r.findAllIn(p3).size, p30.take(2500))
+    assert("HashAggregate".r.findAllIn(p30).size == "HashAggregate".r.findAllIn(p3).size)
+  }
 }
