@@ -1494,6 +1494,24 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_struct" -> ((s, _) => {
+      // r12: DAP2 Structure flattening (pydap semantics, source.py:85-90)
+      // — an atomic member and a Grid inside `Structure { ... } obs;`
+      // surface as dotted variables (obs.depth, obs.sst + bare-named
+      // maps), their data requested with the dotted DAP2 projection,
+      // through the full openAsset('opendap') path. Values are
+      // closed-form, so the oracle regenerates everything from range().
+      val base = graft.harness.Dap2Fixture.ensureStruct(s)
+      graft.catalog.EsmDataSource("od_s", Nil, "path", None, Nil,
+          storageOptions = Map("graft.kerchunk.decode" -> "coords"))
+        .openAsset(s, base, "opendap")
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -3785,6 +3803,24 @@ object SparkEntry {
         |  SELECT 'n_name', 'nation', CAST(i AS VARCHAR), CAST(NULL AS DOUBLE), n_name FROM nk
         |  UNION ALL
         |  SELECT 'r_label', 'region', CAST(j AS VARCHAR), CAST(NULL AS DOUBLE), r_name FROM rk)
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // closed-form regeneration of the Structure fixture: the dotted
+    // variable names ARE the expected surface (pydap flattening), and
+    // every value is a range() formula
+    "load_opendap_struct" ->
+      """WITH v AS (
+        |  SELECT 'obs.depth' AS variable, 'd' AS dims, CAST(i AS VARCHAR) AS coord_key,
+        |         CAST(7 * i - 3 AS DOUBLE) AS value FROM range(4) t(i)
+        |  UNION ALL
+        |  SELECT 'obs.sst', 'd.r', CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         CAST(10 * i AS DOUBLE) + 0.25 * CAST(j AS DOUBLE)
+        |  FROM range(4) a(i) CROSS JOIN range(5) b(j)
+        |  UNION ALL
+        |  SELECT 'sd', 'd', CAST(i AS VARCHAR), CAST(2 * i AS DOUBLE) FROM range(4) t(i)
+        |  UNION ALL
+        |  SELECT 'sr', 'r', CAST(j AS VARCHAR), CAST(3 * j AS DOUBLE) FROM range(5) t(j))
+        |SELECT variable, dims, coord_key, value FROM v
         |ORDER BY variable, coord_key""".stripMargin,
 
     // the decoded String labels re-derive from the same region parquet the

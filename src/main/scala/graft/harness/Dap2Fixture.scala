@@ -39,18 +39,55 @@ object Dap2Fixture {
   /** `mapsOf` non-empty renders the var as a DAP Grid whose MAPS section
     * holds the named sibling vars (which then do NOT render at top level —
     * the Grid owns them, like a real server's DDS). String variables carry
-    * `sdata` instead of `data` (labels, r11). */
+    * `sdata` instead of `data` (labels, r11). `container` non-empty nests
+    * the declaration inside `Structure { ... } container;` (r12) — the
+    * var's `name` stays FULLY QUALIFIED (`obs.depth`), which is both the
+    * client's flattened name and the DAP2 projection syntax; consecutive
+    * same-container vars render in one Structure block. */
   final case class Var(name: String, dapType: String, dims: Seq[(String, Long)],
                        data: Array[Double], mapsOf: Seq[String] = Nil,
-                       sdata: Array[String] = null)
+                       sdata: Array[String] = null, container: String = "")
 
   private val servers = scala.collection.mutable.Map.empty[String, String]
 
   /** Base dataset url (`http://127.0.0.1:<port>/nation`) for the sf dir's
     * fixture server, starting it on first use. */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
-    servers.getOrElseUpdate(sfDir, start(buildVars(spark, sfDir), "nation"))
+    servers.getOrElseUpdate(sfDir, start(buildVars(spark, sfDir), "nation", dasText))
   }
+
+  /** Structure-wrapped dataset (r12, `load_opendap_struct`): an atomic
+    * member and a Grid inside `Structure { ... } obs;`, values all
+    * closed-form (depth = 7i − 3, sst = 10i + 0.25j, maps 2i / 3j) so the
+    * DuckDB oracle regenerates them from range() alone. The DAS nests the
+    * member attributes inside an `obs` container — the dotted-scope form
+    * the client's DAS flattening must resolve. */
+  def ensureStruct(spark: SparkSession): String = synchronized {
+    servers.getOrElseUpdate("#struct", start(structVars, "station", structDasText))
+  }
+
+  private def structVars: Seq[Var] = Seq(
+    Var("obs.depth", "Int32", Seq("d" -> 4L),
+      (0 until 4).map(i => (7 * i - 3).toDouble).toArray, container = "obs"),
+    Var("obs.sst", "Float64", Seq("d" -> 4L, "r" -> 5L),
+      (for (i <- 0 until 4; j <- 0 until 5) yield i * 10 + j * 0.25).toArray,
+      mapsOf = Seq("sd", "sr"), container = "obs"),
+    Var("sd", "Float64", Seq("d" -> 4L), (0 until 4).map(i => (i * 2).toDouble).toArray),
+    Var("sr", "Float64", Seq("r" -> 5L), (0 until 5).map(j => (j * 3).toDouble).toArray),
+  )
+
+  private[graft] def structDasText: String =
+    """Attributes {
+      |    NC_GLOBAL {
+      |        String title "graft DAP2 structure fixture";
+      |    }
+      |    obs {
+      |        String platform "buoy";
+      |        depth {
+      |            String units "m";
+      |        }
+      |    }
+      |}""".stripMargin
 
   private def buildVars(spark: SparkSession, sfDir: String): Seq[Var] = {
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
@@ -84,20 +121,34 @@ object Dap2Fixture {
   }
 
   private[graft] def ddsText(vars: Seq[Var], name: String): String = {
+    def leaf(v: Var): String =
+      if (v.container.isEmpty) v.name else v.name.stripPrefix(v.container + ".")
     def decl(v: Var, indent: String): String = {
       val dims = v.dims.map { case (d, sz) => s"[$d = $sz]" }.mkString
-      s"$indent${v.dapType} ${v.name}$dims;"
+      s"$indent${v.dapType} ${leaf(v)}$dims;"
     }
     val owned = vars.flatMap(_.mapsOf).toSet
-    val decls = vars.filterNot(v => owned.contains(v.name)).map { v =>
-      if (v.mapsOf.isEmpty) decl(v, "    ")
+    def render(v: Var, pad: String): String =
+      if (v.mapsOf.isEmpty) decl(v, pad)
       else {
         // only maps present in the projected var set render (a constraint
         // on one map projects the Grid away entirely)
         val maps = v.mapsOf.flatMap(m => vars.find(_.name == m))
-          .map(m => decl(m, "        ")).mkString("\n")
-        s"    Grid {\n     ARRAY:\n${decl(v, "        ")}\n     MAPS:\n$maps\n    } ${v.name};"
+          .map(m => decl(m, pad + "    ")).mkString("\n")
+        s"${pad}Grid {\n$pad ARRAY:\n${decl(v, pad + "    ")}\n$pad MAPS:\n$maps\n$pad} ${leaf(v)};"
       }
+    // consecutive same-container vars share one Structure block — DDS text
+    // order must equal DODS payload order (the client walks the binary in
+    // projected-DDS order), so grouping never reorders
+    val visible = vars.filterNot(v => owned.contains(v.name))
+    val runs = visible.foldLeft(List.empty[(String, List[Var])]) {
+      case ((c, run) :: tail, v) if c == v.container => (c, run :+ v) :: tail
+      case (acc, v) => (v.container, List(v)) :: acc
+    }.reverse
+    val decls = runs.map {
+      case ("", run) => run.map(render(_, "    ")).mkString("\n")
+      case (c, run) =>
+        s"    Structure {\n${run.map(render(_, "        ")).mkString("\n")}\n    } $c;"
     }.mkString("\n")
     s"Dataset {\n$decls\n} $name;"
   }
@@ -216,7 +267,7 @@ object Dap2Fixture {
     }
   }
 
-  private def start(vars: Seq[Var], dataset: String): String = {
+  private def start(vars: Seq[Var], dataset: String, das: String): String = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "dap2-fixture"); t.setDaemon(true); t
@@ -241,7 +292,7 @@ object Dap2Fixture {
           if (path.endsWith(".dds"))
             (ddsText(applyConstraint(vars, query), dataset) + "\n").getBytes("US-ASCII")
           else if (path.endsWith(".das"))
-            (dasText + "\n").getBytes("US-ASCII")
+            (das + "\n").getBytes("US-ASCII")
           else if (path.endsWith(".dods")) {
             val projected = applyConstraint(vars, query)
             val out = new ByteArrayOutputStream()

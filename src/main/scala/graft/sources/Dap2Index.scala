@@ -88,10 +88,18 @@ object Dap2Index {
   private val dimRe = """\[\s*(?:([\w.-]+)\s*=\s*)?(\d+)\s*\]""".r
 
   /** Parse the DDS grammar subset the array plane supports: atomic-typed
-    * arrays at top level, plus `Grid { Array: ...; Maps: ...; } name;`
-    * flattened to its array + map vectors (how pydap/xarray surface a Grid:
-    * the array is the variable, the maps are its coordinates). Structure/
-    * Sequence refuse loudly. */
+    * arrays, `Grid { Array: ...; Maps: ...; } name;` flattened to its
+    * array + map vectors (how pydap/xarray surface a Grid: the array is
+    * the variable, the maps are its coordinates), and `Structure { ... }
+    * name;` containers FLATTENED to dotted member names (pydap semantics,
+    * the reference's opendap path, source.py:85-90) — `Structure { Int32
+    * a[..]; } s;` surfaces as variable `s.a`, and the dotted name doubles
+    * as the DAP2 projection for its data request. Grids inside a
+    * Structure keep the flat-Grid convention: the array takes the dotted
+    * name, its map vectors surface under their own map names (the same
+    * xarray-style presentation the top-level Grid path uses). Sequences
+    * (row-structured, no fixed geometry) and arrays OF Structures refuse
+    * loudly. */
   def parseDds(text: String): Dds = {
     val body = text.trim
     require(body.startsWith("Dataset"),
@@ -101,8 +109,13 @@ object Dap2Index {
     require(open >= 0 && close > open, "malformed DDS: missing braces")
     val datasetName = body.substring(close + 1).trim.stripSuffix(";").trim
     val inner = body.substring(open + 1, close)
-
     val vars = scala.collection.mutable.ArrayBuffer.empty[DapVar]
+    parseVars(inner, "", vars)
+    Dds(datasetName, vars.toSeq)
+  }
+
+  private def parseVars(inner: String, prefix: String,
+                        vars: scala.collection.mutable.ArrayBuffer[DapVar]): Unit = {
     var rest = inner
     while (rest.trim.nonEmpty) {
       val t = rest.trim
@@ -114,7 +127,7 @@ object Dap2Index {
         val afterBrace = t.substring(gClose + 1)
         val semi = afterBrace.indexOf(';')
         require(semi >= 0, "malformed Grid: missing trailing ';'")
-        val gridName = afterBrace.substring(0, semi).trim
+        val gridName = prefix + afterBrace.substring(0, semi).trim
         val sections = gridBody.split("(?i)(?:ARRAY|MAPS)\\s*:").filter(_.trim.nonEmpty)
         require(sections.length == 2, s"Grid '$gridName' needs ARRAY and MAPS sections")
         val mapVars = parseDecls(sections(1))
@@ -128,21 +141,35 @@ object Dap2Index {
           if (!vars.exists(_.name == m.name)) vars += m
         }
         rest = afterBrace.substring(semi + 1)
-      } else if (t.startsWith("Structure") || t.startsWith("Sequence")) {
+      } else if (t.startsWith("Structure")) {
+        // Structure { <members> } name; → members flatten to `name.member`
+        val sOpen = t.indexOf('{')
+        val sClose = matchingBrace(t, sOpen)
+        val structBody = t.substring(sOpen + 1, sClose)
+        val afterBrace = t.substring(sClose + 1)
+        val semi = afterBrace.indexOf(';')
+        require(semi >= 0, "malformed Structure: missing trailing ';'")
+        val structName = afterBrace.substring(0, semi).trim
+        require(!structName.contains('['),
+          s"DAP2 array-of-Structures '$structName' has no flat-variable form " +
+            "— outside the array plane")
+        require(structName.nonEmpty, "malformed Structure: missing name")
+        parseVars(structBody, s"$prefix$structName.", vars)
+        rest = afterBrace.substring(semi + 1)
+      } else if (t.startsWith("Sequence")) {
         throw new UnsupportedOperationException(
-          "DAP2 Structure/Sequence containers are outside the array plane " +
-            "(absent from the reference's opendap catalog); flatten server-side")
+          "DAP2 Sequence containers are row-structured (no fixed geometry) — " +
+            "outside the array plane (absent from the reference's opendap catalog)")
       } else {
         declRe.findPrefixMatchOf(t) match {
           case Some(m) =>
-            vars ++= parseDecl(m.group(1), m.group(2), m.group(3))
+            vars ++= parseDecl(m.group(1), prefix + m.group(2), m.group(3))
             rest = t.substring(m.end)
           case None =>
             throw new IllegalArgumentException(s"unparseable DDS declaration at: ${t.take(80)}")
         }
       }
     }
-    Dds(datasetName, vars.toSeq)
   }
 
   private def matchingBrace(s: String, open: Int): Int = {
@@ -203,17 +230,25 @@ object Dap2Index {
       s"not a DAS document: ${body.take(80)}")
     val open = body.indexOf('{')
     val close = matchingBrace(body, open)
-    var rest = body.substring(open + 1, close)
     val out = scala.collection.mutable.Map.empty[String, Map[String, Any]]
+    parseDasContainers(body.substring(open + 1, close), "", out)
+    out.toMap
+  }
+
+  /** Walk one DAS container body: attribute declarations accumulate under
+    * the container's (dot-flattened) name; NESTED containers — how DAS
+    * scopes a Structure member's attributes — recurse with a `.`-joined
+    * prefix, mirroring [[parseDds]]'s pydap-style flattening. Items
+    * discriminate by a prefix attrRe match (it consumes quoted strings
+    * correctly), so an attribute value is never mistaken for a container. */
+  private def parseDasContainers(body: String, prefix: String,
+      out: scala.collection.mutable.Map[String, Map[String, Any]]): Unit = {
+    var rest = body
+    val attrs = scala.collection.mutable.Map.empty[String, Any]
     while (rest.trim.nonEmpty) {
       val t = rest.trim
-      val nameEnd = t.indexOf('{')
-      if (nameEnd < 0) { rest = "" }
-      else {
-        val varName = t.substring(0, nameEnd).trim
-        val blockEnd = matchingBrace(t, nameEnd)
-        val block = t.substring(nameEnd + 1, blockEnd)
-        val attrs = attrRe.findAllMatchIn(block).map { m =>
+      attrRe.findPrefixMatchOf(t) match {
+        case Some(m) =>
           val raw = m.group(3).trim
           // DAS attributes may be comma-separated LISTS (`Float64 range
           // 0.0, 360.0;`) — a failed scalar parse keeps the raw text
@@ -224,13 +259,22 @@ object Dap2Index {
               try raw.toDouble catch { case _: NumberFormatException => raw }
             else
               try raw.toLong catch { case _: NumberFormatException => raw }
-          m.group(2) -> value
-        }.toMap
-        out(varName) = attrs
-        rest = t.substring(blockEnd + 1)
+          attrs(m.group(2)) = value
+          rest = t.substring(m.end)
+        case None =>
+          val nameEnd = t.indexOf('{')
+          if (nameEnd < 0) { rest = "" }
+          else {
+            val varName = t.substring(0, nameEnd).trim
+            val blockEnd = matchingBrace(t, nameEnd)
+            parseDasContainers(t.substring(nameEnd + 1, blockEnd),
+              s"$prefix$varName.", out)
+            rest = t.substring(blockEnd + 1)
+          }
       }
     }
-    out.toMap
+    if (attrs.nonEmpty && prefix.nonEmpty)
+      out(prefix.stripSuffix(".")) = attrs.toMap
   }
 
   // -------------------------------------------------------------- entries

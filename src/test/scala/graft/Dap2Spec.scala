@@ -124,12 +124,50 @@ class Dap2Spec extends AnyFunSuite {
     assert(dds.vars(1).maps.isEmpty && dds.vars(2).maps.isEmpty)
   }
 
-  test("DDS: Structure/Sequence refuse loudly; String arrays parse (r11)") {
+  test("DDS: Structures flatten to dotted names (r12); Sequences refuse; String arrays parse") {
+    // pydap semantics (source.py:85-90): Structure members become dotted
+    // variables; nesting compounds; a Grid inside keeps the flat-Grid
+    // convention (dotted array name, maps under their own names)
+    val dds = Dap2Index.parseDds(
+      """Dataset {
+        |  Structure {
+        |    Int32 a[x = 3];
+        |    Structure { Float64 b[y = 2]; } inner;
+        |    Grid {
+        |     ARRAY:
+        |        Float64 g[x = 3][y = 2];
+        |     MAPS:
+        |        Float64 x[x = 3];
+        |        Float64 y[y = 2];
+        |    } g;
+        |  } s;
+        |} d;""".stripMargin)
+    assert(dds.vars.map(_.name) === Seq("s.a", "s.inner.b", "s.g", "x", "y"))
+    assert(dds.vars.find(_.name == "s.g").get.maps === Seq("x", "y"))
+    // Sequences stay outside the array plane; arrays OF structures refuse
     assert(intercept[UnsupportedOperationException] {
-      Dap2Index.parseDds("Dataset {\n Structure { Int32 a; } s;\n} d;")
-    }.getMessage.contains("Structure"))
-    val dds = Dap2Index.parseDds("Dataset {\n String names[x = 3];\n} d;")
-    assert(dds.vars === Seq(Dap2Index.DapVar("names", "String", Seq("x" -> 3L))))
+      Dap2Index.parseDds("Dataset {\n Sequence { Int32 a; } s;\n} d;")
+    }.getMessage.contains("Sequence"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseDds("Dataset {\n Structure { Int32 a[x = 2]; } s[k = 4];\n} d;")
+    }.getMessage.contains("array-of-Structures"))
+    val flat = Dap2Index.parseDds("Dataset {\n String names[x = 3];\n} d;")
+    assert(flat.vars === Seq(Dap2Index.DapVar("names", "String", Seq("x" -> 3L))))
+  }
+
+  test("DAS: nested containers flatten to dotted attribute scopes (r12)") {
+    val das = Dap2Index.parseDas(
+      """Attributes {
+        |    obs {
+        |        String source "buoy";
+        |        depth {
+        |            String units "m";
+        |            Float64 scale_factor 0.5;
+        |        }
+        |    }
+        |}""".stripMargin)
+    assert(das("obs") === Map("source" -> "buoy"))
+    assert(das("obs.depth") === Map("units" -> "m", "scale_factor" -> 0.5))
   }
 
   test("XDR golden bytes: String array count-once framing round-trips") {
