@@ -2343,6 +2343,53 @@ object SparkEntry {
       ).toDF("invariant", "ok").orderBy("invariant")
     }),
 
+    "text_lang_id_model" -> ((s, dir) => {
+      // r12: TRAINED language identification (the CCNet recipe: a
+      // fastText-style one-vs-rest classifier over hashed char trigrams,
+      // run before quality filtering) alongside the r2 heuristic. The
+      // fixture plants id-derived separable classes whose SIGNAL is
+      // text-derived (per-language vocabularies — the trainer must find
+      // it); the quantized model's decisions are verified IN-PLAN
+      // (property-oracle pattern, the pipeline_classifier_train
+      // convention) because float gradient sums are order-dependent in
+      // the last ulps. CorpusPipeline.clean takes the same model for its
+      // language stage (CorpusPipelineSpec pins that path).
+      import graft.operators.TextClassifier
+      val langs = Seq("en", "fr", "de")
+      val vocab = Map(
+        "en" -> Seq("the", "quick", "brown", "research", "window",
+          "through", "knowledge", "weather"),
+        "fr" -> Seq("le", "recherche", "fenêtre", "toujours", "connaissance",
+          "température", "être", "déjà"),
+        "de" -> Seq("die", "forschung", "fenster", "immer", "wissenschaft",
+          "straße", "über", "zeitgeist"))
+      def textOf(l: String): org.apache.spark.sql.Column =
+        concat_ws(" ", (0 until 8).map(j =>
+          element_at(lit(vocab(l).toArray),
+            (pmod(col("doc_id") * (2 * j + 1), lit(vocab(l).size)) + 1).cast("int"))): _*)
+      val langCol = element_at(lit(langs.toArray), (col("doc_id") % 3).cast("int") + 1)
+      val labeled = T(s, dir, "documents").select(col("doc_id"),
+        langCol.as("lang"),
+        when(langCol === "en", textOf("en"))
+          .when(langCol === "fr", textOf("fr"))
+          .otherwise(textOf("de")).as("text"))
+      val model = TextClassifier.trainLangId(labeled, "text", "lang", langs,
+        dim = 1024, n = 3, iters = 30, lr = 2.0)
+      val agg = TextClassifier.langIdScore(labeled, "text", "doc_id", model)
+        .join(labeled.select(col("doc_id").as("id"), col("lang").as("want")), Seq("id"))
+        .agg(sum(when(col("lang") === col("want"), 1L).otherwise(0L)).as("ok"),
+          count(lit(1)).as("n"),
+          countDistinct(col("want")).as("nclasses")).head()
+      val acc = agg.getLong(0).toDouble / math.max(1L, agg.getLong(1))
+      import s.implicits._
+      Seq(
+        ("classes_present", agg.getLong(2) == 3L),
+        ("model_shape", model.weightNums.size == 3 &&
+          model.weightNums.forall(_.length == 1024)),
+        ("quantized_accuracy", acc >= 0.95),
+      ).toDF("invariant", "ok").orderBy("invariant")
+    }),
+
     "pipeline_bpe_tokenize" -> ((s, dir) => {
       // real learned subword tokenization (Sennrich 2016 BPE): train 200
       // merges on the corpus' own word-frequency dict (the one distributed
@@ -5148,6 +5195,16 @@ object SparkEntry {
       """SELECT * FROM (VALUES
         |  ('label_nontrivial', TRUE), ('quantized_accuracy', TRUE),
         |  ('weights_dim', TRUE)) AS t(invariant, ok)
+        |ORDER BY invariant""".stripMargin,
+
+    // property-style (the pipeline_classifier_train convention): the
+    // one-vs-rest langid trainer's gradient sums are float-order-dependent,
+    // so the query verifies the QUANTIZED model's decisions in-plan and
+    // the oracle pins the invariants as met
+    "text_lang_id_model" ->
+      """SELECT * FROM (VALUES
+        |  ('classes_present', TRUE), ('model_shape', TRUE),
+        |  ('quantized_accuracy', TRUE)) AS t(invariant, ok)
         |ORDER BY invariant""".stripMargin,
 
     // property-style (like ann_recall_check): BPE is not SQL-expressible —

@@ -106,8 +106,130 @@ object HashedLinearScore {
   private val digests: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  private[functions] def digest(): MessageDigest = digests.get()
+
   val schema: StructType = StructType(Seq(
     StructField("n_features", LongType, nullable = false),
     StructField("logit", DoubleType, nullable = false),
     StructField("label", BooleanType, nullable = false)))
+}
+
+/** Character n-grams of a string, by CHARACTER (code point) — the fastText
+  * language-id feature family (Joulin et al. 2016; the CCNet recipe runs
+  * langid on char n-grams before quality filtering). A text shorter than
+  * `n` yields itself as one gram (it is still evidence); empty yields no
+  * grams. Normalization (lowercase, whitespace collapse) stays DECLARATIVE
+  * in the caller so the DuckDB oracle mirrors it; this kernel is the pure
+  * window walk — native because Catalyst interprets higher-order-function
+  * lambdas (a transform/substr fold costs ~100× in a corpus scan). */
+case class CharGrams(child: org.apache.spark.sql.catalyst.expressions.Expression, n: Int)
+  extends UnaryExpression {
+
+  require(n >= 1, s"char_grams: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_grams expects a string, got $other")
+    }
+
+  def grams(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val len = s.numChars()
+    if (len == 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else if (len < n)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](s))
+    else {
+      val out = new Array[Any](len - n + 1)
+      var i = 0
+      while (i <= len - n) { out(i) = s.substring(i, i + n); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    grams(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charGrams", this, classOf[CharGrams].getName)
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $ref.grams($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
+/** K linear models scored in ONE pass over a gram array: each gram hashes
+  * ONCE (the md5-hex4 feature contract of [[HashedLinearScore]], same
+  * digest-byte form), then indexes every class's weight table — the
+  * one-vs-rest language-id scorer's kernel, where hashing K times for K
+  * classes would multiply the dominant cost. Output: array<double> of K
+  * logits, each the exact dyadic `(Σ w_k + bias_k)/128`, so downstream
+  * argmax decisions are bit-deterministic in any engine. Unigram features
+  * only (char-gram callers build the windows upstream). */
+case class HashedLinearScoreMulti(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    weights: Array[Array[Int]],
+    biasNums: Array[Int])
+  extends UnaryExpression {
+
+  require(weights.nonEmpty && weights.length == biasNums.length,
+    s"hashed_linear_score_multi: ${weights.length} weight tables, ${biasNums.length} biases")
+  require(weights.forall(_.length == weights.head.length),
+    "hashed_linear_score_multi: weight tables must share one dimension")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hashed_linear_score_multi expects array<string> grams, got $other")
+    }
+
+  def score(tokens: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val md = HashedLinearScore.digest()
+    val k = weights.length
+    val dim = weights.head.length
+    val nums = new Array[Long](k)
+    var c = 0
+    while (c < k) { nums(c) = biasNums(c).toLong; c += 1 }
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val cur =
+        if (tokens.isNullAt(i)) Array.emptyByteArray
+        else tokens.getUTF8String(i).getBytes
+      md.reset()
+      md.update(cur)
+      val d = md.digest()
+      val fid = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) % dim
+      c = 0
+      while (c < k) { nums(c) += weights(c)(fid); c += 1 }
+      i += 1
+    }
+    val out = new Array[Double](k)
+    c = 0
+    while (c < k) { out(c) = nums(c).toDouble / 128.0; c += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = score(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("multiScore", this, classOf[HashedLinearScoreMulti].getName)
+    nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $ref.score($toks);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
 }

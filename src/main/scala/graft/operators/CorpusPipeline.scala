@@ -246,6 +246,7 @@ object CorpusPipeline {
       normalize: Boolean = false,
       qualityPlane: Option[QualityPlane] = None,
       dsirPlane: Option[DsirPlane] = None,
+      langModel: Option[TextClassifier.LangIdModel] = None,
   ): CleanResult = {
     // 0. optional canonical normalization (TextAnalysis.normalizeText):
     // byte-different renderings of the same text (decomposed accents,
@@ -294,10 +295,18 @@ object CorpusPipeline {
     }
     val n1c = if (dsirPlane.isEmpty) n1b else selected.count()
 
-    // 2. language gate (count only paid when the gate is active)
+    // 2. language gate (count only paid when the gate is active): the
+    // TRAINED one-vs-rest model when the caller provides one (the CCNet
+    // order — fastText langid before quality filtering), else the n-gram
+    // heuristic; both are pure scan expressions, zero joins
     val langed =
       if (allowedLangs.isEmpty) selected
-      else selected.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
+      else langModel match {
+        case Some(m) => selected.filter(
+          TextClassifier.langIdStruct(col(textCol), m).getField("lang")
+            .isin(allowedLangs: _*))
+        case None => selected.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
+      }
     val n2 = if (allowedLangs.isEmpty) n1c else langed.count()
 
     // 3. exact dedup (deterministic survivor = min id); materialized once —

@@ -159,7 +159,19 @@ object TextClassifier {
       .head()
     val nEmpty = emptyRow.getLong(0)
     val emptyPos = emptyRow.getDouble(1)
-    val nDocs = nFeatured + nEmpty
+    val got = gdLoop(feats, nFeatured + nEmpty, nEmpty, emptyPos, dim, iters, lr, storage)
+    feats.unpersist(false)
+    got
+  }
+
+  /** The full-batch logistic GD loop over a prepared (did, y, fid, x)
+    * feature relation (see [[train]] for the scheduling and empty-doc
+    * reasoning) — shared by the binary trainer and the one-vs-rest
+    * language-id trainer. */
+  private def gdLoop(feats: DataFrame, nDocs: Long, nEmpty: Long, emptyPos: Double,
+                     dim: Int, iters: Int, lr: Double,
+                     storage: org.apache.spark.storage.StorageLevel)
+      : (Array[Double], Double) = {
     val w = new Array[Double](dim)
     var bias = 0.0
     var it = 0
@@ -196,9 +208,118 @@ object TextClassifier {
       bias -= lr * (rSum + emptyResid) / nDocs
       it += 1
     }
-    feats.unpersist(false)
     (w, bias)
   }
+
+  // ------------------------------------------------------------ language id
+
+  /** Char n-grams of the WHITESPACE-NORMALIZED lowercased text — the
+    * fastText-langid feature family (CCNet runs exactly this family before
+    * quality filtering). Normalization is declarative (lowercase, trim,
+    * whitespace runs → one space) so a SQL oracle mirrors it exactly; the
+    * window walk itself is the native [[graft.functions.CharGrams]]
+    * kernel. A text shorter than `n` is one gram; empty/null is none. */
+  def charGrams(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val normed = regexp_replace(lower(trim(coalesce(text, lit("")))), "\\s+", " ")
+    GraftColumnBridge.column(graft.functions.CharGrams(
+      GraftColumnBridge.expression(normed), n))
+  }
+
+  /** A trained one-vs-rest language-id model: per language, a quantized
+    * weight table + intercept on the exact dyadic grid (so every logit —
+    * and therefore every argmax decision — is bit-deterministic and
+    * engine-portable). `n` is the char-gram width the features used. */
+  final case class LangIdModel(langs: Seq[String], dim: Int, n: Int,
+                               weightNums: Seq[Array[Int]], biasNums: Seq[Int]) {
+    require(langs.nonEmpty && langs.distinct == langs,
+      s"LangIdModel: languages must be distinct and non-empty, got $langs")
+    require(weightNums.length == langs.length && biasNums.length == langs.length,
+      "LangIdModel: one weight table + bias per language")
+    require(weightNums.forall(_.length == dim), s"LangIdModel: weight tables must be dim=$dim")
+  }
+
+  /** TRAIN the one-vs-rest language-id model (the CCNet recipe's fastText
+    * langid, as K linear models over hashed char n-grams): the training
+    * sample featurizes ONCE into a persisted (did, lang, fid, x) relation
+    * — char-gram counts, label-independent — and each language's binary
+    * [[gdLoop]] reads it with its own `y = (lang == k)` projection, so K
+    * languages cost K GD loops but one featurization. Weights come back
+    * already quantized (scaled to the dyadic grid like the
+    * pipeline_classifier_train gate does), ready for [[langIdScore]]. */
+  def trainLangId(df: DataFrame, textCol: String, langCol: String,
+                  langs: Seq[String], dim: Int, n: Int = 3,
+                  iters: Int = 40, lr: Double = 1.0,
+                  storage: org.apache.spark.storage.StorageLevel =
+                    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): LangIdModel = {
+    require(dim > 0 && dim <= MaxDim, s"trainLangId: dim $dim outside (0, $MaxDim]")
+    require(langs.nonEmpty && langs.distinct == langs, s"trainLangId: bad language set $langs")
+    val grams = charGrams(col(textCol), n)
+    val base = df
+      .select(monotonically_increasing_id().as("did"),
+        col(langCol).cast("string").as("lang"), grams.as("__g"))
+      .persist(storage)
+    val feats = base
+      .filter(size(col("__g")) > 0)
+      .select(col("did"), col("lang"), explode(col("__g")).as("g"))
+      .groupBy(col("did"), col("lang"),
+        featureId(col("g"), dim).cast(IntegerType).as("fid"))
+      .agg(count(lit(1)).cast(DoubleType).as("x"))
+      .persist(storage)
+    val nFeatured = feats.select(countDistinct("did")).head().getLong(0)
+    require(nFeatured > 0, "trainLangId: no document carries any feature")
+    // zero-feature docs: per-language positive mass for each intercept
+    val emptyByLang = base.filter(size(col("__g")) === 0)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nEmpty = emptyByLang.values.sum
+    val nDocs = nFeatured + nEmpty
+    val trained = langs.map { lang =>
+      val yFeats = feats.withColumn("y",
+        when(col("lang") === lit(lang), 1.0).otherwise(0.0))
+      val (w, b) = gdLoop(yFeats, nDocs, nEmpty,
+        emptyByLang.getOrElse(lang, 0L).toDouble, dim, iters, lr, storage)
+      // quantize onto the dyadic grid, scaled so max|w| uses it (the
+      // pipeline_classifier_train convention) — ONE shared scale per
+      // language keeps that language's argmax ordering intact
+      val maxAbs = math.max(math.max(w.map(math.abs).max, math.abs(b)), 1e-12)
+      val scale  = 50.0 / maxAbs
+      (quantize(w.map(_ * scale)), quantize(Array(b * scale)).head)
+    }
+    feats.unpersist(false)
+    base.unpersist(false)
+    LangIdModel(langs, dim, n, trained.map(_._1), trained.map(_._2))
+  }
+
+  /** Language decision as ONE struct column (lang, margin): K logits from
+    * a single pass over the char grams (each gram hashes once —
+    * [[graft.functions.HashedLinearScoreMulti]]), argmax with a
+    * first-language tie rule. Margin is the winning logit — an exact
+    * dyadic, safe to hash. Stateless: the same column is the streaming
+    * scorer. */
+  def langIdStruct(text: Column, model: LangIdModel): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val logits = GraftColumnBridge.column(graft.functions.HashedLinearScoreMulti(
+      GraftColumnBridge.expression(charGrams(text, model.n)),
+      model.weightNums.toArray, model.biasNums.toArray))
+    // argmax, first-wins on exact ties (logits are exact dyadics, so the
+    // comparison — and the decision — is deterministic)
+    val (bestLang, bestLogit) = model.langs.zipWithIndex.tail.foldLeft(
+      (lit(model.langs.head), element_at(logits, 1))) {
+      case ((bl, bv), (lang, i)) =>
+        val v = element_at(logits, i + 1)
+        (when(v > bv, lit(lang)).otherwise(bl), greatest(v, bv))
+    }
+    struct(bestLang.as("lang"), bestLogit.as("margin"))
+  }
+
+  /** Score a document frame against a trained [[LangIdModel]]:
+    * (id, lang, margin) — one codegen'd scan, zero joins; the model rides
+    * the plan (K·dim ints). */
+  def langIdScore(df: DataFrame, textCol: String, idCol: String,
+                  model: LangIdModel): DataFrame =
+    df.select(col(idCol).as("id"), langIdStruct(col(textCol), model).as("__s"))
+      .select(col("id"), col("__s.lang").as("lang"), col("__s.margin").as("margin"))
 
   /** [[scoreLinear]] with the model as a (feature_id, weight_num) TABLE —
     * the shape a training job or a model registry hands over. The table is

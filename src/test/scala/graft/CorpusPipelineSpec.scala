@@ -175,4 +175,31 @@ class CorpusPipelineSpec extends AnyFunSuite {
       "exact_dedup", "near_dedup"), off.stats.toString)
     assert(off.stats.toMap.apply("quality") == 4L)
   }
+
+  test("clean with a trained LangIdModel gates languages by model decisions (r12)") {
+    import graft.operators.TextClassifier
+    import org.apache.spark.sql.functions.col
+    // id-derived separable two-language sample, text-derived signal
+    val mk = (l: String, words: Seq[String]) => (0 until 40).map(i =>
+      (l, (0 until 8).map(j => words((i * (2 * j + 1)) % words.size)).mkString(" ")))
+    val en = mk("en", Seq("the", "quick", "brown", "research", "window",
+      "through", "knowledge", "weather"))
+    val fr = mk("fr", Seq("le", "recherche", "fenêtre", "toujours",
+      "connaissance", "température", "être", "déjà"))
+    val sample = (en ++ fr).zipWithIndex
+      .map { case ((l, t), i) => (i.toLong, l, t) }.toDF("doc_id", "lang", "text")
+    val model = TextClassifier.trainLangId(sample, "text", "lang",
+      Seq("en", "fr"), dim = 512, n = 3, iters = 25, lr = 2.0)
+    // the model must separate the planted classes
+    val scored = TextClassifier.langIdScore(sample, "text", "doc_id", model)
+      .join(sample.select(col("doc_id").as("id"), col("lang").as("want")), Seq("id"))
+    assert(scored.filter(col("lang") =!= col("want")).count() == 0)
+    // clean's lang stage with the model keeps only the allowed language
+    val r = CorpusPipeline.clean(sample, minTokens = 3, minAlphaRatio = 0.2,
+      allowedLangs = Seq("fr"), nearDupThreshold = 0.99, langModel = Some(model))
+    assert(r.stats.toMap.apply("lang") == 40L, r.stats.toString)
+    // every survivor is a French-vocabulary doc (accented chars present)
+    val kept = r.cleaned.select("lang").distinct().as[String].collect().toSeq
+    assert(kept == Seq("fr"), kept.toString)
+  }
 }

@@ -954,6 +954,56 @@ class TextClassifierSpec extends AnyFunSuite {
       .filter(col("label") === col("y")).count()
     assert(acc == 40L, s"accuracy $acc/40")
   }
+
+  test("charGrams: normalization, window walk, short/empty texts (r12)") {
+    val df = Seq((1L, "  AbC  dEf "), (2L, "hi"), (3L, ""), (4L, null: String))
+      .toDF("id", "t")
+    val got = df.select(col("id"), TextClassifier.charGrams(col("t"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    // normalized "abc def" → 5 trigrams incl. the space-crossing ones
+    assert(got(1L) == Seq("abc", "bc ", "c d", " de", "def"), got(1L).toString)
+    assert(got(2L) == Seq("hi"))   // shorter than n: itself, still evidence
+    assert(got(3L) == Seq())       // empty: no grams
+    assert(got(4L) == Seq())       // null: coalesced to empty
+  }
+
+  test("multi-class kernel: logits bit-identical to K single-model scores (r12)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    val docs = Seq((1L, "die straße über"), (2L, "the quick brown"), (3L, ""))
+      .toDF("doc_id", "text")
+    val dim = 128
+    // three deterministic weight tables (formula-derived, not trained)
+    val tables = (0 until 3).map(k =>
+      Array.tabulate(dim)(f => ((f * (k + 3) + k) % 17) - 8)).toArray
+    val biases = Array(5, -3, 0)
+    val grams = TextClassifier.charGrams(col("text"), 3)
+    val multi = docs.select(col("doc_id"), GraftColumnBridge.column(
+        graft.functions.HashedLinearScoreMulti(
+          GraftColumnBridge.expression(grams), tables, biases)).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    (0 until 3).foreach { k =>
+      val single = docs.select(col("doc_id"), GraftColumnBridge.column(
+          graft.functions.HashedLinearScore(
+            GraftColumnBridge.expression(grams), tables(k), biases(k),
+            addBigrams = false)).getField("logit").as("l"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      docs.collect().map(_.getLong(0)).foreach { id =>
+        assert(multi(id)(k) == single(id), s"doc $id class $k") // bit-exact
+      }
+    }
+    // empty doc scores exactly the intercept priors
+    assert(multi(3L) == Seq(5.0 / 128, -3.0 / 128, 0.0))
+  }
+
+  test("langIdStruct: argmax is deterministic, first language wins exact ties (r12)") {
+    val zero = Array.fill(32)(0)
+    val m = TextClassifier.LangIdModel(Seq("aa", "bb"), 32, 3,
+      Seq(zero, zero), Seq(7, 7)) // identical models → exact tie everywhere
+    val got = Seq((1L, "whatever text")).toDF("doc_id", "text")
+      .select(TextClassifier.langIdStruct(col("text"), m).getField("lang"))
+      .head().getString(0)
+    assert(got == "aa")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
