@@ -127,12 +127,31 @@ object Multimodal {
   def withMediaMeta(df: DataFrame, binCol: String, mime: Column): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val b = col(binCol)
-    val dims = GraftColumnBridge.column(
-      graft.functions.ImageDims(GraftColumnBridge.expression(b)))
-    val audio = GraftColumnBridge.column(
-      graft.functions.AudioMeta(GraftColumnBridge.expression(b)))
-    val video = GraftColumnBridge.column(
-      graft.functions.Mp4Meta(GraftColumnBridge.expression(b)))
+    // magic-dispatched (r12): each parser runs only on rows whose leading
+    // bytes match its container family — in a mixed-media corpus two of
+    // the three parses per row are skipped (when's codegen evaluates only
+    // the matched branch). Each sniff is a strict SUPERSET of what its
+    // parser accepts (the parser re-checks its full magic and returns
+    // null on a miss), so the output is byte-identical to running all
+    // three — a sniff that was NARROWER than its parser would silently
+    // change results.
+    def magic(off: Int, bytes: Array[Byte]): Column =
+      substring(b, off, bytes.length) === lit(bytes)
+    val isImage =
+      magic(1, Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)) ||
+        magic(1, Array(0xFF.toByte, 0xD8.toByte)) ||  // JPEG SOI
+        magic(1, "GIF8".getBytes("US-ASCII")) ||
+        magic(1, "BM".getBytes("US-ASCII"))           // BMP (parser re-checks structure)
+    val isAudio =
+      (magic(1, "RIFF".getBytes("US-ASCII")) && magic(9, "WAVE".getBytes("US-ASCII"))) ||
+        magic(1, "fLaC".getBytes("US-ASCII"))
+    val isVideo = magic(5, "ftyp".getBytes("US-ASCII")) // ISO BMFF leads with ftyp
+    val dims = when(isImage, GraftColumnBridge.column(
+      graft.functions.ImageDims(GraftColumnBridge.expression(b))))
+    val audio = when(isAudio, GraftColumnBridge.column(
+      graft.functions.AudioMeta(GraftColumnBridge.expression(b))))
+    val video = when(isVideo, GraftColumnBridge.column(
+      graft.functions.Mp4Meta(GraftColumnBridge.expression(b))))
     val h = abs(xxhash64(b))
     df.withColumn("__d", dims).withColumn("__a", audio).withColumn("__v", video)
       .withColumn("media_meta", struct(
