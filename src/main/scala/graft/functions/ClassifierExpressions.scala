@@ -183,6 +183,9 @@ case class HashedLinearScoreMulti(
     s"hashed_linear_score_multi: ${weights.length} weight tables, ${biasNums.length} biases")
   require(weights.forall(_.length == weights.head.length),
     "hashed_linear_score_multi: weight tables must share one dimension")
+  require(weights.head.length > 0 && weights.head.length <= 65536,
+    s"hashed_linear_score_multi: dim ${weights.head.length} outside (0, 65536] — " +
+      "4 md5 hex digits address at most 65,536 features (and % 0 would crash per row)")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

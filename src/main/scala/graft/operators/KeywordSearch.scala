@@ -50,9 +50,13 @@ object KeywordSearch {
       terms: Seq[String], idf: Array[Double],
       queries: Seq[(String, Seq[String])])
 
-  /** driver-side mirror of Dedup.tokens' contract */
+  /** driver-side mirror of Dedup.tokens' contract — regex `\s` trim, NOT
+    * String.trim (which also strips control chars <= U+0020 that the
+    * corpus tokenizer keeps attached; the two forms must tokenize a
+    * battery identically or the bm25TopK/bm25Batch bit-parity breaks on
+    * control-character probes) */
   private def qTokens(s: String): Seq[String] =
-    s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    s.toLowerCase.replaceAll("^\\s+|\\s+$", "").split("\\s+").filter(_.nonEmpty).toSeq
 
   private def parseBattery(queries: Seq[(String, String)]): Seq[(String, Seq[String])] = {
     require(queries.nonEmpty, "bm25: empty query battery")

@@ -234,6 +234,8 @@ object TextClassifier {
                                weightNums: Seq[Array[Int]], biasNums: Seq[Int]) {
     require(langs.nonEmpty && langs.distinct == langs,
       s"LangIdModel: languages must be distinct and non-empty, got $langs")
+    require(dim > 0 && dim <= MaxDim, s"LangIdModel: dim $dim outside (0, $MaxDim]")
+    require(n >= 1, s"LangIdModel: char-gram width $n must be >= 1")
     require(weightNums.length == langs.length && biasNums.length == langs.length,
       "LangIdModel: one weight table + bias per language")
     require(weightNums.forall(_.length == dim), s"LangIdModel: weight tables must be dim=$dim")
@@ -273,22 +275,32 @@ object TextClassifier {
       .groupBy("lang").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nEmpty = emptyByLang.values.sum
+    // base fed only the featurization and the empty-doc stats above — the
+    // K GD loops read the persisted feats relation alone, so the (much
+    // larger) gram-array cache must not sit in executor storage for the
+    // whole K × iters run
+    base.unpersist(false)
     val nDocs = nFeatured + nEmpty
-    val trained = langs.map { lang =>
+    val raw = langs.map { lang =>
       val yFeats = feats.withColumn("y",
         when(col("lang") === lit(lang), 1.0).otherwise(0.0))
-      val (w, b) = gdLoop(yFeats, nDocs, nEmpty,
+      gdLoop(yFeats, nDocs, nEmpty,
         emptyByLang.getOrElse(lang, 0L).toDouble, dim, iters, lr, storage)
-      // quantize onto the dyadic grid, scaled so max|w| uses it (the
-      // pipeline_classifier_train convention) — ONE shared scale per
-      // language keeps that language's argmax ordering intact
-      val maxAbs = math.max(math.max(w.map(math.abs).max, math.abs(b)), 1e-12)
-      val scale  = 50.0 / maxAbs
-      (quantize(w.map(_ * scale)), quantize(Array(b * scale)).head)
     }
     feats.unpersist(false)
-    base.unpersist(false)
-    LangIdModel(langs, dim, n, trained.map(_._1), trained.map(_._2))
+    // quantize onto the dyadic grid with ONE scale SHARED across all K
+    // classes: langIdStruct argmaxes the K logits against each other, so a
+    // per-class scale (the binary gate's convention) would distort the
+    // one-vs-rest boundary — a weakly-trained class's small weights,
+    // scaled up to the grid, would outvote a confident class on ambiguous
+    // text. One positive scale preserves the argmax up to quantization
+    // noise.
+    val maxAbs = math.max(
+      raw.map { case (w, b) => math.max(w.map(math.abs).max, math.abs(b)) }.max, 1e-12)
+    val scale = 50.0 / maxAbs
+    LangIdModel(langs, dim, n,
+      raw.map { case (w, _) => quantize(w.map(_ * scale)) },
+      raw.map { case (_, b) => quantize(Array(b * scale)).head })
   }
 
   /** Language decision as ONE struct column (lang, margin): K logits from

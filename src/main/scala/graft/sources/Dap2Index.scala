@@ -138,7 +138,18 @@ object Dap2Index {
         }
         vars += arrayVar
         mapVars.foreach { m =>
-          if (!vars.exists(_.name == m.name)) vars += m
+          vars.find(_.name == m.name) match {
+            case None => vars += m
+            // shared coordinate: two grids referencing the same map name
+            // must agree on its geometry — silently aliasing the first
+            // one's shape would mis-address the second grid's coordinates
+            case Some(existing) =>
+              require(existing.dapType == m.dapType && existing.dims == m.dims,
+                s"DAP2 map '${m.name}' re-declared with different geometry: " +
+                  s"${existing.dapType}${existing.dims} vs ${m.dapType}${m.dims} — " +
+                  "same-named maps of different grids must agree (they surface " +
+                  "as ONE coordinate variable)")
+          }
         }
         rest = afterBrace.substring(semi + 1)
       } else if (t.startsWith("Structure")) {
