@@ -1219,6 +1219,25 @@ object SparkEntry {
         .orderBy("variable", "chunk", "idx")
     }),
 
+    "save_kerchunk_parquet_refs" -> ((s, dir) => {
+      // r12: the parquet-refs SINK, gated as a format MIGRATION — the
+      // production path every deployment runs once its JSON index passes
+      // ~100 MB: read the templated v1 JSON index (incl. its gen
+      // expansion), WRITE it as a kerchunk parquet reference store, read
+      // the store back through the engine's own parquet-refs reader, and
+      // decode to typed values. The oracle is load_kerchunk_templated's
+      // VERBATIM: the format swap must be invisible to every decoded cell.
+      val idx = ensureKerchunkTemplatedFixture()
+      val store = s"/tmp/graft_kerchunk_parq_rt_${tmpToken(dir)}"
+      graft.sources.KerchunkIndex.writeParquetRefs(
+        graft.sources.KerchunkIndex.read(s, idx), store, recordSize = 3)
+      val entries = graft.sources.KerchunkIndex.open(s, store)
+      graft.sources.KerchunkIndex.decodeTyped(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries))
+        .orderBy("variable", "chunk", "idx")
+    }),
+
     "scan_kerchunk_parquet_refs" -> ((s, _) => {
       // kerchunk PARQUET reference store (the format kerchunk recommends
       // past ~100 MB of JSON; fsspec LazyReferenceMapper layout): row
@@ -3281,6 +3300,9 @@ object SparkEntry {
     // folds per-term contributions in query term order, so its ranking
     // must be hash-identical on the same battery
     ("search_bm25_batch" -> oracleSqlBase("search_bm25_topk")) +
+    // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
+    // migration must be invisible to every decoded cell
+    ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +
     // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
     // file as a tar member, so any tar-framing error (offset shift, member
     // misresolution) breaks the hash while the oracle stays authoritative

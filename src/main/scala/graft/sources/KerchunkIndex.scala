@@ -428,6 +428,203 @@ object KerchunkIndex {
       .unionByName(metaDf)
   }
 
+  /** WRITE a kerchunk PARQUET reference store from entry rows — the sink
+    * half of [[readParquetRefs]], and the migration every real deployment
+    * runs once its JSON index passes ~100 MB: ANY chunk map this engine
+    * enumerates (a v1 JSON index incl. templates/gen expansion, a zarr
+    * directory store, a native netCDF/HDF5 parse) becomes the fsspec
+    * LazyReferenceMapper layout any kerchunk reader opens.
+    *
+    * Layout written (mirror of the read contract):
+    *  - `.zmetadata`: consolidated metadata — every `meta` entry's JSON
+    *    document under its key — plus `record_size` and
+    *    `zarr_consolidated_format: 1`;
+    *  - `<variable>/refs.<r>.parq`: rows at position `flat % recordSize`
+    *    of file `r = flat / recordSize` where `flat` is the chunk's
+    *    C-order index over the variable's chunk grid; positions whose
+    *    chunk is absent hold ALL-NULL rows (positional addressing is the
+    *    format's contract — a dropped row would shift every later chunk);
+    *    records with no present chunk at all are not written. Whole-file
+    *    refs store (path, 0, 0); inline entries store their bytes in
+    *    `raw` (base64-prefixed values decode, plain values as UTF-8).
+    *
+    * Scale shape: metadata (`.zmetadata`, per-variable geometry) is the
+    * driver plane; data rows map to (variable, record, row) by pure
+    * arithmetic against broadcast geometry, ONE shuffle groups whole
+    * record files onto tasks, and each task streams its files through
+    * parquet-hadoop's writer — memory holds one ROW, not one record file.
+    * Duplicate positions and data rows without `.zarray` geometry refuse
+    * loudly. */
+  def writeParquetRefs(entries: DataFrame, dir: String, recordSize: Long = 10000L,
+                       storageOptions: Map[String, String] = Map.empty): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    require(recordSize > 0, s"kerchunk parquet write: recordSize $recordSize")
+    val spark = entries.sparkSession
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
+
+    // ---- metadata plane (driver): meta entries → consolidated .zmetadata
+    val metaRows = entries.filter(col("kind") === "meta")
+      .select("key", "variable", "member", "inline_value").collect()
+    require(metaRows.nonEmpty,
+      "kerchunk parquet write: no metadata entries — a store needs at least the .zarray documents")
+    val metaDocs: Seq[(String, JValue)] = metaRows.toSeq.map { r =>
+      val key = r.getString(0)
+      val text = r.getString(3)
+      require(text != null,
+        s"kerchunk parquet write: metadata entry '$key' has no inline document " +
+          "(byte-range metadata refs cannot consolidate)")
+      key -> (try JsonMethods.parse(text) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"kerchunk parquet write: metadata entry '$key' is not JSON: ${e.getMessage}")
+      })
+    }
+    def longs(v: JValue, what: String): Seq[Long] = v match {
+      case JArray(items) => items.map {
+        case JInt(x) => x.longValue
+        case other => throw new IllegalArgumentException(
+          s"kerchunk parquet write: $what holds ${other.getClass.getSimpleName}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"kerchunk parquet write: $what is ${other.getClass.getSimpleName}")
+    }
+    val geometry: Map[String, (Seq[Long], Long)] = metaDocs.collect {
+      case (key, zarray) if key.endsWith("/.zarray") =>
+        val variable = key.dropRight("/.zarray".length)
+        val shape  = longs(zarray \ "shape", s"$variable shape")
+        val chunks = longs(zarray \ "chunks", s"$variable chunks")
+        require(shape.length == chunks.length && chunks.forall(_ > 0),
+          s"kerchunk parquet write: variable '$variable' shape $shape / chunks $chunks")
+        val grid = shape.zip(chunks).map { case (s, c) => math.max(1L, (s + c - 1) / c) }
+        variable -> ((grid, grid.product))
+    }.toMap
+    val root = FsPaths.hadoopPath(dir)
+    val fs = try FsPaths.fileSystemFor(root, conf.value)
+    catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+      FsPaths.connectorRefusal(dir, e) }
+    if (fs.exists(root)) fs.delete(root, true) // stale records would shadow
+    fs.mkdirs(root)
+    val metaJson = JObject(List(
+      JField("metadata", JObject(metaDocs.map { case (k, v) => JField(k, v) }.toList)),
+      JField("record_size", JLong(recordSize)),
+      JField("zarr_consolidated_format", JInt(1))))
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, ".zmetadata"), true)
+    try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
+    finally out.close()
+
+    // ---- data rows → (variable, record, row, path, offset, size, raw)
+    import spark.implicits._
+    val geoDf = broadcast(geometry.toSeq.map { case (v, (grid, n)) => (v, grid, n) }
+      .toDF("variable", "__grid", "__nchunks"))
+    val gridN = when(size(col("__grid")) === 0, array(lit(1L))).otherwise(col("__grid"))
+    // C-order flat index from the member's '.'-separated grid coordinates
+    val coords = transform(split(col("member"), "[.]"), s => s.cast("long"))
+    val flatCol = aggregate(
+      zip_with(coords, transform(sequence(lit(0), size(gridN) - 1), d =>
+        aggregate(slice(gridN, d + lit(2), size(gridN)), lit(1L), (a, x) => a * x)),
+        (c, s) => c * s),
+      lit(0L), (a, x) => a + x)
+    val rows = entries.filter(col("kind") =!= "meta")
+      .join(geoDf, Seq("variable"), "left")
+      .filter(coalesce(assert_true(col("__nchunks").isNotNull,
+        concat(lit("kerchunk parquet write: data entry '"), col("key"),
+          lit("' has no .zarray geometry"))), lit(true)))
+      .filter(coalesce(assert_true(size(coords) === size(gridN),
+        concat(lit("kerchunk parquet write: chunk key '"), col("key"),
+          lit("' rank does not match its grid"))), lit(true)))
+      .withColumn("__flat", flatCol)
+      .filter(coalesce(assert_true(col("__flat") >= 0 && col("__flat") < col("__nchunks"),
+        concat(lit("kerchunk parquet write: chunk '"), col("key"),
+          lit("' is outside its "), col("__nchunks"), lit("-chunk grid"))), lit(true)))
+      .select(col("variable"),
+        call_function("div", col("__flat"), lit(recordSize)).as("__record"),
+        col("__flat"),
+        col("url"), col("offset"), col("length"),
+        // inline bytes: base64-prefixed decodes, plain text as UTF-8 —
+        // exactly what materializeChunks would produce for the entry
+        when(col("url").isNull && col("inline_value").isNotNull,
+          when(col("inline_value").startsWith("base64:"),
+            unbase64(expr("substring(inline_value, 8)")))
+            .otherwise(col("inline_value").cast("binary"))).as("__raw"))
+
+    val recSize = recordSize
+    val nchunksByVar: Map[String, Long] = geometry.map { case (v, (_, n)) => v -> n }
+    rows
+      .repartition(col("variable"), col("__record"))
+      .sortWithinPartitions("variable", "__record", "__flat")
+      .as[(String, Long, Long, Option[String], Option[Long], Option[Long], Option[Array[Byte]])]
+      .foreachPartition {
+        it: Iterator[(String, Long, Long, Option[String], Option[Long], Option[Long], Option[Array[Byte]])] =>
+        import org.apache.parquet.example.data.simple.SimpleGroupFactory
+        import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+        import org.apache.parquet.schema.MessageTypeParser
+        val schema = MessageTypeParser.parseMessageType(
+          """message kerchunk_refs {
+            |  optional binary path (STRING);
+            |  optional int64 offset;
+            |  optional int64 size;
+            |  optional binary raw;
+            |}""".stripMargin)
+        val factory = new SimpleGroupFactory(schema)
+        var writer: org.apache.parquet.hadoop.ParquetWriter[org.apache.parquet.example.data.Group] = null
+        var curVar: String = null
+        var curRec: Long = -1L
+        var nextRow: Long = 0L
+        def pad(until: Long): Unit =
+          while (nextRow < until) { writer.write(factory.newGroup()); nextRow += 1 }
+        // a record file is always FULL-length (up to the variable's chunk
+        // count): trailing absent chunks pad as null rows like interior
+        // ones — a short file would turn a missing-chunk lookup at a
+        // padded position into an out-of-bounds read instead of "missing"
+        def close(): Unit = if (writer != null) {
+          pad(math.min((curRec + 1) * recSize, nchunksByVar(curVar)))
+          writer.close(); writer = null
+        }
+        try {
+          it.foreach { case (variable, record, flat, path, offset, len, raw) =>
+            if (variable != curVar || record != curRec) {
+              close()
+              val file = new org.apache.hadoop.fs.Path(root,
+                s"$variable/refs.$record.parq")
+              val wConf = new org.apache.hadoop.conf.Configuration(conf.value)
+              GroupWriteSupport.setSchema(schema, wConf)
+              writer = ExampleParquetWriter.builder(
+                  org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, wConf))
+                .withConf(wConf)
+                .withType(schema)
+                .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+                .build()
+              curVar = variable; curRec = record; nextRow = record * recSize
+            }
+            require(flat >= nextRow,
+              s"kerchunk parquet write: duplicate chunk position $flat in $variable")
+            pad(flat)
+            val g = factory.newGroup()
+            // whole-file refs ([url], no offset/length) store (path, 0, 0)
+            // — fsspec's own convention the read side inverts; a
+            // half-specified range (offset without length) has no parquet
+            // form and refuses rather than silently becoming whole-file
+            require(offset.isDefined == len.isDefined,
+              s"kerchunk parquet write: entry at position $flat of $variable has " +
+                s"offset=$offset but length=$len — a byte range needs both")
+            path.foreach(p => g.append("path", p))
+            if (path.isDefined) {
+              g.append("offset", offset.getOrElse(0L))
+              g.append("size", len.getOrElse(0L))
+            }
+            raw.foreach(r => g.append("raw",
+              org.apache.parquet.io.api.Binary.fromConstantByteArray(r)))
+            require(path.isDefined || raw.isDefined,
+              s"kerchunk parquet write: entry at position $flat of $variable has " +
+                "neither a url nor inline bytes")
+            writer.write(g)
+            nextRow = flat + 1
+          }
+        } finally close()
+      }
+  }
+
   /** Materialize the BYTES each reference entry points at — one level deeper
     * than the chunk map, matching the reference's zarr open of the same
     * index (source.py:82-86) for the storage schemes available here:

@@ -141,6 +141,81 @@ class KerchunkProductionSpec extends AnyFunSuite {
     assert(msg.contains("refs.<N>.parq") || msg.contains("unexpected file"))
   }
 
+  // ------------------------------------------------------ parquet ref WRITER
+
+  private def entryDf(rows: Seq[(String, String, String, String, String, Option[Long], Option[Long], String)]) = {
+    import spark.implicits._
+    rows.toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+  }
+
+  test("writer: inline, byte-range, whole-file and MISSING chunks round-trip positionally") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_wr")
+    val data = dir.resolve("data.bin")
+    java.nio.file.Files.write(data, (0 until 32).map(_.toByte).toArray)
+    // v: 5 chunks of [2] over shape [10]; chunk 1 MISSING, chunk 2 inline
+    // base64, chunk 3 inline text, chunk 4 whole-file — recordSize 2 puts
+    // the missing chunk at record 0 row 1 (must pad as nulls) and spreads
+    // the rest over records 1..2
+    val zarray = """{"zarr_format": 2, "shape": [10], "chunks": [2], "dtype": "|u1", """ +
+      """"compressor": null, "filters": null, "order": "C"}"""
+    val src = entryDf(Seq(
+      (".zgroup", "", ".zgroup", "meta", null, None, None, """{"zarr_format": 2}"""),
+      ("v/.zarray", "v", ".zarray", "meta", null, None, None, zarray),
+      ("v/0", "v", "0", "ref", s"file://$data", Some(4L), Some(2L), null),
+      ("v/2", "v", "2", "inline", null, None, None, "base64:" +
+        java.util.Base64.getEncoder.encodeToString(Array[Byte](7, 9))),
+      ("v/3", "v", "3", "inline", null, None, None, "AB"),
+      ("v/4", "v", "4", "ref", s"file://$data", None, None, null)))
+    val store = dir.resolve("store").toString
+    graft.sources.KerchunkIndex.writeParquetRefs(src, store, recordSize = 2)
+    // record 0 must hold TWO rows (present chunk 0, null row for missing
+    // chunk 1) so later chunks keep their positions
+    val rec0 = spark.read.parquet(s"$store/v/refs.0.parq").collect()
+    assert(rec0.length == 2 && rec0(1).isNullAt(0) && rec0(1).isNullAt(3), rec0.mkString(","))
+    val got = graft.sources.KerchunkIndex.open(spark, store)
+      .filter(org.apache.spark.sql.functions.col("kind") =!= "meta")
+      .select("key", "kind", "url", "offset", "length", "inline_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getString(5))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("v/0", "v/2", "v/3", "v/4"), got.mkString(","))
+    assert(got(0) == ("v/0", "ref", s"file://$data", 4L, 2L, null))
+    assert(got(1)._2 == "inline" && got(1)._6 == "base64:" +
+      java.util.Base64.getEncoder.encodeToString(Array[Byte](7, 9)))
+    // plain-text inline bytes come back base64'd but DECODE to the same bytes
+    assert(got(2)._2 == "inline" &&
+      java.util.Base64.getDecoder.decode(got(2)._6.stripPrefix("base64:")).toSeq
+        == "AB".getBytes("UTF-8").toSeq)
+    assert(got(3) == ("v/4", "ref", s"file://$data", -1L, -1L, null)) // whole-file
+  }
+
+  test("writer refusals: duplicate position, no geometry, half-specified range") {
+    val zarray = """{"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "|u1", """ +
+      """"compressor": null, "filters": null, "order": "C"}"""
+    def write(rows: Seq[(String, String, String, String, String, Option[Long], Option[Long], String)]): Unit =
+      graft.sources.KerchunkIndex.writeParquetRefs(entryDf(rows),
+        java.nio.file.Files.createTempDirectory("kerchunk_wrf").toString, recordSize = 10)
+    val dup = intercept[Exception] { write(Seq(
+      ("v/.zarray", "v", ".zarray", "meta", null, None, None, zarray),
+      ("v/0", "v", "0", "ref", "file:///x", Some(0L), Some(2L), null),
+      ("v/0", "v", "0", "ref", "file:///x", Some(2L), Some(2L), null)))
+    }
+    assert((dup.getMessage + Option(dup.getCause).map(_.getMessage).mkString)
+      .contains("duplicate"), dup.getMessage)
+    val noGeo = intercept[Exception] { write(Seq(
+      (".zgroup", "", ".zgroup", "meta", null, None, None, """{"zarr_format": 2}"""),
+      ("v/0", "v", "0", "ref", "file:///x", Some(0L), Some(2L), null)))
+    }
+    assert((noGeo.getMessage + Option(noGeo.getCause).map(_.getMessage).mkString)
+      .contains(".zarray"), noGeo.getMessage)
+    val half = intercept[Exception] { write(Seq(
+      ("v/.zarray", "v", ".zarray", "meta", null, None, None, zarray),
+      ("v/0", "v", "0", "ref", "file:///x", Some(4L), None, null)))
+    }
+    assert((half.getMessage + Option(half.getCause).map(_.getMessage).mkString)
+      .contains("needs both"), half.getMessage)
+  }
+
   test("parquet store: a ref row past the chunk grid refuses (corrupt index)") {
     val dir = java.nio.file.Files.createTempDirectory("kerchunk_over")
     java.nio.file.Files.writeString(dir.resolve(".zmetadata"),
