@@ -597,6 +597,63 @@ object SparkEntry {
     json.toString
   }
 
+  /** One-time multi-index kerchunk COMBINE fixture: three single-"file"
+    * v1 JSON indexes, each holding its time slice of `t2m[time][x=3]`
+    * (chunks [2,3]; extents 4, 4, 3 — the LAST source is ragged, the
+    * legal place) plus an identical static `lat[x=3]`, with values
+    * closed-form over GLOBAL coordinates (t2m = 10t + x over time offset
+    * 0/4/8; lat = 100x; padding −1) so the combined decode re-derives
+    * from range() alone — the MultiZarrToZarr shape. */
+  def ensureKerchunkCombineFixture(): Seq[String] = {
+    val out = Paths.get("/tmp/graft_kerchunk_combine_fixture")
+    this.synchronized {
+      if (!Files.exists(out.resolve("index2.json"))) {
+        Files.createDirectories(out)
+        def i4(vals: Seq[Int]): Array[Byte] = {
+          val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vals.foreach(b.putInt); b.array()
+        }
+        def jstr(s: String): String =
+          "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+        val latBytes = i4(Seq(0, 100, 200))
+        (0 until 3).foreach { k =>
+          val extent = if (k == 2) 3 else 4
+          val offset = 4 * k
+          val bos = new java.io.ByteArrayOutputStream()
+          def slice(bytes: Array[Byte]): String = {
+            val off = bos.size(); bos.write(bytes)
+            s"""["file://$out/data$k.bin", $off, ${bytes.length}]"""
+          }
+          val chunkRefs = (0 until (extent + 1) / 2).map { c =>
+            val vals = for { lt <- 0 until 2; x <- 0 until 3 } yield {
+              val t = c * 2 + lt
+              if (t < extent) (offset + t) * 10 + x else -1 // ragged-tail pad
+            }
+            s""""t2m/$c.0": ${slice(i4(vals))}"""
+          }
+          val latRef = s""""lat/0": ${slice(latBytes)}"""
+          Files.write(out.resolve(s"data$k.bin"), bos.toByteArray)
+          Files.writeString(out.resolve(s"index$k.json"),
+            s"""{"version": 1, "refs": {
+               |  ".zgroup": ${jstr("""{"zarr_format": 2}""")},
+               |  "t2m/.zarray": ${jstr(s"""{"zarr_format": 2, "dtype": "<i4", """ +
+                  s""""shape": [$extent, 3], "chunks": [2, 3], "compressor": null, """ +
+                  """"filters": null, "order": "C"}""")},
+               |  "t2m/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["time", "x"]}""")},
+               |  ${chunkRefs.mkString(",\n  ")},
+               |  "lat/.zarray": ${jstr("""{"zarr_format": 2, "dtype": "<i4", """ +
+                  """"shape": [3], "chunks": [3], "compressor": null, """ +
+                  """"filters": null, "order": "C"}""")},
+               |  "lat/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["x"]}""")},
+               |  $latRef
+               |}}""".stripMargin)
+        }
+      }
+    }
+    (0 until 3).map(k => out.resolve(s"index$k.json").toString)
+  }
+
   /** One-time kerchunk PARQUET reference store fixture for
     * `scan_kerchunk_parquet_refs` / `load_kerchunk_parquet` — the
     * fsspec LazyReferenceMapper layout kerchunk recommends past ~100 MB of
@@ -1217,6 +1274,28 @@ object SparkEntry {
           graft.sources.KerchunkIndex.materializeChunks(entries),
           graft.sources.KerchunkIndex.arrayMeta(entries))
         .orderBy("variable", "chunk", "idx")
+    }),
+
+    "combine_kerchunk_indexes" -> ((s, _) => {
+      // r12: multi-index COMBINE (kerchunk's MultiZarrToZarr, index-ordered
+      // mode) — three per-"file" reference sets concatenate along `time`
+      // (chunk keys shift by the cumulative grid offset; the ragged last
+      // source is legal, interior raggedness refuses) while the identical
+      // `lat` passes through from source 0; the combined entries decode
+      // through the shared plane with labeled GLOBAL coordinates, which
+      // the oracle re-derives from the fixture's closed-form values.
+      val paths = ensureKerchunkCombineFixture()
+      val combined = graft.sources.KerchunkIndex.combineAlong(
+        graft.sources.KerchunkIndex.readMany(s, paths), "time")
+      graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(combined),
+          graft.sources.KerchunkIndex.arrayMeta(combined),
+          graft.sources.KerchunkIndex.attrDims(combined))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
     }),
 
     "save_kerchunk_parquet_refs" -> ((s, dir) => {
@@ -3601,6 +3680,22 @@ object SparkEntry {
         |SELECT key, kind, CAST(url AS VARCHAR) AS url, CAST(o AS BIGINT) AS "offset",
         |       CAST(l AS BIGINT) AS length, has_inline
         |FROM rows ORDER BY key""".stripMargin,
+
+    // coordinate re-derivation from the combine fixture's closed forms
+    // (t2m = 10t + x over the concatenated global time 0..10, lat = 100x,
+    // ragged-tail padding dropped): agreement proves source ordering,
+    // chunk-key shifting, combined-shape synthesis AND the identical-var
+    // passthrough end to end
+    "combine_kerchunk_indexes" ->
+      """WITH v AS (
+        |  SELECT 't2m' AS variable, 'time.x' AS dims,
+        |         CAST(t AS VARCHAR) || '.' || CAST(x AS VARCHAR) AS coord_key,
+        |         CAST(t * 10 + x AS DOUBLE) AS value
+        |  FROM range(11) a(t) CROSS JOIN range(3) b(x)
+        |  UNION ALL
+        |  SELECT 'lat', 'x', CAST(x AS VARCHAR), CAST(100 * x AS DOUBLE) FROM range(3) t(x))
+        |SELECT variable, dims, coord_key, value FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
 
     // coordinate re-derivation from the fixture's value formulas
     // (0.5t - 2 exact in f8, 10y + x, 6j + 7): agreement proves record-file

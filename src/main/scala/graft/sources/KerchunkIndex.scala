@@ -428,6 +428,242 @@ object KerchunkIndex {
       .unionByName(metaDf)
   }
 
+  /** Read MANY v1 JSON indexes into one SOURCE-TAGGED entry frame —
+    * the fan-in half of [[combineAlong]] (kerchunk's MultiZarrToZarr
+    * shape: one reference set per netCDF file, thousands of files).
+    * ONE distributed wholetext scan parses every document (one row per
+    * file through the same variant shred as [[read]]); `__src` is the
+    * file's ordinal in `paths` — the caller-given order IS the concat
+    * order downstream. Documents carrying `templates`/`gen` refuse
+    * loudly here (their expansion is per-document driver work — run
+    * [[read]] per index and union with literal `__src` tags instead);
+    * plain-refs documents, the shape per-file conversion tools emit,
+    * stay fully distributed. */
+  def readMany(spark: SparkSession, paths: Seq[String],
+               storageOptions: Map[String, String] = Map.empty): DataFrame = {
+    require(paths.nonEmpty, "kerchunk readMany: no index paths")
+    require(paths.distinct.size == paths.size, "kerchunk readMany: duplicate index paths")
+    val conf = FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions)
+    // qualified-path → ordinal: input_file_name() reports the qualified
+    // form, so qualify OUR side the same way and refuse on any row whose
+    // file resolves to no ordinal (a silent 0 would corrupt concat order)
+    val ordered = paths.zipWithIndex.flatMap { case (p, i) =>
+      val hp = FsPaths.hadoopPath(p)
+      val fs = try FsPaths.fileSystemFor(hp, conf)
+      catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+        FsPaths.connectorRefusal(p, e) }
+      val q = fs.makeQualified(hp)
+      val u = q.toUri
+      // input_file_name() renders a null-authority URI with an EMPTY
+      // authority (`file:///x`) while Path.toString renders `file:/x` —
+      // register both spellings for the same ordinal
+      val variants = Set(q.toString, u.toString) ++
+        (if (u.getAuthority == null) Set(s"${u.getScheme}://${u.getRawPath}") else Set.empty)
+      variants.map(_ -> i)
+    }
+    import spark.implicits._
+    val srcDf = broadcast(ordered.toDF("__file", "__src"))
+    val raw = spark.read.option("wholetext", "true").options(storageOptions)
+      .text(paths: _*)
+      .select(input_file_name().as("__file"), col("value"))
+      .join(srcDf, Seq("__file"), "left")
+      .filter(coalesce(assert_true(col("__src").isNotNull,
+        concat(lit("kerchunk readMany: scanned file '"), col("__file"),
+          lit("' matches no given path — qualified-name mismatch"))), lit(true)))
+    val view = "graft_kerchunk_many_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    raw.createOrReplaceTempView(view)
+    val entries =
+      try spark.sql(
+        s"""SELECT t.__src AS __src, e.key AS key, e.value AS value,
+           |       try_variant_get(parse_json(t.value), '$$.templates', 'string') IS NOT NULL
+           |         OR try_variant_get(parse_json(t.value), '$$.gen', 'string') IS NOT NULL
+           |         AS __templated
+           | FROM $view AS t,
+           | LATERAL variant_explode(variant_get(parse_json(t.value), '$$.refs', 'variant')) AS e
+           |""".stripMargin)
+      finally spark.catalog.dropTempView(view)
+    val member = substring_index(col("key"), "/", -1)
+    entries
+      .filter(coalesce(assert_true(!col("__templated"),
+        lit("kerchunk readMany: an index carries templates/gen — expand it " +
+          "through read() per document and union with literal __src tags")), lit(true)))
+      .select(
+        col("__src").cast("int").as("__src"),
+        col("key"),
+        when(col("key").contains("/"),
+          expr("substring(key, 1, length(key) - length(substring_index(key, '/', -1)) - 1)"))
+          .otherwise(lit("")).as("variable"),
+        member.as("member"),
+        when(member.startsWith("."), lit("meta"))
+          .when(expr("schema_of_variant(value)").startsWith("ARRAY"), lit("ref"))
+          .otherwise(lit("inline")).as("kind"),
+        expr("try_variant_get(value, '$[0]', 'string')").as("url"),
+        expr("try_variant_get(value, '$[1]', 'long')").as("offset"),
+        expr("try_variant_get(value, '$[2]', 'long')").as("length"),
+        expr("try_variant_get(value, '$', 'string')").as("inline_value"),
+      )
+  }
+
+  /** COMBINE source-tagged entry frames along one dimension — the
+    * kerchunk MultiZarrToZarr operation (the reference ecosystem's
+    * standard recipe for making ONE queryable dataset out of thousands
+    * of per-file reference sets), in its index-ordered mode: the `__src`
+    * ordinal IS the concatenation order.
+    *
+    * Semantics (refusals are loud — a silently mis-shifted chunk key
+    * corrupts every read):
+    *  - a variable whose `_ARRAY_DIMENSIONS` (source 0's `.zattrs`)
+    *    contains `dim` CONCATENATES: every source must agree on dtype/
+    *    codec/order/chunks and on every other dimension's extent; every
+    *    source but the last must be chunk-aligned along `dim` (an
+    *    interior ragged extent would interleave write-padding into real
+    *    cells); the combined shape sums, and each source's chunk keys
+    *    shift along `dim`'s grid axis by the cumulative grid offset;
+    *  - a variable without `dim` (or without declared dimensions) is
+    *    IDENTICAL: its `.zarray` must agree verbatim across sources and
+    *    its entries are taken from source 0 (coordinate bytes are not
+    *    compared — the metadata contract is what kerchunk itself checks);
+    *  - root documents (`.zgroup`/`.zattrs`) come from source 0.
+    *
+    * Scale shape: metadata (K × per-variable documents) is ONE collect —
+    * the driver plane; data rows re-key through a broadcast (src,
+    * variable) → offset map as a pure projection. The output is the
+    * standard 8-column entry frame: it decodes through the shared plane
+    * or persists via [[writeParquetRefs]] — per-file JSON in, one
+    * production parquet index out. */
+  def combineAlong(tagged: DataFrame, dim: String): DataFrame = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"kerchunk combine along '$dim': $msg")
+
+    val metaRows = tagged.filter(col("kind") === "meta")
+      .select("__src", "key", "variable", "member", "inline_value").collect()
+    require(metaRows.nonEmpty, s"kerchunk combine along '$dim': no metadata entries")
+    val srcs = metaRows.map(_.getInt(0)).distinct.sorted
+    require(srcs.headOption.contains(0) && srcs.last == srcs.length - 1,
+      s"kerchunk combine along '$dim': sources must be contiguous ordinals, got ${srcs.mkString(",")}")
+    val k = srcs.length
+    val bySrcKey: Map[(Int, String), String] =
+      metaRows.map(r => (r.getInt(0), r.getString(1)) -> r.getString(4)).toMap
+    def doc(src: Int, key: String): Option[JValue] =
+      bySrcKey.get((src, key)).map(t => JsonMethods.parse(t))
+    def longs(v: JValue): Seq[Long] = v match {
+      case JArray(items) => items.map { case JInt(x) => x.longValue
+        case other => fail(s"non-integer in $other") }
+      case other => fail(s"expected an array, got ${other.getClass.getSimpleName}")
+    }
+    val variables = metaRows.filter(r => r.getInt(0) == 0 && r.getString(3) == ".zarray")
+      .map(_.getString(2)).toSeq.sorted
+    require(variables.nonEmpty, s"kerchunk combine along '$dim': source 0 declares no arrays")
+
+    val outMeta = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String, Option[String], Option[Long], Option[Long], Option[String])]
+    // root documents from source 0
+    metaRows.filter(r => r.getInt(0) == 0 && r.getString(2).isEmpty).foreach { r =>
+      outMeta += ((r.getString(1), "", r.getString(3), "meta", None, None, None,
+        Option(r.getString(4))))
+    }
+    // (variable, src) → (axis position, grid offset along the axis)
+    val shifts = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Long)]
+    val concatVars = scala.collection.mutable.Set.empty[String]
+    variables.foreach { v =>
+      val zarrays = (0 until k).map(s => doc(s, s"$v/.zarray").getOrElse(
+        fail(s"variable '$v' has no .zarray in source $s")))
+      val zattrs0 = doc(0, s"$v/.zattrs")
+      val dims0 = zattrs0.map(a => a \ "_ARRAY_DIMENSIONS").collect {
+        case JArray(ds) => ds.map { case JString(x) => x; case o => fail(s"bad dim $o") }
+      }
+      val p = dims0.map(_.indexOf(dim)).getOrElse(-1)
+      if (p < 0) {
+        // identical variable: metadata must agree verbatim
+        (1 until k).foreach { s =>
+          if (bySrcKey((s, s"$v/.zarray")) != bySrcKey((0, s"$v/.zarray")))
+            fail(s"variable '$v' has no '$dim' dimension but its .zarray differs " +
+              s"between sources 0 and $s — not an identical variable")
+        }
+        metaRows.filter(r => r.getInt(0) == 0 && r.getString(2) == v).foreach { r =>
+          outMeta += ((r.getString(1), v, r.getString(3), "meta", None, None, None,
+            Option(r.getString(4))))
+        }
+      } else {
+        concatVars += v
+        val chunks0 = longs(zarrays.head \ "chunks")
+        val shapes = zarrays.map(z => longs(z \ "shape"))
+        // every field but shape must agree (dtype/codec/filters/order —
+        // a codec mismatch would decode half the combined array wrong)
+        val stripped = zarrays.map(z => JsonMethods.compact(JsonMethods.render(
+          z.removeField { case (name, _) => name == "shape" })))
+        (1 until k).foreach { s =>
+          if (stripped(s) != stripped.head)
+            fail(s"variable '$v': .zarray (minus shape) differs between sources 0 and $s")
+        }
+        shapes.zipWithIndex.foreach { case (sh, s) =>
+          if (sh.length != chunks0.length)
+            fail(s"variable '$v': source $s rank ${sh.length} != ${chunks0.length}")
+          sh.indices.foreach { d =>
+            if (d != p && sh(d) != shapes.head(d))
+              fail(s"variable '$v': source $s disagrees on dimension $d " +
+                s"(${sh(d)} vs ${shapes.head(d)}) — only '$dim' may vary")
+          }
+          if (s < k - 1 && sh(p) % chunks0(p) != 0L)
+            fail(s"variable '$v': source $s extent ${sh(p)} along '$dim' is not a " +
+              s"multiple of its chunk ${chunks0(p)} — an interior ragged source " +
+              "would interleave write-padding into real cells")
+        }
+        var off = 0L
+        shapes.zipWithIndex.foreach { case (sh, s) =>
+          shifts += ((v, s, p, off))
+          off += (sh(p) + chunks0(p) - 1) / chunks0(p)
+        }
+        val combinedShape = shapes.head.indices.map(d =>
+          if (d == p) shapes.map(_(p)).sum else shapes.head(d))
+        val combinedZarray = zarrays.head match {
+          case JObject(fields) => JObject(fields.map {
+            case ("shape", _) => JField("shape", JArray(combinedShape.map(JLong(_)).toList))
+            case other => other
+          })
+          case _ => fail(s"variable '$v': .zarray is not an object")
+        }
+        outMeta += ((s"$v/.zarray", v, ".zarray", "meta", None, None, None,
+          Some(JsonMethods.compact(JsonMethods.render(combinedZarray)))))
+        bySrcKey.get((0, s"$v/.zattrs")).foreach { t =>
+          outMeta += ((s"$v/.zattrs", v, ".zattrs", "meta", None, None, None, Some(t)))
+        }
+      }
+    }
+    require(concatVars.nonEmpty,
+      s"kerchunk combine along '$dim': NO variable carries that dimension — " +
+        s"nothing would concatenate (variables: ${variables.mkString(", ")})")
+    val metaDf = outMeta.toSeq
+      .toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+
+    // ---- data rows: concat vars re-key through the broadcast shift map;
+    // identical vars pass through from source 0
+    val shiftDf = broadcast(shifts.toSeq.toDF("variable", "__src", "__axis", "__shift"))
+    val data = tagged.filter(col("kind") =!= "meta")
+    val concatSet = concatVars.toSeq
+    val shifted = data.filter(col("variable").isin(concatSet: _*))
+      .join(shiftDf, Seq("variable", "__src"), "left")
+      .filter(coalesce(assert_true(col("__shift").isNotNull,
+        concat(lit(s"kerchunk combine along '$dim': data entry '"), col("key"),
+          lit("' from an unknown (variable, source) pair"))), lit(true)))
+      .withColumn("member", array_join(
+        zip_with(transform(split(col("member"), "[.]"), s => s.cast("long")),
+          sequence(lit(0), size(split(col("member"), "[.]")) - 1),
+          (c, d) => when(d === col("__axis"), c + col("__shift")).otherwise(c)), "."))
+      .select(concat(col("variable"), lit("/"), col("member")).as("key"),
+        col("variable"), col("member"), col("kind"),
+        col("url"), col("offset"), col("length"), col("inline_value"))
+    val identical = data
+      .filter(!col("variable").isin(concatSet: _*) && col("__src") === 0)
+      .drop("__src")
+      .select("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+    metaDf.unionByName(shifted).unionByName(identical)
+  }
+
   /** WRITE a kerchunk PARQUET reference store from entry rows — the sink
     * half of [[readParquetRefs]], and the migration every real deployment
     * runs once its JSON index passes ~100 MB: ANY chunk map this engine

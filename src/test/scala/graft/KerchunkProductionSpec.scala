@@ -141,6 +141,118 @@ class KerchunkProductionSpec extends AnyFunSuite {
     assert(msg.contains("refs.<N>.parq") || msg.contains("unexpected file"))
   }
 
+  // -------------------------------------------------------------- combine
+
+  private def combineIndex(dir: java.nio.file.Path, name: String, extent: Int,
+                           offset: Int, chunks: Int = 2, dtype: String = "<i4"): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def i4(vals: Seq[Int]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      vals.foreach(b.putInt); b.array()
+    }
+    def slice(bytes: Array[Byte]): String = {
+      val off = bos.size(); bos.write(bytes)
+      s"""["file://$dir/$name.bin", $off, ${bytes.length}]"""
+    }
+    val refs = (0 until (extent + chunks - 1) / chunks).map { c =>
+      val vals = (0 until chunks).map { j =>
+        val t = c * chunks + j
+        if (t < extent) (offset + t) * 7 else -1
+      }
+      s""""v/$c": ${slice(i4(vals))}"""
+    }
+    java.nio.file.Files.write(dir.resolve(s"$name.bin"), bos.toByteArray)
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+    val f = dir.resolve(s"$name.json")
+    java.nio.file.Files.writeString(f,
+      s"""{"version": 1, "refs": {
+         |  "v/.zarray": ${jstr(s"""{"zarr_format": 2, "dtype": "$dtype", """ +
+            s""""shape": [$extent], "chunks": [$chunks], "compressor": null, """ +
+            """"filters": null, "order": "C"}""")},
+         |  "v/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["time"]}""")},
+         |  ${refs.mkString(",\n  ")}
+         |}}""".stripMargin)
+    f.toString
+  }
+
+  test("combine: interior ragged source, codec mismatch, wrong dim all refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_cmb")
+    val a = combineIndex(dir, "a", 4, 0)
+    val ragged = combineIndex(dir, "rag", 3, 4)   // 3 % 2 != 0
+    val c = combineIndex(dir, "c", 4, 8)
+    val otherDtype = combineIndex(dir, "dt", 4, 8, dtype = "<i8")
+    import graft.sources.KerchunkIndex
+    def comb(paths: Seq[String], dim: String = "time") =
+      KerchunkIndex.combineAlong(KerchunkIndex.readMany(spark, paths), dim)
+    val e1 = intercept[IllegalArgumentException] { comb(Seq(a, ragged, c)) }
+    assert(e1.getMessage.contains("interior ragged"), e1.getMessage)
+    comb(Seq(a, c, ragged)) // ragged LAST is legal
+    val e2 = intercept[IllegalArgumentException] { comb(Seq(a, otherDtype)) }
+    assert(e2.getMessage.contains("minus shape"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] { comb(Seq(a, c), dim = "nope") }
+    assert(e3.getMessage.contains("NO variable"), e3.getMessage)
+  }
+
+  test("combine: identical variable with differing metadata refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_cmb2")
+    def idx(name: String, latShape: Int): String = {
+      def jstr(s: String): String =
+        "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+      val f = dir.resolve(s"$name.json")
+      java.nio.file.Files.writeString(f,
+        s"""{"version": 1, "refs": {
+           |  "v/.zarray": ${jstr("""{"zarr_format": 2, "dtype": "<i4", "shape": [2], """ +
+              """"chunks": [2], "compressor": null, "filters": null, "order": "C"}""")},
+           |  "v/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["time"]}""")},
+           |  "v/0": "base64:AAAAAAEAAAA=",
+           |  "lat/.zarray": ${jstr(s"""{"zarr_format": 2, "dtype": "<i4", """ +
+              s""""shape": [$latShape], "chunks": [$latShape], "compressor": null, """ +
+              """"filters": null, "order": "C"}""")},
+           |  "lat/0": "base64:AAAAAA=="
+           |}}""".stripMargin)
+      f.toString
+    }
+    import graft.sources.KerchunkIndex
+    val e = intercept[IllegalArgumentException] {
+      KerchunkIndex.combineAlong(
+        KerchunkIndex.readMany(spark, Seq(idx("p", 1), idx("q", 2))), "time")
+    }
+    assert(e.getMessage.contains("not an identical variable"), e.getMessage)
+  }
+
+  test("combine: readMany refuses templated documents with a pointer to read()") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_cmb3")
+    val plain = combineIndex(dir, "p", 4, 0)
+    val templ = dir.resolve("t.json")
+    java.nio.file.Files.writeString(templ,
+      """{"version": 1, "templates": {"u": "file:///x"}, "refs": {"a/0": ["{{u}}", 0, 4]}}""")
+    val e = intercept[Exception] {
+      graft.sources.KerchunkIndex.readMany(spark, Seq(plain, templ.toString)).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("templates/gen"), msg)
+  }
+
+  test("combine → writeParquetRefs: the per-file-JSON to one-parquet-index pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_cmb4")
+    val paths = Seq(combineIndex(dir, "a", 4, 0), combineIndex(dir, "b", 3, 4))
+    import graft.sources.KerchunkIndex
+    val combined = KerchunkIndex.combineAlong(KerchunkIndex.readMany(spark, paths), "time")
+    val store = dir.resolve("store").toString
+    KerchunkIndex.writeParquetRefs(combined, store, recordSize = 3)
+    def cells(entries: org.apache.spark.sql.DataFrame) =
+      KerchunkIndex.decodeCoords(
+          KerchunkIndex.materializeChunks(entries),
+          KerchunkIndex.arrayMeta(entries), KerchunkIndex.attrDims(entries))
+        .select("coords", "value").collect()
+        .map(r => (r.getSeq[Long](0).head, r.getDouble(1))).toSet
+    val want = (0 until 7).map(t => (t.toLong, (t * 7).toDouble)).toSet
+    assert(cells(combined) == want)
+    assert(cells(KerchunkIndex.open(spark, store)) == want) // survives the migration
+  }
+
   // ------------------------------------------------------ parquet ref WRITER
 
   private def entryDf(rows: Seq[(String, String, String, String, String, Option[Long], Option[Long], String)]) = {
