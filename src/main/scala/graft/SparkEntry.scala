@@ -2855,6 +2855,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_hybrid_rrf" -> ((s, dir) => {
+      // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
+      // brute-force cosine ranking fused by reciprocal rank (Cormack
+      // 2009, k_rrf = 60), the standard no-calibration merge modern
+      // retrieval stacks run. Fusion joins only the top-k survivors
+      // (never corpus volume); the fixed-order coalesced score terms
+      // make even the float rrf_score hash-exact, and the per-source
+      // ranks ride along for auditability.
+      val bm25 = graft.operators.KeywordSearch.bm25TopK(
+          T(s, dir, "documents"), "text", "doc_id",
+          Seq(("q_join", "spark hash join"),
+              ("q_scan", "fast table scan"),
+              ("q_stream", "stream window agg")), k = 10)
+        .select("query_id", "doc_id", "rank")
+      val emb = T(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(when(col("vec_id") === 0, "q_join")
+          .when(col("vec_id") === 1, "q_scan")
+          .otherwise("q_stream").as("qid"), col("embedding"))
+      val cos = graft.operators.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", qv, "qid", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Fusion.rrfFuse(Seq(bm25, cos), k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"), col("doc_id"),
+          col("rrf_score"), col("rank_0").as("bm25_rank"), col("rank_1").as("cosine_rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // r11: property-verdict row (closes the last no_oracle pair). The
       // params match ann_recall_check's LSH arm (4 bits × 16 tables) —
@@ -3460,6 +3488,66 @@ object SparkEntry {
       |('time_bnds','time.bnds','2.1','30.0'),
       |('time_bnds','time.bnds','3.0','30.0'),
       |('time_bnds','time.bnds','3.1','60.0')""".stripMargin
+
+  /** Shared DuckDB CTE prefix: the complete BM25 ranking re-derivation
+    * over the 3-query battery (same Okapi formula, left-to-right float
+    * sums, see search_bm25_topk) ending in `scored` — consumed by
+    * search_bm25_topk, search_bm25_batch AND search_hybrid_rrf. */
+  private val bm25OracleCtes: String =
+    """toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    len(list_filter(t, x -> x = 'spark'))  AS tf_spark,
+        |    len(list_filter(t, x -> x = 'hash'))   AS tf_hash,
+        |    len(list_filter(t, x -> x = 'join'))   AS tf_join,
+        |    len(list_filter(t, x -> x = 'fast'))   AS tf_fast,
+        |    len(list_filter(t, x -> x = 'table'))  AS tf_table,
+        |    len(list_filter(t, x -> x = 'scan'))   AS tf_scan,
+        |    len(list_filter(t, x -> x = 'stream')) AS tf_stream,
+        |    len(list_filter(t, x -> x = 'window')) AS tf_window,
+        |    len(list_filter(t, x -> x = 'agg'))    AS tf_agg
+        |  FROM toks),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_spark,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_hash,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_join,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_fast   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_fast   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_fast,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_table,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_scan,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_stream,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_window,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_agg    > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_agg    > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_agg
+        |  FROM tf),
+        |normed AS (
+        |  SELECT tf.*, st.*,
+        |    1.2 * (1 - 0.75) + (1.2 * 0.75 / st.avgdl) * CAST(tf.dl AS DOUBLE) AS nrm
+        |  FROM tf, st),
+        |scored AS (
+        |  SELECT 'q_join' AS query_id, doc_id, dl,
+        |    tf_spark + tf_hash + tf_join AS tf_total,
+        |    (idf_spark * CAST(tf_spark AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_spark AS DOUBLE) + nrm))
+        |    + (idf_hash * CAST(tf_hash AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_hash AS DOUBLE) + nrm))
+        |    + (idf_join * CAST(tf_join AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_join AS DOUBLE) + nrm)) AS score
+        |  FROM normed
+        |  UNION ALL
+        |  SELECT 'q_scan', doc_id, dl,
+        |    tf_fast + tf_table + tf_scan,
+        |    (idf_fast * CAST(tf_fast AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_fast AS DOUBLE) + nrm))
+        |    + (idf_table * CAST(tf_table AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_table AS DOUBLE) + nrm))
+        |    + (idf_scan * CAST(tf_scan AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_scan AS DOUBLE) + nrm))
+        |  FROM normed
+        |  UNION ALL
+        |  SELECT 'q_stream', doc_id, dl,
+        |    tf_stream + tf_window + tf_agg,
+        |    (idf_stream * CAST(tf_stream AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_stream AS DOUBLE) + nrm))
+        |    + (idf_window * CAST(tf_window AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_window AS DOUBLE) + nrm))
+        |    + (idf_agg * CAST(tf_agg AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_agg AS DOUBLE) + nrm))
+        |  FROM normed)""".stripMargin
 
   private lazy val oracleSqlBase: Map[String, String] = ListMap(
     "q1_agg" ->
@@ -4775,62 +4863,10 @@ object SparkEntry {
     // full BM25 re-derivation: same Okapi formula, same left-to-right
     // per-term float sums (explicit expression, NOT an unordered SUM),
     // same (score desc, doc_id asc) tie rule — ranks/dl/tf are the
-    // hash-exact surface
+    // hash-exact surface. The CTE prefix is shared with search_hybrid_rrf
+    // (bm25OracleCtes).
     "search_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-        |    len(list_filter(t, x -> x = 'spark'))  AS tf_spark,
-        |    len(list_filter(t, x -> x = 'hash'))   AS tf_hash,
-        |    len(list_filter(t, x -> x = 'join'))   AS tf_join,
-        |    len(list_filter(t, x -> x = 'fast'))   AS tf_fast,
-        |    len(list_filter(t, x -> x = 'table'))  AS tf_table,
-        |    len(list_filter(t, x -> x = 'scan'))   AS tf_scan,
-        |    len(list_filter(t, x -> x = 'stream')) AS tf_stream,
-        |    len(list_filter(t, x -> x = 'window')) AS tf_window,
-        |    len(list_filter(t, x -> x = 'agg'))    AS tf_agg
-        |  FROM toks),
-        |st AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_spark,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_hash,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_join,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_fast   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_fast   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_fast,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_table,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_scan,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_stream,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_window,
-        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_agg    > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_agg    > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_agg
-        |  FROM tf),
-        |normed AS (
-        |  SELECT tf.*, st.*,
-        |    1.2 * (1 - 0.75) + (1.2 * 0.75 / st.avgdl) * CAST(tf.dl AS DOUBLE) AS nrm
-        |  FROM tf, st),
-        |scored AS (
-        |  SELECT 'q_join' AS query_id, doc_id, dl,
-        |    tf_spark + tf_hash + tf_join AS tf_total,
-        |    (idf_spark * CAST(tf_spark AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_spark AS DOUBLE) + nrm))
-        |    + (idf_hash * CAST(tf_hash AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_hash AS DOUBLE) + nrm))
-        |    + (idf_join * CAST(tf_join AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_join AS DOUBLE) + nrm)) AS score
-        |  FROM normed
-        |  UNION ALL
-        |  SELECT 'q_scan', doc_id, dl,
-        |    tf_fast + tf_table + tf_scan,
-        |    (idf_fast * CAST(tf_fast AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_fast AS DOUBLE) + nrm))
-        |    + (idf_table * CAST(tf_table AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_table AS DOUBLE) + nrm))
-        |    + (idf_scan * CAST(tf_scan AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_scan AS DOUBLE) + nrm))
-        |  FROM normed
-        |  UNION ALL
-        |  SELECT 'q_stream', doc_id, dl,
-        |    tf_stream + tf_window + tf_agg,
-        |    (idf_stream * CAST(tf_stream AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_stream AS DOUBLE) + nrm))
-        |    + (idf_window * CAST(tf_window AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_window AS DOUBLE) + nrm))
-        |    + (idf_agg * CAST(tf_agg AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_agg AS DOUBLE) + nrm))
-        |  FROM normed)
+      s"""WITH $bm25OracleCtes
         |SELECT query_id, rank, doc_id, CAST(dl AS BIGINT) AS dl,
         |       CAST(tf_total AS BIGINT) AS tf_total
         |FROM (
@@ -4838,6 +4874,48 @@ object SparkEntry {
         |  FROM scored WHERE score > 0)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // hybrid retrieval: the BM25 ranking (shared CTEs above) and the
+    // brute-force cosine ranking (embed_cosine_topk's formula, query ids
+    // mapped onto the battery's) fused by reciprocal rank — fixed-order
+    // coalesced terms, so even the float rrf_score is hash-exact
+    "search_hybrid_rrf" ->
+      s"""WITH $bm25OracleCtes,
+        |bm25r AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |    FROM scored WHERE score > 0) WHERE rank <= 10),
+        |q AS (SELECT CASE vec_id WHEN 0 THEN 'q_join' WHEN 1 THEN 'q_scan' ELSE 'q_stream' END AS query_id,
+        |             embedding AS qv FROM embeddings WHERE vec_id < 3),
+        |cscored AS (
+        | SELECT q.query_id, e.vec_id AS doc_id,
+        |  list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b)
+        |   / (sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, b) -> a + b))
+        |      * sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        | FROM embeddings e, q),
+        |cosr AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank
+        |    FROM cscored) WHERE rank <= 10),
+        |f AS (
+        |  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+        |         coalesce(b.doc_id, c.doc_id) AS doc_id,
+        |         b.rank AS r0, c.rank AS r1
+        |  FROM bm25r b FULL JOIN cosr c ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+        |fs AS (
+        |  SELECT query_id, doc_id,
+        |         coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r0 AS DOUBLE)), CAST(0 AS DOUBLE))
+        |         + coalesce(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST(r1 AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf_score,
+        |         r0, r1
+        |  FROM f)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score,
+        |       CAST(r0 AS BIGINT) AS bm25_rank, CAST(r1 AS BIGINT) AS cosine_rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+        |  FROM fs)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
 
     // property-style: the oracle pins the recall floors as met
     "ann_recall_check" ->

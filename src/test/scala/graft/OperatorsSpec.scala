@@ -1521,6 +1521,36 @@ class KeywordSearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(out == Set(("ok", 1L), ("ok", 2L)), out.toString)
   }
+
+  test("rrfFuse: hand-computed fusion, one-source docs, tie rule, bad input refuses (r12)") {
+    def ranking(rows: (String, Long, Int)*) = rows.toSeq.toDF("query_id", "doc_id", "rank")
+    val a = ranking(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))
+    val b = ranking(("q", 2L, 1), ("q", 4L, 2))
+    val got = graft.operators.Fusion.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(2), r.getInt(1), r.getDouble(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5)))
+      .sortBy(_._2)
+    def s(ra: Int, rb: Int) =
+      (if (ra > 0) 1.0 / (60.0 + ra) else 0.0) + (if (rb > 0) 1.0 / (60.0 + rb) else 0.0)
+    // doc 2 leads (both sources), then 1 (a rank 1), 4 (b rank 2), 3
+    val want = Seq((2L, s(2, 1)), (1L, s(1, 0)), (4L, s(0, 2)), (3L, s(3, 0)))
+    assert(got.map(_._1).toSeq == want.map(_._1), got.mkString(","))
+    got.zip(want).foreach { case (g, (_, sc)) => assert(g._3 == sc, g.toString) } // bit-exact
+    assert(got.map(x => (x._4, x._5)).toSeq ==
+      Seq((2L, 1L), (1L, -1L), (-1L, 2L), (3L, -1L)))  // source ranks ride along
+    // exact tie (same single-source rank) breaks on doc id ascending
+    val t1 = ranking(("q", 9L, 1))
+    val t2 = ranking(("q", 5L, 1))
+    val tied = graft.operators.Fusion.rrfFuse(Seq(t1, t2), k = 10)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(tied == Seq(5L, 9L), tied.toString)
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Fusion.rrfFuse(Seq(a), k = 10)
+    }.getMessage.contains("two rankings"))
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.Fusion.rrfFuse(Seq(a, b.withColumnRenamed("rank", "r")), k = 10)
+    }.getMessage.contains("lacks column"))
+  }
 }
 
 class PqSpec extends AnyFunSuite {
