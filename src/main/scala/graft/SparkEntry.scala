@@ -605,7 +605,9 @@ object SparkEntry {
     * 0/4/8; lat = 100x; padding −1) so the combined decode re-derives
     * from range() alone — the MultiZarrToZarr shape. */
   def ensureKerchunkCombineFixture(): Seq[String] = {
-    val out = Paths.get("/tmp/graft_kerchunk_combine_fixture")
+    // _v2: gained the `time` coordinate variable (the coords-ordered
+    // combine gate needs it) — content changes must change the cache path
+    val out = Paths.get("/tmp/graft_kerchunk_combine_fixture_v2")
     this.synchronized {
       if (!Files.exists(out.resolve("index2.json"))) {
         Files.createDirectories(out)
@@ -632,6 +634,15 @@ object SparkEntry {
             }
             s""""t2m/$c.0": ${slice(i4(vals))}"""
           }
+          // the dimension's own coordinate vector: GLOBAL time values, so
+          // coordinate-ordered combine can sort scrambled sources by it
+          val timeRefs = (0 until (extent + 1) / 2).map { c =>
+            val vals = (0 until 2).map { lt =>
+              val t = c * 2 + lt
+              if (t < extent) offset + t else -1
+            }
+            s""""time/$c": ${slice(i4(vals))}"""
+          }
           val latRef = s""""lat/0": ${slice(latBytes)}"""
           Files.write(out.resolve(s"data$k.bin"), bos.toByteArray)
           Files.writeString(out.resolve(s"index$k.json"),
@@ -642,6 +653,11 @@ object SparkEntry {
                   """"filters": null, "order": "C"}""")},
                |  "t2m/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["time", "x"]}""")},
                |  ${chunkRefs.mkString(",\n  ")},
+               |  "time/.zarray": ${jstr(s"""{"zarr_format": 2, "dtype": "<i4", """ +
+                  s""""shape": [$extent], "chunks": [2], "compressor": null, """ +
+                  """"filters": null, "order": "C"}""")},
+               |  "time/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["time"]}""")},
+               |  ${timeRefs.mkString(",\n  ")},
                |  "lat/.zarray": ${jstr("""{"zarr_format": 2, "dtype": "<i4", """ +
                   """"shape": [3], "chunks": [3], "compressor": null, """ +
                   """"filters": null, "order": "C"}""")},
@@ -1287,6 +1303,28 @@ object SparkEntry {
       val paths = ensureKerchunkCombineFixture()
       val combined = graft.sources.KerchunkIndex.combineAlong(
         graft.sources.KerchunkIndex.readMany(s, paths), "time")
+      graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(combined),
+          graft.sources.KerchunkIndex.arrayMeta(combined),
+          graft.sources.KerchunkIndex.attrDims(combined))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "combine_kerchunk_by_coords" -> ((s, _) => {
+      // r12: MultiZarrToZarr's coo-map mode — the SAME three per-file
+      // indexes fed in SCRAMBLED order; the `time` coordinate variable
+      // decodes per source (one distributed pass over src-rekeyed
+      // entries), sources sort by their minimum coordinate, overlapping
+      // ranges refuse. The oracle is combine_kerchunk_indexes's verbatim:
+      // the ordering mode must be invisible to every decoded cell.
+      val paths = ensureKerchunkCombineFixture()
+      val scrambled = Seq(paths(2), paths(0), paths(1))
+      val combined = graft.sources.KerchunkIndex.combineAlongCoords(
+        graft.sources.KerchunkIndex.readMany(s, scrambled), "time")
       graft.sources.KerchunkIndex.decodeCoords(
           graft.sources.KerchunkIndex.materializeChunks(combined),
           graft.sources.KerchunkIndex.arrayMeta(combined),
@@ -3410,6 +3448,9 @@ object SparkEntry {
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +
+    // SAME oracle as the index-ordered combine: the coordinate-ordered
+    // mode (scrambled inputs) must be invisible to every decoded cell
+    ("combine_kerchunk_by_coords" -> oracleSqlBase("combine_kerchunk_indexes")) +
     // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
     // file as a tar member, so any tar-framing error (offset shift, member
     // misresolution) breaks the hash while the oracle stays authoritative
@@ -3780,6 +3821,8 @@ object SparkEntry {
         |         CAST(t AS VARCHAR) || '.' || CAST(x AS VARCHAR) AS coord_key,
         |         CAST(t * 10 + x AS DOUBLE) AS value
         |  FROM range(11) a(t) CROSS JOIN range(3) b(x)
+        |  UNION ALL
+        |  SELECT 'time', 'time', CAST(t AS VARCHAR), CAST(t AS DOUBLE) FROM range(11) t(t)
         |  UNION ALL
         |  SELECT 'lat', 'x', CAST(x AS VARCHAR), CAST(100 * x AS DOUBLE) FROM range(3) t(x))
         |SELECT variable, dims, coord_key, value FROM v

@@ -664,6 +664,54 @@ object KerchunkIndex {
     metaDf.unionByName(shifted).unionByName(identical)
   }
 
+  /** [[combineAlong]] in COORDINATE order (kerchunk MultiZarrToZarr's
+    * coo-map mode): instead of trusting the caller's source order, the
+    * concat dimension's OWN coordinate variable decodes per source (its
+    * vectors are metadata-sized, but the fetch still runs distributed —
+    * each source's coordinate entries are re-keyed `src::dim` so ONE
+    * materialize/decode pass covers all K sources), sources sort by
+    * their minimum coordinate, and OVERLAPPING source ranges refuse
+    * loudly (an overlap means the inputs double-cover the dimension —
+    * concatenation would duplicate cells). The winning order then feeds
+    * [[combineAlong]] through a broadcast ordinal remap. */
+  def combineAlongCoords(tagged: DataFrame, dim: String): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"kerchunk combine by '$dim' coordinates: $msg")
+    val coordEntries = tagged.filter(col("variable") === dim)
+      .withColumn("variable", concat(col("__src").cast("string"), lit("::"), col("variable")))
+      .withColumn("key", concat(col("variable"), lit("/"), col("member")))
+      .drop("__src")
+    // decodeCoords, not decodeTyped: a RAGGED last source stores its edge
+    // chunk padded, and the pad values would poison min/max (a -1 pad
+    // sorts the last source first and reads as an overlap)
+    val decoded = decodeCoords(materializeChunks(coordEntries),
+        arrayMeta(coordEntries), attrDims(coordEntries))
+      .groupBy("variable").agg(min("value").as("lo"), max("value").as("hi"))
+      .collect()
+      .map(r => (r.getString(0).takeWhile(_ != ':').toInt, r.getDouble(1), r.getDouble(2)))
+    if (decoded.isEmpty)
+      fail(s"no source carries a decodable coordinate variable '$dim' — " +
+        "use combineAlong with an explicit source order instead")
+    val srcCount = tagged.select("__src").distinct().count()
+    if (decoded.length != srcCount)
+      fail(s"only ${decoded.length} of $srcCount sources carry '$dim' coordinate chunks")
+    val order = decoded.sortBy(_._2)
+    order.sliding(2).foreach {
+      case Array((sa, _, hiA), (sb, loB, _)) =>
+        if (hiA >= loB)
+          fail(s"sources $sa and $sb overlap along '$dim' " +
+            s"($hiA >= $loB) — concatenation would double-cover the dimension")
+      case _ => ()
+    }
+    val remap = broadcast(order.map(_._1).zipWithIndex.toSeq
+      .toDF("__src", "__newSrc"))
+    combineAlong(
+      tagged.join(remap, Seq("__src")).drop("__src").withColumnRenamed("__newSrc", "__src"),
+      dim)
+  }
+
   /** WRITE a kerchunk PARQUET reference store from entry rows — the sink
     * half of [[readParquetRefs]], and the migration every real deployment
     * runs once its JSON index passes ~100 MB: ANY chunk map this engine

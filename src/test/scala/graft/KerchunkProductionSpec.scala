@@ -235,6 +235,30 @@ class KerchunkProductionSpec extends AnyFunSuite {
     assert(msg.contains("templates/gen"), msg)
   }
 
+  test("combineAlongCoords: overlapping sources and a missing coordinate var refuse") {
+    import graft.sources.KerchunkIndex
+    // the gate fixture's sources carry a real `time` coordinate var; a
+    // duplicated source double-covers time 0..3 → overlap refusal
+    val paths = SparkEntry.ensureKerchunkCombineFixture()
+    val dup = java.nio.file.Files.createTempDirectory("kerchunk_dup").resolve("again.json")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(paths.head), dup)
+    val e1 = intercept[IllegalArgumentException] {
+      KerchunkIndex.combineAlongCoords(
+        KerchunkIndex.readMany(spark, Seq(paths.head, dup.toString)), "time")
+    }
+    assert(e1.getMessage.contains("overlap"), e1.getMessage)
+    // combineIndex's sources declare dims ["time"] but carry NO `time`
+    // coordinate variable → the coords mode refuses with a pointer at
+    // the explicit-order form
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_nocoord")
+    val a = combineIndex(dir, "a", 4, 0)
+    val b = combineIndex(dir, "b", 4, 4)
+    val e2 = intercept[IllegalArgumentException] {
+      KerchunkIndex.combineAlongCoords(KerchunkIndex.readMany(spark, Seq(a, b)), "time")
+    }
+    assert(e2.getMessage.contains("coordinate variable"), e2.getMessage)
+  }
+
   test("combine → writeParquetRefs: the per-file-JSON to one-parquet-index pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("kerchunk_cmb4")
     val paths = Seq(combineIndex(dir, "a", 4, 0), combineIndex(dir, "b", 3, 4))

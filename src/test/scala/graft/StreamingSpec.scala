@@ -829,4 +829,42 @@ class StreamingSpec extends AnyFunSuite {
         s"diff=${(streamed diff expected.toSet).take(3)} ${(expected.toSet diff streamed).take(3)}")
     assert(streamed.nonEmpty, "fixture should contain semantic dups at t=0.4")
   }
+
+  test("streaming language id: the trained model's decisions match batch bit-for-bit (r12)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextClassifier
+    import org.apache.spark.sql.functions.col
+    // train on a tiny planted two-language sample (the frozen MODEL is the
+    // deployment artifact; scoring is a stateless scan — langIdStruct is
+    // its own streaming twin, the qualityFilter precedent)
+    val mk = (l: String, words: Seq[String]) => (0 until 30).map(i =>
+      (l, (0 until 6).map(j => words((i * (2 * j + 1)) % words.size)).mkString(" ")))
+    val sample = (mk("en", Seq("the", "research", "window", "through", "knowledge")) ++
+      mk("de", Seq("die", "forschung", "fenster", "wissenschaft", "straße")))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("doc_id", "lang", "text")
+    val model = TextClassifier.trainLangId(sample, "text", "lang",
+      Seq("en", "de"), dim = 256, n = 3, iters = 20, lr = 2.0)
+    val batch = TextClassifier.langIdScore(sample, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), TextClassifier.langIdStruct(col("text"), model).as("s"))
+      .select(col("doc_id"), col("s.lang").as("lang"), col("s.margin").as("margin"))
+      .writeStream.format("memory").queryName("langid_stream")
+      .outputMode("append").start()
+    val rows = sample.select("doc_id", "text").as[(Long, String)].collect()
+    rows.grouped(20).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("langid_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(streamed.size == batch.size)
+    batch.foreach { case (id, (lang, margin)) =>
+      assert(streamed(id) == ((lang, margin)), s"doc $id: $lang/$margin vs ${streamed(id)}")
+    }
+  }
 }
