@@ -249,12 +249,46 @@ object KeywordSearch {
     require(n > 0, "bm25: empty corpus")
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
 
-    val postings = scope.persisted(
-      docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
-          explode(toks).as("term"))
-        .join(vocab, Seq("term"), "left_semi")
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl")),
+    // ADAPTIVE posting build (both paths emit identical rows):
+    //  - small vocabulary (most real batteries share terms heavily —
+    //    1,000 probes over this corpus distinct to ~30 terms): ONE
+    //    codegen'd TermCounts scan, no token explode, no corpus-volume
+    //    shuffle — the 19M-token explode+semi-join+groupBy measured ~10×
+    //    this path's cost for the same 116k postings;
+    //  - large vocabulary (the true million-probe shape): explode +
+    //    vocabulary semi-join + map-side-combined groupBy — vocabulary
+    //    stays DATA, the plan stays constant-size.
+    val smallVocabCap = 1024 // TermCounts' linear probe + plan-literal comfort
+    val smallVocab: Option[Seq[String]] = {
+      val v = vocab.limit(smallVocabCap + 1).collect().map(_.getString(0))
+      if (v.nonEmpty && v.length <= smallVocabCap) Some(v.sorted.toSeq) else None
+    }
+    val postingRows = smallVocab match {
+      case Some(terms) =>
+        import org.apache.spark.sql.GraftColumnBridge
+        val tf = GraftColumnBridge.column(graft.functions.TermCounts(
+          GraftColumnBridge.expression(toks), terms))
+        docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
+            posexplode(tf))
+          .filter(col("col") > 0)
+          .select(element_at(lit(terms.toArray), col("pos") + 1).as("term"),
+            col("doc_id"), col("col").cast(LongType).as("tf"), col("dl"))
+          // spread the postings: the retrieval join builds on the (tiny,
+          // broadcast) battery and STREAMS this side, fanning each posting
+          // out by its matching query occurrences — left at the corpus
+          // scan's few input partitions, a 19M-row fan-out plus its partial
+          // aggregation ran on two cores (measured ~2× this whole query);
+          // the explode branch inherits the same spread from its groupBy
+          .repartition(col("term"), col("doc_id"))
+      case None =>
+        docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
+            explode(toks).as("term"))
+          .join(vocab, Seq("term"), "left_semi")
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    }
+    val postings = scope.persisted(postingRows,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-term document frequency → idf (postings are unique per
@@ -272,12 +306,41 @@ object KeywordSearch {
       .join(termStats, Seq("term"))
       .withColumn("__c", col("idf") * tfc * lit(k1 + 1.0) / (tfc + norm))
 
-    val scored = contrib.groupBy("query_id", "doc_id")
-      .agg(
-        aggregate(array_sort(collect_list(struct(col("ord"), col("__c")))),
-          lit(0.0), (a, x) => a + x.getField("__c")).as("score"),
-        max(col("dl")).as("dl"),
-        sum(when(col("first_occ"), col("tf")).otherwise(0L)).as("tf_total"))
+    // The per-(query, doc) reduction must add contributions in ORD order
+    // (the bit-parity contract with the literal form). Each ord occurs at
+    // most once per group (qTerms has one row per (query, ord); ≤1
+    // posting joins it per doc), which licenses TWO bit-identical shapes:
+    //  - SHORT queries (maxOrd < 32 — every realistic probe battery):
+    //    a plain column-pivoted HashAggregate — `sum(when(ord = i, c))`
+    //    isolates each position's single contribution exactly, and the
+    //    final score re-adds the coalesced columns in ord order. Fully
+    //    codegen'd, map-side-combinable, no object aggregation: the
+    //    collect_list form measured ~6× slower on a 19M-contribution
+    //    battery (object agg + per-group sort);
+    //  - anything longer: collect_list + the native OrderedContribSum
+    //    fold (itself bit-identical to aggregate(array_sort(...))).
+    import org.apache.spark.sql.GraftColumnBridge
+    val maxOrd = qTerms.agg(max(col("ord"))).head() match {
+      case r if r.isNullAt(0) => -1
+      case r => r.getInt(0)
+    }
+    val dlAndTf = Seq(max(col("dl")).as("dl"),
+      sum(when(col("first_occ"), col("tf")).otherwise(0L)).as("tf_total"))
+    val scored =
+      if (maxOrd >= 0 && maxOrd < 32) {
+        val sums = (0 to maxOrd).map(i => sum(when(col("ord") === i, col("__c"))).as(s"__s$i"))
+        val aggs = sums ++ dlAndTf
+        contrib.groupBy("query_id", "doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("score",
+            (0 to maxOrd).map(i => coalesce(col(s"__s$i"), lit(0.0))).reduce(_ + _))
+          .select("query_id", "doc_id", "score", "dl", "tf_total")
+      } else {
+        val aggs = GraftColumnBridge.column(graft.functions.OrderedContribSum(
+          GraftColumnBridge.expression(
+            collect_list(struct(col("ord").cast("int"), col("__c")))))).as("score") +: dlAndTf
+        contrib.groupBy("query_id", "doc_id").agg(aggs.head, aggs.tail: _*)
+      }
     Similarity.twoStageTopK(scored, "query_id",
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
