@@ -242,11 +242,19 @@ object KeywordSearch {
     val vocab = qTerms.select("term").distinct()
 
     // corpus statistics (N, avgdl) — zero-token docs count here even
-    // though they never reach the posting table
-    val statsRow = docs.select(size(toks).cast(LongType).as("dl"))
-      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    // though they never reach the posting table. The id-uniqueness guard
+    // rides the same aggregation: on duplicate ids the two posting-build
+    // paths below diverge (the explode form merges duplicate rows into
+    // one posting, the kernel form keeps one per row) and the per-ord
+    // uniqueness the reduction relies on breaks — refuse loudly.
+    val statsRow = docs.select(col(idCol).as("__id"), size(toks).cast(LongType).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+        countDistinct(col("__id")).as("nid")).head()
     val n = statsRow.getLong(0)
     require(n > 0, "bm25: empty corpus")
+    require(statsRow.getLong(2) == n,
+      s"bm25: corpus has ${n - statsRow.getLong(2)} duplicate '$idCol' rows — " +
+        "posting semantics are per-document; dedupe ids first")
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
 
     // ADAPTIVE posting build (both paths emit identical rows):

@@ -461,6 +461,15 @@ object KerchunkIndex {
         (if (u.getAuthority == null) Set(s"${u.getScheme}://${u.getRawPath}") else Set.empty)
       variants.map(_ -> i)
     }
+    // alias spellings of ONE file ("/x" and "file:/x") pass the raw
+    // distinct check but qualify identically — left undetected, every
+    // entry row of that file would fan out under BOTH ordinals and the
+    // combine would silently double-cover its slice
+    ordered.groupBy(_._1).foreach { case (variant, hits) =>
+      require(hits.map(_._2).distinct.size == 1,
+        s"kerchunk readMany: paths ${hits.map(h => paths(h._2)).mkString(" and ")} " +
+          s"resolve to the same file ($variant)")
+    }
     import spark.implicits._
     val srcDf = broadcast(ordered.toDF("__file", "__src"))
     val raw = spark.read.option("wholetext", "true").options(storageOptions)
@@ -472,21 +481,25 @@ object KerchunkIndex {
           lit("' matches no given path — qualified-name mismatch"))), lit(true)))
     val view = "graft_kerchunk_many_" + java.util.UUID.randomUUID().toString.replace("-", "")
     raw.createOrReplaceTempView(view)
+    // the templates/gen refusal is a PER-DOCUMENT predicate in the
+    // subquery BELOW the lateral generator — in the entry-row select it
+    // would re-parse the whole document once per exploded ref
     val entries =
       try spark.sql(
-        s"""SELECT t.__src AS __src, e.key AS key, e.value AS value,
-           |       try_variant_get(parse_json(t.value), '$$.templates', 'string') IS NOT NULL
-           |         OR try_variant_get(parse_json(t.value), '$$.gen', 'string') IS NOT NULL
-           |         AS __templated
-           | FROM $view AS t,
+        s"""SELECT t.__src AS __src, e.key AS key, e.value AS value
+           | FROM (
+           |   SELECT __src, value FROM $view
+           |   WHERE COALESCE(ASSERT_TRUE(
+           |     try_variant_get(parse_json(value), '$$.templates', 'string') IS NULL
+           |       AND try_variant_get(parse_json(value), '$$.gen', 'string') IS NULL,
+           |     'kerchunk readMany: an index carries templates/gen — expand it ' ||
+           |       'through read() per document and union with literal __src tags'), true)
+           | ) AS t,
            | LATERAL variant_explode(variant_get(parse_json(t.value), '$$.refs', 'variant')) AS e
            |""".stripMargin)
       finally spark.catalog.dropTempView(view)
     val member = substring_index(col("key"), "/", -1)
     entries
-      .filter(coalesce(assert_true(!col("__templated"),
-        lit("kerchunk readMany: an index carries templates/gen — expand it " +
-          "through read() per document and union with literal __src tags")), lit(true)))
       .select(
         col("__src").cast("int").as("__src"),
         col("key"),
@@ -558,6 +571,14 @@ object KerchunkIndex {
     val variables = metaRows.filter(r => r.getInt(0) == 0 && r.getString(3) == ".zarray")
       .map(_.getString(2)).toSeq.sorted
     require(variables.nonEmpty, s"kerchunk combine along '$dim': source 0 declares no arrays")
+    // every source must declare the SAME variable set: a variable present
+    // only in later sources would otherwise vanish from the combined
+    // store silently (its metadata never emitted, its data rows dropped)
+    metaRows.filter(_.getString(3) == ".zarray").foreach { r =>
+      if (!variables.contains(r.getString(2)))
+        fail(s"variable '${r.getString(2)}' appears in source ${r.getInt(0)} " +
+          "but not in source 0 — the combined store would silently drop it")
+    }
 
     val outMeta = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, String, String, Option[String], Option[Long], Option[Long], Option[String])]
@@ -580,7 +601,9 @@ object KerchunkIndex {
       if (p < 0) {
         // identical variable: metadata must agree verbatim
         (1 until k).foreach { s =>
-          if (bySrcKey((s, s"$v/.zarray")) != bySrcKey((0, s"$v/.zarray")))
+          val theirs = bySrcKey.getOrElse((s, s"$v/.zarray"),
+            fail(s"variable '$v' has no .zarray in source $s"))
+          if (theirs != bySrcKey((0, s"$v/.zarray")))
             fail(s"variable '$v' has no '$dim' dimension but its .zarray differs " +
               s"between sources 0 and $s — not an identical variable")
         }
@@ -590,6 +613,15 @@ object KerchunkIndex {
         }
       } else {
         concatVars += v
+        // dimension ORDER must agree too: with square extents a transposed
+        // source would pass every shape check and shift its chunk keys
+        // along the wrong axis — every cell silently lands misplaced
+        (1 until k).foreach { s =>
+          val theirDims = doc(s, s"$v/.zattrs").map(a => a \ "_ARRAY_DIMENSIONS")
+          if (theirDims != zattrs0.map(a => a \ "_ARRAY_DIMENSIONS"))
+            fail(s"variable '$v': _ARRAY_DIMENSIONS differs between sources 0 and $s " +
+              "— a transposed source would mis-shift its chunk keys")
+        }
         val chunks0 = longs(zarrays.head \ "chunks")
         val shapes = zarrays.map(z => longs(z \ "shape"))
         // every field but shape must agree (dtype/codec/filters/order —
@@ -787,7 +819,16 @@ object KerchunkIndex {
     val fs = try FsPaths.fileSystemFor(root, conf.value)
     catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
       FsPaths.connectorRefusal(dir, e) }
-    if (fs.exists(root)) fs.delete(root, true) // stale records would shadow
+    if (fs.exists(root)) {
+      // stale record files would shadow the new store, so a PRIOR STORE
+      // (it carries .zmetadata) or an empty directory clears — but a
+      // mistyped path at unrelated data must refuse, not be wiped
+      val priorStore = fs.exists(new org.apache.hadoop.fs.Path(root, ".zmetadata"))
+      require(priorStore || fs.listStatus(root).isEmpty,
+        s"kerchunk parquet write: '$dir' exists and is neither empty nor a " +
+          "parquet reference store (.zmetadata) — refusing to delete unrelated data")
+      fs.delete(root, true)
+    }
     fs.mkdirs(root)
     val metaJson = JObject(List(
       JField("metadata", JObject(metaDocs.map { case (k, v) => JField(k, v) }.toList)),
@@ -892,6 +933,12 @@ object KerchunkIndex {
             require(offset.isDefined == len.isDefined,
               s"kerchunk parquet write: entry at position $flat of $variable has " +
                 s"offset=$offset but length=$len — a byte range needs both")
+            // a zero-length range has no parquet form: (path, off, 0) IS
+            // the whole-file encoding, so writing it would silently turn
+            // an empty range into 'read the entire file'
+            require(len.forall(_ > 0),
+              s"kerchunk parquet write: entry at position $flat of $variable has a " +
+                "zero-length byte range — unrepresentable (size 0 encodes whole-file)")
             path.foreach(p => g.append("path", p))
             if (path.isDefined) {
               g.append("offset", offset.getOrElse(0L))
