@@ -404,6 +404,20 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("kerchunk combine: data rows re-key through broadcast joins only, no data shuffle") {
+    val paths = SparkEntry.ensureKerchunkCombineFixture()
+    val combined = graft.sources.KerchunkIndex.combineAlong(
+      graft.sources.KerchunkIndex.readMany(spark, paths), "time")
+    val p = combined.queryExecution.executedPlan.toString
+    // the (src, variable) → offset shift map and the path→ordinal map are
+    // both broadcast; at a 10,000-file combine the billion entry rows must
+    // never ride an exchange for the re-key
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("bm25Batch: no per-query plan branches — the plan is constant in battery size") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
