@@ -2893,6 +2893,53 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_batch_wide" -> ((s, dir) => {
+      // r13: forces bm25Batch's ORDERED-FOLD branch — one ≥32-token probe
+      // (the standard 3-term battery's q_join repeated 11× = 33 tokens,
+      // ord 0..32) pushes the global maxOrd past the pivoted-aggregate
+      // cap, so every query scores through the native OrderedContribSum
+      // fold instead of the sum(when(ord=i)) pivot. The oracle re-derives
+      // the wide probe's 33-term left-to-right float sum explicitly
+      // (generated, same repeating idf/tf columns), so ranks stay
+      // hash-exact; the 3 short probes must land exactly on
+      // search_bm25_topk's rows — any fold/pivot divergence breaks them.
+      import s.implicits._
+      val battery = Seq(
+        ("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg"),
+        ("q_wide", Seq.fill(11)("spark hash join").mkString(" "))).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25Batch(
+          T(s, dir, "documents"), "text", "doc_id", battery, "qid", "qtext", k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "search_bm25_batch_bigvocab" -> ((s, dir) => {
+      // r13: forces bm25Batch's EXPLODE+SEMI-JOIN posting build — 1,022
+      // single-term pad probes push the battery vocabulary past the
+      // 1,024-term TermCounts cap (the true million-probe shape, where
+      // the vocabulary must stay data, never plan literals). Pad terms
+      // match nothing (and even a freak match would only rank rows under
+      // a pad query_id — per-query scoring is independent, and idf is a
+      // corpus-only fact), so the real 3-probe slice must be
+      // hash-identical to the literal form: the gate reuses
+      // search_bm25_topk's oracle verbatim.
+      import s.implicits._
+      val pads = (0 until 1022).map(i => (f"pad_$i%04d", f"qzxpadterm$i%04d"))
+      val battery = (Seq(
+        ("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")) ++ pads).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25Batch(
+          T(s, dir, "documents"), "text", "doc_id", battery, "qid", "qtext", k = 10)
+        .filter(col("query_id").isin("q_join", "q_scan", "q_stream"))
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
       // brute-force cosine ranking fused by reciprocal rank (Cormack
@@ -3445,6 +3492,10 @@ object SparkEntry {
     // folds per-term contributions in query term order, so its ranking
     // must be hash-identical on the same battery
     ("search_bm25_batch" -> oracleSqlBase("search_bm25_topk")) +
+    // SAME oracle again: the 1,022 pad probes only force the explode
+    // posting-build branch — they match nothing and per-query scoring is
+    // independent, so the real-probe slice is the literal form's ranking
+    ("search_bm25_batch_bigvocab" -> oracleSqlBase("search_bm25_topk")) +
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +
@@ -4915,6 +4966,33 @@ object SparkEntry {
         |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored WHERE score > 0)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // the ordered-fold battery: the 3 standard probes (shared CTEs) plus
+    // q_wide = 'spark hash join' ×11 — 33 tokens, so the engine's global
+    // maxOrd crosses the pivot cap and every query folds through
+    // OrderedContribSum. The wide score is the explicit 33-term
+    // LEFT-TO-RIGHT sum (generated below — same repeating idf/tf columns,
+    // never an unordered SUM), matching the fold's ord-sorted adds bit
+    // for bit; duplicate terms contribute once per occurrence, tf_total
+    // counts distinct terms once (the engine's first_occ rule).
+    "search_bm25_batch_wide" ->
+      s"""WITH $bm25OracleCtes,
+        |scored_w AS (
+        |  SELECT * FROM scored
+        |  UNION ALL
+        |  SELECT 'q_wide' AS query_id, doc_id, dl,
+        |    tf_spark + tf_hash + tf_join AS tf_total,
+        |    ${Seq.fill(11)(Seq("spark", "hash", "join")).flatten.map(t =>
+             s"(idf_$t * CAST(tf_$t AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_$t AS DOUBLE) + nrm))")
+             .mkString("\n        |    + ")} AS score
+        |  FROM normed)
+        |SELECT query_id, rank, doc_id, CAST(dl AS BIGINT) AS dl,
+        |       CAST(tf_total AS BIGINT) AS tf_total
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored_w WHERE score > 0)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

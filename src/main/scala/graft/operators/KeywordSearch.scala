@@ -241,21 +241,37 @@ object KeywordSearch {
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = qTerms.select("term").distinct()
 
-    // corpus statistics (N, avgdl) — zero-token docs count here even
-    // though they never reach the posting table. The id-uniqueness guard
-    // rides the same aggregation: on duplicate ids the two posting-build
-    // paths below diverge (the explode form merges duplicate rows into
-    // one posting, the kernel form keeps one per row) and the per-ord
-    // uniqueness the reduction relies on breaks — refuse loudly.
-    val statsRow = docs.select(col(idCol).as("__id"), size(toks).cast(LongType).as("dl"))
+    // ONE probe action computes the corpus statistics (N, avgdl) AND the
+    // battery geometry (max ord, distinct-term count) as a two-row union
+    // — r12 ran these as three separate pre-jobs per call. Zero-token
+    // docs count in N/avgdl even though they never reach the posting
+    // table. The id-uniqueness guard rides the same aggregation: on
+    // duplicate ids the two posting-build paths below diverge (the
+    // explode form merges duplicate rows into one posting, the kernel
+    // form keeps one per row) and the per-ord uniqueness the reduction
+    // relies on breaks — refuse loudly. The union also materializes the
+    // qTerms persist before the retrieval join reuses it.
+    val docStats = docs
+      .select(col(idCol).as("__id"), size(toks).cast(LongType).as("dl"))
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
-        countDistinct(col("__id")).as("nid")).head()
-    val n = statsRow.getLong(0)
+        countDistinct(col("__id")).as("nid"))
+      .select(col("n"), col("sumdl"), col("nid"),
+        lit(null).cast("int").as("max_ord"), lit(null).cast("long").as("n_terms"))
+    val qStats = qTerms
+      .agg(max(col("ord")).as("max_ord"), countDistinct(col("term")).as("n_terms"))
+      .select(lit(null).cast("long").as("n"), lit(null).cast("long").as("sumdl"),
+        lit(null).cast("long").as("nid"), col("max_ord"), col("n_terms"))
+    val probe = docStats.unionByName(qStats).collect()
+    require(probe.length == 2, s"bm25: probe union returned ${probe.length} rows")
+    val (dRow, qRow) = if (probe(0).isNullAt(0)) (probe(1), probe(0)) else (probe(0), probe(1))
+    val n = dRow.getLong(0)
     require(n > 0, "bm25: empty corpus")
-    require(statsRow.getLong(2) == n,
-      s"bm25: corpus has ${n - statsRow.getLong(2)} duplicate '$idCol' rows — " +
+    require(dRow.getLong(2) == n,
+      s"bm25: corpus has ${n - dRow.getLong(2)} duplicate '$idCol' rows — " +
         "posting semantics are per-document; dedupe ids first")
-    val avgdl = statsRow.getLong(1).toDouble / n.toDouble
+    val avgdl = dRow.getLong(1).toDouble / n.toDouble
+    val maxOrd = if (qRow.isNullAt(3)) -1 else qRow.getInt(3)
+    val nTerms = if (qRow.isNullAt(4)) 0L else qRow.getLong(4)
 
     // ADAPTIVE posting build (both paths emit identical rows):
     //  - small vocabulary (most real batteries share terms heavily —
@@ -267,10 +283,13 @@ object KeywordSearch {
     //    vocabulary semi-join + map-side-combined groupBy — vocabulary
     //    stays DATA, the plan stays constant-size.
     val smallVocabCap = 1024 // TermCounts' linear probe + plan-literal comfort
-    val smallVocab: Option[Seq[String]] = {
-      val v = vocab.limit(smallVocabCap + 1).collect().map(_.getString(0))
-      if (v.nonEmpty && v.length <= smallVocabCap) Some(v.sorted.toSeq) else None
-    }
+    // the probe already counted distinct terms, so the term pull itself
+    // runs ONLY in the small case — a bounded ≤1024-row collect over the
+    // persisted occurrence rows; a million-term battery never collects
+    val smallVocab: Option[Seq[String]] =
+      if (nTerms > 0 && nTerms <= smallVocabCap)
+        Some(vocab.collect().map(_.getString(0)).sorted.toSeq)
+      else None
     val postingRows = smallVocab match {
       case Some(terms) =>
         import org.apache.spark.sql.GraftColumnBridge
@@ -328,10 +347,6 @@ object KeywordSearch {
     //  - anything longer: collect_list + the native OrderedContribSum
     //    fold (itself bit-identical to aggregate(array_sort(...))).
     import org.apache.spark.sql.GraftColumnBridge
-    val maxOrd = qTerms.agg(max(col("ord"))).head() match {
-      case r if r.isNullAt(0) => -1
-      case r => r.getInt(0)
-    }
     val dlAndTf = Seq(max(col("dl")).as("dl"),
       sum(when(col("first_occ"), col("tf")).otherwise(0L)).as("tf_total"))
     val scored =

@@ -1522,6 +1522,115 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(out == Set(("ok", 1L), ("ok", 2L)), out.toString)
   }
 
+  test("TermCounts kernel: interpreted eval and codegen agree; duplicates, null tokens, type check (r13)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val terms = Seq("cat", "dog", "fish")
+    // interpreted path: direct eval over ArrayData; null ELEMENTS skip
+    val kernel = graft.functions.TermCounts(
+      Literal.create(Seq("cat", "dog", "cat", null, "bird"), ArrayType(StringType)), terms)
+    val got = kernel.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(got.toIntArray().toSeq == Seq(2, 1, 0))
+    // codegen path (whole-stage projection) must agree with hand counts
+    val df = Seq(
+      (1L, Seq("cat", "dog", "cat", "bird")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("fish", "fish", "fish"))).toDF("id", "toks")
+    val tfCol = GraftColumnBridge.column(graft.functions.TermCounts(
+      GraftColumnBridge.expression(col("toks")), terms))
+    val out = df.select(col("id"), tfCol.as("tf")).orderBy("id")
+      .collect().map(_.getSeq[Int](1).toSeq).toSeq
+    assert(out == Seq(Seq(2, 1, 0), Seq(0, 0, 0), Seq(0, 0, 3)), out.toString)
+    // null token ARRAY → null vector (UnaryExpression null propagation)
+    val withNull = Seq((1L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    assert(withNull.select(tfCol.as("tf")).collect()(0).isNullAt(0))
+    // non-array input refuses at analysis, empty term list at construction
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      df.select(GraftColumnBridge.column(graft.functions.TermCounts(
+        GraftColumnBridge.expression(col("id")), terms))).collect()
+    }
+    assert(intercept[IllegalArgumentException] {
+      graft.functions.TermCounts(GraftColumnBridge.expression(col("toks")), Nil)
+    }.getMessage.contains("empty term list"))
+  }
+
+  test("OrderedContribSum kernel: ord-sorted left-to-right fold, eval + codegen + declarative parity (r13)") {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // magnitudes chosen so float addition is ORDER-SENSITIVE: 1e16 + 1.0
+    // absorbs the 1.0 (ulp(1e16) = 2), so ord order vs arrival order
+    // produce different bits — the fold must recover ord order
+    val contribs = Seq(0 -> 1.0e16, 1 -> 1.0, 2 -> -1.0e16, 3 -> 0.5)
+    val scrambled = Seq(2, 0, 3, 1).map(contribs) // arrival order ≠ ord order
+    val ordered = contribs.map(_._2).foldLeft(0.0)(_ + _)   // = 0.5
+    val arrival = scrambled.map(_._2).foldLeft(0.0)(_ + _)  // = 1.5
+    assert(ordered != arrival, "fixture must be order-sensitive")
+    // interpreted path: direct fold over ArrayData in arrival order
+    val items = new GenericArrayData(
+      scrambled.map { case (o, c) => InternalRow(o, c) }.toArray[Any])
+    val kernel = graft.functions.OrderedContribSum(Literal(null))
+    assert(kernel.fold(items) == ordered)
+    // codegen path: through an aggregation, input order from a sorted-by-
+    // arrival frame; must still fold in ord order
+    val df = scrambled.zipWithIndex.map { case ((o, c), i) => (1L, i, o, c) }
+      .toDF("g", "arrival", "ord", "c")
+    val folded = GraftColumnBridge.column(graft.functions.OrderedContribSum(
+      GraftColumnBridge.expression(
+        collect_list(struct(col("ord").cast("int"), col("c"))))))
+    val got = df.repartition(1).sortWithinPartitions("arrival")
+      .groupBy("g").agg(folded.as("s")).collect()(0).getDouble(1)
+    assert(got == ordered, s"codegen fold: $got vs $ordered")
+    // the doc'd declarative twin: aggregate(array_sort(collect_list(...)))
+    val decl = df.repartition(1).sortWithinPartitions("arrival")
+      .groupBy("g").agg(expr(
+        "aggregate(array_sort(collect_list(struct(cast(ord as int) as ord, c))), " +
+          "cast(0.0 as double), (acc, x) -> acc + x.c)").as("s"))
+      .collect()(0).getDouble(1)
+    assert(decl == ordered, s"declarative twin: $decl vs $ordered")
+  }
+
+  test("bm25Batch: forced wide-ord fold and >1024-term explode postings stay bit-identical to the literal form (r13)") {
+    val docs = Seq(
+      (1L, "cat dog cat bird"), (2L, "dog dog dog dog"),
+      (3L, "cat fish"), (4L, "bird fish bird"), (5L, "")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toSet
+
+    // (a) a 33-token probe → global maxOrd = 32 → the OrderedContribSum
+    //     fold for EVERY query (vocabulary stays small: TermCounts
+    //     postings); 'zzz' is corpus-absent, so the fold sees a missing
+    //     ord exactly where the literal form adds +0.0
+    val wide = (Seq.fill(10)("cat dog bird") :+ "cat fish zzz").mkString(" ")
+    val batteryA = Seq(("q1", "cat dog"), ("qw", wide))
+    val litA = rows(graft.operators.KeywordSearch.bm25TopK(
+      docs, "text", "doc_id", batteryA, k = 4))
+    val invA = rows(graft.operators.KeywordSearch.bm25Batch(
+      docs, "text", "doc_id", batteryA.toDF("qid", "qtext"), "qid", "qtext", k = 4))
+    assert(invA == litA, s"\nwide-ord batch: $invA\nliteral: $litA") // float bits included
+
+    // (b) 1,023 distinct pad terms push the vocabulary past the 1,024
+    //     TermCounts cap → explode+semi-join posting build (short probes:
+    //     pivot fold); pads match nothing, so the real-probe slice is the
+    //     literal ranking
+    val pads = (0 until 1023).map(i => (f"pad$i%04d", f"qzxpad$i%04d"))
+    val batteryB = Seq(("q1", "cat dog"), ("q2", "cat cat zebra"), ("q3", "bird fish"))
+    val litB = rows(graft.operators.KeywordSearch.bm25TopK(
+      docs, "text", "doc_id", batteryB, k = 3))
+    val invB = rows(graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", (batteryB ++ pads).toDF("qid", "qtext"), "qid", "qtext", k = 3)
+      .filter(col("query_id").isin("q1", "q2", "q3")))
+    assert(invB == litB, s"\nbig-vocab batch: $invB\nliteral: $litB")
+
+    // (c) both scale branches at once: explode postings + ordered fold
+    val invC = rows(graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", (batteryA ++ pads).toDF("qid", "qtext"), "qid", "qtext", k = 4)
+      .filter(col("query_id").isin("q1", "qw")))
+    assert(invC == litA, s"\nexplode+fold batch: $invC\nliteral: $litA")
+  }
+
   test("rrfFuse: hand-computed fusion, one-source docs, tie rule, bad input refuses (r12)") {
     def ranking(rows: (String, Long, Int)*) = rows.toSeq.toDF("query_id", "doc_id", "rank")
     val a = ranking(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3))

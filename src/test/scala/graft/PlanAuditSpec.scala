@@ -440,4 +440,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(p30).size == "Join".r.findAllIn(p3).size, p30.take(2500))
     assert("HashAggregate".r.findAllIn(p30).size == "HashAggregate".r.findAllIn(p3).size)
   }
+
+  test("bm25Batch: adaptive branch pins — TermCounts scan xor explode postings; pivot xor ordered fold (r13)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // physical toString hides aggregate RESULT expressions (the ordered
+    // fold wraps collect_list there), so pin against executed + optimized
+    // logical text together
+    def planOf(battery: org.apache.spark.sql.DataFrame): String = {
+      val qe = graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", battery, "qid", "qtext", k = 5).queryExecution
+      qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+    }
+    // small vocabulary + short probe → ONE codegen'd TermCounts kernel
+    // scan builds postings (no token explode, no semi-join) and the
+    // score reduction is the pivoted __s<i> HashAggregate
+    val small = planOf(Seq(("q1", "word1 common term")).toDF("qid", "qtext"))
+    assert(small.toLowerCase.contains("termcounts"), small.take(2500))
+    assert(!small.contains("LeftSemi"), small.take(2500))
+    // the per-ord pivot survives column pruning as sum(CASE WHEN (ord=i))
+    assert(small.contains("CASE WHEN (ord#"), small.take(2500))
+    assert(!small.toLowerCase.contains("orderedcontribsum"), small.take(2500))
+    // >1024 distinct terms → the kernel is ABSENT and postings build via
+    // explode + vocabulary semi-join (the battery stays data, not plan)
+    val big = planOf((0 until 1025).map(i => (f"p$i%04d", f"qzxpad$i%04d"))
+      .toDF("qid", "qtext"))
+    assert(!big.toLowerCase.contains("termcounts"), big.take(2500))
+    assert(big.contains("LeftSemi"), big.take(2500))
+    // a ≥32-token probe → the pivot is ABSENT and the reduction is the
+    // native ordered fold over collect_list
+    val widep = planOf(Seq(
+      ("qw", Seq.fill(11)("spark hash join").mkString(" "))).toDF("qid", "qtext"))
+    assert(widep.toLowerCase.contains("orderedcontribsum"), widep.take(2500))
+    assert(!widep.contains("CASE WHEN (ord#"), widep.take(2500))
+  }
 }
