@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness reads stdout mechanically (the LAST line must
+// be Bench's bare metric JSON): pass the forked program's stdout through
+// untouched instead of re-logging it under an "[info] " prefix, and drop
+// sbt's "[success] Total time …" trailer that would otherwise follow it.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
