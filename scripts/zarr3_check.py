@@ -39,8 +39,12 @@ def element_width(data_type):
     |S label representation — core v3 has no fixed-width string type)."""
     if data_type == "float64" or data_type == "int64":
         return 8
-    if data_type == "int32":
+    if data_type in ("int32", "uint32", "float32"):
         return 4
+    if data_type in ("int16", "uint16"):
+        return 2
+    if data_type in ("int8", "uint8"):
+        return 1
     if data_type.startswith("r"):
         bits = int(data_type[1:])
         assert bits > 0 and bits % 8 == 0, data_type
@@ -64,10 +68,22 @@ def decode_inner(raw, codecs, data_type, n_elems):
     assert len(raw) == w * n_elems, (len(raw), w, n_elems)
     if data_type == "float64":
         return struct.unpack("<%dd" % n_elems, raw)
+    if data_type == "float32":
+        return struct.unpack("<%df" % n_elems, raw)
     if data_type == "int32":
         return struct.unpack("<%di" % n_elems, raw)
     if data_type == "int64":
         return struct.unpack("<%dq" % n_elems, raw)
+    if data_type == "int16":
+        return struct.unpack("<%dh" % n_elems, raw)
+    if data_type == "int8":
+        return struct.unpack("<%db" % n_elems, raw)
+    if data_type == "uint8":
+        return struct.unpack("<%dB" % n_elems, raw)
+    if data_type == "uint16":
+        return struct.unpack("<%dH" % n_elems, raw)
+    if data_type == "uint32":
+        return struct.unpack("<%dI" % n_elems, raw)
     # r{8n}: NUL-right-trimmed UTF-8 byte strings (the writer's convention)
     return tuple(raw[i:i + w].rstrip(b"\0").decode("utf-8")
                  for i in range(0, len(raw), w))
@@ -199,10 +215,36 @@ def main():
         assert n_name[(i,)] == nm, (i, n_name[(i,)], nm)
     for j, (rn,) in enumerate(rnames):
         assert r_label[(j,)] == rn, (j, r_label[(j,)], rn)
-    print("zarr3_check: OK — %d + %d + %d + %d + %d + %d cells match "
+    # r13: r* arrays omit fill_value (no spec-pinned JSON form for raw
+    # bits); numeric arrays must still carry theirs
+    def zj(name):
+        with open(os.path.join(store, name, "zarr.json")) as f:
+            return json.load(f)
+    assert "fill_value" not in zj("n_name"), zj("n_name")
+    assert "fill_value" not in zj("r_label"), zj("r_label")
+    assert zj("n_key")["fill_value"] == 0.0
+    assert zj("n_region")["fill_value"] == 0
+    # r13 read-side dtype parity: f4 half-steps, signed i2/i1 negatives,
+    # and the unsigned ladder at the widths where a signed decode would
+    # corrupt (u2 beyond i2's max, u4 beyond i4's max)
+    parity = {"n_f4": ("float32", lambda k: k * 0.5),
+              "n_i2": ("int16", lambda k: k * 100 - 500),
+              "n_i1": ("int8", lambda k: k * 10 - 120),
+              "n_u1": ("uint8", lambda k: k * 10),
+              "n_u2": ("uint16", lambda k: k * 2000),
+              "n_u4": ("uint32", lambda k: 4000000000 + k)}
+    n_parity = 0
+    for name, (want_dt, f) in sorted(parity.items()):
+        assert dt(name) == want_dt, (name, dt(name))
+        cells, _ = read_store_var(store, name)
+        assert len(cells) == len(nk), (name, len(cells))
+        for i, (k,) in enumerate(nk):
+            assert cells[(i,)] == f(k), (name, i, cells[(i,)], f(k))
+        n_parity += len(cells)
+    print("zarr3_check: OK — %d + %d + %d + %d + %d + %d (+%d parity) cells match "
           "parquet truth (sharded v3, zstd)"
           % (len(n_key), len(key_sum), len(n_region), len(n_big),
-             len(n_name), len(r_label)))
+             len(n_name), len(r_label), n_parity))
 
 
 if __name__ == "__main__":

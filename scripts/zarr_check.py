@@ -22,10 +22,22 @@ def decode_elems(raw, dtype):
     code points, NUL-terminated) fixed-width strings."""
     if dtype == "<f8":
         return struct.unpack("<%dd" % (len(raw) // 8), raw)
+    if dtype == "<f4":
+        return struct.unpack("<%df" % (len(raw) // 4), raw)
     if dtype == "<i4":
         return struct.unpack("<%di" % (len(raw) // 4), raw)
     if dtype == "<i8":
         return struct.unpack("<%dq" % (len(raw) // 8), raw)
+    if dtype == "<i2":
+        return struct.unpack("<%dh" % (len(raw) // 2), raw)
+    if dtype == "|i1":
+        return struct.unpack("<%db" % len(raw), raw)
+    if dtype == "|u1":
+        return struct.unpack("<%dB" % len(raw), raw)
+    if dtype == "<u2":
+        return struct.unpack("<%dH" % (len(raw) // 2), raw)
+    if dtype == "<u4":
+        return struct.unpack("<%dI" % (len(raw) // 4), raw)
     if dtype.startswith("|S"):
         n = int(dtype[2:])
         return tuple(raw[i:i + n].rstrip(b"\0").decode("utf-8")
@@ -132,9 +144,27 @@ def main():
         assert n_name[(i,)] == nm, (i, n_name[(i,)], nm)
     for j, (rn,) in enumerate(rnames):
         assert r_label[(j,)] == rn, (j, r_label[(j,)], rn)
-    print("zarr_check: OK — %d + %d + %d + %d + %d + %d cells match parquet truth"
+    # r13 read-side dtype parity: f4 half-steps, signed i2/i1 negatives,
+    # and the unsigned ladder at the widths where a signed decode would
+    # corrupt (u2 beyond i2's max, u4 beyond i4's max)
+    parity = {"n_f4": ("<f4", lambda k: k * 0.5),
+              "n_i2": ("<i2", lambda k: k * 100 - 500),
+              "n_i1": ("|i1", lambda k: k * 10 - 120),
+              "n_u1": ("|u1", lambda k: k * 10),
+              "n_u2": ("<u2", lambda k: k * 2000),
+              "n_u4": ("<u4", lambda k: 4000000000 + k)}
+    n_parity = 0
+    for name, (want_dt, f) in sorted(parity.items()):
+        with open(os.path.join(store, name, ".zarray")) as fh:
+            assert json.load(fh)["dtype"] == want_dt, name
+        cells = read_store_var(store, name)
+        assert len(cells) == len(nk), (name, len(cells))
+        for i, (k,) in enumerate(nk):
+            assert cells[(i,)] == f(k), (name, i, cells[(i,)], f(k))
+        n_parity += len(cells)
+    print("zarr_check: OK — %d + %d + %d + %d + %d + %d (+%d parity) cells match parquet truth"
           % (len(n_key), len(key_sum), len(n_region), len(n_big),
-             len(n_name), len(r_label)))
+             len(n_name), len(r_label), n_parity))
 
 
 if __name__ == "__main__":

@@ -227,13 +227,39 @@ object SparkEntry {
       .unionByName(r.select(lit("r_label").as("variable"),
         typedLit(Seq("region")).as("dims"), array(col("j")).as("coords"),
         noValue, col("r_name").as("label")))
+      // r13 full read-side dtype parity: one variable per remaining
+      // numeric width — f4 (half-integer steps, exactly float32), signed
+      // i2/i1 with NEGATIVE values, and the unsigned ladder (u2 beyond
+      // i2's max, u4 beyond i4's max — the widths where a signed encode
+      // would corrupt); all closed-form in nation's key
+      .unionByName(n.select(lit("n_f4").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        (col("k").cast(DoubleType) * 0.5).as("value"), noLabel))
+      .unionByName(n.select(lit("n_i2").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        (col("k") * 100L - 500L).cast(DoubleType).as("value"), noLabel))
+      .unionByName(n.select(lit("n_i1").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        (col("k") * 10L - 120L).cast(DoubleType).as("value"), noLabel))
+      .unionByName(n.select(lit("n_u1").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        (col("k") * 10L).cast(DoubleType).as("value"), noLabel))
+      .unionByName(n.select(lit("n_u2").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        (col("k") * 2000L).cast(DoubleType).as("value"), noLabel))
+      .unionByName(n.select(lit("n_u4").as("variable"),
+        typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+        (lit(4000000000L) + col("k")).cast(DoubleType).as("value"), noLabel))
   }
 
   /** The zarr sink gates' per-variable dtypes (`uForV3 = false` swaps the
     * UCS-4 vector to |S for the v3 writer — see [[zarrTidyPlane]]). */
   private def zarrTidyDtypes(ucs4: Boolean): Map[String, String] =
     Map("n_region" -> "<i4", "n_big" -> "<i8", "n_name" -> "|S",
-      "r_label" -> (if (ucs4) "<U" else "|S"))
+      "r_label" -> (if (ucs4) "<U" else "|S"),
+      // r13 read-side parity widths
+      "n_f4" -> "<f4", "n_i2" -> "<i2", "n_i1" -> "|i1",
+      "n_u1" -> "|u1", "n_u2" -> "<u2", "n_u4" -> "<u4")
 
   /** Read a written zarr store back through the engine's own reader +
     * decode plane and emit (variable, dims, coord_key, value) rows — the
@@ -4148,7 +4174,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'n_name', 'nation', CAST(i AS VARCHAR), CAST(NULL AS DOUBLE), n_name FROM nk
         |  UNION ALL
-        |  SELECT 'r_label', 'region', CAST(j AS VARCHAR), CAST(NULL AS DOUBLE), r_name FROM rk)
+        |  SELECT 'r_label', 'region', CAST(j AS VARCHAR), CAST(NULL AS DOUBLE), r_name FROM rk
+        |  UNION ALL
+        |  SELECT 'n_f4', 'nation', CAST(i AS VARCHAR), CAST(k AS DOUBLE) * 0.5, NULL FROM nk
+        |  UNION ALL
+        |  SELECT 'n_i2', 'nation', CAST(i AS VARCHAR), CAST(k * 100 - 500 AS DOUBLE), NULL FROM nk
+        |  UNION ALL
+        |  SELECT 'n_i1', 'nation', CAST(i AS VARCHAR), CAST(k * 10 - 120 AS DOUBLE), NULL FROM nk
+        |  UNION ALL
+        |  SELECT 'n_u1', 'nation', CAST(i AS VARCHAR), CAST(k * 10 AS DOUBLE), NULL FROM nk
+        |  UNION ALL
+        |  SELECT 'n_u2', 'nation', CAST(i AS VARCHAR), CAST(k * 2000 AS DOUBLE), NULL FROM nk
+        |  UNION ALL
+        |  SELECT 'n_u4', 'nation', CAST(i AS VARCHAR), CAST(4000000000 + k AS DOUBLE), NULL FROM nk)
         |ORDER BY variable, coord_key""".stripMargin,
 
     // closed-form regeneration of the Structure fixture: the dotted

@@ -20,9 +20,10 @@ import org.apache.spark.sql.types._
   * label plane's shape, [[KerchunkIndex.decodeLabelCoords]]).
   *
   * Per-variable dtypes (the read-side dtype table in reverse; default
-  * `<f8`): `<f8`, `<i4`, `<i8` encode from `value` — non-integral,
-  * out-of-range, or beyond-2^53 (i8: doubles carry integers exactly only
-  * to 2^53) values refuse loudly rather than silently rounding; `|S<n>`
+  * `<f8`): `<f8`, `<f4`, `<i8`, `<i4`, `<i2`, `|i1`, `|u1`, `<u2`, `<u4`
+  * encode from `value` — non-integral, out-of-range, beyond-2^53 (i8:
+  * doubles carry integers exactly only to 2^53), or not-exactly-float32
+  * (f4) values refuse loudly rather than silently rounding; `|S<n>`
   * (UTF-8 bytes, NUL-padded) and `<U<n>` (UCS-4 LE, NUL-padded) encode
   * from `label` — a bare `|S`/`<U` auto-sizes the width to the longest
   * label; labels over an explicit width, or containing NUL (the padding
@@ -54,8 +55,14 @@ object ZarrWriter {
   /** Bytes per element of a supported write dtype. */
   private def widthOf(dtype: String): Int = dtype match {
     case "<f8" => 8
-    case "<i4" => 4
+    case "<f4" => 4
     case "<i8" => 8
+    case "<i4" => 4
+    case "<i2" => 2
+    case "|i1" => 1
+    case "|u1" => 1
+    case "<u2" => 2
+    case "<u4" => 4
     case s if s.startsWith("|S") => s.drop(2).toInt
     case u if u.startsWith("<U") => 4 * u.drop(2).toInt
   }
@@ -63,7 +70,12 @@ object ZarrWriter {
   private def isString(dtype: String): Boolean =
     dtype.startsWith("|S") || dtype.startsWith("<U")
 
-  private val DtypePattern = "^(<f8|<i4|<i8|\\|S[0-9]*|<U[0-9]*)$".r
+  // r13: full parity with the READ side's numeric table (ZarrCodec widens
+  // every one of these exactly to double, so each round-trips through the
+  // tidy plane) — a plane read from an f4/u2/... store can now write back
+  // without a dtype change
+  private val DtypePattern =
+    "^(<f8|<f4|<i8|<i4|<i2|\\|i1|\\|u1|<u2|<u4|\\|S[0-9]*|<U[0-9]*)$".r
 
   /** Per-variable geometry + input guards, shared by the v2 and v3
     * writers: ONE aggregation (the duplicate-cell check rides it as
@@ -75,7 +87,7 @@ object ZarrWriter {
     dtypes.foreach { case (v, dt) =>
       require(DtypePattern.matches(dt),
         s"ZarrWriter: variable '$v' requests unsupported dtype '$dt' — " +
-          "supported: <f8, <i4, <i8, |S[n], <U[n]")
+          "supported: <f8, <f4, <i8, <i4, <i2, |i1, |u1, <u2, <u4, |S[n], <U[n]")
     }
     val metaRows = df
       .select(col("variable"), col("dims"), col("coords"), col("value"), col("label"))
@@ -198,9 +210,23 @@ object ZarrWriter {
       val at = off.toInt * width
       dtype match {
         case "<f8" => buf.putDouble(at, num(v, off))
+        case "<f4" =>
+          val d = num(v, off)
+          // refuse a lossy narrow: every float32 widens to double exactly,
+          // so a tidy plane READ from an f4 store always passes; NaN is
+          // legal (self-inequality breaks the == check, test it apart)
+          require(d.isNaN || d.toFloat.toDouble == d,
+            s"ZarrWriter: value $d is not exactly representable as <f4 for $where — " +
+              "refusing (silent float32 rounding would corrupt the store)")
+          buf.putFloat(at, d.toFloat)
         case "<i4" => buf.putInt(at, integral(num(v, off), Int.MinValue, Int.MaxValue).toInt)
         // 2^53: the largest range a double-carried integer survives exactly
         case "<i8" => buf.putLong(at, integral(num(v, off), -9007199254740992.0, 9007199254740992.0))
+        case "<i2" => buf.putShort(at, integral(num(v, off), Short.MinValue, Short.MaxValue).toShort)
+        case "|i1" => buf.put(at, integral(num(v, off), Byte.MinValue, Byte.MaxValue).toByte)
+        case "|u1" => buf.put(at, integral(num(v, off), 0.0, 255.0).toByte)
+        case "<u2" => buf.putShort(at, integral(num(v, off), 0.0, 65535.0).toShort)
+        case "<u4" => buf.putInt(at, integral(num(v, off), 0.0, 4294967295.0).toInt)
         case t if t.startsWith("|S") =>
           val text = str(s, off)
           require(!text.contains('\u0000'),
@@ -245,7 +271,8 @@ object ZarrWriter {
   /** v2 `.zarray` fill_value JSON per dtype: floats 0.0, ints 0, strings
     * "" — matching the zeroed chunk buffers [[encodeCells]] fills. */
   private def fillJson(dtype: String): String =
-    if (dtype == "<f8") "0.0" else if (isString(dtype)) "\"\"" else "0"
+    if (dtype == "<f8" || dtype == "<f4") "0.0"
+    else if (isString(dtype)) "\"\"" else "0"
 
   def write(df0: DataFrame, storePath: String,
             maxChunkBytes: Long = 4L << 20,
@@ -350,9 +377,10 @@ object ZarrWriter {
     * fixed-width string — our reader translates them back, other readers
     * see spec-legal opaque bytes; `<U` refuses in v3 mode, use `|S`), the
     * `bytes` (little-endian) codec optionally chained with `gzip` or
-    * `zstd` (v3 stores in the wild increasingly default to zstd; the
-    * fill_value for r* is written as 0 — the zeroed payload — pending a
-    * pinned spec syntax for raw fills), default chunk-key encoding
+    * `zstd` (v3 stores in the wild increasingly default to zstd; r*
+    * arrays OMIT fill_value — the spec pins no JSON form for raw-bits
+    * fills, so strict third-party readers may refuse those arrays; our
+    * reader never consults the member), default chunk-key encoding
     * (`c/i/j…`), and first-class `dimension_names`.
     *
     * `shardInnerChunks >= 2` switches on `sharding_indexed` — v3's
@@ -396,8 +424,14 @@ object ZarrWriter {
   /** v3 `data_type` name for a write dtype (see [[writeV3]] on r*). */
   private def v3DataType(dtype: String): String = dtype match {
     case "<f8" => "float64"
-    case "<i4" => "int32"
+    case "<f4" => "float32"
     case "<i8" => "int64"
+    case "<i4" => "int32"
+    case "<i2" => "int16"
+    case "|i1" => "int8"
+    case "|u1" => "uint8"
+    case "<u2" => "uint16"
+    case "<u4" => "uint32"
     case s if s.startsWith("|S") => "r" + (8 * s.drop(2).toInt)
   }
 
@@ -436,13 +470,22 @@ object ZarrWriter {
             s""""chunk_shape": ${jarr(g.chunks)}, "codecs": $innerCodecs, """ +
             """"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, """ +
             """{"name": "crc32c"}], "index_location": "end"}}]"""
-      val fill = if (g.dtype == "<f8") "0.0" else "0"
+      // r* (|S labels) arrays OMIT fill_value: the v3 core spec pins no
+      // JSON form for raw-bits fills (a bare 0 is type-invalid for r*),
+      // and our reader treats absent chunks as fill without consulting
+      // the member. INTEROP CAVEAT: a strict third-party reader that
+      // requires the (spec-mandatory) member may refuse r* arrays from
+      // this writer; numeric dtypes always carry their 0 / 0.0 fill.
+      val fill =
+        if (isString(g.dtype)) ""
+        else if (g.dtype == "<f8" || g.dtype == "<f4") """"fill_value": 0.0, """
+        else """"fill_value": 0, """
       putFile(storePath, s"${g.variable}/zarr.json",
         (s"""{"zarr_format": 3, "node_type": "array", "shape": ${jarr(g.shape)}, """ +
           s""""data_type": "${v3DataType(g.dtype)}", "chunk_grid": {"name": "regular", """ +
           s""""configuration": {"chunk_shape": ${jarr(gridChunks)}}}, """ +
           """"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}}, """ +
-          s""""fill_value": $fill, "codecs": $codecs, """ +
+          s"""$fill"codecs": $codecs, """ +
           s""""dimension_names": ${jstrs(g.dims)}}""").getBytes("UTF-8"), conf.value)
     }
 

@@ -238,4 +238,69 @@ class ZarrWriterSpec extends AnyFunSuite {
       graft.sources.ZarrWriter.write(lab("ab"), dir) // default <f8, but only labels given
     }.getMessage.contains("null values"))
   }
+
+  test("dtype parity r13: f4/i2/i1/u1/u2/u4 round-trip through both sinks; lossy values refuse") {
+    // one variable per new width, values at the edges where a wrong
+    // signed/width encode corrupts: u2 beyond i2's max, u4 beyond i4's
+    // max, u1/i1 full-range, f4 half-steps (exact float32)
+    val rows = Seq(
+      ("f", Seq(0L), 2.5), ("f", Seq(1L), -0.25),
+      ("s2", Seq(0L), -32768.0), ("s2", Seq(1L), 32767.0),
+      ("s1", Seq(0L), -128.0), ("s1", Seq(1L), 127.0),
+      ("b1", Seq(0L), 0.0), ("b1", Seq(1L), 255.0),
+      ("w2", Seq(0L), 65535.0), ("w2", Seq(1L), 40000.0),
+      ("w4", Seq(0L), 4294967295.0), ("w4", Seq(1L), 3000000000.0))
+      .map { case (v, c, x) => (v, Seq("x"), c, x) }
+    val dts = Map("f" -> "<f4", "s2" -> "<i2", "s1" -> "|i1",
+      "b1" -> "|u1", "w2" -> "<u2", "w4" -> "<u4")
+    val want = rows.map { case (v, _, c, x) => (v, c.head, x) }.toSet
+    for (v3 <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_zwp$v3").toString
+      if (v3) graft.sources.ZarrWriter.writeV3(tidy(rows), dir, dtypes = dts, codec = "zstd")
+      else graft.sources.ZarrWriter.write(tidy(rows), dir, dtypes = dts)
+      val got = decode(dir)
+        .select(col("variable"), element_at(col("coords"), 1), col("value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == want, s"v3=$v3\n$got")
+    }
+    // declared dtype strings land in the store metadata
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zwp2").toString
+    graft.sources.ZarrWriter.write(tidy(rows), dir2, dtypes = dts)
+    def za(v: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir2, v, ".zarray")), "UTF-8")
+    dts.foreach { case (v, dt) => assert(za(v).contains("\"" + dt + "\""), za(v)) }
+    // lossy encodes refuse loudly: not-exactly-float32, range breaches
+    def one(v: Double) = tidy(Seq(("v", Seq("x"), Seq(0L), v)))
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_zwp3").toString
+    assert(intercept[Exception] { // 0.1 is not a float32
+      graft.sources.ZarrWriter.write(one(0.1), dir3, dtypes = Map("v" -> "<f4"))
+    }.getMessage.contains("float32"))
+    assert(intercept[Exception] { // negative into unsigned
+      graft.sources.ZarrWriter.write(one(-1.0), dir3, dtypes = Map("v" -> "|u1"))
+    }.getMessage.contains("integral"))
+    assert(intercept[Exception] { // over u2
+      graft.sources.ZarrWriter.write(one(65536.0), dir3, dtypes = Map("v" -> "<u2"))
+    }.getMessage.contains("integral"))
+    assert(intercept[Exception] { // over i2
+      graft.sources.ZarrWriter.write(one(32768.0), dir3, dtypes = Map("v" -> "<i2"))
+    }.getMessage.contains("integral"))
+    // NaN is a legal f4 (self-inequality must not trip the exactness check)
+    val dir4 = java.nio.file.Files.createTempDirectory("graft_zwp4").toString
+    graft.sources.ZarrWriter.write(one(Double.NaN), dir4, dtypes = Map("v" -> "<f4"))
+    val back = decode(dir4).select("value").as[Double].collect()
+    assert(back.length == 1 && back(0).isNaN, back.toSeq.toString)
+  }
+
+  test("v3 fill_value: omitted for r* raw-bits arrays, present for numerics (r13)") {
+    val rows = Seq(
+      ("num", Seq("x"), Seq(0L), Option(1.0), Option.empty[String]),
+      ("lbl", Seq("x"), Seq(0L), Option.empty[Double], Option("ab")))
+      .toDF("variable", "dims", "coords", "value", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zwfv").toString
+    graft.sources.ZarrWriter.writeV3(rows, dir, dtypes = Map("lbl" -> "|S"))
+    def zj(v: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, v, "zarr.json")), "UTF-8")
+    assert(zj("num").contains("\"fill_value\": 0.0"), zj("num"))
+    assert(!zj("lbl").contains("fill_value"), zj("lbl"))
+  }
 }
