@@ -17,6 +17,9 @@ run / fork := true
 // sbt's "[success] Total time …" trailer that would otherwise follow it.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by the command engine, not a task — exclude it from
+// the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1674,6 +1674,25 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq" -> ((s, _) => {
+      // r13: DAP2 one-level Sequence decode — the row-structured DAP type
+      // common on in-situ/observational OPeNDAP feeds. The fixture serves
+      // `Sequence { Int32 depth; Float64 temp; String station; } cast;`
+      // as a real 0x5A/0xA5-marked XDR record stream; decodeSequences
+      // walks it into tidy per-member rows over the record index (pydap's
+      // presentation, reference path source.py:85-90). Values are
+      // closed-form, so the oracle regenerates everything from range();
+      // numeric members land on `value`, the String member on `label`.
+      val base = graft.harness.Dap2Fixture.ensureSeq(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries)
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -4187,6 +4206,23 @@ object SparkEntry {
         |  SELECT 'n_u2', 'nation', CAST(i AS VARCHAR), CAST(k * 2000 AS DOUBLE), NULL FROM nk
         |  UNION ALL
         |  SELECT 'n_u4', 'nation', CAST(i AS VARCHAR), CAST(4000000000 + k AS DOUBLE), NULL FROM nk)
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // closed-form regeneration of the Sequence fixture: per-member tidy
+    // rows over the record index; station's lengths (2..5) exercised every
+    // XDR pad width on the wire, depth goes negative at i = 0
+    "load_opendap_seq" ->
+      """WITH v AS (
+        |  SELECT 'cast.depth' AS variable, 'cast' AS dims, CAST(i AS VARCHAR) AS coord_key,
+        |         CAST(7 * i - 3 AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM range(6) t(i)
+        |  UNION ALL
+        |  SELECT 'cast.temp', 'cast', CAST(i AS VARCHAR),
+        |         0.25 + 2.5 * CAST(i AS DOUBLE), NULL FROM range(6) t(i)
+        |  UNION ALL
+        |  SELECT 'cast.station', 'cast', CAST(i AS VARCHAR), CAST(NULL AS DOUBLE),
+        |         repeat('x', CAST(i % 4 AS INT) + 1) || CAST(i AS VARCHAR) FROM range(6) t(i))
+        |SELECT variable, dims, coord_key, value, label FROM v
         |ORDER BY variable, coord_key""".stripMargin,
 
     // closed-form regeneration of the Structure fixture: the dotted

@@ -66,6 +66,100 @@ object Dap2Fixture {
     servers.getOrElseUpdate("#struct", start(structVars, "station", structDasText))
   }
 
+  /** Sequence dataset (r13, `load_opendap_seq`): one-level
+    * `Sequence { Int32 depth; Float64 temp; String station; } cast;` with
+    * 6 closed-form records (depth = 7i − 3, temp = 0.25 + 2.5i, station =
+    * 'x'×(i%4+1) ++ i — lengths 2..5 exercise every XDR string pad), so
+    * the DuckDB oracle regenerates everything from range(). Wire form per
+    * DAP 2.0 §7.2.3: 0x5A000000 before each record, members as XDR basic
+    * values in declaration order, 0xA5000000 terminator — encoded here
+    * independently of the client's walk (Dap2Spec pins golden bytes). */
+  def ensureSeq(spark: SparkSession): String = synchronized {
+    servers.getOrElseUpdate("#seq", startSeq())
+  }
+
+  private[graft] val seqN = 6
+
+  private[graft] def seqDepth(i: Int): Int = 7 * i - 3
+  private[graft] def seqTemp(i: Int): Double = 0.25 + 2.5 * i
+  private[graft] def seqStation(i: Int): String = "x" * (i % 4 + 1) + i
+
+  private[graft] def seqDdsText: String =
+    """Dataset {
+      |    Sequence {
+      |        Int32 depth;
+      |        Float64 temp;
+      |        String station;
+      |    } cast;
+      |} casts;""".stripMargin
+
+  private[graft] def seqDasText: String =
+    """Attributes {
+      |    NC_GLOBAL {
+      |        String title "graft DAP2 sequence fixture";
+      |    }
+      |    cast {
+      |        depth {
+      |            String units "m";
+      |        }
+      |    }
+      |}""".stripMargin
+
+  /** The `.dods` record stream for the `cast` sequence. */
+  private[graft] def seqDodsBytes: Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write((seqDdsText + "\nData:\n").getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    (0 until seqN).foreach { i =>
+      u32(0x5A000000L) // start of instance
+      u32(seqDepth(i).toLong & 0xffffffffL) // Int32 scalar: 4-byte BE
+      val bits = java.lang.Double.doubleToLongBits(seqTemp(i))
+      u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+      val sb = seqStation(i).getBytes("UTF-8") // counted string + pad
+      u32(sb.length.toLong)
+      out.write(sb)
+      var pad = (4 - sb.length % 4) % 4
+      while (pad > 0) { out.write(0); pad -= 1 }
+    }
+    u32(0xA5000000L) // end of sequence
+    out.toByteArray
+  }
+
+  private def startSeq(): String = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+      val t = new Thread(r, "dap2-seq-fixture"); t.setDaemon(true); t
+    })
+    server.setExecutor(pool)
+    server.createContext("/casts", { exchange =>
+      val path = exchange.getRequestURI.getPath
+      val query = exchange.getRequestURI.getQuery
+      try {
+        val bytes: Array[Byte] =
+          if (path.endsWith(".dds")) (seqDdsText + "\n").getBytes("US-ASCII")
+          else if (path.endsWith(".das")) (seqDasText + "\n").getBytes("US-ASCII")
+          else if (path.endsWith(".dods")) {
+            require(query == null || query.trim.isEmpty || query.trim == "cast",
+              s"sequence fixture serves only the whole 'cast' sequence, got '$query'")
+            seqDodsBytes
+          } else throw new IllegalArgumentException(s"unknown DAP request $path")
+        exchange.sendResponseHeaders(200, bytes.length.toLong)
+        exchange.getResponseBody.write(bytes)
+      } catch {
+        case e: Exception =>
+          val msg = ("Error { " + e.getMessage + " }").getBytes("US-ASCII")
+          exchange.sendResponseHeaders(400, msg.length.toLong)
+          exchange.getResponseBody.write(msg)
+      } finally exchange.close()
+    })
+    val t = new Thread(() => server.start(), "dap2-seq-fixture-start")
+    t.setDaemon(true); t.start(); t.join()
+    s"http://127.0.0.1:${server.getAddress.getPort}/casts"
+  }
+
   private def structVars: Seq[Var] = Seq(
     Var("obs.depth", "Int32", Seq("d" -> 4L),
       (0 until 4).map(i => (7 * i - 3).toDouble).toArray, container = "obs"),

@@ -42,9 +42,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * convention: a DAP2 String array carries its element count ONCE, then
   * RFC 4506 §4.11 counted strings (length word + bytes + pad-to-4) —
   * libdap and pydap both serialize string vectors this way; the doubled
-  * count is the NUMERIC array quirk. Still refused loudly:
-  * Structure/Sequence containers (absent from the reference's own opendap
-  * test catalog, noaa-pathfinder-opendap.json).
+  * count is the NUMERIC array quirk. Structures flatten to dotted names
+  * (r12); one-level Sequences decode to tidy rows (r13,
+  * [[decodeSequences]]). Still refused loudly: nested Sequences, array
+  * members inside a Sequence, and arrays of Structures/Sequences.
   */
 object Dap2Index {
 
@@ -56,7 +57,16 @@ object Dap2Index {
   final case class DapVar(name: String, dapType: String, dims: Seq[(String, Long)],
                           maps: Seq[String] = Nil)
 
-  final case class Dds(datasetName: String, vars: Seq[DapVar])
+  /** One-level `Sequence { <scalar members> } name;` (r13): row-structured
+    * data — in-situ/observational feeds — whose record count is
+    * data-dependent (no fixed geometry, so no `.zarray` plane). Members
+    * are (name, dapType) scalars; [[decodeSequences]] walks the XDR record
+    * stream into tidy rows. Nested Sequences, array members, and
+    * Sequences inside Structures still refuse loudly. */
+  final case class DapSeq(name: String, members: Seq[(String, String)])
+
+  final case class Dds(datasetName: String, vars: Seq[DapVar],
+                       seqs: Seq[DapSeq] = Nil)
 
   private val atomicTypes =
     Set("Byte", "Int16", "UInt16", "Int32", "UInt32", "Float32", "Float64")
@@ -110,12 +120,14 @@ object Dap2Index {
     val datasetName = body.substring(close + 1).trim.stripSuffix(";").trim
     val inner = body.substring(open + 1, close)
     val vars = scala.collection.mutable.ArrayBuffer.empty[DapVar]
-    parseVars(inner, "", vars)
-    Dds(datasetName, vars.toSeq)
+    val seqs = scala.collection.mutable.ArrayBuffer.empty[DapSeq]
+    parseVars(inner, "", vars, seqs)
+    Dds(datasetName, vars.toSeq, seqs.toSeq)
   }
 
   private def parseVars(inner: String, prefix: String,
-                        vars: scala.collection.mutable.ArrayBuffer[DapVar]): Unit = {
+                        vars: scala.collection.mutable.ArrayBuffer[DapVar],
+                        seqs: scala.collection.mutable.ArrayBuffer[DapSeq]): Unit = {
     var rest = inner
     while (rest.trim.nonEmpty) {
       val t = rest.trim
@@ -165,12 +177,41 @@ object Dap2Index {
           s"DAP2 array-of-Structures '$structName' has no flat-variable form " +
             "— outside the array plane")
         require(structName.nonEmpty, "malformed Structure: missing name")
-        parseVars(structBody, s"$prefix$structName.", vars)
+        parseVars(structBody, s"$prefix$structName.", vars, seqs)
         rest = afterBrace.substring(semi + 1)
       } else if (t.startsWith("Sequence")) {
-        throw new UnsupportedOperationException(
-          "DAP2 Sequence containers are row-structured (no fixed geometry) — " +
-            "outside the array plane (absent from the reference's opendap catalog)")
+        // Sequence { <scalar members> } name; → row-structured records
+        // (r13). ONE level: a Sequence nested inside a Structure or
+        // another Sequence, array members, and arrays OF Sequences keep
+        // refusing loudly (the relational row target is the flat record).
+        require(prefix.isEmpty,
+          s"DAP2 Sequence nested inside container '${prefix.stripSuffix(".")}' — " +
+            "only one-level (top-level) Sequences decode to rows")
+        val qOpen = t.indexOf('{')
+        val qClose = matchingBrace(t, qOpen)
+        val seqBody = t.substring(qOpen + 1, qClose)
+        val afterBrace = t.substring(qClose + 1)
+        val semi = afterBrace.indexOf(';')
+        require(semi >= 0, "malformed Sequence: missing trailing ';'")
+        val seqName = afterBrace.substring(0, semi).trim
+        require(seqName.nonEmpty, "malformed Sequence: missing name")
+        require(!seqName.contains('['),
+          s"DAP2 array-of-Sequences '$seqName' has no row form — refusing")
+        require(!seqBody.trim.startsWith("Sequence") && !seqBody.contains("Sequence "),
+          s"DAP2 Sequence '$seqName' nests another Sequence — only one-level " +
+            "Sequences decode to rows")
+        require(!seqBody.contains("Structure") && !seqBody.contains("Grid"),
+          s"DAP2 Sequence '$seqName' holds a container member — only scalar " +
+            "atomic/String members decode to rows")
+        val members = parseDecls(seqBody).map { m =>
+          require(m.dims == Seq(m.name -> 1L),
+            s"DAP2 Sequence member '${seqName}.${m.name}' is an array — only " +
+              "scalar members decode to rows")
+          (m.name, m.dapType)
+        }
+        require(members.nonEmpty, s"DAP2 Sequence '$seqName' has no members")
+        seqs += DapSeq(seqName, members)
+        rest = afterBrace.substring(semi + 1)
       } else {
         declRe.findPrefixMatchOf(t) match {
           case Some(m) =>
@@ -401,7 +442,26 @@ object Dap2Index {
       }
     }
 
-    spark.createDataset((group ++ rootAttrs ++ perVar).toSeq)
+    // one-level Sequences (r13): a `.zseq` meta row carries the member
+    // schema (name + DAP type, declaration order — the record walk needs
+    // it), and ONE `seqref` row requests the whole sequence (`?name`);
+    // record count is data-dependent, so there is no banding to presize —
+    // a server-side relational constraint is the protocol's own
+    // subsetting path for these. The numeric/label planes skip both rows
+    // by kind/member, so a mixed dataset decodes all three planes.
+    val perSeq = dds.seqs.iterator.flatMap { sq =>
+      val schema: JValue = ("members" ->
+        JArray(sq.members.map { case (n, t) =>
+          JObject(JField("name", JString(n)), JField("type", JString(t)))
+        }.toList))
+      Iterator(
+        (s"${sq.name}/.zseq", sq.name, ".zseq", "meta", null: String,
+          None: Option[Long], None: Option[Long], compact(render(schema))),
+        (s"${sq.name}/seq", sq.name, "seq", "seqref", s"$base.dods?${sq.name}",
+          None: Option[Long], None: Option[Long], null: String))
+    }
+
+    spark.createDataset((group ++ rootAttrs ++ perVar ++ perSeq).toSeq)
       .toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
   }
 
@@ -431,17 +491,7 @@ object Dap2Index {
     * Framing (DAP 2.0 §7.2.3): the projected DDS text, a line `Data:`, then
     * XDR — two big-endian uint32 element counts, then the elements. */
   private[graft] def fetchDodsPayload(url: String): Array[Byte] = {
-    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
-    conn.setConnectTimeout(30000)
-    conn.setReadTimeout(300000)
-    val body =
-      try {
-        val code = conn.getResponseCode
-        if (code / 100 != 2)
-          throw new java.io.IOException(s"DAP2 server returned $code for $url")
-        val in = conn.getInputStream
-        try in.readAllBytes() finally in.close()
-      } finally conn.disconnect()
+    val body = fetchBody(url)
     // the requested variable, from the constraint: `...dods?name[slab]...`
     val wantVar = url.indexOf('?') match {
       case -1 => None
@@ -449,6 +499,20 @@ object Dap2Index {
         .map(n => java.net.URLDecoder.decode(n, "UTF-8")).filter(_.nonEmpty)
     }
     stripDods(body, url, wantVar)
+  }
+
+  /** GET one DAP2 response body, unframed. */
+  private[graft] def fetchBody(url: String): Array[Byte] = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setConnectTimeout(30000)
+    conn.setReadTimeout(300000)
+    try {
+      val code = conn.getResponseCode
+      if (code / 100 != 2)
+        throw new java.io.IOException(s"DAP2 server returned $code for $url")
+      val in = conn.getInputStream
+      try in.readAllBytes() finally in.close()
+    } finally conn.disconnect()
   }
 
   /** Strip the DODS framing and return the requested variable's raw XDR
@@ -573,6 +637,137 @@ object Dap2Index {
       .withColumnRenamed("pos", "idx").withColumnRenamed("col", "label")
       .join(broadcast(dims), Seq("variable"), "left")
       .select(col("variable"), named.as("dims"), coordsExpr.as("coords"), col("label"))
+  }
+
+  // ------------------------------------------------------------- sequences
+
+  /** Decode one-level Sequence containers (r13) into tidy rows:
+    * (variable = `<seq>.<member>`, dims = [`<seq>`], coords = [record
+    * index], value, label) — numeric members fill `value`, String/Url
+    * members fill `label`; each lands on the plane the rest of the engine
+    * already speaks. One executor task fetches one sequence's `.dods`
+    * stream and walks the XDR records (DAP 2.0 §7.2.3: `0x5A000000`
+    * start-of-instance marker before every record, `0xA5000000`
+    * terminator; scalar members serialize as XDR basic values in
+    * declaration order — integers ≤4 bytes promoted to 4-byte big-endian,
+    * Strings as RFC 4506 counted strings). Record count is data-dependent
+    * — exactly why Sequences live outside the `.zarray` plane — so the
+    * walk emits what it parses and refuses on any framing disagreement.
+    * Reference behavior matched: pydap surfaces a Sequence as per-member
+    * vectors over the record index (the reference hands opendap urls to
+    * the pydap engine, source.py:85-90). Server-side relational
+    * constraints (`?seq.a,seq.b&seq.a>5`) are the protocol's own
+    * subsetting path; this client fetches whole one-level sequences. */
+  def decodeSequences(entries: DataFrame): DataFrame = {
+    val spark = entries.sparkSession
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // member schemas: one tiny row per sequence, driver-side by design
+    val schemas = entries.filter(col("member") === ".zseq")
+      .select("variable", "inline_value").as[(String, String)].collect()
+      .map { case (v, j) => v -> parseSeqSchema(j) }.toMap
+    val refs = entries.filter(col("kind") === "seqref")
+      .select("variable", "url").as[(String, String)]
+    val n = refs.count()
+    val parts = math.max(1, math.min(n, spark.sparkContext.defaultParallelism).toInt)
+    val bc = spark.sparkContext.broadcast(schemas)
+    refs.repartition(parts).flatMap { case (variable, url) =>
+      val members = bc.value.getOrElse(variable,
+        throw new IllegalStateException(s"no .zseq schema row for sequence '$variable'"))
+      parseSeqRecords(fetchBody(url), url, variable, members).map {
+        case (mName, idx, v, s) =>
+          (s"$variable.$mName", Seq(variable), Seq(idx), v, s)
+      }
+    }.toDF("variable", "dims", "coords", "value", "label")
+  }
+
+  private def parseSeqSchema(json: String): Seq[(String, String)] = {
+    import org.json4s._
+    (org.json4s.jackson.JsonMethods.parse(json) \ "members") match {
+      case JArray(items) => items.map { m =>
+        ((m \ "name"), (m \ "type")) match {
+          case (JString(nm), JString(t)) => (nm, t)
+          case _ => throw new IllegalArgumentException(s"malformed .zseq member: $m")
+        }
+      }
+      case other => throw new IllegalArgumentException(s"malformed .zseq schema: $other")
+    }
+  }
+
+  /** Walk a Sequence `.dods` body into (member, record index, value,
+    * label) tuples. Every marker, member span, and the final byte count
+    * are checked — a malformed stream refuses rather than mis-addressing
+    * (the stripDods doctrine). */
+  private[graft] def parseSeqRecords(body: Array[Byte], url: String, seqName: String,
+      members: Seq[(String, String)]): Seq[(String, Long, Option[Double], Option[String])] = {
+    val marker = "\nData:\n".getBytes("US-ASCII")
+    val at = indexOfSlice(body, marker)
+    if (at < 0)
+      throw new java.io.IOException(
+        s"malformed DODS response from $url: missing 'Data:' separator")
+    val projected = parseDds(new String(body, 0, at, "US-ASCII"))
+    require(projected.seqs.exists(s => s.name == seqName && s.members == members),
+      s"DODS response from $url does not declare Sequence '$seqName' with the " +
+        s"expected members (sequences: ${projected.seqs.map(_.name).mkString(", ")})")
+    def u32(off: Int): Long =
+      ((body(off) & 0xffL) << 24) | ((body(off + 1) & 0xffL) << 16) |
+        ((body(off + 2) & 0xffL) << 8) | (body(off + 3) & 0xffL)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Option[Double], Option[String])]
+    var pos = at + marker.length
+    var rec = 0L
+    var done = false
+    while (!done) {
+      require(body.length - pos >= 4,
+        s"truncated DODS sequence stream from $url: no marker before record $rec")
+      u32(pos) match {
+        case 0x5A000000L => // start of instance
+          pos += 4
+          members.foreach { case (mName, tpe) =>
+            val where = s"'$seqName.$mName' of record $rec from $url"
+            if (stringTypes.contains(tpe)) {
+              require(body.length - pos >= 4,
+                s"truncated DODS sequence stream: no length word for $where")
+              val len = u32(pos)
+              val wire = 4L + (len + 3L) / 4L * 4L
+              require(body.length - pos >= wire,
+                s"truncated DODS sequence stream: $where needs $wire wire bytes, " +
+                  s"have ${body.length - pos}")
+              out += ((mName, rec, None,
+                Some(new String(body, pos + 4, len.toInt, "UTF-8"))))
+              pos += wire.toInt
+            } else {
+              val width = if (tpe == "Float64") 8 else 4
+              require(body.length - pos >= width,
+                s"truncated DODS sequence stream: $width-byte $where missing")
+              val v: Double = tpe match {
+                case "Float64" =>
+                  java.lang.Double.longBitsToDouble((u32(pos) << 32) | u32(pos + 4))
+                case "Float32" => java.lang.Float.intBitsToFloat(u32(pos).toInt).toDouble
+                case "Byte"    => (u32(pos) & 0xffL).toDouble
+                case "UInt16" | "UInt32" => u32(pos).toDouble
+                case "Int16" | "Int32"   => u32(pos).toInt.toDouble
+                case other => throw new UnsupportedOperationException(
+                  s"DAP2 Sequence member type '$other' unsupported ($where)")
+              }
+              out += ((mName, rec, Some(v), None))
+              pos += width
+            }
+          }
+          rec += 1L
+        case 0xA5000000L => // end of sequence
+          pos += 4
+          done = true
+        case other =>
+          throw new java.io.IOException(
+            f"malformed DODS sequence stream from $url: marker 0x$other%08X " +
+              s"before record $rec (want 0x5A000000 or 0xA5000000)")
+      }
+    }
+    require(pos == body.length,
+      s"DODS sequence stream from $url has ${body.length - pos} trailing bytes " +
+        s"after $rec records")
+    out.toSeq
   }
 }
 

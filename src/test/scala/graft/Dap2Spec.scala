@@ -124,7 +124,7 @@ class Dap2Spec extends AnyFunSuite {
     assert(dds.vars(1).maps.isEmpty && dds.vars(2).maps.isEmpty)
   }
 
-  test("DDS: Structures flatten to dotted names (r12); Sequences refuse; String arrays parse") {
+  test("DDS: Structures flatten to dotted names (r12); String arrays parse") {
     // pydap semantics (source.py:85-90): Structure members become dotted
     // variables; nesting compounds; a Grid inside keeps the flat-Grid
     // convention (dotted array name, maps under their own names)
@@ -144,15 +144,94 @@ class Dap2Spec extends AnyFunSuite {
         |} d;""".stripMargin)
     assert(dds.vars.map(_.name) === Seq("s.a", "s.inner.b", "s.g", "x", "y"))
     assert(dds.vars.find(_.name == "s.g").get.maps === Seq("x", "y"))
-    // Sequences stay outside the array plane; arrays OF structures refuse
-    assert(intercept[UnsupportedOperationException] {
-      Dap2Index.parseDds("Dataset {\n Sequence { Int32 a; } s;\n} d;")
-    }.getMessage.contains("Sequence"))
+    // arrays OF structures refuse
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseDds("Dataset {\n Structure { Int32 a[x = 2]; } s[k = 4];\n} d;")
     }.getMessage.contains("array-of-Structures"))
     val flat = Dap2Index.parseDds("Dataset {\n String names[x = 3];\n} d;")
     assert(flat.vars === Seq(Dap2Index.DapVar("names", "String", Seq("x" -> 3L))))
+  }
+
+  test("DDS: one-level Sequences parse to member schemas; nesting/arrays refuse (r13)") {
+    val dds = Dap2Index.parseDds(
+      """Dataset {
+        |  Float64 bg[x = 2];
+        |  Sequence {
+        |    Int32 depth;
+        |    Float64 temp;
+        |    String station;
+        |  } cast;
+        |} d;""".stripMargin)
+    assert(dds.vars.map(_.name) === Seq("bg")) // arrays unaffected
+    assert(dds.seqs === Seq(Dap2Index.DapSeq("cast",
+      Seq("depth" -> "Int32", "temp" -> "Float64", "station" -> "String"))))
+    // one level only: nested Sequence, Sequence inside Structure, array
+    // members, array-of-Sequences, container members all refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseDds(
+        "Dataset {\n Sequence { Int32 a; Sequence { Int32 b; } in;\n } s;\n} d;")
+    }.getMessage.contains("nests another Sequence"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseDds("Dataset {\n Structure { Sequence { Int32 a; } q; } s;\n} d;")
+    }.getMessage.contains("one-level"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseDds("Dataset {\n Sequence { Int32 a[x = 3]; } s;\n} d;")
+    }.getMessage.contains("scalar members"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseDds("Dataset {\n Sequence { Int32 a; } s[k = 2];\n} d;")
+    }.getMessage.contains("array-of-Sequences"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseDds("Dataset {\n Sequence { Grid { ARRAY: Int32 a[x=1]; MAPS: Int32 x[x=1]; } g; } s;\n} d;")
+    }.getMessage.contains("container member"))
+  }
+
+  test("Sequence golden bytes: 0x5A/0xA5 record walk, every member type span (r13)") {
+    // hand-built two-record stream, independent of BOTH the fixture
+    // encoder and the client walk
+    val dds = "Dataset {\n Sequence { Int32 a; String s; } q;\n} d;"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(dds.getBytes("US-ASCII")); bos.write("\nData:\n".getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+    }
+    u32(0x5A000000L); u32(0xfffffffdL) // a = -3 (sign-extends)
+    u32(2L); bos.write('h'); bos.write('i'); bos.write(0); bos.write(0) // "hi" + pad
+    u32(0x5A000000L); u32(7L)
+    u32(4L); bos.write("wxyz".getBytes("US-ASCII")) // no pad at len 4
+    u32(0xA5000000L)
+    val members = Seq("a" -> "Int32", "s" -> "String")
+    val rows = Dap2Index.parseSeqRecords(bos.toByteArray, "u", "q", members)
+    assert(rows === Seq(
+      ("a", 0L, Some(-3.0), None), ("s", 0L, None, Some("hi")),
+      ("a", 1L, Some(7.0), None), ("s", 1L, None, Some("wxyz"))))
+    // framing refusals: bad marker, trailing bytes, truncated member
+    val good = bos.toByteArray
+    val badMarker = good.clone(); badMarker(dds.length + 7) = 0x11
+    assert(intercept[java.io.IOException] {
+      Dap2Index.parseSeqRecords(badMarker, "u", "q", members)
+    }.getMessage.contains("marker"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseSeqRecords(good :+ 0.toByte, "u", "q", members)
+    }.getMessage.contains("trailing"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseSeqRecords(good.dropRight(6), "u", "q", members)
+    }.getMessage.contains("truncated"))
+  }
+
+  test("Sequence end-to-end: fixture stream decodes to tidy rows (r13)") {
+    val base = Dap2Fixture.ensureSeq(spark)
+    val rows = Dap2Index.decodeSequences(Dap2Index.read(spark, base))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq,
+        r.getSeq[Long](2).toSeq, Option(r.get(3)), Option(r.get(4)))).toSet
+    val want = (0 until Dap2Fixture.seqN).flatMap { i =>
+      Seq(
+        ("cast.depth", Seq("cast"), Seq(i.toLong),
+          Some(Dap2Fixture.seqDepth(i).toDouble), None),
+        ("cast.temp", Seq("cast"), Seq(i.toLong), Some(Dap2Fixture.seqTemp(i)), None),
+        ("cast.station", Seq("cast"), Seq(i.toLong), None, Some(Dap2Fixture.seqStation(i))))
+    }.toSet
+    assert(rows === want)
   }
 
   test("DAS: nested containers flatten to dotted attribute scopes (r12)") {
