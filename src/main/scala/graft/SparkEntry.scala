@@ -3236,10 +3236,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "multimodal_decode_stub" -> ((s, dir) => {
-      val d = T(s, dir, "documents").select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.decodeFeaturesBatched(d, "doc_id", "payload")
-        .select(col("id"), element_at(col("features"), 1).as("f0"))
+    "multimodal_decode_features" -> ((s, dir) => {
+      // r13: REAL decode→featurize (replaces the multimodal_decode_stub
+      // byte-histogram) — ImageIO decodes the fixture's actual container
+      // bytes inside the batched mapInPandas-shaped partition loop, and
+      // the 8 pixel statistics are exact integer sums + single IEEE
+      // divisions, so the oracle re-derives every double bit-for-bit from
+      // the fixture's pixel formula ((x·31+y·17+id) & 0xffffff). Lossless
+      // formats only (png/bmp — the multimodal_phash precedent: jpeg is
+      // lossy, gif palette-quantized); strict — an undecodable payload
+      // refuses, never a silent null feature.
+      val imgs = s.read.parquet(ensureImageFixture(s, dir))
+        .filter(pmod(col("img_id"), lit(4)).isin(0, 3))
+      Multimodal.decodeFeaturesBatched(imgs, "img_id", "payload", strict = true)
+        .select(col("id"),
+          element_at(col("features"), 1).as("f_w"),
+          element_at(col("features"), 2).as("f_h"),
+          element_at(col("features"), 3).as("f_mean_r"),
+          element_at(col("features"), 4).as("f_mean_g"),
+          element_at(col("features"), 5).as("f_mean_b"),
+          element_at(col("features"), 6).as("f_mean_luma"),
+          element_at(col("features"), 7).as("f_luma_range"),
+          element_at(col("features"), 8).as("f_bright"))
         .orderBy("id")
     }),
 
@@ -6098,13 +6116,46 @@ object SparkEntry {
         |FROM cells c JOIN tot t2 USING (id)
         |GROUP BY c.id ORDER BY id""".stripMargin,
 
-    // f0 = fraction of payload bytes in [0, 32) (bucket 0 of the 8-bucket
-    // byte histogram). In UTF-8 those bytes are exactly the control chars.
-    "multimodal_decode_stub" ->
-      """SELECT doc_id AS id,
-        |  CAST(length(regexp_replace(text, '[^\x00-\x1f]', '', 'g')) AS DOUBLE)
-        |   / greatest(1.0, CAST(octet_length(encode(text)) AS DOUBLE)) AS f0
-        |FROM documents ORDER BY id""".stripMargin,
+    // Real decode→featurize re-derived from first principles: png/bmp
+    // encode losslessly, so DuckDB regenerates every pixel from the
+    // fixture formula, folds the same integer sums, and must reproduce
+    // all 8 feature doubles exactly (each mean is one IEEE division of
+    // exact integers on both engines).
+    "multimodal_decode_features" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS id,
+        |         CAST((doc_id * 7) % 120 + 16 AS BIGINT) AS w,
+        |         CAST((doc_id * 13) % 90 + 16 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 4 IN (0, 3)),
+        |xs AS (SELECT id, w, h, unnest(generate_series(0, w - 1)) AS x FROM imgs),
+        |px AS (SELECT id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |lum AS (
+        |  SELECT id, w, h,
+        |         (((x*31 + y*17 + id) & 16777215) >> 16) & 255 AS r,
+        |         (((x*31 + y*17 + id) & 16777215) >> 8) & 255 AS g,
+        |         ((x*31 + y*17 + id) & 16777215) & 255 AS b,
+        |         299 * ((((x*31 + y*17 + id) & 16777215) >> 16) & 255)
+        |       + 587 * ((((x*31 + y*17 + id) & 16777215) >> 8) & 255)
+        |       + 114 * (((x*31 + y*17 + id) & 16777215) & 255) AS l
+        |  FROM px),
+        |agg AS (
+        |  SELECT id, MAX(w) AS w, MAX(h) AS h, COUNT(*) AS n,
+        |         CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(g) AS BIGINT) AS sg,
+        |         CAST(SUM(b) AS BIGINT) AS sb, CAST(SUM(l) AS BIGINT) AS sl,
+        |         CAST(MAX(l) - MIN(l) AS BIGINT) AS rng
+        |  FROM lum GROUP BY id),
+        |br AS (
+        |  SELECT lum.id AS id, COUNT(*) FILTER (WHERE lum.l * agg.n > agg.sl) AS nb
+        |  FROM lum JOIN agg ON lum.id = agg.id GROUP BY lum.id)
+        |SELECT a.id AS id,
+        |       CAST(a.w AS DOUBLE) AS f_w, CAST(a.h AS DOUBLE) AS f_h,
+        |       CAST(a.sr AS DOUBLE) / CAST(a.n AS DOUBLE) AS f_mean_r,
+        |       CAST(a.sg AS DOUBLE) / CAST(a.n AS DOUBLE) AS f_mean_g,
+        |       CAST(a.sb AS DOUBLE) / CAST(a.n AS DOUBLE) AS f_mean_b,
+        |       CAST(a.sl AS DOUBLE) / CAST(a.n AS DOUBLE) AS f_mean_luma,
+        |       CAST(a.rng AS DOUBLE) AS f_luma_range,
+        |       CAST(br.nb AS DOUBLE) / CAST(a.n AS DOUBLE) AS f_bright
+        |FROM agg a JOIN br ON a.id = br.id ORDER BY id""".stripMargin,
 
     // Full 5-stage corpus-clean audit: quality gate, (no-op) lang gate,
     // exact dedup, then near-dedup = exact-jaccard pairs ≥ 0.8 → connected

@@ -253,3 +253,66 @@ object ImageAHash {
     InternalRow(UTF8String.fromString(sb.toString), packed)
   }
 }
+
+/** REAL decode→featurize kernel (r13 — graduates the former
+  * `fakeDecodeFeatures` stub): JDK ImageIO decodes the payload
+  * (PNG/JPEG/GIF/BMP) and the feature vector is 8 EXACT pixel statistics
+  *
+  *   [width, height, mean_r, mean_g, mean_b,
+  *    mean_luma1000, luma1000_range, bright_fraction]
+  *
+  * where luma1000 = 299·r + 587·g + 114·b (BT.601 ×1000, integer) and
+  * bright_fraction counts pixels with l·n > Σl (division-free threshold —
+  * the [[ImageAHash]] convention). Every sum stays an exact integer below
+  * 2^53 for any real image, and each mean is ONE IEEE division of two
+  * exactly-representable integers — so any engine (the DuckDB oracle
+  * re-deriving pixels from the fixture formula included) reproduces the
+  * doubles bit-for-bit. Null when the payload does not decode. */
+object ImageFeatures {
+  val dim = 8
+
+  def features(payload: Array[Byte]): Array[Double] = {
+    if (payload == null || payload.length == 0) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var minL = Long.MaxValue; var maxL = Long.MinValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // sRGB, alpha ignored
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        val l = 299L * r + 587L * g + 114L * b
+        if (l < minL) minL = l
+        if (l > maxL) maxL = l
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val sl = 299L * sr + 587L * sg + 114L * sb
+    // second pass: brightness fraction via the division-free threshold
+    // (l·n > Σl ⇔ l > mean, exactly); l·n ≤ 255000·n stays far under 2^63
+    var bright = 0L
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val l = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        if (l * n > sl) bright += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toDouble, h.toDouble,
+      sr.toDouble / n.toDouble, sg.toDouble / n.toDouble, sb.toDouble / n.toDouble,
+      sl.toDouble / n.toDouble, (maxL - minL).toDouble, bright.toDouble / n.toDouble)
+  }
+}

@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
   * columns + a typed metadata struct.
   *
-  * The decode/feature-extract kernels themselves need native codec libraries
-  * that do not ship in this container — they are STUBBED behind
-  * deterministic fakes (clearly marked below). Everything Spark-side is
-  * real: schema, batching shape, partition sizing, and the mapInPandas-
-  * equivalent `mapPartitions` batch loop, so swapping a real decoder in is a
-  * one-function change.
+  * The IMAGE plane decodes for real (JDK ImageIO — container dims
+  * [[imageMeta]], pixel aHash [[pixelAverageHash]], decode→featurize
+  * [[decodeFeaturesBatched]], all r11-r13); audio/video metadata parse
+  * their container headers for real (WAV/FLAC, ISO BMFF) while their
+  * SAMPLE decode would need codec libraries this container lacks — the
+  * remaining stand-ins are the content-hash fallback values in
+  * [[withMediaMeta]] for unrecognized payloads and the byte-plane
+  * [[averageHash]] (its pixel twin is real), each marked at the site.
   */
 object Multimodal {
 
@@ -174,12 +176,19 @@ object Multimodal {
     * shape of a Pandas-UDF/mapInPandas pipeline: iterate partitions, process
     * rows in fixed-size batches, emit a feature vector per row.
     *
-    * STUB kernel: emits a deterministic 8-dim byte-histogram-style feature
-    * from the payload. A real implementation swaps `fakeDecodeFeatures` for
-    * a JNI/codec call; the partitioning, batch shape, and output schema stay.
-    */
+    * r13: the kernel is REAL — JDK ImageIO decodes the payload
+    * (PNG/JPEG/GIF/BMP) and [[graft.functions.ImageFeatures]] emits 8
+    * exact pixel statistics [w, h, mean_r, mean_g, mean_b, mean_luma1000,
+    * luma1000_range, bright_fraction]; integer sums stay below 2^53 and
+    * each mean is ONE IEEE division of exact integers, so any engine
+    * reproduces the doubles bit-for-bit (the gate's oracle re-derives them
+    * from the fixture's pixel formula). Undecodable payloads yield null
+    * features — or refuse LOUDLY per row with `strict = true`. The
+    * partitioning, fixed-size batch loop, and output schema are the
+    * mapInPandas shape unchanged; a different featurizer (or a JNI codec
+    * for formats ImageIO lacks) swaps in at the kernel call. */
   def decodeFeaturesBatched(df: DataFrame, idCol: String, binCol: String,
-                            batchSize: Int = 64): DataFrame = {
+                            batchSize: Int = 64, strict: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField("id", LongType),
@@ -191,20 +200,16 @@ object Multimodal {
         batch.iterator.map { row =>
           val id    = row.getLong(0)
           val bytes = if (row.isNullAt(1)) Array.emptyByteArray else row.getAs[Array[Byte]](1)
-          org.apache.spark.sql.Row(id, fakeDecodeFeatures(bytes))
+          val f = graft.functions.ImageFeatures.features(bytes)
+          if (f == null && strict)
+            throw new IllegalArgumentException(
+              s"decodeFeaturesBatched: undecodable image payload for id=$id — " +
+                "refusing (a silent null feature would poison downstream training)")
+          org.apache.spark.sql.Row(id, if (f == null) null else f.toSeq)
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
-  }
-
-  /** STUB decoder: 8-bucket normalized byte histogram. Deterministic. */
-  private def fakeDecodeFeatures(bytes: Array[Byte]): Seq[Double] = {
-    val hist = new Array[Double](8)
-    var i = 0
-    while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1.0; i += 1 }
-    val n = math.max(1.0, bytes.length.toDouble)
-    hist.map(_ / n).toSeq
   }
 
   /** Aspect-fit resize plan: compute the output dimensions that fit

@@ -1020,13 +1020,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getAs[String]("checksum").length == 32)
   }
 
-  test("batched decode stub emits normalized 8-dim features") {
-    val df = Seq((1L, "hello"), (2L, "")).toDF("id", "payload")
-      .withColumn("payload", encode(col("payload"), "UTF-8"))
+  test("batched decode: real ImageIO pixel statistics, hand-computed (r13)") {
+    // 2×2 BMP (lossless) with known pixels: hand-compute all 8 features
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val px = Seq((0, 0, 0xff0000), (1, 0, 0x00ff00), (0, 1, 0x0000ff), (1, 1, 0x102030))
+    px.foreach { case (x, y, rgb) => img.setRGB(x, y, rgb | 0xff000000) }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bos))
+    val df = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("id", "payload")
     val out = Multimodal.decodeFeaturesBatched(df, "id", "payload").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-    assert(out(1L).size == 8 && math.abs(out(1L).sum - 1.0) < 1e-12)
-    assert(out(2L).sum == 0.0)
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    val f = out(1L)
+    val rs = Seq(255, 0, 0, 0x10); val gs = Seq(0, 255, 0, 0x20); val bs = Seq(0, 0, 255, 0x30)
+    val ls = (0 until 4).map(i => 299L * rs(i) + 587L * gs(i) + 114L * bs(i))
+    assert(f == Seq(2.0, 2.0,
+      rs.sum.toDouble / 4.0, gs.sum.toDouble / 4.0, bs.sum.toDouble / 4.0,
+      ls.sum.toDouble / 4.0, (ls.max - ls.min).toDouble,
+      ls.count(l => l * 4 > ls.sum).toDouble / 4.0), f.toString)
+    // undecodable payload → null features (lenient mode)…
+    assert(out(2L) == null)
+    // …and a loud per-row refusal in strict mode
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeaturesBatched(df, "id", "payload", strict = true).collect()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")), e.getMessage)
   }
 
   test("average hash: identical payloads equal, perturbed close, string matches long") {
