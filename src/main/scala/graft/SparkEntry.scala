@@ -1381,6 +1381,38 @@ object SparkEntry {
         .orderBy("variable", "chunk", "idx")
     }),
 
+    "append_kerchunk_parquet_refs" -> ((s, dir) => {
+      // r13: production APPEND — reference indexes grow daily, and a
+      // fresh writeParquetRefs of the whole history would rewrite every
+      // record file. Build the store from the first two per-file indexes,
+      // APPEND the third (only the boundary record file rewrites; earlier
+      // records never leave the disk — KerchunkProductionSpec pins the
+      // bytes), read back through the engine's own parquet-refs reader
+      // and decode. The oracle is combine_kerchunk_indexes's VERBATIM
+      // (the one-shot three-source combine): the append path must be
+      // invisible to every decoded cell. The store rebuilds per run —
+      // append is stateful, and a stale twice-appended store would double
+      // the time axis.
+      val paths = ensureKerchunkCombineFixture()
+      val store = s"/tmp/graft_kerchunk_parq_append_${tmpToken(dir)}"
+      graft.sources.KerchunkIndex.writeParquetRefs(
+        graft.sources.KerchunkIndex.combineAlong(
+          graft.sources.KerchunkIndex.readMany(s, paths.take(2)), "time"),
+        store, recordSize = 3)
+      graft.sources.KerchunkIndex.appendParquetRefs(s, store,
+        graft.sources.KerchunkIndex.readMany(s, Seq(paths(2))), "time")
+      val entries = graft.sources.KerchunkIndex.open(s, store)
+      graft.sources.KerchunkIndex.decodeCoords(
+          graft.sources.KerchunkIndex.materializeChunks(entries),
+          graft.sources.KerchunkIndex.arrayMeta(entries),
+          graft.sources.KerchunkIndex.attrDims(entries))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "scan_kerchunk_parquet_refs" -> ((s, _) => {
       // kerchunk PARQUET reference store (the format kerchunk recommends
       // past ~100 MB of JSON; fsspec LazyReferenceMapper layout): row
@@ -3565,6 +3597,9 @@ object SparkEntry {
     // SAME oracle as the index-ordered combine: the coordinate-ordered
     // mode (scrambled inputs) must be invisible to every decoded cell
     ("combine_kerchunk_by_coords" -> oracleSqlBase("combine_kerchunk_indexes")) +
+    // SAME oracle again: store-then-append must decode exactly the
+    // one-shot combine of all three sources
+    ("append_kerchunk_parquet_refs" -> oracleSqlBase("combine_kerchunk_indexes")) +
     // SAME pinned values as load_netcdf3 — load_netcdf_tar reads the same
     // file as a tar member, so any tar-framing error (offset shift, member
     // misresolution) breaks the hash while the oracle stays authoritative

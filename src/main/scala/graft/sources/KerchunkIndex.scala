@@ -597,13 +597,26 @@ object KerchunkIndex {
       val dims0 = zattrs0.map(a => a \ "_ARRAY_DIMENSIONS").collect {
         case JArray(ds) => ds.map { case JString(x) => x; case o => fail(s"bad dim $o") }
       }
+      // canonical JSON form for metadata equality: objects are unordered
+      // and whitespace is presentation — a store read-back re-renders its
+      // documents compactly, and that must still count as identical
+      def canon(j: JValue): String = {
+        def sort(x: JValue): JValue = x match {
+          case JObject(fields) =>
+            JObject(fields.map { case (n, fv) => (n, sort(fv)) }.sortBy(_._1))
+          case JArray(items) => JArray(items.map(sort))
+          case other => other
+        }
+        JsonMethods.compact(JsonMethods.render(sort(j)))
+      }
       val p = dims0.map(_.indexOf(dim)).getOrElse(-1)
       if (p < 0) {
-        // identical variable: metadata must agree verbatim
+        // identical variable: metadata must agree (canonically)
+        val mine = canon(JsonMethods.parse(bySrcKey((0, s"$v/.zarray"))))
         (1 until k).foreach { s =>
           val theirs = bySrcKey.getOrElse((s, s"$v/.zarray"),
             fail(s"variable '$v' has no .zarray in source $s"))
-          if (theirs != bySrcKey((0, s"$v/.zarray")))
+          if (canon(JsonMethods.parse(theirs)) != mine)
             fail(s"variable '$v' has no '$dim' dimension but its .zarray differs " +
               s"between sources 0 and $s — not an identical variable")
         }
@@ -626,8 +639,8 @@ object KerchunkIndex {
         val shapes = zarrays.map(z => longs(z \ "shape"))
         // every field but shape must agree (dtype/codec/filters/order —
         // a codec mismatch would decode half the combined array wrong)
-        val stripped = zarrays.map(z => JsonMethods.compact(JsonMethods.render(
-          z.removeField { case (name, _) => name == "shape" })))
+        val stripped = zarrays.map(z =>
+          canon(z.removeField { case (name, _) => name == "shape" }))
         (1 until k).foreach { s =>
           if (stripped(s) != stripped.head)
             fail(s"variable '$v': .zarray (minus shape) differs between sources 0 and $s")
@@ -675,7 +688,14 @@ object KerchunkIndex {
     // ---- data rows: concat vars re-key through the broadcast shift map;
     // identical vars pass through from source 0
     val shiftDf = broadcast(shifts.toSeq.toDF("variable", "__src", "__axis", "__shift"))
+    // every data row must belong to a DECLARED variable: one with data
+    // rows but no .zarray in any source is neither concat nor identical,
+    // and sources >= 1 would silently drop below — refuse loudly (the
+    // module doctrine; the concat path's unknown-pair guard's sibling)
     val data = tagged.filter(col("kind") =!= "meta")
+      .filter(coalesce(assert_true(col("variable").isin(variables: _*),
+        concat(lit(s"kerchunk combine along '$dim': data entry '"), col("key"),
+          lit("' belongs to a variable with no .zarray in any source"))), lit(true)))
     val concatSet = concatVars.toSeq
     val shifted = data.filter(col("variable").isin(concatSet: _*))
       .join(shiftDf, Seq("variable", "__src"), "left")
@@ -796,25 +816,7 @@ object KerchunkIndex {
           s"kerchunk parquet write: metadata entry '$key' is not JSON: ${e.getMessage}")
       })
     }
-    def longs(v: JValue, what: String): Seq[Long] = v match {
-      case JArray(items) => items.map {
-        case JInt(x) => x.longValue
-        case other => throw new IllegalArgumentException(
-          s"kerchunk parquet write: $what holds ${other.getClass.getSimpleName}")
-      }
-      case other => throw new IllegalArgumentException(
-        s"kerchunk parquet write: $what is ${other.getClass.getSimpleName}")
-    }
-    val geometry: Map[String, (Seq[Long], Long)] = metaDocs.collect {
-      case (key, zarray) if key.endsWith("/.zarray") =>
-        val variable = key.dropRight("/.zarray".length)
-        val shape  = longs(zarray \ "shape", s"$variable shape")
-        val chunks = longs(zarray \ "chunks", s"$variable chunks")
-        require(shape.length == chunks.length && chunks.forall(_ > 0),
-          s"kerchunk parquet write: variable '$variable' shape $shape / chunks $chunks")
-        val grid = shape.zip(chunks).map { case (s, c) => math.max(1L, (s + c - 1) / c) }
-        variable -> ((grid, grid.product))
-    }.toMap
+    val geometry = refStoreGeometry(metaDocs)
     val root = FsPaths.hadoopPath(dir)
     val fs = try FsPaths.fileSystemFor(root, conf.value)
     catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
@@ -838,7 +840,44 @@ object KerchunkIndex {
     try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
     finally out.close()
 
-    // ---- data rows → (variable, record, row, path, offset, size, raw)
+    writeRecordFiles(recordRowsOf(entries, geometry, recordSize), root,
+      recordSize, geometry.map { case (v, (_, n)) => v -> n }, conf)
+  }
+
+  /** Consolidated-metadata `.zarray` docs → per-variable (chunk grid,
+    * chunk count) — shared by [[writeParquetRefs]] and
+    * [[appendParquetRefs]]. */
+  private def refStoreGeometry(metaDocs: Seq[(String, org.json4s.JValue)])
+      : Map[String, (Seq[Long], Long)] = {
+    import org.json4s._
+    def longs(v: JValue, what: String): Seq[Long] = v match {
+      case JArray(items) => items.map {
+        case JInt(x) => x.longValue
+        case other => throw new IllegalArgumentException(
+          s"kerchunk parquet write: $what holds ${other.getClass.getSimpleName}")
+      }
+      case other => throw new IllegalArgumentException(
+        s"kerchunk parquet write: $what is ${other.getClass.getSimpleName}")
+    }
+    metaDocs.collect {
+      case (key, zarray) if key.endsWith("/.zarray") =>
+        val variable = key.dropRight("/.zarray".length)
+        val shape  = longs(zarray \ "shape", s"$variable shape")
+        val chunks = longs(zarray \ "chunks", s"$variable chunks")
+        require(shape.length == chunks.length && chunks.forall(_ > 0),
+          s"kerchunk parquet write: variable '$variable' shape $shape / chunks $chunks")
+        val grid = shape.zip(chunks).map { case (s, c) => math.max(1L, (s + c - 1) / c) }
+        variable -> ((grid, grid.product))
+    }.toMap
+  }
+
+  /** Data entry rows → (variable, __record, __flat, url, offset, length,
+    * __raw) against a chunk-grid geometry, with the write-side guards
+    * (unknown variable, rank mismatch, out-of-grid position). Shared by
+    * [[writeParquetRefs]] and [[appendParquetRefs]]. */
+  private def recordRowsOf(entries: DataFrame, geometry: Map[String, (Seq[Long], Long)],
+                           recordSize: Long): DataFrame = {
+    val spark = entries.sparkSession
     import spark.implicits._
     val geoDf = broadcast(geometry.toSeq.map { case (v, (grid, n)) => (v, grid, n) }
       .toDF("variable", "__grid", "__nchunks"))
@@ -850,7 +889,7 @@ object KerchunkIndex {
         aggregate(slice(gridN, d + lit(2), size(gridN)), lit(1L), (a, x) => a * x)),
         (c, s) => c * s),
       lit(0L), (a, x) => a + x)
-    val rows = entries.filter(col("kind") =!= "meta")
+    entries.filter(col("kind") =!= "meta")
       .join(geoDf, Seq("variable"), "left")
       .filter(coalesce(assert_true(col("__nchunks").isNotNull,
         concat(lit("kerchunk parquet write: data entry '"), col("key"),
@@ -872,9 +911,18 @@ object KerchunkIndex {
           when(col("inline_value").startsWith("base64:"),
             unbase64(expr("substring(inline_value, 8)")))
             .otherwise(col("inline_value").cast("binary"))).as("__raw"))
+  }
 
-    val recSize = recordSize
-    val nchunksByVar: Map[String, Long] = geometry.map { case (v, (_, n)) => v -> n }
+  /** Stream (variable, record)-grouped rows into full-length
+    * `refs.<r>.parq` record files under `root` — ONE shuffle groups whole
+    * record files onto tasks; memory holds one row. Shared by
+    * [[writeParquetRefs]] and [[appendParquetRefs]] (which feeds only the
+    * boundary-and-beyond records). */
+  private def writeRecordFiles(rows: DataFrame, root: org.apache.hadoop.fs.Path,
+      recSize: Long, nchunksByVar: Map[String, Long],
+      conf: org.apache.spark.util.SerializableConfiguration): Unit = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     rows
       .repartition(col("variable"), col("__record"))
       .sortWithinPartitions("variable", "__record", "__flat")
@@ -919,6 +967,9 @@ object KerchunkIndex {
                 .withConf(wConf)
                 .withType(schema)
                 .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+                // OVERWRITE: a fresh store never collides; an APPEND
+                // rewrites exactly the boundary record file in place
+                .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
                 .build()
               curVar = variable; curRec = record; nextRow = record * recSize
             }
@@ -954,6 +1005,120 @@ object KerchunkIndex {
           }
         } finally close()
       }
+  }
+
+  /** APPEND new per-file reference sets to an EXISTING parquet reference
+    * store along `dim` (r13) — the production path for daily-growing
+    * reference indexes: a fresh [[writeParquetRefs]] of the whole history
+    * would rewrite every record file; real deployments append. `newTagged`
+    * is a [[readMany]]-style `__src`-tagged entries frame of the NEW
+    * sources; the existing store rides as source 0, so every
+    * [[combineAlong]] guard (same variable set, codec/dims agreement,
+    * interior-ragged refusal, unknown-variable refusal) applies to the
+    * append unchanged, and the result is chunk-for-chunk identical to a
+    * one-shot build over all sources.
+    *
+    * Incremental by construction: `dim` must be each concatenating
+    * variable's LEADING dimension (time, in practice — any other axis
+    * changes the C-order flat index of EXISTING chunks, so no incremental
+    * form exists; the refusal says to build a fresh store instead). With
+    * `dim` leading, existing chunk positions are untouched and new chunks
+    * land strictly after them, so only the BOUNDARY record file (the old
+    * last one, when partially filled) is rewritten and new record files
+    * follow it; identical variables and every earlier record stay
+    * byte-untouched on disk. The rewrite is safe against its own input:
+    * the rows reach the writer through a shuffle, so the map stage has
+    * fully read the old record files before any task overwrites one.
+    * `.zmetadata` (the grown shapes) writes LAST, after every record file
+    * landed — a reader mid-append sees the old metadata over unchanged
+    * positions, never a torn store. `record_size` is the store's fact and
+    * is carried over; an append can never change row addressing. */
+  def appendParquetRefs(spark: SparkSession, dir: String, newTagged: DataFrame,
+                        dim: String,
+                        storageOptions: Map[String, String] = Map.empty): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
+    val root = FsPaths.hadoopPath(dir)
+    val fs = try FsPaths.fileSystemFor(root, conf.value)
+    catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
+      FsPaths.connectorRefusal(dir, e) }
+    val metaPath = new org.apache.hadoop.fs.Path(root, ".zmetadata")
+    require(fs.exists(metaPath),
+      s"kerchunk parquet append: '$dir' is not a parquet reference store (no .zmetadata)")
+    val oldJson = {
+      val in = fs.open(metaPath)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      JsonMethods.parse(text)
+    }
+    val recordSize: Long = oldJson \ "record_size" match {
+      case JInt(v)  => v.longValue
+      case JNothing => 10000L // fsspec LazyReferenceMapper's default
+      case other => throw new IllegalArgumentException(
+        s"kerchunk parquet append: record_size is ${other.getClass.getSimpleName}")
+    }
+    val oldGeometry = refStoreGeometry(oldJson \ "metadata" match {
+      case JObject(fields) => fields
+      case other => throw new IllegalArgumentException(
+        s"kerchunk parquet append: .zmetadata 'metadata' is ${other.getClass.getSimpleName}")
+    })
+
+    // existing store = source 0; the new sources shift up by one, so the
+    // full combine machinery arbitrates the append
+    val existing = readParquetRefs(spark, dir, storageOptions)
+    val tagged = existing.withColumn("__src", lit(0))
+      .unionByName(newTagged.withColumn("__src", col("__src").cast("int") + lit(1)))
+    val combined = combineAlong(tagged, dim)
+
+    // grown geometry + the leading-axis requirement
+    val newMetaDocs: Seq[(String, JValue)] = combined.filter(col("kind") === "meta")
+      .select("key", "inline_value").collect().toSeq
+      .map(r => r.getString(0) -> JsonMethods.parse(r.getString(1)))
+    val newGeometry = refStoreGeometry(newMetaDocs)
+    val dimsByVar: Map[String, Seq[String]] = newMetaDocs.collect {
+      case (key, doc) if key.endsWith("/.zattrs") =>
+        key.dropRight("/.zattrs".length) -> ((doc \ "_ARRAY_DIMENSIONS") match {
+          case JArray(ds) => ds.collect { case JString(x) => x }
+          case _          => Seq.empty[String]
+        })
+    }.toMap
+    val grown = newGeometry.filter { case (v, (_, newN)) =>
+      newN != oldGeometry.getOrElse(v,
+        throw new IllegalArgumentException(
+          s"kerchunk parquet append: variable '$v' is not in the existing store"))._2
+    }
+    grown.keys.foreach { v =>
+      require(dimsByVar.get(v).exists(_.headOption.contains(dim)),
+        s"kerchunk parquet append: variable '$v' concatenates along '$dim', which is " +
+          "not its LEADING dimension — existing chunk positions would shift, so no " +
+          "incremental append exists; build a fresh store with writeParquetRefs")
+    }
+    require(grown.nonEmpty, // combineAlong already refuses a no-op combine
+      s"kerchunk parquet append: nothing grew along '$dim'")
+
+    // only the boundary-and-beyond records of grown variables rewrite;
+    // identical variables and earlier records never leave the disk
+    import spark.implicits._
+    val boundary = grown.map { case (v, _) =>
+      (v, (oldGeometry(v)._2 / recordSize) * recordSize)
+    }.toSeq
+    val bDf = broadcast(boundary.toDF("variable", "__from"))
+    val rows = recordRowsOf(combined, newGeometry, recordSize)
+      .join(bDf, Seq("variable")) // inner: untouched variables drop here
+      .filter(col("__flat") >= col("__from"))
+      .drop("__from")
+    writeRecordFiles(rows, root, recordSize,
+      newGeometry.map { case (v, (_, n)) => v -> n }, conf)
+
+    // metadata last: the store is torn-read-safe throughout the append
+    val metaJson = JObject(List(
+      JField("metadata", JObject(newMetaDocs.map { case (k, v) => JField(k, v) }.toList)),
+      JField("record_size", JLong(recordSize)),
+      JField("zarr_consolidated_format", JInt(1))))
+    val out = fs.create(metaPath, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Materialize the BYTES each reference entry points at — one level deeper

@@ -277,6 +277,104 @@ class KerchunkProductionSpec extends AnyFunSuite {
     assert(cells(KerchunkIndex.open(spark, store)) == want) // survives the migration
   }
 
+  private def storeCells(store: String): Set[(Long, Double)] = {
+    val entries = KerchunkIndex.open(spark, store)
+    KerchunkIndex.decodeCoords(
+        KerchunkIndex.materializeChunks(entries),
+        KerchunkIndex.arrayMeta(entries), KerchunkIndex.attrDims(entries))
+      .select("coords", "value").collect()
+      .map(r => (r.getSeq[Long](0).head, r.getDouble(1))).toSet
+  }
+
+  test("appendParquetRefs: equals the one-shot build; earlier records stay byte-untouched (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_app")
+    val (a, b, c) = (combineIndex(dir, "a", 4, 0), combineIndex(dir, "b", 4, 4),
+      combineIndex(dir, "c", 3, 8))
+    val store = dir.resolve("store").toString
+    // base store from a+b: 8 cells → 4 chunks → record 0 (rows 0-2, full)
+    // and record 1 (row 3, partial — THE boundary the append must rewrite)
+    KerchunkIndex.writeParquetRefs(
+      KerchunkIndex.combineAlong(KerchunkIndex.readMany(spark, Seq(a, b)), "time"),
+      store, recordSize = 3)
+    val rec0 = java.nio.file.Paths.get(store, "v", "refs.0.parq")
+    val rec1 = java.nio.file.Paths.get(store, "v", "refs.1.parq")
+    val rec0Before = java.nio.file.Files.readAllBytes(rec0)
+    val rec1Before = java.nio.file.Files.readAllBytes(rec1)
+    KerchunkIndex.appendParquetRefs(spark, store,
+      KerchunkIndex.readMany(spark, Seq(c)), "time")
+    // record 0 never left the disk; the boundary record was rewritten
+    assert(java.util.Arrays.equals(rec0Before, java.nio.file.Files.readAllBytes(rec0)))
+    assert(!java.util.Arrays.equals(rec1Before, java.nio.file.Files.readAllBytes(rec1)))
+    // cells = the one-shot three-source build, chunk map hash-identical
+    val oneShot = dir.resolve("oneshot").toString
+    KerchunkIndex.writeParquetRefs(
+      KerchunkIndex.combineAlong(KerchunkIndex.readMany(spark, Seq(a, b, c)), "time"),
+      oneShot, recordSize = 3)
+    val want = (0 until 11).map(t => (t.toLong, (t * 7).toDouble)).toSet
+    assert(storeCells(store) == want)
+    assert(storeCells(oneShot) == want)
+    def entryRows(s: String) = KerchunkIndex.open(spark, s)
+      .select("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        // paths differ only in the store dir, never per entry; urls point
+        // at the ORIGINAL data files so they must be equal verbatim
+        r.getString(4), Option(r.get(5)), Option(r.get(6)), Option(r.get(7)))).toSet
+    assert(entryRows(store) == entryRows(oneShot))
+    // a second append refuses: nothing grows (the sources double-cover)
+    val e = intercept[Exception] {
+      KerchunkIndex.appendParquetRefs(spark, store,
+        KerchunkIndex.readMany(spark, Seq(c)), "time")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("appendParquetRefs refusals: not a store, non-leading concat axis (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_app2")
+    // not a parquet reference store
+    assert(intercept[IllegalArgumentException] {
+      KerchunkIndex.appendParquetRefs(spark, dir.toString,
+        KerchunkIndex.readMany(spark, Seq(combineIndex(dir, "x", 2, 0))), "time")
+    }.getMessage.contains(".zmetadata"))
+    // time as the SECOND axis: existing flat indices would shift — refuse
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString } + "\""
+    def idx2d(name: String): String = {
+      val f = dir.resolve(s"$name.json")
+      java.nio.file.Files.writeString(f,
+        s"""{"version": 1, "refs": {
+           |  "w/.zarray": ${jstr("""{"zarr_format": 2, "dtype": "<i4", """ +
+              """"shape": [2, 2], "chunks": [2, 2], "compressor": null, """ +
+              """"filters": null, "order": "C"}""")},
+           |  "w/.zattrs": ${jstr("""{"_ARRAY_DIMENSIONS": ["x", "time"]}""")}
+           |}}""".stripMargin)
+      f.toString
+    }
+    val store2 = dir.resolve("store2").toString
+    KerchunkIndex.writeParquetRefs(KerchunkIndex.read(spark, idx2d("p")), store2,
+      recordSize = 3)
+    assert(intercept[IllegalArgumentException] {
+      KerchunkIndex.appendParquetRefs(spark, store2,
+        KerchunkIndex.readMany(spark, Seq(idx2d("q"))), "time")
+    }.getMessage.contains("LEADING"))
+  }
+
+  test("combineAlong: a data row whose variable has no .zarray anywhere refuses (r13)") {
+    // ADVICE r12: such rows were silently dropped from sources >= 1 (the
+    // identical-variable filter kept only source 0's)
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_orph")
+    val paths = Seq(combineIndex(dir, "a", 4, 0), combineIndex(dir, "b", 3, 4))
+    import spark.implicits._
+    val orphan = Seq(("ghost/0", "ghost", "0", "inline", null: String,
+      Option.empty[Long], Option.empty[Long], "AAAA")).toDF(
+      "key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+      .withColumn("__src", lit(1))
+    val tagged = KerchunkIndex.readMany(spark, paths).unionByName(orphan)
+    val e = intercept[Exception] {
+      KerchunkIndex.combineAlong(tagged, "time").filter(col("kind") =!= "meta").count()
+    }
+    assert(e.getMessage.contains("no .zarray in any source"), e.getMessage)
+  }
+
   // ------------------------------------------------------ parquet ref WRITER
 
   private def entryDf(rows: Seq[(String, String, String, String, String, Option[Long], Option[Long], String)]) = {
