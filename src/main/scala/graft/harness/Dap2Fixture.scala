@@ -84,7 +84,23 @@ object Dap2Fixture {
   private[graft] def seqTemp(i: Int): Double = 0.25 + 2.5 * i
   private[graft] def seqStation(i: Int): String = "x" * (i % 4 + 1) + i
 
+  /** A background ARRAY rides next to the Sequence: the mixed in-situ
+    * dataset shape, so specs prove the array plane and the sequence plane
+    * decode from ONE entries frame without cross-fetching. */
+  private[graft] val seqBg = Array(5, 9)
+
   private[graft] def seqDdsText: String =
+    s"""Dataset {
+      |    Int32 bg[d = ${seqBg.length}];
+      |    Sequence {
+      |        Int32 depth;
+      |        Float64 temp;
+      |        String station;
+      |    } cast;
+      |} casts;""".stripMargin
+
+  /** The `?cast` projection: sequence only (a real server projects). */
+  private[graft] def seqCastProjDds: String =
     """Dataset {
       |    Sequence {
       |        Int32 depth;
@@ -108,7 +124,7 @@ object Dap2Fixture {
   /** The `.dods` record stream for the `cast` sequence. */
   private[graft] def seqDodsBytes: Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    out.write((seqDdsText + "\nData:\n").getBytes("US-ASCII"))
+    out.write((seqCastProjDds + "\nData:\n").getBytes("US-ASCII"))
     def u32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
       out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
@@ -128,36 +144,21 @@ object Dap2Fixture {
     out.toByteArray
   }
 
-  private def startSeq(): String = {
-    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
-      val t = new Thread(r, "dap2-seq-fixture"); t.setDaemon(true); t
-    })
-    server.setExecutor(pool)
-    server.createContext("/casts", { exchange =>
-      val path = exchange.getRequestURI.getPath
-      val query = exchange.getRequestURI.getQuery
-      try {
-        val bytes: Array[Byte] =
-          if (path.endsWith(".dds")) (seqDdsText + "\n").getBytes("US-ASCII")
-          else if (path.endsWith(".das")) (seqDasText + "\n").getBytes("US-ASCII")
-          else if (path.endsWith(".dods")) {
-            require(query == null || query.trim.isEmpty || query.trim == "cast",
-              s"sequence fixture serves only the whole 'cast' sequence, got '$query'")
-            seqDodsBytes
-          } else throw new IllegalArgumentException(s"unknown DAP request $path")
-        exchange.sendResponseHeaders(200, bytes.length.toLong)
-        exchange.getResponseBody.write(bytes)
-      } catch {
-        case e: Exception =>
-          val msg = ("Error { " + e.getMessage + " }").getBytes("US-ASCII")
-          exchange.sendResponseHeaders(400, msg.length.toLong)
-          exchange.getResponseBody.write(msg)
-      } finally exchange.close()
-    })
-    val t = new Thread(() => server.start(), "dap2-seq-fixture-start")
-    t.setDaemon(true); t.start(); t.join()
-    s"http://127.0.0.1:${server.getAddress.getPort}/casts"
+  private def startSeq(): String = serve("casts") { (path, query) =>
+    if (path.endsWith(".dds")) (seqDdsText + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".das")) (seqDasText + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".dods")) {
+      val q = if (query == null) "" else query.trim
+      if (q.isEmpty || q == "cast") seqDodsBytes
+      else if (q == "bg" || q == s"bg[0:${seqBg.length - 1}]") {
+        val out = new ByteArrayOutputStream()
+        out.write((s"Dataset {\n    Int32 bg[d = ${seqBg.length}];\n} casts;" +
+          "\nData:\n").getBytes("US-ASCII"))
+        out.write(xdrArray("Int32", seqBg.map(_.toDouble)))
+        out.toByteArray
+      } else throw new IllegalArgumentException(
+        s"sequence fixture cannot serve constraint '$q'")
+    } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }
 
   private def structVars: Seq[Var] = Seq(
@@ -361,40 +362,21 @@ object Dap2Fixture {
     }
   }
 
-  private def start(vars: Seq[Var], dataset: String, das: String): String = {
+  /** Shared loopback scaffolding: ephemeral port, daemon worker pool, DAP
+    * `Error { ... }` envelope on any handler exception; `respond(path,
+    * query)` builds each response body. The dispatcher must start from a
+    * short-lived DAEMON thread — HttpServer.start()'s dispatcher inherits
+    * the starting thread's daemon flag, and a non-daemon dispatcher pins
+    * the JVM open (r7: Verify hung after writing all output). */
+  private def serve(dataset: String)(respond: (String, String) => Array[Byte]): String = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "dap2-fixture"); t.setDaemon(true); t
     })
     server.setExecutor(pool)
-    // the fixture must never pin the JVM open: HttpServer.start() spawns a
-    // dispatcher thread whose daemon flag inherits from the STARTING thread
-    // — start from a short-lived daemon thread so a Verify/Bench main can
-    // exit normally when it returns (r7: Verify hung after writing all
-    // output because the dispatcher was non-daemon)
-    def startDaemonized(): Unit = {
-      val t = new Thread(() => server.start(), "dap2-fixture-start")
-      t.setDaemon(true)
-      t.start()
-      t.join()
-    }
     server.createContext(s"/$dataset", { exchange =>
-      val path = exchange.getRequestURI.getPath
-      val query = exchange.getRequestURI.getQuery
       try {
-        val bytes: Array[Byte] =
-          if (path.endsWith(".dds"))
-            (ddsText(applyConstraint(vars, query), dataset) + "\n").getBytes("US-ASCII")
-          else if (path.endsWith(".das"))
-            (das + "\n").getBytes("US-ASCII")
-          else if (path.endsWith(".dods")) {
-            val projected = applyConstraint(vars, query)
-            val out = new ByteArrayOutputStream()
-            out.write((ddsText(projected, dataset) + "\nData:\n").getBytes("US-ASCII"))
-            projected.foreach(v => out.write(
-              if (v.sdata != null) xdrStringArray(v.sdata) else xdrArray(v.dapType, v.data)))
-            out.toByteArray
-          } else throw new IllegalArgumentException(s"unknown DAP request $path")
+        val bytes = respond(exchange.getRequestURI.getPath, exchange.getRequestURI.getQuery)
         exchange.sendResponseHeaders(200, bytes.length.toLong)
         exchange.getResponseBody.write(bytes)
       } catch {
@@ -404,7 +386,24 @@ object Dap2Fixture {
           exchange.getResponseBody.write(msg)
       } finally exchange.close()
     })
-    startDaemonized()
+    val t = new Thread(() => server.start(), "dap2-fixture-start")
+    t.setDaemon(true); t.start(); t.join()
     s"http://127.0.0.1:${server.getAddress.getPort}/$dataset"
   }
+
+  private def start(vars: Seq[Var], dataset: String, das: String): String =
+    serve(dataset) { (path, query) =>
+      if (path.endsWith(".dds"))
+        (ddsText(applyConstraint(vars, query), dataset) + "\n").getBytes("US-ASCII")
+      else if (path.endsWith(".das"))
+        (das + "\n").getBytes("US-ASCII")
+      else if (path.endsWith(".dods")) {
+        val projected = applyConstraint(vars, query)
+        val out = new ByteArrayOutputStream()
+        out.write((ddsText(projected, dataset) + "\nData:\n").getBytes("US-ASCII"))
+        projected.foreach(v => out.write(
+          if (v.sdata != null) xdrStringArray(v.sdata) else xdrArray(v.dapType, v.data)))
+        out.toByteArray
+      } else throw new IllegalArgumentException(s"unknown DAP request $path")
+    }
 }

@@ -197,20 +197,43 @@ object Dap2Index {
         require(seqName.nonEmpty, "malformed Sequence: missing name")
         require(!seqName.contains('['),
           s"DAP2 array-of-Sequences '$seqName' has no row form — refusing")
-        require(!seqBody.trim.startsWith("Sequence") && !seqBody.contains("Sequence "),
-          s"DAP2 Sequence '$seqName' nests another Sequence — only one-level " +
-            "Sequences decode to rows")
-        require(!seqBody.contains("Structure") && !seqBody.contains("Grid"),
-          s"DAP2 Sequence '$seqName' holds a container member — only scalar " +
-            "atomic/String members decode to rows")
-        val members = parseDecls(seqBody).map { m =>
-          require(m.dims == Seq(m.name -> 1L),
-            s"DAP2 Sequence member '${seqName}.${m.name}' is an array — only " +
-              "scalar members decode to rows")
-          (m.name, m.dapType)
+        // members parse by TOKEN, never by substring sniffing: a scalar
+        // named 'GridRef' is legal, while a container member is caught by
+        // its leading keyword token regardless of spacing
+        val containerRe = """^(Sequence|Structure|Grid)\b""".r
+        val members = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var mRest = seqBody
+        while (mRest.trim.nonEmpty) {
+          val mt = mRest.trim
+          containerRe.findPrefixMatchOf(mt) match {
+            case Some(cm) if cm.group(1) == "Sequence" =>
+              throw new IllegalArgumentException(
+                s"DAP2 Sequence '$seqName' nests another Sequence — only one-level " +
+                  "Sequences decode to rows")
+            case Some(cm) =>
+              throw new IllegalArgumentException(
+                s"DAP2 Sequence '$seqName' holds a ${cm.group(1)} container member — " +
+                  "only scalar atomic/String members decode to rows")
+            case None => declRe.findPrefixMatchOf(mt) match {
+              case Some(m) =>
+                val (tpe, mName, dimsText) = (m.group(1), m.group(2), m.group(3))
+                require(atomicTypes.contains(tpe) || stringTypes.contains(tpe),
+                  s"unknown DAP2 type '$tpe' for Sequence member '$seqName.$mName'")
+                // the DECLARED brackets decide scalar-ness — a `[1]` array
+                // member still serializes with XDR count words, which the
+                // record walk does not speak
+                require(dimsText == null || dimsText.trim.isEmpty,
+                  s"DAP2 Sequence member '$seqName.$mName' is an array — only " +
+                    "scalar members decode to rows")
+                members += ((mName, tpe))
+                mRest = mt.substring(m.end)
+              case None => throw new IllegalArgumentException(
+                s"unparseable Sequence member declaration at: ${mt.take(80)}")
+            }
+          }
         }
         require(members.nonEmpty, s"DAP2 Sequence '$seqName' has no members")
-        seqs += DapSeq(seqName, members)
+        seqs += DapSeq(seqName, members.toSeq)
         rest = afterBrace.substring(semi + 1)
       } else {
         declRe.findPrefixMatchOf(t) match {

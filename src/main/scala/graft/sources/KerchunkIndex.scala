@@ -293,7 +293,12 @@ object KerchunkIndex {
     * metadata plane, size-capped) is read on the driver.
     */
   def readParquetRefs(spark: SparkSession, dir: String,
-                      storageOptions: Map[String, String] = Map.empty): DataFrame = {
+                      storageOptions: Map[String, String] = Map.empty,
+                      // restrict the DATA scan to one record file per listed
+                      // variable (refs.<r>.parq, skipped when absent) — the
+                      // append path's boundary-only read; metadata always
+                      // loads whole. None = scan every variable directory.
+                      onlyRecords: Option[Map[String, Long]] = None): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val conf = FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions)
@@ -364,9 +369,20 @@ object KerchunkIndex {
         !fs.exists(new org.apache.hadoop.fs.Path(root, "refs.0.parq")),
       s"kerchunk parquet store '$dir': a ROOT-level array's ref files are " +
         "unsupported (zarr consolidated stores name their arrays)")
-    val varDirs = geometry.map(_._1).filter(v => v.nonEmpty &&
-      fs.exists(new org.apache.hadoop.fs.Path(root, v)))
-      .map(v => new org.apache.hadoop.fs.Path(root, v).toString)
+    val knownVars = geometry.map(_._1).toSet
+    val varDirs = onlyRecords match {
+      case Some(recs) =>
+        recs.foreach { case (v, r) =>
+          require(knownVars.contains(v) && r >= 0,
+            s"kerchunk parquet store '$dir': onlyRecords names '$v' record $r, " +
+              "which is not in the store's geometry") }
+        recs.toSeq.map { case (v, r) => new org.apache.hadoop.fs.Path(root, s"$v/refs.$r.parq") }
+          .filter(fs.exists).map(_.toString)
+      case None =>
+        geometry.map(_._1).filter(v => v.nonEmpty &&
+          fs.exists(new org.apache.hadoop.fs.Path(root, v)))
+          .map(v => new org.apache.hadoop.fs.Path(root, v).toString)
+    }
     if (varDirs.isEmpty) return metaDf
 
     val geoDf = broadcast(geometry.map { case (v, grid, n) => (v, grid, n) }
@@ -841,7 +857,8 @@ object KerchunkIndex {
     finally out.close()
 
     writeRecordFiles(recordRowsOf(entries, geometry, recordSize), root,
-      recordSize, geometry.map { case (v, (_, n)) => v -> n }, conf)
+      recordSize, geometry.map { case (v, (_, n)) => v -> n }, conf,
+      overwrite = false)
   }
 
   /** Consolidated-metadata `.zarray` docs → per-variable (chunk grid,
@@ -920,9 +937,11 @@ object KerchunkIndex {
     * boundary-and-beyond records). */
   private def writeRecordFiles(rows: DataFrame, root: org.apache.hadoop.fs.Path,
       recSize: Long, nchunksByVar: Map[String, Long],
-      conf: org.apache.spark.util.SerializableConfiguration): Unit = {
+      conf: org.apache.spark.util.SerializableConfiguration,
+      overwrite: Boolean): Unit = {
     val spark = rows.sparkSession
     import spark.implicits._
+    val allowOverwrite = overwrite // closure-captured primitive
     rows
       .repartition(col("variable"), col("__record"))
       .sortWithinPartitions("variable", "__record", "__flat")
@@ -967,9 +986,12 @@ object KerchunkIndex {
                 .withConf(wConf)
                 .withType(schema)
                 .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
-                // OVERWRITE: a fresh store never collides; an APPEND
-                // rewrites exactly the boundary record file in place
-                .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+                // a fresh build keeps CREATE's collision refusal (the dir
+                // was cleared, so any surviving file is a logic error); an
+                // APPEND rewrites exactly the boundary record file in place
+                .withWriteMode(
+                  if (allowOverwrite) org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE
+                  else org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
                 .build()
               curVar = variable; curRec = record; nextRow = record * recSize
             }
@@ -1065,8 +1087,28 @@ object KerchunkIndex {
     })
 
     // existing store = source 0; the new sources shift up by one, so the
-    // full combine machinery arbitrates the append
-    val existing = readParquetRefs(spark, dir, storageOptions)
+    // full combine machinery arbitrates the append. The store's DATA scan
+    // is boundary-only: the append rewrites nothing below the old last
+    // record of each dim-carrying variable, so only THAT record file per
+    // candidate is read — an append to a years-old store reads O(1) old
+    // record files, not the whole history (metadata always loads whole,
+    // so every combine guard still sees the full variable set).
+    val oldDims: Map[String, Seq[String]] = (oldJson \ "metadata") match {
+      case JObject(fields) => fields.collect {
+        case (key, doc) if key.endsWith("/.zattrs") =>
+          key.dropRight("/.zattrs".length) -> ((doc \ "_ARRAY_DIMENSIONS") match {
+            case JArray(ds) => ds.collect { case JString(x) => x }
+            case _          => Seq.empty[String]
+          })
+      }.toMap
+      case _ => Map.empty
+    }
+    val boundaryRecs: Map[String, Long] = oldGeometry.collect {
+      case (v, (_, oldN)) if oldDims.get(v).exists(_.contains(dim)) =>
+        v -> oldN / recordSize
+    }
+    val existing = readParquetRefs(spark, dir, storageOptions,
+      onlyRecords = Some(boundaryRecs))
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(newTagged.withColumn("__src", col("__src").cast("int") + lit(1)))
     val combined = combineAlong(tagged, dim)
@@ -1109,7 +1151,7 @@ object KerchunkIndex {
       .filter(col("__flat") >= col("__from"))
       .drop("__from")
     writeRecordFiles(rows, root, recordSize,
-      newGeometry.map { case (v, (_, n)) => v -> n }, conf)
+      newGeometry.map { case (v, (_, n)) => v -> n }, conf, overwrite = true)
 
     // metadata last: the store is torn-read-safe throughout the append
     val metaJson = JObject(List(
@@ -1174,7 +1216,13 @@ object KerchunkIndex {
 
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       FsPaths.confWith(spark.sparkContext.hadoopConfiguration, storageOptions))
-    val withBand = entries.filter(col("kind") === "ref" || col("url").isNotNull)
+    // kind='seqref' (DAP2 Sequence streams, Dap2Index.read) is a DIFFERENT
+    // plane — its url is a whole record stream, not a chunk; admitting it
+    // here would fetch the entire sequence per array-plane decode (and
+    // refuse outright past maxChunkBytes)
+    val withBand = entries
+      .filter(col("kind") =!= "seqref")
+      .filter(col("kind") === "ref" || col("url").isNotNull)
       .select($"key", $"variable", $"member", $"kind", $"url", $"offset", $"length",
         floor(coalesce($"offset", lit(0L)) / lit(bytesPerTask)).as("__band"))
       // persisted: the band count below is an EAGER job, and without the

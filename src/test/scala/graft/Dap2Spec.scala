@@ -219,9 +219,10 @@ class Dap2Spec extends AnyFunSuite {
     }.getMessage.contains("truncated"))
   }
 
-  test("Sequence end-to-end: fixture stream decodes to tidy rows (r13)") {
+  test("Sequence end-to-end: mixed dataset decodes both planes without cross-fetching (r13)") {
     val base = Dap2Fixture.ensureSeq(spark)
-    val rows = Dap2Index.decodeSequences(Dap2Index.read(spark, base))
+    val entries = Dap2Index.read(spark, base)
+    val rows = Dap2Index.decodeSequences(entries)
       .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq,
         r.getSeq[Long](2).toSeq, Option(r.get(3)), Option(r.get(4)))).toSet
     val want = (0 until Dap2Fixture.seqN).flatMap { i =>
@@ -232,6 +233,35 @@ class Dap2Spec extends AnyFunSuite {
         ("cast.station", Seq("cast"), Seq(i.toLong), None, Some(Dap2Fixture.seqStation(i))))
     }.toSet
     assert(rows === want)
+    // the ARRAY plane decodes the background array from the SAME entries
+    // frame, and materializes exactly its one chunk — the seqref row must
+    // never be admitted (it is a record stream, not a chunk; admitting it
+    // would fetch the whole sequence per array decode and refuse outright
+    // past maxChunkBytes)
+    val mat = Dap2Index.materialize(entries)
+    assert(mat.count() === 1L, mat.select("key").collect().mkString(","))
+    val bg = graft.sources.KerchunkIndex.decodeCoords(mat,
+        graft.sources.KerchunkIndex.arrayMeta(entries),
+        graft.sources.KerchunkIndex.attrDims(entries))
+      .select("variable", "coords", "value").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).head, r.getDouble(2))).toSet
+    assert(bg === Dap2Fixture.seqBg.zipWithIndex
+      .map { case (v, i) => ("bg", i.toLong, v.toDouble) }.toSet)
+    // the shared chunk materializer must ALSO skip seqref rows (any
+    // non-http store mixing planes): a seqref pointing at a real file
+    // must not be fetched as a chunk
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("graft_seqref", ".bin")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3, 4))
+    val synth = Seq(
+      ("v/0", "v", "0", "inline", null: String,
+        Option.empty[Long], Option.empty[Long], "AAAA"),
+      ("q/seq", "q", "seq", "seqref", s"file://$f",
+        Option.empty[Long], Option.empty[Long], null: String))
+      .toDF("key", "variable", "member", "kind", "url", "offset", "length", "inline_value")
+    val kKeys = graft.sources.KerchunkIndex.materializeChunks(synth)
+      .select("key").collect().map(_.getString(0)).toSet
+    assert(kKeys === Set("v/0"), kKeys.toString)
   }
 
   test("DAS: nested containers flatten to dotted attribute scopes (r12)") {
