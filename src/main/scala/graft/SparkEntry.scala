@@ -1670,6 +1670,37 @@ object SparkEntry {
       readZarrStoreCells(s, out)
     }),
 
+    "save_zarr_filters_roundtrip" -> ((s, dir) => {
+      // r13: the WRITE half of the v2 numcodecs FILTER plane — delta
+      // (integer wraparound diffs) + shuffle (byte transpose) +
+      // fletcher32 (trailing checksum) on one monotonic <i8 variable (the
+      // classic coordinate-array compression recipe) and shuffle alone on
+      // a negative-valued <i4; a 64-byte budget forces multi-chunk
+      // banding so the delta chain crosses edge-padded chunks. Read back
+      // through the engine's own reader (ZarrCodec inverts the chain);
+      // the oracle re-derives every cell from nation, and
+      // scripts/zarr_filters_check.py re-reads the store with an
+      // independent pure-python inversion (checksum verified, unshuffle,
+      // cumsum).
+      import org.apache.spark.sql.expressions.Window
+      val n = T(s, dir, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"))
+        .withColumn("i", (row_number().over(Window.orderBy("k")) - 1).cast(LongType))
+      val noLabel = lit(null).cast(StringType).as("label")
+      val plane = n.select(lit("t_mono").as("variable"),
+          typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+          (lit(1000000L) + col("k") * 3L).cast(DoubleType).as("value"), noLabel)
+        .unionByName(n.select(lit("t_wide").as("variable"),
+          typedLit(Seq("nation")).as("dims"), array(col("i")).as("coords"),
+          (col("k") * 1000L - 9000L).cast(DoubleType).as("value"), noLabel))
+      val out = s"/tmp/graft_zarr_filt_${tmpToken(dir)}"
+      graft.sources.ZarrWriter.write(plane, out, maxChunkBytes = 64,
+        dtypes = Map("t_mono" -> "<i8", "t_wide" -> "<i4"),
+        filters = Map("t_mono" -> Seq("delta", "shuffle", "fletcher32"),
+          "t_wide" -> Seq("shuffle")))
+      readZarrStoreCells(s, out)
+    }),
+
     "load_opendap_labels" -> ((s, dir) => {
       // r11: DAP2 String atomic arrays (coordinate labels — e.g. station
       // or region names on real ESM servers). The fixture serves r_name
@@ -4259,6 +4290,20 @@ object SparkEntry {
         |  SELECT 'n_u2', 'nation', CAST(i AS VARCHAR), CAST(k * 2000 AS DOUBLE), NULL FROM nk
         |  UNION ALL
         |  SELECT 'n_u4', 'nation', CAST(i AS VARCHAR), CAST(4000000000 + k AS DOUBLE), NULL FROM nk)
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // the filtered store's cells re-derive from nation; the filter chain
+    // must be invisible to every decoded value
+    "save_zarr_filters_roundtrip" ->
+      """WITH nk AS (SELECT n_nationkey AS k,
+        |              ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS i FROM nation)
+        |SELECT variable, dims, coord_key, value, label FROM (
+        |  SELECT 't_mono' AS variable, 'nation' AS dims, CAST(i AS VARCHAR) AS coord_key,
+        |         CAST(1000000 + k * 3 AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM nk
+        |  UNION ALL
+        |  SELECT 't_wide', 'nation', CAST(i AS VARCHAR),
+        |         CAST(k * 1000 - 9000 AS DOUBLE), NULL FROM nk)
         |ORDER BY variable, coord_key""".stripMargin,
 
     // closed-form regeneration of the Sequence fixture: per-member tidy

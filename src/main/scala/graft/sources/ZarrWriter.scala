@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   * written back as a store any zarr reader — including our own — opens).
   * Format per the public zarr v2 spec: `.zgroup` at the root, per-variable
   * `.zarray`/`.zattrs`, C-order chunk files named `i.j.k`, little-endian
-  * payloads, optional zlib compressor, edge chunks PADDED to full
-  * chunk shape with the declared `fill_value` (the convention every
-  * writer follows and our decodeCoords relies on).
+  * payloads, optional zlib compressor, optional per-variable numcodecs
+  * FILTER chains (r13 — `delta`/`shuffle`/`fletcher32`, the write half of
+  * ZarrCodec's inversion; see [[validateFilters]] for the rules), edge
+  * chunks PADDED to full chunk shape with the declared `fill_value` (the
+  * convention every writer follows and our decodeCoords relies on).
   *
   * Input: the tidy decode-plane shape — (variable: string, dims:
   * array&lt;string&gt;, coords: array&lt;long&gt;, value: double) plus an
@@ -69,6 +71,91 @@ object ZarrWriter {
 
   private def isString(dtype: String): Boolean =
     dtype.startsWith("|S") || dtype.startsWith("<U")
+
+  private def isInteger(dtype: String): Boolean =
+    dtype == "<i8" || dtype == "<i4" || dtype == "<i2" || dtype == "|i1" ||
+      dtype == "|u1" || dtype == "<u2" || dtype == "<u4"
+
+  /** Validate a per-variable v2 FILTER chain against its resolved dtype
+    * (r13 — the write half of ZarrCodec's filter inversion): `delta`
+    * (integer dtypes only — float delta does not round-trip bit-exactly,
+    * so this writer refuses to create one even though the reader decodes
+    * foreign float-delta stores; must be FIRST, where numcodecs puts it),
+    * `shuffle` (byte transpose at the dtype width), `fletcher32`
+    * (trailing 4-byte LE checksum). String dtypes take no filters (the
+    * reader's label plane refuses them). */
+  private def validateFilters(v: String, dtype: String, chain: Seq[String]): Unit = {
+    require(!isString(dtype) || chain.isEmpty,
+      s"ZarrWriter: variable '$v' ($dtype) requests filters ${chain.mkString(",")} — " +
+        "string dtypes take no filters (the reader refuses them)")
+    chain.zipWithIndex.foreach {
+      case ("delta", i) =>
+        require(i == 0,
+          s"ZarrWriter: variable '$v' puts delta at chain position $i — numcodecs " +
+            "applies delta to the typed data, so it must be FIRST")
+        require(isInteger(dtype),
+          s"ZarrWriter: variable '$v' requests delta on $dtype — float deltas do not " +
+            "round-trip bit-exactly; integer dtypes only")
+      case ("shuffle", _) | ("fletcher32", _) => ()
+      case (other, _) => throw new IllegalArgumentException(
+        s"ZarrWriter: variable '$v' requests unknown filter '$other' — " +
+          "supported: delta, shuffle, fletcher32")
+    }
+  }
+
+  /** numcodecs config JSON for a validated chain. */
+  private def filtersJson(dtype: String, chain: Seq[String]): String =
+    if (chain.isEmpty) "null"
+    else chain.map {
+      case "delta" => s"""{"id": "delta", "dtype": "$dtype", "astype": "$dtype"}"""
+      case "shuffle" => s"""{"id": "shuffle", "elementsize": ${widthOf(dtype)}}"""
+      case "fletcher32" => """{"id": "fletcher32"}"""
+    }.mkString("[", ", ", "]")
+
+  /** Apply a validated chain to one chunk's raw bytes, in chain order
+    * (the compressor runs after). Delta subtracts in two's complement —
+    * exactly the wraparound the reader's cumsum undoes at every width. */
+  private def applyFilters(raw0: Array[Byte], dtype: String, chain: Seq[String]): Array[Byte] = {
+    var raw = raw0
+    chain.foreach {
+      case "delta" =>
+        val width = widthOf(dtype)
+        val buf = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = raw.length / width
+        val out = java.nio.ByteBuffer.allocate(raw.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var prev = 0L
+        var i = 0
+        while (i < n) {
+          val cur = width match {
+            case 1 => buf.get(i).toLong
+            case 2 => buf.getShort(i * 2).toLong
+            case 4 => buf.getInt(i * 4).toLong
+            case _ => buf.getLong(i * 8)
+          }
+          val d = if (i == 0) cur else cur - prev // wraps like numpy diff
+          width match {
+            case 1 => out.put(i, d.toByte)
+            case 2 => out.putShort(i * 2, d.toShort)
+            case 4 => out.putInt(i * 4, d.toInt)
+            case _ => out.putLong(i * 8, d)
+          }
+          prev = cur
+          i += 1
+        }
+        raw = out.array()
+      case "shuffle" => raw = BloscCodec.shuffle(raw, widthOf(dtype))
+      case "fletcher32" =>
+        val sum = ZarrCodec.fletcher32(raw, raw.length)
+        val out = java.util.Arrays.copyOf(raw, raw.length + 4)
+        out(raw.length) = (sum & 0xff).toByte
+        out(raw.length + 1) = ((sum >> 8) & 0xff).toByte
+        out(raw.length + 2) = ((sum >> 16) & 0xff).toByte
+        out(raw.length + 3) = ((sum >> 24) & 0xff).toByte
+        raw = out
+    }
+    raw
+  }
 
   // r13: full parity with the READ side's numeric table (ZarrCodec widens
   // every one of these exactly to double, so each round-trips through the
@@ -277,19 +364,26 @@ object ZarrWriter {
   def write(df0: DataFrame, storePath: String,
             maxChunkBytes: Long = 4L << 20,
             compress: Boolean = true,
-            dtypes: Map[String, String] = Map.empty): Unit = {
+            dtypes: Map[String, String] = Map.empty,
+            filters: Map[String, Seq[String]] = Map.empty): Unit = {
     val spark = df0.sparkSession
     // the input feeds three actions (geometry, shapes, chunk write) —
     // persist once so an expensive upstream plan computes once, not 3×
     val df = normalize(df0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try writeCached(df, spark, storePath, maxChunkBytes, compress, dtypes)
+    try writeCached(df, spark, storePath, maxChunkBytes, compress, dtypes, filters)
     finally df.unpersist(false)
   }
 
   private def writeCached(df: DataFrame, spark: org.apache.spark.sql.SparkSession,
                           storePath: String, maxChunkBytes: Long,
-                          compress: Boolean, dtypes: Map[String, String]): Unit = {
+                          compress: Boolean, dtypes: Map[String, String],
+                          filters: Map[String, Seq[String]]): Unit = {
     val geos = geometry(df, maxChunkBytes, dtypes)
+    val present = geos.map(_.variable).toSet
+    filters.keys.foreach(v => require(present.contains(v),
+      s"ZarrWriter: filters given for variable '$v', which is not in the input"))
+    geos.foreach(g => validateFilters(g.variable, g.dtype,
+      filters.getOrElse(g.variable, Nil)))
 
     // ---- driver-side metadata documents
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -301,10 +395,11 @@ object ZarrWriter {
     writeFile(".zgroup", """{"zarr_format": 2}""".getBytes("UTF-8"))
     geos.foreach { g =>
       val comp = if (compress) """{"id": "zlib", "level": 6}""" else "null"
+      val fjson = filtersJson(g.dtype, filters.getOrElse(g.variable, Nil))
       writeFile(s"${g.variable}/.zarray",
         (s"""{"zarr_format": 2, "dtype": "${g.dtype}", """ +
           s""""shape": ${jarr(g.shape)}, """ +
-          s""""chunks": ${jarr(g.chunks)}, "compressor": $comp, "filters": null, """ +
+          s""""chunks": ${jarr(g.chunks)}, "compressor": $comp, "filters": $fjson, """ +
           s""""order": "C", "fill_value": ${fillJson(g.dtype)}}""").getBytes("UTF-8"))
       writeFile(s"${g.variable}/.zattrs",
         ("""{"_ARRAY_DIMENSIONS": """ +
@@ -336,7 +431,8 @@ object ZarrWriter {
 
     val nChunksTotal = geos.map(_.nBands).sum
     val zlib = compress
-    val byVar = geos.map(g => g.variable -> ((g.chunks.product.toInt, g.dtype))).toMap
+    val byVar = geos.map(g => g.variable ->
+      ((g.chunks.product.toInt, g.dtype, filters.getOrElse(g.variable, Nil)))).toMap
     keyed
       .groupBy("variable", "__member")
       .agg(collect_list(struct(col("__off"), col("value"), col("label"))).as("cells"))
@@ -346,8 +442,9 @@ object ZarrWriter {
       .as[(String, String, Seq[(Long, Option[Double], Option[String])])]
       .foreachPartition { it: Iterator[(String, String, Seq[(Long, Option[Double], Option[String])])] =>
         it.foreach { case (variable, member, cells) =>
-          val (n, dtype) = byVar(variable)
-          val raw = encodeCells(dtype, n, cells, s"$variable/$member")
+          val (n, dtype, chain) = byVar(variable)
+          val raw = applyFilters(
+            encodeCells(dtype, n, cells, s"$variable/$member"), dtype, chain)
           val bytes =
             if (!zlib) raw
             else {

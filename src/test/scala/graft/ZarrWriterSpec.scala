@@ -291,6 +291,59 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(back.length == 1 && back(0).isNaN, back.toSeq.toString)
   }
 
+  test("v2 filters: delta+shuffle+fletcher32 round-trip bit-exactly; chain in metadata; refusals (r13)") {
+    val rows = (0 until 25).map(i => ("m", Seq("x"), Seq(i.toLong), 1000000.0 + i * 3)) ++
+      (0 until 25).map(i => ("w", Seq("x"), Seq(i.toLong), i * 1000.0 - 9000.0))
+    val dts = Map("m" -> "<i8", "w" -> "<i4")
+    val chains = Map("m" -> Seq("delta", "shuffle", "fletcher32"), "w" -> Seq("shuffle"))
+    val dirF = java.nio.file.Files.createTempDirectory("graft_zwfilt").toString
+    val dirP = java.nio.file.Files.createTempDirectory("graft_zwplain").toString
+    // 64-byte budget → multi-chunk banding; compress=false so the on-disk
+    // transform is directly inspectable
+    graft.sources.ZarrWriter.write(tidy(rows), dirF, maxChunkBytes = 64,
+      compress = false, dtypes = dts, filters = chains)
+    graft.sources.ZarrWriter.write(tidy(rows), dirP, maxChunkBytes = 64,
+      compress = false, dtypes = dts)
+    def cells(d: String) = decode(d).select("variable", "coords", "value").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).head, r.getDouble(2))).toSet
+    assert(cells(dirF) == cells(dirP), "the filter chain must be invisible to values")
+    assert(cells(dirF).size == 50)
+    // the declared chain lands in .zarray…
+    val za = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirF, "m", ".zarray")), "UTF-8")
+    assert(za.contains("\"id\": \"delta\"") && za.contains("\"id\": \"shuffle\"") &&
+      za.contains("\"id\": \"fletcher32\"") && za.contains("\"elementsize\": 8"), za)
+    // …and actually transformed the bytes: same length + 4 checksum bytes,
+    // different content (a no-op chain would silently lie in the metadata)
+    val fB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dirF, "m", "0"))
+    val pB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dirP, "m", "0"))
+    assert(fB.length == pB.length + 4, s"${fB.length} vs ${pB.length}")
+    assert(!java.util.Arrays.equals(java.util.Arrays.copyOf(fB, pB.length), pB))
+    // refusals: float delta, delta not first, filters on strings, unknown
+    // id, filters for an absent variable
+    def one = tidy(Seq(("v", Seq("x"), Seq(0L), 1.0)))
+    val d3 = java.nio.file.Files.createTempDirectory("graft_zwfr").toString
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(one, d3, filters = Map("v" -> Seq("delta")))
+    }.getMessage.contains("integer dtypes only"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(one, d3, dtypes = Map("v" -> "<i4"),
+        filters = Map("v" -> Seq("shuffle", "delta")))
+    }.getMessage.contains("FIRST"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(
+        Seq(("v", Seq("x"), Seq(0L), Option.empty[Double], Option("ab")))
+          .toDF("variable", "dims", "coords", "value", "label"),
+        d3, dtypes = Map("v" -> "|S"), filters = Map("v" -> Seq("shuffle")))
+    }.getMessage.contains("no filters"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(one, d3, filters = Map("v" -> Seq("lz77")))
+    }.getMessage.contains("unknown filter"))
+    assert(intercept[Exception] {
+      graft.sources.ZarrWriter.write(one, d3, filters = Map("ghost" -> Seq("shuffle")))
+    }.getMessage.contains("not in the input"))
+  }
+
   test("v3 fill_value: omitted for r* raw-bits arrays, present for numerics (r13)") {
     val rows = Seq(
       ("num", Seq("x"), Seq(0L), Option(1.0), Option.empty[String]),
