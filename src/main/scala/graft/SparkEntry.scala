@@ -2779,6 +2779,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_html_extract" -> ((s, dir) => {
+      // r13: HTML → text extraction (step 0 of a web-corpus pipeline) —
+      // the corpus is plain text, so the query builds a real HTML page
+      // around each document (escaped body, a script with embedded '<'
+      // and quotes, a style block, a comment, doc_id%4 anchor links) and
+      // the codegen'd HtmlExtract kernel must recover EXACTLY the
+      // closed-form the oracle computes: title line + the whitespace-
+      // collapsed body + the concatenated anchor texts, with codepoint-
+      // exact text/link counts and the link-density quality signal.
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+      val k = pmod(col("doc_id"), lit(4)).cast(IntegerType)
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">if (x<1) { alert(\"&amp;\"); }</script>" +
+          "<style>.c{color:red}</style></head><body><h1>T"),
+        col("doc_id"), lit("</h1><p>"), esc, lit("</p>"),
+        repeat(lit("<a href=\"u\">ln</a>"), k),
+        lit("<!-- hidden --></body></html>"))
+      TextAnalysis.htmlExtract(
+          T(s, dir, "documents").select(col("doc_id"), html.as("html")),
+          "html", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "pipeline_train_val_split" -> ((s, dir) => {
       // deterministic engine-portable md5 split; report per-(lang, split)
       // counts — assignment is a pure function of (lang, doc_id, seed), so
@@ -5968,6 +5992,28 @@ object SparkEntry {
         |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form re-derivation of the HTML wrap → extract round trip:
+    // the page is BUILT from the document, so the extraction must return
+    // title line + RE2-\s-collapsed body + anchor texts, with codepoint
+    // counts (1 title char + id digits + raw body + 2 per anchor) and one
+    // exact IEEE division for the density
+    "text_html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         trim(regexp_replace(text, '\s+', ' ', 'g')) AS c,
+        |         CAST(doc_id % 4 AS INT) AS k,
+        |         1 + length(CAST(doc_id AS VARCHAR)) + length(text) + 2 * (doc_id % 4) AS tc
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'T' || CAST(doc_id AS VARCHAR)
+        |    || (CASE WHEN c <> '' THEN chr(10) || c ELSE '' END)
+        |    || (CASE WHEN k > 0 THEN chr(10) || repeat('ln', k) ELSE '' END) AS text,
+        |  CAST(tc AS INT) AS text_chars,
+        |  CAST(2 * k AS INT) AS link_chars,
+        |  CAST(k AS INT) AS n_links,
+        |  CAST(2 * k AS DOUBLE) / CAST(tc AS DOUBLE) AS link_density
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "pipeline_train_val_split" ->
       """WITH b AS (

@@ -253,6 +253,196 @@ object NfcNormalize {
     else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
 }
 
+/** HTML → text extraction in ONE per-row pass (r13) — step 0 of a
+  * web-corpus pipeline (the CCNet/RefinedWeb shape): strip markup, keep
+  * text, and surface the link-density quality signals boilerplate
+  * filters (jusText-style) cut on. ZERO shuffle: a document's extraction
+  * depends only on its own bytes, so the 100 TB shape is a scan-stage
+  * codegen'd expression.
+  *
+  * The declared subset (a deliberately small, exactly-specified state
+  * machine — NOT a browser parser):
+  *  - tags are `<name …>` / `</name …>`; attribute values may be single-
+  *    or double-quoted and may contain `>`;
+  *  - `<script>`/`<style>` content is skipped to the matching close tag
+  *    (case-insensitive), so embedded `<`, `>` and quotes never confuse
+  *    the walk; `<!-- … -->` comments and `<!…>`/`<?…>` declarations skip;
+  *  - BLOCK tags (p div br hr li ul ol table tr td th h1–h6 blockquote
+  *    pre title section article header footer form) break segments; all
+  *    other tags are inline;
+  *  - entities decode: the five XML names + nbsp (to a plain space),
+  *    `&#NN;` and `&#xHH;`; an unknown or unterminated `&…` stays
+  *    literal text;
+  *  - output text = per-segment whitespace collapse (runs of
+  *    `[\t\n\f\r ]` — exactly RE2's `\s`, so a SQL oracle reproduces the
+  *    collapse — become one space, trimmed), empty segments dropped,
+  *    segments joined by `\n`.
+  *
+  * Output struct: `text` plus the raw-content counts the quality plane
+  * needs, all CODEPOINT-exact (a SQL `length()` reproduces them):
+  * `text_chars` (decoded text content incl. its whitespace),
+  * `link_chars` (the subset inside `<a>…</a>`), `n_links` (opening
+  * `<a>` tags). */
+case class HtmlExtract(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("text_chars", IntegerType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false),
+    StructField("n_links", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"html_extract expects string, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = HtmlExtract.extract(v.toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.HtmlExtract.extract($s.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HtmlExtract {
+  private val blockTags = Set(
+    "p", "div", "br", "hr", "li", "ul", "ol", "table", "tr", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "title",
+    "section", "article", "header", "footer", "form")
+
+  private val named = Map("amp" -> '&', "lt" -> '<', "gt" -> '>',
+    "quot" -> '"', "apos" -> '\'', "nbsp" -> ' ')
+
+  private def isWs(c: Char): Boolean = // exactly RE2's \s
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+
+  private def collapse(seg: String): String = {
+    val sb = new java.lang.StringBuilder(seg.length)
+    var pendingWs = false
+    var i = 0
+    while (i < seg.length) {
+      val c = seg.charAt(i)
+      if (isWs(c)) pendingWs = true
+      else {
+        if (pendingWs && sb.length > 0) sb.append(' ')
+        pendingWs = false
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def extract(html: String): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = html.length
+    val segments = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var textChars = 0
+    var linkChars = 0
+    var nLinks = 0
+    var linkDepth = 0
+
+    def emit(cp: Int): Unit = {
+      cur.appendCodePoint(cp)
+      textChars += 1
+      if (linkDepth > 0) linkChars += 1
+    }
+    def endSegment(): Unit = { segments += cur.toString; cur.setLength(0) }
+    // index just past the tag's closing '>' (quote-aware); n if unterminated
+    def tagEnd(from: Int): Int = {
+      var i = from
+      while (i < n) {
+        html.charAt(i) match {
+          case '>' => return i + 1
+          case q @ ('"' | '\'') =>
+            i += 1
+            while (i < n && html.charAt(i) != q) i += 1
+            if (i < n) i += 1
+          case _ => i += 1
+        }
+      }
+      n
+    }
+
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = html.charAt(i + 1)
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (c1 == '!' || c1 == '?') {
+          i = tagEnd(i + 1) // <!DOCTYPE …>, <?xml …>
+        } else if (c1.isLetter || (c1 == '/' && i + 2 < n && html.charAt(i + 2).isLetter)) {
+          val closing = c1 == '/'
+          var j = if (closing) i + 2 else i + 1
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          val end = tagEnd(j)
+          val selfClosing = end - 2 >= i && html.charAt(math.max(end - 2, 0)) == '/'
+          if (!closing && (name == "script" || name == "style")) {
+            // raw-content element: skip to the matching close tag
+            val close = "</" + name
+            var k = end
+            var found = -1
+            while (found < 0 && k + close.length <= n) {
+              if (html.regionMatches(true, k, close, 0, close.length)) found = k
+              else k += 1
+            }
+            i = if (found < 0) n else tagEnd(found + close.length)
+          } else {
+            if (name == "a") {
+              if (closing) linkDepth = math.max(0, linkDepth - 1)
+              else { nLinks += 1; if (!selfClosing) linkDepth += 1 }
+            }
+            if (blockTags.contains(name)) endSegment()
+            i = end
+          }
+        } else { emit('<'); i += 1 } // a bare '<' is text
+      } else if (c == '&') {
+        val semi = html.indexOf(';', i + 1)
+        val decoded: Option[Int] =
+          if (semi < 0 || semi - i > 10) None
+          else {
+            val body = html.substring(i + 1, semi)
+            if (body.startsWith("#x") || body.startsWith("#X"))
+              try Some(Integer.parseInt(body.substring(2), 16))
+              catch { case _: NumberFormatException => None }
+            else if (body.startsWith("#"))
+              try Some(Integer.parseInt(body.substring(1)))
+              catch { case _: NumberFormatException => None }
+            else named.get(body).map(_.toInt)
+          }
+        decoded match {
+          case Some(cp) if cp >= 0 && cp <= 0x10FFFF => emit(cp); i = semi + 1
+          case _ => emit('&'); i += 1 // unknown entity stays literal
+        }
+      } else {
+        val cp = html.codePointAt(i)
+        emit(cp)
+        i += Character.charCount(cp)
+      }
+    }
+    endSegment()
+    val text = segments.map(collapse).filter(_.nonEmpty).mkString("\n")
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text),
+      textChars, linkChars, nLinks)
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -269,4 +459,8 @@ object TextFunctions {
   /** Unicode NFC normalization (see [[NfcNormalize]]). */
   def nfc_normalize(c: Column): Column =
     column(NfcNormalize(expression(c)))
+
+  /** HTML → (text, text_chars, link_chars, n_links) (see [[HtmlExtract]]). */
+  def html_extract(c: Column): Column =
+    column(HtmlExtract(expression(c)))
 }

@@ -474,4 +474,25 @@ object TextAnalysis {
         regexp_replace(c, piiEmailRe, "<EMAIL>"),
         piiIpv4Re, "<IP>"),
       piiPhoneRe, "<PHONE>")
+
+  /** HTML → text + link-density quality signals, one codegen'd scan (the
+    * [[graft.functions.HtmlExtract]] kernel — see its scaladoc for the
+    * exact declared subset): (id, text, text_chars, link_chars, n_links,
+    * link_density). `link_density` (anchor-text share of raw content) is
+    * the jusText/boilerplate cut; both counts are codepoint-exact
+    * integers and the density one IEEE division, so a SQL oracle
+    * reproduces every column. */
+  def htmlExtract(df: DataFrame, htmlCol: String, idCol: String): DataFrame = {
+    val ex = graft.functions.TextFunctions.html_extract(col(htmlCol))
+    df.select(col(idCol), ex.as("__e"))
+      .select(col(idCol),
+        col("__e").getField("text").as("text"),
+        col("__e").getField("text_chars").as("text_chars"),
+        col("__e").getField("link_chars").as("link_chars"),
+        col("__e").getField("n_links").as("n_links"),
+        when(col("__e").getField("text_chars") > 0,
+          col("__e").getField("link_chars").cast(DoubleType) /
+            col("__e").getField("text_chars").cast(DoubleType))
+          .otherwise(lit(0.0)).as("link_density"))
+  }
 }

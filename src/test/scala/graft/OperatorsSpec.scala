@@ -680,6 +680,39 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("html extract: golden state-machine cases (r13)") {
+    def ex(html: String): (String, Int, Int, Int) = {
+      val r = TextAnalysis.htmlExtract(
+        Seq((1L, html)).toDF("id", "html"), "html", "id").collect()(0)
+      (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    }
+    // block separation + whitespace collapse; counts are RAW content chars
+    assert(ex("<p> a  b </p><p>c</p>") == (("a b\nc", 7, 0, 0)))
+    // entities: named, decimal, hex; unknown stays literal; nbsp is space
+    assert(ex("<p>&#65;&amp;&#x42;</p>") == (("A&B", 3, 0, 0)))
+    assert(ex("<p>&nope;x</p>") == (("&nope;x", 7, 0, 0)))
+    assert(ex("&nbsp;&nbsp;a") == (("a", 3, 0, 0)))
+    // script/style raw content skips — embedded '<', quotes, even a fake
+    // close tag of ANOTHER element never reach the text
+    assert(ex("<div>a</div><script>if(x<1){b='</div>'}</script><div>c</div>")
+      == (("a\nc", 2, 0, 0)))
+    assert(ex("<style>p>q{x:'<'}</style>ok") == (("ok", 2, 0, 0)))
+    // comments and declarations vanish; a bare '<' is text
+    assert(ex("a<!-- <p>x</p> -->b") == (("ab", 2, 0, 0)))
+    assert(ex("<!DOCTYPE html>a < b") == (("a < b", 5, 0, 0)))
+    // links: anchor text counts on both planes; self-closing counts as a
+    // link but wraps nothing; attribute values may contain '>'
+    assert(ex("<p><a href='u'>x</a>y<a/>z</p>") == (("xyz", 3, 1, 2)))
+    assert(ex("<a href=\"u>v\">x</a>") == (("x", 1, 1, 1)))
+    // non-BMP codepoints count once (SQL length() parity)
+    assert(ex("<p>😀</p>") == (("😀", 1, 0, 0)))
+    // unterminated tag at EOF drops; unclosed <a> never goes negative
+    assert(ex("a<p") == (("a", 1, 0, 0)))
+    assert(ex("</a></a>x") == (("x", 1, 0, 0)))
+    // case-insensitive close tags; uppercase block tags
+    assert(ex("<SCRIPT>x<1</SCRIPT><P>a</P>") == (("a", 1, 0, 0)))
+  }
+
   test("zipf surprisal: ranks by frequency, ties on token, OOV pays bitlen(K)+1") {
     val df = Seq(
       (1L, "a a a b"), // all top-vocab: 3×bits(rank 1=1) + bits(rank 2=2)
