@@ -274,6 +274,35 @@ class StreamingSpec extends AnyFunSuite {
       s"stream=${streamKept.size} batch=${batchKept.size} diff=${(streamKept diff batchKept).take(5)}${(batchKept diff streamKept).take(5)}")
   }
 
+  test("streaming html extract: batch parity on real docs via MemoryStream (r13)") {
+    // the kernel is a stateless scan expression (no state store, no
+    // watermark — the qualityFilter precedent), so the SAME call is the
+    // streaming twin with byte-identical outputs
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pages = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("<body><h1>T</h1><p>"),
+          regexp_replace(col("text"), "&", "&amp;"),
+          lit("</p><a href='u'>ln</a></body>")).as("html"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5))).toSet
+    val batch = rows(graft.operators.TextAnalysis.htmlExtract(pages, "html", "doc_id"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis
+      .htmlExtract(input.toDF().toDF("doc_id", "html"), "html", "doc_id")
+      .writeStream.format("memory").queryName("html_stream")
+      .outputMode("append").start()
+    val data = pages.as[(Long, String)].collect()
+    data.grouped(math.max(1, data.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(rows(spark.table("html_stream")) == batch) // float density included
+  }
+
   test("streaming bm25: scored rows via MemoryStream equal the batch top-k source") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
