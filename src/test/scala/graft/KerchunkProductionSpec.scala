@@ -328,6 +328,34 @@ class KerchunkProductionSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("appendParquetRefs: record-aligned boundary (no rewrite) and multi-source append (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_app3")
+    val (a, b, c) = (combineIndex(dir, "a", 4, 0), combineIndex(dir, "b", 4, 4),
+      combineIndex(dir, "c", 3, 8))
+    // recordSize 2 and a 4-cell base → 2 chunks fill record 0 EXACTLY:
+    // the boundary record file does not exist, so the append writes only
+    // NEW record files and record 0 stays byte-untouched
+    val store = dir.resolve("store").toString
+    KerchunkIndex.writeParquetRefs(KerchunkIndex.read(spark, a), store, recordSize = 2)
+    val rec0 = java.nio.file.Paths.get(store, "v", "refs.0.parq")
+    val before = java.nio.file.Files.readAllBytes(rec0)
+    // TWO new sources in one append (the daily-batch shape)
+    KerchunkIndex.appendParquetRefs(spark, store,
+      KerchunkIndex.readMany(spark, Seq(b, c)), "time")
+    assert(java.util.Arrays.equals(before, java.nio.file.Files.readAllBytes(rec0)))
+    val want = (0 until 11).map(t => (t.toLong, (t * 7).toDouble)).toSet
+    assert(storeCells(store) == want)
+    // chunk map equals the one-shot triple build at the same record size
+    val oneShot = dir.resolve("oneshot").toString
+    KerchunkIndex.writeParquetRefs(
+      KerchunkIndex.combineAlong(KerchunkIndex.readMany(spark, Seq(a, b, c)), "time"),
+      oneShot, recordSize = 2)
+    def keys(s: String) = KerchunkIndex.open(spark, s)
+      .select("key", "url", "offset", "length").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(keys(store) == keys(oneShot))
+  }
+
   test("appendParquetRefs refusals: not a store, non-leading concat axis (r13)") {
     val dir = java.nio.file.Files.createTempDirectory("kerchunk_app2")
     // not a parquet reference store

@@ -711,6 +711,9 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ex("</a></a>x") == (("x", 1, 0, 0)))
     // case-insensitive close tags; uppercase block tags
     assert(ex("<SCRIPT>x<1</SCRIPT><P>a</P>") == (("a", 1, 0, 0)))
+    // unterminated or over-long entities stay literal text
+    assert(ex("a&amp") == (("a&amp", 5, 0, 0)))
+    assert(ex("&waytoolongentity;x") == (("&waytoolongentity;x", 19, 0, 0)))
   }
 
   test("zipf surprisal: ranks by frequency, ties on token, OOV pays bitlen(K)+1") {
