@@ -388,22 +388,35 @@ object HtmlExtract {
           val closing = c1 == '/'
           var j = if (closing) i + 2 else i + 1
           val nameStart = j
-          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          // '-' is a name character: a custom element <a-entity> must NOT
+          // truncate to 'a' and masquerade as an anchor (it would poison
+          // the link-density signal this operator exists to produce)
+          while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-')) j += 1
           val name = html.substring(nameStart, j).toLowerCase
           val end = tagEnd(j)
-          val selfClosing = end - 2 >= i && html.charAt(math.max(end - 2, 0)) == '/'
-          if (!closing && (name == "script" || name == "style")) {
-            // raw-content element: skip to the matching close tag
+          // an unterminated tag at EOF is dropped junk: no link counting,
+          // no raw-content skip (there is nothing after it anyway)
+          val terminated = end > i && end <= n && html.charAt(end - 1) == '>'
+          val selfClosing = terminated && end - 2 > j - 1 && html.charAt(end - 2) == '/'
+          if (terminated && !closing && (name == "script" || name == "style")) {
+            // raw-content element: skip to the matching close tag — the
+            // NAME must end there (</scriptx> does not close <script>)
             val close = "</" + name
             var k = end
             var found = -1
             while (found < 0 && k + close.length <= n) {
-              if (html.regionMatches(true, k, close, 0, close.length)) found = k
+              if (html.regionMatches(true, k, close, 0, close.length) && {
+                    val after = k + close.length
+                    after >= n || {
+                      val ac = html.charAt(after)
+                      ac == '>' || ac == '/' || isWs(ac)
+                    }
+                  }) found = k
               else k += 1
             }
             i = if (found < 0) n else tagEnd(found + close.length)
           } else {
-            if (name == "a") {
+            if (terminated && name == "a") {
               if (closing) linkDepth = math.max(0, linkDepth - 1)
               else { nLinks += 1; if (!selfClosing) linkDepth += 1 }
             }
@@ -426,7 +439,13 @@ object HtmlExtract {
             else named.get(body).map(_.toInt)
           }
         decoded match {
-          case Some(cp) if cp >= 0 && cp <= 0x10FFFF => emit(cp); i = semi + 1
+          // NUL, surrogate code points and beyond-Unicode references map
+          // to U+FFFD (the HTML spec's rule) — appendCodePoint on a lone
+          // surrogate would otherwise mutate to '?' during UTF-8 encoding
+          // AFTER counting, desynchronizing text from text_chars
+          case Some(cp) if cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF =>
+            emit(0xFFFD); i = semi + 1
+          case Some(cp) if cp > 0 => emit(cp); i = semi + 1
           case _ => emit('&'); i += 1 // unknown entity stays literal
         }
       } else {

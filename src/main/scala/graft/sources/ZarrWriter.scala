@@ -378,12 +378,15 @@ object ZarrWriter {
                           storePath: String, maxChunkBytes: Long,
                           compress: Boolean, dtypes: Map[String, String],
                           filters: Map[String, Seq[String]]): Unit = {
+    // chain-vs-dtype rules are decidable from the declared dtypes alone
+    // (a bare |S/<U is still a string dtype), so refuse BEFORE geometry
+    // runs its two full-input aggregation jobs
+    filters.foreach { case (v, chain) =>
+      validateFilters(v, dtypes.getOrElse(v, "<f8"), chain) }
     val geos = geometry(df, maxChunkBytes, dtypes)
     val present = geos.map(_.variable).toSet
     filters.keys.foreach(v => require(present.contains(v),
       s"ZarrWriter: filters given for variable '$v', which is not in the input"))
-    geos.foreach(g => validateFilters(g.variable, g.dtype,
-      filters.getOrElse(g.variable, Nil)))
 
     // ---- driver-side metadata documents
     val conf = new org.apache.spark.util.SerializableConfiguration(

@@ -714,6 +714,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     // unterminated or over-long entities stay literal text
     assert(ex("a&amp") == (("a&amp", 5, 0, 0)))
     assert(ex("&waytoolongentity;x") == (("&waytoolongentity;x", 19, 0, 0)))
+    // custom elements never masquerade as their prefix tag: <a-entity> is
+    // NOT an anchor, <p-card> is NOT a block break
+    assert(ex("<a-entity>long text</a-entity>") == (("long text", 9, 0, 0)))
+    assert(ex("x<p-card>y</p-card>z") == (("xyz", 3, 0, 0)))
+    // a longer close-tag name does not terminate raw content
+    assert(ex("<script>if(a</scriptx>b)</script><p>x</p>") == (("x", 1, 0, 0)))
+    // invalid numeric refs (NUL, surrogates, beyond Unicode) become U+FFFD
+    assert(ex("<p>&#0;&#xD800;&#1114112;</p>") == (("���", 3, 0, 0)))
+    // an unterminated <a at EOF is junk, never a phantom link
+    assert(ex("click <a href=\"") == (("click", 6, 0, 0)))
   }
 
   test("zipf surprisal: ranks by frequency, ties on token, OOV pays bitlen(K)+1") {
