@@ -1756,6 +1756,25 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq_proj" -> ((s, _) => {
+      // r13: Sequence member PROJECTION pushdown — the DAP2 dotted-name
+      // constraint (`?cast.depth,cast.station`) asks the SERVER for two
+      // of the three members, so a 50-member in-situ feed never ships
+      // unused columns. The fixture answers the projected record stream
+      // in declaration order (the libdap/pydap convention); the projected
+      // rows must land exactly on load_opendap_seq's surface minus the
+      // unrequested member — the oracle is that closed form.
+      val base = graft.harness.Dap2Fixture.ensureSeq(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries,
+          project = Map("cast" -> Seq("depth", "station")))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -4341,6 +4360,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'cast.temp', 'cast', CAST(i AS VARCHAR),
         |         0.25 + 2.5 * CAST(i AS DOUBLE), NULL FROM range(6) t(i)
+        |  UNION ALL
+        |  SELECT 'cast.station', 'cast', CAST(i AS VARCHAR), CAST(NULL AS DOUBLE),
+        |         repeat('x', CAST(i % 4 AS INT) + 1) || CAST(i AS VARCHAR) FROM range(6) t(i))
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // the projected surface: load_opendap_seq's rows minus the member the
+    // constraint never requested
+    "load_opendap_seq_proj" ->
+      """WITH v AS (
+        |  SELECT 'cast.depth' AS variable, 'cast' AS dims, CAST(i AS VARCHAR) AS coord_key,
+        |         CAST(7 * i - 3 AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM range(6) t(i)
         |  UNION ALL
         |  SELECT 'cast.station', 'cast', CAST(i AS VARCHAR), CAST(NULL AS DOUBLE),
         |         repeat('x', CAST(i % 4 AS INT) + 1) || CAST(i AS VARCHAR) FROM range(6) t(i))

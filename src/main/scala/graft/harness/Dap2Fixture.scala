@@ -99,15 +99,15 @@ object Dap2Fixture {
       |    } cast;
       |} casts;""".stripMargin
 
-  /** The `?cast` projection: sequence only (a real server projects). */
-  private[graft] def seqCastProjDds: String =
-    """Dataset {
-      |    Sequence {
-      |        Int32 depth;
-      |        Float64 temp;
-      |        String station;
-      |    } cast;
-      |} casts;""".stripMargin
+  private[graft] val seqMembers: Seq[(String, String)] =
+    Seq("depth" -> "Int32", "temp" -> "Float64", "station" -> "String")
+
+  /** The DDS for a member projection of `cast` (declaration order — how a
+    * real server answers regardless of constraint order). */
+  private[graft] def seqCastProjDds(members: Seq[(String, String)]): String = {
+    val decls = members.map { case (m, t) => s"        $t $m;" }.mkString("\n")
+    s"Dataset {\n    Sequence {\n$decls\n    } cast;\n} casts;"
+  }
 
   private[graft] def seqDasText: String =
     """Attributes {
@@ -121,24 +121,29 @@ object Dap2Fixture {
       |    }
       |}""".stripMargin
 
-  /** The `.dods` record stream for the `cast` sequence. */
-  private[graft] def seqDodsBytes: Array[Byte] = {
+  /** The `.dods` record stream for a member projection of `cast`. */
+  private[graft] def seqDodsBytes(members: Seq[(String, String)] = seqMembers): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    out.write((seqCastProjDds + "\nData:\n").getBytes("US-ASCII"))
+    out.write((seqCastProjDds(members) + "\nData:\n").getBytes("US-ASCII"))
     def u32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
       out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
     }
     (0 until seqN).foreach { i =>
       u32(0x5A000000L) // start of instance
-      u32(seqDepth(i).toLong & 0xffffffffL) // Int32 scalar: 4-byte BE
-      val bits = java.lang.Double.doubleToLongBits(seqTemp(i))
-      u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
-      val sb = seqStation(i).getBytes("UTF-8") // counted string + pad
-      u32(sb.length.toLong)
-      out.write(sb)
-      var pad = (4 - sb.length % 4) % 4
-      while (pad > 0) { out.write(0); pad -= 1 }
+      members.foreach {
+        case ("depth", _) => u32(seqDepth(i).toLong & 0xffffffffL) // Int32: 4-byte BE
+        case ("temp", _) =>
+          val bits = java.lang.Double.doubleToLongBits(seqTemp(i))
+          u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+        case ("station", _) =>
+          val sb = seqStation(i).getBytes("UTF-8") // counted string + pad
+          u32(sb.length.toLong)
+          out.write(sb)
+          var pad = (4 - sb.length % 4) % 4
+          while (pad > 0) { out.write(0); pad -= 1 }
+        case (other, _) => throw new IllegalArgumentException(s"no such member '$other'")
+      }
     }
     u32(0xA5000000L) // end of sequence
     out.toByteArray
@@ -149,7 +154,18 @@ object Dap2Fixture {
     else if (path.endsWith(".das")) (seqDasText + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".dods")) {
       val q = if (query == null) "" else query.trim
-      if (q.isEmpty || q == "cast") seqDodsBytes
+      if (q.isEmpty || q == "cast") seqDodsBytes()
+      else if (q.startsWith("cast.")) {
+        // member projection (`?cast.depth,cast.station`) — answered in
+        // DECLARATION order like a real server
+        val wanted = q.split(',').map { p =>
+          require(p.startsWith("cast."), s"mixed projection '$q' unsupported by the fixture")
+          p.stripPrefix("cast.").trim
+        }.toSet
+        val members = seqMembers.filter { case (m, _) => wanted.contains(m) }
+        require(members.size == wanted.size, s"unknown member in projection '$q'")
+        seqDodsBytes(members)
+      }
       else if (q == "bg" || q == s"bg[0:${seqBg.length - 1}]") {
         val out = new ByteArrayOutputStream()
         out.write((s"Dataset {\n    Int32 bg[d = ${seqBg.length}];\n} casts;" +

@@ -681,7 +681,8 @@ object Dap2Index {
     * the pydap engine, source.py:85-90). Server-side relational
     * constraints (`?seq.a,seq.b&seq.a>5`) are the protocol's own
     * subsetting path; this client fetches whole one-level sequences. */
-  def decodeSequences(entries: DataFrame): DataFrame = {
+  def decodeSequences(entries: DataFrame,
+                      project: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val spark = entries.sparkSession
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -689,15 +690,41 @@ object Dap2Index {
     val schemas = entries.filter(col("member") === ".zseq")
       .select("variable", "inline_value").as[(String, String)].collect()
       .map { case (v, j) => v -> parseSeqSchema(j) }.toMap
+    // member PROJECTION pushes to the server as the DAP2 dotted-name
+    // constraint (`?seq.a,seq.b`) — the protocol's own subsetting path: a
+    // 50-member in-situ feed fetches only the columns asked for. The
+    // server answers in DECLARATION order (libdap/pydap serialize the
+    // sequence's members in DDS order regardless of projection order), so
+    // the projected schema keeps declaration order too.
+    project.foreach { case (seqName, wanted) =>
+      val declared = schemas.getOrElse(seqName, throw new IllegalArgumentException(
+        s"DAP2 sequence projection names '$seqName', which is not a Sequence here"))
+      val unknown = wanted.filterNot(w => declared.exists(_._1 == w))
+      require(unknown.isEmpty,
+        s"DAP2 sequence projection names unknown member(s) ${unknown.mkString(", ")} " +
+          s"of '$seqName' (has: ${declared.map(_._1).mkString(", ")})")
+      require(wanted.nonEmpty, s"DAP2 sequence projection for '$seqName' is empty")
+    }
+    val effective: Map[String, Seq[(String, String)]] = schemas.map { case (v, declared) =>
+      v -> (project.get(v) match {
+        case Some(wanted) => declared.filter { case (m, _) => wanted.contains(m) }
+        case None         => declared
+      })
+    }
     val refs = entries.filter(col("kind") === "seqref")
       .select("variable", "url").as[(String, String)]
     val n = refs.count()
     val parts = math.max(1, math.min(n, spark.sparkContext.defaultParallelism).toInt)
-    val bc = spark.sparkContext.broadcast(schemas)
+    val bc = spark.sparkContext.broadcast(effective)
+    val projected = spark.sparkContext.broadcast(project.keySet)
     refs.repartition(parts).flatMap { case (variable, url) =>
       val members = bc.value.getOrElse(variable,
         throw new IllegalStateException(s"no .zseq schema row for sequence '$variable'"))
-      parseSeqRecords(fetchBody(url), url, variable, members).map {
+      val reqUrl =
+        if (!projected.value.contains(variable)) url
+        else url.substring(0, url.indexOf('?') + 1) +
+          members.map { case (m, _) => s"$variable.$m" }.mkString(",")
+      parseSeqRecords(fetchBody(reqUrl), reqUrl, variable, members).map {
         case (mName, idx, v, s) =>
           (s"$variable.$mName", Seq(variable), Seq(idx), v, s)
       }

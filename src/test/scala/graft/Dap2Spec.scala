@@ -264,6 +264,30 @@ class Dap2Spec extends AnyFunSuite {
     assert(kKeys === Set("v/0"), kKeys.toString)
   }
 
+  test("Sequence member projection pushes to the server; refusals (r13)") {
+    val base = Dap2Fixture.ensureSeq(spark)
+    val entries = Dap2Index.read(spark, base)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getSeq[Long](2).head, Option(r.get(3)), Option(r.get(4)))).toSet
+    val full = rows(Dap2Index.decodeSequences(entries))
+    // projection order in the CALL differs from declaration order — the
+    // decoded rows must still match (the server answers declaration-first)
+    val proj = rows(Dap2Index.decodeSequences(entries,
+      project = Map("cast" -> Seq("station", "depth"))))
+    assert(proj == full.filter(r => r._1 != "cast.temp"), proj.toString)
+    assert(proj.size == 2 * Dap2Fixture.seqN)
+    // unknown member / unknown sequence / empty projection refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, project = Map("cast" -> Seq("nope")))
+    }.getMessage.contains("unknown member"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, project = Map("ghost" -> Seq("depth")))
+    }.getMessage.contains("not a Sequence"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, project = Map("cast" -> Nil))
+    }.getMessage.contains("empty"))
+  }
+
   test("DAS: nested containers flatten to dotted attribute scopes (r12)") {
     val das = Dap2Index.parseDas(
       """Attributes {
