@@ -963,6 +963,15 @@ object KerchunkIndex {
         var curVar: String = null
         var curRec: Long = -1L
         var nextRow: Long = 0L
+        // append path: the record file is replaced ATOMICALLY — bytes land
+        // in a dot-prefixed sibling (invisible to Spark's file index, so a
+        // concurrent reader never scans a half-written parquet) and a
+        // FileContext rename with Rename.OVERWRITE swaps it in (atomic on
+        // POSIX and HDFS). A crash mid-write leaves the OLD record file
+        // intact and a stray dot-file; a crash can never lose or tear rows
+        // the still-current .zmetadata addresses. Appends are single-writer:
+        // two concurrent appends race the rename (last swap wins whole).
+        var pendingRename: Option[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)] = None
         def pad(until: Long): Unit =
           while (nextRow < until) { writer.write(factory.newGroup()); nextRow += 1 }
         // a record file is always FULL-length (up to the variable's chunk
@@ -972,13 +981,26 @@ object KerchunkIndex {
         def close(): Unit = if (writer != null) {
           pad(math.min((curRec + 1) * recSize, nchunksByVar(curVar)))
           writer.close(); writer = null
+          pendingRename.foreach { case (tmp, fin) =>
+            val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+              fin.getFileSystem(conf.value).getUri, conf.value)
+            fc.rename(fc.makeQualified(tmp), fc.makeQualified(fin),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          }
+          pendingRename = None
         }
         try {
           it.foreach { case (variable, record, flat, path, offset, len, raw) =>
             if (variable != curVar || record != curRec) {
               close()
-              val file = new org.apache.hadoop.fs.Path(root,
+              val finalFile = new org.apache.hadoop.fs.Path(root,
                 s"$variable/refs.$record.parq")
+              // fresh build writes the final name directly; an APPEND stages
+              // in a hidden sibling and swaps atomically on close (above)
+              val file = if (allowOverwrite)
+                new org.apache.hadoop.fs.Path(root,
+                  s"$variable/.refs.$record.parq.inprogress")
+              else finalFile
               val wConf = new org.apache.hadoop.conf.Configuration(conf.value)
               GroupWriteSupport.setSchema(schema, wConf)
               writer = ExampleParquetWriter.builder(
@@ -988,11 +1010,12 @@ object KerchunkIndex {
                 .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
                 // a fresh build keeps CREATE's collision refusal (the dir
                 // was cleared, so any surviving file is a logic error); an
-                // APPEND rewrites exactly the boundary record file in place
+                // APPEND may overwrite a stale .inprogress left by a crash
                 .withWriteMode(
                   if (allowOverwrite) org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE
                   else org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
                 .build()
+              pendingRename = if (allowOverwrite) Some((file, finalFile)) else None
               curVar = variable; curRec = record; nextRow = record * recSize
             }
             require(flat >= nextRow,
@@ -1050,7 +1073,14 @@ object KerchunkIndex {
     * follow it; identical variables and every earlier record stay
     * byte-untouched on disk. The rewrite is safe against its own input:
     * the rows reach the writer through a shuffle, so the map stage has
-    * fully read the old record files before any task overwrites one.
+    * fully read the old record files before any task overwrites one. The
+    * boundary replacement itself is ATOMIC (r14): bytes stage in a hidden
+    * `.refs.<r>.parq.inprogress` sibling — invisible to Spark's file
+    * index, so concurrent readers never scan it — and a `FileContext`
+    * rename with `Rename.OVERWRITE` swaps it over the old file, so a
+    * crash mid-append leaves every old row addressable by the
+    * still-current metadata (appends are single-writer: two concurrent
+    * appends race the swap, they don't tear it).
     * `.zmetadata` (the grown shapes) writes LAST, after every record file
     * landed — a reader mid-append sees the old metadata over unchanged
     * positions, never a torn store. `record_size` is the store's fact and

@@ -325,7 +325,12 @@ class KerchunkProductionSpec extends AnyFunSuite {
       KerchunkIndex.appendParquetRefs(spark, store,
         KerchunkIndex.readMany(spark, Seq(c)), "time")
     }
-    assert(e.getMessage != null)
+    // specifically the no-growth refusal (either appendParquetRefs' own
+    // "nothing grew" or combineAlong's no-op arbitration upstream of it),
+    // not just any failure
+    assert(e.getMessage.contains("nothing grew") ||
+      e.getMessage.contains("kerchunk combine along"),
+      s"unexpected refusal message: ${e.getMessage}")
   }
 
   test("appendParquetRefs: record-aligned boundary (no rewrite) and multi-source append (r13)") {
