@@ -374,6 +374,37 @@ object HtmlExtract {
       n
     }
 
+    // quote-aware scan to the tag's '>' that also decides whether a '/'
+    // right before the '>' is a self-closing MARKER or the tail of an
+    // unquoted attribute value: <a href=http://x.com/> is an OPEN anchor —
+    // its '/' belongs to the value, and calling it self-closing would both
+    // drop the anchor's text from link_chars and swallow the real </a>,
+    // skewing the link-density signal this operator exists to produce.
+    // Returns (index just past '>', marker); (n, false) if unterminated.
+    def scanTag(from: Int): (Int, Boolean) = {
+      var i = from
+      var bare = false   // inside an unquoted attribute value
+      var eq = false     // saw '=', awaiting the value
+      var marker = false // last char was a '/' eligible as the marker
+      while (i < n) {
+        val c = html.charAt(i)
+        if (c == '>') return (i + 1, marker)
+        else if (bare) { if (isWs(c)) bare = false; marker = false; i += 1 }
+        else if (c == '"' || c == '\'') {
+          i += 1
+          while (i < n && html.charAt(i) != c) i += 1
+          if (i < n) i += 1
+          eq = false; marker = false
+        }
+        else if (isWs(c)) { marker = false; i += 1 } // '=' keeps awaiting
+        else if (eq) { bare = true; eq = false; marker = false; i += 1 }
+        else if (c == '=') { eq = true; marker = false; i += 1 }
+        else if (c == '/') { marker = true; i += 1 }
+        else { marker = false; i += 1 }
+      }
+      (n, false)
+    }
+
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -393,11 +424,11 @@ object HtmlExtract {
           // the link-density signal this operator exists to produce)
           while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-')) j += 1
           val name = html.substring(nameStart, j).toLowerCase
-          val end = tagEnd(j)
+          val (end, marker) = scanTag(j)
           // an unterminated tag at EOF is dropped junk: no link counting,
           // no raw-content skip (there is nothing after it anyway)
           val terminated = end > i && end <= n && html.charAt(end - 1) == '>'
-          val selfClosing = terminated && end - 2 > j - 1 && html.charAt(end - 2) == '/'
+          val selfClosing = terminated && marker
           if (terminated && !closing && (name == "script" || name == "style")) {
             // raw-content element: skip to the matching close tag — the
             // NAME must end there (</scriptx> does not close <script>)

@@ -724,6 +724,15 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ex("<p>&#0;&#xD800;&#1114112;</p>") == (("���", 3, 0, 0)))
     // an unterminated <a at EOF is junk, never a phantom link
     assert(ex("click <a href=\"") == (("click", 6, 0, 0)))
+    // r14: an unquoted attribute value ending in '/' is NOT a self-closing
+    // marker — <a href=http://x.com/> opens a real anchor whose text counts
+    // as link chars and whose </a> really closes it
+    assert(ex("<a href=http://x.com/>x</a>y") == (("xy", 2, 1, 1)))
+    assert(ex("<a href=/u/>x</a>") == (("x", 1, 1, 1)))
+    // ...but a standalone '/' after the (ws-terminated) bare value, or
+    // after a quoted value ending in '/', is still the marker
+    assert(ex("<a href=/u/ />x") == (("x", 1, 0, 1)))
+    assert(ex("<a href='u/'/>x") == (("x", 1, 0, 1)))
   }
 
   test("zipf surprisal: ranks by frequency, ties on token, OOV pays bitlen(K)+1") {
