@@ -215,13 +215,18 @@ def main():
         assert n_name[(i,)] == nm, (i, n_name[(i,)], nm)
     for j, (rn,) in enumerate(rnames):
         assert r_label[(j,)] == rn, (j, r_label[(j,)], rn)
-    # r13: r* arrays omit fill_value (no spec-pinned JSON form for raw
-    # bits); numeric arrays must still carry theirs
+    # r14: fill_value is REQUIRED by v3 core; r* arrays carry the spec's
+    # raw-bits form — an array of N/8 byte integers, all zero (the pad
+    # byte); numeric arrays must still carry their scalar fill
     def zj(name):
         with open(os.path.join(store, name, "zarr.json")) as f:
             return json.load(f)
-    assert "fill_value" not in zj("n_name"), zj("n_name")
-    assert "fill_value" not in zj("r_label"), zj("r_label")
+    def rwidth(name):
+        dt = zj(name)["data_type"]
+        assert dt.startswith("r") and int(dt[1:]) % 8 == 0, dt
+        return int(dt[1:]) // 8
+    assert zj("n_name")["fill_value"] == [0] * rwidth("n_name"), zj("n_name")
+    assert zj("r_label")["fill_value"] == [0] * rwidth("r_label"), zj("r_label")
     assert zj("n_key")["fill_value"] == 0.0
     assert zj("n_region")["fill_value"] == 0
     # r13 read-side dtype parity: f4 half-steps, signed i2/i1 negatives,

@@ -476,12 +476,12 @@ object ZarrWriter {
     * ride the core RAW BITS type `r{8n}` since core v3 defines no
     * fixed-width string — our reader translates them back, other readers
     * see spec-legal opaque bytes; `<U` refuses in v3 mode, use `|S`), the
-    * `bytes` (little-endian) codec optionally chained with `gzip` or
-    * `zstd` (v3 stores in the wild increasingly default to zstd; r*
-    * arrays OMIT fill_value — the spec pins no JSON form for raw-bits
-    * fills, so strict third-party readers may refuse those arrays; our
-    * reader never consults the member), default chunk-key encoding
-    * (`c/i/j…`), and first-class `dimension_names`.
+    * `bytes` (little-endian) codec optionally chained with `gzip`,
+    * `zstd`, or a blosc chain (v3 stores in the wild increasingly
+    * default to zstd; r* arrays carry the core spec's raw-bits
+    * fill_value form — an array of N/8 zero bytes — since the member is
+    * spec-mandatory; our reader never consults it), default chunk-key
+    * encoding (`c/i/j…`), and first-class `dimension_names`.
     *
     * `shardInnerChunks >= 2` switches on `sharding_indexed` — v3's
     * many-chunks-per-object layout and the reason v3 matters at 100 TB:
@@ -570,14 +570,15 @@ object ZarrWriter {
             s""""chunk_shape": ${jarr(g.chunks)}, "codecs": $innerCodecs, """ +
             """"index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, """ +
             """{"name": "crc32c"}], "index_location": "end"}}]"""
-      // r* (|S labels) arrays OMIT fill_value: the v3 core spec pins no
-      // JSON form for raw-bits fills (a bare 0 is type-invalid for r*),
-      // and our reader treats absent chunks as fill without consulting
-      // the member. INTEROP CAVEAT: a strict third-party reader that
-      // requires the (spec-mandatory) member may refuse r* arrays from
-      // this writer; numeric dtypes always carry their 0 / 0.0 fill.
+      // fill_value is a REQUIRED member of v3 core array metadata. r*
+      // (|S labels) arrays carry the core spec's raw-bits form — an array
+      // of N/8 byte integers (all zero: our pad byte) — so conforming
+      // third-party readers accept them (r13 omitted the member, which
+      // was spec-invalid; our own reader treats absent chunks as fill
+      // without consulting it either way). Numerics carry 0 / 0.0.
       val fill =
-        if (isString(g.dtype)) ""
+        if (isString(g.dtype))
+          s""""fill_value": ${Seq.fill(g.dtype.drop(2).toInt)(0).mkString("[", ", ", "]")}, """
         else if (g.dtype == "<f8" || g.dtype == "<f4") """"fill_value": 0.0, """
         else """"fill_value": 0, """
       putFile(storePath, s"${g.variable}/zarr.json",

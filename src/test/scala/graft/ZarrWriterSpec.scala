@@ -344,7 +344,7 @@ class ZarrWriterSpec extends AnyFunSuite {
     }.getMessage.contains("not in the input"))
   }
 
-  test("v3 fill_value: omitted for r* raw-bits arrays, present for numerics (r13)") {
+  test("v3 fill_value: raw-bits byte-array form for r*, scalar for numerics (r14)") {
     val rows = Seq(
       ("num", Seq("x"), Seq(0L), Option(1.0), Option.empty[String]),
       ("lbl", Seq("x"), Seq(0L), Option.empty[Double], Option("ab")))
@@ -354,6 +354,8 @@ class ZarrWriterSpec extends AnyFunSuite {
     def zj(v: String) = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, v, "zarr.json")), "UTF-8")
     assert(zj("num").contains("\"fill_value\": 0.0"), zj("num"))
-    assert(!zj("lbl").contains("fill_value"), zj("lbl"))
+    // fill_value is REQUIRED in v3 core metadata; r* carries the spec's
+    // raw-bits form — an array of N/8 byte integers ("ab" → |S2 → r16)
+    assert(zj("lbl").contains("\"fill_value\": [0, 0]"), zj("lbl"))
   }
 }
