@@ -1775,6 +1775,29 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq_sel" -> ((s, _) => {
+      // r14: Sequence SELECTION pushdown — the DAP2 relational constraint
+      // (`?cast.depth,cast.temp&cast.depth>10&cast.temp<11`) asks the
+      // SERVER to filter records before serializing, the standard way
+      // in-situ clients avoid shipping a whole feed (pydap compiles its
+      // ConstraintExpression to the same suffix). Two predicates, both
+      // effective (depth>10 keeps i>=2, temp<11 keeps i<=4), composed
+      // with a member projection in ONE constraint; the server numbers
+      // records after filtering, so coords are the post-filter indices
+      // 0..2. The Dap2Spec twin asserts by request URL that the
+      // unfiltered stream is never fetched.
+      val base = graft.harness.Dap2Fixture.ensureSeq(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries,
+          project = Map("cast" -> Seq("depth", "temp")),
+          select = Map("cast" -> Seq("depth>10", "temp<11")))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -4376,6 +4399,23 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'cast.station', 'cast', CAST(i AS VARCHAR), CAST(NULL AS DOUBLE),
         |         repeat('x', CAST(i % 4 AS INT) + 1) || CAST(i AS VARCHAR) FROM range(6) t(i))
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // the selected surface: the server applies both relational predicates
+    // over the closed-form records, then numbers the survivors 0..n-1 —
+    // row_number() over the kept range() rows IS that renumbering
+    "load_opendap_seq_sel" ->
+      """WITH k AS (
+        |  SELECT i, CAST(row_number() OVER (ORDER BY i) - 1 AS VARCHAR) AS r
+        |  FROM range(6) t(i)
+        |  WHERE 7 * i - 3 > 10 AND 0.25 + 2.5 * CAST(i AS DOUBLE) < 11),
+        |v AS (
+        |  SELECT 'cast.depth' AS variable, 'cast' AS dims, r AS coord_key,
+        |         CAST(7 * i - 3 AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM k
+        |  UNION ALL
+        |  SELECT 'cast.temp', 'cast', r, 0.25 + 2.5 * CAST(i AS DOUBLE), NULL FROM k)
         |SELECT variable, dims, coord_key, value, label FROM v
         |ORDER BY variable, coord_key""".stripMargin,
 

@@ -121,15 +121,22 @@ object Dap2Fixture {
       |    }
       |}""".stripMargin
 
-  /** The `.dods` record stream for a member projection of `cast`. */
-  private[graft] def seqDodsBytes(members: Seq[(String, String)] = seqMembers): Array[Byte] = {
+  /** Every `.dods` request the sequence server answered, `path?query` —
+    * specs assert pushdown by URL (e.g. that no unfiltered fetch ran). */
+  private[graft] val seqRequests =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** The `.dods` record stream for a member projection of `cast`,
+    * optionally restricted to the record indices a selection kept. */
+  private[graft] def seqDodsBytes(members: Seq[(String, String)] = seqMembers,
+                                  recs: Seq[Int] = 0 until seqN): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write((seqCastProjDds(members) + "\nData:\n").getBytes("US-ASCII"))
     def u32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
       out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
     }
-    (0 until seqN).foreach { i =>
+    recs.foreach { i =>
       u32(0x5A000000L) // start of instance
       members.foreach {
         case ("depth", _) => u32(seqDepth(i).toLong & 0xffffffffL) // Int32: 4-byte BE
@@ -150,30 +157,74 @@ object Dap2Fixture {
   }
 
   private def startSeq(): String = serve("casts") { (path, query) =>
+    if (path.endsWith(".dods"))
+      seqRequests.add(path + Option(query).map("?" + _).getOrElse(""))
     if (path.endsWith(".dds")) (seqDdsText + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".das")) (seqDasText + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".dods")) {
       val q = if (query == null) "" else query.trim
-      if (q.isEmpty || q == "cast") seqDodsBytes()
-      else if (q.startsWith("cast.")) {
-        // member projection (`?cast.depth,cast.station`) — answered in
-        // DECLARATION order like a real server
-        val wanted = q.split(',').map { p =>
-          require(p.startsWith("cast."), s"mixed projection '$q' unsupported by the fixture")
-          p.stripPrefix("cast.").trim
-        }.toSet
-        val members = seqMembers.filter { case (m, _) => wanted.contains(m) }
-        require(members.size == wanted.size, s"unknown member in projection '$q'")
-        seqDodsBytes(members)
-      }
-      else if (q == "bg" || q == s"bg[0:${seqBg.length - 1}]") {
+      if (q == "bg" || q == s"bg[0:${seqBg.length - 1}]") {
         val out = new ByteArrayOutputStream()
         out.write((s"Dataset {\n    Int32 bg[d = ${seqBg.length}];\n} casts;" +
           "\nData:\n").getBytes("US-ASCII"))
         out.write(xdrArray("Int32", seqBg.map(_.toDouble)))
         out.toByteArray
-      } else throw new IllegalArgumentException(
-        s"sequence fixture cannot serve constraint '$q'")
+      } else {
+        // `<projection>&<sel>&<sel>…` — evaluate like a real server:
+        // selection filters the records (over the FULL sequence, whether
+        // or not the member is projected), projection picks the members,
+        // and the stream serializes in DECLARATION order
+        val ceParts = q.split('&')
+        val projPart = ceParts.head.trim
+        val sels = ceParts.drop(1).map(_.trim).filter(_.nonEmpty).toSeq
+        val members =
+          if (projPart.isEmpty || projPart == "cast") seqMembers
+          else {
+            val wanted = projPart.split(',').map { p =>
+              require(p.trim.startsWith("cast."),
+                s"mixed projection '$q' unsupported by the fixture")
+              p.trim.stripPrefix("cast.")
+            }.toSet
+            val picked = seqMembers.filter { case (m, _) => wanted.contains(m) }
+            require(picked.size == wanted.size, s"unknown member in projection '$q'")
+            picked
+          }
+        val selRe = """^cast\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|=~|<|>|=)(.+)$""".r
+        def cmp(x: Double, op: String, lit: String): Boolean = {
+          val y = lit.toDouble
+          op match {
+            case "<" => x < y; case "<=" => x <= y; case ">" => x > y
+            case ">=" => x >= y; case "=" => x == y; case "!=" => x != y
+            case other => throw new IllegalArgumentException(
+              s"numeric op '$other' unsupported by the fixture")
+          }
+        }
+        def unquote(lit: String): String = {
+          require(lit.length >= 2 && lit.head == '"' && lit.last == '"',
+            s"string literal '$lit' must be double-quoted")
+          lit.substring(1, lit.length - 1)
+        }
+        val keep = (0 until seqN).filter { i =>
+          sels.forall {
+            case selRe(m, op, lit) => m match {
+              case "depth" => cmp(seqDepth(i).toDouble, op, lit)
+              case "temp"  => cmp(seqTemp(i), op, lit)
+              case "station" => op match {
+                case "="  => seqStation(i) == unquote(lit)
+                case "!=" => seqStation(i) != unquote(lit)
+                case "=~" => seqStation(i).matches(unquote(lit))
+                case other => throw new IllegalArgumentException(
+                  s"string op '$other' unsupported by the fixture")
+              }
+              case other => throw new IllegalArgumentException(
+                s"selection on unknown member '$other'")
+            }
+            case other => throw new IllegalArgumentException(
+              s"fixture cannot evaluate selection '$other'")
+          }
+        }
+        seqDodsBytes(members, keep)
+      }
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }
 

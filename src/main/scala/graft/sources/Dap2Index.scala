@@ -524,8 +524,11 @@ object Dap2Index {
     stripDods(body, url, wantVar)
   }
 
-  /** GET one DAP2 response body, unframed. */
-  private[graft] def fetchBody(url: String): Array[Byte] = {
+  /** GET one DAP2 response body, unframed. `maxBytes` bounds the in-memory
+    * buffer (the sequence plane's wire-byte guard — record streams have no
+    * presizable geometry); past it the fetch refuses loudly instead of
+    * buffering an unbounded feed on one task. */
+  private[graft] def fetchBody(url: String, maxBytes: Long = Long.MaxValue): Array[Byte] = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setConnectTimeout(30000)
     conn.setReadTimeout(300000)
@@ -534,7 +537,27 @@ object Dap2Index {
       if (code / 100 != 2)
         throw new java.io.IOException(s"DAP2 server returned $code for $url")
       val in = conn.getInputStream
-      try in.readAllBytes() finally in.close()
+      try {
+        if (maxBytes == Long.MaxValue) in.readAllBytes()
+        else {
+          val bos = new java.io.ByteArrayOutputStream(
+            math.min(maxBytes, 1L << 16).toInt)
+          val buf = new Array[Byte](64 * 1024)
+          var total = 0L
+          var n = in.read(buf)
+          while (n >= 0) {
+            total += n
+            if (total > maxBytes)
+              throw new java.io.IOException(
+                s"DAP2 response from $url exceeds the $maxBytes-byte fetch bound — " +
+                  "subset server-side (member projection and/or a relational " +
+                  "selection like ?seq.a,seq.b&seq.depth>500) or raise maxFetchBytes")
+            bos.write(buf, 0, n)
+            n = in.read(buf)
+          }
+          bos.toByteArray
+        }
+      } finally in.close()
     } finally conn.disconnect()
   }
 
@@ -678,18 +701,40 @@ object Dap2Index {
     * walk emits what it parses and refuses on any framing disagreement.
     * Reference behavior matched: pydap surfaces a Sequence as per-member
     * vectors over the record index (the reference hands opendap urls to
-    * the pydap engine, source.py:85-90). Server-side relational
-    * constraints (`?seq.a,seq.b&seq.a>5`) are the protocol's own
-    * subsetting path; this client fetches whole one-level sequences. */
+    * the pydap engine, source.py:85-90; pydap compiles its own
+    * ConstraintExpression filters to exactly this suffix).
+    *
+    * `select` (r14) pushes per-member RELATIONAL constraints to the
+    * server as the DAP2 selection suffix (`?seq.a,seq.b&seq.depth>500`)
+    * — the protocol's own filter path and the standard way in-situ
+    * clients avoid shipping a whole feed. Each entry is
+    * `<member><op><literal>` with ops `< <= > >= = != =~` (`=~` and
+    * quoted literals only on String/Url members, numeric literals only
+    * on numeric members); selection members need not be projected. The
+    * server filters BEFORE records are numbered, so `coords` are the
+    * post-filter record indices 0..n-1 — the row surface of the smaller
+    * feed, exactly as pydap presents a constrained sequence.
+    *
+    * `maxFetchBytes` bounds the one-task record-stream fetch (the
+    * array plane's maxChunkBytes analogue — record count is
+    * data-dependent, so the only honest bound is on wire bytes); an
+    * oversized feed refuses loudly and points at `select`/`project`. */
   def decodeSequences(entries: DataFrame,
-                      project: Map[String, Seq[String]] = Map.empty): DataFrame = {
+                      project: Map[String, Seq[String]] = Map.empty,
+                      select: Map[String, Seq[String]] = Map.empty,
+                      maxFetchBytes: Long = 256L << 20): DataFrame = {
     val spark = entries.sparkSession
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // member schemas: one tiny row per sequence, driver-side by design
-    val schemas = entries.filter(col("member") === ".zseq")
-      .select("variable", "inline_value").as[(String, String)].collect()
-      .map { case (v, j) => v -> parseSeqSchema(j) }.toMap
+    require(maxFetchBytes > 0, s"decodeSequences: maxFetchBytes $maxFetchBytes")
+    // member schemas + sequence refs: a handful of tiny rows per sequence,
+    // driver-side by design — ONE collect serves both (the schema walk and
+    // the task list), so no separate sizing job runs
+    val metaRows = entries
+      .filter(col("member") === ".zseq" || col("kind") === "seqref")
+      .select("variable", "member", "kind", "url", "inline_value").collect()
+    val schemas = metaRows.filter(_.getString(1) == ".zseq")
+      .map(r => r.getString(0) -> parseSeqSchema(r.getString(4))).toMap
     // member PROJECTION pushes to the server as the DAP2 dotted-name
     // constraint (`?seq.a,seq.b`) — the protocol's own subsetting path: a
     // 50-member in-situ feed fetches only the columns asked for. The
@@ -705,30 +750,88 @@ object Dap2Index {
           s"of '$seqName' (has: ${declared.map(_._1).mkString(", ")})")
       require(wanted.nonEmpty, s"DAP2 sequence projection for '$seqName' is empty")
     }
+    // selections validate against the DECLARED schema (a filter member
+    // need not be projected — DAP2 evaluates selection server-side over
+    // the full sequence, then serializes only the projection)
+    val selByVar: Map[String, Seq[String]] = select.map { case (seqName, preds) =>
+      val declared = schemas.getOrElse(seqName, throw new IllegalArgumentException(
+        s"DAP2 sequence selection names '$seqName', which is not a Sequence here"))
+      require(preds.nonEmpty, s"DAP2 sequence selection for '$seqName' is empty")
+      seqName -> preds.map { p =>
+        val (m, op, lit) = p match {
+          case seqSelRe(m0, op0, lit0) => (m0, op0, lit0)
+          case _ => throw new IllegalArgumentException(
+            s"DAP2 sequence selection '$p' is not <member><op><literal> " +
+              "(ops: < <= > >= = != =~)")
+        }
+        val tpe = declared.collectFirst { case (`m`, t) => t }.getOrElse(
+          throw new IllegalArgumentException(
+            s"DAP2 sequence selection names unknown member '$m' of '$seqName' " +
+              s"(has: ${declared.map(_._1).mkString(", ")})"))
+        if (stringTypes.contains(tpe)) {
+          require(op == "=" || op == "!=" || op == "=~",
+            s"DAP2 sequence selection '$p': op '$op' is not defined on String " +
+              s"member '$seqName.$m' (use = != =~)")
+          require(lit.length >= 2 && lit.head == '"' && lit.last == '"',
+            s"DAP2 sequence selection '$p': String member '$seqName.$m' needs a " +
+              "double-quoted literal")
+        } else {
+          require(op != "=~",
+            s"DAP2 sequence selection '$p': =~ is only defined on String members " +
+              s"('$seqName.$m' is $tpe)")
+          require(scala.util.Try(lit.toDouble).isSuccess,
+            s"DAP2 sequence selection '$p': numeric member '$seqName.$m' needs a " +
+              s"numeric literal, got '$lit'")
+        }
+        s"&$seqName.$m${ceEncode(op)}${ceEncode(lit)}"
+      }
+    }
     val effective: Map[String, Seq[(String, String)]] = schemas.map { case (v, declared) =>
       v -> (project.get(v) match {
         case Some(wanted) => declared.filter { case (m, _) => wanted.contains(m) }
         case None         => declared
       })
     }
-    val refs = entries.filter(col("kind") === "seqref")
-      .select("variable", "url").as[(String, String)]
-    val n = refs.count()
-    val parts = math.max(1, math.min(n, spark.sparkContext.defaultParallelism).toInt)
-    val bc = spark.sparkContext.broadcast(effective)
-    val projected = spark.sparkContext.broadcast(project.keySet)
-    refs.repartition(parts).flatMap { case (variable, url) =>
-      val members = bc.value.getOrElse(variable,
+    val refPairs: Seq[(String, String)] = metaRows.filter(_.getString(2) == "seqref")
+      .map(r => (r.getString(0), r.getString(3))).toSeq
+    val parts = math.max(1, math.min(refPairs.size, spark.sparkContext.defaultParallelism))
+    val cap = maxFetchBytes
+    spark.sparkContext.parallelize(refPairs, parts).flatMap { case (variable, url) =>
+      val members = effective.getOrElse(variable,
         throw new IllegalStateException(s"no .zseq schema row for sequence '$variable'"))
+      val sels = selByVar.getOrElse(variable, Seq.empty).mkString
+      // the seqref url ends '?<seq>' (whole-sequence projection); member
+      // projection replaces it with the dotted names, selections append
       val reqUrl =
-        if (!projected.value.contains(variable)) url
+        if (!project.contains(variable) && sels.isEmpty) url
         else url.substring(0, url.indexOf('?') + 1) +
-          members.map { case (m, _) => s"$variable.$m" }.mkString(",")
-      parseSeqRecords(fetchBody(reqUrl), reqUrl, variable, members).map {
+          (if (project.contains(variable))
+             members.map { case (m, _) => s"$variable.$m" }.mkString(",")
+           else variable) + sels
+      parseSeqRecords(fetchBody(reqUrl, cap), reqUrl, variable, members).map {
         case (mName, idx, v, s) =>
           (s"$variable.$mName", Seq(variable), Seq(idx), v, s)
       }
     }.toDF("variable", "dims", "coords", "value", "label")
+  }
+
+  // `<member><op><literal>` — ops longest-first so `<=` never parses as `<`
+  private val seqSelRe =
+    """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|!=|=~|<|>|=)\s*(.+?)\s*$""".r
+
+  /** Percent-encode a constraint-expression component: `<`, `>`, `"`,
+    * `{`, `}`, spaces, and non-ASCII are illegal raw in a URI query (a
+    * strict server — or `java.net.URI` itself — rejects the request
+    * line); the CE-structural `&` also encodes so a literal can never
+    * split the selection list. Servers decode before CE evaluation. */
+  private[graft] def ceEncode(s: String): String = {
+    val safe = "-_.~!$'()*+,;=:@"
+    s.getBytes("UTF-8").map { b =>
+      val i = b & 0xff
+      val c = i.toChar
+      if (i < 0x80 && (c.isLetterOrDigit || safe.indexOf(c) >= 0)) c.toString
+      else f"%%$i%02X"
+    }.mkString
   }
 
   private def parseSeqSchema(json: String): Seq[(String, String)] = {

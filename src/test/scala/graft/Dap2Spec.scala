@@ -288,6 +288,102 @@ class Dap2Spec extends AnyFunSuite {
     }.getMessage.contains("empty"))
   }
 
+  test("Sequence selection pushes to the server; the unfiltered fetch never runs (r14)") {
+    val base = Dap2Fixture.ensureSeq(spark)
+    val entries = Dap2Index.read(spark, base)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getSeq[Long](2).head, Option(r.get(3)), Option(r.get(4)))).toSet
+    import scala.jdk.CollectionConverters._
+    Dap2Fixture.seqRequests.clear()
+    // two numeric predicates, both effective: depth>10 keeps i>=2,
+    // temp<11 keeps i<=4 — the server filters BEFORE numbering, so the
+    // decoded coords are the post-filter indices 0..2
+    val sel = rows(Dap2Index.decodeSequences(entries,
+      select = Map("cast" -> Seq("depth>10", "temp<11"))))
+    val keep = (0 until Dap2Fixture.seqN).filter(i =>
+      Dap2Fixture.seqDepth(i) > 10 && Dap2Fixture.seqTemp(i) < 11)
+    assert(keep == Seq(2, 3, 4))
+    val want = keep.zipWithIndex.flatMap { case (i, r) => Seq(
+      ("cast.depth", r.toLong, Some(Dap2Fixture.seqDepth(i).toDouble), None),
+      ("cast.temp", r.toLong, Some(Dap2Fixture.seqTemp(i)), None),
+      ("cast.station", r.toLong, None, Some(Dap2Fixture.seqStation(i)))) }.toSet
+    assert(sel === want)
+    // THE pushdown receipt: every .dods fetch of the sequence carried the
+    // selection suffix — the unfiltered record stream was never requested
+    val reqs1 = Dap2Fixture.seqRequests.asScala.toList
+    assert(reqs1.nonEmpty)
+    assert(reqs1.forall(_.endsWith("?cast&cast.depth>10&cast.temp<11")), reqs1.toString)
+
+    // projection + a string-regex selection compose: one CE carries both,
+    // and selection members need not be projected
+    Dap2Fixture.seqRequests.clear()
+    val both = rows(Dap2Index.decodeSequences(entries,
+      project = Map("cast" -> Seq("depth", "station")),
+      select = Map("cast" -> Seq("station=~\"x{3}.*\""))))
+    val keep2 = (0 until Dap2Fixture.seqN).filter(i =>
+      Dap2Fixture.seqStation(i).matches("x{3}.*"))
+    assert(keep2 == Seq(2, 3))
+    val want2 = keep2.zipWithIndex.flatMap { case (i, r) => Seq(
+      ("cast.depth", r.toLong, Some(Dap2Fixture.seqDepth(i).toDouble), None),
+      ("cast.station", r.toLong, None, Some(Dap2Fixture.seqStation(i)))) }.toSet
+    assert(both === want2)
+    val reqs2 = Dap2Fixture.seqRequests.asScala.toList
+    assert(reqs2.nonEmpty)
+    assert(reqs2.forall(
+      _.endsWith("?cast.depth,cast.station&cast.station=~\"x{3}.*\"")), reqs2.toString)
+
+    // a selection on a non-projected member still filters server-side
+    Dap2Fixture.seqRequests.clear()
+    val cross = rows(Dap2Index.decodeSequences(entries,
+      project = Map("cast" -> Seq("station")),
+      select = Map("cast" -> Seq("depth>10", "temp<11"))))
+    assert(cross === keep.zipWithIndex.map { case (i, r) =>
+      ("cast.station", r.toLong, None: Option[Any],
+        Some(Dap2Fixture.seqStation(i)): Option[Any]) }.toSet)
+    assert(Dap2Fixture.seqRequests.asScala.forall(
+      _.endsWith("?cast.station&cast.depth>10&cast.temp<11")))
+
+    // refusals: unknown member, unknown sequence, =~ on a numeric member,
+    // unquoted string literal, non-numeric literal, empty list, bad shape
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("cast" -> Seq("nope>1")))
+    }.getMessage.contains("unknown member"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("ghost" -> Seq("depth>1")))
+    }.getMessage.contains("not a Sequence"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("cast" -> Seq("depth=~\"x\"")))
+    }.getMessage.contains("only defined on String"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("cast" -> Seq("station=abc")))
+    }.getMessage.contains("double-quoted"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("cast" -> Seq("depth>abc")))
+    }.getMessage.contains("numeric literal"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("cast" -> Nil))
+    }.getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("cast" -> Seq("depth ~ 1")))
+    }.getMessage.contains("not <member><op><literal>"))
+  }
+
+  test("Sequence fetch bound: an oversized record stream refuses loudly (r14)") {
+    val base = Dap2Fixture.ensureSeq(spark)
+    val entries = Dap2Index.read(spark, base)
+    val e = intercept[Exception] {
+      Dap2Index.decodeSequences(entries, maxFetchBytes = 8).collect()
+    }
+    val texts = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(texts.contains("fetch bound"), texts)
+    // ...and the refusal points at the protocol's own subsetting paths
+    assert(texts.contains("selection"), texts)
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, maxFetchBytes = 0)
+    }.getMessage.contains("maxFetchBytes"))
+  }
+
   test("DAS: nested containers flatten to dotted attribute scopes (r12)") {
     val das = Dap2Index.parseDas(
       """Attributes {
