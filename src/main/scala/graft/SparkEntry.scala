@@ -1798,6 +1798,26 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq_nested" -> ((s, _) => {
+      // r14: NESTED Sequence decode — the profile-of-casts shape
+      // (`Sequence { Int32 station; Sequence { Int32 depth; Float64 o2; }
+      // profile; Float64 lat; } prof;`). DAP 2.0 §7.2.3 serializes the
+      // nested member recursively (its own 0x5A records + 0xA5 terminator
+      // inline, mid-declaration here); the walk explodes inner records to
+      // tidy rows over a TWO-long coords vector (outer, inner), outer
+      // scalars keep the one-long form. Record 0's inner stream is empty
+      // — no phantom rows. All values closed-form, so the oracle
+      // regenerates both levels from range().
+      val base = graft.harness.Dap2Fixture.ensureSeqNested(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries)
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -4416,6 +4436,31 @@ object SparkEntry {
         |  FROM k
         |  UNION ALL
         |  SELECT 'cast.temp', 'cast', r, 0.25 + 2.5 * CAST(i AS DOUBLE), NULL FROM k)
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // closed-form regeneration of BOTH levels of the nested-Sequence
+    // fixture: outer rows from range(4), inner rows from the cross join
+    // gated on j < i % 3 (record 0 contributes none), dims/coord_key as
+    // the dot-joined dims/coords vectors
+    "load_opendap_seq_nested" ->
+      """WITH o AS (SELECT i FROM range(4) t(i)),
+        |n AS (SELECT i, j FROM range(4) t(i) CROSS JOIN range(3) u(j) WHERE j < i % 3),
+        |v AS (
+        |  SELECT 'prof.station' AS variable, 'prof' AS dims, CAST(i AS VARCHAR) AS coord_key,
+        |         CAST(100 + 7 * i AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'prof.lat', 'prof', CAST(i AS VARCHAR),
+        |         0.5 * CAST(i AS DOUBLE) - 1.0, NULL FROM o
+        |  UNION ALL
+        |  SELECT 'prof.profile.depth', 'prof.prof.profile',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         CAST(10 * i + j AS DOUBLE), NULL FROM n
+        |  UNION ALL
+        |  SELECT 'prof.profile.o2', 'prof.prof.profile',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         2.5 + 0.5 * CAST(i + j AS DOUBLE), NULL FROM n)
         |SELECT variable, dims, coord_key, value, label FROM v
         |ORDER BY variable, coord_key""".stripMargin,
 

@@ -228,6 +228,128 @@ object Dap2Fixture {
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }
 
+  /** Nested-Sequence dataset (r14, `load_opendap_seq_nested`): the
+    * profile-of-casts shape —
+    * `Sequence { Int32 station; Sequence { Int32 depth; Float64 o2; }
+    * profile; Float64 lat; } prof;` — with the nested member in the
+    * MIDDLE of declaration order (pins the resume-outer-members walk)
+    * and record 0's inner stream EMPTY (just its terminator). All values
+    * closed-form: station = 100 + 7i, lat = 0.5i − 1, inner count =
+    * i % 3, depth = 10i + j, o2 = 2.5 + 0.5(i + j). Wire form per
+    * DAP 2.0 §7.2.3: a nested Sequence member serializes recursively —
+    * its own 0x5A-marked records and 0xA5 terminator inline at the
+    * member position. */
+  def ensureSeqNested(spark: SparkSession): String = synchronized {
+    servers.getOrElseUpdate("#seqnested", startSeqNested())
+  }
+
+  private[graft] val nestN = 4
+  private[graft] def nestStation(i: Int): Int = 100 + 7 * i
+  private[graft] def nestLat(i: Int): Double = 0.5 * i - 1.0
+  private[graft] def nestCount(i: Int): Int = i % 3
+  private[graft] def nestDepth(i: Int, j: Int): Int = 10 * i + j
+  private[graft] def nestO2(i: Int, j: Int): Double = 2.5 + 0.5 * (i + j)
+
+  private[graft] val nestMembers: Seq[(String, String)] =
+    Seq("station" -> "Int32", "profile" -> "Sequence", "lat" -> "Float64")
+  private[graft] val nestInner: Seq[(String, String)] =
+    Seq("depth" -> "Int32", "o2" -> "Float64")
+
+  private[graft] def nestProjDds(members: Seq[(String, String)]): String = {
+    val decls = members.map {
+      case (m, "Sequence") =>
+        "        Sequence {\n" +
+          nestInner.map { case (n, t) => s"            $t $n;" }.mkString("\n") +
+          s"\n        } $m;"
+      case (m, t) => s"        $t $m;"
+    }.mkString("\n")
+    s"Dataset {\n    Sequence {\n$decls\n    } prof;\n} profiles;"
+  }
+
+  private[graft] def nestDasText: String =
+    """Attributes {
+      |    NC_GLOBAL {
+      |        String title "graft DAP2 nested sequence fixture";
+      |    }
+      |}""".stripMargin
+
+  private[graft] def nestDodsBytes(members: Seq[(String, String)] = nestMembers,
+                                   recs: Seq[Int] = 0 until nestN): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write((nestProjDds(members) + "\nData:\n").getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def f64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+    }
+    recs.foreach { i =>
+      u32(0x5A000000L)
+      members.foreach {
+        case ("station", _) => u32(nestStation(i).toLong & 0xffffffffL)
+        case ("lat", _)     => f64(nestLat(i))
+        case ("profile", _) =>
+          (0 until nestCount(i)).foreach { j =>
+            u32(0x5A000000L)
+            u32(nestDepth(i, j).toLong & 0xffffffffL)
+            f64(nestO2(i, j))
+          }
+          u32(0xA5000000L)
+        case (other, _) => throw new IllegalArgumentException(s"no such member '$other'")
+      }
+    }
+    u32(0xA5000000L)
+    out.toByteArray
+  }
+
+  private def startSeqNested(): String = serve("profiles") { (path, query) =>
+    if (path.endsWith(".dods"))
+      seqRequests.add(path + Option(query).map("?" + _).getOrElse(""))
+    if (path.endsWith(".dds")) (nestProjDds(nestMembers) + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".das")) (nestDasText + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".dods")) {
+      val q = if (query == null) "" else query.trim
+      val ceParts = q.split('&')
+      val projPart = ceParts.head.trim
+      val sels = ceParts.drop(1).map(_.trim).filter(_.nonEmpty).toSeq
+      val members =
+        if (projPart.isEmpty || projPart == "prof") nestMembers
+        else {
+          val wanted = projPart.split(',').map { p =>
+            require(p.trim.startsWith("prof."),
+              s"mixed projection '$q' unsupported by the fixture")
+            p.trim.stripPrefix("prof.")
+          }.toSet
+          val picked = nestMembers.filter { case (m, _) => wanted.contains(m) }
+          require(picked.size == wanted.size, s"unknown member in projection '$q'")
+          picked
+        }
+      val selRe = """^prof\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|<|>|=)(.+)$""".r
+      def cmp(x: Double, op: String, lit: String): Boolean = {
+        val y = lit.toDouble
+        op match {
+          case "<" => x < y; case "<=" => x <= y; case ">" => x > y
+          case ">=" => x >= y; case "=" => x == y; case "!=" => x != y
+        }
+      }
+      val keep = (0 until nestN).filter { i =>
+        sels.forall {
+          case selRe(m, op, lit) => m match {
+            case "station" => cmp(nestStation(i).toDouble, op, lit)
+            case "lat"     => cmp(nestLat(i), op, lit)
+            case other => throw new IllegalArgumentException(
+              s"selection on unsupported member '$other'")
+          }
+          case other => throw new IllegalArgumentException(
+            s"fixture cannot evaluate selection '$other'")
+        }
+      }
+      nestDodsBytes(members, keep)
+    } else throw new IllegalArgumentException(s"unknown DAP request $path")
+  }
+
   private def structVars: Seq[Var] = Seq(
     Var("obs.depth", "Int32", Seq("d" -> 4L),
       (0 until 4).map(i => (7 * i - 3).toDouble).toArray, container = "obs"),

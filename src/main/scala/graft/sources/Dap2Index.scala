@@ -43,9 +43,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * RFC 4506 §4.11 counted strings (length word + bytes + pad-to-4) —
   * libdap and pydap both serialize string vectors this way; the doubled
   * count is the NUMERIC array quirk. Structures flatten to dotted names
-  * (r12); one-level Sequences decode to tidy rows (r13,
-  * [[decodeSequences]]). Still refused loudly: nested Sequences, array
-  * members inside a Sequence, and arrays of Structures/Sequences.
+  * (r12); Sequences decode to tidy rows (r13, [[decodeSequences]]),
+  * including ONE nested Sequence level (r14 — profile-of-casts, exploded
+  * under a two-long coords vector). Still refused loudly: Sequences
+  * nested deeper than one level or inside Structures, array members
+  * inside a Sequence, and arrays of Structures/Sequences.
   */
 object Dap2Index {
 
@@ -57,13 +59,19 @@ object Dap2Index {
   final case class DapVar(name: String, dapType: String, dims: Seq[(String, Long)],
                           maps: Seq[String] = Nil)
 
-  /** One-level `Sequence { <scalar members> } name;` (r13): row-structured
-    * data — in-situ/observational feeds — whose record count is
-    * data-dependent (no fixed geometry, so no `.zarray` plane). Members
-    * are (name, dapType) scalars; [[decodeSequences]] walks the XDR record
-    * stream into tidy rows. Nested Sequences, array members, and
-    * Sequences inside Structures still refuse loudly. */
-  final case class DapSeq(name: String, members: Seq[(String, String)])
+  /** `Sequence { <members> } name;` (r13): row-structured data —
+    * in-situ/observational feeds — whose record count is data-dependent
+    * (no fixed geometry, so no `.zarray` plane). `members` are
+    * (name, dapType) pairs in declaration order; a member of dapType
+    * `"Sequence"` is ONE nested Sequence level (r14 — the
+    * profile-of-casts shape) whose own scalar members live in `nested`
+    * under the member name. [[decodeSequences]] walks the XDR record
+    * stream into tidy rows (inner records explode under a two-long
+    * coords vector). Still refusing loudly: Sequences nested deeper
+    * than one level, Sequences inside Structures, array members, and
+    * arrays of Sequences. */
+  final case class DapSeq(name: String, members: Seq[(String, String)],
+                          nested: Map[String, Seq[(String, String)]] = Map.empty)
 
   final case class Dds(datasetName: String, vars: Seq[DapVar],
                        seqs: Seq[DapSeq] = Nil)
@@ -180,10 +188,11 @@ object Dap2Index {
         parseVars(structBody, s"$prefix$structName.", vars, seqs)
         rest = afterBrace.substring(semi + 1)
       } else if (t.startsWith("Sequence")) {
-        // Sequence { <scalar members> } name; → row-structured records
-        // (r13). ONE level: a Sequence nested inside a Structure or
-        // another Sequence, array members, and arrays OF Sequences keep
-        // refusing loudly (the relational row target is the flat record).
+        // Sequence { <members> } name; → row-structured records (r13),
+        // with ONE nested Sequence level allowed since r14 (the
+        // profile-of-casts shape). A Sequence inside a Structure, deeper
+        // nesting, array members, and arrays OF Sequences keep refusing
+        // loudly (the relational row target is the flat/exploded record).
         require(prefix.isEmpty,
           s"DAP2 Sequence nested inside container '${prefix.stripSuffix(".")}' — " +
             "only one-level (top-level) Sequences decode to rows")
@@ -197,43 +206,9 @@ object Dap2Index {
         require(seqName.nonEmpty, "malformed Sequence: missing name")
         require(!seqName.contains('['),
           s"DAP2 array-of-Sequences '$seqName' has no row form — refusing")
-        // members parse by TOKEN, never by substring sniffing: a scalar
-        // named 'GridRef' is legal, while a container member is caught by
-        // its leading keyword token regardless of spacing
-        val containerRe = """^(Sequence|Structure|Grid)\b""".r
-        val members = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-        var mRest = seqBody
-        while (mRest.trim.nonEmpty) {
-          val mt = mRest.trim
-          containerRe.findPrefixMatchOf(mt) match {
-            case Some(cm) if cm.group(1) == "Sequence" =>
-              throw new IllegalArgumentException(
-                s"DAP2 Sequence '$seqName' nests another Sequence — only one-level " +
-                  "Sequences decode to rows")
-            case Some(cm) =>
-              throw new IllegalArgumentException(
-                s"DAP2 Sequence '$seqName' holds a ${cm.group(1)} container member — " +
-                  "only scalar atomic/String members decode to rows")
-            case None => declRe.findPrefixMatchOf(mt) match {
-              case Some(m) =>
-                val (tpe, mName, dimsText) = (m.group(1), m.group(2), m.group(3))
-                require(atomicTypes.contains(tpe) || stringTypes.contains(tpe),
-                  s"unknown DAP2 type '$tpe' for Sequence member '$seqName.$mName'")
-                // the DECLARED brackets decide scalar-ness — a `[1]` array
-                // member still serializes with XDR count words, which the
-                // record walk does not speak
-                require(dimsText == null || dimsText.trim.isEmpty,
-                  s"DAP2 Sequence member '$seqName.$mName' is an array — only " +
-                    "scalar members decode to rows")
-                members += ((mName, tpe))
-                mRest = mt.substring(m.end)
-              case None => throw new IllegalArgumentException(
-                s"unparseable Sequence member declaration at: ${mt.take(80)}")
-            }
-          }
-        }
+        val (members, nested) = parseSeqMembers(seqName, seqBody, allowNested = true)
         require(members.nonEmpty, s"DAP2 Sequence '$seqName' has no members")
-        seqs += DapSeq(seqName, members.toSeq)
+        seqs += DapSeq(seqName, members, nested)
         rest = afterBrace.substring(semi + 1)
       } else {
         declRe.findPrefixMatchOf(t) match {
@@ -245,6 +220,73 @@ object Dap2Index {
         }
       }
     }
+  }
+
+  /** Parse a Sequence body's member declarations. Members parse by
+    * TOKEN, never by substring sniffing: a scalar named 'GridRef' is
+    * legal, while a container member is caught by its leading keyword
+    * token regardless of spacing. With `allowNested` (the top level),
+    * one `Sequence { <scalars> } inner;` member is accepted at any
+    * declaration position — it lands in `members` as
+    * `(innerName, "Sequence")` with its scalars in the returned map;
+    * inside that inner body (`allowNested = false`) another Sequence
+    * refuses: deeper nesting has no tidy-row form here. */
+  private def parseSeqMembers(path: String, body: String, allowNested: Boolean)
+      : (Seq[(String, String)], Map[String, Seq[(String, String)]]) = {
+    val containerRe = """^(Sequence|Structure|Grid)\b""".r
+    val members = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val nested = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
+    var mRest = body
+    while (mRest.trim.nonEmpty) {
+      val mt = mRest.trim
+      containerRe.findPrefixMatchOf(mt) match {
+        case Some(cm) if cm.group(1) == "Sequence" =>
+          if (!allowNested)
+            throw new IllegalArgumentException(
+              s"DAP2 Sequence '$path' nests another Sequence — only ONE nested " +
+                "Sequence level decodes to rows")
+          val nOpen = mt.indexOf('{')
+          val nClose = matchingBrace(mt, nOpen)
+          val nBody = mt.substring(nOpen + 1, nClose)
+          val nAfter = mt.substring(nClose + 1)
+          val nSemi = nAfter.indexOf(';')
+          require(nSemi >= 0, "malformed Sequence: missing trailing ';'")
+          val innerName = nAfter.substring(0, nSemi).trim
+          require(innerName.nonEmpty, "malformed Sequence: missing name")
+          require(!innerName.contains('['),
+            s"DAP2 array-of-Sequences '$path.$innerName' has no row form — refusing")
+          require(!nested.contains(innerName) && !members.exists(_._1 == innerName),
+            s"DAP2 Sequence '$path' re-declares member '$innerName'")
+          val (innerMembers, _) =
+            parseSeqMembers(s"$path.$innerName", nBody, allowNested = false)
+          require(innerMembers.nonEmpty,
+            s"DAP2 Sequence '$path.$innerName' has no members")
+          members += ((innerName, "Sequence"))
+          nested += innerName -> innerMembers
+          mRest = nAfter.substring(nSemi + 1)
+        case Some(cm) =>
+          throw new IllegalArgumentException(
+            s"DAP2 Sequence '$path' holds a ${cm.group(1)} container member — " +
+              "only scalar atomic/String members decode to rows")
+        case None => declRe.findPrefixMatchOf(mt) match {
+          case Some(m) =>
+            val (tpe, mName, dimsText) = (m.group(1), m.group(2), m.group(3))
+            require(atomicTypes.contains(tpe) || stringTypes.contains(tpe),
+              s"unknown DAP2 type '$tpe' for Sequence member '$path.$mName'")
+            // the DECLARED brackets decide scalar-ness — a `[1]` array
+            // member still serializes with XDR count words, which the
+            // record walk does not speak
+            require(dimsText == null || dimsText.trim.isEmpty,
+              s"DAP2 Sequence member '$path.$mName' is an array — only " +
+                "scalar members decode to rows")
+            members += ((mName, tpe))
+            mRest = mt.substring(m.end)
+          case None => throw new IllegalArgumentException(
+            s"unparseable Sequence member declaration at: ${mt.take(80)}")
+        }
+      }
+    }
+    (members.toSeq, nested.toMap)
   }
 
   private def matchingBrace(s: String, open: Int): Int = {
@@ -473,9 +515,17 @@ object Dap2Index {
     // subsetting path for these. The numeric/label planes skip both rows
     // by kind/member, so a mixed dataset decodes all three planes.
     val perSeq = dds.seqs.iterator.flatMap { sq =>
+      // a nested-Sequence member (r14) carries its own scalar member list
+      // inline, so the record walk can rebuild the full declaration tree
       val schema: JValue = ("members" ->
         JArray(sq.members.map { case (n, t) =>
-          JObject(JField("name", JString(n)), JField("type", JString(t)))
+          val base = List(JField("name", JString(n)), JField("type", JString(t)))
+          if (t == "Sequence")
+            JObject(base :+ JField("members", JArray(sq.nested(n).map {
+              case (in, it) =>
+                JObject(JField("name", JString(in)), JField("type", JString(it)))
+            }.toList)))
+          else JObject(base)
         }.toList))
       Iterator(
         (s"${sq.name}/.zseq", sq.name, ".zseq", "meta", null: String,
@@ -742,8 +792,11 @@ object Dap2Index {
     // sequence's members in DDS order regardless of projection order), so
     // the projected schema keeps declaration order too.
     project.foreach { case (seqName, wanted) =>
-      val declared = schemas.getOrElse(seqName, throw new IllegalArgumentException(
+      val (declared, _) = schemas.getOrElse(seqName, throw new IllegalArgumentException(
         s"DAP2 sequence projection names '$seqName', which is not a Sequence here"))
+      // a nested-Sequence member projects by NAME (the whole subtree —
+      // `?prof.profile` is a legal DAP2 constructor projection); naming
+      // an inner member individually is not supported here
       val unknown = wanted.filterNot(w => declared.exists(_._1 == w))
       require(unknown.isEmpty,
         s"DAP2 sequence projection names unknown member(s) ${unknown.mkString(", ")} " +
@@ -754,7 +807,7 @@ object Dap2Index {
     // need not be projected — DAP2 evaluates selection server-side over
     // the full sequence, then serializes only the projection)
     val selByVar: Map[String, Seq[String]] = select.map { case (seqName, preds) =>
-      val declared = schemas.getOrElse(seqName, throw new IllegalArgumentException(
+      val (declared, _) = schemas.getOrElse(seqName, throw new IllegalArgumentException(
         s"DAP2 sequence selection names '$seqName', which is not a Sequence here"))
       require(preds.nonEmpty, s"DAP2 sequence selection for '$seqName' is empty")
       seqName -> preds.map { p =>
@@ -768,6 +821,9 @@ object Dap2Index {
           throw new IllegalArgumentException(
             s"DAP2 sequence selection names unknown member '$m' of '$seqName' " +
               s"(has: ${declared.map(_._1).mkString(", ")})"))
+        require(tpe != "Sequence",
+          s"DAP2 sequence selection '$p': '$seqName.$m' is a nested Sequence — " +
+            "select on its scalar siblings instead")
         if (stringTypes.contains(tpe)) {
           require(op == "=" || op == "!=" || op == "=~",
             s"DAP2 sequence selection '$p': op '$op' is not defined on String " +
@@ -786,18 +842,20 @@ object Dap2Index {
         s"&$seqName.$m${ceEncode(op)}${ceEncode(lit)}"
       }
     }
-    val effective: Map[String, Seq[(String, String)]] = schemas.map { case (v, declared) =>
-      v -> (project.get(v) match {
-        case Some(wanted) => declared.filter { case (m, _) => wanted.contains(m) }
-        case None         => declared
-      })
-    }
+    val effective: Map[String, (Seq[(String, String)], Map[String, Seq[(String, String)]])] =
+      schemas.map { case (v, (declared, nested)) =>
+        val kept = project.get(v) match {
+          case Some(wanted) => declared.filter { case (m, _) => wanted.contains(m) }
+          case None         => declared
+        }
+        v -> ((kept, nested.view.filterKeys(k => kept.exists(_._1 == k)).toMap))
+      }
     val refPairs: Seq[(String, String)] = metaRows.filter(_.getString(2) == "seqref")
       .map(r => (r.getString(0), r.getString(3))).toSeq
     val parts = math.max(1, math.min(refPairs.size, spark.sparkContext.defaultParallelism))
     val cap = maxFetchBytes
     spark.sparkContext.parallelize(refPairs, parts).flatMap { case (variable, url) =>
-      val members = effective.getOrElse(variable,
+      val (members, nested) = effective.getOrElse(variable,
         throw new IllegalStateException(s"no .zseq schema row for sequence '$variable'"))
       val sels = selByVar.getOrElse(variable, Seq.empty).mkString
       // the seqref url ends '?<seq>' (whole-sequence projection); member
@@ -808,9 +866,14 @@ object Dap2Index {
           (if (project.contains(variable))
              members.map { case (m, _) => s"$variable.$m" }.mkString(",")
            else variable) + sels
-      parseSeqRecords(fetchBody(reqUrl, cap), reqUrl, variable, members).map {
-        case (mName, idx, v, s) =>
-          (s"$variable.$mName", Seq(variable), Seq(idx), v, s)
+      parseSeqRecords(fetchBody(reqUrl, cap), reqUrl, variable, members, nested).map {
+        case (path, coords, v, s) =>
+          // nested rows ([rec, irec]) dim over (outer, outer.inner); the
+          // inner dim name is the nested member's dotted path
+          val dims =
+            if (coords.size == 1) Seq(variable)
+            else Seq(variable, s"$variable.${path.takeWhile(_ != '.')}")
+          (s"$variable.$path", dims, coords, v, s)
       }
     }.toDF("variable", "dims", "coords", "value", "label")
   }
@@ -834,40 +897,90 @@ object Dap2Index {
     }.mkString
   }
 
-  private def parseSeqSchema(json: String): Seq[(String, String)] = {
+  private def parseSeqSchema(json: String)
+      : (Seq[(String, String)], Map[String, Seq[(String, String)]]) = {
     import org.json4s._
-    (org.json4s.jackson.JsonMethods.parse(json) \ "members") match {
-      case JArray(items) => items.map { m =>
+    def scalarList(items: List[JValue], where: String): Seq[(String, String)] =
+      items.map { m =>
         ((m \ "name"), (m \ "type")) match {
           case (JString(nm), JString(t)) => (nm, t)
-          case _ => throw new IllegalArgumentException(s"malformed .zseq member: $m")
+          case _ => throw new IllegalArgumentException(s"malformed $where member: $m")
         }
       }
+    (org.json4s.jackson.JsonMethods.parse(json) \ "members") match {
+      case JArray(items) =>
+        val members = scalarList(items, ".zseq")
+        val nested = items.zip(members).collect {
+          case (m, (nm, "Sequence")) => (m \ "members") match {
+            case JArray(inner) => nm -> scalarList(inner, s".zseq nested '$nm'")
+            case other => throw new IllegalArgumentException(
+              s"malformed .zseq nested member '$nm': $other")
+          }
+        }.toMap
+        (members, nested)
       case other => throw new IllegalArgumentException(s"malformed .zseq schema: $other")
     }
   }
 
-  /** Walk a Sequence `.dods` body into (member, record index, value,
-    * label) tuples. Every marker, member span, and the final byte count
-    * are checked — a malformed stream refuses rather than mis-addressing
-    * (the stripDods doctrine). */
+  /** Walk a Sequence `.dods` body into (member path, coords, value,
+    * label) tuples — coords is `[record]` for the sequence's own scalar
+    * members and `[record, inner record]` for members of a nested
+    * Sequence (r14: DAP 2.0 §7.2.3 serializes a nested Sequence member
+    * recursively — its own 0x5A-marked record stream with its own
+    * 0xA5 terminator, inline at the member's declaration position).
+    * Every marker, member span, and the final byte count are checked —
+    * a malformed stream refuses rather than mis-addressing (the
+    * stripDods doctrine). */
   private[graft] def parseSeqRecords(body: Array[Byte], url: String, seqName: String,
-      members: Seq[(String, String)]): Seq[(String, Long, Option[Double], Option[String])] = {
+      members: Seq[(String, String)],
+      nested: Map[String, Seq[(String, String)]] = Map.empty)
+      : Seq[(String, Seq[Long], Option[Double], Option[String])] = {
     val marker = "\nData:\n".getBytes("US-ASCII")
     val at = indexOfSlice(body, marker)
     if (at < 0)
       throw new java.io.IOException(
         s"malformed DODS response from $url: missing 'Data:' separator")
     val projected = parseDds(new String(body, 0, at, "US-ASCII"))
-    require(projected.seqs.exists(s => s.name == seqName && s.members == members),
+    require(projected.seqs.exists(s =>
+        s.name == seqName && s.members == members && s.nested == nested),
       s"DODS response from $url does not declare Sequence '$seqName' with the " +
         s"expected members (sequences: ${projected.seqs.map(_.name).mkString(", ")})")
     def u32(off: Int): Long =
       ((body(off) & 0xffL) << 24) | ((body(off + 1) & 0xffL) << 16) |
         ((body(off + 2) & 0xffL) << 8) | (body(off + 3) & 0xffL)
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Long, Option[Double], Option[String])]
+      .empty[(String, Seq[Long], Option[Double], Option[String])]
     var pos = at + marker.length
+    // decode one scalar member span at `pos`, advancing it
+    def scalar(tpe: String, where: String): (Option[Double], Option[String]) =
+      if (stringTypes.contains(tpe)) {
+        require(body.length - pos >= 4,
+          s"truncated DODS sequence stream: no length word for $where")
+        val len = u32(pos)
+        val wire = 4L + (len + 3L) / 4L * 4L
+        require(body.length - pos >= wire,
+          s"truncated DODS sequence stream: $where needs $wire wire bytes, " +
+            s"have ${body.length - pos}")
+        val s = new String(body, pos + 4, len.toInt, "UTF-8")
+        pos += wire.toInt
+        (None, Some(s))
+      } else {
+        val width = if (tpe == "Float64") 8 else 4
+        require(body.length - pos >= width,
+          s"truncated DODS sequence stream: $width-byte $where missing")
+        val v: Double = tpe match {
+          case "Float64" =>
+            java.lang.Double.longBitsToDouble((u32(pos) << 32) | u32(pos + 4))
+          case "Float32" => java.lang.Float.intBitsToFloat(u32(pos).toInt).toDouble
+          case "Byte"    => (u32(pos) & 0xffL).toDouble
+          case "UInt16" | "UInt32" => u32(pos).toDouble
+          case "Int16" | "Int32"   => u32(pos).toInt.toDouble
+          case other => throw new UnsupportedOperationException(
+            s"DAP2 Sequence member type '$other' unsupported ($where)")
+        }
+        pos += width
+        (Some(v), None)
+      }
     var rec = 0L
     var done = false
     while (!done) {
@@ -877,34 +990,33 @@ object Dap2Index {
         case 0x5A000000L => // start of instance
           pos += 4
           members.foreach { case (mName, tpe) =>
-            val where = s"'$seqName.$mName' of record $rec from $url"
-            if (stringTypes.contains(tpe)) {
-              require(body.length - pos >= 4,
-                s"truncated DODS sequence stream: no length word for $where")
-              val len = u32(pos)
-              val wire = 4L + (len + 3L) / 4L * 4L
-              require(body.length - pos >= wire,
-                s"truncated DODS sequence stream: $where needs $wire wire bytes, " +
-                  s"have ${body.length - pos}")
-              out += ((mName, rec, None,
-                Some(new String(body, pos + 4, len.toInt, "UTF-8"))))
-              pos += wire.toInt
-            } else {
-              val width = if (tpe == "Float64") 8 else 4
-              require(body.length - pos >= width,
-                s"truncated DODS sequence stream: $width-byte $where missing")
-              val v: Double = tpe match {
-                case "Float64" =>
-                  java.lang.Double.longBitsToDouble((u32(pos) << 32) | u32(pos + 4))
-                case "Float32" => java.lang.Float.intBitsToFloat(u32(pos).toInt).toDouble
-                case "Byte"    => (u32(pos) & 0xffL).toDouble
-                case "UInt16" | "UInt32" => u32(pos).toDouble
-                case "Int16" | "Int32"   => u32(pos).toInt.toDouble
-                case other => throw new UnsupportedOperationException(
-                  s"DAP2 Sequence member type '$other' unsupported ($where)")
+            if (tpe == "Sequence") {
+              val inner = nested.getOrElse(mName, throw new IllegalStateException(
+                s"no nested schema for Sequence member '$seqName.$mName'"))
+              var irec = 0L
+              var idone = false
+              while (!idone) {
+                require(body.length - pos >= 4,
+                  s"truncated DODS sequence stream from $url: no inner marker " +
+                    s"before record $rec.$irec of '$seqName.$mName'")
+                u32(pos) match {
+                  case 0x5A000000L =>
+                    pos += 4
+                    inner.foreach { case (inName, inT) =>
+                      val (v, s) = scalar(inT,
+                        s"'$seqName.$mName.$inName' of record $rec.$irec from $url")
+                      out += ((s"$mName.$inName", Seq(rec, irec), v, s))
+                    }
+                    irec += 1L
+                  case 0xA5000000L => pos += 4; idone = true
+                  case other => throw new java.io.IOException(
+                    f"malformed DODS sequence stream from $url: inner marker " +
+                      f"0x$other%08X before record $rec.$irec of '$seqName.$mName'")
+                }
               }
-              out += ((mName, rec, Some(v), None))
-              pos += width
+            } else {
+              val (v, s) = scalar(tpe, s"'$seqName.$mName' of record $rec from $url")
+              out += ((mName, Seq(rec), v, s))
             }
           }
           rec += 1L

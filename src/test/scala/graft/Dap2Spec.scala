@@ -165,11 +165,16 @@ class Dap2Spec extends AnyFunSuite {
     assert(dds.vars.map(_.name) === Seq("bg")) // arrays unaffected
     assert(dds.seqs === Seq(Dap2Index.DapSeq("cast",
       Seq("depth" -> "Int32", "temp" -> "Float64", "station" -> "String"))))
-    // one level only: nested Sequence, Sequence inside Structure, array
-    // members, array-of-Sequences, container members all refuse loudly
+    // ONE nested Sequence level parses (r14) — at any member position;
+    // TWO levels, Sequence inside Structure, array members,
+    // array-of-Sequences, and other container members refuse loudly
+    val nest = Dap2Index.parseDds(
+      "Dataset {\n Sequence { Int32 a; Sequence { Int32 b; } in;\n } s;\n} d;")
+    assert(nest.seqs === Seq(Dap2Index.DapSeq("s",
+      Seq("a" -> "Int32", "in" -> "Sequence"), Map("in" -> Seq("b" -> "Int32")))))
     assert(intercept[IllegalArgumentException] {
-      Dap2Index.parseDds(
-        "Dataset {\n Sequence { Int32 a; Sequence { Int32 b; } in;\n } s;\n} d;")
+      Dap2Index.parseDds("Dataset {\n Sequence { Int32 a; Sequence { " +
+        "Sequence { Int32 c; } in2; } in;\n } s;\n} d;")
     }.getMessage.contains("nests another Sequence"))
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseDds("Dataset {\n Structure { Sequence { Int32 a; } q; } s;\n} d;")
@@ -203,8 +208,8 @@ class Dap2Spec extends AnyFunSuite {
     val members = Seq("a" -> "Int32", "s" -> "String")
     val rows = Dap2Index.parseSeqRecords(bos.toByteArray, "u", "q", members)
     assert(rows === Seq(
-      ("a", 0L, Some(-3.0), None), ("s", 0L, None, Some("hi")),
-      ("a", 1L, Some(7.0), None), ("s", 1L, None, Some("wxyz"))))
+      ("a", Seq(0L), Some(-3.0), None), ("s", Seq(0L), None, Some("hi")),
+      ("a", Seq(1L), Some(7.0), None), ("s", Seq(1L), None, Some("wxyz"))))
     // framing refusals: bad marker, trailing bytes, truncated member
     val good = bos.toByteArray
     val badMarker = good.clone(); badMarker(dds.length + 7) = 0x11
@@ -216,6 +221,54 @@ class Dap2Spec extends AnyFunSuite {
     }.getMessage.contains("trailing"))
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseSeqRecords(good.dropRight(6), "u", "q", members)
+    }.getMessage.contains("truncated"))
+  }
+
+  test("nested Sequence golden bytes: recursive record walk, mid-position nesting (r14)") {
+    // hand-built stream, independent of the fixture encoder: the nested
+    // member sits BETWEEN two outer scalars, record 1's inner stream is
+    // EMPTY (just its terminator) — both pin the recursive framing
+    val dds = "Dataset {\n Sequence { Int32 a; Sequence { Int32 b; } in; " +
+      "Float64 c; } q;\n} d;"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(dds.getBytes("US-ASCII")); bos.write("\nData:\n".getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+    }
+    def f64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+    }
+    u32(0x5A000000L); u32(5L) // outer record 0: a = 5
+    u32(0x5A000000L); u32(1L) // inner record 0.0: b = 1
+    u32(0x5A000000L); u32(2L) // inner record 0.1: b = 2
+    u32(0xA5000000L)          // inner terminator
+    f64(0.5)                  // c = 0.5
+    u32(0x5A000000L); u32(6L) // outer record 1: a = 6
+    u32(0xA5000000L)          // EMPTY inner stream
+    f64(1.5)                  // c = 1.5
+    u32(0xA5000000L)          // outer terminator
+    val members = Seq("a" -> "Int32", "in" -> "Sequence", "c" -> "Float64")
+    val nested = Map("in" -> Seq("b" -> "Int32"))
+    val rows = Dap2Index.parseSeqRecords(bos.toByteArray, "u", "q", members, nested)
+    assert(rows === Seq(
+      ("a", Seq(0L), Some(5.0), None),
+      ("in.b", Seq(0L, 0L), Some(1.0), None),
+      ("in.b", Seq(0L, 1L), Some(2.0), None),
+      ("c", Seq(0L), Some(0.5), None),
+      ("a", Seq(1L), Some(6.0), None),
+      ("c", Seq(1L), Some(1.5), None)))
+    // a bad inner marker refuses with the inner coordinate named
+    val good = bos.toByteArray
+    val innerMarkerAt = dds.length + "\nData:\n".length + 8
+    val bad = good.clone(); bad(innerMarkerAt) = 0x11
+    assert(intercept[java.io.IOException] {
+      Dap2Index.parseSeqRecords(bad, "u", "q", members, nested)
+    }.getMessage.contains("inner marker"))
+    // truncation inside an inner record refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseSeqRecords(good.dropRight(18), "u", "q", members, nested)
     }.getMessage.contains("truncated"))
   }
 
@@ -366,6 +419,63 @@ class Dap2Spec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Dap2Index.decodeSequences(entries, select = Map("cast" -> Seq("depth ~ 1")))
     }.getMessage.contains("not <member><op><literal>"))
+  }
+
+  test("nested Sequence end-to-end: two-level tidy rows; projection/selection compose (r14)") {
+    val base = Dap2Fixture.ensureSeqNested(spark)
+    val entries = Dap2Index.read(spark, base)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getSeq[String](1).toSeq, r.getSeq[Long](2).toSeq,
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    val full = rows(Dap2Index.decodeSequences(entries))
+    val pdims = Seq("prof", "prof.profile")
+    val want = (0 until Dap2Fixture.nestN).flatMap { i =>
+      Seq(
+        ("prof.station", Seq("prof"), Seq(i.toLong),
+          Some(Dap2Fixture.nestStation(i).toDouble), None),
+        ("prof.lat", Seq("prof"), Seq(i.toLong), Some(Dap2Fixture.nestLat(i)), None)) ++
+      (0 until Dap2Fixture.nestCount(i)).flatMap { j =>
+        Seq(
+          ("prof.profile.depth", pdims, Seq(i.toLong, j.toLong),
+            Some(Dap2Fixture.nestDepth(i, j).toDouble), None),
+          ("prof.profile.o2", pdims, Seq(i.toLong, j.toLong),
+            Some(Dap2Fixture.nestO2(i, j)), None))
+      }
+    }.toSet
+    assert(full === want)
+    // record 0 has an EMPTY inner stream — no phantom inner rows at i=0
+    assert(!full.exists(r => r._1.startsWith("prof.profile") && r._3.head == 0L))
+
+    // projecting the nested member by NAME keeps its subtree, an outer
+    // selection composes, and the whole CE pushes to the server
+    import scala.jdk.CollectionConverters._
+    Dap2Fixture.seqRequests.clear()
+    val sub = rows(Dap2Index.decodeSequences(entries,
+      project = Map("prof" -> Seq("station", "profile")),
+      select = Map("prof" -> Seq("station>107"))))
+    val keep = (0 until Dap2Fixture.nestN).filter(Dap2Fixture.nestStation(_) > 107)
+    assert(keep == Seq(2, 3))
+    val want2 = keep.zipWithIndex.flatMap { case (i, r) =>
+      Seq(("prof.station", Seq("prof"), Seq(r.toLong),
+        Some(Dap2Fixture.nestStation(i).toDouble), None: Option[Any])) ++
+      (0 until Dap2Fixture.nestCount(i)).flatMap { j =>
+        Seq(
+          ("prof.profile.depth", pdims, Seq(r.toLong, j.toLong),
+            Some(Dap2Fixture.nestDepth(i, j).toDouble), None: Option[Any]),
+          ("prof.profile.o2", pdims, Seq(r.toLong, j.toLong),
+            Some(Dap2Fixture.nestO2(i, j)), None: Option[Any]))
+      }
+    }.toSet
+    assert(sub === want2)
+    val reqs = Dap2Fixture.seqRequests.asScala.filter(_.contains("profiles")).toList
+    assert(reqs.nonEmpty)
+    assert(reqs.forall(_.endsWith("?prof.station,prof.profile&prof.station>107")),
+      reqs.toString)
+
+    // selecting ON the nested member itself refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("prof" -> Seq("profile>1")))
+    }.getMessage.contains("nested Sequence"))
   }
 
   test("Sequence fetch bound: an oversized record stream refuses loudly (r14)") {
