@@ -52,6 +52,102 @@ def element_width(data_type):
     raise AssertionError("unsupported data_type %s" % data_type)
 
 
+def lz4_block_decompress(src, dst_size):
+    """LZ4 BLOCK format (public spec): token = (litlen<<4)|matchlen-4,
+    255-continued lengths, 2-byte LE match offset. Pure python — the pin
+    must not share code with the writer's encoder."""
+    dst = bytearray()
+    i = 0
+    while i < len(src):
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[i:i + lit]
+        i += lit
+        if i >= len(src):
+            break  # final literals-only sequence
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        assert off > 0, "LZ4 match offset 0"
+        mlen = token & 0xF
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(dst) - off
+        for k in range(mlen):  # byte-wise: overlapping matches replicate
+            dst.append(dst[start + k])
+    assert len(dst) == dst_size, (len(dst), dst_size)
+    return bytes(dst)
+
+
+def blosc_unshuffle(b, typesize):
+    """Inverse byte-shuffle: plane-major → element-major; trailing
+    len % typesize bytes carried verbatim (c-blosc's rule)."""
+    n = len(b)
+    elems = n // typesize
+    main = elems * typesize
+    out = bytearray(n)
+    for p in range(typesize):
+        out[p:main:typesize] = b[p * elems:(p + 1) * elems]
+    out[main:] = b[main:]
+    return bytes(out)
+
+
+def blosc_decompress(src):
+    """blosc1 chunk (c-blosc 1.x format): 16-byte header (version,
+    versionlz, flags, typesize, nbytes/blocksize/cbytes LE32), uint32-LE
+    block starts, per block nsplits streams of [int32-LE size][data];
+    a stream of exactly the split size is stored raw. Split rule (lz4):
+    typesize splits when 1 < typesize <= 16 and blocksize/typesize >= 128
+    and the block is not the trailing partial one."""
+    flags, typesize = src[2], src[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", src, 4)
+    assert cbytes == len(src), (cbytes, len(src))
+    if flags & 0x2:  # memcpy chunk
+        assert cbytes == 16 + nbytes
+        return src[16:16 + nbytes]
+    codec = flags >> 5
+    assert codec == 1, "expected lz4 blosc chunks from the writer, id %d" % codec
+    assert not (flags & 0x4), "unexpected bit-shuffle from the writer"
+    nblocks = max(1, -(-nbytes // blocksize))
+    bstarts = struct.unpack_from("<%dI" % nblocks, src, 16)
+    out = bytearray()
+    for j in range(nblocks):
+        bsize = min(blocksize, nbytes - j * blocksize)
+        leftover = bsize != blocksize
+        nsplits = (typesize if (1 < typesize <= 16
+                                and blocksize // typesize >= 128
+                                and not leftover) else 1)
+        neblock = bsize // nsplits
+        pos = bstarts[j]
+        block = bytearray()
+        for _ in range(nsplits):
+            csize = struct.unpack_from("<i", src, pos)[0]
+            pos += 4
+            if csize == neblock:  # stored split
+                block += src[pos:pos + neblock]
+            else:
+                block += lz4_block_decompress(src[pos:pos + csize], neblock)
+            pos += csize
+        if flags & 0x1:
+            block = blosc_unshuffle(bytes(block), typesize)
+        out += block
+    assert len(out) == nbytes, (len(out), nbytes)
+    return bytes(out)
+
+
 def decode_inner(raw, codecs, data_type, n_elems):
     names = [c["name"] for c in codecs]
     assert names[0] == "bytes", codecs
@@ -64,6 +160,15 @@ def decode_inner(raw, codecs, data_type, n_elems):
         import pyarrow
         raw = pyarrow.Codec("zstd").decompress(
             raw, element_width(data_type) * n_elems, asbytes=True)
+    if "blosc" in names:
+        cfg = [c for c in codecs if c["name"] == "blosc"][0]["configuration"]
+        assert cfg["cname"] == "lz4", cfg
+        # metadata must agree with the writer's element-width rule
+        w = element_width(data_type)
+        want_ts = w if w <= 255 else 1
+        assert cfg["typesize"] == want_ts, (cfg, w)
+        assert cfg["shuffle"] == ("shuffle" if want_ts > 1 else "noshuffle"), cfg
+        raw = blosc_decompress(raw)
     w = element_width(data_type)
     assert len(raw) == w * n_elems, (len(raw), w, n_elems)
     if data_type == "float64":
@@ -246,10 +351,33 @@ def main():
         for i, (k,) in enumerate(nk):
             assert cells[(i,)] == f(k), (name, i, cells[(i,)], f(k))
         n_parity += len(cells)
+    # r14: the BLOSC arm (save_zarr_v3_blosc) — same tidy plane written
+    # unsharded with bytes+blosc chains; re-decode EVERY variable with the
+    # independent blosc1/LZ4/unshuffle walk above and compare cell-for-cell
+    # against the zstd store already proven against parquet truth
+    bstore = (sys.argv[3] if len(sys.argv) > 3
+              else "/tmp/graft_zarr3_blosc__root_testdata_sf0.01")
+    n_blosc = 0
+    if os.path.isdir(bstore):
+        for name in sorted(os.listdir(store)):
+            if not os.path.isdir(os.path.join(store, name)):
+                continue
+            with open(os.path.join(bstore, name, "zarr.json")) as f:
+                bz = json.load(f)
+            chain = [c["name"] for c in bz["codecs"]]
+            assert chain == ["bytes", "blosc"], (name, chain)
+            bcells, bdims = read_store_var(bstore, name)
+            zcells, zdims = read_store_var(store, name)
+            assert bdims == zdims, (name, bdims, zdims)
+            assert bcells == zcells, (name, len(bcells), len(zcells))
+            n_blosc += len(bcells)
+        assert n_blosc > 0
     print("zarr3_check: OK — %d + %d + %d + %d + %d + %d (+%d parity) cells match "
-          "parquet truth (sharded v3, zstd)"
+          "parquet truth (sharded v3, zstd); blosc arm: %s"
           % (len(n_key), len(key_sum), len(n_region), len(n_big),
-             len(n_name), len(r_label), n_parity))
+             len(n_name), len(r_label), n_parity,
+             ("%d cells re-decoded via python blosc1+lz4" % n_blosc)
+             if n_blosc else "store absent, skipped"))
 
 
 if __name__ == "__main__":

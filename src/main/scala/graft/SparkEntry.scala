@@ -1670,6 +1670,25 @@ object SparkEntry {
       readZarrStoreCells(s, out)
     }),
 
+    "save_zarr_v3_blosc" -> ((s, dir) => {
+      // r14: the v3 sink's BLOSC arm — the writer reuses BloscCodec's own
+      // blosc1-lz4 encoder (byte-shuffle at the element width, c-blosc's
+      // split and memcpy-fallback rules) so v3 stores can target
+      // blosc-preferring consumers with the same breadth the reader
+      // already decodes. Same tidy plane, UNSHARDED this time (plain
+      // chunk objects pin the bare bytes+blosc chain; the zstd twin pins
+      // sharding), read back through the engine's own v3 reader, whose
+      // blosc path decodes by the self-describing frame header. The v2
+      // oracle is REFERENCED — the codec swap must be invisible to the
+      // cells. scripts/zarr3_check.py re-decodes the store with an
+      // independent pure-python blosc1 + LZ4-block + unshuffle walk.
+      val out = s"/tmp/graft_zarr3_blosc_${tmpToken(dir)}"
+      graft.sources.ZarrWriter.writeV3(zarrTidyPlane(s, dir), out,
+        maxChunkBytes = 256,
+        dtypes = zarrTidyDtypes(ucs4 = false), codec = "blosc")
+      readZarrStoreCells(s, out)
+    }),
+
     "save_zarr_filters_roundtrip" -> ((s, dir) => {
       // r13: the WRITE half of the v2 numcodecs FILTER plane — delta
       // (integer wraparound diffs) + shuffle (byte transpose) +
@@ -3700,6 +3719,9 @@ object SparkEntry {
     // SAME oracle as the v2 sink gate — both round trips write the shared
     // tidy plane (zarrTidyPlane), so the format swap must be invisible
     ("save_zarr_v3_roundtrip" -> oracleSqlBase("save_zarr_roundtrip")) +
+    // SAME oracle again for the blosc arm (r14): one more execution-form
+    // twin of the identical tidy plane — codec choice must be invisible
+    ("save_zarr_v3_blosc" -> oracleSqlBase("save_zarr_roundtrip")) +
     // SAME oracle as the literal-form BM25 gate: the inverted-index form
     // folds per-term contributions in query term order, so its ranking
     // must be hash-identical on the same battery

@@ -501,8 +501,8 @@ object ZarrWriter {
     val spark = df0.sparkSession
     require(shardInnerChunks == 0 || shardInnerChunks >= 2,
       s"ZarrWriter: shardInnerChunks must be 0 (unsharded) or >= 2, got $shardInnerChunks")
-    require(codec == "gzip" || codec == "zstd",
-      s"ZarrWriter: v3 codec must be gzip or zstd, got '$codec'")
+    require(codec == "gzip" || codec == "zstd" || codec == "blosc",
+      s"ZarrWriter: v3 codec must be gzip, zstd, or blosc, got '$codec'")
     dtypes.foreach { case (v, dt) =>
       require(!dt.startsWith("<U"),
         s"ZarrWriter: variable '$v' requests '$dt' in v3 mode — core v3 has no " +
@@ -552,17 +552,31 @@ object ZarrWriter {
       xs.map("\"" + _ + "\"").mkString("[", ", ", "]")
     putFile(storePath, "zarr.json",
       """{"zarr_format": 3, "node_type": "group"}""".getBytes("UTF-8"), conf.value)
-    val compCodec = codec match {
+    // blosc (r14) writes the reader's own blosc1-lz4 frame so v3 stores
+    // can target blosc-preferring consumers; the config members mirror
+    // what BloscCodec.compress emits (lz4, byte-shuffle when the element
+    // width is 2..255 — the frame's own encoder rule)
+    def bloscTs(g: Geo): Int = {
+      val w = widthOf(g.dtype)
+      if (w > 255) 1 else w // c-blosc can't represent typesize > 255
+    }
+    def compCodecFor(g: Geo): String = codec match {
       case "gzip" => """{"name": "gzip", "configuration": {"level": 6}}"""
       case "zstd" => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+      case "blosc" =>
+        val ts = bloscTs(g)
+        val shuf = if (ts > 1) "shuffle" else "noshuffle"
+        s"""{"name": "blosc", "configuration": {"cname": "lz4", "clevel": 5, """ +
+          s""""shuffle": "$shuf", "typesize": $ts, "blocksize": 0}}"""
     }
-    val innerCodecs =
+    def innerCodecsFor(g: Geo): String =
       if (compress)
-        s"""[{"name": "bytes", "configuration": {"endian": "little"}}, $compCodec]"""
+        s"""[{"name": "bytes", "configuration": {"endian": "little"}}, ${compCodecFor(g)}]"""
       else """[{"name": "bytes", "configuration": {"endian": "little"}}]"""
     geos.foreach { g =>
       val gridChunks =
         if (sharded) (g.chunks.head * sl) +: g.chunks.drop(1) else g.chunks
+      val innerCodecs = innerCodecsFor(g)
       val codecs =
         if (!sharded) innerCodecs
         else
@@ -620,6 +634,8 @@ object ZarrWriter {
     val nObjects = geos.map(g => (g.nBands + sl - 1) / sl).sum
     val zip = compress
     val zstd = codec == "zstd"
+    val blosc = codec == "blosc"
+    val tsByVar = geos.map(g => g.variable -> bloscTs(g)).toMap
     val byVar = geos.map(g => g.variable -> ((g.chunks.product.toInt, g.dtype))).toMap
     val slots = sl.toInt
     keyed
@@ -637,6 +653,7 @@ object ZarrWriter {
             val raw = encodeCells(dtype, n,
               slotCells.map { case (_, off, v, s) => (off, v, s) }, s"$variable/$member")
             if (!zip) raw
+            else if (blosc) BloscCodec.compress(raw, tsByVar(variable))
             else if (zstd) com.github.luben.zstd.Zstd.compress(raw, 3)
             else gzipBytes(raw)
           }

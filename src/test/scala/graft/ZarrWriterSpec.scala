@@ -119,6 +119,35 @@ class ZarrWriterSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("v3 blosc arm: frame round-trips through the engine reader; metadata pins lz4+shuffle (r14)") {
+    val rows =
+      (0L until 10L).map(i => ("t", Seq("time"), Seq(i), i * 1.5)) ++
+        (for (i <- 0L until 6L; j <- 0L until 4L)
+          yield ("grid", Seq("time", "x"), Seq(i, j), i * 10.0 + j))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw3b").toString
+    graft.sources.ZarrWriter.writeV3(tidy(rows), dir, maxChunkBytes = 64,
+      codec = "blosc")
+    val zj = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t", "zarr.json")), "UTF-8")
+    assert(zj.contains("\"name\": \"blosc\""), zj)
+    assert(zj.contains("\"cname\": \"lz4\""), zj)
+    assert(zj.contains("\"shuffle\": \"shuffle\""), zj) // f8 → typesize 8
+    assert(zj.contains("\"typesize\": 8"), zj)
+    // the chunk object IS a blosc1 frame (version byte 2, typesize 8)
+    val chunk = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "t", "c", "0"))
+    assert(chunk(0) == 2 && (chunk(3) & 0xff) == 8, chunk.take(4).toSeq.toString)
+    val got = decode(dir)
+      .select(col("variable"),
+        array_join(transform(col("coords"), c => c.cast("string")), ".").as("ck"),
+        col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === rows.map { case (v, _, c, x) => (v, c.mkString("."), x) }.toSet)
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.ZarrWriter.writeV3(tidy(rows), dir, codec = "lzma")
+    }.getMessage.contains("gzip, zstd, or blosc"))
+  }
+
   test("v3 sharded round trip: index layout, absent slots, edge shards") {
     // shape [8], band 1 (8-byte budget), 4 inner chunks per shard →
     // shards c/0 (bands 0-3) and c/1 (bands 4-7); band 2 never written
