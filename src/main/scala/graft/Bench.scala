@@ -77,7 +77,12 @@ object Bench {
     "dedup_clusters", "pipeline_dsir_select", "save_zarr_v3_roundtrip",
     // r12: inverted-index BM25 over a 1,000-probe battery (bench-only row;
     // the gate twin search_bm25_batch carries correctness)
-    "search_bm25_batch_1k")
+    "search_bm25_batch_1k",
+    // r14: the SAME battery through the operator's SCALE branch — pad
+    // probes push the vocabulary past the 1,024-term cap, so this row
+    // times the explode+semi-join posting build (the true million-probe
+    // path; correctness carried by the search_bm25_batch_bigvocab gate)
+    "search_bm25_batch_bigvocab_1k")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add
@@ -170,6 +175,25 @@ object Bench {
       val battery = docs.filter(col("doc_id") < 1000)
         .select(col("doc_id").as("qid"),
           concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 5)).as("qtext"))
+      graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", battery, "qid", "qtext", k = 10)
+    }),
+    // r14: the 1k battery again, but with 1,100 unique no-match pad
+    // probes pushing the battery vocabulary past bm25Batch's 1,024-term
+    // TermCounts cap — this row times the EXPLODE+SEMI-JOIN posting
+    // build, the branch a million-probe battery actually runs, which
+    // r13 gave correctness gates but no perf pin. Pads match nothing
+    // (unique nonsense tokens), so the delta vs search_bm25_batch_1k
+    // is attributable to the big-vocab build itself.
+    "search_bm25_batch_bigvocab_1k" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val battery = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("string").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 5)).as("qtext"))
+        .unionByName(s.range(1100).select(
+          concat(lit("pad_"), col("id")).as("qid"),
+          concat(lit("qzxpadterm"), col("id")).as("qtext")))
       graft.operators.KeywordSearch.bm25Batch(
         docs, "text", "doc_id", battery, "qid", "qtext", k = 10)
     }))
@@ -385,15 +409,29 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     } + "\""
     val subtotals = s""""shared_rows_total":$sharedTotal,"baseline_rows_total":$baselineTotal,"""
+    // r14: the artifact self-reports its window quality. r13's official
+    // snapshot shipped from a contended window — sentinel spread 6.8×
+    // (0.135–0.912 s) with every row uniformly +20-30% vs both control
+    // runs — while every clean control pair this machine has produced
+    // stays ≤ 5× (BASELINE.md r14 note). A false calib_ok means: do not
+    // read this snapshot's absolute times as the round's performance;
+    // adjudicate with a calm-window rerun.
+    val calibSpread = calib.max / math.max(calib.min, 1e-9)
+    val calibOk = calibSpread <= 5.0
+    if (!calibOk)
+      System.err.println(f"[bench] WARNING: calibration sentinel spread $calibSpread%.1f× " +
+        "exceeds the 5× calm-window band — this snapshot is contended; rerun in a " +
+        "calm window before comparing absolute times")
+    val calibJson = s""""calib_ok":$calibOk,"calib_spread":${fmt(calibSpread)},"""
     // stdout carries the resample COUNT only: the r11 official artifact's
     // 39-name resampled array pushed the line past the harness's 2,000-char
     // captured tail and the driver recorded parsed=null — the full name
     // list (and everything else) lives in target/bench_full.json
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      subtotals + s""""resampled_n":${resampled.size},""" +
+      subtotals + calibJson + s""""resampled_n":${resampled.size},""" +
       s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      subtotals + s""""resampled":$resampledJson,""" +
+      subtotals + calibJson + s""""resampled":$resampledJson,""" +
       s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
