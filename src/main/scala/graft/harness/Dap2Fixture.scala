@@ -121,10 +121,80 @@ object Dap2Fixture {
       |    }
       |}""".stripMargin
 
-  /** Every `.dods` request the sequence server answered, `path?query` —
-    * specs assert pushdown by URL (e.g. that no unfiltered fetch ran). */
+  /** Every `.dods` request the sequence servers answered, `path?query` —
+    * specs assert pushdown by URL (e.g. that no unfiltered fetch ran).
+    * Bounded: Verify/Bench sessions run the gate queries repeatedly for
+    * the life of the JVM, so old entries roll off past [[seqLogCap]]. */
   private[graft] val seqRequests =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val seqLogCap = 512
+
+  private def logSeqRequest(path: String, query: String): Unit =
+    if (path.endsWith(".dods")) {
+      seqRequests.add(path + Option(query).map("?" + _).getOrElse(""))
+      while (seqRequests.size > seqLogCap) seqRequests.poll()
+    }
+
+  /** Evaluate a DAP2 constraint expression (`<projection>&<sel>&…`) the
+    * way a real server does — shared by both sequence servers so their
+    * semantics can never diverge. Projection picks declared members
+    * (answered in DECLARATION order, the libdap/pydap convention);
+    * selections filter record indices over the FULL sequence via
+    * `valueOf` (Left = numeric member, Right = string member). Returns
+    * (projected members, kept record indices). */
+  private def evalSeqCe(q: String, seqName: String,
+                        declared: Seq[(String, String)],
+                        valueOf: (String, Int) => Either[Double, String],
+                        n: Int): (Seq[(String, String)], Seq[Int]) = {
+    val ceParts = q.split('&')
+    val projPart = ceParts.head.trim
+    val sels = ceParts.drop(1).map(_.trim).filter(_.nonEmpty).toSeq
+    val members =
+      if (projPart.isEmpty || projPart == seqName) declared
+      else {
+        val wanted = projPart.split(',').map { p =>
+          require(p.trim.startsWith(s"$seqName."),
+            s"mixed projection '$q' unsupported by the fixture")
+          p.trim.stripPrefix(s"$seqName.")
+        }.toSet
+        val picked = declared.filter { case (m, _) => wanted.contains(m) }
+        require(picked.size == wanted.size, s"unknown member in projection '$q'")
+        picked
+      }
+    val selRe = (java.util.regex.Pattern.quote(seqName) +
+      """\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|=~|<|>|=)(.+)""").r
+    def unquote(lit: String): String = {
+      require(lit.length >= 2 && lit.head == '"' && lit.last == '"',
+        s"string literal '$lit' must be double-quoted")
+      lit.substring(1, lit.length - 1)
+    }
+    def cmp(x: Double, op: String, lit: String): Boolean = {
+      val y = lit.toDouble
+      op match {
+        case "<" => x < y; case "<=" => x <= y; case ">" => x > y
+        case ">=" => x >= y; case "=" => x == y; case "!=" => x != y
+        case other => throw new IllegalArgumentException(
+          s"numeric op '$other' unsupported by the fixture")
+      }
+    }
+    val keep = (0 until n).filter { i =>
+      sels.forall {
+        case selRe(m, op, lit) => valueOf(m, i) match {
+          case Left(x) => cmp(x, op, lit)
+          case Right(s) => op match {
+            case "="  => s == unquote(lit)
+            case "!=" => s != unquote(lit)
+            case "=~" => s.matches(unquote(lit))
+            case other => throw new IllegalArgumentException(
+              s"string op '$other' unsupported by the fixture")
+          }
+        }
+        case other => throw new IllegalArgumentException(
+          s"fixture cannot evaluate selection '$other'")
+      }
+    }
+    (members, keep)
+  }
 
   /** The `.dods` record stream for a member projection of `cast`,
     * optionally restricted to the record indices a selection kept. */
@@ -157,8 +227,7 @@ object Dap2Fixture {
   }
 
   private def startSeq(): String = serve("casts") { (path, query) =>
-    if (path.endsWith(".dods"))
-      seqRequests.add(path + Option(query).map("?" + _).getOrElse(""))
+    logSeqRequest(path, query)
     if (path.endsWith(".dds")) (seqDdsText + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".das")) (seqDasText + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".dods")) {
@@ -170,59 +239,13 @@ object Dap2Fixture {
         out.write(xdrArray("Int32", seqBg.map(_.toDouble)))
         out.toByteArray
       } else {
-        // `<projection>&<sel>&<sel>…` — evaluate like a real server:
-        // selection filters the records (over the FULL sequence, whether
-        // or not the member is projected), projection picks the members,
-        // and the stream serializes in DECLARATION order
-        val ceParts = q.split('&')
-        val projPart = ceParts.head.trim
-        val sels = ceParts.drop(1).map(_.trim).filter(_.nonEmpty).toSeq
-        val members =
-          if (projPart.isEmpty || projPart == "cast") seqMembers
-          else {
-            val wanted = projPart.split(',').map { p =>
-              require(p.trim.startsWith("cast."),
-                s"mixed projection '$q' unsupported by the fixture")
-              p.trim.stripPrefix("cast.")
-            }.toSet
-            val picked = seqMembers.filter { case (m, _) => wanted.contains(m) }
-            require(picked.size == wanted.size, s"unknown member in projection '$q'")
-            picked
-          }
-        val selRe = """^cast\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|=~|<|>|=)(.+)$""".r
-        def cmp(x: Double, op: String, lit: String): Boolean = {
-          val y = lit.toDouble
-          op match {
-            case "<" => x < y; case "<=" => x <= y; case ">" => x > y
-            case ">=" => x >= y; case "=" => x == y; case "!=" => x != y
-            case other => throw new IllegalArgumentException(
-              s"numeric op '$other' unsupported by the fixture")
-          }
-        }
-        def unquote(lit: String): String = {
-          require(lit.length >= 2 && lit.head == '"' && lit.last == '"',
-            s"string literal '$lit' must be double-quoted")
-          lit.substring(1, lit.length - 1)
-        }
-        val keep = (0 until seqN).filter { i =>
-          sels.forall {
-            case selRe(m, op, lit) => m match {
-              case "depth" => cmp(seqDepth(i).toDouble, op, lit)
-              case "temp"  => cmp(seqTemp(i), op, lit)
-              case "station" => op match {
-                case "="  => seqStation(i) == unquote(lit)
-                case "!=" => seqStation(i) != unquote(lit)
-                case "=~" => seqStation(i).matches(unquote(lit))
-                case other => throw new IllegalArgumentException(
-                  s"string op '$other' unsupported by the fixture")
-              }
-              case other => throw new IllegalArgumentException(
-                s"selection on unknown member '$other'")
-            }
-            case other => throw new IllegalArgumentException(
-              s"fixture cannot evaluate selection '$other'")
-          }
-        }
+        val (members, keep) = evalSeqCe(q, "cast", seqMembers, {
+          case ("depth", i)   => Left(seqDepth(i).toDouble)
+          case ("temp", i)    => Left(seqTemp(i))
+          case ("station", i) => Right(seqStation(i))
+          case (other, _) => throw new IllegalArgumentException(
+            s"selection on unknown member '$other'")
+        }, seqN)
         seqDodsBytes(members, keep)
       }
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
@@ -305,47 +328,17 @@ object Dap2Fixture {
   }
 
   private def startSeqNested(): String = serve("profiles") { (path, query) =>
-    if (path.endsWith(".dods"))
-      seqRequests.add(path + Option(query).map("?" + _).getOrElse(""))
+    logSeqRequest(path, query)
     if (path.endsWith(".dds")) (nestProjDds(nestMembers) + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".das")) (nestDasText + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".dods")) {
       val q = if (query == null) "" else query.trim
-      val ceParts = q.split('&')
-      val projPart = ceParts.head.trim
-      val sels = ceParts.drop(1).map(_.trim).filter(_.nonEmpty).toSeq
-      val members =
-        if (projPart.isEmpty || projPart == "prof") nestMembers
-        else {
-          val wanted = projPart.split(',').map { p =>
-            require(p.trim.startsWith("prof."),
-              s"mixed projection '$q' unsupported by the fixture")
-            p.trim.stripPrefix("prof.")
-          }.toSet
-          val picked = nestMembers.filter { case (m, _) => wanted.contains(m) }
-          require(picked.size == wanted.size, s"unknown member in projection '$q'")
-          picked
-        }
-      val selRe = """^prof\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|<|>|=)(.+)$""".r
-      def cmp(x: Double, op: String, lit: String): Boolean = {
-        val y = lit.toDouble
-        op match {
-          case "<" => x < y; case "<=" => x <= y; case ">" => x > y
-          case ">=" => x >= y; case "=" => x == y; case "!=" => x != y
-        }
-      }
-      val keep = (0 until nestN).filter { i =>
-        sels.forall {
-          case selRe(m, op, lit) => m match {
-            case "station" => cmp(nestStation(i).toDouble, op, lit)
-            case "lat"     => cmp(nestLat(i), op, lit)
-            case other => throw new IllegalArgumentException(
-              s"selection on unsupported member '$other'")
-          }
-          case other => throw new IllegalArgumentException(
-            s"fixture cannot evaluate selection '$other'")
-        }
-      }
+      val (members, keep) = evalSeqCe(q, "prof", nestMembers, {
+        case ("station", i) => Left(nestStation(i).toDouble)
+        case ("lat", i)     => Left(nestLat(i))
+        case (other, _) => throw new IllegalArgumentException(
+          s"selection on unknown member '$other'")
+      }, nestN)
       nestDodsBytes(members, keep)
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }

@@ -972,6 +972,7 @@ object KerchunkIndex {
         // the still-current .zmetadata addresses. Appends are single-writer:
         // two concurrent appends race the rename (last swap wins whole).
         var pendingRename: Option[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)] = None
+        var current: org.apache.hadoop.fs.Path = null
         def pad(until: Long): Unit =
           while (nextRow < until) { writer.write(factory.newGroup()); nextRow += 1 }
         // a record file is always FULL-length (up to the variable's chunk
@@ -988,6 +989,19 @@ object KerchunkIndex {
               org.apache.hadoop.fs.Options.Rename.OVERWRITE)
           }
           pendingRename = None
+        }
+        // failure path: close WITHOUT padding and NEVER rename — padding
+        // would make the half-written file look complete (its unwritten
+        // tail reads as "missing chunk"), and the swap would then replace
+        // intact old rows with that fiction; the in-flight file is deleted
+        // so a task retry can recreate it under either write mode
+        def abort(): Unit = if (writer != null) {
+          try writer.close() catch { case _: Throwable => () }
+          writer = null
+          pendingRename = None
+          if (current != null)
+            try current.getFileSystem(conf.value).delete(current, false)
+            catch { case _: Throwable => () }
         }
         try {
           it.foreach { case (variable, record, flat, path, offset, len, raw) =>
@@ -1016,6 +1030,7 @@ object KerchunkIndex {
                   else org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
                 .build()
               pendingRename = if (allowOverwrite) Some((file, finalFile)) else None
+              current = file
               curVar = variable; curRec = record; nextRow = record * recSize
             }
             require(flat >= nextRow,
@@ -1048,7 +1063,8 @@ object KerchunkIndex {
             writer.write(g)
             nextRow = flat + 1
           }
-        } finally close()
+          close() // success: pad the tail and (append mode) swap atomically
+        } catch { case t: Throwable => abort(); throw t }
       }
   }
 

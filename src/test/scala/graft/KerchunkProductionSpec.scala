@@ -333,6 +333,40 @@ class KerchunkProductionSpec extends AnyFunSuite {
       s"unexpected refusal message: ${e.getMessage}")
   }
 
+  test("appendParquetRefs failure: old boundary record intact, no .inprogress left (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_app_abort")
+    val (a, b, c) = (combineIndex(dir, "a", 4, 0), combineIndex(dir, "b", 4, 4),
+      combineIndex(dir, "c", 3, 8))
+    val store = dir.resolve("store").toString
+    KerchunkIndex.writeParquetRefs(
+      KerchunkIndex.combineAlong(KerchunkIndex.readMany(spark, Seq(a, b)), "time"),
+      store, recordSize = 3)
+    val rec1 = java.nio.file.Paths.get(store, "v", "refs.1.parq")
+    val rec1Before = java.nio.file.Files.readAllBytes(rec1)
+    val before = storeCells(store)
+    // poison ONE plane of the new source (offset kept, length dropped):
+    // every combine guard passes and the refusal fires INSIDE the
+    // record-file writer, after the boundary .inprogress is already open
+    // — the task must ABORT without renaming (a padded half-file swapped
+    // over the old record would silently read as missing chunks)
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val poisoned = KerchunkIndex.readMany(spark, Seq(c))
+      .withColumn("length",
+        when(col("kind") === "ref", lit(null).cast("long")).otherwise(col("length")))
+    val e = intercept[Exception] {
+      KerchunkIndex.appendParquetRefs(spark, store, poisoned, "time")
+    }
+    val texts = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(texts.contains("byte range needs both"), texts.take(400))
+    // the failed append left the store byte-identical, readable, tmp-free
+    assert(java.util.Arrays.equals(rec1Before, java.nio.file.Files.readAllBytes(rec1)))
+    val stray = java.nio.file.Files.list(java.nio.file.Paths.get(store, "v"))
+      .toArray.map(_.toString).filter(_.contains("inprogress"))
+    assert(stray.isEmpty, stray.mkString(","))
+    assert(storeCells(store) == before)
+  }
+
   test("appendParquetRefs: record-aligned boundary (no rewrite) and multi-source append (r13)") {
     val dir = java.nio.file.Files.createTempDirectory("kerchunk_app3")
     val (a, b, c) = (combineIndex(dir, "a", 4, 0), combineIndex(dir, "b", 4, 4),
