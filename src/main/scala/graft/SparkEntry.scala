@@ -2884,6 +2884,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_pii_redact" -> ((s, dir) => {
+      // r14: PII scrub (the Dolma/BigScience release stage) — the corpus
+      // is clean synthetic text, so the query plants a deterministic
+      // contact block per document: a valid email, an IPv4 whose second
+      // octet is doc_id % 300 (so ~15% of planted IPs are OCTET-INVALID —
+      // 256..299 — and the scrubber must refuse them, not round them),
+      // and a NANP phone. The codegen'd PiiScan kernel's redacted bytes
+      // and per-class counts must equal the oracle's chained RE2 passes
+      // over the SAME pattern strings (PiiScan.EmailPattern/Ipv4Pattern/
+      // PhonePattern are interpolated into the SQL — one copy, no drift).
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com from 10."),
+        (col("doc_id") % 300).cast(StringType),
+        lit(".0.1 or (555) 867-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+        lit(" today"))
+      TextAnalysis.piiScan(
+          T(s, dir, "documents").select(col("doc_id"), planted.as("text")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "pipeline_train_val_split" -> ((s, dir) => {
       // deterministic engine-portable md5 split; report per-(lang, split)
       // counts — assignment is a pure function of (lang, doc_id, seed), so
@@ -6153,6 +6176,35 @@ object SparkEntry {
         |  CAST(k AS INT) AS n_links,
         |  CAST(2 * k AS DOUBLE) / CAST(tc AS DOUBLE) AS link_density
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the same three pattern strings the kernel compiled (interpolated
+    // from PiiScan's vals — one copy), chained in the same fixed order
+    // with counts taken on each stage's input, exactly the kernel's
+    // sequential-pass contract
+    "text_pii_redact" -> {
+      val e  = graft.functions.PiiScan.EmailPattern
+      val ip = graft.functions.PiiScan.Ipv4Pattern
+      val ph = graft.functions.PiiScan.PhonePattern
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |         '@mail.example.com from 10.' || CAST(doc_id % 300 AS VARCHAR) ||
+         |         '.0.1 or (555) 867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |         ' today' AS s
+         |  FROM documents),
+         |p1 AS (SELECT doc_id,
+         |         CAST(length(regexp_extract_all(s, '$e')) AS INT) AS n_email,
+         |         regexp_replace(s, '$e', '|||EMAIL_ADDRESS|||', 'g') AS s FROM t0),
+         |p2 AS (SELECT doc_id, n_email,
+         |         CAST(length(regexp_extract_all(s, '$ip')) AS INT) AS n_ip,
+         |         regexp_replace(s, '$ip', '|||IP_ADDRESS|||', 'g') AS s FROM p1),
+         |p3 AS (SELECT doc_id, n_email, n_ip,
+         |         CAST(length(regexp_extract_all(s, '$ph')) AS INT) AS n_phone,
+         |         regexp_replace(s, '$ph', '|||PHONE_NUMBER|||', 'g') AS s FROM p2)
+         |SELECT doc_id, s AS text_redacted, n_email, n_ip, n_phone,
+         |       n_email + n_ip + n_phone AS pii_total
+         |FROM p3 ORDER BY doc_id""".stripMargin
+    },
 
     "pipeline_train_val_split" ->
       """WITH b AS (

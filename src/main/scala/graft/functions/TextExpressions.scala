@@ -493,6 +493,110 @@ object HtmlExtract {
   }
 }
 
+/** PII detection + redaction in ONE per-row pass (r14) — the scrubbing
+  * stage every production training-data release runs (the public
+  * Dolma/BigScience convention: regex classes for email / IP / phone
+  * redacted to typed `|||…|||` placeholders; see allenai/dolma's pii
+  * tagger for the placeholder form). ZERO shuffle: a document's scrub
+  * depends only on its own bytes, so the 100 TB shape is a scan-stage
+  * codegen'd expression.
+  *
+  * Exactly three pattern classes, applied as three SEQUENTIAL
+  * leftmost-non-overlapping replace passes in a FIXED order — email →
+  * IPv4 → phone — each pass counting its matches on the text the
+  * previous pass produced (order matters: IPs redact before phones so
+  * dotted octets can never half-match a phone). The patterns use only
+  * the syntax subset whose semantics are IDENTICAL in java.util.regex
+  * and RE2 (explicit `[0-9]`/`[A-Za-z]` classes, ASCII `\b`, `(?:…)`,
+  * bounded quantifiers — never `\d`/`\s`/flags, whose definitions
+  * differ), so a DuckDB oracle chaining `regexp_extract_all` +
+  * `regexp_replace(…, 'g')` over the same three pattern strings
+  * reproduces every byte of the redacted text and every count.
+  *
+  * Output struct: `text` (redacted), `n_email`, `n_ip`, `n_phone`. */
+case class PiiScan(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_email", IntegerType, nullable = false),
+    StructField("n_ip", IntegerType, nullable = false),
+    StructField("n_phone", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pii_scan expects string, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = PiiScan.scan(v.toString)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PiiScan.scan($s.toString());")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PiiScan {
+  /** The three pattern strings are PUBLIC so the gate's DuckDB oracle
+    * embeds the byte-identical regex (no second hand-written copy that
+    * could drift). RE2 ∩ java.util.regex subset only — see class doc. */
+  val EmailPattern: String =
+    """\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"""
+  /** Octet-exact IPv4 (0-255 per octet, no leading-garbage digits — the
+    * `\b` plus the octet alternation refuse `999.1.1.1` outright). */
+  val Ipv4Pattern: String =
+    """\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}""" +
+      """(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"""
+  /** NANP-shaped phones WITH separators: `(555) 123-4567`, `555-123-4567`,
+    * `555.123.4567`, `555 123 4567`. Bare 10-digit runs do NOT match —
+    * too false-positive-prone in numeric corpora (ids, timestamps). */
+  val PhonePattern: String =
+    """(?:\([0-9]{3}\)[-. ]?|\b[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}\b"""
+
+  val EmailPlaceholder = "|||EMAIL_ADDRESS|||"
+  val IpPlaceholder    = "|||IP_ADDRESS|||"
+  val PhonePlaceholder = "|||PHONE_NUMBER|||"
+
+  // compiled once per JVM; placeholders contain no '$'/'\' so they are
+  // literal under Matcher.appendReplacement
+  private val passes: Array[(java.util.regex.Pattern, String)] = Array(
+    java.util.regex.Pattern.compile(EmailPattern) -> EmailPlaceholder,
+    java.util.regex.Pattern.compile(Ipv4Pattern)  -> IpPlaceholder,
+    java.util.regex.Pattern.compile(PhonePattern) -> PhonePlaceholder)
+
+  /** Static kernel, shared by interpreted and generated code. */
+  def scan(s: String): org.apache.spark.sql.catalyst.InternalRow = {
+    var cur = s
+    val counts = new Array[Int](3)
+    var i = 0
+    while (i < passes.length) {
+      val (p, repl) = passes(i)
+      val m = p.matcher(cur)
+      if (m.find()) {
+        var n = 0
+        val sb = new java.lang.StringBuilder(cur.length)
+        do { n += 1; m.appendReplacement(sb, repl) } while (m.find())
+        m.appendTail(sb)
+        counts(i) = n
+        cur = sb.toString
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(cur),
+      counts(0), counts(1), counts(2))
+  }
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -513,4 +617,8 @@ object TextFunctions {
   /** HTML → (text, text_chars, link_chars, n_links) (see [[HtmlExtract]]). */
   def html_extract(c: Column): Column =
     column(HtmlExtract(expression(c)))
+
+  /** PII scrub → (text, n_email, n_ip, n_phone) (see [[PiiScan]]). */
+  def pii_scan(c: Column): Column =
+    column(PiiScan(expression(c)))
 }

@@ -482,6 +482,23 @@ object TextAnalysis {
     * the jusText/boilerplate cut; both counts are codepoint-exact
     * integers and the density one IEEE division, so a SQL oracle
     * reproduces every column. */
+  /** PII scrub (r14): redact emails / IPv4s / NANP phones to the typed
+    * `|||…|||` placeholders and count each class — one scan-stage
+    * codegen'd kernel per row, zero shuffle ([[graft.functions.PiiScan]]
+    * holds the pattern contract and the cross-engine parity rules).
+    * Output: (id, text_redacted, n_email, n_ip, n_phone, pii_total). */
+  def piiScan(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ex = graft.functions.TextFunctions.pii_scan(col(textCol))
+    df.select(col(idCol), ex.as("__p"))
+      .select(col(idCol),
+        col("__p").getField("text").as("text_redacted"),
+        col("__p").getField("n_email").as("n_email"),
+        col("__p").getField("n_ip").as("n_ip"),
+        col("__p").getField("n_phone").as("n_phone"),
+        (col("__p").getField("n_email") + col("__p").getField("n_ip") +
+          col("__p").getField("n_phone")).as("pii_total"))
+  }
+
   def htmlExtract(df: DataFrame, htmlCol: String, idCol: String): DataFrame = {
     val ex = graft.functions.TextFunctions.html_extract(col(htmlCol))
     df.select(col(idCol), ex.as("__e"))

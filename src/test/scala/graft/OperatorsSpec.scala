@@ -735,6 +735,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ex("<a href='u/'/>x") == (("x", 1, 0, 1)))
   }
 
+  test("pii scan: golden cases — classes, pass order, octet-invalid IPs, boundaries (r14)") {
+    def px(t: String): (String, Int, Int, Int) = {
+      val r = TextAnalysis.piiScan(
+        Seq((1L, t)).toDF("id", "text"), "text", "id").collect()(0)
+      (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))
+    }
+    // email: plus/dot/hyphen locals, hyphenated domains; punctuation
+    // outside the match stays
+    assert(px("mail a.b+c@x-y.co now") == (("mail |||EMAIL_ADDRESS||| now", 1, 0, 0)))
+    assert(px("see a@b.io.") == (("see |||EMAIL_ADDRESS|||.", 1, 0, 0)))
+    assert(px("a@b.co c@d.org") == (("|||EMAIL_ADDRESS||| |||EMAIL_ADDRESS|||", 2, 0, 0)))
+    assert(px("no at sign here") == (("no at sign here", 0, 0, 0)))
+    // ipv4: octet-exact — 299 and leading-garbage digits refuse the WHOLE
+    // candidate ('\b' + the octet alternation, never rounding)
+    assert(px("ip 10.0.0.1!") == (("ip |||IP_ADDRESS|||!", 0, 1, 0)))
+    assert(px("ip 10.299.0.1") == (("ip 10.299.0.1", 0, 0, 0)))
+    assert(px("ip 999.1.1.1") == (("ip 999.1.1.1", 0, 0, 0)))
+    assert(px("v1.2.3.4 x") == (("v1.2.3.4 x", 0, 0, 0))) // no \b inside 'v1'
+    assert(px("at 255.255.255.255 go") == (("at |||IP_ADDRESS||| go", 0, 1, 0)))
+    // phones: the three separator forms; bare 10-digit runs refuse
+    assert(px("call (555) 867-5309 or 555-123-4567 or 555.123.4567")
+      == (("call |||PHONE_NUMBER||| or |||PHONE_NUMBER||| or |||PHONE_NUMBER|||", 0, 0, 3)))
+    assert(px("id 5551234567") == (("id 5551234567", 0, 0, 0)))
+    // PASS ORDER: a real IP redacts in the IP pass, so the phone pass
+    // never sees its octets...
+    assert(px("at 192.168.123.255 go") == (("at |||IP_ADDRESS||| go", 0, 1, 0)))
+    // ...while a dotted run that is NOT a valid IP (4-digit tail) falls
+    // through to the phone pass, which matches its NANP-shaped suffix
+    assert(px("at 192.168.123.4567 hm") == (("at 192.|||PHONE_NUMBER||| hm", 0, 0, 1)))
+    // all three classes in one row; totals per class
+    assert(px("u@v.net 8.8.8.8 555-123-4567")
+      == (("|||EMAIL_ADDRESS||| |||IP_ADDRESS||| |||PHONE_NUMBER|||", 1, 1, 1)))
+    // interpreted eval matches the codegen'd DataFrame path exactly
+    val direct = graft.functions.PiiScan(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "u@v.net 8.8.8.8 555-123-4567"),
+        org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(direct.getString(0) == "|||EMAIL_ADDRESS||| |||IP_ADDRESS||| |||PHONE_NUMBER|||")
+    assert((direct.getInt(1), direct.getInt(2), direct.getInt(3)) == ((1, 1, 1)))
+  }
+
   test("zipf surprisal: ranks by frequency, ties on token, OOV pays bitlen(K)+1") {
     val df = Seq(
       (1L, "a a a b"), // all top-vocab: 3×bits(rank 1=1) + bits(rank 2=2)

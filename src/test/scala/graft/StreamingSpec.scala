@@ -303,6 +303,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(spark.table("html_stream")) == batch) // float density included
   }
 
+  test("streaming pii scrub: batch parity on real docs via MemoryStream (r14)") {
+    // stateless scan expression — the same call IS the streaming twin
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" u"), col("doc_id"),
+          lit("@x.org 10.0.0.7 (555) 123-4567")).as("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5))).toSet
+    val batch = rows(graft.operators.TextAnalysis.piiScan(docs, "text", "doc_id"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis
+      .piiScan(input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    val data = docs.as[(Long, String)].collect()
+    data.grouped(math.max(1, data.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(rows(spark.table("pii_stream")) == batch)
+  }
+
   test("streaming bm25: scored rows via MemoryStream equal the batch top-k source") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
