@@ -3176,6 +3176,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_indexed" -> ((s, dir) => {
+      // r14: the PERSISTED posting-index form — build the index over the
+      // even half of the corpus, APPEND the odd half (only the delta is
+      // scanned; batch 0's files never rewrite; meta.json writes last),
+      // then search with zero corpus scans. Scores fold through the same
+      // retrieval tail as the batch form, so this gate reuses
+      // search_bm25_topk's oracle verbatim: one DuckDB truth, now THREE
+      // hash-identical execution forms (literal plan / in-flight
+      // inverted index / persisted store with append).
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_idx_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", root,
+        overwrite = true)
+      graft.operators.KeywordSearch.bm25IndexAppend(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      val battery = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25SearchIndexed(
+          s, root, battery, "qid", "qtext", k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
       // brute-force cosine ranking fused by reciprocal rank (Cormack
@@ -3753,6 +3780,10 @@ object SparkEntry {
     // posting-build branch — they match nothing and per-query scoring is
     // independent, so the real-probe slice is the literal form's ranking
     ("search_bm25_batch_bigvocab" -> oracleSqlBase("search_bm25_topk")) +
+    // SAME oracle, third execution form (r14): the persisted posting
+    // store with one append must rank hash-identically to the literal
+    // plan over the same corpus
+    ("search_bm25_indexed" -> oracleSqlBase("search_bm25_topk")) +
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +

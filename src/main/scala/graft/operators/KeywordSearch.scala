@@ -93,7 +93,12 @@ object KeywordSearch {
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
     val idf = (0 until nTerms).map { i =>
       val df = statsRow.getLong(2 + i).toDouble
-      math.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+      // StrictMath, NOT math.log: Spark's in-plan `log` (the batch and
+      // indexed forms' idf) evaluates StrictMath.log, and the JIT's
+      // Math.log intrinsic differs by 1 ulp on ~10% of idf arguments
+      // (probed r14) — this is what keeps all three execution forms'
+      // scores bit-identical on real corpora, not just synthetic ones
+      StrictMath.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
     }.toArray
     (n, avgdl, idf)
   }
@@ -228,17 +233,10 @@ object KeywordSearch {
                 queries: DataFrame, qidCol: String, qtextCol: String,
                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                 scope: CacheScope = CacheScope.untracked): DataFrame = {
-    val toks  = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
-    val qToks = coalesce(Dedup.tokens(col(qtextCol)), array().cast("array<string>"))
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
 
-    val wFirst = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id", "term").orderBy("ord")
     // persisted: occurrence rows feed the vocabulary AND the retrieval join
-    val qTerms = scope.persisted(
-      queries.select(col(qidCol).as("query_id"), posexplode(qToks))
-        .withColumnRenamed("pos", "ord").withColumnRenamed("col", "term")
-        .withColumn("first_occ", row_number().over(wFirst) === 1),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qTerms = batteryTerms(queries, qidCol, qtextCol, scope)
     val vocab = qTerms.select("term").distinct()
 
     // ONE probe action computes the corpus statistics (N, avgdl) AND the
@@ -317,7 +315,31 @@ object KeywordSearch {
     }
     val postings = scope.persisted(postingRows,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retrieve(qTerms, postings, n, avgdl, maxOrd, k1, b, k)
+  }
 
+  /** Battery → persisted (query_id, ord, term, first_occ) occurrence
+    * rows — the shared front half of [[bm25Batch]] and
+    * [[bm25SearchIndexed]]. */
+  private def batteryTerms(queries: DataFrame, qidCol: String, qtextCol: String,
+                           scope: CacheScope): DataFrame = {
+    val qToks = coalesce(Dedup.tokens(col(qtextCol)), array().cast("array<string>"))
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "term").orderBy("ord")
+    scope.persisted(
+      queries.select(col(qidCol).as("query_id"), posexplode(qToks))
+        .withColumnRenamed("pos", "ord").withColumnRenamed("col", "term")
+        .withColumn("first_occ", row_number().over(wFirst) === 1),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The RETRIEVAL tail shared by [[bm25Batch]] and [[bm25SearchIndexed]]:
+    * postings → in-plan idf → occurrence⋈posting contributions → the
+    * ord-ordered per-(query, doc) reduction → two-stage top-k. `postings`
+    * must be unique per (term, doc_id) and carry (term, doc_id, tf, dl). */
+  private def retrieve(qTerms: DataFrame, postings: DataFrame, n: Long,
+                       avgdl: Double, maxOrd: Int, k1: Double, b: Double,
+                       k: Int): DataFrame = {
     // per-term document frequency → idf (postings are unique per
     // (term, doc), so df is a plain count); same expression shape as the
     // driver-side idf of the literal path
@@ -368,5 +390,158 @@ object KeywordSearch {
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("dl"), col("tf_total"))
+  }
+
+  // ---------------------------------------------------------------- index
+
+  /** BM25 POSTING-INDEX store (r14) — the maintenance path that makes
+    * retrieval affordable over a GROWING corpus: [[bm25Batch]] re-scans
+    * the whole corpus per battery (right for one-shot batteries), while
+    * a production deployment indexes once and appends deltas — zero
+    * corpus re-scans per search, the incremental-dedup-index doctrine on
+    * the lexical plane. Layout (the engine's store conventions: batch-dir
+    * data, metadata LAST):
+    *
+    *   <dir>/meta.json                    {"format":"graft-bm25-index",
+    *                                       "version":1,"batches":B,
+    *                                       "n":N,"sumdl":S}
+    *   <dir>/postings/b<i>/part-….parquet (term, doc_id, tf, dl)
+    *   <dir>/docs/b<i>/part-….parquet     (doc_id, dl)
+    *
+    * Postings carry the FULL vocabulary (unlike bm25Batch's
+    * battery-filtered build): one explode + map-side-combined groupBy
+    * scan per build/append. `meta.json` writes LAST, so a reader
+    * mid-append sees the old consistent snapshot (batch dirs beyond
+    * `batches` are invisible; a crashed append leaves an orphan dir the
+    * next append's overwrite-mode write clobbers). [[bm25SearchIndexed]]
+    * reads exactly the meta'd batches, vocabulary-semi-joins the
+    * postings, and runs the SAME retrieval tail as bm25Batch — scores
+    * bit-identical to [[bm25TopK]] over the equivalent corpus, which is
+    * what the gate pins. Duplicate doc ids (within a delta or vs the
+    * store) refuse loudly: posting semantics are per-document. */
+  def bm25IndexBuild(docs: DataFrame, textCol: String, idCol: String,
+                     dir: String, overwrite: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+    if (fs.exists(metaPath)) {
+      require(overwrite,
+        s"bm25IndexBuild: '$dir' already holds an index — pass overwrite = true " +
+          "to rebuild, or bm25IndexAppend to grow it")
+      fs.delete(root, true)
+    }
+    val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, dir, batch = 0)
+    writeIndexMeta(fs, metaPath, batches = 1, n = n, sumdl = sumdl)
+  }
+
+  /** Append a document delta to an existing index — only the DELTA is
+    * scanned; existing batch files never rewrite (the concat dim of a
+    * posting store is the document set, so append is pure accretion). */
+  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      newDocs: DataFrame, textCol: String, idCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+    val (batches, n0, sumdl0) = readIndexMeta(fs, metaPath, dir)
+    // id-collision guard vs the store: a delta-sized semi-join against
+    // the docs plane's one pruned column — never a posting-volume scan
+    val oldDocs = spark.read.parquet((0 until batches).map(i => s"$dir/docs/b$i"): _*)
+    val clash = newDocs.select(col(idCol).as("doc_id"))
+      .join(oldDocs.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
+    require(clash == 0L,
+      s"bm25IndexAppend: delta re-uses doc ids already in '$dir' — posting " +
+        "semantics are per-document; assign fresh ids or rebuild")
+    val (dn, dsum) = writeIndexBatch(newDocs, textCol, idCol, dir, batch = batches)
+    writeIndexMeta(fs, metaPath, batches + 1, n0 + dn, sumdl0 + dsum)
+  }
+
+  /** Search the index: zero corpus scans — the battery's vocabulary
+    * semi-joins the meta'd posting batches and the shared retrieval tail
+    * scores them. Output and tie rule match [[bm25TopK]] exactly. */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        queries: DataFrame, qidCol: String, qtextCol: String,
+                        k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                        scope: CacheScope = CacheScope.untracked): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val (batches, n, sumdl) = readIndexMeta(fs,
+      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(n > 0, s"bm25SearchIndexed: index at '$dir' holds no documents")
+    val avgdl = sumdl.toDouble / n.toDouble
+    val qTerms = batteryTerms(queries, qidCol, qtextCol, scope)
+    // battery geometry only — corpus facts come from the meta, so the
+    // pre-job cost is ONE tiny action over the persisted occurrences
+    val g = qTerms.agg(max(col("ord"))).collect()(0)
+    val maxOrd = if (g.isNullAt(0)) -1 else g.getInt(0)
+    val vocab = qTerms.select("term").distinct()
+    val postings = spark.read.parquet(
+      (0 until batches).map(i => s"$dir/postings/b$i"): _*)
+    // spread the survivors before the retrieval join (the broadcast-
+    // battery fan-out inherits this partitioning — the two-core trap)
+    val filtered = scope.persisted(
+      postings.join(vocab, Seq("term"), "left_semi")
+        .repartition(col("term"), col("doc_id")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    retrieve(qTerms, filtered, n, avgdl, maxOrd, k1, b, k)
+  }
+
+  /** One delta scan → docs + postings batch dirs (overwrite mode, so an
+    * orphan dir from a crashed append clobbers); returns (rows, Σdl) of
+    * the delta, computed from the WRITTEN docs files (validating the
+    * write). Refuses duplicate ids within the delta. */
+  private def writeIndexBatch(docs: DataFrame, textCol: String, idCol: String,
+                              dir: String, batch: Int): (Long, Long) = {
+    val spark = docs.sparkSession
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/docs/b$batch")
+    docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
+        explode(toks).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .write.mode("overwrite").parquet(s"$dir/postings/b$batch")
+    val st = spark.read.parquet(s"$dir/docs/b$batch")
+      .agg(count(lit(1)), sum(col("dl")), countDistinct(col("doc_id"))).collect()(0)
+    val dn = st.getLong(0)
+    require(dn == 0L || st.getLong(2) == dn,
+      s"bm25 index: delta has ${dn - st.getLong(2)} duplicate doc ids — " +
+        "posting semantics are per-document; dedupe ids first")
+    (dn, if (st.isNullAt(1)) 0L else st.getLong(1))
+  }
+
+  private def writeIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
+                             metaPath: org.apache.hadoop.fs.Path,
+                             batches: Int, n: Long, sumdl: Long): Unit = {
+    val json = s"""{"format": "graft-bm25-index", "version": 1, """ +
+      s""""batches": $batches, "n": $n, "sumdl": $sumdl}"""
+    val out = fs.create(metaPath, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
+                            metaPath: org.apache.hadoop.fs.Path,
+                            dir: String): (Int, Long, Long) = {
+    require(fs.exists(metaPath),
+      s"'$dir' is not a bm25 index (no meta.json — build one with bm25IndexBuild)")
+    val in = fs.open(metaPath)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    (j \ "format") match {
+      case JString("graft-bm25-index") => ()
+      case other => throw new IllegalArgumentException(
+        s"'$dir' meta.json format is $other, not graft-bm25-index")
+    }
+    def long(field: String): Long = (j \ field) match {
+      case JInt(v) => v.longValue
+      case other => throw new IllegalArgumentException(
+        s"'$dir' meta.json '$field' is ${other.getClass.getSimpleName}")
+    }
+    (long("batches").toInt, long("n"), long("sumdl"))
   }
 }

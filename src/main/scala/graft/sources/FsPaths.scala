@@ -5,7 +5,7 @@ package graft.sources
   * hdfs on a real cluster), and schemes with no installed Hadoop FileSystem
   * refuse with one consistent connector-boundary error. One implementation
   * so a Hadoop message change or a bare-path semantics fix lands once. */
-private[sources] object FsPaths {
+private[graft] object FsPaths {
 
   // a URI scheme prefix — matches "file:///x", "s3a://b/k" AND Hadoop's
   // single-slash "file:/x" rendering, but NOT bare paths whose first

@@ -1574,7 +1574,8 @@ class KeywordSearchSpec extends AnyFunSuite {
       .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))
     // mirror the exact formula driver-side
     val n = 4.0; val avgdl = 13.0 / 4.0
-    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    // StrictMath mirrors the engine (Spark's in-plan log IS StrictMath.log)
+    def idf(df: Double) = StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5))
     val (idfCat, idfDog) = (idf(2.0), idf(2.0))
     def term(i: Double, tf: Double, dl: Double) =
       i * tf * (1.2 + 1.0) / (tf + (1.2 * (1 - 0.75) + (1.2 * 0.75 / avgdl) * dl))
@@ -1777,6 +1778,65 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       graft.operators.Fusion.rrfFuse(Seq(a, b.withColumnRenamed("rank", "r")), k = 10)
     }.getMessage.contains("lacks column"))
+  }
+}
+
+class Bm25IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.KeywordSearch
+
+  test("posting index: build + append + search is bit-identical to the literal form (r14)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", dir, overwrite = true)
+    KeywordSearch.bm25IndexAppend(spark, dir,
+      docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+    val battery = Seq(("q1", "spark hash join"), ("q2", "fast table scan"))
+      .toDF("qid", "qtext")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val indexed = rows(KeywordSearch.bm25SearchIndexed(
+      spark, dir, battery, "qid", "qtext", k = 10))
+    val literal = rows(KeywordSearch.bm25TopK(docs, "text", "doc_id",
+      Seq(("q1", "spark hash join"), ("q2", "fast table scan")), k = 10))
+    assert(indexed === literal) // scores bit-exact incl. doubles
+
+    // batch 0's files never rewrite across an append
+    val b0 = java.nio.file.Paths.get(dir, "postings", "b0")
+    val before = java.nio.file.Files.list(b0).toArray.map(_.toString).sorted
+    KeywordSearch.bm25IndexAppend(spark, dir,
+      Seq((1000000L, "entirely new words")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(java.nio.file.Files.list(b0).toArray.map(_.toString).sorted.sameElements(before))
+
+    // an orphan batch dir beyond the meta is INVISIBLE (torn-append safety)
+    val orphan = java.nio.file.Paths.get(dir, "postings", "b99")
+    java.nio.file.Files.createDirectories(orphan)
+    assert(rows(KeywordSearch.bm25SearchIndexed(
+      spark, dir, battery, "qid", "qtext", k = 10)).nonEmpty)
+
+    // refusals: id collision with the store, duplicate ids in a delta,
+    // rebuild without overwrite, search on a non-index dir
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexAppend(spark, dir,
+        Seq((1000000L, "again")).toDF("doc_id", "text"), "text", "doc_id")
+    }.getMessage.contains("re-uses doc ids"))
+    val dupMsg = Iterator.iterate(intercept[Exception] {
+      KeywordSearch.bm25IndexAppend(spark, dir,
+        Seq((2000000L, "x"), (2000000L, "y")).toDF("doc_id", "text"), "text", "doc_id")
+    }: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(dupMsg.contains("duplicate doc ids"), dupMsg.take(300))
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir)
+    }.getMessage.contains("already holds an index"))
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25SearchIndexed(spark,
+        java.nio.file.Files.createTempDirectory("graft_noidx").toString,
+        battery, "qid", "qtext")
+    }.getMessage.contains("not a bm25 index"))
   }
 }
 
