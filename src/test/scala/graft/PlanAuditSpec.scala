@@ -474,4 +474,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(widep.toLowerCase.contains("orderedcontribsum"), widep.take(2500))
     assert(!widep.contains("CASE WHEN (ord#"), widep.take(2500))
   }
+
+  test("pii scrub is a pure scan: one kernel expression, zero exchanges, zero joins (r14)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qe = graft.operators.TextAnalysis.piiScan(docs, "text", "doc_id").queryExecution
+    val p = qe.executedPlan.toString
+    assert(p.toLowerCase.contains("piiscan"), p.take(1500))
+    assert(!p.contains("Exchange"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
+  test("bm25 indexed search never rescans the corpus: posting batches only, vocab semi-join (r14)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_paudit").toString
+    graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", idx,
+      overwrite = true)
+    val qe = graft.operators.KeywordSearch.bm25SearchIndexed(spark, idx,
+      Seq(("q", "spark hash join")).toDF("qid", "qtext"), "qid", "qtext", k = 5)
+      .queryExecution
+    val p = qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+    // zero corpus scans: the only file sources are the index's own planes
+    assert(!p.contains("documents.parquet"), p.take(2500))
+    assert(p.contains("/postings/"), p.take(2500))
+    // the tokenizer kernel is absent — search never touches corpus text
+    assert(!p.toLowerCase.contains("termcounts"), p.take(2500))
+    // postings prune by the battery vocabulary before the retrieval join
+    assert(p.contains("LeftSemi"), p.take(2500))
+  }
 }
