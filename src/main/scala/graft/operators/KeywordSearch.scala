@@ -489,6 +489,34 @@ object KeywordSearch {
     retrieve(qTerms, filtered, n, avgdl, maxOrd, k1, b, k)
   }
 
+  /** Derive a frozen [[Bm25Model]] from the index — ZERO corpus scans
+    * (df per battery term from a vocabulary-pruned posting read; N and
+    * avgdl from the meta), so [[bm25Score]] can score a STREAM against
+    * an indexed corpus's statistics. idf bits equal [[bm25Model]]'s
+    * corpus-scan build exactly (same StrictMath.log, same integers). */
+  def bm25ModelFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         queries: Seq[(String, String)],
+                         k1: Double = 1.2, b: Double = 0.75): Bm25Model = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val (batches, n, sumdl) = readIndexMeta(fs,
+      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(n > 0, s"bm25ModelFromIndex: index at '$dir' holds no documents")
+    val perQuery = parseBattery(queries)
+    val allTerms = perQuery.flatMap(_._2).distinct.sorted
+    val dfByTerm: Map[String, Long] = spark.read
+      .parquet((0 until batches).map(i => s"$dir/postings/b$i"): _*)
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = allTerms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L).toDouble
+      StrictMath.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+    }.toArray
+    Bm25Model(k1, b, sumdl.toDouble / n.toDouble, allTerms, idf, perQuery)
+  }
+
   /** One delta scan → docs + postings batch dirs (overwrite mode, so an
     * orphan dir from a crashed append clobbers); returns (rows, Σdl) of
     * the delta, computed from the WRITTEN docs files (validating the

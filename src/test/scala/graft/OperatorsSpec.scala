@@ -1838,6 +1838,32 @@ class Bm25IndexSpec extends AnyFunSuite {
         battery, "qid", "qtext")
     }.getMessage.contains("not a bm25 index"))
   }
+
+  test("bm25ModelFromIndex equals the corpus-scan model bit-for-bit; zero-df terms included (r14)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_midx").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir, overwrite = true)
+    // 'zzznope' matches nothing: its idf must come from df = 0, same as
+    // the corpus-scan build
+    val bat = Seq(("q1", "spark hash join"), ("qz", "zzznope table"))
+    val fromScan  = KeywordSearch.bm25Model(docs, "text", bat)
+    val fromIndex = KeywordSearch.bm25ModelFromIndex(spark, dir, bat)
+    assert(fromIndex.terms == fromScan.terms)
+    assert(fromIndex.avgdl == fromScan.avgdl) // exact: integer sumdl / n
+    fromScan.idf.zip(fromIndex.idf).zip(fromScan.terms).foreach { case ((a, c), t) =>
+      assert(java.lang.Double.doubleToLongBits(a) ==
+        java.lang.Double.doubleToLongBits(c), s"idf drift on '$t': $a vs $c")
+    }
+    assert(fromIndex.queries == fromScan.queries)
+    // ...so the streaming scorer produces byte-identical rows either way
+    val a = KeywordSearch.bm25Score(docs, "text", "doc_id", fromScan)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    val c = KeywordSearch.bm25Score(docs, "text", "doc_id", fromIndex)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(a === c)
+  }
 }
 
 class PqSpec extends AnyFunSuite {
