@@ -475,16 +475,29 @@ object KeywordSearch {
     val qTerms = batteryTerms(queries, qidCol, qtextCol, scope)
     // battery geometry only — corpus facts come from the meta, so the
     // pre-job cost is ONE tiny action over the persisted occurrences
-    val g = qTerms.agg(max(col("ord"))).collect()(0)
+    val g = qTerms.agg(max(col("ord")), countDistinct(col("term"))).collect()(0)
     val maxOrd = if (g.isNullAt(0)) -1 else g.getInt(0)
-    val vocab = qTerms.select("term").distinct()
+    val nTerms = g.getLong(1)
     val postings = spark.read.parquet(
       (0 until batches).map(i => s"$dir/postings/b$i"): _*)
+    // ADAPTIVE vocabulary pruning against the term-sorted store:
+    //  - human-sized battery (≤1024 distinct terms): a bounded collect
+    //    turns the vocabulary into a pushed `term IN (…)` scan filter —
+    //    parquet row-group min/max over the sorted layout skip every
+    //    posting slice the battery never asks for;
+    //  - million-probe battery: the vocabulary stays DATA — semi-join,
+    //    full posting scan (the honest cost of a corpus-scale battery).
+    val pruned =
+      if (nTerms > 0 && nTerms <= 1024) {
+        val terms = qTerms.select("term").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        postings.filter(col("term").isin(terms: _*))
+      } else
+        postings.join(qTerms.select("term").distinct(), Seq("term"), "left_semi")
     // spread the survivors before the retrieval join (the broadcast-
     // battery fan-out inherits this partitioning — the two-core trap)
     val filtered = scope.persisted(
-      postings.join(vocab, Seq("term"), "left_semi")
-        .repartition(col("term"), col("doc_id")),
+      pruned.repartition(col("term"), col("doc_id")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retrieve(qTerms, filtered, n, avgdl, maxOrd, k1, b, k)
   }
@@ -532,6 +545,13 @@ object KeywordSearch {
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      // TERM-SORTED layout: co-locate each term's postings and sort
+      // within files, so parquet row-group min/max statistics make a
+      // pushed `term IN (…)` scan skip everything a selective battery
+      // does not ask for — the difference between reading a battery's
+      // slice and reading the whole store at 100 TB
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dir/postings/b$batch")
     val st = spark.read.parquet(s"$dir/docs/b$batch")
       .agg(count(lit(1)), sum(col("dl")), countDistinct(col("doc_id"))).collect()(0)

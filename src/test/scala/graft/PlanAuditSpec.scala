@@ -484,22 +484,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(1500))
   }
 
-  test("bm25 indexed search never rescans the corpus: posting batches only, vocab semi-join (r14)") {
+  test("bm25 indexed search never rescans the corpus; vocab prunes adaptively (r14)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft_bm25_paudit").toString
     graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", idx,
       overwrite = true)
-    val qe = graft.operators.KeywordSearch.bm25SearchIndexed(spark, idx,
-      Seq(("q", "spark hash join")).toDF("qid", "qtext"), "qid", "qtext", k = 5)
-      .queryExecution
-    val p = qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
-    // zero corpus scans: the only file sources are the index's own planes
-    assert(!p.contains("documents.parquet"), p.take(2500))
-    assert(p.contains("/postings/"), p.take(2500))
-    // the tokenizer kernel is absent — search never touches corpus text
-    assert(!p.toLowerCase.contains("termcounts"), p.take(2500))
-    // postings prune by the battery vocabulary before the retrieval join
-    assert(p.contains("LeftSemi"), p.take(2500))
+    def planOf(battery: org.apache.spark.sql.DataFrame): String = {
+      val qe = graft.operators.KeywordSearch.bm25SearchIndexed(spark, idx,
+        battery, "qid", "qtext", k = 5).queryExecution
+      qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+    }
+    // human-sized battery: zero corpus file sources, no tokenizer kernel,
+    // and the vocabulary PUSHES into the posting scan as `term IN (…)` —
+    // row-group skipping over the term-sorted layout, no semi-join
+    val small = planOf(Seq(("q", "spark hash join")).toDF("qid", "qtext"))
+    assert(!small.contains("documents.parquet"), small.take(2500))
+    assert(small.contains("/postings/"), small.take(2500))
+    assert(!small.toLowerCase.contains("termcounts"), small.take(2500))
+    assert(small.contains("PushedFilters: [In(term"), small.take(2500))
+    assert(!small.contains("LeftSemi"), small.take(2500))
+    // >1024 distinct terms: the vocabulary stays data — semi-join
+    val big = planOf((0 until 1025).map(i => (f"p$i%04d", f"qzxpad$i%04d"))
+      .toDF("qid", "qtext"))
+    assert(big.contains("LeftSemi"), big.take(2500))
+    assert(!big.contains("PushedFilters: [In(term"), big.take(2500))
   }
 }
