@@ -41,6 +41,24 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object KeywordSearch {
 
+  /** The one small-vocabulary threshold shared by every adaptive branch
+    * (bm25Batch's TermCounts-vs-explode posting build, the indexed
+    * search's pushed-IN-vs-semi-join pruning): TermCounts' linear probe
+    * + plan-literal comfort. Tuning it in one place keeps the forms'
+    * plan shapes switching at the SAME battery size (the PlanAuditSpec
+    * pins assume so). */
+  private[operators] val SmallVocabCap = 1024
+
+  /** Driver-side idf — the ONE copy of the formula (bm25ModelFromIndex
+    * and statsOf both call it; [[retrieve]] mirrors it as the in-plan
+    * expression). StrictMath, NOT math.log: Spark's in-plan `log`
+    * evaluates StrictMath.log, and the JIT's Math.log intrinsic differs
+    * by 1 ulp on ~10% of idf arguments (probed r14) — this is what
+    * keeps all execution forms' scores bit-identical on real corpora,
+    * not just synthetic ones. */
+  private def idfOf(n: Long, df: Double): Double =
+    StrictMath.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+
   /** Frozen corpus statistics + query battery for BM25 scoring — what a
     * deployment computes ONCE on a reference corpus and then applies to
     * any batch or stream ([[bm25Score]]). `idf` indexes [[terms]]
@@ -92,13 +110,7 @@ object KeywordSearch {
     require(n > 0, "bm25: empty corpus")
     val avgdl = statsRow.getLong(1).toDouble / n.toDouble
     val idf = (0 until nTerms).map { i =>
-      val df = statsRow.getLong(2 + i).toDouble
-      // StrictMath, NOT math.log: Spark's in-plan `log` (the batch and
-      // indexed forms' idf) evaluates StrictMath.log, and the JIT's
-      // Math.log intrinsic differs by 1 ulp on ~10% of idf arguments
-      // (probed r14) — this is what keeps all three execution forms'
-      // scores bit-identical on real corpora, not just synthetic ones
-      StrictMath.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
+      idfOf(n, statsRow.getLong(2 + i).toDouble)
     }.toArray
     (n, avgdl, idf)
   }
@@ -280,7 +292,7 @@ object KeywordSearch {
     //  - large vocabulary (the true million-probe shape): explode +
     //    vocabulary semi-join + map-side-combined groupBy — vocabulary
     //    stays DATA, the plan stays constant-size.
-    val smallVocabCap = 1024 // TermCounts' linear probe + plan-literal comfort
+    val smallVocabCap = SmallVocabCap
     // the probe already counted distinct terms, so the term pull itself
     // runs ONLY in the small case — a bounded ≤1024-row collect over the
     // persisted occurrence rows; a million-term battery never collects
@@ -409,16 +421,23 @@ object KeywordSearch {
     *   <dir>/docs/b<i>/part-….parquet     (doc_id, dl)
     *
     * Postings carry the FULL vocabulary (unlike bm25Batch's
-    * battery-filtered build): one explode + map-side-combined groupBy
-    * scan per build/append. `meta.json` writes LAST, so a reader
-    * mid-append sees the old consistent snapshot (batch dirs beyond
-    * `batches` are invisible; a crashed append leaves an orphan dir the
-    * next append's overwrite-mode write clobbers). [[bm25SearchIndexed]]
-    * reads exactly the meta'd batches, vocabulary-semi-joins the
-    * postings, and runs the SAME retrieval tail as bm25Batch — scores
-    * bit-identical to [[bm25TopK]] over the equivalent corpus, which is
-    * what the gate pins. Duplicate doc ids (within a delta or vs the
-    * store) refuse loudly: posting semantics are per-document. */
+    * battery-filtered build): the delta projects to (id, dl, tokens)
+    * ONCE (persisted), feeding both planes' writes. `meta.json` writes
+    * LAST and ATOMICALLY (staged sibling + `FileContext` rename — the
+    * kerchunk convention), so a reader mid-append sees the old
+    * consistent snapshot: batch dirs beyond `batches` are invisible, a
+    * crashed append leaves only an orphan dir the next append's
+    * overwrite-mode write clobbers, and a crash mid-meta-write can
+    * never leave a truncated meta that bricks the store.
+    * [[bm25SearchIndexed]] reads exactly the meta'd batches, prunes the
+    * postings by the battery vocabulary, and runs the SAME retrieval
+    * tail as bm25Batch — scores bit-identical to [[bm25TopK]] over the
+    * equivalent corpus, which is what the gate pins. Duplicate doc ids
+    * (within a delta or vs the store) refuse loudly: posting semantics
+    * are per-document. Appends are SINGLE-WRITER (like the kerchunk
+    * store): two concurrent appends would race the same batch number's
+    * dirs — the optimistic meta recheck before commit turns the common
+    * interleaving into a loud refusal, but it is a guard, not a lock. */
   def bm25IndexBuild(docs: DataFrame, textCol: String, idCol: String,
                      dir: String, overwrite: Boolean = false): Unit = {
     val spark = docs.sparkSession
@@ -455,6 +474,16 @@ object KeywordSearch {
       s"bm25IndexAppend: delta re-uses doc ids already in '$dir' — posting " +
         "semantics are per-document; assign fresh ids or rebuild")
     val (dn, dsum) = writeIndexBatch(newDocs, textCol, idCol, dir, batch = batches)
+    // optimistic single-writer check: if another append committed while
+    // this one wrote its batch dirs, both targeted the SAME batch number
+    // — refusing here (instead of committing a meta whose stats disagree
+    // with the interleaved dir contents) turns the common race loudly
+    // visible; appends remain single-writer by contract
+    val (batchesNow, _, _) = readIndexMeta(fs, metaPath, dir)
+    require(batchesNow == batches,
+      s"bm25IndexAppend: concurrent append detected on '$dir' (batches " +
+        s"advanced $batches → $batchesNow mid-append) — appends are " +
+        "single-writer; retry this delta")
     writeIndexMeta(fs, metaPath, batches + 1, n0 + dn, sumdl0 + dsum)
   }
 
@@ -487,8 +516,13 @@ object KeywordSearch {
     //    posting slice the battery never asks for;
     //  - million-probe battery: the vocabulary stays DATA — semi-join,
     //    full posting scan (the honest cost of a corpus-scale battery).
+    // The term pull is a SECOND small action deliberately: folding it
+    // into the geometry agg would need a collect_set over the full
+    // occurrence stream, whose per-partition set is unbounded exactly
+    // when the battery is large — the collect below runs only under the
+    // ≤SmallVocabCap guard, so it is bounded by construction.
     val pruned =
-      if (nTerms > 0 && nTerms <= 1024) {
+      if (nTerms > 0 && nTerms <= SmallVocabCap) {
         val terms = qTerms.select("term").distinct()
           .collect().map(_.getString(0)).sorted.toSeq
         postings.filter(col("term").isin(terms: _*))
@@ -523,36 +557,41 @@ object KeywordSearch {
       .filter(col("term").isin(allTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = allTerms.map { t =>
-      val df = dfByTerm.getOrElse(t, 0L).toDouble
-      StrictMath.log(1.0 + (n.toDouble - df + 0.5) / (df + 0.5))
-    }.toArray
+    val idf = allTerms.map(t => idfOf(n, dfByTerm.getOrElse(t, 0L).toDouble)).toArray
     Bm25Model(k1, b, sumdl.toDouble / n.toDouble, allTerms, idf, perQuery)
   }
 
-  /** One delta scan → docs + postings batch dirs (overwrite mode, so an
-    * orphan dir from a crashed append clobbers); returns (rows, Σdl) of
-    * the delta, computed from the WRITTEN docs files (validating the
-    * write). Refuses duplicate ids within the delta. */
+  /** One delta TOKENIZATION → docs + postings batch dirs (overwrite
+    * mode, so an orphan dir from a crashed append clobbers): the
+    * (id, dl, tokens) projection persists once and feeds both planes'
+    * writes — the delta text tokenizes exactly once per build/append.
+    * Returns (rows, Σdl) of the delta, computed from the WRITTEN docs
+    * files (validating the write). Refuses duplicate ids within the
+    * delta. */
   private def writeIndexBatch(docs: DataFrame, textCol: String, idCol: String,
                               dir: String, batch: Int): (Long, Long) = {
     val spark = docs.sparkSession
     val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
-    docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"))
-      .write.mode("overwrite").parquet(s"$dir/docs/b$batch")
-    docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
-        explode(toks).as("term"))
-      .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      // TERM-SORTED layout: co-locate each term's postings and sort
-      // within files, so parquet row-group min/max statistics make a
-      // pushed `term IN (…)` scan skip everything a selective battery
-      // does not ask for — the difference between reading a battery's
-      // slice and reading the whole store at 100 TB
-      .repartition(col("term"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$dir/postings/b$batch")
+    val projected = docs
+      .select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
+        toks.as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      projected.select(col("doc_id"), col("dl"))
+        .write.mode("overwrite").parquet(s"$dir/docs/b$batch")
+      projected.select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        // TERM-SORTED layout: co-locate each term's postings and sort
+        // within files, so parquet row-group min/max statistics make a
+        // pushed `term IN (…)` scan skip everything a selective battery
+        // does not ask for — the difference between reading a battery's
+        // slice and reading the whole store at 100 TB
+        .repartition(col("term"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$dir/postings/b$batch")
+    } finally projected.unpersist(false)
     val st = spark.read.parquet(s"$dir/docs/b$batch")
       .agg(count(lit(1)), sum(col("dl")), countDistinct(col("doc_id"))).collect()(0)
     val dn = st.getLong(0)
@@ -562,13 +601,24 @@ object KeywordSearch {
     (dn, if (st.isNullAt(1)) 0L else st.getLong(1))
   }
 
+  /** Atomic meta commit — the kerchunk append convention: bytes stage
+    * in a hidden sibling and a `FileContext` rename with OVERWRITE
+    * swaps them in, so a crash mid-write leaves the OLD meta readable
+    * (a truncate-in-place create would brick the store: empty meta =
+    * unparseable forever AND 'already holds an index' on rebuild). */
   private def writeIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                              metaPath: org.apache.hadoop.fs.Path,
                              batches: Int, n: Long, sumdl: Long): Unit = {
     val json = s"""{"format": "graft-bm25-index", "version": 1, """ +
       s""""batches": $batches, "n": $n, "sumdl": $sumdl}"""
-    val out = fs.create(metaPath, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      metaPath.getParent, ".meta.json.inprogress")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, fs.getConf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(metaPath),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
@@ -590,6 +640,11 @@ object KeywordSearch {
       case other => throw new IllegalArgumentException(
         s"'$dir' meta.json '$field' is ${other.getClass.getSimpleName}")
     }
+    // an unknown layout version must refuse loudly, not be misread —
+    // batches/n/sumdl could mean something else under a future layout
+    require(long("version") == 1L,
+      s"'$dir' is a graft-bm25-index layout version ${long("version")} — " +
+        "this engine reads version 1")
     (long("batches").toInt, long("n"), long("sumdl"))
   }
 }

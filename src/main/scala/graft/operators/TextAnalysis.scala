@@ -475,18 +475,13 @@ object TextAnalysis {
         piiIpv4Re, "<IP>"),
       piiPhoneRe, "<PHONE>")
 
-  /** HTML → text + link-density quality signals, one codegen'd scan (the
-    * [[graft.functions.HtmlExtract]] kernel — see its scaladoc for the
-    * exact declared subset): (id, text, text_chars, link_chars, n_links,
-    * link_density). `link_density` (anchor-text share of raw content) is
-    * the jusText/boilerplate cut; both counts are codepoint-exact
-    * integers and the density one IEEE division, so a SQL oracle
-    * reproduces every column. */
   /** PII scrub (r14): redact emails / IPv4s / NANP phones to the typed
     * `|||…|||` placeholders and count each class — one scan-stage
     * codegen'd kernel per row, zero shuffle ([[graft.functions.PiiScan]]
-    * holds the pattern contract and the cross-engine parity rules).
-    * Output: (id, text_redacted, n_email, n_ip, n_phone, pii_total). */
+    * holds the pattern contract and the cross-engine parity rules; the
+    * older [[piiScrub]] column above is the light in-pipeline variant —
+    * different placeholders, no counts). Output: (id, text_redacted,
+    * n_email, n_ip, n_phone, pii_total). */
   def piiScan(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val ex = graft.functions.TextFunctions.pii_scan(col(textCol))
     df.select(col(idCol), ex.as("__p"))
@@ -499,6 +494,13 @@ object TextAnalysis {
           col("__p").getField("n_phone")).as("pii_total"))
   }
 
+  /** HTML → text + link-density quality signals, one codegen'd scan (the
+    * [[graft.functions.HtmlExtract]] kernel — see its scaladoc for the
+    * exact declared subset): (id, text, text_chars, link_chars, n_links,
+    * link_density). `link_density` (anchor-text share of raw content) is
+    * the jusText/boilerplate cut; both counts are codepoint-exact
+    * integers and the density one IEEE division, so a SQL oracle
+    * reproduces every column. */
   def htmlExtract(df: DataFrame, htmlCol: String, idCol: String): DataFrame = {
     val ex = graft.functions.TextFunctions.html_extract(col(htmlCol))
     df.select(col(idCol), ex.as("__e"))
