@@ -409,18 +409,24 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     } + "\""
     val subtotals = s""""shared_rows_total":$sharedTotal,"baseline_rows_total":$baselineTotal,"""
-    // r14: the artifact self-reports its window quality. r13's official
-    // snapshot shipped from a contended window — sentinel spread 6.8×
-    // (0.135–0.912 s) with every row uniformly +20-30% vs both control
-    // runs — while every clean control pair this machine has produced
-    // stays ≤ 5× (BASELINE.md r14 note). A false calib_ok means: do not
-    // read this snapshot's absolute times as the round's performance;
-    // adjudicate with a calm-window rerun.
-    val calibSpread = calib.max / math.max(calib.min, 1e-9)
-    val calibOk = calibSpread <= 5.0
+    // r14: the artifact self-reports its window quality. Contention
+    // shows as SLOW sentinel outliers — r13's official snapshot (hot:
+    // 0.135–0.912 s, every row uniformly +20-30% vs both control runs)
+    // reads max/median = 2.61, while every clean run on this machine
+    // (r12 official 1.15, r13-control 1.29, r14 pair ≤ 1.3) stays well
+    // under 2. max/MEDIAN, not max/min: an anomalously FAST sentinel
+    // (an idle moment) makes a window better, not contended, and must
+    // not trip the flag. A false calib_ok means: do not read this
+    // snapshot's absolute times as the round's performance; adjudicate
+    // with a calm-window rerun (BASELINE.md r14 note).
+    val calibSorted = calib.sorted
+    val calibMedian =
+      (calibSorted((calib.size - 1) / 2) + calibSorted(calib.size / 2)) / 2.0
+    val calibSpread = calib.max / math.max(calibMedian, 1e-9)
+    val calibOk = calibSpread <= 2.0
     if (!calibOk)
-      System.err.println(f"[bench] WARNING: calibration sentinel spread $calibSpread%.1f× " +
-        "exceeds the 5× calm-window band — this snapshot is contended; rerun in a " +
+      System.err.println(f"[bench] WARNING: calibration max/median $calibSpread%.2f× " +
+        "exceeds the 2× calm-window band — this snapshot is contended; rerun in a " +
         "calm window before comparing absolute times")
     val calibJson = s""""calib_ok":$calibOk,"calib_spread":${fmt(calibSpread)},"""
     // stdout carries the resample COUNT only: the r11 official artifact's
