@@ -1837,6 +1837,26 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq_nested_sel" -> ((s, _) => {
+      // r14: selection pushdown COMPOSED across both sequence levels —
+      // an outer predicate (station>100 drops outer record 0) and an
+      // INNER-member predicate (profile.o2>=4.0: DAP2's innermost-
+      // sequence selection — the server filters inner records, outer
+      // records remain, possibly with an EMPTY inner stream, which
+      // i=3's record exercises) ride one constraint expression. Both
+      // levels renumber post-filter; the oracle re-derives the whole
+      // two-level surface with row_number() over the kept rows.
+      val base = graft.harness.Dap2Fixture.ensureSeqNested(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries,
+          select = Map("prof" -> Seq("station>100", "profile.o2>=4.0")))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -4536,6 +4556,35 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'prof.profile.o2', 'prof.prof.profile',
         |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         2.5 + 0.5 * CAST(i + j AS DOUBLE), NULL FROM n)
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // both levels of the nested fixture under both selection levels:
+    // outer keeps station>100 (i>=1, renumbered r), inner keeps
+    // o2 = 2.5+0.5(i+j) >= 4.0 within each kept outer (renumbered jr);
+    // i=3 keeps ZERO inner records (count 0) — present on the outer
+    // plane, absent from the inner one
+    "load_opendap_seq_nested_sel" ->
+      """WITH o AS (
+        |  SELECT i, CAST(row_number() OVER (ORDER BY i) - 1 AS VARCHAR) AS r
+        |  FROM range(4) t(i) WHERE 100 + 7 * i > 100),
+        |n AS (
+        |  SELECT o.i, o.r, j,
+        |         CAST(row_number() OVER (PARTITION BY o.i ORDER BY j) - 1 AS VARCHAR) AS jr
+        |  FROM o CROSS JOIN range(3) u(j)
+        |  WHERE j < o.i % 3 AND 2.5 + 0.5 * CAST(o.i + j AS DOUBLE) >= 4.0),
+        |v AS (
+        |  SELECT 'prof.station' AS variable, 'prof' AS dims, r AS coord_key,
+        |         CAST(100 + 7 * i AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'prof.lat', 'prof', r, 0.5 * CAST(i AS DOUBLE) - 1.0, NULL FROM o
+        |  UNION ALL
+        |  SELECT 'prof.profile.depth', 'prof.prof.profile', r || '.' || jr,
+        |         CAST(10 * i + j AS DOUBLE), NULL FROM n
+        |  UNION ALL
+        |  SELECT 'prof.profile.o2', 'prof.prof.profile', r || '.' || jr,
         |         2.5 + 0.5 * CAST(i + j AS DOUBLE), NULL FROM n)
         |SELECT variable, dims, coord_key, value, label FROM v
         |ORDER BY variable, coord_key""".stripMargin,

@@ -297,7 +297,9 @@ object Dap2Fixture {
       |}""".stripMargin
 
   private[graft] def nestDodsBytes(members: Seq[(String, String)] = nestMembers,
-                                   recs: Seq[Int] = 0 until nestN): Array[Byte] = {
+                                   recs: Seq[Int] = 0 until nestN,
+                                   innerKeep: (Int, Int) => Boolean = (_, _) => true)
+      : Array[Byte] = {
     val out = new ByteArrayOutputStream()
     out.write((nestProjDds(members) + "\nData:\n").getBytes("US-ASCII"))
     def u32(v: Long): Unit = {
@@ -314,7 +316,7 @@ object Dap2Fixture {
         case ("station", _) => u32(nestStation(i).toLong & 0xffffffffL)
         case ("lat", _)     => f64(nestLat(i))
         case ("profile", _) =>
-          (0 until nestCount(i)).foreach { j =>
+          (0 until nestCount(i)).filter(innerKeep(i, _)).foreach { j =>
             u32(0x5A000000L)
             u32(nestDepth(i, j).toLong & 0xffffffffL)
             f64(nestO2(i, j))
@@ -333,13 +335,40 @@ object Dap2Fixture {
     else if (path.endsWith(".das")) (nestDasText + "\n").getBytes("US-ASCII")
     else if (path.endsWith(".dods")) {
       val q = if (query == null) "" else query.trim
-      val (members, keep) = evalSeqCe(q, "prof", nestMembers, {
+      // INNER-member selections (`prof.profile.depth>20`) filter the
+      // inner records per outer record (DAP2's innermost-sequence
+      // selection semantics — outer records remain, possibly with an
+      // empty inner stream); outer selections ride the shared evaluator
+      val parts = q.split('&')
+      val (innerSels, outerParts) =
+        parts.partition(p => p.trim.startsWith("prof.profile."))
+      val innerRe =
+        """^prof\.profile\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|<|>|=)(.+)$""".r
+      def icmp(x: Double, op: String, lit: String): Boolean = {
+        val y = lit.toDouble
+        op match {
+          case "<" => x < y; case "<=" => x <= y; case ">" => x > y
+          case ">=" => x >= y; case "=" => x == y; case "!=" => x != y
+        }
+      }
+      val innerKeep: (Int, Int) => Boolean = (i, j) =>
+        innerSels.forall {
+          case innerRe(m, op, lit) => m match {
+            case "depth" => icmp(nestDepth(i, j).toDouble, op, lit)
+            case "o2"    => icmp(nestO2(i, j), op, lit)
+            case other => throw new IllegalArgumentException(
+              s"selection on unknown inner member '$other'")
+          }
+          case other => throw new IllegalArgumentException(
+            s"fixture cannot evaluate inner selection '$other'")
+        }
+      val (members, keep) = evalSeqCe(outerParts.mkString("&"), "prof", nestMembers, {
         case ("station", i) => Left(nestStation(i).toDouble)
         case ("lat", i)     => Left(nestLat(i))
         case (other, _) => throw new IllegalArgumentException(
           s"selection on unknown member '$other'")
       }, nestN)
-      nestDodsBytes(members, keep)
+      nestDodsBytes(members, keep, innerKeep)
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }
 

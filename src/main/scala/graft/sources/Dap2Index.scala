@@ -805,9 +805,13 @@ object Dap2Index {
     }
     // selections validate against the DECLARED schema (a filter member
     // need not be projected — DAP2 evaluates selection server-side over
-    // the full sequence, then serializes only the projection)
+    // the full sequence, then serializes only the projection). A DOTTED
+    // member (`profile.depth>500`, r14) selects on a NESTED sequence's
+    // scalar: the server filters the INNER records — outer records
+    // remain, possibly with an empty inner stream (the protocol's
+    // innermost-sequence selection semantics, pydap's behavior).
     val selByVar: Map[String, Seq[String]] = select.map { case (seqName, preds) =>
-      val (declared, _) = schemas.getOrElse(seqName, throw new IllegalArgumentException(
+      val (declared, nested) = schemas.getOrElse(seqName, throw new IllegalArgumentException(
         s"DAP2 sequence selection names '$seqName', which is not a Sequence here"))
       require(preds.nonEmpty, s"DAP2 sequence selection for '$seqName' is empty")
       seqName -> preds.map { p =>
@@ -815,15 +819,28 @@ object Dap2Index {
           case seqSelRe(m0, op0, lit0) => (m0, op0, lit0)
           case _ => throw new IllegalArgumentException(
             s"DAP2 sequence selection '$p' is not <member><op><literal> " +
-              "(ops: < <= > >= = != =~)")
+              "(ops: < <= > >= = != =~; member may be dotted into ONE " +
+              "nested Sequence: inner.field)")
         }
-        val tpe = declared.collectFirst { case (`m`, t) => t }.getOrElse(
-          throw new IllegalArgumentException(
-            s"DAP2 sequence selection names unknown member '$m' of '$seqName' " +
-              s"(has: ${declared.map(_._1).mkString(", ")})"))
+        val tpe = m.split('.') match {
+          case Array(outer, inner) =>
+            require(declared.exists { case (n, t) => n == outer && t == "Sequence" },
+              s"DAP2 sequence selection '$p': '$seqName.$outer' is not a nested " +
+                s"Sequence member (has: ${declared.map(_._1).mkString(", ")})")
+            nested(outer).collectFirst { case (`inner`, t) => t }.getOrElse(
+              throw new IllegalArgumentException(
+                s"DAP2 sequence selection names unknown member '$inner' of " +
+                  s"'$seqName.$outer' (has: ${nested(outer).map(_._1).mkString(", ")})"))
+          case _ =>
+            declared.collectFirst { case (`m`, t) => t }.getOrElse(
+              throw new IllegalArgumentException(
+                s"DAP2 sequence selection names unknown member '$m' of '$seqName' " +
+                  s"(has: ${declared.map(_._1).mkString(", ")})"))
+        }
         require(tpe != "Sequence",
           s"DAP2 sequence selection '$p': '$seqName.$m' is a nested Sequence — " +
-            "select on its scalar siblings instead")
+            "select on its scalar members ('" + m + ".<field><op><literal>') " +
+            "or scalar siblings instead")
         if (stringTypes.contains(tpe)) {
           require(op == "=" || op == "!=" || op == "=~",
             s"DAP2 sequence selection '$p': op '$op' is not defined on String " +
@@ -878,9 +895,10 @@ object Dap2Index {
     }.toDF("variable", "dims", "coords", "value", "label")
   }
 
-  // `<member><op><literal>` — ops longest-first so `<=` never parses as `<`
+  // `<member><op><literal>` — ops longest-first so `<=` never parses as
+  // `<`; the member may carry ONE dot (inner-sequence field, r14)
   private val seqSelRe =
-    """^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|!=|=~|<|>|=)\s*(.+?)\s*$""".r
+    """^\s*([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*(<=|>=|!=|=~|<|>|=)\s*(.+?)\s*$""".r
 
   /** Percent-encode a constraint-expression component: `<`, `>`, `"`,
     * `{`, `}`, spaces, and non-ASCII are illegal raw in a URI query (a

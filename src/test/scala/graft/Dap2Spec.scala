@@ -476,6 +476,41 @@ class Dap2Spec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Dap2Index.decodeSequences(entries, select = Map("prof" -> Seq("profile>1")))
     }.getMessage.contains("nested Sequence"))
+
+    // INNER-member selection (r14): the server filters inner records;
+    // outer records remain — i=3 keeps ZERO inner records and must still
+    // appear on the outer plane with an empty inner stream
+    Dap2Fixture.seqRequests.clear()
+    val isel = rows(Dap2Index.decodeSequences(entries,
+      select = Map("prof" -> Seq("station>100", "profile.o2>=4.0"))))
+    val oKeep = (1 until Dap2Fixture.nestN) // station>100 drops i=0
+    def jKeep(i: Int) =
+      (0 until Dap2Fixture.nestCount(i)).filter(j => Dap2Fixture.nestO2(i, j) >= 4.0)
+    assert(oKeep.map(i => i -> jKeep(i)).toMap == Map(1 -> Seq(), 2 -> Seq(1), 3 -> Seq()))
+    val wantI = oKeep.zipWithIndex.flatMap { case (i, r) =>
+      Seq(
+        ("prof.station", Seq("prof"), Seq(r.toLong),
+          Some(Dap2Fixture.nestStation(i).toDouble), None: Option[Any]),
+        ("prof.lat", Seq("prof"), Seq(r.toLong),
+          Some(Dap2Fixture.nestLat(i)), None: Option[Any])) ++
+      jKeep(i).zipWithIndex.flatMap { case (j, jr) =>
+        Seq(
+          ("prof.profile.depth", pdims, Seq(r.toLong, jr.toLong),
+            Some(Dap2Fixture.nestDepth(i, j).toDouble), None: Option[Any]),
+          ("prof.profile.o2", pdims, Seq(r.toLong, jr.toLong),
+            Some(Dap2Fixture.nestO2(i, j)), None: Option[Any]))
+      }
+    }.toSet
+    assert(isel === wantI)
+    assert(Dap2Fixture.seqRequests.asScala.filter(_.contains("profiles")).forall(
+      _.endsWith("?prof&prof.station>100&prof.profile.o2>=4.0")))
+    // dotted refusals: unknown inner member; dotting into a scalar
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("prof" -> Seq("profile.nope>1")))
+    }.getMessage.contains("unknown member 'nope'"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries, select = Map("prof" -> Seq("station.x>1")))
+    }.getMessage.contains("not a nested Sequence member"))
   }
 
   test("Sequence fetch bound: an oversized record stream refuses loudly (r14)") {
