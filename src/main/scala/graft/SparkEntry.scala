@@ -3320,6 +3320,78 @@ object SparkEntry {
         ann, method = "pq", slack = 0.15)
     }),
 
+    "ann_index_search" -> ((s, dir) => {
+      // r14: the PERSISTED IVF-PQ index store — build once (train + encode
+      // to cell-partitioned parquet, meta.json last), then search with
+      // zero corpus scans and zero re-trainings: probed cells become
+      // PartitionFilters, ADC reads only (id, codes, vnorm), the short
+      // list re-ranks with exact cosines. Same kernels, probe order, ADC
+      // tables, and two-stage top-k as the in-flight pqTopK, so the store
+      // path is BIT-IDENTICAL to it — `forms_equal` pins that equality
+      // in-plan, alongside the standard ANN property verdict.
+      val emb = T(s, dir, "embeddings")
+      val q   = emb.filter(col("vec_id") < 3)
+      val root = s"/tmp/graft_ann_idx_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", root,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      val idx = graft.operators.AnnIndex.annSearchIndexed(s, root,
+          q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
+        .localCheckpoint(true) // feeds the verdict's five consumers + the equality join
+      val fly = Similarity.pqTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+        k = 10, m = 8, nCentroids = 16, nCells = 16, nProbe = 8, kmeansIters = 2)
+      val mism = idx.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
+        .join(fly.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
+          Seq("query_id", "rank"), "full_outer")
+        .filter(col("__ni").isNull || col("__nf").isNull ||
+          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
+        .count()
+      Similarity.topKPropertyVerdict(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+          idx, method = "ivfpq_store", slack = 0.15)
+        .withColumn("forms_equal", lit(mism == 0L))
+    }),
+
+    "ann_index_append" -> ((s, dir) => {
+      // r14: index APPEND — deltas encode under the FROZEN build-time
+      // model (batch-0 files immutable, only meta.json moves, written
+      // last). The pin: build-on-even + append-odd searches bit-identical
+      // to a ONE-SHOT build of the full corpus trained on the same even
+      // sample (`train = Some(even)` — the train-on-a-sample workflow) —
+      // so append is pure accretion, never a re-train. An appended (odd)
+      // vector queried against the store self-hits at rank 1.
+      val emb  = T(s, dir, "embeddings")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd  = emb.filter(col("vec_id") % 2 === 1)
+      val rootA = s"/tmp/graft_ann_app_${tmpToken(dir)}"
+      val rootB = s"/tmp/graft_ann_one_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(even, "vec_id", "embedding", rootA,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      graft.operators.AnnIndex.annIndexAppend(s, rootA, odd, "vec_id", "embedding")
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", rootB,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2,
+        train = Some(even), overwrite = true)
+      val q = emb.filter(col("vec_id") < 3)
+      def searched(root: String) = graft.operators.AnnIndex.annSearchIndexed(
+        s, root, q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
+      val a = searched(rootA).localCheckpoint(true)
+      val mism = a.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
+        .join(searched(rootB).select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
+          Seq("query_id", "rank"), "full_outer")
+        .filter(col("__ni").isNull || col("__nf").isNull ||
+          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
+        .count()
+      val selfHit = a.filter(col("query_id") === 1 && col("rank") === 1 &&
+        col("neighbor_id") === 1 && col("cosine") > 0.999999).count() == 1L
+      val nQueries = q.select("vec_id").distinct().count()
+      a.sparkSession.range(1).select(
+        lit("ivfpq_append").as("method"), lit(nQueries).as("n_queries"),
+        lit(mism == 0L).as("append_equals_oneshot"),
+        lit(selfHit).as("appended_self_hit"))
+    }),
+
     "pipeline_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster + greedy keep-first prune, Dedup.semanticDedup):
       // centroid means are float sums whose exact values depend on partial
@@ -5504,6 +5576,24 @@ object SparkEntry {
         |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |       TRUE AS k_rows_ok, TRUE AS tie_rule_ok,
         |       TRUE AS cosine_floor_ok, TRUE AS cosine_exact_ok
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+    // r14 persisted IVF-PQ index store: the property verdict plus the
+    // in-plan bit-equality of the store path vs the in-flight pqTopK
+    // (`forms_equal`) — the oracle pins all booleans TRUE and re-derives
+    // the query count from the table
+    "ann_index_search" ->
+      """SELECT 'ivfpq_store' AS method,
+        |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |       TRUE AS k_rows_ok, TRUE AS tie_rule_ok,
+        |       TRUE AS cosine_floor_ok, TRUE AS cosine_exact_ok,
+        |       TRUE AS forms_equal
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_index_append" ->
+      """SELECT 'ivfpq_append' AS method,
+        |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |       TRUE AS append_equals_oneshot,
+        |       TRUE AS appended_self_hit
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
 
     // normalization oracle: identical messy-suffix construction, then

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AnnIndex, Similarity}
+
+/** Persisted IVF-PQ index store: build / append / search semantics,
+  * bit-identity with the in-flight [[Similarity.pqTopK]], batch
+  * immutability across appends, and the loud-refusal edges. */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_annidx_$tag").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def collectTopK(df: org.apache.spark.sql.DataFrame): Seq[(Any, Int, Any, Double)] =
+    df.select("query_id", "rank", "neighbor_id", "cosine").collect().toSeq
+      .map(r => (r.get(0), r.getInt(1), r.get(2), r.getDouble(3)))
+      .sortBy(t => (t._1.toString, t._2))
+
+  test("indexed search is bit-identical to the in-flight pqTopK") {
+    val dir = freshDir("eq")
+    val q = emb.filter(col("vec_id") < 3)
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2)
+    val idx = AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 8, refine = 4)
+    val fly = Similarity.pqTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
+      k = 10, m = 8, nCentroids = 16, nCells = 16, nProbe = 8, kmeansIters = 2)
+    val a = collectTopK(idx)
+    val b = collectTopK(fly)
+    assert(a.size == 30 && a == b) // cosine compared as exact doubles
+  }
+
+  test("append encodes identically to a one-shot build under the same training sample") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd  = emb.filter(col("vec_id") % 2 === 1)
+    val dirA = freshDir("app")
+    val dirB = freshDir("one")
+    AnnIndex.annIndexBuild(even, "vec_id", "embedding", dirA,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    AnnIndex.annIndexAppend(spark, dirA, odd, "vec_id", "embedding")
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dirB,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, train = Some(even))
+    val q = emb.filter(col("vec_id") < 4)
+    val a = collectTopK(AnnIndex.annSearchIndexed(spark, dirA, q, "vec_id", "embedding",
+      k = 10, nProbe = 4, refine = 4))
+    val b = collectTopK(AnnIndex.annSearchIndexed(spark, dirB, q, "vec_id", "embedding",
+      k = 10, nProbe = 4, refine = 4))
+    assert(a.size == 40 && a == b)
+    // an appended (odd) vector used as its own query self-hits at rank 1
+    val self = a.filter { case (qid, rank, _, _) => qid == 1L && rank == 1 }
+    assert(self.size == 1 && self.head._3 == 1L && self.head._4 > 0.999999)
+  }
+
+  test("append leaves batch-0 files byte-identical and only moves meta last") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd  = emb.filter(col("vec_id") % 2 === 1)
+    val dir = freshDir("imm")
+    AnnIndex.annIndexBuild(even, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    def b0Files: Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(dir, "vectors", "b0")
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      java.nio.file.Files.walk(root).forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out(root.relativize(p).toString) =
+            (java.nio.file.Files.size(p),
+             java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      }
+      out.toMap
+    }
+    val before = b0Files
+    AnnIndex.annIndexAppend(spark, dir, odd, "vec_id", "embedding")
+    assert(b0Files == before) // same names, sizes, mtimes — never rewritten
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    assert(meta.contains("\"batches\": 2"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "vectors", "b1")))
+  }
+
+  test("refuses duplicate ids, wrong dims, empty deltas, and id clashes with the store") {
+    val dir = freshDir("ref")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val dup = emb.filter(col("vec_id") === 200)
+      .union(emb.filter(col("vec_id") === 200))
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexAppend(spark, dir, dup, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("duplicate ids"))
+    val wrongDim = emb.filter(col("vec_id") === 201)
+      .withColumn("embedding", slice(col("embedding"), 1, 32))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexAppend(spark, dir, wrongDim, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("dims span"))
+    val e3 = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexAppend(spark, dir, emb.filter(col("vec_id") < 0),
+        "vec_id", "embedding")
+    }
+    assert(e3.getMessage.contains("nothing would grow"))
+    val e4 = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexAppend(spark, dir, emb.filter(col("vec_id") === 50),
+        "vec_id", "embedding")
+    }
+    assert(e4.getMessage.contains("re-uses ids"))
+  }
+
+  test("refuses building over an existing store without overwrite, and non-index dirs") {
+    val dir = freshDir("ow")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dir,
+        nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    }
+    assert(e1.getMessage.contains("already holds an index"))
+    val empty = freshDir("none")
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.annSearchIndexed(spark, empty, emb.limit(1), "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("not an ann index"))
+  }
+
+  test("refuses an unknown layout version instead of misreading it") {
+    val dir = freshDir("ver")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val metaPath = java.nio.file.Paths.get(dir, "meta.json")
+    val meta = new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+    java.nio.file.Files.write(metaPath,
+      meta.replace("\"version\": 1", "\"version\": 2").getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.annSearchIndexed(spark, dir, emb.limit(1), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("layout version 2"))
+  }
+
+  test("refuses a query whose dim does not match the index") {
+    val dir = freshDir("qdim")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val q = emb.filter(col("vec_id") === 1)
+      .withColumn("embedding", slice(col("embedding"), 1, 16))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("has dim 16"))
+  }
+}

@@ -510,4 +510,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(big.contains("LeftSemi"), big.take(2500))
     assert(!big.contains("PushedFilters: [In(term"), big.take(2500))
   }
+
+  test("ann index probes prune store partitions; ADC candidates never read vec (r14)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_paudit").toString
+    graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", idx,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, overwrite = true)
+    val p = graft.operators.AnnIndex.annSearchIndexed(spark, idx,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2),
+        "vec_id", "embedding", k = 5, nProbe = 4, refine = 4)
+      .queryExecution.executedPlan.toString
+    // probed cells land as PartitionFilters — the scan skips the other
+    // cell= directories without opening a file
+    assert("""PartitionFilters: \[cell#\d+ IN \(""".r.findFirstIn(p).isDefined,
+      p.take(2500))
+    // the ADC candidate scan is column-pruned to (id, codes, vnorm): the
+    // raw vec bytes are read only by the short-list re-rank scan
+    assert(p.contains("ReadSchema: struct<id:bigint,codes:array<int>,vnorm:double>"),
+      p.take(2500))
+    assert(p.contains("ReadSchema: struct<id:bigint,vec:array<float>>"),
+      p.take(2500))
+  }
 }
