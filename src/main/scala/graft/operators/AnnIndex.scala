@@ -76,12 +76,16 @@ object AnnIndex {
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    if (fs.exists(metaPath)) {
-      require(overwrite,
-        s"annIndexBuild: '$dir' already holds an index — pass overwrite = true " +
-          "to rebuild, or annIndexAppend to grow it")
-      fs.delete(root, true)
-    }
+    val exists = fs.exists(metaPath)
+    require(!exists || overwrite,
+      s"annIndexBuild: '$dir' already holds an index — pass overwrite = true " +
+        "to rebuild, or annIndexAppend to grow it")
+    // validation and the training jobs run BEFORE the destructive delete,
+    // so an empty/indivisible training set or a failed k-means never
+    // destroys a good index. (An encode-time failure in the batch write
+    // below — duplicate corpus ids — can still fire after the delete;
+    // rebuilds of a store that must survive a failed build should target
+    // a fresh dir and swap.)
     val trainDf = train.getOrElse(corpus)
     val probe = trainDf.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1).collect()
     require(probe.nonEmpty, "annIndexBuild: training set has no vectors")
@@ -92,6 +96,7 @@ object AnnIndex {
       Similarity.kmeansCentroidArrays(trainDf, idCol, vecCol, nCells, kmeansIters)
     val books =
       Similarity.pqCodebooks(trainDf, idCol, vecCol, dim, m, nCentroids, kmeansIters)
+    if (exists) fs.delete(root, true)
     writeModel(fs, root, cents, books)
     val n = writeBatch(corpus, idCol, vecCol, dir, batch = 0, dim, cents, books)
     writeMeta(fs, metaPath, batches = 1, n = n, dim = dim, m = m)
@@ -107,8 +112,7 @@ object AnnIndex {
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
     val (batches, n0, dim, m) = readMeta(fs, metaPath, dir)
     val (cents, books) = readModel(fs, root, dir)
-    require(books.length == m, // model/meta cross-check: a mixed-up store refuses
-      s"annIndexAppend: '$dir' model holds ${books.length} codebooks but meta says m = $m")
+    checkModel(cents, books, dim, m, dir)
     // id-collision guard vs the store: a delta-sized semi-join against the
     // store's one pruned id column — never a vector-volume read
     val old = readBatches(spark, dir, batches).select("id")
@@ -118,9 +122,13 @@ object AnnIndex {
       s"annIndexAppend: delta re-uses ids already in '$dir' — index semantics " +
         "are per-vector; assign fresh ids or rebuild")
     val dn = writeBatch(delta, idCol, vecCol, dir, batch = batches, dim, cents, books)
-    // optimistic single-writer check (the bm25-index convention): another
-    // append committing mid-flight means both targeted the SAME batch
-    // number — refuse loudly rather than commit disagreeing stats
+    // optimistic single-writer check (the bm25-index convention): if
+    // another append committed while this one wrote, both targeted the
+    // SAME batch number — refuse rather than commit disagreeing stats.
+    // This is a GUARD, not a lock: two truly concurrent writers can still
+    // clobber each other's uncommitted batch dir (appends are
+    // single-writer by contract); the guard makes the common interleaving
+    // — one writer committing while the other is mid-write — loud.
     val (batchesNow, _, _, _) = readMeta(fs, metaPath, dir)
     require(batchesNow == batches,
       s"annIndexAppend: concurrent append detected on '$dir' (batches " +
@@ -144,10 +152,11 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, dim, _) = readMeta(fs,
+    val (batches, n, dim, m) = readMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
     require(n > 0, s"annSearchIndexed: index at '$dir' holds no vectors")
     val (cents, books) = readModel(fs, root, dir)
+    checkModel(cents, books, dim, m, dir)
     val qRows = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
       .filter(col("__qv").isNotNull).collect()
     require(qRows.nonEmpty, "annSearchIndexed: empty query battery")
@@ -224,75 +233,84 @@ object AnnIndex {
       .reduce(_ unionByName _)
 
   /** One delta ENCODE → a `vectors/b<i>` batch (overwrite mode, so an
-    * orphan dir from a crashed append clobbers): pre-flight stats (row
-    * count, id uniqueness, dim bounds) come from ONE small aggregate over
-    * the delta — a wrong-dim or duplicate-id delta refuses before any
-    * bytes land. One shuffle clusters rows by coarse cell so each `cell=`
-    * directory holds contiguous files. Returns the delta's row count. */
+    * orphan dir from a crashed append clobbers). One shuffle clusters rows
+    * by coarse cell so each `cell=` directory holds contiguous files.
+    *
+    * Validation follows the bm25-store convention: stats come from the
+    * WRITTEN files — a pre-flight aggregate over the delta would be
+    * TOCTOU against a non-deterministic source (sample(), a live table),
+    * letting guarded-against rows land anyway and meta's `n` disagree
+    * with the store. A wrong-dim vector refuses DURING the write
+    * (PqEncode's in-kernel dim check fails the job before meta moves);
+    * duplicate ids and an empty delta refuse from the read-back — in
+    * every failure case meta is untouched and the batch dir is an
+    * invisible orphan the next attempt clobbers. Returns the delta's
+    * written row count. */
   private def writeBatch(docs: DataFrame, idCol: String, vecCol: String,
                          dir: String, batch: Int, dim: Int,
                          cents: Array[Array[Float]],
                          books: Array[Array[Array[Float]]]): Long = {
-    val rows = docs.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    val codes = GraftColumnBridge.column(graft.functions.PqEncode(
+      GraftColumnBridge.expression(col("__v")), books))
+    val proj = docs.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .filter(col("__v").isNotNull)
-    val st = rows.agg(count(lit(1)), countDistinct(col("id")),
-      min(size(col("__v"))), max(size(col("__v")))).collect()(0)
+      .select(col("id"),
+        element_at(nearest_cells(col("__v"), cents, 1), 1).as("cell"),
+        codes.as("codes"),
+        sqrt(vec_dot(col("__v"), col("__v"))).as("vnorm"),
+        col("__v").as("vec"))
+    proj.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vectors/b$batch")
+    // explicit schema so a zero-row write (no cell= dirs to infer from)
+    // still reads back as an empty frame and refuses below
+    val st = docs.sparkSession.read.schema(proj.schema)
+      .parquet(s"$dir/vectors/b$batch")
+      .agg(count(lit(1)), countDistinct(col("id"))).collect()(0)
     val dn = st.getLong(0)
     require(dn > 0L,
       s"annIndex: delta holds no non-null vectors — nothing would grow in '$dir'")
     require(st.getLong(1) == dn,
       s"annIndex: delta has ${dn - st.getLong(1)} duplicate ids — index " +
         "semantics are per-vector; dedupe ids first")
-    require(st.getInt(2) == dim && st.getInt(3) == dim,
-      s"annIndex: delta vector dims span [${st.getInt(2)}, ${st.getInt(3)}] " +
-        s"but the index at '$dir' holds dim $dim")
-    val codes = GraftColumnBridge.column(graft.functions.PqEncode(
-      GraftColumnBridge.expression(col("__v")), books))
-    rows
-      .select(col("id"),
-        element_at(nearest_cells(col("__v"), cents, 1), 1).as("cell"),
-        codes.as("codes"),
-        sqrt(vec_dot(col("__v"), col("__v"))).as("vnorm"),
-        col("__v").as("vec"))
-      .repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/vectors/b$batch")
     dn
+  }
+
+  /** Model/meta cross-checks shared by append and search: a mixed-up or
+    * partially-copied store (model.json from a different index) must
+    * refuse loudly, not probe wrong cells or crash executor-side. */
+  private def checkModel(cents: Array[Array[Float]],
+                         books: Array[Array[Array[Float]]],
+                         dim: Int, m: Int, dir: String): Unit = {
+    require(books.length == m,
+      s"'$dir' model holds ${books.length} codebooks but meta says m = $m")
+    require(cents.nonEmpty && cents.forall(_.length == dim),
+      s"'$dir' model centroids do not span meta dim $dim — " +
+        "model.json belongs to a different index")
+    require(books.forall(_.nonEmpty) && books.map(_.head.length).sum == dim,
+      s"'$dir' model codebook subspaces do not sum to meta dim $dim — " +
+        "model.json belongs to a different index")
   }
 
   // ------------------------------------------------------------- metadata
 
   /** Atomic meta commit — staged hidden sibling + `FileContext` rename
-    * (the kerchunk/bm25 convention): a crash mid-write leaves the OLD
-    * meta readable; a truncate-in-place create would brick the store. */
+    * ([[graft.sources.StoreMeta]], the kerchunk/bm25 convention): a crash
+    * mid-write leaves the OLD meta readable. */
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
                         metaPath: org.apache.hadoop.fs.Path,
-                        batches: Int, n: Long, dim: Int, m: Int): Unit = {
-    val json = s"""{"format": "graft-ann-index", "version": 1, """ +
-      s""""batches": $batches, "n": $n, "dim": $dim, "m": $m}"""
-    atomicWrite(fs, metaPath, json)
-  }
+                        batches: Int, n: Long, dim: Int, m: Int): Unit =
+    graft.sources.StoreMeta.atomicWriteJson(fs, metaPath,
+      s"""{"format": "graft-ann-index", "version": 1, """ +
+        s""""batches": $batches, "n": $n, "dim": $dim, "m": $m}""")
 
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
                        metaPath: org.apache.hadoop.fs.Path,
                        dir: String): (Int, Long, Int, Int) = {
     require(fs.exists(metaPath),
       s"'$dir' is not an ann index (no meta.json — build one with annIndexBuild)")
-    val j = parseJsonFile(fs, metaPath)
-    import org.json4s._
-    (j \ "format") match {
-      case JString("graft-ann-index") => ()
-      case other => throw new IllegalArgumentException(
-        s"'$dir' meta.json format is $other, not graft-ann-index")
-    }
-    def long(field: String): Long = (j \ field) match {
-      case JInt(v) => v.longValue
-      case other => throw new IllegalArgumentException(
-        s"'$dir' meta.json '$field' is ${other.getClass.getSimpleName}")
-    }
-    // an unknown layout version must refuse loudly, not be misread
-    require(long("version") == 1L,
-      s"'$dir' is a graft-ann-index layout version ${long("version")} — " +
-        "this engine reads version 1")
+    val j = graft.sources.StoreMeta.parseChecked(fs, metaPath, dir,
+      "graft-ann-index", version = 1L)
+    def long(field: String): Long = graft.sources.StoreMeta.longField(j, field, dir)
     (long("batches").toInt, long("n"), long("dim").toInt, long("m").toInt)
   }
 
@@ -309,7 +327,8 @@ object AnnIndex {
     val json = s"""{"format": "graft-ann-model", "version": 1, """ +
       s""""cents": ${matrix(cents)}, """ +
       s""""books": ${books.map(matrix).mkString("[", ",", "]")}}"""
-    atomicWrite(fs, new org.apache.hadoop.fs.Path(root, "model.json"), json)
+    graft.sources.StoreMeta.atomicWriteJson(fs,
+      new org.apache.hadoop.fs.Path(root, "model.json"), json)
   }
 
   private def readModel(fs: org.apache.hadoop.fs.FileSystem,
@@ -318,13 +337,9 @@ object AnnIndex {
     val path = new org.apache.hadoop.fs.Path(root, "model.json")
     require(fs.exists(path),
       s"'$dir' has no model.json — the store is incomplete (crashed build?)")
-    val j = parseJsonFile(fs, path)
+    val j = graft.sources.StoreMeta.parseChecked(fs, path, dir,
+      "graft-ann-model", version = 1L)
     import org.json4s._
-    (j \ "format") match {
-      case JString("graft-ann-model") => ()
-      case other => throw new IllegalArgumentException(
-        s"'$dir' model.json format is $other, not graft-ann-model")
-    }
     def floats(v: JValue): Array[Float] = v match {
       case JArray(xs) => xs.map {
         case JInt(b) => java.lang.Float.intBitsToFloat(b.intValue)
@@ -347,21 +362,4 @@ object AnnIndex {
     (matrix(j \ "cents"), books)
   }
 
-  private def atomicWrite(fs: org.apache.hadoop.fs.FileSystem,
-                          path: org.apache.hadoop.fs.Path, json: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(
-      path.getParent, s".${path.getName}.inprogress")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(path),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
-
-  private def parseJsonFile(fs: org.apache.hadoop.fs.FileSystem,
-                            path: org.apache.hadoop.fs.Path): org.json4s.JValue = {
-    val in = fs.open(path)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    org.json4s.jackson.JsonMethods.parse(text)
-  }
 }

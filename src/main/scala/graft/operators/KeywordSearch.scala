@@ -601,50 +601,27 @@ object KeywordSearch {
     (dn, if (st.isNullAt(1)) 0L else st.getLong(1))
   }
 
-  /** Atomic meta commit — the kerchunk append convention: bytes stage
-    * in a hidden sibling and a `FileContext` rename with OVERWRITE
-    * swaps them in, so a crash mid-write leaves the OLD meta readable
-    * (a truncate-in-place create would brick the store: empty meta =
+  /** Atomic meta commit via [[graft.sources.StoreMeta]] (the kerchunk
+    * convention): a crash mid-write leaves the OLD meta readable; a
+    * truncate-in-place create would brick the store (empty meta =
     * unparseable forever AND 'already holds an index' on rebuild). */
   private def writeIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                              metaPath: org.apache.hadoop.fs.Path,
-                             batches: Int, n: Long, sumdl: Long): Unit = {
-    val json = s"""{"format": "graft-bm25-index", "version": 1, """ +
-      s""""batches": $batches, "n": $n, "sumdl": $sumdl}"""
-    val tmp = new org.apache.hadoop.fs.Path(
-      metaPath.getParent, ".meta.json.inprogress")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, fs.getConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(metaPath),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                             batches: Int, n: Long, sumdl: Long): Unit =
+    graft.sources.StoreMeta.atomicWriteJson(fs, metaPath,
+      s"""{"format": "graft-bm25-index", "version": 1, """ +
+        s""""batches": $batches, "n": $n, "sumdl": $sumdl}""")
 
   private def readIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                             metaPath: org.apache.hadoop.fs.Path,
                             dir: String): (Int, Long, Long) = {
     require(fs.exists(metaPath),
       s"'$dir' is not a bm25 index (no meta.json — build one with bm25IndexBuild)")
-    val in = fs.open(metaPath)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    import org.json4s._
-    val j = org.json4s.jackson.JsonMethods.parse(text)
-    (j \ "format") match {
-      case JString("graft-bm25-index") => ()
-      case other => throw new IllegalArgumentException(
-        s"'$dir' meta.json format is $other, not graft-bm25-index")
-    }
-    def long(field: String): Long = (j \ field) match {
-      case JInt(v) => v.longValue
-      case other => throw new IllegalArgumentException(
-        s"'$dir' meta.json '$field' is ${other.getClass.getSimpleName}")
-    }
-    // an unknown layout version must refuse loudly, not be misread —
+    // an unknown layout version refuses loudly inside parseChecked —
     // batches/n/sumdl could mean something else under a future layout
-    require(long("version") == 1L,
-      s"'$dir' is a graft-bm25-index layout version ${long("version")} — " +
-        "this engine reads version 1")
+    val j = graft.sources.StoreMeta.parseChecked(fs, metaPath, dir,
+      "graft-bm25-index", version = 1L)
+    def long(field: String): Long = graft.sources.StoreMeta.longField(j, field, dir)
     (long("batches").toInt, long("n"), long("sumdl"))
   }
 }

@@ -67,12 +67,13 @@ class AnnIndexSpec extends AnyFunSuite {
     def b0Files: Map[String, (Long, Long)] = {
       val root = java.nio.file.Paths.get(dir, "vectors", "b0")
       val out = scala.collection.mutable.Map[String, (Long, Long)]()
-      java.nio.file.Files.walk(root).forEach { p =>
+      val walk = java.nio.file.Files.walk(root)
+      try walk.forEach { p =>
         if (java.nio.file.Files.isRegularFile(p))
           out(root.relativize(p).toString) =
             (java.nio.file.Files.size(p),
              java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      }
+      } finally walk.close()
       out.toMap
     }
     val before = b0Files
@@ -96,10 +97,14 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("duplicate ids"))
     val wrongDim = emb.filter(col("vec_id") === 201)
       .withColumn("embedding", slice(col("embedding"), 1, 32))
-    val e2 = intercept[IllegalArgumentException] {
+    // wrong dims refuse in-kernel DURING the write (PqEncode), before
+    // meta moves — the failure surfaces wrapped in Spark's task exception
+    val e2 = intercept[Exception] {
       AnnIndex.annIndexAppend(spark, dir, wrongDim, "vec_id", "embedding")
     }
-    assert(e2.getMessage.contains("dims span"))
+    val e2Msg = Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(e2Msg.contains("does not match codebook dim"), e2Msg.take(300))
     val e3 = intercept[IllegalArgumentException] {
       AnnIndex.annIndexAppend(spark, dir, emb.filter(col("vec_id") < 0),
         "vec_id", "embedding")
