@@ -3352,6 +3352,37 @@ object SparkEntry {
         .withColumn("forms_equal", lit(mism == 0L))
     }),
 
+    "ann_index_search_batch" -> ((s, dir) => {
+      // r14: BATTERY-AS-DATA search over the persisted store — the bm25
+      // big-battery doctrine on the vector plane: queries never collect
+      // to the driver, probes become a cell-equality join, the ADC inner
+      // product computes from the plan-riding codebooks (PqAdcDirect, no
+      // per-query driver table), so the plan is CONSTANT in battery size
+      // (plan-pinned). The gate pins bit-identity against the driver-side
+      // form over a 50-query battery.
+      val emb = T(s, dir, "embeddings")
+      val q   = emb.filter(col("vec_id") < 50)
+      val root = s"/tmp/graft_ann_bat_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", root,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      val bat = graft.operators.AnnIndex.annSearchIndexedBatch(s, root,
+        q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
+      val drv = graft.operators.AnnIndex.annSearchIndexed(s, root,
+        q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
+      val mism = bat.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
+        .join(drv.select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
+          Seq("query_id", "rank"), "full_outer")
+        .filter(col("__ni").isNull || col("__nf").isNull ||
+          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
+        .count()
+      val nQueries = q.select("vec_id").distinct().count()
+      s.range(1).select(
+        lit("ivfpq_batch").as("method"), lit(nQueries).as("n_queries"),
+        lit(mism == 0L).as("batch_equals_driver"))
+    }),
+
     "ann_index_append" -> ((s, dir) => {
       // r14: index APPEND — deltas encode under the FROZEN build-time
       // model (batch-0 files immutable, only meta.json moves, written
@@ -5595,6 +5626,11 @@ object SparkEntry {
         |       TRUE AS append_equals_oneshot,
         |       TRUE AS appended_self_hit
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_index_search_batch" ->
+      """SELECT 'ivfpq_batch' AS method,
+        |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |       TRUE AS batch_equals_driver
+        |FROM embeddings WHERE vec_id < 50""".stripMargin,
 
     // normalization oracle: identical messy-suffix construction, then
     // DuckDB's nfc_normalize (same stable Unicode algorithm as

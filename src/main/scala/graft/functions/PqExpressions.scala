@@ -140,3 +140,75 @@ case class PqAdcDot(
       : org.apache.spark.sql.catalyst.expressions.Expression =
     copy(child = newChild)
 }
+
+/** (codes array&lt;int&gt;, query array&lt;float&gt;) → the ADC inner product
+  * computed DIRECTLY from the codebooks: Σₘ dot(book(m)(code(m)),
+  * q_slice(m)) — the battery-as-data twin of [[PqAdcDot]], whose
+  * per-query driver-built table is only affordable for driver-sized
+  * batteries. Per-subspace dots accumulate in index order and sum in
+  * subspace order, exactly how the driver builds each table entry and
+  * [[PqAdcDot]] folds them — the two forms are bit-identical. A query
+  * whose dim does not match the codebooks, or an out-of-range code
+  * (codes and codebooks from different trainings), refuses loudly. */
+case class PqAdcDirect(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression,
+    codebooks: Array[Array[Array[Float]]])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "pq_adc_direct: empty codebooks")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_adc_direct expects (array<int> codes, array<float> query), got $other")
+    }
+
+  @transient private lazy val subDims: Array[Int] = codebooks.map(_.head.length)
+  @transient private lazy val dim: Int = subDims.sum
+
+  def score(codes: ArrayData, q: ArrayData): Double = {
+    require(codes.numElements() == codebooks.length,
+      s"pq_adc_direct: ${codes.numElements()} codes for ${codebooks.length} subspaces")
+    require(q.numElements() == dim,
+      s"pq_adc_direct: query of dim ${q.numElements()} does not match codebook dim $dim")
+    var s = 0.0
+    var off = 0
+    var m = 0
+    while (m < codebooks.length) {
+      val book = codebooks(m)
+      val sd = subDims(m)
+      val c = codes.getInt(m)
+      require(c >= 0 && c < book.length,
+        s"pq_adc_direct: code $c out of range for subspace $m (${book.length} centroids)")
+      val cent = book(c)
+      var t = 0.0
+      var i = 0
+      while (i < sd) { t += q.getFloat(off + i).toDouble * cent(i).toDouble; i += 1 }
+      s += t
+      off += sd
+      m += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    score(codes.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqAdcDirect", this, classOf[PqAdcDirect].getName)
+    defineCodeGen(ctx, ev, (codes, q) => s"$ref.score($codes, $q)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: org.apache.spark.sql.catalyst.expressions.Expression,
+      newRight: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -225,6 +225,63 @@ object AnnIndex {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Battery-scale search — the queries stay DATA (the bm25 big-battery
+    * doctrine on the vector plane): one constant-size plan for any battery,
+    * no driver collect, no per-query plan branches. Probes become a
+    * cell-equality JOIN against the store instead of driver-side
+    * PartitionFilters (right when the battery is too large to enumerate
+    * probed cells as literals), the ADC inner product computes directly
+    * from the codebooks riding the plan ([[graft.functions.PqAdcDirect]] —
+    * no per-query driver table), and the exact re-rank joins survivors
+    * back to raw vectors.
+    *
+    * Output is BIT-IDENTICAL to [[annSearchIndexed]] over the same store
+    * and battery: the query-side probe rule is the same NearestCells
+    * kernel the corpus was assigned with (same cosine arithmetic and
+    * lowest-index tie rule as the driver-side probe loop), the per-query
+    * ADC table's entries ARE PqAdcDirect's per-subspace dots in the same
+    * fold order, and both share the deterministic two-stage top-k. (The
+    * one divergence is a zero-norm query — NaN cosines order differently
+    * — degenerate for cosine search either way.) A wrong-dim query
+    * refuses in-kernel when its candidates score. */
+  def annSearchIndexedBatch(spark: SparkSession, dir: String,
+                            queries: DataFrame, qidCol: String, qvecCol: String,
+                            k: Int = 10, nProbe: Int = 8, refine: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && refine >= 1,
+      s"annSearchIndexedBatch: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val (batches, n, dim, m) = readMeta(fs,
+      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(n > 0, s"annSearchIndexedBatch: index at '$dir' holds no vectors")
+    val (cents, books) = readModel(fs, root, dir)
+    checkModel(cents, books, dim, m, dir)
+    val store = readBatches(spark, dir, batches)
+    val q0 = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
+      .filter(col("__qv").isNotNull)
+    val qCells = q0.withColumn("cell",
+      explode(nearest_cells(col("__qv"), cents, nProbe)))
+    val adc = GraftColumnBridge.column(graft.functions.PqAdcDirect(
+      GraftColumnBridge.expression(col("codes")),
+      GraftColumnBridge.expression(col("__qv")), books))
+    // corpus side is assigned with nProbe = 1, so (query, neighbor) pairs
+    // are unique across probed cells — same invariant as the driver form
+    val scored = qCells.join(store, "cell")
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (adc / (sqrt(vec_dot(col("__qv"), col("__qv"))) * col("vnorm")))
+          .as("__approx"))
+    val shortList = Similarity.twoStageTopK(scored, "query_id",
+        Seq(col("__approx").desc, col("neighbor_id").asc), k * refine, "__ar")
+      .select("query_id", "neighbor_id")
+    val cVec = store.select(col("id").as("neighbor_id"), col("vec"))
+    val rescored = shortList.join(cVec, "neighbor_id").join(q0, "query_id")
+      .withColumn("cosine", vec_cosine(col("vec"), col("__qv")))
+    Similarity.twoStageTopK(rescored, "query_id",
+        Seq(col("cosine").desc, col("neighbor_id").asc), k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Each batch root is hive-partitioned by `cell`; reading roots one by
     * one (and unioning) keeps per-root partition discovery — a multi-path
     * read would have to guess a common basePath across batch dirs. */

@@ -37,6 +37,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(a.size == 30 && a == b) // cosine compared as exact doubles
   }
 
+  test("battery-as-data search is bit-identical to the driver-side form") {
+    val dir = freshDir("bat")
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    val q = emb.filter(col("vec_id") < 10)
+    val a = collectTopK(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 4, refine = 4))
+    val b = collectTopK(AnnIndex.annSearchIndexedBatch(spark, dir, q, "vec_id", "embedding",
+      k = 10, nProbe = 4, refine = 4))
+    assert(a.size == 100 && a == b)
+  }
+
+  test("battery-as-data search refuses a wrong-dim query in-kernel") {
+    val dir = freshDir("batdim")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val q = emb.filter(col("vec_id") === 1)
+      .withColumn("embedding", slice(col("embedding"), 1, 16))
+    val e = intercept[Exception] {
+      AnnIndex.annSearchIndexedBatch(spark, dir, q, "vec_id", "embedding").collect()
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msg.contains("does not match codebook dim"), msg.take(300))
+  }
+
   test("append encodes identically to a one-shot build under the same training sample") {
     val even = emb.filter(col("vec_id") % 2 === 0)
     val odd  = emb.filter(col("vec_id") % 2 === 1)

@@ -531,4 +531,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<id:bigint,vec:array<float>>"),
       p.take(2500))
   }
+
+  test("ann batch search: no per-query plan branches — constant plan in battery size (r14)") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ann_bataudit").toString
+    graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", idx,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, overwrite = true)
+    def planOf(nq: Int): String = graft.operators.AnnIndex.annSearchIndexedBatch(
+        spark, idx, emb.filter(col("vec_id") < nq), "vec_id", "embedding",
+        k = 5, nProbe = 4, refine = 4)
+      .queryExecution.executedPlan.toString
+    val small = planOf(2)
+    val big   = planOf(40)
+    // queries stay DATA: no per-query Union fan-out, and the 40-query
+    // plan is the 2-query plan modulo the battery filter literal
+    assert(!small.contains("Union"), small.take(2500))
+    assert(!big.contains("Union"), big.take(2500))
+    def shape(p: String) = ("Scan parquet".r.findAllIn(p).size,
+      "Exchange".r.findAllIn(p).size, "Join".r.findAllIn(p).size)
+    assert(shape(small) == shape(big), s"${shape(small)} vs ${shape(big)}")
+    // ...whereas the driver-side form's plan grows a branch per query
+    val drv = graft.operators.AnnIndex.annSearchIndexed(
+        spark, idx, emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nProbe = 4, refine = 4)
+      .queryExecution.executedPlan.toString
+    assert(drv.contains("Union"), drv.take(2500))
+  }
 }

@@ -922,4 +922,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed(id) == ((lang, margin)), s"doc $id: $lang/$margin vs ${streamed(id)}")
     }
   }
+  test("streaming vector ingest: foreachBatch appends equal a one-shot index build (r14)") {
+    // the streaming-ingest pattern for the persisted IVF-PQ store: a
+    // micro-batched stream appends deltas under the frozen build-time
+    // model via foreachBatch (skipping empty micro-batches — an empty
+    // append is a loud no-op by contract); the resulting store searches
+    // bit-identically to a one-shot build of the full corpus trained on
+    // the same seed sample
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.AnnIndex
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = emb.filter(col("vec_id") < 100)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+    val dirO = java.nio.file.Files.createTempDirectory("graft_ann_onesh").toString
+    AnnIndex.annIndexBuild(seed, "vec_id", "embedding", dirS,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          AnnIndex.annIndexAppend(spark, dirS, batch, "vec_id", "embedding")
+      }.start()
+    val rest = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    rest.grouped(150).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dirO,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, train = Some(seed))
+    val battery = emb.filter(col("vec_id") < 3)
+    def rows(dir: String) = AnnIndex.annSearchIndexed(spark, dir, battery,
+        "vec_id", "embedding", k = 10, nProbe = 4, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
+    assert(rows(dirS) == rows(dirO))
+  }
 }
