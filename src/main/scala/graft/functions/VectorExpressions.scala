@@ -168,7 +168,12 @@ case class NearestCells(child: Expression, cents: Array[Array[Float]], nProbe: I
         xy += xj * yj; xx += xj * xj; yy += yj * yj
         j += 1
       }
-      sims(c) = xy / (math.sqrt(xx) * math.sqrt(yy))
+      val s = xy / (math.sqrt(xx) * math.sqrt(yy))
+      // a zero-norm vector or centroid has NO cosine (0/0 = NaN), and
+      // Double.compare ranks NaN GREATEST — which would probe/assign the
+      // degenerate cell FIRST. Rank it last (ties on -Inf keep the lowest
+      // index, matching the driver-side probe loops' sentinel ordering).
+      sims(c) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       c += 1
     }
     val k      = math.min(nProbe, nc)
@@ -221,7 +226,9 @@ case class NearestCells(child: Expression, cents: Array[Array[Float]], nProbe: I
          |    double $yj = (double) $cent[$j];
          |    $xy += $xj * $yj; $xx += $xj * $xj; $yy += $yj * $yj;
          |  }
-         |  $sims[$c] = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+         |  double ${c}_s = $xy / (java.lang.Math.sqrt($xx) * java.lang.Math.sqrt($yy));
+         |  // zero-norm => NaN cosine: rank LAST, not first (NaN compares greatest)
+         |  $sims[$c] = java.lang.Double.isNaN(${c}_s) ? java.lang.Double.NEGATIVE_INFINITY : ${c}_s;
          |}
          |java.util.Arrays.fill($used, false);
          |int[] $chosen = new int[$k];

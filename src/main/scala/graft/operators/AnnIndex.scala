@@ -149,14 +149,7 @@ object AnnIndex {
                        k: Int = 10, nProbe: Int = 8, refine: Int = 4): DataFrame = {
     require(k >= 1 && nProbe >= 1 && refine >= 1,
       s"annSearchIndexed: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = graft.sources.FsPaths.hadoopPath(dir)
-    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, dim, m) = readMeta(fs,
-      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
-    require(n > 0, s"annSearchIndexed: index at '$dir' holds no vectors")
-    val (cents, books) = readModel(fs, root, dir)
-    checkModel(cents, books, dim, m, dir)
+    val (dim, cents, books, store) = openStore(spark, dir, "annSearchIndexed")
     val qRows = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
       .filter(col("__qv").isNotNull).collect()
     require(qRows.nonEmpty, "annSearchIndexed: empty query battery")
@@ -165,7 +158,6 @@ object AnnIndex {
       require(d == dim,
         s"annSearchIndexed: query '${r.get(0)}' has dim $d, index at '$dir' holds dim $dim")
     }
-    val store = readBatches(spark, dir, batches)
 
     val perQuery = qRows.map { r =>
       val qid = r.get(0)
@@ -209,20 +201,10 @@ object AnnIndex {
           (adc / (lit(qNorm) * col("vnorm"))).as("__approx"))
     }.reduce(_ unionByName _)
 
-    // short list by approximate cosine, then exact re-rank from the
-    // store's vec column (read only for the k·refine survivors)
-    val shortList = Similarity.twoStageTopK(perQuery, "query_id",
-        Seq(col("__approx").desc, col("neighbor_id").asc), k * refine, "__ar")
-      .select("query_id", "neighbor_id")
-    val cVec = store.select(col("id").as("neighbor_id"), col("vec"))
     val qVec = broadcast(queries
       .select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
       .filter(col("__qv").isNotNull))
-    val rescored = shortList.join(cVec, "neighbor_id").join(qVec, "query_id")
-      .withColumn("cosine", vec_cosine(col("vec"), col("__qv")))
-    Similarity.twoStageTopK(rescored, "query_id",
-        Seq(col("cosine").desc, col("neighbor_id").asc), k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rescoreTopK(perQuery, store, qVec, k, refine)
   }
 
   /** Battery-scale search — the queries stay DATA (the bm25 big-battery
@@ -240,28 +222,36 @@ object AnnIndex {
     * kernel the corpus was assigned with (same cosine arithmetic and
     * lowest-index tie rule as the driver-side probe loop), the per-query
     * ADC table's entries ARE PqAdcDirect's per-subspace dots in the same
-    * fold order, and both share the deterministic two-stage top-k. (The
-    * one divergence is a zero-norm query — NaN cosines order differently
-    * — degenerate for cosine search either way.) A wrong-dim query
-    * refuses in-kernel when its candidates score. */
+    * fold order, and both share the deterministic two-stage top-k (the
+    * degenerate-cosine ordering also agrees: NearestCells ranks NaN
+    * cosines last, the driver loop sentinels them to -2.0 — both below
+    * every real cosine, ties on cell index). A wrong-dim query refuses
+    * in-plan before it can probe. */
   def annSearchIndexedBatch(spark: SparkSession, dir: String,
                             queries: DataFrame, qidCol: String, qvecCol: String,
                             k: Int = 10, nProbe: Int = 8, refine: Int = 4): DataFrame = {
     require(k >= 1 && nProbe >= 1 && refine >= 1,
       s"annSearchIndexedBatch: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = graft.sources.FsPaths.hadoopPath(dir)
-    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, dim, m) = readMeta(fs,
-      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
-    require(n > 0, s"annSearchIndexedBatch: index at '$dir' holds no vectors")
-    val (cents, books) = readModel(fs, root, dir)
-    checkModel(cents, books, dim, m, dir)
-    val store = readBatches(spark, dir, batches)
+    val (dim, cents, books, store) = openStore(spark, dir, "annSearchIndexedBatch")
     val q0 = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
       .filter(col("__qv").isNotNull)
-    val qCells = q0.withColumn("cell",
-      explode(nearest_cells(col("__qv"), cents, nProbe)))
+      // the dim guard stays IN-PLAN (queries are data): a wrong-dim query
+      // refuses when its vector is first touched, even if its probed
+      // cells would hold no candidates to reach PqAdcDirect's own check
+      .withColumn("__qv", when(size(col("__qv")) === dim, col("__qv"))
+        .otherwise(raise_error(concat(
+          lit("annSearchIndexedBatch: query of dim "),
+          size(col("__qv")).cast("string"),
+          lit(s" does not match codebook dim $dim")))))
+    // an all-null or empty battery refuses loudly like the driver form
+    // (one bounded probe job — isEmpty stops at the first non-empty slice)
+    require(!q0.isEmpty, "annSearchIndexedBatch: empty query battery")
+    val qCells = q0
+      .withColumn("cell", explode(nearest_cells(col("__qv"), cents, nProbe)))
+      // per-QUERY norm, hoisted before the candidate join — recomputing
+      // the dim-length dot per (query, candidate) row would double the
+      // ADC stage's arithmetic; same expression, bit-identical value
+      .withColumn("__qn", sqrt(vec_dot(col("__qv"), col("__qv"))))
     val adc = GraftColumnBridge.column(graft.functions.PqAdcDirect(
       GraftColumnBridge.expression(col("codes")),
       GraftColumnBridge.expression(col("__qv")), books))
@@ -269,17 +259,42 @@ object AnnIndex {
     // are unique across probed cells — same invariant as the driver form
     val scored = qCells.join(store, "cell")
       .select(col("query_id"), col("id").as("neighbor_id"),
-        (adc / (sqrt(vec_dot(col("__qv"), col("__qv"))) * col("vnorm")))
-          .as("__approx"))
+        (adc / (col("__qn") * col("vnorm"))).as("__approx"))
+    rescoreTopK(scored, store, q0, k, refine)
+  }
+
+  /** The shared re-rank tail of both search forms: short-list the top
+    * `k·refine` by approximate cosine (deterministic two-stage top-k),
+    * rejoin the survivors' raw vectors from the store, and rank the exact
+    * cosines under the shared (cosine desc, neighbor_id asc) tie rule.
+    * `qVec` supplies (query_id, __qv) — broadcast by the driver form,
+    * left as data by the batch form. */
+  private def rescoreTopK(scored: DataFrame, store: DataFrame,
+                          qVec: DataFrame, k: Int, refine: Int): DataFrame = {
     val shortList = Similarity.twoStageTopK(scored, "query_id",
         Seq(col("__approx").desc, col("neighbor_id").asc), k * refine, "__ar")
       .select("query_id", "neighbor_id")
     val cVec = store.select(col("id").as("neighbor_id"), col("vec"))
-    val rescored = shortList.join(cVec, "neighbor_id").join(q0, "query_id")
+    val rescored = shortList.join(cVec, "neighbor_id").join(qVec, "query_id")
       .withColumn("cosine", vec_cosine(col("vec"), col("__qv")))
     Similarity.twoStageTopK(rescored, "query_id",
         Seq(col("cosine").desc, col("neighbor_id").asc), k)
       .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** The shared store-opening header of both search forms: meta + model
+    * reads, cross-checks, and the unioned batch view. */
+  private def openStore(spark: SparkSession, dir: String, caller: String)
+      : (Int, Array[Array[Float]], Array[Array[Array[Float]]], DataFrame) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val (batches, n, dim, m) = readMeta(fs,
+      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(n > 0, s"$caller: index at '$dir' holds no vectors")
+    val (cents, books) = readModel(fs, root, dir)
+    checkModel(cents, books, dim, m, dir)
+    (dim, cents, books, readBatches(spark, dir, batches))
   }
 
   /** Each batch root is hive-partitioned by `cell`; reading roots one by

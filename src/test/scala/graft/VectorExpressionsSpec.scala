@@ -44,4 +44,28 @@ class VectorExpressionsSpec extends AnyFunSuite {
     val self = e.select(vec_cosine(col("embedding"), col("embedding"))).as[Double].collect()
     self.foreach(v => assert(math.abs(v - 1.0) < 1e-6))
   }
+  test("nearest_cells ranks degenerate (zero-norm) cells last, not first (r14)") {
+    // a zero-norm centroid's cosine is 0/0 = NaN; Double.compare ranks
+    // NaN GREATEST, so an unguarded argmax would probe the degenerate
+    // cell before every real one. The kernel maps NaN to -Inf: real
+    // cells first (cosine desc), degenerate cells last (ties on index) —
+    // eval and codegen agree, and a zero-norm QUERY (all cells NaN)
+    // degrades to index order.
+    val cents = Array(
+      Array(0.0f, 0.0f),   // degenerate cell 0
+      Array(1.0f, 0.0f),   // cell 1
+      Array(0.0f, 1.0f))   // cell 2
+    val vecs = Seq(Seq(1.0f, 0.1f), Seq(0.0f, 0.0f)).toDF("v")
+    val got = vecs.select(nearest_cells(col("v"), cents, 3).as("c"))
+      .collect().map(_.getAs[scala.collection.Seq[Int]](0).toList).toList
+    assert(got == List(List(1, 2, 0), List(0, 1, 2)), got)
+    // interpreted eval agrees with the codegen'd path
+    val lit1 = graft.functions.NearestCells(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, 0.1f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), cents, 3)
+    val evald = lit1.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toList
+    assert(evald == List(1, 2, 0), evald)
+  }
 }
