@@ -2904,6 +2904,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_compression_ratio" -> ((s, dir) => {
+      // r14: the classic "gzip filter" quality signal — zlib-DEFLATE
+      // ratio per document (boilerplate collapses, junk stays ~1). The
+      // compressed size is runtime-deterministic but NOT a cross-engine
+      // contract (zlib versions may encode differently), so the gate is
+      // property-style (the ann_recall_check convention): raw_bytes_total
+      // cross-checks UTF-8 byte counting against SQL octet_length
+      // exactly; bounds_ok pins every compressed size inside zlib's
+      // envelope (≥ the 8-byte empty-stream floor, ≤ raw + stored-block
+      // overhead) with a positive ratio; repetition_discriminates pins
+      // the signal's reason to exist — doubling a document must strictly
+      // LOWER its ratio (the second copy is one back-reference).
+      val docs = T(s, dir, "documents")
+      val sig = graft.operators.TextAnalysis
+        .compressionSignals(docs, "text", "doc_id")
+      val doubled = graft.operators.TextAnalysis.compressionSignals(
+        docs.select(col("doc_id"),
+          concat(col("text"), col("text")).as("text")), "text", "doc_id")
+      val badBounds = sig.filter(
+        col("deflate_bytes") < 8 ||
+          col("deflate_bytes") > col("raw_bytes") + 64 ||
+          col("compression_ratio") <= 0).count()
+      val badDiscr = sig
+        .join(doubled.select(col("doc_id"),
+          col("compression_ratio").as("__r2")), "doc_id")
+        .filter(col("raw_bytes") >= 64 &&
+          !(col("__r2") < col("compression_ratio"))).count()
+      val st = sig.agg(count(lit(1)), sum(col("raw_bytes"))).collect()(0)
+      s.range(1).select(
+        lit(st.getLong(0)).as("n_docs"),
+        lit(st.getLong(1)).as("raw_bytes_total"),
+        lit(badBounds == 0L).as("bounds_ok"),
+        lit(badDiscr == 0L).as("repetition_discriminates"))
+    }),
+
     "text_pii_redact" -> ((s, dir) => {
       // r14: PII scrub (the Dolma/BigScience release stage) — the corpus
       // is clean synthetic text, so the query plants a deterministic
@@ -6360,6 +6395,17 @@ object SparkEntry {
         |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |   '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // property-style (the ann_recall_check convention — zlib output is
+    // runtime-deterministic, not a cross-engine contract): the oracle
+    // re-derives the doc count and the EXACT UTF-8 byte total (DuckDB
+    // strlen is bytes; length is chars) and pins the envelope/
+    // discrimination booleans TRUE
+    "text_compression_ratio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(strlen(text)) AS BIGINT) AS raw_bytes_total,
+        |       TRUE AS bounds_ok, TRUE AS repetition_discriminates
+        |FROM documents""".stripMargin,
 
     // closed-form re-derivation of the HTML wrap → extract round trip:
     // the page is BUILT from the document, so the extraction must return

@@ -597,6 +597,69 @@ object PiiScan {
   }
 }
 
+/** UTF-8 text → its zlib-DEFLATE compressed size in bytes, at a fixed
+  * compression level — the raw ingredient of the classic "gzip filter" of
+  * corpus curation: near-random bytes (minified junk, base64 blobs,
+  * binary-ish noise) compress to ~raw size while templated/repetitive
+  * boilerplate collapses, so the compressed/raw ratio separates both
+  * tails from prose in one number. Only the SIZE leaves the kernel (the
+  * signal never needs the bytes).
+  *
+  * Determinism: the JDK's Deflater is zlib with fixed level + default
+  * strategy — bit-stable for a given input on a given runtime, but NOT a
+  * cross-engine contract (zlib versions may pick different encodings), so
+  * gates pin PROPERTIES of the ratio, never golden sizes. Each thread
+  * reuses one native Deflater + scratch buffer via ThreadLocal (expression
+  * instances are shared across a plan's tasks; a shared Deflater would
+  * race, a per-row Deflater would thrash native allocation). */
+case class DeflateSize(child: Expression, level: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(level >= 0 && level <= 9, s"deflate_size: level $level not in [0, 9]")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"deflate_size expects a string column, got $other")
+    }
+
+  @transient private lazy val local =
+    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
+        (new java.util.zip.Deflater(level), new Array[Byte](16384))
+    }
+
+  def sizeOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    require(total <= Int.MaxValue, s"deflate_size: compressed size $total overflows Int")
+    total.toInt
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    sizeOf(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("deflateSize", this, classOf[DeflateSize].getName)
+    defineCodeGen(ctx, ev, s => s"$ref.sizeOf($s)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -621,4 +684,9 @@ object TextFunctions {
   /** PII scrub → (text, n_email, n_ip, n_phone) (see [[PiiScan]]). */
   def pii_scan(c: Column): Column =
     column(PiiScan(expression(c)))
+
+  /** zlib-DEFLATE compressed size of a string's UTF-8 bytes (see
+    * [[DeflateSize]]). */
+  def deflate_size(c: Column, level: Int = 6): Column =
+    column(DeflateSize(expression(c), level))
 }

@@ -494,6 +494,27 @@ object TextAnalysis {
           col("__p").getField("n_phone")).as("pii_total"))
   }
 
+  /** Compression-ratio quality signals — the classic "gzip filter" of
+    * corpus curation: per document, the UTF-8 byte count, its
+    * zlib-DEFLATE compressed size at a fixed level, and their ratio.
+    * Repetitive boilerplate collapses (low ratio) while minified junk,
+    * base64 blobs, and binary-ish noise stay near (or, on short inputs,
+    * above) 1.0 — both tails cut away from prose with one scan-stage
+    * kernel ([[graft.functions.DeflateSize]]), zero shuffle, streaming-
+    * safe. `raw_bytes` is exactly SQL `octet_length`; the compressed size
+    * is runtime-deterministic but not a cross-engine contract, so gates
+    * pin properties of the ratio, never golden sizes. Empty/null text →
+    * null ratio (no bytes, no signal). */
+  def compressionSignals(df: DataFrame, textCol: String, idCol: String,
+                         level: Int = 6): DataFrame =
+    df.select(col(idCol),
+        octet_length(col(textCol)).as("raw_bytes"),
+        graft.functions.TextFunctions.deflate_size(col(textCol), level)
+          .as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        when(col("raw_bytes") > 0,
+          col("deflate_bytes").cast(DoubleType) / col("raw_bytes").cast(DoubleType)))
+
   /** HTML → text + link-density quality signals, one codegen'd scan (the
     * [[graft.functions.HtmlExtract]] kernel — see its scaladoc for the
     * exact declared subset): (id, text, text_chars, link_chars, n_links,

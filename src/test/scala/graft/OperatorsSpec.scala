@@ -942,6 +942,37 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select(TextAnalysis.rollingHash(col("text"))).as[Long].collect()
     assert(rh(0) == rh(1))
   }
+
+  test("compression signals: repetition collapses, entropy does not, edges are null-safe (r14)") {
+    // high-entropy text from a hash chain (no java.util.Random — portable)
+    val noisy = (0 until 400).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"seed$i".getBytes("UTF-8"))
+        .map(b => (('a' + (b & 15)).toChar)).mkString).mkString
+    val rep = "the same line over and over again\n" * 300
+    val df = Seq((1L, rep), (2L, noisy), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.compressionSignals(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val repRatio = rows(0).getDouble(3)
+    val noisyRatio = rows(1).getDouble(3)
+    assert(repRatio < 0.05, s"repetitive ratio $repRatio")
+    // 4-bit alphabet entropy bounds the ratio near 0.5; junk stays well
+    // above boilerplate and the envelope holds
+    assert(noisyRatio > 0.4 && noisyRatio < 1.0, s"noisy ratio $noisyRatio")
+    assert(rows(2).getInt(1) == 0 && rows(2).getInt(2) == 8 && rows(2).isNullAt(3),
+      "empty text: 0 raw bytes, 8-byte empty zlib stream, null ratio")
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2) && rows(3).isNullAt(3))
+    // multi-byte UTF-8: raw_bytes is BYTES (octet_length), not chars
+    val uni = TextAnalysis.compressionSignals(
+      Seq((1L, "hélloé")).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
+    assert(uni.getInt(1) == 8)
+    // interpreted eval equals the codegen'd path
+    val lit1 = graft.functions.DeflateSize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(rep)), 6)
+    assert(lit1.eval(null) == rows(0).getInt(2))
+  }
 }
 
 class TextClassifierSpec extends AnyFunSuite {

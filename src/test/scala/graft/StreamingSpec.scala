@@ -960,4 +960,28 @@ class StreamingSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
     assert(rows(dirS) == rows(dirO))
   }
+  test("streaming compression signals: batch parity on real docs via MemoryStream (r14)") {
+    // stateless scan kernel (per-thread Deflater) — the same call IS the
+    // streaming twin; sizes are runtime-deterministic so exact parity holds
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    val batch = rows(graft.operators.TextAnalysis.compressionSignals(docs, "text", "doc_id"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextAnalysis
+      .compressionSignals(input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .writeStream.format("memory").queryName("compr_stream")
+      .outputMode("append").start()
+    val data = docs.as[(Long, String)].collect()
+    data.grouped(math.max(1, data.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(rows(spark.table("compr_stream")) == batch)
+  }
 }
