@@ -2919,23 +2919,31 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val sig = graft.operators.TextAnalysis
         .compressionSignals(docs, "text", "doc_id")
+        .localCheckpoint(true) // two actions below — never re-deflate the corpus
       val doubled = graft.operators.TextAnalysis.compressionSignals(
         docs.select(col("doc_id"),
           concat(col("text"), col("text")).as("text")), "text", "doc_id")
-      val badBounds = sig.filter(
-        col("deflate_bytes") < 8 ||
-          col("deflate_bytes") > col("raw_bytes") + 64 ||
-          col("compression_ratio") <= 0).count()
+      // zlib's true worst case: 6 wrapper bytes + 5 per 65535-byte stored
+      // block (a flat slack would flip bounds_ok on a large-enough
+      // incompressible doc that the kernel handled CORRECTLY)
+      val envelope = col("raw_bytes") + lit(6) +
+        lit(5) * floor((col("raw_bytes") + lit(65534)) / lit(65535)).cast(LongType)
+      val badPred = col("deflate_bytes") < 8 ||
+        col("deflate_bytes") > envelope ||
+        col("compression_ratio") <= 0
+      // count, byte total, and the bounds sweep fused into ONE job
+      val st = sig.agg(count(lit(1)),
+        coalesce(sum(col("raw_bytes")), lit(0L)),
+        coalesce(sum(when(badPred, 1L).otherwise(0L)), lit(0L))).collect()(0)
       val badDiscr = sig
         .join(doubled.select(col("doc_id"),
           col("compression_ratio").as("__r2")), "doc_id")
         .filter(col("raw_bytes") >= 64 &&
           !(col("__r2") < col("compression_ratio"))).count()
-      val st = sig.agg(count(lit(1)), sum(col("raw_bytes"))).collect()(0)
       s.range(1).select(
         lit(st.getLong(0)).as("n_docs"),
         lit(st.getLong(1)).as("raw_bytes_total"),
-        lit(badBounds == 0L).as("bounds_ok"),
+        lit(st.getLong(2) == 0L).as("bounds_ok"),
         lit(badDiscr == 0L).as("repetition_discriminates"))
     }),
 

@@ -608,10 +608,13 @@ object PiiScan {
   * Determinism: the JDK's Deflater is zlib with fixed level + default
   * strategy — bit-stable for a given input on a given runtime, but NOT a
   * cross-engine contract (zlib versions may pick different encodings), so
-  * gates pin PROPERTIES of the ratio, never golden sizes. Each thread
-  * reuses one native Deflater + scratch buffer via ThreadLocal (expression
-  * instances are shared across a plan's tasks; a shared Deflater would
-  * race, a per-row Deflater would thrash native allocation). */
+  * gates pin PROPERTIES of the ratio, never golden sizes. Native state is
+  * PROCESS-scoped: one (Deflater, scratch buffer) per (thread, level) in
+  * the companion's ThreadLocal pool — expression instances are copied per
+  * task (codegen references deserialize per task; streaming re-plans per
+  * micro-batch), so an instance-scoped ThreadLocal would abandon an
+  * un-end()ed native zlib stream per task, while the process pool caps
+  * native state at threads × levels for the executor's lifetime. */
 case class DeflateSize(child: Expression, level: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -628,14 +631,8 @@ case class DeflateSize(child: Expression, level: Int)
           s"deflate_size expects a string column, got $other")
     }
 
-  @transient private lazy val local =
-    new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
-      override def initialValue(): (java.util.zip.Deflater, Array[Byte]) =
-        (new java.util.zip.Deflater(level), new Array[Byte](16384))
-    }
-
   def sizeOf(s: org.apache.spark.unsafe.types.UTF8String): Int = {
-    val (d, buf) = local.get()
+    val (d, buf) = DeflateSize.forLevel(level)
     d.reset()
     d.setInput(s.getBytes)
     d.finish()
@@ -658,6 +655,23 @@ case class DeflateSize(child: Expression, level: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object DeflateSize {
+  /** One (Deflater, 16 KB scratch) per (thread, level), process lifetime:
+    * never racy (thread-confined), never re-allocated per task, and the
+    * bounded pool means end() is only owed at process exit. */
+  private val pool = new ThreadLocal[Array[(java.util.zip.Deflater, Array[Byte])]] {
+    override def initialValue(): Array[(java.util.zip.Deflater, Array[Byte])] =
+      new Array[(java.util.zip.Deflater, Array[Byte])](10)
+  }
+
+  private[functions] def forLevel(level: Int): (java.util.zip.Deflater, Array[Byte]) = {
+    val slots = pool.get()
+    if (slots(level) == null)
+      slots(level) = (new java.util.zip.Deflater(level), new Array[Byte](16384))
+    slots(level)
+  }
 }
 
 object TextFunctions {

@@ -969,7 +969,8 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text"))
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
       (r.getLong(0), r.getInt(1), r.getInt(2),
-        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+        if (r.isNullAt(3)) -1L // null ratio (empty text) — parity-compare as a sentinel
+        else java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
     val batch = rows(graft.operators.TextAnalysis.compressionSignals(docs, "text", "doc_id"))
     val input = MemoryStream[(Long, String)]
     val q = graft.operators.TextAnalysis
