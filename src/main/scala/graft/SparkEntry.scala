@@ -3266,6 +3266,32 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_compacted" -> ((s, dir) => {
+      // r14: COMPACTION — build on the even half, append the odd half
+      // (two batch dirs), then compact to a fresh single-batch store
+      // whose postings are GLOBALLY term-sorted. No re-tokenization, no
+      // posting changes: the search must stay hash-identical to the
+      // literal form — the FOURTH execution shape over one DuckDB truth.
+      import s.implicits._
+      val src = s"/tmp/graft_bm25_csrc_${tmpToken(dir)}"
+      val dst = s"/tmp/graft_bm25_cdst_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", src,
+        overwrite = true)
+      graft.operators.KeywordSearch.bm25IndexAppend(s, src,
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      graft.operators.KeywordSearch.bm25IndexCompact(s, src, dst, overwrite = true)
+      val battery = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25SearchIndexed(
+          s, dst, battery, "qid", "qtext", k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
       // brute-force cosine ranking fused by reciprocal rank (Cormack
@@ -3464,6 +3490,42 @@ object SparkEntry {
         lit("ivfpq_append").as("method"), lit(nQueries).as("n_queries"),
         lit(mism == 0L).as("append_equals_oneshot"),
         lit(selfHit).as("appended_self_hit"))
+    }),
+
+    "ann_index_compact" -> ((s, dir) => {
+      // r14: store COMPACTION — build-even + append-odd (two batch dirs)
+      // compacts to a single-batch sibling: model.json copies verbatim
+      // (no re-train, no re-encode), rows recluster by cell, the rewrite
+      // validates against the source meta before the destination meta
+      // commits. Search over the compacted store must be bit-identical
+      // to the source store's.
+      val emb  = T(s, dir, "embeddings")
+      val src = s"/tmp/graft_ann_csrc_${tmpToken(dir)}"
+      val dst = s"/tmp/graft_ann_cdst_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", src,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      graft.operators.AnnIndex.annIndexAppend(s, src,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      graft.operators.AnnIndex.annIndexCompact(s, src, dst, overwrite = true)
+      val q = emb.filter(col("vec_id") < 3)
+      def searched(root: String) = graft.operators.AnnIndex.annSearchIndexed(
+        s, root, q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
+      val mism = searched(dst).select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
+        .join(searched(src).select(col("query_id"), col("rank"),
+          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
+          Seq("query_id", "rank"), "full_outer")
+        .filter(col("__ni").isNull || col("__nf").isNull ||
+          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
+        .count()
+      val dstMeta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dst, "meta.json")), "UTF-8")
+      val nQueries = q.select("vec_id").distinct().count()
+      s.range(1).select(
+        lit("ivfpq_compact").as("method"), lit(nQueries).as("n_queries"),
+        lit(mism == 0L).as("compact_equals_source"),
+        lit(dstMeta.contains("\"batches\": 1")).as("single_batch"))
     }),
 
     "pipeline_semdedup" -> ((s, dir) => {
@@ -3950,6 +4012,10 @@ object SparkEntry {
     // store with one append must rank hash-identically to the literal
     // plan over the same corpus
     ("search_bm25_indexed" -> oracleSqlBase("search_bm25_topk")) +
+    // SAME oracle a FOURTH time: build + append + COMPACT must still rank
+    // hash-identically — compaction rewrites postings globally
+    // term-sorted but never re-tokenizes or changes a single posting
+    ("search_bm25_compacted" -> oracleSqlBase("search_bm25_topk")) +
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +
@@ -5674,6 +5740,12 @@ object SparkEntry {
         |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |       TRUE AS batch_equals_driver
         |FROM embeddings WHERE vec_id < 50""".stripMargin,
+    "ann_index_compact" ->
+      """SELECT 'ivfpq_compact' AS method,
+        |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |       TRUE AS compact_equals_source,
+        |       TRUE AS single_batch
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
 
     // normalization oracle: identical messy-suffix construction, then
     // DuckDB's nfc_normalize (same stable Unicode algorithm as

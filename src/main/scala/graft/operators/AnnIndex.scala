@@ -207,6 +207,51 @@ object AnnIndex {
     rescoreTopK(perQuery, store, qVec, k, refine)
   }
 
+  /** Compact a many-batch store into a fresh single-batch store at
+    * `dstDir` — the small-files maintenance every append-only store needs:
+    * each append adds a batch dir, and a thousand appends later every
+    * search opens a thousand parquet footers. Compaction rewrites the
+    * ALREADY-ENCODED rows (no re-training, no re-encoding — model.json
+    * copies verbatim, so the frozen-model contract and bit-identical
+    * scores survive) clustered by cell into one batch, and validates the
+    * rewrite against the source meta's row count before committing the
+    * destination meta (LAST, as always). The source store is never
+    * touched — readers keep their snapshot; the caller swaps when ready
+    * (compact-to-sibling + swap is the only crash-safe shape: an in-place
+    * compact would race its own readers). */
+  def annIndexCompact(spark: SparkSession, srcDir: String, dstDir: String,
+                      overwrite: Boolean = false): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
+    val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
+    val (batches, n, dim, m) = readMeta(srcFs,
+      new org.apache.hadoop.fs.Path(srcRoot, "meta.json"), srcDir)
+    val (cents, books) = readModel(srcFs, srcRoot, srcDir)
+    checkModel(cents, books, dim, m, srcDir)
+    val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
+    val dstFs = graft.sources.FsPaths.fileSystemFor(dstRoot, conf)
+    val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
+    if (dstFs.exists(dstMeta)) {
+      require(overwrite,
+        s"annIndexCompact: '$dstDir' already holds an index — pass overwrite = true")
+      dstFs.delete(dstRoot, true)
+    }
+    writeModel(dstFs, dstRoot, cents, books)
+    val all = readBatches(spark, dir = srcDir, batches)
+      .select("id", "cell", "codes", "vnorm", "vec")
+    all.repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dstDir/vectors/b0")
+    // validate the rewrite against the SOURCE meta before committing:
+    // a row-count drift means a torn source or a lost write — refuse
+    // rather than bless a store that silently dropped vectors
+    val written = spark.read.schema(all.schema)
+      .parquet(s"$dstDir/vectors/b0").count()
+    require(written == n,
+      s"annIndexCompact: rewrote $written rows but '$srcDir' meta says $n — " +
+        "source store torn or write incomplete; not committing")
+    writeMeta(dstFs, dstMeta, batches = 1, n = n, dim = dim, m = m)
+  }
+
   /** Battery-scale search — the queries stay DATA (the bm25 big-battery
     * doctrine on the vector plane): one constant-size plan for any battery,
     * no driver collect, no per-query plan branches. Probes become a

@@ -601,6 +601,49 @@ object KeywordSearch {
     (dn, if (st.isNullAt(1)) 0L else st.getLong(1))
   }
 
+  /** Compact a many-batch posting index into a fresh single-batch store
+    * at `dstDir` — the small-files maintenance of an append-heavy store
+    * (each append adds a batch dir; a thousand appends later every search
+    * opens a thousand footers AND loses cross-batch row-group pruning).
+    * Postings rewrite GLOBALLY term-sorted (the per-batch layout only
+    * sorts within each batch, so a selective battery's `term IN (…)` scan
+    * skips row groups per batch; after compaction it skips across the
+    * whole store). Tokenization never re-runs — the rows are already
+    * postings; N/sumdl carry over from the source meta and the rewrite is
+    * validated against it before the destination meta commits (LAST). The
+    * source store is never touched: compact-to-sibling + caller swap is
+    * the crash-safe shape. */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       srcDir: String, dstDir: String,
+                       overwrite: Boolean = false): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
+    val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
+    val (batches, n, sumdl) = readIndexMeta(srcFs,
+      new org.apache.hadoop.fs.Path(srcRoot, "meta.json"), srcDir)
+    val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
+    val dstFs = graft.sources.FsPaths.fileSystemFor(dstRoot, conf)
+    val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
+    if (dstFs.exists(dstMeta)) {
+      require(overwrite,
+        s"bm25IndexCompact: '$dstDir' already holds an index — pass overwrite = true")
+      dstFs.delete(dstRoot, true)
+    }
+    spark.read.parquet((0 until batches).map(i => s"$srcDir/docs/b$i"): _*)
+      .write.mode("overwrite").parquet(s"$dstDir/docs/b0")
+    spark.read.parquet((0 until batches).map(i => s"$srcDir/postings/b$i"): _*)
+      .repartition(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$dstDir/postings/b0")
+    val st = spark.read.parquet(s"$dstDir/docs/b0")
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+    require(st.getLong(0) == n && st.getLong(1) == sumdl,
+      s"bm25IndexCompact: rewrote ${st.getLong(0)} docs / Σdl ${st.getLong(1)} " +
+        s"but '$srcDir' meta says $n / $sumdl — source torn or write " +
+        "incomplete; not committing")
+    writeIndexMeta(dstFs, dstMeta, batches = 1, n = n, sumdl = sumdl)
+  }
+
   /** Atomic meta commit via [[graft.sources.StoreMeta]] (the kerchunk
     * convention): a crash mid-write leaves the OLD meta readable; a
     * truncate-in-place create would brick the store (empty meta =

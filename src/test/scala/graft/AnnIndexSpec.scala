@@ -111,6 +111,43 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "vectors", "b1")))
   }
 
+  test("compaction: single batch, verbatim model, identical row set and search") {
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd  = emb.filter(col("vec_id") % 2 === 1)
+    val src = freshDir("csrc")
+    val dst = freshDir("cdst")
+    AnnIndex.annIndexBuild(even, "vec_id", "embedding", src,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    AnnIndex.annIndexAppend(spark, src, odd, "vec_id", "embedding")
+    AnnIndex.annIndexCompact(spark, src, dst)
+    // model bytes copy verbatim — the frozen-model contract survives
+    def bytes(p: String) = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(java.util.Arrays.equals(bytes(s"$src/model.json"), bytes(s"$dst/model.json")))
+    // one batch dir, same encoded multiset (id, cell, codes, vnorm, vec)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "vectors", "b0")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "vectors", "b1")))
+    val srcRows = spark.read.parquet(s"$src/vectors/b0")
+      .unionByName(spark.read.parquet(s"$src/vectors/b1"))
+      .select("id", "cell", "codes", "vnorm", "vec")
+      .collect().map(_.toString).sorted.toSeq
+    val dstRows = spark.read.parquet(s"$dst/vectors/b0")
+      .select("id", "cell", "codes", "vnorm", "vec")
+      .collect().map(_.toString).sorted.toSeq
+    assert(srcRows == dstRows)
+    // search is bit-identical across the compaction
+    val q = emb.filter(col("vec_id") < 4)
+    val a = collectTopK(AnnIndex.annSearchIndexed(spark, src, q, "vec_id", "embedding",
+      k = 10, nProbe = 4, refine = 4))
+    val b = collectTopK(AnnIndex.annSearchIndexed(spark, dst, q, "vec_id", "embedding",
+      k = 10, nProbe = 4, refine = 4))
+    assert(a == b)
+    // destination refusal without overwrite
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexCompact(spark, src, dst)
+    }
+    assert(e.getMessage.contains("already holds an index"))
+  }
+
   test("refuses duplicate ids, wrong dims, empty deltas, and id clashes with the store") {
     val dir = freshDir("ref")
     AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding", dir,

@@ -1870,6 +1870,37 @@ class Bm25IndexSpec extends AnyFunSuite {
     }.getMessage.contains("not a bm25 index"))
   }
 
+  test("posting-index compaction: single globally-sorted batch, identical search (r14)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val src = java.nio.file.Files.createTempDirectory("graft_bm25_csrc").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_bm25_cdst").toString + "/idx"
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", src, overwrite = true)
+    KeywordSearch.bm25IndexAppend(spark, src,
+      docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+    KeywordSearch.bm25IndexCompact(spark, src, dst)
+    val battery = Seq(("q1", "spark hash join"), ("q2", "fast table scan"))
+      .toDF("qid", "qtext")
+    def rows(d: String) = KeywordSearch.bm25SearchIndexed(
+        spark, d, battery, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(rows(dst) == rows(src)) // scores bit-exact across compaction
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dst, "postings", "b1")))
+    // meta stats carry over; models derived from either store agree
+    val bat = Seq(("q1", "spark hash join"))
+    val mSrc = KeywordSearch.bm25ModelFromIndex(spark, src, bat)
+    val mDst = KeywordSearch.bm25ModelFromIndex(spark, dst, bat)
+    assert(mSrc.avgdl == mDst.avgdl && mSrc.idf.toSeq == mDst.idf.toSeq)
+    // destination refusal without overwrite; source untouched (2 batches)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexCompact(spark, src, dst)
+    }.getMessage.contains("already holds an index"))
+    val srcMeta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(src, "meta.json")), "UTF-8")
+    assert(srcMeta.contains("\"batches\": 2"))
+  }
+
   test("bm25ModelFromIndex equals the corpus-scan model bit-for-bit; zero-df terms included (r14)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_midx").toString
