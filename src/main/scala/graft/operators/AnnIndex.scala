@@ -224,19 +224,34 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
-    val (batches, n, dim, m) = readMeta(srcFs,
-      new org.apache.hadoop.fs.Path(srcRoot, "meta.json"), srcDir)
+    val srcMetaPath = new org.apache.hadoop.fs.Path(srcRoot, "meta.json")
+    val (batches, n, dim, m) = readMeta(srcFs, srcMetaPath, srcDir)
     val (cents, books) = readModel(srcFs, srcRoot, srcDir)
     checkModel(cents, books, dim, m, srcDir)
     val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
     val dstFs = graft.sources.FsPaths.fileSystemFor(dstRoot, conf)
+    // a same-path "compact" with overwrite would DELETE the source before
+    // reading it — the one way this maintenance op could lose the store
+    require(srcFs.makeQualified(srcRoot) != dstFs.makeQualified(dstRoot),
+      s"annIndexCompact: source and destination are the same store " +
+        s"('$srcDir') — compact to a sibling and swap")
     val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
     if (dstFs.exists(dstMeta)) {
       require(overwrite,
         s"annIndexCompact: '$dstDir' already holds an index — pass overwrite = true")
       dstFs.delete(dstRoot, true)
     }
-    writeModel(dstFs, dstRoot, cents, books)
+    // model copies as RAW BYTES (readModel above already validated them):
+    // a parse + re-render round trip would make byte identity incidental
+    // — e.g. signaling-NaN bit patterns may not survive intBitsToFloat
+    val srcModelBytes = {
+      val in = srcFs.open(new org.apache.hadoop.fs.Path(srcRoot, "model.json"))
+      try in.readAllBytes() finally in.close()
+    }
+    dstFs.mkdirs(dstRoot)
+    val modelOut = dstFs.create(
+      new org.apache.hadoop.fs.Path(dstRoot, "model.json"), true)
+    try modelOut.write(srcModelBytes) finally modelOut.close()
     val all = readBatches(spark, dir = srcDir, batches)
       .select("id", "cell", "codes", "vnorm", "vec")
     all.repartition(col("cell"))
@@ -249,6 +264,12 @@ object AnnIndex {
     require(written == n,
       s"annIndexCompact: rewrote $written rows but '$srcDir' meta says $n — " +
         "source store torn or write incomplete; not committing")
+    // optimistic recheck (the append convention): an append landing on
+    // the source mid-compact would otherwise vanish at the caller's swap
+    val (batchesNow, _, _, _) = readMeta(srcFs, srcMetaPath, srcDir)
+    require(batchesNow == batches,
+      s"annIndexCompact: '$srcDir' grew $batches → $batchesNow batches " +
+        "mid-compact — re-run to include the new batch")
     writeMeta(dstFs, dstMeta, batches = 1, n = n, dim = dim, m = m)
   }
 

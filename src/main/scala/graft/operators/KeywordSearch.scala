@@ -467,7 +467,7 @@ object KeywordSearch {
     val (batches, n0, sumdl0) = readIndexMeta(fs, metaPath, dir)
     // id-collision guard vs the store: a delta-sized semi-join against
     // the docs plane's one pruned column — never a posting-volume scan
-    val oldDocs = spark.read.parquet((0 until batches).map(i => s"$dir/docs/b$i"): _*)
+    val oldDocs = readPlane(spark, dir, "docs", batches)
     val clash = newDocs.select(col(idCol).as("doc_id"))
       .join(oldDocs.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
     require(clash == 0L,
@@ -507,8 +507,7 @@ object KeywordSearch {
     val g = qTerms.agg(max(col("ord")), countDistinct(col("term"))).collect()(0)
     val maxOrd = if (g.isNullAt(0)) -1 else g.getInt(0)
     val nTerms = g.getLong(1)
-    val postings = spark.read.parquet(
-      (0 until batches).map(i => s"$dir/postings/b$i"): _*)
+    val postings = readPlane(spark, dir, "postings", batches)
     // ADAPTIVE vocabulary pruning against the term-sorted store:
     //  - human-sized battery (≤1024 distinct terms): a bounded collect
     //    turns the vocabulary into a pushed `term IN (…)` scan filter —
@@ -552,8 +551,7 @@ object KeywordSearch {
     require(n > 0, s"bm25ModelFromIndex: index at '$dir' holds no documents")
     val perQuery = parseBattery(queries)
     val allTerms = perQuery.flatMap(_._2).distinct.sorted
-    val dfByTerm: Map[String, Long] = spark.read
-      .parquet((0 until batches).map(i => s"$dir/postings/b$i"): _*)
+    val dfByTerm: Map[String, Long] = readPlane(spark, dir, "postings", batches)
       .filter(col("term").isin(allTerms: _*))
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -619,30 +617,59 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
-    val (batches, n, sumdl) = readIndexMeta(srcFs,
-      new org.apache.hadoop.fs.Path(srcRoot, "meta.json"), srcDir)
+    val srcMetaPath = new org.apache.hadoop.fs.Path(srcRoot, "meta.json")
+    val (batches, n, sumdl) = readIndexMeta(srcFs, srcMetaPath, srcDir)
     val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
     val dstFs = graft.sources.FsPaths.fileSystemFor(dstRoot, conf)
+    // a same-path "compact" with overwrite would DELETE the source before
+    // reading it — the one way this maintenance op could lose the store
+    require(srcFs.makeQualified(srcRoot) != dstFs.makeQualified(dstRoot),
+      s"bm25IndexCompact: source and destination are the same store " +
+        s"('$srcDir') — compact to a sibling and swap")
     val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
     if (dstFs.exists(dstMeta)) {
       require(overwrite,
         s"bm25IndexCompact: '$dstDir' already holds an index — pass overwrite = true")
       dstFs.delete(dstRoot, true)
     }
-    spark.read.parquet((0 until batches).map(i => s"$srcDir/docs/b$i"): _*)
+    readPlane(spark, srcDir, "docs", batches)
       .write.mode("overwrite").parquet(s"$dstDir/docs/b0")
-    spark.read.parquet((0 until batches).map(i => s"$srcDir/postings/b$i"): _*)
-      .repartition(col("term"))
+    readPlane(spark, srcDir, "postings", batches)
+      // RANGE partition + in-file sort = truly term-sorted across the
+      // whole plane (file ordinals cover disjoint term ranges), so
+      // row-group min/max skipping is as tight as the layout allows
+      .repartitionByRange(col("term"), col("doc_id"))
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dstDir/postings/b0")
+    // validate BOTH planes before committing: docs against the source
+    // meta's stats, postings by row count against the source read (a
+    // torn source plane must refuse, not silently drop hits; parquet
+    // counts are footer-only — no data rescan)
     val st = spark.read.parquet(s"$dstDir/docs/b0")
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     require(st.getLong(0) == n && st.getLong(1) == sumdl,
       s"bm25IndexCompact: rewrote ${st.getLong(0)} docs / Σdl ${st.getLong(1)} " +
         s"but '$srcDir' meta says $n / $sumdl — source torn or write " +
         "incomplete; not committing")
+    val srcPostings = readPlane(spark, srcDir, "postings", batches).count()
+    val dstPostings = spark.read.parquet(s"$dstDir/postings/b0").count()
+    require(srcPostings == dstPostings,
+      s"bm25IndexCompact: rewrote $dstPostings postings of $srcPostings — " +
+        "write incomplete; not committing")
+    // optimistic recheck (the append convention): an append landing on
+    // the source mid-compact would otherwise vanish at the caller's swap
+    val (batchesNow, _, _) = readIndexMeta(srcFs, srcMetaPath, srcDir)
+    require(batchesNow == batches,
+      s"bm25IndexCompact: '$srcDir' grew $batches → $batchesNow batches " +
+        "mid-compact — re-run to include the new batch")
     writeIndexMeta(dstFs, dstMeta, batches = 1, n = n, sumdl = sumdl)
   }
+
+  /** One plane's batch dirs (`<dir>/<plane>/b0..b<batches-1>`) as one
+    * frame — the store layout expression, in one place. */
+  private def readPlane(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        plane: String, batches: Int): DataFrame =
+    spark.read.parquet((0 until batches).map(i => s"$dir/$plane/b$i"): _*)
 
   /** Atomic meta commit via [[graft.sources.StoreMeta]] (the kerchunk
     * convention): a crash mid-write leaves the OLD meta readable; a
