@@ -338,4 +338,89 @@ class PropertySpec extends AnyFunSuite {
     assert(graft.sources.CfCalendarDate.format("1900-01-01", 59 * 86400.0, "julian")
       == "1900-02-29 00:00:00")
   }
+
+  test("PqAdcDirect equals the driver-table PqAdcDot bit-for-bit on random inputs (r14)") {
+    // the battery-as-data search's bit-identity claim reduces to this law:
+    // for ANY (query, codebooks, codes), summing driver-precomputed table
+    // entries equals computing the per-subspace dots in-kernel
+    val genDims = Gen.zip(Gen.choose(1, 4), Gen.choose(1, 5), Gen.choose(1, 6))
+    samples(genDims, 60).foreach { case (m, sd, nCent) =>
+      val dim = m * sd
+      def f(seed: Int, i: Int): Float =
+        (((seed * 1103515245 + i * 12345 + 7) & 0xffff) / 65536.0f) - 0.5f
+      val books: Array[Array[Array[Float]]] = Array.tabulate(m)(s0 =>
+        Array.tabulate(nCent)(c => Array.tabulate(sd)(i => f(s0 * 31 + c, i))))
+      val qv: Array[Float] = Array.tabulate(dim)(i => f(9991, i))
+      val codes: Array[Int] = Array.tabulate(m)(s0 => (s0 * 7 + 3) % nCent)
+      // driver table: the exact loop annSearchIndexed runs
+      val table: Array[Array[Double]] = {
+        var off = 0
+        books.map { book =>
+          val t = book.map { cent =>
+            var acc = 0.0; var i = 0
+            while (i < sd) { acc += qv(off + i).toDouble * cent(i).toDouble; i += 1 }
+            acc
+          }
+          off += sd
+          t
+        }
+      }
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val viaTable = graft.functions.PqAdcDot(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          codes.toSeq, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)), table)
+        .score(new GenericArrayData(codes))
+      val direct = graft.functions.PqAdcDirect(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          codes.toSeq, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          qv.toSeq, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)), books)
+        .score(new GenericArrayData(codes), new GenericArrayData(qv))
+      assert(java.lang.Double.doubleToLongBits(viaTable) ==
+        java.lang.Double.doubleToLongBits(direct),
+        s"m=$m sd=$sd nCent=$nCent: $viaTable vs $direct")
+    }
+  }
+
+  test("nearest_cells kernel order equals the driver probe loop, zero vectors included (r14)") {
+    // the store search forms share one probe rule; this is that rule as a
+    // law — kernel selection (cosine desc, NaN→last, lowest-index ties)
+    // equals the driver sort with its -2.0 degenerate sentinel
+    val gen = Gen.zip(Gen.choose(2, 6), Gen.choose(1, 8), Gen.choose(0, 99))
+    samples(gen, 60).foreach { case (dim, nc, seed) =>
+      def f(s0: Int, i: Int): Float =
+        (((s0 * 48271 + i * 69621 + seed) & 0xffff) / 65536.0f) - 0.5f
+      // every third centroid (and seed%5==0 queries) forced to zero norm
+      val cents: Array[Array[Float]] = Array.tabulate(nc)(c =>
+        if (c % 3 == 2) Array.fill(dim)(0.0f)
+        else Array.tabulate(dim)(i => f(c + 1, i)))
+      val qv: Array[Float] =
+        if (seed % 5 == 0) Array.fill(dim)(0.0f)
+        else Array.tabulate(dim)(i => f(7777, i))
+      var qn0 = 0.0
+      qv.foreach(x => qn0 += x.toDouble * x.toDouble)
+      val qNorm = math.sqrt(qn0)
+      val driver: Seq[Int] = cents.indices
+        .sortBy { c =>
+          var dot = 0.0; var cn = 0.0; var i = 0
+          while (i < dim) {
+            dot += qv(i).toDouble * cents(c)(i).toDouble
+            cn += cents(c)(i).toDouble * cents(c)(i).toDouble
+            i += 1
+          }
+          val cos = if (qNorm == 0.0 || cn == 0.0) -2.0 else dot / (qNorm * math.sqrt(cn))
+          (-cos, c)
+        }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+      val kernel = graft.functions.NearestCells(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          qv.toSeq, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)), cents, nc)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq
+      assert(kernel == driver, s"dim=$dim nc=$nc seed=$seed")
+    }
+  }
 }
