@@ -98,6 +98,34 @@ object CorpusPipeline {
   def dsirFilter(docs: DataFrame, textCol: String, dp: DsirPlane): DataFrame =
     docs.filter(dsirCondition(textCol, dp))
 
+  /** The compression plane — the classic "gzip filter" as a clean()
+    * stage: drop documents whose zlib-DEFLATE ratio
+    * ([[TextAnalysis.compressionSignals]]) falls outside
+    * [minRatio, maxRatio]. Below the floor = templated/repetitive
+    * boilerplate the dedup stages won't necessarily catch (repetition
+    * WITHIN one document); above the ceiling = minified/base64/
+    * binary-ish junk with near-random bytes. Defaults are deliberately
+    * loose — real deployments tune per corpus. Empty documents fail the
+    * plane (no bytes, no signal — and nothing worth keeping). */
+  final case class CompressionPlane(minRatio: Double = 0.05,
+                                    maxRatio: Double = 0.98,
+                                    level: Int = 6)
+
+  /** The keep-condition of a [[CompressionPlane]] — one codegen'd scan
+    * expression, zero shuffle, streaming-safe. */
+  def compressionCondition(textCol: String, cp: CompressionPlane): Column = {
+    val raw = octet_length(col(textCol))
+    val ratio = graft.functions.TextFunctions.deflate_size(col(textCol), cp.level)
+      .cast("double") / raw.cast("double")
+    raw > 0 && ratio >= cp.minRatio && ratio <= cp.maxRatio
+  }
+
+  /** Apply the compression plane as a standalone filter — stateless, so
+    * the same call filters a `readStream` frame. */
+  def compressionFilter(docs: DataFrame, textCol: String,
+                        cp: CompressionPlane): DataFrame =
+    docs.filter(compressionCondition(textCol, cp))
+
   /** Connected components over near-dup pairs via min-label propagation:
     * every doc starts as its own label; each round adopts the smallest label
     * among itself and its neighbors. Converges in O(cluster diameter)
@@ -246,6 +274,7 @@ object CorpusPipeline {
       normalize: Boolean = false,
       qualityPlane: Option[QualityPlane] = None,
       dsirPlane: Option[DsirPlane] = None,
+      compressionPlane: Option[CompressionPlane] = None,
       langModel: Option[TextClassifier.LangIdModel] = None,
   ): CleanResult = {
     // 0. optional canonical normalization (TextAnalysis.normalizeText):
@@ -289,11 +318,20 @@ object CorpusPipeline {
     // 1c. optional DSIR selection: keep docs whose hashed-gram log
     // importance weight toward the caller's target corpus clears the
     // threshold — one codegen'd scan expression, no exchange
-    val selected = dsirPlane match {
+    val selected0 = dsirPlane match {
       case None     => planed
       case Some(dp) => planed.filter(dsirCondition(textCol, dp))
     }
-    val n1c = if (dsirPlane.isEmpty) n1b else selected.count()
+    val n1c = if (dsirPlane.isEmpty) n1b else selected0.count()
+
+    // 1d. optional compression plane (the "gzip filter"): drop documents
+    // whose DEFLATE ratio marks them as within-document boilerplate or
+    // near-random junk — one codegen'd scan expression, no exchange
+    val selected = compressionPlane match {
+      case None     => selected0
+      case Some(cp) => selected0.filter(compressionCondition(textCol, cp))
+    }
+    val n1d = if (compressionPlane.isEmpty) n1c else selected.count()
 
     // 2. language gate (count only paid when the gate is active): the
     // TRAINED one-vs-rest model when the caller provides one (the CCNet
@@ -339,7 +377,9 @@ object CorpusPipeline {
       if (qualityPlane.isEmpty) Nil else Seq("quality_plane" -> n1b)
     val dsirRow: Seq[(String, Long)] =
       if (dsirPlane.isEmpty) Nil else Seq("dsir" -> n1c)
+    val comprRow: Seq[(String, Long)] =
+      if (compressionPlane.isEmpty) Nil else Seq("compression" -> n1d)
     CleanResult(cleaned, Seq("input" -> n0, "quality" -> n1) ++ planeRow ++ dsirRow ++
-      Seq("lang" -> n2, "exact_dedup" -> n3, "near_dedup" -> n4))
+      comprRow ++ Seq("lang" -> n2, "exact_dedup" -> n3, "near_dedup" -> n4))
   }
 }

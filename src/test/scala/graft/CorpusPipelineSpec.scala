@@ -93,6 +93,55 @@ class CorpusPipelineSpec extends AnyFunSuite {
     assert(base.cleaned.count() == 4L)
   }
 
+  test("clean with a CompressionPlane drops boilerplate and junk tails; default stats unchanged (r14)") {
+    // doc 2: one sentence repeated — within-document boilerplate the
+    // dedup stages cannot catch (it is ONE document); doc 3: base64-ish
+    // junk from a hash chain (~6 bits/char — compresses worse than any
+    // prose); docs 1 and 4: distinct long-form prose. Bounds are derived
+    // from the MEASURED ratios (midpoints), so the test pins the
+    // SEPARATION the plane exists for, not a zlib-version-specific value.
+    val junk = (0 until 60).map(i =>
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"j$i".getBytes("UTF-8")))).mkString(" ")
+    val prose1 = "climate model output grids contain seasonal temperature " +
+      "anomalies measured across coastal stations during nineteen field " +
+      "campaigns, while independent satellite retrievals confirm the " +
+      "regional warming signal and its altitude dependence; researchers " +
+      "archive every calibrated series alongside provenance metadata so " +
+      "later reanalysis efforts can reproduce the screening decisions"
+    val prose2 = "quarterly engineering reports describe vintage " +
+      "instruments, quartz gemstones, and the restoration techniques " +
+      "their collectors developed over decades of careful documentation; " +
+      "each appendix catalogues provenance disputes, auction outcomes, " +
+      "and the conservation chemistry that keeps fragile lacquer finishes " +
+      "stable under museum lighting without discoloration"
+    val docs = Seq(
+      (1L, prose1),
+      (2L, Seq.fill(40)("the same boilerplate sentence repeats here").mkString(" ")),
+      (3L, junk),
+      (4L, prose2),
+    ).toDF("doc_id", "text")
+    val ratios = graft.operators.TextAnalysis.compressionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getDouble(3))
+    assert(ratios(1) < ratios(0) && ratios(1) < ratios(3), ratios.toSeq)
+    assert(ratios(2) > ratios(0) && ratios(2) > ratios(3), ratios.toSeq)
+    val lo = (ratios(1) + math.min(ratios(0), ratios(3))) / 2
+    val hi = (math.max(ratios(0), ratios(3)) + ratios(2)) / 2
+    val r = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95,
+      compressionPlane = Some(CorpusPipeline.CompressionPlane(lo, hi)))
+    val kept = r.cleaned.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"kept=$kept stats=${r.stats} ratios=${ratios.toSeq}")
+    assert(r.stats.toMap.apply("compression") == 2L, r.stats.toString)
+    // without the plane the stats keys are the default set (no row)
+    val base = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95)
+    assert(!base.stats.toMap.contains("compression"))
+    assert(base.cleaned.count() == 4L)
+    // the standalone filter is the same stateless condition
+    assert(CorpusPipeline.compressionFilter(docs, "text",
+      CorpusPipeline.CompressionPlane(lo, hi)).count() == 2L)
+  }
+
   test("clean(normalize = true) unifies byte-different renderings before dedup") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val docs = Seq(
