@@ -345,7 +345,7 @@ object CorpusPipeline {
             .isin(allowedLangs: _*))
         case None => selected.filter(TextAnalysis.langId(col(textCol)).isin(allowedLangs: _*))
       }
-    val n2 = if (allowedLangs.isEmpty) n1c else langed.count()
+    val n2 = if (allowedLangs.isEmpty) n1d else langed.count()
 
     // 3. exact dedup (deterministic survivor = min id); materialized once —
     // it feeds the count, the LSH pass, and the final anti-join

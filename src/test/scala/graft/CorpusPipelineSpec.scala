@@ -133,6 +133,9 @@ class CorpusPipelineSpec extends AnyFunSuite {
     val kept = r.cleaned.select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 4L), s"kept=$kept stats=${r.stats} ratios=${ratios.toSeq}")
     assert(r.stats.toMap.apply("compression") == 2L, r.stats.toString)
+    // the funnel stays monotonic: the inactive lang gate reports the
+    // post-compression count, not the pre-compression one
+    assert(r.stats.toMap.apply("lang") == 2L, r.stats.toString)
     // without the plane the stats keys are the default set (no row)
     val base = CorpusPipeline.clean(docs, minTokens = 5, nearDupThreshold = 0.95)
     assert(!base.stats.toMap.contains("compression"))
