@@ -40,6 +40,22 @@ object SparkEntry {
 
   private def tmpToken(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Bit-exact mismatch count between two top-k frames on (query_id,
+    * rank) — the equality pin the ann_index_* gates share: any
+    * missing/extra rank or a neighbor/cosine differing in one ulp
+    * counts. ONE copy, so a fix to the comparison semantics cannot
+    * silently diverge across gates. */
+  private def topKMismatches(a: org.apache.spark.sql.DataFrame,
+                             b: org.apache.spark.sql.DataFrame): Long =
+    a.select(col("query_id"), col("rank"),
+        col("neighbor_id").as("__na"), col("cosine").as("__ca"))
+      .join(b.select(col("query_id"), col("rank"),
+        col("neighbor_id").as("__nb"), col("cosine").as("__cb")),
+        Seq("query_id", "rank"), "full_outer")
+      .filter(col("__na").isNull || col("__nb").isNull ||
+        col("__na") =!= col("__nb") || col("__ca") =!= col("__cb"))
+      .count()
+
   /** The unique row key of the synthetic lineitem table (the
     * (orderkey, linenumber) pair alone is NOT unique in this testdata). */
   private val lineKey = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
@@ -2925,20 +2941,25 @@ object SparkEntry {
           concat(col("text"), col("text")).as("text")), "text", "doc_id")
       // zlib's true worst case: 6 wrapper bytes + 5 per 65535-byte stored
       // block (a flat slack would flip bounds_ok on a large-enough
-      // incompressible doc that the kernel handled CORRECTLY)
-      val envelope = col("raw_bytes") + lit(6) +
-        lit(5) * floor((col("raw_bytes") + lit(65534)) / lit(65535)).cast(LongType)
+      // incompressible doc that the kernel handled CORRECTLY), floored at
+      // the 8-byte empty stream (raw_bytes = 0 gives a 6-byte formula
+      // value BELOW what an empty input legitimately produces)
+      val envelope = greatest(lit(8L), col("raw_bytes") + lit(6) +
+        lit(5) * floor((col("raw_bytes") + lit(65534)) / lit(65535)).cast(LongType))
       val badPred = col("deflate_bytes") < 8 ||
         col("deflate_bytes") > envelope ||
-        col("compression_ratio") <= 0
+        (col("raw_bytes") > 0 && col("compression_ratio") <= 0)
       // count, byte total, and the bounds sweep fused into ONE job
       val st = sig.agg(count(lit(1)),
         coalesce(sum(col("raw_bytes")), lit(0L)),
         coalesce(sum(when(badPred, 1L).otherwise(0L)), lit(0L))).collect()(0)
+      // discrimination only holds while the doubled copy's match sits
+      // inside DEFLATE's 32 KB window — beyond it the second copy cannot
+      // back-reference the first, so the law is pinned on [64, 32768]
       val badDiscr = sig
         .join(doubled.select(col("doc_id"),
           col("compression_ratio").as("__r2")), "doc_id")
-        .filter(col("raw_bytes") >= 64 &&
+        .filter(col("raw_bytes") >= 64 && col("raw_bytes") <= 32768 &&
           !(col("__r2") < col("compression_ratio"))).count()
       s.range(1).select(
         lit(st.getLong(0)).as("n_docs"),
@@ -3397,7 +3418,13 @@ object SparkEntry {
       // list re-ranks with exact cosines. Same kernels, probe order, ADC
       // tables, and two-stage top-k as the in-flight pqTopK, so the store
       // path is BIT-IDENTICAL to it — `forms_equal` pins that equality
-      // in-plan, alongside the standard ANN property verdict.
+      // in-plan, alongside the standard ANN property verdict. (The pin
+      // ALSO exercises training determinism: build and pqTopK each run
+      // the avg()-based k-means/codebook fit, whose float merges are
+      // stable in the gate's local environment and under the
+      // 200-partition soak; a real multi-executor cluster wanting this
+      // exact pin should inject one shared model rather than rely on
+      // shuffle-fetch order.)
       val emb = T(s, dir, "embeddings")
       val q   = emb.filter(col("vec_id") < 3)
       val root = s"/tmp/graft_ann_idx_${tmpToken(dir)}"
@@ -3408,14 +3435,7 @@ object SparkEntry {
         .localCheckpoint(true) // feeds the verdict's five consumers + the equality join
       val fly = Similarity.pqTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding",
         k = 10, m = 8, nCentroids = 16, nCells = 16, nProbe = 8, kmeansIters = 2)
-      val mism = idx.select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
-        .join(fly.select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
-          Seq("query_id", "rank"), "full_outer")
-        .filter(col("__ni").isNull || col("__nf").isNull ||
-          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
-        .count()
+      val mism = topKMismatches(idx, fly)
       Similarity.topKPropertyVerdict(emb, "vec_id", "embedding", q, "vec_id", "embedding",
           idx, method = "ivfpq_store", slack = 0.15)
         .withColumn("forms_equal", lit(mism == 0L))
@@ -3438,14 +3458,7 @@ object SparkEntry {
         q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
       val drv = graft.operators.AnnIndex.annSearchIndexed(s, root,
         q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
-      val mism = bat.select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
-        .join(drv.select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
-          Seq("query_id", "rank"), "full_outer")
-        .filter(col("__ni").isNull || col("__nf").isNull ||
-          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
-        .count()
+      val mism = topKMismatches(bat, drv)
       val nQueries = q.select("vec_id").distinct().count()
       s.range(1).select(
         lit("ivfpq_batch").as("method"), lit(nQueries).as("n_queries"),
@@ -3475,14 +3488,7 @@ object SparkEntry {
       def searched(root: String) = graft.operators.AnnIndex.annSearchIndexed(
         s, root, q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
       val a = searched(rootA).localCheckpoint(true)
-      val mism = a.select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
-        .join(searched(rootB).select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
-          Seq("query_id", "rank"), "full_outer")
-        .filter(col("__ni").isNull || col("__nf").isNull ||
-          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
-        .count()
+      val mism = topKMismatches(a, searched(rootB))
       val selfHit = a.filter(col("query_id") === 1 && col("rank") === 1 &&
         col("neighbor_id") === 1 && col("cosine") > 0.999999).count() == 1L
       val nQueries = q.select("vec_id").distinct().count()
@@ -3511,14 +3517,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 3)
       def searched(root: String) = graft.operators.AnnIndex.annSearchIndexed(
         s, root, q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
-      val mism = searched(dst).select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__ni"), col("cosine").as("__ci"))
-        .join(searched(src).select(col("query_id"), col("rank"),
-          col("neighbor_id").as("__nf"), col("cosine").as("__cf")),
-          Seq("query_id", "rank"), "full_outer")
-        .filter(col("__ni").isNull || col("__nf").isNull ||
-          col("__ni") =!= col("__nf") || col("__ci") =!= col("__cf"))
-        .count()
+      val mism = topKMismatches(searched(dst), searched(src))
       val dstMeta = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(dst, "meta.json")), "UTF-8")
       val nQueries = q.select("vec_id").distinct().count()

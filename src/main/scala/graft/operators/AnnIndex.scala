@@ -162,37 +162,15 @@ object AnnIndex {
     val perQuery = qRows.map { r =>
       val qid = r.get(0)
       val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
-      // probe order and ADC table: the same driver math as pqTopK —
-      // cosine-desc probe rule (matching the corpus's NearestCells
-      // assignment metric), deterministic tie on cell index
+      // probe order and ADC table: ONE copy of the driver math, shared
+      // with pqTopK (Similarity.pqProbeOrder / pqAdcTable) — the
+      // bit-identity contract between the forms is structural, not
+      // parallel-maintenance
+      val probed: Seq[Int] = Similarity.pqProbeOrder(qv, cents).take(nProbe)
       var qn0 = 0.0
       qv.foreach(x => qn0 += x.toDouble * x.toDouble)
       val qNorm = math.sqrt(qn0)
-      val probed: Seq[Int] = cents.indices
-        .sortBy { c =>
-          var dot = 0.0; var cn = 0.0; var i = 0
-          while (i < dim) {
-            dot += qv(i).toDouble * cents(c)(i).toDouble
-            cn += cents(c)(i).toDouble * cents(c)(i).toDouble
-            i += 1
-          }
-          val cos = if (qNorm == 0.0 || cn == 0.0) -2.0 else dot / (qNorm * math.sqrt(cn))
-          (-cos, c)
-        }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
-        .take(nProbe)
-      val table: Array[Array[Double]] = {
-        var off = 0
-        books.map { book =>
-          val sd = book.head.length
-          val t = book.map { cent =>
-            var s = 0.0; var i = 0
-            while (i < sd) { s += qv(off + i).toDouble * cent(i).toDouble; i += 1 }
-            s
-          }
-          off += sd
-          t
-        }
-      }
+      val table = Similarity.pqAdcTable(qv, books)
       val adc = GraftColumnBridge.column(graft.functions.PqAdcDot(
         GraftColumnBridge.expression(col("codes")), table))
       store

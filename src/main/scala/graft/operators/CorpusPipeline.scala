@@ -104,11 +104,15 @@ object CorpusPipeline {
     * [minRatio, maxRatio]. Below the floor = templated/repetitive
     * boilerplate the dedup stages won't necessarily catch (repetition
     * WITHIN one document); above the ceiling = minified/base64/
-    * binary-ish junk with near-random bytes. Defaults are deliberately
-    * loose — real deployments tune per corpus. Empty documents fail the
-    * plane (no bytes, no signal — and nothing worth keeping). */
+    * binary-ish junk with near-random bytes. The ratio only MEANS
+    * entropy once the document dwarfs zlib's ~11-byte stream overhead —
+    * a 50-byte legitimate sentence deflates to ratio > 1 on overhead
+    * alone — so documents under `minBytes` PASS the plane untouched
+    * (length-based gates own that regime). Defaults are deliberately
+    * loose — real deployments tune per corpus. */
   final case class CompressionPlane(minRatio: Double = 0.05,
                                     maxRatio: Double = 0.98,
+                                    minBytes: Int = 256,
                                     level: Int = 6)
 
   /** The keep-condition of a [[CompressionPlane]] — one codegen'd scan
@@ -117,7 +121,7 @@ object CorpusPipeline {
     val raw = octet_length(col(textCol))
     val ratio = graft.functions.TextFunctions.deflate_size(col(textCol), cp.level)
       .cast("double") / raw.cast("double")
-    raw > 0 && ratio >= cp.minRatio && ratio <= cp.maxRatio
+    raw < cp.minBytes || (ratio >= cp.minRatio && ratio <= cp.maxRatio)
   }
 
   /** Apply the compression plane as a standalone filter — stateless, so

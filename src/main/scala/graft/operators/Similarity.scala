@@ -341,6 +341,56 @@ object Similarity {
     books
   }
 
+  /** Driver-side probe order for a query against the coarse centroids —
+    * THE probe rule, shared by [[pqTopK]] and the persisted-index search
+    * forms (their bit-identity contract depends on one copy): cosine
+    * descending with the SAME arithmetic as the [[graft.functions.NearestCells]]
+    * kernel (dot / (sqrt(q)·sqrt(c)), q-side sqrt first), any
+    * non-finite cosine (zero-norm or NaN-component on either side)
+    * ranked LAST as -Inf — exactly the kernel's NaN rule — and ties on
+    * the lower cell index. */
+  private[operators] def pqProbeOrder(qv: Array[Float],
+                                      cents: Array[Array[Float]]): Seq[Int] = {
+    val dim = qv.length
+    var qn0 = 0.0
+    qv.foreach(x => qn0 += x.toDouble * x.toDouble)
+    val qNorm = math.sqrt(qn0)
+    cents.indices
+      .sortBy { c =>
+        var dot = 0.0; var cn = 0.0; var i = 0
+        val m = math.min(dim, cents(c).length)
+        while (i < m) {
+          dot += qv(i).toDouble * cents(c)(i).toDouble
+          cn += cents(c)(i).toDouble * cents(c)(i).toDouble
+          i += 1
+        }
+        val cos0 = dot / (qNorm * math.sqrt(cn))
+        val cos = if (java.lang.Double.isNaN(cos0)) Double.NegativeInfinity else cos0
+        (-cos, c)
+      }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
+  }
+
+  /** Driver-side ADC table for a query: table(m)(c) = dot of the query's
+    * m-th sub-vector with codebook centroid c — each entry the exact
+    * index-ascending fold [[graft.functions.PqAdcDirect]] runs in-kernel,
+    * so the table form and the direct form are bit-identical. One copy,
+    * shared by [[pqTopK]] and the persisted-index search. */
+  private[operators] def pqAdcTable(qv: Array[Float],
+                                    books: Array[Array[Array[Float]]])
+      : Array[Array[Double]] = {
+    var off = 0
+    books.map { book =>
+      val sd = book.head.length
+      val t = book.map { cent =>
+        var s = 0.0; var i = 0
+        while (i < sd) { s += qv(off + i).toDouble * cent(i).toDouble; i += 1 }
+        s
+      }
+      off += sd
+      t
+    }
+  }
+
   /** IVF-PQ ANN top-k — the compressed 100 TB path (Jégou et al. 2011,
     * the FAISS `IVFx,PQy` architecture): coarse cells bound WHICH vectors
     * a query touches, product quantization bounds the BYTES each touch
@@ -400,38 +450,14 @@ object Similarity {
       val qid = r.get(0)
       val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
       // probed cells by the SAME rule the corpus was assigned with
-      // (NearestCells: cosine desc, tie → lower cell index) — an L2 probe
-      // order would send queries to cells the cosine partition never put
-      // their neighbors in
+      // ([[pqProbeOrder]] — the NearestCells arithmetic and tie rule;
+      // an L2 probe order would send queries to cells the cosine
+      // partition never put their neighbors in)
+      val probed: Seq[Any] = pqProbeOrder(qv, cents).take(nProbe).map(cellIds)
       var qn0 = 0.0
       qv.foreach(x => qn0 += x.toDouble * x.toDouble)
-      val qNorm = math.sqrt(qn0)
-      val probed: Seq[Any] = cents.indices
-        .sortBy { c =>
-          var dot = 0.0; var cn = 0.0; var i = 0
-          while (i < dim) {
-            dot += qv(i).toDouble * cents(c)(i).toDouble
-            cn += cents(c)(i).toDouble * cents(c)(i).toDouble
-            i += 1
-          }
-          val cos = if (qNorm == 0.0 || cn == 0.0) -2.0 else dot / (qNorm * math.sqrt(cn))
-          (-cos, c) // cosine desc, deterministic tie on cell index
-        }(Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int))
-        .take(nProbe).map(cellIds)
-      val qn = qNorm
-      val table: Array[Array[Double]] = {
-        var off = 0
-        books.map { book =>
-          val sd = book.head.length
-          val t = book.map { cent =>
-            var s = 0.0; var i = 0
-            while (i < sd) { s += qv(off + i).toDouble * cent(i).toDouble; i += 1 }
-            s
-          }
-          off += sd
-          t
-        }
-      }
+      val qn = math.sqrt(qn0)
+      val table = pqAdcTable(qv, books)
       val adc = GraftColumnBridge.column(graft.functions.PqAdcDot(
         GraftColumnBridge.expression(col("__code")), table))
       encoded

@@ -143,6 +143,11 @@ class CorpusPipelineSpec extends AnyFunSuite {
     // the standalone filter is the same stateless condition
     assert(CorpusPipeline.compressionFilter(docs, "text",
       CorpusPipeline.CompressionPlane(lo, hi)).count() == 2L)
+    // short documents pass untouched — overhead dominates their ratio,
+    // so the plane owns only the >= minBytes regime
+    val short = Seq((9L, "a tiny but perfectly legitimate sentence")).toDF("doc_id", "text")
+    assert(CorpusPipeline.compressionFilter(short, "text",
+      CorpusPipeline.CompressionPlane(lo, hi)).count() == 1L)
   }
 
   test("clean(normalize = true) unifies byte-different renderings before dedup") {
