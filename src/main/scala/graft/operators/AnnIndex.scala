@@ -150,8 +150,9 @@ object AnnIndex {
     require(k >= 1 && nProbe >= 1 && refine >= 1,
       s"annSearchIndexed: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
     val (dim, cents, books, store) = openStore(spark, dir, "annSearchIndexed")
-    val qRows = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
-      .filter(col("__qv").isNotNull).collect()
+    val qProj = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
+      .filter(col("__qv").isNotNull)
+    val qRows = qProj.collect()
     require(qRows.nonEmpty, "annSearchIndexed: empty query battery")
     qRows.foreach { r =>
       val d = r.getAs[scala.collection.Seq[Float]](1).length
@@ -179,9 +180,11 @@ object AnnIndex {
           (adc / (lit(qNorm) * col("vnorm"))).as("__approx"))
     }.reduce(_ unionByName _)
 
-    val qVec = broadcast(queries
-      .select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
-      .filter(col("__qv").isNotNull))
+    // rescore from the ALREADY-COLLECTED battery rows, not a re-read of
+    // `queries` (a non-deterministic battery could diverge between the two
+    // evaluations — the pqTopK fix, mirrored)
+    val qVec = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema))
     rescoreTopK(perQuery, store, qVec, k, refine)
   }
 
@@ -268,9 +271,9 @@ object AnnIndex {
     * ADC table's entries ARE PqAdcDirect's per-subspace dots in the same
     * fold order, and both share the deterministic two-stage top-k (the
     * degenerate-cosine ordering also agrees: NearestCells ranks NaN
-    * cosines last, the driver loop sentinels them to -2.0 — both below
-    * every real cosine, ties on cell index). A wrong-dim query refuses
-    * in-plan before it can probe. */
+    * cosines last, and the shared [[Similarity.pqProbeOrder]] maps NaN
+    * cosines to -Infinity — both below every real cosine, ties on cell
+    * index). A wrong-dim query refuses in-plan before it can probe. */
   def annSearchIndexedBatch(spark: SparkSession, dir: String,
                             queries: DataFrame, qidCol: String, qvecCol: String,
                             k: Int = 10, nProbe: Int = 8, refine: Int = 4): DataFrame = {

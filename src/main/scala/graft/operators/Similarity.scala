@@ -352,6 +352,12 @@ object Similarity {
   private[operators] def pqProbeOrder(qv: Array[Float],
                                       cents: Array[Array[Float]]): Seq[Int] = {
     val dim = qv.length
+    // a query longer than the index dim would otherwise silently probe on
+    // its prefix and return plausible-but-wrong neighbors (the store entry
+    // points guard this; pqTopK's internal battery must refuse too)
+    require(cents.nonEmpty && cents.forall(_.length == dim),
+      s"pqProbeOrder: query dim $dim does not match the centroid dim " +
+        s"${cents.headOption.map(_.length).getOrElse(0)}")
     var qn0 = 0.0
     qv.foreach(x => qn0 += x.toDouble * x.toDouble)
     val qNorm = math.sqrt(qn0)
@@ -423,10 +429,18 @@ object Similarity {
              refine: Int = 4,
              scope: graft.operators.CacheScope = graft.operators.CacheScope.untracked)
       : DataFrame = {
-    val qRows = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .filter(col("__qv").isNotNull).collect()
+    val qProj = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .filter(col("__qv").isNotNull)
+    val qRows = qProj.collect()
     require(qRows.nonEmpty, "pqTopK: empty query battery")
     val dim = qRows.head.getAs[scala.collection.Seq[Float]]("__qv").length
+    // a malformed battery must refuse, not probe/score on a prefix (the
+    // store search forms' guard, mirrored here)
+    qRows.foreach { r =>
+      val d = r.getAs[scala.collection.Seq[Float]](1).length
+      require(d == dim,
+        s"pqTopK: query '${r.get(0)}' has dim $d, battery head has dim $dim")
+    }
     val books = pqCodebooks(corpus, corpusId, corpusVec, dim, m, nCentroids, kmeansIters)
     val (cellIds, cents) = kmeansCentroidArrays(corpus, corpusId, corpusVec, nCells, kmeansIters)
 
@@ -471,7 +485,12 @@ object Similarity {
         Seq(col("__approx").desc, col("neighbor_id").asc), k * refine, "__ar")
       .select("query_id", "neighbor_id")
     val cVec = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
-    val qVec = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")))
+    // rescore from the ALREADY-COLLECTED battery rows, not a re-read of
+    // `queries`: a non-deterministic battery (sample(), unordered limit)
+    // could diverge between two evaluations, silently dropping queries
+    // from the exact re-rank or pairing them with the wrong vectors
+    val qVec = broadcast(corpus.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema))
     val rescored = shortList.join(cVec, "neighbor_id").join(qVec, "query_id")
       .withColumn("cosine",
         graft.functions.VectorFunctions.vec_cosine(col("__cv"), col("__qv")))
