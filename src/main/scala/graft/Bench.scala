@@ -78,10 +78,10 @@ object Bench {
     // r12: inverted-index BM25 over a 1,000-probe battery (bench-only row;
     // the gate twin search_bm25_batch carries correctness)
     "search_bm25_batch_1k",
-    // r14: the SAME battery through the operator's SCALE branch — pad
-    // probes push the vocabulary past the 1,024-term cap, so this row
-    // times the explode+semi-join posting build (the true million-probe
-    // path; correctness carried by the search_bm25_batch_bigvocab gate)
+    // r14: the SAME battery at a >1,024-term vocabulary — through r14
+    // this timed the explode+semi-join posting build; since r15 it times
+    // the sparse TermPostings kernel that replaced it at this size
+    // (correctness carried by the search_bm25_batch_bigvocab gate)
     "search_bm25_batch_bigvocab_1k")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
@@ -178,13 +178,15 @@ object Bench {
       graft.operators.KeywordSearch.bm25Batch(
         docs, "text", "doc_id", battery, "qid", "qtext", k = 10)
     }),
-    // r14: the 1k battery again, but with 1,100 unique no-match pad
-    // probes pushing the battery vocabulary past bm25Batch's 1,024-term
-    // TermCounts cap — this row times the EXPLODE+SEMI-JOIN posting
-    // build, the branch a million-probe battery actually runs, which
-    // r13 gave correctness gates but no perf pin. Pads match nothing
-    // (unique nonsense tokens), so the delta vs search_bm25_batch_1k
-    // is attributable to the big-vocab build itself.
+    // r14: the 1k battery with 1,100 unique no-match pad probes pushing
+    // the vocabulary past 1,024 distinct terms. Through r14 that forced
+    // the explode+semi-join posting build (13.6 s official, the suite's
+    // most expensive row); since r15 the same battery rides the sparse
+    // TermPostings kernel (binary-search probe, matched pairs only), so
+    // this row now times the big-vocab IN-SCAN path — same battery,
+    // same series, the branch lift IS the measured delta. Pads match
+    // nothing (unique nonsense tokens), so the delta vs
+    // search_bm25_batch_1k is attributable to vocabulary size alone.
     "search_bm25_batch_bigvocab_1k" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -3237,15 +3237,17 @@ object SparkEntry {
     }),
 
     "search_bm25_batch_bigvocab" -> ((s, dir) => {
-      // r13: forces bm25Batch's EXPLODE+SEMI-JOIN posting build — 1,022
-      // single-term pad probes push the battery vocabulary past the
-      // 1,024-term TermCounts cap (the true million-probe shape, where
-      // the vocabulary must stay data, never plan literals). Pad terms
-      // match nothing (and even a freak match would only rank rows under
-      // a pad query_id — per-query scoring is independent, and idf is a
-      // corpus-only fact), so the real 3-probe slice must be
-      // hash-identical to the literal form: the gate reuses
-      // search_bm25_topk's oracle verbatim.
+      // r13 (branch re-pointed r15): a >1,024-term battery — 1,022
+      // single-term pad probes on top of the standard 3. Through r14
+      // this size forced the explode+semi-join posting build; since r15
+      // it exercises the sparse TermPostings kernel at a vocabulary the
+      // dense kernel could never carry (the organic explode switch now
+      // sits at 65,536 — see search_bm25_batch_explode for that branch's
+      // gate). Pad terms match nothing (and even a freak match would
+      // only rank rows under a pad query_id — per-query scoring is
+      // independent, and idf is a corpus-only fact), so the real 3-probe
+      // slice must be hash-identical to the literal form: the gate
+      // reuses search_bm25_topk's oracle verbatim.
       import s.implicits._
       val pads = (0 until 1022).map(i => (f"pad_$i%04d", f"qzxpadterm$i%04d"))
       val battery = (Seq(
@@ -3255,6 +3257,25 @@ object SparkEntry {
       graft.operators.KeywordSearch.bm25Batch(
           T(s, dir, "documents"), "text", "doc_id", battery, "qid", "qtext", k = 10)
         .filter(col("query_id").isin("q_join", "q_scan", "q_stream"))
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "search_bm25_batch_explode" -> ((s, dir) => {
+      // r15: the EXPLODE+SEMI-JOIN posting build, branch-forced via
+      // kernelVocabCap = 0 (organically it now takes a >65,536-term
+      // vocabulary — too large to stage as a gate battery; the
+      // PlanAuditSpec xor pin covers the organic switch). Same battery
+      // and oracle as search_bm25_topk: the third posting-build shape
+      // over one DuckDB truth.
+      import s.implicits._
+      val battery = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25Batch(
+          T(s, dir, "documents"), "text", "doc_id", battery, "qid", "qtext",
+          k = 10, kernelVocabCap = 0)
         .select(col("query_id"), col("rank").cast(LongType).as("rank"),
           col("doc_id"), col("dl"), col("tf_total"))
         .orderBy("query_id", "rank")
@@ -4003,10 +4024,14 @@ object SparkEntry {
     // folds per-term contributions in query term order, so its ranking
     // must be hash-identical on the same battery
     ("search_bm25_batch" -> oracleSqlBase("search_bm25_topk")) +
-    // SAME oracle again: the 1,022 pad probes only force the explode
-    // posting-build branch — they match nothing and per-query scoring is
-    // independent, so the real-probe slice is the literal form's ranking
+    // SAME oracle again: the 1,022 pad probes only grow the vocabulary
+    // (r15: the sparse-kernel build at a size the dense kernel refused) —
+    // they match nothing and per-query scoring is independent, so the
+    // real-probe slice is the literal form's ranking
     ("search_bm25_batch_bigvocab" -> oracleSqlBase("search_bm25_topk")) +
+    // SAME oracle again (r15): the branch-forced explode+semi-join
+    // posting build — identical posting rows, identical ranking
+    ("search_bm25_batch_explode" -> oracleSqlBase("search_bm25_topk")) +
     // SAME oracle, third execution form (r14): the persisted posting
     // store with one append must rank hash-identically to the literal
     // plan over the same corpus

@@ -41,12 +41,30 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object KeywordSearch {
 
-  /** The one small-vocabulary threshold shared by every adaptive branch
-    * (bm25Batch's TermCounts-vs-explode posting build, the indexed
-    * search's pushed-IN-vs-semi-join pruning): TermCounts' linear probe
-    * + plan-literal comfort. Tuning it in one place keeps the forms'
-    * plan shapes switching at the SAME battery size (the PlanAuditSpec
-    * pins assume so). */
+  /** Vocabulary threshold for [[bm25Batch]]'s IN-SCAN posting build
+    * (the sparse [[graft.functions.TermPostings]] kernel, r15 — binary
+    * search over the sorted term table, O(tokens·log V) per row): past
+    * it, the build falls back to the full-corpus token explode +
+    * semi-join. The cap bounds the driver-side vocabulary collect and
+    * the term table riding each task binary (65,536 terms ≈ 1 MB — the
+    * ivfAssign centroid-cap scale), NOT kernel arithmetic: measured at
+    * sf0.1 the kernel path still beats the explode at 128k terms, so
+    * the cap is a memory/plan-size bound, not a perf crossover. (r13/r14
+    * capped this at 1,024 because the dense TermCounts kernel paid
+    * O(V) per row to materialize + posexplode the count vector.) */
+  private[operators] val KernelVocabCap = 65536
+
+  /** Vocabulary threshold for [[bm25SearchIndexed]]'s posting-store
+    * pruning: at or below it the battery vocabulary collects (bounded)
+    * and pushes into the posting scan as a `term IN (…)` filter —
+    * row-group min/max skipping over the term-sorted layout; past it the
+    * vocabulary stays data (semi-join). Deliberately SMALLER than
+    * [[KernelVocabCap]]: parquet converts an IN past
+    * `spark.sql.parquet.pushdown.inFilterThreshold` into a min/max range
+    * whose skipping power decays with battery spread, while the sparse
+    * kernel's cost does not grow with V at all — the two branches
+    * optimize different resources and earn different caps (r15; they
+    * shared one 1,024 cap through r14). */
   private[operators] val SmallVocabCap = 1024
 
   /** Driver-side idf — the ONE copy of the formula (bm25ModelFromIndex
@@ -220,12 +238,14 @@ object KeywordSearch {
     *    contribute once per occurrence — the literal form's semantics;
     *    `ord` is the term's position, `first_occ` marks one row per
     *    distinct term for the integer tf_total);
-    *  - corpus → POSTING table: explode tokens in the scan, keep only
-    *    battery-vocabulary terms (semi-join — broadcast for human-sized
-    *    vocabularies, shuffle for the million-probe form; AQE decides),
-    *    one map-side-combinable groupBy to (term, doc_id, tf, dl); the
-    *    persisted postings are ints + matched terms only — corpus text is
-    *    read twice (stats, postings), but never shuffled;
+    *  - corpus → POSTING table: one sparse in-scan kernel
+    *    ([[graft.functions.TermPostings]] — binary-search probe, emits
+    *    only matched (term, cnt) pairs) for vocabularies up to
+    *    [[KernelVocabCap]]; past it, explode tokens + vocabulary
+    *    semi-join + one map-side-combinable groupBy (vocabulary stays
+    *    data). Either way the persisted postings are ints + matched
+    *    terms only — corpus text is read twice (stats, postings), but
+    *    never shuffled;
     *  - per-term df → in-plan idf (same doubles as the literal path: the
     *    identical formula through the same JVM `ln`);
     *  - the RETRIEVAL JOIN: occurrences ⋈ postings on term — its output
@@ -244,7 +264,8 @@ object KeywordSearch {
   def bm25Batch(docs: DataFrame, textCol: String, idCol: String,
                 queries: DataFrame, qidCol: String, qtextCol: String,
                 k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-                scope: CacheScope = CacheScope.untracked): DataFrame = {
+                scope: CacheScope = CacheScope.untracked,
+                kernelVocabCap: Int = KernelVocabCap): DataFrame = {
     val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
 
     // persisted: occurrence rows feed the vocabulary AND the retrieval join
@@ -284,32 +305,33 @@ object KeywordSearch {
     val nTerms = if (qRow.isNullAt(4)) 0L else qRow.getLong(4)
 
     // ADAPTIVE posting build (both paths emit identical rows):
-    //  - small vocabulary (most real batteries share terms heavily —
-    //    1,000 probes over this corpus distinct to ~30 terms): ONE
-    //    codegen'd TermCounts scan, no token explode, no corpus-volume
-    //    shuffle — the 19M-token explode+semi-join+groupBy measured ~10×
-    //    this path's cost for the same 116k postings;
-    //  - large vocabulary (the true million-probe shape): explode +
-    //    vocabulary semi-join + map-side-combined groupBy — vocabulary
-    //    stays DATA, the plan stays constant-size.
-    val smallVocabCap = SmallVocabCap
+    //  - vocabulary within the kernel cap (every realistic battery —
+    //    10⁵ distinct probe terms covers a 10⁴–10⁶-probe
+    //    decontamination sweep, whose probes share terms heavily): ONE
+    //    codegen'd sparse TermPostings scan — binary-search probe, no
+    //    token explode, no corpus-volume shuffle, per-row output only
+    //    the matched (term, cnt) pairs (the r13 dense-kernel path paid
+    //    O(|vocab|) per row to materialize + posexplode the count
+    //    vector, which is why its cap sat at 1,024);
+    //  - beyond the cap (vocabulary too large to collect / ride tasks):
+    //    explode + vocabulary semi-join + map-side-combined groupBy —
+    //    vocabulary stays DATA, the plan stays constant-size.
     // the probe already counted distinct terms, so the term pull itself
-    // runs ONLY in the small case — a bounded ≤1024-row collect over the
+    // runs ONLY in the small case — a cap-bounded collect over the
     // persisted occurrence rows; a million-term battery never collects
     val smallVocab: Option[Seq[String]] =
-      if (nTerms > 0 && nTerms <= smallVocabCap)
+      if (nTerms > 0 && nTerms <= kernelVocabCap)
         Some(vocab.collect().map(_.getString(0)).sorted.toSeq)
       else None
     val postingRows = smallVocab match {
       case Some(terms) =>
         import org.apache.spark.sql.GraftColumnBridge
-        val tf = GraftColumnBridge.column(graft.functions.TermCounts(
+        val tc = GraftColumnBridge.column(graft.functions.TermPostings(
           GraftColumnBridge.expression(toks), terms))
         docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
-            posexplode(tf))
-          .filter(col("col") > 0)
-          .select(element_at(lit(terms.toArray), col("pos") + 1).as("term"),
-            col("doc_id"), col("col").cast(LongType).as("tf"), col("dl"))
+            explode(tc).as("tc"))
+          .select(col("tc.term").as("term"), col("doc_id"),
+            col("tc.cnt").cast(LongType).as("tf"), col("dl"))
           // spread the postings: the retrieval join builds on the (tiny,
           // broadcast) battery and STREAMS this side, fanning each posting
           // out by its matching query occurrences — left at the corpus

@@ -1761,22 +1761,34 @@ class KeywordSearchSpec extends AnyFunSuite {
       docs, "text", "doc_id", batteryA.toDF("qid", "qtext"), "qid", "qtext", k = 4))
     assert(invA == litA, s"\nwide-ord batch: $invA\nliteral: $litA") // float bits included
 
-    // (b) 1,023 distinct pad terms push the vocabulary past the 1,024
-    //     TermCounts cap → explode+semi-join posting build (short probes:
-    //     pivot fold); pads match nothing, so the real-probe slice is the
-    //     literal ranking
+    // (b) kernelVocabCap = 0 forces the EXPLODE+SEMI-JOIN posting build
+    //     (the organic threshold is 65,536 since r15 — too large for a
+    //     unit battery; the PlanAuditSpec xor pin covers the organic
+    //     switch); pad terms keep the vocabulary non-trivial and match
+    //     nothing, so the real-probe slice is the literal ranking
     val pads = (0 until 1023).map(i => (f"pad$i%04d", f"qzxpad$i%04d"))
     val batteryB = Seq(("q1", "cat dog"), ("q2", "cat cat zebra"), ("q3", "bird fish"))
     val litB = rows(graft.operators.KeywordSearch.bm25TopK(
       docs, "text", "doc_id", batteryB, k = 3))
     val invB = rows(graft.operators.KeywordSearch.bm25Batch(
-        docs, "text", "doc_id", (batteryB ++ pads).toDF("qid", "qtext"), "qid", "qtext", k = 3)
+        docs, "text", "doc_id", (batteryB ++ pads).toDF("qid", "qtext"), "qid", "qtext", k = 3,
+        kernelVocabCap = 0)
       .filter(col("query_id").isin("q1", "q2", "q3")))
     assert(invB == litB, s"\nbig-vocab batch: $invB\nliteral: $litB")
 
-    // (c) both scale branches at once: explode postings + ordered fold
+    // (b') the same pad battery through the ORGANIC branch — the sparse
+    //      TermPostings kernel at a >1,024-term vocabulary (the size that
+    //      used to force the explode): rows must equal the literal form
+    //      AND the forced-explode form bit-for-bit
+    val invB2 = rows(graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", (batteryB ++ pads).toDF("qid", "qtext"), "qid", "qtext", k = 3)
+      .filter(col("query_id").isin("q1", "q2", "q3")))
+    assert(invB2 == litB, s"\nkernel big-vocab batch: $invB2\nliteral: $litB")
+
+    // (c) both scale branches at once: forced explode postings + ordered fold
     val invC = rows(graft.operators.KeywordSearch.bm25Batch(
-        docs, "text", "doc_id", (batteryA ++ pads).toDF("qid", "qtext"), "qid", "qtext", k = 4)
+        docs, "text", "doc_id", (batteryA ++ pads).toDF("qid", "qtext"), "qid", "qtext", k = 4,
+        kernelVocabCap = 0)
       .filter(col("query_id").isin("q1", "qw")))
     assert(invC == litA, s"\nexplode+fold batch: $invC\nliteral: $litA")
   }

@@ -452,20 +452,22 @@ class PlanAuditSpec extends AnyFunSuite {
         docs, "text", "doc_id", battery, "qid", "qtext", k = 5).queryExecution
       qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
     }
-    // small vocabulary + short probe → ONE codegen'd TermCounts kernel
-    // scan builds postings (no token explode, no semi-join) and the
-    // score reduction is the pivoted __s<i> HashAggregate
+    // vocabulary within the kernel cap + short probe → ONE codegen'd
+    // sparse TermPostings kernel scan builds postings (no token explode,
+    // no semi-join) and the score reduction is the pivoted __s<i>
+    // HashAggregate
     val small = planOf(Seq(("q1", "word1 common term")).toDF("qid", "qtext"))
-    assert(small.toLowerCase.contains("termcounts"), small.take(2500))
+    assert(small.toLowerCase.contains("termpostings"), small.take(2500))
     assert(!small.contains("LeftSemi"), small.take(2500))
     // the per-ord pivot survives column pruning as sum(CASE WHEN (ord=i))
     assert(small.contains("CASE WHEN (ord#"), small.take(2500))
     assert(!small.toLowerCase.contains("orderedcontribsum"), small.take(2500))
-    // >1024 distinct terms → the kernel is ABSENT and postings build via
-    // explode + vocabulary semi-join (the battery stays data, not plan)
-    val big = planOf((0 until 1025).map(i => (f"p$i%04d", f"qzxpad$i%04d"))
+    // past the ORGANIC 65,536-term kernel cap (r15; was 1,024 with the
+    // dense TermCounts kernel) → the kernel is ABSENT and postings build
+    // via explode + vocabulary semi-join (the battery stays data, not plan)
+    val big = planOf((0 until 65537).map(i => (f"p$i%05d", f"qzxpad$i%05d"))
       .toDF("qid", "qtext"))
-    assert(!big.toLowerCase.contains("termcounts"), big.take(2500))
+    assert(!big.toLowerCase.contains("termpostings"), big.take(2500))
     assert(big.contains("LeftSemi"), big.take(2500))
     // a ≥32-token probe → the pivot is ABSENT and the reduction is the
     // native ordered fold over collect_list
