@@ -48,9 +48,12 @@ import org.apache.spark.sql.GraftColumnBridge
   * `meta.json` writes LAST and atomically (staged hidden sibling +
   * `FileContext` rename), so a reader mid-append sees the old consistent
   * snapshot and a crashed append leaves only an orphan batch dir that the
-  * next append's overwrite-mode write clobbers. Appends are SINGLE-WRITER;
-  * the optimistic meta recheck turns the common interleaving into a loud
-  * refusal.
+  * next append's overwrite-mode write clobbers. A REBUILD
+  * (`annIndexBuild(overwrite = true)`) stages the whole new store in a
+  * hidden sibling dir and swaps it in only after the staged meta commits
+  * (r15) — a failed rebuild leaves the old index byte-intact. Appends and
+  * rebuilds are SINGLE-WRITER; the optimistic meta recheck turns the
+  * common append interleaving into a loud refusal.
   *
   * Search results are BIT-IDENTICAL to [[Similarity.pqTopK]] run with the
   * same parameters over the same corpus (same NearestCells/PqEncode/
@@ -76,16 +79,18 @@ object AnnIndex {
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val exists = fs.exists(metaPath)
-    require(!exists || overwrite,
-      s"annIndexBuild: '$dir' already holds an index — pass overwrite = true " +
-        "to rebuild, or annIndexAppend to grow it")
-    // validation and the training jobs run BEFORE the destructive delete,
-    // so an empty/indivisible training set or a failed k-means never
-    // destroys a good index. (An encode-time failure in the batch write
-    // below — duplicate corpus ids — can still fire after the delete;
-    // rebuilds of a store that must survive a failed build should target
-    // a fresh dir and swap.)
+    if (fs.exists(metaPath))
+      require(overwrite,
+        s"annIndexBuild: '$dir' already holds an index — pass overwrite = true " +
+          "to rebuild, or annIndexAppend to grow it")
+    else if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+      // a non-empty dir that is NOT a store holds someone else's bytes —
+      // the swap below deletes the root, so clobbering it needs the same
+      // explicit opt-in a store rebuild does (an empty placeholder dir —
+      // the createTempDirectory pattern — replaces silently)
+      require(overwrite,
+        s"annIndexBuild: '$dir' exists, is not an ann index, and is not " +
+          "empty — pass overwrite = true to replace it")
     val trainDf = train.getOrElse(corpus)
     val probe = trainDf.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1).collect()
     require(probe.nonEmpty, "annIndexBuild: training set has no vectors")
@@ -96,10 +101,18 @@ object AnnIndex {
       Similarity.kmeansCentroidArrays(trainDf, idCol, vecCol, nCells, kmeansIters)
     val books =
       Similarity.pqCodebooks(trainDf, idCol, vecCol, dim, m, nCentroids, kmeansIters)
-    if (exists) fs.delete(root, true)
-    writeModel(fs, root, cents, books)
-    val n = writeBatch(corpus, idCol, vecCol, dir, batch = 0, dim, cents, books)
-    writeMeta(fs, metaPath, batches = 1, n = n, dim = dim, m = m)
+    // r15: the whole store builds into a hidden STAGED sibling and swaps
+    // into place only after the staged meta commits — a failure anywhere
+    // in training, encoding, or the batch write (duplicate corpus ids, a
+    // wrong-dim vector, executor loss) leaves the existing index
+    // byte-intact (the r14 delete-then-write window).
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
+    writeModel(fs, staged, cents, books)
+    val n = writeBatch(corpus, idCol, vecCol, staged.toString, batch = 0, dim, cents, books)
+    writeMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
+      batches = 1, n = n, dim = dim, m = m)
+    graft.sources.StoreMeta.swapInto(fs, staged, root)
   }
 
   /** Append a vector delta: only the DELTA is scanned and encoded (under

@@ -450,7 +450,10 @@ object KeywordSearch {
     * consistent snapshot: batch dirs beyond `batches` are invisible, a
     * crashed append leaves only an orphan dir the next append's
     * overwrite-mode write clobbers, and a crash mid-meta-write can
-    * never leave a truncated meta that bricks the store.
+    * never leave a truncated meta that bricks the store. A REBUILD
+    * (`bm25IndexBuild(overwrite = true)`) stages the whole new store in
+    * a hidden sibling dir and swaps it in only after the staged meta
+    * commits (r15) — a failed rebuild leaves the old index byte-intact.
     * [[bm25SearchIndexed]] reads exactly the meta'd batches, prunes the
     * postings by the battery vocabulary, and runs the SAME retrieval
     * tail as bm25Batch — scores bit-identical to [[bm25TopK]] over the
@@ -467,14 +470,28 @@ object KeywordSearch {
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    if (fs.exists(metaPath)) {
+    if (fs.exists(metaPath))
       require(overwrite,
         s"bm25IndexBuild: '$dir' already holds an index — pass overwrite = true " +
           "to rebuild, or bm25IndexAppend to grow it")
-      fs.delete(root, true)
-    }
-    val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, dir, batch = 0)
-    writeIndexMeta(fs, metaPath, batches = 1, n = n, sumdl = sumdl)
+    else if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+      // a non-empty dir that is NOT a store holds someone else's bytes —
+      // the swap below deletes the root, so clobbering it needs the same
+      // explicit opt-in a store rebuild does (an empty placeholder dir —
+      // the createTempDirectory pattern — replaces silently)
+      require(overwrite,
+        s"bm25IndexBuild: '$dir' exists, is not a bm25 index, and is not " +
+          "empty — pass overwrite = true to replace it")
+    // r15: the whole store builds into a hidden STAGED sibling and swaps
+    // into place only after the staged meta commits — an encode/write
+    // failure mid-rebuild (duplicate ids, executor loss) can no longer
+    // destroy the existing index (the r14 delete-then-write window).
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
+    val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, staged.toString, batch = 0)
+    writeIndexMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
+      batches = 1, n = n, sumdl = sumdl)
+    graft.sources.StoreMeta.swapInto(fs, staged, root)
   }
 
   /** Append a document delta to an existing index — only the DELTA is

@@ -24,6 +24,36 @@ private[graft] object StoreMeta {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Hidden staging sibling for a WHOLE-STORE rebuild (r15): a rebuild
+    * writes its complete store — batches, model, its own meta LAST —
+    * under this path, then [[swapInto]] replaces the live root. Hidden
+    * (dot-prefixed) so Spark file listings and store readers never see
+    * it; a sibling (same parent) so the final rename never crosses a
+    * filesystem. A stale dir here is a crashed rebuild — callers delete
+    * it before staging anew. */
+  def stagedSibling(root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.rebuild")
+
+  /** Swap a fully-built staged store into place: delete the old root (if
+    * any), rename staged → root. The ONLY destructive step of a rebuild,
+    * and it runs after the staged store is complete and self-described —
+    * a failure anywhere earlier leaves the old store byte-intact. A crash
+    * BETWEEN the delete and the rename leaves no live root but a
+    * complete staged sibling next to it (recoverable by renaming it into
+    * place by hand); that is the narrow residual window directory
+    * renames cannot close without a filesystem-level transaction.
+    * Rebuilds are single-writer, like appends: two concurrent rebuilds
+    * would race one staged path. */
+  def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+               staged: org.apache.hadoop.fs.Path,
+               root: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(root)) fs.delete(root, true)
+    require(fs.rename(staged, root),
+      s"store rebuild: rename '$staged' -> '$root' failed — the old store is " +
+        "deleted but the complete rebuilt store is at the staged path; " +
+        "rename it into place manually")
+  }
+
   /** Parse a JSON file and refuse loudly unless its `format` field equals
     * `format` and its `version` field equals `version` — an unknown layout
     * must never be misread (its fields could mean something else). */

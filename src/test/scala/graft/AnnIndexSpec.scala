@@ -180,6 +180,67 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e4.getMessage.contains("re-uses ids"))
   }
 
+  test("poisoned rebuild leaves the old index byte-intact and searchable (r15)") {
+    // r15 staged-rebuild posture: overwrite = true builds the whole new
+    // store into a hidden sibling and swaps only after the staged meta
+    // commits — so an encode-time failure (here: duplicate corpus ids,
+    // refused by the batch write's read-back validation) must leave the
+    // live store untouched, not deleted (the r14 delete-then-write window)
+    val dir = freshDir("poison")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    def storeFiles: Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      val walk = java.nio.file.Files.walk(root)
+      try walk.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out(root.relativize(p).toString) =
+            (java.nio.file.Files.size(p),
+             java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      } finally walk.close()
+      out.toMap
+    }
+    val before = storeFiles
+    val dup = emb.filter(col("vec_id") < 50)
+      .unionByName(emb.filter(col("vec_id") < 50))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexBuild(dup, "vec_id", "embedding", dir,
+        nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1, overwrite = true)
+    }
+    assert(e.getMessage.contains("duplicate ids"))
+    assert(storeFiles == before) // same names, sizes, mtimes — untouched
+    val q = emb.filter(col("vec_id") < 2)
+    assert(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, refine = 4).count() == 10L)
+    // a subsequent good rebuild clobbers the stale staged dir and swaps in
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 80), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1, overwrite = true)
+    assert(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = 5, nProbe = 4, refine = 4).count() == 10L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).getParent.resolve(
+        "." + java.nio.file.Paths.get(dir).getFileName.toString + ".rebuild")))
+  }
+
+  test("build refuses a non-empty non-store dir without overwrite (r15)") {
+    // the swap deletes the root, so silently clobbering a dir that holds
+    // someone else's bytes needs the explicit overwrite opt-in; an EMPTY
+    // placeholder dir (the createTempDirectory pattern) replaces silently
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_nonstore")
+    java.nio.file.Files.writeString(dir.resolve("precious.txt"), "bytes")
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+        dir.toString, nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    }
+    assert(e.getMessage.contains("is not an ann index"))
+    assert(java.nio.file.Files.exists(dir.resolve("precious.txt")))
+    val empty = java.nio.file.Files.createTempDirectory("graft_annidx_emptydir")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+      empty.toString, nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    assert(java.nio.file.Files.exists(empty.resolve("meta.json")))
+  }
+
   test("refuses building over an existing store without overwrite, and non-index dirs") {
     val dir = freshDir("ow")
     AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding", dir,

@@ -1938,6 +1938,59 @@ class Bm25IndexSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
     assert(a === c)
   }
+
+  test("poisoned rebuild leaves the old posting index byte-intact and searchable (r15)") {
+    // r15 staged-rebuild posture (the AnnIndexSpec twin): overwrite = true
+    // builds into a hidden sibling and swaps only after the staged meta
+    // commits, so an encode-time failure — duplicate doc ids, refused by
+    // the batch write's read-back validation — leaves the live store
+    // untouched rather than deleted
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_poison").toString
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 100), "text", "doc_id", dir, overwrite = true)
+    def storeFiles: Map[String, (Long, Long)] = {
+      val root = java.nio.file.Paths.get(dir)
+      val out = scala.collection.mutable.Map[String, (Long, Long)]()
+      val walk = java.nio.file.Files.walk(root)
+      try walk.forEach { p =>
+        if (java.nio.file.Files.isRegularFile(p))
+          out(root.relativize(p).toString) =
+            (java.nio.file.Files.size(p),
+             java.nio.file.Files.getLastModifiedTime(p).toMillis)
+      } finally walk.close()
+      out.toMap
+    }
+    val before = storeFiles
+    val dup = docs.filter(col("doc_id") < 50)
+      .unionByName(docs.filter(col("doc_id") < 50))
+    val e = intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexBuild(dup, "text", "doc_id", dir, overwrite = true)
+    }
+    assert(e.getMessage.contains("duplicate doc ids"))
+    assert(storeFiles == before) // same names, sizes, mtimes — untouched
+    val battery = Seq(("q1", "spark hash join")).toDF("qid", "qtext")
+    assert(KeywordSearch.bm25SearchIndexed(spark, dir, battery, "qid", "qtext",
+      k = 5).count() == 5L)
+    // a subsequent good rebuild clobbers the stale staged dir and swaps in
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 80), "text", "doc_id", dir, overwrite = true)
+    assert(KeywordSearch.bm25SearchIndexed(spark, dir, battery, "qid", "qtext",
+      k = 5).count() == 5L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).getParent.resolve(
+        "." + java.nio.file.Paths.get(dir).getFileName.toString + ".rebuild")))
+    // a non-empty NON-STORE dir refuses without overwrite (the swap would
+    // delete it); an empty placeholder dir replaces silently
+    val plain = java.nio.file.Files.createTempDirectory("graft_bm25_nonstore")
+    java.nio.file.Files.writeString(plain.resolve("precious.txt"), "bytes")
+    val e2 = intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexBuild(
+        docs.filter(col("doc_id") < 50), "text", "doc_id", plain.toString)
+    }
+    assert(e2.getMessage.contains("is not a bm25 index"))
+    assert(java.nio.file.Files.exists(plain.resolve("precious.txt")))
+  }
 }
 
 class PqSpec extends AnyFunSuite {
