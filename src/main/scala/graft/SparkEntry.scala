@@ -3334,6 +3334,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_deleted" -> ((s, dir) => {
+      // r15: the DELETE plane — build over the corpus PLUS five poison
+      // docs stuffed with every battery term (they would rank top if the
+      // tombstone anti-join leaked anywhere: scoring, df, or the meta's
+      // n/avgdl, all of which the delete adjusts), then DELETE them. The
+      // search must be hash-identical to the literal form over the
+      // ORIGINAL corpus — the search_bm25_topk oracle reused verbatim, a
+      // FIFTH execution shape (store with tombstones) over one truth.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_del_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val extra = s.range(5).select((col("id") + 10000000L).as("doc_id"),
+        lit("spark hash join fast table scan stream window agg").as("text"))
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs.unionByName(extra), "text", "doc_id", root, overwrite = true)
+      graft.operators.KeywordSearch.bm25IndexDelete(
+        s, root, extra.select("doc_id"), "doc_id")
+      val battery = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25SearchIndexed(
+          s, root, battery, "qid", "qtext", k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf_total"))
+        .orderBy("query_id", "rank")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
       // brute-force cosine ranking fused by reciprocal rank (Cormack
@@ -3546,6 +3573,49 @@ object SparkEntry {
         lit("ivfpq_compact").as("method"), lit(nQueries).as("n_queries"),
         lit(mism == 0L).as("compact_equals_source"),
         lit(dstMeta.contains("\"batches\": 1")).as("single_batch"))
+    }),
+
+    "ann_index_delete" -> ((s, dir) => {
+      // r15: the vector DELETE plane — build the FULL corpus, delete the
+      // odd half, and pin the search bit-identical to a from-scratch
+      // build of the surviving even half under the SAME training input
+      // (train = Some(full) — the frozen-model contract makes deletion
+      // purely subtractive). Deleted vectors must vanish from the
+      // ranking; compaction must drop the tombstoned rows physically,
+      // reset the plane, and search identically.
+      val emb  = T(s, dir, "embeddings")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd  = emb.filter(col("vec_id") % 2 === 1)
+      val rootA = s"/tmp/graft_ann_del_${tmpToken(dir)}"
+      val rootB = s"/tmp/graft_ann_delrb_${tmpToken(dir)}"
+      val rootC = s"/tmp/graft_ann_delc_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", rootA,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      graft.operators.AnnIndex.annIndexDelete(s, rootA,
+        odd.select("vec_id"), "vec_id")
+      graft.operators.AnnIndex.annIndexBuild(even, "vec_id", "embedding", rootB,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2,
+        train = Some(emb), overwrite = true)
+      val q = emb.filter(col("vec_id") < 3)
+      def searched(root: String) = graft.operators.AnnIndex.annSearchIndexed(
+        s, root, q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
+      val a = searched(rootA).localCheckpoint(true)
+      val mism = topKMismatches(a, searched(rootB))
+      val deletedAbsent = a.filter(col("neighbor_id") % 2 === 1).count() == 0L
+      graft.operators.AnnIndex.annIndexCompact(s, rootA, rootC, overwrite = true)
+      val mismC = topKMismatches(searched(rootC), a)
+      val dropped = s.read.parquet(s"$rootC/vectors/b0")
+        .filter(col("id") % 2 === 1).count() == 0L
+      val metaC = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rootC, "meta.json")), "UTF-8")
+      val nQueries = q.select("vec_id").distinct().count()
+      s.range(1).select(
+        lit("ivfpq_delete").as("method"), lit(nQueries).as("n_queries"),
+        lit(mism == 0L).as("delete_equals_rebuild"),
+        lit(deletedAbsent).as("deleted_absent"),
+        lit(mismC == 0L).as("compact_equals"),
+        lit(dropped && metaC.contains("\"tombBatches\": 0"))
+          .as("tombstones_dropped"))
     }),
 
     "pipeline_semdedup" -> ((s, dir) => {
@@ -4040,6 +4110,11 @@ object SparkEntry {
     // hash-identically — compaction rewrites postings globally
     // term-sorted but never re-tokenizes or changes a single posting
     ("search_bm25_compacted" -> oracleSqlBase("search_bm25_topk")) +
+    // SAME oracle a FIFTH time (r15): build-with-poison-docs + DELETE
+    // must rank hash-identically to the literal form over the original
+    // corpus — the tombstone plane must be invisible in scores, df, and
+    // the meta's n/avgdl
+    ("search_bm25_deleted" -> oracleSqlBase("search_bm25_topk")) +
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +
@@ -5769,6 +5844,14 @@ object SparkEntry {
         |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
         |       TRUE AS compact_equals_source,
         |       TRUE AS single_batch
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    "ann_index_delete" ->
+      """SELECT 'ivfpq_delete' AS method,
+        |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |       TRUE AS delete_equals_rebuild,
+        |       TRUE AS deleted_absent,
+        |       TRUE AS compact_equals,
+        |       TRUE AS tombstones_dropped
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
 
     // normalization oracle: identical messy-suffix construction, then

@@ -25,6 +25,10 @@ import org.apache.spark.sql.GraftColumnBridge
   *                              (id, codes array<int>, vnorm double,
   *                               vec array<float>), hive-partitioned by
   *                              coarse cell
+  *   <dir>/tombstones/b<i>/part-….parquet
+  *                              (id) — deleted vectors (r15); searches
+  *                              anti-join this plane, compaction drops
+  *                              the rows physically and resets it
   *
   * Why this layout carries to 100 TB:
   *  - probes PRUNE PARTITIONS: a query touches `nProbe` of `nCells`
@@ -111,7 +115,7 @@ object AnnIndex {
     writeModel(fs, staged, cents, books)
     val n = writeBatch(corpus, idCol, vecCol, staged.toString, batch = 0, dim, cents, books)
     writeMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
-      batches = 1, n = n, dim = dim, m = m)
+      batches = 1, n = n, dim = dim, m = m, tombBatches = 0)
     graft.sources.StoreMeta.swapInto(fs, staged, root)
   }
 
@@ -123,17 +127,21 @@ object AnnIndex {
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val (batches, n0, dim, m) = readMeta(fs, metaPath, dir)
+    val (batches, n0, dim, m, tomb) = readMeta(fs, metaPath, dir)
     val (cents, books) = readModel(fs, root, dir)
     checkModel(cents, books, dim, m, dir)
     // id-collision guard vs the store: a delta-sized semi-join against the
-    // store's one pruned id column — never a vector-volume read
+    // store's one pruned id column — never a vector-volume read.
+    // Deliberately UNFILTERED by tombstones: re-appending a DELETED id
+    // would resurrect it only until the tombstone anti-join killed both
+    // rows — refuse; compaction reclaims the id.
     val old = readBatches(spark, dir, batches).select("id")
     val clash = delta.select(col(idCol).as("id"))
       .join(old, Seq("id"), "left_semi").limit(1).count()
     require(clash == 0L,
-      s"annIndexAppend: delta re-uses ids already in '$dir' — index semantics " +
-        "are per-vector; assign fresh ids or rebuild")
+      s"annIndexAppend: delta re-uses ids already in (or deleted from) " +
+        s"'$dir' — index semantics are per-vector; assign fresh ids, or " +
+        "compact to reclaim deleted ids")
     val dn = writeBatch(delta, idCol, vecCol, dir, batch = batches, dim, cents, books)
     // optimistic single-writer check (the bm25-index convention): if
     // another append committed while this one wrote, both targeted the
@@ -141,13 +149,64 @@ object AnnIndex {
     // This is a GUARD, not a lock: two truly concurrent writers can still
     // clobber each other's uncommitted batch dir (appends are
     // single-writer by contract); the guard makes the common interleaving
-    // — one writer committing while the other is mid-write — loud.
-    val (batchesNow, _, _, _) = readMeta(fs, metaPath, dir)
-    require(batchesNow == batches,
-      s"annIndexAppend: concurrent append detected on '$dir' (batches " +
-        s"advanced $batches → $batchesNow mid-append) — appends are " +
-        "single-writer; retry this delta")
-    writeMeta(fs, metaPath, batches + 1, n0 + dn, dim, m)
+    // — one writer committing while the other is mid-write — loud. A
+    // delete landing mid-append would likewise be overwritten — same
+    // refusal.
+    val (batchesNow, _, _, _, tombNow) = readMeta(fs, metaPath, dir)
+    require(batchesNow == batches && tombNow == tomb,
+      s"annIndexAppend: concurrent writer detected on '$dir' (batches " +
+        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
+        "mid-append) — the store is single-writer; retry this delta")
+    writeMeta(fs, metaPath, batches + 1, n0 + dn, dim, m, tomb)
+  }
+
+  /** DELETE vectors from the index (r15) — the takedown/dedup-prune
+    * maintenance path, the [[KeywordSearch.bm25IndexDelete]] twin on the
+    * vector plane: a tombstone batch appends under the store's crash
+    * posture (batch dir first, meta LAST and atomic), both search forms
+    * anti-join the tombstone plane (broadcast — above the scan, so
+    * partition pruning and column pruning are untouched), and
+    * [[annIndexCompact]] physically drops the rows and resets the plane.
+    * The frozen model never moves, so search over the store-with-deletes
+    * is BIT-IDENTICAL to a from-scratch rebuild of the surviving vectors
+    * trained on the same sample (the gate's pin). `ids` must be
+    * distinct, present, and not already deleted; deleted ids stay
+    * reserved until a compact (append refuses them). */
+  def annIndexDelete(spark: SparkSession, dir: String,
+                     ids: DataFrame, idCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+    val (batches, n, dim, m, tomb) = readMeta(fs, metaPath, dir)
+    // write FIRST, validate from the WRITTEN bytes (the store convention
+    // — a pre-flight check of a non-deterministic `ids` frame is TOCTOU);
+    // on refusal, meta is untouched and the orphan tombstone dir is
+    // invisible until the next delete's overwrite-mode write clobbers it
+    val delProj = ids.select(col(idCol).as("id"))
+    delProj.write.mode("overwrite").parquet(s"$dir/tombstones/b$tomb")
+    val written = spark.read.schema(delProj.schema)
+      .parquet(s"$dir/tombstones/b$tomb")
+    val liveIds = dropTombstoned(spark,
+      readBatches(spark, dir, batches).select("id"), dir, tomb)
+      .withColumn("__live", lit(1))
+    val st = written.join(liveIds, Seq("id"), "left")
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("nd"),
+        coalesce(sum(col("__live")), lit(0L)).as("live")).head()
+    val dn = st.getLong(0)
+    require(dn > 0L, s"annIndexDelete: empty id set — nothing to delete in '$dir'")
+    require(st.getLong(1) == dn,
+      s"annIndexDelete: id set has ${dn - st.getLong(1)} duplicates — a " +
+        "double delete would subtract the vector count twice; dedupe ids first")
+    require(st.getLong(2) == dn,
+      s"annIndexDelete: ${dn - st.getLong(2)} ids are not live in '$dir' " +
+        "(absent or already deleted) — deletes must name existing vectors")
+    val (batchesNow, _, _, _, tombNow) = readMeta(fs, metaPath, dir)
+    require(batchesNow == batches && tombNow == tomb,
+      s"annIndexDelete: concurrent writer detected on '$dir' (batches " +
+        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
+        "mid-delete) — the store is single-writer; retry")
+    writeMeta(fs, metaPath, batches, n - dn, dim, m, tomb + 1)
   }
 
   /** Search the index: zero corpus scans, zero training — probed cells
@@ -219,7 +278,7 @@ object AnnIndex {
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
     val srcMetaPath = new org.apache.hadoop.fs.Path(srcRoot, "meta.json")
-    val (batches, n, dim, m) = readMeta(srcFs, srcMetaPath, srcDir)
+    val (batches, n, dim, m, tomb) = readMeta(srcFs, srcMetaPath, srcDir)
     val (cents, books) = readModel(srcFs, srcRoot, srcDir)
     checkModel(cents, books, dim, m, srcDir)
     val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
@@ -246,25 +305,34 @@ object AnnIndex {
     val modelOut = dstFs.create(
       new org.apache.hadoop.fs.Path(dstRoot, "model.json"), true)
     try modelOut.write(srcModelBytes) finally modelOut.close()
-    val all = readBatches(spark, dir = srcDir, batches)
+    // tombstoned vectors DROP PHYSICALLY here (the reclamation path):
+    // the rewrite reads the live view, and the destination resets
+    // tombBatches to 0 — after a compact the deleted ids are free again
+    val all = dropTombstoned(spark,
+        readBatches(spark, dir = srcDir, batches), srcDir, tomb)
       .select("id", "cell", "codes", "vnorm", "vec")
     all.repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dstDir/vectors/b0")
     // validate the rewrite against the SOURCE meta before committing:
-    // a row-count drift means a torn source or a lost write — refuse
-    // rather than bless a store that silently dropped vectors
+    // meta's n is the live count (deletes already subtracted), so this
+    // equality also validates the tombstone drop — a drift means a torn
+    // source or a lost write; refuse rather than bless a store that
+    // silently dropped (or resurrected) vectors
     val written = spark.read.schema(all.schema)
       .parquet(s"$dstDir/vectors/b0").count()
     require(written == n,
       s"annIndexCompact: rewrote $written rows but '$srcDir' meta says $n — " +
         "source store torn or write incomplete; not committing")
-    // optimistic recheck (the append convention): an append landing on
-    // the source mid-compact would otherwise vanish at the caller's swap
-    val (batchesNow, _, _, _) = readMeta(srcFs, srcMetaPath, srcDir)
-    require(batchesNow == batches,
-      s"annIndexCompact: '$srcDir' grew $batches → $batchesNow batches " +
-        "mid-compact — re-run to include the new batch")
-    writeMeta(dstFs, dstMeta, batches = 1, n = n, dim = dim, m = m)
+    // optimistic recheck (the append convention): an append or delete
+    // landing on the source mid-compact would otherwise vanish at the
+    // caller's swap
+    val (batchesNow, _, _, _, tombNow) = readMeta(srcFs, srcMetaPath, srcDir)
+    require(batchesNow == batches && tombNow == tomb,
+      s"annIndexCompact: '$srcDir' moved ($batches → $batchesNow batches, " +
+        s"$tomb → $tombNow tombstone batches) mid-compact — re-run to " +
+        "include the new writes")
+    writeMeta(dstFs, dstMeta, batches = 1, n = n, dim = dim, m = m,
+      tombBatches = 0)
   }
 
   /** Battery-scale search — the queries stay DATA (the bm25 big-battery
@@ -343,18 +411,21 @@ object AnnIndex {
   }
 
   /** The shared store-opening header of both search forms: meta + model
-    * reads, cross-checks, and the unioned batch view. */
+    * reads, cross-checks, and the unioned batch view — tombstone-filtered
+    * (the LIVE view; a deleted vector can neither be a candidate nor a
+    * re-rank survivor). */
   private def openStore(spark: SparkSession, dir: String, caller: String)
       : (Int, Array[Array[Float]], Array[Array[Array[Float]]], DataFrame) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, dim, m) = readMeta(fs,
+    val (batches, n, dim, m, tomb) = readMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
     require(n > 0, s"$caller: index at '$dir' holds no vectors")
     val (cents, books) = readModel(fs, root, dir)
     checkModel(cents, books, dim, m, dir)
-    (dim, cents, books, readBatches(spark, dir, batches))
+    (dim, cents, books,
+      dropTombstoned(spark, readBatches(spark, dir, batches), dir, tomb))
   }
 
   /** Each batch root is hive-partitioned by `cell`; reading roots one by
@@ -430,21 +501,41 @@ object AnnIndex {
     * mid-write leaves the OLD meta readable. */
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
                         metaPath: org.apache.hadoop.fs.Path,
-                        batches: Int, n: Long, dim: Int, m: Int): Unit =
+                        batches: Int, n: Long, dim: Int, m: Int,
+                        tombBatches: Int): Unit =
     graft.sources.StoreMeta.atomicWriteJson(fs, metaPath,
       s"""{"format": "graft-ann-index", "version": 1, """ +
-        s""""batches": $batches, "n": $n, "dim": $dim, "m": $m}""")
+        s""""batches": $batches, "n": $n, "dim": $dim, "m": $m, """ +
+        s""""tombBatches": $tombBatches}""")
 
+  /** (batches, n, dim, m, tombBatches). `n` is the LIVE vector count —
+    * [[annIndexDelete]] subtracts at commit time. `tombBatches` is absent
+    * in pre-r15 stores (semantically 0 — fully readable). */
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
                        metaPath: org.apache.hadoop.fs.Path,
-                       dir: String): (Int, Long, Int, Int) = {
+                       dir: String): (Int, Long, Int, Int, Int) = {
     require(fs.exists(metaPath),
       s"'$dir' is not an ann index (no meta.json — build one with annIndexBuild)")
     val j = graft.sources.StoreMeta.parseChecked(fs, metaPath, dir,
       "graft-ann-index", version = 1L)
     def long(field: String): Long = graft.sources.StoreMeta.longField(j, field, dir)
-    (long("batches").toInt, long("n"), long("dim").toInt, long("m").toInt)
+    (long("batches").toInt, long("n"), long("dim").toInt, long("m").toInt,
+      graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt)
   }
+
+  /** Drop tombstoned vectors from a store view keyed by `id` — the live
+    * view both search forms and the compact rewrite compose. Broadcast
+    * anti-join (deletes are deltas; compaction bounds the plane), sitting
+    * ABOVE the scan so probed-cell PartitionFilters and the
+    * (id, codes, vnorm) column pruning push through untouched. */
+  private def dropTombstoned(spark: SparkSession, df: DataFrame, dir: String,
+                             tombBatches: Int): DataFrame =
+    if (tombBatches == 0) df
+    else df.join(
+      broadcast((0 until tombBatches)
+        .map(i => spark.read.parquet(s"$dir/tombstones/b$i"))
+        .reduce(_ unionByName _).select("id")),
+      Seq("id"), "left_anti")
 
   /** The frozen model, floats as raw bits: centroids nCells×dim, codebooks
     * m×K×(dim/m). Written once at build; appends and searches only read. */

@@ -439,8 +439,11 @@ object KeywordSearch {
     *   <dir>/meta.json                    {"format":"graft-bm25-index",
     *                                       "version":1,"batches":B,
     *                                       "n":N,"sumdl":S}
-    *   <dir>/postings/b<i>/part-….parquet (term, doc_id, tf, dl)
-    *   <dir>/docs/b<i>/part-….parquet     (doc_id, dl)
+    *   <dir>/postings/b<i>/part-….parquet   (term, doc_id, tf, dl)
+    *   <dir>/docs/b<i>/part-….parquet       (doc_id, dl)
+    *   <dir>/tombstones/b<i>/part-….parquet (doc_id) — deleted docs
+    *                                        (r15); readers anti-join,
+    *                                        compaction drops physically
     *
     * Postings carry the FULL vocabulary (unlike bm25Batch's
     * battery-filtered build): the delta projects to (id, dl, tokens)
@@ -490,7 +493,7 @@ object KeywordSearch {
     if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
     val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, staged.toString, batch = 0)
     writeIndexMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
-      batches = 1, n = n, sumdl = sumdl)
+      batches = 1, n = n, sumdl = sumdl, tombBatches = 0)
     graft.sources.StoreMeta.swapInto(fs, staged, root)
   }
 
@@ -503,27 +506,91 @@ object KeywordSearch {
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val (batches, n0, sumdl0) = readIndexMeta(fs, metaPath, dir)
+    val (batches, n0, sumdl0, tomb) = readIndexMeta(fs, metaPath, dir)
     // id-collision guard vs the store: a delta-sized semi-join against
-    // the docs plane's one pruned column — never a posting-volume scan
+    // the docs plane's one pruned column — never a posting-volume scan.
+    // Deliberately UNFILTERED by tombstones: re-appending a DELETED id
+    // would resurrect it only until the tombstone anti-join killed both
+    // its old and new postings — refuse; compaction reclaims the id.
     val oldDocs = readPlane(spark, dir, "docs", batches)
     val clash = newDocs.select(col(idCol).as("doc_id"))
       .join(oldDocs.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
     require(clash == 0L,
-      s"bm25IndexAppend: delta re-uses doc ids already in '$dir' — posting " +
-        "semantics are per-document; assign fresh ids or rebuild")
+      s"bm25IndexAppend: delta re-uses doc ids already in (or deleted " +
+        s"from) '$dir' — posting semantics are per-document; assign fresh " +
+        "ids, or compact to reclaim deleted ids")
     val (dn, dsum) = writeIndexBatch(newDocs, textCol, idCol, dir, batch = batches)
     // optimistic single-writer check: if another append committed while
     // this one wrote its batch dirs, both targeted the SAME batch number
     // — refusing here (instead of committing a meta whose stats disagree
     // with the interleaved dir contents) turns the common race loudly
-    // visible; appends remain single-writer by contract
-    val (batchesNow, _, _) = readIndexMeta(fs, metaPath, dir)
-    require(batchesNow == batches,
-      s"bm25IndexAppend: concurrent append detected on '$dir' (batches " +
-        s"advanced $batches → $batchesNow mid-append) — appends are " +
-        "single-writer; retry this delta")
-    writeIndexMeta(fs, metaPath, batches + 1, n0 + dn, sumdl0 + dsum)
+    // visible; appends remain single-writer by contract. A delete landing
+    // mid-append would likewise be overwritten by this commit's stats —
+    // same refusal.
+    val (batchesNow, _, _, tombNow) = readIndexMeta(fs, metaPath, dir)
+    require(batchesNow == batches && tombNow == tomb,
+      s"bm25IndexAppend: concurrent writer detected on '$dir' (batches " +
+        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
+        "mid-append) — the store is single-writer; retry this delta")
+    writeIndexMeta(fs, metaPath, batches + 1, n0 + dn, sumdl0 + dsum, tomb)
+  }
+
+  /** DELETE documents from the index (r15) — the takedown/dedup-prune
+    * maintenance a production posting store runs daily, WITHOUT the
+    * full-corpus rebuild that was the only removal path before: a
+    * tombstone batch appends under the store's crash posture (batch dir
+    * first, meta LAST and atomic), every reader anti-joins the tombstone
+    * plane, and [[bm25IndexCompact]] physically drops the rows and
+    * resets the plane. The meta's n/sumdl subtract the deleted docs'
+    * stats at commit time, so idf/avgdl — and therefore every score —
+    * are BIT-IDENTICAL to a from-scratch rebuild without the deleted
+    * rows (the gate's pin). `ids` must be distinct, present, and not
+    * already deleted — a double delete would subtract stats twice, so
+    * it refuses loudly. Deleted ids stay reserved until a compact
+    * (append refuses them — resurrection would race the anti-join). */
+  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      ids: DataFrame, idCol: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+    val (batches, n, sumdl, tomb) = readIndexMeta(fs, metaPath, dir)
+    // write FIRST, validate from the WRITTEN bytes (the writeBatch
+    // convention): a pre-flight validation of a non-deterministic `ids`
+    // frame would be TOCTOU — different rows could land than were
+    // checked. On any refusal below, meta is untouched and the orphan
+    // tombstone dir is invisible (readers see meta's tombBatches) until
+    // the next delete's overwrite-mode write clobbers it.
+    val delProj = ids.select(col(idCol).as("doc_id"))
+    delProj.write.mode("overwrite").parquet(s"$dir/tombstones/b$tomb")
+    // explicit schema so a zero-row write (no part files to infer from)
+    // still reads back as an empty frame and refuses below
+    val written = spark.read.schema(delProj.schema)
+      .parquet(s"$dir/tombstones/b$tomb")
+    // one validation pass: count + distinct + liveness + the Σdl the meta
+    // commit needs. The docs plane joins column-pruned (doc_id, dl);
+    // already-tombstoned ids read as not-live (their dl row anti-joins
+    // away), folding the double-delete case into the liveness refusal.
+    val liveDocs = dropTombstoned(spark,
+      readPlane(spark, dir, "docs", batches), dir, tomb)
+    val st = written.join(liveDocs, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
+        sum(when(col("dl").isNotNull, 1L).otherwise(0L)).as("live"),
+        coalesce(sum(col("dl")), lit(0L)).as("dsum")).head()
+    val dn = st.getLong(0)
+    require(dn > 0L, s"bm25IndexDelete: empty id set — nothing to delete in '$dir'")
+    require(st.getLong(1) == dn,
+      s"bm25IndexDelete: id set has ${dn - st.getLong(1)} duplicates — a " +
+        "double delete would subtract corpus stats twice; dedupe ids first")
+    require(st.getLong(2) == dn,
+      s"bm25IndexDelete: ${dn - st.getLong(2)} ids are not live in '$dir' " +
+        "(absent or already deleted) — deletes must name existing documents")
+    val (batchesNow, _, _, tombNow) = readIndexMeta(fs, metaPath, dir)
+    require(batchesNow == batches && tombNow == tomb,
+      s"bm25IndexDelete: concurrent writer detected on '$dir' (batches " +
+        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
+        "mid-delete) — the store is single-writer; retry")
+    writeIndexMeta(fs, metaPath, batches, n - dn, sumdl - st.getLong(3), tomb + 1)
   }
 
   /** Search the index: zero corpus scans — the battery's vocabulary
@@ -536,7 +603,7 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, sumdl) = readIndexMeta(fs,
+    val (batches, n, sumdl, tomb) = readIndexMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
     require(n > 0, s"bm25SearchIndexed: index at '$dir' holds no documents")
     val avgdl = sumdl.toDouble / n.toDouble
@@ -566,10 +633,15 @@ object KeywordSearch {
         postings.filter(col("term").isin(terms: _*))
       } else
         postings.join(qTerms.select("term").distinct(), Seq("term"), "left_semi")
+    // tombstones anti-join AFTER the vocabulary pruning (delta-sized
+    // broadcast against the battery's posting slice, not the store) and
+    // BEFORE retrieve's df aggregation — per-term df must equal the
+    // rebuild-without-deleted-rows value, like meta's n/avgdl already do
+    val live = dropTombstoned(spark, pruned, dir, tomb)
     // spread the survivors before the retrieval join (the broadcast-
     // battery fan-out inherits this partitioning — the two-core trap)
     val filtered = scope.persisted(
-      pruned.repartition(col("term"), col("doc_id")),
+      live.repartition(col("term"), col("doc_id")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     retrieve(qTerms, filtered, n, avgdl, maxOrd, k1, b, k)
   }
@@ -585,13 +657,14 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, sumdl) = readIndexMeta(fs,
+    val (batches, n, sumdl, tomb) = readIndexMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
     require(n > 0, s"bm25ModelFromIndex: index at '$dir' holds no documents")
     val perQuery = parseBattery(queries)
     val allTerms = perQuery.flatMap(_._2).distinct.sorted
-    val dfByTerm: Map[String, Long] = readPlane(spark, dir, "postings", batches)
-      .filter(col("term").isin(allTerms: _*))
+    val dfByTerm: Map[String, Long] = dropTombstoned(spark,
+        readPlane(spark, dir, "postings", batches)
+          .filter(col("term").isin(allTerms: _*)), dir, tomb)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val idf = allTerms.map(t => idfOf(n, dfByTerm.getOrElse(t, 0L).toDouble)).toArray
@@ -657,7 +730,7 @@ object KeywordSearch {
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
     val srcMetaPath = new org.apache.hadoop.fs.Path(srcRoot, "meta.json")
-    val (batches, n, sumdl) = readIndexMeta(srcFs, srcMetaPath, srcDir)
+    val (batches, n, sumdl, tomb) = readIndexMeta(srcFs, srcMetaPath, srcDir)
     val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
     val dstFs = graft.sources.FsPaths.fileSystemFor(dstRoot, conf)
     // a same-path "compact" with overwrite would DELETE the source before
@@ -671,9 +744,12 @@ object KeywordSearch {
         s"bm25IndexCompact: '$dstDir' already holds an index — pass overwrite = true")
       dstFs.delete(dstRoot, true)
     }
-    readPlane(spark, srcDir, "docs", batches)
+    // tombstoned docs DROP PHYSICALLY here (the reclamation path): both
+    // planes rewrite through the anti-join, and the destination resets
+    // tombBatches to 0 — after a compact the deleted ids are free again
+    dropTombstoned(spark, readPlane(spark, srcDir, "docs", batches), srcDir, tomb)
       .write.mode("overwrite").parquet(s"$dstDir/docs/b0")
-    readPlane(spark, srcDir, "postings", batches)
+    dropTombstoned(spark, readPlane(spark, srcDir, "postings", batches), srcDir, tomb)
       // RANGE partition + in-file sort = truly term-sorted across the
       // whole plane (file ordinals cover disjoint term ranges), so
       // row-group min/max skipping is as tight as the layout allows
@@ -681,27 +757,31 @@ object KeywordSearch {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("overwrite").parquet(s"$dstDir/postings/b0")
     // validate BOTH planes before committing: docs against the source
-    // meta's stats, postings by row count against the source read (a
-    // torn source plane must refuse, not silently drop hits; parquet
-    // counts are footer-only — no data rescan)
+    // meta's stats (which are live-row stats — the delete already
+    // subtracted, so this equality also validates the tombstone drop),
+    // postings by row count against the source's live read
     val st = spark.read.parquet(s"$dstDir/docs/b0")
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
     require(st.getLong(0) == n && st.getLong(1) == sumdl,
       s"bm25IndexCompact: rewrote ${st.getLong(0)} docs / Σdl ${st.getLong(1)} " +
         s"but '$srcDir' meta says $n / $sumdl — source torn or write " +
         "incomplete; not committing")
-    val srcPostings = readPlane(spark, srcDir, "postings", batches).count()
+    val srcPostings = dropTombstoned(spark,
+      readPlane(spark, srcDir, "postings", batches), srcDir, tomb).count()
     val dstPostings = spark.read.parquet(s"$dstDir/postings/b0").count()
     require(srcPostings == dstPostings,
       s"bm25IndexCompact: rewrote $dstPostings postings of $srcPostings — " +
         "write incomplete; not committing")
-    // optimistic recheck (the append convention): an append landing on
-    // the source mid-compact would otherwise vanish at the caller's swap
-    val (batchesNow, _, _) = readIndexMeta(srcFs, srcMetaPath, srcDir)
-    require(batchesNow == batches,
-      s"bm25IndexCompact: '$srcDir' grew $batches → $batchesNow batches " +
-        "mid-compact — re-run to include the new batch")
-    writeIndexMeta(dstFs, dstMeta, batches = 1, n = n, sumdl = sumdl)
+    // optimistic recheck (the append convention): an append or delete
+    // landing on the source mid-compact would otherwise vanish at the
+    // caller's swap
+    val (batchesNow, _, _, tombNow) = readIndexMeta(srcFs, srcMetaPath, srcDir)
+    require(batchesNow == batches && tombNow == tomb,
+      s"bm25IndexCompact: '$srcDir' moved ($batches → $batchesNow batches, " +
+        s"$tomb → $tombNow tombstone batches) mid-compact — re-run to " +
+        "include the new writes")
+    writeIndexMeta(dstFs, dstMeta, batches = 1, n = n, sumdl = sumdl,
+      tombBatches = 0)
   }
 
   /** One plane's batch dirs (`<dir>/<plane>/b0..b<batches-1>`) as one
@@ -716,14 +796,21 @@ object KeywordSearch {
     * unparseable forever AND 'already holds an index' on rebuild). */
   private def writeIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                              metaPath: org.apache.hadoop.fs.Path,
-                             batches: Int, n: Long, sumdl: Long): Unit =
+                             batches: Int, n: Long, sumdl: Long,
+                             tombBatches: Int): Unit =
     graft.sources.StoreMeta.atomicWriteJson(fs, metaPath,
       s"""{"format": "graft-bm25-index", "version": 1, """ +
-        s""""batches": $batches, "n": $n, "sumdl": $sumdl}""")
+        s""""batches": $batches, "n": $n, "sumdl": $sumdl, """ +
+        s""""tombBatches": $tombBatches}""")
 
+  /** (batches, n, sumdl, tombBatches). `n`/`sumdl` are the LIVE corpus
+    * stats — [[bm25IndexDelete]] subtracts the deleted docs' count and
+    * Σdl when it commits a tombstone batch, so idf/avgdl always equal a
+    * from-scratch rebuild without the deleted rows. `tombBatches` is
+    * absent in pre-r15 stores (semantically 0 — fully readable). */
   private def readIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                             metaPath: org.apache.hadoop.fs.Path,
-                            dir: String): (Int, Long, Long) = {
+                            dir: String): (Int, Long, Long, Int) = {
     require(fs.exists(metaPath),
       s"'$dir' is not a bm25 index (no meta.json — build one with bm25IndexBuild)")
     // an unknown layout version refuses loudly inside parseChecked —
@@ -731,6 +818,21 @@ object KeywordSearch {
     val j = graft.sources.StoreMeta.parseChecked(fs, metaPath, dir,
       "graft-bm25-index", version = 1L)
     def long(field: String): Long = graft.sources.StoreMeta.longField(j, field, dir)
-    (long("batches").toInt, long("n"), long("sumdl"))
+    (long("batches").toInt, long("n"), long("sumdl"),
+      graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt)
   }
+
+  /** Drop tombstoned documents from a plane keyed by `doc_id` — the live
+    * view every reader composes. The tombstone side is BROADCAST: deletes
+    * are deltas (takedowns, dedup prunes), bounded in practice by
+    * compaction (which physically drops them and resets the plane) — a
+    * store where tombstones rival the corpus needs a compact, not a
+    * bigger join. */
+  private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
+                             df: DataFrame, dir: String,
+                             tombBatches: Int): DataFrame =
+    if (tombBatches == 0) df
+    else df.join(
+      broadcast(readPlane(spark, dir, "tombstones", tombBatches).select("doc_id")),
+      Seq("doc_id"), "left_anti")
 }

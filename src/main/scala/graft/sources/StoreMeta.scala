@@ -88,4 +88,19 @@ private[graft] object StoreMeta {
         s"'$dir' meta.json '$field' is ${other.getClass.getSimpleName}")
     }
   }
+
+  /** Read an OPTIONAL integral field: absent → `default` (how a layout
+    * gains a backward-compatible field — e.g. `tombBatches`, absent in
+    * every pre-r15 store, semantically 0 there); present-but-non-integral
+    * still refuses loudly. */
+  def longFieldOr(j: org.json4s.JValue, field: String, dir: String,
+                  default: Long): Long = {
+    import org.json4s._
+    (j \ field) match {
+      case JInt(v) => v.longValue
+      case JNothing => default
+      case other => throw new IllegalArgumentException(
+        s"'$dir' meta.json '$field' is ${other.getClass.getSimpleName}")
+    }
+  }
 }

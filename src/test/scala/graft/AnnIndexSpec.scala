@@ -223,6 +223,61 @@ class AnnIndexSpec extends AnyFunSuite {
         "." + java.nio.file.Paths.get(dir).getFileName.toString + ".rebuild")))
   }
 
+  test("delete: search equals a rebuild of the survivors under the same model; compact reclaims (r15)") {
+    val dirA = freshDir("delA")
+    val dirB = freshDir("delB")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd  = emb.filter(col("vec_id") % 2 === 1)
+    // store A: full corpus, then DELETE the odd half; store B: the
+    // surviving even half built under the SAME training input (the full
+    // corpus) — frozen-model semantics make the two bit-identical
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dirA,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    AnnIndex.annIndexDelete(spark, dirA, odd.select("vec_id"), "vec_id")
+    AnnIndex.annIndexBuild(even, "vec_id", "embedding", dirB,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, train = Some(emb))
+    val q = emb.filter(col("vec_id") < 4) // ids 1, 3 are deleted vectors
+    def top(dir: String) = collectTopK(AnnIndex.annSearchIndexed(
+      spark, dir, q, "vec_id", "embedding", k = 10, nProbe = 4, refine = 4))
+    val a = top(dirA)
+    assert(a == top(dirB)) // bit-identical, cosine doubles included
+    assert(!a.exists { case (_, _, n, _) => n.asInstanceOf[Long] % 2 == 1 })
+    // the batch form shares the live view
+    assert(collectTopK(AnnIndex.annSearchIndexedBatch(
+      spark, dirA, q, "vec_id", "embedding", k = 10, nProbe = 4, refine = 4)) == a)
+    // refusals: absent, already deleted, duplicates, empty
+    import spark.implicits._
+    def del(ids: Seq[Long]) = AnnIndex.annIndexDelete(
+      spark, dirA, ids.toDF("vec_id"), "vec_id")
+    assert(intercept[IllegalArgumentException] { del(Seq(999999999L)) }
+      .getMessage.contains("not live"))
+    assert(intercept[IllegalArgumentException] { del(Seq(1L)) }
+      .getMessage.contains("not live")) // odd → already deleted
+    assert(intercept[IllegalArgumentException] { del(Seq(0L, 0L)) }
+      .getMessage.contains("duplicates"))
+    assert(intercept[IllegalArgumentException] { del(Seq.empty[Long]) }
+      .getMessage.contains("empty id set"))
+    // append refuses a deleted id until a compact reclaims it
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.annIndexAppend(spark, dirA, odd.filter(col("vec_id") === 1),
+        "vec_id", "embedding")
+    }.getMessage.contains("deleted"))
+    val dirC = freshDir("delC")
+    AnnIndex.annIndexCompact(spark, dirA, dirC)
+    assert(top(dirC) == a)
+    assert(spark.read.parquet(s"$dirC/vectors/b0")
+      .filter(col("id") % 2 === 1).count() == 0L) // physically dropped
+    val metaC = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirC, "meta.json")), "UTF-8")
+    assert(metaC.contains("\"tombBatches\": 0"))
+    AnnIndex.annIndexAppend(spark, dirC, odd.filter(col("vec_id") === 1),
+      "vec_id", "embedding") // id reclaimed
+    assert(collectTopK(AnnIndex.annSearchIndexed(spark, dirC,
+      emb.filter(col("vec_id") === 1), "vec_id", "embedding",
+      k = 1, nProbe = 8, refine = 4)).exists {
+        case (_, _, n, c) => n.asInstanceOf[Long] == 1L && c > 0.999999 })
+  }
+
   test("build refuses a non-empty non-store dir without overwrite (r15)") {
     // the swap deletes the root, so silently clobbering a dir that holds
     // someone else's bytes needs the explicit overwrite opt-in; an EMPTY

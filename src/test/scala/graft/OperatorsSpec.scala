@@ -1991,6 +1991,70 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("is not a bm25 index"))
     assert(java.nio.file.Files.exists(plain.resolve("precious.txt")))
   }
+
+  test("delete: scores equal a rebuild without the rows; compact drops tombstones and reclaims ids (r15)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // poison docs stuffed with the battery's own terms — they WOULD rank
+    // top-1 if the tombstone plane leaked anywhere (scoring, df, stats)
+    val extra = spark.range(5).select((col("id") + 10000000L).as("doc_id"),
+      lit("spark hash join spark hash join spark").as("text"))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_delA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bm25_delB").toString
+    KeywordSearch.bm25IndexBuild(docs.unionByName(extra), "text", "doc_id", dirA,
+      overwrite = true)
+    KeywordSearch.bm25IndexDelete(spark, dirA, extra.select("doc_id"), "doc_id")
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dirB, overwrite = true)
+    val battery = Seq(("q1", "spark hash join"), ("q2", "fast table scan"))
+      .toDF("qid", "qtext")
+    def rows(dir: String) = KeywordSearch.bm25SearchIndexed(
+        spark, dir, battery, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4),
+        r.getLong(5))).toSet
+    val a = rows(dirA)
+    assert(a == rows(dirB)) // bit-identical to the rebuild, float bits included
+    assert(!a.exists(_._3 >= 10000000L)) // deleted docs gone from the ranking
+    // the derived model (df/idf/avgdl from the index) matches the rebuild too
+    val bat = Seq(("q1", "spark hash join"))
+    val mA = KeywordSearch.bm25ModelFromIndex(spark, dirA, bat)
+    val mB = KeywordSearch.bm25ModelFromIndex(spark, dirB, bat)
+    assert(mA.avgdl == mB.avgdl &&
+      mA.idf.map(java.lang.Double.doubleToLongBits).toSeq ==
+        mB.idf.map(java.lang.Double.doubleToLongBits).toSeq)
+    // refusals: absent id, double delete, duplicate ids, empty set
+    import spark.implicits._
+    def del(ids: Seq[Long]) = KeywordSearch.bm25IndexDelete(
+      spark, dirA, ids.toDF("doc_id"), "doc_id")
+    assert(intercept[IllegalArgumentException] { del(Seq(999999999L)) }
+      .getMessage.contains("not live"))
+    assert(intercept[IllegalArgumentException] { del(Seq(10000001L)) }
+      .getMessage.contains("not live")) // already deleted
+    assert(intercept[IllegalArgumentException] { del(Seq(1L, 1L)) }
+      .getMessage.contains("duplicates"))
+    assert(intercept[IllegalArgumentException] { del(Seq.empty[Long]) }
+      .getMessage.contains("empty id set"))
+    // append refuses a deleted id (resurrection would race the anti-join)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexAppend(spark, dirA,
+        Seq((10000001L, "fresh text")).toDF("doc_id", "text"), "text", "doc_id")
+    }.getMessage.contains("deleted"))
+    // compact physically drops the tombstoned rows and resets the plane
+    val dirC = java.nio.file.Files.createTempDirectory("graft_bm25_delC").toString
+    KeywordSearch.bm25IndexCompact(spark, dirA, dirC, overwrite = true)
+    assert(rows(dirC) == a)
+    assert(spark.read.parquet(s"$dirC/docs/b0")
+      .filter(col("doc_id") >= 10000000L).count() == 0L)
+    val metaC = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirC, "meta.json")), "UTF-8")
+    assert(metaC.contains("\"tombBatches\": 0"))
+    // ...after which the deleted ids are free again
+    KeywordSearch.bm25IndexAppend(spark, dirC,
+      Seq((10000001L, "reclaimed doc")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(KeywordSearch.bm25SearchIndexed(spark, dirC,
+      Seq(("q", "reclaimed")).toDF("qid", "qtext"), "qid", "qtext", k = 3)
+      .count() == 1L)
+  }
 }
 
 class PqSpec extends AnyFunSuite {

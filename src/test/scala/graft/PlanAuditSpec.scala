@@ -534,6 +534,45 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("tombstone anti-joins are broadcast; partition pruning and column pruning survive them (r15)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ann store with deletes: the anti-join must be a BroadcastHashJoin
+    // LeftAnti sitting ABOVE the scan — probed-cell PartitionFilters and
+    // the (id, codes, vnorm) candidate pruning push through untouched
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val aIdx = java.nio.file.Files.createTempDirectory("graft_ann_tomb").toString
+    graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", aIdx,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, overwrite = true)
+    graft.operators.AnnIndex.annIndexDelete(spark, aIdx,
+      emb.filter(col("vec_id") % 10 === 9).select("vec_id"), "vec_id")
+    val ap = graft.operators.AnnIndex.annSearchIndexed(spark, aIdx,
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        k = 5, nProbe = 4, refine = 4)
+      .queryExecution.executedPlan.toString
+    assert("""BroadcastHashJoin.*LeftAnti""".r.findFirstIn(ap).isDefined, ap.take(3000))
+    assert(!ap.contains("SortMergeJoin"), ap.take(3000))
+    assert("""PartitionFilters: \[cell#\d+ IN \(""".r.findFirstIn(ap).isDefined,
+      ap.take(3000))
+    assert(ap.contains("ReadSchema: struct<id:bigint,codes:array<int>,vnorm:double>"),
+      ap.take(3000))
+    // bm25 store with deletes: still zero corpus scans, the pushed-IN
+    // vocabulary pruning intact, and the tombstone side broadcast
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bIdx = java.nio.file.Files.createTempDirectory("graft_bm25_tomb").toString
+    graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", bIdx,
+      overwrite = true)
+    graft.operators.KeywordSearch.bm25IndexDelete(spark, bIdx,
+      docs.filter(col("doc_id") % 10 === 9).select("doc_id"), "doc_id")
+    val bp = graft.operators.KeywordSearch.bm25SearchIndexed(spark, bIdx,
+        Seq(("q", "spark hash join")).toDF("qid", "qtext"), "qid", "qtext", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!bp.contains("documents.parquet"), bp.take(3000))
+    assert(bp.contains("PushedFilters: [In(term"), bp.take(3000))
+    assert("""BroadcastHashJoin.*LeftAnti""".r.findFirstIn(bp).isDefined, bp.take(3000))
+    assert(!bp.contains("SortMergeJoin"), bp.take(3000))
+  }
+
   test("ann batch search: no per-query plan branches — constant plan in battery size (r14)") {
     import org.apache.spark.sql.functions.col
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
