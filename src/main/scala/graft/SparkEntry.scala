@@ -3361,6 +3361,29 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_phrase" -> ((s, dir) => {
+      // r15: QUOTED-PHRASE retrieval over the POSITIONAL posting store —
+      // adjacency verified from stored positions (zero corpus scans),
+      // the phrase scored as one Okapi pseudo-term. The battery includes
+      // a trigram with a REPEATED term ("the batch batch"), which only
+      // matches where both 'batch' ordinals vote at the same start. The
+      // oracle re-derives every phrase tf by direct string adjacency
+      // over the raw corpus text in DuckDB — a positions-plane bug
+      // (wrong ordinal, off-by-one, unsorted list) cannot satisfy both.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_pos_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      graft.operators.KeywordSearch.bm25PhraseTopK(s, root,
+          Seq(("p_hash_join", "hash join"),
+              ("p_table_scan", "table scan"),
+              ("p_batch2", "the batch batch")), k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "rank")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
       // brute-force cosine ranking fused by reciprocal rank (Cormack
@@ -5742,6 +5765,55 @@ object SparkEntry {
         |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
         |  FROM scored_w WHERE score > 0)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // phrase retrieval oracle: every phrase tf re-derived by DIRECT
+    // STRING ADJACENCY over the tokenized corpus text (1-based DuckDB
+    // list indexing; range(1, len) yields valid 2-gram starts, range(1,
+    // len-1) 3-gram starts) — the engine answers from its positions
+    // plane, so a positional bug (wrong ordinal, off-by-one, unsorted
+    // list, tombstone leak) cannot satisfy both. Same Okapi pseudo-term
+    // scoring, same (score desc, doc_id asc) tie rule; ranks/dl/tf are
+    // the hash-exact surface
+    "search_bm25_phrase" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'hash' AND t[i+1] = 'join')) AS BIGINT) AS tf_hj,
+        |    CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'table' AND t[i+1] = 'scan')) AS BIGINT) AS tf_ts,
+        |    CAST(len(list_filter(range(1, len(t) - 1), i -> t[i] = 'the' AND t[i+1] = 'batch' AND t[i+2] = 'batch')) AS BIGINT) AS tf_bb
+        |  FROM toks),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_hj > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_hj > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_hj,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_ts > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_ts > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_ts,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_bb > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_bb > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_bb
+        |  FROM occ),
+        |normed AS (
+        |  SELECT occ.*, st.*,
+        |    1.2 * (1 - 0.75) + (1.2 * 0.75 / st.avgdl) * CAST(occ.dl AS DOUBLE) AS nrm
+        |  FROM occ, st),
+        |scored AS (
+        |  SELECT 'p_hash_join' AS query_id, doc_id, dl, tf_hj AS tf,
+        |    idf_hj * CAST(tf_hj AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_hj AS DOUBLE) + nrm) AS score
+        |  FROM normed WHERE tf_hj > 0
+        |  UNION ALL
+        |  SELECT 'p_table_scan', doc_id, dl, tf_ts,
+        |    idf_ts * CAST(tf_ts AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_ts AS DOUBLE) + nrm)
+        |  FROM normed WHERE tf_ts > 0
+        |  UNION ALL
+        |  SELECT 'p_batch2', doc_id, dl, tf_bb,
+        |    idf_bb * CAST(tf_bb AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_bb AS DOUBLE) + nrm)
+        |  FROM normed WHERE tf_bb > 0)
+        |SELECT query_id, rank, doc_id, dl, tf
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
 

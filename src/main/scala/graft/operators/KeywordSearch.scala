@@ -467,7 +467,8 @@ object KeywordSearch {
     * dirs — the optimistic meta recheck before commit turns the common
     * interleaving into a loud refusal, but it is a guard, not a lock. */
   def bm25IndexBuild(docs: DataFrame, textCol: String, idCol: String,
-                     dir: String, overwrite: Boolean = false): Unit = {
+                     dir: String, overwrite: Boolean = false,
+                     positions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
@@ -491,9 +492,11 @@ object KeywordSearch {
     // destroy the existing index (the r14 delete-then-write window).
     val staged = graft.sources.StoreMeta.stagedSibling(root)
     if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
-    val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, staged.toString, batch = 0)
+    val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, staged.toString,
+      batch = 0, positions = positions)
     writeIndexMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
-      batches = 1, n = n, sumdl = sumdl, tombBatches = 0)
+      IndexMeta(batches = 1, n = n, sumdl = sumdl, tombBatches = 0,
+        positions = positions))
     graft.sources.StoreMeta.swapInto(fs, staged, root)
   }
 
@@ -506,20 +509,23 @@ object KeywordSearch {
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val (batches, n0, sumdl0, tomb) = readIndexMeta(fs, metaPath, dir)
+    val meta = readIndexMeta(fs, metaPath, dir)
     // id-collision guard vs the store: a delta-sized semi-join against
     // the docs plane's one pruned column — never a posting-volume scan.
     // Deliberately UNFILTERED by tombstones: re-appending a DELETED id
     // would resurrect it only until the tombstone anti-join killed both
     // its old and new postings — refuse; compaction reclaims the id.
-    val oldDocs = readPlane(spark, dir, "docs", batches)
+    val oldDocs = readPlane(spark, dir, "docs", meta.batches)
     val clash = newDocs.select(col(idCol).as("doc_id"))
       .join(oldDocs.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
     require(clash == 0L,
       s"bm25IndexAppend: delta re-uses doc ids already in (or deleted " +
         s"from) '$dir' — posting semantics are per-document; assign fresh " +
         "ids, or compact to reclaim deleted ids")
-    val (dn, dsum) = writeIndexBatch(newDocs, textCol, idCol, dir, batch = batches)
+    // the delta inherits the store's positions setting: a positional
+    // store's planes must stay aligned batch-for-batch
+    val (dn, dsum) = writeIndexBatch(newDocs, textCol, idCol, dir,
+      batch = meta.batches, positions = meta.positions)
     // optimistic single-writer check: if another append committed while
     // this one wrote its batch dirs, both targeted the SAME batch number
     // — refusing here (instead of committing a meta whose stats disagree
@@ -527,12 +533,14 @@ object KeywordSearch {
     // visible; appends remain single-writer by contract. A delete landing
     // mid-append would likewise be overwritten by this commit's stats —
     // same refusal.
-    val (batchesNow, _, _, tombNow) = readIndexMeta(fs, metaPath, dir)
-    require(batchesNow == batches && tombNow == tomb,
+    val now = readIndexMeta(fs, metaPath, dir)
+    require(now.batches == meta.batches && now.tombBatches == meta.tombBatches,
       s"bm25IndexAppend: concurrent writer detected on '$dir' (batches " +
-        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
-        "mid-append) — the store is single-writer; retry this delta")
-    writeIndexMeta(fs, metaPath, batches + 1, n0 + dn, sumdl0 + dsum, tomb)
+        s"${meta.batches} → ${now.batches}, tombstone batches " +
+        s"${meta.tombBatches} → ${now.tombBatches} mid-append) — the " +
+        "store is single-writer; retry this delta")
+    writeIndexMeta(fs, metaPath, meta.copy(batches = meta.batches + 1,
+      n = meta.n + dn, sumdl = meta.sumdl + dsum))
   }
 
   /** DELETE documents from the index (r15) — the takedown/dedup-prune
@@ -554,7 +562,7 @@ object KeywordSearch {
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val (batches, n, sumdl, tomb) = readIndexMeta(fs, metaPath, dir)
+    val meta = readIndexMeta(fs, metaPath, dir)
     // write FIRST, validate from the WRITTEN bytes (the writeBatch
     // convention): a pre-flight validation of a non-deterministic `ids`
     // frame would be TOCTOU — different rows could land than were
@@ -562,17 +570,17 @@ object KeywordSearch {
     // tombstone dir is invisible (readers see meta's tombBatches) until
     // the next delete's overwrite-mode write clobbers it.
     val delProj = ids.select(col(idCol).as("doc_id"))
-    delProj.write.mode("overwrite").parquet(s"$dir/tombstones/b$tomb")
+    delProj.write.mode("overwrite").parquet(s"$dir/tombstones/b${meta.tombBatches}")
     // explicit schema so a zero-row write (no part files to infer from)
     // still reads back as an empty frame and refuses below
     val written = spark.read.schema(delProj.schema)
-      .parquet(s"$dir/tombstones/b$tomb")
+      .parquet(s"$dir/tombstones/b${meta.tombBatches}")
     // one validation pass: count + distinct + liveness + the Σdl the meta
     // commit needs. The docs plane joins column-pruned (doc_id, dl);
     // already-tombstoned ids read as not-live (their dl row anti-joins
     // away), folding the double-delete case into the liveness refusal.
     val liveDocs = dropTombstoned(spark,
-      readPlane(spark, dir, "docs", batches), dir, tomb)
+      readPlane(spark, dir, "docs", meta.batches), dir, meta.tombBatches)
     val st = written.join(liveDocs, Seq("doc_id"), "left")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
         sum(when(col("dl").isNotNull, 1L).otherwise(0L)).as("live"),
@@ -585,12 +593,14 @@ object KeywordSearch {
     require(st.getLong(2) == dn,
       s"bm25IndexDelete: ${dn - st.getLong(2)} ids are not live in '$dir' " +
         "(absent or already deleted) — deletes must name existing documents")
-    val (batchesNow, _, _, tombNow) = readIndexMeta(fs, metaPath, dir)
-    require(batchesNow == batches && tombNow == tomb,
+    val now = readIndexMeta(fs, metaPath, dir)
+    require(now.batches == meta.batches && now.tombBatches == meta.tombBatches,
       s"bm25IndexDelete: concurrent writer detected on '$dir' (batches " +
-        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
-        "mid-delete) — the store is single-writer; retry")
-    writeIndexMeta(fs, metaPath, batches, n - dn, sumdl - st.getLong(3), tomb + 1)
+        s"${meta.batches} → ${now.batches}, tombstone batches " +
+        s"${meta.tombBatches} → ${now.tombBatches} mid-delete) — the " +
+        "store is single-writer; retry")
+    writeIndexMeta(fs, metaPath, meta.copy(n = meta.n - dn,
+      sumdl = meta.sumdl - st.getLong(3), tombBatches = meta.tombBatches + 1))
   }
 
   /** Search the index: zero corpus scans — the battery's vocabulary
@@ -603,8 +613,9 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, sumdl, tomb) = readIndexMeta(fs,
+    val meta = readIndexMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    import meta.{batches, n, sumdl, tombBatches => tomb}
     require(n > 0, s"bm25SearchIndexed: index at '$dir' holds no documents")
     val avgdl = sumdl.toDouble / n.toDouble
     val qTerms = batteryTerms(queries, qidCol, qtextCol, scope)
@@ -646,6 +657,82 @@ object KeywordSearch {
     retrieve(qTerms, filtered, n, avgdl, maxOrd, k1, b, k)
   }
 
+  /** QUOTED-PHRASE BM25 top-k over a POSITIONAL index (r15) — the
+    * standard production-retrieval ask the tf plane cannot answer: a
+    * phrase matches where its tokens occur CONSECUTIVELY, verified from
+    * the stored positions, never from the corpus text (zero corpus
+    * scans, the store doctrine).
+    *
+    * Relational adjacency: each occurrence of phrase term `t` at
+    * position `p` with phrase ordinal `ord` votes for start `p − ord`;
+    * a start where ALL `L` ordinals voted is a phrase occurrence (each
+    * (doc, start, ord) pair occurs at most once — a term's positions
+    * are distinct — so one map-side-combinable count per (doc, start)
+    * decides). The per-doc occurrence count is the phrase's tf, and the
+    * phrase scores as ONE Okapi pseudo-term: df = docs containing it,
+    * idf/norm from the meta's live n/avgdl, the shared (score desc,
+    * doc_id asc) tie rule. The positions scan prunes by pushed
+    * `term IN (…)` over the term-sorted layout exactly like the tf
+    * plane; tombstoned docs are anti-joined out of both planes.
+    * `phrases` is a driver-sized battery (id → phrase text, tokenized
+    * with the corpus tokenizer's contract). */
+  def bm25PhraseTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     phrases: Seq[(String, String)], k: Int = 10,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val meta = readIndexMeta(fs,
+      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(meta.positions,
+      s"bm25PhraseTopK: index at '$dir' was built without the positions " +
+        "plane — rebuild or compact from a build with positions = true")
+    require(meta.n > 0, s"bm25PhraseTopK: index at '$dir' holds no documents")
+    val avgdl = meta.sumdl.toDouble / meta.n.toDouble
+    val perPhrase = parseBattery(phrases)
+    val plane = dropTombstoned(spark,
+      readPlane(spark, dir, "positions", meta.batches), dir, meta.tombBatches)
+    val occurrences = perPhrase.map { case (qid, ts) =>
+      val terms = ts.distinct
+      // ordinal list per term — a REPEATED phrase term shifts by each of
+      // its ordinals, so "the the" still demands two distinct votes
+      val ordsOf: Map[String, Seq[Int]] =
+        ts.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ordArr = terms.map(t =>
+          when(col("term") === t, array(ordsOf(t).map(lit): _*)))
+        .reduce((a, b) => coalesce(a, b))
+      val starts = plane.filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), explode(col("positions")).as("p"))
+        .select(col("doc_id"), col("p"), explode(ordArr).as("ord"))
+        .select(col("doc_id"), (col("p") - col("ord")).as("start"))
+      starts.filter(col("start") >= 0)
+        .groupBy("doc_id", "start").agg(count(lit(1)).as("__nOrd"))
+        .filter(col("__nOrd") === ts.length)
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("tf"))
+    }.reduce(_ unionByName _)
+    // per-phrase df as an aggregate + broadcast-back (ONE row per phrase
+    // — a window over query_id would funnel a common phrase's full match
+    // set through one reducer), then the Okapi pseudo-term score
+    val dfTab = occurrences.groupBy("query_id")
+      .agg(count(lit(1)).cast(DoubleType).as("__df"))
+    val docsPlane = dropTombstoned(spark,
+      readPlane(spark, dir, "docs", meta.batches), dir, meta.tombBatches)
+    val norm = lit(k1 * (1 - b)) +
+      lit(k1 * b / avgdl) * col("dl").cast(DoubleType)
+    val tfc = col("tf").cast(DoubleType)
+    val scored = occurrences
+      .join(broadcast(dfTab), Seq("query_id"))
+      .join(docsPlane, Seq("doc_id"))
+      .withColumn("__idf", log(lit(1.0) +
+        (lit(meta.n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
+      .withColumn("score", col("__idf") * tfc * lit(k1 + 1.0) / (tfc + norm))
+    Similarity.twoStageTopK(scored, "query_id",
+        Seq(col("score").desc, col("doc_id").asc), k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
+        col("dl"), col("tf"))
+  }
+
   /** Derive a frozen [[Bm25Model]] from the index — ZERO corpus scans
     * (df per battery term from a vocabulary-pruned posting read; N and
     * avgdl from the meta), so [[bm25Score]] can score a STREAM against
@@ -657,18 +744,18 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, sumdl, tomb) = readIndexMeta(fs,
+    val meta = readIndexMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
-    require(n > 0, s"bm25ModelFromIndex: index at '$dir' holds no documents")
+    require(meta.n > 0, s"bm25ModelFromIndex: index at '$dir' holds no documents")
     val perQuery = parseBattery(queries)
     val allTerms = perQuery.flatMap(_._2).distinct.sorted
     val dfByTerm: Map[String, Long] = dropTombstoned(spark,
-        readPlane(spark, dir, "postings", batches)
-          .filter(col("term").isin(allTerms: _*)), dir, tomb)
+        readPlane(spark, dir, "postings", meta.batches)
+          .filter(col("term").isin(allTerms: _*)), dir, meta.tombBatches)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = allTerms.map(t => idfOf(n, dfByTerm.getOrElse(t, 0L).toDouble)).toArray
-    Bm25Model(k1, b, sumdl.toDouble / n.toDouble, allTerms, idf, perQuery)
+    val idf = allTerms.map(t => idfOf(meta.n, dfByTerm.getOrElse(t, 0L).toDouble)).toArray
+    Bm25Model(k1, b, meta.sumdl.toDouble / meta.n.toDouble, allTerms, idf, perQuery)
   }
 
   /** One delta TOKENIZATION → docs + postings batch dirs (overwrite
@@ -679,7 +766,8 @@ object KeywordSearch {
     * files (validating the write). Refuses duplicate ids within the
     * delta. */
   private def writeIndexBatch(docs: DataFrame, textCol: String, idCol: String,
-                              dir: String, batch: Int): (Long, Long) = {
+                              dir: String, batch: Int,
+                              positions: Boolean): (Long, Long) = {
     val spark = docs.sparkSession
     val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
     val projected = docs
@@ -701,6 +789,20 @@ object KeywordSearch {
         .repartition(col("term"))
         .sortWithinPartitions("term", "doc_id")
         .write.mode("overwrite").parquet(s"$dir/postings/b$batch")
+      if (positions)
+        // the POSITIONS plane (r15, opt-in): (term, doc_id, positions
+        // sorted ascending) — what quoted-phrase retrieval needs and the
+        // tf plane cannot answer. Same term-sorted layout, so a phrase's
+        // `term IN (…)` scan prunes identically; token order ships as
+        // 0-based posexplode ordinals of the SAME tokenization the
+        // postings came from (one shared persisted projection).
+        projected.select(col("doc_id"), posexplode(col("__toks")))
+          .select(col("doc_id"), col("col").as("term"), col("pos"))
+          .groupBy("term", "doc_id")
+          .agg(sort_array(collect_list(col("pos"))).as("positions"))
+          .repartition(col("term"))
+          .sortWithinPartitions("term", "doc_id")
+          .write.mode("overwrite").parquet(s"$dir/positions/b$batch")
     } finally projected.unpersist(false)
     val st = spark.read.parquet(s"$dir/docs/b$batch")
       .agg(count(lit(1)), sum(col("dl")), countDistinct(col("doc_id"))).collect()(0)
@@ -730,7 +832,8 @@ object KeywordSearch {
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
     val srcMetaPath = new org.apache.hadoop.fs.Path(srcRoot, "meta.json")
-    val (batches, n, sumdl, tomb) = readIndexMeta(srcFs, srcMetaPath, srcDir)
+    val srcMeta = readIndexMeta(srcFs, srcMetaPath, srcDir)
+    import srcMeta.{batches, n, sumdl, tombBatches => tomb}
     val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
     val dstFs = graft.sources.FsPaths.fileSystemFor(dstRoot, conf)
     // a same-path "compact" with overwrite would DELETE the source before
@@ -772,16 +875,30 @@ object KeywordSearch {
     require(srcPostings == dstPostings,
       s"bm25IndexCompact: rewrote $dstPostings postings of $srcPostings — " +
         "write incomplete; not committing")
+    // the positions plane (if present) compacts alongside, same layout
+    // discipline and the same count validation
+    if (srcMeta.positions) {
+      dropTombstoned(spark, readPlane(spark, srcDir, "positions", batches),
+          srcDir, tomb)
+        .repartitionByRange(col("term"), col("doc_id"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite").parquet(s"$dstDir/positions/b0")
+      val srcPos = dropTombstoned(spark,
+        readPlane(spark, srcDir, "positions", batches), srcDir, tomb).count()
+      val dstPos = spark.read.parquet(s"$dstDir/positions/b0").count()
+      require(srcPos == dstPos,
+        s"bm25IndexCompact: rewrote $dstPos position rows of $srcPos — " +
+          "write incomplete; not committing")
+    }
     // optimistic recheck (the append convention): an append or delete
     // landing on the source mid-compact would otherwise vanish at the
     // caller's swap
-    val (batchesNow, _, _, tombNow) = readIndexMeta(srcFs, srcMetaPath, srcDir)
-    require(batchesNow == batches && tombNow == tomb,
-      s"bm25IndexCompact: '$srcDir' moved ($batches → $batchesNow batches, " +
-        s"$tomb → $tombNow tombstone batches) mid-compact — re-run to " +
-        "include the new writes")
-    writeIndexMeta(dstFs, dstMeta, batches = 1, n = n, sumdl = sumdl,
-      tombBatches = 0)
+    val now = readIndexMeta(srcFs, srcMetaPath, srcDir)
+    require(now.batches == batches && now.tombBatches == tomb,
+      s"bm25IndexCompact: '$srcDir' moved ($batches → ${now.batches} " +
+        s"batches, $tomb → ${now.tombBatches} tombstone batches) " +
+        "mid-compact — re-run to include the new writes")
+    writeIndexMeta(dstFs, dstMeta, srcMeta.copy(batches = 1, tombBatches = 0))
   }
 
   /** One plane's batch dirs (`<dir>/<plane>/b0..b<batches-1>`) as one
@@ -794,23 +911,28 @@ object KeywordSearch {
     * convention): a crash mid-write leaves the OLD meta readable; a
     * truncate-in-place create would brick the store (empty meta =
     * unparseable forever AND 'already holds an index' on rebuild). */
+  /** The store's self-description: batch/tombstone-batch counts, live
+    * corpus stats, and whether the positions plane exists. */
+  private final case class IndexMeta(batches: Int, n: Long, sumdl: Long,
+                                     tombBatches: Int, positions: Boolean)
+
   private def writeIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                              metaPath: org.apache.hadoop.fs.Path,
-                             batches: Int, n: Long, sumdl: Long,
-                             tombBatches: Int): Unit =
+                             meta: IndexMeta): Unit =
     graft.sources.StoreMeta.atomicWriteJson(fs, metaPath,
       s"""{"format": "graft-bm25-index", "version": 1, """ +
-        s""""batches": $batches, "n": $n, "sumdl": $sumdl, """ +
-        s""""tombBatches": $tombBatches}""")
+        s""""batches": ${meta.batches}, "n": ${meta.n}, """ +
+        s""""sumdl": ${meta.sumdl}, "tombBatches": ${meta.tombBatches}, """ +
+        s""""positions": ${meta.positions}}""")
 
-  /** (batches, n, sumdl, tombBatches). `n`/`sumdl` are the LIVE corpus
-    * stats — [[bm25IndexDelete]] subtracts the deleted docs' count and
-    * Σdl when it commits a tombstone batch, so idf/avgdl always equal a
-    * from-scratch rebuild without the deleted rows. `tombBatches` is
-    * absent in pre-r15 stores (semantically 0 — fully readable). */
+  /** `n`/`sumdl` are the LIVE corpus stats — [[bm25IndexDelete]] subtracts
+    * the deleted docs' count and Σdl when it commits a tombstone batch, so
+    * idf/avgdl always equal a from-scratch rebuild without the deleted
+    * rows. `tombBatches` (0) and `positions` (false) are absent in
+    * pre-r15 stores — fully readable. */
   private def readIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                             metaPath: org.apache.hadoop.fs.Path,
-                            dir: String): (Int, Long, Long, Int) = {
+                            dir: String): IndexMeta = {
     require(fs.exists(metaPath),
       s"'$dir' is not a bm25 index (no meta.json — build one with bm25IndexBuild)")
     // an unknown layout version refuses loudly inside parseChecked —
@@ -818,8 +940,9 @@ object KeywordSearch {
     val j = graft.sources.StoreMeta.parseChecked(fs, metaPath, dir,
       "graft-bm25-index", version = 1L)
     def long(field: String): Long = graft.sources.StoreMeta.longField(j, field, dir)
-    (long("batches").toInt, long("n"), long("sumdl"),
-      graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt)
+    IndexMeta(long("batches").toInt, long("n"), long("sumdl"),
+      graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt,
+      graft.sources.StoreMeta.boolFieldOr(j, "positions", dir, default = false))
   }
 
   /** Drop tombstoned documents from a plane keyed by `doc_id` — the live

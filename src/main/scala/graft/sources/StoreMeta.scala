@@ -89,6 +89,20 @@ private[graft] object StoreMeta {
     }
   }
 
+  /** Read an OPTIONAL boolean field: absent → `default` (the
+    * [[longFieldOr]] rule for booleans — e.g. the bm25 store's
+    * `positions` flag, absent in every pre-r15 store). */
+  def boolFieldOr(j: org.json4s.JValue, field: String, dir: String,
+                  default: Boolean): Boolean = {
+    import org.json4s._
+    (j \ field) match {
+      case JBool(v) => v
+      case JNothing => default
+      case other => throw new IllegalArgumentException(
+        s"'$dir' meta.json '$field' is ${other.getClass.getSimpleName}")
+    }
+  }
+
   /** Read an OPTIONAL integral field: absent → `default` (how a layout
     * gains a backward-compatible field — e.g. `tombBatches`, absent in
     * every pre-r15 store, semantically 0 there); present-but-non-integral

@@ -2055,6 +2055,80 @@ class Bm25IndexSpec extends AnyFunSuite {
       Seq(("q", "reclaimed")).toDF("qid", "qtext"), "qid", "qtext", k = 3)
       .count() == 1L)
   }
+
+  test("phrase search: adjacency from positions — hand corpus, repeated terms, edge shapes (r15)") {
+    val docs = Seq(
+      (1L, "a hash join and a hash join"), // "hash join" twice
+      (2L, "join hash"),                   // reversed — no match
+      (3L, "hash x join"),                 // gapped — no match
+      (4L, "the the the"),                 // "the the" OVERLAPS: starts 0 and 1
+      (5L, ""),                            // empty doc (counts in N/avgdl only)
+      (6L, "hash join")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_phrase").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir,
+      overwrite = true, positions = true)
+    def hits(phrase: String): Seq[(Long, Long)] =
+      KeywordSearch.bm25PhraseTopK(spark, dir, Seq(("p", phrase)), k = 10)
+        .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(5))).toSeq
+    assert(hits("hash join").toSet == Set((1L, 2L), (6L, 1L)))
+    assert(hits("join hash") == Seq((2L, 1L))) // doc 2 IS adjacent for the reverse
+    assert(hits("hash x join") == Seq((3L, 1L)))
+    assert(hits("the the").toSet == Set((4L, 2L))) // overlapping starts both count
+    assert(hits("the the the") == Seq((4L, 1L)))
+    assert(hits("hash").map(_._1).toSet == Set(1L, 2L, 3L, 6L)) // L=1 = plain tf
+    assert(hits("zzznope").isEmpty)
+    // rank order: same tf, shorter doc scores higher (Okapi norm), then
+    // the doc-id tie rule
+    assert(hits("hash join").head == (6L, 1L) ||
+      hits("hash join").head == (1L, 2L)) // tf=2 vs shorter dl — score decides
+    // a store built WITHOUT positions refuses phrase search loudly
+    val flat = java.nio.file.Files.createTempDirectory("graft_bm25_flat").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", flat, overwrite = true)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25PhraseTopK(spark, flat, Seq(("p", "hash join")))
+    }.getMessage.contains("without the positions plane"))
+  }
+
+  test("positional store: append inherits the plane; delete and compact keep phrase results exact (r15)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_bm25_posA").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_bm25_posB").toString
+    // build-even + append-odd must phrase-search bit-identically to a
+    // one-shot positional build (the delta writes its positions batch
+    // because the META says so — no caller flag on append)
+    KeywordSearch.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 0),
+      "text", "doc_id", dirA, overwrite = true, positions = true)
+    KeywordSearch.bm25IndexAppend(spark, dirA,
+      docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dirB,
+      overwrite = true, positions = true)
+    val phrases = Seq(("p1", "hash join"), ("p2", "table scan"))
+    def rows(dir: String) = KeywordSearch.bm25PhraseTopK(spark, dir, phrases, k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4),
+        r.getLong(5))).toSet
+    val a = rows(dirA)
+    assert(a.nonEmpty && a == rows(dirB))
+    // delete every doc that matches p1 at rank <= 2, rebuild-compare
+    val victims = KeywordSearch.bm25PhraseTopK(spark, dirA, Seq(("p1", "hash join")), k = 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    assert(victims.nonEmpty)
+    import spark.implicits._
+    KeywordSearch.bm25IndexDelete(spark, dirA, victims.toDF("doc_id"), "doc_id")
+    val dirR = java.nio.file.Files.createTempDirectory("graft_bm25_posR").toString
+    KeywordSearch.bm25IndexBuild(docs.filter(!col("doc_id").isin(victims: _*)),
+      "text", "doc_id", dirR, overwrite = true, positions = true)
+    val afterDelete = rows(dirA)
+    assert(afterDelete == rows(dirR)) // bit-identical scores incl. idf/avgdl
+    assert(!afterDelete.exists(r => victims.contains(r._3)))
+    // compact carries the positions plane, drops tombstones physically
+    val dirC = java.nio.file.Files.createTempDirectory("graft_bm25_posC").toString
+    KeywordSearch.bm25IndexCompact(spark, dirA, dirC, overwrite = true)
+    assert(rows(dirC) == afterDelete)
+    assert(spark.read.parquet(s"$dirC/positions/b0")
+      .filter(col("doc_id").isin(victims: _*)).count() == 0L)
+  }
 }
 
 class PqSpec extends AnyFunSuite {

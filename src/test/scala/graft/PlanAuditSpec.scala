@@ -513,6 +513,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!big.contains("PushedFilters: [In(term"), big.take(2500))
   }
 
+  test("phrase search reads only the positions plane, vocabulary pushed as IN (r15)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_phraudit").toString
+    graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", idx,
+      overwrite = true, positions = true)
+    val qe = graft.operators.KeywordSearch.bm25PhraseTopK(spark, idx,
+      Seq(("p", "hash join")), k = 5).queryExecution
+    val p = qe.executedPlan.toString
+    // zero corpus scans (the store doctrine), no tf-plane read either —
+    // a phrase is answered entirely from positions + the docs plane's dl
+    assert(!p.contains("documents.parquet"), p.take(3000))
+    assert(!p.contains("/postings/"), p.take(3000))
+    assert(p.contains("/positions/"), p.take(3000))
+    // the phrase vocabulary pushes into the term-sorted positions scan
+    assert(p.contains("PushedFilters: [In(term"), p.take(3000))
+    // df table rides back as a broadcast, never a corpus-volume shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("ann index probes prune store partitions; ADC candidates never read vec (r14)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_paudit").toString
