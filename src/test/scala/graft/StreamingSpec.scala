@@ -960,6 +960,55 @@ class StreamingSpec extends AnyFunSuite {
         java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSet
     assert(rows(dirS) == rows(dirO))
   }
+  test("streaming posting ingest: foreachBatch appends equal a one-shot index build (r15)") {
+    // the bm25 twin of the vector-ingest pattern below: a micro-batched
+    // document stream appends posting deltas via foreachBatch (skipping
+    // empty micro-batches — an empty append is a loud no-op by
+    // contract); the resulting store must hold the SAME postings and
+    // search bit-identically to a one-shot build of the full corpus
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KeywordSearch
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val seed = docs.filter(col("doc_id") < 100)
+    val dirS = java.nio.file.Files.createTempDirectory("graft_bm25_stream").toString
+    val dirO = java.nio.file.Files.createTempDirectory("graft_bm25_onesh").toString
+    KeywordSearch.bm25IndexBuild(seed, "text", "doc_id", dirS, overwrite = true)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          KeywordSearch.bm25IndexAppend(spark, dirS, batch, "text", "doc_id")
+      }.start()
+    val rest = docs.filter(col("doc_id") >= 100).as[(Long, String)].collect()
+    rest.grouped(150).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dirO, overwrite = true)
+    // same postings (the store's content plane, batch layout aside)...
+    def postings(dir: String): Set[(String, Long, Long, Long)] = {
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+      val b = """"batches": (\d+)""".r.findFirstMatchIn(meta).get.group(1).toInt
+      spark.read.parquet((0 until b).map(i => s"$dir/postings/b$i"): _*)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    assert(postings(dirS) == postings(dirO))
+    // ...and bit-identical search, score doubles included
+    val battery = Seq(("q1", "spark hash join"), ("q2", "fast table scan"))
+      .toDF("qid", "qtext")
+    def rows(dir: String) = KeywordSearch.bm25SearchIndexed(
+        spark, dir, battery, "qid", "qtext", k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(rows(dirS) == rows(dirO))
+  }
+
   test("streaming compression signals: batch parity on real docs via MemoryStream (r14)") {
     // stateless scan kernel (per-thread Deflater) — the same call IS the
     // streaming twin; sizes are runtime-deterministic so exact parity holds
