@@ -1873,6 +1873,45 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq_deep" -> ((s, _) => {
+      // r15: sequences nested THREE levels deep — the r14 one-level
+      // boundary removed (the full pydap nesting surface): the recursive
+      // XDR walk explodes each level under one more coords slot, dims
+      // carry the chain of enclosing sequence paths, and empty streams
+      // at every depth (outer records 0/3 have no profiles, profile
+      // (2,1) has no samples) produce no phantom rows. All values
+      // closed-form, so the oracle regenerates all three levels from
+      // range() cross joins.
+      val base = graft.harness.Dap2Fixture.ensureSeqDeep(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries)
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
+    "load_opendap_seq_deep_sel" -> ((s, _) => {
+      // r15: selection pushdown composed across ALL THREE levels in one
+      // constraint — station>100 drops outer record 0, profile.o2>=3.5
+      // empties record 1's profile stream, profile.samples.val<201.0
+      // drops sample (2,0,1) — each level filters ITS sequence's records
+      // (DAP2's innermost-sequence semantics) and renumbers post-filter.
+      // The oracle re-derives the whole surface with per-level
+      // row_number() over the kept rows.
+      val base = graft.harness.Dap2Fixture.ensureSeqDeep(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries,
+          select = Map("deep" -> Seq("station>100", "profile.o2>=3.5",
+            "profile.samples.val<201.0")))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -4873,6 +4912,84 @@ object SparkEntry {
     // fixture: outer rows from range(4), inner rows from the cross join
     // gated on j < i % 3 (record 0 contributes none), dims/coord_key as
     // the dot-joined dims/coords vectors
+    // three-level closed forms regenerated from range() cross joins; the
+    // dims string is the '.'-joined chain of enclosing sequence paths
+    "load_opendap_seq_deep" ->
+      """WITH o AS (SELECT i FROM range(4) t(i)),
+        |p AS (SELECT i, j FROM range(4) t(i) CROSS JOIN range(3) u(j) WHERE j < i % 3),
+        |sm AS (SELECT i, j, k FROM p CROSS JOIN range(3) w(k) WHERE k < (i + j) % 3),
+        |v AS (
+        |  SELECT 'deep.station' AS variable, 'deep' AS dims, CAST(i AS VARCHAR) AS coord_key,
+        |         CAST(100 + 7 * i AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'deep.lat', 'deep', CAST(i AS VARCHAR),
+        |         0.5 * CAST(i AS DOUBLE) - 1.0, NULL FROM o
+        |  UNION ALL
+        |  SELECT 'deep.profile.depth', 'deep.deep.profile',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         CAST(10 * i + j AS DOUBLE), NULL FROM p
+        |  UNION ALL
+        |  SELECT 'deep.profile.o2', 'deep.deep.profile',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         2.5 + 0.5 * CAST(i + j AS DOUBLE), NULL FROM p
+        |  UNION ALL
+        |  SELECT 'deep.profile.samples.val', 'deep.deep.profile.deep.profile.samples',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR) || '.' || CAST(k AS VARCHAR),
+        |         CAST(100 * i + 10 * j + k AS DOUBLE) + 0.25, NULL FROM sm
+        |  UNION ALL
+        |  SELECT 'deep.profile.samples.tag', 'deep.deep.profile.deep.profile.samples',
+        |         CAST(i AS VARCHAR) || '.' || CAST(j AS VARCHAR) || '.' || CAST(k AS VARCHAR),
+        |         CAST(NULL AS DOUBLE),
+        |         repeat('g', (i + j + k) % 4 + 1) || CAST(i AS VARCHAR) || CAST(j AS VARCHAR) || CAST(k AS VARCHAR)
+        |  FROM sm)
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
+    // the same closed forms filtered at every level and RENUMBERED
+    // post-filter per level (the server numbers records after selection)
+    "load_opendap_seq_deep_sel" ->
+      """WITH o AS (
+        |  SELECT i, row_number() OVER (ORDER BY i) - 1 AS oi
+        |  FROM range(4) t(i) WHERE 100 + 7 * i > 100),
+        |p AS (
+        |  SELECT o.i, u.j, o.oi,
+        |         row_number() OVER (PARTITION BY o.i ORDER BY u.j) - 1 AS nj
+        |  FROM o CROSS JOIN range(3) u(j)
+        |  WHERE u.j < o.i % 3 AND 2.5 + 0.5 * (o.i + u.j) >= 3.5),
+        |sm AS (
+        |  SELECT p.i, p.j, w.k, p.oi, p.nj,
+        |         row_number() OVER (PARTITION BY p.i, p.j ORDER BY w.k) - 1 AS nk
+        |  FROM p CROSS JOIN range(3) w(k)
+        |  WHERE w.k < (p.i + p.j) % 3 AND 100 * p.i + 10 * p.j + w.k + 0.25 < 201.0),
+        |v AS (
+        |  SELECT 'deep.station' AS variable, 'deep' AS dims, CAST(oi AS VARCHAR) AS coord_key,
+        |         CAST(100 + 7 * i AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'deep.lat', 'deep', CAST(oi AS VARCHAR),
+        |         0.5 * CAST(i AS DOUBLE) - 1.0, NULL FROM o
+        |  UNION ALL
+        |  SELECT 'deep.profile.depth', 'deep.deep.profile',
+        |         CAST(oi AS VARCHAR) || '.' || CAST(nj AS VARCHAR),
+        |         CAST(10 * i + j AS DOUBLE), NULL FROM p
+        |  UNION ALL
+        |  SELECT 'deep.profile.o2', 'deep.deep.profile',
+        |         CAST(oi AS VARCHAR) || '.' || CAST(nj AS VARCHAR),
+        |         2.5 + 0.5 * CAST(i + j AS DOUBLE), NULL FROM p
+        |  UNION ALL
+        |  SELECT 'deep.profile.samples.val', 'deep.deep.profile.deep.profile.samples',
+        |         CAST(oi AS VARCHAR) || '.' || CAST(nj AS VARCHAR) || '.' || CAST(nk AS VARCHAR),
+        |         CAST(100 * i + 10 * j + k AS DOUBLE) + 0.25, NULL FROM sm
+        |  UNION ALL
+        |  SELECT 'deep.profile.samples.tag', 'deep.deep.profile.deep.profile.samples',
+        |         CAST(oi AS VARCHAR) || '.' || CAST(nj AS VARCHAR) || '.' || CAST(nk AS VARCHAR),
+        |         CAST(NULL AS DOUBLE),
+        |         repeat('g', (i + j + k) % 4 + 1) || CAST(i AS VARCHAR) || CAST(j AS VARCHAR) || CAST(k AS VARCHAR)
+        |  FROM sm)
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
     "load_opendap_seq_nested" ->
       """WITH o AS (SELECT i FROM range(4) t(i)),
         |n AS (SELECT i, j FROM range(4) t(i) CROSS JOIN range(3) u(j) WHERE j < i % 3),

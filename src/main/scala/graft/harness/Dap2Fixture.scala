@@ -372,6 +372,177 @@ object Dap2Fixture {
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }
 
+  /** Deep-nested Sequence dataset (r15, `load_opendap_seq_deep`): THREE
+    * sequence levels —
+    * `Sequence { Int32 station; Sequence { Int32 depth; Sequence {
+    * Float64 val; String tag; } samples; Float64 o2; } profile;
+    * Float64 lat; } deep;` — with the nested member MID-DECLARATION at
+    * both levels and empty streams at every depth (outer records 0 and 3
+    * carry no profiles; profile (2,1) carries no samples). All values
+    * closed-form so the DuckDB oracle regenerates all three levels from
+    * range(): station = 100 + 7i, lat = 0.5i − 1, c1 = i % 3,
+    * depth = 10i + j, o2 = 2.5 + 0.5(i + j), c2 = (i + j) % 3,
+    * val = 100i + 10j + k + 0.25, tag = 'g'×((i+j+k)%4+1) ++ "ijk"
+    * (lengths 1..4 + digits exercise every XDR pad). */
+  def ensureSeqDeep(spark: SparkSession): String = synchronized {
+    servers.getOrElseUpdate("#seqdeep", startSeqDeep())
+  }
+
+  private[graft] val deepN = 4
+  private[graft] def deepStation(i: Int): Int = 100 + 7 * i
+  private[graft] def deepLat(i: Int): Double = 0.5 * i - 1.0
+  private[graft] def deepC1(i: Int): Int = i % 3
+  private[graft] def deepDepth(i: Int, j: Int): Int = 10 * i + j
+  private[graft] def deepO2(i: Int, j: Int): Double = 2.5 + 0.5 * (i + j)
+  private[graft] def deepC2(i: Int, j: Int): Int = (i + j) % 3
+  private[graft] def deepVal(i: Int, j: Int, k: Int): Double =
+    100 * i + 10 * j + k + 0.25
+  private[graft] def deepTag(i: Int, j: Int, k: Int): String =
+    "g" * ((i + j + k) % 4 + 1) + s"$i$j$k"
+
+  private[graft] val deepMembers: Seq[(String, String)] =
+    Seq("station" -> "Int32", "profile" -> "Sequence", "lat" -> "Float64")
+  private[graft] val deepProfile: Seq[(String, String)] =
+    Seq("depth" -> "Int32", "samples" -> "Sequence", "o2" -> "Float64")
+  private[graft] val deepSamples: Seq[(String, String)] =
+    Seq("val" -> "Float64", "tag" -> "String")
+
+  private[graft] def deepProjDds(members: Seq[(String, String)]): String = {
+    val samplesBlock =
+      "            Sequence {\n" +
+        deepSamples.map { case (n, t) => s"                $t $n;" }.mkString("\n") +
+        "\n            } samples;"
+    val profileBlock =
+      "        Sequence {\n" +
+        deepProfile.map {
+          case ("samples", _) => samplesBlock
+          case (n, t) => s"            $t $n;"
+        }.mkString("\n") +
+        "\n        } profile;"
+    val decls = members.map {
+      case ("profile", _) => profileBlock
+      case (m, t) => s"        $t $m;"
+    }.mkString("\n")
+    s"Dataset {\n    Sequence {\n$decls\n    } deep;\n} deepcasts;"
+  }
+
+  private[graft] def deepDasText: String =
+    """Attributes {
+      |    NC_GLOBAL {
+      |        String title "graft DAP2 deep nested sequence fixture";
+      |    }
+      |}""".stripMargin
+
+  private[graft] def deepDodsBytes(members: Seq[(String, String)] = deepMembers,
+                                   recs: Seq[Int] = 0 until deepN,
+                                   keep1: (Int, Int) => Boolean = (_, _) => true,
+                                   keep2: (Int, Int, Int) => Boolean = (_, _, _) => true)
+      : Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write((deepProjDds(members) + "\nData:\n").getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def f64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+    }
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      u32(b.length.toLong); out.write(b)
+      var pad = (4 - b.length % 4) % 4
+      while (pad > 0) { out.write(0); pad -= 1 }
+    }
+    recs.foreach { i =>
+      u32(0x5A000000L)
+      members.foreach {
+        case ("station", _) => u32(deepStation(i).toLong & 0xffffffffL)
+        case ("lat", _)     => f64(deepLat(i))
+        case ("profile", _) =>
+          (0 until deepC1(i)).filter(keep1(i, _)).foreach { j =>
+            u32(0x5A000000L)
+            u32(deepDepth(i, j).toLong & 0xffffffffL)
+            (0 until deepC2(i, j)).filter(keep2(i, j, _)).foreach { k =>
+              u32(0x5A000000L); f64(deepVal(i, j, k)); str(deepTag(i, j, k))
+            }
+            u32(0xA5000000L) // samples terminator
+            f64(deepO2(i, j))
+          }
+          u32(0xA5000000L) // profile terminator
+        case (other, _) => throw new IllegalArgumentException(s"no such member '$other'")
+      }
+    }
+    u32(0xA5000000L)
+    out.toByteArray
+  }
+
+  private def startSeqDeep(): String = serve("deepcasts") { (path, query) =>
+    logSeqRequest(path, query)
+    if (path.endsWith(".dds")) (deepProjDds(deepMembers) + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".das")) (deepDasText + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".dods")) {
+      val q = if (query == null) "" else query.trim
+      // selections partition by DOTTED PREFIX DEPTH (deepest first, so
+      // 'deep.profile.samples.*' never lands in the profile bucket):
+      // each level's predicates filter THAT sequence's records — DAP2's
+      // innermost-sequence selection semantics at every depth
+      val parts = q.split('&')
+      val (lvl3, rest1) =
+        parts.partition(p => p.trim.startsWith("deep.profile.samples."))
+      val (lvl2, outerParts) =
+        rest1.partition(p => p.trim.startsWith("deep.profile."))
+      def icmp(x: Double, op: String, lit: String): Boolean = {
+        val y = lit.toDouble
+        op match {
+          case "<" => x < y; case "<=" => x <= y; case ">" => x > y
+          case ">=" => x >= y; case "=" => x == y; case "!=" => x != y
+        }
+      }
+      def scmp(s: String, op: String, lit: String): Boolean = {
+        require(lit.length >= 2 && lit.head == '"' && lit.last == '"',
+          s"string literal '$lit' must be double-quoted")
+        val l = lit.substring(1, lit.length - 1)
+        op match {
+          case "=" => s == l; case "!=" => s != l; case "=~" => s.matches(l)
+        }
+      }
+      val l3Re =
+        """^deep\.profile\.samples\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|=~|<|>|=)(.+)$""".r
+      val keep2: (Int, Int, Int) => Boolean = (i, j, k) =>
+        lvl3.forall {
+          case l3Re(m, op, lit) => m match {
+            case "val" => icmp(deepVal(i, j, k), op, lit)
+            case "tag" => scmp(deepTag(i, j, k), op, lit)
+            case other => throw new IllegalArgumentException(
+              s"selection on unknown samples member '$other'")
+          }
+          case other => throw new IllegalArgumentException(
+            s"fixture cannot evaluate samples selection '$other'")
+        }
+      val l2Re =
+        """^deep\.profile\.([A-Za-z_][A-Za-z0-9_]*)(<=|>=|!=|=~|<|>|=)(.+)$""".r
+      val keep1: (Int, Int) => Boolean = (i, j) =>
+        lvl2.forall {
+          case l2Re(m, op, lit) => m match {
+            case "depth" => icmp(deepDepth(i, j).toDouble, op, lit)
+            case "o2"    => icmp(deepO2(i, j), op, lit)
+            case other => throw new IllegalArgumentException(
+              s"selection on unknown profile member '$other'")
+          }
+          case other => throw new IllegalArgumentException(
+            s"fixture cannot evaluate profile selection '$other'")
+        }
+      val (members, keep) = evalSeqCe(outerParts.mkString("&"), "deep", deepMembers, {
+        case ("station", i) => Left(deepStation(i).toDouble)
+        case ("lat", i)     => Left(deepLat(i))
+        case (other, _) => throw new IllegalArgumentException(
+          s"selection on unknown member '$other'")
+      }, deepN)
+      deepDodsBytes(members, keep, keep1, keep2)
+    } else throw new IllegalArgumentException(s"unknown DAP request $path")
+  }
+
   private def structVars: Seq[Var] = Seq(
     Var("obs.depth", "Int32", Seq("d" -> 4L),
       (0 until 4).map(i => (7 * i - 3).toDouble).toArray, container = "obs"),

@@ -44,10 +44,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * libdap and pydap both serialize string vectors this way; the doubled
   * count is the NUMERIC array quirk. Structures flatten to dotted names
   * (r12); Sequences decode to tidy rows (r13, [[decodeSequences]]),
-  * including ONE nested Sequence level (r14 — profile-of-casts, exploded
-  * under a two-long coords vector). Still refused loudly: Sequences
-  * nested deeper than one level or inside Structures, array members
-  * inside a Sequence, and arrays of Structures/Sequences.
+  * including nested Sequence members at ANY depth (r14 one level, r15
+  * full recursion — each level explodes under one more coords slot, the
+  * pydap nesting surface). Still refused loudly: Sequences inside
+  * Structures, array members inside a Sequence, and arrays of
+  * Structures/Sequences.
   */
 object Dap2Index {
 
@@ -59,19 +60,25 @@ object Dap2Index {
   final case class DapVar(name: String, dapType: String, dims: Seq[(String, Long)],
                           maps: Seq[String] = Nil)
 
+  /** Member tree of one Sequence level: `members` are (name, dapType)
+    * pairs in declaration order; a member of dapType `"Sequence"` is a
+    * nested Sequence whose own tree lives in `nested` under the member
+    * name — RECURSIVE since r15 (r14 allowed exactly one level), so the
+    * full pydap nesting surface parses. */
+  final case class SeqBody(members: Seq[(String, String)],
+                           nested: Map[String, SeqBody] = Map.empty)
+
   /** `Sequence { <members> } name;` (r13): row-structured data —
     * in-situ/observational feeds — whose record count is data-dependent
-    * (no fixed geometry, so no `.zarray` plane). `members` are
-    * (name, dapType) pairs in declaration order; a member of dapType
-    * `"Sequence"` is ONE nested Sequence level (r14 — the
-    * profile-of-casts shape) whose own scalar members live in `nested`
-    * under the member name. [[decodeSequences]] walks the XDR record
-    * stream into tidy rows (inner records explode under a two-long
-    * coords vector). Still refusing loudly: Sequences nested deeper
-    * than one level, Sequences inside Structures, array members, and
-    * arrays of Sequences. */
+    * (no fixed geometry, so no `.zarray` plane). Nested Sequence members
+    * recurse to ANY depth (r15 — each level of [[decodeSequences]]'s
+    * walk explodes under one more coords slot). Still refusing loudly:
+    * Sequences inside Structures, array members, and arrays of
+    * Sequences. */
   final case class DapSeq(name: String, members: Seq[(String, String)],
-                          nested: Map[String, Seq[(String, String)]] = Map.empty)
+                          nested: Map[String, SeqBody] = Map.empty) {
+    def body: SeqBody = SeqBody(members, nested)
+  }
 
   final case class Dds(datasetName: String, vars: Seq[DapVar],
                        seqs: Seq[DapSeq] = Nil)
@@ -188,11 +195,11 @@ object Dap2Index {
         parseVars(structBody, s"$prefix$structName.", vars, seqs)
         rest = afterBrace.substring(semi + 1)
       } else if (t.startsWith("Sequence")) {
-        // Sequence { <members> } name; → row-structured records (r13),
-        // with ONE nested Sequence level allowed since r14 (the
-        // profile-of-casts shape). A Sequence inside a Structure, deeper
-        // nesting, array members, and arrays OF Sequences keep refusing
-        // loudly (the relational row target is the flat/exploded record).
+        // Sequence { <members> } name; → row-structured records (r13);
+        // nested Sequence members recurse to any depth (r15). A Sequence
+        // inside a Structure, array members, and arrays OF Sequences
+        // keep refusing loudly (the relational row target is the
+        // flat/exploded record).
         require(prefix.isEmpty,
           s"DAP2 Sequence nested inside container '${prefix.stripSuffix(".")}' — " +
             "only one-level (top-level) Sequences decode to rows")
@@ -206,9 +213,9 @@ object Dap2Index {
         require(seqName.nonEmpty, "malformed Sequence: missing name")
         require(!seqName.contains('['),
           s"DAP2 array-of-Sequences '$seqName' has no row form — refusing")
-        val (members, nested) = parseSeqMembers(seqName, seqBody, allowNested = true)
-        require(members.nonEmpty, s"DAP2 Sequence '$seqName' has no members")
-        seqs += DapSeq(seqName, members, nested)
+        val sBody = parseSeqMembers(seqName, seqBody)
+        require(sBody.members.nonEmpty, s"DAP2 Sequence '$seqName' has no members")
+        seqs += DapSeq(seqName, sBody.members, sBody.nested)
         rest = afterBrace.substring(semi + 1)
       } else {
         declRe.findPrefixMatchOf(t) match {
@@ -225,26 +232,20 @@ object Dap2Index {
   /** Parse a Sequence body's member declarations. Members parse by
     * TOKEN, never by substring sniffing: a scalar named 'GridRef' is
     * legal, while a container member is caught by its leading keyword
-    * token regardless of spacing. With `allowNested` (the top level),
-    * one `Sequence { <scalars> } inner;` member is accepted at any
-    * declaration position — it lands in `members` as
-    * `(innerName, "Sequence")` with its scalars in the returned map;
-    * inside that inner body (`allowNested = false`) another Sequence
-    * refuses: deeper nesting has no tidy-row form here. */
-  private def parseSeqMembers(path: String, body: String, allowNested: Boolean)
-      : (Seq[(String, String)], Map[String, Seq[(String, String)]]) = {
+    * token regardless of spacing. A `Sequence { … } inner;` member is
+    * accepted at any declaration position and RECURSES to any depth
+    * (r15 — the full pydap nesting surface): it lands in `members` as
+    * `(innerName, "Sequence")` with its own tree in the returned
+    * [[SeqBody]]'s `nested`. */
+  private def parseSeqMembers(path: String, body: String): SeqBody = {
     val containerRe = """^(Sequence|Structure|Grid)\b""".r
     val members = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val nested = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
+    val nested = scala.collection.mutable.LinkedHashMap.empty[String, SeqBody]
     var mRest = body
     while (mRest.trim.nonEmpty) {
       val mt = mRest.trim
       containerRe.findPrefixMatchOf(mt) match {
         case Some(cm) if cm.group(1) == "Sequence" =>
-          if (!allowNested)
-            throw new IllegalArgumentException(
-              s"DAP2 Sequence '$path' nests another Sequence — only ONE nested " +
-                "Sequence level decodes to rows")
           val nOpen = mt.indexOf('{')
           val nClose = matchingBrace(mt, nOpen)
           val nBody = mt.substring(nOpen + 1, nClose)
@@ -257,12 +258,11 @@ object Dap2Index {
             s"DAP2 array-of-Sequences '$path.$innerName' has no row form — refusing")
           require(!nested.contains(innerName) && !members.exists(_._1 == innerName),
             s"DAP2 Sequence '$path' re-declares member '$innerName'")
-          val (innerMembers, _) =
-            parseSeqMembers(s"$path.$innerName", nBody, allowNested = false)
-          require(innerMembers.nonEmpty,
+          val innerBody = parseSeqMembers(s"$path.$innerName", nBody)
+          require(innerBody.members.nonEmpty,
             s"DAP2 Sequence '$path.$innerName' has no members")
           members += ((innerName, "Sequence"))
-          nested += innerName -> innerMembers
+          nested += innerName -> innerBody
           mRest = nAfter.substring(nSemi + 1)
         case Some(cm) =>
           throw new IllegalArgumentException(
@@ -286,7 +286,7 @@ object Dap2Index {
         }
       }
     }
-    (members.toSeq, nested.toMap)
+    SeqBody(members.toSeq, nested.toMap)
   }
 
   private def matchingBrace(s: String, open: Int): Int = {
@@ -515,18 +515,16 @@ object Dap2Index {
     // subsetting path for these. The numeric/label planes skip both rows
     // by kind/member, so a mixed dataset decodes all three planes.
     val perSeq = dds.seqs.iterator.flatMap { sq =>
-      // a nested-Sequence member (r14) carries its own scalar member list
-      // inline, so the record walk can rebuild the full declaration tree
-      val schema: JValue = ("members" ->
-        JArray(sq.members.map { case (n, t) =>
-          val base = List(JField("name", JString(n)), JField("type", JString(t)))
-          if (t == "Sequence")
-            JObject(base :+ JField("members", JArray(sq.nested(n).map {
-              case (in, it) =>
-                JObject(JField("name", JString(in)), JField("type", JString(it)))
-            }.toList)))
-          else JObject(base)
-        }.toList))
+      // a nested-Sequence member carries its own member list inline —
+      // RECURSIVELY since r15 — so the record walk can rebuild the full
+      // declaration tree at any depth
+      def memberJson(b: SeqBody): List[JValue] = b.members.map { case (n, t) =>
+        val base = List(JField("name", JString(n)), JField("type", JString(t)))
+        if (t == "Sequence")
+          JObject(base :+ JField("members", JArray(memberJson(b.nested(n)))))
+        else JObject(base)
+      }.toList
+      val schema: JValue = ("members" -> JArray(memberJson(sq.body)))
       Iterator(
         (s"${sq.name}/.zseq", sq.name, ".zseq", "meta", null: String,
           None: Option[Long], None: Option[Long], compact(render(schema))),
@@ -737,9 +735,10 @@ object Dap2Index {
 
   // ------------------------------------------------------------- sequences
 
-  /** Decode one-level Sequence containers (r13) into tidy rows:
-    * (variable = `<seq>.<member>`, dims = [`<seq>`], coords = [record
-    * index], value, label) — numeric members fill `value`, String/Url
+  /** Decode Sequence containers (r13; nested members to any depth since
+    * r15) into tidy rows: (variable = `<seq>.<member path>`, dims = the
+    * chain of enclosing sequence paths, coords = one record index per
+    * level, value, label) — numeric members fill `value`, String/Url
     * members fill `label`; each lands on the plane the rest of the engine
     * already speaks. One executor task fetches one sequence's `.dods`
     * stream and walks the XDR records (DAP 2.0 §7.2.3: `0x5A000000`
@@ -783,7 +782,7 @@ object Dap2Index {
     val metaRows = entries
       .filter(col("member") === ".zseq" || col("kind") === "seqref")
       .select("variable", "member", "kind", "url", "inline_value").collect()
-    val schemas = metaRows.filter(_.getString(1) == ".zseq")
+    val schemas: Map[String, SeqBody] = metaRows.filter(_.getString(1) == ".zseq")
       .map(r => r.getString(0) -> parseSeqSchema(r.getString(4))).toMap
     // member PROJECTION pushes to the server as the DAP2 dotted-name
     // constraint (`?seq.a,seq.b`) — the protocol's own subsetting path: a
@@ -792,8 +791,9 @@ object Dap2Index {
     // sequence's members in DDS order regardless of projection order), so
     // the projected schema keeps declaration order too.
     project.foreach { case (seqName, wanted) =>
-      val (declared, _) = schemas.getOrElse(seqName, throw new IllegalArgumentException(
+      val declared = schemas.getOrElse(seqName, throw new IllegalArgumentException(
         s"DAP2 sequence projection names '$seqName', which is not a Sequence here"))
+        .members
       // a nested-Sequence member projects by NAME (the whole subtree —
       // `?prof.profile` is a legal DAP2 constructor projection); naming
       // an inner member individually is not supported here
@@ -806,12 +806,27 @@ object Dap2Index {
     // selections validate against the DECLARED schema (a filter member
     // need not be projected — DAP2 evaluates selection server-side over
     // the full sequence, then serializes only the projection). A DOTTED
-    // member (`profile.depth>500`, r14) selects on a NESTED sequence's
-    // scalar: the server filters the INNER records — outer records
-    // remain, possibly with an empty inner stream (the protocol's
+    // member (`profile.depth>500`, r14; ANY depth since r15 —
+    // `profile.samples.val<3`) selects on a nested sequence's scalar:
+    // the server filters THAT sequence's records — enclosing records
+    // remain, possibly with an empty nested stream (the protocol's
     // innermost-sequence selection semantics, pydap's behavior).
+    def memberTypeOf(b: SeqBody, segs: List[String], at: String, p: String): String =
+      segs match {
+        case one :: Nil =>
+          b.members.collectFirst { case (`one`, t) => t }.getOrElse(
+            throw new IllegalArgumentException(
+              s"DAP2 sequence selection '$p' names unknown member '$one' of " +
+                s"'$at' (has: ${b.members.map(_._1).mkString(", ")})"))
+        case seg :: rest =>
+          require(b.members.exists { case (n, t) => n == seg && t == "Sequence" },
+            s"DAP2 sequence selection '$p': '$at.$seg' is not a nested " +
+              s"Sequence member (has: ${b.members.map(_._1).mkString(", ")})")
+          memberTypeOf(b.nested(seg), rest, s"$at.$seg", p)
+        case Nil => throw new IllegalStateException(s"empty member path in '$p'")
+      }
     val selByVar: Map[String, Seq[String]] = select.map { case (seqName, preds) =>
-      val (declared, nested) = schemas.getOrElse(seqName, throw new IllegalArgumentException(
+      val schema = schemas.getOrElse(seqName, throw new IllegalArgumentException(
         s"DAP2 sequence selection names '$seqName', which is not a Sequence here"))
       require(preds.nonEmpty, s"DAP2 sequence selection for '$seqName' is empty")
       seqName -> preds.map { p =>
@@ -819,24 +834,10 @@ object Dap2Index {
           case seqSelRe(m0, op0, lit0) => (m0, op0, lit0)
           case _ => throw new IllegalArgumentException(
             s"DAP2 sequence selection '$p' is not <member><op><literal> " +
-              "(ops: < <= > >= = != =~; member may be dotted into ONE " +
-              "nested Sequence: inner.field)")
+              "(ops: < <= > >= = != =~; member may dot through nested " +
+              "Sequences to any depth: inner.field)")
         }
-        val tpe = m.split('.') match {
-          case Array(outer, inner) =>
-            require(declared.exists { case (n, t) => n == outer && t == "Sequence" },
-              s"DAP2 sequence selection '$p': '$seqName.$outer' is not a nested " +
-                s"Sequence member (has: ${declared.map(_._1).mkString(", ")})")
-            nested(outer).collectFirst { case (`inner`, t) => t }.getOrElse(
-              throw new IllegalArgumentException(
-                s"DAP2 sequence selection names unknown member '$inner' of " +
-                  s"'$seqName.$outer' (has: ${nested(outer).map(_._1).mkString(", ")})"))
-          case _ =>
-            declared.collectFirst { case (`m`, t) => t }.getOrElse(
-              throw new IllegalArgumentException(
-                s"DAP2 sequence selection names unknown member '$m' of '$seqName' " +
-                  s"(has: ${declared.map(_._1).mkString(", ")})"))
-        }
+        val tpe = memberTypeOf(schema, m.split('.').toList, seqName, p)
         require(tpe != "Sequence",
           s"DAP2 sequence selection '$p': '$seqName.$m' is a nested Sequence — " +
             "select on its scalar members ('" + m + ".<field><op><literal>') " +
@@ -859,20 +860,23 @@ object Dap2Index {
         s"&$seqName.$m${ceEncode(op)}${ceEncode(lit)}"
       }
     }
-    val effective: Map[String, (Seq[(String, String)], Map[String, Seq[(String, String)]])] =
-      schemas.map { case (v, (declared, nested)) =>
+    val effective: Map[String, SeqBody] =
+      schemas.map { case (v, schema) =>
         val kept = project.get(v) match {
-          case Some(wanted) => declared.filter { case (m, _) => wanted.contains(m) }
-          case None         => declared
+          case Some(wanted) => schema.members.filter { case (m, _) => wanted.contains(m) }
+          case None         => schema.members
         }
-        v -> ((kept, nested.view.filterKeys(k => kept.exists(_._1 == k)).toMap))
+        // a projected nested member keeps its WHOLE subtree (`?prof.profile`
+        // is a constructor projection) — only top-level pruning here
+        v -> SeqBody(kept,
+          schema.nested.view.filterKeys(k => kept.exists(_._1 == k)).toMap)
       }
     val refPairs: Seq[(String, String)] = metaRows.filter(_.getString(2) == "seqref")
       .map(r => (r.getString(0), r.getString(3))).toSeq
     val parts = math.max(1, math.min(refPairs.size, spark.sparkContext.defaultParallelism))
     val cap = maxFetchBytes
     spark.sparkContext.parallelize(refPairs, parts).flatMap { case (variable, url) =>
-      val (members, nested) = effective.getOrElse(variable,
+      val eff = effective.getOrElse(variable,
         throw new IllegalStateException(s"no .zseq schema row for sequence '$variable'"))
       val sels = selByVar.getOrElse(variable, Seq.empty).mkString
       // the seqref url ends '?<seq>' (whole-sequence projection); member
@@ -881,24 +885,27 @@ object Dap2Index {
         if (!project.contains(variable) && sels.isEmpty) url
         else url.substring(0, url.indexOf('?') + 1) +
           (if (project.contains(variable))
-             members.map { case (m, _) => s"$variable.$m" }.mkString(",")
+             eff.members.map { case (m, _) => s"$variable.$m" }.mkString(",")
            else variable) + sels
-      parseSeqRecords(fetchBody(reqUrl, cap), reqUrl, variable, members, nested).map {
+      parseSeqRecords(fetchBody(reqUrl, cap), reqUrl, variable,
+          eff.members, eff.nested).map {
         case (path, coords, v, s) =>
-          // nested rows ([rec, irec]) dim over (outer, outer.inner); the
-          // inner dim name is the nested member's dotted path
-          val dims =
-            if (coords.size == 1) Seq(variable)
-            else Seq(variable, s"$variable.${path.takeWhile(_ != '.')}")
+          // a depth-d scalar ([rec, irec, …]) dims over the chain of
+          // enclosing sequences: (seq, seq.a, seq.a.b, …) — each dim
+          // name is the dotted path of the sequence that owns that
+          // coordinate slot
+          val segs = path.split('.')
+          val dims = variable +: (1 until coords.size).map(k =>
+            s"$variable.${segs.take(k).mkString(".")}")
           (s"$variable.$path", dims, coords, v, s)
       }
     }.toDF("variable", "dims", "coords", "value", "label")
   }
 
   // `<member><op><literal>` — ops longest-first so `<=` never parses as
-  // `<`; the member may carry ONE dot (inner-sequence field, r14)
+  // `<`; the member may dot through nested Sequences to any depth (r15)
   private val seqSelRe =
-    """^\s*([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)?)\s*(<=|>=|!=|=~|<|>|=)\s*(.+?)\s*$""".r
+    """^\s*([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s*(<=|>=|!=|=~|<|>|=)\s*(.+?)\s*$""".r
 
   /** Percent-encode a constraint-expression component: `<`, `>`, `"`,
     * `{`, `}`, spaces, and non-ASCII are illegal raw in a URI query (a
@@ -915,35 +922,35 @@ object Dap2Index {
     }.mkString
   }
 
-  private def parseSeqSchema(json: String)
-      : (Seq[(String, String)], Map[String, Seq[(String, String)]]) = {
+  private def parseSeqSchema(json: String): SeqBody = {
     import org.json4s._
-    def scalarList(items: List[JValue], where: String): Seq[(String, String)] =
-      items.map { m =>
+    def bodyOf(items: List[JValue], where: String): SeqBody = {
+      val members = items.map { m =>
         ((m \ "name"), (m \ "type")) match {
           case (JString(nm), JString(t)) => (nm, t)
           case _ => throw new IllegalArgumentException(s"malformed $where member: $m")
         }
       }
+      val nested = items.zip(members).collect {
+        case (m, (nm, "Sequence")) => (m \ "members") match {
+          case JArray(inner) => nm -> bodyOf(inner, s"$where nested '$nm'")
+          case other => throw new IllegalArgumentException(
+            s"malformed $where nested member '$nm': $other")
+        }
+      }.toMap
+      SeqBody(members, nested)
+    }
     (org.json4s.jackson.JsonMethods.parse(json) \ "members") match {
-      case JArray(items) =>
-        val members = scalarList(items, ".zseq")
-        val nested = items.zip(members).collect {
-          case (m, (nm, "Sequence")) => (m \ "members") match {
-            case JArray(inner) => nm -> scalarList(inner, s".zseq nested '$nm'")
-            case other => throw new IllegalArgumentException(
-              s"malformed .zseq nested member '$nm': $other")
-          }
-        }.toMap
-        (members, nested)
+      case JArray(items) => bodyOf(items, ".zseq")
       case other => throw new IllegalArgumentException(s"malformed .zseq schema: $other")
     }
   }
 
   /** Walk a Sequence `.dods` body into (member path, coords, value,
-    * label) tuples — coords is `[record]` for the sequence's own scalar
-    * members and `[record, inner record]` for members of a nested
-    * Sequence (r14: DAP 2.0 §7.2.3 serializes a nested Sequence member
+    * label) tuples — coords carries ONE record index per enclosing
+    * sequence level: `[record]` for the sequence's own scalar members,
+    * `[record, inner record, …]` for members of nested Sequences at ANY
+    * depth (r15; DAP 2.0 §7.2.3 serializes a nested Sequence member
     * recursively — its own 0x5A-marked record stream with its own
     * 0xA5 terminator, inline at the member's declaration position).
     * Every marker, member span, and the final byte count are checked —
@@ -951,7 +958,7 @@ object Dap2Index {
     * stripDods doctrine). */
   private[graft] def parseSeqRecords(body: Array[Byte], url: String, seqName: String,
       members: Seq[(String, String)],
-      nested: Map[String, Seq[(String, String)]] = Map.empty)
+      nested: Map[String, SeqBody] = Map.empty)
       : Seq[(String, Seq[Long], Option[Double], Option[String])] = {
     val marker = "\nData:\n".getBytes("US-ASCII")
     val at = indexOfSlice(body, marker)
@@ -999,57 +1006,52 @@ object Dap2Index {
         pos += width
         (Some(v), None)
       }
-    var rec = 0L
-    var done = false
-    while (!done) {
-      require(body.length - pos >= 4,
-        s"truncated DODS sequence stream from $url: no marker before record $rec")
-      u32(pos) match {
-        case 0x5A000000L => // start of instance
-          pos += 4
-          members.foreach { case (mName, tpe) =>
-            if (tpe == "Sequence") {
-              val inner = nested.getOrElse(mName, throw new IllegalStateException(
-                s"no nested schema for Sequence member '$seqName.$mName'"))
-              var irec = 0L
-              var idone = false
-              while (!idone) {
-                require(body.length - pos >= 4,
-                  s"truncated DODS sequence stream from $url: no inner marker " +
-                    s"before record $rec.$irec of '$seqName.$mName'")
-                u32(pos) match {
-                  case 0x5A000000L =>
-                    pos += 4
-                    inner.foreach { case (inName, inT) =>
-                      val (v, s) = scalar(inT,
-                        s"'$seqName.$mName.$inName' of record $rec.$irec from $url")
-                      out += ((s"$mName.$inName", Seq(rec, irec), v, s))
-                    }
-                    irec += 1L
-                  case 0xA5000000L => pos += 4; idone = true
-                  case other => throw new java.io.IOException(
-                    f"malformed DODS sequence stream from $url: inner marker " +
-                      f"0x$other%08X before record $rec.$irec of '$seqName.$mName'")
-                }
+    // one 0x5A/0xA5 record stream at any nesting level (r15: the r14
+    // two-level special case generalized to full recursion) — `coords`
+    // holds the enclosing levels' record indices, `level` the dotted
+    // declaration path for error messages, `prefix` the emitted member
+    // path. Returns this level's record count.
+    def stream(ms: Seq[(String, String)], nest: Map[String, SeqBody],
+               prefix: String, coords: Seq[Long], level: String): Long = {
+      val inner = coords.nonEmpty
+      val what = if (inner) "inner marker" else "marker"
+      var rec = 0L
+      var done = false
+      while (!done) {
+        val at = (coords :+ rec).mkString(".")
+        require(body.length - pos >= 4,
+          s"truncated DODS sequence stream from $url: no $what before " +
+            s"record $at of '$level'")
+        u32(pos) match {
+          case 0x5A000000L => // start of instance
+            pos += 4
+            ms.foreach { case (mName, tpe) =>
+              if (tpe == "Sequence") {
+                val in = nest.getOrElse(mName, throw new IllegalStateException(
+                  s"no nested schema for Sequence member '$level.$mName'"))
+                stream(in.members, in.nested, s"$prefix$mName.",
+                  coords :+ rec, s"$level.$mName")
+              } else {
+                val (v, s) = scalar(tpe, s"'$level.$mName' of record $at from $url")
+                out += ((prefix + mName, coords :+ rec, v, s))
               }
-            } else {
-              val (v, s) = scalar(tpe, s"'$seqName.$mName' of record $rec from $url")
-              out += ((mName, Seq(rec), v, s))
             }
-          }
-          rec += 1L
-        case 0xA5000000L => // end of sequence
-          pos += 4
-          done = true
-        case other =>
-          throw new java.io.IOException(
-            f"malformed DODS sequence stream from $url: marker 0x$other%08X " +
-              s"before record $rec (want 0x5A000000 or 0xA5000000)")
+            rec += 1L
+          case 0xA5000000L => // end of this sequence's stream
+            pos += 4
+            done = true
+          case other =>
+            throw new java.io.IOException(
+              f"malformed DODS sequence stream from $url: $what 0x$other%08X " +
+                s"before record $at of '$level' (want 0x5A000000 or 0xA5000000)")
+        }
       }
+      rec
     }
+    val nRecs = stream(members, nested, "", Seq.empty, seqName)
     require(pos == body.length,
       s"DODS sequence stream from $url has ${body.length - pos} trailing bytes " +
-        s"after $rec records")
+        s"after $nRecs records")
     out.toSeq
   }
 }

@@ -152,7 +152,7 @@ class Dap2Spec extends AnyFunSuite {
     assert(flat.vars === Seq(Dap2Index.DapVar("names", "String", Seq("x" -> 3L))))
   }
 
-  test("DDS: one-level Sequences parse to member schemas; nesting/arrays refuse (r13)") {
+  test("DDS: Sequences parse to member trees — nesting recurses (r15); containers/arrays refuse (r13)") {
     val dds = Dap2Index.parseDds(
       """Dataset {
         |  Float64 bg[x = 2];
@@ -165,17 +165,22 @@ class Dap2Spec extends AnyFunSuite {
     assert(dds.vars.map(_.name) === Seq("bg")) // arrays unaffected
     assert(dds.seqs === Seq(Dap2Index.DapSeq("cast",
       Seq("depth" -> "Int32", "temp" -> "Float64", "station" -> "String"))))
-    // ONE nested Sequence level parses (r14) — at any member position;
-    // TWO levels, Sequence inside Structure, array members,
-    // array-of-Sequences, and other container members refuse loudly
+    // nested Sequence members parse at any member position and recurse
+    // to ANY depth (r14 one level, r15 full recursion); Sequence inside
+    // Structure, array members, array-of-Sequences, and other container
+    // members refuse loudly
     val nest = Dap2Index.parseDds(
       "Dataset {\n Sequence { Int32 a; Sequence { Int32 b; } in;\n } s;\n} d;")
     assert(nest.seqs === Seq(Dap2Index.DapSeq("s",
-      Seq("a" -> "Int32", "in" -> "Sequence"), Map("in" -> Seq("b" -> "Int32")))))
-    assert(intercept[IllegalArgumentException] {
-      Dap2Index.parseDds("Dataset {\n Sequence { Int32 a; Sequence { " +
-        "Sequence { Int32 c; } in2; } in;\n } s;\n} d;")
-    }.getMessage.contains("nests another Sequence"))
+      Seq("a" -> "Int32", "in" -> "Sequence"),
+      Map("in" -> Dap2Index.SeqBody(Seq("b" -> "Int32"))))))
+    val deep = Dap2Index.parseDds("Dataset {\n Sequence { Int32 a; Sequence { " +
+      "Sequence { Int32 c; } in2; Float64 f; } in;\n } s;\n} d;")
+    assert(deep.seqs === Seq(Dap2Index.DapSeq("s",
+      Seq("a" -> "Int32", "in" -> "Sequence"),
+      Map("in" -> Dap2Index.SeqBody(
+        Seq("in2" -> "Sequence", "f" -> "Float64"),
+        Map("in2" -> Dap2Index.SeqBody(Seq("c" -> "Int32"))))))))
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseDds("Dataset {\n Structure { Sequence { Int32 a; } q; } s;\n} d;")
     }.getMessage.contains("one-level"))
@@ -250,7 +255,7 @@ class Dap2Spec extends AnyFunSuite {
     f64(1.5)                  // c = 1.5
     u32(0xA5000000L)          // outer terminator
     val members = Seq("a" -> "Int32", "in" -> "Sequence", "c" -> "Float64")
-    val nested = Map("in" -> Seq("b" -> "Int32"))
+    val nested = Map("in" -> Dap2Index.SeqBody(Seq("b" -> "Int32")))
     val rows = Dap2Index.parseSeqRecords(bos.toByteArray, "u", "q", members, nested)
     assert(rows === Seq(
       ("a", Seq(0L), Some(5.0), None),
@@ -270,6 +275,55 @@ class Dap2Spec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseSeqRecords(good.dropRight(18), "u", "q", members, nested)
     }.getMessage.contains("truncated"))
+  }
+
+  test("deep-nested Sequence golden bytes: recursive walk three levels down (r15)") {
+    // hand-built depth-3 stream, independent of the fixture encoder:
+    // Sequence { Int32 a; Sequence { Int32 b; Sequence { String t; } s3;
+    // } s2; } q — record 0 carries one s2 record whose s3 stream holds
+    // two strings; record 1 carries one s2 record with an EMPTY s3
+    // stream; the whole thing pins three-slot coords and per-level
+    // terminators
+    val dds = "Dataset {\n Sequence { Int32 a; Sequence { Int32 b; " +
+      "Sequence { String t; } s3; } s2; } q;\n} d;"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(dds.getBytes("US-ASCII")); bos.write("\nData:\n".getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+    }
+    u32(0x5A000000L); u32(3L)  // outer record 0: a = 3
+    u32(0x5A000000L); u32(10L) //   s2 record 0.0: b = 10
+    u32(0x5A000000L)           //     s3 record 0.0.0
+    u32(2L); bos.write('h'); bos.write('i'); bos.write(0); bos.write(0)
+    u32(0x5A000000L)           //     s3 record 0.0.1
+    u32(4L); bos.write("wxyz".getBytes("US-ASCII"))
+    u32(0xA5000000L)           //     s3 terminator
+    u32(0xA5000000L)           //   s2 terminator
+    u32(0x5A000000L); u32(4L)  // outer record 1: a = 4
+    u32(0x5A000000L); u32(20L) //   s2 record 1.0: b = 20
+    u32(0xA5000000L)           //     s3 EMPTY (just its terminator)
+    u32(0xA5000000L)           //   s2 terminator
+    u32(0xA5000000L)           // outer terminator
+    val members = Seq("a" -> "Int32", "s2" -> "Sequence")
+    val nested = Map("s2" -> Dap2Index.SeqBody(
+      Seq("b" -> "Int32", "s3" -> "Sequence"),
+      Map("s3" -> Dap2Index.SeqBody(Seq("t" -> "String")))))
+    val rows = Dap2Index.parseSeqRecords(bos.toByteArray, "u", "q", members, nested)
+    assert(rows === Seq(
+      ("a", Seq(0L), Some(3.0), None),
+      ("s2.b", Seq(0L, 0L), Some(10.0), None),
+      ("s2.s3.t", Seq(0L, 0L, 0L), None, Some("hi")),
+      ("s2.s3.t", Seq(0L, 0L, 1L), None, Some("wxyz")),
+      ("a", Seq(1L), Some(4.0), None),
+      ("s2.b", Seq(1L, 0L), Some(20.0), None)))
+    // truncation at the deepest level names the full record coordinate
+    val good = bos.toByteArray
+    val e = intercept[IllegalArgumentException] {
+      Dap2Index.parseSeqRecords(good.dropRight(22), "u", "q", members, nested)
+    }
+    assert(e.getMessage.contains("truncated") || e.getMessage.contains("inner marker"),
+      e.getMessage)
   }
 
   test("Sequence end-to-end: mixed dataset decodes both planes without cross-fetching (r13)") {
@@ -511,6 +565,52 @@ class Dap2Spec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Dap2Index.decodeSequences(entries, select = Map("prof" -> Seq("station.x>1")))
     }.getMessage.contains("not a nested Sequence member"))
+  }
+
+  test("deep-nested Sequence end-to-end: three-level selection pushes in one CE (r15)") {
+    // the full row surface is oracle-checked by the load_opendap_seq_deep
+    // gates; this spec pins what the oracle cannot see — the REQUEST URL
+    // (one CE carrying predicates at all three levels; the unfiltered
+    // fetch never runs) and the depth-aware refusal edges
+    val base = Dap2Fixture.ensureSeqDeep(spark)
+    val entries = Dap2Index.read(spark, base)
+    import scala.jdk.CollectionConverters._
+    Dap2Fixture.seqRequests.clear()
+    val rows = Dap2Index.decodeSequences(entries,
+        select = Map("deep" -> Seq("station>100", "profile.o2>=3.5",
+          "profile.samples.val<201.0")))
+      .collect().map(r => (r.getString(0), r.getSeq[Long](2).toSeq,
+        Option(r.get(3)), Option(r.get(4)))).toSet
+    // the only surviving sample is (i=2, j=0, k=0) → renumbered (1, 0, 0)
+    assert(rows.filter(_._1.startsWith("deep.profile.samples")) === Set(
+      ("deep.profile.samples.val", Seq(1L, 0L, 0L),
+        Some(Dap2Fixture.deepVal(2, 0, 0)), None),
+      ("deep.profile.samples.tag", Seq(1L, 0L, 0L),
+        None, Some(Dap2Fixture.deepTag(2, 0, 0)))))
+    // i=1 survives station>100 but o2>=3.5 empties its profile stream —
+    // outer row present (renumbered 0), zero profile rows under it
+    assert(rows.exists(r => r._1 == "deep.station" && r._2 == Seq(0L) &&
+      r._3 == Some(Dap2Fixture.deepStation(1).toDouble)))
+    assert(!rows.exists(r => r._1.startsWith("deep.profile") && r._2.head == 0L))
+    val reqs = Dap2Fixture.seqRequests.asScala.filter(_.contains("deepcasts")).toList
+    assert(reqs.nonEmpty)
+    assert(reqs.forall(_.endsWith(
+      "?deep&deep.station>100&deep.profile.o2>=3.5&deep.profile.samples.val<201.0")),
+      reqs.toString)
+    // depth-aware refusals: dotting THROUGH a scalar, selecting ON a
+    // nested member at depth 2, unknown member at depth 3
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries,
+        select = Map("deep" -> Seq("profile.depth.x>1")))
+    }.getMessage.contains("not a nested Sequence member"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries,
+        select = Map("deep" -> Seq("profile.samples>1")))
+    }.getMessage.contains("nested Sequence"))
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.decodeSequences(entries,
+        select = Map("deep" -> Seq("profile.samples.nope>1")))
+    }.getMessage.contains("unknown member 'nope'"))
   }
 
   test("Sequence fetch bound: an oversized record stream refuses loudly (r14)") {
