@@ -293,7 +293,13 @@ object AnnIndex {
       require(overwrite,
         s"annIndexCompact: '$dstDir' already holds an index — pass overwrite = true")
       dstFs.delete(dstRoot, true)
-    }
+    } else if (dstFs.exists(dstRoot) && dstFs.listStatus(dstRoot).nonEmpty)
+      // the r15 build-side rule applies here too: writing store planes
+      // among someone else's bytes turns their dir into a "store" a later
+      // overwrite would delete wholesale — refuse unless told to clobber
+      require(overwrite,
+        s"annIndexCompact: '$dstDir' exists, is not an ann index, and is " +
+          "not empty — pass overwrite = true to replace it")
     // model copies as RAW BYTES (readModel above already validated them):
     // a parse + re-render round trip would make byte identity incidental
     // — e.g. signaling-NaN bit patterns may not survive intBitsToFloat
@@ -523,19 +529,16 @@ object AnnIndex {
       graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt)
   }
 
-  /** Drop tombstoned vectors from a store view keyed by `id` — the live
-    * view both search forms and the compact rewrite compose. Broadcast
-    * anti-join (deletes are deltas; compaction bounds the plane), sitting
-    * ABOVE the scan so probed-cell PartitionFilters and the
-    * (id, codes, vnorm) column pruning push through untouched. */
+  /** Live view of a store plane keyed by `id` — the shared
+    * [[graft.sources.StoreMeta.dropTombstoned]] convention over this
+    * store's tombstone plane layout. */
   private def dropTombstoned(spark: SparkSession, df: DataFrame, dir: String,
                              tombBatches: Int): DataFrame =
-    if (tombBatches == 0) df
-    else df.join(
-      broadcast((0 until tombBatches)
+    graft.sources.StoreMeta.dropTombstoned(df, "id",
+      if (tombBatches == 0) None
+      else Some((0 until tombBatches)
         .map(i => spark.read.parquet(s"$dir/tombstones/b$i"))
-        .reduce(_ unionByName _).select("id")),
-      Seq("id"), "left_anti")
+        .reduce(_ unionByName _)))
 
   /** The frozen model, floats as raw bits: centroids nCells×dim, codebooks
     * m×K×(dim/m). Written once at build; appends and searches only read. */

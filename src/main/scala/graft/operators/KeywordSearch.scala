@@ -678,7 +678,8 @@ object KeywordSearch {
     * with the corpus tokenizer's contract). */
   def bm25PhraseTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                      phrases: Seq[(String, String)], k: Int = 10,
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75,
+                     scope: CacheScope = CacheScope.untracked): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
@@ -692,7 +693,11 @@ object KeywordSearch {
     val perPhrase = parseBattery(phrases)
     val plane = dropTombstoned(spark,
       readPlane(spark, dir, "positions", meta.batches), dir, meta.tombBatches)
-    val occurrences = perPhrase.map { case (qid, ts) =>
+    // persisted: the matched (query, doc, tf) rows feed BOTH the df
+    // aggregation and the scoring join — without the cache the whole
+    // positions scan + double explode + adjacency count re-runs for the
+    // second consumer (the batteryTerms/filtered-postings precedent)
+    val occurrences = scope.persisted(perPhrase.map { case (qid, ts) =>
       val terms = ts.distinct
       // ordinal list per term — a REPEATED phrase term shifts by each of
       // its ordinals, so "the the" still demands two distinct votes
@@ -710,7 +715,8 @@ object KeywordSearch {
         .filter(col("__nOrd") === ts.length)
         .groupBy("doc_id").agg(count(lit(1)).as("tf"))
         .select(lit(qid).as("query_id"), col("doc_id"), col("tf"))
-    }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-phrase df as an aggregate + broadcast-back (ONE row per phrase
     // — a window over query_id would funnel a common phrase's full match
     // set through one reducer), then the Okapi pseudo-term score
@@ -846,7 +852,13 @@ object KeywordSearch {
       require(overwrite,
         s"bm25IndexCompact: '$dstDir' already holds an index — pass overwrite = true")
       dstFs.delete(dstRoot, true)
-    }
+    } else if (dstFs.exists(dstRoot) && dstFs.listStatus(dstRoot).nonEmpty)
+      // the r15 build-side rule applies here too: writing store planes
+      // among someone else's bytes turns their dir into a "store" a later
+      // overwrite would delete wholesale — refuse unless told to clobber
+      require(overwrite,
+        s"bm25IndexCompact: '$dstDir' exists, is not a bm25 index, and is " +
+          "not empty — pass overwrite = true to replace it")
     // tombstoned docs DROP PHYSICALLY here (the reclamation path): both
     // planes rewrite through the anti-join, and the destination resets
     // tombBatches to 0 — after a compact the deleted ids are free again
@@ -945,17 +957,13 @@ object KeywordSearch {
       graft.sources.StoreMeta.boolFieldOr(j, "positions", dir, default = false))
   }
 
-  /** Drop tombstoned documents from a plane keyed by `doc_id` — the live
-    * view every reader composes. The tombstone side is BROADCAST: deletes
-    * are deltas (takedowns, dedup prunes), bounded in practice by
-    * compaction (which physically drops them and resets the plane) — a
-    * store where tombstones rival the corpus needs a compact, not a
-    * bigger join. */
+  /** Live view of a plane keyed by `doc_id` — the shared
+    * [[graft.sources.StoreMeta.dropTombstoned]] convention over this
+    * store's tombstone plane layout. */
   private def dropTombstoned(spark: org.apache.spark.sql.SparkSession,
                              df: DataFrame, dir: String,
                              tombBatches: Int): DataFrame =
-    if (tombBatches == 0) df
-    else df.join(
-      broadcast(readPlane(spark, dir, "tombstones", tombBatches).select("doc_id")),
-      Seq("doc_id"), "left_anti")
+    graft.sources.StoreMeta.dropTombstoned(df, "doc_id",
+      if (tombBatches == 0) None
+      else Some(readPlane(spark, dir, "tombstones", tombBatches)))
 }

@@ -24,6 +24,25 @@ private[graft] object StoreMeta {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** The LIVE view of a store plane: drop rows whose key appears in the
+    * tombstone plane (r15) — ONE copy of the join convention both index
+    * stores compose (each keeps only its own plane reader). The
+    * tombstone side is BROADCAST by design: deletes are deltas
+    * (takedowns, dedup prunes), bounded in practice by compaction, which
+    * physically drops them and resets the plane — a store whose
+    * tombstones rival the corpus needs a compact, not a bigger join.
+    * Sits ABOVE the scan, so partition filters and column pruning push
+    * through untouched. */
+  def dropTombstoned(df: org.apache.spark.sql.DataFrame, key: String,
+                     tombstones: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame =
+    tombstones match {
+      case None => df
+      case Some(t) => df.join(
+        org.apache.spark.sql.functions.broadcast(t.select(key)),
+        Seq(key), "left_anti")
+    }
+
   /** Hidden staging sibling for a WHOLE-STORE rebuild (r15): a rebuild
     * writes its complete store — batches, model, its own meta LAST —
     * under this path, then [[swapInto]] replaces the live root. Hidden

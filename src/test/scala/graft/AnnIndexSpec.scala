@@ -189,18 +189,7 @@ class AnnIndexSpec extends AnyFunSuite {
     val dir = freshDir("poison")
     AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
       nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
-    def storeFiles: Map[String, (Long, Long)] = {
-      val root = java.nio.file.Paths.get(dir)
-      val out = scala.collection.mutable.Map[String, (Long, Long)]()
-      val walk = java.nio.file.Files.walk(root)
-      try walk.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p))
-          out(root.relativize(p).toString) =
-            (java.nio.file.Files.size(p),
-             java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      } finally walk.close()
-      out.toMap
-    }
+    def storeFiles = StoreTestUtil.fileSnapshot(dir)
     val before = storeFiles
     val dup = emb.filter(col("vec_id") < 50)
       .unionByName(emb.filter(col("vec_id") < 50))
@@ -294,6 +283,13 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding",
       empty.toString, nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
     assert(java.nio.file.Files.exists(empty.resolve("meta.json")))
+    // ...and COMPACT refuses a non-empty non-store destination too (it
+    // would write store planes among the user's bytes, arming a later
+    // overwrite to delete them)
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.annIndexCompact(spark, empty.toString, dir.toString)
+    }.getMessage.contains("is not an ann index"))
+    assert(java.nio.file.Files.exists(dir.resolve("precious.txt")))
   }
 
   test("refuses building over an existing store without overwrite, and non-index dirs") {

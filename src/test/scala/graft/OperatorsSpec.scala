@@ -1949,18 +1949,7 @@ class Bm25IndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_poison").toString
     KeywordSearch.bm25IndexBuild(
       docs.filter(col("doc_id") < 100), "text", "doc_id", dir, overwrite = true)
-    def storeFiles: Map[String, (Long, Long)] = {
-      val root = java.nio.file.Paths.get(dir)
-      val out = scala.collection.mutable.Map[String, (Long, Long)]()
-      val walk = java.nio.file.Files.walk(root)
-      try walk.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p))
-          out(root.relativize(p).toString) =
-            (java.nio.file.Files.size(p),
-             java.nio.file.Files.getLastModifiedTime(p).toMillis)
-      } finally walk.close()
-      out.toMap
-    }
+    def storeFiles = StoreTestUtil.fileSnapshot(dir)
     val before = storeFiles
     val dup = docs.filter(col("doc_id") < 50)
       .unionByName(docs.filter(col("doc_id") < 50))
@@ -1989,6 +1978,12 @@ class Bm25IndexSpec extends AnyFunSuite {
         docs.filter(col("doc_id") < 50), "text", "doc_id", plain.toString)
     }
     assert(e2.getMessage.contains("is not a bm25 index"))
+    assert(java.nio.file.Files.exists(plain.resolve("precious.txt")))
+    // ...and COMPACT refuses the same dir (it would write store planes
+    // among the user's bytes, arming a later overwrite to delete them)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexCompact(spark, dir, plain.toString)
+    }.getMessage.contains("is not a bm25 index"))
     assert(java.nio.file.Files.exists(plain.resolve("precious.txt")))
   }
 
@@ -2077,10 +2072,10 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(hits("the the the") == Seq((4L, 1L)))
     assert(hits("hash").map(_._1).toSet == Set(1L, 2L, 3L, 6L)) // L=1 = plain tf
     assert(hits("zzznope").isEmpty)
-    // rank order: same tf, shorter doc scores higher (Okapi norm), then
-    // the doc-id tie rule
-    assert(hits("hash join").head == (6L, 1L) ||
-      hits("hash join").head == (1L, 2L)) // tf=2 vs shorter dl — score decides
+    // rank ORDER pin: doc 6 ("hash join", dl = 2) outscores doc 1 (tf = 2
+    // but dl = 7) — Okapi's length normalization dominates here: with
+    // avgdl = 17/6, score(6) = idf·1·2.2/1.935 > score(1) = idf·2·2.2/4.524
+    assert(hits("hash join") == Seq((6L, 1L), (1L, 2L)))
     // a store built WITHOUT positions refuses phrase search loudly
     val flat = java.nio.file.Files.createTempDirectory("graft_bm25_flat").toString
     KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", flat, overwrite = true)
