@@ -1912,6 +1912,26 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq_in_struct" -> ((s, _) => {
+      // r15: a Sequence nested inside a STRUCTURE decodes under its
+      // dotted name (pydap's `obs.cast` surface — previously a loud
+      // refusal): Structures add no wire framing, so the `?obs.cast`
+      // projection answers the ordinary 0x5A/0xA5 record stream while
+      // the constrained DDS keeps the Structure shell, which the walk's
+      // DDS echo check must resolve to the dotted declaration. A
+      // selection composes under the dotted battery key (d>1 drops
+      // record 0; the server renumbers post-filter).
+      val base = graft.harness.Dap2Fixture.ensureSeqInStruct(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries,
+          select = Map("obs.cast" -> Seq("d>1")))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_netcdf_glob" -> ((s, _) => {
       // multi-file datasets (source.py:102-107: '*' in url -> open_mfdataset;
       // the reference's own test glob, tests/test_source.py:41,71): BOTH
@@ -4912,6 +4932,27 @@ object SparkEntry {
     // fixture: outer rows from range(4), inner rows from the cross join
     // gated on j < i % 3 (record 0 contributes none), dims/coord_key as
     // the dot-joined dims/coords vectors
+    // struct-wrapped sequence: closed forms with post-filter renumbering
+    // (d > 1 drops record 0), all under the dotted obs.cast name
+    "load_opendap_seq_in_struct" ->
+      """WITH o AS (
+        |  SELECT i, row_number() OVER (ORDER BY i) - 1 AS oi
+        |  FROM range(5) t(i) WHERE 3 * i + 1 > 1),
+        |v AS (
+        |  SELECT 'obs.cast.d' AS variable, 'obs.cast' AS dims,
+        |         CAST(oi AS VARCHAR) AS coord_key,
+        |         CAST(3 * i + 1 AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'obs.cast.v', 'obs.cast', CAST(oi AS VARCHAR),
+        |         1.5 * CAST(i AS DOUBLE) - 2.0, NULL FROM o
+        |  UNION ALL
+        |  SELECT 'obs.cast.w', 'obs.cast', CAST(oi AS VARCHAR),
+        |         CAST(NULL AS DOUBLE),
+        |         repeat('s', i % 3 + 1) || CAST(i AS VARCHAR) FROM o)
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
     // three-level closed forms regenerated from range() cross joins; the
     // dims string is the '.'-joined chain of enclosing sequence paths
     "load_opendap_seq_deep" ->

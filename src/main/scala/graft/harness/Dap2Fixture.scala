@@ -543,6 +543,83 @@ object Dap2Fixture {
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }
 
+  /** Structure-wrapped Sequence dataset (r15,
+    * `load_opendap_seq_in_struct`): `Structure { Sequence { Int32 d;
+    * Float64 v; String w; } cast; } obs;` — the in-situ shape pydap
+    * surfaces as `obs.cast`. Structures add NO wire framing, so the
+    * `?obs.cast` projection answers the same 0x5A/0xA5 record stream a
+    * top-level Sequence would (the constrained DDS keeps the Structure
+    * shell — the client must resolve the dotted declaration). Closed
+    * forms: d = 3i + 1, v = 1.5i − 2, w = 's'×(i%3+1) ++ i. */
+  def ensureSeqInStruct(spark: SparkSession): String = synchronized {
+    servers.getOrElseUpdate("#seqinstruct", startSeqInStruct())
+  }
+
+  private[graft] val sisN = 5
+  private[graft] def sisD(i: Int): Int = 3 * i + 1
+  private[graft] def sisV(i: Int): Double = 1.5 * i - 2.0
+  private[graft] def sisW(i: Int): String = "s" * (i % 3 + 1) + i
+
+  private[graft] val sisMembers: Seq[(String, String)] =
+    Seq("d" -> "Int32", "v" -> "Float64", "w" -> "String")
+
+  private[graft] def sisProjDds(members: Seq[(String, String)]): String = {
+    val decls = members.map { case (m, t) => s"            $t $m;" }.mkString("\n")
+    "Dataset {\n    Structure {\n        Sequence {\n" + decls +
+      "\n        } cast;\n    } obs;\n} structseq;"
+  }
+
+  private[graft] def sisDasText: String =
+    """Attributes {
+      |    NC_GLOBAL {
+      |        String title "graft DAP2 sequence-in-structure fixture";
+      |    }
+      |}""".stripMargin
+
+  private[graft] def sisDodsBytes(members: Seq[(String, String)] = sisMembers,
+                                  recs: Seq[Int] = 0 until sisN): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write((sisProjDds(members) + "\nData:\n").getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    recs.foreach { i =>
+      u32(0x5A000000L)
+      members.foreach {
+        case ("d", _) => u32(sisD(i).toLong & 0xffffffffL)
+        case ("v", _) =>
+          val bits = java.lang.Double.doubleToLongBits(sisV(i))
+          u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+        case ("w", _) =>
+          val sb = sisW(i).getBytes("UTF-8")
+          u32(sb.length.toLong); out.write(sb)
+          var pad = (4 - sb.length % 4) % 4
+          while (pad > 0) { out.write(0); pad -= 1 }
+        case (other, _) => throw new IllegalArgumentException(s"no such member '$other'")
+      }
+    }
+    u32(0xA5000000L)
+    out.toByteArray
+  }
+
+  private def startSeqInStruct(): String = serve("structseq") { (path, query) =>
+    logSeqRequest(path, query)
+    if (path.endsWith(".dds")) (sisProjDds(sisMembers) + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".das")) (sisDasText + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".dods")) {
+      val q = if (query == null) "" else query.trim
+      val (members, keep) = evalSeqCe(q, "obs.cast", sisMembers, {
+        case ("d", i) => Left(sisD(i).toDouble)
+        case ("v", i) => Left(sisV(i))
+        case ("w", i) => Right(sisW(i))
+        case (other, _) => throw new IllegalArgumentException(
+          s"selection on unknown member '$other'")
+      }, sisN)
+      sisDodsBytes(members, keep)
+    } else throw new IllegalArgumentException(s"unknown DAP request $path")
+  }
+
   private def structVars: Seq[Var] = Seq(
     Var("obs.depth", "Int32", Seq("d" -> 4L),
       (0 until 4).map(i => (7 * i - 3).toDouble).toArray, container = "obs"),

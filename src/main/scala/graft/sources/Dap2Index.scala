@@ -46,9 +46,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (r12); Sequences decode to tidy rows (r13, [[decodeSequences]]),
   * including nested Sequence members at ANY depth (r14 one level, r15
   * full recursion — each level explodes under one more coords slot, the
-  * pydap nesting surface). Still refused loudly: Sequences inside
-  * Structures, array members inside a Sequence, and arrays of
-  * Structures/Sequences.
+  * pydap nesting surface) and Sequences inside Structures (r15 —
+  * decoded under their dotted names). Still refused loudly: array
+  * members inside a Sequence and arrays of Structures/Sequences.
   */
 object Dap2Index {
 
@@ -71,10 +71,10 @@ object Dap2Index {
   /** `Sequence { <members> } name;` (r13): row-structured data —
     * in-situ/observational feeds — whose record count is data-dependent
     * (no fixed geometry, so no `.zarray` plane). Nested Sequence members
-    * recurse to ANY depth (r15 — each level of [[decodeSequences]]'s
-    * walk explodes under one more coords slot). Still refusing loudly:
-    * Sequences inside Structures, array members, and arrays of
-    * Sequences. */
+    * recurse to ANY depth, and a Structure-wrapped Sequence carries its
+    * dotted name (both r15 — each level of [[decodeSequences]]'s walk
+    * explodes under one more coords slot). Still refusing loudly: array
+    * members and arrays of Sequences. */
   final case class DapSeq(name: String, members: Seq[(String, String)],
                           nested: Map[String, SeqBody] = Map.empty) {
     def body: SeqBody = SeqBody(members, nested)
@@ -196,13 +196,13 @@ object Dap2Index {
         rest = afterBrace.substring(semi + 1)
       } else if (t.startsWith("Sequence")) {
         // Sequence { <members> } name; → row-structured records (r13);
-        // nested Sequence members recurse to any depth (r15). A Sequence
-        // inside a Structure, array members, and arrays OF Sequences
-        // keep refusing loudly (the relational row target is the
-        // flat/exploded record).
-        require(prefix.isEmpty,
-          s"DAP2 Sequence nested inside container '${prefix.stripSuffix(".")}' — " +
-            "only one-level (top-level) Sequences decode to rows")
+        // nested Sequence members recurse to any depth (r15), and a
+        // Sequence inside a STRUCTURE decodes under its dotted name
+        // (r15 — Structures add no wire framing, so the `?struct.seq`
+        // projection answers the same record stream a top-level
+        // Sequence would; pydap's surface). Array members and arrays
+        // OF Sequences keep refusing loudly (the relational row target
+        // is the flat/exploded record).
         val qOpen = t.indexOf('{')
         val qClose = matchingBrace(t, qOpen)
         val seqBody = t.substring(qOpen + 1, qClose)
@@ -212,10 +212,11 @@ object Dap2Index {
         val seqName = afterBrace.substring(0, semi).trim
         require(seqName.nonEmpty, "malformed Sequence: missing name")
         require(!seqName.contains('['),
-          s"DAP2 array-of-Sequences '$seqName' has no row form — refusing")
-        val sBody = parseSeqMembers(seqName, seqBody)
-        require(sBody.members.nonEmpty, s"DAP2 Sequence '$seqName' has no members")
-        seqs += DapSeq(seqName, sBody.members, sBody.nested)
+          s"DAP2 array-of-Sequences '$prefix$seqName' has no row form — refusing")
+        val sBody = parseSeqMembers(prefix + seqName, seqBody)
+        require(sBody.members.nonEmpty,
+          s"DAP2 Sequence '$prefix$seqName' has no members")
+        seqs += DapSeq(prefix + seqName, sBody.members, sBody.nested)
         rest = afterBrace.substring(semi + 1)
       } else {
         declRe.findPrefixMatchOf(t) match {

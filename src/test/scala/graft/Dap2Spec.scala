@@ -181,9 +181,11 @@ class Dap2Spec extends AnyFunSuite {
       Map("in" -> Dap2Index.SeqBody(
         Seq("in2" -> "Sequence", "f" -> "Float64"),
         Map("in2" -> Dap2Index.SeqBody(Seq("c" -> "Int32"))))))))
-    assert(intercept[IllegalArgumentException] {
-      Dap2Index.parseDds("Dataset {\n Structure { Sequence { Int32 a; } q; } s;\n} d;")
-    }.getMessage.contains("one-level"))
+    // a Sequence inside a Structure parses under its DOTTED name (r15 —
+    // the pydap surface; it refused through r14)
+    val inStruct = Dap2Index.parseDds(
+      "Dataset {\n Structure { Sequence { Int32 a; } q; } s;\n} d;")
+    assert(inStruct.seqs === Seq(Dap2Index.DapSeq("s.q", Seq("a" -> "Int32"))))
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseDds("Dataset {\n Sequence { Int32 a[x = 3]; } s;\n} d;")
     }.getMessage.contains("scalar members"))
