@@ -82,7 +82,13 @@ object Bench {
     // this timed the explode+semi-join posting build; since r15 it times
     // the sparse TermPostings kernel that replaced it at this size
     // (correctness carried by the search_bm25_batch_bigvocab gate)
-    "search_bm25_batch_bigvocab_1k")
+    "search_bm25_batch_bigvocab_1k",
+    // r15: the persisted-store maintenance cycles — build + append +
+    // search as ONE timed unit per store (the operations a production
+    // deployment runs daily; correctness carried by the
+    // search_bm25_indexed / ann_index_search gate families). New series:
+    // no prior-round comparables; frozen subtotals untouched.
+    "bm25_index_cycle", "ann_index_cycle")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add
@@ -187,6 +193,44 @@ object Bench {
     // same series, the branch lift IS the measured delta. Pads match
     // nothing (unique nonsense tokens), so the delta vs
     // search_bm25_batch_1k is attributable to vocabulary size alone.
+    // r15: the posting-store lifecycle at corpus scale — rebuild from
+    // the even half (overwrite = true: the staged-sibling swap resets
+    // the store, so every sample times the same cold build), append the
+    // odd half (the delta-scan path), search a 3-probe battery over the
+    // result. Timing includes the builds by design (they ARE the
+    // operation).
+    "bm25_index_cycle" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = s"/tmp/graft_bench_bm25idx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", root,
+        overwrite = true)
+      graft.operators.KeywordSearch.bm25IndexAppend(s, root,
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      import s.implicits._
+      val battery = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25SearchIndexed(
+        s, root, battery, "qid", "qtext", k = 10)
+    }),
+    // r15: the vector-store lifecycle — train + encode + cell-partitioned
+    // write, append the odd half under the frozen model, search a 3-query
+    // battery (partition-pruned ADC + exact re-rank).
+    "ann_index_cycle" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val root = s"/tmp/graft_bench_annidx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.AnnIndex.annIndexBuild(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      graft.operators.AnnIndex.annIndexAppend(s, root,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      graft.operators.AnnIndex.annSearchIndexed(s, root,
+        emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, nProbe = 8, refine = 4)
+    }),
     "search_bm25_batch_bigvocab_1k" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$dir/documents.parquet")
