@@ -193,6 +193,18 @@ object Bench {
     // same series, the branch lift IS the measured delta. Pads match
     // nothing (unique nonsense tokens), so the delta vs
     // search_bm25_batch_1k is attributable to vocabulary size alone.
+    "search_bm25_batch_bigvocab_1k" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val battery = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id").cast("string").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 5)).as("qtext"))
+        .unionByName(s.range(1100).select(
+          concat(lit("pad_"), col("id")).as("qid"),
+          concat(lit("qzxpadterm"), col("id")).as("qtext")))
+      graft.operators.KeywordSearch.bm25Batch(
+        docs, "text", "doc_id", battery, "qid", "qtext", k = 10)
+    }),
     // r15: the posting-store lifecycle at corpus scale — rebuild from
     // the even half (overwrite = true: the staged-sibling swap resets
     // the store, so every sample times the same cold build), append the
@@ -201,7 +213,7 @@ object Bench {
     // operation).
     "bm25_index_cycle" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val root = s"/tmp/graft_bench_bm25idx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val root = s"/tmp/graft_bench_bm25idx_${pathToken(dir)}"
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.operators.KeywordSearch.bm25IndexBuild(
         docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", root,
@@ -220,7 +232,7 @@ object Bench {
     // battery (partition-pruned ADC + exact re-rank).
     "ann_index_cycle" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val root = s"/tmp/graft_bench_annidx_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val root = s"/tmp/graft_bench_annidx_${pathToken(dir)}"
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.AnnIndex.annIndexBuild(
         emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", root,
@@ -230,19 +242,11 @@ object Bench {
       graft.operators.AnnIndex.annSearchIndexed(s, root,
         emb.filter(col("vec_id") < 3), "vec_id", "embedding",
         k = 10, nProbe = 8, refine = 4)
-    }),
-    "search_bm25_batch_bigvocab_1k" -> ((s, dir) => {
-      import org.apache.spark.sql.functions._
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-      val battery = docs.filter(col("doc_id") < 1000)
-        .select(col("doc_id").cast("string").as("qid"),
-          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 5)).as("qtext"))
-        .unionByName(s.range(1100).select(
-          concat(lit("pad_"), col("id")).as("qid"),
-          concat(lit("qzxpadterm"), col("id")).as("qtext")))
-      graft.operators.KeywordSearch.bm25Batch(
-        docs, "text", "doc_id", battery, "qid", "qtext", k = 10)
     }))
+
+  /** sf-dir → filesystem-safe token for per-sf /tmp store paths (the
+    * SparkEntry.tmpToken convention — one copy per file, same regex). */
+  private def pathToken(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -123,8 +123,9 @@ object Dap2Index {
     * Structure keep the flat-Grid convention: the array takes the dotted
     * name, its map vectors surface under their own map names (the same
     * xarray-style presentation the top-level Grid path uses). Sequences
-    * (row-structured, no fixed geometry) and arrays OF Structures refuse
-    * loudly. */
+    * (row-structured, no fixed geometry) parse into [[Dds.seqs]] — at top
+    * level or Structure-wrapped under their dotted names (r15); arrays OF
+    * Structures/Sequences refuse loudly. */
   def parseDds(text: String): Dds = {
     val body = text.trim
     require(body.startsWith("Dataset"),

@@ -166,9 +166,10 @@ class Dap2Spec extends AnyFunSuite {
     assert(dds.seqs === Seq(Dap2Index.DapSeq("cast",
       Seq("depth" -> "Int32", "temp" -> "Float64", "station" -> "String"))))
     // nested Sequence members parse at any member position and recurse
-    // to ANY depth (r14 one level, r15 full recursion); Sequence inside
-    // Structure, array members, array-of-Sequences, and other container
-    // members refuse loudly
+    // to ANY depth (r14 one level, r15 full recursion); a
+    // Structure-wrapped Sequence parses under its dotted name (r15);
+    // array members, array-of-Sequences, and other container members
+    // refuse loudly
     val nest = Dap2Index.parseDds(
       "Dataset {\n Sequence { Int32 a; Sequence { Int32 b; } in;\n } s;\n} d;")
     assert(nest.seqs === Seq(Dap2Index.DapSeq("s",
@@ -613,6 +614,35 @@ class Dap2Spec extends AnyFunSuite {
       Dap2Index.decodeSequences(entries,
         select = Map("deep" -> Seq("profile.samples.nope>1")))
     }.getMessage.contains("unknown member 'nope'"))
+  }
+
+  test("struct-wrapped Sequence end-to-end: dotted-name stream decode; selection pushes (r15)") {
+    // the 0x5A/0xA5 walk under the Structure-shell DDS echo, and the
+    // dotted-key selection's request URL — the pins the gate's oracle
+    // cannot see
+    val base = Dap2Fixture.ensureSeqInStruct(spark)
+    val entries = Dap2Index.read(spark, base)
+    import scala.jdk.CollectionConverters._
+    Dap2Fixture.seqRequests.clear()
+    val rows = Dap2Index.decodeSequences(entries,
+        select = Map("obs.cast" -> Seq("d>1")))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toSeq,
+        r.getSeq[Long](2).toSeq, Option(r.get(3)), Option(r.get(4)))).toSet
+    val keep = (0 until Dap2Fixture.sisN).filter(Dap2Fixture.sisD(_) > 1)
+    assert(keep == Seq(1, 2, 3, 4)) // d(0) = 1 drops
+    val want = keep.zipWithIndex.flatMap { case (i, r) =>
+      Seq(
+        ("obs.cast.d", Seq("obs.cast"), Seq(r.toLong),
+          Some(Dap2Fixture.sisD(i).toDouble), None: Option[Any]),
+        ("obs.cast.v", Seq("obs.cast"), Seq(r.toLong),
+          Some(Dap2Fixture.sisV(i)), None: Option[Any]),
+        ("obs.cast.w", Seq("obs.cast"), Seq(r.toLong),
+          None: Option[Any], Some(Dap2Fixture.sisW(i))))
+    }.toSet
+    assert(rows === want)
+    val reqs = Dap2Fixture.seqRequests.asScala.filter(_.contains("structseq")).toList
+    assert(reqs.nonEmpty)
+    assert(reqs.forall(_.endsWith("?obs.cast&obs.cast.d>1")), reqs.toString)
   }
 
   test("Sequence fetch bound: an oversized record stream refuses loudly (r14)") {
