@@ -3443,6 +3443,28 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_phrase_scored" -> ((s, dir) => {
+      // r15: the STREAM-shaped phrase plane — score the corpus against a
+      // frozen PhraseModel (per-phrase df + N/avgdl derived from the
+      // positional store with zero corpus scans; tf row-local via the
+      // codegen'd PhraseCount adjacency kernel). The rows are the
+      // indexed search's scored surface minus ranking (bit-identity
+      // spec-pinned); the oracle re-derives every tf by direct string
+      // adjacency — the search_bm25_phrase truth without the top-k.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_psc_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      val model = graft.operators.KeywordSearch.bm25PhraseModelFromIndex(s, root,
+        Seq(("p_hash_join", "hash join"),
+            ("p_table_scan", "table scan"),
+            ("p_batch2", "the batch batch")))
+      graft.operators.KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model)
+        .select(col("query_id"), col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "doc_id")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
       // brute-force cosine ranking fused by reciprocal rank (Cormack
@@ -4932,6 +4954,28 @@ object SparkEntry {
     // fixture: outer rows from range(4), inner rows from the cross join
     // gated on j < i % 3 (record 0 contributes none), dims/coord_key as
     // the dot-joined dims/coords vectors
+    // the phrase-adjacency truth WITHOUT the top-k: every doc containing
+    // each phrase, tf by direct string adjacency (the search_bm25_phrase
+    // CTE shapes; scores stay out of the hash surface)
+    "search_bm25_phrase_scored" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'hash' AND t[i+1] = 'join')) AS BIGINT) AS tf_hj,
+        |    CAST(len(list_filter(range(1, len(t)), i -> t[i] = 'table' AND t[i+1] = 'scan')) AS BIGINT) AS tf_ts,
+        |    CAST(len(list_filter(range(1, len(t) - 1), i -> t[i] = 'the' AND t[i+1] = 'batch' AND t[i+2] = 'batch')) AS BIGINT) AS tf_bb
+        |  FROM toks)
+        |SELECT query_id, doc_id, dl, tf FROM (
+        |  SELECT 'p_hash_join' AS query_id, doc_id, dl, tf_hj AS tf FROM occ WHERE tf_hj > 0
+        |  UNION ALL
+        |  SELECT 'p_table_scan', doc_id, dl, tf_ts FROM occ WHERE tf_ts > 0
+        |  UNION ALL
+        |  SELECT 'p_batch2', doc_id, dl, tf_bb FROM occ WHERE tf_bb > 0)
+        |ORDER BY query_id, doc_id""".stripMargin,
+
     // struct-wrapped sequence: closed forms with post-filter renumbering
     // (d > 1 drops record 0), all under the dotted obs.cast name
     "load_opendap_seq_in_struct" ->

@@ -180,6 +180,66 @@ case class TermPostings(
     copy(child = newChild)
 }
 
+/** Per-row QUOTED-PHRASE occurrence count: token array → number of
+  * starts where the phrase's tokens occur CONSECUTIVELY — the row-local
+  * twin of [[graft.operators.KeywordSearch.bm25PhraseTopK]]'s
+  * positional-index adjacency vote (same semantics: overlapping matches
+  * all count, repeated phrase terms must each match). Codegen'd via the
+  * shared reference-object pattern; O(tokens·L) worst case per row,
+  * zero shuffle — what lets [[KeywordSearch.bm25PhraseScore]] score a
+  * STREAM against a frozen phrase model with no state store. */
+case class PhraseCount(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    phrase: Seq[String])
+  extends UnaryExpression {
+
+  require(phrase.nonEmpty, "phrase_count: empty phrase")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"phrase_count expects array<string> tokens, got $other")
+    }
+
+  @transient private lazy val termBytes: Array[UTF8String] =
+    phrase.map(UTF8String.fromString).toArray
+
+  def count(tokens: ArrayData): Int = {
+    val n = tokens.numElements()
+    val l = termBytes.length
+    var c = 0
+    var s = 0
+    while (s + l <= n) {
+      var o = 0
+      var ok = true
+      while (ok && o < l) {
+        ok = !tokens.isNullAt(s + o) && termBytes(o).equals(tokens.getUTF8String(s + o))
+        o += 1
+      }
+      if (ok) c += 1
+      s += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(v: Any): Any = count(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseCount", this, classOf[PhraseCount].getName)
+    nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $ref.count($toks);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
 /** Ordered fold of (ord, contrib) structs: sort by `ord` ascending, then
   * sum `contrib` LEFT-TO-RIGHT — the bit-deterministic per-(query, doc)
   * score reduction of [[graft.operators.KeywordSearch.bm25Batch]]'s

@@ -697,25 +697,7 @@ object KeywordSearch {
     // aggregation and the scoring join — without the cache the whole
     // positions scan + double explode + adjacency count re-runs for the
     // second consumer (the batteryTerms/filtered-postings precedent)
-    val occurrences = scope.persisted(perPhrase.map { case (qid, ts) =>
-      val terms = ts.distinct
-      // ordinal list per term — a REPEATED phrase term shifts by each of
-      // its ordinals, so "the the" still demands two distinct votes
-      val ordsOf: Map[String, Seq[Int]] =
-        ts.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      val ordArr = terms.map(t =>
-          when(col("term") === t, array(ordsOf(t).map(lit): _*)))
-        .reduce((a, b) => coalesce(a, b))
-      val starts = plane.filter(col("term").isin(terms: _*))
-        .select(col("doc_id"), col("term"), explode(col("positions")).as("p"))
-        .select(col("doc_id"), col("p"), explode(ordArr).as("ord"))
-        .select(col("doc_id"), (col("p") - col("ord")).as("start"))
-      starts.filter(col("start") >= 0)
-        .groupBy("doc_id", "start").agg(count(lit(1)).as("__nOrd"))
-        .filter(col("__nOrd") === ts.length)
-        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
-        .select(lit(qid).as("query_id"), col("doc_id"), col("tf"))
-    }.reduce(_ unionByName _),
+    val occurrences = scope.persisted(phraseOccurrences(plane, perPhrase),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-phrase df as an aggregate + broadcast-back (ONE row per phrase
     // — a window over query_id would funnel a common phrase's full match
@@ -737,6 +719,102 @@ object KeywordSearch {
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("dl"), col("tf"))
+  }
+
+  /** Matched (query_id, doc_id, tf) rows for a phrase battery over the
+    * positions plane — the relational adjacency vote shared by
+    * [[bm25PhraseTopK]] and [[bm25PhraseModelFromIndex]] (one copy of
+    * the start = p − ord / all-ordinals-present rule). */
+  private def phraseOccurrences(plane: DataFrame,
+                                perPhrase: Seq[(String, Seq[String])]): DataFrame =
+    perPhrase.map { case (qid, ts) =>
+      val terms = ts.distinct
+      // ordinal list per term — a REPEATED phrase term shifts by each of
+      // its ordinals, so "the the" still demands two distinct votes
+      val ordsOf: Map[String, Seq[Int]] =
+        ts.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ordArr = terms.map(t =>
+          when(col("term") === t, array(ordsOf(t).map(lit): _*)))
+        .reduce((a, b) => coalesce(a, b))
+      val starts = plane.filter(col("term").isin(terms: _*))
+        .select(col("doc_id"), col("term"), explode(col("positions")).as("p"))
+        .select(col("doc_id"), col("p"), explode(ordArr).as("ord"))
+        .select(col("doc_id"), (col("p") - col("ord")).as("start"))
+      starts.filter(col("start") >= 0)
+        .groupBy("doc_id", "start").agg(count(lit(1)).as("__nOrd"))
+        .filter(col("__nOrd") === ts.length)
+        .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("tf"))
+    }.reduce(_ unionByName _)
+
+  /** Frozen phrase statistics for a battery — what a deployment derives
+    * ONCE from a positional index and then applies to any batch or
+    * stream ([[bm25PhraseScore]]): per-phrase idf (df = documents
+    * containing the phrase, from the positions plane — zero corpus
+    * scans) plus the corpus N/avgdl from the meta. The
+    * [[bm25ModelFromIndex]] sibling on the phrase plane. */
+  final case class PhraseModel(k1: Double, b: Double, n: Long, avgdl: Double,
+                               phrases: Seq[(String, Seq[String])],
+                               idf: Array[Double])
+
+  def bm25PhraseModelFromIndex(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, phrases: Seq[(String, String)],
+                               k1: Double = 1.2, b: Double = 0.75): PhraseModel = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val meta = readIndexMeta(fs,
+      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(meta.positions,
+      s"bm25PhraseModelFromIndex: index at '$dir' was built without the " +
+        "positions plane — rebuild or compact from a build with positions = true")
+    require(meta.n > 0, s"bm25PhraseModelFromIndex: index at '$dir' holds no documents")
+    val perPhrase = parseBattery(phrases)
+    val plane = dropTombstoned(spark,
+      readPlane(spark, dir, "positions", meta.batches), dir, meta.tombBatches)
+    // one bounded collect: ONE row per phrase (battery is driver-sized)
+    val dfByPhrase: Map[String, Long] = phraseOccurrences(plane, perPhrase)
+      .groupBy("query_id").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the SAME idf arithmetic bm25PhraseTopK runs in-plan (StrictMath
+    // through Spark's log; zero-match phrases get the df = 0 idf, the
+    // bm25ModelFromIndex convention) — scores stay bit-identical
+    val idf = perPhrase.map { case (qid, _) =>
+      idfOf(meta.n, dfByPhrase.getOrElse(qid, 0L).toDouble)
+    }.toArray
+    PhraseModel(k1, b, meta.n, meta.sumdl.toDouble / meta.n.toDouble, perPhrase, idf)
+  }
+
+  /** Score a document frame — batch OR `readStream` — against a frozen
+    * [[PhraseModel]]: (query_id, doc_id, score, dl, tf) rows for docs
+    * containing the phrase at least once, tf computed ROW-LOCALLY from
+    * the doc's own tokens (the codegen'd
+    * [[graft.functions.PhraseCount]] adjacency kernel — same overlap
+    * and repeated-term semantics as the positional index's vote).
+    * STATELESS, so the same call is the streaming twin with
+    * byte-identical scores (the [[bm25Score]] precedent); and over the
+    * indexed corpus itself the rows are BIT-IDENTICAL to
+    * [[bm25PhraseTopK]]'s scored surface minus the ranking (same
+    * tokens → same tf; same df/N/avgdl through the same StrictMath
+    * idf; same expression shapes — spec-pinned). */
+  def bm25PhraseScore(docs: DataFrame, textCol: String, idCol: String,
+                      model: PhraseModel): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val base = docs.select(col(idCol).as("doc_id"), toks.as("__toks"),
+      size(toks).cast(LongType).as("dl"))
+    val norm = lit(model.k1 * (1 - model.b)) +
+      lit(model.k1 * model.b / model.avgdl) * col("dl").cast(DoubleType)
+    model.phrases.zipWithIndex.map { case ((qid, ts), i) =>
+      val tf = GraftColumnBridge.column(graft.functions.PhraseCount(
+        GraftColumnBridge.expression(col("__toks")), ts))
+      base.withColumn("tf", tf.cast(LongType))
+        .filter(col("tf") > 0)
+        .withColumn("score", lit(model.idf(i)) * col("tf").cast(DoubleType) *
+          lit(model.k1 + 1.0) / (col("tf").cast(DoubleType) + norm))
+        .select(lit(qid).as("query_id"), col("doc_id"), col("score"),
+          col("dl"), col("tf"))
+    }.reduce(_ unionByName _)
   }
 
   /** Derive a frozen [[Bm25Model]] from the index — ZERO corpus scans

@@ -2124,6 +2124,43 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dirC/positions/b0")
       .filter(col("doc_id").isin(victims: _*)).count() == 0L)
   }
+
+  test("phrase scorer: frozen model scores bit-identically to the indexed search (r15)") {
+    // the streaming-shaped phrase plane: tf from the doc's OWN tokens
+    // (PhraseCount kernel) + df/N/avgdl frozen from the positional store
+    // must reproduce bm25PhraseTopK's scored surface exactly — same
+    // adjacency semantics, same StrictMath idf, same float expression
+    // shapes; a divergence in any of them breaks the score BITS
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_psc").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir,
+      overwrite = true, positions = true)
+    val phrases = Seq(("p1", "hash join"), ("p2", "table scan"),
+      ("pz", "zzznope zzznope"))
+    val model = KeywordSearch.bm25PhraseModelFromIndex(spark, dir, phrases)
+    assert(model.idf.length == 3 && model.idf.forall(x => !x.isNaN && x > 0))
+    // scorer: (query_id, doc_id, score, dl, tf)
+    val scored = KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(scored.nonEmpty)
+    assert(!scored.exists(_._1 == "pz")) // zero-match phrase emits nothing
+    // indexed search with k beyond every match count = the full scored
+    // surface; columns (query_id, rank, doc_id, score, dl, tf)
+    val topk = KeywordSearch.bm25PhraseTopK(spark, dir, phrases.take(2), k = 1000000)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(scored == topk) // score BITS included
+    // a non-positional store refuses model derivation loudly
+    val flat = java.nio.file.Files.createTempDirectory("graft_bm25_pscflat").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", flat, overwrite = true)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25PhraseModelFromIndex(spark, flat, phrases)
+    }.getMessage.contains("without the positions plane"))
+  }
 }
 
 class PqSpec extends AnyFunSuite {
