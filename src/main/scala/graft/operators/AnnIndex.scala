@@ -55,9 +55,13 @@ import org.apache.spark.sql.GraftColumnBridge
   * next append's overwrite-mode write clobbers. A REBUILD
   * (`annIndexBuild(overwrite = true)`) stages the whole new store in a
   * hidden sibling dir and swaps it in only after the staged meta commits
-  * (r15) — a failed rebuild leaves the old index byte-intact. Appends and
-  * rebuilds are SINGLE-WRITER; the optimistic meta recheck turns the
-  * common append interleaving into a loud refusal.
+  * (r15) — a failed rebuild leaves the old index byte-intact, the swap is
+  * rename-aside (r16: the old store parks at a hidden `.old` sibling until
+  * the new one is live; a crash between the renames auto-recovers on the
+  * next open). Writers are SINGLE-WRITER, CHECKED (r16): every mutation
+  * holds the create-exclusive writer lease
+  * ([[graft.sources.StoreMeta.withWriterLock]]); the optimistic meta
+  * recheck stays behind it as defense in depth.
   *
   * Search results are BIT-IDENTICAL to [[Similarity.pqTopK]] run with the
   * same parameters over the same corpus (same NearestCells/PqEncode/
@@ -82,41 +86,46 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    if (fs.exists(metaPath))
-      require(overwrite,
-        s"annIndexBuild: '$dir' already holds an index — pass overwrite = true " +
-          "to rebuild, or annIndexAppend to grow it")
-    else if (fs.exists(root) && fs.listStatus(root).nonEmpty)
-      // a non-empty dir that is NOT a store holds someone else's bytes —
-      // the swap below deletes the root, so clobbering it needs the same
-      // explicit opt-in a store rebuild does (an empty placeholder dir —
-      // the createTempDirectory pattern — replaces silently)
-      require(overwrite,
-        s"annIndexBuild: '$dir' exists, is not an ann index, and is not " +
-          "empty — pass overwrite = true to replace it")
-    val trainDf = train.getOrElse(corpus)
-    val probe = trainDf.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1).collect()
-    require(probe.nonEmpty, "annIndexBuild: training set has no vectors")
-    val dim = probe(0).getAs[scala.collection.Seq[Float]](0).length
-    require(m > 0 && dim % m == 0,
-      s"annIndexBuild: vector dim $dim not divisible by m = $m subspaces")
-    val (_, cents) =
-      Similarity.kmeansCentroidArrays(trainDf, idCol, vecCol, nCells, kmeansIters)
-    val books =
-      Similarity.pqCodebooks(trainDf, idCol, vecCol, dim, m, nCentroids, kmeansIters)
-    // r15: the whole store builds into a hidden STAGED sibling and swaps
-    // into place only after the staged meta commits — a failure anywhere
-    // in training, encoding, or the batch write (duplicate corpus ids, a
-    // wrong-dim vector, executor loss) leaves the existing index
-    // byte-intact (the r14 delete-then-write window).
-    val staged = graft.sources.StoreMeta.stagedSibling(root)
-    if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
-    writeModel(fs, staged, cents, books)
-    val n = writeBatch(corpus, idCol, vecCol, staged.toString, batch = 0, dim, cents, books)
-    writeMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
-      batches = 1, n = n, dim = dim, m = m, tombBatches = 0)
-    graft.sources.StoreMeta.swapInto(fs, staged, root)
+    // r16: all mutations run under the store's writer LEASE (the bm25
+    // convention) — single-writer checked at acquisition, with the
+    // optimistic meta recheck behind it as defense in depth
+    graft.sources.StoreMeta.withWriterLock(fs, root, "annIndexBuild") {
+      val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+      if (fs.exists(metaPath))
+        require(overwrite,
+          s"annIndexBuild: '$dir' already holds an index — pass overwrite = true " +
+            "to rebuild, or annIndexAppend to grow it")
+      else if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+        // a non-empty dir that is NOT a store holds someone else's bytes —
+        // the swap below replaces the root, so clobbering it needs the same
+        // explicit opt-in a store rebuild does (an empty placeholder dir —
+        // the createTempDirectory pattern — replaces silently)
+        require(overwrite,
+          s"annIndexBuild: '$dir' exists, is not an ann index, and is not " +
+            "empty — pass overwrite = true to replace it")
+      val trainDf = train.getOrElse(corpus)
+      val probe = trainDf.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1).collect()
+      require(probe.nonEmpty, "annIndexBuild: training set has no vectors")
+      val dim = probe(0).getAs[scala.collection.Seq[Float]](0).length
+      require(m > 0 && dim % m == 0,
+        s"annIndexBuild: vector dim $dim not divisible by m = $m subspaces")
+      val (_, cents) =
+        Similarity.kmeansCentroidArrays(trainDf, idCol, vecCol, nCells, kmeansIters)
+      val books =
+        Similarity.pqCodebooks(trainDf, idCol, vecCol, dim, m, nCentroids, kmeansIters)
+      // r15: the whole store builds into a hidden STAGED sibling and swaps
+      // into place only after the staged meta commits — a failure anywhere
+      // in training, encoding, or the batch write (duplicate corpus ids, a
+      // wrong-dim vector, executor loss) leaves the existing index
+      // byte-intact (the r14 delete-then-write window).
+      val staged = graft.sources.StoreMeta.stagedSibling(root)
+      if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
+      writeModel(fs, staged, cents, books)
+      val n = writeBatch(corpus, idCol, vecCol, staged.toString, batch = 0, dim, cents, books)
+      writeMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
+        batches = 1, n = n, dim = dim, m = m, tombBatches = 0)
+      graft.sources.StoreMeta.swapInto(fs, staged, root)
+    }
   }
 
   /** Append a vector delta: only the DELTA is scanned and encoded (under
@@ -126,38 +135,35 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val (batches, n0, dim, m, tomb) = readMeta(fs, metaPath, dir)
-    val (cents, books) = readModel(fs, root, dir)
-    checkModel(cents, books, dim, m, dir)
-    // id-collision guard vs the store: a delta-sized semi-join against the
-    // store's one pruned id column — never a vector-volume read.
-    // Deliberately UNFILTERED by tombstones: re-appending a DELETED id
-    // would resurrect it only until the tombstone anti-join killed both
-    // rows — refuse; compaction reclaims the id.
-    val old = readBatches(spark, dir, batches).select("id")
-    val clash = delta.select(col(idCol).as("id"))
-      .join(old, Seq("id"), "left_semi").limit(1).count()
-    require(clash == 0L,
-      s"annIndexAppend: delta re-uses ids already in (or deleted from) " +
-        s"'$dir' — index semantics are per-vector; assign fresh ids, or " +
-        "compact to reclaim deleted ids")
-    val dn = writeBatch(delta, idCol, vecCol, dir, batch = batches, dim, cents, books)
-    // optimistic single-writer check (the bm25-index convention): if
-    // another append committed while this one wrote, both targeted the
-    // SAME batch number — refuse rather than commit disagreeing stats.
-    // This is a GUARD, not a lock: two truly concurrent writers can still
-    // clobber each other's uncommitted batch dir (appends are
-    // single-writer by contract); the guard makes the common interleaving
-    // — one writer committing while the other is mid-write — loud. A
-    // delete landing mid-append would likewise be overwritten — same
-    // refusal.
-    val (batchesNow, _, _, _, tombNow) = readMeta(fs, metaPath, dir)
-    require(batchesNow == batches && tombNow == tomb,
-      s"annIndexAppend: concurrent writer detected on '$dir' (batches " +
-        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
-        "mid-append) — the store is single-writer; retry this delta")
-    writeMeta(fs, metaPath, batches + 1, n0 + dn, dim, m, tomb)
+    graft.sources.StoreMeta.withWriterLock(fs, root, "annIndexAppend") {
+      val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+      val (batches, n0, dim, m, tomb, tombRows) = readMeta(fs, metaPath, dir)
+      val (cents, books) = readModel(fs, root, dir)
+      checkModel(cents, books, dim, m, dir)
+      // id-collision guard vs the store: a delta-sized semi-join against the
+      // store's one pruned id column — never a vector-volume read.
+      // Deliberately UNFILTERED by tombstones: re-appending a DELETED id
+      // would resurrect it only until the tombstone anti-join killed both
+      // rows — refuse; compaction reclaims the id.
+      val old = readBatches(spark, dir, batches).select("id")
+      val clash = delta.select(col(idCol).as("id"))
+        .join(old, Seq("id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"annIndexAppend: delta re-uses ids already in (or deleted from) " +
+          s"'$dir' — index semantics are per-vector; assign fresh ids, or " +
+          "compact to reclaim deleted ids")
+      val dn = writeBatch(delta, idCol, vecCol, dir, batch = batches, dim, cents, books)
+      // optimistic single-writer recheck BEHIND the lease (defense in
+      // depth — it also catches a lease-bypassing legacy writer): if
+      // another writer committed while this one wrote, both targeted the
+      // SAME batch number — refuse rather than commit disagreeing stats.
+      val (batchesNow, _, _, _, tombNow, _) = readMeta(fs, metaPath, dir)
+      require(batchesNow == batches && tombNow == tomb,
+        s"annIndexAppend: concurrent writer detected on '$dir' (batches " +
+          s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
+          "mid-append) — the store is single-writer; retry this delta")
+      writeMeta(fs, metaPath, batches + 1, n0 + dn, dim, m, tomb, tombRows)
+    }
   }
 
   /** DELETE vectors from the index (r15) — the takedown/dedup-prune
@@ -177,36 +183,53 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val (batches, n, dim, m, tomb) = readMeta(fs, metaPath, dir)
-    // write FIRST, validate from the WRITTEN bytes (the store convention
-    // — a pre-flight check of a non-deterministic `ids` frame is TOCTOU);
-    // on refusal, meta is untouched and the orphan tombstone dir is
-    // invisible until the next delete's overwrite-mode write clobbers it
-    val delProj = ids.select(col(idCol).as("id"))
-    delProj.write.mode("overwrite").parquet(s"$dir/tombstones/b$tomb")
-    val written = spark.read.schema(delProj.schema)
-      .parquet(s"$dir/tombstones/b$tomb")
-    val liveIds = dropTombstoned(spark,
-      readBatches(spark, dir, batches).select("id"), dir, tomb)
-      .withColumn("__live", lit(1))
-    val st = written.join(liveIds, Seq("id"), "left")
-      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("nd"),
-        coalesce(sum(col("__live")), lit(0L)).as("live")).head()
-    val dn = st.getLong(0)
-    require(dn > 0L, s"annIndexDelete: empty id set — nothing to delete in '$dir'")
-    require(st.getLong(1) == dn,
-      s"annIndexDelete: id set has ${dn - st.getLong(1)} duplicates — a " +
-        "double delete would subtract the vector count twice; dedupe ids first")
-    require(st.getLong(2) == dn,
-      s"annIndexDelete: ${dn - st.getLong(2)} ids are not live in '$dir' " +
-        "(absent or already deleted) — deletes must name existing vectors")
-    val (batchesNow, _, _, _, tombNow) = readMeta(fs, metaPath, dir)
-    require(batchesNow == batches && tombNow == tomb,
-      s"annIndexDelete: concurrent writer detected on '$dir' (batches " +
-        s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
-        "mid-delete) — the store is single-writer; retry")
-    writeMeta(fs, metaPath, batches, n - dn, dim, m, tomb + 1)
+    graft.sources.StoreMeta.withWriterLock(fs, root, "annIndexDelete") {
+      val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+      val (batches, n, dim, m, tomb, tombRows) = readMeta(fs, metaPath, dir)
+      // write to a STAGING sibling first, validate from the WRITTEN bytes
+      // (a pre-flight check of a non-deterministic `ids` frame is TOCTOU),
+      // and rename into the live b<tomb> slot only after every check
+      // passes (r16 — the bm25IndexDelete convention; the direct
+      // overwrite-mode write could clobber a committed tombstone batch if
+      // a concurrent delete won the race the lease now forecloses). On
+      // refusal, meta is untouched and the hidden staging dir is an
+      // orphan the next delete clobbers.
+      val staging = s"$dir/tombstones/.b$tomb.staging"
+      val delProj = ids.select(col(idCol).as("id"))
+      delProj.write.mode("overwrite").parquet(staging)
+      val written = spark.read.schema(delProj.schema).parquet(staging)
+      val liveIds = dropTombstoned(spark,
+        readBatches(spark, dir, batches).select("id"), dir, tomb)
+        .withColumn("__live", lit(1))
+      val st = written.join(liveIds, Seq("id"), "left")
+        .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("nd"),
+          coalesce(sum(col("__live")), lit(0L)).as("live")).head()
+      val dn = st.getLong(0)
+      require(dn > 0L, s"annIndexDelete: empty id set — nothing to delete in '$dir'")
+      require(st.getLong(1) == dn,
+        s"annIndexDelete: id set has ${dn - st.getLong(1)} duplicates — a " +
+          "double delete would subtract the vector count twice; dedupe ids first")
+      require(st.getLong(2) == dn,
+        s"annIndexDelete: ${dn - st.getLong(2)} ids are not live in '$dir' " +
+          "(absent or already deleted) — deletes must name existing vectors")
+      // the accumulated-tombstone cap (r16, the bm25 convention): refuse
+      // HERE rather than let dropTombstoned's broadcast fail at read time
+      require(tombRows + dn <= graft.sources.StoreMeta.TombstoneRowCap,
+        s"annIndexDelete: '$dir' would hold ${tombRows + dn} tombstone rows, " +
+          s"past the ${graft.sources.StoreMeta.TombstoneRowCap} broadcast cap " +
+          "— run annIndexCompact to reclaim deleted rows first")
+      val (batchesNow, _, _, _, tombNow, _) = readMeta(fs, metaPath, dir)
+      require(batchesNow == batches && tombNow == tomb,
+        s"annIndexDelete: concurrent writer detected on '$dir' (batches " +
+          s"$batches → $batchesNow, tombstone batches $tomb → $tombNow " +
+          "mid-delete) — the store is single-writer; retry")
+      val slot = new org.apache.hadoop.fs.Path(root, s"tombstones/b$tomb")
+      if (fs.exists(slot)) fs.delete(slot, true) // orphan of a crashed delete
+      require(fs.rename(graft.sources.FsPaths.hadoopPath(staging), slot),
+        s"annIndexDelete: rename '$staging' -> '$slot' failed — meta is " +
+          "untouched; the staging dir is an orphan the next delete clobbers")
+      writeMeta(fs, metaPath, batches, n - dn, dim, m, tomb + 1, tombRows + dn)
+    }
   }
 
   /** Search the index: zero corpus scans, zero training — probed cells
@@ -278,7 +301,7 @@ object AnnIndex {
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
     val srcMetaPath = new org.apache.hadoop.fs.Path(srcRoot, "meta.json")
-    val (batches, n, dim, m, tomb) = readMeta(srcFs, srcMetaPath, srcDir)
+    val (batches, n, dim, m, tomb, _) = readMeta(srcFs, srcMetaPath, srcDir)
     val (cents, books) = readModel(srcFs, srcRoot, srcDir)
     checkModel(cents, books, dim, m, srcDir)
     val dstRoot = graft.sources.FsPaths.hadoopPath(dstDir)
@@ -289,56 +312,58 @@ object AnnIndex {
       s"annIndexCompact: source and destination are the same store " +
         s"('$srcDir') — compact to a sibling and swap")
     val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
-    if (dstFs.exists(dstMeta)) {
-      require(overwrite,
-        s"annIndexCompact: '$dstDir' already holds an index — pass overwrite = true")
-      dstFs.delete(dstRoot, true)
-    } else if (dstFs.exists(dstRoot) && dstFs.listStatus(dstRoot).nonEmpty)
-      // the r15 build-side rule applies here too: writing store planes
-      // among someone else's bytes turns their dir into a "store" a later
-      // overwrite would delete wholesale — refuse unless told to clobber
-      require(overwrite,
-        s"annIndexCompact: '$dstDir' exists, is not an ann index, and is " +
-          "not empty — pass overwrite = true to replace it")
-    // model copies as RAW BYTES (readModel above already validated them):
-    // a parse + re-render round trip would make byte identity incidental
-    // — e.g. signaling-NaN bit patterns may not survive intBitsToFloat
-    val srcModelBytes = {
-      val in = srcFs.open(new org.apache.hadoop.fs.Path(srcRoot, "model.json"))
-      try in.readAllBytes() finally in.close()
+    graft.sources.StoreMeta.withWriterLock(dstFs, dstRoot, "annIndexCompact") {
+      if (dstFs.exists(dstMeta)) {
+        require(overwrite,
+          s"annIndexCompact: '$dstDir' already holds an index — pass overwrite = true")
+        dstFs.delete(dstRoot, true)
+      } else if (dstFs.exists(dstRoot) && dstFs.listStatus(dstRoot).nonEmpty)
+        // the r15 build-side rule applies here too: writing store planes
+        // among someone else's bytes turns their dir into a "store" a later
+        // overwrite would delete wholesale — refuse unless told to clobber
+        require(overwrite,
+          s"annIndexCompact: '$dstDir' exists, is not an ann index, and is " +
+            "not empty — pass overwrite = true to replace it")
+      // model copies as RAW BYTES (readModel above already validated them):
+      // a parse + re-render round trip would make byte identity incidental
+      // — e.g. signaling-NaN bit patterns may not survive intBitsToFloat
+      val srcModelBytes = {
+        val in = srcFs.open(new org.apache.hadoop.fs.Path(srcRoot, "model.json"))
+        try in.readAllBytes() finally in.close()
+      }
+      dstFs.mkdirs(dstRoot)
+      val modelOut = dstFs.create(
+        new org.apache.hadoop.fs.Path(dstRoot, "model.json"), true)
+      try modelOut.write(srcModelBytes) finally modelOut.close()
+      // tombstoned vectors DROP PHYSICALLY here (the reclamation path):
+      // the rewrite reads the live view, and the destination resets
+      // tombBatches to 0 — after a compact the deleted ids are free again
+      val all = dropTombstoned(spark,
+          readBatches(spark, dir = srcDir, batches), srcDir, tomb)
+        .select("id", "cell", "codes", "vnorm", "vec")
+      all.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$dstDir/vectors/b0")
+      // validate the rewrite against the SOURCE meta before committing:
+      // meta's n is the live count (deletes already subtracted), so this
+      // equality also validates the tombstone drop — a drift means a torn
+      // source or a lost write; refuse rather than bless a store that
+      // silently dropped (or resurrected) vectors
+      val written = spark.read.schema(all.schema)
+        .parquet(s"$dstDir/vectors/b0").count()
+      require(written == n,
+        s"annIndexCompact: rewrote $written rows but '$srcDir' meta says $n — " +
+          "source store torn or write incomplete; not committing")
+      // optimistic recheck (the append convention): an append or delete
+      // landing on the source mid-compact would otherwise vanish at the
+      // caller's swap
+      val (batchesNow, _, _, _, tombNow, _) = readMeta(srcFs, srcMetaPath, srcDir)
+      require(batchesNow == batches && tombNow == tomb,
+        s"annIndexCompact: '$srcDir' moved ($batches → $batchesNow batches, " +
+          s"$tomb → $tombNow tombstone batches) mid-compact — re-run to " +
+          "include the new writes")
+      writeMeta(dstFs, dstMeta, batches = 1, n = n, dim = dim, m = m,
+        tombBatches = 0)
     }
-    dstFs.mkdirs(dstRoot)
-    val modelOut = dstFs.create(
-      new org.apache.hadoop.fs.Path(dstRoot, "model.json"), true)
-    try modelOut.write(srcModelBytes) finally modelOut.close()
-    // tombstoned vectors DROP PHYSICALLY here (the reclamation path):
-    // the rewrite reads the live view, and the destination resets
-    // tombBatches to 0 — after a compact the deleted ids are free again
-    val all = dropTombstoned(spark,
-        readBatches(spark, dir = srcDir, batches), srcDir, tomb)
-      .select("id", "cell", "codes", "vnorm", "vec")
-    all.repartition(col("cell"))
-      .write.partitionBy("cell").mode("overwrite").parquet(s"$dstDir/vectors/b0")
-    // validate the rewrite against the SOURCE meta before committing:
-    // meta's n is the live count (deletes already subtracted), so this
-    // equality also validates the tombstone drop — a drift means a torn
-    // source or a lost write; refuse rather than bless a store that
-    // silently dropped (or resurrected) vectors
-    val written = spark.read.schema(all.schema)
-      .parquet(s"$dstDir/vectors/b0").count()
-    require(written == n,
-      s"annIndexCompact: rewrote $written rows but '$srcDir' meta says $n — " +
-        "source store torn or write incomplete; not committing")
-    // optimistic recheck (the append convention): an append or delete
-    // landing on the source mid-compact would otherwise vanish at the
-    // caller's swap
-    val (batchesNow, _, _, _, tombNow) = readMeta(srcFs, srcMetaPath, srcDir)
-    require(batchesNow == batches && tombNow == tomb,
-      s"annIndexCompact: '$srcDir' moved ($batches → $batchesNow batches, " +
-        s"$tomb → $tombNow tombstone batches) mid-compact — re-run to " +
-        "include the new writes")
-    writeMeta(dstFs, dstMeta, batches = 1, n = n, dim = dim, m = m,
-      tombBatches = 0)
   }
 
   /** Battery-scale search — the queries stay DATA (the bm25 big-battery
@@ -425,7 +450,7 @@ object AnnIndex {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val (batches, n, dim, m, tomb) = readMeta(fs,
+    val (batches, n, dim, m, tomb, _) = readMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
     require(n > 0, s"$caller: index at '$dir' holds no vectors")
     val (cents, books) = readModel(fs, root, dir)
@@ -508,25 +533,31 @@ object AnnIndex {
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
                         metaPath: org.apache.hadoop.fs.Path,
                         batches: Int, n: Long, dim: Int, m: Int,
-                        tombBatches: Int): Unit =
+                        tombBatches: Int, tombRows: Long = 0L): Unit =
     graft.sources.StoreMeta.atomicWriteJson(fs, metaPath,
       s"""{"format": "graft-ann-index", "version": 1, """ +
         s""""batches": $batches, "n": $n, "dim": $dim, "m": $m, """ +
-        s""""tombBatches": $tombBatches}""")
+        s""""tombBatches": $tombBatches, "tombRows": $tombRows}""")
 
-  /** (batches, n, dim, m, tombBatches). `n` is the LIVE vector count —
-    * [[annIndexDelete]] subtracts at commit time. `tombBatches` is absent
-    * in pre-r15 stores (semantically 0 — fully readable). */
+  /** (batches, n, dim, m, tombBatches, tombRows). `n` is the LIVE vector
+    * count — [[annIndexDelete]] subtracts at commit time. `tombBatches`
+    * and `tombRows` (the [[graft.sources.StoreMeta.TombstoneRowCap]]
+    * ledger, r16) are absent in pre-r16 stores (semantically 0 — fully
+    * readable). Before reading, a crashed rebuild swap auto-completes
+    * ([[graft.sources.StoreMeta.recoverCrashedSwap]]), so any reader or
+    * writer heals the store. */
   private def readMeta(fs: org.apache.hadoop.fs.FileSystem,
                        metaPath: org.apache.hadoop.fs.Path,
-                       dir: String): (Int, Long, Int, Int, Int) = {
+                       dir: String): (Int, Long, Int, Int, Int, Long) = {
+    graft.sources.StoreMeta.recoverCrashedSwap(fs, metaPath.getParent)
     require(fs.exists(metaPath),
       s"'$dir' is not an ann index (no meta.json — build one with annIndexBuild)")
     val j = graft.sources.StoreMeta.parseChecked(fs, metaPath, dir,
       "graft-ann-index", version = 1L)
     def long(field: String): Long = graft.sources.StoreMeta.longField(j, field, dir)
     (long("batches").toInt, long("n"), long("dim").toInt, long("m").toInt,
-      graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt)
+      graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt,
+      graft.sources.StoreMeta.longFieldOr(j, "tombRows", dir, 0L))
   }
 
   /** Live view of a store plane keyed by `id` — the shared

@@ -473,31 +473,36 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    if (fs.exists(metaPath))
-      require(overwrite,
-        s"bm25IndexBuild: '$dir' already holds an index — pass overwrite = true " +
-          "to rebuild, or bm25IndexAppend to grow it")
-    else if (fs.exists(root) && fs.listStatus(root).nonEmpty)
-      // a non-empty dir that is NOT a store holds someone else's bytes —
-      // the swap below deletes the root, so clobbering it needs the same
-      // explicit opt-in a store rebuild does (an empty placeholder dir —
-      // the createTempDirectory pattern — replaces silently)
-      require(overwrite,
-        s"bm25IndexBuild: '$dir' exists, is not a bm25 index, and is not " +
-          "empty — pass overwrite = true to replace it")
-    // r15: the whole store builds into a hidden STAGED sibling and swaps
-    // into place only after the staged meta commits — an encode/write
-    // failure mid-rebuild (duplicate ids, executor loss) can no longer
-    // destroy the existing index (the r14 delete-then-write window).
-    val staged = graft.sources.StoreMeta.stagedSibling(root)
-    if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
-    val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, staged.toString,
-      batch = 0, positions = positions)
-    writeIndexMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
-      IndexMeta(batches = 1, n = n, sumdl = sumdl, tombBatches = 0,
-        positions = positions))
-    graft.sources.StoreMeta.swapInto(fs, staged, root)
+    // r16: all mutations run under the store's writer LEASE — the
+    // single-writer contract is checked at acquisition, not just by the
+    // optimistic meta recheck (which stays behind it as defense in depth)
+    graft.sources.StoreMeta.withWriterLock(fs, root, "bm25IndexBuild") {
+      val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+      if (fs.exists(metaPath))
+        require(overwrite,
+          s"bm25IndexBuild: '$dir' already holds an index — pass overwrite = true " +
+            "to rebuild, or bm25IndexAppend to grow it")
+      else if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+        // a non-empty dir that is NOT a store holds someone else's bytes —
+        // the swap below replaces the root, so clobbering it needs the same
+        // explicit opt-in a store rebuild does (an empty placeholder dir —
+        // the createTempDirectory pattern — replaces silently)
+        require(overwrite,
+          s"bm25IndexBuild: '$dir' exists, is not a bm25 index, and is not " +
+            "empty — pass overwrite = true to replace it")
+      // r15: the whole store builds into a hidden STAGED sibling and swaps
+      // into place only after the staged meta commits — an encode/write
+      // failure mid-rebuild (duplicate ids, executor loss) can no longer
+      // destroy the existing index (the r14 delete-then-write window).
+      val staged = graft.sources.StoreMeta.stagedSibling(root)
+      if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
+      val (n, sumdl) = writeIndexBatch(docs, textCol, idCol, staged.toString,
+        batch = 0, positions = positions)
+      writeIndexMeta(fs, new org.apache.hadoop.fs.Path(staged, "meta.json"),
+        IndexMeta(batches = 1, n = n, sumdl = sumdl, tombBatches = 0,
+          positions = positions))
+      graft.sources.StoreMeta.swapInto(fs, staged, root)
+    }
   }
 
   /** Append a document delta to an existing index — only the DELTA is
@@ -508,39 +513,39 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val meta = readIndexMeta(fs, metaPath, dir)
-    // id-collision guard vs the store: a delta-sized semi-join against
-    // the docs plane's one pruned column — never a posting-volume scan.
-    // Deliberately UNFILTERED by tombstones: re-appending a DELETED id
-    // would resurrect it only until the tombstone anti-join killed both
-    // its old and new postings — refuse; compaction reclaims the id.
-    val oldDocs = readPlane(spark, dir, "docs", meta.batches)
-    val clash = newDocs.select(col(idCol).as("doc_id"))
-      .join(oldDocs.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
-    require(clash == 0L,
-      s"bm25IndexAppend: delta re-uses doc ids already in (or deleted " +
-        s"from) '$dir' — posting semantics are per-document; assign fresh " +
-        "ids, or compact to reclaim deleted ids")
-    // the delta inherits the store's positions setting: a positional
-    // store's planes must stay aligned batch-for-batch
-    val (dn, dsum) = writeIndexBatch(newDocs, textCol, idCol, dir,
-      batch = meta.batches, positions = meta.positions)
-    // optimistic single-writer check: if another append committed while
-    // this one wrote its batch dirs, both targeted the SAME batch number
-    // — refusing here (instead of committing a meta whose stats disagree
-    // with the interleaved dir contents) turns the common race loudly
-    // visible; appends remain single-writer by contract. A delete landing
-    // mid-append would likewise be overwritten by this commit's stats —
-    // same refusal.
-    val now = readIndexMeta(fs, metaPath, dir)
-    require(now.batches == meta.batches && now.tombBatches == meta.tombBatches,
-      s"bm25IndexAppend: concurrent writer detected on '$dir' (batches " +
-        s"${meta.batches} → ${now.batches}, tombstone batches " +
-        s"${meta.tombBatches} → ${now.tombBatches} mid-append) — the " +
-        "store is single-writer; retry this delta")
-    writeIndexMeta(fs, metaPath, meta.copy(batches = meta.batches + 1,
-      n = meta.n + dn, sumdl = meta.sumdl + dsum))
+    graft.sources.StoreMeta.withWriterLock(fs, root, "bm25IndexAppend") {
+      val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+      val meta = readIndexMeta(fs, metaPath, dir)
+      // id-collision guard vs the store: a delta-sized semi-join against
+      // the docs plane's one pruned column — never a posting-volume scan.
+      // Deliberately UNFILTERED by tombstones: re-appending a DELETED id
+      // would resurrect it only until the tombstone anti-join killed both
+      // its old and new postings — refuse; compaction reclaims the id.
+      val oldDocs = readPlane(spark, dir, "docs", meta.batches)
+      val clash = newDocs.select(col(idCol).as("doc_id"))
+        .join(oldDocs.select("doc_id"), Seq("doc_id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"bm25IndexAppend: delta re-uses doc ids already in (or deleted " +
+          s"from) '$dir' — posting semantics are per-document; assign fresh " +
+          "ids, or compact to reclaim deleted ids")
+      // the delta inherits the store's positions setting: a positional
+      // store's planes must stay aligned batch-for-batch
+      val (dn, dsum) = writeIndexBatch(newDocs, textCol, idCol, dir,
+        batch = meta.batches, positions = meta.positions)
+      // optimistic single-writer recheck BEHIND the lease (defense in
+      // depth — it also catches a lease-bypassing legacy writer): if
+      // another writer committed while this one wrote its batch dirs,
+      // both targeted the SAME batch number — refuse rather than commit
+      // a meta whose stats disagree with the interleaved dir contents.
+      val now = readIndexMeta(fs, metaPath, dir)
+      require(now.batches == meta.batches && now.tombBatches == meta.tombBatches,
+        s"bm25IndexAppend: concurrent writer detected on '$dir' (batches " +
+          s"${meta.batches} → ${now.batches}, tombstone batches " +
+          s"${meta.tombBatches} → ${now.tombBatches} mid-append) — the " +
+          "store is single-writer; retry this delta")
+      writeIndexMeta(fs, metaPath, meta.copy(batches = meta.batches + 1,
+        n = meta.n + dn, sumdl = meta.sumdl + dsum))
+    }
   }
 
   /** DELETE documents from the index (r15) — the takedown/dedup-prune
@@ -561,46 +566,67 @@ object KeywordSearch {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
-    val meta = readIndexMeta(fs, metaPath, dir)
-    // write FIRST, validate from the WRITTEN bytes (the writeBatch
-    // convention): a pre-flight validation of a non-deterministic `ids`
-    // frame would be TOCTOU — different rows could land than were
-    // checked. On any refusal below, meta is untouched and the orphan
-    // tombstone dir is invisible (readers see meta's tombBatches) until
-    // the next delete's overwrite-mode write clobbers it.
-    val delProj = ids.select(col(idCol).as("doc_id"))
-    delProj.write.mode("overwrite").parquet(s"$dir/tombstones/b${meta.tombBatches}")
-    // explicit schema so a zero-row write (no part files to infer from)
-    // still reads back as an empty frame and refuses below
-    val written = spark.read.schema(delProj.schema)
-      .parquet(s"$dir/tombstones/b${meta.tombBatches}")
-    // one validation pass: count + distinct + liveness + the Σdl the meta
-    // commit needs. The docs plane joins column-pruned (doc_id, dl);
-    // already-tombstoned ids read as not-live (their dl row anti-joins
-    // away), folding the double-delete case into the liveness refusal.
-    val liveDocs = dropTombstoned(spark,
-      readPlane(spark, dir, "docs", meta.batches), dir, meta.tombBatches)
-    val st = written.join(liveDocs, Seq("doc_id"), "left")
-      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
-        sum(when(col("dl").isNotNull, 1L).otherwise(0L)).as("live"),
-        coalesce(sum(col("dl")), lit(0L)).as("dsum")).head()
-    val dn = st.getLong(0)
-    require(dn > 0L, s"bm25IndexDelete: empty id set — nothing to delete in '$dir'")
-    require(st.getLong(1) == dn,
-      s"bm25IndexDelete: id set has ${dn - st.getLong(1)} duplicates — a " +
-        "double delete would subtract corpus stats twice; dedupe ids first")
-    require(st.getLong(2) == dn,
-      s"bm25IndexDelete: ${dn - st.getLong(2)} ids are not live in '$dir' " +
-        "(absent or already deleted) — deletes must name existing documents")
-    val now = readIndexMeta(fs, metaPath, dir)
-    require(now.batches == meta.batches && now.tombBatches == meta.tombBatches,
-      s"bm25IndexDelete: concurrent writer detected on '$dir' (batches " +
-        s"${meta.batches} → ${now.batches}, tombstone batches " +
-        s"${meta.tombBatches} → ${now.tombBatches} mid-delete) — the " +
-        "store is single-writer; retry")
-    writeIndexMeta(fs, metaPath, meta.copy(n = meta.n - dn,
-      sumdl = meta.sumdl - st.getLong(3), tombBatches = meta.tombBatches + 1))
+    graft.sources.StoreMeta.withWriterLock(fs, root, "bm25IndexDelete") {
+      val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
+      val meta = readIndexMeta(fs, metaPath, dir)
+      // write to a STAGING sibling first, validate from the WRITTEN bytes
+      // (the writeBatch convention — a pre-flight validation of a
+      // non-deterministic `ids` frame would be TOCTOU), and rename into
+      // the live b<tomb> slot only after every check passes (r16; through
+      // r15 this wrote b<tomb> directly in overwrite mode, which could
+      // clobber a COMMITTED tombstone batch if a concurrent delete had
+      // won the race — the lease now forecloses that race, and the
+      // staged rename closes it even against a lease-bypassing legacy
+      // writer). On any refusal, meta is untouched and the hidden
+      // staging dir is an orphan the next delete clobbers.
+      val staging = s"$dir/tombstones/.b${meta.tombBatches}.staging"
+      val delProj = ids.select(col(idCol).as("doc_id"))
+      delProj.write.mode("overwrite").parquet(staging)
+      // explicit schema so a zero-row write (no part files to infer from)
+      // still reads back as an empty frame and refuses below
+      val written = spark.read.schema(delProj.schema).parquet(staging)
+      // one validation pass: count + distinct + liveness + the Σdl the meta
+      // commit needs. The docs plane joins column-pruned (doc_id, dl);
+      // already-tombstoned ids read as not-live (their dl row anti-joins
+      // away), folding the double-delete case into the liveness refusal.
+      val liveDocs = dropTombstoned(spark,
+        readPlane(spark, dir, "docs", meta.batches), dir, meta.tombBatches)
+      val st = written.join(liveDocs, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("nd"),
+          sum(when(col("dl").isNotNull, 1L).otherwise(0L)).as("live"),
+          coalesce(sum(col("dl")), lit(0L)).as("dsum")).head()
+      val dn = st.getLong(0)
+      require(dn > 0L, s"bm25IndexDelete: empty id set — nothing to delete in '$dir'")
+      require(st.getLong(1) == dn,
+        s"bm25IndexDelete: id set has ${dn - st.getLong(1)} duplicates — a " +
+          "double delete would subtract corpus stats twice; dedupe ids first")
+      require(st.getLong(2) == dn,
+        s"bm25IndexDelete: ${dn - st.getLong(2)} ids are not live in '$dir' " +
+          "(absent or already deleted) — deletes must name existing documents")
+      // the accumulated-tombstone cap (r16): past it, dropTombstoned's
+      // broadcast — not this delete — would be the thing that fails, at
+      // read time, for every reader; refuse HERE instead and point at
+      // compaction, which drops the backlog physically
+      require(meta.tombRows + dn <= graft.sources.StoreMeta.TombstoneRowCap,
+        s"bm25IndexDelete: '$dir' would hold ${meta.tombRows + dn} tombstone " +
+          s"rows, past the ${graft.sources.StoreMeta.TombstoneRowCap} broadcast " +
+          "cap — run bm25IndexCompact to reclaim deleted rows first")
+      val now = readIndexMeta(fs, metaPath, dir)
+      require(now.batches == meta.batches && now.tombBatches == meta.tombBatches,
+        s"bm25IndexDelete: concurrent writer detected on '$dir' (batches " +
+          s"${meta.batches} → ${now.batches}, tombstone batches " +
+          s"${meta.tombBatches} → ${now.tombBatches} mid-delete) — the " +
+          "store is single-writer; retry")
+      val slot = new org.apache.hadoop.fs.Path(root,
+        s"tombstones/b${meta.tombBatches}")
+      if (fs.exists(slot)) fs.delete(slot, true) // orphan of a crashed delete
+      require(fs.rename(graft.sources.FsPaths.hadoopPath(staging), slot),
+        s"bm25IndexDelete: rename '$staging' -> '$slot' failed — meta is " +
+          "untouched; the staging dir is an orphan the next delete clobbers")
+      writeIndexMeta(fs, metaPath, meta.copy(n = meta.n - dn,
+        sumdl = meta.sumdl - st.getLong(3), tombBatches = meta.tombBatches + 1,
+        tombRows = meta.tombRows + dn))
+    }
   }
 
   /** Search the index: zero corpus scans — the battery's vocabulary
@@ -926,69 +952,74 @@ object KeywordSearch {
       s"bm25IndexCompact: source and destination are the same store " +
         s"('$srcDir') — compact to a sibling and swap")
     val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
-    if (dstFs.exists(dstMeta)) {
-      require(overwrite,
-        s"bm25IndexCompact: '$dstDir' already holds an index — pass overwrite = true")
-      dstFs.delete(dstRoot, true)
-    } else if (dstFs.exists(dstRoot) && dstFs.listStatus(dstRoot).nonEmpty)
-      // the r15 build-side rule applies here too: writing store planes
-      // among someone else's bytes turns their dir into a "store" a later
-      // overwrite would delete wholesale — refuse unless told to clobber
-      require(overwrite,
-        s"bm25IndexCompact: '$dstDir' exists, is not a bm25 index, and is " +
-          "not empty — pass overwrite = true to replace it")
-    // tombstoned docs DROP PHYSICALLY here (the reclamation path): both
-    // planes rewrite through the anti-join, and the destination resets
-    // tombBatches to 0 — after a compact the deleted ids are free again
-    dropTombstoned(spark, readPlane(spark, srcDir, "docs", batches), srcDir, tomb)
-      .write.mode("overwrite").parquet(s"$dstDir/docs/b0")
-    dropTombstoned(spark, readPlane(spark, srcDir, "postings", batches), srcDir, tomb)
-      // RANGE partition + in-file sort = truly term-sorted across the
-      // whole plane (file ordinals cover disjoint term ranges), so
-      // row-group min/max skipping is as tight as the layout allows
-      .repartitionByRange(col("term"), col("doc_id"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.mode("overwrite").parquet(s"$dstDir/postings/b0")
-    // validate BOTH planes before committing: docs against the source
-    // meta's stats (which are live-row stats — the delete already
-    // subtracted, so this equality also validates the tombstone drop),
-    // postings by row count against the source's live read
-    val st = spark.read.parquet(s"$dstDir/docs/b0")
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
-    require(st.getLong(0) == n && st.getLong(1) == sumdl,
-      s"bm25IndexCompact: rewrote ${st.getLong(0)} docs / Σdl ${st.getLong(1)} " +
-        s"but '$srcDir' meta says $n / $sumdl — source torn or write " +
-        "incomplete; not committing")
-    val srcPostings = dropTombstoned(spark,
-      readPlane(spark, srcDir, "postings", batches), srcDir, tomb).count()
-    val dstPostings = spark.read.parquet(s"$dstDir/postings/b0").count()
-    require(srcPostings == dstPostings,
-      s"bm25IndexCompact: rewrote $dstPostings postings of $srcPostings — " +
-        "write incomplete; not committing")
-    // the positions plane (if present) compacts alongside, same layout
-    // discipline and the same count validation
-    if (srcMeta.positions) {
-      dropTombstoned(spark, readPlane(spark, srcDir, "positions", batches),
-          srcDir, tomb)
+    graft.sources.StoreMeta.withWriterLock(dstFs, dstRoot, "bm25IndexCompact") {
+      if (dstFs.exists(dstMeta)) {
+        require(overwrite,
+          s"bm25IndexCompact: '$dstDir' already holds an index — pass overwrite = true")
+        dstFs.delete(dstRoot, true)
+      } else if (dstFs.exists(dstRoot) && dstFs.listStatus(dstRoot).nonEmpty)
+        // the r15 build-side rule applies here too: writing store planes
+        // among someone else's bytes turns their dir into a "store" a later
+        // overwrite would delete wholesale — refuse unless told to clobber
+        require(overwrite,
+          s"bm25IndexCompact: '$dstDir' exists, is not a bm25 index, and is " +
+            "not empty — pass overwrite = true to replace it")
+      // tombstoned docs DROP PHYSICALLY here (the reclamation path): both
+      // planes rewrite through the anti-join, and the destination resets
+      // tombBatches to 0 — after a compact the deleted ids are free again
+      dropTombstoned(spark, readPlane(spark, srcDir, "docs", batches), srcDir, tomb)
+        .write.mode("overwrite").parquet(s"$dstDir/docs/b0")
+      dropTombstoned(spark, readPlane(spark, srcDir, "postings", batches), srcDir, tomb)
+        // RANGE partition + in-file sort = truly term-sorted across the
+        // whole plane (file ordinals cover disjoint term ranges), so
+        // row-group min/max skipping is as tight as the layout allows
         .repartitionByRange(col("term"), col("doc_id"))
         .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite").parquet(s"$dstDir/positions/b0")
-      val srcPos = dropTombstoned(spark,
-        readPlane(spark, srcDir, "positions", batches), srcDir, tomb).count()
-      val dstPos = spark.read.parquet(s"$dstDir/positions/b0").count()
-      require(srcPos == dstPos,
-        s"bm25IndexCompact: rewrote $dstPos position rows of $srcPos — " +
+        .write.mode("overwrite").parquet(s"$dstDir/postings/b0")
+      // validate BOTH planes before committing: docs against the source
+      // meta's stats (which are live-row stats — the delete already
+      // subtracted, so this equality also validates the tombstone drop),
+      // postings by row count against the source's live read
+      val st = spark.read.parquet(s"$dstDir/docs/b0")
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).collect()(0)
+      require(st.getLong(0) == n && st.getLong(1) == sumdl,
+        s"bm25IndexCompact: rewrote ${st.getLong(0)} docs / Σdl ${st.getLong(1)} " +
+          s"but '$srcDir' meta says $n / $sumdl — source torn or write " +
+          "incomplete; not committing")
+      val srcPostings = dropTombstoned(spark,
+        readPlane(spark, srcDir, "postings", batches), srcDir, tomb).count()
+      val dstPostings = spark.read.parquet(s"$dstDir/postings/b0").count()
+      require(srcPostings == dstPostings,
+        s"bm25IndexCompact: rewrote $dstPostings postings of $srcPostings — " +
           "write incomplete; not committing")
+      // the positions plane (if present) compacts alongside, same layout
+      // discipline and the same count validation
+      if (srcMeta.positions) {
+        dropTombstoned(spark, readPlane(spark, srcDir, "positions", batches),
+            srcDir, tomb)
+          .repartitionByRange(col("term"), col("doc_id"))
+          .sortWithinPartitions("term", "doc_id")
+          .write.mode("overwrite").parquet(s"$dstDir/positions/b0")
+        val srcPos = dropTombstoned(spark,
+          readPlane(spark, srcDir, "positions", batches), srcDir, tomb).count()
+        val dstPos = spark.read.parquet(s"$dstDir/positions/b0").count()
+        require(srcPos == dstPos,
+          s"bm25IndexCompact: rewrote $dstPos position rows of $srcPos — " +
+            "write incomplete; not committing")
+      }
+      // optimistic recheck (the append convention): an append or delete
+      // landing on the source mid-compact would otherwise vanish at the
+      // caller's swap
+      val now = readIndexMeta(srcFs, srcMetaPath, srcDir)
+      require(now.batches == batches && now.tombBatches == tomb,
+        s"bm25IndexCompact: '$srcDir' moved ($batches → ${now.batches} " +
+          s"batches, $tomb → ${now.tombBatches} tombstone batches) " +
+          "mid-compact — re-run to include the new writes")
+      // tombRows resets with the plane: the destination holds zero
+      // tombstones, so the broadcast-cap ledger restarts from a clean slate
+      writeIndexMeta(dstFs, dstMeta, srcMeta.copy(batches = 1, tombBatches = 0,
+        tombRows = 0L))
     }
-    // optimistic recheck (the append convention): an append or delete
-    // landing on the source mid-compact would otherwise vanish at the
-    // caller's swap
-    val now = readIndexMeta(srcFs, srcMetaPath, srcDir)
-    require(now.batches == batches && now.tombBatches == tomb,
-      s"bm25IndexCompact: '$srcDir' moved ($batches → ${now.batches} " +
-        s"batches, $tomb → ${now.tombBatches} tombstone batches) " +
-        "mid-compact — re-run to include the new writes")
-    writeIndexMeta(dstFs, dstMeta, srcMeta.copy(batches = 1, tombBatches = 0))
   }
 
   /** One plane's batch dirs (`<dir>/<plane>/b0..b<batches-1>`) as one
@@ -1002,9 +1033,12 @@ object KeywordSearch {
     * truncate-in-place create would brick the store (empty meta =
     * unparseable forever AND 'already holds an index' on rebuild). */
   /** The store's self-description: batch/tombstone-batch counts, live
-    * corpus stats, and whether the positions plane exists. */
+    * corpus stats, accumulated tombstone rows (r16 — the
+    * [[graft.sources.StoreMeta.TombstoneRowCap]] guard's ledger), and
+    * whether the positions plane exists. */
   private final case class IndexMeta(batches: Int, n: Long, sumdl: Long,
-                                     tombBatches: Int, positions: Boolean)
+                                     tombBatches: Int, positions: Boolean,
+                                     tombRows: Long = 0L)
 
   private def writeIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                              metaPath: org.apache.hadoop.fs.Path,
@@ -1013,16 +1047,20 @@ object KeywordSearch {
       s"""{"format": "graft-bm25-index", "version": 1, """ +
         s""""batches": ${meta.batches}, "n": ${meta.n}, """ +
         s""""sumdl": ${meta.sumdl}, "tombBatches": ${meta.tombBatches}, """ +
-        s""""positions": ${meta.positions}}""")
+        s""""tombRows": ${meta.tombRows}, "positions": ${meta.positions}}""")
 
   /** `n`/`sumdl` are the LIVE corpus stats — [[bm25IndexDelete]] subtracts
     * the deleted docs' count and Σdl when it commits a tombstone batch, so
     * idf/avgdl always equal a from-scratch rebuild without the deleted
-    * rows. `tombBatches` (0) and `positions` (false) are absent in
-    * pre-r15 stores — fully readable. */
+    * rows. `tombBatches` (0), `tombRows` (0), and `positions` (false) are
+    * absent in pre-r16 stores — fully readable. Before reading, a crashed
+    * rebuild swap auto-completes ([[graft.sources.StoreMeta
+    * .recoverCrashedSwap]] — staged meta committed ⇒ the rebuilt store is
+    * authoritative), so any reader or writer heals the store. */
   private def readIndexMeta(fs: org.apache.hadoop.fs.FileSystem,
                             metaPath: org.apache.hadoop.fs.Path,
                             dir: String): IndexMeta = {
+    graft.sources.StoreMeta.recoverCrashedSwap(fs, metaPath.getParent)
     require(fs.exists(metaPath),
       s"'$dir' is not a bm25 index (no meta.json — build one with bm25IndexBuild)")
     // an unknown layout version refuses loudly inside parseChecked —
@@ -1032,7 +1070,8 @@ object KeywordSearch {
     def long(field: String): Long = graft.sources.StoreMeta.longField(j, field, dir)
     IndexMeta(long("batches").toInt, long("n"), long("sumdl"),
       graft.sources.StoreMeta.longFieldOr(j, "tombBatches", dir, 0L).toInt,
-      graft.sources.StoreMeta.boolFieldOr(j, "positions", dir, default = false))
+      graft.sources.StoreMeta.boolFieldOr(j, "positions", dir, default = false),
+      graft.sources.StoreMeta.longFieldOr(j, "tombRows", dir, 0L))
   }
 
   /** Live view of a plane keyed by `doc_id` — the shared

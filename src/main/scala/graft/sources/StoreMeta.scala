@@ -24,15 +24,27 @@ private[graft] object StoreMeta {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** Ceiling on a store's ACCUMULATED tombstone rows (r16): the tombstone
+    * plane is BROADCAST by [[dropTombstoned]], so letting it grow without
+    * bound turns a forgotten compact into a driver-memory/broadcast-limit
+    * failure at read time, with nothing but a doc comment in between.
+    * Both stores track `tombRows` in meta and their deletes REFUSE past
+    * this cap (10M ids ≈ low hundreds of MB broadcast — well inside the
+    * limit, far past any sane pre-compact backlog), nudging toward
+    * compaction while the store still reads fine. Pre-r16 metas lack the
+    * field (reads as 0 — the guard re-arms from the next delete on). */
+  val TombstoneRowCap: Long = 10000000L
+
   /** The LIVE view of a store plane: drop rows whose key appears in the
     * tombstone plane (r15) — ONE copy of the join convention both index
     * stores compose (each keeps only its own plane reader). The
     * tombstone side is BROADCAST by design: deletes are deltas
-    * (takedowns, dedup prunes), bounded in practice by compaction, which
-    * physically drops them and resets the plane — a store whose
-    * tombstones rival the corpus needs a compact, not a bigger join.
-    * Sits ABOVE the scan, so partition filters and column pruning push
-    * through untouched. */
+    * (takedowns, dedup prunes), bounded by compaction, which physically
+    * drops them and resets the plane — and since r16 bounded HARD by
+    * [[TombstoneRowCap]], which deletes enforce at commit time, so a
+    * store whose tombstones could threaten the broadcast cannot be
+    * built in the first place. Sits ABOVE the scan, so partition
+    * filters and column pruning push through untouched. */
   def dropTombstoned(df: org.apache.spark.sql.DataFrame, key: String,
                      tombstones: Option[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame =
@@ -53,24 +65,113 @@ private[graft] object StoreMeta {
   def stagedSibling(root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.rebuild")
 
-  /** Swap a fully-built staged store into place: delete the old root (if
-    * any), rename staged → root. The ONLY destructive step of a rebuild,
-    * and it runs after the staged store is complete and self-described —
-    * a failure anywhere earlier leaves the old store byte-intact. A crash
-    * BETWEEN the delete and the rename leaves no live root but a
-    * complete staged sibling next to it (recoverable by renaming it into
-    * place by hand); that is the narrow residual window directory
-    * renames cannot close without a filesystem-level transaction.
-    * Rebuilds are single-writer, like appends: two concurrent rebuilds
-    * would race one staged path. */
+  /** Hidden rename-aside sibling [[swapInto]] parks the OLD root at while
+    * the staged store renames in — the r16 window shrink: the old store is
+    * never deleted until the new one is live. */
+  def oldSibling(root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.old")
+
+  /** Swap a fully-built staged store into place — rename-aside, NOT
+    * delete-then-rename (r16; through r15 this deleted the old root first,
+    * leaving a crash window with NO live store and only manual recovery):
+    *
+    *   1. old root renames aside to the hidden [[oldSibling]];
+    *   2. staged renames into the root;
+    *   3. the old sibling deletes.
+    *
+    * The ONLY destructive step (3) runs after the new store is live, and
+    * it runs after the staged store is complete and self-described — a
+    * failure anywhere earlier leaves a recoverable state: a crash between
+    * (1) and (2) leaves the complete staged sibling plus the parked old
+    * store, which [[recoverCrashedSwap]] completes AUTOMATICALLY on the
+    * next open (staged meta committed ⇒ the new store is authoritative);
+    * a crash between (2) and (3) leaves the new store live plus a stale
+    * old sibling the next swap (or recovery) clears. Rebuilds are
+    * single-writer, like appends — [[withWriterLock]] enforces it. */
   def swapInto(fs: org.apache.hadoop.fs.FileSystem,
                staged: org.apache.hadoop.fs.Path,
                root: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.exists(root)) fs.delete(root, true)
+    val old = oldSibling(root)
+    if (fs.exists(old)) fs.delete(old, true) // stale from a crashed prior swap
+    val hadRoot = fs.exists(root)
+    if (hadRoot) require(fs.rename(root, old),
+      s"store rebuild: rename-aside '$root' -> '$old' failed — nothing moved; " +
+        "the old store is untouched and the rebuilt store is at the staged path")
     require(fs.rename(staged, root),
       s"store rebuild: rename '$staged' -> '$root' failed — the old store is " +
-        "deleted but the complete rebuilt store is at the staged path; " +
-        "rename it into place manually")
+        s"parked byte-intact at '$old' and the complete rebuilt store is at " +
+        "the staged path; the next open auto-recovers (or rename by hand)")
+    if (hadRoot) fs.delete(old, true)
+  }
+
+  /** Complete a crashed [[swapInto]] on open: if the root holds no
+    * `meta.json` but a COMPLETE staged sibling does (staged meta writes
+    * LAST, so its presence proves the rebuild finished), the swap was
+    * interrupted between its two renames — finish it: staged renames in,
+    * the parked old sibling (if any) deletes, exactly the steps the
+    * crashed writer had left. Deliberately conservative: recovery only
+    * fires when the root is MISSING ENTIRELY — a meta-less root that
+    * exists holds unknown bytes (a foreign dir, a mid-write fresh build)
+    * and is never clobbered. Returns true if a swap was completed. Both
+    * index stores call this from their meta readers, so any reader or
+    * writer heals the store. */
+  def recoverCrashedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path): Boolean = {
+    if (fs.exists(root)) return false
+    val staged = stagedSibling(root)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(staged, "meta.json"))) return false
+    require(fs.rename(staged, root),
+      s"store recovery: rename '$staged' -> '$root' failed — the complete " +
+        "rebuilt store is still at the staged path; rename it into place manually")
+    val old = oldSibling(root)
+    if (fs.exists(old)) fs.delete(old, true)
+    true
+  }
+
+  /** Hidden create-exclusive writer-lease file guarding a store root —
+    * the r16 upgrade of the stores' single-writer CONVENTION to a checked
+    * invariant: every mutating op (build, append, delete, compact
+    * destination) runs under [[withWriterLock]]; a second writer refuses
+    * loudly at acquisition instead of racing the optimistic meta recheck.
+    * A sibling (not a child) so it guards roots that do not exist yet
+    * (fresh builds) and never pollutes the store's own listing. */
+  def lockPath(root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.writer.lock")
+
+  /** Run `body` holding the store's writer lease. Acquisition is
+    * `create(…, overwrite = false)` — atomic on HDFS and object stores
+    * with conditional-put semantics; best-effort (exists-then-create) on
+    * the local filesystem, where the residual race is two LOCAL writers
+    * in the same microsecond — still strictly stronger than the
+    * unchecked convention, and the optimistic meta recheck stays behind
+    * it as defense in depth. The lease carries pid/host/time for the
+    * operator reading a stale lock. A crashed writer leaves the lease
+    * behind DELIBERATELY (its partial writes need a human decision);
+    * the refusal message names the file to delete once the writer is
+    * known dead. */
+  def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path,
+                        op: String)(body: => T): T = {
+    val lock = lockPath(root)
+    val out =
+      try fs.create(lock, false)
+      catch { case e: java.io.IOException =>
+        // only an EXISTING lease reads as "held" — any other create
+        // failure (permissions, quota) surfaces as itself
+        if (fs.exists(lock))
+          throw new IllegalStateException(
+            s"$op: another writer holds the lease on '$root' ($lock) — the " +
+              "store is single-writer; retry after it finishes, or delete the " +
+              "lease file if that writer is known dead (its identity is inside)")
+        else throw e
+      }
+    try {
+      val who = s"""{"pid": ${ProcessHandle.current.pid}, """ +
+        s""""host": "${java.net.InetAddress.getLocalHost.getHostName}", """ +
+        s""""op": "$op", "epoch_ms": ${System.currentTimeMillis}}"""
+      try out.write(who.getBytes("UTF-8")) finally out.close()
+      body
+    } finally fs.delete(lock, false)
   }
 
   /** Parse a JSON file and refuse loudly unless its `format` field equals

@@ -333,4 +333,67 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("has dim 16"))
   }
+
+  test("writer lease, crashed-swap auto-recovery, tombstone ledger + cap (r16)") {
+    import spark.implicits._
+    val dir = freshDir("r16")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      dir, nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val q = emb.filter(col("vec_id") < 2)
+
+    // --- writer LEASE (the Bm25IndexSpec twin): held ⇒ every mutation
+    // refuses loudly; readers take none; released ⇒ admitted; finished ⇒
+    // no lease left behind
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = graft.sources.StoreMeta.lockPath(root)
+    fs.create(lock, false).close()
+    def appendOne(lo: Int) = AnnIndex.annIndexAppend(spark, dir,
+      emb.filter(col("vec_id") >= lo && col("vec_id") < lo + 10),
+      "vec_id", "embedding")
+    assert(intercept[IllegalStateException] { appendOne(100) }
+      .getMessage.contains("holds the lease"))
+    assert(intercept[IllegalStateException] {
+      AnnIndex.annIndexDelete(spark, dir, Seq(1L).toDF("vec_id"), "vec_id")
+    }.getMessage.contains("holds the lease"))
+    assert(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = 5).count() == 10L)
+    fs.delete(lock, false)
+    appendOne(100)
+    assert(!fs.exists(lock))
+
+    // --- crashed swapInto between its two renames: old store parked at
+    // .old, complete rebuilt store staged, no live root — the next open
+    // completes the swap and serves the STAGED store (meta'd last =
+    // authoritative)
+    val other = freshDir("r16other")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 40), "vec_id", "embedding",
+      other, nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    val old = graft.sources.StoreMeta.oldSibling(root)
+    assert(fs.rename(root, old))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(other), staged))
+    assert(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = 5).count() == 10L)
+    def meta() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    assert(meta().contains("\"n\": 40"), meta()) // the 40-vector staged store
+    assert(!fs.exists(staged) && !fs.exists(old))
+
+    // --- tombstone ledger + broadcast cap (the bm25 conventions)
+    AnnIndex.annIndexDelete(spark, dir, Seq(1L, 3L, 5L).toDF("vec_id"), "vec_id")
+    assert(meta().contains("\"tombRows\": 3"), meta())
+    val dirC = freshDir("r16c")
+    AnnIndex.annIndexCompact(spark, dir, dirC)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirC, "meta.json")), "UTF-8")
+      .contains("\"tombRows\": 0"))
+    val nearCap = meta().replace("\"tombRows\": 3",
+      s""""tombRows": ${graft.sources.StoreMeta.TombstoneRowCap - 1}""")
+    assert(nearCap != meta())
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"), nearCap)
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.annIndexDelete(spark, dir, Seq(7L, 9L).toDF("vec_id"), "vec_id")
+    }.getMessage.contains("broadcast cap"))
+  }
 }

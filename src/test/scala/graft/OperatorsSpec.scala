@@ -2125,6 +2125,85 @@ class Bm25IndexSpec extends AnyFunSuite {
       .filter(col("doc_id").isin(victims: _*)).count() == 0L)
   }
 
+  test("writer lease, crashed-swap auto-recovery, tombstone ledger + cap (r16)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_r16").toString + "/idx"
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 100), "text", "doc_id", dir, overwrite = true)
+    val battery = Seq(("q1", "spark hash join")).toDF("qid", "qtext")
+
+    // --- writer LEASE: a held lease refuses every mutation loudly; the
+    // store is single-writer CHECKED, not just by convention (r16)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = graft.sources.StoreMeta.lockPath(root)
+    fs.create(lock, false).close()
+    def appendOne(id: Long) = KeywordSearch.bm25IndexAppend(spark, dir,
+      Seq((id, "fresh words")).toDF("doc_id", "text"), "text", "doc_id")
+    assert(intercept[IllegalStateException] { appendOne(5000L) }
+      .getMessage.contains("holds the lease"))
+    assert(intercept[IllegalStateException] {
+      KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir, overwrite = true)
+    }.getMessage.contains("holds the lease"))
+    assert(intercept[IllegalStateException] {
+      KeywordSearch.bm25IndexDelete(spark, dir, Seq(1L).toDF("doc_id"), "doc_id")
+    }.getMessage.contains("holds the lease"))
+    // readers take no lease — searches run under a held one
+    assert(KeywordSearch.bm25SearchIndexed(spark, dir, battery, "qid", "qtext",
+      k = 3).count() == 3L)
+    fs.delete(lock, false)
+    appendOne(5000L) // a released lease admits the writer again...
+    assert(!fs.exists(lock)) // ...and a finished writer leaves none behind
+
+    // --- crashed swapInto, window between its two renames: the exact
+    // on-disk state is old store parked at the hidden .old sibling, the
+    // complete rebuilt store at the staged sibling, NO live root. The
+    // next open must complete the swap: staged in, .old cleared, and the
+    // STAGED content (its meta committed last = authoritative) served.
+    val other = java.nio.file.Files.createTempDirectory("graft_bm25_r16b").toString
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 40), "text", "doc_id", other, overwrite = true)
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    val old = graft.sources.StoreMeta.oldSibling(root)
+    assert(fs.rename(root, old))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(other), staged))
+    val healed = KeywordSearch.bm25ModelFromIndex(spark, dir, Seq(("q", "spark")))
+    // 40-doc store ⇒ its stats, not the parked 101-doc store's
+    val mOther = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    assert(mOther.contains("\"n\": 40"), mOther)
+    assert(healed.avgdl > 0)
+    assert(!fs.exists(staged) && !fs.exists(old))
+    assert(KeywordSearch.bm25SearchIndexed(spark, dir, battery, "qid", "qtext",
+      k = 3).count() == 3L)
+
+    // --- tombstone ledger: deletes accumulate tombRows in meta; compact
+    // resets it with the plane
+    def meta() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    KeywordSearch.bm25IndexDelete(spark, dir, Seq(1L, 3L, 5L).toDF("doc_id"), "doc_id")
+    assert(meta().contains("\"tombRows\": 3"), meta())
+    KeywordSearch.bm25IndexDelete(spark, dir, Seq(7L, 9L).toDF("doc_id"), "doc_id")
+    assert(meta().contains("\"tombRows\": 5"), meta())
+    val dirC = java.nio.file.Files.createTempDirectory("graft_bm25_r16c").toString
+    KeywordSearch.bm25IndexCompact(spark, dir, dirC, overwrite = true)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dirC, "meta.json")), "UTF-8")
+      .contains("\"tombRows\": 0"))
+
+    // --- the broadcast cap: a store whose ledger sits at the cap refuses
+    // further deletes and points at compaction (the failure would
+    // otherwise land on every READER's tombstone broadcast)
+    val nearCap = meta().replace("\"tombRows\": 5",
+      s""""tombRows": ${graft.sources.StoreMeta.TombstoneRowCap - 1}""")
+    assert(nearCap != meta())
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"), nearCap)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexDelete(spark, dir, Seq(11L, 13L).toDF("doc_id"), "doc_id")
+    }.getMessage.contains("broadcast cap"))
+  }
+
   test("phrase scorer: frozen model scores bit-identically to the indexed search (r15)") {
     // the streaming-shaped phrase plane: tf from the doc's OWN tokens
     // (PhraseCount kernel) + df/N/avgdl frozen from the positional store
