@@ -3493,6 +3493,109 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_hybrid_indexed" -> ((s, dir) => {
+      // r16: HYBRID retrieval over the PERSISTED stores — the shape a
+      // production retrieval stack actually runs (query the posting store
+      // and the vector store, fuse by RRF), where search_hybrid_rrf fused
+      // the in-flight forms. One truth, reused verbatim: the bm25 side is
+      // hash-identical to the literal form over the same corpus (the
+      // indexed-gate family's pin), and the ANN side runs the store at
+      // its EXACT calibration point — probing every cell with a refine
+      // window spanning the corpus makes the exact-cosine re-rank see all
+      // live vectors, so the store's ranking IS brute force bit-for-bit
+      // (same vec_cosine, same (cosine desc, id asc) tie rule). The fused
+      // output therefore shares search_hybrid_rrf's DuckDB re-derivation
+      // unchanged — a SIXTH execution form over that truth. The
+      // production-parameter (pruned-probe) fusion is gated separately
+      // (search_hybrid_indexed_pruned) with plan pins.
+      import s.implicits._
+      val bmRoot = s"/tmp/graft_hyb_bm25_${tmpToken(dir)}"
+      val annRoot = s"/tmp/graft_hyb_ann_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", bmRoot, overwrite = true)
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", annRoot,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      val battery = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      val bm25 = graft.operators.KeywordSearch.bm25SearchIndexed(
+          s, bmRoot, battery, "qid", "qtext", k = 10)
+        .select("query_id", "doc_id", "rank")
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(when(col("vec_id") === 0, "q_join")
+          .when(col("vec_id") === 1, "q_scan")
+          .otherwise("q_stream").as("qid"), col("embedding"))
+      val nVecs = emb.count()
+      val cos = graft.operators.AnnIndex.annSearchIndexed(s, annRoot,
+          qv, "qid", "embedding", k = 10, nProbe = 16,
+          refine = (nVecs / 10L + 1L).toInt)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Fusion.rrfFuse(Seq(bm25, cos), k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"), col("doc_id"),
+          col("rrf_score"), col("rank_0").as("bm25_rank"), col("rank_1").as("cosine_rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "search_hybrid_indexed_pruned" -> ((s, dir) => {
+      // r16: the PRODUCTION-PARAMETER fused shape — bm25SearchIndexed +
+      // annSearchIndexedBatch (battery-as-data, nProbe = 8 of 16 cells,
+      // refine = 4) through rrfFuse. Approximate probes admit no SQL
+      // truth, so the pin is in-plan equality against the fusion of the
+      // independently-gated equivalent forms: the literal bm25TopK
+      // (hash-identical to the store search by the indexed-gate family)
+      // and the driver-form annSearchIndexed over the SAME store
+      // (bit-identical to the batch form by ann_index_search_batch).
+      // Equality here isolates exactly the new surface: the fusion
+      // WIRING over the two stores. Store pruning under the fused plan
+      // (cell PartitionFilters, pushed term IN) is pinned in
+      // PlanAuditSpec.
+      import s.implicits._
+      val bmRoot = s"/tmp/graft_hybp_bm25_${tmpToken(dir)}"
+      val annRoot = s"/tmp/graft_hybp_ann_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", bmRoot, overwrite = true)
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", annRoot,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      val probes = Seq(("q_join", "spark hash join"),
+        ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg"))
+      val battery = probes.toDF("qid", "qtext")
+      val qv = emb.filter(col("vec_id") < 3)
+        .select(when(col("vec_id") === 0, "q_join")
+          .when(col("vec_id") === 1, "q_scan")
+          .otherwise("q_stream").as("qid"), col("embedding"))
+      def fused(bm: org.apache.spark.sql.DataFrame,
+                ann: org.apache.spark.sql.DataFrame) =
+        graft.operators.Fusion.rrfFuse(Seq(
+          bm.select("query_id", "doc_id", "rank"),
+          ann.select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))),
+          k = 10)
+      val overStores = fused(
+        graft.operators.KeywordSearch.bm25SearchIndexed(
+          s, bmRoot, battery, "qid", "qtext", k = 10),
+        graft.operators.AnnIndex.annSearchIndexedBatch(s, annRoot,
+          qv, "qid", "embedding", k = 10, nProbe = 8, refine = 4))
+      val overForms = fused(
+        graft.operators.KeywordSearch.bm25TopK(docs, "text", "doc_id",
+          probes, k = 10),
+        graft.operators.AnnIndex.annSearchIndexed(s, annRoot,
+          qv, "qid", "embedding", k = 10, nProbe = 8, refine = 4))
+      // topKMismatches compares (query_id, rank, neighbor_id, cosine) —
+      // the fused surface maps onto it as (doc_id, rrf_score): a rank,
+      // document, or float-bit divergence all trip the same counter
+      def shaped(f: org.apache.spark.sql.DataFrame) = f.select(
+        col("query_id"), col("rank"), col("doc_id").as("neighbor_id"),
+        col("rrf_score").as("cosine"))
+      val mism = topKMismatches(shaped(overStores), shaped(overForms))
+      s.range(1).select(
+        lit("hybrid_stores").as("method"), lit(probes.size.toLong).as("n_queries"),
+        lit(mism == 0L).as("fused_equals_forms"))
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // r11: property-verdict row (closes the last no_oracle pair). The
       // params match ann_recall_check's LSH arm (4 bits × 16 tables) —
@@ -4219,6 +4322,12 @@ object SparkEntry {
     // corpus — the tombstone plane must be invisible in scores, df, and
     // the meta's n/avgdl
     ("search_bm25_deleted" -> oracleSqlBase("search_bm25_topk")) +
+    // SAME oracle as the in-flight hybrid fusion (r16): over the persisted
+    // stores, the bm25 side is hash-identical to the literal form and the
+    // ANN side runs at its exact calibration point (all cells probed,
+    // refine spanning the corpus ⇒ the exact re-rank IS brute force), so
+    // the fused ranking shares the one DuckDB truth verbatim
+    ("search_hybrid_indexed" -> oracleSqlBase("search_hybrid_rrf")) +
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +
@@ -6119,6 +6228,14 @@ object SparkEntry {
         |       TRUE AS compact_equals_source,
         |       TRUE AS single_batch
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    // r16 production-parameter hybrid fusion over the stores: the
+    // equality against the fusion of the independently-gated forms is
+    // verified in-plan; the oracle pins it TRUE and re-derives the query
+    // count from the battery size
+    "search_hybrid_indexed_pruned" ->
+      """SELECT 'hybrid_stores' AS method, CAST(3 AS BIGINT) AS n_queries,
+        |       TRUE AS fused_equals_forms""".stripMargin,
+
     "ann_index_delete" ->
       """SELECT 'ivfpq_delete' AS method,
         |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,

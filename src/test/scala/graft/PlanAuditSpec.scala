@@ -618,4 +618,58 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(drv.contains("Union"), drv.take(2500))
   }
+
+  test("hybrid fusion over the stores keeps both stores' pruning; joins only top-k volume (r16)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val bmIdx = java.nio.file.Files.createTempDirectory("graft_hyb_bmaudit").toString
+    val annIdx = java.nio.file.Files.createTempDirectory("graft_hyb_annaudit").toString
+    graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", bmIdx,
+      overwrite = true)
+    graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", annIdx,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, overwrite = true)
+    val bm = graft.operators.KeywordSearch.bm25SearchIndexed(spark, bmIdx,
+        Seq(("q0", "spark hash join"), ("q1", "fast table scan")).toDF("qid", "qtext"),
+        "qid", "qtext", k = 5)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("rank"))
+    def fusedPlan(ann: org.apache.spark.sql.DataFrame): String =
+      graft.operators.Fusion.rrfFuse(Seq(bm,
+          ann.select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))),
+          k = 5)
+        .queryExecution.executedPlan.toString
+    // the production fused shape: battery-as-data ann side (the gate's)
+    val p = fusedPlan(graft.operators.AnnIndex.annSearchIndexedBatch(spark, annIdx,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 5, nProbe = 4, refine = 4))
+    // zero corpus scans anywhere under the fused plan — both sides answer
+    // from their stores
+    assert(!p.contains("documents.parquet"), p.take(3000))
+    // the bm25 store keeps its pushed `term IN (…)` vocabulary pruning...
+    assert(p.contains("PushedFilters: [In(term"), p.take(3000))
+    // ...and the batch ann side keeps ITS pruning shape under fusion: the
+    // ADC candidate scan stays column-pruned to (id, codes, vnorm) — the
+    // batch form prunes cells by equality JOIN, not PartitionFilters
+    // (pinned in the batch-plan test above), so column pruning is the
+    // store-read property fusion could break
+    assert(p.contains("ReadSchema: struct<id:bigint,codes:array<int>,vnorm:double>"),
+      p.take(3000))
+    // fusion joins only top-k survivor volume: every rrfFuse input is a
+    // two-stage top-k output, so each side of the full-outer join sits
+    // above a global rank window bounded at k — the plan keeps both
+    // sources' local-prune filters (__lr <= k) below the join
+    assert(p.contains("FullOuter"), p.take(3000))
+    val localPrunes = """__lr#\d+ <= 5""".r.findAllIn(p).size
+    assert(localPrunes >= 3, // bm25 retrieval top-k + ann shortlist + ann re-rank
+      s"expected the sources' two-stage __lr <= k prunes, got $localPrunes\n" + p.take(3000))
+    // the driver-form ann side keeps probed-cell PartitionFilters under
+    // the same fusion (its pruning shape)
+    val pd = fusedPlan(graft.operators.AnnIndex.annSearchIndexed(spark, annIdx,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 5, nProbe = 4, refine = 4))
+    assert("""PartitionFilters: \[cell#\d+ IN \(""".r.findFirstIn(pd).isDefined,
+      pd.take(3000))
+    assert(pd.contains("PushedFilters: [In(term"), pd.take(3000))
+  }
 }
