@@ -3825,6 +3825,48 @@ object SparkEntry {
           .as("tombstones_dropped"))
     }),
 
+    "ann_index_search_filtered" -> ((s, dir) => {
+      // r16: FILTERED vector search — a predicate over the store rows
+      // applied PRE-RANK, so the k·refine short list draws entirely from
+      // survivors (refill by construction: disallowed vectors never
+      // occupy short-list slots). The pin: filtering the FULL store to
+      // the even ids searches bit-identically to an unfiltered search of
+      // a store holding ONLY the even vectors under the same frozen
+      // model (train = full corpus on both sides) — and the batch form
+      // agrees with the driver form under the same predicate. Disallowed
+      // ids must never appear. Cell pruning surviving the predicate is
+      // plan-pinned in PlanAuditSpec.
+      val emb  = T(s, dir, "embeddings")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val rootF = s"/tmp/graft_ann_filt_${tmpToken(dir)}"
+      val rootR = s"/tmp/graft_ann_filtr_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", rootF,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      graft.operators.AnnIndex.annIndexBuild(even, "vec_id", "embedding", rootR,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2,
+        train = Some(emb), overwrite = true)
+      val q = emb.filter(col("vec_id") < 3)
+      val pred = Some(col("id") % 2 === 0)
+      val filtered = graft.operators.AnnIndex.annSearchIndexed(s, rootF,
+          q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4,
+          predicate = pred)
+        .localCheckpoint(true) // three consumers below
+      val restricted = graft.operators.AnnIndex.annSearchIndexed(s, rootR,
+        q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4)
+      val batch = graft.operators.AnnIndex.annSearchIndexedBatch(s, rootF,
+        q, "vec_id", "embedding", k = 10, nProbe = 8, refine = 4,
+        predicate = pred)
+      val mism = topKMismatches(filtered, restricted)
+      val mismB = topKMismatches(batch, filtered)
+      val disallowed = filtered.filter(col("neighbor_id") % 2 === 1).count()
+      val nQueries = q.select("vec_id").distinct().count()
+      s.range(1).select(
+        lit("ivfpq_filtered").as("method"), lit(nQueries).as("n_queries"),
+        lit(mism == 0L).as("filtered_equals_restricted_store"),
+        lit(mismB == 0L).as("batch_equals_driver"),
+        lit(disallowed == 0L).as("only_allowed_ids"))
+    }),
+
     "pipeline_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster + greedy keep-first prune, Dedup.semanticDedup):
       // centroid means are float sums whose exact values depend on partial
@@ -6228,6 +6270,17 @@ object SparkEntry {
         |       TRUE AS compact_equals_source,
         |       TRUE AS single_batch
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    // r16 filtered vector search: equality to the restricted-store search
+    // and the batch-form agreement are verified in-plan; the oracle pins
+    // them TRUE and re-derives the query count
+    "ann_index_search_filtered" ->
+      """SELECT 'ivfpq_filtered' AS method,
+        |       CAST(count(DISTINCT vec_id) AS BIGINT) AS n_queries,
+        |       TRUE AS filtered_equals_restricted_store,
+        |       TRUE AS batch_equals_driver,
+        |       TRUE AS only_allowed_ids
+        |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
     // r16 production-parameter hybrid fusion over the stores: the
     // equality against the fusion of the independently-gated forms is
     // verified in-plan; the oracle pins it TRUE and re-derives the query

@@ -238,13 +238,28 @@ object AnnIndex {
     * cosines. Output columns and the deterministic (cosine desc,
     * neighbor_id asc) tie rule match [[Similarity.pqTopK]] exactly.
     * `queries` must be a driver-sized battery (vectors are collected to
-    * build the per-query ADC tables, exactly as in pqTopK). */
+    * build the per-query ADC tables, exactly as in pqTopK).
+    *
+    * `predicate` (r16) is FILTERED vector search — the compose-a-metadata-
+    * filter shape production search almost always runs: a Column over the
+    * store row (id, cell, codes, vnorm, vec — in practice the id, with
+    * metadata reduced to an id predicate or semi-joined upstream) applied
+    * PRE-RANK, so the `k·refine` short list draws entirely from
+    * survivors (automatic refill — disallowed vectors never occupy
+    * short-list slots) and results are exactly the unfiltered search of
+    * an index holding only the allowed vectors under the same frozen
+    * model (the gate's pin). Composes WITH the probed-cell pruning: the
+    * predicate sits above the scan next to the tombstone anti-join, so
+    * PartitionFilters and column pruning are untouched (plan-pinned) —
+    * an id predicate even pushes into the scan itself. */
   def annSearchIndexed(spark: SparkSession, dir: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
-                       k: Int = 10, nProbe: Int = 8, refine: Int = 4): DataFrame = {
+                       k: Int = 10, nProbe: Int = 8, refine: Int = 4,
+                       predicate: Option[Column] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1 && refine >= 1,
       s"annSearchIndexed: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
-    val (dim, cents, books, store) = openStore(spark, dir, "annSearchIndexed")
+    val (dim, cents, books, unfiltered) = openStore(spark, dir, "annSearchIndexed")
+    val store = predicate.map(unfiltered.filter).getOrElse(unfiltered)
     val qProj = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
       .filter(col("__qv").isNotNull)
     val qRows = qProj.collect()
@@ -388,10 +403,15 @@ object AnnIndex {
     * index). A wrong-dim query refuses in-plan before it can probe. */
   def annSearchIndexedBatch(spark: SparkSession, dir: String,
                             queries: DataFrame, qidCol: String, qvecCol: String,
-                            k: Int = 10, nProbe: Int = 8, refine: Int = 4): DataFrame = {
+                            k: Int = 10, nProbe: Int = 8, refine: Int = 4,
+                            predicate: Option[Column] = None): DataFrame = {
     require(k >= 1 && nProbe >= 1 && refine >= 1,
       s"annSearchIndexedBatch: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
-    val (dim, cents, books, store) = openStore(spark, dir, "annSearchIndexedBatch")
+    val (dim, cents, books, unfiltered) = openStore(spark, dir, "annSearchIndexedBatch")
+    // filtered search (r16): the predicate applies PRE-RANK, exactly as
+    // in the driver form — short list drawn from survivors, candidate
+    // pruning untouched (the cell-equality join composes above it)
+    val store = predicate.map(unfiltered.filter).getOrElse(unfiltered)
     val q0 = queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__qv"))
       .filter(col("__qv").isNotNull)
       // the dim guard stays IN-PLAN (queries are data): a wrong-dim query

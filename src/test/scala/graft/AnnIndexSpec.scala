@@ -334,6 +334,35 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("has dim 16"))
   }
 
+  test("filtered search: pre-rank predicate, refill from survivors, both forms agree (r16)") {
+    val dirF = freshDir("filt")
+    val dirR = freshDir("filtr")
+    // full store vs even-only store under the SAME training input: the
+    // frozen models coincide, so a filtered search of the full store must
+    // be bit-identical to an unfiltered search of the restricted store —
+    // which also proves refill (short-list slots never go to odd ids)
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dirF,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dirR, nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1, train = Some(emb))
+    val q = emb.filter(col("vec_id") < 3)
+    val pred = Some(col("id") % 2 === 0)
+    val filtered = collectTopK(AnnIndex.annSearchIndexed(spark, dirF,
+      q, "vec_id", "embedding", k = 10, nProbe = 4, refine = 4, predicate = pred))
+    val restricted = collectTopK(AnnIndex.annSearchIndexed(spark, dirR,
+      q, "vec_id", "embedding", k = 10, nProbe = 4, refine = 4))
+    assert(filtered.size == 30 && filtered == restricted)
+    assert(filtered.forall(_._3.asInstanceOf[Long] % 2 == 0))
+    // the self-hit proves the filter CHANGED the ranking (query 0 is even:
+    // it self-hits; queries 1 — odd — cannot return themselves)
+    assert(filtered.exists(t => t._1 == 0L && t._2 == 1 && t._3 == 0L))
+    assert(!filtered.exists(t => t._1 == 1L && t._3 == 1L))
+    // battery-as-data form agrees under the same predicate
+    val batch = collectTopK(AnnIndex.annSearchIndexedBatch(spark, dirF,
+      q, "vec_id", "embedding", k = 10, nProbe = 4, refine = 4, predicate = pred))
+    assert(batch == filtered)
+  }
+
   test("writer lease, crashed-swap auto-recovery, tombstone ledger + cap (r16)") {
     import spark.implicits._
     val dir = freshDir("r16")

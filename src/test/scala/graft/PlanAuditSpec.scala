@@ -551,6 +551,17 @@ class PlanAuditSpec extends AnyFunSuite {
       p.take(2500))
     assert(p.contains("ReadSchema: struct<id:bigint,vec:array<float>>"),
       p.take(2500))
+    // FILTERED search (r16): the predicate composes with — never replaces
+    // — the probed-cell PartitionFilters, and a plain id predicate pushes
+    // into the scan itself
+    val pf = graft.operators.AnnIndex.annSearchIndexed(spark, idx,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2),
+        "vec_id", "embedding", k = 5, nProbe = 4, refine = 4,
+        predicate = Some(org.apache.spark.sql.functions.col("id") <= 1000))
+      .queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[cell#\d+ IN \(""".r.findFirstIn(pf).isDefined,
+      pf.take(2500))
+    assert(pf.contains("LessThanOrEqual(id,1000)"), pf.take(2500))
   }
 
   test("tombstone anti-joins are broadcast; partition pruning and column pruning survive them (r15)") {
