@@ -3465,6 +3465,32 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    "search_bm25_near" -> ((s, dir) => {
+      // r16: PROXIMITY (NEAR-k) retrieval over the positional store —
+      // the sloppy-phrase query, answered from the same positions plane
+      // by widening each ordinal's vote to a slop-sized start band
+      // (ordinal i matches anywhere in [start+i, start+i+slop]); tf
+      // counts distinct matching starts and scores as one Okapi
+      // pseudo-term. The battery exercises the semantics' edges: a
+      // bigram that gains gapped matches vs its exact form, and a
+      // REPEATED-term trigram pinning the documented band-overlap rule.
+      // The oracle re-derives every tf by direct windowed string
+      // indexing over the raw corpus text in DuckDB — zero shared code
+      // with the positional vote.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_near_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      graft.operators.KeywordSearch.bm25PhraseTopK(s, root,
+          Seq(("n_hash_join", "hash join"),
+              ("n_table_scan", "table scan"),
+              ("n_batch2", "the batch batch")), k = 10, slop = 1)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "rank")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // r12: HYBRID retrieval — the lexical BM25 ranking and the semantic
       // brute-force cosine ranking fused by reciprocal rank (Cormack
@@ -6161,6 +6187,57 @@ object SparkEntry {
         |  FROM normed WHERE tf_ts > 0
         |  UNION ALL
         |  SELECT 'p_batch2', doc_id, dl, tf_bb,
+        |    idf_bb * CAST(tf_bb AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_bb AS DOUBLE) + nrm)
+        |  FROM normed WHERE tf_bb > 0)
+        |SELECT query_id, rank, doc_id, dl, tf
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // NEAR-k (sloppy-phrase) oracle (r16): every tf re-derived by DIRECT
+    // WINDOWED string indexing — phrase ordinal i matches anywhere in
+    // [s+i, s+i+slop] (slop = 1 here), expressed as an AND of per-ordinal
+    // ORs over the tokenized text; the engine answers from its positions
+    // plane via banded votes, so a band bug (wrong width, off-by-one,
+    // missing dedupe) cannot satisfy both. Out-of-range list indexes read
+    // NULL in DuckDB, and NULL conjunctions drop out of list_filter —
+    // exactly the no-term-there case. The repeated-term trigram pins the
+    // documented band-overlap rule (one 'batch' can serve both ordinals).
+    // Same Okapi pseudo-term scoring and tie rule as the phrase oracle.
+    "search_bm25_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(range(1, len(t) + 1), s -> (t[s] = 'hash' OR t[s+1] = 'hash') AND (t[s+1] = 'join' OR t[s+2] = 'join'))) AS BIGINT) AS tf_hj,
+        |    CAST(len(list_filter(range(1, len(t) + 1), s -> (t[s] = 'table' OR t[s+1] = 'table') AND (t[s+1] = 'scan' OR t[s+2] = 'scan'))) AS BIGINT) AS tf_ts,
+        |    CAST(len(list_filter(range(1, len(t) + 1), s -> (t[s] = 'the' OR t[s+1] = 'the') AND (t[s+1] = 'batch' OR t[s+2] = 'batch') AND (t[s+2] = 'batch' OR t[s+3] = 'batch'))) AS BIGINT) AS tf_bb
+        |  FROM toks),
+        |st AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_hj > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_hj > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_hj,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_ts > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_ts > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_ts,
+        |    ln(1 + (CAST(count(*) AS DOUBLE) - SUM(CASE WHEN tf_bb > 0 THEN 1 ELSE 0 END) + 0.5) / (SUM(CASE WHEN tf_bb > 0 THEN 1 ELSE 0 END) + 0.5)) AS idf_bb
+        |  FROM occ),
+        |normed AS (
+        |  SELECT occ.*, st.*,
+        |    1.2 * (1 - 0.75) + (1.2 * 0.75 / st.avgdl) * CAST(occ.dl AS DOUBLE) AS nrm
+        |  FROM occ, st),
+        |scored AS (
+        |  SELECT 'n_hash_join' AS query_id, doc_id, dl, tf_hj AS tf,
+        |    idf_hj * CAST(tf_hj AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_hj AS DOUBLE) + nrm) AS score
+        |  FROM normed WHERE tf_hj > 0
+        |  UNION ALL
+        |  SELECT 'n_table_scan', doc_id, dl, tf_ts,
+        |    idf_ts * CAST(tf_ts AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_ts AS DOUBLE) + nrm)
+        |  FROM normed WHERE tf_ts > 0
+        |  UNION ALL
+        |  SELECT 'n_batch2', doc_id, dl, tf_bb,
         |    idf_bb * CAST(tf_bb AS DOUBLE) * (1.2 + 1.0) / (CAST(tf_bb AS DOUBLE) + nrm)
         |  FROM normed WHERE tf_bb > 0)
         |SELECT query_id, rank, doc_id, dl, tf

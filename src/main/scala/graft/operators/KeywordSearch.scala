@@ -701,16 +701,42 @@ object KeywordSearch {
     * `term IN (…)` over the term-sorted layout exactly like the tf
     * plane; tombstoned docs are anti-joined out of both planes.
     * `phrases` is a driver-sized battery (id → phrase text, tokenized
-    * with the corpus tokenizer's contract). */
+    * with the corpus tokenizer's contract). PLAN SIZE grows linearly in
+    * battery size (one positions-scan branch per phrase — unlike the
+    * battery-as-data tf forms), which is the right trade for the
+    * documented driver-sized batteries (tens of phrases: each branch
+    * prunes to ITS terms' posting slices, where a shared scan would read
+    * the union); past a few hundred phrases, prefer batching calls —
+    * the per-branch plan cost, not the kernel, is what degrades.
+    *
+    * `slop` (r16) relaxes adjacency to BANDED PROXIMITY — the NEAR-k
+    * query, the other standard positional form: phrase ordinal `i` may
+    * sit anywhere in `[start + i, start + i + slop]` instead of exactly
+    * at `start + i`, and tf counts the distinct matching starts. slop = 0
+    * is exact adjacency (bit-identical to the phrase path — same votes,
+    * same scoring). Like Lucene's sloppy phrase, small slops permit
+    * insertions between terms; transposed neighbors begin to match at
+    * slop ≥ 2 (each displaced within its band). The vote generalizes,
+    * never a new plane: term `t` at position `p` with ordinal `i` votes
+    * starts `p − i − slop … p − i`, and a start with ALL ordinals voting
+    * (counted DISTINCT — at slop > 0 two occurrences of one term can
+    * vote the same (start, ordinal)) is a match. Known repeat quirk,
+    * shared with classic sloppy-phrase scorers: at slop > 0 a SINGLE
+    * occurrence of a repeated term can satisfy several of its ordinals
+    * when their bands overlap (one "batch" matches "batch batch"~1) —
+    * the ordinals vote independently, not injectively over positions;
+    * the gate's oracle re-derives exactly this rule. */
   def bm25PhraseTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                      phrases: Seq[(String, String)], k: Int = 10,
                      k1: Double = 1.2, b: Double = 0.75,
-                     scope: CacheScope = CacheScope.untracked): DataFrame = {
+                     scope: CacheScope = CacheScope.untracked,
+                     slop: Int = 0): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val meta = readIndexMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(slop >= 0, s"bm25PhraseTopK: slop must be >= 0, got $slop")
     require(meta.positions,
       s"bm25PhraseTopK: index at '$dir' was built without the positions " +
         "plane — rebuild or compact from a build with positions = true")
@@ -723,7 +749,7 @@ object KeywordSearch {
     // aggregation and the scoring join — without the cache the whole
     // positions scan + double explode + adjacency count re-runs for the
     // second consumer (the batteryTerms/filtered-postings precedent)
-    val occurrences = scope.persisted(phraseOccurrences(plane, perPhrase),
+    val occurrences = scope.persisted(phraseOccurrences(plane, perPhrase, slop),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-phrase df as an aggregate + broadcast-back (ONE row per phrase
     // — a window over query_id would funnel a common phrase's full match
@@ -748,11 +774,16 @@ object KeywordSearch {
   }
 
   /** Matched (query_id, doc_id, tf) rows for a phrase battery over the
-    * positions plane — the relational adjacency vote shared by
+    * positions plane — the relational adjacency/proximity vote shared by
     * [[bm25PhraseTopK]] and [[bm25PhraseModelFromIndex]] (one copy of
-    * the start = p − ord / all-ordinals-present rule). */
+    * the start-band / all-ordinals-present rule). At `slop = 0` each
+    * (doc, start, ord) vote is unique (a term's positions are distinct),
+    * so the count IS the distinct-ordinal count; at `slop > 0` a term's
+    * two occurrences can vote the same (start, ord) band — votes dedupe
+    * before the all-ordinals test, keeping the rule one-per-ordinal. */
   private def phraseOccurrences(plane: DataFrame,
-                                perPhrase: Seq[(String, Seq[String])]): DataFrame =
+                                perPhrase: Seq[(String, Seq[String])],
+                                slop: Int = 0): DataFrame =
     perPhrase.map { case (qid, ts) =>
       val terms = ts.distinct
       // ordinal list per term — a REPEATED phrase term shifts by each of
@@ -762,12 +793,17 @@ object KeywordSearch {
       val ordArr = terms.map(t =>
           when(col("term") === t, array(ordsOf(t).map(lit): _*)))
         .reduce((a, b) => coalesce(a, b))
-      val starts = plane.filter(col("term").isin(terms: _*))
+      val votes = plane.filter(col("term").isin(terms: _*))
         .select(col("doc_id"), col("term"), explode(col("positions")).as("p"))
         .select(col("doc_id"), col("p"), explode(ordArr).as("ord"))
-        .select(col("doc_id"), (col("p") - col("ord")).as("start"))
+      val starts =
+        if (slop == 0) votes.select(col("doc_id"), (col("p") - col("ord")).as("start"),
+          col("ord"))
+        else votes.select(col("doc_id"),
+          explode(sequence(col("p") - col("ord") - lit(slop),
+            col("p") - col("ord"))).as("start"), col("ord"))
       starts.filter(col("start") >= 0)
-        .groupBy("doc_id", "start").agg(count(lit(1)).as("__nOrd"))
+        .groupBy("doc_id", "start").agg(count_distinct(col("ord")).as("__nOrd"))
         .filter(col("__nOrd") === ts.length)
         .groupBy("doc_id").agg(count(lit(1)).as("tf"))
         .select(lit(qid).as("query_id"), col("doc_id"), col("tf"))

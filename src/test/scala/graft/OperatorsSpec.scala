@@ -2084,6 +2084,53 @@ class Bm25IndexSpec extends AnyFunSuite {
     }.getMessage.contains("without the positions plane"))
   }
 
+  test("NEAR-k proximity: banded votes — hand corpus truth table; slop 0 equals exact phrase (r16)") {
+    val docs = Seq(
+      (1L, "hash join"),            // exact: matches at every slop
+      (2L, "hash x join"),          // one insertion: slop >= 1
+      (3L, "hash x y join"),        // two insertions: slop >= 2
+      (4L, "z join hash"),          // transposed past the doc start:
+                                    // slop >= 2 (each band covers the
+                                    // other's slot; at the very start the
+                                    // leading ordinal has no band room)
+      (5L, "hash x y z join"),      // three insertions: slop >= 3
+      (6L, "a batch c"),            // single 'batch': band-overlap quirk
+      (7L, "the batch batch")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_near").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir,
+      overwrite = true, positions = true)
+    def hits(phrase: String, slop: Int): Map[Long, Long] =
+      KeywordSearch.bm25PhraseTopK(spark, dir, Seq(("p", phrase)), k = 10, slop = slop)
+        .collect().map(r => r.getLong(2) -> r.getLong(5)).toMap
+    assert(hits("hash join", 0).keySet == Set(1L))
+    assert(hits("hash join", 1).keySet == Set(1L, 2L))
+    assert(hits("hash join", 2).keySet == Set(1L, 2L, 3L, 4L))
+    assert(hits("hash join", 3).keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // repeated-term band overlap at slop >= 1: ONE 'batch' occurrence
+    // satisfies both 'batch' ordinals (the documented quirk); at slop = 0
+    // it cannot
+    assert(hits("batch batch", 0).keySet == Set(7L))
+    assert(hits("batch batch", 1).keySet == Set(6L, 7L))
+    // slop = 0 IS the exact phrase path, bit for bit
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25_near0").toString
+    KeywordSearch.bm25IndexBuild(corpus, "text", "doc_id", dir2,
+      overwrite = true, positions = true)
+    val phrases = Seq(("p1", "hash join"), ("p2", "table scan"))
+    def rows(slop: Int) = KeywordSearch.bm25PhraseTopK(spark, dir2, phrases,
+        k = 10, slop = slop)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(rows(0) == rows(0)) // determinism sanity
+    val exact = KeywordSearch.bm25PhraseTopK(spark, dir2, phrases, k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+    assert(rows(0) == exact)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25PhraseTopK(spark, dir2, phrases, slop = -1)
+    }.getMessage.contains("slop must be >= 0"))
+  }
+
   test("positional store: append inherits the plane; delete and compact keep phrase results exact (r15)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
