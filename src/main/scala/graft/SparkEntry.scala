@@ -1912,6 +1912,29 @@ object SparkEntry {
         .orderBy("variable", "coord_key")
     }),
 
+    "load_opendap_seq_array" -> ((s, _) => {
+      // r16: ARRAY members inside a Sequence — the last pydap-surface
+      // refusal on the opendap plane removed (the in-situ profile shape:
+      // a fixed-geometry vector per record). Every array wire form in
+      // one record walk: Float64 with the doubled count word, Byte
+      // packed + padded, String count-once, and a Float32 array inside
+      // a NESTED sequence; each element explodes under (record,
+      // element…) coords with the member's declared dim names appended
+      // to the enclosing-sequence dims. All values closed-form, so the
+      // oracle regenerates everything from range() cross joins. A
+      // selection composes: station > 100 drops record 0 and the server
+      // renumbers post-filter (arrays ride along untouched).
+      val base = graft.harness.Dap2Fixture.ensureSeqArray(s)
+      val entries = graft.sources.Dap2Index.read(s, base)
+      graft.sources.Dap2Index.decodeSequences(entries,
+          select = Map("arr" -> Seq("station>100")))
+        .select(col("variable"),
+          array_join(col("dims"), ".").as("dims"),
+          array_join(transform(col("coords"), c => c.cast("string")), ".").as("coord_key"),
+          col("value"), col("label"))
+        .orderBy("variable", "coord_key")
+    }),
+
     "load_opendap_seq_in_struct" -> ((s, _) => {
       // r15: a Sequence nested inside a STRUCTURE decodes under its
       // dotted name (pydap's `obs.cast` surface — previously a loud
@@ -5155,6 +5178,45 @@ object SparkEntry {
 
     // struct-wrapped sequence: closed forms with post-filter renumbering
     // (d > 1 drops record 0), all under the dotted obs.cast name
+    // r16 array members: the same closed forms under the station > 100
+    // selection (record 0 dropped, records renumbered r = i − 1); array
+    // element coords regenerate from range() cross joins, dims carry the
+    // member-qualified declared dim names
+    "load_opendap_seq_array" ->
+      """WITH o AS (SELECT i, i - 1 AS r FROM range(4) t(i) WHERE 100 + 7 * i > 100),
+        |sub AS (SELECT i, r, j FROM o CROSS JOIN range(3) u(j) WHERE j < i % 3),
+        |v AS (
+        |  SELECT 'arr.station' AS variable, 'arr' AS dims, CAST(r AS VARCHAR) AS coord_key,
+        |         CAST(100 + 7 * i AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS label
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'arr.tvec', 'arr.arr.tvec.z',
+        |         CAST(r AS VARCHAR) || '.' || CAST(z AS VARCHAR),
+        |         CAST(10 * i + z AS DOUBLE) + 0.5, NULL
+        |  FROM o CROSS JOIN range(3) w(z)
+        |  UNION ALL
+        |  SELECT 'arr.flags', 'arr.arr.flags.f',
+        |         CAST(r AS VARCHAR) || '.' || CAST(f AS VARCHAR),
+        |         CAST((i + f) % 7 AS DOUBLE), NULL
+        |  FROM o CROSS JOIN range(5) w(f)
+        |  UNION ALL
+        |  SELECT 'arr.tags', 'arr.arr.tags.g',
+        |         CAST(r AS VARCHAR) || '.' || CAST(g AS VARCHAR),
+        |         CAST(NULL AS DOUBLE), repeat('t', (i + g) % 3 + 1) || CAST(i AS VARCHAR)
+        |  FROM o CROSS JOIN range(2) w(g)
+        |  UNION ALL
+        |  SELECT 'arr.sub.d', 'arr.arr.sub',
+        |         CAST(r AS VARCHAR) || '.' || CAST(j AS VARCHAR),
+        |         CAST(5 * i + j AS DOUBLE), NULL FROM sub
+        |  UNION ALL
+        |  SELECT 'arr.sub.w', 'arr.arr.sub.arr.sub.w.k',
+        |         CAST(r AS VARCHAR) || '.' || CAST(j AS VARCHAR) || '.' || CAST(k AS VARCHAR),
+        |         1.5 * CAST(i AS DOUBLE) + 0.25 * CAST(j AS DOUBLE) + CAST(k AS DOUBLE),
+        |         NULL
+        |  FROM sub CROSS JOIN range(2) w(k))
+        |SELECT variable, dims, coord_key, value, label FROM v
+        |ORDER BY variable, coord_key""".stripMargin,
+
     "load_opendap_seq_in_struct" ->
       """WITH o AS (
         |  SELECT i, row_number() OVER (ORDER BY i) - 1 AS oi

@@ -620,6 +620,117 @@ object Dap2Fixture {
     } else throw new IllegalArgumentException(s"unknown DAP request $path")
   }
 
+  /** Array-member Sequence dataset (r16, `load_opendap_seq_array`): the
+    * in-situ profile shape where each record carries FIXED-GEOMETRY
+    * vectors — `Sequence { Int32 station; Float64 tvec[z = 3];
+    * Byte flags[f = 5]; String tags[g = 2]; Sequence { Int32 d;
+    * Float32 w[k = 2]; } sub; } arr;` — exercising every array wire form
+    * inside records (numeric doubled count, Byte packed + padded 5 → 8,
+    * String count-once) plus an array inside a NESTED sequence, with
+    * record 0's and 3's inner streams EMPTY. Closed forms: station =
+    * 100 + 7i, tvec = 10i + z + 0.5, flags = (i + f) % 7, tags =
+    * 't'×((i+g)%3+1) ++ i, inner count = i % 3, d = 5i + j, w =
+    * 1.5i + 0.25j + k (exact in Float32), so the DuckDB oracle
+    * regenerates everything from range() cross joins. Encoded here
+    * independently of the client walk (Dap2Spec pins golden bytes). */
+  def ensureSeqArray(spark: SparkSession): String = synchronized {
+    servers.getOrElseUpdate("#seqarray", startSeqArray())
+  }
+
+  private[graft] val arrN = 4
+  private[graft] def arrStation(i: Int): Int = 100 + 7 * i
+  private[graft] def arrTvec(i: Int, z: Int): Double = 10 * i + z + 0.5
+  private[graft] def arrFlags(i: Int, f: Int): Int = (i + f) % 7
+  private[graft] def arrTags(i: Int, g: Int): String = "t" * ((i + g) % 3 + 1) + i
+  private[graft] def arrSubN(i: Int): Int = i % 3
+  private[graft] def arrD(i: Int, j: Int): Int = 5 * i + j
+  private[graft] def arrW(i: Int, j: Int, k: Int): Float =
+    (1.5 * i + 0.25 * j + k).toFloat
+
+  private[graft] val arrMembers: Seq[(String, String)] = Seq(
+    "station" -> "Int32", "tvec" -> "Float64", "flags" -> "Byte",
+    "tags" -> "String", "sub" -> "Sequence")
+
+  private[graft] def arrProjDds(members: Seq[(String, String)]): String = {
+    val subBlock = "        Sequence {\n            Int32 d;\n" +
+      "            Float32 w[k = 2];\n        } sub;"
+    val decls = members.map {
+      case ("sub", _)     => subBlock
+      case ("station", t) => s"        $t station;"
+      case ("tvec", t)    => s"        $t tvec[z = 3];"
+      case ("flags", t)   => s"        $t flags[f = 5];"
+      case ("tags", t)    => s"        $t tags[g = 2];"
+      case (other, _) => throw new IllegalArgumentException(s"no such member '$other'")
+    }.mkString("\n")
+    s"Dataset {\n    Sequence {\n$decls\n    } arr;\n} arrcasts;"
+  }
+
+  private[graft] def arrDasText: String =
+    """Attributes {
+      |    NC_GLOBAL {
+      |        String title "graft DAP2 array-member sequence fixture";
+      |    }
+      |}""".stripMargin
+
+  private[graft] def arrDodsBytes(members: Seq[(String, String)] = arrMembers,
+                                  recs: Seq[Int] = 0 until arrN): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write((arrProjDds(members) + "\nData:\n").getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def f64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+    }
+    def f32(f: Float): Unit =
+      u32(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL)
+    def str(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      u32(b.length.toLong); out.write(b)
+      var pad = (4 - b.length % 4) % 4
+      while (pad > 0) { out.write(0); pad -= 1 }
+    }
+    recs.foreach { i =>
+      u32(0x5A000000L)
+      members.foreach {
+        case ("station", _) => u32(arrStation(i).toLong & 0xffffffffL)
+        case ("tvec", _) => // numeric array: DOUBLED count, then elements
+          u32(3L); u32(3L); (0 until 3).foreach(z => f64(arrTvec(i, z)))
+        case ("flags", _) => // Byte array: doubled count, packed + padded
+          u32(5L); u32(5L); (0 until 5).foreach(f => out.write(arrFlags(i, f)))
+          out.write(0); out.write(0); out.write(0)
+        case ("tags", _) => // String array: count ONCE, counted strings
+          u32(2L); (0 until 2).foreach(g => str(arrTags(i, g)))
+        case ("sub", _) =>
+          (0 until arrSubN(i)).foreach { j =>
+            u32(0x5A000000L); u32(arrD(i, j).toLong & 0xffffffffL)
+            u32(2L); u32(2L); (0 until 2).foreach(k => f32(arrW(i, j, k)))
+          }
+          u32(0xA5000000L)
+        case (other, _) => throw new IllegalArgumentException(s"no such member '$other'")
+      }
+    }
+    u32(0xA5000000L)
+    out.toByteArray
+  }
+
+  private def startSeqArray(): String = serve("arrcasts") { (path, query) =>
+    logSeqRequest(path, query)
+    if (path.endsWith(".dds")) (arrProjDds(arrMembers) + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".das")) (arrDasText + "\n").getBytes("US-ASCII")
+    else if (path.endsWith(".dods")) {
+      val q = if (query == null) "" else query.trim
+      val (members, keep) = evalSeqCe(q, "arr", arrMembers, {
+        case ("station", i) => Left(arrStation(i).toDouble)
+        case (other, _) => throw new IllegalArgumentException(
+          s"selection on unknown (or non-scalar) member '$other'")
+      }, arrN)
+      arrDodsBytes(members, keep)
+    } else throw new IllegalArgumentException(s"unknown DAP request $path")
+  }
+
   private def structVars: Seq[Var] = Seq(
     Var("obs.depth", "Int32", Seq("d" -> 4L),
       (0 until 4).map(i => (7 * i - 3).toDouble).toArray, container = "obs"),

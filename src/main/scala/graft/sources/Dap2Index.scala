@@ -46,9 +46,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (r12); Sequences decode to tidy rows (r13, [[decodeSequences]]),
   * including nested Sequence members at ANY depth (r14 one level, r15
   * full recursion — each level explodes under one more coords slot, the
-  * pydap nesting surface) and Sequences inside Structures (r15 —
-  * decoded under their dotted names). Still refused loudly: array
-  * members inside a Sequence and arrays of Structures/Sequences.
+  * pydap nesting surface), Sequences inside Structures (r15 —
+  * decoded under their dotted names), and ARRAY members inside
+  * Sequences (r16 — the in-situ profile shape: a fixed-geometry vector
+  * per record, exploded under (record, element…) coords; numeric
+  * arrays carry the doubled count word inside records exactly as at
+  * top level, String arrays the count-once form). Still refused
+  * loudly: arrays of Structures/Sequences.
   */
 object Dap2Index {
 
@@ -64,20 +68,27 @@ object Dap2Index {
     * pairs in declaration order; a member of dapType `"Sequence"` is a
     * nested Sequence whose own tree lives in `nested` under the member
     * name — RECURSIVE since r15 (r14 allowed exactly one level), so the
-    * full pydap nesting surface parses. */
+    * full pydap nesting surface parses. An ARRAY member (r16 — the
+    * in-situ profile shape: a fixed-geometry vector per record) keeps
+    * its atomic dapType in `members` and carries its declared dims in
+    * `arrays` under the member name. */
   final case class SeqBody(members: Seq[(String, String)],
-                           nested: Map[String, SeqBody] = Map.empty)
+                           nested: Map[String, SeqBody] = Map.empty,
+                           arrays: Map[String, Seq[(String, Long)]] = Map.empty)
 
   /** `Sequence { <members> } name;` (r13): row-structured data —
     * in-situ/observational feeds — whose record count is data-dependent
     * (no fixed geometry, so no `.zarray` plane). Nested Sequence members
-    * recurse to ANY depth, and a Structure-wrapped Sequence carries its
+    * recurse to ANY depth, a Structure-wrapped Sequence carries its
     * dotted name (both r15 — each level of [[decodeSequences]]'s walk
-    * explodes under one more coords slot). Still refusing loudly: array
-    * members and arrays of Sequences. */
+    * explodes under one more coords slot), and ARRAY members decode
+    * per-record under (record, element…) coords (r16). Still refusing
+    * loudly: arrays OF Sequences — the one shape left without a row
+    * form. */
   final case class DapSeq(name: String, members: Seq[(String, String)],
-                          nested: Map[String, SeqBody] = Map.empty) {
-    def body: SeqBody = SeqBody(members, nested)
+                          nested: Map[String, SeqBody] = Map.empty,
+                          arrays: Map[String, Seq[(String, Long)]] = Map.empty) {
+    def body: SeqBody = SeqBody(members, nested, arrays)
   }
 
   final case class Dds(datasetName: String, vars: Seq[DapVar],
@@ -201,9 +212,9 @@ object Dap2Index {
         // Sequence inside a STRUCTURE decodes under its dotted name
         // (r15 — Structures add no wire framing, so the `?struct.seq`
         // projection answers the same record stream a top-level
-        // Sequence would; pydap's surface). Array members and arrays
-        // OF Sequences keep refusing loudly (the relational row target
-        // is the flat/exploded record).
+        // Sequence would; pydap's surface). Array MEMBERS decode
+        // per-record (r16); arrays OF Sequences keep refusing loudly
+        // (the one shape left without a relational row form).
         val qOpen = t.indexOf('{')
         val qClose = matchingBrace(t, qOpen)
         val seqBody = t.substring(qOpen + 1, qClose)
@@ -217,7 +228,7 @@ object Dap2Index {
         val sBody = parseSeqMembers(prefix + seqName, seqBody)
         require(sBody.members.nonEmpty,
           s"DAP2 Sequence '$prefix$seqName' has no members")
-        seqs += DapSeq(prefix + seqName, sBody.members, sBody.nested)
+        seqs += DapSeq(prefix + seqName, sBody.members, sBody.nested, sBody.arrays)
         rest = afterBrace.substring(semi + 1)
       } else {
         declRe.findPrefixMatchOf(t) match {
@@ -243,6 +254,7 @@ object Dap2Index {
     val containerRe = """^(Sequence|Structure|Grid)\b""".r
     val members = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val nested = scala.collection.mutable.LinkedHashMap.empty[String, SeqBody]
+    val arrays = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, Long)]]
     var mRest = body
     while (mRest.trim.nonEmpty) {
       val mt = mRest.trim
@@ -275,12 +287,24 @@ object Dap2Index {
             val (tpe, mName, dimsText) = (m.group(1), m.group(2), m.group(3))
             require(atomicTypes.contains(tpe) || stringTypes.contains(tpe),
               s"unknown DAP2 type '$tpe' for Sequence member '$path.$mName'")
-            // the DECLARED brackets decide scalar-ness — a `[1]` array
-            // member still serializes with XDR count words, which the
-            // record walk does not speak
-            require(dimsText == null || dimsText.trim.isEmpty,
-              s"DAP2 Sequence member '$path.$mName' is an array — only " +
-                "scalar members decode to rows")
+            // the DECLARED brackets decide scalar-vs-array (r16: array
+            // members decode per-record — their XDR count words are part
+            // of the record walk; a `[1]` array is still an ARRAY on the
+            // wire). An unnamed dim takes the member's name — the
+            // parseDecl convention.
+            if (dimsText != null && dimsText.trim.nonEmpty) {
+              val dims = dimRe.findAllMatchIn(dimsText).map { dm =>
+                val nm = Option(dm.group(1)).getOrElse(mName)
+                val sz = dm.group(2).toLong
+                require(sz >= 1,
+                  s"DAP2 Sequence array member '$path.$mName' declares " +
+                    s"dim '$nm' of size $sz")
+                (nm, sz)
+              }.toSeq
+              require(dims.nonEmpty,
+                s"DAP2 Sequence member '$path.$mName' has malformed dims: $dimsText")
+              arrays += mName -> dims
+            }
             members += ((mName, tpe))
             mRest = mt.substring(m.end)
           case None => throw new IllegalArgumentException(
@@ -288,7 +312,7 @@ object Dap2Index {
         }
       }
     }
-    SeqBody(members.toSeq, nested.toMap)
+    SeqBody(members.toSeq, nested.toMap, arrays.toMap)
   }
 
   private def matchingBrace(s: String, open: Int): Int = {
@@ -524,7 +548,15 @@ object Dap2Index {
         val base = List(JField("name", JString(n)), JField("type", JString(t)))
         if (t == "Sequence")
           JObject(base :+ JField("members", JArray(memberJson(b.nested(n)))))
-        else JObject(base)
+        else b.arrays.get(n) match {
+          // an ARRAY member (r16) carries its declared dims — the record
+          // walk needs the fixed per-record geometry to span its bytes
+          case Some(dims) => JObject(base :+ JField("dims", JArray(dims.map {
+            case (dn, sz) => JObject(List(JField("name", JString(dn)),
+              JField("size", JInt(sz))))
+          }.toList)))
+          case None => JObject(base)
+        }
       }.toList
       val schema: JValue = ("members" -> JArray(memberJson(sq.body)))
       Iterator(
@@ -816,6 +848,9 @@ object Dap2Index {
     def memberTypeOf(b: SeqBody, segs: List[String], at: String, p: String): String =
       segs match {
         case one :: Nil =>
+          require(!b.arrays.contains(one),
+            s"DAP2 sequence selection '$p': '$at.$one' is an ARRAY member — " +
+              "relational selection is defined on scalar members only")
           b.members.collectFirst { case (`one`, t) => t }.getOrElse(
             throw new IllegalArgumentException(
               s"DAP2 sequence selection '$p' names unknown member '$one' of " +
@@ -869,9 +904,11 @@ object Dap2Index {
           case None         => schema.members
         }
         // a projected nested member keeps its WHOLE subtree (`?prof.profile`
-        // is a constructor projection) — only top-level pruning here
+        // is a constructor projection) — only top-level pruning here;
+        // array members keep their dims alongside
         v -> SeqBody(kept,
-          schema.nested.view.filterKeys(k => kept.exists(_._1 == k)).toMap)
+          schema.nested.view.filterKeys(k => kept.exists(_._1 == k)).toMap,
+          schema.arrays.view.filterKeys(k => kept.exists(_._1 == k)).toMap)
       }
     val refPairs: Seq[(String, String)] = metaRows.filter(_.getString(2) == "seqref")
       .map(r => (r.getString(0), r.getString(3))).toSeq
@@ -890,15 +927,23 @@ object Dap2Index {
              eff.members.map { case (m, _) => s"$variable.$m" }.mkString(",")
            else variable) + sels
       parseSeqRecords(fetchBody(reqUrl, cap), reqUrl, variable,
-          eff.members, eff.nested).map {
+          eff.members, eff.nested, eff.arrays).map {
         case (path, coords, v, s) =>
           // a depth-d scalar ([rec, irec, …]) dims over the chain of
           // enclosing sequences: (seq, seq.a, seq.a.b, …) — each dim
           // name is the dotted path of the sequence that owns that
-          // coordinate slot
+          // coordinate slot. An ARRAY member (r16) appends its declared
+          // dim names, qualified under the member path: its coords are
+          // [enclosing records…, element indices…]
           val segs = path.split('.')
-          val dims = variable +: (1 until coords.size).map(k =>
-            s"$variable.${segs.take(k).mkString(".")}")
+          val owner = segs.init.foldLeft(eff)((b, seg) => b.nested(seg))
+          val arrayDims = owner.arrays.getOrElse(segs.last, Nil)
+          val dims = (variable +: (1 until segs.size).map(k =>
+            s"$variable.${segs.take(k).mkString(".")}")) ++
+            arrayDims.map { case (dn, _) => s"$variable.$path.$dn" }
+          require(dims.size == coords.size,
+            s"sequence '$variable' member '$path': ${coords.size} coords " +
+              s"but ${dims.size} dims — schema/stream disagreement")
           (s"$variable.$path", dims, coords, v, s)
       }
     }.toDF("variable", "dims", "coords", "value", "label")
@@ -940,7 +985,21 @@ object Dap2Index {
             s"malformed $where nested member '$nm': $other")
         }
       }.toMap
-      SeqBody(members, nested)
+      val arrays = items.zip(members).flatMap {
+        case (m, (nm, _)) => (m \ "dims") match {
+          case JArray(ds) => Some(nm -> ds.map { d =>
+            ((d \ "name"), (d \ "size")) match {
+              case (JString(dn), JInt(sz)) => (dn, sz.longValue)
+              case _ => throw new IllegalArgumentException(
+                s"malformed $where array member '$nm' dim: $d")
+            }
+          })
+          case JNothing => None
+          case other => throw new IllegalArgumentException(
+            s"malformed $where array member '$nm' dims: $other")
+        }
+      }.toMap
+      SeqBody(members, nested, arrays)
     }
     (org.json4s.jackson.JsonMethods.parse(json) \ "members") match {
       case JArray(items) => bodyOf(items, ".zseq")
@@ -960,7 +1019,8 @@ object Dap2Index {
     * stripDods doctrine). */
   private[graft] def parseSeqRecords(body: Array[Byte], url: String, seqName: String,
       members: Seq[(String, String)],
-      nested: Map[String, SeqBody] = Map.empty)
+      nested: Map[String, SeqBody] = Map.empty,
+      arrays: Map[String, Seq[(String, Long)]] = Map.empty)
       : Seq[(String, Seq[Long], Option[Double], Option[String])] = {
     val marker = "\nData:\n".getBytes("US-ASCII")
     val at = indexOfSlice(body, marker)
@@ -969,7 +1029,8 @@ object Dap2Index {
         s"malformed DODS response from $url: missing 'Data:' separator")
     val projected = parseDds(new String(body, 0, at, "US-ASCII"))
     require(projected.seqs.exists(s =>
-        s.name == seqName && s.members == members && s.nested == nested),
+        s.name == seqName && s.members == members && s.nested == nested &&
+          s.arrays == arrays),
       s"DODS response from $url does not declare Sequence '$seqName' with the " +
         s"expected members (sequences: ${projected.seqs.map(_.name).mkString(", ")})")
     def u32(off: Int): Long =
@@ -1008,12 +1069,59 @@ object Dap2Index {
         pos += width
         (Some(v), None)
       }
+    // decode one ARRAY member span at `pos` (r16): numeric arrays carry
+    // the DOUBLED count word inside records exactly as at top level
+    // (§7.3.2; both counts must agree with the declared geometry — a
+    // disagreement means mis-framing, refuse before mis-addressing);
+    // String/Url arrays the count-once form (the label-plane
+    // convention); Byte arrays pack + pad to 4. Elements stream in
+    // row-major declaration order.
+    def arraySpan(tpe: String, dims: Seq[(String, Long)], where: String)
+        : Seq[(Option[Double], Option[String])] = {
+      val count = dims.map(_._2).product
+      if (stringTypes.contains(tpe)) {
+        require(body.length - pos >= 4,
+          s"truncated DODS sequence stream: no count word for $where")
+        val n = u32(pos)
+        require(n == count,
+          s"DODS sequence stream counts $n elements for $where, " +
+            s"declared ${dims.map(_._2).mkString("x")}")
+        pos += 4
+        (0L until count).map(_ => scalar(tpe, where))
+      } else {
+        require(body.length - pos >= 8,
+          s"truncated DODS sequence stream: no doubled count for $where")
+        val (n1, n2) = (u32(pos), u32(pos + 4))
+        require(n1 == count && n2 == count,
+          s"DODS sequence stream counts $n1/$n2 elements for $where, " +
+            s"declared ${dims.map(_._2).mkString("x")}")
+        pos += 8
+        if (tpe == "Byte") {
+          // packed, zero-padded to a 4-byte boundary — unlike a SCALAR
+          // Byte member, which XDR promotes to its own 4-byte word
+          val wire = (count + 3L) / 4L * 4L
+          require(body.length - pos >= wire,
+            s"truncated DODS sequence stream: $where needs $wire packed " +
+              s"bytes, have ${body.length - pos}")
+          val vs = (0L until count).map(i =>
+            (Some((body(pos + i.toInt) & 0xff).toDouble), None: Option[String]))
+          pos += wire.toInt
+          vs
+        } else (0L until count).map(_ => scalar(tpe, where))
+      }
+    }
+    // flat row-major element index → per-dim indices (C order)
+    def unravel(flat: Long, sizes: Seq[Long]): Seq[Long] =
+      sizes.scanRight(1L)(_ * _).tail.zip(sizes).map { case (stride, sz) =>
+        flat / stride % sz
+      }
     // one 0x5A/0xA5 record stream at any nesting level (r15: the r14
     // two-level special case generalized to full recursion) — `coords`
     // holds the enclosing levels' record indices, `level` the dotted
     // declaration path for error messages, `prefix` the emitted member
     // path. Returns this level's record count.
     def stream(ms: Seq[(String, String)], nest: Map[String, SeqBody],
+               arrs: Map[String, Seq[(String, Long)]],
                prefix: String, coords: Seq[Long], level: String): Long = {
       val inner = coords.nonEmpty
       val what = if (inner) "inner marker" else "marker"
@@ -1031,11 +1139,19 @@ object Dap2Index {
               if (tpe == "Sequence") {
                 val in = nest.getOrElse(mName, throw new IllegalStateException(
                   s"no nested schema for Sequence member '$level.$mName'"))
-                stream(in.members, in.nested, s"$prefix$mName.",
+                stream(in.members, in.nested, in.arrays, s"$prefix$mName.",
                   coords :+ rec, s"$level.$mName")
-              } else {
-                val (v, s) = scalar(tpe, s"'$level.$mName' of record $at from $url")
-                out += ((prefix + mName, coords :+ rec, v, s))
+              } else arrs.get(mName) match {
+                case Some(dims) => // per-record ARRAY member (r16)
+                  val where = s"'$level.$mName' of record $at from $url"
+                  arraySpan(tpe, dims, where).zipWithIndex.foreach {
+                    case ((v, s), flat) =>
+                      out += ((prefix + mName,
+                        (coords :+ rec) ++ unravel(flat.toLong, dims.map(_._2)), v, s))
+                  }
+                case None =>
+                  val (v, s) = scalar(tpe, s"'$level.$mName' of record $at from $url")
+                  out += ((prefix + mName, coords :+ rec, v, s))
               }
             }
             rec += 1L
@@ -1050,7 +1166,7 @@ object Dap2Index {
       }
       rec
     }
-    val nRecs = stream(members, nested, "", Seq.empty, seqName)
+    val nRecs = stream(members, nested, arrays, "", Seq.empty, seqName)
     require(pos == body.length,
       s"DODS sequence stream from $url has ${body.length - pos} trailing bytes " +
         s"after $nRecs records")

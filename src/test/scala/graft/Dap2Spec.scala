@@ -187,9 +187,15 @@ class Dap2Spec extends AnyFunSuite {
     val inStruct = Dap2Index.parseDds(
       "Dataset {\n Structure { Sequence { Int32 a; } q; } s;\n} d;")
     assert(inStruct.seqs === Seq(Dap2Index.DapSeq("s.q", Seq("a" -> "Int32"))))
-    assert(intercept[IllegalArgumentException] {
-      Dap2Index.parseDds("Dataset {\n Sequence { Int32 a[x = 3]; } s;\n} d;")
-    }.getMessage.contains("scalar members"))
+    // an ARRAY member parses with its declared dims (r16 — refused
+    // through r15); an unnamed dim takes the member name (the parseDecl
+    // convention); multi-dim members keep declaration order
+    assert(Dap2Index.parseDds("Dataset {\n Sequence { Int32 a[x = 3]; } s;\n} d;")
+      .seqs === Seq(Dap2Index.DapSeq("s", Seq("a" -> "Int32"),
+        arrays = Map("a" -> Seq("x" -> 3L)))))
+    assert(Dap2Index.parseDds("Dataset {\n Sequence { Float64 m[2][y = 4]; } s;\n} d;")
+      .seqs === Seq(Dap2Index.DapSeq("s", Seq("m" -> "Float64"),
+        arrays = Map("m" -> Seq("m" -> 2L, "y" -> 4L)))))
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseDds("Dataset {\n Sequence { Int32 a; } s[k = 2];\n} d;")
     }.getMessage.contains("array-of-Sequences"))
@@ -278,6 +284,94 @@ class Dap2Spec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       Dap2Index.parseSeqRecords(good.dropRight(18), "u", "q", members, nested)
     }.getMessage.contains("truncated"))
+  }
+
+  test("array-member Sequence golden bytes: doubled/count-once spans, packing, unravel (r16)") {
+    // hand-built stream, independent of the fixture encoder: every array
+    // wire form in one record walk — numeric doubled count (Float64),
+    // Byte packed + padded, String count-once, and an array INSIDE a
+    // nested sequence; record 1's inner stream is empty
+    val dds = "Dataset {\n Sequence { Int32 a; Float64 v[z = 2]; " +
+      "Byte p[n = 5]; String t[g = 2]; Sequence { Float32 w[k = 2]; } in; } q;\n} d;"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(dds.getBytes("US-ASCII")); bos.write("\nData:\n".getBytes("US-ASCII"))
+    def u32(v: Long): Unit = {
+      bos.write(((v >> 24) & 0xff).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt)
+    }
+    def f64(d: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      u32((bits >>> 32) & 0xffffffffL); u32(bits & 0xffffffffL)
+    }
+    def f32(f: Float): Unit = u32(java.lang.Float.floatToIntBits(f).toLong & 0xffffffffL)
+    def rec(a: Long, v: Seq[Double], p: Seq[Int], t: Seq[String],
+            w: Seq[Seq[Float]]): Unit = {
+      u32(0x5A000000L); u32(a)
+      u32(2L); u32(2L); v.foreach(f64)             // doubled count, then elements
+      u32(5L); u32(5L); p.foreach(bos.write)       // packed bytes...
+      bos.write(0); bos.write(0); bos.write(0)     // ...padded 5 → 8
+      u32(2L)                                      // String array: count ONCE
+      t.foreach { s =>
+        u32(s.length.toLong); bos.write(s.getBytes("US-ASCII"))
+        (0 until (4 - s.length % 4) % 4).foreach(_ => bos.write(0))
+      }
+      w.foreach { ws => u32(0x5A000000L); u32(2L); u32(2L); ws.foreach(f32) }
+      u32(0xA5000000L)                             // inner terminator
+    }
+    rec(1L, Seq(0.5, 1.5), Seq(7, 8, 9, 10, 11), Seq("hi", "wxyz"),
+      Seq(Seq(0.25f, 1.25f)))
+    rec(2L, Seq(2.5, 3.5), Seq(1, 2, 3, 4, 5), Seq("a", "bc"), Nil)
+    u32(0xA5000000L) // outer terminator
+    val members = Seq("a" -> "Int32", "v" -> "Float64", "p" -> "Byte",
+      "t" -> "String", "in" -> "Sequence")
+    val nested = Map("in" -> Dap2Index.SeqBody(Seq("w" -> "Float32"),
+      arrays = Map("w" -> Seq("k" -> 2L))))
+    val arrays = Map("v" -> Seq("z" -> 2L), "p" -> Seq("n" -> 5L),
+      "t" -> Seq("g" -> 2L))
+    val rows = Dap2Index.parseSeqRecords(bos.toByteArray, "u", "q",
+      members, nested, arrays)
+    assert(rows === Seq(
+      ("a", Seq(0L), Some(1.0), None),
+      ("v", Seq(0L, 0L), Some(0.5), None), ("v", Seq(0L, 1L), Some(1.5), None),
+      ("p", Seq(0L, 0L), Some(7.0), None), ("p", Seq(0L, 1L), Some(8.0), None),
+      ("p", Seq(0L, 2L), Some(9.0), None), ("p", Seq(0L, 3L), Some(10.0), None),
+      ("p", Seq(0L, 4L), Some(11.0), None),
+      ("t", Seq(0L, 0L), None, Some("hi")), ("t", Seq(0L, 1L), None, Some("wxyz")),
+      ("in.w", Seq(0L, 0L, 0L), Some(0.25), None),
+      ("in.w", Seq(0L, 0L, 1L), Some(1.25), None),
+      ("a", Seq(1L), Some(2.0), None),
+      ("v", Seq(1L, 0L), Some(2.5), None), ("v", Seq(1L, 1L), Some(3.5), None),
+      ("p", Seq(1L, 0L), Some(1.0), None), ("p", Seq(1L, 1L), Some(2.0), None),
+      ("p", Seq(1L, 2L), Some(3.0), None), ("p", Seq(1L, 3L), Some(4.0), None),
+      ("p", Seq(1L, 4L), Some(5.0), None),
+      ("t", Seq(1L, 0L), None, Some("a")), ("t", Seq(1L, 1L), None, Some("bc"))))
+    // a count word disagreeing with the declared geometry refuses before
+    // anything mis-addresses (the first 'v' count is at marker + a = +8)
+    val good = bos.toByteArray
+    val base = dds.length + "\nData:\n".length
+    val bad = good.clone(); bad(base + 11) = 3
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseSeqRecords(bad, "u", "q", members, nested, arrays)
+    }.getMessage.contains("counts"))
+    // truncation inside a packed-byte span refuses loudly
+    assert(intercept[IllegalArgumentException] {
+      Dap2Index.parseSeqRecords(good.dropRight(30), "u", "q", members, nested, arrays)
+    }.getMessage.contains("truncated"))
+    // multi-dim member: row-major unravel under (record, r, c) coords
+    val dds2 = "Dataset {\n Sequence { Int32 m[r = 2][c = 2]; } q;\n} d;"
+    val bos2 = new java.io.ByteArrayOutputStream()
+    bos2.write(dds2.getBytes("US-ASCII")); bos2.write("\nData:\n".getBytes("US-ASCII"))
+    def v32(v: Long): Unit = {
+      bos2.write(((v >> 24) & 0xff).toInt); bos2.write(((v >> 16) & 0xff).toInt)
+      bos2.write(((v >> 8) & 0xff).toInt); bos2.write((v & 0xff).toInt)
+    }
+    v32(0x5A000000L); v32(4L); v32(4L); Seq(10L, 11L, 12L, 13L).foreach(v32)
+    v32(0xA5000000L)
+    val rows2 = Dap2Index.parseSeqRecords(bos2.toByteArray, "u", "q",
+      Seq("m" -> "Int32"), Map.empty, Map("m" -> Seq("r" -> 2L, "c" -> 2L)))
+    assert(rows2 === Seq(
+      ("m", Seq(0L, 0L, 0L), Some(10.0), None), ("m", Seq(0L, 0L, 1L), Some(11.0), None),
+      ("m", Seq(0L, 1L, 0L), Some(12.0), None), ("m", Seq(0L, 1L, 1L), Some(13.0), None)))
   }
 
   test("deep-nested Sequence golden bytes: recursive walk three levels down (r15)") {
