@@ -351,7 +351,34 @@ object Bench {
       spark.range(20000000L).selectExpr("sum(id * 3 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    calibrate() // compile/JIT the calibration shape itself outside the measure
+    // ALLOCATION-heavy sentinel (r16): the CPU sentinel above blessed the
+    // r15 window whose allocation-heavy rows read +20-25% while
+    // CPU-bound work was flat — a per-process heap-ergonomics mode, not
+    // contention. This task is fixed allocation work (short-lived
+    // strings + boxing churn through the JVM allocator and young-gen
+    // GC), so a bimodal heap mode moves IT even when the CPU sentinel
+    // is calm; its band is documented in BASELINE.md alongside calib's.
+    def calibrateAlloc(): Double = {
+      val t0 = System.nanoTime()
+      var acc = 0L
+      var i = 0L
+      while (i < 8000000L) {
+        acc += java.lang.Long.toString(i * 2654435761L).hashCode.toLong
+        i += 1
+      }
+      if (acc == Long.MinValue) System.err.println("") // consume, never taken
+      (System.nanoTime() - t0) / 1e9
+    }
+    // cumulative stop-the-world GC time across all collectors — the
+    // per-sweep deltas ride the artifact so a GC-mode window is visible
+    // in the snapshot itself (which sweep, how much)
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    calibrate() // compile/JIT the calibration shapes themselves outside the measure
+    calibrateAlloc(); calibrateAlloc() // twice: the alloc loop JITs in tiers
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // ≥3 timed samples per query, report the min: a transient load spike
     // poisons individual samples, so a noisy scheduling window can no
@@ -400,11 +427,15 @@ object Bench {
     // the artifact itself as one inflated boundary pair, instead of hiding
     // between two calm endpoints (how the r10 window evaded the sentinel)
     val calib = scala.collection.mutable.ArrayBuffer(calibrate())
+    val alloc = scala.collection.mutable.ArrayBuffer(calibrateAlloc())
+    val gcMarks = scala.collection.mutable.ArrayBuffer(gcMs())
     for (_ <- 1 to samples) {
       names.foreach { name =>
         times.updateWith(name) { prev => Some(timeQuery(name) :: prev.getOrElse(Nil)) }
       }
       calib += calibrate()
+      alloc += calibrateAlloc()
+      gcMarks += gcMs()
     }
     // samples disagreeing >2× mark a query whose every sweep may have been
     // load-poisoned; one post-sweep re-sample (the machine has had the
@@ -469,16 +500,35 @@ object Bench {
     // not trip the flag. A false calib_ok means: do not read this
     // snapshot's absolute times as the round's performance; adjudicate
     // with a calm-window rerun (BASELINE.md r14 note).
-    val calibSorted = calib.sorted
-    val calibMedian =
-      (calibSorted((calib.size - 1) / 2) + calibSorted(calib.size / 2)) / 2.0
-    val calibSpread = calib.max / math.max(calibMedian, 1e-9)
+    def spreadOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val med = (s((xs.size - 1) / 2) + s(xs.size / 2)) / 2.0
+      xs.max / math.max(med, 1e-9)
+    }
+    val calibSpread = spreadOf(calib.toSeq)
     val calibOk = calibSpread <= 2.0
     if (!calibOk)
       System.err.println(f"[bench] WARNING: calibration max/median $calibSpread%.2f× " +
         "exceeds the 2× calm-window band — this snapshot is contended; rerun in a " +
         "calm window before comparing absolute times")
-    val calibJson = s""""calib_ok":$calibOk,"calib_spread":${fmt(calibSpread)},"""
+    // the heap-mode sentinel (r16): same max/median rule over the
+    // allocation-heavy samples. A false alloc_ok with a true calib_ok is
+    // the r15 signature — a GC/heap-ergonomics window, not CPU
+    // contention: absolute times of allocation-heavy rows are suspect,
+    // adjudicate with the interleaved control pair (BASELINE.md).
+    val allocSpread = spreadOf(alloc.toSeq)
+    val allocOk = allocSpread <= 2.0
+    if (!allocOk)
+      System.err.println(f"[bench] WARNING: allocation sentinel max/median " +
+        f"$allocSpread%.2f× exceeds the 2× band — this snapshot's heap mode is " +
+        "bimodal; rerun before comparing allocation-heavy rows")
+    val gcSweepMs = gcMarks.sliding(2).map(p => p(1) - p(0)).toSeq
+    val calibJson = s""""calib_ok":$calibOk,"calib_spread":${fmt(calibSpread)},""" +
+      s""""alloc_ok":$allocOk,"alloc_spread":${fmt(allocSpread)},"""
+    // per-sweep detail (arrays) rides only bench_full.json — the stdout
+    // line sits ~1.8 KB against the harness's 2,000-char captured tail
+    val heapDetailJson = s""""alloc_sec":[${alloc.map(fmt).mkString(",")}],""" +
+      s""""gc_sweep_ms":[${gcSweepMs.mkString(",")}],"""
     // stdout carries the resample COUNT only: the r11 official artifact's
     // 39-name resampled array pushed the line past the harness's 2,000-char
     // captured tail and the driver recorded parsed=null — the full name
@@ -487,7 +537,7 @@ object Bench {
       subtotals + calibJson + s""""resampled_n":${resampled.size},""" +
       s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
-      subtotals + calibJson + s""""resampled":$resampledJson,""" +
+      subtotals + calibJson + heapDetailJson + s""""resampled":$resampledJson,""" +
       s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
