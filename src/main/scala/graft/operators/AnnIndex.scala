@@ -192,9 +192,9 @@ object AnnIndex {
       // passes (r16 — the bm25IndexDelete convention; the direct
       // overwrite-mode write could clobber a committed tombstone batch if
       // a concurrent delete won the race the lease now forecloses). On
-      // refusal, meta is untouched and the hidden staging dir is an
+      // refusal, meta is untouched and the staging dir is an
       // orphan the next delete clobbers.
-      val staging = s"$dir/tombstones/.b$tomb.staging"
+      val staging = s"$dir/tombstones/b$tomb.staging"
       val delProj = ids.select(col(idCol).as("id"))
       delProj.write.mode("overwrite").parquet(staging)
       val written = spark.read.schema(delProj.schema).parquet(staging)

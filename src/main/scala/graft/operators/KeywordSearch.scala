@@ -577,9 +577,9 @@ object KeywordSearch {
       // clobber a COMMITTED tombstone batch if a concurrent delete had
       // won the race — the lease now forecloses that race, and the
       // staged rename closes it even against a lease-bypassing legacy
-      // writer). On any refusal, meta is untouched and the hidden
+      // writer). On any refusal, meta is untouched and the
       // staging dir is an orphan the next delete clobbers.
-      val staging = s"$dir/tombstones/.b${meta.tombBatches}.staging"
+      val staging = s"$dir/tombstones/b${meta.tombBatches}.staging"
       val delProj = ids.select(col(idCol).as("doc_id"))
       delProj.write.mode("overwrite").parquet(staging)
       // explicit schema so a zero-row write (no part files to infer from)
