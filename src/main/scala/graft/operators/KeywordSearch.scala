@@ -802,8 +802,13 @@ object KeywordSearch {
         else votes.select(col("doc_id"),
           explode(sequence(col("p") - col("ord") - lit(slop),
             col("p") - col("ord"))).as("start"), col("ord"))
+      // at slop = 0 each (doc, start, ord) vote is unique (a term's
+      // positions are distinct), so the plain count IS the distinct
+      // count — keep the exact-phrase hot path free of the distinct
+      // aggregate's extra expand
+      val nOrd = if (slop == 0) count(lit(1)) else count_distinct(col("ord"))
       starts.filter(col("start") >= 0)
-        .groupBy("doc_id", "start").agg(count_distinct(col("ord")).as("__nOrd"))
+        .groupBy("doc_id", "start").agg(nOrd.as("__nOrd"))
         .filter(col("__nOrd") === ts.length)
         .groupBy("doc_id").agg(count(lit(1)).as("tf"))
         .select(lit(qid).as("query_id"), col("doc_id"), col("tf"))

@@ -112,21 +112,98 @@ private[graft] object StoreMeta {
     * crashed writer had left. Deliberately conservative: recovery only
     * fires when the root is MISSING ENTIRELY — a meta-less root that
     * exists holds unknown bytes (a foreign dir, a mid-write fresh build)
-    * and is never clobbered. Returns true if a swap was completed. Both
-    * index stores call this from their meta readers, so any reader or
-    * writer heals the store. */
+    * and is never clobbered — and only under the store's WRITER LEASE
+    * (recovery IS a mutation): a live foreign writer mid-swap is left
+    * alone (its swapInto finishes the job; the reader's open fails
+    * transiently, like any read landing inside the swap window), a
+    * caller already holding the lease (a writer whose readMeta runs
+    * under [[withWriterLock]]) recovers in place, and a lease left by a
+    * DEAD same-host writer breaks automatically ([[leaseIsStale]]).
+    * Racing readers serialize on the same lease — the loser skips and
+    * retries via its own error path. Also completes the swap's LAST
+    * step when the root is live but a crash left the parked old sibling
+    * behind (the .old leak). Returns true if recovery moved anything.
+    * Both index stores call this from their meta readers, so any reader
+    * or writer heals the store. */
   def recoverCrashedSwap(fs: org.apache.hadoop.fs.FileSystem,
                          root: org.apache.hadoop.fs.Path): Boolean = {
-    if (fs.exists(root)) return false
     val staged = stagedSibling(root)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(staged, "meta.json"))) return false
-    require(fs.rename(staged, root),
-      s"store recovery: rename '$staged' -> '$root' failed — the complete " +
-        "rebuilt store is still at the staged path; rename it into place manually")
     val old = oldSibling(root)
-    if (fs.exists(old)) fs.delete(old, true)
-    true
+    val rootLive = fs.exists(new org.apache.hadoop.fs.Path(root, "meta.json"))
+    val stagedComplete = !rootLive && !fs.exists(root) &&
+      fs.exists(new org.apache.hadoop.fs.Path(staged, "meta.json"))
+    val oldLeaked = rootLive && fs.exists(old)
+    if (!stagedComplete && !oldLeaked) return false
+    withRecoveryLease(fs, root) {
+      // re-check under the lease — the state may have healed meanwhile
+      if (!fs.exists(root) &&
+          fs.exists(new org.apache.hadoop.fs.Path(staged, "meta.json"))) {
+        require(fs.rename(staged, root),
+          s"store recovery: rename '$staged' -> '$root' failed — the complete " +
+            "rebuilt store is still at the staged path; rename it into place manually")
+      }
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, "meta.json")) &&
+          fs.exists(old))
+        fs.delete(old, true)
+      true
+    }.getOrElse(false)
   }
+
+  /** Run `body` for a RECOVERY action: under the caller's own lease if
+    * this process already holds it (writers' meta reads run inside
+    * [[withWriterLock]] — re-acquiring would self-deadlock), else under
+    * a freshly acquired lease; a lease held by a LIVE foreign writer
+    * skips the action (None). */
+  private def withRecoveryLease[T](fs: org.apache.hadoop.fs.FileSystem,
+                                   root: org.apache.hadoop.fs.Path)
+                                  (body: => T): Option[T] = {
+    val lock = lockPath(root)
+    if (heldByThisProcess(fs, lock)) return Some(body)
+    try Some(withWriterLock(fs, root, "store recovery")(body))
+    catch { case _: IllegalStateException => None }
+  }
+
+  private def leaseJson(fs: org.apache.hadoop.fs.FileSystem,
+                        lock: org.apache.hadoop.fs.Path): Option[org.json4s.JValue] =
+    try {
+      val in = fs.open(lock)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(org.json4s.jackson.JsonMethods.parse(text))
+    } catch { case _: Exception => None }
+
+  private def heldByThisProcess(fs: org.apache.hadoop.fs.FileSystem,
+                                lock: org.apache.hadoop.fs.Path): Boolean =
+    leaseJson(fs, lock).exists { j =>
+      import org.json4s._
+      ((j \ "pid"), (j \ "host")) match {
+        case (JInt(pid), JString(host)) =>
+          pid.longValue == ProcessHandle.current.pid &&
+            host == java.net.InetAddress.getLocalHost.getHostName
+        case _ => false
+      }
+    }
+
+  /** A lease is STALE when it names a SAME-HOST writer whose pid is no
+    * longer alive — the common crash (OOM kill, aborted run) on the
+    * single-node deployments the gates and tests run, where refusing
+    * forever would brick every store behind one dead process. Cross-host
+    * leases are never judged stale (no liveness oracle): those refuse
+    * with the delete-by-hand message. Unparseable leases are NOT stale
+    * (conservative — could be a half-written acquisition). */
+  private def leaseIsStale(fs: org.apache.hadoop.fs.FileSystem,
+                           lock: org.apache.hadoop.fs.Path): Boolean =
+    leaseJson(fs, lock).exists { j =>
+      import org.json4s._
+      ((j \ "pid"), (j \ "host")) match {
+        case (JInt(pid), JString(host)) =>
+          host == java.net.InetAddress.getLocalHost.getHostName &&
+            pid.longValue != ProcessHandle.current.pid && {
+              val h = ProcessHandle.of(pid.longValue)
+              !(h.isPresent && h.get.isAlive)
+            }
+        case _ => false
+      }
+    }
 
   /** Hidden create-exclusive writer-lease file guarding a store root —
     * the r16 upgrade of the stores' single-writer CONVENTION to a checked
@@ -144,27 +221,33 @@ private[graft] object StoreMeta {
     * the local filesystem, where the residual race is two LOCAL writers
     * in the same microsecond — still strictly stronger than the
     * unchecked convention, and the optimistic meta recheck stays behind
-    * it as defense in depth. The lease carries pid/host/time for the
-    * operator reading a stale lock. A crashed writer leaves the lease
-    * behind DELIBERATELY (its partial writes need a human decision);
-    * the refusal message names the file to delete once the writer is
-    * known dead. */
+    * it as defense in depth. The lease carries pid/host/time. A lease
+    * left by a crashed SAME-HOST writer (dead pid) breaks automatically
+    * on the next acquisition ([[leaseIsStale]] — partial writes from a
+    * crash are orphan batch dirs/staged siblings the store posture
+    * already tolerates, so refusing forever would just brick the store
+    * behind one dead process); a live or cross-host lease refuses with
+    * the file to delete once its writer is known dead. */
   def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
                         root: org.apache.hadoop.fs.Path,
                         op: String)(body: => T): T = {
     val lock = lockPath(root)
-    val out =
+    def acquire(): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(lock, false)
       catch { case e: java.io.IOException =>
         // only an EXISTING lease reads as "held" — any other create
         // failure (permissions, quota) surfaces as itself
-        if (fs.exists(lock))
+        if (!fs.exists(lock)) throw e
+        else if (leaseIsStale(fs, lock)) {
+          fs.delete(lock, false)
+          fs.create(lock, false) // a racing acquirer here refuses below
+        } else
           throw new IllegalStateException(
             s"$op: another writer holds the lease on '$root' ($lock) — the " +
               "store is single-writer; retry after it finishes, or delete the " +
               "lease file if that writer is known dead (its identity is inside)")
-        else throw e
       }
+    val out = acquire()
     try {
       val who = s"""{"pid": ${ProcessHandle.current.pid}, """ +
         s""""host": "${java.net.InetAddress.getLocalHost.getHostName}", """ +

@@ -2225,6 +2225,46 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(KeywordSearch.bm25SearchIndexed(spark, dir, battery, "qid", "qtext",
       k = 3).count() == 3L)
 
+    // --- stale-lease auto-break (r16 review sweep): a lease naming a
+    // DEAD same-host pid breaks on the next acquisition instead of
+    // bricking the store behind a crashed process; a LIVE foreign pid
+    // (init's) still refuses; recovery likewise defers to a live lease
+    // (no reader may complete a swap a live writer is mid-way through)
+    def writeLease(pid: Long): Unit = {
+      val o = fs.create(lock, true)
+      val host = java.net.InetAddress.getLocalHost.getHostName
+      try o.write(s"""{"pid": $pid, "host": "$host", "op": "t", "epoch_ms": 0}"""
+        .getBytes("UTF-8")) finally o.close()
+    }
+    val deadPid = Iterator.from(900000).find(p =>
+      !ProcessHandle.of(p.toLong).isPresent).get.toLong
+    writeLease(deadPid)
+    appendOne(5001L) // dead-pid lease broke automatically
+    assert(!fs.exists(lock))
+    writeLease(1L) // pid 1 is alive and not us — a live foreign writer
+    assert(intercept[IllegalStateException] { appendOne(5002L) }
+      .getMessage.contains("holds the lease"))
+    // crashed-swap state under the live lease: recovery must NOT fire
+    // (the "crash" could be a live writer between its two renames)
+    val other2 = java.nio.file.Files.createTempDirectory("graft_bm25_r16d").toString
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 30), "text", "doc_id", other2, overwrite = true)
+    writeLease(1L)
+    assert(fs.rename(root, old))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(other2), staged))
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25SearchIndexed(spark, dir, battery, "qid", "qtext", k = 3)
+    }.getMessage.contains("not a bm25 index"))
+    fs.delete(lock, false) // writer declared dead — next open heals
+    assert(KeywordSearch.bm25SearchIndexed(spark, dir, battery, "qid", "qtext",
+      k = 3).count() == 3L)
+    assert(!fs.exists(staged) && !fs.exists(old))
+    // --- the .old leak (crash AFTER rename-in, before cleanup): a live
+    // root with a parked old sibling reclaims on the next open
+    fs.mkdirs(old)
+    KeywordSearch.bm25ModelFromIndex(spark, dir, Seq(("q", "spark")))
+    assert(!fs.exists(old))
+
     // --- tombstone ledger: deletes accumulate tombRows in meta; compact
     // resets it with the plane
     def meta() = new String(java.nio.file.Files.readAllBytes(
