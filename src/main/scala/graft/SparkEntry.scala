@@ -3488,6 +3488,28 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    "search_bm25_near_scored" -> ((s, dir) => {
+      // r16: the STREAM-shaped NEAR plane — score the corpus against a
+      // frozen PhraseModel derived at slop = 1 (per-phrase df from the
+      // positional store's banded vote, zero corpus scans; tf row-local
+      // via the slop-aware PhraseCount kernel). The search_bm25_near
+      // battery and truth minus the top-k: every (doc, dl, tf) row
+      // re-derived by direct windowed string indexing in DuckDB — the
+      // search_bm25_phrase_scored pattern on the proximity plane.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_nsc_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      val model = graft.operators.KeywordSearch.bm25PhraseModelFromIndex(s, root,
+        Seq(("n_hash_join", "hash join"),
+            ("n_table_scan", "table scan"),
+            ("n_batch2", "the batch batch")), slop = 1)
+      graft.operators.KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model)
+        .select(col("query_id"), col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "doc_id")
+    }),
+
     "search_bm25_near" -> ((s, dir) => {
       // r16: PROXIMITY (NEAR-k) retrieval over the positional store —
       // the sloppy-phrase query, answered from the same positions plane
@@ -6308,6 +6330,29 @@ object SparkEntry {
         |  FROM scored)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // the NEAR scorer: the same windowed re-derivation minus the top-k —
+    // every (doc, dl, tf) row at slop = 1, the scored surface the frozen
+    // model's row-local kernel must reproduce
+    "search_bm25_near_scored" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(range(1, len(t) + 1), s -> (t[s] = 'hash' OR t[s+1] = 'hash') AND (t[s+1] = 'join' OR t[s+2] = 'join'))) AS BIGINT) AS tf_hj,
+        |    CAST(len(list_filter(range(1, len(t) + 1), s -> (t[s] = 'table' OR t[s+1] = 'table') AND (t[s+1] = 'scan' OR t[s+2] = 'scan'))) AS BIGINT) AS tf_ts,
+        |    CAST(len(list_filter(range(1, len(t) + 1), s -> (t[s] = 'the' OR t[s+1] = 'the') AND (t[s+1] = 'batch' OR t[s+2] = 'batch') AND (t[s+2] = 'batch' OR t[s+3] = 'batch'))) AS BIGINT) AS tf_bb
+        |  FROM toks)
+        |SELECT query_id, doc_id, dl, tf FROM (
+        |  SELECT 'n_hash_join' AS query_id, doc_id, dl, tf_hj AS tf
+        |  FROM occ WHERE tf_hj > 0
+        |  UNION ALL
+        |  SELECT 'n_table_scan', doc_id, dl, tf_ts FROM occ WHERE tf_ts > 0
+        |  UNION ALL
+        |  SELECT 'n_batch2', doc_id, dl, tf_bb FROM occ WHERE tf_bb > 0)
+        |ORDER BY query_id, doc_id""".stripMargin,
 
     // hybrid retrieval: the BM25 ranking (shared CTEs above) and the
     // brute-force cosine ranking (embed_cosine_topk's formula, query ids

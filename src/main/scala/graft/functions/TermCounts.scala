@@ -184,16 +184,23 @@ case class TermPostings(
   * starts where the phrase's tokens occur CONSECUTIVELY — the row-local
   * twin of [[graft.operators.KeywordSearch.bm25PhraseTopK]]'s
   * positional-index adjacency vote (same semantics: overlapping matches
-  * all count, repeated phrase terms must each match). Codegen'd via the
-  * shared reference-object pattern; O(tokens·L) worst case per row,
-  * zero shuffle — what lets [[KeywordSearch.bm25PhraseScore]] score a
-  * STREAM against a frozen phrase model with no state store. */
+  * all count, repeated phrase terms must each match). `slop` (r16)
+  * widens each ordinal's slot to the same banded-proximity rule as the
+  * positional vote — ordinal i matches anywhere in [start+i,
+  * start+i+slop], including the documented repeated-term band overlap —
+  * so the frozen-model scorer stays bit-identical to the indexed NEAR
+  * search. Codegen'd via the shared reference-object pattern;
+  * O(tokens·L·(slop+1)) worst case per row, zero shuffle — what lets
+  * [[KeywordSearch.bm25PhraseScore]] score a STREAM against a frozen
+  * phrase model with no state store. */
 case class PhraseCount(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
-    phrase: Seq[String])
+    phrase: Seq[String],
+    slop: Int = 0)
   extends UnaryExpression {
 
   require(phrase.nonEmpty, "phrase_count: empty phrase")
+  require(slop >= 0, s"phrase_count: slop must be >= 0, got $slop")
 
   override def dataType: DataType = IntegerType
 
@@ -214,11 +221,21 @@ case class PhraseCount(
     val l = termBytes.length
     var c = 0
     var s = 0
+    // ordinal l-1 needs a position >= s + l - 1, so the start bound is
+    // the same at every slop (the band extends RIGHT, not left)
     while (s + l <= n) {
       var o = 0
       var ok = true
       while (ok && o < l) {
-        ok = !tokens.isNullAt(s + o) && termBytes(o).equals(tokens.getUTF8String(s + o))
+        var d = 0
+        var hit = false
+        while (!hit && d <= slop) {
+          val p = s + o + d
+          hit = p < n && !tokens.isNullAt(p) &&
+            termBytes(o).equals(tokens.getUTF8String(p))
+          d += 1
+        }
+        ok = hit
         o += 1
       }
       if (ok) c += 1

@@ -818,20 +818,24 @@ object KeywordSearch {
     * ONCE from a positional index and then applies to any batch or
     * stream ([[bm25PhraseScore]]): per-phrase idf (df = documents
     * containing the phrase, from the positions plane — zero corpus
-    * scans) plus the corpus N/avgdl from the meta. The
+    * scans) plus the corpus N/avgdl from the meta, and the `slop` the
+    * battery was derived at (r16 — df and the scorer's row-local tf
+    * must use ONE proximity rule or the score bits drift). The
     * [[bm25ModelFromIndex]] sibling on the phrase plane. */
   final case class PhraseModel(k1: Double, b: Double, n: Long, avgdl: Double,
                                phrases: Seq[(String, Seq[String])],
-                               idf: Array[Double])
+                               idf: Array[Double], slop: Int = 0)
 
   def bm25PhraseModelFromIndex(spark: org.apache.spark.sql.SparkSession,
                                dir: String, phrases: Seq[(String, String)],
-                               k1: Double = 1.2, b: Double = 0.75): PhraseModel = {
+                               k1: Double = 1.2, b: Double = 0.75,
+                               slop: Int = 0): PhraseModel = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
     val meta = readIndexMeta(fs,
       new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(slop >= 0, s"bm25PhraseModelFromIndex: slop must be >= 0, got $slop")
     require(meta.positions,
       s"bm25PhraseModelFromIndex: index at '$dir' was built without the " +
         "positions plane — rebuild or compact from a build with positions = true")
@@ -840,7 +844,7 @@ object KeywordSearch {
     val plane = dropTombstoned(spark,
       readPlane(spark, dir, "positions", meta.batches), dir, meta.tombBatches)
     // one bounded collect: ONE row per phrase (battery is driver-sized)
-    val dfByPhrase: Map[String, Long] = phraseOccurrences(plane, perPhrase)
+    val dfByPhrase: Map[String, Long] = phraseOccurrences(plane, perPhrase, slop)
       .groupBy("query_id").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the SAME idf arithmetic bm25PhraseTopK runs in-plan (StrictMath
@@ -849,15 +853,17 @@ object KeywordSearch {
     val idf = perPhrase.map { case (qid, _) =>
       idfOf(meta.n, dfByPhrase.getOrElse(qid, 0L).toDouble)
     }.toArray
-    PhraseModel(k1, b, meta.n, meta.sumdl.toDouble / meta.n.toDouble, perPhrase, idf)
+    PhraseModel(k1, b, meta.n, meta.sumdl.toDouble / meta.n.toDouble, perPhrase,
+      idf, slop)
   }
 
   /** Score a document frame — batch OR `readStream` — against a frozen
     * [[PhraseModel]]: (query_id, doc_id, score, dl, tf) rows for docs
     * containing the phrase at least once, tf computed ROW-LOCALLY from
     * the doc's own tokens (the codegen'd
-    * [[graft.functions.PhraseCount]] adjacency kernel — same overlap
-    * and repeated-term semantics as the positional index's vote).
+    * [[graft.functions.PhraseCount]] adjacency kernel at the model's
+    * `slop` — same banded-proximity, overlap, and repeated-term
+    * semantics as the positional index's vote, exact at slop = 0).
     * STATELESS, so the same call is the streaming twin with
     * byte-identical scores (the [[bm25Score]] precedent); and over the
     * indexed corpus itself the rows are BIT-IDENTICAL to
@@ -874,7 +880,7 @@ object KeywordSearch {
       lit(model.k1 * model.b / model.avgdl) * col("dl").cast(DoubleType)
     model.phrases.zipWithIndex.map { case ((qid, ts), i) =>
       val tf = GraftColumnBridge.column(graft.functions.PhraseCount(
-        GraftColumnBridge.expression(col("__toks")), ts))
+        GraftColumnBridge.expression(col("__toks")), ts, model.slop))
       base.withColumn("tf", tf.cast(LongType))
         .filter(col("tf") > 0)
         .withColumn("score", lit(model.idf(i)) * col("tf").cast(DoubleType) *

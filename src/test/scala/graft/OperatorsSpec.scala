@@ -2131,6 +2131,39 @@ class Bm25IndexSpec extends AnyFunSuite {
     }.getMessage.contains("slop must be >= 0"))
   }
 
+  test("NEAR scorer: frozen slop model scores bit-identically to the indexed NEAR search (r16)") {
+    // the streaming-shaped proximity plane: df frozen from the positions
+    // plane's BANDED vote, tf row-local via the slop-aware PhraseCount
+    // kernel — both sides must implement one proximity rule or the
+    // score bits drift (the r15 phrase-scorer pin, at slop = 1)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_nsc").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir,
+      overwrite = true, positions = true)
+    val phrases = Seq(("p1", "hash join"), ("p2", "table scan"))
+    val model = KeywordSearch.bm25PhraseModelFromIndex(spark, dir, phrases, slop = 1)
+    assert(model.slop == 1)
+    val scored = KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3),
+        r.getLong(4))).toSet
+    val topk = KeywordSearch.bm25PhraseTopK(spark, dir, phrases, k = 1000000, slop = 1)
+      .collect().map(r => (r.getString(0), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4),
+        r.getLong(5))).toSet
+    assert(scored.nonEmpty && scored == topk) // score BITS included
+    // slop = 1 strictly widens the match set vs the exact model on this
+    // corpus (gapped bigrams exist), so the pin is not vacuous
+    val exact = KeywordSearch.bm25PhraseScore(docs, "text", "doc_id",
+      KeywordSearch.bm25PhraseModelFromIndex(spark, dir, phrases))
+      .count()
+    assert(scored.size > exact)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25PhraseModelFromIndex(spark, dir, phrases, slop = -1)
+    }.getMessage.contains("slop must be >= 0"))
+  }
+
   test("positional store: append inherits the plane; delete and compact keep phrase results exact (r15)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
