@@ -837,28 +837,33 @@ object KerchunkIndex {
     val fs = try FsPaths.fileSystemFor(root, conf.value)
     catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
       FsPaths.connectorRefusal(dir, e) }
-    if (fs.exists(root)) {
-      // stale record files would shadow the new store, so a PRIOR STORE
-      // (it carries .zmetadata) or an empty directory clears — but a
-      // mistyped path at unrelated data must refuse, not be wiped
-      val priorStore = fs.exists(new org.apache.hadoop.fs.Path(root, ".zmetadata"))
-      require(priorStore || fs.listStatus(root).isEmpty,
-        s"kerchunk parquet write: '$dir' exists and is neither empty nor a " +
-          "parquet reference store (.zmetadata) — refusing to delete unrelated data")
-      fs.delete(root, true)
-    }
-    fs.mkdirs(root)
-    val metaJson = JObject(List(
-      JField("metadata", JObject(metaDocs.map { case (k, v) => JField(k, v) }.toList)),
-      JField("record_size", JLong(recordSize)),
-      JField("zarr_consolidated_format", JInt(1))))
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, ".zmetadata"), true)
-    try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
-    finally out.close()
+    // r16: mutations run under the shared store writer LEASE (the
+    // bm25/ann convention) — the single-writer contract is checked at
+    // acquisition, and a dead same-host writer's lease self-breaks
+    StoreMeta.withWriterLock(fs, root, "kerchunk parquet write") {
+      if (fs.exists(root)) {
+        // stale record files would shadow the new store, so a PRIOR STORE
+        // (it carries .zmetadata) or an empty directory clears — but a
+        // mistyped path at unrelated data must refuse, not be wiped
+        val priorStore = fs.exists(new org.apache.hadoop.fs.Path(root, ".zmetadata"))
+        require(priorStore || fs.listStatus(root).isEmpty,
+          s"kerchunk parquet write: '$dir' exists and is neither empty nor a " +
+            "parquet reference store (.zmetadata) — refusing to delete unrelated data")
+        fs.delete(root, true)
+      }
+      fs.mkdirs(root)
+      val metaJson = JObject(List(
+        JField("metadata", JObject(metaDocs.map { case (k, v) => JField(k, v) }.toList)),
+        JField("record_size", JLong(recordSize)),
+        JField("zarr_consolidated_format", JInt(1))))
+      val out = fs.create(new org.apache.hadoop.fs.Path(root, ".zmetadata"), true)
+      try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
+      finally out.close()
 
-    writeRecordFiles(recordRowsOf(entries, geometry, recordSize), root,
-      recordSize, geometry.map { case (v, (_, n)) => v -> n }, conf,
-      overwrite = false)
+      writeRecordFiles(recordRowsOf(entries, geometry, recordSize), root,
+        recordSize, geometry.map { case (v, (_, n)) => v -> n }, conf,
+        overwrite = false)
+    }
   }
 
   /** Consolidated-metadata `.zarray` docs → per-variable (chunk grid,
@@ -1112,101 +1117,103 @@ object KerchunkIndex {
     val fs = try FsPaths.fileSystemFor(root, conf.value)
     catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
       FsPaths.connectorRefusal(dir, e) }
-    val metaPath = new org.apache.hadoop.fs.Path(root, ".zmetadata")
-    require(fs.exists(metaPath),
-      s"kerchunk parquet append: '$dir' is not a parquet reference store (no .zmetadata)")
-    val oldJson = {
-      val in = fs.open(metaPath)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      JsonMethods.parse(text)
-    }
-    val recordSize: Long = oldJson \ "record_size" match {
-      case JInt(v)  => v.longValue
-      case JNothing => 10000L // fsspec LazyReferenceMapper's default
-      case other => throw new IllegalArgumentException(
-        s"kerchunk parquet append: record_size is ${other.getClass.getSimpleName}")
-    }
-    val oldGeometry = refStoreGeometry(oldJson \ "metadata" match {
-      case JObject(fields) => fields
-      case other => throw new IllegalArgumentException(
-        s"kerchunk parquet append: .zmetadata 'metadata' is ${other.getClass.getSimpleName}")
-    })
+    StoreMeta.withWriterLock(fs, root, "kerchunk parquet append") {
+      val metaPath = new org.apache.hadoop.fs.Path(root, ".zmetadata")
+      require(fs.exists(metaPath),
+        s"kerchunk parquet append: '$dir' is not a parquet reference store (no .zmetadata)")
+      val oldJson = {
+        val in = fs.open(metaPath)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        JsonMethods.parse(text)
+      }
+      val recordSize: Long = oldJson \ "record_size" match {
+        case JInt(v)  => v.longValue
+        case JNothing => 10000L // fsspec LazyReferenceMapper's default
+        case other => throw new IllegalArgumentException(
+          s"kerchunk parquet append: record_size is ${other.getClass.getSimpleName}")
+      }
+      val oldGeometry = refStoreGeometry(oldJson \ "metadata" match {
+        case JObject(fields) => fields
+        case other => throw new IllegalArgumentException(
+          s"kerchunk parquet append: .zmetadata 'metadata' is ${other.getClass.getSimpleName}")
+      })
 
-    // existing store = source 0; the new sources shift up by one, so the
-    // full combine machinery arbitrates the append. The store's DATA scan
-    // is boundary-only: the append rewrites nothing below the old last
-    // record of each dim-carrying variable, so only THAT record file per
-    // candidate is read — an append to a years-old store reads O(1) old
-    // record files, not the whole history (metadata always loads whole,
-    // so every combine guard still sees the full variable set).
-    val oldDims: Map[String, Seq[String]] = (oldJson \ "metadata") match {
-      case JObject(fields) => fields.collect {
+      // existing store = source 0; the new sources shift up by one, so the
+      // full combine machinery arbitrates the append. The store's DATA scan
+      // is boundary-only: the append rewrites nothing below the old last
+      // record of each dim-carrying variable, so only THAT record file per
+      // candidate is read — an append to a years-old store reads O(1) old
+      // record files, not the whole history (metadata always loads whole,
+      // so every combine guard still sees the full variable set).
+      val oldDims: Map[String, Seq[String]] = (oldJson \ "metadata") match {
+        case JObject(fields) => fields.collect {
+          case (key, doc) if key.endsWith("/.zattrs") =>
+            key.dropRight("/.zattrs".length) -> ((doc \ "_ARRAY_DIMENSIONS") match {
+              case JArray(ds) => ds.collect { case JString(x) => x }
+              case _          => Seq.empty[String]
+            })
+        }.toMap
+        case _ => Map.empty
+      }
+      val boundaryRecs: Map[String, Long] = oldGeometry.collect {
+        case (v, (_, oldN)) if oldDims.get(v).exists(_.contains(dim)) =>
+          v -> oldN / recordSize
+      }
+      val existing = readParquetRefs(spark, dir, storageOptions,
+        onlyRecords = Some(boundaryRecs))
+      val tagged = existing.withColumn("__src", lit(0))
+        .unionByName(newTagged.withColumn("__src", col("__src").cast("int") + lit(1)))
+      val combined = combineAlong(tagged, dim)
+
+      // grown geometry + the leading-axis requirement
+      val newMetaDocs: Seq[(String, JValue)] = combined.filter(col("kind") === "meta")
+        .select("key", "inline_value").collect().toSeq
+        .map(r => r.getString(0) -> JsonMethods.parse(r.getString(1)))
+      val newGeometry = refStoreGeometry(newMetaDocs)
+      val dimsByVar: Map[String, Seq[String]] = newMetaDocs.collect {
         case (key, doc) if key.endsWith("/.zattrs") =>
           key.dropRight("/.zattrs".length) -> ((doc \ "_ARRAY_DIMENSIONS") match {
             case JArray(ds) => ds.collect { case JString(x) => x }
             case _          => Seq.empty[String]
           })
       }.toMap
-      case _ => Map.empty
-    }
-    val boundaryRecs: Map[String, Long] = oldGeometry.collect {
-      case (v, (_, oldN)) if oldDims.get(v).exists(_.contains(dim)) =>
-        v -> oldN / recordSize
-    }
-    val existing = readParquetRefs(spark, dir, storageOptions,
-      onlyRecords = Some(boundaryRecs))
-    val tagged = existing.withColumn("__src", lit(0))
-      .unionByName(newTagged.withColumn("__src", col("__src").cast("int") + lit(1)))
-    val combined = combineAlong(tagged, dim)
+      val grown = newGeometry.filter { case (v, (_, newN)) =>
+        newN != oldGeometry.getOrElse(v,
+          throw new IllegalArgumentException(
+            s"kerchunk parquet append: variable '$v' is not in the existing store"))._2
+      }
+      grown.keys.foreach { v =>
+        require(dimsByVar.get(v).exists(_.headOption.contains(dim)),
+          s"kerchunk parquet append: variable '$v' concatenates along '$dim', which is " +
+            "not its LEADING dimension — existing chunk positions would shift, so no " +
+            "incremental append exists; build a fresh store with writeParquetRefs")
+      }
+      require(grown.nonEmpty, // combineAlong already refuses a no-op combine
+        s"kerchunk parquet append: nothing grew along '$dim'")
 
-    // grown geometry + the leading-axis requirement
-    val newMetaDocs: Seq[(String, JValue)] = combined.filter(col("kind") === "meta")
-      .select("key", "inline_value").collect().toSeq
-      .map(r => r.getString(0) -> JsonMethods.parse(r.getString(1)))
-    val newGeometry = refStoreGeometry(newMetaDocs)
-    val dimsByVar: Map[String, Seq[String]] = newMetaDocs.collect {
-      case (key, doc) if key.endsWith("/.zattrs") =>
-        key.dropRight("/.zattrs".length) -> ((doc \ "_ARRAY_DIMENSIONS") match {
-          case JArray(ds) => ds.collect { case JString(x) => x }
-          case _          => Seq.empty[String]
-        })
-    }.toMap
-    val grown = newGeometry.filter { case (v, (_, newN)) =>
-      newN != oldGeometry.getOrElse(v,
-        throw new IllegalArgumentException(
-          s"kerchunk parquet append: variable '$v' is not in the existing store"))._2
-    }
-    grown.keys.foreach { v =>
-      require(dimsByVar.get(v).exists(_.headOption.contains(dim)),
-        s"kerchunk parquet append: variable '$v' concatenates along '$dim', which is " +
-          "not its LEADING dimension — existing chunk positions would shift, so no " +
-          "incremental append exists; build a fresh store with writeParquetRefs")
-    }
-    require(grown.nonEmpty, // combineAlong already refuses a no-op combine
-      s"kerchunk parquet append: nothing grew along '$dim'")
+      // only the boundary-and-beyond records of grown variables rewrite;
+      // identical variables and earlier records never leave the disk
+      import spark.implicits._
+      val boundary = grown.map { case (v, _) =>
+        (v, (oldGeometry(v)._2 / recordSize) * recordSize)
+      }.toSeq
+      val bDf = broadcast(boundary.toDF("variable", "__from"))
+      val rows = recordRowsOf(combined, newGeometry, recordSize)
+        .join(bDf, Seq("variable")) // inner: untouched variables drop here
+        .filter(col("__flat") >= col("__from"))
+        .drop("__from")
+      writeRecordFiles(rows, root, recordSize,
+        newGeometry.map { case (v, (_, n)) => v -> n }, conf, overwrite = true)
 
-    // only the boundary-and-beyond records of grown variables rewrite;
-    // identical variables and earlier records never leave the disk
-    import spark.implicits._
-    val boundary = grown.map { case (v, _) =>
-      (v, (oldGeometry(v)._2 / recordSize) * recordSize)
-    }.toSeq
-    val bDf = broadcast(boundary.toDF("variable", "__from"))
-    val rows = recordRowsOf(combined, newGeometry, recordSize)
-      .join(bDf, Seq("variable")) // inner: untouched variables drop here
-      .filter(col("__flat") >= col("__from"))
-      .drop("__from")
-    writeRecordFiles(rows, root, recordSize,
-      newGeometry.map { case (v, (_, n)) => v -> n }, conf, overwrite = true)
-
-    // metadata last: the store is torn-read-safe throughout the append
-    val metaJson = JObject(List(
-      JField("metadata", JObject(newMetaDocs.map { case (k, v) => JField(k, v) }.toList)),
-      JField("record_size", JLong(recordSize)),
-      JField("zarr_consolidated_format", JInt(1))))
-    val out = fs.create(metaPath, true)
-    try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
-    finally out.close()
+      // metadata last: the store is torn-read-safe throughout the append
+      val metaJson = JObject(List(
+        JField("metadata", JObject(newMetaDocs.map { case (k, v) => JField(k, v) }.toList)),
+        JField("record_size", JLong(recordSize)),
+        JField("zarr_consolidated_format", JInt(1))))
+      val out = fs.create(metaPath, true)
+      try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** Materialize the BYTES each reference entry points at — one level deeper

@@ -425,6 +425,34 @@ class KerchunkProductionSpec extends AnyFunSuite {
     }.getMessage.contains("LEADING"))
   }
 
+  test("parquet-ref store takes the shared writer lease; a held lease refuses (r16)") {
+    // the third store on the shared single-writer convention (bm25/ann):
+    // write and append both hold the create-exclusive lease, so two
+    // writers refuse at acquisition instead of racing the record swap
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_lease")
+    val store = dir.resolve("store").toString
+    val entries = KerchunkIndex.read(spark, combineIndex(dir, "a", 2, 0))
+    KerchunkIndex.writeParquetRefs(entries, store, recordSize = 3)
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = graft.sources.StoreMeta.lockPath(root)
+    assert(!fs.exists(lock)) // a finished writer leaves no lease
+    fs.create(lock, false).close()
+    assert(intercept[IllegalStateException] {
+      KerchunkIndex.writeParquetRefs(entries, store, recordSize = 3)
+    }.getMessage.contains("holds the lease"))
+    assert(intercept[IllegalStateException] {
+      KerchunkIndex.appendParquetRefs(spark, store,
+        KerchunkIndex.readMany(spark, Seq(combineIndex(dir, "b", 2, 2))), "time")
+    }.getMessage.contains("holds the lease"))
+    // readers take no lease
+    assert(KerchunkIndex.readParquetRefs(spark, store).count() > 0)
+    fs.delete(lock, false)
+    KerchunkIndex.appendParquetRefs(spark, store,
+      KerchunkIndex.readMany(spark, Seq(combineIndex(dir, "b", 2, 2))), "time")
+    assert(!fs.exists(lock))
+  }
+
   test("combineAlong: a data row whose variable has no .zarray anywhere refuses (r13)") {
     // ADVICE r12: such rows were silently dropped from sources >= 1 (the
     // identical-variable filter kept only source 0's)
