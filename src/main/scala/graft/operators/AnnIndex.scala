@@ -90,6 +90,12 @@ object AnnIndex {
     // convention) — single-writer checked at acquisition, with the
     // optimistic meta recheck behind it as defense in depth
     graft.sources.StoreMeta.withWriterLock(fs, root, "annIndexBuild") {
+      // heal a crashed swap BEFORE deciding what's here (r17 — without
+      // this, a fresh build saw the crashed swap's empty root as 'nothing
+      // here', deleted the staged sibling as stale, and swapped away the
+      // parked .old: both recoverable copies destroyed without the
+      // overwrite opt-in the healed live store correctly demands below)
+      graft.sources.StoreMeta.recoverCrashedSwap(fs, root)
       val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
       if (fs.exists(metaPath))
         require(overwrite,
@@ -570,6 +576,9 @@ object AnnIndex {
                        metaPath: org.apache.hadoop.fs.Path,
                        dir: String): (Int, Long, Int, Int, Int, Long) = {
     graft.sources.StoreMeta.recoverCrashedSwap(fs, metaPath.getParent)
+    // a LIVE writer mid-swap is the one transient state left: wait out
+    // the two-rename window (bounded) instead of refusing (r17)
+    graft.sources.StoreMeta.awaitSwapWindow(fs, metaPath.getParent)
     require(fs.exists(metaPath),
       s"'$dir' is not an ann index (no meta.json — build one with annIndexBuild)")
     val j = graft.sources.StoreMeta.parseChecked(fs, metaPath, dir,

@@ -477,6 +477,12 @@ object KeywordSearch {
     // single-writer contract is checked at acquisition, not just by the
     // optimistic meta recheck (which stays behind it as defense in depth)
     graft.sources.StoreMeta.withWriterLock(fs, root, "bm25IndexBuild") {
+      // heal a crashed swap BEFORE deciding what's here (r17 — without
+      // this, a fresh build saw the crashed swap's empty root as 'nothing
+      // here', deleted the staged sibling as stale, and swapped away the
+      // parked .old: both recoverable copies destroyed without the
+      // overwrite opt-in the healed live store correctly demands below)
+      graft.sources.StoreMeta.recoverCrashedSwap(fs, root)
       val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
       if (fs.exists(metaPath))
         require(overwrite,
@@ -1108,6 +1114,9 @@ object KeywordSearch {
                             metaPath: org.apache.hadoop.fs.Path,
                             dir: String): IndexMeta = {
     graft.sources.StoreMeta.recoverCrashedSwap(fs, metaPath.getParent)
+    // a LIVE writer mid-swap is the one transient state left: wait out
+    // the two-rename window (bounded) instead of refusing (r17)
+    graft.sources.StoreMeta.awaitSwapWindow(fs, metaPath.getParent)
     require(fs.exists(metaPath),
       s"'$dir' is not a bm25 index (no meta.json — build one with bm25IndexBuild)")
     // an unknown layout version refuses loudly inside parseChecked —

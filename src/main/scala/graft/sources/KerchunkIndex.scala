@@ -258,6 +258,10 @@ object KerchunkIndex {
     val fs = try FsPaths.fileSystemFor(hPath, conf)
     catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
       FsPaths.connectorRefusal(path, e) }
+    // a parquet-ref store whose rebuild swap crashed has NO root until the
+    // next open heals it — heal before dispatching on the path's shape
+    // (a no-op for v1 JSON files and healthy stores)
+    if (!fs.exists(hPath)) StoreMeta.recoverCrashedSwap(fs, hPath, ".zmetadata")
     if (!fs.getFileStatus(hPath).isDirectory) read(spark, path, storageOptions)
     else {
       require(fs.exists(new org.apache.hadoop.fs.Path(hPath, ".zmetadata")),
@@ -307,6 +311,10 @@ object KerchunkIndex {
     catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
       FsPaths.connectorRefusal(dir, e) }
     val metaPath = new org.apache.hadoop.fs.Path(root, ".zmetadata")
+    // heal a crashed rebuild swap, then wait out a live writer's
+    // two-rename swap window (bounded) — the r17 store-open convention
+    StoreMeta.recoverCrashedSwap(fs, root, ".zmetadata")
+    StoreMeta.awaitSwapWindow(fs, root, ".zmetadata")
     val metaStatus = fs.getFileStatus(metaPath) // missing → plain FileNotFound with the path
     require(metaStatus.getLen <= (256L << 20),
       s"kerchunk parquet store '$dir': .zmetadata is ${metaStatus.getLen} bytes (cap 256 MiB) — " +
@@ -841,6 +849,9 @@ object KerchunkIndex {
     // bm25/ann convention) — the single-writer contract is checked at
     // acquisition, and a dead same-host writer's lease self-breaks
     StoreMeta.withWriterLock(fs, root, "kerchunk parquet write") {
+      // heal a crashed swap before deciding what's here (the r17 build-path
+      // rule all three stores share)
+      StoreMeta.recoverCrashedSwap(fs, root, ".zmetadata")
       if (fs.exists(root)) {
         // stale record files would shadow the new store, so a PRIOR STORE
         // (it carries .zmetadata) or an empty directory clears — but a
@@ -849,20 +860,28 @@ object KerchunkIndex {
         require(priorStore || fs.listStatus(root).isEmpty,
           s"kerchunk parquet write: '$dir' exists and is neither empty nor a " +
             "parquet reference store (.zmetadata) — refusing to delete unrelated data")
-        fs.delete(root, true)
       }
-      fs.mkdirs(root)
+      // r17: the whole store stages into the hidden sibling and swaps in
+      // only after its .zmetadata (the completion marker) writes LAST —
+      // the bm25/ann rebuild crash posture; through r16 this deleted the
+      // prior store FIRST, so a crash mid-write destroyed it with no
+      // recovery. A crash now leaves the prior store byte-intact (or, if
+      // the crash lands between swapInto's two renames, fully recoverable
+      // on the next open).
+      val staged = StoreMeta.stagedSibling(root)
+      if (fs.exists(staged)) fs.delete(staged, true) // stale crashed rebuild
+      fs.mkdirs(staged)
+      writeRecordFiles(recordRowsOf(entries, geometry, recordSize), staged,
+        recordSize, geometry.map { case (v, (_, n)) => v -> n }, conf,
+        overwrite = false)
       val metaJson = JObject(List(
         JField("metadata", JObject(metaDocs.map { case (k, v) => JField(k, v) }.toList)),
         JField("record_size", JLong(recordSize)),
         JField("zarr_consolidated_format", JInt(1))))
-      val out = fs.create(new org.apache.hadoop.fs.Path(root, ".zmetadata"), true)
+      val out = fs.create(new org.apache.hadoop.fs.Path(staged, ".zmetadata"), true)
       try out.write(JsonMethods.compact(JsonMethods.render(metaJson)).getBytes("UTF-8"))
       finally out.close()
-
-      writeRecordFiles(recordRowsOf(entries, geometry, recordSize), root,
-        recordSize, geometry.map { case (v, (_, n)) => v -> n }, conf,
-        overwrite = false)
+      StoreMeta.swapInto(fs, staged, root)
     }
   }
 
@@ -1118,6 +1137,8 @@ object KerchunkIndex {
     catch { case e: java.io.IOException if FsPaths.isNoFilesystem(e) =>
       FsPaths.connectorRefusal(dir, e) }
     StoreMeta.withWriterLock(fs, root, "kerchunk parquet append") {
+      // heal a crashed rebuild swap before reading the store (r17)
+      StoreMeta.recoverCrashedSwap(fs, root, ".zmetadata")
       val metaPath = new org.apache.hadoop.fs.Path(root, ".zmetadata")
       require(fs.exists(metaPath),
         s"kerchunk parquet append: '$dir' is not a parquet reference store (no .zmetadata)")

@@ -105,44 +105,51 @@ private[graft] object StoreMeta {
   }
 
   /** Complete a crashed [[swapInto]] on open: if the root holds no
-    * `meta.json` but a COMPLETE staged sibling does (staged meta writes
-    * LAST, so its presence proves the rebuild finished), the swap was
-    * interrupted between its two renames — finish it: staged renames in,
-    * the parked old sibling (if any) deletes, exactly the steps the
-    * crashed writer had left. Deliberately conservative: recovery only
-    * fires when the root is MISSING ENTIRELY — a meta-less root that
-    * exists holds unknown bytes (a foreign dir, a mid-write fresh build)
-    * and is never clobbered — and only under the store's WRITER LEASE
-    * (recovery IS a mutation): a live foreign writer mid-swap is left
-    * alone (its swapInto finishes the job; the reader's open fails
-    * transiently, like any read landing inside the swap window), a
-    * caller already holding the lease (a writer whose readMeta runs
-    * under [[withWriterLock]]) recovers in place, and a lease left by a
-    * DEAD same-host writer breaks automatically ([[leaseIsStale]]).
-    * Racing readers serialize on the same lease — the loser skips and
-    * retries via its own error path. Also completes the swap's LAST
-    * step when the root is live but a crash left the parked old sibling
-    * behind (the .old leak). Returns true if recovery moved anything.
-    * Both index stores call this from their meta readers, so any reader
-    * or writer heals the store. */
+    * meta document (`metaFile` — `meta.json` for the bm25/ANN stores,
+    * `.zmetadata` for the kerchunk parquet-ref store) but a COMPLETE
+    * staged sibling does (the meta writes LAST, so its presence proves
+    * the rebuild finished), the swap was interrupted between its two
+    * renames — finish it: staged renames in, the parked old sibling (if
+    * any) deletes, exactly the steps the crashed writer had left.
+    * Deliberately conservative: recovery only fires when the root is
+    * MISSING ENTIRELY — a meta-less root that exists holds unknown bytes
+    * (a foreign dir, a mid-write fresh build) and is never clobbered —
+    * and only under the store's WRITER LEASE (recovery IS a mutation): a
+    * live foreign writer mid-swap is left alone (its swapInto finishes
+    * the job; the reader's open fails transiently, like any read landing
+    * inside the swap window — [[awaitSwapWindow]] bounds that wait), a
+    * caller already holding the lease ON THIS THREAD (a writer whose
+    * readMeta runs inside [[withWriterLock]]) recovers in place, and a
+    * lease left by a DEAD same-host writer breaks automatically
+    * ([[leaseIsStale]]). Racing readers serialize on the same lease —
+    * the loser skips and retries via its own error path. Also completes
+    * the swap's LAST step when the root is live but a crash left the
+    * parked old sibling behind (the .old leak). Returns true if recovery
+    * moved anything. All three stores call this from their meta readers
+    * AND their build paths (r17 — a build that skipped recovery would
+    * read a crashed swap's empty root as 'nothing here', delete the
+    * staged sibling as stale, and swap away the parked old store:
+    * destroying BOTH recoverable copies without the overwrite opt-in the
+    * healed live store correctly demands), so any open heals the store. */
   def recoverCrashedSwap(fs: org.apache.hadoop.fs.FileSystem,
-                         root: org.apache.hadoop.fs.Path): Boolean = {
+                         root: org.apache.hadoop.fs.Path,
+                         metaFile: String = "meta.json"): Boolean = {
     val staged = stagedSibling(root)
     val old = oldSibling(root)
-    val rootLive = fs.exists(new org.apache.hadoop.fs.Path(root, "meta.json"))
+    val rootLive = fs.exists(new org.apache.hadoop.fs.Path(root, metaFile))
     val stagedComplete = !rootLive && !fs.exists(root) &&
-      fs.exists(new org.apache.hadoop.fs.Path(staged, "meta.json"))
+      fs.exists(new org.apache.hadoop.fs.Path(staged, metaFile))
     val oldLeaked = rootLive && fs.exists(old)
     if (!stagedComplete && !oldLeaked) return false
     withRecoveryLease(fs, root) {
       // re-check under the lease — the state may have healed meanwhile
       if (!fs.exists(root) &&
-          fs.exists(new org.apache.hadoop.fs.Path(staged, "meta.json"))) {
+          fs.exists(new org.apache.hadoop.fs.Path(staged, metaFile))) {
         require(fs.rename(staged, root),
           s"store recovery: rename '$staged' -> '$root' failed — the complete " +
             "rebuilt store is still at the staged path; rename it into place manually")
       }
-      if (fs.exists(new org.apache.hadoop.fs.Path(root, "meta.json")) &&
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, metaFile)) &&
           fs.exists(old))
         fs.delete(old, true)
       true
@@ -150,17 +157,53 @@ private[graft] object StoreMeta {
   }
 
   /** Run `body` for a RECOVERY action: under the caller's own lease if
-    * this process already holds it (writers' meta reads run inside
+    * THIS THREAD already holds it (writers' meta reads run inside
     * [[withWriterLock]] — re-acquiring would self-deadlock), else under
     * a freshly acquired lease; a lease held by a LIVE foreign writer
-    * skips the action (None). */
+    * skips the action (None). Ownership is per-THREAD, not per-process
+    * (r17): a reader thread in the same JVM as a live writer mid-swap
+    * must NOT treat the writer's lease as its own — 'recovering' between
+    * the writer's two renames would make the writer's own rename-in fail
+    * on a store that ended up consistent (plausible on a Spark driver
+    * serving searches during a rebuild). Such a reader skips, and its
+    * open waits out the window via [[awaitSwapWindow]]. */
   private def withRecoveryLease[T](fs: org.apache.hadoop.fs.FileSystem,
                                    root: org.apache.hadoop.fs.Path)
                                   (body: => T): Option[T] = {
     val lock = lockPath(root)
-    if (heldByThisProcess(fs, lock)) return Some(body)
+    if (heldByThisThread(fs, lock)) return Some(body)
     try Some(withWriterLock(fs, root, "store recovery")(body))
     catch { case _: IllegalStateException => None }
+  }
+
+  /** Wait out a live writer's SWAP WINDOW before a reader's open refuses
+    * (r17): when the store's meta is missing but a LIVE writer holds the
+    * lease, the likeliest state is a rebuild between its two renames —
+    * through r16 the reader failed transiently by design and production
+    * callers had to hand-roll a retry. Bounded exponential backoff
+    * (~2 s total — the window is two renames, microseconds on any real
+    * filesystem; the budget covers scheduler stalls, not long rebuilds:
+    * a rebuild holds the lease for its whole duration but the root stays
+    * live until the swap, so readers only ever wait on the swap itself).
+    * Returns without waiting when the meta exists, no live lease guards
+    * the root, or THIS THREAD is the writer (its own read of a root it
+    * has not yet swapped must refuse immediately, not stall). On budget
+    * exhaustion it simply returns — the caller's own refusal fires. */
+  def awaitSwapWindow(fs: org.apache.hadoop.fs.FileSystem,
+                      root: org.apache.hadoop.fs.Path,
+                      metaFile: String = "meta.json"): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(root, metaFile)
+    if (fs.exists(metaPath)) return
+    val lock = lockPath(root)
+    if (heldByThisThread(fs, lock)) return
+    var backoff = 10L
+    var waited = 0L
+    while (waited < 2000L && !fs.exists(metaPath) &&
+           fs.exists(lock) && !leaseIsStale(fs, lock)) {
+      Thread.sleep(backoff)
+      waited += backoff
+      backoff = math.min(backoff * 2, 500L)
+    }
   }
 
   private def leaseJson(fs: org.apache.hadoop.fs.FileSystem,
@@ -171,24 +214,51 @@ private[graft] object StoreMeta {
       Some(org.json4s.jackson.JsonMethods.parse(text))
     } catch { case _: Exception => None }
 
-  private def heldByThisProcess(fs: org.apache.hadoop.fs.FileSystem,
-                                lock: org.apache.hadoop.fs.Path): Boolean =
-    leaseJson(fs, lock).exists { j =>
-      import org.json4s._
-      ((j \ "pid"), (j \ "host")) match {
-        case (JInt(pid), JString(host)) =>
-          pid.longValue == ProcessHandle.current.pid &&
-            host == java.net.InetAddress.getLocalHost.getHostName
-        case _ => false
-      }
-    }
+  /** Lease-lock paths THIS THREAD currently holds (qualified URI strings)
+    * — the reentrancy token [[withWriterLock]] records and
+    * [[withRecoveryLease]]/[[awaitSwapWindow]] consult. Per-THREAD, not
+    * per-process (r17): pid+host matching granted a same-JVM reader
+    * thread the live writer's lease. */
+  private val threadHeldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
 
-  /** A lease is STALE when it names a SAME-HOST writer whose pid is no
-    * longer alive — the common crash (OOM kill, aborted run) on the
-    * single-node deployments the gates and tests run, where refusing
-    * forever would brick every store behind one dead process. Cross-host
-    * leases are never judged stale (no liveness oracle): those refuse
-    * with the delete-by-hand message. Unparseable leases are NOT stale
+  private def heldByThisThread(fs: org.apache.hadoop.fs.FileSystem,
+                               lock: org.apache.hadoop.fs.Path): Boolean =
+    threadHeldLocks.get.contains(fs.makeQualified(lock).toString)
+
+  /** TTL past which a lease whose HEARTBEAT has gone silent is judged
+    * abandoned by a cross-host writer. Writers re-stamp `epoch_ms` every
+    * [[leaseHeartbeatMs]] (TTL/5), so a live writer — however long its
+    * rebuild — never ages past one heartbeat; a host that died with the
+    * lease held ages to the TTL and the next acquirer breaks it instead
+    * of waiting for a human (r17 — through r16 a crashed REMOTE writer
+    * bricked the store's whole mutation plane until someone deleted the
+    * lease file by hand). CLOCK-SKEW ASSUMPTION: staleness compares the
+    * writer's stamp against the acquirer's clock, so the discipline
+    * tolerates up to TTL − heartbeat = 8 minutes of skew plus writer
+    * pause (GC, FS stall) combined — far beyond NTP drift on any managed
+    * cluster; a skewed-slow acquirer errs toward REFUSING, never toward
+    * a double writer, only a skewed-fast one could break a live lease
+    * and it would need minutes of skew. */
+  val LeaseTtlMs: Long = 10L * 60L * 1000L
+
+  /** Heartbeat period — volatile var only so the heartbeat/TTL specs can
+    * run in milliseconds; production code never writes it. */
+  @volatile private[graft] var leaseHeartbeatMs: Long = LeaseTtlMs / 5
+
+  /** A lease is STALE when its writer is provably or presumptively gone:
+    *  - SAME-HOST lease, pid no longer alive — the direct liveness
+    *    oracle, the common crash (OOM kill, aborted run) on single-node
+    *    deployments; judged instantly, no TTL wait.
+    *  - CROSS-HOST lease whose `epoch_ms` heartbeat is older than
+    *    [[LeaseTtlMs]] (r17) — no pid oracle across hosts, so liveness
+    *    is the heartbeat: every holder re-stamps on a period of TTL/5,
+    *    and a stamp 5 periods silent means the writer (or its host) died
+    *    mid-operation.
+    * A live same-host pid is never stale regardless of stamp age (the
+    * pid oracle outranks the clock), a cross-host lease inside the TTL
+    * refuses, and unparseable or stamp-less leases are NOT stale
     * (conservative — could be a half-written acquisition). */
   private def leaseIsStale(fs: org.apache.hadoop.fs.FileSystem,
                            lock: org.apache.hadoop.fs.Path): Boolean =
@@ -196,11 +266,15 @@ private[graft] object StoreMeta {
       import org.json4s._
       ((j \ "pid"), (j \ "host")) match {
         case (JInt(pid), JString(host)) =>
-          host == java.net.InetAddress.getLocalHost.getHostName &&
+          if (host == java.net.InetAddress.getLocalHost.getHostName)
             pid.longValue != ProcessHandle.current.pid && {
               val h = ProcessHandle.of(pid.longValue)
               !(h.isPresent && h.get.isAlive)
             }
+          else (j \ "epoch_ms") match {
+            case JInt(e) => System.currentTimeMillis - e.longValue > LeaseTtlMs
+            case _ => false
+          }
         case _ => false
       }
     }
@@ -221,17 +295,28 @@ private[graft] object StoreMeta {
     * the local filesystem, where the residual race is two LOCAL writers
     * in the same microsecond — still strictly stronger than the
     * unchecked convention, and the optimistic meta recheck stays behind
-    * it as defense in depth. The lease carries pid/host/time. A lease
-    * left by a crashed SAME-HOST writer (dead pid) breaks automatically
-    * on the next acquisition ([[leaseIsStale]] — partial writes from a
-    * crash are orphan batch dirs/staged siblings the store posture
-    * already tolerates, so refusing forever would just brick the store
-    * behind one dead process); a live or cross-host lease refuses with
-    * the file to delete once its writer is known dead. */
+    * it as defense in depth. The lease carries pid/host/op/heartbeat and
+    * a daemon thread RE-STAMPS `epoch_ms` every [[leaseHeartbeatMs]]
+    * while `body` runs (atomic sibling+rename rewrite — a reader never
+    * sees a missing or torn lease), so liveness is observable across
+    * hosts. A stale lease ([[leaseIsStale]]: dead same-host pid, or a
+    * cross-host heartbeat silent past [[LeaseTtlMs]]) is taken over
+    * ATOMICALLY (r17): the stale lock RENAMES aside — of N racing
+    * acquirers exactly one rename succeeds — and only the winner
+    * proceeds to the create-exclusive; r16's delete-then-create let two
+    * acquirers interleave their deletes and both create. A live lease
+    * refuses with the file to delete once its writer is known dead. */
   def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
                         root: org.apache.hadoop.fs.Path,
                         op: String)(body: => T): T = {
     val lock = lockPath(root)
+    def held() = new IllegalStateException(
+      s"$op: another writer holds the lease on '$root' ($lock) — the " +
+        "store is single-writer; retry after it finishes, or delete the " +
+        "lease file if that writer is known dead (its identity is inside)")
+    def who() = s"""{"pid": ${ProcessHandle.current.pid}, """ +
+      s""""host": "${java.net.InetAddress.getLocalHost.getHostName}", """ +
+      s""""op": "$op", "epoch_ms": ${System.currentTimeMillis}}"""
     def acquire(): org.apache.hadoop.fs.FSDataOutputStream =
       try fs.create(lock, false)
       catch { case e: java.io.IOException =>
@@ -239,22 +324,51 @@ private[graft] object StoreMeta {
         // failure (permissions, quota) surfaces as itself
         if (!fs.exists(lock)) throw e
         else if (leaseIsStale(fs, lock)) {
-          fs.delete(lock, false)
-          fs.create(lock, false) // a racing acquirer here refuses below
-        } else
-          throw new IllegalStateException(
-            s"$op: another writer holds the lease on '$root' ($lock) — the " +
-              "store is single-writer; retry after it finishes, or delete the " +
-              "lease file if that writer is known dead (its identity is inside)")
+          val aside = new org.apache.hadoop.fs.Path(lock.getParent,
+            s"${lock.getName}.broken-${ProcessHandle.current.pid}-${System.nanoTime}")
+          // losing the rename means another acquirer took the stale lease
+          // over first — the standard single-writer refusal, not a raw IO
+          // error (and never a double acquisition)
+          if (!fs.rename(lock, aside)) throw held()
+          fs.delete(aside, false)
+          try fs.create(lock, false)
+          catch { case e2: java.io.IOException =>
+            // a third acquirer slipped in between our rename and create —
+            // it holds a valid fresh lease; refuse like any held lease
+            if (fs.exists(lock)) throw held() else throw e2 }
+        } else throw held()
       }
     val out = acquire()
+    val key = fs.makeQualified(lock).toString
+    threadHeldLocks.set(threadHeldLocks.get + key)
+    // the stop flag (not just interrupt) forecloses a late re-stamp
+    // resurrecting the lease file after the release delete, should the
+    // join below ever time out on a stuck filesystem call
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val heartbeat = new Thread(() => {
+      try {
+        while (!released.get) {
+          Thread.sleep(leaseHeartbeatMs)
+          if (!released.get) atomicWriteJson(fs, lock, who())
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lease-heartbeat-${root.getName}")
+    heartbeat.setDaemon(true)
     try {
-      val who = s"""{"pid": ${ProcessHandle.current.pid}, """ +
-        s""""host": "${java.net.InetAddress.getLocalHost.getHostName}", """ +
-        s""""op": "$op", "epoch_ms": ${System.currentTimeMillis}}"""
-      try out.write(who.getBytes("UTF-8")) finally out.close()
+      try out.write(who().getBytes("UTF-8")) finally out.close()
+      heartbeat.start()
       body
-    } finally fs.delete(lock, false)
+    } finally {
+      released.set(true)
+      heartbeat.interrupt()
+      heartbeat.join(5000L)
+      threadHeldLocks.set(threadHeldLocks.get - key)
+      fs.delete(lock, false)
+      // best-effort sweep of a heartbeat rewrite interrupted mid-stage
+      val tmp = new org.apache.hadoop.fs.Path(
+        lock.getParent, s".${lock.getName}.inprogress")
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+    }
   }
 
   /** Parse a JSON file and refuse loudly unless its `format` field equals

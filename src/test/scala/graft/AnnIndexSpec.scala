@@ -292,6 +292,36 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(dir.resolve("precious.txt")))
   }
 
+  test("build-path recovery: a rebuild onto a crashed swap heals it first (r17)") {
+    // the r16 ADVICE hole: a no-overwrite build opening onto the window
+    // between swapInto's two renames saw 'nothing here', deleted the
+    // staged sibling as stale, and swapped away the parked .old —
+    // destroying BOTH recoverable copies. The build must heal first and
+    // then refuse on the healed live store.
+    val dir = freshDir("bldrec")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val other = freshDir("bldrec2")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 40), "vec_id", "embedding", other,
+      nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    val old = graft.sources.StoreMeta.oldSibling(root)
+    assert(fs.rename(root, old))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(other), staged))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dir,
+        nCells = 4, m = 8, nCentroids = 4, kmeansIters = 1) // no overwrite
+    }
+    assert(e.getMessage.contains("already holds an index"), e.getMessage)
+    assert(!fs.exists(staged) && !fs.exists(old)) // healed, nothing destroyed
+    // the healed root serves the staged (40-vector) store
+    val healedMeta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    assert(healedMeta.contains("\"n\": 40"), healedMeta)
+  }
+
   test("refuses building over an existing store without overwrite, and non-index dirs") {
     val dir = freshDir("ow")
     AnnIndex.annIndexBuild(emb.filter(col("vec_id") < 50), "vec_id", "embedding", dir,

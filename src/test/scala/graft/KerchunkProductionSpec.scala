@@ -453,6 +453,55 @@ class KerchunkProductionSpec extends AnyFunSuite {
     assert(!fs.exists(lock))
   }
 
+  test("parquet-ref rebuild stages + swaps: failed rebuild keeps the prior store; crashed swap heals (r17)") {
+    // r16 ADVICE: writeParquetRefs deleted the prior store and rebuilt in
+    // place — a crash mid-write destroyed it with no recovery, unlike the
+    // bm25/ann builds. Now it stages into the hidden sibling (.zmetadata
+    // LAST, the completion marker) and commits via the shared rename-aside
+    // swap, so the three stores share one crash posture.
+    val dir = java.nio.file.Files.createTempDirectory("kerchunk_stage")
+    val store = dir.resolve("store").toString
+    val goodA = KerchunkIndex.read(spark, combineIndex(dir, "a", 4, 0))
+    KerchunkIndex.writeParquetRefs(goodA, store, recordSize = 3)
+    val before = storeCells(store)
+    assert(before.nonEmpty)
+    // a rebuild that FAILS inside the record-file write (byte-range ref
+    // missing its length) must leave the prior store byte-intact — the
+    // failure lands in the staged sibling, never the live root
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val poisoned = KerchunkIndex.read(spark, combineIndex(dir, "b", 4, 0))
+      .withColumn("length",
+        when(col("kind") === "ref", lit(null).cast("long")).otherwise(col("length")))
+    intercept[Exception] { KerchunkIndex.writeParquetRefs(poisoned, store, recordSize = 3) }
+    assert(storeCells(store) == before)
+    // a crashed SWAP (between the two renames: root parked at .old, the
+    // complete new store at the staged sibling) heals on the next open —
+    // the staged .zmetadata committed last ⇒ the new store is authoritative
+    val fresh = dir.resolve("fresh").toString
+    KerchunkIndex.writeParquetRefs(
+      KerchunkIndex.read(spark, combineIndex(dir, "c", 3, 0)), fresh, recordSize = 3)
+    val freshCells = storeCells(fresh)
+    val root = new org.apache.hadoop.fs.Path(store)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    val old = graft.sources.StoreMeta.oldSibling(root)
+    // the poisoned rebuild above left its incomplete staged sibling (by
+    // design — the next build clears it); clear it to manufacture the
+    // crashed-swap state cleanly
+    if (fs.exists(staged)) fs.delete(staged, true)
+    assert(fs.rename(root, old))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(fresh), staged))
+    assert(storeCells(store) == freshCells) // open healed and serves the new store
+    assert(!fs.exists(staged) && !fs.exists(old))
+    // and a rebuild over a leftover .old with NO staged sibling (not a
+    // crashed swap — that always leaves the complete staged store; this is
+    // litter) clears it via swapInto's stale-sibling rule and proceeds
+    assert(fs.rename(root, old))
+    KerchunkIndex.writeParquetRefs(goodA, store, recordSize = 3)
+    assert(storeCells(store) == before)
+    assert(!fs.exists(old))
+  }
+
   test("combineAlong: a data row whose variable has no .zarray anywhere refuses (r13)") {
     // ADVICE r12: such rows were silently dropped from sources >= 1 (the
     // identical-variable filter kept only source 0's)

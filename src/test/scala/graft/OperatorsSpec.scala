@@ -2324,6 +2324,156 @@ class Bm25IndexSpec extends AnyFunSuite {
     }.getMessage.contains("broadcast cap"))
   }
 
+  test("lease TTL + heartbeat, atomic takeover, swap-window wait, build-path recovery (r17)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_r17").toString
+    val dir = base + "/idx"
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 100), "text", "doc_id", dir, overwrite = true)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = graft.sources.StoreMeta.lockPath(root)
+    def appendOne(id: Long) = KeywordSearch.bm25IndexAppend(spark, dir,
+      Seq((id, "fresh words")).toDF("doc_id", "text"), "text", "doc_id")
+    def writeLease(pid: Long, host: String, epoch: Long): Unit = {
+      val o = fs.create(lock, true)
+      try o.write(s"""{"pid": $pid, "host": "$host", "op": "t", "epoch_ms": $epoch}"""
+        .getBytes("UTF-8")) finally o.close()
+    }
+
+    // --- cross-host TTL (r17): a foreign-host lease whose heartbeat went
+    // silent past the TTL breaks on the next acquisition — through r16 a
+    // crashed REMOTE writer bricked the store's whole mutation plane until
+    // a human deleted the lease file. A FRESH foreign lease still refuses
+    // (its writer is heartbeating — alive by definition of the discipline).
+    writeLease(424242L, "some-other-host",
+      System.currentTimeMillis - graft.sources.StoreMeta.LeaseTtlMs - 1000L)
+    appendOne(6000L)
+    assert(!fs.exists(lock))
+    writeLease(424242L, "some-other-host", System.currentTimeMillis)
+    assert(intercept[IllegalStateException] { appendOne(6001L) }
+      .getMessage.contains("holds the lease"))
+    fs.delete(lock, false)
+
+    // --- heartbeat: a held lease re-stamps epoch_ms on the heartbeat
+    // period, so a LIVE cross-host writer never ages into the TTL however
+    // long its rebuild runs
+    def stamp(): Long = {
+      val in = fs.open(lock)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      import org.json4s._
+      (org.json4s.jackson.JsonMethods.parse(text) \ "epoch_ms") match {
+        case JInt(v) => v.longValue
+        case other => fail(s"lease epoch_ms is $other in: $text")
+      }
+    }
+    val savedHb = graft.sources.StoreMeta.leaseHeartbeatMs
+    try {
+      graft.sources.StoreMeta.leaseHeartbeatMs = 25L
+      graft.sources.StoreMeta.withWriterLock(fs, root, "hb-test") {
+        val first = stamp()
+        val deadline = System.currentTimeMillis + 10000L
+        var now = first
+        while (now <= first && System.currentTimeMillis < deadline) {
+          Thread.sleep(20L); now = stamp()
+        }
+        assert(now > first, "heartbeat never re-stamped the lease")
+      }
+    } finally graft.sources.StoreMeta.leaseHeartbeatMs = savedHb
+    assert(!fs.exists(lock)) // release survives the heartbeat shutdown
+
+    // --- atomic stale-lease takeover (r17): N racing acquirers over ONE
+    // stale lease — the rename-aside admits exactly one at a time (r16's
+    // delete-then-create let two interleaved acquirers both create); the
+    // rest refuse with the single-writer message or serialize behind the
+    // release. Invariant: never two holders at once.
+    val deadPid = Iterator.from(900000).find(p =>
+      !ProcessHandle.of(p.toLong).isPresent).get.toLong
+    writeLease(deadPid, java.net.InetAddress.getLocalHost.getHostName, 0L)
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val racers = (1 to 6).map { _ =>
+      new Thread(() => {
+        try graft.sources.StoreMeta.withWriterLock(fs, root, "race") {
+          val a = active.incrementAndGet()
+          maxActive.updateAndGet(m => math.max(m, a))
+          Thread.sleep(30L)
+          active.decrementAndGet()
+          wins.incrementAndGet()
+        } catch { case _: IllegalStateException => () }
+      })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(wins.get >= 1, "no racer ever acquired the stale lease")
+    assert(maxActive.get == 1, s"${maxActive.get} writers held the lease at once")
+    assert(!fs.exists(lock))
+    assert(!fs.listStatus(lock.getParent)
+      .exists(_.getPath.getName.contains(".broken-"))) // no aside litter
+
+    // --- per-thread lease ownership + swap-window wait (r17): a reader
+    // thread in the same JVM as a live writer mid-swap must NOT treat the
+    // writer's lease as its own and 'recover' between the writer's two
+    // renames (pid-granular reentrancy did — failing the writer's own
+    // rename-in); it skips recovery and its open WAITS OUT the bounded
+    // window instead of failing transiently.
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    val old = graft.sources.StoreMeta.oldSibling(root)
+    val other = java.nio.file.Files.createTempDirectory("graft_bm25_r17b").toString
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 40), "text", "doc_id", other, overwrite = true)
+    val battery = Seq(("q1", "spark hash join")).toDF("qid", "qtext")
+    @volatile var recoveredInWindow = true
+    @volatile var readerRows = -1L
+    @volatile var readerErr: Throwable = null
+    graft.sources.StoreMeta.withWriterLock(fs, root, "swap-sim") {
+      // the exact state between swapInto's two renames, lease LIVE
+      assert(fs.rename(root, old))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(other), staged))
+      val recoverer = new Thread(() =>
+        recoveredInWindow = graft.sources.StoreMeta.recoverCrashedSwap(fs, root))
+      recoverer.start(); recoverer.join()
+      assert(!recoveredInWindow, "a same-JVM reader completed a live writer's swap")
+      assert(fs.exists(staged) && !fs.exists(root)) // untouched by the skip
+      val reader = new Thread(() => {
+        try readerRows = KeywordSearch.bm25SearchIndexed(
+          spark, dir, battery, "qid", "qtext", k = 3).count()
+        catch { case t: Throwable => readerErr = t }
+      })
+      reader.start()
+      Thread.sleep(400L) // reader sits in the bounded wait, not an error
+      assert(readerErr == null, s"reader failed inside the window: $readerErr")
+      // writer completes its swap; the waiting reader proceeds
+      assert(fs.rename(staged, root))
+      fs.delete(old, true)
+      reader.join(60000L)
+      assert(readerErr == null, s"reader failed after the swap: $readerErr")
+      assert(readerRows == 3L)
+    }
+
+    // --- build-path recovery (r16 ADVICE): a rebuild WITHOUT overwrite
+    // opening onto a crashed swap must heal it and then refuse on the
+    // healed live store — not read the empty root as 'nothing here',
+    // delete the staged sibling as stale, and swap away the parked .old
+    // (destroying both recoverable copies without the overwrite opt-in)
+    val other2 = java.nio.file.Files.createTempDirectory("graft_bm25_r17c").toString
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 30), "text", "doc_id", other2, overwrite = true)
+    assert(fs.rename(root, old))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(other2), staged))
+    val e = intercept[IllegalArgumentException] {
+      KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir) // no overwrite
+    }
+    assert(e.getMessage.contains("already holds an index"), e.getMessage)
+    assert(!fs.exists(staged) && !fs.exists(old)) // healed, nothing destroyed
+    // the healed root serves the STAGED (30-doc) store — staged meta
+    // committed last ⇒ authoritative, exactly the reader-side rule
+    val healedMeta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+    assert(healedMeta.contains("\"n\": 30"), healedMeta)
+  }
+
   test("phrase scorer: frozen model scores bit-identically to the indexed search (r15)") {
     // the streaming-shaped phrase plane: tf from the doc's OWN tokens
     // (PhraseCount kernel) + df/N/avgdl frozen from the positional store
