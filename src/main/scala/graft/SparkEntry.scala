@@ -3938,6 +3938,60 @@ object SparkEntry {
         lit(disallowed == 0L).as("only_allowed_ids"))
     }),
 
+    "ann_index_search_filtered_refill" -> ((s, dir) => {
+      // r17: REFILL for filtered search — the r16 form was honest but
+      // could silently return < k when a selective predicate's survivors
+      // cluster in unprobed cells; refill = true re-probes starved
+      // queries with doubled probe counts up to the full cell span. The
+      // fixture engineers deterministic starvation at ANY scale: the
+      // predicate confines survivors to ONE cell that is not the query's
+      // own (the corpus assignment = the query's first probe, same
+      // kernel), so the 1-probe search returns ZERO rows, and because
+      // survivors occupy a single cell, whichever widening round first
+      // probes it sees ALL of them — with refine sized to cover the cell,
+      // the refilled top-k is EXACT brute force over the survivors,
+      // bit-for-bit (cosine bits included, same tie rule).
+      val emb  = T(s, dir, "embeddings")
+      val root = s"/tmp/graft_ann_rfl_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", root,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      val q = emb.filter(col("vec_id") === 7)
+      val store0 = s.read.parquet(s"$root/vectors/b0").select("id", "cell", "vec")
+        .localCheckpoint(true) // three consumers below
+      val qCell = store0.filter(col("id") === 7).select("cell").head().getInt(0)
+      val fRow = store0.filter(col("cell") =!= qCell).groupBy("cell")
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("members").desc, col("cell").asc).head()
+      val fCell = fRow.getInt(0)
+      val nSurv = fRow.getLong(1)
+      val k = 5
+      val refine = math.max(4, math.ceil(nSurv.toDouble / k).toInt)
+      val pred = Some(col("cell") === fCell)
+      val dry = graft.operators.AnnIndex.annSearchIndexed(s, root, q,
+        "vec_id", "embedding", k = k, nProbe = 1, refine = refine,
+        predicate = pred)
+      val refilled = graft.operators.AnnIndex.annSearchIndexed(s, root, q,
+        "vec_id", "embedding", k = k, nProbe = 1, refine = refine,
+        predicate = pred, refill = true)
+      import graft.functions.VectorFunctions.vec_cosine
+      val qv = q.select("embedding").head().getSeq[Float](0)
+      val brute = store0.filter(col("cell") === fCell)
+        .select(col("id").as("neighbor_id"),
+          vec_cosine(col("vec"), typedLit(qv)).as("cosine"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc).limit(k)
+        .collect().map(r =>
+          (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+      val got = refilled.orderBy("rank").collect().map(r =>
+        (r.getAs[Long]("neighbor_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("cosine"))))
+      s.range(1).select(
+        lit("ivfpq_refill").as("method"), lit(1L).as("n_queries"),
+        lit(nSurv >= k).as("fixture_has_k_survivors"),
+        lit(dry.count() == 0L).as("starved_without_refill"),
+        lit(got.length == k).as("refill_fills_k"),
+        lit(got.sameElements(brute)).as("equals_brute_force"))
+    }),
+
     "pipeline_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster + greedy keep-first prune, Dedup.semanticDedup):
       // centroid means are float sums whose exact values depend on partial
@@ -6464,6 +6518,15 @@ object SparkEntry {
         |       TRUE AS batch_equals_driver,
         |       TRUE AS only_allowed_ids
         |FROM embeddings WHERE vec_id < 3""".stripMargin,
+    // r17 refill: starvation, the k-fill, and bit-equality to brute force
+    // over the single-cell survivor set are verified in-plan; the oracle
+    // pins them TRUE
+    "ann_index_search_filtered_refill" ->
+      """SELECT 'ivfpq_refill' AS method, CAST(1 AS BIGINT) AS n_queries,
+        |       TRUE AS fixture_has_k_survivors,
+        |       TRUE AS starved_without_refill,
+        |       TRUE AS refill_fills_k,
+        |       TRUE AS equals_brute_force""".stripMargin,
 
     // r16 production-parameter hybrid fusion over the stores: the
     // equality against the fusion of the independently-gated forms is

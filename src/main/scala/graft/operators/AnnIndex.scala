@@ -251,17 +251,35 @@ object AnnIndex {
     * store row (id, cell, codes, vnorm, vec — in practice the id, with
     * metadata reduced to an id predicate or semi-joined upstream) applied
     * PRE-RANK, so the `k·refine` short list draws entirely from
-    * survivors (automatic refill — disallowed vectors never occupy
-    * short-list slots) and results are exactly the unfiltered search of
-    * an index holding only the allowed vectors under the same frozen
-    * model (the gate's pin). Composes WITH the probed-cell pruning: the
-    * predicate sits above the scan next to the tombstone anti-join, so
-    * PartitionFilters and column pruning are untouched (plan-pinned) —
-    * an id predicate even pushes into the scan itself. */
+    * survivors (disallowed vectors never occupy short-list slots) and
+    * results are exactly the unfiltered search of an index holding only
+    * the allowed vectors under the same frozen model (the gate's pin).
+    * Composes WITH the probed-cell pruning: the predicate sits above the
+    * scan next to the tombstone anti-join, so PartitionFilters and column
+    * pruning are untouched (plan-pinned) — an id predicate even pushes
+    * into the scan itself.
+    *
+    * `refill` (r17) closes the residual under-fill: probing still visits
+    * only the `nProbe` cells nearest the query, so under a SELECTIVE
+    * predicate the survivors may cluster in unprobed cells and the result
+    * runs dry below `k` — honest per the contract, surprising in
+    * production, where vector search auto-widens. With `refill = true`,
+    * any query returning fewer than `k` rows re-probes with the probe
+    * count DOUBLED (×2 per round, capped at the store's cell count) until
+    * it fills or the probes span every cell — at full span the candidate
+    * set IS every survivor, so a still-short result means the filtered
+    * store genuinely holds fewer than `k` vectors. Queries already filled
+    * keep their original rows untouched (widening is per-query — the
+    * spec's pin); the default stays `false` so fixed-parameter results
+    * remain bit-reproducible against [[Similarity.pqTopK]]. Driver-side
+    * iteration is sound here because this form's battery is ALREADY
+    * driver-sized by contract and each round's result is at most
+    * `k × queries` rows. */
   def annSearchIndexed(spark: SparkSession, dir: String,
                        queries: DataFrame, qidCol: String, qvecCol: String,
                        k: Int = 10, nProbe: Int = 8, refine: Int = 4,
-                       predicate: Option[Column] = None): DataFrame = {
+                       predicate: Option[Column] = None,
+                       refill: Boolean = false): DataFrame = {
     require(k >= 1 && nProbe >= 1 && refine >= 1,
       s"annSearchIndexed: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
     val (dim, cents, books, unfiltered) = openStore(spark, dir, "annSearchIndexed")
@@ -276,32 +294,58 @@ object AnnIndex {
         s"annSearchIndexed: query '${r.get(0)}' has dim $d, index at '$dir' holds dim $dim")
     }
 
-    val perQuery = qRows.map { r =>
-      val qid = r.get(0)
-      val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
-      // probe order and ADC table: ONE copy of the driver math, shared
-      // with pqTopK (Similarity.pqProbeOrder / pqAdcTable) — the
-      // bit-identity contract between the forms is structural, not
-      // parallel-maintenance
-      val probed: Seq[Int] = Similarity.pqProbeOrder(qv, cents).take(nProbe)
-      var qn0 = 0.0
-      qv.foreach(x => qn0 += x.toDouble * x.toDouble)
-      val qNorm = math.sqrt(qn0)
-      val table = Similarity.pqAdcTable(qv, books)
-      val adc = GraftColumnBridge.column(graft.functions.PqAdcDot(
-        GraftColumnBridge.expression(col("codes")), table))
-      store
-        .filter(col("cell").isin(probed.map(Int.box): _*))
-        .select(typedLit(qid).as("query_id"), col("id").as("neighbor_id"),
-          (adc / (lit(qNorm) * col("vnorm"))).as("__approx"))
-    }.reduce(_ unionByName _)
+    def searchAt(rows: Array[org.apache.spark.sql.Row], probes: Int): DataFrame = {
+      val perQuery = rows.map { r =>
+        val qid = r.get(0)
+        val qv = r.getAs[scala.collection.Seq[Float]](1).toArray
+        // probe order and ADC table: ONE copy of the driver math, shared
+        // with pqTopK (Similarity.pqProbeOrder / pqAdcTable) — the
+        // bit-identity contract between the forms is structural, not
+        // parallel-maintenance
+        val probed: Seq[Int] = Similarity.pqProbeOrder(qv, cents).take(probes)
+        var qn0 = 0.0
+        qv.foreach(x => qn0 += x.toDouble * x.toDouble)
+        val qNorm = math.sqrt(qn0)
+        val table = Similarity.pqAdcTable(qv, books)
+        val adc = GraftColumnBridge.column(graft.functions.PqAdcDot(
+          GraftColumnBridge.expression(col("codes")), table))
+        store
+          .filter(col("cell").isin(probed.map(Int.box): _*))
+          .select(typedLit(qid).as("query_id"), col("id").as("neighbor_id"),
+            (adc / (lit(qNorm) * col("vnorm"))).as("__approx"))
+      }.reduce(_ unionByName _)
+      // rescore from the ALREADY-COLLECTED battery rows, not a re-read of
+      // `queries` (a non-deterministic battery could diverge between the
+      // two evaluations — the pqTopK fix, mirrored)
+      val qVec = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), qProj.schema))
+      rescoreTopK(perQuery, store, qVec, k, refine)
+    }
 
-    // rescore from the ALREADY-COLLECTED battery rows, not a re-read of
-    // `queries` (a non-deterministic battery could diverge between the two
-    // evaluations — the pqTopK fix, mirrored)
-    val qVec = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), qProj.schema))
-    rescoreTopK(perQuery, store, qVec, k, refine)
+    if (!refill) return searchAt(qRows, nProbe)
+    val nCells = cents.length
+    val kept = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    var outSchema: org.apache.spark.sql.types.StructType = null
+    var remaining = qRows
+    var probes = math.min(nProbe, nCells)
+    while (remaining.nonEmpty) {
+      val res = searchAt(remaining, probes)
+      outSchema = res.schema
+      val rows = res.collect() // ≤ k × |remaining| by construction
+      val fill = rows.groupBy(_.get(0)).view.mapValues(_.length).toMap
+      val starved = remaining.filter(r => fill.getOrElse(r.get(0), 0) < k)
+      if (starved.isEmpty || probes >= nCells) {
+        kept ++= rows // at full span a short query has < k survivors, period
+        remaining = Array.empty
+      } else {
+        val starvedIds = starved.map(_.get(0)).toSet
+        kept ++= rows.filterNot(r => starvedIds.contains(r.get(0)))
+        remaining = starved
+        probes = math.min(probes * 2, nCells)
+      }
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(kept.toSeq: _*), outSchema)
   }
 
   /** Compact a many-batch store into a fresh single-batch store at

@@ -292,6 +292,63 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(dir.resolve("precious.txt")))
   }
 
+  test("filtered-search refill: starved queries widen probes to k; filled queries untouched (r17)") {
+    // the r16 residual: the predicate applies pre-rank but probing still
+    // visits only the nProbe cells nearest the query — a selective
+    // predicate whose survivors cluster in unprobed cells runs the short
+    // list dry below k, silently. refill = true re-probes starved queries
+    // with doubled probe counts up to the full cell span, where the
+    // candidate set IS every survivor.
+    val dir = freshDir("refill")
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2)
+    val q = emb.filter(col("vec_id") === 7)
+    val k = 5
+    // ~1/97 selectivity: survivors live in a handful of cells, so a
+    // 1-probe search starves; survivor count stays under k·refine = 20,
+    // so the full-span refill result must equal EXACT brute force
+    val pred = Some(col("id") % 97 === 0)
+    val survivors = emb.filter(col("vec_id") % 97 === 0)
+    val nSurv = survivors.count()
+    assert(nSurv >= k && nSurv <= k * 4L, s"fixture drifted: $nSurv survivors")
+    val dry = AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = k, nProbe = 1, refine = 4, predicate = pred)
+    assert(dry.count() < k, "pre-condition lost: the 1-probe search did not starve")
+    val filled = collectTopK(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = k, nProbe = 1, refine = 4, predicate = pred, refill = true))
+    assert(filled.size == k)
+    // exact brute force over the survivors, same (cosine desc, id asc) tie rule
+    import graft.functions.VectorFunctions.vec_cosine
+    val qv = q.select(col("embedding")).head().getSeq[Float](0)
+    val brute = survivors
+      .select(col("vec_id").as("neighbor_id"),
+        vec_cosine(col("embedding"), typedLit(qv)).as("cosine"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc).limit(k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(filled.map(t => (t._3.asInstanceOf[Long], t._4)).toSeq == brute.toSeq)
+    // a query that genuinely has fewer than k survivors fills to ALL of
+    // them and stops at the cell span (honest short result, never a loop)
+    val tiny = Some(col("id") % 499 === 0)
+    val nTiny = emb.filter(col("vec_id") % 499 === 0).count()
+    assert(nTiny < k)
+    assert(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id", "embedding",
+      k = k, nProbe = 1, refine = 4, predicate = tiny, refill = true)
+      .count() == nTiny)
+    // widening only fires on STARVED queries: where the plain search
+    // already fills, refill returns bit-identical rows
+    val unstarved = collectTopK(AnnIndex.annSearchIndexed(
+      spark, dir, q, "vec_id", "embedding", k = k, nProbe = 1, refine = 4))
+    val unstarvedR = collectTopK(AnnIndex.annSearchIndexed(
+      spark, dir, q, "vec_id", "embedding", k = k, nProbe = 1, refine = 4,
+      refill = true))
+    assert(unstarved.size == k && unstarved == unstarvedR)
+    val full = collectTopK(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id",
+      "embedding", k = k, nProbe = 16, refine = 4, predicate = pred))
+    val fullR = collectTopK(AnnIndex.annSearchIndexed(spark, dir, q, "vec_id",
+      "embedding", k = k, nProbe = 16, refine = 4, predicate = pred, refill = true))
+    assert(full == fullR)
+  }
+
   test("build-path recovery: a rebuild onto a crashed swap heals it first (r17)") {
     // the r16 ADVICE hole: a no-overwrite build opening onto the window
     // between swapInto's two renames saw 'nothing here', deleted the
