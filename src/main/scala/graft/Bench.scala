@@ -88,7 +88,15 @@ object Bench {
     // deployment runs daily; correctness carried by the
     // search_bm25_indexed / ann_index_search gate families). New series:
     // no prior-round comparables; frozen subtotals untouched.
-    "bm25_index_cycle", "ann_index_cycle")
+    "bm25_index_cycle", "ann_index_cycle",
+    // r17: battery-as-data POSITIONAL retrieval — a 1,000-phrase battery
+    // (each probe = a document's leading 3 words) through ONE fixed
+    // positions-scan plan over a pre-built positional store (store build
+    // is warmup, not query work — the search is the operation; the
+    // per-phrase form at this battery size would plan 1,000 scan
+    // branches). Correctness carried by the search_bm25_phrase_batch /
+    // search_bm25_near_batch gates.
+    "search_bm25_phrase_batch_1k")
 
   /** FROZEN at the round-10 headline set (37 rows). The artifact's
     * `shared_rows_total` sums exactly these, so future rounds that add
@@ -227,6 +235,19 @@ object Bench {
       graft.operators.KeywordSearch.bm25SearchIndexed(
         s, root, battery, "qid", "qtext", k = 10)
     }),
+    // r17: the 1k-phrase battery over the warmup-built positional store —
+    // battery as DATA (one positions scan, one occurrence join), the
+    // decontamination sweep shape. Reads only; the store is prepared once
+    // per run in the warmup block (benchPhraseStore).
+    "search_bm25_phrase_batch_1k" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val battery = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 1000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 3)).as("qtext"))
+      graft.operators.KeywordSearch.bm25PhraseBatch(
+        s, benchPhraseStore(dir), battery, "qid", "qtext", k = 10)
+    }),
     // r15: the vector-store lifecycle — train + encode + cell-partitioned
     // write, append the odd half under the frozen model, search a 3-query
     // battery (partition-pruned ADC + exact re-rank).
@@ -247,6 +268,12 @@ object Bench {
   /** sf-dir → filesystem-safe token for per-sf /tmp store paths (the
     * SparkEntry.tmpToken convention — one copy per file, same regex). */
   private def pathToken(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** The positional store the phrase-battery row searches — built ONCE per
+    * bench run in the warmup block (store build is artifact prep, like
+    * ensureCatalog; the row times the SEARCH). */
+  private def benchPhraseStore(dir: String): String =
+    s"/tmp/graft_bench_posidx_${pathToken(dir)}"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -332,6 +359,11 @@ object Bench {
       // setup, not query work — build them outside the timed region
       graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)
       SparkEntry.ensureCsvFixture(spark, sfDir)
+      // the phrase-battery row's positional store: rebuilt once per run
+      // (overwrite resets via the staged swap) — store prep, not query work
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
+        benchPhraseStore(sfDir), overwrite = true, positions = true)
     }
     val all = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val runnable = SparkEntry.queries ++ extras
@@ -369,6 +401,43 @@ object Bench {
       if (acc == Long.MinValue) System.err.println("") // consume, never taken
       (System.nanoTime() - t0) / 1e9
     }
+    // MACHINE-ANCHOR sentinel (r17): a fixed, PINNED workload — scan+agg
+    // over a frozen parquet written once under target/ — timed at every
+    // sweep boundary like the sentinels. The CPU and allocation sentinels
+    // are pure-JVM, so environment drift in I/O latency or effective core
+    // speed escapes BOTH (the r16 lesson: the official artifact read +21%
+    // vs r15 on untouched rows at clean sentinels, and could not say why).
+    // anchor_sec (the min) is the cross-round environment comparable: a
+    // round whose anchor moved is a machine that moved — adjudicate code
+    // deltas with same-window interleaved control pairs, never across
+    // rounds. The data is deterministic (range-derived), so every round
+    // times the same bytes; the _v1 suffix pins the layout — changing the
+    // workload means a new name and a fresh BASELINE.md band.
+    val anchorPath = "target/bench_anchor_v1.parquet"
+    def ensureAnchor(): Unit =
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(anchorPath, "_SUCCESS"))) {
+        import org.apache.spark.sql.functions._
+        spark.range(0L, 10000000L, 1L, 8)
+          .select(col("id"), (col("id") % 1000L).as("k"),
+            xxhash64(col("id")).as("h"),
+            (col("id") % 262144L).cast("double").as("d"))
+          .write.mode("overwrite").parquet(anchorPath)
+      }
+    def anchorRun(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(anchorPath).groupBy("k")
+        // pmod keeps the ANSI sum far from Long overflow while still
+        // forcing every h value through the CPU
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("h"),
+            org.apache.spark.sql.functions.lit(1000000L))),
+          org.apache.spark.sql.functions.sum("d"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)))
+        .queryExecution.toRdd.foreach(_ => ())
+      (System.nanoTime() - t0) / 1e9
+    }
     // cumulative stop-the-world GC time across all collectors — the
     // per-sweep deltas ride the artifact so a GC-mode window is visible
     // in the snapshot itself (which sweep, how much)
@@ -379,6 +448,7 @@ object Bench {
     }
     calibrate() // compile/JIT the calibration shapes themselves outside the measure
     calibrateAlloc(); calibrateAlloc() // twice: the alloc loop JITs in tiers
+    ensureAnchor(); anchorRun() // write-if-missing + JIT the anchor shapes
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     // ≥3 timed samples per query, report the min: a transient load spike
     // poisons individual samples, so a noisy scheduling window can no
@@ -428,6 +498,7 @@ object Bench {
     // between two calm endpoints (how the r10 window evaded the sentinel)
     val calib = scala.collection.mutable.ArrayBuffer(calibrate())
     val alloc = scala.collection.mutable.ArrayBuffer(calibrateAlloc())
+    val anchorSamples = scala.collection.mutable.ArrayBuffer(anchorRun())
     val gcMarks = scala.collection.mutable.ArrayBuffer(gcMs())
     for (_ <- 1 to samples) {
       names.foreach { name =>
@@ -435,6 +506,7 @@ object Bench {
       }
       calib += calibrate()
       alloc += calibrateAlloc()
+      anchorSamples += anchorRun()
       gcMarks += gcMs()
     }
     // samples disagreeing >2× mark a query whose every sweep may have been
@@ -524,11 +596,15 @@ object Bench {
         "bimodal; rerun before comparing allocation-heavy rows")
     val gcSweepMs = gcMarks.sliding(2).map(p => p(1) - p(0)).toSeq
     val calibJson = s""""calib_ok":$calibOk,"calib_spread":${fmt(calibSpread)},""" +
-      s""""alloc_ok":$allocOk,"alloc_spread":${fmt(allocSpread)},"""
+      s""""alloc_ok":$allocOk,"alloc_spread":${fmt(allocSpread)},""" +
+      // the machine-anchor scalar (min of the per-boundary samples): the
+      // cross-round environment comparable — BASELINE.md carries its band
+      s""""anchor_sec":${fmt(anchorSamples.min)},"""
     // per-sweep detail (arrays) rides only bench_full.json — the stdout
     // line sits ~1.8 KB against the harness's 2,000-char captured tail
     val heapDetailJson = s""""alloc_sec":[${alloc.map(fmt).mkString(",")}],""" +
-      s""""gc_sweep_ms":[${gcSweepMs.mkString(",")}],"""
+      s""""gc_sweep_ms":[${gcSweepMs.mkString(",")}],""" +
+      s""""anchor_samples":[${anchorSamples.map(fmt).mkString(",")}],"""
     // stdout carries the resample COUNT only: the r11 official artifact's
     // 39-name resampled array pushed the line past the harness's 2,000-char
     // captured tail and the driver recorded parsed=null — the full name

@@ -3510,6 +3510,50 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    "search_bm25_phrase_batch" -> ((s, dir) => {
+      // r17: BATTERY-AS-DATA phrase retrieval — the decontamination
+      // shape (thousands of eval-set phrase probes), where the battery
+      // is a DataFrame and the plan is ONE positions scan regardless of
+      // battery size (plan-pinned in PlanAuditSpec; the per-phrase form
+      // plans a scan branch per phrase). Same battery and same
+      // independent string-adjacency oracle as search_bm25_phrase, so
+      // the gate pins the two forms hash-equal through the shared
+      // scoring tail — score bits included.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_pb_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      graft.operators.KeywordSearch.bm25PhraseBatch(s, root,
+          Seq(("p_hash_join", "hash join"),
+              ("p_table_scan", "table scan"),
+              ("p_batch2", "the batch batch")).toDF("qid", "qtext"),
+          "qid", "qtext", k = 10)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "search_bm25_near_batch" -> ((s, dir) => {
+      // r17: the NEAR-k twin of search_bm25_phrase_batch — the same
+      // banded-proximity vote at slop = 1, battery as data, one fixed
+      // plan; same battery and windowed-indexing oracle as
+      // search_bm25_near, pinning the forms hash-equal.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_nb_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      graft.operators.KeywordSearch.bm25PhraseBatch(s, root,
+          Seq(("n_hash_join", "hash join"),
+              ("n_table_scan", "table scan"),
+              ("n_batch2", "the batch batch")).toDF("qid", "qtext"),
+          "qid", "qtext", k = 10, slop = 1)
+        .select(col("query_id"), col("rank").cast(LongType).as("rank"),
+          col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "rank")
+    }),
+
     "search_bm25_near" -> ((s, dir) => {
       // r16: PROXIMITY (NEAR-k) retrieval over the positional store —
       // the sloppy-phrase query, answered from the same positions plane
@@ -4495,6 +4539,15 @@ object SparkEntry {
     // refine spanning the corpus ⇒ the exact re-rank IS brute force), so
     // the fused ranking shares the one DuckDB truth verbatim
     ("search_hybrid_indexed" -> oracleSqlBase("search_hybrid_rrf")) +
+    // SAME oracle as the per-phrase form (r17): the battery-as-data form
+    // runs the identical adjacency vote through ONE positions scan and
+    // the shared scoring tail — same battery, hash-equal rows against
+    // the same independent string-adjacency truth
+    ("search_bm25_phrase_batch" -> oracleSqlBase("search_bm25_phrase")) +
+    // SAME oracle as the per-phrase NEAR form (r17): the banded vote at
+    // slop = 1 with the battery as data — hash-equal rows against the
+    // same windowed-indexing truth
+    ("search_bm25_near_batch" -> oracleSqlBase("search_bm25_near")) +
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +

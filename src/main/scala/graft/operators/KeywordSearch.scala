@@ -757,9 +757,22 @@ object KeywordSearch {
     // second consumer (the batteryTerms/filtered-postings precedent)
     val occurrences = scope.persisted(phraseOccurrences(plane, perPhrase, slop),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-phrase df as an aggregate + broadcast-back (ONE row per phrase
-    // — a window over query_id would funnel a common phrase's full match
-    // set through one reducer), then the Okapi pseudo-term score
+    phraseScoreTail(spark, dir, meta, occurrences, k, k1, b)
+  }
+
+  /** The Okapi pseudo-term scoring tail shared by [[bm25PhraseTopK]] and
+    * [[bm25PhraseBatch]] — ONE copy of the float expression shapes, so
+    * the two forms' scores are bit-identical structurally, not by
+    * parallel maintenance: per-phrase df as an aggregate + broadcast-back
+    * (ONE row per phrase — a window over query_id would funnel a common
+    * phrase's full match set through one reducer), then idf/norm from the
+    * meta's live n/avgdl and the shared (score desc, doc_id asc) tie
+    * rule. `occurrences` carries (query_id, doc_id, tf). */
+  private def phraseScoreTail(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, meta: IndexMeta,
+                              occurrences: DataFrame, k: Int,
+                              k1: Double, b: Double): DataFrame = {
+    val avgdl = meta.sumdl.toDouble / meta.n.toDouble
     val dfTab = occurrences.groupBy("query_id")
       .agg(count(lit(1)).cast(DoubleType).as("__df"))
     val docsPlane = dropTombstoned(spark,
@@ -777,6 +790,129 @@ object KeywordSearch {
         Seq(col("score").desc, col("doc_id").asc), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("dl"), col("tf"))
+  }
+
+  /** BATTERY-AS-DATA phrase/NEAR retrieval (r17) — [[bm25PhraseTopK]]'s
+    * scale sibling, completing the [[bm25Batch]] doctrine on the
+    * POSITIONS plane: the battery is a DATAFRAME of (phrase id, phrase
+    * text), and the plan is ONE fixed shape — one positions scan, one
+    * occurrence join — regardless of battery size, where the per-phrase
+    * form plans a positions-scan branch PER PHRASE and degrades on plan
+    * size past a few hundred phrases (its documented bound). This is the
+    * decontamination shape: thousands-to-millions of eval-set phrase
+    * probes swept against the indexed corpus in one job.
+    *
+    * Identical semantics, relationally: the battery tokenizes IN-PLAN
+    * (same [[Dedup.tokens]] contract as the corpus and as the per-phrase
+    * form's driver mirror — the bm25TopK/bm25Batch parity precedent) into
+    * (query_id, ord, term) occurrence rows; each position `p` of term `t`
+    * joined to an ordinal `ord` votes starts `p − ord − slop … p − ord`;
+    * a (query, doc, start) with ALL the phrase's ordinals voting (counted
+    * DISTINCT at slop > 0, plain at slop = 0 where votes are unique) is a
+    * match, and the per-doc match count is the phrase tf. Phrase length
+    * rides the occurrence rows as max(ord)+1 per query. Scores are
+    * BIT-IDENTICAL to [[bm25PhraseTopK]] over the same battery (integer
+    * tf/df into the SHARED [[phraseScoreTail]]) — the gate's pin.
+    *
+    * Differences owed to battery-as-data (the bm25Batch conventions): a
+    * zero-token phrase ranks nothing instead of refusing the whole
+    * battery (a million-probe sweep must not abort on one blank probe),
+    * and the vocabulary prunes ADAPTIVELY — ≤ [[SmallVocabCap]] distinct
+    * terms collect into a pushed `term IN (…)` over the term-sorted
+    * layout (row-group skipping); past it the vocabulary stays data and
+    * semi-joins (the honest full-plane cost of a corpus-scale battery). */
+  def bm25PhraseBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      phrases: DataFrame, qidCol: String, qtextCol: String,
+                      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                      scope: CacheScope = CacheScope.untracked,
+                      slop: Int = 0): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val meta = readIndexMeta(fs,
+      new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(slop >= 0, s"bm25PhraseBatch: slop must be >= 0, got $slop")
+    require(meta.positions,
+      s"bm25PhraseBatch: index at '$dir' was built without the positions " +
+        "plane — rebuild or compact from a build with positions = true")
+    require(meta.n > 0, s"bm25PhraseBatch: index at '$dir' holds no documents")
+    // battery → persisted (query_id, ord, term) occurrence rows (the
+    // bm25Batch front half); one tiny geometry action decides the
+    // vocabulary-pruning branch, exactly like bm25SearchIndexed
+    val qTerms = batteryTerms(phrases, qidCol, qtextCol, scope)
+    val nTerms = qTerms.agg(countDistinct(col("term"))).collect()(0).getLong(0)
+    val smallVocab: Option[Seq[String]] =
+      if (nTerms > 0 && nTerms <= SmallVocabCap)
+        Some(qTerms.select("term").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq)
+      else None
+    def prunedPlane(name: String): DataFrame = {
+      val plane = dropTombstoned(spark,
+        readPlane(spark, dir, name, meta.batches), dir, meta.tombBatches)
+      smallVocab match {
+        case Some(terms) => plane.filter(col("term").isin(terms: _*))
+        case None => plane.join(qTerms.select("term").distinct(),
+          Seq("term"), "left_semi")
+      }
+    }
+    // RAREST-TERM candidate pruning (the classic posting-list
+    // intersection order, relationally): a doc can match a phrase only
+    // if it holds ALL the phrase's terms, so only docs holding the
+    // phrase's LOWEST-df term need their positions inspected. df comes
+    // from the TF plane (one row per (term, doc) — no position arrays,
+    // no explode), candidates are an equality join on that one term per
+    // query, and only candidate (term, doc) position ARRAYS explode.
+    // Without this, a battery probe containing a stop word explodes that
+    // word's every corpus position times its battery multiplicity —
+    // measured 27 s for a 1k-probe battery at sf0.1, vs ~3 s pruned.
+    // A query with a corpus-absent term drops out entirely (df = 0 ⇒ no
+    // doc can match — both forms emit nothing for it).
+    val postPruned = prunedPlane("postings").select("term", "doc_id")
+    val termDf = postPruned.groupBy("term").agg(count(lit(1)).as("__tdf"))
+    // per-query rarest term: min over (df, term) — the term tie-break
+    // keeps the choice deterministic; an inner join drops absent terms,
+    // and the len recheck below drops queries that lost any term to it
+    val qDistinct = qTerms.select("query_id", "term").distinct()
+    val qLen = qTerms.groupBy("query_id")
+      .agg((max(col("ord")) + lit(1)).cast(LongType).as("__len"),
+        countDistinct(col("term")).as("__nt"))
+    val qRare = qDistinct.join(termDf, Seq("term"))
+      .groupBy("query_id")
+      .agg(min(struct(col("__tdf"), col("term"))).as("__m"),
+        count(lit(1)).as("__present"))
+      .join(qLen, Seq("query_id"))
+      .filter(col("__present") === col("__nt")) // every term in the corpus
+      .select(col("query_id"), col("__m.term").as("term"), col("__len"))
+    val candidates = qRare.join(postPruned, Seq("term"))
+      .select("query_id", "doc_id", "__len")
+    // expected occurrences per candidate doc: |candidates| × phrase len —
+    // then ONE positions join keyed (term, doc_id) pulls exactly the
+    // arrays the vote needs; explode runs per candidate row, never per
+    // corpus position of a battery term
+    val expected = candidates.join(qTerms.select("query_id", "ord", "term"),
+      Seq("query_id"))
+    val votes = expected.join(prunedPlane("positions"), Seq("term", "doc_id"))
+      .select(col("query_id"), col("doc_id"), col("ord"), col("__len"),
+        explode(col("positions")).as("p"))
+    val starts =
+      if (slop == 0) votes.select(col("query_id"), col("doc_id"),
+        (col("p") - col("ord")).as("start"), col("ord"), col("__len"))
+      else votes.select(col("query_id"), col("doc_id"),
+        explode(sequence(col("p") - col("ord") - lit(slop),
+          col("p") - col("ord"))).as("start"), col("ord"), col("__len"))
+    // slop = 0 votes are unique per (query, doc, start, ord) — a term's
+    // positions are distinct and each (term, ord) pairing is one battery
+    // row — so the plain count IS the distinct count (the
+    // phraseOccurrences rule, same reasoning)
+    val nOrd = if (slop == 0) count(lit(1)) else count_distinct(col("ord"))
+    val occurrences = scope.persisted(
+      starts.filter(col("start") >= 0)
+        .groupBy("query_id", "doc_id", "start")
+        .agg(nOrd.as("__nOrd"), max(col("__len")).as("__l"))
+        .filter(col("__nOrd") === col("__l"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tf")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    phraseScoreTail(spark, dir, meta, occurrences, k, k1, b)
   }
 
   /** Matched (query_id, doc_id, tf) rows for a phrase battery over the

@@ -2510,6 +2510,55 @@ class Bm25IndexSpec extends AnyFunSuite {
       KeywordSearch.bm25PhraseModelFromIndex(spark, flat, phrases)
     }.getMessage.contains("without the positions plane"))
   }
+
+  test("battery-as-data phrase retrieval: bit-identical to the per-phrase form, exact and NEAR (r17)") {
+    // the per-phrase form plans one positions-scan branch per phrase; the
+    // batch form keeps the battery as DATA — one fixed plan. Semantics
+    // must agree to the score BITS on the same battery, at slop = 0 and
+    // slop > 0, including repeated-term phrases and zero-match probes.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_pbatch").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir,
+      overwrite = true, positions = true)
+    val phrases = Seq(("p1", "hash join"), ("p2", "table scan"),
+      ("p3", "the the"), ("pz", "zzznope zzznope"), ("p4", "query"))
+    import spark.implicits._
+    val battery = phrases.toDF("qid", "qtext")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), r.getLong(4),
+        r.getLong(5))).toSet
+    for (slop <- Seq(0, 2)) {
+      val perPhrase = key(KeywordSearch.bm25PhraseTopK(spark, dir, phrases,
+        k = 25, slop = slop))
+      val asData = key(KeywordSearch.bm25PhraseBatch(spark, dir, battery,
+        "qid", "qtext", k = 25, slop = slop))
+      assert(perPhrase.nonEmpty && asData == perPhrase, s"slop=$slop")
+    }
+    // battery-as-data conventions: a zero-token probe ranks nothing
+    // instead of refusing the sweep (the bm25Batch rule)
+    val withBlank = (phrases :+ ("pe", "   ")).toDF("qid", "qtext")
+    val out = KeywordSearch.bm25PhraseBatch(spark, dir, withBlank, "qid", "qtext", k = 5)
+    assert(out.filter(col("query_id") === "pe").count() == 0L)
+    assert(out.filter(col("query_id") === "p1").count() > 0L)
+    // a big battery forces the semi-join vocabulary branch and agrees
+    // with the pushed-IN branch on the shared probes: build 1,200
+    // distinct-term two-word probes around the real ones
+    val big = (phrases ++ (0 until 1200).map(i => (s"x$i", s"zz${i}a zz${i}b")))
+      .toDF("qid", "qtext")
+    val bigOut = key(KeywordSearch.bm25PhraseBatch(spark, dir, big,
+      "qid", "qtext", k = 25))
+    val smallOut = key(KeywordSearch.bm25PhraseBatch(spark, dir, battery,
+      "qid", "qtext", k = 25))
+    assert(bigOut == smallOut) // the x* probes match nothing; scores agree bit-for-bit
+    // non-positional store refuses loudly
+    val flat = java.nio.file.Files.createTempDirectory("graft_bm25_pbflat").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", flat, overwrite = true)
+    assert(intercept[IllegalArgumentException] {
+      KeywordSearch.bm25PhraseBatch(spark, flat, battery, "qid", "qtext")
+    }.getMessage.contains("without the positions plane"))
+  }
 }
 
 class PqSpec extends AnyFunSuite {

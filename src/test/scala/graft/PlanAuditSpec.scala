@@ -532,6 +532,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("battery-as-data phrase retrieval: ONE positions scan at any battery size (r17)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_pbaudit").toString
+    graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", idx,
+      overwrite = true, positions = true)
+    import spark.implicits._
+    def planOf(n: Int): String = {
+      val batt = (("p0", "hash join") +:
+        (1 until n).map(i => (s"p$i", s"qzx${i}a qzx${i}b"))).toDF("qid", "qtext")
+      graft.operators.KeywordSearch.bm25PhraseBatch(spark, idx, batt,
+        "qid", "qtext", k = 5).queryExecution.executedPlan.toString
+    }
+    // NOTE on counting: the persisted occurrence subtree prints once under
+    // EACH of its two consumers (the df aggregate and the scoring join),
+    // so one physical positions scan displays as exactly 2 plan strings —
+    // the pin is that the count is that CONSTANT, independent of battery
+    // size, while the per-phrase form's count is linear (2 per phrase).
+    def posScans(p: String): Int =
+      p.linesIterator.count(l => l.contains("FileScan parquet") && l.contains("/positions/"))
+    // small battery: one positions scan plus the tf-plane reads the
+    // rarest-term candidate prune needs (df + candidates — position
+    // ARRAYS explode only for candidate docs), zero corpus reads, the
+    // union vocabulary pushed as `term IN (…)` over the term-sorted layout
+    val small = planOf(3)
+    assert(posScans(small) == 2, small.take(3000))
+    assert(!small.contains("documents.parquet"), small.take(3000))
+    assert(small.contains("/postings/"), small.take(3000))
+    assert(small.contains("PushedFilters: [In(term"), small.take(3000))
+    // past SmallVocabCap distinct terms the vocabulary stays DATA
+    // (semi-join) — and the plan still holds exactly ONE positions scan:
+    // the battery is data, not plan, at every size
+    val big = planOf(700) // 1,399 distinct terms
+    assert(posScans(big) == 2, big.take(3000))
+    assert(big.contains("LeftSemi"), big.take(3000))
+    assert(!big.contains("PushedFilters: [In(term"), big.take(3000))
+    // plan size is CONSTANT in battery size — the documented contrast with
+    // the per-phrase form, which really does plan one scan branch per
+    // phrase (its right trade for driver-sized batteries)
+    assert(big.length < small.length * 4,
+      s"plan grew with the battery: small=${small.length} big=${big.length}")
+    val perPhrase = graft.operators.KeywordSearch.bm25PhraseTopK(spark, idx,
+        (0 until 8).map(i => (s"p$i", s"w${i}x w${i}y")), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(posScans(perPhrase) == 16, perPhrase.take(3000))
+  }
+
   test("ann index probes prune store partitions; ADC candidates never read vec (r14)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_paudit").toString
