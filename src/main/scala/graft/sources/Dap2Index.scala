@@ -213,8 +213,15 @@ object Dap2Index {
         // (r15 — Structures add no wire framing, so the `?struct.seq`
         // projection answers the same record stream a top-level
         // Sequence would; pydap's surface). Array MEMBERS decode
-        // per-record (r16); arrays OF Sequences keep refusing loudly
-        // (the one shape left without a relational row form).
+        // per-record (r16). Arrays OF Sequences are a PERMANENT
+        // DOCUMENTED REFUSAL (decided r17): the DAP 2.0 spec frames a
+        // Sequence by start-of-instance/end-of-sequence markers with no
+        // count, and defines NO wire framing for an ARRAY of such
+        // streams — implementing one would mean inventing non-public
+        // wire semantics; pydap itself has no decode path for the
+        // shape, and real servers do not emit it (DDS surveys show
+        // Grids/Structures/Sequences only). A dataset declaring one
+        // refuses loudly at parse, never mis-addresses.
         val qOpen = t.indexOf('{')
         val qClose = matchingBrace(t, qOpen)
         val seqBody = t.substring(qOpen + 1, qClose)

@@ -206,13 +206,22 @@ private[graft] object StoreMeta {
     }
   }
 
+  private def readFileBytes(fs: org.apache.hadoop.fs.FileSystem,
+                            path: org.apache.hadoop.fs.Path): Option[Array[Byte]] =
+    try {
+      val in = fs.open(path)
+      try Some(in.readAllBytes()) finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def parseLease(bytes: Option[Array[Byte]]): Option[org.json4s.JValue] =
+    bytes.flatMap { b =>
+      try Some(org.json4s.jackson.JsonMethods.parse(new String(b, "UTF-8")))
+      catch { case _: Exception => None }
+    }
+
   private def leaseJson(fs: org.apache.hadoop.fs.FileSystem,
                         lock: org.apache.hadoop.fs.Path): Option[org.json4s.JValue] =
-    try {
-      val in = fs.open(lock)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      Some(org.json4s.jackson.JsonMethods.parse(text))
-    } catch { case _: Exception => None }
+    parseLease(readFileBytes(fs, lock))
 
   /** Lease-lock paths THIS THREAD currently holds (qualified URI strings)
     * — the reentrancy token [[withWriterLock]] records and
@@ -247,6 +256,35 @@ private[graft] object StoreMeta {
     * run in milliseconds; production code never writes it. */
   @volatile private[graft] var leaseHeartbeatMs: Long = LeaseTtlMs / 5
 
+  /** TTL for an abandoned takeover BREAKER file on a foreign host: the
+    * breaker's critical section is three filesystem calls (read, delete,
+    * create) — a foreign breaker a full minute old is a crashed breaker,
+    * not a slow one. Same-host breakers use the pid oracle, no wait. */
+  val BreakerTtlMs: Long = 60L * 1000L
+
+  /** Create `path` EXCLUSIVELY with `json` as content. Atomic on HDFS
+    * and conditional-put object stores via `create(…, overwrite =
+    * false)`; on the LOCAL scheme via NIO `CREATE_NEW` (O_EXCL at the OS
+    * level — Hadoop's LocalFileSystem create is exists-THEN-create,
+    * which let two threads racing one freed lock both pass the exists
+    * check and both hold, r17). Throws [[java.io.IOException]] (locally
+    * a [[java.nio.file.FileAlreadyExistsException]]) when `path` exists. */
+  private def createExclusiveJson(fs: org.apache.hadoop.fs.FileSystem,
+                                  path: org.apache.hadoop.fs.Path,
+                                  json: String): Unit = {
+    val qualified = fs.makeQualified(path)
+    if (qualified.toUri.getScheme == "file") {
+      val p = java.nio.file.Paths.get(qualified.toUri.getPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, json.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    } else {
+      val out = fs.create(path, false)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** A lease is STALE when its writer is provably or presumptively gone:
     *  - SAME-HOST lease, pid no longer alive — the direct liveness
     *    oracle, the common crash (OOM kill, aborted run) on single-node
@@ -260,9 +298,9 @@ private[graft] object StoreMeta {
     * pid oracle outranks the clock), a cross-host lease inside the TTL
     * refuses, and unparseable or stamp-less leases are NOT stale
     * (conservative — could be a half-written acquisition). */
-  private def leaseIsStale(fs: org.apache.hadoop.fs.FileSystem,
-                           lock: org.apache.hadoop.fs.Path): Boolean =
-    leaseJson(fs, lock).exists { j =>
+  private def staleLeaseBytes(bytes: Option[Array[Byte]],
+                              ttlMs: Long = LeaseTtlMs): Boolean =
+    parseLease(bytes).exists { j =>
       import org.json4s._
       ((j \ "pid"), (j \ "host")) match {
         case (JInt(pid), JString(host)) =>
@@ -272,12 +310,16 @@ private[graft] object StoreMeta {
               !(h.isPresent && h.get.isAlive)
             }
           else (j \ "epoch_ms") match {
-            case JInt(e) => System.currentTimeMillis - e.longValue > LeaseTtlMs
+            case JInt(e) => System.currentTimeMillis - e.longValue > ttlMs
             case _ => false
           }
         case _ => false
       }
     }
+
+  private def leaseIsStale(fs: org.apache.hadoop.fs.FileSystem,
+                           lock: org.apache.hadoop.fs.Path): Boolean =
+    staleLeaseBytes(readFileBytes(fs, lock))
 
   /** Hidden create-exclusive writer-lease file guarding a store root —
     * the r16 upgrade of the stores' single-writer CONVENTION to a checked
@@ -290,22 +332,33 @@ private[graft] object StoreMeta {
     new org.apache.hadoop.fs.Path(root.getParent, s".${root.getName}.writer.lock")
 
   /** Run `body` holding the store's writer lease. Acquisition is
-    * `create(…, overwrite = false)` — atomic on HDFS and object stores
-    * with conditional-put semantics; best-effort (exists-then-create) on
-    * the local filesystem, where the residual race is two LOCAL writers
-    * in the same microsecond — still strictly stronger than the
-    * unchecked convention, and the optimistic meta recheck stays behind
-    * it as defense in depth. The lease carries pid/host/op/heartbeat and
+    * create-exclusive — atomic on HDFS and object stores with
+    * conditional-put semantics via `create(…, overwrite = false)`, and
+    * atomic on the LOCAL filesystem via NIO `CREATE_NEW` (O_EXCL at the
+    * OS level; r17 — Hadoop's LocalFileSystem create is exists-THEN-
+    * create, which let two same-JVM threads racing one freed lock both
+    * pass the exists check and both hold). A reader landing between the
+    * exclusive create and the content write sees a torn lease, which
+    * [[leaseIsStale]] conservatively judges NOT stale (a refusal, never
+    * a second holder). The lease carries pid/host/op/heartbeat and
     * a daemon thread RE-STAMPS `epoch_ms` every [[leaseHeartbeatMs]]
     * while `body` runs (atomic sibling+rename rewrite — a reader never
     * sees a missing or torn lease), so liveness is observable across
     * hosts. A stale lease ([[leaseIsStale]]: dead same-host pid, or a
     * cross-host heartbeat silent past [[LeaseTtlMs]]) is taken over
-    * ATOMICALLY (r17): the stale lock RENAMES aside — of N racing
-    * acquirers exactly one rename succeeds — and only the winner
-    * proceeds to the create-exclusive; r16's delete-then-create let two
-    * acquirers interleave their deletes and both create. A live lease
-    * refuses with the file to delete once its writer is known dead. */
+    * under a BREAKER file (r17): takeover candidates create-exclusive a
+    * `.breaker` sibling (one winner), and the winner re-reads the lock
+    * and proceeds to delete-and-create ONLY if the bytes are identical
+    * to the ones it judged stale — a takeover that lost the race to a
+    * faster acquirer sees the fresh lease's bytes and refuses. Judging
+    * by content (not by name) is the point: both r16's
+    * delete-then-create AND a name-keyed rename-aside let a slow
+    * acquirer that judged the OLD lease destroy the fast winner's FRESH
+    * one. A breaker abandoned by a crash is itself judged stale (dead
+    * same-host pid, or [[BreakerTtlMs]] on foreign hosts — the critical
+    * section is milliseconds), swept, and the acquirer refuses with
+    * retry advice rather than proceeding. A live lease refuses with the
+    * file to delete once its writer is known dead. */
   def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
                         root: org.apache.hadoop.fs.Path,
                         op: String)(body: => T): T = {
@@ -317,28 +370,57 @@ private[graft] object StoreMeta {
     def who() = s"""{"pid": ${ProcessHandle.current.pid}, """ +
       s""""host": "${java.net.InetAddress.getLocalHost.getHostName}", """ +
       s""""op": "$op", "epoch_ms": ${System.currentTimeMillis}}"""
-    def acquire(): org.apache.hadoop.fs.FSDataOutputStream =
-      try fs.create(lock, false)
+    // a typed already-exists failure means the slot WAS occupied at
+    // create time even if its holder released before our recheck — still
+    // contention, never a raw error (both schemes throw a typed FAEE)
+    def isExistsFailure(e: java.io.IOException): Boolean = e match {
+      case _: java.nio.file.FileAlreadyExistsException => true
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _ => false
+    }
+    def acquire(): Unit =
+      try createExclusiveJson(fs, lock, who())
       catch { case e: java.io.IOException =>
         // only an EXISTING lease reads as "held" — any other create
         // failure (permissions, quota) surfaces as itself
-        if (!fs.exists(lock)) throw e
-        else if (leaseIsStale(fs, lock)) {
-          val aside = new org.apache.hadoop.fs.Path(lock.getParent,
-            s"${lock.getName}.broken-${ProcessHandle.current.pid}-${System.nanoTime}")
-          // losing the rename means another acquirer took the stale lease
-          // over first — the standard single-writer refusal, not a raw IO
-          // error (and never a double acquisition)
-          if (!fs.rename(lock, aside)) throw held()
-          fs.delete(aside, false)
-          try fs.create(lock, false)
-          catch { case e2: java.io.IOException =>
-            // a third acquirer slipped in between our rename and create —
-            // it holds a valid fresh lease; refuse like any held lease
-            if (fs.exists(lock)) throw held() else throw e2 }
-        } else throw held()
+        if (!isExistsFailure(e) && !fs.exists(lock)) throw e
+        else {
+          val bytes0 = readFileBytes(fs, lock)
+          if (!staleLeaseBytes(bytes0)) throw held()
+          // stale-lease takeover under the breaker file: one breaker at a
+          // time, and the delete fires only on the EXACT bytes judged
+          // stale — a takeover racing a faster acquirer re-reads that
+          // winner's fresh lease and refuses instead of destroying it
+          val breaker = new org.apache.hadoop.fs.Path(
+            lock.getParent, s"${lock.getName}.breaker")
+          try createExclusiveJson(fs, breaker, who())
+          catch { case eb: java.io.IOException =>
+            if (!isExistsFailure(eb) && !fs.exists(breaker)) throw eb
+            // a breaker abandoned mid-takeover (crash inside a ms-sized
+            // critical section): sweep it and refuse; the NEXT attempt
+            // finds a clean slate
+            if (staleLeaseBytes(readFileBytes(fs, breaker), BreakerTtlMs))
+              fs.delete(breaker, false)
+            throw held()
+          }
+          try {
+            val bytes1 = readFileBytes(fs, lock)
+            val unchanged = (bytes0, bytes1) match {
+              case (Some(a), Some(b)) => java.util.Arrays.equals(a, b)
+              case _ => false
+            }
+            if (!unchanged) throw held() // someone else took it over first
+            fs.delete(lock, false)
+            try createExclusiveJson(fs, lock, who())
+            catch { case e2: java.io.IOException =>
+              // a fresh acquirer slipped in between our delete and create —
+              // it holds a valid lease; refuse like any held lease
+              if (isExistsFailure(e2) || fs.exists(lock)) throw held()
+              else throw e2 }
+          } finally fs.delete(breaker, false)
+        }
       }
-    val out = acquire()
+    acquire()
     val key = fs.makeQualified(lock).toString
     threadHeldLocks.set(threadHeldLocks.get + key)
     // the stop flag (not just interrupt) forecloses a late re-stamp
@@ -355,7 +437,6 @@ private[graft] object StoreMeta {
     }, s"graft-lease-heartbeat-${root.getName}")
     heartbeat.setDaemon(true)
     try {
-      try out.write(who().getBytes("UTF-8")) finally out.close()
       heartbeat.start()
       body
     } finally {

@@ -2384,10 +2384,14 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(!fs.exists(lock)) // release survives the heartbeat shutdown
 
     // --- atomic stale-lease takeover (r17): N racing acquirers over ONE
-    // stale lease — the rename-aside admits exactly one at a time (r16's
-    // delete-then-create let two interleaved acquirers both create); the
-    // rest refuse with the single-writer message or serialize behind the
-    // release. Invariant: never two holders at once.
+    // stale lease — creates are O_EXCL (NIO CREATE_NEW on the local
+    // scheme; Hadoop's LocalFileSystem create is exists-THEN-create) and
+    // the takeover runs under a breaker file that re-verifies the lease
+    // BYTES are the ones judged stale before deleting (r16's
+    // delete-then-create — and a name-keyed rename-aside — let a slow
+    // acquirer destroy the fast winner's fresh lease); the rest refuse
+    // with the single-writer message or serialize behind the release.
+    // Invariant: never two holders at once.
     val deadPid = Iterator.from(900000).find(p =>
       !ProcessHandle.of(p.toLong).isPresent).get.toLong
     writeLease(deadPid, java.net.InetAddress.getLocalHost.getHostName, 0L)
@@ -2410,7 +2414,8 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(maxActive.get == 1, s"${maxActive.get} writers held the lease at once")
     assert(!fs.exists(lock))
     assert(!fs.listStatus(lock.getParent)
-      .exists(_.getPath.getName.contains(".broken-"))) // no aside litter
+      .exists(p => p.getPath.getName.contains(".broken-") ||
+        p.getPath.getName.endsWith(".breaker"))) // no takeover litter
 
     // --- per-thread lease ownership + swap-window wait (r17): a reader
     // thread in the same JVM as a live writer mid-swap must NOT treat the
