@@ -3510,6 +3510,46 @@ object SparkEntry {
         .orderBy("query_id", "doc_id")
     }),
 
+    "search_bm25_phrase_scored_batch" -> ((s, dir) => {
+      // r17: BATTERY-AS-DATA scorer — the whole battery rides inside ONE
+      // PhraseCountBatch expression (one corpus pass, constant plan shape
+      // at any battery size — plan-pinned; the per-phrase scorer plans a
+      // corpus-scan branch per phrase). Same battery, same frozen model,
+      // same adjacency oracle as search_bm25_phrase_scored, so the gate
+      // pins the two scorer forms hash-equal.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_psb_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      val model = graft.operators.KeywordSearch.bm25PhraseModelFromIndex(s, root,
+        Seq(("p_hash_join", "hash join"),
+            ("p_table_scan", "table scan"),
+            ("p_batch2", "the batch batch")))
+      graft.operators.KeywordSearch.bm25PhraseScoreBatch(docs, "text", "doc_id", model)
+        .select(col("query_id"), col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "doc_id")
+    }),
+
+    "search_bm25_near_scored_batch" -> ((s, dir) => {
+      // r17: the NEAR twin of search_bm25_phrase_scored_batch — the
+      // banded-proximity vote at slop = 1 with the battery as data; same
+      // battery, model, and windowed-indexing oracle as
+      // search_bm25_near_scored, pinning the forms hash-equal.
+      import s.implicits._
+      val root = s"/tmp/graft_bm25_nsb_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents")
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true, positions = true)
+      val model = graft.operators.KeywordSearch.bm25PhraseModelFromIndex(s, root,
+        Seq(("n_hash_join", "hash join"),
+            ("n_table_scan", "table scan"),
+            ("n_batch2", "the batch batch")), slop = 1)
+      graft.operators.KeywordSearch.bm25PhraseScoreBatch(docs, "text", "doc_id", model)
+        .select(col("query_id"), col("doc_id"), col("dl"), col("tf"))
+        .orderBy("query_id", "doc_id")
+    }),
+
     "search_bm25_phrase_batch" -> ((s, dir) => {
       // r17: BATTERY-AS-DATA phrase retrieval — the decontamination
       // shape (thousands of eval-set phrase probes), where the battery
@@ -4548,6 +4588,15 @@ object SparkEntry {
     // slop = 1 with the battery as data — hash-equal rows against the
     // same windowed-indexing truth
     ("search_bm25_near_batch" -> oracleSqlBase("search_bm25_near")) +
+    // SAME oracle as the per-phrase SCORER (r17): the battery-as-data
+    // scorer runs the same adjacency kernel inside one expression —
+    // same battery and model, hash-equal rows against the same
+    // string-adjacency truth
+    ("search_bm25_phrase_scored_batch" -> oracleSqlBase("search_bm25_phrase_scored")) +
+    // SAME oracle as the per-phrase NEAR scorer (r17): the banded
+    // kernel at slop = 1 with the battery as data — hash-equal rows
+    // against the same windowed-indexing truth
+    ("search_bm25_near_scored_batch" -> oracleSqlBase("search_bm25_near_scored")) +
     // SAME oracle as the JSON-form templated gate: the JSON→parquet-refs
     // migration must be invisible to every decoded cell
     ("save_kerchunk_parquet_refs" -> oracleSqlBase("load_kerchunk_templated")) +

@@ -216,7 +216,28 @@ case class PhraseCount(
   @transient private lazy val termBytes: Array[UTF8String] =
     phrase.map(UTF8String.fromString).toArray
 
-  def count(tokens: ArrayData): Int = {
+  def count(tokens: ArrayData): Int =
+    PhraseKernel.count(tokens, termBytes, slop)
+
+  override def nullSafeEval(v: Any): Any = count(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseCount", this, classOf[PhraseCount].getName)
+    nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $ref.count($toks);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(child = newChild)
+}
+
+/** The ONE copy of the banded-proximity occurrence loop [[PhraseCount]]
+  * and [[PhraseCountBatch]] share (r17) — a single kernel, not parallel
+  * maintenance, is what makes the per-phrase scorer and the
+  * battery-as-data scorer bit-identical by construction. */
+private[functions] object PhraseKernel {
+  def count(tokens: ArrayData, termBytes: Array[UTF8String], slop: Int): Int = {
     val n = tokens.numElements()
     val l = termBytes.length
     var c = 0
@@ -243,12 +264,110 @@ case class PhraseCount(
     }
     c
   }
+}
 
-  override def nullSafeEval(v: Any): Any = count(v.asInstanceOf[ArrayData])
+/** BATTERY-AS-DATA twin of [[PhraseCount]] (r17): evaluate a WHOLE
+  * phrase battery against one token array in one expression — token
+  * array → sparse `array<struct<phrase int, tf int>>` of the battery
+  * indices with tf > 0, ascending. The per-phrase scorer plans one
+  * [[PhraseCount]] branch (and one corpus pass) per phrase, degrading
+  * on PLAN size past a few hundred probes; here the battery is a
+  * reference object inside ONE expression, so the plan shape is
+  * constant at any battery size — the decontamination stream's shape
+  * (thousands of eval n-gram probes scored against every arriving doc).
+  *
+  * Work per row is NOT battery-linear: candidates gate through a
+  * first-token hash index (a phrase can only match if its first term
+  * occurs in the doc — the band extends right), then an all-terms-
+  * present check against the row's token set, and only survivors run
+  * the full [[PhraseKernel]] loop — the row-local mirror of
+  * bm25PhraseBatch's rarest-term candidate pruning. tf bits equal
+  * [[PhraseCount]]'s per phrase by construction (same kernel). An
+  * EMPTY phrase matches nothing (the battery-as-data rule: a blank
+  * probe must not refuse a million-probe sweep). */
+case class PhraseCountBatch(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    phrases: Seq[Seq[String]],
+    slop: Int = 0)
+  extends UnaryExpression {
+
+  require(phrases.nonEmpty, "phrase_count_batch: empty battery")
+  require(slop >= 0, s"phrase_count_batch: slop must be >= 0, got $slop")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("phrase", IntegerType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"phrase_count_batch expects array<string> tokens, got $other")
+    }
+
+  @transient private lazy val termBytes: Array[Array[UTF8String]] =
+    phrases.map(_.map(UTF8String.fromString).toArray).toArray
+
+  // first term → battery indices: the candidate gate (empty phrases
+  // are indexed nowhere, so they can never match)
+  @transient private lazy val byFirstTerm: java.util.HashMap[UTF8String, java.util.ArrayList[Integer]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.ArrayList[Integer]]()
+    var i = 0
+    while (i < termBytes.length) {
+      if (termBytes(i).nonEmpty) {
+        var lst = m.get(termBytes(i)(0))
+        if (lst == null) { lst = new java.util.ArrayList[Integer](); m.put(termBytes(i)(0), lst) }
+        lst.add(Integer.valueOf(i))
+      }
+      i += 1
+    }
+    m
+  }
+
+  def hits(tokens: ArrayData): GenericArrayData = {
+    val n = tokens.numElements()
+    // one pass: the row's distinct-token set + candidate battery indices
+    val present = new java.util.HashSet[UTF8String](math.max(16, n * 2))
+    val cand = new java.util.BitSet(termBytes.length)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (present.add(t)) {
+          val lst = byFirstTerm.get(t)
+          if (lst != null) {
+            var j = 0
+            while (j < lst.size()) { cand.set(lst.get(j).intValue()); j += 1 }
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any]()
+    var idx = cand.nextSetBit(0)
+    while (idx >= 0) {
+      val terms = termBytes(idx)
+      var all = true
+      var o = 1 // ordinal 0 is present by construction of the gate
+      while (all && o < terms.length) { all = present.contains(terms(o)); o += 1 }
+      if (all) {
+        val c = PhraseKernel.count(tokens, terms, slop)
+        if (c > 0) out.add(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](idx, c)))
+      }
+      idx = cand.nextSetBit(idx + 1)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(v: Any): Any = hits(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("phraseCount", this, classOf[PhraseCount].getName)
-    nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $ref.count($toks);")
+    val ref = ctx.addReferenceObj("phraseCountBatch", this, classOf[PhraseCountBatch].getName)
+    nullSafeCodeGen(ctx, ev, toks => s"${ev.value} = $ref.hits($toks);")
   }
 
   override protected def withNewChildInternal(

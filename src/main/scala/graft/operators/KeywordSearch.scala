@@ -1032,6 +1032,46 @@ object KeywordSearch {
     }.reduce(_ unionByName _)
   }
 
+  /** BATTERY-AS-DATA twin of [[bm25PhraseScore]] (r17), completing the
+    * doctrine on the SCORER plane: [[bm25PhraseScore]] plans one
+    * [[graft.functions.PhraseCount]] branch + one corpus pass PER
+    * phrase, so a decontamination-sized battery (thousands of eval
+    * n-gram probes) degrades on plan size exactly like the pre-r17
+    * positional retrieval did. Here the whole battery rides INSIDE one
+    * [[graft.functions.PhraseCountBatch]] expression (first-token-gated
+    * candidate pruning — the row-local mirror of bm25PhraseBatch's
+    * rarest-term join), and the phrase ids / idf table ride as two
+    * array LITERALS indexed in-plan — ONE corpus pass, constant plan
+    * shape at any battery size. Same (query_id, doc_id, score, dl, tf)
+    * surface, STATELESS (the same call is the streaming twin), and
+    * rows are BIT-IDENTICAL to [[bm25PhraseScore]] on the same model:
+    * one shared adjacency kernel ([[graft.functions.PhraseKernel]])
+    * and the same float expression shapes with the scalar idf literal
+    * replaced by an array-literal extraction of the same double.
+    * One battery-as-data divergence: an EMPTY phrase scores nothing
+    * instead of refusing the sweep (the bm25Batch blank-probe rule;
+    * the per-phrase form's [[graft.functions.PhraseCount]] refuses). */
+  def bm25PhraseScoreBatch(docs: DataFrame, textCol: String, idCol: String,
+                           model: PhraseModel): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val toks = coalesce(Dedup.tokens(col(textCol)), array().cast("array<string>"))
+    val hitsExpr = GraftColumnBridge.column(graft.functions.PhraseCountBatch(
+      GraftColumnBridge.expression(toks), model.phrases.map(_._2), model.slop))
+    val norm = lit(model.k1 * (1 - model.b)) +
+      lit(model.k1 * model.b / model.avgdl) * col("dl").cast(DoubleType)
+    val qidLit = typedLit(model.phrases.map(_._1))
+    val idfLit = typedLit(model.idf.toSeq)
+    docs.select(col(idCol).as("doc_id"),
+        size(toks).cast(LongType).as("dl"), hitsExpr.as("__hits"))
+      .select(col("doc_id"), col("dl"), explode(col("__hits")).as("__h"))
+      .withColumn("tf", col("__h.tf").cast(LongType))
+      .withColumn("score", idfLit.getItem(col("__h.phrase")) *
+        col("tf").cast(DoubleType) * lit(model.k1 + 1.0) /
+        (col("tf").cast(DoubleType) + norm))
+      .select(qidLit.getItem(col("__h.phrase")).as("query_id"),
+        col("doc_id"), col("score"), col("dl"), col("tf"))
+  }
+
   /** Derive a frozen [[Bm25Model]] from the index — ZERO corpus scans
     * (df per battery term from a vocabulary-pruned posting read; N and
     * avgdl from the meta), so [[bm25Score]] can score a STREAM against

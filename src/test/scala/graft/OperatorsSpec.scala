@@ -2564,6 +2564,49 @@ class Bm25IndexSpec extends AnyFunSuite {
       KeywordSearch.bm25PhraseBatch(spark, flat, battery, "qid", "qtext")
     }.getMessage.contains("without the positions plane"))
   }
+
+  test("battery-as-data phrase scorer: bit-identical to the per-phrase scorer (r17)") {
+    // bm25PhraseScore plans one PhraseCount branch + one corpus pass per
+    // phrase; the batch form rides the whole battery inside ONE
+    // PhraseCountBatch expression. One shared adjacency kernel + the
+    // same float shapes must make the rows bit-identical — at slop 0
+    // and 2, with repeated-term phrases, zero-match probes, and
+    // null-text docs in the corpus.
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    // scored frame ≠ indexed frame (the stream case): includes a
+    // null-text doc and a repeated-phrase doc the store never saw
+    val docs = corpus.unionByName(
+      Seq((900001L, null: String), (900002L, "hash join hash join"))
+        .toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_psb").toString
+    KeywordSearch.bm25IndexBuild(corpus, "text", "doc_id", dir,
+      overwrite = true, positions = true)
+    val phrases = Seq(("p1", "hash join"), ("p2", "table scan"),
+      ("p3", "the the"), ("pz", "zzznope zzznope"), ("p4", "query"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3),
+        r.getLong(4))).toSet
+    for (slop <- Seq(0, 2)) {
+      val model = KeywordSearch.bm25PhraseModelFromIndex(spark, dir, phrases,
+        slop = slop)
+      val perPhrase = key(KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model))
+      val asData = key(KeywordSearch.bm25PhraseScoreBatch(docs, "text", "doc_id", model))
+      assert(perPhrase.nonEmpty && asData == perPhrase, s"slop=$slop")
+      assert(perPhrase.exists(_._1 == "p3")) // repeated-term phrase matched
+    }
+    // blank probe: the per-phrase kernel refuses an empty phrase; the
+    // batch form scores it as nothing (a sweep must not abort on one
+    // blank probe) and leaves every other probe untouched
+    val model0 = KeywordSearch.bm25PhraseModelFromIndex(spark, dir, phrases)
+    val blanked = model0.copy(
+      phrases = model0.phrases :+ ("pe" -> Seq.empty[String]),
+      idf = model0.idf :+ 0.0)
+    val outB = key(KeywordSearch.bm25PhraseScoreBatch(docs, "text", "doc_id", blanked))
+    assert(!outB.exists(_._1 == "pe"))
+    assert(outB == key(KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model0)))
+  }
 }
 
 class PqSpec extends AnyFunSuite {

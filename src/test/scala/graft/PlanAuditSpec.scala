@@ -578,6 +578,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(posScans(perPhrase) == 16, perPhrase.take(3000))
   }
 
+  test("battery-as-data phrase scorer: ONE corpus pass at any battery size (r17)") {
+    // bm25PhraseScore plans one PhraseCount branch + one corpus scan per
+    // phrase (unioned); the batch scorer rides the battery inside ONE
+    // PhraseCountBatch expression — one corpus scan, zero unions, no
+    // shuffle at all (row-local kernel + literal-array id/idf lookup),
+    // the shape that scores a decontamination STREAM against thousands
+    // of probes
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_psbaudit").toString
+    graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", idx,
+      overwrite = true, positions = true)
+    def planOf(n: Int): String = {
+      val batt = (("p0", "hash join") +:
+        (1 until n).map(i => (s"p$i", s"qzx${i}a qzx${i}b")))
+      val model = graft.operators.KeywordSearch.bm25PhraseModelFromIndex(
+        spark, idx, batt)
+      graft.operators.KeywordSearch.bm25PhraseScoreBatch(docs, "text", "doc_id",
+        model).queryExecution.executedPlan.toString
+    }
+    def corpusScans(p: String): Int =
+      p.linesIterator.count(l => l.contains("FileScan parquet") &&
+        l.contains("documents.parquet"))
+    val small = planOf(3)
+    val big = planOf(300)
+    assert(corpusScans(small) == 1, small.take(3000))
+    assert(corpusScans(big) == 1, big.take(3000))
+    assert(!big.contains("Union"), big.take(3000))
+    assert(!big.contains("Exchange"), big.take(3000))
+    // the per-phrase scorer really is plan-linear (its right trade for
+    // driver-sized batteries): one corpus scan branch per phrase
+    val model8 = graft.operators.KeywordSearch.bm25PhraseModelFromIndex(
+      spark, idx, (0 until 8).map(i => (s"p$i", s"w${i}x w${i}y")))
+    val perPhrase = graft.operators.KeywordSearch.bm25PhraseScore(
+      docs, "text", "doc_id", model8).queryExecution.executedPlan.toString
+    assert(corpusScans(perPhrase) == 8, perPhrase.take(3000))
+  }
+
   test("ann index probes prune store partitions; ADC candidates never read vec (r14)") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val idx = java.nio.file.Files.createTempDirectory("graft_ann_paudit").toString

@@ -1043,6 +1043,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(spark.table("phrase_stream")) == batch)
   }
 
+  test("streaming battery-as-data phrase scoring: batch parity (r17)") {
+    // bm25PhraseScoreBatch is stateless like the per-phrase scorer (one
+    // PhraseCountBatch kernel + literal-array id/idf lookup), so the
+    // same call over a MemoryStream must emit byte-identical scored rows
+    // — and they must also equal the PER-PHRASE scorer's batch output
+    // (the decontamination stream can hold thousands of probes in ONE
+    // fixed plan)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.KeywordSearch
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_pbstream").toString
+    KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", dir,
+      overwrite = true, positions = true)
+    val model = KeywordSearch.bm25PhraseModelFromIndex(spark, dir,
+      Seq(("p1", "hash join"), ("p2", "table scan"), ("p3", "the the")),
+      slop = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getString(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = rows(KeywordSearch.bm25PhraseScoreBatch(docs, "text", "doc_id", model))
+    assert(batch.nonEmpty)
+    assert(batch == rows(KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model)))
+    val input = MemoryStream[(Long, String)]
+    val q = KeywordSearch
+      .bm25PhraseScoreBatch(input.toDF().toDF("doc_id", "text"), "text", "doc_id", model)
+      .writeStream.format("memory").queryName("phrase_batch_stream")
+      .outputMode("append").start()
+    val data = docs.as[(Long, String)].collect()
+    data.grouped(math.max(1, data.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(rows(spark.table("phrase_batch_stream")) == batch)
+  }
+
   test("streaming compression signals: batch parity on real docs via MemoryStream (r14)") {
     // stateless scan kernel (per-thread Deflater) — the same call IS the
     // streaming twin; sizes are runtime-deterministic so exact parity holds
