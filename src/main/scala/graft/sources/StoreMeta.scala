@@ -15,13 +15,29 @@ private[graft] object StoreMeta {
   /** Atomically replace `path` with `json` (staged sibling + rename). */
   def atomicWriteJson(fs: org.apache.hadoop.fs.FileSystem,
                       path: org.apache.hadoop.fs.Path, json: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(
-      path.getParent, s".${path.getName}.inprogress")
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(path),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val qualified = fs.makeQualified(path)
+    if (qualified.toUri.getScheme == "file") {
+      // rename(2) via ATOMIC_MOVE: a reader NEVER sees the destination
+      // missing. FileContext.rename(…, OVERWRITE) on the local scheme is
+      // delete-THEN-rename (r17 finding) — for the lease heartbeat that
+      // window let a racing create-exclusive slip in while the re-stamp
+      // was mid-flight, a double-holder on the very path the lease guards
+      val p = java.nio.file.Paths.get(qualified.toUri.getPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      val tmp = p.resolveSibling(s".${p.getFileName}.inprogress")
+      java.nio.file.Files.write(tmp, json.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(
+        path.getParent, s".${path.getName}.inprogress")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Ceiling on a store's ACCUMULATED tombstone rows (r16): the tombstone
@@ -427,11 +443,39 @@ private[graft] object StoreMeta {
     // resurrecting the lease file after the release delete, should the
     // join below ever time out on a stuck filesystem call
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // the lease is OURS while its pid+host are this process's — the
+    // ownership check the heartbeat and the release run before WRITING or
+    // DELETING by name (r17): a writer paused past the TTL can be
+    // LEGITIMATELY taken over (the documented skew/pause assumption), and
+    // on resume must neither clobber the usurper's lease with a heartbeat
+    // re-stamp nor delete it at release. An unreadable lock reads as not
+    // ours — erring toward leaking our own (self-healing: dead-pid /
+    // TTL staleness) over destroying a live usurper's.
+    def ownsJson(j: org.json4s.JValue): Boolean = {
+      import org.json4s._
+      ((j \ "pid"), (j \ "host")) match {
+        case (JInt(pid), JString(host)) =>
+          pid.longValue == ProcessHandle.current.pid &&
+            host == java.net.InetAddress.getLocalHost.getHostName
+        case _ => false
+      }
+    }
+    def ownsLease(): Boolean =
+      parseLease(readFileBytes(fs, lock)).exists(ownsJson)
     val heartbeat = new Thread(() => {
       try {
-        while (!released.get) {
+        var mine = true
+        while (!released.get && mine) {
           Thread.sleep(leaseHeartbeatMs)
-          if (!released.get) atomicWriteJson(fs, lock, who())
+          if (!released.get) {
+            // a transient filesystem hiccup must not kill the heartbeat —
+            // a silently dead heartbeat ages a LIVE writer into the TTL
+            // and invites a takeover; retry on the next period instead
+            try {
+              if (ownsLease()) atomicWriteJson(fs, lock, who())
+              else mine = false // taken over: stop, never re-stamp over the usurper
+            } catch { case _: java.io.IOException => () }
+          }
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lease-heartbeat-${root.getName}")
@@ -444,7 +488,24 @@ private[graft] object StoreMeta {
       heartbeat.interrupt()
       heartbeat.join(5000L)
       threadHeldLocks.set(threadHeldLocks.get - key)
-      fs.delete(lock, false)
+      // delete only a lease that is OURS, with a short reread retry: a
+      // transient read hiccup must not leak our own lease — a live
+      // same-host pid is never judged stale, so a leaked own lease
+      // would refuse THIS process's later acquisitions until exit. A
+      // lease readable as someone ELSE's (usurped past the TTL while we
+      // were paused) is left untouched.
+      var releaseTries = 0
+      var releaseDone = false
+      while (!releaseDone && releaseTries < 3) {
+        parseLease(readFileBytes(fs, lock)) match {
+          case Some(j) =>
+            if (ownsJson(j)) fs.delete(lock, false)
+            releaseDone = true
+          case None =>
+            if (!fs.exists(lock)) releaseDone = true
+            else { releaseTries += 1; Thread.sleep(20L) }
+        }
+      }
       // best-effort sweep of a heartbeat rewrite interrupted mid-stage
       val tmp = new org.apache.hadoop.fs.Path(
         lock.getParent, s".${lock.getName}.inprogress")

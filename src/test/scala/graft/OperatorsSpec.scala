@@ -2383,6 +2383,36 @@ class Bm25IndexSpec extends AnyFunSuite {
     } finally graft.sources.StoreMeta.leaseHeartbeatMs = savedHb
     assert(!fs.exists(lock)) // release survives the heartbeat shutdown
 
+    // --- ownership-checked heartbeat + release (r17): a writer whose
+    // lease was LEGITIMATELY taken over (TTL + clock skew or a pause
+    // longer than the TTL — the documented assumption) must, on resume,
+    // neither re-stamp its heartbeat over the usurper's lease nor delete
+    // it at release — both act by NAME and need the pid/host check
+    def lockText(): String = {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    val usurper = s"""{"pid": 55555, "host": "usurper-host", """ +
+      s""""op": "u", "epoch_ms": ${System.currentTimeMillis}}"""
+    try {
+      // a period long enough that the overwrite below lands BEFORE the
+      // first heartbeat fire (the production-side in-flight race is the
+      // documented skew-window residual, not what this pins)
+      graft.sources.StoreMeta.leaseHeartbeatMs = 100L
+      graft.sources.StoreMeta.withWriterLock(fs, root, "pause-test") {
+        // simulate the takeover landing mid-body: the usurper's lease
+        // replaces ours while we 'pause'
+        val o = fs.create(lock, true)
+        try o.write(usurper.getBytes("UTF-8")) finally o.close()
+        Thread.sleep(350L) // several heartbeat periods
+        assert(lockText().contains("usurper-host"),
+          "heartbeat re-stamped over the usurper's lease")
+      }
+    } finally graft.sources.StoreMeta.leaseHeartbeatMs = savedHb
+    assert(fs.exists(lock) && lockText().contains("usurper-host"),
+      "release deleted the usurper's lease")
+    fs.delete(lock, false)
+
     // --- atomic stale-lease takeover (r17): N racing acquirers over ONE
     // stale lease — creates are O_EXCL (NIO CREATE_NEW on the local
     // scheme; Hadoop's LocalFileSystem create is exists-THEN-create) and
