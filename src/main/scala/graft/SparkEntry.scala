@@ -3443,6 +3443,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "search_bm25_stats" -> ((s, dir) => {
+      // r17: the posting store's INSPECTION op — one-row operational
+      // snapshot. The oracle is the strongest kind available to a stats
+      // surface: DuckDB re-derives docs / sumdl / distinct terms /
+      // posting rows from the RAW corpus through the mirrored tokenizer,
+      // so the gate cross-checks the meta's delete-adjusted ledger AND
+      // the postings plane against ground truth (a build that dropped or
+      // double-counted a single (term, doc) pair breaks the hash). The
+      // maintenance gauges (batches / tombstones / flags) are pinned by
+      // the lifecycle spec instead — they are store-internal, not
+      // corpus-derivable.
+      val root = s"/tmp/graft_bm25_stats_${tmpToken(dir)}"
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.KeywordSearch.bm25IndexBuild(
+        docs, "text", "doc_id", root, overwrite = true)
+      graft.operators.KeywordSearch.bm25IndexStats(s, root)
+        .select(col("docs"), col("sumdl"), col("terms"), col("postings"))
+    }),
+
+    "ann_index_stats" -> ((s, dir) => {
+      // r17: the vector store's INSPECTION op — bm25IndexStats's twin.
+      // vectors re-derives from the raw embeddings table; dim from the
+      // stored model's round trip (the oracle reads len(embedding) from
+      // the corpus — a model that persisted the wrong geometry breaks
+      // the hash); subspaces/cells pin the build parameters as read BACK
+      // from model.json, not as passed in.
+      val root = s"/tmp/graft_ann_stats_${tmpToken(dir)}"
+      val emb = T(s, dir, "embeddings")
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", root,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      graft.operators.AnnIndex.annIndexStats(s, root)
+        .select(col("vectors"), col("dim"), col("subspaces"), col("cells"))
+    }),
+
     "search_bm25_phrase" -> ((s, dir) => {
       // r15: QUOTED-PHRASE retrieval over the POSITIONAL posting store —
       // adjacency verified from stored positions (zero corpus scans),
@@ -6359,6 +6393,37 @@ object SparkEntry {
         |  FROM scored WHERE score > 0)
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+
+    // posting-store stats oracle (r17): docs / sumdl / distinct terms /
+    // (term, doc) posting rows re-derived from the RAW corpus through the
+    // mirrored tokenizer — cross-checks the meta ledger AND the postings
+    // plane against ground truth. Null/blank texts tokenize to zero
+    // tokens on both sides (COALESCE mirrors the engine's dl = 0).
+    "search_bm25_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |flat AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, UNNEST(t) AS term FROM toks))
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS docs,
+        |  (SELECT CAST(COALESCE(SUM(COALESCE(len(t), 0)), 0) AS BIGINT) FROM toks) AS sumdl,
+        |  CAST(COUNT(DISTINCT term) AS BIGINT) AS terms,
+        |  CAST(COUNT(*) AS BIGINT) AS postings
+        |FROM flat""".stripMargin,
+
+    // vector-store stats oracle (r17): vectors from the raw embeddings
+    // table; dim from the corpus vectors themselves (the engine reports
+    // the model.json round trip — a model persisted with the wrong
+    // geometry breaks the hash); subspaces/cells are the build contract
+    "ann_index_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS vectors,
+        |  (SELECT CAST(len(embedding) AS INT) FROM embeddings LIMIT 1) AS dim,
+        |  CAST(8 AS INT) AS subspaces,
+        |  CAST(16 AS INT) AS cells
+        |FROM embeddings""".stripMargin,
 
     // the ordered-fold battery: the 3 standard probes (shared CTEs) plus
     // q_wide = 'spark hash join' ×11 — 33 tokens, so the engine's global

@@ -511,6 +511,29 @@ object AnnIndex {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** One-row OPERATIONAL snapshot of a vector store (r17) — the
+    * inspection op that completes the lifecycle (build / append / delete
+    * / compact / search / STATS), the [[graft.operators.KeywordSearch
+    * .bm25IndexStats]] twin: live vector count from the meta
+    * (delete-adjusted), the frozen model's geometry (`dim`, `subspaces`,
+    * `cells` — read back from model.json, so the numbers check the model
+    * round-trip, not the build call), and the maintenance gauges
+    * (`batches`, `tomb_batches`, `tomb_rows`). Pure meta/model reads —
+    * no vector-plane scan, no lease; a crashed swap heals on open like
+    * every other reader. */
+  def annIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val (batches, n, dim, m, tombBatches, tombRows) =
+      readMeta(fs, new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    val (cents, _) = readModel(fs, root, dir)
+    import spark.implicits._
+    Seq((n, dim, m, cents.length, batches, tombBatches, tombRows))
+      .toDF("vectors", "dim", "subspaces", "cells", "batches",
+        "tomb_batches", "tomb_rows")
+  }
+
   /** The shared store-opening header of both search forms: meta + model
     * reads, cross-checks, and the unioned batch view — tombstone-filtered
     * (the LIVE view; a deleted vector can neither be a candidate nor a

@@ -1251,6 +1251,39 @@ object KeywordSearch {
     }
   }
 
+  /** One-row OPERATIONAL snapshot of a posting store (r17) — the
+    * inspection op that completes the lifecycle (build / append / delete
+    * / compact / search / STATS): live corpus stats straight from the
+    * meta (`docs`, `sumdl`, `avgdl` — delete-adjusted, so they equal a
+    * from-scratch rebuild without the deleted rows), EXACT vocabulary and
+    * posting-row counts from a tombstone-dropped scan of the postings
+    * plane (`terms`, `postings` — exact, not sketched, so the numbers are
+    * oracle-checkable against the raw corpus; one full postings-plane
+    * scan + one distinct shuffle is the honest, explicitly-invoked cost
+    * of exact stats at any scale), and the maintenance gauges a deployment
+    * watches (`batches`, `tomb_batches`, `tomb_rows` — the
+    * [[graft.sources.StoreMeta.TombstoneRowCap]] backlog — and the
+    * `positions` capability flag). Read-only: no lease taken; a crashed
+    * swap heals on the meta read like every other reader. */
+  def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val meta = readIndexMeta(fs, new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    dropTombstoned(spark, readPlane(spark, dir, "postings", meta.batches),
+        dir, meta.tombBatches)
+      .agg(countDistinct(col("term")).as("terms"),
+        count(lit(1)).as("postings"))
+      .select(lit(meta.n).as("docs"), lit(meta.sumdl).as("sumdl"),
+        (lit(meta.sumdl.toDouble) / lit(meta.n.toDouble)).as("avgdl"),
+        col("terms"), col("postings"),
+        lit(meta.batches).as("batches"),
+        lit(meta.tombBatches).as("tomb_batches"),
+        lit(meta.tombRows).as("tomb_rows"),
+        lit(meta.positions).as("positions"))
+  }
+
   /** One plane's batch dirs (`<dir>/<plane>/b0..b<batches-1>`) as one
     * frame — the store layout expression, in one place. */
   private def readPlane(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -512,4 +512,39 @@ class AnnIndexSpec extends AnyFunSuite {
       AnnIndex.annIndexDelete(spark, dir, Seq(7L, 9L).toDF("vec_id"), "vec_id")
     }.getMessage.contains("broadcast cap"))
   }
+
+  test("index stats: geometry from the model round trip, gauges through the lifecycle (r17)") {
+    import spark.implicits._
+    val dir = freshDir("stats")
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd  = emb.filter(col("vec_id") % 2 === 1)
+    AnnIndex.annIndexBuild(even, "vec_id", "embedding", dir,
+      nCells = 8, m = 8, nCentroids = 8, kmeansIters = 1)
+    def stats() = AnnIndex.annIndexStats(spark, dir).head()
+    val s0 = stats()
+    assert(s0.getAs[Long]("vectors") == even.count())
+    assert(s0.getAs[Int]("dim") == 64 && s0.getAs[Int]("subspaces") == 8 &&
+      s0.getAs[Int]("cells") == 8) // read BACK from model.json, not the call
+    assert(s0.getAs[Int]("batches") == 1 && s0.getAs[Int]("tomb_batches") == 0 &&
+      s0.getAs[Long]("tomb_rows") == 0L)
+    AnnIndex.annIndexAppend(spark, dir, odd, "vec_id", "embedding")
+    val s1 = stats()
+    assert(s1.getAs[Long]("vectors") == emb.count() &&
+      s1.getAs[Int]("batches") == 2)
+    AnnIndex.annIndexDelete(spark, dir,
+      emb.filter(col("vec_id") < 10).select("vec_id"), "vec_id")
+    val s2 = stats()
+    assert(s2.getAs[Long]("vectors") == emb.count() - 10 &&
+      s2.getAs[Int]("tomb_batches") == 1 && s2.getAs[Long]("tomb_rows") == 10L)
+    val dst = freshDir("statsdst")
+    AnnIndex.annIndexCompact(spark, dir, dst)
+    val sc = AnnIndex.annIndexStats(spark, dst).head()
+    assert(sc.getAs[Long]("vectors") == emb.count() - 10 &&
+      sc.getAs[Int]("batches") == 1 && sc.getAs[Int]("tomb_batches") == 0 &&
+      sc.getAs[Long]("tomb_rows") == 0L)
+    // a non-store refuses loudly (the meta reader's standard message)
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.annIndexStats(spark, freshDir("nostore") + "/nothing")
+    }.getMessage.contains("not an ann index"))
+  }
 }

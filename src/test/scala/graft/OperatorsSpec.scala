@@ -2637,6 +2637,70 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(!outB.exists(_._1 == "pe"))
     assert(outB == key(KeywordSearch.bm25PhraseScore(docs, "text", "doc_id", model0)))
   }
+
+  test("index stats: corpus truth + maintenance gauges through the lifecycle (r17)") {
+    // the inspection op completing the store lifecycle: corpus-derived
+    // numbers must equal a direct tokenization of the live docs at every
+    // lifecycle step (build → append → delete → compact), and the
+    // maintenance gauges must track batches / tombstone backlog exactly
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val first = all.filter(col("doc_id") < 200)
+    val extra = all.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_stats").toString
+    // ground truth from a direct tokenization of a doc frame
+    def truth(docs: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+      val toks = coalesce(Dedup.tokens(col("text")), array().cast("array<string>"))
+      val t = docs.select(col("doc_id"), explode(toks).as("term"))
+        .agg(countDistinct(col("term")), countDistinct(col("term"), col("doc_id")))
+        .head()
+      val d = docs.select(size(toks).cast("long").as("dl"))
+        .agg(count(lit(1)), sum(col("dl"))).head()
+      (d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1),
+        t.getLong(0), t.getLong(1))
+    }
+    def stats(): org.apache.spark.sql.Row =
+      KeywordSearch.bm25IndexStats(spark, dir).head()
+    def corpusSlice(r: org.apache.spark.sql.Row): (Long, Long, Long, Long) =
+      (r.getAs[Long]("docs"), r.getAs[Long]("sumdl"),
+        r.getAs[Long]("terms"), r.getAs[Long]("postings"))
+    def gauges(r: org.apache.spark.sql.Row): (Int, Int, Long, Boolean) =
+      (r.getAs[Int]("batches"), r.getAs[Int]("tomb_batches"),
+        r.getAs[Long]("tomb_rows"), r.getAs[Boolean]("positions"))
+
+    KeywordSearch.bm25IndexBuild(first, "text", "doc_id", dir, overwrite = true)
+    val s0 = stats()
+    assert(corpusSlice(s0) == truth(first))
+    assert(gauges(s0) == ((1, 0, 0L, false)))
+    assert(s0.getAs[Double]("avgdl") ==
+      s0.getAs[Long]("sumdl").toDouble / s0.getAs[Long]("docs").toDouble)
+
+    KeywordSearch.bm25IndexAppend(spark, dir, extra, "text", "doc_id")
+    val s1 = stats()
+    assert(corpusSlice(s1) == truth(first.unionByName(extra)))
+    assert(gauges(s1) == ((2, 0, 0L, false)))
+
+    val dropped = extra.filter(col("doc_id") % 2 === 0)
+    val kept = first.unionByName(extra.filter(col("doc_id") % 2 === 1))
+    val nDropped = dropped.count()
+    KeywordSearch.bm25IndexDelete(spark, dir, dropped.select("doc_id"), "doc_id")
+    val s2 = stats()
+    assert(corpusSlice(s2) == truth(kept)) // live view: tombstones invisible
+    assert(gauges(s2) == ((2, 1, nDropped, false)))
+
+    val dst = java.nio.file.Files.createTempDirectory("graft_bm25_statsc").toString
+    KeywordSearch.bm25IndexCompact(spark, dir, dst, overwrite = true)
+    val sc = KeywordSearch.bm25IndexStats(spark, dst).head()
+    assert(corpusSlice(sc) == truth(kept))
+    assert(gauges(sc) == ((1, 0, 0L, false))) // backlog ledger reset
+
+    // the positions capability flag surfaces
+    val posDir = java.nio.file.Files.createTempDirectory("graft_bm25_statsp").toString
+    KeywordSearch.bm25IndexBuild(first, "text", "doc_id", posDir,
+      overwrite = true, positions = true)
+    assert(KeywordSearch.bm25IndexStats(spark, posDir)
+      .head().getAs[Boolean]("positions"))
+  }
 }
 
 class PqSpec extends AnyFunSuite {
