@@ -609,9 +609,13 @@ object Bench {
     // 39-name resampled array pushed the line past the harness's 2,000-char
     // captured tail and the driver recorded parsed=null — the full name
     // list (and everything else) lives in target/bench_full.json
+    // r17: the raw calib_sec ARRAY moved to bench_full.json only — the
+    // stdout line hit 1,917 of the 2,000-char captured tail after the
+    // anchor field + the phrase-batch row; the scalars (calib_ok,
+    // calib_spread) stay, which is what round adjudication reads
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
       subtotals + calibJson + s""""resampled_n":${resampled.size},""" +
-      s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
+      s"""$streamingJson"samples":$samples,"sf":$sfJson}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
       subtotals + calibJson + heapDetailJson + s""""resampled":$resampledJson,""" +
       s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
