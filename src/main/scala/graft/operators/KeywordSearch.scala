@@ -747,7 +747,6 @@ object KeywordSearch {
       s"bm25PhraseTopK: index at '$dir' was built without the positions " +
         "plane — rebuild or compact from a build with positions = true")
     require(meta.n > 0, s"bm25PhraseTopK: index at '$dir' holds no documents")
-    val avgdl = meta.sumdl.toDouble / meta.n.toDouble
     val perPhrase = parseBattery(phrases)
     val plane = dropTombstoned(spark,
       readPlane(spark, dir, "positions", meta.batches), dir, meta.tombBatches)
@@ -1276,7 +1275,10 @@ object KeywordSearch {
       .agg(countDistinct(col("term")).as("terms"),
         count(lit(1)).as("postings"))
       .select(lit(meta.n).as("docs"), lit(meta.sumdl).as("sumdl"),
-        (lit(meta.sumdl.toDouble) / lit(meta.n.toDouble)).as("avgdl"),
+        // a fully-deleted store (n = 0, legal: stats must still report)
+        // shows avgdl as NULL, never NaN
+        (if (meta.n > 0) lit(meta.sumdl.toDouble / meta.n.toDouble)
+         else lit(null).cast(DoubleType)).as("avgdl"),
         col("terms"), col("postings"),
         lit(meta.batches).as("batches"),
         lit(meta.tombBatches).as("tomb_batches"),

@@ -260,8 +260,14 @@ object KerchunkIndex {
       FsPaths.connectorRefusal(path, e) }
     // a parquet-ref store whose rebuild swap crashed has NO root until the
     // next open heals it — heal before dispatching on the path's shape
-    // (a no-op for v1 JSON files and healthy stores)
-    if (!fs.exists(hPath)) StoreMeta.recoverCrashedSwap(fs, hPath, ".zmetadata")
+    // (a no-op for v1 JSON files and healthy stores); a LIVE writer
+    // mid-swap is the one transient state left — wait out the bounded
+    // two-rename window like every other store reader (r17 review: open()
+    // dispatched straight into getFileStatus and failed transiently)
+    if (!fs.exists(hPath)) {
+      StoreMeta.recoverCrashedSwap(fs, hPath, ".zmetadata")
+      StoreMeta.awaitSwapWindow(fs, hPath, ".zmetadata")
+    }
     if (!fs.getFileStatus(hPath).isDirectory) read(spark, path, storageOptions)
     else {
       require(fs.exists(new org.apache.hadoop.fs.Path(hPath, ".zmetadata")),

@@ -212,9 +212,19 @@ private[graft] object StoreMeta {
     if (fs.exists(metaPath)) return
     val lock = lockPath(root)
     if (heldByThisThread(fs, lock)) return
+    // wait only while a swap is actually IN FLIGHT or imminent: the old
+    // root parked aside (between the two renames) or a staged store whose
+    // meta has committed (rename-in imminent). A FIRST build holds the
+    // lease for its whole duration with neither shape present (it stages
+    // without a committed meta until the very end) — a reader polling a
+    // store that does not exist yet must refuse fast, not burn the full
+    // backoff budget per open (r17 review).
+    def swapInFlight(): Boolean =
+      fs.exists(oldSibling(root)) ||
+        fs.exists(new org.apache.hadoop.fs.Path(stagedSibling(root), metaFile))
     var backoff = 10L
     var waited = 0L
-    while (waited < 2000L && !fs.exists(metaPath) &&
+    while (waited < 2000L && !fs.exists(metaPath) && swapInFlight() &&
            fs.exists(lock) && !leaseIsStale(fs, lock)) {
       Thread.sleep(backoff)
       waited += backoff
@@ -439,9 +449,9 @@ private[graft] object StoreMeta {
     acquire()
     val key = fs.makeQualified(lock).toString
     threadHeldLocks.set(threadHeldLocks.get + key)
-    // the stop flag (not just interrupt) forecloses a late re-stamp
-    // resurrecting the lease file after the release delete, should the
-    // join below ever time out on a stuck filesystem call
+    // the stop flag (not just interrupt) stops the loop before its NEXT
+    // write; a write already in flight is handled at release, which waits
+    // for the thread and skips the delete if it will not die
     val released = new java.util.concurrent.atomic.AtomicBoolean(false)
     // the lease is OURS while its pid+host are this process's — the
     // ownership check the heartbeat and the release run before WRITING or
@@ -450,7 +460,12 @@ private[graft] object StoreMeta {
     // on resume must neither clobber the usurper's lease with a heartbeat
     // re-stamp nor delete it at release. An unreadable lock reads as not
     // ours — erring toward leaking our own (self-healing: dead-pid /
-    // TTL staleness) over destroying a live usurper's.
+    // TTL staleness) over destroying a live usurper's. RESIDUAL (the
+    // check-then-write is not atomic): a takeover landing in the
+    // microseconds between the heartbeat's read and its re-stamp still
+    // gets clobbered — reachable only when a writer pauses past the
+    // full TTL yet resumes, i.e. outside the documented support window;
+    // the optimistic meta recheck behind the lease remains the defense.
     def ownsJson(j: org.json4s.JValue): Boolean = {
       import org.json4s._
       ((j \ "pid"), (j \ "host")) match {
@@ -486,7 +501,20 @@ private[graft] object StoreMeta {
     } finally {
       released.set(true)
       heartbeat.interrupt()
-      heartbeat.join(5000L)
+      // the release delete below MUST NOT run while our own heartbeat
+      // write may still be in flight: interrupt does not break blocking
+      // I/O, and a stalled atomicWriteJson completing AFTER the delete
+      // would resurrect this process's lease — a live same-host pid is
+      // never judged stale, so that bricks the store for every writer on
+      // the host until this JVM exits (r17 review). Wait out the stall
+      // (bounded); if the thread still will not die, SKIP the delete —
+      // the leaked lease then at least stays CONSISTENT (one file, our
+      // pid) and self-heals by the dead-pid rule at process exit.
+      var joinWaited = 0L
+      while (heartbeat.isAlive && joinWaited < 60000L) {
+        heartbeat.join(5000L); joinWaited += 5000L
+      }
+      val heartbeatDead = !heartbeat.isAlive
       threadHeldLocks.set(threadHeldLocks.get - key)
       // delete only a lease that is OURS, with a short reread retry: a
       // transient read hiccup must not leak our own lease — a live
@@ -495,7 +523,7 @@ private[graft] object StoreMeta {
       // lease readable as someone ELSE's (usurped past the TTL while we
       // were paused) is left untouched.
       var releaseTries = 0
-      var releaseDone = false
+      var releaseDone = !heartbeatDead
       while (!releaseDone && releaseTries < 3) {
         parseLease(readFileBytes(fs, lock)) match {
           case Some(j) =>

@@ -2507,6 +2507,29 @@ class Bm25IndexSpec extends AnyFunSuite {
     val healedMeta = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
     assert(healedMeta.contains("\"n\": 30"), healedMeta)
+
+    // --- a FIRST build's whole duration is NOT a swap window (r17
+    // review): a reader polling a store that does not exist yet must
+    // refuse fast — the bounded wait engages only when a swap shape is
+    // present (.old parked, or a staged store with committed meta), not
+    // merely because a live lease guards a missing root
+    val freshRoot = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft_bm25_r17d").toString, "idx")
+    graft.sources.StoreMeta.withWriterLock(fs, freshRoot, "first-build-sim") {
+      @volatile var waitedMs = -1L
+      @volatile var msg: String = null
+      val probe = new Thread(() => {
+        val t0 = System.nanoTime()
+        try KeywordSearch.bm25SearchIndexed(spark, freshRoot.toString,
+          battery, "qid", "qtext", k = 3).count()
+        catch { case e: Throwable => msg = e.getMessage }
+        waitedMs = (System.nanoTime() - t0) / 1000000L
+      })
+      probe.start(); probe.join(30000L)
+      assert(msg != null && msg.contains("not a bm25 index"), msg)
+      assert(waitedMs >= 0 && waitedMs < 1500,
+        s"reader burned the swap-window budget on a first build: $waitedMs ms")
+    }
   }
 
   test("phrase scorer: frozen model scores bit-identically to the indexed search (r15)") {
@@ -2700,6 +2723,13 @@ class Bm25IndexSpec extends AnyFunSuite {
       overwrite = true, positions = true)
     assert(KeywordSearch.bm25IndexStats(spark, posDir)
       .head().getAs[Boolean]("positions"))
+
+    // a fully-deleted store still REPORTS (stats is the op you reach for
+    // to see what happened): zero everywhere, avgdl NULL — never NaN
+    KeywordSearch.bm25IndexDelete(spark, dst, kept.select("doc_id"), "doc_id")
+    val se = KeywordSearch.bm25IndexStats(spark, dst).head()
+    assert(corpusSlice(se) == ((0L, 0L, 0L, 0L)))
+    assert(se.isNullAt(se.fieldIndex("avgdl")))
   }
 }
 
