@@ -4110,6 +4110,78 @@ object SparkEntry {
         lit(got.sameElements(brute)).as("equals_brute_force"))
     }),
 
+    "ann_index_search_filtered_refill_batch" -> ((s, dir) => {
+      // r18: REFILL on the battery-as-data form — the r17 asymmetry
+      // closed: corpus-scale filtered batteries (THE production retrieval
+      // shape) now auto-widen relationally (starved ids by anti-join,
+      // doubled probes as a cell-equality join; queries never collect).
+      // Same deterministic-starvation fixture as the driver-form gate:
+      // the predicate confines survivors to ONE cell that is not the
+      // query's first probe, so the 1-probe batch search returns ZERO
+      // rows, and whichever widening round first probes that cell sees
+      // ALL survivors — the refilled top-k is EXACT brute force over
+      // them, bit-for-bit. Additionally pinned: bit-equality to the
+      // DRIVER refill form (same schedule, probe rule, fill rule), and
+      // widening fires ONLY on starved queries (an unstarved battery
+      // runs exactly one pass).
+      val emb  = T(s, dir, "embeddings")
+      val root = s"/tmp/graft_ann_rflb_${tmpToken(dir)}"
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", root,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      val q = emb.filter(col("vec_id") === 7)
+      val store0 = s.read.parquet(s"$root/vectors/b0").select("id", "cell", "vec")
+        .localCheckpoint(true) // three consumers below
+      val qCell = store0.filter(col("id") === 7).select("cell").head().getInt(0)
+      val fRow = store0.filter(col("cell") =!= qCell).groupBy("cell")
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("members").desc, col("cell").asc).head()
+      val fCell = fRow.getInt(0)
+      val nSurv = fRow.getLong(1)
+      val k = 5
+      val refine = math.max(4, math.ceil(nSurv.toDouble / k).toInt)
+      val pred = Some(col("cell") === fCell)
+      val dry = graft.operators.AnnIndex.annSearchIndexedBatch(s, root, q,
+        "vec_id", "embedding", k = k, nProbe = 1, refine = refine,
+        predicate = pred)
+      val refilled = graft.operators.AnnIndex.annSearchIndexedBatch(s, root, q,
+        "vec_id", "embedding", k = k, nProbe = 1, refine = refine,
+        predicate = pred, refill = true)
+      val got = refilled.orderBy("rank").collect().map(r =>
+        (r.getAs[Long]("neighbor_id"),
+          java.lang.Double.doubleToLongBits(r.getAs[Double]("cosine"))))
+      val widened = graft.operators.AnnIndex.lastBatchRefillRounds.get() > 1
+      val driver = graft.operators.AnnIndex.annSearchIndexed(s, root, q,
+        "vec_id", "embedding", k = k, nProbe = 1, refine = refine,
+        predicate = pred, refill = true)
+        .orderBy("rank").collect().map(r =>
+          (r.getAs[Long]("neighbor_id"),
+            java.lang.Double.doubleToLongBits(r.getAs[Double]("cosine"))))
+      // unstarved control: one pass only, rows bit-equal to refill = false
+      val calmA = graft.operators.AnnIndex.annSearchIndexedBatch(s, root, q,
+        "vec_id", "embedding", k = k, nProbe = 8, refine = 4)
+        .orderBy("rank").collect().map(_.toSeq)
+      val calmB = graft.operators.AnnIndex.annSearchIndexedBatch(s, root, q,
+        "vec_id", "embedding", k = k, nProbe = 8, refine = 4, refill = true)
+        .orderBy("rank").collect().map(_.toSeq)
+      val onePass = graft.operators.AnnIndex.lastBatchRefillRounds.get() == 1
+      import graft.functions.VectorFunctions.vec_cosine
+      val qv = q.select("embedding").head().getSeq[Float](0)
+      val brute = store0.filter(col("cell") === fCell)
+        .select(col("id").as("neighbor_id"),
+          vec_cosine(col("vec"), typedLit(qv)).as("cosine"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc).limit(k)
+        .collect().map(r =>
+          (r.getLong(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+      s.range(1).select(
+        lit("ivfpq_refill_batch").as("method"), lit(1L).as("n_queries"),
+        lit(nSurv >= k).as("fixture_has_k_survivors"),
+        lit(dry.count() == 0L).as("starved_without_refill"),
+        lit(got.length == k).as("refill_fills_k"),
+        lit(got.sameElements(brute)).as("equals_brute_force"),
+        lit(got.sameElements(driver) && widened).as("equals_driver_refill"),
+        lit(calmA.sameElements(calmB) && onePass).as("widens_only_on_starved"))
+    }),
+
     "pipeline_semdedup" -> ((s, dir) => {
       // SemDeDup (cluster + greedy keep-first prune, Dedup.semanticDedup):
       // centroid means are float sums whose exact values depend on partial
@@ -6694,6 +6766,16 @@ object SparkEntry {
         |       TRUE AS starved_without_refill,
         |       TRUE AS refill_fills_k,
         |       TRUE AS equals_brute_force""".stripMargin,
+    // r18 batch-form refill: same fixture; additionally pins bit-equality
+    // to the driver refill and one-pass behavior on an unstarved battery
+    "ann_index_search_filtered_refill_batch" ->
+      """SELECT 'ivfpq_refill_batch' AS method, CAST(1 AS BIGINT) AS n_queries,
+        |       TRUE AS fixture_has_k_survivors,
+        |       TRUE AS starved_without_refill,
+        |       TRUE AS refill_fills_k,
+        |       TRUE AS equals_brute_force,
+        |       TRUE AS equals_driver_refill,
+        |       TRUE AS widens_only_on_starved""".stripMargin,
 
     // r16 production-parameter hybrid fusion over the stores: the
     // equality against the fusion of the independently-gated forms is

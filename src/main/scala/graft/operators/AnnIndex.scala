@@ -450,11 +450,30 @@ object AnnIndex {
     * degenerate-cosine ordering also agrees: NearestCells ranks NaN
     * cosines last, and the shared [[Similarity.pqProbeOrder]] maps NaN
     * cosines to -Infinity — both below every real cosine, ties on cell
-    * index). A wrong-dim query refuses in-plan before it can probe. */
+    * index). A wrong-dim query refuses in-plan before it can probe.
+    *
+    * `refill` (r18) is the batch twin of the driver form's r17 refill —
+    * through r17 only the driver-sized form auto-widened, so a
+    * corpus-scale FILTERED battery (the production retrieval shape)
+    * still silently under-filled when a selective predicate's survivors
+    * clustered in unprobed cells. The widening is RELATIONAL: after each
+    * pass, starved query ids (fewer than `k` result rows — an anti-join
+    * against the per-query fill counts, so zero-row queries starve too)
+    * get the next pass at DOUBLED probes via the same cell-equality
+    * join; filled queries keep their original rows untouched. Queries
+    * NEVER collect — the driver only iterates ROUNDS (≤ log₂(cells)+1,
+    * one bounded emptiness check per round), and each round's result
+    * (≤ k rows per starved query) plus the starved id set localCheckpoint
+    * so the battery is scanned once and round plans stay constant-depth.
+    * Same doubling schedule, probe rule, and fill rule as the driver
+    * form, so the two refill forms are bit-identical over the same store
+    * and battery; at full span the candidate set IS every survivor, so a
+    * still-short query genuinely has fewer than `k` allowed vectors. */
   def annSearchIndexedBatch(spark: SparkSession, dir: String,
                             queries: DataFrame, qidCol: String, qvecCol: String,
                             k: Int = 10, nProbe: Int = 8, refine: Int = 4,
-                            predicate: Option[Column] = None): DataFrame = {
+                            predicate: Option[Column] = None,
+                            refill: Boolean = false): DataFrame = {
     require(k >= 1 && nProbe >= 1 && refine >= 1,
       s"annSearchIndexedBatch: k, nProbe, refine must be >= 1 (got $k, $nProbe, $refine)")
     val (dim, cents, books, unfiltered) = openStore(spark, dir, "annSearchIndexedBatch")
@@ -475,22 +494,68 @@ object AnnIndex {
     // an all-null or empty battery refuses loudly like the driver form
     // (one bounded probe job — isEmpty stops at the first non-empty slice)
     require(!q0.isEmpty, "annSearchIndexedBatch: empty query battery")
-    val qCells = q0
-      .withColumn("cell", explode(nearest_cells(col("__qv"), cents, nProbe)))
-      // per-QUERY norm, hoisted before the candidate join — recomputing
-      // the dim-length dot per (query, candidate) row would double the
-      // ADC stage's arithmetic; same expression, bit-identical value
-      .withColumn("__qn", sqrt(vec_dot(col("__qv"), col("__qv"))))
     val adc = GraftColumnBridge.column(graft.functions.PqAdcDirect(
       GraftColumnBridge.expression(col("codes")),
       GraftColumnBridge.expression(col("__qv")), books))
-    // corpus side is assigned with nProbe = 1, so (query, neighbor) pairs
-    // are unique across probed cells — same invariant as the driver form
-    val scored = qCells.join(store, "cell")
-      .select(col("query_id"), col("id").as("neighbor_id"),
-        (adc / (col("__qn") * col("vnorm"))).as("__approx"))
-    rescoreTopK(scored, store, q0, k, refine)
+    def passAt(q: DataFrame, probes: Int): DataFrame = {
+      val qCells = q
+        .withColumn("cell", explode(nearest_cells(col("__qv"), cents, probes)))
+        // per-QUERY norm, hoisted before the candidate join — recomputing
+        // the dim-length dot per (query, candidate) row would double the
+        // ADC stage's arithmetic; same expression, bit-identical value
+        .withColumn("__qn", sqrt(vec_dot(col("__qv"), col("__qv"))))
+      // corpus side is assigned with nProbe = 1, so (query, neighbor) pairs
+      // are unique across probed cells — same invariant as the driver form
+      val scored = qCells.join(store, "cell")
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          (adc / (col("__qn") * col("vnorm"))).as("__approx"))
+      rescoreTopK(scored, store, q, k, refine)
+    }
+    if (!refill) return passAt(q0, nProbe)
+    // checkpoint the battery once: the widening rounds re-join it, and a
+    // non-deterministic battery must not diverge between passes (the
+    // collect the driver form runs for the same reason, kept distributed)
+    val nCells = cents.length
+    var remaining = q0.localCheckpoint(true)
+    var probes = math.min(nProbe, nCells)
+    var rounds = 0
+    var kept: DataFrame = null
+    var done = false
+    while (!done) {
+      rounds += 1
+      // ≤ k rows per remaining query; checkpointed because it feeds both
+      // the fill counts and the kept/starved split below
+      val res = passAt(remaining, probes).localCheckpoint(true)
+      val filledIds = res.groupBy("query_id")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= k)
+        .select("query_id")
+      // anti-join, not a filter on counts: a query with ZERO result rows
+      // appears in no count row and must starve
+      val starved = remaining.join(filledIds, Seq("query_id"), "left_anti")
+        .localCheckpoint(true)
+      if (probes >= nCells || starved.isEmpty) {
+        // at full span a short query has < k allowed vectors, period
+        kept = if (kept == null) res else kept.unionByName(res)
+        done = true
+      } else {
+        kept = {
+          val filledRows =
+            res.join(starved.select("query_id"), Seq("query_id"), "left_anti")
+          if (kept == null) filledRows else kept.unionByName(filledRows)
+        }
+        remaining = starved
+        probes = math.min(probes * 2, nCells)
+      }
+    }
+    lastBatchRefillRounds.set(rounds)
+    kept
   }
+
+  /** Rounds the last `refill = true` [[annSearchIndexedBatch]] executed
+    * on THIS thread — spec instrumentation only (the widening-fires-only-
+    * on-starved-queries pin); production code never reads it. */
+  private[graft] val lastBatchRefillRounds: ThreadLocal[Integer] =
+    ThreadLocal.withInitial(() => Integer.valueOf(0))
 
   /** The shared re-rank tail of both search forms: short-list the top
     * `k·refine` by approximate cosine (deterministic two-stage top-k),

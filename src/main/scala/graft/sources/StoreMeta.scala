@@ -230,6 +230,16 @@ private[graft] object StoreMeta {
       waited += backoff
       backoff = math.min(backoff * 2, 500L)
     }
+    // r18 (ADVICE): a writer that DIED mid-swap while we waited exits the
+    // loop via leaseIsStale with the store fully recoverable at this very
+    // moment (complete staged sibling + stale lease) — heal it in THIS
+    // open instead of surfacing a transient 'not an index' refusal that
+    // only the NEXT open would have healed. recoverCrashedSwap's own
+    // guards make the call safe on every other exit path: it moves
+    // nothing unless the root is missing entirely and the staged meta is
+    // committed, and it skips (leaving the writer to finish its own swap)
+    // when a LIVE lease still guards the root.
+    if (!fs.exists(metaPath)) recoverCrashedSwap(fs, root, metaFile)
   }
 
   private def readFileBytes(fs: org.apache.hadoop.fs.FileSystem,

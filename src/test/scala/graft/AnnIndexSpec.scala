@@ -349,6 +349,59 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(full == fullR)
   }
 
+  test("batch filtered-search refill: relational widening, bit-equal to the driver form (r18)") {
+    // the r17 asymmetry: only the driver-sized form refilled — a
+    // corpus-scale filtered battery (THE production retrieval shape)
+    // still silently under-filled. The batch refill widens RELATIONALLY
+    // (starved ids by anti-join, next pass a cell-equality join at
+    // doubled probes; queries never collect) on the driver form's exact
+    // schedule and fill rule, so the two forms must be bit-identical
+    // over the same store, battery, and predicate.
+    val dir = freshDir("batrfl")
+    AnnIndex.annIndexBuild(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2)
+    val q = emb.filter(col("vec_id") < 10)
+    val k = 5
+    val pred = Some(col("id") % 97 === 0)
+    val nSurv = emb.filter(col("vec_id") % 97 === 0).count()
+    assert(nSurv >= k, s"fixture drifted: $nSurv survivors")
+    // precondition: at 1 probe the filtered batch search leaves at least
+    // one query short of k (survivors cluster away from some query's cell)
+    val dry = AnnIndex.annSearchIndexedBatch(spark, dir, q, "vec_id", "embedding",
+      k = k, nProbe = 1, refine = 4, predicate = pred)
+    val dryFill = dry.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(dryFill.length < 10 || dryFill.exists(_ < k),
+      "pre-condition lost: no query starved at 1 probe")
+    val batch = collectTopK(AnnIndex.annSearchIndexedBatch(spark, dir, q,
+      "vec_id", "embedding", k = k, nProbe = 1, refine = 4,
+      predicate = pred, refill = true))
+    assert(AnnIndex.lastBatchRefillRounds.get() > 1,
+      "the starving battery should have taken widening rounds")
+    val driver = collectTopK(AnnIndex.annSearchIndexed(spark, dir, q,
+      "vec_id", "embedding", k = k, nProbe = 1, refine = 4,
+      predicate = pred, refill = true))
+    assert(batch.nonEmpty && batch == driver) // cosines compared as exact doubles
+    // every query fills to k (enough survivors exist at full span)
+    assert(batch.groupBy(_._1).forall(_._2.size == k))
+    // widening fires ONLY when a query starves: an unstarved battery runs
+    // exactly one pass and returns bit-identical rows to refill = false
+    val plain = collectTopK(AnnIndex.annSearchIndexedBatch(spark, dir, q,
+      "vec_id", "embedding", k = k, nProbe = 8, refine = 4))
+    val plainR = collectTopK(AnnIndex.annSearchIndexedBatch(spark, dir, q,
+      "vec_id", "embedding", k = k, nProbe = 8, refine = 4, refill = true))
+    assert(AnnIndex.lastBatchRefillRounds.get() == 1,
+      "an unstarved battery must not take widening rounds")
+    assert(plain == plainR)
+    // a predicate with fewer than k survivors fills to ALL of them per
+    // query and stops at the cell span (honest short result, never a loop)
+    val tiny = Some(col("id") % 499 === 0)
+    val nTiny = emb.filter(col("vec_id") % 499 === 0).count()
+    assert(nTiny < k && nTiny > 0)
+    val short = AnnIndex.annSearchIndexedBatch(spark, dir, q, "vec_id", "embedding",
+      k = k, nProbe = 1, refine = 4, predicate = tiny, refill = true)
+    assert(short.count() == 10L * nTiny)
+  }
+
   test("build-path recovery: a rebuild onto a crashed swap heals it first (r17)") {
     // the r16 ADVICE hole: a no-overwrite build opening onto the window
     // between swapInto's two renames saw 'nothing here', deleted the

@@ -2532,6 +2532,65 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("reader heals a swap whose writer died mid-wait, in the same open (r18)") {
+    // the r17 ADVICE residual: a reader inside awaitSwapWindow's bounded
+    // wait exits via leaseIsStale when the live writer CRASHES mid-swap —
+    // at that moment the store is fully recoverable (complete staged
+    // sibling + stale lease), but through r17 the caller's exists-require
+    // fired a transient 'not a bm25 index' that only the NEXT open would
+    // have healed. The wait now runs recoverCrashedSwap once on exit, so
+    // the SAME open heals and serves the staged store.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_r18").toString
+    val dir = base + "/idx"
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 40), "text", "doc_id", dir, overwrite = true)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = graft.sources.StoreMeta.stagedSibling(root)
+    val old = graft.sources.StoreMeta.oldSibling(root)
+    val other = java.nio.file.Files.createTempDirectory("graft_bm25_r18o").toString + "/o"
+    KeywordSearch.bm25IndexBuild(
+      docs.filter(col("doc_id") < 30), "text", "doc_id", other, overwrite = true)
+    // the exact state between swapInto's two renames...
+    assert(fs.rename(root, old))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(other), staged))
+    // ...leased by a writer that is a LIVE same-host process (a real
+    // child process, so the pid oracle sees it alive until we kill it)
+    val proc = new ProcessBuilder("sleep", "30").start()
+    val lock = graft.sources.StoreMeta.lockPath(root)
+    val lease = s"""{"pid": ${proc.pid}, """ +
+      s""""host": "${java.net.InetAddress.getLocalHost.getHostName}", """ +
+      s""""op": "swap-sim", "epoch_ms": ${System.currentTimeMillis}}"""
+    val o = fs.create(lock, true)
+    try o.write(lease.getBytes("UTF-8")) finally o.close()
+    val battery = Seq(("q1", "spark hash join")).toDF("qid", "qtext")
+    @volatile var rows = -1L
+    @volatile var err: Throwable = null
+    val reader = new Thread(() => {
+      try rows = KeywordSearch.bm25SearchIndexed(
+        spark, dir, battery, "qid", "qtext", k = 3).count()
+      catch { case t: Throwable => err = t }
+    })
+    try {
+      reader.start()
+      Thread.sleep(300L) // reader sits in the bounded wait (live lease + swap shape)
+      assert(err == null, s"reader failed while the writer was alive: $err")
+      proc.destroyForcibly(); proc.waitFor() // the writer dies mid-swap
+      reader.join(60000L)
+      assert(err == null, s"reader failed instead of healing the dead writer's swap: $err")
+      assert(rows >= 1L)
+      // healed: staged store live at the root, recovery litter gone
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root, "meta.json")))
+      assert(!fs.exists(staged) && !fs.exists(old))
+      val healedMeta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "meta.json")), "UTF-8")
+      assert(healedMeta.contains("\"docs\": 30") || healedMeta.contains("\"n\": 30"),
+        healedMeta)
+    } finally { proc.destroyForcibly(); () }
+  }
+
   test("phrase scorer: frozen model scores bit-identically to the indexed search (r15)") {
     // the streaming-shaped phrase plane: tf from the doc's OWN tokens
     // (PhraseCount kernel) + df/N/avgdl frozen from the positional store
