@@ -3477,6 +3477,64 @@ object SparkEntry {
         .select(col("vectors"), col("dim"), col("subspaces"), col("cells"))
     }),
 
+    "ann_index_drift" -> ((s, dir) => {
+      // r18: the frozen-model DRIFT gauge — appends encode under the
+      // build-time model forever (drift degrades recall, never score
+      // correctness), and through r17 nothing told a deployment WHEN the
+      // model had aged out. annIndexDrift reports per-batch mean/p95
+      // cosine distance to the ASSIGNED coarse centroid. The fixture
+      // appends a batch of vectors EXACTLY orthogonal to every centroid
+      // (Gram-Schmidt against the model read BACK from model.json) — the
+      // worst possible drift, pinning that batch's mean at ~1.0 at any
+      // data scale, while batch 0 (the data the model was fitted on)
+      // sits well below. matches_recompute re-derives batch 0's mean
+      // INDEPENDENTLY from the raw embeddings table + the round-tripped
+      // model (assignment via the same NearestCells kernel, distance via
+      // 1 − vec_cosine) — per-row distances are bit-identical, so the
+      // two averages may differ only by aggregation order (~1e-13).
+      import graft.functions.VectorFunctions.{nearest_cells, vec_cosine}
+      val root = s"/tmp/graft_ann_drift_${tmpToken(dir)}"
+      val emb = T(s, dir, "embeddings")
+      graft.operators.AnnIndex.annIndexBuild(emb, "vec_id", "embedding", root,
+        nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      val rootP = graft.sources.FsPaths.hadoopPath(root)
+      val fs = graft.sources.FsPaths.fileSystemFor(
+        rootP, s.sparkContext.hadoopConfiguration)
+      val (cents, _) = graft.operators.AnnIndex.readModel(fs, rootP, root)
+      val orth = graft.harness.DriftFixture.modelOrthogonal(cents, 20)
+      import s.implicits._
+      val delta = orth.toSeq.zipWithIndex
+        .map { case (v, j) => (10000000L + j, v) }.toDF("vec_id", "embedding")
+      graft.operators.AnnIndex.annIndexAppend(s, root, delta, "vec_id", "embedding")
+      val drift = graft.operators.AnnIndex.annIndexDrift(s, root)
+        .orderBy("batch").collect()
+      val (mean0, p950) = (drift(0).getDouble(2), drift(0).getDouble(3))
+      val (mean1, p951) = (drift(1).getDouble(2), drift(1).getDouble(3))
+      val centSchema = StructType(Seq(
+        StructField("cell", IntegerType, nullable = false),
+        StructField("__cent", ArrayType(FloatType, containsNull = false),
+          nullable = false)))
+      val centDf = s.createDataFrame(
+        java.util.Arrays.asList(cents.zipWithIndex.map { case (c, i) =>
+          org.apache.spark.sql.Row(i, c.toSeq) }: _*), centSchema)
+      val re = emb.filter(col("embedding").isNotNull)
+        .select(element_at(nearest_cells(col("embedding"), cents, 1), 1)
+          .as("cell"), col("embedding"))
+        .join(broadcast(centDf), "cell")
+        .agg(avg(lit(1.0) - vec_cosine(col("embedding"), col("__cent"))))
+        .head().getDouble(0)
+      s.range(1).select(
+        lit("ann_drift").as("method"),
+        lit(drift(0).getLong(1)).as("vectors_b0"),
+        lit(drift(1).getLong(1)).as("vectors_b1"),
+        lit(mean0 < 0.9).as("baseline_fits_model"),
+        lit(mean1 > mean0 + 0.15).as("drift_detected"),
+        lit(math.abs(mean1 - 1.0) < 0.001 && math.abs(p951 - 1.0) < 0.001)
+          .as("orthogonal_batch_at_ceiling"),
+        lit(p951 > p950 + 0.1).as("p95_drifts_too"),
+        lit(math.abs(mean0 - re) < 1e-9).as("matches_recompute"))
+    }),
+
     "search_bm25_phrase" -> ((s, dir) => {
       // r15: QUOTED-PHRASE retrieval over the POSITIONAL posting store —
       // adjacency verified from stored positions (zero corpus scans),
@@ -6496,6 +6554,21 @@ object SparkEntry {
         |  CAST(8 AS INT) AS subspaces,
         |  CAST(16 AS INT) AS cells
         |FROM embeddings""".stripMargin,
+    // r18 drift gauge: batch sizes re-derive from the corpus (+ the
+    // fixture's 20 orthogonal vectors); the geometry flags — baseline
+    // fit, detection margin, the orthogonal batch pinned at distance
+    // ~1.0, and the order-independent recompute — verify in-plan and
+    // the oracle pins them TRUE
+    "ann_index_drift" ->
+      """SELECT 'ann_drift' AS method,
+        |  CAST(COUNT(*) AS BIGINT) AS vectors_b0,
+        |  CAST(20 AS BIGINT) AS vectors_b1,
+        |  TRUE AS baseline_fits_model,
+        |  TRUE AS drift_detected,
+        |  TRUE AS orthogonal_batch_at_ceiling,
+        |  TRUE AS p95_drifts_too,
+        |  TRUE AS matches_recompute
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
 
     // the ordered-fold battery: the 3 standard probes (shared CTEs) plus
     // q_wide = 'spark hash join' ×11 — 33 tokens, so the engine's global

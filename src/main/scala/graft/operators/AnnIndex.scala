@@ -137,11 +137,13 @@ object AnnIndex {
   /** Append a vector delta: only the DELTA is scanned and encoded (under
     * the frozen build-time model); existing batch files never rewrite. */
   def annIndexAppend(spark: SparkSession, dir: String,
-                     delta: DataFrame, idCol: String, vecCol: String): Unit = {
+                     delta: DataFrame, idCol: String, vecCol: String,
+                     lockWaitMs: Long = 0L): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    graft.sources.StoreMeta.withWriterLock(fs, root, "annIndexAppend") {
+    graft.sources.StoreMeta.withWriterLock(fs, root, "annIndexAppend",
+        waitMs = lockWaitMs) {
       val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
       val (batches, n0, dim, m, tomb, tombRows) = readMeta(fs, metaPath, dir)
       val (cents, books) = readModel(fs, root, dir)
@@ -361,7 +363,8 @@ object AnnIndex {
     * (compact-to-sibling + swap is the only crash-safe shape: an in-place
     * compact would race its own readers). */
   def annIndexCompact(spark: SparkSession, srcDir: String, dstDir: String,
-                      overwrite: Boolean = false): Unit = {
+                      overwrite: Boolean = false,
+                      lockWaitMs: Long = 0L): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
@@ -377,7 +380,8 @@ object AnnIndex {
       s"annIndexCompact: source and destination are the same store " +
         s"('$srcDir') — compact to a sibling and swap")
     val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
-    graft.sources.StoreMeta.withWriterLock(dstFs, dstRoot, "annIndexCompact") {
+    graft.sources.StoreMeta.withWriterLock(dstFs, dstRoot, "annIndexCompact",
+        waitMs = lockWaitMs) {
       if (dstFs.exists(dstMeta)) {
         require(overwrite,
           s"annIndexCompact: '$dstDir' already holds an index — pass overwrite = true")
@@ -599,6 +603,62 @@ object AnnIndex {
         "tomb_batches", "tomb_rows")
   }
 
+  /** Per-batch MODEL-FIT gauge (r18) — the drift signal [[annIndexStats]]
+    * deliberately lacks (stats is a pure meta/model read; this op SCANS
+    * the vector plane once, so it is a separate, knowingly-priced call):
+    * for every live batch, the mean and p95 cosine distance
+    * (1 − cosine) between each vector and its ASSIGNED coarse centroid
+    * under the frozen model. Appends encode under the build-time model by
+    * design (drift degrades RECALL, never score correctness — returned
+    * cosines are exact), so nothing in the search path ever says WHEN the
+    * model has aged out; this gauge does: batch 0 is the build-time
+    * baseline (the model was fitted on it, or on a sample of it), and an
+    * appended batch whose `mean_centroid_dist` runs materially above
+    * batch 0's means its vectors land far from every trained centroid —
+    * quantization error is up and recall is sliding. REBUILD RULE (the
+    * SURVEY recommendation): rebuild when an appended batch's mean runs
+    * ≥ ~0.1–0.2 ABOVE batch 0's, or its p95 approaches the
+    * cosine-distance ceiling (≥ ~0.9 — near-orthogonal to its own best
+    * centroid). An absolute margin, not a ratio: the baseline mean is
+    * set by the data's own cluster tightness (measured ~0.68 on the
+    * synthetic embeddings — a ratio rule would under- or over-fire as
+    * that baseline moves), while a fully model-orthogonal batch pins the
+    * gauge at exactly 1.0 at any baseline.
+    * Assignment is the STORED `cell` (what search actually probes), the
+    * distance recomputes from the stored raw vectors against the model
+    * read BACK from model.json — so the gauge also cross-checks the
+    * model round trip. One column-pruned scan (cell, vec), a broadcast
+    * centroid join, one per-batch aggregate; tombstoned vectors are
+    * excluded (they can never be returned, so their fit is moot). */
+  def annIndexDrift(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.sources.FsPaths.hadoopPath(dir)
+    val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
+    val (batches, n, dim, m, tomb, _) =
+      readMeta(fs, new org.apache.hadoop.fs.Path(root, "meta.json"), dir)
+    require(n > 0, s"annIndexDrift: index at '$dir' holds no vectors")
+    val (cents, books) = readModel(fs, root, dir)
+    checkModel(cents, books, dim, m, dir)
+    val centSchema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("__cent", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val centDf = spark.createDataFrame(
+      java.util.Arrays.asList(cents.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.Row(i, c.toSeq) }: _*), centSchema)
+    val tagged = (0 until batches)
+      .map(i => spark.read.parquet(s"$dir/vectors/b$i")
+        .select(col("id"), col("cell"), col("vec")).withColumn("batch", lit(i)))
+      .reduce(_ unionByName _)
+    dropTombstoned(spark, tagged, dir, tomb)
+      .join(broadcast(centDf), "cell")
+      .withColumn("__dist", lit(1.0) - vec_cosine(col("vec"), col("__cent")))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("vectors"),
+        avg(col("__dist")).as("mean_centroid_dist"),
+        percentile(col("__dist"), lit(0.95)).as("p95_centroid_dist"))
+      .orderBy("batch")
+  }
+
   /** The shared store-opening header of both search forms: meta + model
     * reads, cross-checks, and the unioned batch view — tombstone-filtered
     * (the LIVE view; a deleted vector can neither be a candidate nor a
@@ -749,7 +809,7 @@ object AnnIndex {
       new org.apache.hadoop.fs.Path(root, "model.json"), json)
   }
 
-  private def readModel(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readModel(fs: org.apache.hadoop.fs.FileSystem,
                         root: org.apache.hadoop.fs.Path, dir: String)
       : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     val path = new org.apache.hadoop.fs.Path(root, "model.json")

@@ -515,11 +515,13 @@ object KeywordSearch {
     * scanned; existing batch files never rewrite (the concat dim of a
     * posting store is the document set, so append is pure accretion). */
   def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      newDocs: DataFrame, textCol: String, idCol: String): Unit = {
+                      newDocs: DataFrame, textCol: String, idCol: String,
+                      lockWaitMs: Long = 0L): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = graft.sources.FsPaths.hadoopPath(dir)
     val fs = graft.sources.FsPaths.fileSystemFor(root, conf)
-    graft.sources.StoreMeta.withWriterLock(fs, root, "bm25IndexAppend") {
+    graft.sources.StoreMeta.withWriterLock(fs, root, "bm25IndexAppend",
+        waitMs = lockWaitMs) {
       val metaPath = new org.apache.hadoop.fs.Path(root, "meta.json")
       val meta = readIndexMeta(fs, metaPath, dir)
       // id-collision guard vs the store: a delta-sized semi-join against
@@ -1165,7 +1167,8 @@ object KeywordSearch {
     * the crash-safe shape. */
   def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
                        srcDir: String, dstDir: String,
-                       overwrite: Boolean = false): Unit = {
+                       overwrite: Boolean = false,
+                       lockWaitMs: Long = 0L): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val srcRoot = graft.sources.FsPaths.hadoopPath(srcDir)
     val srcFs = graft.sources.FsPaths.fileSystemFor(srcRoot, conf)
@@ -1180,7 +1183,8 @@ object KeywordSearch {
       s"bm25IndexCompact: source and destination are the same store " +
         s"('$srcDir') — compact to a sibling and swap")
     val dstMeta = new org.apache.hadoop.fs.Path(dstRoot, "meta.json")
-    graft.sources.StoreMeta.withWriterLock(dstFs, dstRoot, "bm25IndexCompact") {
+    graft.sources.StoreMeta.withWriterLock(dstFs, dstRoot, "bm25IndexCompact",
+        waitMs = lockWaitMs) {
       if (dstFs.exists(dstMeta)) {
         require(overwrite,
           s"bm25IndexCompact: '$dstDir' already holds an index — pass overwrite = true")

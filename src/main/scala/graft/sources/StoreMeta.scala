@@ -394,10 +394,24 @@ private[graft] object StoreMeta {
     * same-host pid, or [[BreakerTtlMs]] on foreign hosts — the critical
     * section is milliseconds), swept, and the acquirer refuses with
     * retry advice rather than proceeding. A live lease refuses with the
-    * file to delete once its writer is known dead. */
+    * file to delete once its writer is known dead.
+    *
+    * `waitMs` (r18) is BOUNDED-WAIT acquisition — the writer-side twin of
+    * the readers' [[awaitSwapWindow]]: with the default 0 a held lease
+    * refuses instantly (the r16 contract, unchanged), while a positive
+    * budget polls acquisition with exponential backoff until the budget
+    * runs out, then refuses with the same single-writer message. This is
+    * the queued-maintenance shape (a nightly append racing a compact on
+    * the same store): through r17 the loser had to hand-roll the retry
+    * loop around the refusal. Only CONTENTION waits — a non-contention
+    * failure (permissions, quota) still surfaces immediately — and each
+    * retry re-runs the full acquisition (stale-lease takeover included),
+    * so a budgeted acquirer also breaks a lease that goes stale while it
+    * waits. The single-holder invariant is untouched: waiting changes
+    * WHEN acquisition is attempted, never how it is decided. */
   def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
                         root: org.apache.hadoop.fs.Path,
-                        op: String)(body: => T): T = {
+                        op: String, waitMs: Long = 0L)(body: => T): T = {
     val lock = lockPath(root)
     def held() = new IllegalStateException(
       s"$op: another writer holds the lease on '$root' ($lock) — the " +
@@ -456,7 +470,25 @@ private[graft] object StoreMeta {
           } finally fs.delete(breaker, false)
         }
       }
-    acquire()
+    // bounded-wait loop: retry only the CONTENTION refusal (held()'s
+    // IllegalStateException); anything else — and the final in-budget
+    // refusal — propagates as itself. Backoff doubles 20 ms → 500 ms,
+    // clipped to the remaining budget so the loop never overshoots.
+    if (waitMs <= 0L) acquire()
+    else {
+      val deadline = System.nanoTime + waitMs * 1000000L
+      var backoff = 20L
+      var acquired = false
+      while (!acquired) {
+        try { acquire(); acquired = true }
+        catch { case e: IllegalStateException =>
+          val leftMs = (deadline - System.nanoTime) / 1000000L
+          if (leftMs <= 0L) throw e
+          Thread.sleep(math.min(backoff, leftMs))
+          backoff = math.min(backoff * 2, 500L)
+        }
+      }
+    }
     val key = fs.makeQualified(lock).toString
     threadHeldLocks.set(threadHeldLocks.get + key)
     // the stop flag (not just interrupt) stops the loop before its NEXT

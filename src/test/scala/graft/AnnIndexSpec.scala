@@ -402,6 +402,56 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(short.count() == 10L * nTiny)
   }
 
+  test("drift gauge: per-batch model fit, orthogonal batch at the ceiling (r18)") {
+    // appends encode under the frozen build-time model; annIndexDrift is
+    // the signal for WHEN that model has aged out: per-batch mean/p95
+    // cosine distance to the assigned centroid. Batch 0 is the fitted
+    // baseline; a same-distribution append must sit near it; a
+    // model-orthogonal append (worst-case drift) pins at ~1.0.
+    val dir = freshDir("drift")
+    AnnIndex.annIndexBuild(emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+      dir, nCells = 8, m = 8, nCentroids = 8, kmeansIters = 2,
+      train = Some(emb))
+    // same-distribution append: the odd half, trained-on via `train`
+    AnnIndex.annIndexAppend(spark, dir,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    val rootP = new org.apache.hadoop.fs.Path(dir)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (cents, _) = AnnIndex.readModel(fs, fs.makeQualified(rootP), dir)
+    val orth = graft.harness.DriftFixture.modelOrthogonal(cents, 10)
+    import spark.implicits._
+    val delta = orth.toSeq.zipWithIndex
+      .map { case (v, j) => (20000000L + j, v) }.toDF("vec_id", "embedding")
+    AnnIndex.annIndexAppend(spark, dir, delta, "vec_id", "embedding")
+    val rows = AnnIndex.annIndexDrift(spark, dir).orderBy("batch").collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    val counts = rows.map(_.getLong(1))
+    assert(counts(0) + counts(1) == emb.count() && counts(2) == 10L)
+    val means = rows.map(_.getDouble(2))
+    val p95s = rows.map(_.getDouble(3))
+    // the same-distribution batch reads like the baseline...
+    assert(math.abs(means(1) - means(0)) < 0.15,
+      s"undrifted append read as drifted: ${means(0)} vs ${means(1)}")
+    // ...the orthogonal batch pins at the ceiling, ahead of both
+    assert(math.abs(means(2) - 1.0) < 1e-3 && math.abs(p95s(2) - 1.0) < 1e-3)
+    assert(means(2) > means(0) + 0.15 && means(2) > means(1) + 0.15)
+    // distances are bounded by construction
+    assert(means.forall(x => x >= 0.0 && x <= 2.0))
+    assert(p95s.forall(x => x >= 0.0 && x <= 2.0))
+    // a deleted batch's vectors leave the gauge (live view only): delete
+    // the orthogonal batch and its row drops out entirely
+    AnnIndex.annIndexDelete(spark, dir,
+      delta.select("vec_id"), "vec_id")
+    val after = AnnIndex.annIndexDrift(spark, dir).orderBy("batch").collect()
+    assert(after.map(_.getInt(0)).toSeq == Seq(0, 1))
+    // a non-store refuses like every reader
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.annIndexDrift(spark, freshDir("driftmiss"))
+    }
+    assert(e.getMessage.contains("is not an ann index"))
+  }
+
   test("build-path recovery: a rebuild onto a crashed swap heals it first (r17)") {
     // the r16 ADVICE hole: a no-overwrite build opening onto the window
     // between swapInto's two renames saw 'nothing here', deleted the

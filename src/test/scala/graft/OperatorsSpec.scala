@@ -2532,6 +2532,69 @@ class Bm25IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded-wait lease acquisition: acquires after release, refuses past budget (r18)") {
+    // the writer-side twin of awaitSwapWindow: queued maintenance jobs
+    // (nightly append racing a compact) could only hand-roll retry around
+    // the instant refusal through r17. waitMs polls acquisition with
+    // backoff until the budget runs out; the default stays instant
+    // refusal and the single-holder invariant is untouched.
+    val base = java.nio.file.Files.createTempDirectory("graft_lease_wait").toString
+    val root = new org.apache.hadoop.fs.Path(base + "/store")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val holderHolds = new java.util.concurrent.CountDownLatch(1)
+    val holderRelease = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.sources.StoreMeta.withWriterLock(fs, root, "holder") {
+        holderHolds.countDown()
+        holderRelease.await(30, java.util.concurrent.TimeUnit.SECONDS); ()
+      })
+    holder.start()
+    assert(holderHolds.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    // a short budget refuses once it is spent, with the unchanged message
+    val e = intercept[IllegalStateException] {
+      graft.sources.StoreMeta.withWriterLock(fs, root, "impatient",
+        waitMs = 150L) { fail("acquired a held lease") }
+    }
+    assert(e.getMessage.contains("single-writer"), e.getMessage)
+    // ...and the default (no budget) still refuses instantly
+    val t0 = System.nanoTime
+    intercept[IllegalStateException] {
+      graft.sources.StoreMeta.withWriterLock(fs, root, "instant") { () }
+    }
+    assert((System.nanoTime - t0) / 1000000L < 1000L)
+    // a budgeted acquirer gets the lease once the holder releases
+    @volatile var patientRan = false
+    val patient = new Thread(() =>
+      graft.sources.StoreMeta.withWriterLock(fs, root, "patient",
+        waitMs = 20000L) { patientRan = true })
+    patient.start()
+    Thread.sleep(200L)
+    assert(!patientRan, "budgeted acquirer broke a LIVE lease")
+    holderRelease.countDown()
+    patient.join(30000L); holder.join(30000L)
+    assert(patientRan, "budgeted acquirer never got the released lease")
+    // the race harness under budgets: every racer eventually wins,
+    // serially — never two holders at once
+    val active = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val racers = (1 to 6).map { _ =>
+      new Thread(() =>
+        graft.sources.StoreMeta.withWriterLock(fs, root, "race",
+          waitMs = 60000L) {
+          val a = active.incrementAndGet()
+          maxActive.updateAndGet(m => math.max(m, a))
+          Thread.sleep(30L)
+          active.decrementAndGet()
+          wins.incrementAndGet(); ()
+        })
+    }
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(wins.get == 6, s"only ${wins.get}/6 budgeted racers acquired")
+    assert(maxActive.get == 1, s"${maxActive.get} writers held the lease at once")
+    assert(!fs.exists(graft.sources.StoreMeta.lockPath(root)))
+  }
+
   test("reader heals a swap whose writer died mid-wait, in the same open (r18)") {
     // the r17 ADVICE residual: a reader inside awaitSwapWindow's bounded
     // wait exits via leaseIsStale when the live writer CRASHES mid-swap —
