@@ -208,7 +208,7 @@ object SparkEntry {
     * in key order — the Dap2 fixture's construction): ONE definition so
     * the v2 and v3 round trips write identical cells and share one
     * oracle. */
-  private def zarrTidyPlane(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def zarrTidyPlane(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val n = T(s, dir, "nation")
       .select(col("n_nationkey").cast(LongType).as("k"),
@@ -270,7 +270,7 @@ object SparkEntry {
 
   /** The zarr sink gates' per-variable dtypes (`uForV3 = false` swaps the
     * UCS-4 vector to |S for the v3 writer — see [[zarrTidyPlane]]). */
-  private def zarrTidyDtypes(ucs4: Boolean): Map[String, String] =
+  private[graft] def zarrTidyDtypes(ucs4: Boolean): Map[String, String] =
     Map("n_region" -> "<i4", "n_big" -> "<i8", "n_name" -> "|S",
       "r_label" -> (if (ucs4) "<U" else "|S"),
       // r13 read-side parity widths
@@ -280,7 +280,7 @@ object SparkEntry {
   /** Read a written zarr store back through the engine's own reader +
     * decode plane and emit (variable, dims, coord_key, value) rows — the
     * zarr sink gates' shared read-back half. */
-  private def readZarrStoreCells(s: SparkSession, store: String): DataFrame = {
+  private[graft] def readZarrStoreCells(s: SparkSession, store: String): DataFrame = {
     val entries = graft.sources.ZarrDirectoryIndex.read(s, store)
     val chunks  = graft.sources.KerchunkIndex.materializeChunks(entries)
     val meta    = graft.sources.KerchunkIndex.arrayMeta(entries)

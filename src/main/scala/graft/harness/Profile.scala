@@ -221,6 +221,178 @@ object Profile {
       }
     }
 
+    if (on("rowtimes")) {
+      // bench-methodology timing (warmup + 3 samples, min) of named bench
+      // rows: args after "rowtimes" are row names (SparkEntry.queries ∪
+      // Bench.extras)
+      val runnable = graft.SparkEntry.queries ++ graft.Bench.extras
+      val rows = args.filter(runnable.contains).toSeq
+      graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)
+      graft.SparkEntry.ensureCsvFixture(spark, sfDir)
+      if (rows.contains("search_bm25_phrase_batch_1k"))
+        KeywordSearch.bm25IndexBuild(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
+          s"/tmp/graft_bench_posidx_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}",
+          overwrite = true, positions = true)
+      rows.foreach { name =>
+        val samples = (1 to 4).map { _ =>
+          val t0 = System.nanoTime()
+          runnable(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.sharedState.cacheManager.clearCache()
+          dt
+        }
+        // drop the first (JIT) sample; report min of the rest
+        println(f"[rowtime] $name%-36s min=${samples.tail.min}%7.3f s  " +
+          s"samples=${samples.map(s => f"$s%.3f").mkString(",")}")
+      }
+    }
+
+    if (on("bm25b")) {
+      println("== search_bm25_batch_1k stage split (r18) ==")
+      import org.apache.spark.sql.GraftColumnBridge
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.queryExecution.toRdd.foreach(_ => ()); 0L
+      }
+      val battery = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 5)).as("qtext"))
+      t("FULL bm25Batch 1k (bench row)") {
+        noop(KeywordSearch.bm25Batch(docs, "text", "doc_id",
+          battery, "qid", "qtext", k = 10))
+      }
+      // replicate the internals stage by stage (dev mirror of bm25Batch)
+      val toks = coalesce(Dedup.tokens(col("text")), array().cast("array<string>"))
+      val qToks = coalesce(Dedup.tokens(col("qtext")), array().cast("array<string>"))
+      val wFirst = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "term").orderBy("ord")
+      val qTerms = battery.select(col("qid").as("query_id"), posexplode(qToks))
+        .withColumnRenamed("pos", "ord").withColumnRenamed("col", "term")
+        .withColumn("first_occ", row_number().over(wFirst) === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("qTerms persist count") { qTerms.count() }
+      var terms: Seq[String] = Nil
+      t("probe stats action (corpus scan 1)") {
+        docs.select(col("doc_id"), size(toks).cast("long").as("dl"))
+          .agg(count(lit(1)), sum(col("dl")), countDistinct(col("doc_id"))).collect()
+        qTerms.agg(max(col("ord")), countDistinct(col("term"))).collect()
+      }
+      t("vocab collect") {
+        terms = qTerms.select("term").distinct().collect().map(_.getString(0)).sorted.toSeq
+        terms.size
+      }
+      def postingRows = {
+        val tc = GraftColumnBridge.column(graft.functions.TermPostings(
+          GraftColumnBridge.expression(toks), terms))
+        docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+            explode(tc).as("tc"))
+          .select(col("tc.term").as("term"), col("doc_id"),
+            col("tc.cnt").cast("long").as("tf"), col("dl"))
+      }
+      t("posting scan NO repartition (count)") { postingRows.count() }
+      val postings = postingRows.repartition(col("term"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("posting scan + repartition + persist") { noop(postings); postings.count() }
+      val termStats = postings.groupBy("term").agg(count(lit(1)).as("df"))
+        .select(col("term"), log(lit(1.0) +
+          (lit(5000.0) - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))).as("idf"))
+      t("termStats over persisted postings") { noop(termStats) }
+      val norm = lit(1.2 * 0.25) + lit(1.2 * 0.75 / 100.0) * col("dl").cast("double")
+      val contrib = qTerms.join(postings, Seq("term")).join(termStats, Seq("term"))
+        .withColumn("__c", col("idf") * col("tf").cast("double") * lit(2.2)
+          / (col("tf").cast("double") + norm))
+      t("contrib join (count rows)") { contrib.count() }
+      val sums = (0 to 4).map(i => sum(when(col("ord") === i, col("__c"))).as(s"__s$i"))
+      val aggs = sums ++ Seq(max(col("dl")).as("dl"),
+        sum(when(col("first_occ"), col("tf")).otherwise(0L)).as("tf_total"))
+      val scored = contrib.groupBy("query_id", "doc_id")
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("score", (0 to 4).map(i => coalesce(col(s"__s$i"), lit(0.0))).reduce(_ + _))
+        .select("query_id", "doc_id", "score", "dl", "tf_total")
+      t("contrib + pivoted agg (noop)") { noop(scored) }
+      t("  ... agg output rows") { scored.count() }
+      val topk = {
+        val wLocal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"), col("__pid"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        val wGlobal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+        scored.withColumn("__pid", spark_partition_id())
+          .withColumn("__lr", row_number().over(wLocal)).filter(col("__lr") <= 10)
+          .withColumn("rank", row_number().over(wGlobal)).filter(col("rank") <= 10)
+          .drop("__pid", "__lr")
+      }
+      t("agg + twoStageTopK (noop) = full tail") { noop(topk) }
+      postings.unpersist(false); qTerms.unpersist(false)
+    }
+
+    if (on("zarr")) {
+      println("== save_zarr roundtrip split (r18) ==")
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.queryExecution.toRdd.foreach(_ => ()); 0L
+      }
+      val plane = graft.SparkEntry.zarrTidyPlane(spark, sfDir)
+      t("tidy plane alone (noop)") { noop(plane) }
+      val out2 = "/tmp/graft_prof_zarr_v2"
+      val out3 = "/tmp/graft_prof_zarr_v3"
+      t("v2 WRITE only") {
+        graft.sources.ZarrWriter.write(plane, out2,
+          maxChunkBytes = 256, dtypes = graft.SparkEntry.zarrTidyDtypes(ucs4 = true))
+      }
+      t("v2 READ-back only (noop)") {
+        noop(graft.SparkEntry.readZarrStoreCells(spark, out2))
+      }
+      t("v3 WRITE only (zstd, sharded)") {
+        graft.sources.ZarrWriter.writeV3(plane, out3,
+          maxChunkBytes = 256, shardInnerChunks = 2,
+          dtypes = graft.SparkEntry.zarrTidyDtypes(ucs4 = false), codec = "zstd")
+      }
+      t("v3 READ-back only (noop)") {
+        noop(graft.SparkEntry.readZarrStoreCells(spark, out3))
+      }
+      t("FULL save_zarr_roundtrip (bench row)") {
+        noop(graft.SparkEntry.queries("save_zarr_roundtrip")(spark, sfDir))
+      }
+    }
+
+    if (on("cycles")) {
+      println("== index cycle splits (r18) ==")
+      import spark.implicits._
+      val root = "/tmp/graft_prof_bm25idx"
+      t("bm25IndexBuild (even half, overwrite)") {
+        KeywordSearch.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", root, overwrite = true)
+      }
+      t("bm25IndexAppend (odd half)") {
+        KeywordSearch.bm25IndexAppend(spark, root,
+          docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      }
+      val battery = Seq(("q_join", "spark hash join"), ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      t("bm25SearchIndexed 3 probes") {
+        KeywordSearch.bm25SearchIndexed(spark, root, battery, "qid", "qtext", k = 10)
+          .queryExecution.toRdd.foreach(_ => ())
+      }
+      val aroot = "/tmp/graft_prof_annidx"
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      t("annIndexBuild (even half, overwrite)") {
+        graft.operators.AnnIndex.annIndexBuild(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", aroot,
+          nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      }
+      t("annIndexAppend (odd half)") {
+        graft.operators.AnnIndex.annIndexAppend(spark, aroot,
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      t("annSearchIndexed 3 queries") {
+        graft.operators.AnnIndex.annSearchIndexed(spark, aroot,
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, nProbe = 8, refine = 4)
+          .queryExecution.toRdd.foreach(_ => ())
+      }
+    }
+
     if (on("misc")) {
       println("== other heavies ==")
       t("embed_cosine_topk") {

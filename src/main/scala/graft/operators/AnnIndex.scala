@@ -569,14 +569,16 @@ object AnnIndex {
     * left as data by the batch form. */
   private def rescoreTopK(scored: DataFrame, store: DataFrame,
                           qVec: DataFrame, k: Int, refine: Int): DataFrame = {
-    val shortList = Similarity.twoStageTopK(scored, "query_id",
-        Seq(col("__approx").desc, col("neighbor_id").asc), k * refine, "__ar")
+    val shortList = Similarity.twoStageTopK(
+        scored.select("query_id", "neighbor_id", "__approx"), "query_id",
+        col("__approx"), col("neighbor_id"), k * refine, "__ar")
       .select("query_id", "neighbor_id")
     val cVec = store.select(col("id").as("neighbor_id"), col("vec"))
     val rescored = shortList.join(cVec, "neighbor_id").join(qVec, "query_id")
       .withColumn("cosine", vec_cosine(col("vec"), col("__qv")))
-    Similarity.twoStageTopK(rescored, "query_id",
-        Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    Similarity.twoStageTopK(
+        rescored.select("query_id", "neighbor_id", "cosine"), "query_id",
+        col("cosine"), col("neighbor_id"), k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 

@@ -99,12 +99,12 @@ object Dsir {
                  idCol: String, k: Int): DataFrame = {
     val w = importanceWeights(
       bucketHistogram(target, textCol), bucketHistogram(raw, textCol))
-    // global top-k = the shared two-stage prune under one constant key:
-    // stage 1 keeps k per input partition, stage 2 ranks the ≤ k·partitions
-    // survivors in a single bounded window
+    // global top-k = the shared bounded-heap prune under one constant key:
+    // partial heaps keep k per input partition, the final merge ranks the
+    // ≤ k·partitions survivors
     Similarity.twoStageTopK(
         scored(raw, textCol, idCol, w).withColumn("__k", lit(1)),
-        "__k", Seq(col("score").desc, col("id").asc), k)
+        "__k", col("score"), col("id"), k)
       .select(col("rank"), col("id"), col("n_grams"), col("score"))
   }
 
@@ -134,7 +134,7 @@ object Dsir {
     val keyed = scored(raw, textCol, idCol, w)
       .withColumn("key", col("score") + gumbelKey(col("id"), seed))
     Similarity.twoStageTopK(keyed.withColumn("__k", lit(1)),
-        "__k", Seq(col("key").desc, col("id").asc), k)
+        "__k", col("key"), col("id"), k)
       .select(col("rank"), col("id"), col("n_grams"), col("score"), col("key"))
   }
 }

@@ -45,7 +45,7 @@ object Fusion {
       .reduce(_ + _)
     val rankCols = rankings.indices.map(i => col(s"rank_$i"))
     Similarity.twoStageTopK(joined.withColumn("rrf_score", score), "query_id",
-        Seq(col("rrf_score").desc, col("doc_id").asc), k)
+        col("rrf_score"), col("doc_id"), k)
       .select(col("query_id") +: col("rank") +: col("doc_id") +: col("rrf_score") +:
         rankCols: _*)
   }

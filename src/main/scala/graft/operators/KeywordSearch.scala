@@ -216,11 +216,11 @@ object KeywordSearch {
           col("dl"), tfTotalOf(ts, termIdx).as("tf_total"))
     }.reduce(_ unionByName _)
 
-    // shared two-stage deterministic top-k (Similarity.twoStageTopK):
-    // local prune spreads the corpus-volume shuffle over (query,
-    // partition) keys; the global rank sees ≤ k·partitions survivors
+    // shared bounded-heap deterministic top-k (Similarity.twoStageTopK):
+    // partial heaps prune map-side; the final merge sees ≤ k·partitions
+    // survivors per query
     Similarity.twoStageTopK(scored, "query_id",
-        Seq(col("score").desc, col("doc_id").asc), k)
+        col("score"), col("doc_id"), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("dl"), col("tf_total"))
   }
@@ -336,9 +336,17 @@ object KeywordSearch {
           // broadcast) battery and STREAMS this side, fanning each posting
           // out by its matching query occurrences — left at the corpus
           // scan's few input partitions, a 19M-row fan-out plus its partial
-          // aggregation ran on two cores (measured ~2× this whole query);
-          // the explode branch inherits the same spread from its groupBy
-          .repartition(col("term"), col("doc_id"))
+          // aggregation ran on two cores (measured ~2× this whole query).
+          // r18: spread by doc_id ALONE — hashpartitioning(doc_id)
+          // satisfies the downstream (query_id, doc_id) reduction's
+          // ClusteredDistribution, so when the battery broadcasts, the
+          // per-(query, doc) pivot aggregation runs WITHOUT its own
+          // Exchange of the contribution-volume rows (4.9M rows at the
+          // sf0.1 1k battery; measured the largest single stage of this
+          // query). Same even spread (doc_id hashes uniformly); a huge
+          // battery that shuffle-joins instead re-partitions by term
+          // anyway, exactly as before.
+          .repartition(col("doc_id"))
       case None =>
         docs.select(col(idCol).as("doc_id"), size(toks).cast(LongType).as("dl"),
             explode(toks).as("term"))
@@ -346,9 +354,23 @@ object KeywordSearch {
           .groupBy("term", "doc_id")
           .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
           .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+          // r18: posting-volume re-spread by doc_id so the downstream
+          // (query_id, doc_id) pivot reduction is exchange-free under a
+          // broadcast battery (see the kernel branch's note) — postings
+          // are ints, orders of magnitude fewer bytes than the
+          // contribution rows that exchange would carry
+          .repartition(col("doc_id"))
     }
     val postings = scope.persisted(postingRows,
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the posting cache BEFORE planning the retrieval (r18):
+    // a cold cache hides its hashpartitioning(doc_id) behind an
+    // unfinished AQE subplan, so the planner re-inserts the
+    // (query_id, doc_id) Exchange of the CONTRIBUTION-volume rows the
+    // doc_id spread exists to avoid; a materialized cache reports its
+    // partitioning and the pivot reduction plans exchange-free. Same
+    // total compute — the cache is built once either way.
+    postings.count()
     retrieve(qTerms, postings, n, avgdl, maxOrd, k1, b, k)
   }
 
@@ -421,7 +443,7 @@ object KeywordSearch {
         contrib.groupBy("query_id", "doc_id").agg(aggs.head, aggs.tail: _*)
       }
     Similarity.twoStageTopK(scored, "query_id",
-        Seq(col("score").desc, col("doc_id").asc), k)
+        col("score"), col("doc_id"), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("dl"), col("tf_total"))
   }
@@ -684,10 +706,16 @@ object KeywordSearch {
     // rebuild-without-deleted-rows value, like meta's n/avgdl already do
     val live = dropTombstoned(spark, pruned, dir, tomb)
     // spread the survivors before the retrieval join (the broadcast-
-    // battery fan-out inherits this partitioning — the two-core trap)
+    // battery fan-out inherits this partitioning — the two-core trap);
+    // r18: by doc_id alone, so the (query_id, doc_id) pivot reduction
+    // downstream needs no Exchange of the contribution rows (the
+    // bm25Batch co-partitioning note)
     val filtered = scope.persisted(
-      live.repartition(col("term"), col("doc_id")),
+      live.repartition(col("doc_id")),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize before planning the retrieval so the cache reports its
+    // doc_id partitioning — the bm25Batch exchange-elision note
+    filtered.count()
     retrieve(qTerms, filtered, n, avgdl, maxOrd, k1, b, k)
   }
 
@@ -787,8 +815,9 @@ object KeywordSearch {
       .withColumn("__idf", log(lit(1.0) +
         (lit(meta.n.toDouble) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))))
       .withColumn("score", col("__idf") * tfc * lit(k1 + 1.0) / (tfc + norm))
-    Similarity.twoStageTopK(scored, "query_id",
-        Seq(col("score").desc, col("doc_id").asc), k)
+    Similarity.twoStageTopK(
+        scored.select("query_id", "doc_id", "score", "dl", "tf"), "query_id",
+        col("score"), col("doc_id"), k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score"),
         col("dl"), col("tf"))
   }

@@ -31,40 +31,42 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k per query in two stages. A single `Window.partitionBy
-    * (query_id)` would shuffle EVERY scored row into #queries reducers — the
-    * key is tiny but the shuffled volume is the whole corpus, and at low
-    * query cardinality that is a handful of reducers doing all the work.
-    * Stage 1 prunes to k per (query, input-partition) — the shuffle spreads
-    * over #queries × #partitions keys, no skew; stage 2 ranks the ≤ k×P
-    * survivors per query, a trivially small shuffle. Both stages share the
-    * deterministic (cosine desc, neighbor asc) order, and the local prune
-    * keeps a superset of the global top-k, so the result is bit-identical to
-    * the single-stage form.
-    */
+  /** Exact top-k per query under the shared (cosine desc, neighbor asc)
+    * order. The projection ahead of [[twoStageTopK]] keeps fat columns
+    * (raw vectors) out of the heap payload. */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
-    twoStageTopK(scored, "query_id",
-      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    twoStageTopK(scored.select("query_id", "neighbor_id", "cosine"),
+      "query_id", col("cosine"), col("neighbor_id"), k)
       .select("query_id", "neighbor_id", "cosine", "rank")
 
-  /** The two-stage deterministic per-key top-k (shared by the ANN ops and
-    * [[KeywordSearch]]): stage 1 prunes to k per (key, input-partition) —
-    * the corpus-volume shuffle spreads over #keys × #partitions window
-    * keys, no skew; stage 2 ranks the ≤ k·partitions survivors per key.
-    * Both stages share `ord` (which must end in a tie-breaking unique
-    * column), so the result is identical to a single global window. */
+  /** The deterministic per-key exact top-k shared by the ANN ops,
+    * [[KeywordSearch]], [[Dsir]] and [[Fusion]] — order is always
+    * `(score DESC NULLS LAST, id ASC NULLS FIRST)` with `id` unique per
+    * key, so the result admits exactly one answer.
+    *
+    * r18: a bounded-heap aggregate ([[graft.functions.TopKRows]])
+    * replaced the two-window form. The window form's stage 1 was an
+    * Exchange of EVERY scored row by (key, partition-id) + a full sort
+    * per partition — at the retrieval shapes that is millions of rows
+    * exchanged and sorted for a battery whose answer is k rows per
+    * query. The heap aggregate keeps the per-key top k map-side
+    * (partial mode), exchanges ≤ k rows per (partition, key), and
+    * merges heaps; no sort of the scored volume ever happens. Rows and
+    * ranks are bit-identical to the window form (same strict total
+    * order, same Spark null/NaN semantics — TopKRows' contract). */
   private[operators] def twoStageTopK(df: DataFrame, keyCol: String,
-      ord: Seq[Column], k: Int, rankCol: String = "rank"): DataFrame = {
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol), col("__pid")).orderBy(ord: _*)
-    val wGlobal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(ord: _*)
-    df.withColumn("__pid", spark_partition_id())
-      .withColumn("__lr", row_number().over(wLocal))
-      .filter(col("__lr") <= k)
-      .withColumn(rankCol, row_number().over(wGlobal))
-      .filter(col(rankCol) <= k)
-      .drop("__pid", "__lr")
+      scoreCol: Column, idCol: Column, k: Int,
+      rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val payload = struct(df.columns.map(col): _*)
+    val packed = struct(scoreCol.cast(DoubleType).as("__sc"),
+      idCol.as("__id"), payload.as("__pl"))
+    val agg = GraftColumnBridge.column(graft.functions.TopKRows(
+      GraftColumnBridge.expression(packed), k))
+    df.groupBy(col(keyCol)).agg(agg.as("__tk"))
+      .select(posexplode(col("__tk")).as(Seq("__tkpos", "__tkrow")))
+      .select(df.columns.map(c => col(s"__tkrow.__pl.$c")) :+
+        (col("__tkpos") + lit(1)).cast(IntegerType).as(rankCol): _*)
   }
 
   /** Exact cosine top-k of each query vector against the corpus.
@@ -482,7 +484,7 @@ object Similarity {
 
     // short list by approximate cosine, then exact re-rank
     val shortList = twoStageTopK(perQuery, "query_id",
-        Seq(col("__approx").desc, col("neighbor_id").asc), k * refine, "__ar")
+        col("__approx"), col("neighbor_id"), k * refine, "__ar")
       .select("query_id", "neighbor_id")
     val cVec = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     // rescore from the ALREADY-COLLECTED battery rows, not a re-read of

@@ -107,10 +107,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("nearestcells") || p.contains("NearestCells"), p.take(2000))
   }
 
-  test("similarity top-k pre-prunes per input partition before the per-query window") {
+  test("similarity top-k prunes map-side through the bounded-heap aggregate") {
     // ann_ivf_topk became a property-verdict row in r11 (its result plan
     // is a LocalTableScan of booleans) — audit the raw IVF pipeline shape
-    // directly instead, alongside the still-registered brute-force row
+    // directly instead, alongside the still-registered brute-force row.
+    // r18: the two-window top-k was replaced by the TopKRows heap — the
+    // pin is now (a) a PARTIAL (map-side) heap so the scored volume never
+    // exchanges, and (b) no Window sort of the scored rows at all
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val ivfPlan = graft.operators.Similarity
       .ivfTopK(emb, "vec_id", "embedding",
@@ -119,10 +122,8 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     for ((q, p) <- Seq("embed_cosine_topk" -> plan("embed_cosine_topk"),
                        "ivfTopK" -> ivfPlan)) {
-      // two window stages: the (query, partition)-local prune, then the
-      // tiny survivors-only global rank
-      assert("Window".r.findAllIn(p).size >= 2, s"$q:\n${p.take(2000)}")
-      assert(p.contains("__pid") && p.contains("SPARK_PARTITION_ID"), s"$q:\n${p.take(2000)}")
+      assert(p.contains("partial_topkrows"), s"$q:\n${p.take(2000)}")
+      assert(!p.contains("Window"), s"$q:\n${p.take(2000)}")
     }
   }
 
@@ -430,13 +431,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     val p3 = planOf(3)
     // the literal form unions one scored branch per query; the posting
-    // form must plan ZERO unions and exactly two corpus scans (postings;
-    // the N/avgdl stats pass runs eagerly before the plan is built)
+    // form must plan ZERO unions, and the retrieval must read postings
+    // from the MATERIALIZED cache (r18: the cache materializes before
+    // the retrieval is planned, so its doc_id partitioning elides the
+    // pivot reduction's exchange — the materialized AQE subtree prints
+    // Final + Initial copies, so a raw FileScan count doubles; pin the
+    // cache read plus battery-size invariance of the scan count instead)
     assert(!p3.contains("Union"), p3.take(2500))
-    assert("FileScan".r.findAllIn(p3).size == 2, p3.take(2500))
+    assert(p3.contains("InMemoryTableScan"), p3.take(2500))
     // growing the battery 10× must not grow the plan: same operator tree
     // modulo the battery's LocalTableScan contents
     val p30 = planOf(30)
+    assert("FileScan".r.findAllIn(p30).size == "FileScan".r.findAllIn(p3).size,
+      p30.take(2500))
     assert("Join".r.findAllIn(p30).size == "Join".r.findAllIn(p3).size, p30.take(2500))
     assert("HashAggregate".r.findAllIn(p30).size == "HashAggregate".r.findAllIn(p3).size)
   }
@@ -750,13 +757,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<id:bigint,codes:array<int>,vnorm:double>"),
       p.take(3000))
     // fusion joins only top-k survivor volume: every rrfFuse input is a
-    // two-stage top-k output, so each side of the full-outer join sits
-    // above a global rank window bounded at k — the plan keeps both
-    // sources' local-prune filters (__lr <= k) below the join
+    // bounded-heap top-k output (r18: TopKRows replaced the two-window
+    // form), so each side of the full-outer join sits above a map-side
+    // partial heap that prunes to k BEFORE any exchange
     assert(p.contains("FullOuter"), p.take(3000))
-    val localPrunes = """__lr#\d+ <= 5""".r.findAllIn(p).size
+    val localPrunes = """partial_topkrows""".r.findAllIn(p).size
     assert(localPrunes >= 3, // bm25 retrieval top-k + ann shortlist + ann re-rank
-      s"expected the sources' two-stage __lr <= k prunes, got $localPrunes\n" + p.take(3000))
+      s"expected the sources' map-side partial heap prunes, got $localPrunes\n" + p.take(3000))
     // the driver-form ann side keeps probed-cell PartitionFilters under
     // the same fusion (its pruning shape)
     val pd = fusedPlan(graft.operators.AnnIndex.annSearchIndexed(spark, annIdx,
