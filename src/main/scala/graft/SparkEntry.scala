@@ -281,7 +281,10 @@ object SparkEntry {
     * decode plane and emit (variable, dims, coord_key, value) rows — the
     * zarr sink gates' shared read-back half. */
   private[graft] def readZarrStoreCells(s: SparkSession, store: String): DataFrame = {
-    val entries = graft.sources.ZarrDirectoryIndex.read(s, store)
+    // persisted: the two decode planes below reference the store walk
+    // 6-7× between them (KerchunkIndex.sharedEntries note)
+    val entries = graft.sources.KerchunkIndex.sharedEntries(
+      graft.sources.ZarrDirectoryIndex.read(s, store))
     val chunks  = graft.sources.KerchunkIndex.materializeChunks(entries)
     val meta    = graft.sources.KerchunkIndex.arrayMeta(entries)
     val dims    = graft.sources.KerchunkIndex.attrDims(entries)

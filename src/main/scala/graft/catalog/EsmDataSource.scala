@@ -103,7 +103,14 @@ final case class EsmDataSource(
         // native DAP2 client (source.py:70-137's last format): DDS/DAS parse
         // → the shared chunk-map plane; each ref is a `.dods` hyperslab
         // request fetched in parallel tasks (sources.Dap2Index)
-        val entries = graft.sources.Dap2Index.read(spark, path, storageOptions)
+        val entries0 = graft.sources.Dap2Index.read(spark, path, storageOptions)
+        // persisted in decode modes for the same fan-out reason as
+        // decodeEntries (the plain-entries mode stays lazy/uncached)
+        val entries =
+          if (storageOptions.get("graft.kerchunk.decode")
+              .exists(Set("typed", "coords", "cf")))
+            graft.sources.KerchunkIndex.sharedEntries(entries0)
+          else entries0
         storageOptions.get("graft.kerchunk.decode") match {
           case Some("typed") =>
             graft.sources.KerchunkIndex.decodeTyped(
@@ -134,24 +141,32 @@ final case class EsmDataSource(
     * `coords` = decoded values with dimension-labeled global indices,
     * `cf` = coords plus CF-convention mask/scale/time decode
     * ([[graft.sources.CfDecode]] — the xarray.open_dataset defaults). */
-  private def decodeEntries(entries: DataFrame): DataFrame =
+  private def decodeEntries(entries0: DataFrame): DataFrame =
     storageOptions.get("graft.kerchunk.decode") match {
-      case Some("typed") =>
-        graft.sources.KerchunkIndex.decodeTyped(
-          graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
-          graft.sources.KerchunkIndex.arrayMeta(entries))
-      case Some("coords") =>
-        graft.sources.KerchunkIndex.decodeCoords(
-          graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
-          graft.sources.KerchunkIndex.arrayMeta(entries),
-          graft.sources.KerchunkIndex.attrDims(entries))
-      case Some("cf") =>
-        graft.sources.CfDecode.decodeCf(
-          graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
-          graft.sources.KerchunkIndex.arrayMeta(entries),
-          graft.sources.KerchunkIndex.attrDims(entries),
-          graft.sources.CfDecode.cfAttrs(entries))
-      case _ => entries
+      case Some(mode @ ("typed" | "coords" | "cf")) =>
+        // persist the tiny entries frame once: the decode plane references
+        // it 4-7× (chunks/meta/dims/attrs × value planes) and each
+        // occurrence would otherwise re-run the container walk
+        // (KerchunkIndex.sharedEntries note)
+        val entries = graft.sources.KerchunkIndex.sharedEntries(entries0)
+        mode match {
+          case "typed" =>
+            graft.sources.KerchunkIndex.decodeTyped(
+              graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
+              graft.sources.KerchunkIndex.arrayMeta(entries))
+          case "coords" =>
+            graft.sources.KerchunkIndex.decodeCoords(
+              graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
+              graft.sources.KerchunkIndex.arrayMeta(entries),
+              graft.sources.KerchunkIndex.attrDims(entries))
+          case _ =>
+            graft.sources.CfDecode.decodeCf(
+              graft.sources.KerchunkIndex.materializeChunks(entries, storageOptions = storageOptions),
+              graft.sources.KerchunkIndex.arrayMeta(entries),
+              graft.sources.KerchunkIndex.attrDims(entries),
+              graft.sources.CfDecode.cfAttrs(entries))
+        }
+      case _ => entries0
     }
 
   /** Variable projection (source.py:116-133): keep requested ∩ declared;

@@ -28,6 +28,19 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   */
 object KerchunkIndex {
 
+  /** Persist a chunk-map entries frame before the decode plane fans it
+    * into several consumers (r18). `materializeChunks` + `arrayMeta` +
+    * `attrDims` (+ CF attrs) each reference the entries subtree — and a
+    * decode plan references chunks/meta/dims once per value plane — so
+    * without a cache the container walk (full metadata listing + reads,
+    * or the kerchunk JSON shred) re-executes 4-7× per decoded read
+    * (measured on the zarr round-trip rows). Entries are ref METADATA
+    * (~100 B/row — never chunk bytes), so the cache is tiny; the
+    * untracked scope's bounded FIFO reclaims it across invocations. */
+  def sharedEntries(entries: DataFrame): DataFrame =
+    graft.operators.CacheScope.untracked.persisted(entries,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** One row per reference entry:
     * (key, variable, member, kind ∈ meta|inline|ref, url, offset, length,
     * inline_value). `variable` is "" for root-level keys; inline values keep
