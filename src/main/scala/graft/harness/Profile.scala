@@ -327,6 +327,166 @@ object Profile {
       postings.unpersist(false); qTerms.unpersist(false)
     }
 
+    if (on("phraseb")) {
+      println("== search_bm25_phrase_batch_1k stage split (r18) ==")
+      def noop(df: org.apache.spark.sql.DataFrame): Long = {
+        df.queryExecution.toRdd.foreach(_ => ()); 0L
+      }
+      val store = s"/tmp/graft_bench_posidx_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (!new java.io.File(s"$store/meta.json").exists())
+        KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", store,
+          overwrite = true, positions = true)
+      val battery = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 3)).as("qtext"))
+      t("FULL bm25PhraseBatch 1k (bench row)") {
+        noop(KeywordSearch.bm25PhraseBatch(spark, store, battery, "qid", "qtext", k = 10))
+      }
+      // mirror of the internals over the b0 batch (fresh store: 1 batch,
+      // no tombstones)
+      val qToks = coalesce(Dedup.tokens(col("qtext")), array().cast("array<string>"))
+      val wFirst = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "term").orderBy("ord")
+      val qTerms = battery.select(col("qid").as("query_id"), posexplode(qToks))
+        .withColumnRenamed("pos", "ord").withColumnRenamed("col", "term")
+        .withColumn("first_occ", row_number().over(wFirst) === 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("qTerms persist count") { qTerms.count() }
+      var terms: Seq[String] = Nil
+      t("nTerms + vocab collect") {
+        terms = qTerms.select("term").distinct().collect().map(_.getString(0)).sorted.toSeq
+        terms.size
+      }
+      val postPruned = spark.read.parquet(s"$store/postings/b0")
+        .filter(col("term").isin(terms: _*)).select("term", "doc_id")
+      t("postPruned count") { postPruned.count() }
+      val termDf = postPruned.groupBy("term").agg(count(lit(1)).as("__tdf"))
+      val qDistinct = qTerms.select("query_id", "term").distinct()
+      val qLen = qTerms.groupBy("query_id")
+        .agg((max(col("ord")) + lit(1)).cast("long").as("__len"),
+          countDistinct(col("term")).as("__nt"))
+      val qRare = qDistinct.join(termDf, Seq("term"))
+        .groupBy("query_id")
+        .agg(min(struct(col("__tdf"), col("term"))).as("__m"),
+          count(lit(1)).as("__present"))
+        .join(qLen, Seq("query_id"))
+        .filter(col("__present") === col("__nt"))
+        .select(col("query_id"), col("__m.term").as("term"), col("__len"))
+      val candidates = qRare.join(postPruned, Seq("term"))
+        .select("query_id", "doc_id", "__len")
+      t("candidates count") { candidates.count() }
+      val expected = candidates.join(qTerms.select("query_id", "ord", "term"),
+        Seq("query_id"))
+      t("expected (cand × phrase-len) count") { expected.count() }
+      val positions = spark.read.parquet(s"$store/positions/b0")
+        .filter(col("term").isin(terms: _*))
+      val votes = expected.join(positions, Seq("term", "doc_id"))
+        .select(col("query_id"), col("doc_id"), col("ord"), col("__len"),
+          explode(col("positions")).as("p"))
+      t("votes (positions explode) count") { votes.count() }
+      val occurrences = votes
+        .select(col("query_id"), col("doc_id"), (col("p") - col("ord")).as("start"),
+          col("ord"), col("__len"))
+        .filter(col("start") >= 0)
+        .groupBy("query_id", "doc_id", "start")
+        .agg(count(lit(1)).as("__nOrd"), max(col("__len")).as("__l"))
+        .filter(col("__nOrd") === col("__l"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("tf"))
+      t("occurrences (two-level agg) count") { occurrences.count() }
+      qTerms.unpersist(false)
+    }
+
+    if (on("anncyc")) {
+      println("== ann/bm25 index cycle laps (r18) ==")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      t("kmeansCentroidArrays 16c 2it") {
+        Similarity.kmeansCentroidArrays(even, "vec_id", "embedding", 16, 2)._2.length
+      }
+      t("pqCodebooks m=8 k=16 2it") {
+        val probe = even.select(col("embedding")).filter(col("embedding").isNotNull)
+          .limit(1).collect()
+        val dim = probe(0).getAs[scala.collection.Seq[Float]](0).length
+        Similarity.pqCodebooks(even, "vec_id", "embedding", dim, 8, 16, 2).length
+      }
+      val aroot = "/tmp/graft_prof_annidx2"
+      t("annIndexBuild TOTAL") {
+        graft.operators.AnnIndex.annIndexBuild(even, "vec_id", "embedding", aroot,
+          nCells = 16, m = 8, nCentroids = 16, kmeansIters = 2, overwrite = true)
+      }
+      t("annIndexAppend") {
+        graft.operators.AnnIndex.annIndexAppend(spark, aroot,
+          emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+      }
+      t("annSearchIndexed 3q") {
+        graft.operators.AnnIndex.annSearchIndexed(spark, aroot,
+          emb.filter(col("vec_id") < 3), "vec_id", "embedding",
+          k = 10, nProbe = 8, refine = 4).queryExecution.toRdd.foreach(_ => ())
+      }
+      val broot = "/tmp/graft_prof_bm25idx2"
+      t("bm25IndexBuild TOTAL (even half)") {
+        KeywordSearch.bm25IndexBuild(docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", broot, overwrite = true)
+      }
+      t("bm25IndexAppend (odd half)") {
+        KeywordSearch.bm25IndexAppend(spark, broot,
+          docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      }
+      import spark.implicits._
+      val b3 = Seq(("q_join", "spark hash join"), ("q_scan", "fast table scan"),
+        ("q_stream", "stream window agg")).toDF("qid", "qtext")
+      t("bm25SearchIndexed 3q") {
+        KeywordSearch.bm25SearchIndexed(spark, broot, b3, "qid", "qtext", k = 10)
+          .queryExecution.toRdd.foreach(_ => ())
+      }
+    }
+
+    if (on("quality")) {
+      println("== pipeline_quality_filter split (r18) ==")
+      val qdocs = docs.select(col("doc_id"),
+        concat(col("text"), lit(graft.harness.QualityFixture.StopwordTail)).as("text"))
+      var model: graft.operators.NgramLm.LmModel = null
+      for (i <- 1 to 2) {
+        t(s"NgramLm.train run $i") {
+          model = graft.operators.NgramLm.train(qdocs, "text",
+            maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)
+          model != null
+        }
+        t(s"composed scan run $i (bench row)") {
+          graft.SparkEntry.queries("pipeline_quality_filter")(spark, sfDir)
+            .queryExecution.toRdd.foreach(_ => ())
+        }
+      }
+      t("text_lm_levels (bench row)") {
+        graft.SparkEntry.queries("text_lm_levels")(spark, sfDir)
+          .queryExecution.toRdd.foreach(_ => ())
+      }
+    }
+
+    if (on("zarrw")) {
+      println("== zarr WRITE half laps (r18) ==")
+      val plane = graft.SparkEntry.zarrTidyPlane(spark, sfDir)
+      t("plane persist+count") {
+        val p = plane.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = p.count(); p.unpersist(false); n
+      }
+      for (i <- 1 to 2) {
+        t(s"v2 WRITE run $i") {
+          graft.sources.ZarrWriter.write(plane, "/tmp/graft_prof_zw2",
+            maxChunkBytes = 256, dtypes = graft.SparkEntry.zarrTidyDtypes(ucs4 = true))
+        }
+        t(s"v3 WRITE run $i") {
+          graft.sources.ZarrWriter.writeV3(plane, "/tmp/graft_prof_zw3",
+            maxChunkBytes = 256, shardInnerChunks = 2,
+            dtypes = graft.SparkEntry.zarrTidyDtypes(ucs4 = false), codec = "zstd")
+        }
+        t(s"v2 READ run $i") {
+          graft.SparkEntry.readZarrStoreCells(spark, "/tmp/graft_prof_zw2")
+            .queryExecution.toRdd.foreach(_ => ())
+        }
+      }
+    }
+
     if (on("zarr")) {
       println("== save_zarr roundtrip split (r18) ==")
       def noop(df: org.apache.spark.sql.DataFrame): Long = {

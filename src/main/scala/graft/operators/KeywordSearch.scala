@@ -897,7 +897,21 @@ object KeywordSearch {
     // measured 27 s for a 1k-probe battery at sf0.1, vs ~3 s pruned.
     // A query with a corpus-absent term drops out entirely (df = 0 ⇒ no
     // doc can match — both forms emit nothing for it).
-    val postPruned = prunedPlane("postings").select("term", "doc_id")
+    //
+    // r18: the battery's posting slice is persisted (it feeds BOTH the df
+    // aggregation and the candidate join — one store read instead of
+    // two), spread by doc_id, and materialized before the vote plan is
+    // built. hashpartitioning(doc_id) satisfies the ClusteredDistribution
+    // of BOTH downstream vote reductions ((query, doc, start) and
+    // (query, doc)) — under broadcast battery/positions joins the
+    // partitioning flows through, so the vote volume (24.3M rows at the
+    // sf0.1 1k battery — measured the row's largest exchange) never
+    // exchanges; a positions slice too big to broadcast shuffle-joins
+    // exactly as before.
+    val postPruned = scope.persisted(
+      prunedPlane("postings").select("term", "doc_id").repartition(col("doc_id")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postPruned.count()
     val termDf = postPruned.groupBy("term").agg(count(lit(1)).as("__tdf"))
     // per-query rarest term: min over (df, term) — the term tie-break
     // keeps the choice deterministic; an inner join drops absent terms,
