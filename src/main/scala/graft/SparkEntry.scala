@@ -1170,19 +1170,16 @@ object SparkEntry {
     }),
 
     "q_topk_per_group" -> ((s, dir) => {
-      // two-stage top-k: o_orderpriority has FIVE values, so a single
+      // top-k per group: o_orderpriority has FIVE values, so a single
       // global window would collapse the whole fact table onto 5 reducers.
-      // Local prune to k per (group, input partition) first — the global
-      // window then ranks <= k * #partitions survivors. Same rows, exact.
-      val ord = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
-      val wLocal = Window.partitionBy(col("o_orderpriority"), col("__pid")).orderBy(ord: _*)
-      val wGlobal = Window.partitionBy(col("o_orderpriority")).orderBy(ord: _*)
-      T(s, dir, "orders")
-        .withColumn("__pid", spark_partition_id())
-        .withColumn("__lr", row_number().over(wLocal))
-        .filter(col("__lr") <= 3)
-        .withColumn("rank", row_number().over(wGlobal))
-        .filter(col("rank") <= 3)
+      // r18: the shared bounded-heap top-k (Similarity.twoStageTopK /
+      // TopKRows) replaced the two-window form here too — the fact-table
+      // volume is pruned to k per (group, partition) MAP-SIDE, never
+      // exchanged or sorted; rows and ranks are bit-identical (strict
+      // (o_totalprice desc, o_orderkey asc) order, unique tie-break).
+      graft.operators.Similarity.twoStageTopK(
+          T(s, dir, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          "o_orderpriority", col("o_totalprice"), col("o_orderkey"), 3)
         .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rank")
     }),

@@ -54,7 +54,7 @@ object Similarity {
     * merges heaps; no sort of the scored volume ever happens. Rows and
     * ranks are bit-identical to the window form (same strict total
     * order, same Spark null/NaN semantics — TopKRows' contract). */
-  private[operators] def twoStageTopK(df: DataFrame, keyCol: String,
+  private[graft] def twoStageTopK(df: DataFrame, keyCol: String,
       scoreCol: Column, idCol: Column, k: Int,
       rankCol: String = "rank"): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
