@@ -898,20 +898,17 @@ object KeywordSearch {
     // A query with a corpus-absent term drops out entirely (df = 0 ⇒ no
     // doc can match — both forms emit nothing for it).
     //
-    // r18: the battery's posting slice is persisted (it feeds BOTH the df
-    // aggregation and the candidate join — one store read instead of
-    // two), spread by doc_id, and materialized before the vote plan is
-    // built. hashpartitioning(doc_id) satisfies the ClusteredDistribution
-    // of BOTH downstream vote reductions ((query, doc, start) and
-    // (query, doc)) — under broadcast battery/positions joins the
-    // partitioning flows through, so the vote volume (24.3M rows at the
-    // sf0.1 1k battery — measured the row's largest exchange) never
-    // exchanges; a positions slice too big to broadcast shuffle-joins
-    // exactly as before.
+    // r18: the battery's posting slice is persisted — it feeds BOTH the
+    // df aggregation and the candidate join, so the cache turns two
+    // store reads into one (on an object store, two full slice GET
+    // sweeps into one). An eager doc_id co-partitioning of this slice
+    // (to elide the downstream vote reductions' exchanges) was measured
+    // and REJECTED: the extra materialization job cost ~+0.5 s at sf0.1
+    // (3×-interleaved A/B, min 4.47-4.61 s vs 4.01-4.33 s persist-only)
+    // against exchange savings the fixture keeps in memory anyway.
     val postPruned = scope.persisted(
-      prunedPlane("postings").select("term", "doc_id").repartition(col("doc_id")),
+      prunedPlane("postings").select("term", "doc_id"),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    postPruned.count()
     val termDf = postPruned.groupBy("term").agg(count(lit(1)).as("__tdf"))
     // per-query rarest term: min over (df, term) — the term tie-break
     // keeps the choice deterministic; an inner join drops absent terms,
