@@ -396,6 +396,72 @@ object Profile {
       qTerms.unpersist(false)
     }
 
+    if (on("bpe")) {
+      println("== BPE train/encode split (r18) ==")
+      import graft.operators.BpeTokenizer
+      var model: BpeTokenizer.BpeModel = null
+      for (i <- 1 to 2) {
+        t(s"learnVocab 200 merges run $i") {
+          model = BpeTokenizer.learnVocab(docs, "text", nMerges = 200)
+          model.merges.length
+        }
+      }
+      // split learnVocab's two halves: the distributed dict agg vs the
+      // driver-side merge loop
+      val wordFreq = docs
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var dict: Array[(String, Long)] = null
+      t("dict agg + collect") {
+        dict = wordFreq.orderBy(col("f").desc, col("w").asc)
+          .limit(1000000).collect().map(r => (r.getString(0), r.getLong(1)))
+        dict.length
+      }
+      var baseChars: Array[String] = null
+      t("base chars collect") {
+        baseChars = wordFreq.select(explode(split(col("w"), "")).as("c"))
+          .filter(length(col("c")) > 0).distinct().collect().map(_.getString(0))
+        baseChars.length
+      }
+      wordFreq.unpersist(false)
+      for (i <- 1 to 2) {
+        t(s"learnFromDict (driver merge loop) run $i") {
+          BpeTokenizer.learnFromDict(dict, 200, baseChars).merges.length
+        }
+      }
+      t("encode scan (noop)") {
+        BpeTokenizer.encode(docs, "text", "doc_id", model)
+          .queryExecution.toRdd.foreach(_ => ())
+      }
+      t("pipeline_bpe_tokenize (bench row)") {
+        graft.SparkEntry.queries("pipeline_bpe_tokenize")(spark, sfDir)
+          .queryExecution.toRdd.foreach(_ => ())
+      }
+      t("pipeline_pack_sequences_bpe (bench row)") {
+        graft.SparkEntry.queries("pipeline_pack_sequences_bpe")(spark, sfDir)
+          .queryExecution.toRdd.foreach(_ => ())
+      }
+    }
+
+    if (on("fused")) {
+      println("== fused vs unfused IVF+PQ training (r18) ==")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      for (i <- 1 to 3) {
+        t(s"UNFUSED kmeans+pq+probe run $i") {
+          val probe = even.select(col("embedding")).filter(col("embedding").isNotNull)
+            .limit(1).collect()
+          val dim = probe(0).getAs[scala.collection.Seq[Float]](0).length
+          Similarity.kmeansCentroidArrays(even, "vec_id", "embedding", 16, 2)
+          Similarity.pqCodebooks(even, "vec_id", "embedding", dim, 8, 16, 2).length
+        }
+        t(s"FUSED trainIvfPq run $i") {
+          Similarity.trainIvfPq(even, "vec_id", "embedding", 16, 8, 16, 2)._3.length
+        }
+      }
+    }
+
     if (on("anncyc")) {
       println("== ann/bm25 index cycle laps (r18) ==")
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

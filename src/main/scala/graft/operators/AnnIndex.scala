@@ -110,15 +110,13 @@ object AnnIndex {
           s"annIndexBuild: '$dir' exists, is not an ann index, and is not " +
             "empty — pass overwrite = true to replace it")
       val trainDf = train.getOrElse(corpus)
-      val probe = trainDf.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1).collect()
-      require(probe.nonEmpty, "annIndexBuild: training set has no vectors")
-      val dim = probe(0).getAs[scala.collection.Seq[Float]](0).length
-      require(m > 0 && dim % m == 0,
-        s"annIndexBuild: vector dim $dim not divisible by m = $m subspaces")
-      val (_, cents) =
-        Similarity.kmeansCentroidArrays(trainDf, idCol, vecCol, nCells, kmeansIters)
-      val books =
-        Similarity.pqCodebooks(trainDf, idCol, vecCol, dim, m, nCentroids, kmeansIters)
+      // r18: fused trainer — one seed collect (which is also the dim
+      // probe) and one job per Lloyd round instead of two trainings of
+      // (seed + iters) jobs each; models bit-equal to the unfused pair
+      // (FusedTrainSpec)
+      val (_, cents, books) = Similarity.trainIvfPq(trainDf, idCol, vecCol,
+        nCells, m, nCentroids, kmeansIters, requireTag = "annIndexBuild")
+      val dim = cents.head.length
       // r15: the whole store builds into a hidden STAGED sibling and swaps
       // into place only after the staged meta commits — a failure anywhere
       // in training, encoding, or the batch write (duplicate corpus ids, a

@@ -343,6 +343,89 @@ object Similarity {
     books
   }
 
+  /** Fused coarse-IVF + PQ training — the models [[kmeansCentroidArrays]]
+    * and [[pqCodebooks]] produce, computed together (r18, guide §1.2
+    * "remove unnecessary passes"): ONE shared seed collect (both seed
+    * rules are "first rows by id" prefixes of the same ordered scan, and
+    * the dim probe reads the same head row) and ONE distributed job per
+    * Lloyd round covering both fits, where the unfused pair pays two
+    * seed jobs, a dim-probe job, and two full corpus scans per round —
+    * pure scheduling and scan duplication, since neither fit reads the
+    * other's state. At corpus scale each saved job is a full training-set
+    * scan.
+    *
+    * The per-fit arithmetic is IDENTICAL to the unfused forms — same
+    * assignment kernels (NearestCells for cells, PqEncode for codes),
+    * same per-group avg() over double-cast components, same
+    * empty-cell drop-out and index-order remap — so the returned models
+    * are bit-equal to calling the two trainers separately (pinned by
+    * FusedTrainSpec against both unfused forms on real fixture data).
+    * Returns (cell ids, coarse centroid matrix, PQ codebooks). */
+  private[graft] def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, nCentroids: Int, kmeansIters: Int,
+      requireTag: String = "trainIvfPq")
+      : (Array[Any], Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val seedRows = corpus.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .filter(col("__v").isNotNull)
+      .orderBy("id").limit(math.max(nCells, nCentroids)).collect()
+    require(seedRows.nonEmpty, s"$requireTag: training set has no vectors")
+    val dim = seedRows.head.getAs[scala.collection.Seq[Float]]("__v").length
+    require(m > 0 && dim % m == 0,
+      s"$requireTag: vector dim $dim not divisible by m = $m subspaces")
+    val subDim = dim / m
+    var ids: Array[Any] = seedRows.take(nCells).map(_.get(0))
+    var cents = seedRows.take(nCells)
+      .map(_.getAs[scala.collection.Seq[Float]]("__v").toArray)
+    var books: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      seedRows.take(nCentroids).map(_.getAs[scala.collection.Seq[Float]]("__v")
+        .slice(s * subDim, (s + 1) * subDim).toArray)
+    }
+    import org.apache.spark.sql.GraftColumnBridge
+    for (_ <- 0 until kmeansIters) {
+      val codes = GraftColumnBridge.column(graft.functions.PqEncode(
+        GraftColumnBridge.expression(col("__v")), books))
+      val cidx = element_at(
+        graft.functions.VectorFunctions.nearest_cells(col("__v"), cents, 1), 1)
+      val sub = (col("pos") / subDim).cast("int")
+      // each exploded vector component contributes to BOTH fits: the cell
+      // mean keyed (0, cidx, pos, 0) and the codebook mean keyed
+      // (1, sub, code, pos%subDim) — one scan, one aggregation, one
+      // collect of (nCells·dim + m·k·subDim) rows
+      val rows = corpus.select(col(vecCol).as("__v"))
+        .filter(col("__v").isNotNull)
+        .select(cidx.as("__cidx"), codes.as("__code"), posexplode(col("__v")))
+        .select(explode(array(
+          struct(lit(0).as("kind"), col("__cidx").as("k1"), col("pos").as("k2"),
+            lit(0).as("k3"), col("col").cast("double").as("x")),
+          struct(lit(1).as("kind"), sub.as("k1"),
+            element_at(col("__code"), sub + 1).as("k2"),
+            (col("pos") % subDim).as("k3"), col("col").cast("double").as("x"))))
+          .as("e"))
+        // the kmeans fit drops unassigned rows (null cell index) BEFORE
+        // its aggregation — the unfused form's filter; pq keys are never
+        // null for a non-null vector
+        .filter(col("e.kind") === 1 || col("e.k1").isNotNull)
+        .groupBy(col("e.kind").as("kind"), col("e.k1").as("k1"),
+          col("e.k2").as("k2"), col("e.k3").as("k3"))
+        .agg(avg(col("e.x")).as("mean"))
+        .collect()
+      val (kRows, pRows) = rows.partition(_.getInt(0) == 0)
+      val byCell = kRows.groupBy(_.getInt(1))
+      val kept = byCell.keySet.toArray.sorted // index order == id order, preserved
+      ids = kept.map(ids)
+      cents = kept.map(c => byCell(c).sortBy(_.getInt(2)).map(_.getDouble(4).toFloat))
+      val bySub = pRows.groupBy(_.getInt(1))
+      books = Array.tabulate(m) { s =>
+        val cells = bySub.getOrElse(s, Array.empty[org.apache.spark.sql.Row])
+          .groupBy(_.getInt(2))
+        // kept-cell index order == prior-centroid order; empty cells drop
+        cells.keySet.toArray.sorted.map(c =>
+          cells(c).sortBy(_.getInt(3)).map(_.getDouble(4).toFloat))
+      }
+    }
+    (ids, cents, books)
+  }
+
   /** Driver-side probe order for a query against the coarse centroids —
     * THE probe rule, shared by [[pqTopK]] and the persisted-index search
     * forms (their bit-identity contract depends on one copy): cosine
@@ -443,8 +526,14 @@ object Similarity {
       require(d == dim,
         s"pqTopK: query '${r.get(0)}' has dim $d, battery head has dim $dim")
     }
-    val books = pqCodebooks(corpus, corpusId, corpusVec, dim, m, nCentroids, kmeansIters)
-    val (cellIds, cents) = kmeansCentroidArrays(corpus, corpusId, corpusVec, nCells, kmeansIters)
+    // r18: fused trainer — one seed collect and one job per Lloyd round
+    // instead of two trainings of (seed + iters) jobs each; models
+    // bit-equal to the unfused pair (FusedTrainSpec), so the store-form
+    // equality gate (ann_index_search forms_equal) is untouched. The
+    // battery's dim (checked above) must match the corpus dim the seeds
+    // carry — trainIvfPq re-checks divisibility on the corpus side.
+    val (cellIds, cents, books) = trainIvfPq(corpus, corpusId, corpusVec,
+      nCells, m, nCentroids, kmeansIters, requireTag = "pqTopK")
 
     import org.apache.spark.sql.GraftColumnBridge
     val codes = GraftColumnBridge.column(graft.functions.PqEncode(
