@@ -64,11 +64,18 @@ object BpeTokenizer {
         .collect().map(r => (r.getString(0), r.getLong(1)))
       // Java regex's zero-width split is code-point aware, so split(w, '')
       // yields code-point characters — the same alphabet codePointSymbols
-      // produces; the distinct set is Unicode-bounded, a metadata pull
-      val baseChars = wordFreq
-        .select(explode(split(col("w"), "")).as("c"))
-        .filter(length(col("c")) > 0)
-        .distinct().collect().map(_.getString(0))
+      // produces; the distinct set is Unicode-bounded, a metadata pull.
+      // r18: the pull runs ONLY when the frequency cap actually dropped
+      // words — an uncapped dict IS the full word set, and learnFromDict
+      // already closes the base alphabet over every dict word's
+      // characters, so extraBaseChars would add nothing (vocab
+      // bit-identical, one distributed job saved per training).
+      val baseChars: Iterable[String] =
+        if (dict.length < maxDictWords) Nil
+        else wordFreq
+          .select(explode(split(col("w"), "")).as("c"))
+          .filter(length(col("c")) > 0)
+          .distinct().collect().map(_.getString(0)).toSeq
       learnFromDict(dict, nMerges, baseChars)
     } finally wordFreq.unpersist(false)
   }
