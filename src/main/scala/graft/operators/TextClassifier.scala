@@ -137,7 +137,7 @@ object TextClassifier {
         transform(sequence(lit(0), size(col("__t")) - 2),
           i => concat_ws(" ", element_at(col("__t"), i + 1), element_at(col("__t"), i + 2))))
         .otherwise(array().cast("array<string>"))
-    val feats = df
+    val feats0 = df
       .select(monotonically_increasing_id().as("did"),
         col(labelCol).cast(DoubleType).as("y"), toks.as("__t"))
       .select(col("did"), col("y"), concat(col("__t"), bi).as("__g"))
@@ -147,7 +147,9 @@ object TextClassifier {
         featureId(col("g"), dim).cast(IntegerType).as("fid"))
       .agg(count(lit(1)).cast(DoubleType).as("x"))
       .persist(storage)
-    val nFeatured = feats.select(countDistinct("did")).head().getLong(0)
+    val st = feats0.agg(count_distinct(col("did")).as("nd"),
+      count(lit(1)).as("nnz")).head()
+    val nFeatured = st.getLong(0)
     require(nFeatured > 0, "train: no document carries any feature")
     // zero-feature docs (empty/whitespace text) carry labels the intercept
     // must see — count them and their positive mass once
@@ -159,9 +161,38 @@ object TextClassifier {
       .head()
     val nEmpty = emptyRow.getLong(0)
     val emptyPos = emptyRow.getDouble(1)
+    val feats = clusterByDoc(feats0, st.getLong(1), storage)
     val got = gdLoop(feats, nFeatured + nEmpty, nEmpty, emptyPos, dim, iters, lr, storage)
     feats.unpersist(false)
     got
+  }
+
+  /** Re-cluster a persisted (did, …) feature relation by document id with
+    * a DATA-derived partition count before the GD loop (r18, guide §2.4):
+    * with the cache hash-partitioned by `did`, every iteration's residual
+    * `groupBy(did, y)` and gradient `join(did)` plan with ZERO exchanges —
+    * the loop's only remaining shuffle is the per-fid gradient reduction,
+    * whose map-side partials are ≤ dim+1 rows per partition. Unclustered,
+    * the loop paid 2 exchanges × iters (× languages for the one-vs-rest
+    * trainer) at whatever spark.sql.shuffle.partitions happens to be: a
+    * 200-partition session planned ~12,000 reduce tasks over kilobyte
+    * frames (the sf0.1 soak read pipeline_classifier_train at ~15 min;
+    * clustered it reads seconds). The width comes from the MEASURED
+    * relation: ≥ 250k rows per task until defaultParallelism is covered,
+    * then ~2M rows (~80 MB) per task at scale — never from the session's
+    * shuffle width. One extra exchange at build replaces 2·iters of them. */
+  private def clusterByDoc(feats0: DataFrame, nnz: Long,
+                           storage: org.apache.spark.storage.StorageLevel): DataFrame = {
+    val sc = feats0.sparkSession.sparkContext
+    val p = math.max(math.max(1L, nnz / 2000000L),
+      math.min((nnz + 249999L) / 250000L, sc.defaultParallelism.toLong)).toInt
+    val out = feats0.repartition(p, col("did")).persist(storage)
+    // materialize BEFORE the loop plans against it: a cold cache hides its
+    // partitioning behind an unfinished AQE subplan and the planner
+    // re-inserts the per-iteration exchanges (the bm25Batch lesson)
+    out.count()
+    feats0.unpersist(false)
+    out
   }
 
   /** The full-batch logistic GD loop over a prepared (did, y, fid, x)
@@ -261,15 +292,20 @@ object TextClassifier {
       .select(monotonically_increasing_id().as("did"),
         col(langCol).cast("string").as("lang"), grams.as("__g"))
       .persist(storage)
-    val feats = base
+    val feats0 = base
       .filter(size(col("__g")) > 0)
       .select(col("did"), col("lang"), explode(col("__g")).as("g"))
       .groupBy(col("did"), col("lang"),
         featureId(col("g"), dim).cast(IntegerType).as("fid"))
       .agg(count(lit(1)).cast(DoubleType).as("x"))
       .persist(storage)
-    val nFeatured = feats.select(countDistinct("did")).head().getLong(0)
+    val st = feats0.agg(count_distinct(col("did")).as("nd"),
+      count(lit(1)).as("nnz")).head()
+    val nFeatured = st.getLong(0)
     require(nFeatured > 0, "trainLangId: no document carries any feature")
+    // did-clustered cache: the K one-vs-rest GD loops below each pay
+    // iters iterations — the exchange elision multiplies K × iters here
+    val feats = clusterByDoc(feats0, st.getLong(1), storage)
     // zero-feature docs: per-language positive mass for each intercept
     val emptyByLang = base.filter(size(col("__g")) === 0)
       .groupBy("lang").agg(count(lit(1)).as("n")).collect()

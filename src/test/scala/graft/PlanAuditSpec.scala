@@ -773,4 +773,48 @@ class PlanAuditSpec extends AnyFunSuite {
       pd.take(3000))
     assert(pd.contains("PushedFilters: [In(term"), pd.take(3000))
   }
+
+  test("GD loop over a did-clustered feature cache: residual groupBy and " +
+      "gradient join plan ZERO exchanges; only the fid reduction shuffles (r18)") {
+    // the trainer's per-iteration shape (TextClassifier.gdLoop over a
+    // clusterByDoc'd cache), reproduced structurally: feats cached
+    // hash-partitioned by did, residuals grouped by (did, y), gradients
+    // joined back on did and reduced by fid. With the did partitioning
+    // visible (materialized cache), the only exchange left is the
+    // dim-bounded fid reduction — at ANY spark.sql.shuffle.partitions.
+    // Unclustered, both the groupBy and the join exchanged per iteration
+    // (×60 iterations ×K classes: the sf0.1 200-partition soak read
+    // pipeline_classifier_train at ~15 min from exactly this).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val feats = (0L until 200L).flatMap(d =>
+        (0 until 5).map(f => (d, (d % 2).toDouble, f.toInt, 1.0 + f)))
+      .toDF("did", "y", "fid", "x")
+      .repartition(4, col("did"))
+      .persist()
+    feats.count() // the planner must SEE hashpartitioning(did)
+    try {
+      val wLit = lit(Array.fill(8)(0.1))
+      val resid = feats
+        .groupBy("did", "y")
+        .agg(sum(col("x") * element_at(wLit, col("fid") + 1)).as("m"))
+        .select(col("did"),
+          (lit(1.0) / (lit(1.0) + exp(-(col("m") + 0.0))) - col("y")).as("r"))
+        .persist()
+      try {
+        val grads = resid
+          .join(feats, Seq("did"))
+          .groupBy("fid").agg(sum(col("x") * col("r")).as("grad"))
+        val p = grads.queryExecution.executedPlan.toString
+        // REPARTITION_BY_NUM exchanges inside InMemoryRelation subtrees are
+        // the already-materialized cache builds (paid once, not per
+        // iteration); the LIVE exchanges a loop iteration executes are the
+        // ENSURE_REQUIREMENTS ones — exactly one, the fid reduction
+        val live = """Exchange hashpartitioning\((\w+)#\d+[^\n]*ENSURE_REQUIREMENTS"""
+          .r.findAllMatchIn(p).map(_.group(1)).toSeq
+        assert(live == Seq("fid"),
+          s"expected ONLY the fid-reduction live exchange, got $live\n" + p.take(3000))
+      } finally resid.unpersist(false)
+    } finally feats.unpersist(false)
+  }
 }
