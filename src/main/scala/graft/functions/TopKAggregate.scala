@@ -85,8 +85,12 @@ case class TopKRows(
   override def children: Seq[Expression] = child :: Nil
 
   override def createAggregationBuffer(): TopKRows.Buffer =
+    // initial capacity is capped: the queue grows on demand, and a
+    // million-row k (NgramLm's capped pulls ride this aggregate since
+    // r19) must not pre-allocate k slots per buffer when most groups
+    // hold far fewer rows. Worst-first heap: peek() = eviction candidate
     new TopKRows.Buffer(new java.util.PriorityQueue[InternalRow](
-      k, bestFirst.reversed())) // worst-first heap: peek() = eviction candidate
+      math.min(k, 64), bestFirst.reversed()))
 
   override def update(buf: TopKRows.Buffer, input: InternalRow): TopKRows.Buffer = {
     val v = child.eval(input)

@@ -44,7 +44,25 @@ object NgramLm {
 
   /** Count uni/bi/trigrams over the corpus in ONE scan and build the
     * frequency-capped model. Caps pick the top-k grams per order by
-    * (count desc, gram asc) — deterministic, SQL-mirrorable. */
+    * (count desc, gram asc) — deterministic, SQL-mirrorable.
+    *
+    * r19: the capped pulls and the total-token sum are ONE distributed
+    * job — a per-order bounded-heap top-k ([[graft.functions.TopKRows]],
+    * the r18 retrieval-tail aggregate) and `sum(n)` ride the same
+    * `groupBy(ord)` — where the r18 form persisted the counts frame and
+    * ran FOUR driver actions over it (three TakeOrderedAndProject pulls
+    * + the total sum). Same single corpus scan, 4 job rounds → 1, and
+    * the distinct-gram counts frame no longer occupies executor storage
+    * at all (at corpus scale the pre-cap gram set is the big object
+    * here; the caps bound only the pulled model). The heap's
+    * (count desc, gram asc) order is the pulls' exact order — count
+    * rides the heap as a double, exact for counts below 2^53 (a corpus
+    * with 9e15 occurrences of one gram is ~450 PB of text), and the
+    * tie-break compares the gram string itself; the pulled (gram, n)
+    * pairs carry the ORIGINAL long count in the heap payload, so the
+    * model's tables are bit-identical to the TakeOrdered form's
+    * (NgramLmSpec pins fused-vs-unfused equality incl. cap-boundary
+    * count ties). */
   def train(df: DataFrame, textCol: String,
             maxUnigrams: Int = 1000000,
             maxBigrams: Int = 2000000,
@@ -63,19 +81,28 @@ object NgramLm {
       .groupBy("g").agg(count(lit(1)).as("n"))
       // a token never contains whitespace, so the space count IS the order
       .withColumn("ord", size(split(col("g"), " ")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      def pull(ord: Int, cap: Int): graft.functions.GramTable = graft.functions.GramTable.build(
-        counts
-          .filter(col("ord") === ord)
-          .orderBy(col("n").desc, col("g").asc)
-          .limit(cap)
-          .collect().map(r => r.getString(0) -> r.getLong(1)))
-      val total = counts.filter(col("ord") === 1)
-        .agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
-      require(total > 0L, "NgramLm.train: corpus has no tokens")
-      LmModel(pull(1, maxUnigrams), pull(2, maxBigrams), pull(3, maxTrigrams), total)
-    } finally counts.unpersist(false)
+    import org.apache.spark.sql.GraftColumnBridge
+    val kMax = math.max(maxUnigrams, math.max(maxBigrams, maxTrigrams))
+    val packed = struct(col("n").cast(DoubleType).as("__sc"),
+      col("g").as("__id"), struct(col("n")).as("__pl"))
+    val topk = GraftColumnBridge.column(graft.functions.TopKRows(
+      GraftColumnBridge.expression(packed), kMax))
+    // one action: per-order top-kMax heaps (trimmed to each order's cap
+    // at the driver — a sorted heap prefix IS the TakeOrdered result)
+    // + the pre-cap total, collected as ≤ 3 rows
+    val byOrd = counts.groupBy("ord")
+      .agg(topk.as("__tk"), sum("n").as("__tot"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def table(ord: Int, cap: Int): graft.functions.GramTable =
+      graft.functions.GramTable.build(
+        byOrd.get(ord) match {
+          case Some(r) => r.getSeq[org.apache.spark.sql.Row](1).take(cap)
+            .map(e => e.getString(1) -> e.getStruct(2).getLong(0)).toArray
+          case None => Array.empty[(String, Long)]
+        })
+    val total = byOrd.get(1).map(_.getLong(2)).getOrElse(0L)
+    require(total > 0L, "NgramLm.train: corpus has no tokens")
+    LmModel(table(1, maxUnigrams), table(2, maxBigrams), table(3, maxTrigrams), total)
   }
 
   /** Score every document: (id, n_pos, tri_hits, bi_hits, uni_hits, unk,

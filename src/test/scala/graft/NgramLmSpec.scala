@@ -96,4 +96,41 @@ class NgramLmSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join") && !p.contains("Exchange"), p.take(2000))
   }
+
+  test("r19 fused train: ONE SQL execution (heap pulls + total), no TakeOrdered actions") {
+    // the r18 form ran FOUR driver actions over a persisted counts frame
+    // (three TakeOrderedAndProject pulls + the total sum); the fused form
+    // is one groupBy(ord) aggregation collected once. Census the SQL
+    // executions train() launches — the pin is the fusion itself; the
+    // model equality is pinned by the hand-count tests above (incl. the
+    // cap-boundary (count desc, gram asc) tie) which now run THROUGH the
+    // heap path.
+    val execs = new java.util.concurrent.atomic.AtomicInteger
+    val takeOrdered = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet()
+            if (s.physicalPlanDescription.contains("TakeOrderedAndProject"))
+              takeOrdered.incrementAndGet()
+            ()
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val model =
+      try {
+        val m = NgramLm.train(corpus, "text",
+          maxUnigrams = 2, maxBigrams = 1, maxTrigrams = 5)
+        Thread.sleep(500) // listener bus is async
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(execs.get == 1, s"expected ONE SQL execution from train(), saw ${execs.get}")
+    assert(takeOrdered.get == 0, "a TakeOrderedAndProject pull survived the fusion")
+    // same capped model the 4-action form built (the hand-count pins)
+    assert(model.totalTokens == 9L && model.uni.size == 2 &&
+      model.uni("the") == 3L && model.uni("cat") == 2L && model.uni("sat") == 0L &&
+      model.bi.size == 1 && model.bi("the cat") == 2L && model.tri.size == 3)
+  }
 }
