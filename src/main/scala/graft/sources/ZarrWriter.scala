@@ -165,10 +165,25 @@ object ZarrWriter {
     "^(<f8|<f4|<i8|<i4|<i2|\\|i1|\\|u1|<u2|<u4|\\|S[0-9]*|<U[0-9]*)$".r
 
   /** Per-variable geometry + input guards, shared by the v2 and v3
-    * writers: ONE aggregation (the duplicate-cell check rides it as
-    * countDistinct(coords); the per-plane null guards and the string
-    * auto-width ride it too) + one per-dimension extent pass, then a
-    * chunk band along the FIRST dimension sized to the byte budget. */
+    * writers: ONE aggregation JOB (r19 — the per-variable meta grain and
+    * the per-dimension extent grain fuse under a sentinel posexplode)
+    * carrying the duplicate-cell check (countDistinct(coords) — a
+    * duplicate refuses loudly), the per-plane null guards, the string
+    * auto-width, and every dimension's max/min extent; then a chunk band
+    * along the FIRST dimension sized to the byte budget.
+    *
+    * The fusion (guide §1.2 — remove passes): every input row explodes
+    * over `[-1] ++ coords` — slot pos = 0 is the META plane (exactly one
+    * row per input row, every original column), slot pos = p ≥ 1 is
+    * dimension p-1's EXTENT plane (`col` = that coordinate) — and one
+    * `groupBy(variable, pos)` computes both grains where r18 ran two
+    * full-input aggregation jobs (meta + extents) over the persisted
+    * plane. The meta aggregates are gated to the sentinel group
+    * (`when(pos = 0, …)`), so the distinct/width work is not repeated
+    * per dimension; null `coords` coalesce to the bare sentinel so such
+    * rows still hit the meta plane and refuse on the cell-count
+    * mismatch exactly as before. Answers and refusal order are
+    * unchanged (ZarrWriterSpec pins the refusals). */
   private def geometry(df: DataFrame, maxChunkBytes: Long,
                        dtypes: Map[String, String]): Array[Geo] = {
     dtypes.foreach { case (v, dt) =>
@@ -176,70 +191,76 @@ object ZarrWriter {
         s"ZarrWriter: variable '$v' requests unsupported dtype '$dt' — " +
           "supported: <f8, <f4, <i8, <i4, <i2, |i1, |u1, <u2, <u4, |S[n], <U[n]")
     }
-    val metaRows = df
-      .select(col("variable"), col("dims"), col("coords"), col("value"), col("label"))
-      .groupBy("variable")
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("dims")).as("nd"),
-        first(col("dims")).as("dims"),
-        max(size(col("coords"))).as("rankMax"),
-        min(size(col("coords"))).as("rankMin"),
-        countDistinct(col("coords")).as("ncells"),
-        count(col("value")).as("nvals"),
-        count(col("label")).as("nlabels"),
-        coalesce(max(octet_length(col("label"))), lit(0)).as("maxBytes"),
-        coalesce(max(length(col("label"))), lit(0)).as("maxChars"))
+    def metaAt(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(col("pos") === 0, c)
+    val fused = df
+      .select(col("variable"), col("dims"), col("coords"), col("value"), col("label"),
+        posexplode(concat(array(lit(-1L)),
+          coalesce(col("coords"), array().cast("array<long>")))))
+      .groupBy("variable", "pos")
+      .agg(max(col("col")).as("mx"),
+        min(col("col")).as("mn"),
+        count(metaAt(lit(1))).as("n"),
+        countDistinct(metaAt(col("dims"))).as("nd"),
+        first(metaAt(col("dims"))).as("dims"),
+        max(metaAt(size(col("coords")))).as("rankMax"),
+        min(metaAt(size(col("coords")))).as("rankMin"),
+        countDistinct(metaAt(col("coords"))).as("ncells"),
+        count(metaAt(col("value"))).as("nvals"),
+        count(metaAt(col("label"))).as("nlabels"),
+        coalesce(max(metaAt(octet_length(col("label")))), lit(0)).as("maxBytes"),
+        coalesce(max(metaAt(length(col("label")))), lit(0)).as("maxChars"))
       .collect()
+    val metaRows = fused.filter(_.getAs[Int]("pos") == 0)
     require(metaRows.nonEmpty, "ZarrWriter: empty input")
-    val present = metaRows.map(_.getString(0)).toSet
+    val present = metaRows.map(_.getAs[String]("variable")).toSet
     dtypes.keys.foreach(v => require(present.contains(v),
       s"ZarrWriter: dtype given for variable '$v', which is not in the input"))
     metaRows.foreach { r =>
-      val v = r.getString(0)
-      require(r.getLong(2) == 1L, s"ZarrWriter: variable '$v' carries inconsistent dims")
-      require(r.getInt(4) == r.getInt(5) && r.getInt(4) >= 1,
+      val v = r.getAs[String]("variable")
+      require(r.getAs[Long]("nd") == 1L, s"ZarrWriter: variable '$v' carries inconsistent dims")
+      require(r.getAs[Int]("rankMax") == r.getAs[Int]("rankMin") && r.getAs[Int]("rankMax") >= 1,
         s"ZarrWriter: variable '$v' has ragged coords")
-      require(r.getAs[scala.collection.Seq[String]]("dims").length == r.getInt(4),
+      require(r.getAs[scala.collection.Seq[String]]("dims").length == r.getAs[Int]("rankMax"),
         s"ZarrWriter: variable '$v' dims/coords rank mismatch")
-      require(r.getLong(6) == r.getLong(1),
+      require(r.getAs[Long]("ncells") == r.getAs[Long]("n"),
         s"ZarrWriter: variable '$v' has " +
-          s"${r.getLong(1) - r.getLong(6)} duplicate coordinate cells — refusing " +
+          s"${r.getAs[Long]("n") - r.getAs[Long]("ncells")} duplicate coordinate cells — refusing " +
           "(silent last-writer-wins would lose data)")
       val dt = dtypes.getOrElse(v, "<f8")
       if (isString(dt))
-        require(r.getLong(8) == r.getLong(1),
+        require(r.getAs[Long]("nlabels") == r.getAs[Long]("n"),
           s"ZarrWriter: string variable '$v' ($dt) has null labels — " +
             "string dtypes encode the 'label' column")
       else
-        require(r.getLong(7) == r.getLong(1),
+        require(r.getAs[Long]("nvals") == r.getAs[Long]("n"),
           s"ZarrWriter: numeric variable '$v' ($dt) has null values — " +
             "did you mean a string dtype over the 'label' column?")
     }
-    val shapes = df
-      .select(col("variable"), posexplode(col("coords")))
-      .groupBy("variable", "pos").agg(max("col").as("mx"), min("col").as("mn"))
-      .collect()
-      .groupBy(_.getString(0))
+    val shapes = fused.filter(_.getAs[Int]("pos") >= 1)
+      .groupBy(_.getAs[String]("variable"))
       .map { case (v, rows) =>
-        rows.foreach(r => require(r.getLong(3) >= 0L,
+        rows.foreach(r => require(r.getAs[Long]("mn") >= 0L,
           s"ZarrWriter: variable '$v' has negative coordinates"))
-        v -> rows.sortBy(_.getInt(1)).map(_.getLong(2) + 1L)
+        v -> rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Long]("mx") + 1L)
       }
     metaRows.map { r =>
-      val v = r.getString(0)
+      val v = r.getAs[String]("variable")
       val dims = r.getAs[scala.collection.Seq[String]]("dims").toSeq
       val shape = shapes(v).toSeq
+      val maxBytes = r.getAs[Int]("maxBytes")
+      val maxChars = r.getAs[Int]("maxChars")
       // bare |S / <U auto-size to the data; explicit widths must FIT
       val dtype = dtypes.getOrElse(v, "<f8") match {
-        case "|S" => "|S" + math.max(1, r.getInt(9))
-        case "<U" => "<U" + math.max(1, r.getInt(10))
+        case "|S" => "|S" + math.max(1, maxBytes)
+        case "<U" => "<U" + math.max(1, maxChars)
         case s if s.startsWith("|S") =>
-          require(r.getInt(9) <= s.drop(2).toInt,
-            s"ZarrWriter: variable '$v' has a ${r.getInt(9)}-byte label, over its declared $s")
+          require(maxBytes <= s.drop(2).toInt,
+            s"ZarrWriter: variable '$v' has a $maxBytes-byte label, over its declared $s")
           s
         case u if u.startsWith("<U") =>
-          require(r.getInt(10) <= u.drop(2).toInt,
-            s"ZarrWriter: variable '$v' has a ${r.getInt(10)}-char label, over its declared $u")
+          require(maxChars <= u.drop(2).toInt,
+            s"ZarrWriter: variable '$v' has a $maxChars-char label, over its declared $u")
           u
         case num => num
       }
@@ -367,8 +388,8 @@ object ZarrWriter {
             dtypes: Map[String, String] = Map.empty,
             filters: Map[String, Seq[String]] = Map.empty): Unit = {
     val spark = df0.sparkSession
-    // the input feeds three actions (geometry, shapes, chunk write) —
-    // persist once so an expensive upstream plan computes once, not 3×
+    // the input feeds two actions (fused geometry, chunk write) —
+    // persist once so an expensive upstream plan computes once, not 2×
     val df = normalize(df0).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try writeCached(df, spark, storePath, maxChunkBytes, compress, dtypes, filters)
     finally df.unpersist(false)
@@ -380,7 +401,7 @@ object ZarrWriter {
                           filters: Map[String, Seq[String]]): Unit = {
     // chain-vs-dtype rules are decidable from the declared dtypes alone
     // (a bare |S/<U is still a string dtype), so refuse BEFORE geometry
-    // runs its two full-input aggregation jobs
+    // runs its full-input aggregation job
     filters.foreach { case (v, chain) =>
       validateFilters(v, dtypes.getOrElse(v, "<f8"), chain) }
     val geos = geometry(df, maxChunkBytes, dtypes)

@@ -387,4 +387,43 @@ class ZarrWriterSpec extends AnyFunSuite {
     // raw-bits form — an array of N/8 byte integers ("ab" → |S2 → r16)
     assert(zj("lbl").contains("\"fill_value\": [0, 0]"), zj("lbl"))
   }
+
+  test("r19 fused geometry: a write is TWO SQL executions (geometry + chunk write)") {
+    // the r18 geometry ran two full-input aggregation jobs (per-variable
+    // meta + per-dimension extents); r19 fuses them under a sentinel
+    // posexplode into ONE, so the whole write path is geometry + the
+    // chunk-grouping write. Round-trip/refusal semantics are pinned by
+    // every other test in this suite (all now run THROUGH the fused
+    // aggregation); this pins the job fusion itself, for both sinks.
+    val rows =
+      (0L until 10L).map(i => ("t", Seq("time"), Seq(i), i * 1.5)) ++
+        (for (i <- 0L until 6L; j <- 0L until 4L)
+          yield ("grid", Seq("time", "x"), Seq(i, j), i * 10.0 + j))
+    val execs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            execs.incrementAndGet(); ()
+          case _ => ()
+        }
+    }
+    val df = tidy(rows)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_zw_census2").toString
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_zw_census3").toString
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.sources.ZarrWriter.write(df, dir2, maxChunkBytes = 64)
+      Thread.sleep(500) // listener bus is async
+      assert(execs.get == 2, s"v2 write: expected 2 SQL executions, saw ${execs.get}")
+      execs.set(0)
+      graft.sources.ZarrWriter.writeV3(df, dir3, maxChunkBytes = 64)
+      Thread.sleep(500)
+      assert(execs.get == 2, s"v3 write: expected 2 SQL executions, saw ${execs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // and the fused pass still reads back exactly
+    val got = decode(dir2).select(col("variable"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === rows.map { case (v, _, _, x) => (v, x) }.toSet)
+  }
 }
