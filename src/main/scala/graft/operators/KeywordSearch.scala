@@ -868,9 +868,13 @@ object KeywordSearch {
     require(meta.n > 0, s"bm25PhraseBatch: index at '$dir' holds no documents")
     // battery → persisted (query_id, ord, term) occurrence rows (the
     // bm25Batch front half); one tiny geometry action decides the
-    // vocabulary-pruning branch, exactly like bm25SearchIndexed
+    // vocabulary-pruning branch, exactly like bm25SearchIndexed (r19:
+    // the battery row count rides the same action — it pre-filters the
+    // vote-volume size gate below)
     val qTerms = batteryTerms(phrases, qidCol, qtextCol, scope)
-    val nTerms = qTerms.agg(countDistinct(col("term"))).collect()(0).getLong(0)
+    val qGeo = qTerms.agg(countDistinct(col("term")), count(lit(1))).collect()(0)
+    val nTerms = qGeo.getLong(0)
+    val batteryRows = qGeo.getLong(1)
     val smallVocab: Option[Seq[String]] =
       if (nTerms > 0 && nTerms <= SmallVocabCap)
         Some(qTerms.select("term").distinct()
@@ -903,13 +907,19 @@ object KeywordSearch {
     // store reads into one (on an object store, two full slice GET
     // sweeps into one). An eager doc_id co-partitioning of this slice
     // (to elide the downstream vote reductions' exchanges) was measured
-    // and REJECTED: the extra materialization job cost ~+0.5 s at sf0.1
-    // (3×-interleaved A/B, min 4.47-4.61 s vs 4.01-4.33 s persist-only)
-    // against exchange savings the fixture keeps in memory anyway.
+    // and REJECTED unconditionally: the extra materialization job cost
+    // ~+0.5 s at sf0.1 (3×-interleaved A/B, min 4.47-4.61 s vs
+    // 4.01-4.33 s persist-only) against exchange savings the fixture
+    // keeps in memory anyway. r19 lands it SIZE-GATED (below): the slice
+    // carries tf so the vote volume is estimable from its own stats.
     val postPruned = scope.persisted(
-      prunedPlane("postings").select("term", "doc_id"),
+      prunedPlane("postings").select("term", "doc_id", "tf"),
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val termDf = postPruned.groupBy("term").agg(count(lit(1)).as("__tdf"))
+    // __ctf (the term's total corpus positions among the slice) rides the
+    // df aggregation for the size gate's estimate — same shuffle, one
+    // extra long per term
+    val termDf = postPruned.groupBy("term")
+      .agg(count(lit(1)).as("__tdf"), sum(col("tf")).as("__ctf"))
     // per-query rarest term: min over (df, term) — the term tie-break
     // keeps the choice deterministic; an inner join drops absent terms,
     // and the len recheck below drops queries that lost any term to it
@@ -923,8 +933,47 @@ object KeywordSearch {
         count(lit(1)).as("__present"))
       .join(qLen, Seq("query_id"))
       .filter(col("__present") === col("__nt")) // every term in the corpus
-      .select(col("query_id"), col("__m.term").as("term"), col("__len"))
-    val candidates = qRare.join(postPruned, Seq("term"))
+      .select(col("query_id"), col("__m.term").as("term"),
+        col("__m.__tdf").as("__rdf"), col("__len"))
+    // r19 SIZE GATE (the r18 rejected lever, fired only when the vote
+    // exchange would actually dominate): expected vote rows =
+    // Σ_battery-row ctf(term) · df(rarest(q)) / df(term) — each battery
+    // ordinal explodes the term's positions over the candidate docs,
+    // which hold df_rarest/df of the term's postings in expectation —
+    // times (slop+1) start bands. Above the threshold, the slice
+    // re-spreads by doc_id and materializes so BOTH downstream vote
+    // reductions ((query,doc,start) and (query,doc)) plan exchange-free
+    // under broadcast battery/positions joins (hashpartitioning(doc_id)
+    // satisfies both ClusteredDistributions; a positions slice too big
+    // to broadcast shuffle-joins as before and simply forfeits the win).
+    // Below it, the r18-shipped persist-only shape runs unchanged — the
+    // estimate is ONE battery-sized aggregation over the cached slice,
+    // and only when the loose driver-side bound battery×sumdl×(slop+1)
+    // (votes can never exceed it) clears the threshold. Default: 2e8
+    // vote rows ≈ 8 GB exchanged / ~2e7 (q,d,start) groups per local[32]
+    // task at 32 partitions — an exchange the 24.3M-row sf0.1 battery
+    // (measured FASTER without co-partitioning) stays 8× under, while
+    // any corpus-scale battery clears it; production tunes
+    // spark.graft.phraseVoteCopartitionRows to taste (≤ 0 disables).
+    val voteGate = spark.conf.getOption("spark.graft.phraseVoteCopartitionRows")
+      .map(_.toLong).getOrElse(200000000L)
+    val voteBound = batteryRows.toDouble * meta.sumdl.toDouble * (slop + 1).toDouble
+    val estVotes =
+      if (voteGate <= 0 || voteBound <= voteGate.toDouble) 0.0
+      else qTerms.select("query_id", "term").join(termDf, Seq("term"))
+        .join(qRare.select("query_id", "__rdf"), Seq("query_id"))
+        .agg(coalesce(sum(col("__ctf").cast(DoubleType) * col("__rdf").cast(DoubleType)
+          / col("__tdf").cast(DoubleType)), lit(0.0)))
+        .head().getDouble(0) * (slop + 1).toDouble
+    val voteSlice =
+      if (voteGate > 0 && estVotes > voteGate.toDouble) {
+        val spread = scope.persisted(
+          postPruned.select("term", "doc_id").repartition(col("doc_id")),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        spread.count() // materialize: a cold cache hides its partitioning
+        spread         // behind an unfinished AQE subplan (the r18 lesson)
+      } else postPruned
+    val candidates = qRare.join(voteSlice, Seq("term"))
       .select("query_id", "doc_id", "__len")
     // expected occurrences per candidate doc: |candidates| × phrase len —
     // then ONE positions join keyed (term, doc_id) pulls exactly the

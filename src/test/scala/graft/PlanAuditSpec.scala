@@ -817,4 +817,42 @@ class PlanAuditSpec extends AnyFunSuite {
       } finally resid.unpersist(false)
     } finally feats.unpersist(false)
   }
+
+  test("r19 size-gated phrase vote co-partitioning: exchange-free votes above the gate, rows bit-identical") {
+    // the r18-rejected doc_id co-partitioning of the phrase posting slice
+    // lands size-gated: below spark.graft.phraseVoteCopartitionRows the
+    // shipped persist-only shape runs unchanged (both vote reductions
+    // exchange); above it the slice re-spreads by doc_id and BOTH vote
+    // aggregations ((query,doc,start) then (query,doc)) plan exchange-free
+    // under the broadcast battery/positions joins. Forcing the gate to 1
+    // row flips the branch on the test corpus; results must not move a bit.
+    spark.sharedState.cacheManager.clearCache()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_votegate").toString
+    graft.operators.KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", idx,
+      overwrite = true, positions = true)
+    import spark.implicits._
+    val batt = Seq(("p0", "hash join"), ("p1", "fast table scan"),
+      ("p2", "stream window agg")).toDF("qid", "qtext")
+    def run(): (Set[Seq[Any]], String) = {
+      val df = graft.operators.KeywordSearch.bm25PhraseBatch(
+        spark, idx, batt, "qid", "qtext", k = 5)
+      val rows = df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    def voteExchanges(p: String): Int =
+      """hashpartitioning\(query_id#\d+L?, doc_id#\d+L?(, start#\d+L?)?,"""
+        .r.findAllMatchIn(p).size
+    val (defRows, defPlan) = run() // default gate: far above this corpus
+    assert(voteExchanges(defPlan) > 0,
+      "expected the persist-only shape's vote exchanges below the gate\n" + defPlan.take(3000))
+    spark.conf.set("spark.graft.phraseVoteCopartitionRows", "1")
+    try {
+      spark.sharedState.cacheManager.clearCache() // drop the run-1 slice caches
+      val (onRows, onPlan) = run()
+      assert(onRows == defRows, "co-partitioned rows differ from the persist-only form")
+      assert(voteExchanges(onPlan) == 0,
+        "vote reductions still exchange above the gate\n" + onPlan.take(3000))
+    } finally spark.conf.unset("spark.graft.phraseVoteCopartitionRows")
+  }
 }
