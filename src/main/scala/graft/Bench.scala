@@ -561,6 +561,15 @@ object Bench {
     val sfJson = "\"" + sfDir.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
     } + "\""
+    // r19: echo the EFFECTIVE core count so the artifact can defend its
+    // own $SPARK_GRAFT_CPUS contract — the r18 driver's scaling probe
+    // could not see the master the bench ran under and false-alarmed
+    // `suspect_cpus_ignored` on a contract Bench honors (see main()'s
+    // master(local[$cpus]) above). Quoted only when non-numeric (local[*])
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      } + "\""
     val subtotals = s""""shared_rows_total":$sharedTotal,"baseline_rows_total":$baselineTotal,"""
     // r14: the artifact self-reports its window quality. Contention
     // shows as SLOW sentinel outliers — r13's official snapshot (hot:
@@ -615,10 +624,11 @@ object Bench {
     // calib_spread) stay, which is what round adjudication reads
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
       subtotals + calibJson + s""""resampled_n":${resampled.size},""" +
-      s"""$streamingJson"samples":$samples,"sf":$sfJson}"""
+      s"""$streamingJson"samples":$samples,"cpus":$cpusJson,"sf":$sfJson}"""
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,""" +
       subtotals + calibJson + heapDetailJson + s""""resampled":$resampledJson,""" +
-      s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],"sf":$sfJson}"""
+      s"""$streamingJson"samples":$samples,"calib_sec":[${calib.map(fmt).mkString(",")}],""" +
+      s""""cpus":$cpusJson,"sf":$sfJson}"""
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -689,23 +699,41 @@ object Bench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // r19 (VERDICT r18 "what's wrong" #4): each lane runs MIN-OF-N reps
+    // (fresh MemoryStream + query per rep — state must start empty), not
+    // one reading. The lanes' rep-to-rep scatter on this machine spans 4×
+    // (r18 adjudication A: r17 sessionize read 5,985 → 23,626 rows/s
+    // across 6 reps of the SAME code), so a single reading whipsawed
+    // every round's artifact; min time = max rate is the same defense
+    // the batch rows' min-of-3 interleaved samples give. Feeds, models
+    // and centroids are prepared ONCE (driver-side artifact prep); only
+    // the feed loop is timed, per rep, exactly as before.
+    val streamReps = sys.env.get("SPARK_GRAFT_BENCH_STREAM_REPS")
+      .map(_.toInt).getOrElse(3)
+    require(streamReps >= 1,
+      s"SPARK_GRAFT_BENCH_STREAM_REPS must be >= 1, got $streamReps")
+    def bestOf(run: Int => Double): Double = (1 to streamReps).map(run).min
+
     // --- sessionize twin (flatMapGroupsWithState + event-time timeouts)
     val events = SparkEntry.events(spark, sfDir)
       .select("user_id", "event_id", "us").orderBy("us").limit(50000)
       .as[(Long, Long, Long)].collect()
       .map { case (u, e, us) => StreamingOps.Event(u, e, new java.sql.Timestamp(us), 0.0) }
-    val sessIn = MemoryStream[StreamingOps.Event]
-    val sessQ = StreamingOps.sessionize(sessIn.toDS(), gapMinutes = 30000,
-        watermark = "0 seconds")
-      .writeStream.format("memory").queryName("bench_stream_sess")
-      .outputMode("append").start()
-    val t0 = System.nanoTime()
-    events.grouped(math.max(1, events.length / 5)).foreach { chunk =>
-      sessIn.addData(chunk.toIndexedSeq)
-      sessQ.processAllAvailable()
+    val sessSec = bestOf { rep =>
+      val sessIn = MemoryStream[StreamingOps.Event]
+      val sessQ = StreamingOps.sessionize(sessIn.toDS(), gapMinutes = 30000,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName(s"bench_stream_sess_$rep")
+        .outputMode("append").start()
+      val t0 = System.nanoTime()
+      events.grouped(math.max(1, events.length / 5)).foreach { chunk =>
+        sessIn.addData(chunk.toIndexedSeq)
+        sessQ.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      sessQ.stop()
+      dt
     }
-    val sessSec = (System.nanoTime() - t0) / 1e9
-    sessQ.stop()
 
     // --- near-dup twin (row-local minhash + per-bucket state, TTL eviction)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -713,34 +741,40 @@ object Bench {
       .as[(Long, String)].collect()
       .zipWithIndex.map { case ((id, text), i) =>
         (id, text, new java.sql.Timestamp(1600000000000L + i * 1000L)) }
-    val dupIn = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val dupQ = StreamingOps.nearDupCollisions(
-        dupIn.toDS().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
-        watermark = "0 seconds")
-      .writeStream.format("memory").queryName("bench_stream_dup")
-      .outputMode("append").start()
-    val t1 = System.nanoTime()
-    docs.grouped(math.max(1, docs.length / 5)).foreach { chunk =>
-      dupIn.addData(chunk.toIndexedSeq)
-      dupQ.processAllAvailable()
+    val dupSec = bestOf { rep =>
+      val dupIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val dupQ = StreamingOps.nearDupCollisions(
+          dupIn.toDS().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName(s"bench_stream_dup_$rep")
+        .outputMode("append").start()
+      val t1 = System.nanoTime()
+      docs.grouped(math.max(1, docs.length / 5)).foreach { chunk =>
+        dupIn.addData(chunk.toIndexedSeq)
+        dupQ.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - t1) / 1e9
+      dupQ.stop()
+      dt
     }
-    val dupSec = (System.nanoTime() - t1) / 1e9
-    dupQ.stop()
 
     // --- exact-window dedup twin (per-window-hash state, first-claim)
-    val winIn = MemoryStream[(Long, String, java.sql.Timestamp)]
-    val winQ = StreamingOps.duplicatedWindowHits(
-        winIn.toDS().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
-        windowTokens = 8, watermark = "0 seconds")
-      .writeStream.format("memory").queryName("bench_stream_win")
-      .outputMode("append").start()
-    val t2 = System.nanoTime()
-    docs.grouped(math.max(1, docs.length / 5)).foreach { chunk =>
-      winIn.addData(chunk.toIndexedSeq)
-      winQ.processAllAvailable()
+    val winSec = bestOf { rep =>
+      val winIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val winQ = StreamingOps.duplicatedWindowHits(
+          winIn.toDS().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+          windowTokens = 8, watermark = "0 seconds")
+        .writeStream.format("memory").queryName(s"bench_stream_win_$rep")
+        .outputMode("append").start()
+      val t2 = System.nanoTime()
+      docs.grouped(math.max(1, docs.length / 5)).foreach { chunk =>
+        winIn.addData(chunk.toIndexedSeq)
+        winQ.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - t2) / 1e9
+      winQ.stop()
+      dt
     }
-    val winSec = (System.nanoTime() - t2) / 1e9
-    winQ.stop()
 
     // --- quality-filter twin (STATELESS composed classifier∧Gopher∧LM
     // scan — model training is artifact prep, outside the timed region;
@@ -758,18 +792,21 @@ object Bench {
       spark.sparkContext.broadcast(graft.operators.NgramLm.train(qDocs, "text",
         maxUnigrams = 25, maxBigrams = 500, maxTrigrams = 5000)))
     val qRows = qDocs.as[(Long, String)].collect()
-    val qIn = MemoryStream[(Long, String)]
-    val qQ = graft.operators.CorpusPipeline.qualityFilter(
-        qIn.toDF().toDF("doc_id", "text"), "text", qPlane)
-      .writeStream.format("memory").queryName("bench_stream_quality")
-      .outputMode("append").start()
-    val tq = System.nanoTime()
-    qRows.grouped(math.max(1, qRows.length / 5)).foreach { chunk =>
-      qIn.addData(chunk.toIndexedSeq)
-      qQ.processAllAvailable()
+    val qSec = bestOf { rep =>
+      val qIn = MemoryStream[(Long, String)]
+      val qQ = graft.operators.CorpusPipeline.qualityFilter(
+          qIn.toDF().toDF("doc_id", "text"), "text", qPlane)
+        .writeStream.format("memory").queryName(s"bench_stream_quality_$rep")
+        .outputMode("append").start()
+      val tq = System.nanoTime()
+      qRows.grouped(math.max(1, qRows.length / 5)).foreach { chunk =>
+        qIn.addData(chunk.toIndexedSeq)
+        qQ.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - tq) / 1e9
+      qQ.stop()
+      dt
     }
-    val qSec = (System.nanoTime() - tq) / 1e9
-    qQ.stop()
 
     // --- semantic-claims twin (in-scan centroid assign + per-cell survivor
     // state; centroid build is artifact prep, outside the timed region)
@@ -797,20 +834,23 @@ object Bench {
     val embRows = (0 until 3).flatMap(c =>
       embBase.map { case (id, v, ts) => (id + c * 10000000L, v, ts) })
       .sortBy(_._3.getTime).toArray
-    val semIn = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
-    val semQ = StreamingOps.semanticClaims(
-        semIn.toDS().toDF("doc_id", "vec", "ts"), "doc_id", "vec", "ts",
-        semCents, "cent_id", "cent_vec", threshold = 0.4,
-        watermark = "0 seconds")
-      .writeStream.format("memory").queryName("bench_stream_sem")
-      .outputMode("append").start()
-    val t3 = System.nanoTime()
-    embRows.grouped(math.max(1, embRows.length / 5)).foreach { chunk =>
-      semIn.addData(chunk.toIndexedSeq)
-      semQ.processAllAvailable()
+    val semSec = bestOf { rep =>
+      val semIn = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+      val semQ = StreamingOps.semanticClaims(
+          semIn.toDS().toDF("doc_id", "vec", "ts"), "doc_id", "vec", "ts",
+          semCents, "cent_id", "cent_vec", threshold = 0.4,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName(s"bench_stream_sem_$rep")
+        .outputMode("append").start()
+      val t3 = System.nanoTime()
+      embRows.grouped(math.max(1, embRows.length / 5)).foreach { chunk =>
+        semIn.addData(chunk.toIndexedSeq)
+        semQ.processAllAvailable()
+      }
+      val dt = (System.nanoTime() - t3) / 1e9
+      semQ.stop()
+      dt
     }
-    val semSec = (System.nanoTime() - t3) / 1e9
-    semQ.stop()
 
     s"""{"sessionize_rows_per_sec":${fmt0(events.length / math.max(sessSec, 1e-9))},""" +
       s""""sessionize_rows":${events.length},""" +
