@@ -360,7 +360,17 @@ object Similarity {
     * empty-cell drop-out and index-order remap — so the returned models
     * are bit-equal to calling the two trainers separately (pinned by
     * FusedTrainSpec against both unfused forms on real fixture data).
-    * Returns (cell ids, coarse centroid matrix, PQ codebooks). */
+    * Returns (cell ids, coarse centroid matrix, PQ codebooks).
+    *
+    * Seed-equivalence assumption (ADVICE r18): both unfused seed rules
+    * are "first rows by id" — this trainer takes the nCells seeds as a
+    * PREFIX of one `orderBy(id).limit(max(nCells, nCentroids))` collect.
+    * With DUPLICATE ids, `orderBy(id)` is not a total order and that
+    * prefix may differ from an independent `orderBy(id).limit(nCells)`
+    * run — every caller's id column is unique by contract (the ANN
+    * stores refuse duplicate ids at build/append), so the fused and
+    * unfused seeds coincide; a duplicate-id corpus would train a valid
+    * but not necessarily bit-equal model. */
   private[graft] def trainIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, m: Int, nCentroids: Int, kmeansIters: Int,
       requireTag: String = "trainIvfPq")
@@ -534,6 +544,14 @@ object Similarity {
     // carry — trainIvfPq re-checks divisibility on the corpus side.
     val (cellIds, cents, books) = trainIvfPq(corpus, corpusId, corpusVec,
       nCells, m, nCentroids, kmeansIters, requireTag = "pqTopK")
+    // r19 (ADVICE r18): fail FAST on a battery whose dim differs from the
+    // corpus — before trainIvfPq moved the divisibility check to the
+    // corpus side, this refused at training; without the guard it would
+    // surface later in pqAdcTable (index error if the battery is shorter,
+    // silently truncated ADC scores if longer)
+    require(cents.nonEmpty && cents(0).length == dim,
+      s"pqTopK: battery vectors have dim $dim but the corpus has dim " +
+        s"${if (cents.isEmpty) "<none>" else cents(0).length.toString}")
 
     import org.apache.spark.sql.GraftColumnBridge
     val codes = GraftColumnBridge.column(graft.functions.PqEncode(

@@ -7,7 +7,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * unfused pair (kmeansCentroidArrays + pqCodebooks): annIndexBuild and
   * pqTopK both ride it, and the ann_index_search gate pins the store
   * form bit-identical to the in-flight form — a float that drifts here
-  * surfaces as neighbor-set churn downstream. */
+  * surfaces as neighbor-set churn downstream.
+  *
+  * LOCAL-MODE assumption (ADVICE r18): the bit-equality contract relies
+  * on identical float-summation merge order inside avg() — per-group
+  * partial sums match per map partition, but reduce-side fetch/merge
+  * order is not guaranteed deterministic on a multi-executor cluster.
+  * This suite runs (and the engine's bench/gates run) in local mode,
+  * where the order is stable; if the suite ever runs distributed and
+  * flakes here, relax the centroid/codebook comparisons to a 1-ulp
+  * tolerance — the downstream gates pin the STORE form against the
+  * in-flight form computed from the same model, which stays exact. */
 class FusedTrainSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
