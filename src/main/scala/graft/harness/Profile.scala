@@ -22,11 +22,24 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators._
 
+    // r19: every timed block also reports its distributed JOB census (the
+    // fusion changes are job-count changes, invisible in plan shapes) —
+    // listener events are async, so drain briefly before reading
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    })
     def t(name: String)(body: => Any): Unit = {
+      Thread.sleep(300)
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
       val r  = body
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[profile] $name%-46s $dt%8.2f s  ($r)")
+      Thread.sleep(300)
+      val dj = jobCount.get() - j0
+      println(f"[profile] $name%-46s $dt%8.2f s  jobs=$dj%-3d ($r)")
       spark.sharedState.cacheManager.clearCache()
     }
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
