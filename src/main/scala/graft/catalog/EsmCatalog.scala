@@ -340,9 +340,22 @@ final class EsmCatalog(
 
   /** to_dataset_dict (core.py:606-762): key → tidy DataFrame for every group.
     * `aggregate = false` groups by all columns — one asset per dataset
-    * (core.py:733-735). The per-group thread pools of the reference are
-    * unnecessary: each returned DataFrame is a lazy plan and Spark's
-    * scheduler parallelizes the actual loads.
+    * (core.py:733-735).
+    *
+    * r19: group loads run from a small driver thread pool (guide §2.6 —
+    * overlap independent jobs). The returned frames are lazy plans, but
+    * BUILDING one is not free: each asset open runs driver-coordinated
+    * metadata work (file listing, parquet footer/schema reads, the decode
+    * plane's geometry pulls — measured ~11 small jobs per group at the
+    * bench catalog), and the sequential loop serialized those
+    * latency-bound rounds. Concurrent submission overlaps them — on an
+    * object store each open is a network round trip, which is where the
+    * reference's own per-group pools point. Results are identical: frames
+    * are built per group exactly as before, failures surface in GROUP
+    * ORDER (futures are awaited in order, and Await rethrows the original
+    * exception), and `skipOnError` drops a failed group inside its own
+    * task as before. `spark.graft.datasetDictThreads` (default 4, ≤ 1 =
+    * sequential) bounds the pool.
     */
   def toDatasetDict(coords: Seq[String] = Nil, aggregate: Boolean = true,
                     skipOnError: Boolean = false): Map[String, DataFrame] = {
@@ -360,13 +373,27 @@ final class EsmCatalog(
       df.groupBy(keyColumn(attrs).as("__graft_key"))
         .agg(collect_list(struct(df.columns.map(col): _*)).as("__graft_records")),
       "toDatasetDict(group records)")
-    val dsets = grouped.map { row =>
+    def loadOne(row: org.apache.spark.sql.Row): (String, Option[DataFrame]) = {
       val key     = row.getString(0)
       val records = row.getSeq[org.apache.spark.sql.Row](1).map(rowToMap)
       val source  = buildSource(key, records.toSeq)
       try key -> Some(loadGroup(source, coords))
       catch { case e: Exception => if (skipOnError) key -> None else throw e }
-    }.collect { case (k, Some(d)) => k -> d }.toMap
+    }
+    val threads = math.min(grouped.length,
+      spark.conf.getOption("spark.graft.datasetDictThreads").map(_.toInt).getOrElse(4))
+    val loaded =
+      if (threads <= 1) grouped.map(loadOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = grouped.map(row => scala.concurrent.Future(loadOne(row))(ec))
+          futs.map(f => scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf))
+        } finally pool.shutdown() // no interrupts: a losing task's lazy
+      }                           // metadata reads finish harmlessly
+    val dsets = loaded.collect { case (k, Some(d)) => k -> d }.toMap
     // post-pass: apply derived variables (core.py:896-903)
     val result = model.variableColumnName match {
       case Some(varCol) => derivedRegistry.updateDatasets(dsets, varCol, skipOnError)

@@ -248,15 +248,20 @@ object Profile {
           s"/tmp/graft_bench_posidx_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}",
           overwrite = true, positions = true)
       rows.foreach { name =>
+        var lastJobs = 0L
         val samples = (1 to 4).map { _ =>
+          Thread.sleep(300)
+          val j0 = jobCount.get()
           val t0 = System.nanoTime()
           runnable(name)(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sharedState.cacheManager.clearCache()
+          Thread.sleep(300)
+          lastJobs = jobCount.get() - j0
           dt
         }
         // drop the first (JIT) sample; report min of the rest
-        println(f"[rowtime] $name%-36s min=${samples.tail.min}%7.3f s  " +
+        println(f"[rowtime] $name%-36s min=${samples.tail.min}%7.3f s  jobs=$lastJobs%-3d " +
           s"samples=${samples.map(s => f"$s%.3f").mkString(",")}")
       }
     }
@@ -655,6 +660,37 @@ object Profile {
       t("to_dataset_dict") {
         graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)
         graft.SparkEntry.queries("to_dataset_dict")(spark, sfDir).count()
+      }
+    }
+
+    if (on("dsdict")) {
+      println("== to_dataset_dict split (r19) ==")
+      graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)
+      for (i <- 1 to 2) {
+        var cat: graft.catalog.EsmCatalog = null
+        var dsets: Map[String, org.apache.spark.sql.DataFrame] = null
+        t(s"open+search run $i") {
+          cat = graft.harness.PipelineDemo.open(spark, sfDir)
+            .search(Map("status" -> Seq("O", "F")))
+          cat != null
+        }
+        t(s"toDatasetDict run $i") {
+          dsets = cat.toDatasetDict(graft.harness.PipelineDemo.coords)
+          dsets.size
+        }
+        t(s"union exec run $i") {
+          import org.apache.spark.sql.functions._
+          dsets.toSeq.sortBy(_._1)
+            .map { case (k, d) => d.withColumn("key", lit(k)) }
+            .reduce(_ unionByName _)
+            .select("key", "o_orderkey", "year", "member", "totalprice", "custkey")
+            .orderBy("key", "o_orderkey")
+            .queryExecution.toRdd.foreach(_ => ())
+        }
+        t(s"FULL row run $i") {
+          graft.SparkEntry.queries("to_dataset_dict")(spark, sfDir)
+            .queryExecution.toRdd.foreach(_ => ())
+        }
       }
     }
     spark.stop()
