@@ -27,6 +27,13 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r19: optional session confs ("k=v;k=v") so branch-gated plans (e.g.
+    // the phrase vote co-partitioning, which fires only at scale) can be
+    // captured with the gate forced
+    sys.env.get("SPARK_GRAFT_PLANDUMP_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // bench-parity fixtures (idempotent; _READY-marker cached)
     graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)
     graft.SparkEntry.ensureCsvFixture(spark, sfDir)
