@@ -663,6 +663,47 @@ object Profile {
       }
     }
 
+    if (on("phrasegate")) {
+      println("== phrase-batch vote-gate estimate cost split (r19) ==")
+      // stage-level census: which stages carry the time under each gate
+      // setting (the qRare-persist adjudication needed stage evidence)
+      val stages = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double, Long)]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = e.stageInfo
+          val dt = (for { s <- i.submissionTime; c <- i.completionTime }
+            yield (c - s) / 1e3).getOrElse(0.0)
+          stages.add((s"stage${i.stageId} ${i.name.takeWhile(_ != '\n').take(60)}",
+            dt, i.taskMetrics.shuffleWriteMetrics.bytesWritten))
+          ()
+        }
+      })
+      val store = s"/tmp/graft_bench_posidx_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      if (!new java.io.File(s"$store/meta.json").exists())
+        KeywordSearch.bm25IndexBuild(docs, "text", "doc_id", store,
+          overwrite = true, positions = true)
+      val battery = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 1, 3)).as("qtext"))
+      def full(): Long = {
+        KeywordSearch.bm25PhraseBatch(spark, store, battery, "qid", "qtext", k = 10)
+          .queryExecution.toRdd.foreach(_ => ()); 0L
+      }
+      for (gate <- Seq("0", "200000000", "0", "200000000")) {
+        spark.conf.set("spark.graft.phraseVoteCopartitionRows", gate)
+        stages.clear()
+        t(s"FULL phrase batch, gate=$gate") { full() }
+        Thread.sleep(300)
+        val slow = scala.jdk.CollectionConverters.CollectionHasAsScala(stages)
+          .asScala.toSeq.filter(_._2 > 0.5).sortBy(-_._2).take(12)
+        slow.foreach { case (n, dt, sw) =>
+          println(f"    [stage] $dt%7.2f s  shufW=${sw / 1048576}%5d MB  $n")
+        }
+      }
+      spark.conf.set("spark.graft.phraseVoteCopartitionRows", "200000000")
+    }
+
     if (on("dsdict")) {
       println("== to_dataset_dict split (r19) ==")
       graft.harness.PipelineDemo.ensureCatalog(spark, sfDir)

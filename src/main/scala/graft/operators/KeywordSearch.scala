@@ -933,37 +933,40 @@ object KeywordSearch {
         count(lit(1)).as("__present"))
       .join(qLen, Seq("query_id"))
       .filter(col("__present") === col("__nt")) // every term in the corpus
-      .select(col("query_id"), col("__m.term").as("term"),
-        col("__m.__tdf").as("__rdf"), col("__len"))
+      .select(col("query_id"), col("__m.term").as("term"), col("__len"))
     // r19 SIZE GATE (the r18 rejected lever, fired only when the vote
-    // exchange would actually dominate): expected vote rows =
-    // Σ_battery-row ctf(term) · df(rarest(q)) / df(term) — each battery
-    // ordinal explodes the term's positions over the candidate docs,
-    // which hold df_rarest/df of the term's postings in expectation —
-    // times (slop+1) start bands. Above the threshold, the slice
-    // re-spreads by doc_id and materializes so BOTH downstream vote
-    // reductions ((query,doc,start) and (query,doc)) plan exchange-free
-    // under broadcast battery/positions joins (hashpartitioning(doc_id)
+    // exchange would actually dominate): a battery (query, ord, term)
+    // row can emit at most ctf(term) votes — the term's positions over
+    // its candidate docs are a subset of its positions over ALL docs —
+    // so U = Σ_term mult(term) · ctf(term) × (slop+1) bounds the vote
+    // volume from above. Above the threshold, the slice re-spreads by
+    // doc_id and materializes so BOTH downstream vote reductions
+    // ((query,doc,start) and (query,doc)) plan exchange-free under
+    // broadcast battery/positions joins (hashpartitioning(doc_id)
     // satisfies both ClusteredDistributions; a positions slice too big
     // to broadcast shuffle-joins as before and simply forfeits the win).
-    // Below it, the r18-shipped persist-only shape runs unchanged — the
-    // estimate is ONE battery-sized aggregation over the cached slice,
-    // and only when the loose driver-side bound battery×sumdl×(slop+1)
-    // (votes can never exceed it) clears the threshold. Default: 2e8
-    // vote rows ≈ 8 GB exchanged / ~2e7 (q,d,start) groups per local[32]
-    // task at 32 partitions — an exchange the 24.3M-row sf0.1 battery
-    // (measured FASTER without co-partitioning) stays 8× under, while
-    // any corpus-scale battery clears it; production tunes
+    // Below it, the r18-shipped persist-only shape runs unchanged. The
+    // bound is ONE battery-vocabulary-sized aggregation over the cached
+    // slice (its materialization is reused by the main action), run only
+    // when the free driver-side bound battery×sumdl×(slop+1) (votes can
+    // never exceed it either) clears the threshold; a per-query
+    // rarest-df refinement (×df_rarest/df) was measured WORTHLESS on the
+    // fixture (26.9M vs U = 27.1M vs 24.3M true — candidate docs hold
+    // most postings of a phrase's terms) and needs the whole front half
+    // ahead of the main action, so U it is. Default: 2e8 vote rows ≈
+    // 8 GB exchanged — the sf0.1 1k battery (U = 27.1M, and measured
+    // FASTER without co-partitioning) stays 7× under, while any
+    // corpus-scale battery clears it; production tunes
     // spark.graft.phraseVoteCopartitionRows to taste (≤ 0 disables).
     val voteGate = spark.conf.getOption("spark.graft.phraseVoteCopartitionRows")
       .map(_.toLong).getOrElse(200000000L)
     val voteBound = batteryRows.toDouble * meta.sumdl.toDouble * (slop + 1).toDouble
     val estVotes =
       if (voteGate <= 0 || voteBound <= voteGate.toDouble) 0.0
-      else qTerms.select("query_id", "term").join(termDf, Seq("term"))
-        .join(qRare.select("query_id", "__rdf"), Seq("query_id"))
-        .agg(coalesce(sum(col("__ctf").cast(DoubleType) * col("__rdf").cast(DoubleType)
-          / col("__tdf").cast(DoubleType)), lit(0.0)))
+      else qTerms.groupBy("term").agg(count(lit(1)).as("__mult"))
+        .join(termDf, Seq("term"))
+        .agg(coalesce(sum(col("__mult").cast(DoubleType) * col("__ctf").cast(DoubleType)),
+          lit(0.0)))
         .head().getDouble(0) * (slop + 1).toDouble
     val voteSlice =
       if (voteGate > 0 && estVotes > voteGate.toDouble) {
